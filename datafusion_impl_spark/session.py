@@ -1,0 +1,65 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference engine is a single-process tokio runtime sharing one
+``SessionContext`` across concurrent tasks (``tests/regexp-tests.rs:155-177``).
+The Spark equivalent is one ``SparkSession`` shared across threads; this module
+centralizes its construction so every entry point (tests, bench, driver) gets
+the same tuned configuration.
+
+Config rationale (targets a 1000-executor / 100 TB deployment; local[N] is
+only the test harness):
+
+- AQE on (+ skew join + partition coalescing): runtime re-planning replaces
+  hand-tuned shuffle partition counts at scale and splits skewed partitions.
+- ``spark.sql.shuffle.partitions`` is only the pre-AQE ceiling; locally we pin
+  it near core count so tiny SF tests don't schedule 200 empty tasks.
+- Arrow on: every pandas-UDF boundary (the only Python hot paths we allow)
+  moves columnar batches, mirroring the reference's Arrow kernel contract.
+- Session timezone UTC: parquet timestamps compare bit-identically against
+  the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32] harness; on a real cluster the same
+# settings are safe because AQE re-plans partition counts at runtime.
+_LOCAL_CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = None) -> SparkSession.Builder:
+    """Apply the engine's standard configs to any builder (idempotent)."""
+    return (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or _LOCAL_CORES))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Read parquet TIMESTAMP(isAdjustedToUTC=false) as TIMESTAMP (LTZ with
+        # UTC session tz) rather than TIMESTAMP_NTZ, so schemas line up with
+        # the DuckDB oracle and with plain-SQL timestamp literals.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # documents/embeddings rows are wide (long text, float vectors);
+        # cap arrow batch size so Python UDF workers stay memory-bounded.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    )
+
+
+def get_spark(app_name: str = "datafusion_impl_spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) the shared SparkSession.
+
+    Thread-safe to share across concurrent queries, matching the reference's
+    cloned-context concurrency test (``tests/regexp-tests.rs:155-177``).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{_LOCAL_CORES}]")
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    builder = builder.config("spark.ui.enabled", "false")
+    spark = configure(builder).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,73 @@
+"""Table sources: parquet registry for the driver testdata, plus the CSV /
+inline-VALUES readers the reference exercises.
+
+Reference surface reproduced (SURVEY.md §2.2):
+- CSV scan with schema inference  (``tests/regexp-tests.rs:14``, ``readme.md:46``)
+- inline literal VALUES tables    (``tests/regexp-tests.rs:84,118-125``)
+- parquet (driver testdata; trivial in Spark)
+
+Scale note: ``load_table`` is a bare ``spark.read.parquet`` on purpose —
+column pruning and predicate pushdown are Catalyst's job, and they only work
+when the scan is declared lazily and filtered/projected by the caller. Do not
+cache or materialize here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Tables the driver generates at every scale factor (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables that should always be broadcast in joins: at any
+#: scale factor these stay tiny (region=5, nation=25 rows) or grow far slower
+#: than the fact tables.
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazily scan one testdata table. ``sf_dir`` like ``/root/testdata/sf0.01``.
+
+    The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which the
+    Spark reader rejects outright; we read it as raw nanos
+    (``nanosAsLong``) and truncate to microseconds — exactly what DuckDB's
+    TIMESTAMP_NS → TIMESTAMP coercion does, so oracle comparisons agree.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_all(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register every table as a temp view so ``spark.sql`` queries see them."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv(spark: SparkSession, path: str, infer_schema: bool = True) -> DataFrame:
+    """CSV scan with schema inference — mirrors ``ctx.read_csv`` (readme.md:46).
+
+    ``inferSchema=True`` matches the reference's behavior; production callers
+    should pass an explicit schema (inference double-scans the file).
+    """
+    return spark.read.csv(path, header=True, inferSchema=infer_schema)
+
+
+def values_table(spark: SparkSession, rows: list[tuple], columns: list[str]) -> DataFrame:
+    """Inline literal table — mirrors ``FROM (VALUES ...) as t(...)``
+    (``tests/regexp-tests.rs:84``)."""
+    return spark.createDataFrame(rows, schema=columns)
