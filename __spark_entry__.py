@@ -16,10 +16,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from datafusion_impl_spark.plans import analytics as _analytics
 from datafusion_impl_spark.plans import regexp as _regexp
 from datafusion_impl_spark.plans import tpch as _tpch
 
-_MODULES = [_tpch, _regexp]
+_MODULES = [_tpch, _regexp, _analytics]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,571 @@
+"""Relational breadth beyond the reference's own surface (SURVEY.md §2.4-§2.9
+ABSENT rows): windows, grouping sets, set ops, pivot, top-k, scalar function
+families, sessionization. Every query here is a built-in-only Catalyst plan —
+no Python in the hot path — with a DuckDB oracle unless noted.
+
+Cross-engine determinism notes (beyond plans/__init__ rules):
+- double→int casts round in DuckDB but truncate in Spark → always FLOOR first;
+- COUNT FILTER is 0 where Spark's pivot yields null → coalesce pivot cells;
+- string aggregation is sorted before joining (collect order is
+  partition-nondeterministic in any distributed engine);
+- dayofweek/round() dialect mismatches are avoided outright.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_impl_spark.sources.registry import load_table
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+def _dec(col: str):
+    return F.col(col).cast("decimal(12,4)")
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price — rank inside a hash-partitioned
+    window; at scale this is one shuffle on o_custkey, no global sort."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+_WINDOW_TOP_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+WHERE rn <= 3
+"""
+
+
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order total (cumulative sum over a unique order)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+_WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total
+FROM orders
+"""
+
+
+def window_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): microsecond gap between consecutive events per user."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+
+
+_WINDOW_GAPS_SQL = """
+SELECT user_id, event_id,
+       epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)) AS gap_us
+FROM events
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a >30-minute gap starts a new session; count sessions
+    and events per user. Pure window composition — lag → gap flag → running
+    sum — one shuffle on user_id, the classic scalable sessionizer."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_flag = F.when(
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) > 30 * 60 * 1_000_000,
+        1,
+    ).otherwise(0)
+    with_sess = ev.withColumn("new_sess", gap_flag).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        with_sess.groupBy("user_id")
+        .agg(
+            (F.max("sess_id") + 1).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 30*60*1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_id
+  FROM gaps)
+SELECT user_id, MAX(sess_id) + 1 AS n_sessions, COUNT(*) AS n_events
+FROM sess GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / rollup / cube
+# --------------------------------------------------------------------------
+
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+        .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
+    )
+
+
+_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total_price,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_quantity")).cast("double").alias("qty"),
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS qty,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+               CAST(GROUPING(event_type) AS INT) AS g_type,
+               CAST(GROUPING(CAST(ts AS DATE)) AS INT) AS g_day
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+       CAST(GROUPING(event_type) AS INT) AS g_type,
+       CAST(GROUPING(CAST(ts AS DATE)) AS INT) AS g_day
+FROM events
+GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+"""
+
+
+# --------------------------------------------------------------------------
+# Distinct / set operations / anti join / top-k
+# --------------------------------------------------------------------------
+
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_mktsegment")
+        .distinct()
+        .orderBy("c_mktsegment")
+    )
+
+
+_DISTINCT_SQL = "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+
+def _nations_with(spark, sf_dir, side: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    if side == "customer":
+        keys = load_table(spark, sf_dir, "customer").select(
+            F.col("c_nationkey").alias("k")
+        )
+    else:
+        keys = load_table(spark, sf_dir, "supplier").select(
+            F.col("s_nationkey").alias("k")
+        )
+    return nation.join(keys, nation.n_nationkey == F.col("k"), "left_semi").select(
+        "n_name"
+    )
+
+
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations having both customers and suppliers (INTERSECT)."""
+    return (
+        _nations_with(spark, sf_dir, "customer")
+        .intersect(_nations_with(spark, sf_dir, "supplier"))
+        .orderBy("n_name")
+    )
+
+
+_SET_INTERSECT_SQL = """
+SELECT n_name FROM nation WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+INTERSECT
+SELECT n_name FROM nation WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)
+ORDER BY n_name
+"""
+
+
+def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations with customers but no suppliers (EXCEPT)."""
+    return (
+        _nations_with(spark, sf_dir, "customer")
+        .exceptAll(_nations_with(spark, sf_dir, "supplier"))
+        .distinct()
+        .orderBy("n_name")
+    )
+
+
+_SET_EXCEPT_SQL = """
+SELECT n_name FROM nation WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+EXCEPT
+SELECT n_name FROM nation WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)
+ORDER BY n_name
+"""
+
+
+def set_union_order_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two branch projections + dedup via UNION semantics."""
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey"), F.lit("high").alias("bucket")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey"), F.lit("urgent").alias("bucket")
+    )
+    return hi.union(urgent).distinct()
+
+
+_SET_UNION_SQL = """
+SELECT o_orderkey, 'high' AS bucket FROM orders WHERE o_totalprice > 400000
+UNION
+SELECT o_orderkey, 'urgent' AS bucket FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_ANTI_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(15)
+    )
+
+
+_TOPK_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+"""
+
+
+def min_price_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-style correlated-min: cheapest part(s) per brand, via agg + join back."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_name", "p_retailprice"
+    )
+    mins = part.groupBy(F.col("p_brand").alias("b")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        part.join(
+            mins,
+            (part.p_brand == mins.b) & (part.p_retailprice == mins.min_price),
+        )
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+_MIN_PART_SQL = """
+SELECT p_brand, p_partkey, p_name, p_retailprice
+FROM part
+WHERE (p_brand, p_retailprice) IN (
+  SELECT p_brand, MIN(p_retailprice) FROM part GROUP BY p_brand)
+ORDER BY p_brand, p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Pivot / conditional aggregation
+# --------------------------------------------------------------------------
+
+_STATUSES = ["F", "O", "P"]
+
+
+def pivot_segment_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey)
+    piv = (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(F.count(F.lit(1)))
+    )
+    # Spark leaves empty pivot cells null; COUNT in the oracle yields 0.
+    return piv.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in _STATUSES],
+    ).orderBy("c_mktsegment")
+
+
+_PIVOT_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
+       COUNT(*) FILTER (o_orderstatus = 'O') AS "O",
+       COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar function families (reference §2.9 'built-in when needed')
+# --------------------------------------------------------------------------
+
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return n.select(
+        "n_nationkey",
+        F.upper("n_name").alias("up"),
+        F.lower("n_name").alias("lo"),
+        F.length("n_name").alias("len"),
+        F.substring("n_name", 1, 3).alias("pre3"),
+        F.concat(F.col("n_name"), F.lit("_"), F.col("n_nationkey").cast("string")).alias("tagged"),
+        F.regexp_replace(F.col("n_name"), "A", "@").alias("subbed"),
+        F.trim(F.lpad("n_name", 12, "*")).alias("padded"),
+        F.reverse("n_name").alias("rev"),
+    ).orderBy("n_nationkey")
+
+
+_SCALAR_STRING_SQL = """
+SELECT n_nationkey,
+       UPPER(n_name) AS up,
+       LOWER(n_name) AS lo,
+       CAST(LENGTH(n_name) AS INTEGER) AS len,
+       SUBSTRING(n_name, 1, 3) AS pre3,
+       n_name || '_' || CAST(n_nationkey AS VARCHAR) AS tagged,
+       REGEXP_REPLACE(n_name, 'A', '@', 'g') AS subbed,
+       TRIM(LPAD(n_name, 12, '*')) AS padded,
+       REVERSE(n_name) AS rev
+FROM nation ORDER BY n_nationkey
+"""
+
+
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus30"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias("days_to_2002"),
+    )
+
+
+_SCALAR_DATE_SQL = """
+SELECT o_orderkey,
+       CAST(YEAR(o_orderdate) AS INTEGER) AS y,
+       CAST(MONTH(o_orderdate) AS INTEGER) AS m,
+       CAST(DAY(o_orderdate) AS INTEGER) AS d,
+       CAST(QUARTER(o_orderdate) AS INTEGER) AS q,
+       CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+       CAST(DATE '2002-01-01' - CAST(o_orderdate AS DATE) AS INTEGER) AS days_to_2002
+FROM orders
+"""
+
+
+def scalar_math_case_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + CASE/CAST/modulo — the reference's USED expression surface
+    (tests/regexp-tests.rs:78-83) over a real table."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.abs("c_acctbal").alias("abs_bal"),
+        F.floor("c_acctbal").cast("long").alias("floor_bal"),
+        F.ceil("c_acctbal").cast("long").alias("ceil_bal"),
+        F.sqrt(F.abs("c_acctbal")).alias("sqrt_bal"),
+        (F.col("c_custkey") % 7).alias("mod7"),
+        F.when(F.col("c_custkey") % 2 == 0, F.col("c_custkey").cast("string"))
+        .otherwise(F.lit(None))
+        .alias("even_key_str"),
+        F.col("c_acctbal").cast("string").alias("bal_str"),
+        F.sign("c_acctbal").cast("int").alias("sgn"),
+    )
+
+
+_SCALAR_MATH_SQL = """
+SELECT c_custkey,
+       ABS(c_acctbal) AS abs_bal,
+       CAST(FLOOR(c_acctbal) AS BIGINT) AS floor_bal,
+       CAST(CEIL(c_acctbal) AS BIGINT) AS ceil_bal,
+       SQRT(ABS(c_acctbal)) AS sqrt_bal,
+       c_custkey % 7 AS mod7,
+       CASE WHEN c_custkey % 2 = 0 THEN CAST(c_custkey AS VARCHAR) ELSE NULL END
+         AS even_key_str,
+       CAST(c_acctbal AS VARCHAR) AS bal_str,
+       CAST(SIGN(c_acctbal) AS INTEGER) AS sgn
+FROM customer
+"""
+
+
+def string_agg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: sort_array(collect_list) keeps the result
+    deterministic under any partitioning."""
+    nation = load_table(spark, sf_dir, "nation").select("n_regionkey", "n_name")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"))
+        .orderBy("r_name")
+    )
+
+
+_STRING_AGG_SQL = """
+SELECT r_name, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Approximate aggregates (rows-only: sketch internals differ per engine)
+# --------------------------------------------------------------------------
+
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("median_price"),
+    )
+
+
+QUERIES = {
+    "window_top_orders_per_customer": window_top_orders_per_customer,
+    "window_running_revenue": window_running_revenue,
+    "window_event_gaps": window_event_gaps,
+    "sessionize_events": sessionize_events,
+    "rollup_order_stats": rollup_order_stats,
+    "cube_lineitem_flags": cube_lineitem_flags,
+    "grouping_sets_events": grouping_sets_events,
+    "distinct_segments": distinct_segments,
+    "set_intersect_nations": set_intersect_nations,
+    "set_except_nations": set_except_nations,
+    "set_union_order_sources": set_union_order_sources,
+    "anti_join_customers_without_orders": anti_join_customers_without_orders,
+    "topk_expensive_orders": topk_expensive_orders,
+    "min_price_part_per_brand": min_price_part_per_brand,
+    "pivot_segment_by_status": pivot_segment_by_status,
+    "scalar_string_functions": scalar_string_functions,
+    "scalar_date_functions": scalar_date_functions,
+    "scalar_math_case_cast": scalar_math_case_cast,
+    "string_agg_nations_per_region": string_agg_nations_per_region,
+    "approx_distinct_parts": approx_distinct_parts,
+}
+
+ORACLES = {
+    "window_top_orders_per_customer": _WINDOW_TOP_SQL,
+    "window_running_revenue": _WINDOW_RUNNING_SQL,
+    "window_event_gaps": _WINDOW_GAPS_SQL,
+    "sessionize_events": _SESSIONIZE_SQL,
+    "rollup_order_stats": _ROLLUP_SQL,
+    "cube_lineitem_flags": _CUBE_SQL,
+    "grouping_sets_events": _GROUPING_SETS_SQL,
+    "distinct_segments": _DISTINCT_SQL,
+    "set_intersect_nations": _SET_INTERSECT_SQL,
+    "set_except_nations": _SET_EXCEPT_SQL,
+    "set_union_order_sources": _SET_UNION_SQL,
+    "anti_join_customers_without_orders": _ANTI_JOIN_SQL,
+    "topk_expensive_orders": _TOPK_SQL,
+    "min_price_part_per_brand": _MIN_PART_SQL,
+    "pivot_segment_by_status": _PIVOT_SQL,
+    "scalar_string_functions": _SCALAR_STRING_SQL,
+    "scalar_date_functions": _SCALAR_DATE_SQL,
+    "scalar_math_case_cast": _SCALAR_MATH_SQL,
+    "string_agg_nations_per_region": _STRING_AGG_SQL,
+    # approx_distinct_parts: rows-only (sketches differ across engines)
+}
