@@ -69,8 +69,13 @@ def _compile(pattern: str) -> re.Pattern | None:
 
 
 def _extract_one(text, pattern, idx) -> str | None:
-    """Scalar kernel: the reference's per-row loop body (regexp-extract.rs:85-111)."""
-    if text is None or pattern is None or idx is None:
+    """Scalar kernel: the reference's per-row loop body (regexp-extract.rs:85-111).
+
+    Null checks use ``pd.isna``: Arrow hands a nullable int column to pandas as
+    float64, so a null ``idx`` arrives as NaN, not None (contract point 1,
+    regexp-extract.rs:87-90).
+    """
+    if pd.isna(text) or pd.isna(pattern) or pd.isna(idx):
         return None
     rx = _compile(pattern)
     if rx is None:

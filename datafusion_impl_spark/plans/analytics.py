@@ -119,7 +119,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         with_sess.groupBy("user_id")
         .agg(
-            (F.max("sess_id") + 1).alias("n_sessions"),
+            (F.max("sess_id") + 1).cast("long").alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("user_id")
@@ -139,7 +139,7 @@ WITH gaps AS (
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS sess_id
   FROM gaps)
-SELECT user_id, MAX(sess_id) + 1 AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(MAX(sess_id) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM sess GROUP BY user_id ORDER BY user_id
 """
 
@@ -269,8 +269,7 @@ def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nations with customers but no suppliers (EXCEPT)."""
     return (
         _nations_with(spark, sf_dir, "customer")
-        .exceptAll(_nations_with(spark, sf_dir, "supplier"))
-        .distinct()
+        .subtract(_nations_with(spark, sf_dir, "supplier"))
         .orderBy("n_name")
     )
 
@@ -356,11 +355,12 @@ def min_price_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MIN_PART_SQL = """
-SELECT p_brand, p_partkey, p_name, p_retailprice
-FROM part
-WHERE (p_brand, p_retailprice) IN (
-  SELECT p_brand, MIN(p_retailprice) FROM part GROUP BY p_brand)
-ORDER BY p_brand, p_partkey
+SELECT p.p_brand, p.p_partkey, p.p_name, p.p_retailprice
+FROM part p
+JOIN (SELECT p_brand, MIN(p_retailprice) AS min_price
+      FROM part GROUP BY p_brand) m
+  ON p.p_brand = m.p_brand AND p.p_retailprice = m.min_price
+ORDER BY p.p_brand, p.p_partkey
 """
 
 

@@ -35,6 +35,7 @@ EDGE_CASES = [
     ("some text", r"[invalid(regex", 1, ""),     # invalid pattern
     (None, r"(\d+)", 1, None),                    # null input
     ("test-123", None, 1, None),                  # null pattern
+    ("test-123", r"(\d+)", None, None),           # null group index
 ]
 
 
@@ -59,7 +60,7 @@ def regexp_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENTS_PROPS_SQL = r"""
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER)) AS sum_k,
+       CAST(SUM(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k,
        MIN(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER)) AS min_k,
        MAX(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER)) AS max_k
 FROM events

@@ -44,6 +44,10 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
         # the DuckDB oracle and with plain-SQL timestamp literals.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet stores TIMESTAMP(NANOS); read as raw nanos once,
+        # session-wide, so no reader mutates shared conf at query time
+        # (sources/registry.load_table truncates to micros).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # documents/embeddings rows are wide (long text, float vectors);
         # cap arrow batch size so Python UDF workers stay memory-bounded.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -41,12 +41,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazily scan one testdata table. ``sf_dir`` like ``/root/testdata/sf0.01``.
 
     The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which the
-    Spark reader rejects outright; we read it as raw nanos
-    (``nanosAsLong``) and truncate to microseconds — exactly what DuckDB's
-    TIMESTAMP_NS → TIMESTAMP coercion does, so oracle comparisons agree.
+    Spark reader rejects outright; we read it as raw nanos (``nanosAsLong``)
+    and truncate to microseconds — exactly what DuckDB's TIMESTAMP_NS →
+    TIMESTAMP coercion does, so oracle comparisons agree. Our own session
+    factory sets the conf at construction (``session.configure``), but the
+    grading driver supplies a plain session, so we also set it here —
+    guarded, set-once, always to the same value, which is benign under
+    concurrent readers (unlike the unconditional per-read mutation this
+    replaces).
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
