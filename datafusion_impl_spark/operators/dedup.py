@@ -1,0 +1,406 @@
+"""Deduplication operators over ``documents`` — exact, MinHash-LSH, and
+SimHash. The core of a pre-training data pipeline.
+
+Every sketch here derives from the portable md5-based 60-bit hash
+(:func:`datafusion_impl_spark.operators.md5_long`), so each operator has a
+full DuckDB oracle — including MinHash-LSH, which is usually only
+rows-checked. Nothing computes an all-pairs product: candidate generation is
+always an equi-join on a bucket key (band signature / simhash band), which
+shuffles on the bucket key and scales linearly with data + candidate volume.
+
+The driver's synthetic corpus has zero duplicate texts, so the queries run
+over :func:`near_dup_corpus` — the corpus plus exact copies of every 10th
+doc and near-copies (leading word dropped) of every 7th — giving the
+operators real positives to find while staying fully deterministic and
+mirrored in the oracle SQL.
+
+100 TB posture notes:
+- exact dedup: hash-groupBy, one shuffle on a 128-bit content hash; skew-free
+  by construction (hash keys are uniform).
+- MinHash-LSH: shingle explode → per-(doc, seed) min-agg → band signature →
+  equi-join on (band, signature). The only quadratic step is *within* a
+  bucket; band width (R=3 of NUM_HASHES=12) bounds bucket collision
+  probability, and the exact-Jaccard verify only touches emitted candidates.
+- SimHash: 32-bit fingerprint per doc (one explode over tokens × 32 bit
+  positions), candidates via 8-bit band equality, verified by Hamming
+  distance — constant state per doc, no quadratic step outside buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_impl_spark.operators import duck_md5_long, md5_long
+from datafusion_impl_spark.operators.text import tokens
+from datafusion_impl_spark.sources.registry import load_table
+
+__all__ = ["QUERIES", "ORACLES", "near_dup_corpus"]
+
+# MinHash parameters: 12 hashes in 4 bands of 3 → candidate-pair probability
+# ~ 1-(1-j^3)^4, steep around Jaccard ≈ 0.5.
+_NUM_HASHES = 12
+_BANDS = 4
+_R = _NUM_HASHES // _BANDS
+_JACCARD_T = 0.5
+
+# SimHash parameters: 32-bit fingerprint, four 8-bit bands, Hamming radius 2.
+# Pigeonhole: a pair within Hamming distance 3 (< number of bands) must agree
+# on at least one full band, so candidate generation has EXACT recall at the
+# radius-2 threshold — the banded join is a pure optimization, not a
+# recall trade-off. Radius 2 keeps the verified output tight on this
+# shared-vocabulary corpus (fingerprints are correlated; see distribution in
+# tests/test_llm_ops.py).
+_SIM_BITS = 32
+_SIM_BAND_BITS = 8
+_HAMMING_T = 2
+
+
+def near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies (doc_id % 10, re-keyed +100000) ∪ near
+    copies with the leading word dropped (doc_id % 7, re-keyed +200000)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    dup = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "lang", "text"
+    )
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        "lang",
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    return docs.unionByName(dup).unionByName(near)
+
+
+_CORPUS_SQL = r"""
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, lang, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000, lang, regexp_replace(text, '^\S+\s+', '') FROM documents
+  WHERE doc_id % 7 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# 1. Exact dedup: normalized-content hash groupBy
+# --------------------------------------------------------------------------
+
+def dedup_documents_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by md5 of whitespace-normalized lowercase text: per
+    language, docs before/after and removals. At 100 TB: one shuffle on the
+    content hash (uniform, unskewed); survivors = min(doc_id) per hash."""
+    corpus = near_dup_corpus(spark, sf_dir)
+    h = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    return (
+        corpus.select("lang", h.alias("h"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_removed"),
+        )
+        .orderBy("lang")
+    )
+
+
+_EXACT_SQL = rf"""
+WITH corpus AS ({_CORPUS_SQL}),
+hashed AS (
+  SELECT lang, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+  FROM corpus
+)
+SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT h) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT h) AS n_removed
+FROM hashed
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# 2. MinHash-LSH near-dedup with exact-Jaccard verification
+# --------------------------------------------------------------------------
+
+def _shingles(corpus: DataFrame) -> DataFrame:
+    """Distinct word-3-gram shingles per doc (the Jaccard universe)."""
+    toks = corpus.select("doc_id", tokens("text").alias("tk")).filter(
+        F.size("tk") >= 3
+    )
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 2),
+        lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i, 3)),
+    )
+    return toks.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
+_DUCK_SHINGLES = r"""
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+  FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(tk) - 2),
+                               i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingle
+  FROM toks
+  WHERE len(tk) >= 3
+)
+"""
+
+
+def dedup_documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures → banded LSH candidate pairs → exact Jaccard ≥ 0.5.
+
+    Pipeline (all equi-joins/aggregations, no cross product):
+      shingle explode → min-hash per (doc, seed) → signature array →
+      band md5 key → self-join on (band, key) → exact Jaccard on candidates.
+    """
+    corpus = near_dup_corpus(spark, sf_dir)
+    sh = _shingles(corpus)
+
+    mh = (
+        sh.select(
+            "doc_id",
+            "shingle",
+            F.explode(F.sequence(F.lit(0), F.lit(_NUM_HASHES - 1))).alias("seed"),
+        )
+        .select(
+            "doc_id",
+            "seed",
+            md5_long(
+                F.concat(F.col("shingle"), F.lit("#"), F.col("seed").cast("string"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    sig = mh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("seed", "mh"))).alias("sig")
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_BANDS - 1))).alias("band"),
+        "sig",
+    ).select(
+        "doc_id",
+        "band",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice("sig", F.col("band") * _R + 1, _R),
+                    lambda x: x.getField("mh").cast("string"),
+                ),
+            )
+        ).alias("bkey"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("da"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("db"), "shingle")
+    inter = (
+        cand.join(sa, "da").join(sb, ["db", "shingle"]).groupBy("da", "db").agg(
+            F.count(F.lit(1)).alias("i")
+        )
+    )
+    za = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(za, "da")
+        .join(zb, "db")
+        .filter(jac >= _JACCARD_T)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_MINHASH_SQL = rf"""
+WITH corpus AS ({_CORPUS_SQL}),
+{_DUCK_SHINGLES},
+mh AS (
+  SELECT doc_id, seed,
+         MIN({duck_md5_long("shingle || '#' || CAST(seed AS VARCHAR)")}) AS mh
+  FROM sh, (SELECT unnest(generate_series(0, {_NUM_HASHES - 1})) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+sig AS (
+  SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band,
+         md5(array_to_string(
+           list_transform(list_slice(sig, band * {_R} + 1, band * {_R} + {_R}),
+                          x -> CAST(x AS VARCHAR)), ',')) AS bkey
+  FROM sig, (SELECT unnest(generate_series(0, {_BANDS - 1})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.da, c.db, COUNT(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.da
+  JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
+  GROUP BY c.da, c.db
+)
+SELECT da AS doc_a, db AS doc_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_JACCARD_T}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# 3. SimHash near-dedup (fingerprint + banded Hamming candidates)
+# --------------------------------------------------------------------------
+
+def dedup_documents_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per doc (token-frequency-weighted bit voting), candidate
+    pairs via 8-bit band equality, verified by Hamming distance ≤ 6."""
+    corpus = near_dup_corpus(spark, sf_dir)
+    # 32-bit token hash (8 hex chars of md5): every intermediate value stays
+    # below 2^32 ≪ 2^53, so the pow(2,i) divisions below are EXACT in double
+    # on both engines; floor() then agrees bit-for-bit (cast-to-int rounding
+    # differs between Spark [truncate] and DuckDB [round], floor does not).
+    h32 = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+    tf = (
+        corpus.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", h32)
+    )
+    # bit votes: +cnt where hash bit i is set, else -cnt  (i in 0..31)
+    votes = tf.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIM_BITS - 1))).alias("i"),
+        "cnt",
+        "h",
+    ).select(
+        "doc_id",
+        "i",
+        F.when(
+            F.floor(F.col("h") / F.pow(F.lit(2), F.col("i"))).cast("long") % 2 == 1,
+            F.col("cnt"),
+        )
+        .otherwise(-F.col("cnt"))
+        .alias("vote"),
+    )
+    fp = (
+        votes.groupBy("doc_id", "i")
+        .agg(F.sum("vote").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("i")).cast("long"))
+                .otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIM_BITS // _SIM_BAND_BITS - 1))).alias(
+            "band"
+        ),
+    ).select(
+        "doc_id",
+        "simhash",
+        "band",
+        (
+            F.floor(
+                F.col("simhash") / F.pow(F.lit(2), F.col("band") * _SIM_BAND_BITS)
+            ).cast("long")
+            % (2**_SIM_BAND_BITS)
+        ).alias("bval"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= _HAMMING_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_SIMHASH_SQL = rf"""
+WITH corpus AS ({_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+  FROM corpus
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS cnt,
+         CAST(('0x' || substr(md5(token),1,8)) AS BIGINT) AS h
+  FROM toks GROUP BY doc_id, token
+),
+votes AS (
+  SELECT doc_id, i,
+         CASE WHEN CAST(FLOOR(h / POW(2, i)) AS BIGINT) % 2 = 1 THEN cnt ELSE -cnt END AS vote
+  FROM tf, (SELECT unnest(generate_series(0, {_SIM_BITS - 1})) AS i) bits
+),
+bitsum AS (
+  SELECT doc_id, i, SUM(vote) AS s FROM votes GROUP BY doc_id, i
+),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, i) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM bitsum GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, band,
+         CAST(FLOOR(simhash / POW(2, band * {_SIM_BAND_BITS})) AS BIGINT) % {2**_SIM_BAND_BITS} AS bval
+  FROM fp, (SELECT unnest(generate_series(0, {_SIM_BITS // _SIM_BAND_BITS - 1})) AS band) bd
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_T}
+ORDER BY doc_a, doc_b
+"""
+
+
+QUERIES = {
+    "dedup_documents_exact": dedup_documents_exact,
+    "dedup_documents_minhash": dedup_documents_minhash,
+    "dedup_documents_simhash": dedup_documents_simhash,
+}
+
+ORACLES = {
+    "dedup_documents_exact": _EXACT_SQL,
+    "dedup_documents_minhash": _MINHASH_SQL,
+    "dedup_documents_simhash": _SIMHASH_SQL,
+}

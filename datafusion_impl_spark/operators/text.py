@@ -1,0 +1,289 @@
+"""Text-analysis operators over the ``documents`` table — the language-ID /
+quality-scoring / token-counting / fingerprinting layer of a training-data
+pipeline.
+
+All five operators are pure Catalyst plans (split/explode/regexp_count/
+higher-order array functions); no Python runs in the hot path, so at 100 TB
+they are scan → project → (one) shuffle-for-aggregate shapes with full
+column pruning (only ``text`` + group keys are read).
+
+Corpus caveat: the driver's synthetic documents use one shared fake
+vocabulary for every ``lang`` value, so the language-ID heuristic cannot be
+*accurate* here — the query is still a complete, deterministic
+implementation (marker-list scoring + fixed-priority argmax), exercised and
+oracle-checked end-to-end as a confusion matrix against the labeled column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_impl_spark.operators import duck_md5_long, md5_long
+from datafusion_impl_spark.sources.registry import load_table
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization as an array column (empty tokens dropped)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+
+
+#: DuckDB fragment equivalent to :func:`tokens`.
+_DUCK_TOKENS = r"list_filter(string_split_regex({col}, '\s+'), t -> t <> '')"
+
+
+# --------------------------------------------------------------------------
+# 1. Token statistics per language
+# --------------------------------------------------------------------------
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics per language: one explode + one groupBy —
+    a single shuffle on ``lang`` at any scale, partial aggregation map-side."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("token")
+    )
+    return (
+        tok.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("token").alias("n_distinct_tokens"),
+            F.round(
+                F.count(F.lit(1)) / F.countDistinct("doc_id"), 4
+            ).alias("avg_tokens_per_doc"),
+            F.round(F.avg(F.length("token")), 4).alias("avg_token_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TOKEN_STATS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+  FROM documents
+)
+SELECT lang,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_tokens,
+       COUNT(DISTINCT token) AS n_distinct_tokens,
+       ROUND(COUNT(*) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE), 4) AS avg_tokens_per_doc,
+       ROUND(AVG(CAST(LENGTH(token) AS DOUBLE)), 4) AS avg_token_len
+FROM tok
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# 2. Language identification (marker-word scoring heuristic)
+# --------------------------------------------------------------------------
+
+#: language → alternation of marker words (classic stopword-hit heuristic).
+_LANG_MARKERS = [
+    ("en", "the|a|is|of|and"),
+    ("de", "der|die|und|das|ist"),
+    ("es", "el|la|los|que|y"),
+    ("fr", "le|les|et|des|une"),
+    ("zh", "的|是|了|在"),
+]
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict language by marker-word hit counts; fixed priority order breaks
+    ties deterministically. Output: confusion matrix vs the labeled ``lang``.
+
+    Single-pass: N regexp_count projections (JVM regex, codegen'd) feeding one
+    groupBy — no explode, so cost is O(docs), not O(tokens)."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    scored = docs.select(
+        "lang",
+        *[
+            F.regexp_count("text", F.lit(rf"\b({alts})\b")).alias(f"s_{lang}")
+            for lang, alts in _LANG_MARKERS
+        ],
+    )
+    # argmax with fixed priority: first language (in _LANG_MARKERS order)
+    # whose score is >= every other score; all-zero rows → 'und'.
+    pred = F.lit("und")
+    for lang, _ in reversed(_LANG_MARKERS):
+        cond = (F.col(f"s_{lang}") > 0)
+        for other, _ in _LANG_MARKERS:
+            if other != lang:
+                cond = cond & (F.col(f"s_{lang}") >= F.col(f"s_{other}"))
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return (
+        scored.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def _langid_oracle() -> str:
+    score_cols = ",\n         ".join(
+        rf"len(regexp_extract_all(text, '\b({alts})\b')) AS s_{lang}"
+        for lang, alts in _LANG_MARKERS
+    )
+    langs = [lang for lang, _ in _LANG_MARKERS]
+    case = "'und'"
+    for lang in reversed(langs):
+        others = " AND ".join(
+            f"s_{lang} >= s_{o}" for o in langs if o != lang
+        )
+        case = f"CASE WHEN s_{lang} > 0 AND {others} THEN '{lang}' ELSE {case} END"
+    return f"""
+WITH scored AS (
+  SELECT lang,
+         {score_cols}
+  FROM documents
+)
+SELECT lang, {case} AS predicted, COUNT(*) AS n_docs
+FROM scored
+GROUP BY 1, 2
+ORDER BY lang, predicted
+"""
+
+
+# --------------------------------------------------------------------------
+# 3. Quality scoring
+# --------------------------------------------------------------------------
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length, stopword ratio, punctuation
+    ratio) combined into a [0,1] score; aggregated per source. One projection
+    + one shuffle — the canonical pre-training quality-filter shape."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars", "text")
+    n_tokens = F.regexp_count("text", F.lit(r"\S+"))
+    stop_hits = F.regexp_count("text", F.lit(r"\b(the|a|of|and|is)\b"))
+    punct = F.regexp_count("text", F.lit(r"[^\w\s]"))
+    score = F.round(
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.5
+        + F.least(F.lit(1.0), stop_hits / F.greatest(n_tokens.cast("double"), F.lit(1.0)) * 5.0) * 0.3
+        + (F.lit(1.0) - F.least(F.lit(1.0), punct / F.greatest(F.col("n_chars").cast("double"), F.lit(1.0)) * 10.0)) * 0.2,
+        4,
+    )
+    return (
+        docs.select("source", score.alias("score"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+            F.sum(F.when(F.col("score") >= 0.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+_QUALITY_SQL = r"""
+WITH feat AS (
+  SELECT source,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) AS stop_hits,
+         len(regexp_extract_all(text, '[^\w\s]')) AS punct,
+         n_chars
+  FROM documents
+), scored AS (
+  SELECT source,
+         ROUND(
+           LEAST(1.0, n_tokens / 100.0) * 0.5
+           + LEAST(1.0, stop_hits / CAST(GREATEST(n_tokens, 1) AS DOUBLE) * 5.0) * 0.3
+           + (1.0 - LEAST(1.0, punct / CAST(GREATEST(n_chars, 1) AS DOUBLE) * 10.0)) * 0.2,
+           4) AS score
+  FROM feat
+)
+SELECT source, COUNT(*) AS n_docs, ROUND(AVG(score), 4) AS avg_score,
+       CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# 4. Regex (BPE-ish) token counting
+# --------------------------------------------------------------------------
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex (words OR single
+    non-space punctuation), bucketed distribution per language."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    cnt = F.regexp_count("text", F.lit(r"\w+|[^\w\s]"))
+    return (
+        docs.select("lang", F.floor(cnt / 25).cast("int").alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "bucket")
+    )
+
+
+_TOKEN_COUNT_SQL = r"""
+SELECT lang,
+       CAST(FLOOR(len(regexp_extract_all(text, '\w+|[^\w\s]')) / 25.0) AS INTEGER) AS bucket,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+ORDER BY lang, bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# 5. Document fingerprinting (min-hash-of-shingles rolling fingerprint)
+# --------------------------------------------------------------------------
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fingerprint: the minimum 60-bit hash over word-3-gram
+    shingles (bottom-1 sketch — the scalable winnowing primitive). Identical
+    texts get identical fingerprints regardless of doc_id or partitioning.
+
+    Plan shape: one projection with higher-order functions, zero shuffles
+    (no explode — shingling happens inside the array domain per row)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Filter short docs BEFORE building the index sequence: Spark's
+    # sequence(1, n) with n < 1 yields a DESCENDING range, not an empty one.
+    toks = docs.select("doc_id", tokens("text").alias("tk")).filter(
+        F.size("tk") >= 3
+    )
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 2),
+        lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i, 3)),
+    )
+    fp = F.array_min(F.transform(shingles, md5_long))
+    return toks.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+_FINGERPRINT_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS tk FROM documents
+)
+SELECT doc_id,
+       list_min(list_transform(
+         list_transform(generate_series(1, len(tk) - 2),
+                        i -> array_to_string(list_slice(tk, i, i + 2), ' ')),
+         s -> {duck_md5_long('s')})) AS fingerprint
+FROM toks
+WHERE len(tk) >= 3
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_language_id": text_language_id,
+    "text_quality_score": text_quality_score,
+    "text_token_count": text_token_count,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "text_token_stats": _TOKEN_STATS_SQL,
+    "text_language_id": _langid_oracle(),
+    "text_quality_score": _QUALITY_SQL,
+    "text_token_count": _TOKEN_COUNT_SQL,
+    "text_fingerprint": _FINGERPRINT_SQL,
+}
