@@ -17,12 +17,24 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from datafusion_impl_spark.operators import dedup as _dedup
+from datafusion_impl_spark.operators import multimodal as _multimodal
+from datafusion_impl_spark.operators import similarity as _similarity
+from datafusion_impl_spark.operators import structured as _structured
 from datafusion_impl_spark.operators import text as _text
 from datafusion_impl_spark.plans import analytics as _analytics
 from datafusion_impl_spark.plans import regexp as _regexp
 from datafusion_impl_spark.plans import tpch as _tpch
 
-_MODULES = [_tpch, _regexp, _analytics, _text, _dedup]
+_MODULES = [
+    _tpch,
+    _regexp,
+    _analytics,
+    _text,
+    _dedup,
+    _similarity,
+    _structured,
+    _multimodal,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

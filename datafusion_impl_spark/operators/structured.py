@@ -1,0 +1,105 @@
+"""Structured-column operators: typed JSON / struct handling of
+``events.props``.
+
+The reference's tests only ever string-hack ``props`` with regexp
+(mirrored in ``plans/regexp.py``); a real pipeline parses it ONCE into a
+typed struct and lets Catalyst prune/push the rest — that is what these
+operators do (``from_json`` is a JVM expression inside whole-stage codegen;
+no Python anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_impl_spark.sources.registry import load_table
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+def events_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse ``props`` into a typed struct and aggregate the extracted field:
+    per event_type — count, sum/avg of k, nulls. One scan + one shuffle."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PROPS_STRUCT_SQL = """
+WITH parsed AS (
+  SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       ROUND(AVG(k), 4) AS avg_k,
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
+FROM parsed
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def events_daily_k_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct + array composition: parse k, bucket it (k div 20), and build a
+    per-event_type histogram as a sorted array of (bucket, n) structs —
+    exercising from_json → groupBy → collect_list(struct) → sort_array, the
+    typed-aggregation shape a feature store needs. Emitted flat (one row per
+    bucket) so the oracle can value-check it."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    k = F.from_json("props", "k INT").getField("k")
+    hist = (
+        ev.select("event_type", F.floor(k / 20).cast("int").alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rolled = hist.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "n"))).alias("hist")
+    )
+    return rolled.select(
+        "event_type", F.explode("hist").alias("h")
+    ).select(
+        "event_type",
+        F.col("h.bucket").alias("bucket"),
+        F.col("h.n").alias("n"),
+    ).orderBy("event_type", "bucket")
+
+
+_DAILY_HIST_SQL = """
+WITH parsed AS (
+  SELECT event_type,
+         CAST(FLOOR(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) / 20.0) AS INTEGER) AS bucket
+  FROM events
+)
+SELECT event_type, bucket, COUNT(*) AS n
+FROM parsed
+WHERE bucket IS NOT NULL
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
+QUERIES = {
+    "events_props_struct": events_props_struct,
+    "events_daily_k_histogram": events_daily_k_histogram,
+}
+
+ORACLES = {
+    "events_props_struct": _PROPS_STRUCT_SQL,
+    "events_daily_k_histogram": _DAILY_HIST_SQL,
+}

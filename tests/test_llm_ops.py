@@ -1,0 +1,162 @@
+"""Semantic tests for the LLM-pipeline operators (engine-vs-oracle parity is
+covered by test_oracle_parity; these assert the operators *mean* what they
+claim: planted duplicates are found, sketches are portable, multimodal
+plumbing honors its contract)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_impl_spark.operators import duck_md5_long, md5_long
+from datafusion_impl_spark.operators import dedup, multimodal
+from tests.conftest import SF_DIR
+
+
+# --- portable hash ---------------------------------------------------------
+
+def test_md5_long_matches_duckdb_fragment(spark, duck):
+    words = ["", "a", "spark", "äöü", "0_0_1", "hash table row"]
+    df = spark.createDataFrame([(w,) for w in words], schema="s string")
+    got = {r.s: r.h for r in df.select("s", md5_long(F.col("s")).alias("h")).collect()}
+    for w in words:
+        expected = duck.execute(f"SELECT {duck_md5_long('?')}", [w]).fetchone()[0]
+        assert got[w] == expected, w
+        # and both equal a pure-python reference
+        assert got[w] == int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+
+
+# --- dedup finds the planted duplicates ------------------------------------
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    docs = [r.doc_id for r in
+            spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id").collect()]
+    exact = {d for d in docs if d % 10 == 0}
+    near = {d for d in docs if d % 7 == 0}
+    return exact, near
+
+
+def test_exact_dedup_removes_exactly_the_planted_copies(spark, planted):
+    exact, _ = planted
+    out = dedup.dedup_documents_exact(spark, SF_DIR).collect()
+    assert sum(r.n_removed for r in out) == len(exact)
+    for r in out:
+        assert r.n_docs == r.n_unique + r.n_removed
+
+
+def test_minhash_finds_exact_and_near_copies(spark, planted):
+    exact, near = planted
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in dedup.dedup_documents_minhash(spark, SF_DIR).collect()}
+    # every exact copy pair must be found with Jaccard exactly 1
+    for d in exact:
+        assert pairs.get((d, d + 100000)) == 1.0
+    # most near copies (leading word dropped) must be found with high Jaccard
+    found_near = [d for d in near if (d, d + 200000) in pairs]
+    assert len(found_near) >= 0.8 * len(near)
+    for d in found_near:
+        assert pairs[(d, d + 200000)] >= 0.5
+
+
+def test_simhash_exact_copies_at_hamming_zero(spark, planted):
+    exact, _ = planted
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in dedup.dedup_documents_simhash(spark, SF_DIR).collect()}
+    for d in exact:
+        assert pairs.get((d, d + 100000)) == 0
+
+
+# --- similarity: brute-force agrees with numpy ------------------------------
+
+def test_ann_topk_matches_numpy(spark):
+    import numpy as np
+
+    from datafusion_impl_spark.operators.similarity import ann_cosine_topk
+
+    rows = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+
+    got = ann_cosine_topk(spark, SF_DIR).collect()
+    by_query: dict[int, list] = {}
+    for r in got:
+        by_query.setdefault(r.q_id, []).append(r)
+    assert by_query, "no query vectors at this SF"
+    for q_id, neighbors in by_query.items():
+        qi = int(np.where(ids == q_id)[0][0])
+        sims = Vn @ Vn[qi]
+        sims[qi] = -2
+        best = ids[int(np.argmax(sims))]
+        top1 = min(neighbors, key=lambda r: r.rank)
+        assert top1.neighbor_id == best
+        assert abs(top1.cos_sim - sims.max()) < 1e-4
+
+
+# --- multimodal plumbing ----------------------------------------------------
+
+def test_media_table_schema(spark):
+    media = multimodal.media_table(spark, SF_DIR)
+    assert dict(media.dtypes)["media"] == "binary"
+    assert dict(media.dtypes)["meta"].startswith("struct<")
+
+
+def test_extract_media_features_contract(spark):
+    media = multimodal.media_table(spark, SF_DIR)
+    feats = multimodal.extract_media_features(media)
+    row = feats.orderBy("doc_id").first()
+    src = media.orderBy("doc_id").first()
+    payload = bytes(src.media)
+    assert row.n_bytes == len(payload)
+    assert row.checksum == hashlib.md5(payload).hexdigest()
+    assert row.width == len(payload) % 640
+    assert row.height == len(payload) * 7 % 480
+
+
+def test_byte_features_batch_shape():
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "source": ["s", "s"],
+            "kind": ["text", "text"],
+            "media": [b"abc", b"defg"],
+        }
+    )
+    out = multimodal._byte_features(pdf)
+    assert list(out.columns) == [
+        "doc_id", "source", "kind", "n_bytes", "checksum", "width", "height",
+    ]
+    assert out.n_bytes.tolist() == [3, 4]
+    assert out.checksum[0] == hashlib.md5(b"abc").hexdigest()
+
+
+def test_decode_image_is_stubbed():
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("pillow unexpectedly present")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+# --- approx aggregates: sketch within tolerance of exact --------------------
+
+def test_approx_count_distinct_within_5pct(spark, duck):
+    from datafusion_impl_spark.plans.analytics import approx_distinct_parts
+    from tests.conftest import SF_DIR_ORACLE
+
+    got = {r.l_returnflag: r.approx_parts
+           for r in approx_distinct_parts(spark, SF_DIR_ORACLE).collect()}
+    exact = dict(
+        duck.execute(
+            "SELECT l_returnflag, COUNT(DISTINCT l_partkey) FROM lineitem GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(got) == set(exact)
+    for flag, approx in got.items():
+        assert abs(approx - exact[flag]) <= 0.05 * exact[flag], flag

@@ -1,0 +1,76 @@
+"""Source/sink surface tests closing the reference's own e2e shape
+(SURVEY.md §2.2): CSV scan feeding the regexp UDF against the golden fixture
+(/root/reference/tests/regexp-tests.rs:5-27 + tests/test-data.csv — asserting
+extracted == expected, which the reference only show()s), plus the show() /
+toPandas() sinks, plus parquet/json round-trips."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_impl_spark.functions.regexp import SAFE_UDF_NAME, register_regexp
+from datafusion_impl_spark.sources.registry import read_csv, values_table
+
+_REF_CSV = "/root/reference/tests/test-data.csv"
+#: The fixture pairs each text with its expected extraction for the pattern
+#: the reference uses throughout (tests/regexp-tests.rs:21).
+_REF_PATTERN = r"(\d+)-(\d+)"
+
+
+@pytest.mark.skipif(not os.path.exists(_REF_CSV), reason="reference fixture absent")
+def test_csv_scan_golden_end_to_end(spark):
+    """CSV scan (schema inference) → builtin fast path + parity UDF →
+    golden comparison. Null expected cells = empty extraction (the fixture
+    leaves the expected column blank for no-match rows)."""
+    register_regexp(spark)
+    df = read_csv(spark, _REF_CSV)
+    assert set(df.columns) == {"text", "expected"}
+    sql_pat = _REF_PATTERN.replace("\\", "\\\\")
+    # Spark's CSV reader yields null for empty cells (and infers the
+    # all-numeric expected column as BIGINT); the fixture means the empty
+    # string (row 5 is ``,``), so cast+coalesce both columns before use.
+    txt = F.coalesce("text", F.lit(""))
+    got = df.select(
+        "text",
+        F.coalesce(F.col("expected").cast("string"), F.lit("")).alias("expected"),
+        F.regexp_extract(txt, _REF_PATTERN, 1).alias("fast"),
+        F.expr(f"{SAFE_UDF_NAME}(coalesce(text, ''), '{sql_pat}', 1)").alias("safe"),
+    ).collect()
+    assert len(got) == 8
+    for row in got:
+        assert row.fast == row.expected, row
+        assert row.safe == row.expected, row
+
+
+def test_show_sink(spark, capsys):
+    """show() pretty-print sink (readme.md:55, regexp-tests.rs:25)."""
+    values_table(spark, [(1, "a"), (2, "b")], ["id", "name"]).show()
+    out = capsys.readouterr().out
+    assert "id" in out and "name" in out and "+---" in out
+
+
+def test_topandas_sink(spark):
+    pdf = values_table(spark, [(1, "a"), (2, "b")], ["id", "name"]).toPandas()
+    assert list(pdf.columns) == ["id", "name"]
+    assert len(pdf) == 2
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "roundtrip.parquet")
+    df = values_table(spark, [(i, f"v{i}") for i in range(10)], ["id", "val"])
+    df.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert sorted((r.id, r.val) for r in back.collect()) == [
+        (i, f"v{i}") for i in range(10)
+    ]
+
+
+def test_json_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "roundtrip.json")
+    df = values_table(spark, [(1, "x"), (2, "y")], ["id", "val"])
+    df.write.mode("overwrite").json(path)
+    back = spark.read.json(path)
+    assert sorted((r.id, r.val) for r in back.collect()) == [(1, "x"), (2, "y")]
