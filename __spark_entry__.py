@@ -24,6 +24,7 @@ from datafusion_impl_spark.operators import text as _text
 from datafusion_impl_spark.plans import analytics as _analytics
 from datafusion_impl_spark.plans import regexp as _regexp
 from datafusion_impl_spark.plans import tpch as _tpch
+from datafusion_impl_spark import streaming as _streaming
 
 _MODULES = [
     _tpch,
@@ -34,6 +35,7 @@ _MODULES = [
     _similarity,
     _structured,
     _multimodal,
+    _streaming,
 ]
 
 

@@ -37,9 +37,14 @@ def main() -> None:
     for name in sorted(queries):
         fn = queries[name]
         run_once(fn(spark, sf_dir))  # warm-up: codegen + caches, un-timed
-        t0 = time.perf_counter()
-        run_once(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # best-of-2: sub-second queries on a 32-thread local JVM see ±0.5 s
+        # of GC/scheduler noise; the min is the stable engine cost.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_once(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -1,0 +1,207 @@
+"""Structured Streaming over the ``events`` table (SURVEY.md §2.10 / build
+plan phase 5 — the reference has no streaming; this is the north-star
+extension for continuous ingestion at scale).
+
+Design: every streaming aggregation here is the *same declarative plan* as
+its batch twin — Spark's unified model means ``F.window`` / ``session_window``
+/ ``groupBy`` compose identically over ``readStream`` sources, with
+``withWatermark`` bounding state. Tests assert stream-vs-batch equivalence
+(a stream processed with ``availableNow`` must produce exactly the batch
+answer), which is the strongest correctness statement a local harness can
+make about a streaming operator.
+
+100 TB posture: watermarks bound state size (late data beyond the watermark
+is dropped deterministically); session windows merge per-key state with the
+gap timeout; the custom stateful operator (``running_user_counts``) uses
+``applyInPandasWithState`` with an explicit per-key state schema — constant
+memory per user, Arrow-batched, no driver involvement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "EVENTS_RAW_SCHEMA",
+    "stream_events",
+    "windowed_event_counts",
+    "sliding_value_avg",
+    "session_window_counts",
+    "running_user_counts",
+    "QUERIES",
+    "ORACLES",
+]
+
+#: Physical schema of events.parquet: ts is TIMESTAMP(NANOS), which the
+#: session factory reads as raw nanos (nanosAsLong) — the stream factory
+#: converts to a proper timestamp, exactly like sources.registry.load_table.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files, with the
+    nanos→timestamp conversion applied (same semantics as the batch loader).
+
+    ``maxFilesPerTrigger=1`` keeps micro-batches bounded regardless of how
+    many files land between triggers."""
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts per event_type with a watermark bounding state.
+    Works identically on a stream or a batch frame (tests rely on that)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sliding_value_avg(events: DataFrame, window: str = "1 hour",
+                      slide: str = "30 minutes",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window average event value — one row per (overlapping window,
+    event_type)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "avg_value",
+        )
+    )
+
+
+def session_window_counts(events: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity. Streaming state merges adjacent sessions automatically."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# --- custom stateful operator ----------------------------------------------
+
+_STATE_SCHEMA = StructType([StructField("total", LongType())])
+_RUNNING_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("total_events", LongType()),
+        StructField("batch_events", IntegerType()),
+    ]
+)
+
+
+def running_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user lifetime event count carried in explicit state across
+    micro-batches (the `applyInPandasWithState` analogue of the reference's
+    batch kernel contract — Arrow batches in, Arrow batches out, plus a
+    typed state cell)."""
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        batch = sum(len(pdf) for pdf in pdfs)
+        total = (state.get[0] if state.exists else 0) + batch
+        state.update((total,))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_events": [total], "batch_events": [batch]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- batch twin with a DuckDB oracle (driver-checkable) ---------------------
+
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch run of the session-window operator over events (identical plan
+    shape to the streaming version — Spark's unified model), oracle-checked
+    against an islands-and-gaps SQL formulation: session start = first event,
+    session end = last event + gap."""
+    from datafusion_impl_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return session_window_counts(ev, gap="30 minutes").orderBy(
+        "user_id", "session_start"
+    )
+
+
+_SESSION_WINDOW_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 30*60*1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_id
+  FROM gaps
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sess_id
+ORDER BY user_id, session_start
+"""
+
+
+QUERIES = {
+    "session_window_stats": session_window_stats,
+}
+
+ORACLES = {
+    "session_window_stats": _SESSION_WINDOW_SQL,
+}

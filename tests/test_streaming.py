@@ -1,0 +1,107 @@
+"""Structured Streaming tests: stream-vs-batch equivalence (the unified-model
+guarantee), session windows, and the custom stateful operator.
+
+Each test copies events.parquet into a tmp streaming source dir (file-source
+streams read directories), runs with trigger(availableNow=True) into a memory
+sink, and compares against the identical batch plan.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_impl_spark import streaming as stx
+from datafusion_impl_spark.sources.registry import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def _run_stream(df, name: str, mode: str = "complete"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _batch_events(spark):
+    return load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+def test_stream_source_schema(spark, events_dir):
+    st = stx.stream_events(spark, events_dir)
+    assert st.isStreaming
+    assert dict(st.dtypes)["ts"] == "timestamp"
+
+
+def test_windowed_counts_stream_equals_batch(spark, events_dir):
+    st = stx.windowed_event_counts(stx.stream_events(spark, events_dir))
+    _run_stream(st, "win_counts")
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    expected = {
+        (r.window_start, r.event_type): r.n_events
+        for r in stx.windowed_event_counts(_batch_events(spark)).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_sliding_avg_stream_equals_batch(spark, events_dir):
+    st = stx.sliding_value_avg(stx.stream_events(spark, events_dir))
+    _run_stream(st, "slide_avg")
+    got = {
+        (r.window_start, r.event_type): r.avg_value
+        for r in spark.sql("SELECT * FROM slide_avg").collect()
+    }
+    expected = {
+        (r.window_start, r.event_type): r.avg_value
+        for r in stx.sliding_value_avg(_batch_events(spark)).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_session_windows_stream_equals_batch(spark, events_dir):
+    st = stx.session_window_counts(stx.stream_events(spark, events_dir))
+    _run_stream(st, "sess_counts")
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_counts").collect()
+    }
+    expected = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in stx.session_window_counts(_batch_events(spark)).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_running_user_counts_stateful(spark, events_dir):
+    st = stx.running_user_counts(stx.stream_events(spark, events_dir))
+    _run_stream(st, "running_counts", mode="update")
+    rows = spark.sql(
+        "SELECT user_id, MAX(total_events) AS total FROM running_counts GROUP BY user_id"
+    ).collect()
+    expected = {
+        r.user_id: r.n
+        for r in _batch_events(spark).groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    got = {r.user_id: r.total for r in rows}
+    assert got == expected and len(got) > 0
