@@ -205,6 +205,13 @@ def dedup_documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
     )
+    return _exact_jaccard_verify(cand, sh)
+
+
+def _exact_jaccard_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard over (da, db) candidate pairs given the per-doc distinct
+    shingle sets; emits pairs at or above the threshold. Cost is proportional
+    to candidate volume only — the candidate generator bounds the work."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("da"), "shingle")
     sb = sh.select(F.col("doc_id").alias("db"), "shingle")
@@ -227,6 +234,71 @@ def dedup_documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+#: Shared oracle tail: exact Jaccard over a ``cand(da, db)`` CTE given ``sh``.
+_DUCK_JACCARD_TAIL = f"""
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.da, c.db, COUNT(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.da
+  JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
+  GROUP BY c.da, c.db
+)
+SELECT da AS doc_a, db AS doc_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_JACCARD_T}
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_documents_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dedup WITHOUT sketching: candidate pairs are docs
+    sharing at least one *rare* shingle (document frequency ≤ 4 — an
+    inverted-index join with a hard DF cap, so no common shingle can fan out
+    quadratically), then exact Jaccard ≥ 0.5 on candidates.
+
+    Versus MinHash: exact recall for any near-dup pair that shares a rare
+    shingle (near-identical docs always do — most of their shingles have
+    DF = 2), at the cost of a bigger candidate set; the DF cap is the knob
+    that keeps the blocked join linear at 100 TB."""
+    corpus = near_dup_corpus(spark, sf_dir)
+    sh = _shingles(corpus)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 4)
+        .select("shingle")
+    )
+    rsh = sh.join(rare, "shingle")
+    a = rsh.select(F.col("doc_id").alias("da"), "shingle")
+    b = rsh.select(F.col("doc_id").alias("db"), "shingle")
+    cand = (
+        a.join(b, ["shingle"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    return _exact_jaccard_verify(cand, sh)
+
+
+_NGRAM_SQL = rf"""
+WITH corpus AS ({_CORPUS_SQL}),
+{_DUCK_SHINGLES},
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 4
+),
+rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+{_DUCK_JACCARD_TAIL}
+"""
 
 
 _MINHASH_SQL = rf"""
@@ -253,21 +325,7 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT c.da, c.db, COUNT(*) AS i
-  FROM cand c
-  JOIN sh x ON x.doc_id = c.da
-  JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
-  GROUP BY c.da, c.db
-)
-SELECT da AS doc_a, db AS doc_b,
-       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = da
-JOIN sizes sb ON sb.doc_id = db
-WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_JACCARD_T}
-ORDER BY doc_a, doc_b
+{_DUCK_JACCARD_TAIL}
 """
 
 
@@ -396,11 +454,13 @@ ORDER BY doc_a, doc_b
 QUERIES = {
     "dedup_documents_exact": dedup_documents_exact,
     "dedup_documents_minhash": dedup_documents_minhash,
+    "dedup_documents_ngram": dedup_documents_ngram,
     "dedup_documents_simhash": dedup_documents_simhash,
 }
 
 ORACLES = {
     "dedup_documents_exact": _EXACT_SQL,
     "dedup_documents_minhash": _MINHASH_SQL,
+    "dedup_documents_ngram": _NGRAM_SQL,
     "dedup_documents_simhash": _SIMHASH_SQL,
 }

@@ -325,14 +325,58 @@ ORDER BY vec_a, vec_b
 """
 
 
+# --------------------------------------------------------------------------
+# 4. Label centroids — the vector-aggregation primitive (k-means E-step /
+#    IVF codebook training)
+# --------------------------------------------------------------------------
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean vector per label, emitted flat as
+    (label, dim, centroid): posexplode → groupBy(label, dim) → avg.
+    One shuffle keyed by (label, dim) — 640 keys here, and at 100 TB the
+    map-side partial aggregation reduces each partition to ≤ |labels|×64 rows
+    before the exchange, so shuffle volume is constant in corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    el = emb.select("label", F.posexplode("v").alias("pos", "val")).select(
+        "label", (F.col("pos") + 1).cast("long").alias("dim"), "val"
+    )
+    return (
+        el.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("val"), 6).alias("centroid"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+_CENTROIDS_SQL = """
+WITH el AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding::DOUBLE[]) AS val
+  FROM embeddings
+)
+SELECT label, dim, COUNT(*) AS n_vecs, ROUND(AVG(val), 6) AS centroid
+FROM el
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "embedding_label_centroids": embedding_label_centroids,
 }
 
 ORACLES = {
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
     "embedding_near_dup_pairs": _NEAR_DUP_SQL,
+    "embedding_label_centroids": _CENTROIDS_SQL,
 }

@@ -1,0 +1,86 @@
+"""Scale-discipline helpers (SURVEY.md §7 phase 3): the operational knobs a
+100 TB deployment needs beyond what AQE does automatically.
+
+- :func:`salted_groupby` — two-phase aggregation with an explicit salt for
+  pathologically skewed group keys (generalizing the reference design doc's
+  ``OptimizeSkewedGroupBy`` sketch, spark-groupby-analysis.md:50-57). AQE's
+  skew handling splits *join* partitions; a single hot *aggregation* key
+  still lands on one reducer — salting splits it across ``n_salts`` reducers
+  and recombines, correct for any algebraic aggregate.
+- :func:`write_partitioned` / :func:`read_pruned` — storage-partitioned
+  parquet layout: writes ``partitionBy`` directories so later reads with a
+  partition predicate scan only matching directories (partition pruning —
+  verified by plan inspection in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_groupby", "write_partitioned", "read_pruned"]
+
+#: (partial_agg, final_agg) pairs per supported algebraic aggregate:
+#: stage 1 aggregates (key, salt) groups, stage 2 recombines per key.
+_ALGEBRAIC = {
+    "sum": (F.sum, F.sum),
+    "count": (lambda c: F.count(c), F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_groupby(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe groupBy: ``aggs`` maps output column → (agg_name, input_col)
+    with agg_name in {sum, count, min, max}.
+
+    Plan shape: groupBy(keys + salt) [narrow-ish shuffle, hot key split
+    n_salts ways] → groupBy(keys) [tiny shuffle over pre-aggregated rows].
+    Equivalent to a plain groupBy for these algebraic aggregates (tested).
+    """
+    unknown = [a for a, _ in aggs.values() if a not in _ALGEBRAIC]
+    if unknown:
+        raise ValueError(f"non-algebraic aggregates not supported: {unknown}")
+    salted = df.withColumn(
+        "_salt", (F.abs(F.xxhash64(F.monotonically_increasing_id())) % n_salts)
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[
+            _ALGEBRAIC[a][0](col).alias(f"_p_{out}")
+            for out, (a, col) in aggs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            _ALGEBRAIC[a][1](f"_p_{out}").alias(out)
+            for out, (a, _) in aggs.items()
+        ]
+    )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Storage-partitioned parquet layout: one directory per partition value,
+    rows optionally sorted within files (run-length/dictionary friendly and
+    a prerequisite for min-max pruning on the sort key)."""
+    out = df
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_pruned(spark, path: str, predicate: Column | None = None) -> DataFrame:
+    """Read a partitioned layout; a predicate on a partition column becomes a
+    PartitionFilter (directory pruning), never a data scan filter."""
+    df = spark.read.parquet(path)
+    return df.filter(predicate) if predicate is not None else df

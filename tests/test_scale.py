@@ -1,0 +1,155 @@
+"""Scale-posture tests: plan audits (the plans we'd want at 100 TB, asserted,
+not eyeballed) and the skew/partitioning helpers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_impl_spark import scale
+from datafusion_impl_spark.sources.registry import load_table
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+# --- plan audits ------------------------------------------------------------
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    from datafusion_impl_spark.plans.tpch import q6_forecast_revenue
+
+    df = q6_forecast_revenue(spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate, not an empty list
+    assert "PushedFilters: []" not in plan
+
+
+def test_column_pruning_narrow_read_schema(spark):
+    """A 2-column projection must not scan all 16 lineitem columns."""
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(li)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_similarity_plans_have_no_cartesian_product(spark):
+    from datafusion_impl_spark.operators.similarity import (
+        ann_cosine_topk,
+        embedding_near_dup_pairs,
+    )
+
+    for q in (ann_cosine_topk, embedding_near_dup_pairs):
+        plan = _plan(q(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, q.__name__
+    # the brute-force scorer must be a broadcast nested-loop, not a shuffle
+    assert "BroadcastNestedLoopJoin" in _plan(ann_cosine_topk(spark, SF_DIR))
+
+
+def test_small_dims_broadcast(spark):
+    from datafusion_impl_spark.plans.tpch import q5_local_supplier_volume
+
+    plan = _plan(q5_local_supplier_volume(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    from datafusion_impl_spark.plans.analytics import topk_expensive_orders
+
+    assert "TakeOrderedAndProject" in _plan(topk_expensive_orders(spark, SF_DIR))
+
+
+def test_no_python_in_any_relational_plan(spark):
+    """No Python evaluation nodes in any query plan (the parity UDF fixture
+    and the multimodal mapInPandas operator are the two deliberate
+    exceptions — Python IS their contract)."""
+    import __spark_entry__ as m
+
+    allowed_python = {"regexp_safe_edge_cases", "multimodal_media_features"}
+    for name, fn in m.queries().items():
+        if name in allowed_python:
+            continue
+        plan = _plan(fn(spark, SF_DIR))
+        assert "Python" not in plan, f"{name} has Python in the hot path"
+
+
+def test_representative_queries_enter_codegen(spark):
+    """WholeStageCodegen spans exist in the final (post-AQE) plans — checked
+    after execution because AdaptiveSparkPlan only inserts codegen wrappers
+    once stages materialize."""
+    from datafusion_impl_spark.operators.text import text_token_stats
+    from datafusion_impl_spark.plans.tpch import q1_pricing_summary
+    from datafusion_impl_spark.plans.analytics import window_top_orders_per_customer
+
+    for q in (q1_pricing_summary, window_top_orders_per_customer, text_token_stats):
+        df = q(spark, SF_DIR)
+        df.collect()
+        final = _plan(df)
+        assert "isFinalPlan=true" in final, q.__name__
+        # codegen stages render as "*(n)" prefixes in the plan string
+        assert "*(" in final, q.__name__
+
+
+# --- salted group-by --------------------------------------------------------
+
+def test_salted_groupby_matches_plain(spark):
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "value")
+    got = {
+        r.event_type: (r.n, round(r.total, 4), r.vmin, r.vmax)
+        for r in scale.salted_groupby(
+            ev,
+            ["event_type"],
+            {
+                "n": ("count", "value"),
+                "total": ("sum", "value"),
+                "vmin": ("min", "value"),
+                "vmax": ("max", "value"),
+            },
+        ).collect()
+    }
+    expected = {
+        r.event_type: (r.n, round(r.total, 4), r.vmin, r.vmax)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+
+def test_salted_groupby_rejects_non_algebraic(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    with pytest.raises(ValueError):
+        scale.salted_groupby(ev, ["event_type"], {"a": ("avg", "value")})
+
+
+# --- partitioned layout + pruning -------------------------------------------
+
+def test_write_partitioned_prunes_on_read(spark, tmp_path):
+    path = str(tmp_path / "orders_by_status")
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    scale.write_partitioned(
+        orders, path, ["o_orderstatus"], sort_cols=["o_orderkey"]
+    )
+    pruned = scale.read_pruned(spark, path, F.col("o_orderstatus") == "F")
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters"
+    )[1].splitlines()[0]
+    # correctness: pruned read returns exactly the F-status rows
+    expected = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert pruned.count() == expected
