@@ -22,12 +22,16 @@ from datafusion_impl_spark.operators import similarity as _similarity
 from datafusion_impl_spark.operators import structured as _structured
 from datafusion_impl_spark.operators import text as _text
 from datafusion_impl_spark.plans import analytics as _analytics
+from datafusion_impl_spark.plans import joins_ext as _joins_ext
 from datafusion_impl_spark.plans import regexp as _regexp
 from datafusion_impl_spark.plans import tpch as _tpch
+from datafusion_impl_spark.plans import tpch2 as _tpch2
 from datafusion_impl_spark import streaming as _streaming
 
 _MODULES = [
     _tpch,
+    _tpch2,
+    _joins_ext,
     _regexp,
     _analytics,
     _text,

@@ -1,0 +1,192 @@
+"""Extended join operators Spark has no dedicated keyword for — as-of joins,
+range (band) joins, and full-outer composition — each expressed as a
+composition of built-in DataFrame ops chosen for the 100 TB plan shape
+(no inequality-join explosion, no cartesian products).
+
+These are the time-series workhorses (the reference has no joins at all —
+SURVEY.md §2.4; this module is north-star breadth):
+
+- as-of join: per row, the most recent matching row of another stream —
+  implemented as ONE window pass over the union (never an inequality join);
+  oracled against DuckDB's native ASOF JOIN, a fully independent
+  implementation.
+- range/band join: pairs within a time distance — implemented as an
+  equi-join on quantized time buckets (each probe touches exactly two
+  buckets) + exact residual filter; oracled against a plain inequality join.
+- full outer join: classic reconciliation of two aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_impl_spark.sources.registry import load_table
+
+__all__ = ["QUERIES", "ORACLES"]
+
+_BAND_US = 5 * 60 * 1_000_000  # 5-minute band for the range join
+
+
+def asof_join_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event matched to the same user's most recent STRICTLY
+    prior ``click`` event (null if none), plus the gap.
+
+    Scalable shape: a single window over (user_id, ts) carrying the last seen
+    click via ``last(..., ignorenulls)`` over a rows-frame ending 1 row back —
+    one shuffle on user_id, O(n) state, no inequality join. (Strictness is
+    sound because (user_id, ts) is unique in this data — asserted by the
+    oracle being DuckDB's native ASOF JOIN on ``e.ts > c.ts``.)"""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click = F.when(
+        F.col("event_type") == "click", F.struct("ts", "event_id")
+    )
+    return (
+        ev.withColumn("prior", F.last(click, ignorenulls=True).over(w))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("prior.event_id").alias("prior_click_id"),
+            (F.unix_micros("ts") - F.unix_micros(F.col("prior.ts"))).alias(
+                "gap_us"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+_ASOF_SQL = """
+SELECT e.event_id, e.user_id,
+       c.event_id AS prior_click_id,
+       epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+FROM events e ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts > c.ts
+ORDER BY e.event_id
+"""
+
+
+def range_join_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: for every event, how many OTHER events (any user)
+    happened in the preceding 5 minutes.
+
+    Scalable shape: quantize ts into 5-minute buckets; each source row is
+    replicated into its own and the following bucket, so the probe is a pure
+    equi-join on the bucket key (2× replication, no inequality-join blowup),
+    followed by the exact time-residual filter. Shuffle is keyed by bucket —
+    uniform at any scale because buckets are time-uniform."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    us = F.unix_micros("ts")
+    probe = ev.select("event_id", us.alias("t"), F.floor(us / _BAND_US).alias("b"))
+    src = (
+        ev.select(us.alias("s_t"), F.floor(us / _BAND_US).alias("sb"))
+        .select(
+            "s_t", F.explode(F.array(F.col("sb"), F.col("sb") + 1)).alias("b")
+        )
+    )
+    hits = (
+        probe.join(src, "b")
+        .filter(
+            (F.col("s_t") >= F.col("t") - _BAND_US)
+            & (F.col("s_t") < F.col("t"))
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_prior_5min"))
+    )
+    return (
+        probe.select("event_id")
+        .join(hits, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce("n_prior_5min", F.lit(0)).alias("n_prior_5min"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_RANGE_SQL = f"""
+SELECT e.event_id,
+       CAST(COALESCE(SUM(CASE WHEN s.ts IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_prior_5min
+FROM events e
+LEFT JOIN events s
+  ON epoch_us(s.ts) >= epoch_us(e.ts) - {_BAND_US}
+ AND epoch_us(s.ts) < epoch_us(e.ts)
+GROUP BY e.event_id
+ORDER BY e.event_id
+"""
+
+
+def full_outer_nation_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join reconciling two independent aggregates: customer and
+    supplier counts + balances per nation (nulls → zero on either side)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(14,4)")), 2)
+            .cast("double")
+            .alias("cust_bal"),
+        )
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum(F.col("s_acctbal").cast("decimal(14,4)")), 2)
+            .cast("double")
+            .alias("supp_bal"),
+        )
+    )
+    return (
+        cust.join(supp, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+_FULL_OUTER_SQL = """
+WITH cust AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS n_customers,
+         CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,4))), 2) AS DOUBLE) AS cust_bal
+  FROM customer GROUP BY 1
+), supp AS (
+  SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers,
+         CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(14,4))), 2) AS DOUBLE) AS supp_bal
+  FROM supplier GROUP BY 1
+)
+SELECT COALESCE(cust.nk, supp.nk) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(cust_bal, 0.0) AS cust_bal,
+       COALESCE(n_suppliers, 0) AS n_suppliers,
+       COALESCE(supp_bal, 0.0) AS supp_bal
+FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+ORDER BY nationkey
+"""
+
+
+QUERIES = {
+    "asof_join_prior_click": asof_join_prior_click,
+    "range_join_event_bursts": range_join_event_bursts,
+    "full_outer_nation_accounts": full_outer_nation_accounts,
+}
+
+ORACLES = {
+    "asof_join_prior_click": _ASOF_SQL,
+    "range_join_event_bursts": _RANGE_SQL,
+    "full_outer_nation_accounts": _FULL_OUTER_SQL,
+}
