@@ -36,6 +36,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in sorted(queries):
         fn = queries[name]
+        # level the GC playing field: without this, queries late in the
+        # alphabet inherit heap pressure from earlier heavy queries and
+        # read 2-3x slower than they do in isolation.
+        spark._jvm.System.gc()
         run_once(fn(spark, sf_dir))  # warm-up: codegen + caches, un-timed
         # best-of-2: sub-second queries on a 32-thread local JVM see ±0.5 s
         # of GC/scheduler noise; the min is the stable engine cost.
