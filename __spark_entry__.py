@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from datafusion_impl_spark.operators import dedup as _dedup
+from datafusion_impl_spark.operators import graph as _graph
 from datafusion_impl_spark.operators import multimodal as _multimodal
 from datafusion_impl_spark.operators import similarity as _similarity
 from datafusion_impl_spark.operators import structured as _structured
@@ -36,6 +37,7 @@ _MODULES = [
     _analytics,
     _text,
     _dedup,
+    _graph,
     _similarity,
     _structured,
     _multimodal,

@@ -272,8 +272,73 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# 6. Vocabulary tokenization (token → id encoding)
+# --------------------------------------------------------------------------
+
+_VOCAB_SIZE = 64
+
+
+def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven tokenizer: build a vocabulary of the top-64 tokens by
+    (frequency desc, token asc), assign contiguous ids, encode every document
+    and emit per-doc encoding stats (token/unk counts and an id checksum that
+    pins the exact id assignment).
+
+    Two-pass shape a real tokenizer-training job uses: pass 1 aggregates the
+    corpus into a tiny vocab (broadcast thereafter); pass 2 is a map-side
+    broadcast join — the corpus is never shuffled."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _VOCAB_SIZE)
+        .select("token", (F.col("rank") - 1).cast("long").alias("tok_id"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("tok_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unk"),
+            F.coalesce(F.sum("tok_id"), F.lit(0)).cast("long").alias("ids_sum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TOKENIZE_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token, CAST(rank - 1 AS BIGINT) AS tok_id FROM (
+    SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rank
+    FROM tok GROUP BY token)
+  WHERE rank <= {_VOCAB_SIZE}
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN tok_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+       CAST(COALESCE(SUM(tok_id), 0) AS BIGINT) AS ids_sum
+FROM tok LEFT JOIN vocab USING (token)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_tokenize_ids": text_tokenize_ids,
     "text_language_id": text_language_id,
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
@@ -282,6 +347,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": _TOKEN_STATS_SQL,
+    "text_tokenize_ids": _TOKENIZE_SQL,
     "text_language_id": _langid_oracle(),
     "text_quality_score": _QUALITY_SQL,
     "text_token_count": _TOKEN_COUNT_SQL,

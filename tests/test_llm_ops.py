@@ -70,6 +70,32 @@ def test_simhash_exact_copies_at_hamming_zero(spark, planted):
         assert pairs.get((d, d + 100000)) == 0
 
 
+# --- connected components ---------------------------------------------------
+
+def test_connected_components_chain_and_islands(spark):
+    from datafusion_impl_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        # one 4-chain (1-2-3-4), one pair (10-11), one triangle (20,21,22)
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        schema="doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_cluster_components_cover_minhash_pairs(spark):
+    from datafusion_impl_spark.operators.graph import dedup_cluster_components
+
+    comp = {r.doc_id: r.component
+            for r in dedup_cluster_components(spark, SF_DIR).collect()}
+    pairs = dedup.dedup_documents_minhash(spark, SF_DIR).collect()
+    assert pairs, "expected planted near-dup pairs"
+    for r in pairs:
+        assert comp[r.doc_a] == comp[r.doc_b]
+        assert comp[r.doc_a] <= min(r.doc_a, r.doc_b)
+
+
 # --- similarity: brute-force agrees with numpy ------------------------------
 
 def test_ann_topk_matches_numpy(spark):
