@@ -46,9 +46,11 @@ _MODULES = [
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the reference's IMPL operator
-    (regexp_extract) feeding its DESC capability (two-phase hash agg)."""
-    return _regexp.regexp_events_props(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001: MinHash-LSH near-dedup over
+    documents — the north-star LLM-pipeline operator (shingle → portable
+    minhash signature → banded LSH candidates → exact-Jaccard verify), fully
+    value-checked against the DuckDB oracle at sf0.01."""
+    return _dedup.dedup_documents_minhash(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
