@@ -47,3 +47,14 @@ def md5_long(col: Column) -> Column:
 def duck_md5_long(expr: str) -> str:
     """DuckDB SQL fragment computing the same 60-bit hash as :func:`md5_long`."""
     return f"CAST(('0x' || substr(md5({expr}),1,15)) AS BIGINT)"
+
+
+def materialize(df):
+    """Truncate lineage for a subtree consumed by multiple downstream
+    branches (LSH tables self-joined for candidates, shingle sets reused by
+    the verify pass, ...). Without this Catalyst re-executes the whole
+    subtree once per consumer — the MinHash plan scanned its parquet source
+    18 times. On a cluster this is ``checkpoint()`` to reliable storage; the
+    materialized frame is always the *bounded sketch* (signatures, buckets,
+    shingle sets), never the raw corpus."""
+    return df.localCheckpoint(eager=True)

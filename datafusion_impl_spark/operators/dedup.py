@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datafusion_impl_spark.operators import duck_md5_long, md5_long
+from datafusion_impl_spark.operators import duck_md5_long, materialize, md5_long
 from datafusion_impl_spark.operators.text import tokens
 from datafusion_impl_spark.sources.registry import load_table
 
@@ -156,7 +156,9 @@ def dedup_documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       band md5 key → self-join on (band, key) → exact Jaccard on candidates.
     """
     corpus = near_dup_corpus(spark, sf_dir)
-    sh = _shingles(corpus)
+    # the shingle table feeds four branches (signatures, sizes, both sides of
+    # the Jaccard verify) — materialize it once (see operators.materialize)
+    sh = materialize(_shingles(corpus))
 
     mh = (
         sh.select(
@@ -267,7 +269,7 @@ def dedup_documents_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     DF = 2), at the cost of a bigger candidate set; the DF cap is the knob
     that keeps the blocked join linear at 100 TB."""
     corpus = near_dup_corpus(spark, sf_dir)
-    sh = _shingles(corpus)
+    sh = materialize(_shingles(corpus))
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -375,6 +377,8 @@ def dedup_documents_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("simhash")
         )
     )
+    # fingerprints are self-joined below — materialize (1 row/doc)
+    fp = materialize(fp)
     bands = fp.select(
         "doc_id",
         "simhash",

@@ -282,6 +282,61 @@ ORDER BY n_name
 """
 
 
+def set_intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics — duplicates kept up to the minimum
+    multiplicity on either side): order priorities seen in both 1996 and
+    1997, one row per matched occurrence, counted per priority."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.year("o_orderdate").alias("y")
+    )
+    y96 = orders.filter(F.col("y") == 1996).select("o_orderpriority")
+    y97 = orders.filter(F.col("y") == 1997).select("o_orderpriority")
+    return (
+        y96.intersectAll(y97)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_SET_INTERSECT_ALL_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_matched
+FROM (
+  SELECT o_orderpriority FROM orders WHERE YEAR(o_orderdate) = 1996
+  INTERSECT ALL
+  SELECT o_orderpriority FROM orders WHERE YEAR(o_orderdate) = 1997)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def set_except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference): 1996 order-priority occurrences
+    surviving removal of one occurrence per 1997 match, counted."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.year("o_orderdate").alias("y")
+    )
+    y96 = orders.filter(F.col("y") == 1996).select("o_orderpriority")
+    y97 = orders.filter(F.col("y") == 1997).select("o_orderpriority")
+    return (
+        y96.exceptAll(y97)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_left"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_SET_EXCEPT_ALL_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_left
+FROM (
+  SELECT o_orderpriority FROM orders WHERE YEAR(o_orderdate) = 1996
+  EXCEPT ALL
+  SELECT o_orderpriority FROM orders WHERE YEAR(o_orderdate) = 1997)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def set_union_order_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL of two branch projections + dedup via UNION semantics."""
     orders = load_table(spark, sf_dir, "orders")
@@ -535,6 +590,8 @@ QUERIES = {
     "distinct_segments": distinct_segments,
     "set_intersect_nations": set_intersect_nations,
     "set_except_nations": set_except_nations,
+    "set_intersect_all_priorities": set_intersect_all_priorities,
+    "set_except_all_priorities": set_except_all_priorities,
     "set_union_order_sources": set_union_order_sources,
     "anti_join_customers_without_orders": anti_join_customers_without_orders,
     "topk_expensive_orders": topk_expensive_orders,
@@ -558,6 +615,8 @@ ORACLES = {
     "distinct_segments": _DISTINCT_SQL,
     "set_intersect_nations": _SET_INTERSECT_SQL,
     "set_except_nations": _SET_EXCEPT_SQL,
+    "set_intersect_all_priorities": _SET_INTERSECT_ALL_SQL,
+    "set_except_all_priorities": _SET_EXCEPT_ALL_SQL,
     "set_union_order_sources": _SET_UNION_SQL,
     "anti_join_customers_without_orders": _ANTI_JOIN_SQL,
     "topk_expensive_orders": _TOPK_SQL,
