@@ -14,6 +14,7 @@ the engine, not py4j serialization. At 100 TB a driver-side collect of a
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import time
@@ -38,7 +39,10 @@ def main() -> None:
         fn = queries[name]
         # level the GC playing field: without this, queries late in the
         # alphabet inherit heap pressure from earlier heavy queries and
-        # read 2-3x slower than they do in isolation.
+        # read 2-3x slower than they do in isolation. The Python gc first
+        # releases prior queries' DataFrames so the ContextCleaner can drop
+        # their localCheckpoint RDDs before the JVM collection.
+        gc.collect()
         spark._jvm.System.gc()
         run_once(fn(spark, sf_dir))  # warm-up: codegen + caches, un-timed
         # best-of-2: sub-second queries on a 32-thread local JVM see ±0.5 s
