@@ -567,6 +567,75 @@ GROUP BY r_name ORDER BY r_name
 """
 
 
+def scalar_array_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/struct scalar family (§2.9 'built-in when needed'): per-order
+    line-number arrays with containment/extremum/indexing ops. Arrays are
+    sorted on build so results are partition-order independent."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    return (
+        li.filter(F.col("l_orderkey") % 100 == 0)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_linenumber")).alias("lines"))
+        .select(
+            "l_orderkey",
+            "lines",
+            F.size("lines").alias("n_lines"),
+            F.array_contains("lines", 3).alias("has_line3"),
+            F.element_at("lines", 1).alias("first_line"),
+            F.element_at("lines", -1).alias("last_line"),
+            F.array_max("lines").alias("max_line"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+_SCALAR_ARRAY_SQL = """
+SELECT l_orderkey, lines,
+       CAST(len(lines) AS INTEGER) AS n_lines,
+       list_contains(lines, 3) AS has_line3,
+       lines[1] AS first_line,
+       lines[-1] AS last_line,
+       list_max(lines) AS max_line
+FROM (
+  SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS lines
+  FROM lineitem
+  WHERE l_orderkey % 100 = 0
+  GROUP BY l_orderkey)
+ORDER BY l_orderkey
+"""
+
+
+def scalar_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: stddev/variance/correlation/exact
+    median per return flag, rounded to absorb summation-order float noise
+    (partial aggregation merges in different orders across engines)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_SCALAR_STATS_SQL = """
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+       ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qp,
+       ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS median_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 # --------------------------------------------------------------------------
 # Approximate aggregates (rows-only: sketch internals differ per engine)
 # --------------------------------------------------------------------------
@@ -600,6 +669,8 @@ QUERIES = {
     "scalar_string_functions": scalar_string_functions,
     "scalar_date_functions": scalar_date_functions,
     "scalar_math_case_cast": scalar_math_case_cast,
+    "scalar_array_struct_functions": scalar_array_struct_functions,
+    "scalar_stats_aggregates": scalar_stats_aggregates,
     "string_agg_nations_per_region": string_agg_nations_per_region,
     "approx_distinct_parts": approx_distinct_parts,
 }
@@ -625,6 +696,8 @@ ORACLES = {
     "scalar_string_functions": _SCALAR_STRING_SQL,
     "scalar_date_functions": _SCALAR_DATE_SQL,
     "scalar_math_case_cast": _SCALAR_MATH_SQL,
+    "scalar_array_struct_functions": _SCALAR_ARRAY_SQL,
+    "scalar_stats_aggregates": _SCALAR_STATS_SQL,
     "string_agg_nations_per_region": _STRING_AGG_SQL,
     # approx_distinct_parts: rows-only (sketches differ across engines)
 }

@@ -68,6 +68,16 @@ def test_parquet_roundtrip(spark, tmp_path):
     ]
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "roundtrip.orc")
+    df = values_table(spark, [(i, float(i) * 1.5) for i in range(10)], ["id", "val"])
+    df.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert sorted((r.id, r.val) for r in back.collect()) == [
+        (i, i * 1.5) for i in range(10)
+    ]
+
+
 def test_json_roundtrip(spark, tmp_path):
     path = str(tmp_path / "roundtrip.json")
     df = values_table(spark, [(1, "x"), (2, "y")], ["id", "val"])

@@ -91,6 +91,27 @@ def test_session_windows_stream_equals_batch(spark, events_dir):
     assert got == expected and len(got) > 0
 
 
+def test_foreachbatch_sink_writes_parquet(spark, events_dir, tmp_path):
+    """foreachBatch: the escape hatch for arbitrary batch sinks from a
+    stream — here incrementally writing windowed aggregates to parquet."""
+    out = str(tmp_path / "agg_out")
+    st = stx.windowed_event_counts(stx.stream_events(spark, events_dir))
+
+    def write_batch(batch_df, batch_id: int):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        st.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    expected = stx.windowed_event_counts(_batch_events(spark)).count()
+    assert back.count() == expected
+
+
 def test_running_user_counts_stateful(spark, events_dir):
     st = stx.running_user_counts(stx.stream_events(spark, events_dir))
     _run_stream(st, "running_counts", mode="update")
