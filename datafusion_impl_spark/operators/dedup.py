@@ -103,6 +103,34 @@ def dedup_documents_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_documents_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized exact dedup: the kept doc per content hash (keep-first =
+    min doc_id), i.e. the actual deduplicated corpus a pipeline would write
+    out. One shuffle on the content hash; emits (survivor, group size)."""
+    corpus = near_dup_corpus(spark, sf_dir)
+    h = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    return (
+        corpus.select("doc_id", h.alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .select("survivor_id", "group_size")
+        .orderBy("survivor_id")
+    )
+
+
+_SURVIVORS_SQL = rf"""
+WITH corpus AS ({_CORPUS_SQL})
+SELECT MIN(doc_id) AS survivor_id, COUNT(*) AS group_size
+FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+      FROM corpus)
+GROUP BY h
+ORDER BY survivor_id
+"""
+
+
 _EXACT_SQL = rf"""
 WITH corpus AS ({_CORPUS_SQL}),
 hashed AS (
@@ -457,6 +485,7 @@ ORDER BY doc_a, doc_b
 
 QUERIES = {
     "dedup_documents_exact": dedup_documents_exact,
+    "dedup_documents_survivors": dedup_documents_survivors,
     "dedup_documents_minhash": dedup_documents_minhash,
     "dedup_documents_ngram": dedup_documents_ngram,
     "dedup_documents_simhash": dedup_documents_simhash,
@@ -464,6 +493,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_documents_exact": _EXACT_SQL,
+    "dedup_documents_survivors": _SURVIVORS_SQL,
     "dedup_documents_minhash": _MINHASH_SQL,
     "dedup_documents_ngram": _NGRAM_SQL,
     "dedup_documents_simhash": _SIMHASH_SQL,

@@ -567,6 +567,46 @@ GROUP BY r_name ORDER BY r_name
 """
 
 
+def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salted two-phase aggregation (scale.salted_groupby) on the
+    driver-checked surface: per event_type count/sum/min/max of value.
+    The oracle is a plain GROUP BY — salting must be semantically invisible."""
+    from datafusion_impl_spark.scale import salted_groupby
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    out = salted_groupby(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", "value"),
+            "sum_value": ("sum", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        n_salts=16,
+    )
+    # sum of doubles depends on combine order → round like the stats family
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("event_type")
+
+
+_SALTED_STATS_SQL = """
+SELECT event_type,
+       COUNT(value) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def scalar_array_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/struct scalar family (§2.9 'built-in when needed'): per-order
     line-number arrays with containment/extremum/indexing ops. Arrays are
@@ -671,6 +711,7 @@ QUERIES = {
     "scalar_math_case_cast": scalar_math_case_cast,
     "scalar_array_struct_functions": scalar_array_struct_functions,
     "scalar_stats_aggregates": scalar_stats_aggregates,
+    "salted_event_type_stats": salted_event_type_stats,
     "string_agg_nations_per_region": string_agg_nations_per_region,
     "approx_distinct_parts": approx_distinct_parts,
 }
@@ -698,6 +739,7 @@ ORACLES = {
     "scalar_math_case_cast": _SCALAR_MATH_SQL,
     "scalar_array_struct_functions": _SCALAR_ARRAY_SQL,
     "scalar_stats_aggregates": _SCALAR_STATS_SQL,
+    "salted_event_type_stats": _SALTED_STATS_SQL,
     "string_agg_nations_per_region": _STRING_AGG_SQL,
     # approx_distinct_parts: rows-only (sketches differ across engines)
 }

@@ -107,14 +107,44 @@ def regexp_safe_edge_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def regexp_extract_all_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all (the multi-match sibling of the reference's
+    operator): all digit runs in props as an array, aggregated per
+    event_type by total matches and distinct match values."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    nums = F.regexp_extract_all("props", F.lit(r"(\d+)"), 1)
+    return (
+        ev.select("event_type", nums.alias("nums"))
+        .select("event_type", F.size("nums").alias("n"), F.explode("nums").alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.countDistinct("m").alias("n_distinct_values"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EXTRACT_ALL_SQL = r"""
+SELECT event_type, COUNT(*) AS n_matches,
+       COUNT(DISTINCT m) AS n_distinct_values
+FROM (SELECT event_type, unnest(regexp_extract_all(props, '(\d+)', 1)) AS m
+      FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "regexp_events_props": regexp_events_props,
+    "regexp_extract_all_props": regexp_extract_all_props,
     "regexp_docs_first_word": regexp_docs_first_word,
     "regexp_safe_edge_cases": regexp_safe_edge_cases,
 }
 
 ORACLES = {
     "regexp_events_props": _EVENTS_PROPS_SQL,
+    "regexp_extract_all_props": _EXTRACT_ALL_SQL,
     "regexp_docs_first_word": _DOCS_FIRST_WORD_SQL,
     # regexp_safe_edge_cases: intentionally no oracle (see docstring)
 }
