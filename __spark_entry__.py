@@ -27,11 +27,13 @@ from datafusion_impl_spark.plans import joins_ext as _joins_ext
 from datafusion_impl_spark.plans import regexp as _regexp
 from datafusion_impl_spark.plans import tpch as _tpch
 from datafusion_impl_spark.plans import tpch2 as _tpch2
+from datafusion_impl_spark.plans import tpch3 as _tpch3
 from datafusion_impl_spark import streaming as _streaming
 
 _MODULES = [
     _tpch,
     _tpch2,
+    _tpch3,
     _joins_ext,
     _regexp,
     _analytics,

@@ -144,6 +144,89 @@ FROM sess GROUP BY user_id ORDER BY user_id
 """
 
 
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family (dense_rank / percent_rank /
+    cume_dist / ntile / first_value / nth_value) over one partitioned
+    window — top-5 orders per priority class. The ordering key
+    (o_totalprice DESC, o_orderkey) is unique, so RANGE and ROWS default
+    frames agree across engines. One shuffle on o_orderpriority."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.dense_rank().over(w).alias("drk"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.first_value(F.col("o_orderkey")).over(w).alias("top_key"),
+            F.nth_value(F.col("o_orderkey"), 2).over(w).alias("second_key"),
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+_WINDOW_RANK_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       CAST(rn AS INTEGER) AS rn,
+       CAST(drk AS INTEGER) AS drk,
+       pct_rank, cume,
+       CAST(quartile AS INTEGER) AS quartile,
+       top_key, second_key
+FROM (
+  SELECT o_orderpriority, o_orderkey,
+         ROW_NUMBER() OVER w AS rn,
+         DENSE_RANK() OVER w AS drk,
+         ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+         ROUND(CUME_DIST() OVER w, 6) AS cume,
+         NTILE(4) OVER w AS quartile,
+         FIRST_VALUE(o_orderkey) OVER w AS top_key,
+         NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey))
+WHERE rn <= 5
+ORDER BY o_orderpriority, rn
+"""
+
+
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): each part's size and retail price as
+    (measure, value) rows — `DataFrame.unpivot`, the inverse of the pivot
+    query. Map-side only: no shuffle, scales linearly."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").alias("price"),
+        )
+    )
+    return part.unpivot(
+        ids="p_partkey", values=["size", "price"],
+        variableColumnName="measure", valueColumnName="val",
+    ).orderBy("p_partkey", "measure")
+
+
+_UNPIVOT_SQL = """
+SELECT p_partkey, measure, val
+FROM (
+  SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS val FROM part
+  UNION ALL
+  SELECT p_partkey, 'price' AS measure, p_retailprice AS val FROM part)
+WHERE p_partkey <= 200
+ORDER BY p_partkey, measure
+"""
+
+
 # --------------------------------------------------------------------------
 # Grouping sets / rollup / cube
 # --------------------------------------------------------------------------
@@ -645,6 +728,58 @@ ORDER BY l_orderkey
 """
 
 
+def higher_order_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lambda higher-order-function family (transform / filter / exists
+    / forall / aggregate) over the embeddings vectors — all JVM-side Catalyst
+    expressions, no UDF. Folds are sequential left-to-right with a 0.0 seed;
+    the oracle reproduces them bit-for-bit via list_prepend + list_reduce
+    (ROUND 6 guards the last bit). Map-side only — no shuffle."""
+    v = F.col("v")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 7 == 0)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.exists(v, lambda x: x > 2.0).alias("any_big"),
+        F.forall(v, lambda x: F.abs(x) < 3.0).alias("all_small"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x), 6
+        ).alias("sum_sq"),
+        F.round(
+            F.aggregate(
+                F.transform(v, lambda x: F.when(x > 0, x).otherwise(F.lit(0.0))),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("pos_sum"),
+    ).orderBy("vec_id")
+
+
+_HIGHER_ORDER_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 7 = 0)
+SELECT vec_id,
+       CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos,
+       len(list_filter(v, x -> x > 2.0)) > 0 AS any_big,
+       len(list_filter(v, x -> NOT (abs(x) < 3.0))) = 0 AS all_small,
+       ROUND(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                         (a, x) -> a + x), 6) AS sum_sq,
+       ROUND(list_reduce(list_prepend(0.0, list_transform(v,
+                           x -> CASE WHEN x > 0 THEN x ELSE 0.0 END)),
+                         (a, x) -> a + x), 6) AS pos_sum
+FROM e
+ORDER BY vec_id
+"""
+
+
 def scalar_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate family: stddev/variance/correlation/exact
     median per return flag, rounded to absorb summation-order float noise
@@ -692,6 +827,9 @@ QUERIES = {
     "window_top_orders_per_customer": window_top_orders_per_customer,
     "window_running_revenue": window_running_revenue,
     "window_event_gaps": window_event_gaps,
+    "window_rank_family": window_rank_family,
+    "unpivot_part_measures": unpivot_part_measures,
+    "higher_order_array_ops": higher_order_array_ops,
     "sessionize_events": sessionize_events,
     "rollup_order_stats": rollup_order_stats,
     "cube_lineitem_flags": cube_lineitem_flags,
@@ -720,6 +858,9 @@ ORACLES = {
     "window_top_orders_per_customer": _WINDOW_TOP_SQL,
     "window_running_revenue": _WINDOW_RUNNING_SQL,
     "window_event_gaps": _WINDOW_GAPS_SQL,
+    "window_rank_family": _WINDOW_RANK_SQL,
+    "unpivot_part_measures": _UNPIVOT_SQL,
+    "higher_order_array_ops": _HIGHER_ORDER_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
     "rollup_order_stats": _ROLLUP_SQL,
     "cube_lineitem_flags": _CUBE_SQL,
