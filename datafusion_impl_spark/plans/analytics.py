@@ -690,6 +690,35 @@ ORDER BY event_type
 """
 
 
+def salted_join_event_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe salted equi-join (scale.salted_join) on the checked
+    surface: events joined to customer on user_id, aggregated per market
+    segment. The oracle is the PLAIN join — salting must be semantically
+    invisible."""
+    from datafusion_impl_spark.scale import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(ev, cust, "user_id", "c_custkey", n_salts=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(_dec("value")), 2).cast("double").alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_SALTED_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 def scalar_array_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/struct scalar family (§2.9 'built-in when needed'): per-order
     line-number arrays with containment/extremum/indexing ops. Arrays are
@@ -725,6 +754,43 @@ FROM (
   WHERE l_orderkey % 100 = 0
   GROUP BY l_orderkey)
 ORDER BY l_orderkey
+"""
+
+
+def grouped_zscore_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas transform (§2.11 UDAF/grouped surface):
+    per-language z-score of document length via ``applyInPandas`` — the
+    Arrow-batched grouped-map path (one shuffle on lang, each group hits
+    the Python worker once as a whole Arrow batch, never row-at-a-time).
+    The z-scores are ROUND(…, 6)ed so the float64 summation-order delta
+    between pandas (pairwise) and the oracle (sequential) cannot surface."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def _z(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        s = pdf["n_chars"].std(ddof=0)
+        if s > 0:
+            z = (pdf["n_chars"] - pdf["n_chars"].mean()) / s
+        else:
+            z = pdf["n_chars"] * 0.0
+        return pdf.assign(z=z.round(6))
+
+    return (
+        docs.groupBy("lang")
+        .applyInPandas(_z, "doc_id long, lang string, n_chars long, z double")
+        .orderBy("doc_id")
+    )
+
+
+_GROUPED_ZSCORE_SQL = """
+SELECT doc_id, lang, n_chars,
+       ROUND(CASE WHEN stddev_pop(n_chars) OVER (PARTITION BY lang) > 0
+                  THEN (n_chars - AVG(n_chars) OVER (PARTITION BY lang))
+                       / stddev_pop(n_chars) OVER (PARTITION BY lang)
+                  ELSE 0.0 END, 6) AS z
+FROM documents
+ORDER BY doc_id
 """
 
 
@@ -830,6 +896,7 @@ QUERIES = {
     "window_rank_family": window_rank_family,
     "unpivot_part_measures": unpivot_part_measures,
     "higher_order_array_ops": higher_order_array_ops,
+    "grouped_zscore_doclen": grouped_zscore_doclen,
     "sessionize_events": sessionize_events,
     "rollup_order_stats": rollup_order_stats,
     "cube_lineitem_flags": cube_lineitem_flags,
@@ -850,6 +917,7 @@ QUERIES = {
     "scalar_array_struct_functions": scalar_array_struct_functions,
     "scalar_stats_aggregates": scalar_stats_aggregates,
     "salted_event_type_stats": salted_event_type_stats,
+    "salted_join_event_segments": salted_join_event_segments,
     "string_agg_nations_per_region": string_agg_nations_per_region,
     "approx_distinct_parts": approx_distinct_parts,
 }
@@ -861,6 +929,7 @@ ORACLES = {
     "window_rank_family": _WINDOW_RANK_SQL,
     "unpivot_part_measures": _UNPIVOT_SQL,
     "higher_order_array_ops": _HIGHER_ORDER_SQL,
+    "grouped_zscore_doclen": _GROUPED_ZSCORE_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
     "rollup_order_stats": _ROLLUP_SQL,
     "cube_lineitem_flags": _CUBE_SQL,
@@ -881,6 +950,7 @@ ORACLES = {
     "scalar_array_struct_functions": _SCALAR_ARRAY_SQL,
     "scalar_stats_aggregates": _SCALAR_STATS_SQL,
     "salted_event_type_stats": _SALTED_STATS_SQL,
+    "salted_join_event_segments": _SALTED_JOIN_SQL,
     "string_agg_nations_per_region": _STRING_AGG_SQL,
     # approx_distinct_parts: rows-only (sketches differ across engines)
 }

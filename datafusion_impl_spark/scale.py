@@ -11,6 +11,15 @@
   parquet layout: writes ``partitionBy`` directories so later reads with a
   partition predicate scan only matching directories (partition pruning —
   verified by plan inspection in tests).
+- :func:`write_bucketed` — hash-bucketed + sorted table layout: two tables
+  bucketed the same way on the join key sort-merge-join WITHOUT a shuffle
+  (verified by plan inspection in tests). This is the co-located-join
+  discipline for 100 TB fact-fact joins where neither side broadcasts.
+- :func:`salted_join` — skew-safe equi-join: the skewed (fact) side gets a
+  random salt, the compact side is replicated ``n_salts`` ways, and the join
+  key becomes (key, salt) — a hot key spreads over ``n_salts`` reducers.
+  Complements AQE's skew-join (which only splits oversized partitions it can
+  detect at shuffle-materialization time).
 """
 
 from __future__ import annotations
@@ -18,7 +27,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_groupby", "write_partitioned", "read_pruned"]
+__all__ = [
+    "salted_groupby",
+    "salted_join",
+    "write_partitioned",
+    "read_pruned",
+    "write_bucketed",
+]
 
 #: (partial_agg, final_agg) pairs per supported algebraic aggregate:
 #: stage 1 aggregates (key, salt) groups, stage 2 recombines per key.
@@ -60,6 +75,54 @@ def salted_groupby(
             _ALGEBRAIC[a][1](f"_p_{out}").alias(out)
             for out, (a, _) in aggs.items()
         ]
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe inner equi-join: semantically identical to
+    ``fact.join(dim, fact[fact_key] == dim[dim_key])`` (tested), but a hot
+    fact key is spread across ``n_salts`` reducers. The dim side is
+    replicated n_salts× via an explode — acceptable when |dim| ≪ |fact|,
+    which is the only regime where key skew on the fact side dominates."""
+    salted_fact = fact.withColumn(
+        "_salt",
+        (F.abs(F.xxhash64(F.monotonically_increasing_id())) % n_salts).cast("int"),
+    )
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_fact.join(
+        replicated_dim,
+        (salted_fact[fact_key] == replicated_dim[dim_key])
+        & (salted_fact["_salt"] == replicated_dim["_salt"]),
+    )
+    return out.drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed, per-bucket-sorted parquet table (metastore-backed):
+    join two tables bucketed identically on the join key and Spark plans a
+    sort-merge join with NO Exchange on either side — the 100 TB co-located
+    fact-fact join layout. (``bucketBy`` requires ``saveAsTable``; plain
+    ``.parquet(path)`` writes cannot record bucketing metadata.)"""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table)
     )
 
 

@@ -73,12 +73,17 @@ def test_no_python_in_any_relational_plan(spark):
     exceptions — Python IS their contract)."""
     import __spark_entry__ as m
 
-    allowed_python = {"regexp_safe_edge_cases", "multimodal_media_features"}
+    allowed_python = {
+        "regexp_safe_edge_cases",
+        "multimodal_media_features",
+        "grouped_zscore_doclen",
+    }
     for name, fn in m.queries().items():
         if name in allowed_python:
             continue
         plan = _plan(fn(spark, SF_DIR))
         assert "Python" not in plan, f"{name} has Python in the hot path"
+        assert "InPandas" not in plan, f"{name} has a Pandas node in the hot path"
 
 
 def test_representative_queries_enter_codegen(spark):
@@ -133,6 +138,51 @@ def test_salted_groupby_rejects_non_algebraic(spark):
     ev = load_table(spark, SF_DIR, "events")
     with pytest.raises(ValueError):
         scale.salted_groupby(ev, ["event_type"], {"a": ("avg", "value")})
+
+
+# --- salted join ------------------------------------------------------------
+
+def test_salted_join_matches_plain(spark):
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "event_type", "value")
+    cust = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    got = sorted(
+        (r.user_id, r.event_type, r.value, r.c_mktsegment)
+        for r in scale.salted_join(ev, cust, "user_id", "c_custkey")
+        .select("user_id", "event_type", "value", "c_mktsegment")
+        .collect()
+    )
+    expected = sorted(
+        (r.user_id, r.event_type, r.value, r.c_mktsegment)
+        for r in ev.join(cust, ev.user_id == cust.c_custkey)
+        .select("user_id", "event_type", "value", "c_mktsegment")
+        .collect()
+    )
+    assert got == expected and len(got) > 0
+
+
+# --- bucketed co-located join ------------------------------------------------
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed identically on the join key must sort-merge-join
+    with no Exchange on either side — the co-located fact-fact join layout."""
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    scale.write_bucketed(orders, "bt_orders", ["o_orderkey"], n_buckets=8)
+    scale.write_bucketed(li, "bt_lineitem", ["l_orderkey"], n_buckets=8)
+    try:
+        bo = spark.table("bt_orders").hint("merge")
+        bl = spark.table("bt_lineitem").hint("merge")
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # correctness: same row count as the unbucketed join
+        assert joined.count() == li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_lineitem")
 
 
 # --- partitioned layout + pruning -------------------------------------------
