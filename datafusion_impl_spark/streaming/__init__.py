@@ -34,6 +34,8 @@ from pyspark.sql.types import (
 __all__ = [
     "EVENTS_RAW_SCHEMA",
     "stream_events",
+    "dedup_event_ids",
+    "stream_static_segment_counts",
     "windowed_event_counts",
     "sliding_value_avg",
     "session_window_counts",
@@ -119,6 +121,34 @@ def session_window_counts(events: DataFrame, gap: str = "30 minutes",
             F.col("w.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+def dedup_event_ids(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming ingestion dedup: drop re-delivered events by event_id across
+    micro-batches (exactly-once semantics over an at-least-once source).
+
+    State note for 100 TB: the watermark + event-time column in the key let
+    Spark expire dedup state once an id can no longer recur inside the
+    watermark horizon; without ``ts`` in the subset the state would grow
+    forever. Batch twin: ``dropDuplicates`` over the same columns."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.select("event_id", "ts").dropDuplicates(["event_id"])
+
+
+def stream_static_segment_counts(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    customer dimension (broadcast per micro-batch — no stream state for the
+    join itself), aggregated per market segment."""
+    joined = events.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        events.user_id == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(12,4)")), 2)
+        .cast("double")
+        .alias("sum_value"),
     )
 
 

@@ -43,6 +43,40 @@ def _batch_events(spark):
     )
 
 
+@pytest.fixture(scope="module")
+def dup_events_dir(tmp_path_factory):
+    """Source dir with the SAME file twice — an at-least-once delivery
+    simulation; with maxFilesPerTrigger=1 the duplicates arrive in a LATER
+    micro-batch, so dedup state must survive across batches."""
+    d = tmp_path_factory.mktemp("events_stream_dup")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-000.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-001.parquet")
+    return str(d)
+
+
+def test_stream_dedup_across_microbatches(spark, dup_events_dir):
+    st = stx.dedup_event_ids(stx.stream_events(spark, dup_events_dir))
+    _run_stream(st, "dedup_ids", mode="append")
+    got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_ids").first()
+    expected = _batch_events(spark).select("event_id").distinct().count()
+    assert got.n == expected == got.d
+
+
+def test_stream_static_join_equals_batch(spark, events_dir):
+    cust = load_table(spark, SF_DIR, "customer")
+    st = stx.stream_static_segment_counts(stx.stream_events(spark, events_dir), cust)
+    _run_stream(st, "seg_counts")
+    got = {
+        (r.c_mktsegment): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM seg_counts").collect()
+    }
+    expected = {
+        (r.c_mktsegment): (r.n_events, r.sum_value)
+        for r in stx.stream_static_segment_counts(_batch_events(spark), cust).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
 def test_stream_source_schema(spark, events_dir):
     st = stx.stream_events(spark, events_dir)
     assert st.isStreaming
