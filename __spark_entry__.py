@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from datafusion_impl_spark.operators import dedup as _dedup
 from datafusion_impl_spark.operators import graph as _graph
 from datafusion_impl_spark.operators import multimodal as _multimodal
+from datafusion_impl_spark.operators import sampling as _sampling
 from datafusion_impl_spark.operators import similarity as _similarity
 from datafusion_impl_spark.operators import structured as _structured
 from datafusion_impl_spark.operators import text as _text
@@ -43,6 +44,7 @@ _MODULES = [
     _similarity,
     _structured,
     _multimodal,
+    _sampling,
     _streaming,
 ]
 

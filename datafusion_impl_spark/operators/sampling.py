@@ -1,0 +1,201 @@
+"""Deterministic corpus sampling, split assignment, and sequence packing —
+the reproducibility layer of a training-data pipeline.
+
+Random sampling (``df.sample`` / ``TABLESAMPLE``) is engine- and
+partitioning-dependent: re-running it on a re-partitioned 100 TB corpus
+yields a different subset, which is unacceptable for training-data lineage.
+Every operator here gates on the portable md5-derived hash of the *stable
+document key* instead (:func:`datafusion_impl_spark.operators.md5_long`), so
+
+- the sample is a pure function of doc_id — stable under re-partitioning,
+  re-runs, engine versions, and cluster size;
+- adjusting a rate from 10% to 11% grows the sample monotonically (the kept
+  set is a prefix of the hash ring), enabling incremental re-processing;
+- the DuckDB oracle reproduces the selection bit-for-bit.
+
+All three operators are scan → project → filter/window shapes: no Python,
+full pushdown, and the only shuffles are the final aggregates (and the
+per-source window sort in :func:`pack_documents_by_token_budget`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_impl_spark.operators import duck_md5_long, md5_long
+from datafusion_impl_spark.sources.registry import load_table
+
+__all__ = ["QUERIES", "ORACLES"]
+
+#: hash-ring resolution: bucket = md5_long(doc_id) % 1000 (per-mille rates).
+_BUCKETS = 1000
+
+#: per-language sampling rates (per-mille); languages absent here use _DEFAULT.
+_LANG_RATES = {"en": 500, "de": 250}
+_DEFAULT_RATE = 100
+
+#: split thresholds on the same hash ring: [0,900) train, [900,950) val,
+#: [950,1000) test.
+_TRAIN_END = 900
+_VAL_END = 950
+
+#: sequence-packing token budget per pack.
+_PACK_BUDGET = 2048
+
+
+def _bucket(col):
+    """Per-mille hash bucket of a document key — the portable hash ring."""
+    return md5_long(col.cast("string")) % _BUCKETS
+
+
+def _duck_bucket(expr: str) -> str:
+    return f"{duck_md5_long(f'CAST({expr} AS VARCHAR)')} % {_BUCKETS}"
+
+
+def sample_documents_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: per-language keep-rates applied by
+    hash-bucket gating (en 50%, de 25%, others 10%), reported as kept/total
+    per language. At 100 TB the filter is a pushdown-friendly projection —
+    no shuffle until the final tiny aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(r))
+            for lang, r in _LANG_RATES.items()
+        ],
+        F.lit(_DEFAULT_RATE),
+    )
+    kept = F.when(_bucket(F.col("doc_id")) < rate, 1).otherwise(0)
+    return (
+        docs.select("lang", kept.alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SAMPLE_SQL = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN {_duck_bucket('doc_id')} <
+                     CASE lang WHEN 'en' THEN {_LANG_RATES['en']}
+                               WHEN 'de' THEN {_LANG_RATES['de']}
+                               ELSE {_DEFAULT_RATE} END
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split (90/5/5) assigned from the same hash ring —
+    disjoint by construction, stable under re-runs, and (because the ring is
+    shared with sampling) a sampled doc keeps its split. Emits per
+    (lang, split) counts and the min/max bucket as an audit of ring usage."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    b = _bucket(F.col("doc_id"))
+    split = (
+        F.when(b < _TRAIN_END, "train")
+        .when(b < _VAL_END, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"), b.alias("b"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("b").alias("min_bucket"),
+            F.max("b").alias("max_bucket"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+_SPLIT_SQL = f"""
+WITH b AS (
+  SELECT lang, {_duck_bucket('doc_id')} AS b FROM documents)
+SELECT lang,
+       CASE WHEN b < {_TRAIN_END} THEN 'train'
+            WHEN b < {_VAL_END} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs, MIN(b) AS min_bucket, MAX(b) AS max_bucket
+FROM b
+GROUP BY 1, 2
+ORDER BY lang, split
+"""
+
+
+def pack_documents_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: per source, documents (in stable doc_id
+    order) are concatenated into packs of ≤ {budget} tokens — pack_id =
+    exclusive-running-token-total // budget, the streaming-concat-then-chunk
+    packing used to build fixed-length training sequences. One window sort
+    per source partition, then a tiny aggregate; a doc longer than the
+    budget occupies its own pack(s) boundary like any running total.
+
+    Emits per-pack stats (docs, tokens, fill ratio vs budget)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    tok_n = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != F.lit("")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_packs = docs.select(
+        "source",
+        "doc_id",
+        tok_n.cast("long").alias("n_tok"),
+    ).withColumn(
+        "pack_id",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / _PACK_BUDGET).cast(
+            "long"
+        ),
+    )
+    return (
+        with_packs.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.round(F.sum("n_tok") / F.lit(float(_PACK_BUDGET)), 4).alias("fill"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+_PACK_SQL = rf"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+              AS BIGINT) AS n_tok
+  FROM documents),
+p AS (
+  SELECT source, doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND 1 PRECEDING), 0)
+              // {_PACK_BUDGET} AS BIGINT) AS pack_id
+  FROM t)
+SELECT source, pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(n_tok) AS BIGINT) / {float(_PACK_BUDGET)}, 4) AS fill
+FROM p
+GROUP BY source, pack_id
+ORDER BY source, pack_id
+"""
+
+
+QUERIES = {
+    "sample_documents_stratified": sample_documents_stratified,
+    "corpus_split_assignment": corpus_split_assignment,
+    "pack_documents_by_token_budget": pack_documents_by_token_budget,
+}
+
+ORACLES = {
+    "sample_documents_stratified": _SAMPLE_SQL,
+    "corpus_split_assignment": _SPLIT_SQL,
+    "pack_documents_by_token_budget": _PACK_SQL,
+}

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from datafusion_impl_spark.operators import duck_md5_long, md5_long
 from datafusion_impl_spark.operators import dedup, multimodal
+from datafusion_impl_spark.sources.registry import load_table
 from tests.conftest import SF_DIR
 
 
@@ -186,3 +187,62 @@ def test_approx_count_distinct_within_5pct(spark, duck):
     assert set(got) == set(exact)
     for flag, approx in got.items():
         assert abs(approx - exact[flag]) <= 0.05 * exact[flag], flag
+
+
+# --- deterministic sampling / splits / packing -------------------------------
+
+def test_hash_sampling_is_partition_invariant(spark):
+    """The kept set is a pure function of doc_id — repartitioning the input
+    must not change it (the property df.sample does NOT have)."""
+    from datafusion_impl_spark.operators.sampling import _bucket, _DEFAULT_RATE
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    kept = lambda df: {
+        r.doc_id for r in df.filter(_bucket(F.col("doc_id")) < _DEFAULT_RATE).collect()
+    }
+    assert kept(docs) == kept(docs.repartition(13)) != set()
+
+
+def test_hash_sampling_rates_grow_monotonically(spark):
+    """Raising the rate only ADDS documents (hash-ring prefix property)."""
+    from datafusion_impl_spark.operators.sampling import _bucket
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    b = _bucket(F.col("doc_id"))
+    at_100 = {r.doc_id for r in docs.filter(b < 100).collect()}
+    at_250 = {r.doc_id for r in docs.filter(b < 250).collect()}
+    assert at_100 < at_250
+
+
+def test_split_assignment_is_disjoint_and_complete(spark):
+    from datafusion_impl_spark.operators.sampling import corpus_split_assignment
+    from tests.conftest import SF_DIR
+
+    rows = corpus_split_assignment(spark, SF_DIR).collect()
+    total = sum(r.n_docs for r in rows)
+    assert total == load_table(spark, SF_DIR, "documents").count()
+    # every (lang, split) bucket range stays inside its split's ring segment
+    for r in rows:
+        lo, hi = {"train": (0, 899), "val": (900, 949), "test": (950, 999)}[r.split]
+        assert lo <= r.min_bucket <= r.max_bucket <= hi, r
+
+
+def test_packing_respects_contiguity(spark):
+    """pack_id is non-decreasing in doc_id order within a source, and every
+    pack except the last has fill close to budget (contiguous chunking)."""
+    from datafusion_impl_spark.operators.sampling import pack_documents_by_token_budget
+    from tests.conftest import SF_DIR
+
+    rows = pack_documents_by_token_budget(spark, SF_DIR).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert by_source
+    for source, packs in by_source.items():
+        ids = [p.pack_id for p in packs]
+        assert ids == sorted(ids) and ids[0] == 0
+        # all but the final pack must have crossed the budget boundary
+        for p in packs[:-1]:
+            assert p.fill >= 1.0, (source, p)
