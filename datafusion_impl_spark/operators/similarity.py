@@ -45,6 +45,10 @@ _NEAR_DUP_T = 0.4
 
 
 def _norm(a: Column) -> Column:
+    """L2 norm as a sequential left-to-right fold. NOTE: unrolling this into
+    a literal 64-term add chain was tried and is ~3× SLOWER end-to-end — the
+    giant expression tree blows up janino codegen compilation; the
+    interpreted higher-order fold is the right trade at dim=64."""
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
@@ -62,7 +66,8 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Sequential left-to-right fold (matches DuckDB bit-for-bit)."""
+    """Sequential left-to-right fold (matches DuckDB bit-for-bit; see the
+    codegen note on :func:`_norm` for why this is not unrolled)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -230,7 +235,10 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``"{table}_{plane}_{dim}"`` — both engines rebuild the identical
     hyperplanes, so bucket assignments (and therefore the emitted pair set)
     are fully deterministic and oracle-checked."""
-    e = _vectors(spark, sf_dir)
+    # vectors + norms feed three consumers (bucketing, both sides of the
+    # verify join) — materialize once instead of re-scanning + re-folding
+    # the 64-element norm per consumer (see operators.materialize).
+    e = materialize(_vectors(spark, sf_dir))
     # 16 (table, plane) rows, each carrying a 64-dim hyperplane as an array —
     # built from pure expressions, broadcast everywhere, never shuffled.
     planes = (
@@ -291,12 +299,12 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .distinct()
     )
-    ea = _vectors(spark, sf_dir).select(
+    ea = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na_"),
     )
-    eb = _vectors(spark, sf_dir).select(
+    eb = e.select(
         F.col("vec_id").alias("vec_b"),
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb_"),
