@@ -131,6 +131,54 @@ ORDER BY survivor_id
 """
 
 
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: a NEW batch (the planted copies, doc_id ≥
+    100000 in :func:`near_dup_corpus`) is checked against the EXISTING corpus
+    (the original documents) by content hash — exact copies are dropped,
+    novel docs kept. This is the steady-state shape of a production dedup
+    pipeline: hash the small arriving batch, LEFT ANTI join against the
+    corpus hash index (shuffle bounded by batch size + index, never
+    all-pairs), emit per-lang arrival/keep/drop counts."""
+    corpus = near_dup_corpus(spark, sf_dir)
+    h = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    existing = corpus.filter(F.col("doc_id") < 100000).select(h.alias("h")).distinct()
+    batch = corpus.filter(F.col("doc_id") >= 100000).select("doc_id", "lang", h.alias("h"))
+    kept = batch.join(existing, "h", "left_anti")
+    arrived = batch.groupBy("lang").agg(F.count(F.lit(1)).alias("n_arrived"))
+    kept_n = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        arrived.join(kept_n, "lang", "left")
+        .select(
+            "lang",
+            "n_arrived",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_arrived") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+        )
+        .orderBy("lang")
+    )
+
+
+_INCREMENTAL_SQL = rf"""
+WITH corpus AS ({_CORPUS_SQL}),
+hashed AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+  FROM corpus),
+existing AS (SELECT DISTINCT h FROM hashed WHERE doc_id < 100000),
+batch AS (SELECT doc_id, lang, h FROM hashed WHERE doc_id >= 100000),
+kept AS (
+  SELECT lang, COUNT(*) AS n_kept
+  FROM batch WHERE h NOT IN (SELECT h FROM existing)
+  GROUP BY lang)
+SELECT b.lang, COUNT(*) AS n_arrived,
+       COALESCE(MAX(n_kept), 0) AS n_kept,
+       COUNT(*) - COALESCE(MAX(n_kept), 0) AS n_dropped
+FROM batch b LEFT JOIN kept k ON b.lang = k.lang
+GROUP BY b.lang
+ORDER BY b.lang
+"""
+
+
 _EXACT_SQL = rf"""
 WITH corpus AS ({_CORPUS_SQL}),
 hashed AS (
@@ -486,6 +534,7 @@ ORDER BY doc_a, doc_b
 QUERIES = {
     "dedup_documents_exact": dedup_documents_exact,
     "dedup_documents_survivors": dedup_documents_survivors,
+    "dedup_incremental_batch": dedup_incremental_batch,
     "dedup_documents_minhash": dedup_documents_minhash,
     "dedup_documents_ngram": dedup_documents_ngram,
     "dedup_documents_simhash": dedup_documents_simhash,
@@ -494,6 +543,7 @@ QUERIES = {
 ORACLES = {
     "dedup_documents_exact": _EXACT_SQL,
     "dedup_documents_survivors": _SURVIVORS_SQL,
+    "dedup_incremental_batch": _INCREMENTAL_SQL,
     "dedup_documents_minhash": _MINHASH_SQL,
     "dedup_documents_ngram": _NGRAM_SQL,
     "dedup_documents_simhash": _SIMHASH_SQL,

@@ -16,7 +16,7 @@ oracle-checked end-to-end as a confusion matrix against the labeled column.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_impl_spark.operators import duck_md5_long, md5_long
@@ -336,8 +336,69 @@ ORDER BY doc_id
 """
 
 
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF document keywords: term frequency per doc × smoothed inverse
+    document frequency over the WHOLE corpus, top-3 terms per sampled doc
+    (doc_id % 10 = 0 — stats still computed corpus-wide).
+
+    Shape at 100 TB: one explode → (doc, term) count shuffle, one term-keyed
+    DF aggregate (bounded by vocabulary), broadcast N, windowed top-k per
+    doc. Scores are ROUND(…, 6)ed before ranking; ties break on term."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_corpus")
+    )
+    idf = F.log((F.col("n_corpus") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+    scored = (
+        tf.filter(F.col("doc_id") % 10 == 0)
+        .join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", F.col("rn").cast("int").alias("rn"))
+        .orderBy("doc_id", "rn")
+    )
+
+
+_TFIDF_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_corpus FROM tf),
+scored AS (
+  SELECT doc_id, term, tf,
+         ROUND(tf * ln((n_corpus + 1.0) / (df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  WHERE doc_id % 10 = 0),
+ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rn
+  FROM scored)
+SELECT doc_id, term, tf, tfidf, CAST(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= 3
+ORDER BY doc_id, rn
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
     "text_tokenize_ids": text_tokenize_ids,
     "text_language_id": text_language_id,
     "text_quality_score": text_quality_score,
@@ -347,6 +408,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": _TOKEN_STATS_SQL,
+    "text_tfidf_top_terms": _TFIDF_SQL,
     "text_tokenize_ids": _TOKENIZE_SQL,
     "text_language_id": _langid_oracle(),
     "text_quality_score": _QUALITY_SQL,
