@@ -396,9 +396,50 @@ ORDER BY doc_id, rn
 """
 
 
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training curation funnel in ONE pass: per language,
+    how many docs survive each successive gate — (1) English-or-major-lang,
+    (2) length in [100, 500] chars, (3) stopword-bearing (quality proxy).
+    Conditional aggregation keeps it a single scan + one tiny shuffle; a
+    naive per-stage count would re-scan the corpus per gate."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars", "text")
+    g1 = F.col("lang").isin("en", "de", "es", "fr", "zh")
+    g2 = g1 & F.col("n_chars").between(100, 500)
+    g3 = g2 & (F.regexp_count("text", F.lit(r"\b(the|a|of|and|is)\b")) > 0)
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            flag(g1).alias("n_lang_ok"),
+            flag(g2).alias("n_len_ok"),
+            flag(g3).alias("n_final"),
+        )
+        .orderBy("lang")
+    )
+
+
+_FUNNEL_SQL = r"""
+SELECT lang, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN lang IN ('en','de','es','fr','zh')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+       CAST(SUM(CASE WHEN lang IN ('en','de','es','fr','zh')
+                      AND n_chars BETWEEN 100 AND 500
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+       CAST(SUM(CASE WHEN lang IN ('en','de','es','fr','zh')
+                      AND n_chars BETWEEN 100 AND 500
+                      AND len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_tfidf_top_terms": text_tfidf_top_terms,
+    "corpus_curation_funnel": corpus_curation_funnel,
     "text_tokenize_ids": text_tokenize_ids,
     "text_language_id": text_language_id,
     "text_quality_score": text_quality_score,
@@ -409,6 +450,7 @@ QUERIES = {
 ORACLES = {
     "text_token_stats": _TOKEN_STATS_SQL,
     "text_tfidf_top_terms": _TFIDF_SQL,
+    "corpus_curation_funnel": _FUNNEL_SQL,
     "text_tokenize_ids": _TOKENIZE_SQL,
     "text_language_id": _langid_oracle(),
     "text_quality_score": _QUALITY_SQL,
