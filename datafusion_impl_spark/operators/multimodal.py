@@ -153,10 +153,101 @@ ORDER BY source
 """
 
 
+#: frame-sampling parameters: fixed-size byte frames, every STRIDE-th kept.
+_FRAME_BYTES = 64
+_FRAME_STRIDE = 2
+
+#: Output contract of the frame sampler (1 blob → N frame rows).
+FRAMES_SCHEMA = "doc_id bigint, source string, frame_idx int, frame_len int, frame_md5 string"
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Frame sampling over binary payloads: each blob is treated as a
+    sequence of fixed 64-byte frames and every 2nd frame is emitted — the
+    video-frame-sampling plumbing shape (1 input row → N output rows through
+    ``mapInPandas``; a real deployment swaps the byte-slicer for an
+    av/ffmpeg keyframe decoder, keeping schema and batching identical).
+    Frame checksums are md5 over the uppercase hex of the slice so the
+    DuckDB oracle (no BLOB substring support) reproduces them exactly."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _frame_rows(pdf)
+
+    return media.mapInPandas(fn, FRAMES_SCHEMA)
+
+
+def _frame_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Batch kernel of :func:`sample_frames` (1 blob row → N frame rows)."""
+    rows: dict[str, list] = {
+        k: [] for k in ("doc_id", "source", "frame_idx", "frame_len", "frame_md5")
+    }
+    for doc_id, source, blob in zip(pdf["doc_id"], pdf["source"], pdf["media"]):
+        b = bytes(blob)
+        last = (len(b) - 1) // _FRAME_BYTES
+        for fi in range(0, last + 1, _FRAME_STRIDE):
+            sl = b[fi * _FRAME_BYTES:(fi + 1) * _FRAME_BYTES]
+            rows["doc_id"].append(doc_id)
+            rows["source"].append(source)
+            rows["frame_idx"].append(fi)
+            rows["frame_len"].append(len(sl))
+            rows["frame_md5"].append(
+                hashlib.md5(sl.hex().upper().encode()).hexdigest()
+            )
+    out = pd.DataFrame(rows)
+    out["frame_idx"] = out["frame_idx"].astype("int32")
+    out["frame_len"] = out["frame_len"].astype("int32")
+    return out
+
+
+def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end frame-sampling pipeline: media table → mapInPandas frame
+    explode → per-source aggregate of sampled-frame stats."""
+    frames = sample_frames(media_table(spark, sf_dir))
+    return (
+        frames.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("frame_md5").alias("n_distinct_frames"),
+            F.sum("frame_len").cast("long").alias("total_frame_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
+_FRAME_SAMPLES_SQL = f"""
+WITH f AS (
+  SELECT doc_id, source,
+         unnest(generate_series(0,
+             CAST((octet_length(encode(text)) - 1) // {_FRAME_BYTES} AS BIGINT),
+             {_FRAME_STRIDE})) AS fi,
+         hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents),
+frames AS (
+  SELECT doc_id, source,
+         md5(substr(hx, CAST(fi * {_FRAME_BYTES * 2} + 1 AS BIGINT),
+                    {_FRAME_BYTES * 2})) AS frame_md5,
+         LEAST({_FRAME_BYTES}, nb - fi * {_FRAME_BYTES}) AS frame_len
+  FROM f)
+SELECT source,
+       COUNT(*) AS n_frames,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(DISTINCT frame_md5) AS n_distinct_frames,
+       CAST(SUM(frame_len) AS BIGINT) AS total_frame_bytes
+FROM frames
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "multimodal_media_features": multimodal_media_features,
+    "multimodal_frame_samples": multimodal_frame_samples,
 }
 
 ORACLES = {
     "multimodal_media_features": _MEDIA_FEATURES_SQL,
+    "multimodal_frame_samples": _FRAME_SAMPLES_SQL,
 }

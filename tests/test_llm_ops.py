@@ -246,3 +246,21 @@ def test_packing_respects_contiguity(spark):
         # all but the final pack must have crossed the budget boundary
         for p in packs[:-1]:
             assert p.fill >= 1.0, (source, p)
+
+
+# --- multimodal frame sampling (kernel level, no Spark) ----------------------
+
+def test_frame_rows_kernel():
+    """1 blob -> N frame rows: every 2nd 64-byte frame, hex-md5 checksums."""
+    blob = bytes(range(256)) * 2  # 512 bytes -> frames 0..7, sampled 0,2,4,6
+    pdf = pd.DataFrame({"doc_id": [1], "source": ["s"], "kind": ["text"],
+                        "media": [blob], "meta": [None]})
+    out = multimodal._frame_rows(pdf)
+    assert out.frame_idx.tolist() == [0, 2, 4, 6]
+    assert out.frame_len.tolist() == [64, 64, 64, 64]
+    sl = blob[2 * 64:3 * 64]
+    assert out.frame_md5[1] == hashlib.md5(sl.hex().upper().encode()).hexdigest()
+    # short tail frame: 300 bytes -> frames 0..4, sampled 0,2,4 (4 is 44 bytes)
+    out2 = multimodal._frame_rows(pdf.assign(media=[blob[:300]]))
+    assert out2.frame_idx.tolist() == [0, 2, 4]
+    assert out2.frame_len.tolist() == [64, 64, 44]

@@ -76,6 +76,7 @@ def test_no_python_in_any_relational_plan(spark):
     allowed_python = {
         "regexp_safe_edge_cases",
         "multimodal_media_features",
+        "multimodal_frame_samples",
         "grouped_zscore_doclen",
     }
     for name, fn in m.queries().items():
