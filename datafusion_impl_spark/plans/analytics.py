@@ -757,6 +757,94 @@ ORDER BY l_orderkey
 """
 
 
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification (gap filling): a generated day spine × the
+    event-type dimension LEFT JOINed against daily aggregates, absent days
+    zero-filled. The spine is bounded metadata (days × types), so the cross
+    join is broadcast-tiny at any data scale; the fact side stays one
+    groupBy shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    daily = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(_dec("value")), 2).cast("double").alias("sv"),
+    )
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2023-12-25").cast("date"),
+                F.lit("2024-02-05").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+_GAPFILL_SQL = """
+WITH days AS (
+  SELECT CAST(unnest(generate_series(DATE '2023-12-25', DATE '2024-02-05',
+                                     INTERVAL 1 DAY)) AS DATE) AS day),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sv
+  FROM events GROUP BY 1, 2)
+SELECT day, event_type, COALESCE(n, 0) AS n_events,
+       COALESCE(sv, 0.0) AS sum_value
+FROM days CROSS JOIN types
+LEFT JOIN daily USING (day, event_type)
+ORDER BY day, event_type
+"""
+
+
+def events_locf_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last-observation-carried-forward) imputation: values below 0.5
+    are treated as sensor dropouts (→ NULL) and forward-filled from the
+    user's last valid reading — ``last(..., ignorenulls=True)`` over an
+    unbounded-preceding row frame. One shuffle on user_id; leading NULLs
+    (no prior observation) stay NULL in both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    masked = F.when(F.col("value") >= 0.5, F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(masked, 2).alias("masked"),
+        F.round(F.last(masked, ignorenulls=True).over(w), 2).alias("filled"),
+    ).orderBy("user_id", "event_id")
+
+
+_LOCF_SQL = """
+SELECT user_id, event_id,
+       ROUND(CASE WHEN value >= 0.5 THEN value END, 2) AS masked,
+       ROUND(LAST_VALUE(CASE WHEN value >= 0.5 THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             2) AS filled
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
 def grouped_zscore_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map Pandas transform (§2.11 UDAF/grouped surface):
     per-language z-score of document length via ``applyInPandas`` — the
@@ -897,6 +985,8 @@ QUERIES = {
     "unpivot_part_measures": unpivot_part_measures,
     "higher_order_array_ops": higher_order_array_ops,
     "grouped_zscore_doclen": grouped_zscore_doclen,
+    "events_daily_gapfill": events_daily_gapfill,
+    "events_locf_imputation": events_locf_imputation,
     "sessionize_events": sessionize_events,
     "rollup_order_stats": rollup_order_stats,
     "cube_lineitem_flags": cube_lineitem_flags,
@@ -930,6 +1020,8 @@ ORACLES = {
     "unpivot_part_measures": _UNPIVOT_SQL,
     "higher_order_array_ops": _HIGHER_ORDER_SQL,
     "grouped_zscore_doclen": _GROUPED_ZSCORE_SQL,
+    "events_daily_gapfill": _GAPFILL_SQL,
+    "events_locf_imputation": _LOCF_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
     "rollup_order_stats": _ROLLUP_SQL,
     "cube_lineitem_flags": _CUBE_SQL,
