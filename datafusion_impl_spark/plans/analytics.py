@@ -757,6 +757,47 @@ ORDER BY l_orderkey
 """
 
 
+def map_functions_order_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type scalar family (§2.9): per order, a flag→count MAP built with
+    map_from_entries(collect_list(struct)), then interrogated with
+    size / element_at / map_keys / array_contains. The map is an
+    intra-row structure — the oracle checks the extracted scalars against
+    their direct SQL equivalents, proving the map round-trip is lossless."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    per_flag = (
+        li.filter(F.col("l_orderkey") % 50 == 0)
+        .groupBy("l_orderkey", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    mapped = per_flag.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("l_returnflag", "cnt")))
+        ).alias("m")
+    )
+    return mapped.select(
+        "l_orderkey",
+        F.size("m").alias("n_flags"),
+        F.coalesce(F.element_at("m", "A"), F.lit(0)).alias("a_cnt"),
+        F.array_contains(F.map_keys("m"), "R").alias("has_r"),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_lines"),
+    ).orderBy("l_orderkey")
+
+
+_MAP_FUNCS_SQL = """
+SELECT l_orderkey,
+       CAST(COUNT(DISTINCT l_returnflag) AS INTEGER) AS n_flags,
+       CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+       BOOL_OR(l_returnflag = 'R') AS has_r,
+       COUNT(*) AS total_lines
+FROM lineitem
+WHERE l_orderkey % 50 = 0
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+"""
+
+
 def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar densification (gap filling): a generated day spine × the
     event-type dimension LEFT JOINed against daily aggregates, absent days
@@ -987,6 +1028,7 @@ QUERIES = {
     "grouped_zscore_doclen": grouped_zscore_doclen,
     "events_daily_gapfill": events_daily_gapfill,
     "events_locf_imputation": events_locf_imputation,
+    "map_functions_order_flags": map_functions_order_flags,
     "sessionize_events": sessionize_events,
     "rollup_order_stats": rollup_order_stats,
     "cube_lineitem_flags": cube_lineitem_flags,
@@ -1022,6 +1064,7 @@ ORACLES = {
     "grouped_zscore_doclen": _GROUPED_ZSCORE_SQL,
     "events_daily_gapfill": _GAPFILL_SQL,
     "events_locf_imputation": _LOCF_SQL,
+    "map_functions_order_flags": _MAP_FUNCS_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
     "rollup_order_stats": _ROLLUP_SQL,
     "cube_lineitem_flags": _CUBE_SQL,
