@@ -36,6 +36,7 @@ __all__ = [
     "stream_events",
     "dedup_event_ids",
     "stream_static_segment_counts",
+    "click_purchase_attribution",
     "windowed_event_counts",
     "sliding_value_avg",
     "session_window_counts",
@@ -152,6 +153,41 @@ def stream_static_segment_counts(events: DataFrame, customer: DataFrame) -> Data
     )
 
 
+def click_purchase_attribution(events: DataFrame,
+                               attribution_window: str = "1 hour",
+                               watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream join: attribute each purchase to the user's clicks in
+    the preceding hour. Both sides carry watermarks and the join condition
+    bounds event-time distance, so Spark can expire join state — the two
+    requirements for an unbounded stream-stream join. Works identically on
+    a batch frame (tests rely on that)."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}"))
+    )
+    return clicks.join(purchases, cond).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "amount",
+    )
+
+
 # --- custom stateful operator ----------------------------------------------
 
 _STATE_SCHEMA = StructType([StructField("total", LongType())])
@@ -228,10 +264,49 @@ ORDER BY user_id, session_start
 """
 
 
+def click_attribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch run of the stream-stream attribution join (identical plan shape
+    to the streaming version), aggregated per user — oracle-checked against
+    the equivalent SQL self-join with the same event-time band."""
+    from datafusion_impl_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    pairs = click_purchase_attribution(ev)
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_attributions"),
+            F.countDistinct("purchase_id").alias("n_purchases"),
+            F.round(F.sum(F.col("amount").cast("decimal(12,4)")), 2)
+            .cast("double")
+            .alias("attributed_amount"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ATTRIBUTION_SQL = """
+SELECT c.user_id, COUNT(*) AS n_attributions,
+       COUNT(DISTINCT p.event_id) AS n_purchases,
+       CAST(ROUND(SUM(CAST(p.value AS DECIMAL(12,4))), 2) AS DOUBLE)
+         AS attributed_amount
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+GROUP BY c.user_id
+ORDER BY c.user_id
+"""
+
+
 QUERIES = {
     "session_window_stats": session_window_stats,
+    "click_attribution_stats": click_attribution_stats,
 }
 
 ORACLES = {
     "session_window_stats": _SESSION_WINDOW_SQL,
+    "click_attribution_stats": _ATTRIBUTION_SQL,
 }

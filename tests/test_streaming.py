@@ -77,6 +77,20 @@ def test_stream_static_join_equals_batch(spark, events_dir):
     assert got == expected and len(got) > 0
 
 
+def test_stream_stream_join_equals_batch(spark, events_dir):
+    st = stx.click_purchase_attribution(stx.stream_events(spark, events_dir))
+    _run_stream(st, "attribution", mode="append")
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM attribution").collect()
+    }
+    expected = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in stx.click_purchase_attribution(_batch_events(spark)).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
 def test_stream_source_schema(spark, events_dir):
     st = stx.stream_events(spark, events_dir)
     assert st.isStreaming
