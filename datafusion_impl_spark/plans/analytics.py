@@ -757,6 +757,39 @@ ORDER BY l_orderkey
 """
 
 
+def udaf_geometric_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF (§2.11): per-event-type geometric mean of value via a
+    GROUPED_AGG pandas UDF — the Arrow-batched aggregate-function contract
+    (whole group's column in, one scalar out). The oracle computes the same
+    statistic as exp(avg(ln(x))); both sides ROUND(…, 6). numpy's pairwise
+    log-sum vs DuckDB's sequential AVG differ at ~1e-15 — far inside the
+    rounding guard."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType given explicitly: this module uses `from __future__ import
+    # annotations`, which stringifies type hints and defeats hint inference.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def gmean(v):
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    # a GROUPED_AGG pandas UDF cannot share an agg() with JVM aggregates —
+    # the count comes from a separate (tiny, broadcast) aggregation.
+    geo = ev.groupBy("event_type").agg(F.round(gmean("value"), 6).alias("geo_mean"))
+    cnt = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return geo.join(F.broadcast(cnt), "event_type").orderBy("event_type")
+
+
+_UDAF_GMEAN_SQL = """
+SELECT event_type, ROUND(EXP(AVG(LN(value))), 6) AS geo_mean,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def map_functions_order_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-type scalar family (§2.9): per order, a flag→count MAP built with
     map_from_entries(collect_list(struct)), then interrogated with
@@ -1029,6 +1062,7 @@ QUERIES = {
     "events_daily_gapfill": events_daily_gapfill,
     "events_locf_imputation": events_locf_imputation,
     "map_functions_order_flags": map_functions_order_flags,
+    "udaf_geometric_mean_events": udaf_geometric_mean_events,
     "sessionize_events": sessionize_events,
     "rollup_order_stats": rollup_order_stats,
     "cube_lineitem_flags": cube_lineitem_flags,
@@ -1065,6 +1099,7 @@ ORACLES = {
     "events_daily_gapfill": _GAPFILL_SQL,
     "events_locf_imputation": _LOCF_SQL,
     "map_functions_order_flags": _MAP_FUNCS_SQL,
+    "udaf_geometric_mean_events": _UDAF_GMEAN_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
     "rollup_order_stats": _ROLLUP_SQL,
     "cube_lineitem_flags": _CUBE_SQL,

@@ -78,6 +78,7 @@ def test_no_python_in_any_relational_plan(spark):
         "multimodal_media_features",
         "multimodal_frame_samples",
         "grouped_zscore_doclen",
+        "udaf_geometric_mean_events",
     }
     for name, fn in m.queries().items():
         if name in allowed_python:
@@ -102,6 +103,22 @@ def test_representative_queries_enter_codegen(spark):
         assert "isFinalPlan=true" in final, q.__name__
         # codegen stages render as "*(n)" prefixes in the plan string
         assert "*(" in final, q.__name__
+
+
+def test_groupby_plans_two_phase_aggregation(spark):
+    """The reference design doc's headline technique (two-phase partial/final
+    hash aggregation, spark-groupby-analysis.md:6-35) must appear in the
+    physical plan: a partial HashAggregate below the exchange and a final
+    one above it — map-side combine shrinks the shuffle to |groups| rows per
+    partition."""
+    from datafusion_impl_spark.plans.tpch import q1_pricing_summary
+
+    plan = _plan(q1_pricing_summary(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    partial_first = plan.index("partial_")
+    assert "Exchange hashpartitioning" in plan
+    # the partial agg sits below (after, in tree-print order) the exchange
+    assert partial_first > plan.index("Exchange hashpartitioning")
 
 
 # --- salted group-by --------------------------------------------------------
