@@ -94,12 +94,71 @@ ORDER BY event_type, bucket
 """
 
 
+def props_kv_udtf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (§2.11 — ABSENT in the reference, a Spark 4 surface):
+    one props JSON document in → N (key, value) rows out via a lateral
+    join, aggregated per key. The UDTF is the table-function analogue of
+    the reference's scalar-kernel contract (row in, rows out, typed output
+    schema declared up front). Python-per-row is the cost of the shape —
+    the input is pre-filtered (event_id % 20 = 0) and a production pipeline
+    would prefer from_json (events_props_struct) when the schema is known."""
+    import json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="key string, val string")
+    class ParseProps:
+        def eval(self, props):
+            if props is None:
+                return
+            try:
+                obj = json.loads(props)
+            except ValueError:
+                return
+            if isinstance(obj, dict):
+                for k, v in obj.items():
+                    yield str(k), str(v)
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 20 == 0)
+        .select("event_id", "props")
+    )
+    kv = ev.lateralJoin(ParseProps(F.col("props").outer()))
+    return (
+        kv.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("val").alias("n_distinct_vals"),
+            F.sum(F.col("val").cast("long")).alias("sum_val"),
+        )
+        .orderBy("key")
+    )
+
+
+_PROPS_UDTF_SQL = """
+WITH keys AS (
+  SELECT unnest(json_keys(props)) AS key, props
+  FROM events WHERE event_id % 20 = 0),
+kv AS (
+  SELECT key, json_extract_string(props, '$.' || key) AS val FROM keys)
+SELECT key, COUNT(*) AS n_rows,
+       COUNT(DISTINCT val) AS n_distinct_vals,
+       CAST(SUM(TRY_CAST(val AS BIGINT)) AS BIGINT) AS sum_val
+FROM kv
+GROUP BY key
+ORDER BY key
+"""
+
+
 QUERIES = {
     "events_props_struct": events_props_struct,
     "events_daily_k_histogram": events_daily_k_histogram,
+    "props_kv_udtf_stats": props_kv_udtf_stats,
 }
 
 ORACLES = {
     "events_props_struct": _PROPS_STRUCT_SQL,
     "events_daily_k_histogram": _DAILY_HIST_SQL,
+    "props_kv_udtf_stats": _PROPS_UDTF_SQL,
 }

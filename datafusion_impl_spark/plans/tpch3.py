@@ -253,8 +253,47 @@ LIMIT 100
 """
 
 
+def q12_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 (no shipmode column — the classification dimension is instead
+    shipping lateness): per order priority, CASE-sum counts of critically
+    late (> 90 days), late (> 30 days), and on-time lineitems. The classic
+    Q12 shape: one join, conditional sums, tiny output."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            bucket(lag_days > 90).alias("n_critical"),
+            bucket((lag_days > 30) & (lag_days <= 90)).alias("n_late"),
+            bucket(lag_days <= 30).alias("n_ontime"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q12_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_critical,
+       CAST(SUM(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 30
+                      AND datediff('day', o_orderdate, l_shipdate) <= 90
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(SUM(CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q8_market_share": q8_market_share,
+    "q12_priority_lateness": q12_priority_lateness,
     "q15_top_supplier": q15_top_supplier,
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
@@ -263,6 +302,7 @@ QUERIES = {
 
 ORACLES = {
     "q8_market_share": _Q8_SQL,
+    "q12_priority_lateness": _Q12_SQL,
     "q15_top_supplier": _Q15_SQL,
     "q16_supplier_part_counts": _Q16_SQL,
     "q19_disjunctive_revenue": _Q19_SQL,

@@ -79,6 +79,7 @@ def test_no_python_in_any_relational_plan(spark):
         "multimodal_frame_samples",
         "grouped_zscore_doclen",
         "udaf_geometric_mean_events",
+        "props_kv_udtf_stats",
     }
     for name, fn in m.queries().items():
         if name in allowed_python:
