@@ -249,9 +249,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", tokens("text").alias("tk")).filter(
         F.size("tk") >= 3
     )
+    tk = F.col("tk")
     shingles = F.transform(
         F.sequence(F.lit(1), F.size("tk") - 2),
-        lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i, 3)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(tk, i), F.element_at(tk, i + 1), F.element_at(tk, i + 2)
+        ),
     )
     fp = F.array_min(F.transform(shingles, md5_long))
     return toks.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
