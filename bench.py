@@ -45,10 +45,16 @@ def main() -> None:
         gc.collect()
         spark._jvm.System.gc()
         run_once(fn(spark, sf_dir))  # warm-up: codegen + caches, un-timed
-        # best-of-2: sub-second queries on a 32-thread local JVM see ±0.5 s
-        # of GC/scheduler noise; the min is the stable engine cost.
+        # best-of-2 (sub-second queries see ±0.5 s of GC/scheduler noise; the
+        # min is the stable engine cost), plus a third run for queries over
+        # 2 s — the heavy dedup pipelines swing up to ±50% run-to-run with
+        # checkpoint-GC timing, and one extra sample halves that spread.
         best = float("inf")
         for _ in range(2):
+            t0 = time.perf_counter()
+            run_once(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        if best > 2.0:
             t0 = time.perf_counter()
             run_once(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
