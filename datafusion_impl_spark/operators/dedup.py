@@ -339,6 +339,36 @@ ORDER BY doc_a, doc_b
 """
 
 
+def dedup_documents_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock-Spark MinHash-LSH variant: ``ml.feature.MinHashLSH`` +
+    ``approxSimilarityJoin`` (HashingTF shingle vectors, 8 hash tables,
+    fixed seed), candidates exact-Jaccard-verified like the portable
+    implementation. This is the one-liner scale path a Spark shop would
+    reach for first; it is driver-checked rows-only because the ML hash
+    coefficients are engine-internal (the DuckDB oracle cannot replay
+    them) — planted-pair recall is asserted in pytest instead, and every
+    emitted pair is exact-verified so output precision is 1.0."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    corpus = near_dup_corpus(spark, sf_dir)
+    sh = materialize(_shingles(corpus))
+    docs = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(docs)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 0.5, distCol="dist")
+    cand = (
+        joined.select(
+            F.col("datasetA.doc_id").alias("da"),
+            F.col("datasetB.doc_id").alias("db"),
+        )
+        .filter(F.col("da") < F.col("db"))
+        .distinct()
+    )
+    return _exact_jaccard_verify(cand, sh)
+
+
 def dedup_documents_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dedup WITHOUT sketching: candidate pairs are docs
     sharing at least one *rare* shingle (document frequency ≤ 4 — an
@@ -541,6 +571,7 @@ QUERIES = {
     "dedup_documents_survivors": dedup_documents_survivors,
     "dedup_incremental_batch": dedup_incremental_batch,
     "dedup_documents_minhash": dedup_documents_minhash,
+    "dedup_documents_minhash_ml": dedup_documents_minhash_ml,
     "dedup_documents_ngram": dedup_documents_ngram,
     "dedup_documents_simhash": dedup_documents_simhash,
 }

@@ -264,3 +264,22 @@ def test_frame_rows_kernel():
     out2 = multimodal._frame_rows(pdf.assign(media=[blob[:300]]))
     assert out2.frame_idx.tolist() == [0, 2, 4]
     assert out2.frame_len.tolist() == [64, 64, 44]
+
+
+def test_ml_minhash_variant_recall_and_precision(spark, planted):
+    """The ml.feature.MinHashLSH variant: every planted EXACT copy pair must
+    be emitted (identical shingle sets -> identical minhash vectors -> always
+    a bucket collision), and every emitted pair is exact-verified >= 0.5."""
+    exact, _ = planted
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in dedup.dedup_documents_minhash_ml(spark, SF_DIR).collect()}
+    for d in exact:
+        assert pairs.get((d, d + 100000)) == 1.0
+    assert all(j >= 0.5 for j in pairs.values())
+    # agreement with the portable implementation: the ML variant is an
+    # independent implementation of the same operator — overlap on the
+    # planted exact pairs is total, overall pair sets broadly agree
+    portable = {(r.doc_a, r.doc_b)
+                for r in dedup.dedup_documents_minhash(spark, SF_DIR).collect()}
+    common = portable & set(pairs)
+    assert len(common) >= 0.7 * len(portable)
