@@ -139,6 +139,50 @@ ORDER BY q_id, rank
 # 2. IVF (inverted-file) top-k — the partition-pruned scale path
 # --------------------------------------------------------------------------
 
+def ann_lsh_ml_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock-Spark ANN variant: ``ml.feature.BucketedRandomProjectionLSH``
+    over L2-normalized embeddings (Euclidean distance on the unit sphere ↔
+    cosine: cos = 1 − d²/2), ``approxSimilarityJoin`` for candidates, then a
+    windowed top-5 per query. Driver-checked rows-only — the ML projection
+    vectors are engine-internal (the oracle cannot replay the bucketing) —
+    with recall-vs-exact asserted in pytest. Same output contract as
+    :func:`ann_cosine_topk`."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = _vectors(spark, sf_dir)
+    unit = e.select(
+        "vec_id",
+        array_to_vector(
+            F.transform("v", lambda x: x / F.col("nrm"))
+        ).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=1.0, numHashTables=4, seed=42,
+    )
+    model = lsh.fit(unit)
+    q = unit.filter(F.col("vec_id") % _QUERY_MOD == 0)
+    # distance threshold sqrt(2 - 2*(-0.2)) ≈ 1.55 keeps candidates with
+    # cosine ≥ -0.2 — ample headroom for a top-5 at this corpus density.
+    joined = model.approxSimilarityJoin(q, unit, 1.55, distCol="dist")
+    scored = (
+        joined.select(
+            F.col("datasetA.vec_id").alias("q_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 6).alias("cos_sim"),
+        )
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("q_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+        .orderBy("q_id", "rank")
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: coarse-quantize every vector to its nearest of 8 centroids
     (vec_id < 8 — deterministic coarse codebook), then each query searches
@@ -401,6 +445,7 @@ ORDER BY label, dim
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_lsh_ml_topk": ann_lsh_ml_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_label_centroids": embedding_label_centroids,
 }

@@ -283,3 +283,28 @@ def test_ml_minhash_variant_recall_and_precision(spark, planted):
                 for r in dedup.dedup_documents_minhash(spark, SF_DIR).collect()}
     common = portable & set(pairs)
     assert len(common) >= 0.7 * len(portable)
+
+
+def test_ml_ann_variant_recall_vs_exact(spark):
+    """BucketedRandomProjectionLSH top-5 must substantially agree with the
+    exact brute-force top-5 (recall@5 >= 0.6 at these LSH settings), and
+    every reported cosine must match the exact scorer's value."""
+    from datafusion_impl_spark.operators.similarity import (
+        ann_cosine_topk, ann_lsh_ml_topk)
+
+    exact = {}
+    for r in ann_cosine_topk(spark, SF_DIR).collect():
+        exact.setdefault(r.q_id, {})[r.neighbor_id] = r.cos_sim
+    approx = {}
+    for r in ann_lsh_ml_topk(spark, SF_DIR).collect():
+        approx.setdefault(r.q_id, {})[r.neighbor_id] = r.cos_sim
+    assert set(approx) == set(exact)
+    hits = total = 0
+    for q_id, nbrs in exact.items():
+        got = approx.get(q_id, {})
+        hits += len(set(nbrs) & set(got))
+        total += len(nbrs)
+        for n, cos in got.items():
+            if n in nbrs:
+                assert abs(cos - nbrs[n]) < 1e-4, (q_id, n)
+    assert hits / total >= 0.6, f"recall@5 = {hits/total:.2f}"
