@@ -84,3 +84,32 @@ def test_json_roundtrip(spark, tmp_path):
     df.write.mode("overwrite").json(path)
     back = spark.read.json(path)
     assert sorted((r.id, r.val) for r in back.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_text_source(spark, tmp_path):
+    """spark.read.text: one row per line, single `value` column."""
+    p = tmp_path / "lines.txt"
+    p.write_text("alpha\nbeta 2\n\ngamma-3\n")
+    df = spark.read.text(str(p))
+    assert df.columns == ["value"]
+    assert [r.value for r in df.collect()] == ["alpha", "beta 2", "", "gamma-3"]
+
+
+def test_observe_metrics_sink(spark):
+    """df.observe(): named aggregate metrics collected as a side channel of
+    a normal action — the lightweight data-quality hook a pipeline attaches
+    to production jobs."""
+    from pyspark.sql import Observation
+
+    from datafusion_impl_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    obs = Observation("li_metrics")
+    li = load_table(spark, SF_DIR, "lineitem").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("n_bad_qty"),
+    )
+    n = li.count()
+    assert obs.get["n_rows"] == n > 0
+    assert obs.get["n_bad_qty"] == 0

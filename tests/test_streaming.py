@@ -174,3 +174,38 @@ def test_running_user_counts_stateful(spark, events_dir):
     }
     got = {r.user_id: r.total for r in rows}
     assert got == expected and len(got) > 0
+
+
+def test_checkpoint_recovery_resumes_state(spark, tmp_path):
+    """Exactly-once recovery: a windowed aggregation runs over file 1 with a
+    checkpointLocation, stops, file 2 lands, and a RESTARTED query (same
+    checkpoint) must pick up only the new file and produce the same final
+    counts as a batch over both files — state survives the restart."""
+    import shutil as _sh
+
+    src = tmp_path / "src"; src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _sh.copy(f"{SF_DIR}/events.parquet", src / "f1.parquet")
+
+    def start():
+        df = stx.windowed_event_counts(stx.stream_events(spark, str(src)))
+        return (df.writeStream.format("memory").queryName("recov")
+                .outputMode("complete").option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start())
+
+    q1 = start(); q1.awaitTermination(120)
+    n_first = spark.sql("SELECT SUM(n_events) AS s FROM recov").first().s
+
+    # second delivery: the SAME data again (new file name -> new input)
+    _sh.copy(f"{SF_DIR}/events.parquet", src / "f2.parquet")
+    q2 = start(); q2.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM recov").collect()
+    }
+    expected = {
+        (r.window_start, r.event_type): 2 * r.n_events
+        for r in stx.windowed_event_counts(_batch_events(spark)).collect()
+    }
+    assert sum(got.values()) == 2 * n_first
+    assert got == expected
