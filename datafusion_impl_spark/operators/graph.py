@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datafusion_impl_spark.operators.dedup import _MINHASH_SQL, dedup_documents_minhash
+from datafusion_impl_spark.operators.dedup import (
+    _CORPUS_SQL,
+    _MINHASH_SQL,
+    dedup_documents_minhash,
+)
 
 __all__ = ["QUERIES", "ORACLES", "connected_components"]
 
@@ -110,10 +114,72 @@ ORDER BY doc_id
 """
 
 
+def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product of the near-dedup pipeline: per language, how many
+    docs survive after dropping every non-canonical member of each near-dup
+    cluster (survivor = the cluster's minimum doc_id). Composes the MinHash
+    pair graph and connected components into the keep/drop decision a
+    pipeline actually writes out."""
+    from datafusion_impl_spark.operators.dedup import near_dup_corpus
+
+    corpus = near_dup_corpus(spark, sf_dir).select("doc_id", "lang")
+    comp = connected_components(
+        dedup_documents_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    dropped = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return (
+        corpus.join(dropped, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_survivors"))
+        .join(
+            corpus.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")),
+            "lang",
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_survivors",
+            (F.col("n_docs") - F.col("n_survivors")).alias("n_dropped"),
+        )
+        .orderBy("lang")
+    )
+
+
+_NEAR_SURVIVORS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_SQL}) minhash_pairs
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+comp AS (SELECT s AS doc_id, MIN(d) AS component FROM reach GROUP BY s),
+dropped AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+corpus2 AS (SELECT doc_id, lang FROM ({_CORPUS_SQL}) c)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id NOT IN (SELECT doc_id FROM dropped)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM dropped)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM corpus2
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "dedup_cluster_components": dedup_cluster_components,
+    "dedup_near_survivors": dedup_near_survivors,
 }
 
 ORACLES = {
     "dedup_cluster_components": _COMPONENTS_SQL,
+    "dedup_near_survivors": _NEAR_SURVIVORS_SQL,
 }

@@ -439,10 +439,114 @@ ORDER BY lang
 """
 
 
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: find training docs that share ≥ 2 distinct
+    word-5-grams with any held-out benchmark doc (doc_id % 13 = 0 plays the
+    benchmark here). The overlap join is an inverted index on the 5-gram
+    with a DF cap (≤ 10) — the same blocking knob as n-gram dedup, so no
+    common phrase can fan out quadratically at 100 TB. Emits the per-lang
+    contamination report a pipeline gates a release on."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = docs.select(
+        "doc_id", "lang", tokens("text").alias("tk")
+    ).filter(F.size("tk") >= 5)
+    tk = F.col("tk")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 4),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tk, i + j) for j in range(5)]
+        ),
+    )
+    g = toks.select(
+        "doc_id", "lang", F.explode(grams).alias("gram")
+    ).distinct()
+    # the gram table feeds the DF filter and both join sides — materialize once
+    g = g.localCheckpoint(eager=True)
+    rare = (
+        g.groupBy("gram").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 10)
+    ).select("gram")
+    gr = g.join(rare, "gram")
+    ev = gr.filter(F.col("doc_id") % 13 == 0).select(
+        F.col("doc_id").alias("eval_id"), F.col("lang").alias("eval_lang"), "gram"
+    )
+    tr = gr.filter(F.col("doc_id") % 13 != 0).select(
+        F.col("doc_id").alias("train_id"), "gram"
+    )
+    pairs = (
+        ev.join(tr, "gram")
+        .groupBy("eval_id", "eval_lang", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    per_eval = pairs.groupBy("eval_id", "eval_lang").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    n_eval = (
+        docs.filter(F.col("doc_id") % 13 == 0)
+        .groupBy(F.col("lang").alias("eval_lang"))
+        .agg(F.count(F.lit(1)).alias("n_eval_docs"))
+    )
+    return (
+        n_eval.join(
+            per_eval.groupBy("eval_lang").agg(
+                F.count(F.lit(1)).alias("n_contaminated"),
+                F.sum("n_hits").cast("long").alias("n_pairs"),
+            ),
+            "eval_lang",
+            "left",
+        )
+        .select(
+            F.col("eval_lang").alias("lang"),
+            "n_eval_docs",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
+        )
+        .orderBy("lang")
+    )
+
+
+_DECONTAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(list_transform(generate_series(1, len(tk) - 4),
+                i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS gram
+  FROM toks WHERE len(tk) >= 5),
+rare AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) <= 10),
+gr AS (SELECT g.* FROM g JOIN rare USING (gram)),
+pairs AS (
+  SELECT e.doc_id AS eval_id, e.lang AS eval_lang, t.doc_id AS train_id,
+         COUNT(*) AS n_shared
+  FROM gr e JOIN gr t ON e.gram = t.gram
+  WHERE e.doc_id % 13 = 0 AND t.doc_id % 13 <> 0
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) >= 2),
+per_eval AS (
+  SELECT eval_id, eval_lang, COUNT(*) AS n_hits
+  FROM pairs GROUP BY 1, 2),
+n_eval AS (
+  SELECT lang AS eval_lang, COUNT(*) AS n_eval_docs
+  FROM documents WHERE doc_id % 13 = 0 GROUP BY 1),
+agg AS (
+  SELECT eval_lang, COUNT(*) AS n_contaminated,
+         CAST(SUM(n_hits) AS BIGINT) AS n_pairs
+  FROM per_eval GROUP BY 1)
+SELECT n_eval.eval_lang AS lang, n_eval_docs,
+       COALESCE(n_contaminated, 0) AS n_contaminated,
+       COALESCE(n_pairs, CAST(0 AS BIGINT)) AS n_pairs
+FROM n_eval LEFT JOIN agg USING (eval_lang)
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "corpus_curation_funnel": corpus_curation_funnel,
+    "benchmark_decontamination": benchmark_decontamination,
     "text_tokenize_ids": text_tokenize_ids,
     "text_language_id": text_language_id,
     "text_quality_score": text_quality_score,
@@ -454,6 +558,7 @@ ORACLES = {
     "text_token_stats": _TOKEN_STATS_SQL,
     "text_tfidf_top_terms": _TFIDF_SQL,
     "corpus_curation_funnel": _FUNNEL_SQL,
+    "benchmark_decontamination": _DECONTAM_SQL,
     "text_tokenize_ids": _TOKENIZE_SQL,
     "text_language_id": _langid_oracle(),
     "text_quality_score": _QUALITY_SQL,
