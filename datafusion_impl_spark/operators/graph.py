@@ -87,7 +87,13 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH pairs → connected components → cluster assignment
     (component id = minimum doc_id in the cluster, i.e. the canonical
     survivor an exact-keep-first policy would retain)."""
-    pairs = dedup_documents_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    # materialize the bounded pair list once: it feeds both union branches of
+    # the edge build (and would re-run the whole MinHash pipeline per branch)
+    pairs = (
+        dedup_documents_minhash(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     return connected_components(pairs).orderBy("doc_id")
 
 
@@ -123,9 +129,12 @@ def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_impl_spark.operators.dedup import near_dup_corpus
 
     corpus = near_dup_corpus(spark, sf_dir).select("doc_id", "lang")
-    comp = connected_components(
-        dedup_documents_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = (
+        dedup_documents_minhash(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
+    comp = connected_components(pairs)
     dropped = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     return (
         corpus.join(dropped, "doc_id", "left_anti")
