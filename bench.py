@@ -62,6 +62,8 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # The ONE contract line, last on stdout (progress bars are disabled in
+    # the session config so a bounded tail capture still contains it whole).
     print(
         json.dumps(
             {
@@ -71,7 +73,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -56,15 +56,39 @@ _SIM_BAND_BITS = 8
 _HAMMING_T = 2
 
 
+#: planted-duplicate re-key offsets; doc_id must stay below _DUP_OFFSET or
+#: the planted keys collide with real ones and the incremental-batch split
+#: (doc_id >= _DUP_OFFSET ⇒ "new batch") silently misclassifies rows. The
+#: oracle shares the offsets, so parity checks would NOT catch a collision —
+#: near_dup_corpus carries an in-plan raise_error guard instead.
+_DUP_OFFSET = 100000
+
+
 def near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ exact copies (doc_id % 10, re-keyed +100000) ∪ near
-    copies with the leading word dropped (doc_id % 7, re-keyed +200000)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    copies with the leading word dropped (doc_id % 7, re-keyed +200000).
+
+    The guard on doc_id fails the job loudly if a scale factor ever produces
+    doc_id ≥ the re-key offset (per-row, codegen'd, no extra action). It is
+    embedded in the PROJECTION, not a filter: Catalyst's
+    InferFiltersFromConstraints copies filter predicates across equi-join
+    keys on the assumption they are pure, so a filter-shaped guard gets
+    replicated onto join partners that legitimately carry re-keyed ids
+    ≥ the offset and raises spuriously. A value-level CASE stays attached
+    to the raw scan column."""
+    guarded_id = F.when(F.col("doc_id") < _DUP_OFFSET, F.col("doc_id")).otherwise(
+        F.raise_error(
+            F.lit("near_dup_corpus: doc_id >= planted-dup offset; raise _DUP_OFFSET")
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        guarded_id.alias("doc_id"), "lang", "text"
+    )
     dup = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "lang", "text"
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "lang", "text"
     )
     near = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
+        (F.col("doc_id") + 2 * _DUP_OFFSET).alias("doc_id"),
         "lang",
         F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
     )
@@ -141,8 +165,8 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs), emit per-lang arrival/keep/drop counts."""
     corpus = near_dup_corpus(spark, sf_dir)
     h = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
-    existing = corpus.filter(F.col("doc_id") < 100000).select(h.alias("h")).distinct()
-    batch = corpus.filter(F.col("doc_id") >= 100000).select("doc_id", "lang", h.alias("h"))
+    existing = corpus.filter(F.col("doc_id") < _DUP_OFFSET).select(h.alias("h")).distinct()
+    batch = corpus.filter(F.col("doc_id") >= _DUP_OFFSET).select("doc_id", "lang", h.alias("h"))
     kept = batch.join(existing, "h", "left_anti")
     arrived = batch.groupBy("lang").agg(F.count(F.lit(1)).alias("n_arrived"))
     kept_n = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
@@ -167,8 +191,11 @@ hashed AS (
 existing AS (SELECT DISTINCT h FROM hashed WHERE doc_id < 100000),
 batch AS (SELECT doc_id, lang, h FROM hashed WHERE doc_id >= 100000),
 kept AS (
+  -- NOT EXISTS, not NOT IN: NOT IN returns no rows when any h is NULL,
+  -- whereas the Spark side's left_anti join keeps null-keyed batch rows —
+  -- NOT EXISTS matches anti-join null semantics exactly.
   SELECT lang, COUNT(*) AS n_kept
-  FROM batch WHERE h NOT IN (SELECT h FROM existing)
+  FROM batch b2 WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.h = b2.h)
   GROUP BY lang)
 SELECT b.lang, COUNT(*) AS n_arrived,
        COALESCE(MAX(n_kept), 0) AS n_kept,

@@ -3,15 +3,18 @@ MinHash-LSH pair graph — the step that turns pairwise near-dup hits into
 "keep one doc per cluster" decisions in a dedup pipeline.
 
 Iterative algorithm, Spark-style: min-label propagation with path
-compression (pointer jumping), expressed as a FIXED number of lazy
-join/aggregate rounds (no driver-side actions inside the loop, no collect —
-the whole computation is one Catalyst plan). Each round (a) propagates the
-min label one hop along edges, then (b) compresses each node's label to its
-label's label — so reachable distance DOUBLES per round and three rounds
-resolve any component of diameter ≤ 2³. Near-dup clusters are copy-chains
-with diameter ≤ 3 here, and the oracle computes the TRUE transitive closure
-with a recursive CTE, so an insufficient round count would surface as a
-mismatch, not silently wrong output.
+compression (pointer jumping), iterated TO A FIXED POINT. Each round (a)
+propagates the min label one hop along edges, then (b) compresses each
+node's label to its label's label — so reachable distance DOUBLES per round
+and ⌈log₂(diameter)⌉ rounds resolve any component. The loop stops when a
+round changes no label (one count() per round over the bounded label table —
+the standard iterate-and-check pattern; the count is against the same
+localCheckpoint the next round needs anyway, so the extra driver action
+costs one job over a tiny frame, never a corpus scan). A ``max_rounds``
+backstop (default 16 ⇒ diameter 65536) bounds the loop on adversarial
+graphs; hitting it raises rather than returning silently-truncated
+components. The oracle computes the TRUE transitive closure with a
+recursive CTE, double-checking convergence.
 
 At 100 TB: each round is a shuffle keyed by doc_id over the *pair graph*
 (bounded by near-dup volume, orders of magnitude smaller than the corpus);
@@ -32,13 +35,14 @@ from datafusion_impl_spark.operators.dedup import (
 
 __all__ = ["QUERIES", "ORACLES", "connected_components"]
 
-_ROUNDS = 3
+_MAX_ROUNDS = 16
 
 
-def connected_components(pairs: DataFrame, rounds: int = _ROUNDS) -> DataFrame:
+def connected_components(pairs: DataFrame, max_rounds: int = _MAX_ROUNDS) -> DataFrame:
     """Min-label propagation with path compression over an undirected pair
     list (``doc_a``, ``doc_b``) → (``doc_id``, ``component``) where component
-    is the minimum doc_id reachable within ``2**rounds`` hops."""
+    is the minimum doc_id in the node's connected component (exact: iterated
+    until no label changes; raises if ``max_rounds`` is hit first)."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -53,7 +57,9 @@ def connected_components(pairs: DataFrame, rounds: int = _ROUNDS) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("doc_id"))
     )
-    for _ in range(rounds):
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        prev = labels
         # (a) one-hop propagation: each node also keeps its own label via the
         # union branch, so a single min-aggregate replaces join+left-join.
         prop = edges.join(labels, edges.dst == labels.doc_id).select(
@@ -80,7 +86,21 @@ def connected_components(pairs: DataFrame, rounds: int = _ROUNDS) -> DataFrame:
         labels = labels.join(lmap, labels.label == F.col("m_id")).select(
             "doc_id", F.col("m_label").alias("label")
         )
-    return labels.select("doc_id", F.col("label").alias("component"))
+        # fixed-point check on the materialized label tables (both sides are
+        # checkpointed, so this is one tiny join+count job, no recomputation)
+        labels = labels.localCheckpoint(eager=True)
+        changed = (
+            labels.select("doc_id", F.col("label").alias("new_label"))
+            .join(prev, "doc_id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        if changed == 0:
+            return labels.select("doc_id", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds "
+        "(component diameter exceeds 2**max_rounds)"
+    )
 
 
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,7 +16,8 @@
   (verified by plan inspection in tests). This is the co-located-join
   discipline for 100 TB fact-fact joins where neither side broadcasts.
 - :func:`salted_join` — skew-safe equi-join: the skewed (fact) side gets a
-  random salt, the compact side is replicated ``n_salts`` ways, and the join
+  deterministic row-hash salt, the compact side is replicated ``n_salts``
+  ways, and the join
   key becomes (key, salt) — a hot key spreads over ``n_salts`` reducers.
   Complements AQE's skew-join (which only splits oversized partitions it can
   detect at shuffle-materialization time).
@@ -34,6 +35,19 @@ __all__ = [
     "read_pruned",
     "write_bucketed",
 ]
+
+def _row_salt(df: DataFrame, n_salts: int) -> Column:
+    """Deterministic per-row salt in [0, n_salts): a hash of EVERY column of
+    the row, mod n_salts. Unlike a hash of the *group key* (which would give
+    every row of a hot key the same salt and defeat the split), the non-key
+    columns vary within a key group, so a hot key spreads across reducers —
+    while identical inputs produce identical salts run-to-run, keeping the
+    whole pipeline bit-reproducible (this repo's determinism ruleset,
+    plans/__init__.py). Identical *duplicate rows* share a salt; that only
+    re-concentrates load if a single fully-duplicated row dominates, a far
+    rarer pathology than a hot key."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).cast("int")
+
 
 #: (partial_agg, final_agg) pairs per supported algebraic aggregate:
 #: stage 1 aggregates (key, salt) groups, stage 2 recombines per key.
@@ -61,9 +75,7 @@ def salted_groupby(
     unknown = [a for a, _ in aggs.values() if a not in _ALGEBRAIC]
     if unknown:
         raise ValueError(f"non-algebraic aggregates not supported: {unknown}")
-    salted = df.withColumn(
-        "_salt", (F.abs(F.xxhash64(F.monotonically_increasing_id())) % n_salts)
-    )
+    salted = df.withColumn("_salt", _row_salt(df, n_salts))
     partial = salted.groupBy(*keys, "_salt").agg(
         *[
             _ALGEBRAIC[a][0](col).alias(f"_p_{out}")
@@ -90,10 +102,7 @@ def salted_join(
     fact key is spread across ``n_salts`` reducers. The dim side is
     replicated n_salts× via an explode — acceptable when |dim| ≪ |fact|,
     which is the only regime where key skew on the fact side dominates."""
-    salted_fact = fact.withColumn(
-        "_salt",
-        (F.abs(F.xxhash64(F.monotonically_increasing_id())) % n_salts).cast("int"),
-    )
+    salted_fact = fact.withColumn("_salt", _row_salt(fact, n_salts))
     replicated_dim = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -64,6 +64,10 @@ def get_spark(app_name: str = "datafusion_impl_spark", master: str | None = None
     builder = builder.master(master or f"local[{_LOCAL_CORES}]")
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     builder = builder.config("spark.ui.enabled", "false")
+    # Console progress bars interleave carriage-return frames with stdout;
+    # any consumer that captures a bounded output tail (the bench driver)
+    # would see the JSON result line drowned in progress frames.
+    builder = builder.config("spark.ui.showConsoleProgress", "false")
     spark = configure(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

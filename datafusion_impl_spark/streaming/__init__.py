@@ -129,12 +129,20 @@ def dedup_event_ids(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming ingestion dedup: drop re-delivered events by event_id across
     micro-batches (exactly-once semantics over an at-least-once source).
 
-    State note for 100 TB: the watermark + event-time column in the key let
-    Spark expire dedup state once an id can no longer recur inside the
-    watermark horizon; without ``ts`` in the subset the state would grow
-    forever. Batch twin: ``dropDuplicates`` over the same columns."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
-    return src.select("event_id", "ts").dropDuplicates(["event_id"])
+    State note for 100 TB: ``dropDuplicates(["event_id"])`` alone would keep
+    one state row per id FOREVER (Spark only expires dedup state when the
+    event-time column is part of the dedup key);
+    ``dropDuplicatesWithinWatermark`` dedups on event_id alone while letting
+    the watermark expire state once an id can no longer recur inside the
+    horizon — the correct unbounded-stream shape. Batch twin:
+    ``dropDuplicates`` over the same key (watermarks are a no-op in batch)."""
+    if events.isStreaming:
+        return (
+            events.withWatermark("ts", watermark)
+            .select("event_id", "ts")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+    return events.select("event_id", "ts").dropDuplicates(["event_id"])
 
 
 def stream_static_segment_counts(events: DataFrame, customer: DataFrame) -> DataFrame:

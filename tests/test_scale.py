@@ -67,6 +67,43 @@ def test_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in _plan(topk_expensive_orders(spark, SF_DIR))
 
 
+def test_tokenize_vocab_is_distributed_topk(spark):
+    """Vocab selection must plan as TakeOrderedAndProject (per-partition
+    top-K, driver merges K·partitions rows) — NOT a row_number window over
+    the full distinct-token table, which would shuffle a billion-token
+    vocabulary to one reducer at 100 TB. The ranking window may appear, but
+    only above the ≤64-row limited frame."""
+    from datafusion_impl_spark.operators.text import text_tokenize_ids
+
+    plan = _plan(text_tokenize_ids(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_packing_windows_are_sharded(spark):
+    """The per-doc running sum must window over (source, shard) — bounded
+    tasks — never over source alone, which serializes a dominant source's
+    whole corpus onto one task. The only per-source window allowed is the
+    prefix scan over shard *summaries* (corpus/shard_size rows)."""
+    from datafusion_impl_spark.operators.sampling import (
+        _PACK_SHARD_DOCS,
+        pack_documents_by_token_budget,
+    )
+    from tests.conftest import SF_DIR
+
+    df = pack_documents_by_token_budget(spark, SF_DIR)
+    plan = _plan(df)
+    # every Window node whose frame contains per-doc ordering (doc_id) must
+    # also partition by the shard column
+    for frag in plan.split("Window ")[1:]:
+        spec = frag.splitlines()[0]
+        if "doc_id" in spec and "windowspecdefinition(" in spec:
+            assert "shard" in spec.split("windowspecdefinition(")[1], spec
+    # the shard split is actually exercised: sf0.01 has > _PACK_SHARD_DOCS
+    # docs, so at least one source spans multiple shards
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert n_docs > _PACK_SHARD_DOCS
+
+
 def test_no_python_in_any_relational_plan(spark):
     """No Python evaluation nodes in any query plan (the parity UDF fixture
     and the multimodal mapInPandas operator are the two deliberate
