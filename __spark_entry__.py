@@ -29,6 +29,7 @@ from datafusion_impl_spark.plans import regexp as _regexp
 from datafusion_impl_spark.plans import tpch as _tpch
 from datafusion_impl_spark.plans import tpch2 as _tpch2
 from datafusion_impl_spark.plans import tpch3 as _tpch3
+from datafusion_impl_spark.sources import queries as _source_queries
 from datafusion_impl_spark import streaming as _streaming
 
 # LLM-pipeline modules lead so their queries land inside the driver's
@@ -50,6 +51,7 @@ _MODULES = [
     _joins_ext,
     _regexp,
     _analytics,
+    _source_queries,
 ]
 
 

@@ -29,7 +29,12 @@ Two implementations, by design:
 Dialect note: the reference uses Rust ``regex`` (linear-time, no
 backreferences/lookaround), the fast path uses Java regex, the safe UDF uses
 Python ``re``. Every pattern in the reference's tests lies in the common
-subset; semantics agree there.
+subset; semantics agree there. The parity UDF additionally ENFORCES the
+reference dialect: lookaround (``(?=`` ``(?!`` ``(?<=`` ``(?<!``) and
+backreferences (``\1``–``\9``, ``(?P=name)``) fail ``Regex::new`` in the
+reference, so contract point 6 maps them to ``''`` — :func:`_compile`
+rejects them up front instead of letting Python ``re`` accept (and
+backtrack on) a pattern the reference would refuse to compile.
 """
 
 from __future__ import annotations
@@ -59,9 +64,51 @@ def regexp_extract(col: Column | str, pattern: str, idx: int = 1) -> Column:
 
 # --- parity kernel -----------------------------------------------------------
 
+def _uses_nonregular_syntax(pattern: str) -> bool:
+    """True if ``pattern`` uses constructs Rust ``regex`` rejects at compile
+    time: lookaround or backreferences (the crate is linear-time DFA/NFA —
+    `regex` docs, "no support for look-around or backreferences"). A single
+    left-to-right scan tracking escape and character-class state, so an
+    escaped ``\\\\1`` (literal backslash, digit) or a ``[(?=]`` class member
+    doesn't false-positive."""
+    i, n, in_class = 0, len(pattern), False
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            nxt = pattern[i + 1] if i + 1 < n else ""
+            # \1..\9 outside a class = backreference in Python re (inside a
+            # class it's an octal escape there, but Rust rejects it anyway —
+            # Python then errors at compile → None already, so skip it here)
+            if not in_class and nxt.isdigit() and nxt != "0":
+                return True
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            i += 1
+            continue
+        if c == "(":
+            if pattern.startswith(("(?=", "(?!", "(?<=", "(?<!", "(?P="), i):
+                return True
+        i += 1
+    return False
+
+
 @lru_cache(maxsize=4096)
 def _compile(pattern: str) -> re.Pattern | None:
-    """Memoized compile; invalid patterns compile to None (contract point 6)."""
+    """Memoized compile; invalid patterns compile to None (contract point 6).
+    "Invalid" is judged against the REFERENCE dialect (Rust ``regex``), so
+    lookaround/backreference patterns — which Python ``re`` would accept —
+    are rejected here too, keeping the two engines' accept/reject sets
+    aligned (and keeping the UDF linear-time-honest: what the reference
+    cannot backtrack on, we do not backtrack on)."""
+    if _uses_nonregular_syntax(pattern):
+        return None
     try:
         return re.compile(pattern)
     except re.error:

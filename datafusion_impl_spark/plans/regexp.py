@@ -36,6 +36,17 @@ EDGE_CASES = [
     (None, r"(\d+)", 1, None),                    # null input
     ("test-123", None, 1, None),                  # null pattern
     ("test-123", r"(\d+)", None, None),           # null group index
+    # Dialect guard: Rust `regex` (the reference engine) rejects lookaround
+    # and backreferences at compile time, so contract point 6 (invalid
+    # pattern → '') applies even though Python `re` would accept these.
+    ("foo123", r"foo(?=\d)", 0, ""),              # lookahead
+    ("xy", r"(?<=x)y", 0, ""),                    # lookbehind
+    ("abab", r"(ab)\1", 0, ""),                   # numeric backreference
+    ("aa", r"(?P<c>a)(?P=c)", 0, ""),             # named backreference
+    # ...and constructs that merely LOOK like them stay accepted:
+    ("test-123", r"(?:test)-(\d+)", 1, "123"),    # non-capturing group
+    ("a=b", r"[(?=]", 0, "="),                    # class containing ( ? =
+    ("x\\1y", r"\\1", 0, "\\1"),                  # escaped backslash + digit
 ]
 
 

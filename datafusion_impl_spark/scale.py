@@ -25,10 +25,11 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
+    "analyze_tables",
     "salted_groupby",
     "salted_join",
     "write_partitioned",
@@ -112,6 +113,23 @@ def salted_join(
         & (salted_fact["_salt"] == replicated_dim["_salt"]),
     )
     return out.drop("_salt")
+
+
+def analyze_tables(spark: SparkSession, *tables: str) -> None:
+    """Populate catalog statistics — the cost-based optimizer's input.
+
+    ``ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS`` records table
+    rowCount/sizeInBytes plus per-column NDV/min/max/null-count in the
+    metastore. With ``spark.sql.cbo.enabled`` (+ ``cbo.joinReorder.enabled``)
+    Catalyst then estimates intermediate cardinalities from those stats —
+    join reordering, stats-based broadcast decisions, and filter selectivity
+    — instead of falling back to raw file sizes. At 100 TB this is a nightly
+    metadata job over the warehouse tables, not a per-query cost: one scan
+    per table, stats amortized across every subsequent plan. AQE re-plans
+    from RUNTIME shuffle sizes and complements (not replaces) this: CBO
+    shapes the initial join tree before any stage has run."""
+    for t in tables:
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
 
 
 def write_bucketed(

@@ -1,0 +1,121 @@
+"""Oracle-checked queries over NON-parquet sources — the source formats the
+reference exercises (CSV: ``tests/regexp-tests.rs:14``, ``readme.md:46``)
+plus JSON-lines, the one common ingest format that previously had no
+``queries()`` entry.
+
+Both are full members of the driver correctness gate:
+
+- the CSV query reads the reference's own golden file and lets DuckDB read
+  the SAME file (``read_csv_auto``) — source parity checked end to end, not
+  just "the file opens";
+- the JSONL query round-trips ``documents`` through a Spark-written
+  JSON-lines dataset and aggregates the read-back copy, while the oracle
+  computes the same aggregate from the original parquet — any loss in the
+  write→read cycle (encoding, null handling, line splitting on embedded
+  newlines) shows up as a value mismatch.
+
+Scale notes: JSON scan is Jackson row-at-a-time — 5-10× slower than parquet
+and schema inference double-scans, so the reader passes an EXPLICIT schema
+(one pass, no inference job) and the write partitions by the session default
+(32 files here; at 100 TB the upstream writer's layout). CSV inference is
+kept only because matching the reference's ``read_csv`` behavior is the
+point of that query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datafusion_impl_spark.sources.registry import load_table, read_csv
+
+__all__ = ["QUERIES", "ORACLES"]
+
+#: The reference's golden CSV (text,expected) — read-only input.
+_REF_CSV = "/root/reference/tests/test-data.csv"
+
+#: Where the JSONL round-trip materializes. /tmp, never the read-only
+#: testdata tree; keyed by scale-factor directory name so concurrent
+#: harnesses at different SFs don't clobber each other.
+_JSONL_ROOT = "/tmp/datafusion_impl_spark_jsonl"
+
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def csv_reference_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with schema inference through the builtin regexp fast path —
+    the reference's CSV pipeline (``tests/regexp-tests.rs:14-33``) as an
+    oracle-checked query (the reference itself only ``show()``s; its
+    ``expected`` column is asserted here by the DuckDB comparison reading
+    the same file). sf-independent by design: the source file IS the
+    fixture."""
+    df = read_csv(spark, _REF_CSV)
+    return df.select(
+        "text",
+        F.col("expected").cast("long").alias("expected"),
+        F.regexp_extract("text", r"(\d+)-(\d+)", 1).alias("extracted"),
+    ).orderBy("text")
+
+
+_CSV_GOLDEN_SQL = rf"""
+SELECT text,
+       CAST(expected AS BIGINT) AS expected,
+       regexp_extract(text, '(\d+)-(\d+)', 1) AS extracted
+FROM read_csv_auto('{_REF_CSV}')
+ORDER BY text
+"""
+
+
+def jsonl_documents_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → JSON-lines on disk → read back (explicit schema) →
+    per-(lang, source) aggregate. The oracle aggregates the ORIGINAL parquet,
+    so equality proves the JSONL cycle is lossless — including texts with
+    embedded newlines, which the JSON writer escapes to keep one record per
+    line."""
+    path = os.path.join(_JSONL_ROOT, os.path.basename(sf_dir.rstrip("/")), "documents")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(_DOCS_SCHEMA).json(path)
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(F.length("text")).cast("long").alias("sum_text_len"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_JSONL_ROUNDTRIP_SQL = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+QUERIES = {
+    "csv_reference_golden": csv_reference_golden,
+    "jsonl_documents_roundtrip": jsonl_documents_roundtrip,
+}
+
+ORACLES = {
+    "csv_reference_golden": _CSV_GOLDEN_SQL,
+    "jsonl_documents_roundtrip": _JSONL_ROUNDTRIP_SQL,
+}

@@ -92,6 +92,30 @@ def test_kernel_golden_rows():
     assert _kernel(rows) == [e for _, e in GOLDEN]
 
 
+def test_kernel_reference_dialect_rejects_nonregular():
+    """Rust `regex` (the reference) fails Regex::new on lookaround and
+    backreferences, so contract point 6 maps them to '' — even though Python
+    `re` would compile them. Patterns that merely resemble the constructs
+    (non-capturing groups, class members, escaped backslashes) still work."""
+    rejected = [
+        ("foo123", r"foo(?=\d)", 0),     # lookahead
+        ("foo123", r"foo(?!x)", 0),      # negative lookahead
+        ("xy", r"(?<=x)y", 0),           # lookbehind
+        ("xy", r"(?<!a)y", 0),           # negative lookbehind
+        ("abab", r"(ab)\1", 0),          # numeric backreference
+        ("aa", r"(?P<c>a)(?P=c)", 0),    # named backreference
+    ]
+    assert _kernel(rejected) == [""] * len(rejected)
+    accepted = [
+        ("test-123", r"(?:test)-(\d+)", 1),   # non-capturing group
+        ("a=b", r"[(?=]", 0),                 # character class with ( ? =
+        ("x\\1y", r"\\1", 0),                 # escaped backslash + digit
+        ("name: bob", r"(?P<who>\w+)$", 1),   # named GROUP is fine
+        ("CASE", r"(?i)case", 0),             # inline flag is fine
+    ]
+    assert _kernel(accepted) == ["123", "=", "\\1", "bob", "CASE"]
+
+
 # --- layer 2: end-to-end through SQL and DataFrame API ---------------------
 
 @pytest.fixture(scope="module")
@@ -166,17 +190,26 @@ def test_error_handling_invalid_regex_sql(rx_spark):
 
 
 def test_performance_smoke_10k_rows(rx_spark):
-    """10k generated rows through the engine (regexp-tests.rs:104-147).
-    Like the reference: asserts correctness of first rows, no time threshold."""
-    df = rx_spark.range(10000).select(
-        F.concat(F.lit("test-"), F.col("id").cast("string"), F.lit("-data")).alias("text")
-    )
-    got = (
-        df.select(F.regexp_extract("text", r"-(\d+)-", 1).alias("extracted"))
-        .limit(3)
-        .collect()
-    )
-    assert [r.extracted for r in got] == ["0", "1", "2"]
+    """10k-row inline VALUES table through BOTH the builtin fast path and the
+    parity UDF — the reference's perf smoke shape verbatim
+    (regexp-tests.rs:104-147: generate VALUES, run the UDF, assert the first
+    rows, print timing with no threshold). The VALUES source matters: it
+    exercises the SQL parser + LocalRelation path (no file scan), the one
+    reference test shape with no prior analogue here."""
+    import time
+
+    values_sql = ",".join(f"('test-{i}-data')" for i in range(10000))
+    for fn, label in ((("regexp_extract"), "builtin"), ((SAFE_UDF_NAME), "safe_udf")):
+        start = time.perf_counter()
+        rows = rx_spark.sql(
+            f"SELECT {fn}(text, '-(\\\\d+)-', 1) AS extracted"
+            f" FROM (VALUES {values_sql}) AS t(text)"
+        ).collect()
+        elapsed = time.perf_counter() - start
+        assert len(rows) == 10000
+        assert [r.extracted for r in rows[:3]] == ["0", "1", "2"]
+        print(f"perf smoke [{label}]: 10000 rows in {elapsed:.3f}s "
+              f"({elapsed / 10000 * 1e6:.1f}µs/row)")
 
 
 def test_concurrent_queries_shared_session(rx_spark):

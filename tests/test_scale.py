@@ -241,6 +241,81 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS bt_lineitem")
 
 
+# --- cost-based optimizer (catalog statistics) -------------------------------
+
+def test_cbo_stats_inform_the_plan(spark):
+    """ANALYZE TABLE + spark.sql.cbo must flow catalog statistics into the
+    optimizer: with stats + CBO on, the optimized plan carries a row-count
+    estimate derived from COLUMN stats (the groupBy(n_name) estimate equals
+    nation's n_name NDV, not a file-size guess) — with CBO off the same plan
+    has no rowCount at all. This is the nightly-ANALYZE + CBO posture a
+    100 TB warehouse runs; AQE complements it at runtime but cannot shape
+    the initial join tree."""
+    import shutil
+
+    for t, cols in (
+        ("customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
+        ("orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+        ("nation", ["n_nationkey", "n_name"]),
+    ):
+        # an interrupted earlier run can leave the warehouse dir without a
+        # metastore entry; saveAsTable refuses orphan locations
+        spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
+        shutil.rmtree(f"spark-warehouse/cbo_{t}", ignore_errors=True)
+        load_table(spark, SF_DIR, t).select(*cols).write.mode(
+            "overwrite"
+        ).saveAsTable(f"cbo_{t}")
+    old = {
+        c: spark.conf.get(c, None)
+        for c in ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    }
+    try:
+        scale.analyze_tables(spark, "cbo_customer", "cbo_orders", "cbo_nation")
+        # table-level stats recorded in the catalog
+        desc = spark.sql("DESCRIBE TABLE EXTENDED cbo_customer").collect()
+        stats_rows = [r.data_type for r in desc if r.col_name == "Statistics"]
+        n_cust = load_table(spark, SF_DIR, "customer").count()
+        assert stats_rows and f"{n_cust} rows" in stats_rows[0]
+
+        def _stats(cbo: bool):
+            spark.conf.set("spark.sql.cbo.enabled", str(cbo).lower())
+            spark.conf.set("spark.sql.cbo.joinReorder.enabled", str(cbo).lower())
+            o, c, n = (
+                spark.table("cbo_orders"),
+                spark.table("cbo_customer"),
+                spark.table("cbo_nation"),
+            )
+            j = (
+                o.join(c, o.o_custkey == c.c_custkey)
+                .join(n, c.c_nationkey == n.n_nationkey)
+                .groupBy("n_name")
+                .count()
+            )
+            return j, j._jdf.queryExecution().optimizedPlan().stats()
+
+        j_on, st_on = _stats(True)
+        assert st_on.rowCount().isDefined()
+        # 25 = nation.n_name NDV from ANALYZE ... FOR ALL COLUMNS: the
+        # estimate is column-stat-derived, not a size heuristic
+        assert st_on.rowCount().get() == 25
+        assert st_on.attributeStats().size() > 0
+        assert "BroadcastHashJoin" in _plan(j_on)
+        rows_on = sorted((r.n_name, r["count"]) for r in j_on.collect())
+
+        j_off, st_off = _stats(False)
+        assert not st_off.rowCount().isDefined()
+        # CBO changes estimates, never results
+        assert rows_on == sorted((r.n_name, r["count"]) for r in j_off.collect())
+    finally:
+        for c, v in old.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
+        for t in ("cbo_customer", "cbo_orders", "cbo_nation"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 # --- partitioned layout + pruning -------------------------------------------
 
 def test_write_partitioned_prunes_on_read(spark, tmp_path):
