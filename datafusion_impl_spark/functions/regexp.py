@@ -1,4 +1,4 @@
-"""``regexp_extract`` — the reference engine's one custom scalar operator.
+r"""``regexp_extract`` — the reference engine's one custom scalar operator.
 
 Reference contract (SURVEY.md §2.1; kernel at
 ``/root/reference/src/regexp-extract.rs:51-115``, behavior restated at

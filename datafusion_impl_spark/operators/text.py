@@ -552,6 +552,212 @@ ORDER BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# 10. PII detection + redaction
+# --------------------------------------------------------------------------
+
+#: Detection patterns — the common subset of Java regex (Spark) and RE2
+#: (DuckDB): character classes, bounded repetition, \b word boundaries; no
+#: lookaround, so both engines compile them and agree.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b555-\d{4}\b"
+_PII_IP = r"\b192\.168\.\d{1,3}\.\d{1,3}\b"
+
+
+def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministically planted PII: every 13th doc gains an
+    email, every 17th a phone number, every 19th an internal IP (a doc can
+    gain several). The synthetic corpus contains no organic PII, so planting
+    gives the detector real positives — and exact negatives: un-planted docs
+    must report zero, which the oracle (same planting in SQL) enforces."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    email = F.concat(
+        F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")
+    )
+    phone = F.concat(
+        F.lit(" call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit(" from 192.168."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    text = F.col("text")
+    text = F.when(F.col("doc_id") % 13 == 0, F.concat(text, email)).otherwise(text)
+    text = F.when(F.col("doc_id") % 17 == 0, F.concat(text, phone)).otherwise(text)
+    text = F.when(F.col("doc_id") % 19 == 0, F.concat(text, ip)).otherwise(text)
+    return docs.select("doc_id", "lang", text.alias("text"))
+
+
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub report: per language, documents containing each PII type,
+    total matches, and characters removed by redacting all three types to
+    fixed placeholder tags. Pure Catalyst (regexp_extract_all /
+    regexp_replace in codegen) — scan → project → one shuffle on ``lang``;
+    the redacted text itself never shuffles."""
+    corpus = _pii_corpus(spark, sf_dir)
+    n_email = F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), 0))
+    n_phone = F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), 0))
+    n_ip = F.size(F.regexp_extract_all("text", F.lit(_PII_IP), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    per_doc = corpus.select(
+        "lang",
+        n_email.alias("n_email"),
+        n_phone.alias("n_phone"),
+        n_ip.alias("n_ip"),
+        (F.length("text") - F.length(redacted)).alias("chars_delta"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_email") > 0).cast("long")).alias("n_email_docs"),
+            F.sum((F.col("n_phone") > 0).cast("long")).alias("n_phone_docs"),
+            F.sum((F.col("n_ip") > 0).cast("long")).alias("n_ip_docs"),
+            F.sum("n_email").cast("long").alias("n_emails"),
+            F.sum("n_phone").cast("long").alias("n_phones"),
+            F.sum("n_ip").cast("long").alias("n_ips"),
+            F.sum("chars_delta").cast("long").alias("chars_redacted"),
+        )
+        .orderBy("lang")
+    )
+
+
+_PII_SQL = rf"""
+WITH corpus AS (
+  SELECT doc_id, lang,
+         text
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 19 = 0
+                 THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                 ELSE '' END AS text
+  FROM documents),
+per_doc AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+         len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+         len(regexp_extract_all(text, '{_PII_IP}')) AS n_ip,
+         length(text) - length(
+           regexp_replace(regexp_replace(regexp_replace(
+             text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g')) AS chars_delta
+  FROM corpus)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs,
+       CAST(SUM(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_phone_docs,
+       CAST(SUM(CASE WHEN n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ip_docs,
+       CAST(SUM(n_email) AS BIGINT) AS n_emails,
+       CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+       CAST(SUM(n_ip) AS BIGINT) AS n_ips,
+       CAST(SUM(chars_delta) AS BIGINT) AS chars_redacted
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# 11. Repetition / boilerplate quality signals (Gopher-style)
+# --------------------------------------------------------------------------
+
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language repetition signals used for boilerplate filtering:
+    duplicate-word fraction (1 − distinct/total tokens) and top-bigram
+    fraction (most frequent bigram / all bigrams), averaged per language,
+    plus how many docs exceed a flag threshold on either. The bigram
+    explode shuffles on ``doc_id`` (uniform key) and every later aggregate
+    is partial-before-shuffle, so at 100 TB the cost is two linear passes —
+    no quadratic step, no Python."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = docs.select("doc_id", "lang", tokens("text").alias("t"))
+    per_doc = toks.select(
+        "doc_id",
+        "lang",
+        F.size("t").alias("n_tok"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+        F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+        ).alias("bigrams"),
+    )
+    top_bigram = (
+        per_doc.select("doc_id", F.explode("bigrams").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_bigram_cnt"))
+    )
+    scored = (
+        per_doc.join(top_bigram, "doc_id", "left")
+        .select(
+            "lang",
+            (1 - F.col("n_distinct") / F.col("n_tok")).alias("dup_word_frac"),
+            (
+                F.coalesce(F.col("top_bigram_cnt"), F.lit(0))
+                / F.greatest(F.col("n_tok") - 1, F.lit(1))
+            ).alias("top_bigram_frac"),
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dup_word_frac"), 4).alias("avg_dup_word_frac"),
+            F.round(F.avg("top_bigram_frac"), 4).alias("avg_top_bigram_frac"),
+            F.sum((F.col("dup_word_frac") > 0.8).cast("long")).alias("n_repetitive"),
+            F.sum((F.col("top_bigram_frac") > 0.1).cast("long")).alias("n_boilerplate"),
+        )
+        .orderBy("lang")
+    )
+
+
+_REPETITION_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang, {_DUCK_TOKENS.format(col='text')} AS t FROM documents),
+per_doc AS (
+  SELECT doc_id, lang, len(t) AS n_tok, len(list_distinct(t)) AS n_distinct,
+         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS bigrams
+  FROM toks),
+top2 AS (
+  SELECT doc_id, MAX(cnt) AS top_bigram_cnt FROM (
+    SELECT doc_id, bigram, COUNT(*) AS cnt
+    FROM (SELECT doc_id, unnest(bigrams) AS bigram FROM per_doc)
+    GROUP BY doc_id, bigram)
+  GROUP BY doc_id),
+scored AS (
+  SELECT p.lang,
+         1 - CAST(p.n_distinct AS DOUBLE) / p.n_tok AS dup_word_frac,
+         CAST(COALESCE(t.top_bigram_cnt, 0) AS DOUBLE)
+           / GREATEST(p.n_tok - 1, 1) AS top_bigram_frac
+  FROM per_doc p LEFT JOIN top2 t USING (doc_id))
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(dup_word_frac), 4) AS avg_dup_word_frac,
+       ROUND(AVG(top_bigram_frac), 4) AS avg_top_bigram_frac,
+       CAST(SUM(CASE WHEN dup_word_frac > 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repetitive,
+       CAST(SUM(CASE WHEN top_bigram_frac > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boilerplate
+FROM scored
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_tfidf_top_terms": text_tfidf_top_terms,
@@ -562,6 +768,8 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
+    "text_pii_redaction": text_pii_redaction,
+    "text_repetition_stats": text_repetition_stats,
 }
 
 ORACLES = {
@@ -574,4 +782,6 @@ ORACLES = {
     "text_quality_score": _QUALITY_SQL,
     "text_token_count": _TOKEN_COUNT_SQL,
     "text_fingerprint": _FINGERPRINT_SQL,
+    "text_pii_redaction": _PII_SQL,
+    "text_repetition_stats": _REPETITION_SQL,
 }

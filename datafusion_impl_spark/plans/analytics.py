@@ -1051,6 +1051,152 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Hypertable-style time rollup / column profiler / exact percentiles
+# --------------------------------------------------------------------------
+
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time-bucket rollup (the timescale "continuous
+    aggregate" shape): one GROUPING SETS pass emits BOTH the hourly and the
+    daily aggregate — at 100 TB a single scan feeds every granularity
+    instead of one scan per rollup level, and partial aggregation runs
+    map-side before the one shuffle."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_tr")
+    return spark.sql(
+        """
+        SELECT CAST(ts AS DATE) AS day, date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               ROUND(SUM(value), 4) AS sum_value,
+               CAST(GROUPING(date_trunc('hour', ts)) AS INT) AS g_hour
+        FROM events_tr
+        GROUP BY GROUPING SETS (
+            (CAST(ts AS DATE)),
+            (CAST(ts AS DATE), date_trunc('hour', ts)))
+        """
+    )
+
+
+_TIME_ROLLUP_SQL = """
+SELECT CAST(ts AS DATE) AS day, date_trunc('hour', ts) AS hour,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 4) AS sum_value,
+       CAST(GROUPING(date_trunc('hour', ts)) AS INT) AS g_hour
+FROM events
+GROUP BY GROUPING SETS (
+    (CAST(ts AS DATE)),
+    (CAST(ts AS DATE), date_trunc('hour', ts)))
+"""
+
+
+#: (column, kind) spec shared by the Spark profiler and its oracle builder.
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "date"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_norm(c: str, kind: str) -> str:
+    """Portable min/max rendering: numerics via DECIMAL(18,2) (identical
+    '1.00'-style strings in Spark and DuckDB — raw double→string formatting
+    diverges), temporals via DATE, strings as-is."""
+    if kind == "num":
+        return f"CAST(CAST(ROUND({{agg}}({c}), 2) AS DECIMAL(18,2)) AS STRING)"
+    if kind == "date":
+        return f"CAST(CAST({{agg}}({c}) AS DATE) AS STRING)"
+    return f"{{agg}}({c})"
+
+
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style single-pass column profiler over ``orders``: per column,
+    null count, distinct count, normalized min/max — the data-quality gate a
+    pipeline runs before training ingestion. ONE aggregate scans the table
+    once (Catalyst plans multi-distinct via Expand, still a single pass);
+    ``stack`` then pivots the metric row long — no per-column re-scan, which
+    is the difference between 1× and 6× table reads at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        norm = _profile_norm(c, kind)
+        metrics += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.expr(norm.format(agg="MIN")).alias(f"mn_{c}"),
+            F.expr(norm.format(agg="MAX")).alias(f"mx_{c}"),
+        ]
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c, _ in _PROFILE_COLS
+    )
+    return (
+        o.agg(*metrics)
+        .select(
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+                "(column_name, n_null, n_distinct, min_val, max_val)"
+            ),
+            "n_rows",
+        )
+        .select("column_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+        .orderBy("column_name")
+    )
+
+
+def _profile_oracle() -> str:
+    per_col = []
+    for c, kind in _PROFILE_COLS:
+        norm = _profile_norm(c, kind).replace(" AS STRING)", " AS VARCHAR)")
+        per_col.append(
+            f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows,\n"
+            f"       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,\n"
+            f"       COUNT(DISTINCT {c}) AS n_distinct,\n"
+            f"       {norm.format(agg='MIN')} AS min_val,\n"
+            f"       {norm.format(agg='MAX')} AS max_val\n"
+            f"FROM orders"
+        )
+    return "\nUNION ALL\n".join(per_col) + "\nORDER BY column_name"
+
+
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p25/p50/p75/p90/p99) of order value
+    per priority — Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    share linear-interpolation semantics, so the comparison is exact after
+    the repo's standard ROUND(…, 4). At 100 TB swap in
+    ``percentile_approx`` (bounded-memory sketch, already covered by
+    ``approx_distinct_parts``-style tolerance tests); the exact form here
+    keeps the oracle byte-comparable."""
+    o = load_table(spark, sf_dir, "orders")
+    qs = o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.9D, 0.99D))"
+        ).alias("qs")
+    )
+    return (
+        qs.select("o_orderpriority", F.posexplode("qs").alias("pos", "q"))
+        .select(
+            "o_orderpriority",
+            (F.col("pos") + 1).cast("long").alias("pos"),
+            F.round("q", 4).alias("price_q"),
+        )
+        .orderBy("o_orderpriority", "pos")
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       CAST(generate_subscripts(qs, 1) AS BIGINT) AS pos,
+       ROUND(unnest(qs), 4) AS price_q
+FROM (SELECT o_orderpriority,
+             quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.9, 0.99]) AS qs
+      FROM orders GROUP BY o_orderpriority)
+ORDER BY o_orderpriority, pos
+"""
+
+
 QUERIES = {
     "window_top_orders_per_customer": window_top_orders_per_customer,
     "window_running_revenue": window_running_revenue,
@@ -1086,6 +1232,9 @@ QUERIES = {
     "salted_join_event_segments": salted_join_event_segments,
     "string_agg_nations_per_region": string_agg_nations_per_region,
     "approx_distinct_parts": approx_distinct_parts,
+    "events_time_rollup": events_time_rollup,
+    "profile_orders_columns": profile_orders_columns,
+    "order_price_percentiles": order_price_percentiles,
 }
 
 ORACLES = {
@@ -1123,4 +1272,7 @@ ORACLES = {
     "salted_join_event_segments": _SALTED_JOIN_SQL,
     "string_agg_nations_per_region": _STRING_AGG_SQL,
     # approx_distinct_parts: rows-only (sketches differ across engines)
+    "events_time_rollup": _TIME_ROLLUP_SQL,
+    "profile_orders_columns": _profile_oracle(),
+    "order_price_percentiles": _PERCENTILES_SQL,
 }
