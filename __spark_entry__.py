@@ -29,6 +29,7 @@ from datafusion_impl_spark.plans import regexp as _regexp
 from datafusion_impl_spark.plans import tpch as _tpch
 from datafusion_impl_spark.plans import tpch2 as _tpch2
 from datafusion_impl_spark.plans import tpch3 as _tpch3
+from datafusion_impl_spark.plans import tpch4 as _tpch4
 from datafusion_impl_spark.sources import queries as _source_queries
 from datafusion_impl_spark import streaming as _streaming
 
@@ -48,6 +49,7 @@ _MODULES = [
     _tpch,
     _tpch2,
     _tpch3,
+    _tpch4,
     _joins_ext,
     _regexp,
     _analytics,

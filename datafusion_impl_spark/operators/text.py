@@ -679,39 +679,35 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language repetition signals used for boilerplate filtering:
     duplicate-word fraction (1 − distinct/total tokens) and top-bigram
     fraction (most frequent bigram / all bigrams), averaged per language,
-    plus how many docs exceed a flag threshold on either. The bigram
-    explode shuffles on ``doc_id`` (uniform key) and every later aggregate
-    is partial-before-shuffle, so at 100 TB the cost is two linear passes —
-    no quadratic step, no Python."""
+    plus how many docs exceed a flag threshold on either. The per-doc
+    top-bigram count is computed *inside* the row — sort the bigram array
+    and take the longest run of equal neighbors (max multiplicity) with an
+    ``aggregate`` scan — so the whole query is one scan → project →
+    groupBy(lang): a single shuffle of ~5 languages' partial aggregates,
+    no explode, no self-join. At 100 TB this is embarrassingly parallel;
+    per-doc cost is O(tokens · log tokens), all JVM-side."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     toks = docs.select("doc_id", "lang", tokens("text").alias("t"))
-    per_doc = toks.select(
-        "doc_id",
+    # Longest run of equal adjacent elements in the sorted bigram array ==
+    # count of the most frequent bigram. Single forward scan, no shuffle.
+    top_run = F.expr(
+        "aggregate("
+        " array_sort(transform(sequence(1, size(t) - 1),"
+        "   i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))),"
+        " struct(cast(0 as int) as run, cast(0 as int) as best,"
+        "        cast(null as string) as prev),"
+        " (acc, x) -> if(acc.prev is not null and x = acc.prev,"
+        "   struct(acc.run + 1 as run,"
+        "          greatest(acc.best, acc.run + 1) as best, x as prev),"
+        "   struct(1 as run, greatest(acc.best, 1) as best, x as prev)),"
+        " acc -> acc.best)"
+    )
+    scored = toks.select(
         "lang",
-        F.size("t").alias("n_tok"),
-        F.size(F.array_distinct("t")).alias("n_distinct"),
-        F.expr(
-            "transform(sequence(1, size(t) - 1),"
-            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
-        ).alias("bigrams"),
-    )
-    top_bigram = (
-        per_doc.select("doc_id", F.explode("bigrams").alias("bigram"))
-        .groupBy("doc_id", "bigram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.max("cnt").alias("top_bigram_cnt"))
-    )
-    scored = (
-        per_doc.join(top_bigram, "doc_id", "left")
-        .select(
-            "lang",
-            (1 - F.col("n_distinct") / F.col("n_tok")).alias("dup_word_frac"),
-            (
-                F.coalesce(F.col("top_bigram_cnt"), F.lit(0))
-                / F.greatest(F.col("n_tok") - 1, F.lit(1))
-            ).alias("top_bigram_frac"),
-        )
+        (1 - F.size(F.array_distinct("t")) / F.size("t")).alias("dup_word_frac"),
+        (
+            top_run / F.greatest(F.size("t") - 1, F.lit(1))
+        ).alias("top_bigram_frac"),
     )
     return (
         scored.groupBy("lang")
