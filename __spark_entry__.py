@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from datafusion_impl_spark.operators import curation as _curation
 from datafusion_impl_spark.operators import dedup as _dedup
 from datafusion_impl_spark.operators import graph as _graph
 from datafusion_impl_spark.operators import multimodal as _multimodal
@@ -43,6 +44,7 @@ _MODULES = [
     _similarity,
     _text,
     _sampling,
+    _curation,
     _structured,
     _multimodal,
     _streaming,

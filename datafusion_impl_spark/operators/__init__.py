@@ -6,6 +6,9 @@
                        SimHash near-dup
 - :mod:`.similarity` — brute-force cosine top-k, IVF top-k,
                        sign-random-projection LSH near-dup pairs
+- :mod:`.curation`   — paragraph-level dedup, URL canonicalization dedup,
+                       temperature-scaled source mixing, int8 embedding
+                       quantization
 - :mod:`.structured` — JSON/struct column handling (events.props)
 - :mod:`.multimodal` — binary media columns + Arrow-batched feature
                        extraction plumbing (decoders stubbed; no image/audio

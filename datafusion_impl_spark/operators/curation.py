@@ -1,0 +1,346 @@
+"""Corpus-curation operators a production pre-training pipeline runs between
+raw crawl and tokenization: paragraph-level (sub-document) dedup, URL
+canonicalization + dedup, temperature-scaled source mixing weights, and int8
+embedding quantization with a reconstruction-error report.
+
+These complement :mod:`.dedup` (document-level) — MassiveText/RefinedWeb-style
+pipelines dedup at BOTH granularities: URL first (cheapest key), then exact /
+near document, then repeated paragraphs across documents.
+
+100 TB posture:
+- paragraph dedup: chunk → md5 hash → first-occurrence rank *per hash key*
+  (`Window.partitionBy(hash)`) — the window key is a uniform 60-bit hash, so
+  no partition ever exceeds the duplicate-group size; one shuffle on the
+  hash, one shuffle for the per-source report.
+- URL dedup: pure-Catalyst normalization (lower/regexp_replace in codegen)
+  then the same hash-partitioned first-occurrence rank. Never a global sort.
+- mixture weights: one groupBy(source) over a projection of (source, tokens)
+  — map-side partial agg makes the shuffle 20 rows; the normalizing total is
+  a 1-row broadcast.
+- quantization: per-dimension min/max is a 64-row aggregate (map-side
+  combine), broadcast back; the error report is a second linear pass. No
+  step holds more than (dims) rows of state per task.
+
+Cross-engine determinism: chunk/URL survivor choice is a row_number over the
+total order (doc_id, chunk_idx) — no ties possible; quantization arithmetic
+is single-operation double math per element (bit-identical IEEE754 in both
+engines); cross-row double sums are ROUND()ed per the repo ruleset, and
+per-element error *maxima* (exact, order-insensitive) carry the precise
+signal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_impl_spark.operators import duck_md5_long, md5_long
+from datafusion_impl_spark.operators.text import _DUCK_TOKENS, tokens
+from datafusion_impl_spark.sources.registry import load_table
+
+__all__ = ["QUERIES", "ORACLES"]
+
+#: tokens per paragraph chunk. Real pipelines split on newlines; the
+#: synthetic corpus has none, so fixed token windows stand in as the
+#: paragraph boundary — the dedup machinery (hash → first-occurrence rank →
+#: per-source report) is identical either way.
+_CHUNK_TOKENS = 10
+
+#: temperature for source mixing (UnifiedQA/XLM-R style: p_i ∝ n_i^alpha —
+#: alpha < 1 upweights small sources).
+_MIX_ALPHA = 0.5
+
+#: token budget used to express mixture weights as effective epochs.
+_MIX_BUDGET_FRACTION = 0.5
+
+
+# --------------------------------------------------------------------------
+# 1. Paragraph-level dedup
+# --------------------------------------------------------------------------
+
+def dedup_paragraphs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: split every doc into 10-token chunks, keep only
+    the globally FIRST occurrence of each distinct chunk (ordered by
+    (doc_id, chunk_idx) — a total order, so the survivor is unique and
+    engine-independent), and report per source how much text survives.
+
+    The first-occurrence rank is a window over the chunk *hash* — uniform
+    key, bounded groups — never a global sort."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = docs.select("doc_id", "source", tokens("text").alias("t")).filter(
+        F.size("t") > 0
+    )
+    chunks = toks.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, int(ceil(size(t) / {_CHUNK_TOKENS}.0))),"
+                f" i -> concat_ws(' ', slice(t, (i - 1) * {_CHUNK_TOKENS} + 1,"
+                f" {_CHUNK_TOKENS})))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    ranked = chunks.withColumn("h", md5_long(F.col("chunk"))).withColumn(
+        "keep", (F.row_number().over(w) == 1).cast("long")
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("keep").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("keep")).alias("n_removed"),
+            F.round(F.sum("keep") / F.count(F.lit(1)), 4).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+_PARA_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_DUCK_TOKENS.format(col='text')} AS t FROM documents),
+chunk_lists AS (
+  SELECT doc_id, source,
+         list_transform(range(1, CAST(ceil(len(t) / {_CHUNK_TOKENS}.0) AS BIGINT) + 1),
+                        i -> array_to_string(list_slice(t, (i - 1) * {_CHUNK_TOKENS} + 1,
+                                                        i * {_CHUNK_TOKENS}), ' ')) AS chunks
+  FROM toks WHERE len(t) > 0),
+chunks AS (
+  SELECT doc_id, source,
+         generate_subscripts(chunks, 1) AS chunk_idx,
+         unnest(chunks) AS chunk
+  FROM chunk_lists),
+ranked AS (
+  SELECT source,
+         CASE WHEN ROW_NUMBER() OVER (
+             PARTITION BY {duck_md5_long('chunk')}
+             ORDER BY doc_id, chunk_idx) = 1 THEN 1 ELSE 0 END AS keep
+  FROM chunks)
+SELECT source, COUNT(*) AS n_chunks,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_removed,
+       ROUND(CAST(SUM(keep) AS DOUBLE) / COUNT(*), 4) AS kept_frac
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# 2. URL canonicalization + dedup
+# --------------------------------------------------------------------------
+
+#: Planted URL corpus (the documents table has no URL column): every doc gets
+#: a deterministic URL; mutations create canonical-equal variants —
+#: doc_id % 3 → tracking query string, % 5 → uppercased host, % 7 → trailing
+#: slash. Path collides within a source (floor(doc_id/20) % 8) so
+#: canonicalization actually merges rows. Oracle plants identically.
+_URL_TRACK = r"\?.*$"
+
+
+def _url_corpus(docs: DataFrame) -> DataFrame:
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    host = F.when(F.col("doc_id") % 5 == 0, F.upper(host)).otherwise(host)
+    path = F.concat(F.lit("/p"), (F.floor(F.col("doc_id") / 20) % 8).cast("string"))
+    path = F.when(F.col("doc_id") % 7 == 0, F.concat(path, F.lit("/"))).otherwise(path)
+    track = F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed")).otherwise(
+        F.lit("")
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.concat(F.lit("https://"), host, path, track).alias("url"),
+    )
+
+
+def dedup_documents_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL dedup, the cheapest pass in a crawl pipeline: canonicalize
+    (lowercase host, strip tracking params, strip trailing slash) and keep
+    the lowest-doc_id row per canonical URL. All normalization is
+    regexp/lower in codegen; the survivor rank partitions on the canonical
+    URL (bounded groups), and the report is one groupBy(source)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    urls = _url_corpus(docs)
+    canon = F.regexp_replace(
+        F.regexp_replace(F.lower("url"), _URL_TRACK, ""), r"/$", ""
+    )
+    w = Window.partitionBy("canonical").orderBy("doc_id")
+    ranked = urls.withColumn("canonical", canon).withColumn(
+        "keep", (F.row_number().over(w) == 1).cast("long")
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canonical").alias("n_canonical"),
+            F.sum("keep").alias("n_survivors"),
+            (F.count(F.lit(1)) - F.sum("keep")).alias("n_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+_URL_SQL = rf"""
+WITH urls AS (
+  SELECT doc_id, source,
+         'https://'
+         || CASE WHEN doc_id % 5 = 0
+                 THEN UPPER(source || '.example.com')
+                 ELSE source || '.example.com' END
+         || '/p' || CAST((doc_id // 20) % 8 AS VARCHAR)
+         || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' ELSE '' END AS url
+  FROM documents),
+ranked AS (
+  SELECT source,
+         regexp_replace(regexp_replace(LOWER(url), '{_URL_TRACK}', ''),
+                        '/$', '') AS canonical,
+         CASE WHEN ROW_NUMBER() OVER (
+             PARTITION BY regexp_replace(regexp_replace(LOWER(url),
+                 '{_URL_TRACK}', ''), '/$', '')
+             ORDER BY doc_id) = 1 THEN 1 ELSE 0 END AS keep
+  FROM urls)
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT canonical) AS n_canonical,
+       CAST(SUM(keep) AS BIGINT) AS n_survivors,
+       CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_removed
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# 3. Temperature-scaled source mixture weights
+# --------------------------------------------------------------------------
+
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing table for training: per source, token count n_i, the
+    temperature-scaled sampling probability p_i ∝ n_i^alpha (alpha = 0.5
+    upweights small sources), and the effective epoch count at a fixed token
+    budget (budget·p_i / n_i — how many times the source repeats). Token
+    counts are exact BIGINTs; pow/divide are single double ops; the
+    normalizing total is a 1-row broadcast cross-join."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    per_source = (
+        docs.select("source", F.size(tokens("text")).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+        .withColumn("w", F.pow(F.col("n_tokens").cast("double"), _MIX_ALPHA))
+    )
+    totals = per_source.agg(
+        F.sum("w").alias("w_total"), F.sum("n_tokens").alias("corpus_tokens")
+    )
+    p = F.col("w") / F.col("w_total")
+    budget = F.col("corpus_tokens").cast("double") * _MIX_BUDGET_FRACTION
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(p, 4).alias("sample_prob"),
+            F.round(budget * p / F.col("n_tokens").cast("double"), 4).alias(
+                "effective_epochs"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_MIX_SQL = f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(SUM(len({_DUCK_TOKENS.format(col='text')})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+weighted AS (
+  SELECT source, n_tokens, POW(CAST(n_tokens AS DOUBLE), {_MIX_ALPHA}) AS w
+  FROM per_source),
+totals AS (
+  SELECT SUM(w) AS w_total, SUM(n_tokens) AS corpus_tokens FROM weighted)
+SELECT source, n_tokens,
+       ROUND(w / w_total, 4) AS sample_prob,
+       ROUND(CAST(corpus_tokens AS DOUBLE) * {_MIX_BUDGET_FRACTION} * (w / w_total)
+             / CAST(n_tokens AS DOUBLE), 4) AS effective_epochs
+FROM weighted, totals
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# 4. int8 embedding quantization + reconstruction-error report
+# --------------------------------------------------------------------------
+
+def embedding_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (per-dimension min/max) int8 quantization of the embedding
+    table — the storage form an ANN service actually serves — with a
+    per-label reconstruction-error report. Pass 1 computes 64 (dim, lo, hi)
+    rows (map-side combined); pass 2 re-quantizes each element against the
+    broadcast ranges and aggregates error. ``max_abs_err`` is an exact
+    order-insensitive double; the mean squared error is summed then rounded
+    per the repo's double ruleset (reported ×10⁶ so rounding keeps
+    signal)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    elems = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    )
+    ranges = elems.groupBy("dim").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    scale = (F.col("hi") - F.col("lo")) / 255.0
+    q = F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
+        F.round((F.col("v") - F.col("lo")) / scale, 0)
+    )
+    deq = F.col("lo") + q * scale
+    err = F.col("v") - deq
+    return (
+        elems.join(F.broadcast(ranges), "dim")
+        .select("label", err.alias("err"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vals"),
+            F.round(F.max(F.abs(F.col("err"))), 6).alias("max_abs_err"),
+            F.round(F.avg(F.col("err") * F.col("err")) * 1e6, 2).alias("mse_x1e6"),
+        )
+        .orderBy("label")
+    )
+
+
+_QUANT_SQL = """
+WITH elems AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings),
+ranges AS (
+  SELECT dim, MIN(v) AS lo, MAX(v) AS hi FROM elems GROUP BY dim),
+errs AS (
+  SELECT label,
+         v - (lo + CASE WHEN hi = lo THEN 0.0
+                        ELSE ROUND((v - lo) / ((hi - lo) / 255.0), 0) END
+                   * ((hi - lo) / 255.0)) AS err
+  FROM elems JOIN ranges USING (dim))
+SELECT label, COUNT(*) AS n_vals,
+       ROUND(MAX(ABS(err)), 6) AS max_abs_err,
+       ROUND(AVG(err * err) * 1e6, 2) AS mse_x1e6
+FROM errs
+GROUP BY label
+ORDER BY label
+"""
+
+
+QUERIES = {
+    "dedup_paragraphs_global": dedup_paragraphs_global,
+    "dedup_documents_url": dedup_documents_url,
+    "source_mixture_weights": source_mixture_weights,
+    "embedding_quantization_report": embedding_quantization_report,
+}
+
+ORACLES = {
+    "dedup_paragraphs_global": _PARA_SQL,
+    "dedup_documents_url": _URL_SQL,
+    "source_mixture_weights": _MIX_SQL,
+    "embedding_quantization_report": _QUANT_SQL,
+}
