@@ -334,3 +334,64 @@ def test_write_partitioned_prunes_on_read(spark, tmp_path):
     # correctness: pruned read returns exactly the F-status rows
     expected = orders.filter(F.col("o_orderstatus") == "F").count()
     assert pruned.count() == expected
+
+
+# --- curation / tranche-4 plan audits ---------------------------------------
+
+def test_repetition_stats_is_single_pass(spark):
+    """The rewritten repetition query computes the per-doc top-bigram count
+    inside the row (sorted-array longest-equal-run), so the plan must have
+    NO join and NO explode — one scan, one aggregation exchange."""
+    from datafusion_impl_spark.operators.text import text_repetition_stats
+
+    plan = _plan(text_repetition_stats(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no explode node
+
+
+def test_curation_dedup_windows_partition_by_key(spark):
+    """First-occurrence survivor ranks must window over the content key
+    (uniform hash / canonical URL) — bounded groups — never an
+    un-partitioned global window."""
+    from datafusion_impl_spark.operators.curation import (
+        dedup_documents_url,
+        dedup_paragraphs_global,
+    )
+
+    for q, key in ((dedup_paragraphs_global, "h#"), (dedup_documents_url, "canonical#")):
+        plan = _plan(q(spark, SF_DIR))
+        specs = [
+            frag.split("windowspecdefinition(")[1]
+            for frag in plan.split("Window ")[1:]
+            if "windowspecdefinition(" in frag.splitlines()[0]
+        ]
+        assert specs, q.__name__
+        for spec in specs:
+            assert key in spec, (q.__name__, spec)
+
+
+def test_quantization_ranges_broadcast(spark):
+    """The 64-row per-dimension range table must broadcast back onto the
+    exploded elements — a shuffled join here would re-partition the whole
+    element table (rows × dims) on a 64-value key."""
+    from datafusion_impl_spark.operators.curation import (
+        embedding_quantization_report,
+    )
+
+    plan = _plan(embedding_quantization_report(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch4_scalar_thresholds_use_windows_not_reaggregation(spark):
+    """Q2's per-part min and Q20's per-part total must come from a window
+    over the part key (one shuffle) rather than a join back to a separate
+    aggregation of the same subtree (two shuffles + a repeated scan)."""
+    from datafusion_impl_spark.plans.tpch4 import (
+        q2_min_cost_supplier,
+        q20_part_flow_suppliers,
+    )
+
+    for q in (q2_min_cost_supplier, q20_part_flow_suppliers):
+        plan = _plan(q(spark, SF_DIR))
+        assert "windowspecdefinition(" in plan, q.__name__
