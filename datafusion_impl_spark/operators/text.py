@@ -754,6 +754,78 @@ ORDER BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# 12. Perplexity-proxy quality filter (CCNet-style, unigram LM)
+# --------------------------------------------------------------------------
+
+#: cross-entropy flag threshold (nats). CCNet drops the worst-perplexity
+#: tail; with a shared-vocabulary synthetic corpus the per-doc unigram
+#: cross-entropy clusters near ln(vocab), so the threshold sits just above
+#: the cluster to flag the genuinely unusual docs.
+_PPL_THRESHOLD = 3.5
+
+
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language perplexity-filter report: each doc's cross-entropy under
+    the corpus's own unigram LM (avg −ln p(token), nats), averaged per
+    language, plus how many docs exceed the flag threshold — the CCNet
+    quality-filter shape with the LM *trained and applied in one job*.
+
+    100 TB posture: the scored join is token-keyed and token frequency is
+    Zipfian — a shuffled join would put every 'the' on one reducer. The LM
+    side is bounded (a real pipeline scores against a fixed vocabulary /
+    KenLM table), so it BROADCASTS: the skewed key never shuffles. Token
+    counts are exact BIGINTs; ln/division are single double ops; cross-row
+    double sums are rounded per the repo ruleset."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("token"))
+    lm = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = lm.agg(F.sum("cnt").alias("total"))
+    logp = F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+    lm_p = lm.crossJoin(F.broadcast(total)).select("token", (-logp).alias("nll"))
+    per_doc = (
+        tok.join(F.broadcast(lm_p), "token")
+        .groupBy("doc_id", "lang")
+        .agg(F.avg("nll").alias("ce"))
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ce"), 4).alias("avg_cross_entropy"),
+            F.round(F.min("ce"), 4).alias("min_cross_entropy"),
+            F.round(F.max("ce"), 4).alias("max_cross_entropy"),
+            F.sum((F.col("ce") > _PPL_THRESHOLD).cast("long")).alias("n_flagged"),
+        )
+        .orderBy("lang")
+    )
+
+
+_PERPLEXITY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_DUCK_TOKENS.format(col='text')}) AS token
+  FROM documents),
+lm AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM lm),
+per_doc AS (
+  SELECT doc_id, lang,
+         AVG(-LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))) AS ce
+  FROM tok JOIN lm USING (token), tot
+  GROUP BY doc_id, lang)
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(ce), 4) AS avg_cross_entropy,
+       ROUND(MIN(ce), 4) AS min_cross_entropy,
+       ROUND(MAX(ce), 4) AS max_cross_entropy,
+       CAST(SUM(CASE WHEN ce > {_PPL_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_tfidf_top_terms": text_tfidf_top_terms,
@@ -766,6 +838,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_pii_redaction": text_pii_redaction,
     "text_repetition_stats": text_repetition_stats,
+    "text_perplexity_proxy": text_perplexity_proxy,
 }
 
 ORACLES = {
@@ -780,4 +853,5 @@ ORACLES = {
     "text_fingerprint": _FINGERPRINT_SQL,
     "text_pii_redaction": _PII_SQL,
     "text_repetition_stats": _REPETITION_SQL,
+    "text_perplexity_proxy": _PERPLEXITY_SQL,
 }

@@ -395,3 +395,24 @@ def test_tpch4_scalar_thresholds_use_windows_not_reaggregation(spark):
     for q in (q2_min_cost_supplier, q20_part_flow_suppliers):
         plan = _plan(q(spark, SF_DIR))
         assert "windowspecdefinition(" in plan, q.__name__
+
+
+def test_dynamic_partition_pruning_on_join(spark, tmp_path):
+    """Join-driven pruning: a partition-keyed join against a filtered dim
+    must inject a dynamicpruningexpression into the fact scan's
+    PartitionFilters — at 100 TB this is what turns a full-table scan into
+    reading only the joined partitions."""
+    path = str(tmp_path / "orders_by_priority")
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    scale.write_partitioned(orders, path, ["o_orderpriority"])
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("2-HIGH", 2)], "prio string, rank int"
+    ).filter(F.col("rank") == 1)
+    j = fact.join(dim, fact.o_orderpriority == dim.prio).groupBy("prio").agg(
+        F.sum("o_totalprice").alias("v")
+    )
+    plan = _plan(j)
+    assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
