@@ -31,9 +31,15 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from datafusion_impl_spark.operators import duck_md5_long, md5_long
+
+#: DuckDB fragment matching md5_long over the document text column.
+_DUCK_MD5 = duck_md5_long("text")
+
 __all__ = [
     "EVENTS_RAW_SCHEMA",
     "stream_events",
+    "dedup_stream_new_content",
     "dedup_event_ids",
     "stream_static_segment_counts",
     "click_purchase_attribution",
@@ -233,6 +239,32 @@ def running_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream_new_content(docs: DataFrame, corpus_index: DataFrame,
+                             watermark: str = "2 hours") -> DataFrame:
+    """Streaming corpus-ingestion dedup — the LLM-pipeline shape: an
+    arriving document stream is (1) anti-joined against the STATIC content
+    hash index of the already-ingested corpus (stream-static left-anti,
+    no join state — the index broadcasts per micro-batch), then (2)
+    deduped against itself within the watermark horizon, so a document
+    re-delivered across micro-batches ingests once.
+
+    State note for 100 TB: step (2) keys on the 60-bit content hash alone
+    via ``dropDuplicatesWithinWatermark`` — state expires once the
+    watermark passes; plain ``dropDuplicates(["h"])`` would grow one state
+    row per distinct document forever. The static index can be arbitrarily
+    large — it lives in the batch plan, not in streaming state. Batch twin:
+    the same anti-join + ``dropDuplicates`` (watermark is a no-op)."""
+    hashed = docs.select(
+        "doc_id", "lang", "ts", md5_long(F.col("text")).alias("h")
+    )
+    fresh = hashed.join(corpus_index, "h", "left_anti")
+    if docs.isStreaming:
+        return fresh.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["h"]
+        )
+    return fresh.dropDuplicates(["h"])
+
+
 # --- batch twin with a DuckDB oracle (driver-checkable) ---------------------
 
 def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,12 +341,57 @@ ORDER BY c.user_id
 """
 
 
+def stream_corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch run of the corpus-ingestion dedup (identical plan shape to the
+    streaming version): even-doc_id documents are the already-ingested
+    corpus index; the full table plays the arriving stream. Per language:
+    arriving docs, docs passing the anti-join, and distinct new contents
+    (countDistinct is survivor-choice-independent, so the count — unlike a
+    sampled survivor row — is deterministic and oracle-checkable)."""
+    from datafusion_impl_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    arriving = docs.withColumn("ts", F.timestamp_seconds(F.col("doc_id") + 1_000_000_000))
+    index = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(md5_long(F.col("text")).alias("h"))
+        .distinct()
+    )
+    hashed = arriving.select("lang", md5_long(F.col("text")).alias("h"))
+    fresh = hashed.join(index, "h", "left_anti")
+    return (
+        fresh.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_passing"),
+            F.countDistinct("h").alias("n_new_contents"),
+        )
+        .orderBy("lang")
+    )
+
+
+_CORPUS_DEDUP_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, lang, {_DUCK_MD5} AS h FROM documents),
+idx AS (
+  SELECT DISTINCT h FROM hashed WHERE doc_id % 2 = 0),
+fresh AS (
+  SELECT lang, h FROM hashed
+  WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.h = hashed.h))
+SELECT lang, COUNT(*) AS n_passing, COUNT(DISTINCT h) AS n_new_contents
+FROM fresh
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "session_window_stats": session_window_stats,
     "click_attribution_stats": click_attribution_stats,
+    "stream_corpus_dedup_stats": stream_corpus_dedup_stats,
 }
 
 ORACLES = {
     "session_window_stats": _SESSION_WINDOW_SQL,
     "click_attribution_stats": _ATTRIBUTION_SQL,
+    "stream_corpus_dedup_stats": _CORPUS_DEDUP_SQL,
 }

@@ -209,3 +209,60 @@ def test_checkpoint_recovery_resumes_state(spark, tmp_path):
     }
     assert sum(got.values()) == 2 * n_first
     assert got == expected
+
+
+@pytest.fixture(scope="module")
+def docs_stream_dir(tmp_path_factory, spark):
+    """Streaming source dir for documents (with a synthesized event-time
+    column), the SAME file twice — re-delivery across micro-batches."""
+    d = tmp_path_factory.mktemp("docs_stream")
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    ).withColumn("ts", F.timestamp_seconds(F.col("doc_id") + 1_000_000_000))
+    docs.coalesce(1).write.mode("overwrite").parquet(str(d / "batch0"))
+    import glob
+
+    src = tmp_path_factory.mktemp("docs_stream_src")
+    part = glob.glob(str(d / "batch0" / "part-*.parquet"))[0]
+    shutil.copy(part, src / "part-000.parquet")
+    shutil.copy(part, src / "part-001.parquet")
+    return str(src)
+
+
+def test_stream_corpus_dedup_equals_batch(spark, docs_stream_dir):
+    """The streaming corpus-ingestion dedup (stream-static anti-join +
+    within-watermark content dedup) must ingest each new content exactly
+    once even when the source re-delivers every document."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    index = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(stx.md5_long(F.col("text")).alias("h"))
+        .distinct()
+    )
+    schema = "doc_id long, lang string, text string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_stream_dir)
+    )
+    st = stx.dedup_stream_new_content(stream, index)
+    q = (
+        st.writeStream.format("memory")
+        .queryName("corpus_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT h) AS d FROM corpus_dedup"
+    ).first()
+    batch = stx.dedup_stream_new_content(
+        docs.withColumn(
+            "ts", F.timestamp_seconds(F.col("doc_id") + 1_000_000_000)
+        ),
+        index,
+    )
+    expected = batch.count()
+    assert got.n == expected == got.d
+    assert expected > 0
