@@ -442,12 +442,96 @@ ORDER BY label, dim
 """
 
 
+# --------------------------------------------------------------------------
+# 6. Matryoshka truncation evaluation (recall of low-dim prefixes)
+# --------------------------------------------------------------------------
+
+#: prefix length for the truncated index (Matryoshka-style: serve the first
+#: D' dims, keep the full vector only for re-ranking).
+_TRUNC_DIMS = 16
+
+
+def ann_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation harness for dimension-truncated ANN: per query vector, the
+    recall@5 of a 16-dim-prefix cosine index against the exact full-dim
+    top-5 — the measurement that decides whether a Matryoshka/truncated
+    index is safe to serve.
+
+    ONE corpus pass computes both cosines (full and truncated) per
+    (query, candidate); the two rank windows share the same partition key,
+    so the whole evaluation is broadcast-join → one shuffle on q_id →
+    groupBy. At 100 TB the corpus is scanned once, never twice."""
+    e = _vectors(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    vt = F.slice(F.col("v"), 1, _TRUNC_DIMS)
+    qt = F.slice(F.col("qv"), 1, _TRUNC_DIMS)
+    cos_full = _dot(F.col("qv"), F.col("v")) / (F.col("q_nrm") * F.col("nrm"))
+    cos_trunc = _dot(qt, vt) / (_norm(qt) * _norm(vt))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos_full, 6).alias("c_full"),
+            F.round(cos_trunc, 6).alias("c_trunc"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("c_full"), F.asc("neighbor_id"))
+    wt = Window.partitionBy("q_id").orderBy(F.desc("c_trunc"), F.asc("neighbor_id"))
+    ranked = scored.select(
+        "q_id",
+        (F.row_number().over(wf) <= _TOPK).cast("long").alias("in_full"),
+        (F.row_number().over(wt) <= _TOPK).cast("long").alias("in_trunc"),
+    )
+    return (
+        ranked.groupBy("q_id")
+        .agg(
+            F.sum(F.col("in_full") * F.col("in_trunc")).alias("n_common"),
+            F.round(
+                F.sum(F.col("in_full") * F.col("in_trunc")) / float(_TOPK), 4
+            ).alias("recall_at_5"),
+        )
+        .orderBy("q_id")
+    )
+
+
+_TRUNC_RECALL_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % {_QUERY_MOD} = 0),
+scored AS (
+  SELECT q_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(qv, v), 6) AS c_full,
+         ROUND(list_cosine_similarity(list_slice(qv, 1, {_TRUNC_DIMS}),
+                                      list_slice(v, 1, {_TRUNC_DIMS})), 6) AS c_trunc
+  FROM q, e
+  WHERE e.vec_id <> q_id),
+ranked AS (
+  SELECT q_id,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY c_full DESC, neighbor_id) <= {_TOPK} THEN 1 ELSE 0 END AS in_full,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY c_trunc DESC, neighbor_id) <= {_TOPK} THEN 1 ELSE 0 END AS in_trunc
+  FROM scored)
+SELECT q_id, CAST(SUM(in_full * in_trunc) AS BIGINT) AS n_common,
+       ROUND(CAST(SUM(in_full * in_trunc) AS DOUBLE) / {_TOPK}, 4) AS recall_at_5
+FROM ranked
+GROUP BY q_id
+ORDER BY q_id
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_ml_topk": ann_lsh_ml_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_label_centroids": embedding_label_centroids,
+    "ann_truncated_recall": ann_truncated_recall,
 }
 
 ORACLES = {
@@ -455,4 +539,5 @@ ORACLES = {
     "ann_ivf_topk": _ANN_IVF_SQL,
     "embedding_near_dup_pairs": _NEAR_DUP_SQL,
     "embedding_label_centroids": _CENTROIDS_SQL,
+    "ann_truncated_recall": _TRUNC_RECALL_SQL,
 }

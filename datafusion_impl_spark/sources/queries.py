@@ -110,12 +110,64 @@ ORDER BY lang, source
 """
 
 
+def orc_lineitem_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem (projected) → ORC on disk → read back → pricing aggregate
+    per return flag/status. The oracle aggregates the ORIGINAL parquet, so
+    equality proves the ORC cycle preserves values exactly — including
+    timestamps (ORC stores its own epoch encoding; a TZ bug here shifts
+    l_shipdate and moves rows across the filter boundary) and doubles.
+    ORC is columnar with predicate pushdown, so unlike the JSONL case the
+    read-back side keeps scan pruning at scale."""
+    path = os.path.join(_JSONL_ROOT, os.path.basename(sf_dir.rstrip("/")), "li_orc")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    )
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path).filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(12,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,4)")
+                * (1 - F.col("l_discount").cast("decimal(12,4)"))
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum("l_orderkey").cast("long").alias("sum_orderkey"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_ORC_ROUNDTRIP_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(SUM(l_orderkey) AS BIGINT) AS sum_orderkey
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 QUERIES = {
     "csv_reference_golden": csv_reference_golden,
     "jsonl_documents_roundtrip": jsonl_documents_roundtrip,
+    "orc_lineitem_roundtrip": orc_lineitem_roundtrip,
 }
 
 ORACLES = {
     "csv_reference_golden": _CSV_GOLDEN_SQL,
     "jsonl_documents_roundtrip": _JSONL_ROUNDTRIP_SQL,
+    "orc_lineitem_roundtrip": _ORC_ROUNDTRIP_SQL,
 }
