@@ -593,6 +593,171 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --------------------------------------------------------------------------
+# Row-wise (map-only) MinHash bands — the streaming-safe signature path
+# --------------------------------------------------------------------------
+
+def rowwise_bands(docs: DataFrame, keep_cols: list[str] | None = None) -> DataFrame:
+    """(band, bkey) LSH band keys computed ENTIRELY inside each row with
+    higher-order functions — shingles → 12 min-hashes → 4 band digests as a
+    single stateless projection, no explode-shuffle, no groupBy.
+
+    Same hash formula as the batch pipeline (``md5_long(shingle # seed)``,
+    band digest = md5 of the comma-joined band slice), so keys are
+    interchangeable with :func:`dedup_documents_minhash`'s band table and
+    bit-reproducible in DuckDB.
+
+    This is the signature path a STREAM can run (stateless projections are
+    always streaming-legal; the batch pipeline's explode → groupBy-min is a
+    streaming aggregation that would need its own watermark state). It is
+    also the map-only shape: at 100 TB signature computation fuses into the
+    scan with zero shuffle. Docs under 3 tokens (no shingles) are dropped,
+    matching the batch pipeline's ``size(tk) >= 3`` filter."""
+    keep = keep_cols or ["doc_id"]
+    tk = tokens("text")
+    with_sh = docs.select(*keep, tk.alias("tk")).filter(
+        F.size("tk") >= 3
+    )
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("tk"), i),
+                F.element_at(F.col("tk"), i + 1),
+                F.element_at(F.col("tk"), i + 2),
+            ),
+        )
+    )
+    mh = F.transform(
+        F.sequence(F.lit(0), F.lit(_NUM_HASHES - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda x: md5_long(F.concat(x, F.lit("#"), s.cast("string"))),
+            )
+        ),
+    )
+    banded = (
+        with_sh.withColumn("sh", sh)
+        .withColumn("mh", mh)
+        .select(
+            *keep,
+            F.explode(F.sequence(F.lit(0), F.lit(_BANDS - 1))).alias("band"),
+            "mh",
+        )
+    )
+    bkey = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("mh", F.col("band") * _R + 1, _R),
+                lambda v: v.cast("string"),
+            ),
+        )
+    )
+    return banded.select(*keep, "band", bkey.alias("bkey"))
+
+
+#: DuckDB fragment: row-wise band table over a CTE named ``src`` that has
+#: (doc_id, lang, text). Mirrors rowwise_bands bit-for-bit.
+_DUCK_ROWWISE_BANDS = rf"""
+  SELECT doc_id, lang, b.band,
+         md5(array_to_string(
+             list_transform(list_slice(mh, b.band * {_R} + 1, b.band * {_R} + {_R}),
+                            v -> CAST(v AS VARCHAR)), ',')) AS bkey
+  FROM (
+    SELECT doc_id, lang,
+           list_transform(generate_series(0, {_NUM_HASHES - 1}),
+             s -> list_min(list_transform(sh,
+                    x -> CAST(('0x' || substr(md5(x || '#' || CAST(s AS VARCHAR)),1,15)) AS BIGINT)))) AS mh
+    FROM (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(generate_series(1, len(tk) - 2),
+               i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
+      FROM (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM src) t
+      WHERE len(tk) >= 3) shs) sigs,
+  (SELECT unnest(generate_series(0, {_BANDS - 1})) AS band) b
+"""
+
+
+def stream_near_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAMING near-dup flagger: the planted-dup batch
+    (doc_id ≥ offset) plays the arriving stream; the original corpus's
+    row-wise band table is the static index. An arriving doc is flagged the
+    moment any of its 4 band keys hits the index — the micro-batch-latency
+    near-dup signal (candidate-level, no verify pass: the stream shape
+    trades the exact-Jaccard confirmation for single-join latency; flagged
+    docs would be routed to the batch verifier).
+
+    The arriving batch mixes real near-dups (the planted copies) with
+    NOVEL docs (every 13th original, token-reversed — reversing scrambles
+    every word-3-gram, so none of its shingles exist in the index): the
+    flag must fire on the former and stay quiet on the latter. Per lang:
+    arriving docs vs flagged docs. Counts use countDistinct on doc_id, so
+    they are independent of which band produced the hit."""
+    corpus = near_dup_corpus(spark, sf_dir)
+    originals = corpus.filter(F.col("doc_id") < _DUP_OFFSET)
+    index = rowwise_bands(originals).select(
+        F.col("doc_id").alias("match_id"), "band", "bkey"
+    )
+    novel = originals.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 3 * _DUP_OFFSET).alias("doc_id"),
+        "lang",
+        F.concat_ws(" ", F.reverse(tokens("text"))).alias("text"),
+    )
+    arriving = corpus.filter(F.col("doc_id") >= _DUP_OFFSET).unionByName(novel)
+    arr_bands = rowwise_bands(arriving, keep_cols=["doc_id", "lang"])
+    flagged = (
+        arr_bands.join(index, ["band", "bkey"])
+        .filter(F.col("doc_id") != F.col("match_id"))
+        .groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("n_flagged"))
+    )
+    totals = arriving.groupBy("lang").agg(F.count(F.lit(1)).alias("n_arriving"))
+    return (
+        totals.join(flagged, "lang", "left")
+        .select(
+            "lang",
+            "n_arriving",
+            F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"),
+        )
+        .orderBy("lang")
+    )
+
+
+_STREAM_FLAGS_SQL = rf"""
+WITH corpus AS ({_CORPUS_SQL}),
+novel AS (
+  SELECT doc_id + {3 * _DUP_OFFSET} AS doc_id, lang,
+         array_to_string(list_reverse(
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '')), ' ') AS text
+  FROM corpus WHERE doc_id < {_DUP_OFFSET} AND doc_id % 13 = 0),
+arriving AS (
+  SELECT doc_id, lang, text FROM corpus WHERE doc_id >= {_DUP_OFFSET}
+  UNION ALL SELECT doc_id, lang, text FROM novel),
+idx_bands AS (
+  WITH src AS (SELECT doc_id, lang, text FROM corpus WHERE doc_id < {_DUP_OFFSET})
+  {_DUCK_ROWWISE_BANDS}),
+arr_bands AS (
+  WITH src AS (SELECT doc_id, lang, text FROM arriving)
+  {_DUCK_ROWWISE_BANDS}),
+flagged AS (
+  SELECT a.lang, COUNT(DISTINCT a.doc_id) AS n_flagged
+  FROM arr_bands a JOIN idx_bands i
+    ON a.band = i.band AND a.bkey = i.bkey AND a.doc_id <> i.doc_id
+  GROUP BY a.lang)
+SELECT t.lang, COUNT(*) AS n_arriving,
+       COALESCE(MAX(f.n_flagged), 0) AS n_flagged
+FROM arriving t LEFT JOIN flagged f ON t.lang = f.lang
+GROUP BY t.lang
+ORDER BY t.lang
+"""
+
+
 QUERIES = {
     "dedup_documents_exact": dedup_documents_exact,
     "dedup_documents_survivors": dedup_documents_survivors,
@@ -601,9 +766,11 @@ QUERIES = {
     "dedup_documents_minhash_ml": dedup_documents_minhash_ml,
     "dedup_documents_ngram": dedup_documents_ngram,
     "dedup_documents_simhash": dedup_documents_simhash,
+    "stream_near_dup_flags": stream_near_dup_flags,
 }
 
 ORACLES = {
+    "stream_near_dup_flags": _STREAM_FLAGS_SQL,
     "dedup_documents_exact": _EXACT_SQL,
     "dedup_documents_survivors": _SURVIVORS_SQL,
     "dedup_incremental_batch": _INCREMENTAL_SQL,

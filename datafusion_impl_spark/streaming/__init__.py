@@ -40,6 +40,7 @@ __all__ = [
     "EVENTS_RAW_SCHEMA",
     "stream_events",
     "dedup_stream_new_content",
+    "flag_stream_near_dups",
     "dedup_event_ids",
     "stream_static_segment_counts",
     "click_purchase_attribution",
@@ -263,6 +264,31 @@ def dedup_stream_new_content(docs: DataFrame, corpus_index: DataFrame,
             ["h"]
         )
     return fresh.dropDuplicates(["h"])
+
+
+def flag_stream_near_dups(docs: DataFrame, band_index: DataFrame,
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming NEAR-dup flagger: row-wise MinHash band keys (a stateless
+    projection — see ``operators.dedup.rowwise_bands``; the batch pipeline's
+    explode→groupBy-min signature would be a stateful streaming aggregation)
+    are joined per micro-batch against the static corpus band index; a doc
+    is flagged on its first band hit, deduped to one row per doc with
+    watermark-expiring state. Candidate-level latency shape: flagged docs
+    route to the batch exact-Jaccard verifier, exactly like the batch twin
+    (``dedup.stream_near_dup_flags``)."""
+    from datafusion_impl_spark.operators.dedup import rowwise_bands
+
+    bands = rowwise_bands(docs, keep_cols=["doc_id", "lang", "ts"])
+    hits = (
+        bands.join(band_index, ["band", "bkey"])
+        .filter(F.col("doc_id") != F.col("match_id"))
+        .select("doc_id", "lang", "ts")
+    )
+    if docs.isStreaming:
+        return hits.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["doc_id"]
+        )
+    return hits.dropDuplicates(["doc_id"])
 
 
 # --- batch twin with a DuckDB oracle (driver-checkable) ---------------------

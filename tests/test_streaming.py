@@ -266,3 +266,66 @@ def test_stream_corpus_dedup_equals_batch(spark, docs_stream_dir):
     expected = batch.count()
     assert got.n == expected == got.d
     assert expected > 0
+
+
+def test_stream_near_dup_flags_equals_batch(spark, tmp_path):
+    """Streaming near-dup flagging (row-wise bands + stream-static index
+    join) must flag exactly the docs the batch twin flags — planted copies
+    yes, token-reversed novels no — once each, despite re-delivery."""
+    from datafusion_impl_spark.operators.dedup import (
+        _DUP_OFFSET,
+        near_dup_corpus,
+        rowwise_bands,
+    )
+    from datafusion_impl_spark.operators.text import tokens
+
+    corpus = near_dup_corpus(spark, SF_DIR)
+    originals = corpus.filter(F.col("doc_id") < _DUP_OFFSET)
+    index = rowwise_bands(originals).select(
+        F.col("doc_id").alias("match_id"), "band", "bkey"
+    )
+    novel = originals.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 3 * _DUP_OFFSET).alias("doc_id"),
+        "lang",
+        F.concat_ws(" ", F.reverse(tokens("text"))).alias("text"),
+    )
+    arriving = (
+        corpus.filter(F.col("doc_id") >= _DUP_OFFSET)
+        .unionByName(novel)
+        .withColumn("ts", F.timestamp_seconds(F.col("doc_id") + 1_000_000_000))
+    )
+    arriving.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w"))
+    import glob
+
+    part = glob.glob(str(tmp_path / "w" / "part-*.parquet"))[0]
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(part, src / "part-000.parquet")
+    shutil.copy(part, src / "part-001.parquet")  # re-delivery
+
+    schema = "doc_id long, lang string, text string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    st = stx.flag_stream_near_dups(stream, index)
+    q = (
+        st.writeStream.format("memory")
+        .queryName("near_flags")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT doc_id) AS d FROM near_flags"
+    ).first()
+    batch_flagged = stx.flag_stream_near_dups(arriving, index).count()
+    assert got.n == batch_flagged == got.d
+    # the novel (token-reversed) docs must NOT be flagged
+    novel_flagged = spark.sql(
+        f"SELECT COUNT(*) AS n FROM near_flags WHERE doc_id >= {3 * _DUP_OFFSET}"
+    ).first().n
+    assert novel_flagged == 0
+    assert batch_flagged > 0
