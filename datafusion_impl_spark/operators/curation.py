@@ -331,16 +331,127 @@ ORDER BY label
 """
 
 
+# --------------------------------------------------------------------------
+# 5. Repeated-n-gram coverage (exact-substring dedup signal)
+# --------------------------------------------------------------------------
+
+#: n-gram width for the repeated-substring signal (Lee et al. use 50-token
+#: spans over BPE ids; 8 word-grams is the same machinery at this corpus's
+#: doc length).
+_REP_N = 8
+
+
+def repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal: per doc, the fraction of token
+    positions covered by an 8-gram that occurs in MORE THAN ONE document —
+    the quantity substring-dedup pipelines threshold on to cut boilerplate
+    and cross-doc copies. Runs over the planted-dup corpus so coverage
+    actually separates (copies ≈ 1.0, untouched docs ≈ 0).
+
+    Scale shape: gram table (explode) → distinct-doc count per gram hash
+    (uniform 60-bit key, map-side combined) → the ≥2-doc gram list, which is
+    bounded by DUPLICATION volume, not corpus size → join back and expand
+    each hit to its 8 covered positions → per-doc distinct-position count.
+    Every join is an equi-join on the gram hash; nothing is quadratic."""
+    from datafusion_impl_spark.operators.dedup import near_dup_corpus
+
+    corpus = near_dup_corpus(spark, sf_dir)
+    toks = corpus.select("doc_id", "lang", tokens("text").alias("t")).filter(
+        F.size("t") >= _REP_N
+    )
+    tcol = F.col("t")
+    gram = F.concat_ws(
+        " ", *[F.element_at(tcol, F.col("pos") + i) for i in range(_REP_N)]
+    )
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        F.size("t").alias("n_tok"),
+        "t",
+        F.explode(F.sequence(F.lit(1), F.size("t") - (_REP_N - 1))).alias("pos"),
+    ).select("doc_id", "lang", "n_tok", "pos", md5_long(gram).alias("gh"))
+    rep = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gh")
+    )
+    covered = (
+        grams.join(rep, "gh")
+        .select("doc_id", F.explode(F.sequence("pos", F.col("pos") + _REP_N - 1)).alias("cp"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("cp").alias("n_covered"))
+    )
+    per_doc = toks.select("doc_id", "lang", F.size("t").alias("n_tok")).join(
+        covered, "doc_id", "left"
+    )
+    cov = F.coalesce("n_covered", F.lit(0)) / F.col("n_tok")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(cov), 4).alias("avg_coverage"),
+            F.sum((cov > 0.5).cast("long")).alias("n_heavily_covered"),
+        )
+        .orderBy("lang")
+    )
+
+
+_REP_COVERAGE_SQL = rf"""
+WITH corpus AS ({{corpus_sql}}),
+toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+  FROM corpus),
+base AS (SELECT doc_id, lang, t, len(t) AS n_tok FROM toks WHERE len(t) >= {_REP_N}),
+grams AS (
+  SELECT doc_id, lang, n_tok,
+         generate_subscripts(gh_list, 1) AS pos, unnest(gh_list) AS gh
+  FROM (
+    SELECT doc_id, lang, n_tok,
+           list_transform(generate_series(1, n_tok - {_REP_N - 1}),
+             i -> {duck_md5_long(f"array_to_string(list_slice(t, i, i + {_REP_N - 1}), ' ')")}) AS gh_list
+    FROM base) g),
+rep AS (
+  SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+covered AS (
+  SELECT doc_id, COUNT(DISTINCT cp) AS n_covered
+  FROM (
+    SELECT doc_id, unnest(generate_series(pos, pos + {_REP_N - 1})) AS cp
+    FROM grams JOIN rep USING (gh)) c
+  GROUP BY doc_id),
+per_doc AS (
+  SELECT b.lang, COALESCE(c.n_covered, 0) / CAST(b.n_tok AS DOUBLE) AS cov
+  FROM base b LEFT JOIN covered c USING (doc_id))
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(cov), 4) AS avg_coverage,
+       CAST(SUM(CASE WHEN cov > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_heavily_covered
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "dedup_paragraphs_global": dedup_paragraphs_global,
     "dedup_documents_url": dedup_documents_url,
     "source_mixture_weights": source_mixture_weights,
     "embedding_quantization_report": embedding_quantization_report,
+    "repeated_ngram_coverage": repeated_ngram_coverage,
 }
+
+
+def _rep_coverage_oracle() -> str:
+    from datafusion_impl_spark.operators.dedup import _CORPUS_SQL
+
+    return _REP_COVERAGE_SQL.format(corpus_sql=_CORPUS_SQL)
+
 
 ORACLES = {
     "dedup_paragraphs_global": _PARA_SQL,
     "dedup_documents_url": _URL_SQL,
     "source_mixture_weights": _MIX_SQL,
     "embedding_quantization_report": _QUANT_SQL,
+    "repeated_ngram_coverage": _rep_coverage_oracle(),
 }
