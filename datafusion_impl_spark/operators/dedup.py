@@ -256,18 +256,12 @@ sh AS (
 """
 
 
-def dedup_documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures → banded LSH candidate pairs → exact Jaccard ≥ 0.5.
-
-    Pipeline (all equi-joins/aggregations, no cross product):
-      shingle explode → min-hash per (doc, seed) → signature array →
-      band md5 key → self-join on (band, key) → exact Jaccard on candidates.
-    """
-    corpus = near_dup_corpus(spark, sf_dir)
-    # the shingle table feeds four branches (signatures, sizes, both sides of
-    # the Jaccard verify) — materialize it once (see operators.materialize)
-    sh = materialize(_shingles(corpus))
-
+def _band_table(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) LSH band table from a (doc_id, shingle) table:
+    explode seeds → min-hash per (doc, seed) → signature array → band md5
+    digests. Whole-stage-codegen hashing over exploded rows — the batch
+    throughput path (contrast :func:`rowwise_bands`, the map-only streaming
+    path; both produce byte-identical keys, pinned by pytest)."""
     mh = (
         sh.select(
             "doc_id",
@@ -287,7 +281,7 @@ def dedup_documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = mh.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("seed", "mh"))).alias("sig")
     )
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(_BANDS - 1))).alias("band"),
         "sig",
@@ -304,6 +298,20 @@ def dedup_documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bkey"),
     )
+
+
+def dedup_documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures → banded LSH candidate pairs → exact Jaccard ≥ 0.5.
+
+    Pipeline (all equi-joins/aggregations, no cross product):
+      shingle explode → min-hash per (doc, seed) → signature array →
+      band md5 key → self-join on (band, key) → exact Jaccard on candidates.
+    """
+    corpus = near_dup_corpus(spark, sf_dir)
+    # the shingle table feeds four branches (signatures, sizes, both sides of
+    # the Jaccard verify) — materialize it once (see operators.materialize)
+    sh = materialize(_shingles(corpus))
+    bands = _band_table(sh)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -701,7 +709,11 @@ def stream_near_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     they are independent of which band produced the hit."""
     corpus = near_dup_corpus(spark, sf_dir)
     originals = corpus.filter(F.col("doc_id") < _DUP_OFFSET)
-    index = rowwise_bands(originals).select(
+    # the static index is what the BATCH pipeline materializes (codegen
+    # explode path); only the arriving side pays the row-wise computation —
+    # exactly the production split, made safe by the byte-identical-keys
+    # interop test
+    index = _band_table(_shingles(originals)).select(
         F.col("doc_id").alias("match_id"), "band", "bkey"
     )
     novel = originals.filter(F.col("doc_id") % 13 == 0).select(

@@ -316,55 +316,15 @@ def test_rowwise_bands_match_batch_pipeline(spark):
     signature path — the interop guarantee that lets a stream's band keys
     probe the batch pipeline's index."""
     from datafusion_impl_spark.operators.dedup import (
-        _BANDS,
-        _NUM_HASHES,
-        _R,
+        _band_table,
         _shingles,
         near_dup_corpus,
         rowwise_bands,
     )
-    from datafusion_impl_spark.operators import md5_long
     from tests.conftest import SF_DIR
 
     corpus = near_dup_corpus(spark, SF_DIR)
-    # batch path: explode shingles → min per (doc, seed) → band digests
-    sh = _shingles(corpus)
-    mh = (
-        sh.select(
-            "doc_id",
-            "shingle",
-            F.explode(F.sequence(F.lit(0), F.lit(_NUM_HASHES - 1))).alias("seed"),
-        )
-        .select(
-            "doc_id",
-            "seed",
-            md5_long(
-                F.concat(F.col("shingle"), F.lit("#"), F.col("seed").cast("string"))
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
-    )
-    sig = mh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.struct("seed", "mh"))).alias("sig")
-    )
-    batch_bands = sig.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_BANDS - 1))).alias("band"),
-        "sig",
-    ).select(
-        "doc_id",
-        "band",
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice("sig", F.col("band") * _R + 1, _R),
-                    lambda x: x.getField("mh").cast("string"),
-                ),
-            )
-        ).alias("bkey"),
-    )
+    batch_bands = _band_table(_shingles(corpus))
     row_bands = rowwise_bands(corpus)
     assert batch_bands.exceptAll(row_bands).count() == 0
     assert row_bands.exceptAll(batch_bands).count() == 0
