@@ -70,25 +70,13 @@ def connected_components(pairs: DataFrame, max_rounds: int = _MAX_ROUNDS) -> Dat
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
         )
-        # (b) path compression: label ← label's label. Every label IS a node
-        # id present in `labels` (it starts as self and only ever moves to a
-        # reachable node's id), so the inner join always matches, and the
-        # composed pointer doubles the effective reach of the next round.
-        # Materialize before self-joining: `labels` feeds BOTH sides of the
-        # compression join, and without truncation each round would embed two
-        # copies of the previous round's plan (2^rounds subtree blowup). The
-        # label table is bounded by the pair-graph node count — tiny relative
-        # to the corpus — so this is the standard iterate-checkpoint pattern.
         labels = labels.localCheckpoint(eager=True)
-        lmap = labels.select(
-            F.col("doc_id").alias("m_id"), F.col("label").alias("m_label")
-        )
-        labels = labels.join(lmap, labels.label == F.col("m_id")).select(
-            "doc_id", F.col("m_label").alias("label")
-        )
-        # fixed-point check on the materialized label tables (both sides are
-        # checkpointed, so this is one tiny join+count job, no recomputation)
-        labels = labels.localCheckpoint(eager=True)
+        # Fixed-point check BEFORE paying the compression join: if one-hop
+        # propagation changed nothing, then for every edge (u,v)
+        # label(u) = label(v), i.e. each component already shares one label
+        # and compression would be the identity — return prev and skip the
+        # final round's self-join + checkpoint entirely. Both sides are
+        # checkpointed, so this is one tiny join+count job.
         changed = (
             labels.select("doc_id", F.col("label").alias("new_label"))
             .join(prev, "doc_id")
@@ -96,7 +84,24 @@ def connected_components(pairs: DataFrame, max_rounds: int = _MAX_ROUNDS) -> Dat
             .count()
         )
         if changed == 0:
-            return labels.select("doc_id", F.col("label").alias("component"))
+            return prev.select("doc_id", F.col("label").alias("component"))
+        # (b) path compression: label ← label's label. Every label IS a node
+        # id present in `labels` (it starts as self and only ever moves to a
+        # reachable node's id), so the inner join always matches, and the
+        # composed pointer doubles the effective reach of the next round.
+        # `labels` feeds BOTH sides of the compression join; it was
+        # materialized above, so the plan tree stays bounded (without
+        # truncation each round would embed two copies of the previous
+        # round's plan — 2^rounds subtree blowup). The label table is
+        # bounded by the pair-graph node count — tiny relative to the
+        # corpus — so this is the standard iterate-checkpoint pattern.
+        lmap = labels.select(
+            F.col("doc_id").alias("m_id"), F.col("label").alias("m_label")
+        )
+        labels = labels.join(lmap, labels.label == F.col("m_id")).select(
+            "doc_id", F.col("m_label").alias("label")
+        )
+        labels = labels.localCheckpoint(eager=True)
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds "
         "(component diameter exceeds 2**max_rounds)"
