@@ -433,12 +433,112 @@ ORDER BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# 6. Cross-source overlap matrix (domain contamination)
+# --------------------------------------------------------------------------
+
+#: a gram present in more than this many sources is dropped before the
+#: pair join — boilerplate carries no containment signal and an uncapped
+#: k-source gram fans out into k(k-1)/2 pairs. Same discipline as the
+#: decontamination operator's DF cap; the dropped-gram count is REPORTED
+#: per pair via the rare-universe sizes, never silently.
+_OVERLAP_MAX_SOURCES = 10
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise rare-8-gram Jaccard between sources — the "is domain A just
+    a mirror of domain B" check a corpus audit runs before fixing mixture
+    weights. Distinct (source, gram-hash) table → source-DF cap → self-join
+    on the gram hash (fan-out bounded by the cap) → per-pair shared count
+    joined to per-source rare-universe sizes. Everything is an equi-join on
+    the uniform 60-bit hash."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    toks = docs.select("source", tokens("text").alias("t")).filter(
+        F.size("t") >= _REP_N
+    )
+    tcol = F.col("t")
+    gram = F.concat_ws(
+        " ", *[F.element_at(tcol, F.col("pos") + i) for i in range(_REP_N)]
+    )
+    grams = (
+        toks.select(
+            "source",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.size("t") - (_REP_N - 1))).alias("pos"),
+        )
+        .select("source", md5_long(gram).alias("gh"))
+        .distinct()
+    )
+    rare = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("source").alias("df"))
+        .filter(F.col("df") <= _OVERLAP_MAX_SOURCES)
+        .select("gh")
+    )
+    rg = grams.join(rare, "gh")
+    sizes = rg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = rg.select(F.col("source").alias("src_a"), "gh")
+    b = rg.select(F.col("source").alias("src_b"), "gh")
+    shared = (
+        a.join(b, "gh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "src_a", "src_b")
+    )
+
+
+_OVERLAP_SQL = rf"""
+WITH toks AS (
+  SELECT source, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT DISTINCT source, gh FROM (
+    SELECT source,
+           unnest(list_transform(generate_series(1, len(t) - {_REP_N - 1}),
+             i -> {duck_md5_long(f"array_to_string(list_slice(t, i, i + {_REP_N - 1}), ' ')")})) AS gh
+    FROM toks WHERE len(t) >= {_REP_N}) g),
+rare AS (
+  SELECT gh FROM grams GROUP BY gh
+  HAVING COUNT(DISTINCT source) <= {_OVERLAP_MAX_SOURCES}),
+rg AS (SELECT source, gh FROM grams JOIN rare USING (gh)),
+sizes AS (SELECT source, COUNT(*) AS n FROM rg GROUP BY source),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+  FROM rg a JOIN rg b ON a.gh = b.gh AND a.source < b.source
+  GROUP BY src_a, src_b)
+SELECT src_a, src_b, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared), 4) AS jaccard
+FROM shared
+JOIN sizes na ON na.source = src_a
+JOIN sizes nb ON nb.source = src_b
+ORDER BY jaccard DESC, src_a, src_b
+"""
+
+
 QUERIES = {
     "dedup_paragraphs_global": dedup_paragraphs_global,
     "dedup_documents_url": dedup_documents_url,
     "source_mixture_weights": source_mixture_weights,
     "embedding_quantization_report": embedding_quantization_report,
     "repeated_ngram_coverage": repeated_ngram_coverage,
+    "source_overlap_matrix": source_overlap_matrix,
 }
 
 
@@ -454,4 +554,5 @@ ORACLES = {
     "source_mixture_weights": _MIX_SQL,
     "embedding_quantization_report": _QUANT_SQL,
     "repeated_ngram_coverage": _rep_coverage_oracle(),
+    "source_overlap_matrix": _OVERLAP_SQL,
 }

@@ -151,13 +151,67 @@ ORDER BY key
 """
 
 
+def events_props_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-quality audit for semi-structured columns: every 11th event's
+    ``props`` is truncated (deterministic corruption — the synthetic corpus
+    is all-valid, so planting gives the auditor real positives AND exact
+    negatives), then parsed in PERMISSIVE mode with a corrupt-record
+    column. Per event_type: rows, malformed count, parsed-k sum — the report
+    a pipeline uses to decide whether an upstream feed regressed. Parsing
+    stays a JVM ``from_json`` in codegen; corruption handling adds no second
+    scan."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    corrupted = F.when(
+        F.col("event_id") % 11 == 0,
+        F.substring("props", 1, F.length("props") - 2),
+    ).otherwise(F.col("props"))
+    parsed = ev.select(
+        "event_type",
+        F.from_json(
+            corrupted,
+            "k INT, _corrupt STRING",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("p"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("p._corrupt").isNotNull().cast("long")).alias("n_malformed"),
+            F.sum("p.k").cast("long").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_MALFORMED_SQL = """
+WITH corrupted AS (
+  SELECT event_type,
+         CASE WHEN event_id % 11 = 0
+              THEN substr(props, 1, length(props) - 2)
+              ELSE props END AS props
+  FROM events)
+SELECT event_type, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN NOT json_valid(props) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_malformed,
+       CAST(SUM(CASE WHEN json_valid(props)
+                     THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+                     END) AS BIGINT) AS sum_k
+FROM corrupted
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_props_struct": events_props_struct,
     "events_daily_k_histogram": events_daily_k_histogram,
     "props_kv_udtf_stats": props_kv_udtf_stats,
+    "events_props_malformed_audit": events_props_malformed_audit,
 }
 
 ORACLES = {
+    "events_props_malformed_audit": _MALFORMED_SQL,
     "events_props_struct": _PROPS_STRUCT_SQL,
     "events_daily_k_histogram": _DAILY_HIST_SQL,
     "props_kv_udtf_stats": _PROPS_UDTF_SQL,
