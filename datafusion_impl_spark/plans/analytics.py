@@ -1197,6 +1197,43 @@ ORDER BY o_orderpriority, pos
 """
 
 
+def profile_orders_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of :func:`profile_orders_columns`: distinct counts
+    via ``approx_count_distinct`` (HLL++, constant memory, ONE pass with NO
+    Expand — the exact multi-distinct profiler multiplies every input row
+    once per distinct aggregate before the shuffle). rows-only in the
+    driver gate (sketch estimates are engine-specific); bounded by a ±5 %
+    pytest against the exact profiler."""
+    o = load_table(spark, sf_dir, "orders")
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        norm = _profile_norm(c, kind)
+        metrics += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"),
+            F.approx_count_distinct(c, 0.01).alias(f"nd_{c}"),
+            F.expr(norm.format(agg="MIN")).alias(f"mn_{c}"),
+            F.expr(norm.format(agg="MAX")).alias(f"mx_{c}"),
+        ]
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c, _ in _PROFILE_COLS
+    )
+    return (
+        o.agg(*metrics)
+        .select(
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+                "(column_name, n_null, n_distinct_approx, min_val, max_val)"
+            ),
+            "n_rows",
+        )
+        .select(
+            "column_name", "n_rows", "n_null", "n_distinct_approx",
+            "min_val", "max_val",
+        )
+        .orderBy("column_name")
+    )
+
+
 QUERIES = {
     "window_top_orders_per_customer": window_top_orders_per_customer,
     "window_running_revenue": window_running_revenue,
@@ -1234,6 +1271,7 @@ QUERIES = {
     "approx_distinct_parts": approx_distinct_parts,
     "events_time_rollup": events_time_rollup,
     "profile_orders_columns": profile_orders_columns,
+    "profile_orders_columns_approx": profile_orders_columns_approx,
     "order_price_percentiles": order_price_percentiles,
 }
 

@@ -328,3 +328,26 @@ def test_rowwise_bands_match_batch_pipeline(spark):
     row_bands = rowwise_bands(corpus)
     assert batch_bands.exceptAll(row_bands).count() == 0
     assert row_bands.exceptAll(batch_bands).count() == 0
+
+
+def test_approx_profiler_within_5pct_of_exact(spark):
+    """The HLL profiler's distinct estimates must stay within ±5% of the
+    exact profiler's, column by column (the bound that justifies the
+    Expand-free one-pass plan at 100 TB)."""
+    from datafusion_impl_spark.plans.analytics import (
+        profile_orders_columns,
+        profile_orders_columns_approx,
+    )
+    from tests.conftest import SF_DIR
+
+    exact = {
+        r.column_name: r.n_distinct
+        for r in profile_orders_columns(spark, SF_DIR).collect()
+    }
+    approx = {
+        r.column_name: r.n_distinct_approx
+        for r in profile_orders_columns_approx(spark, SF_DIR).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for col, n in exact.items():
+        assert abs(approx[col] - n) <= max(1, 0.05 * n), (col, n, approx[col])
