@@ -443,6 +443,170 @@ ORDER BY label, dim
 
 
 # --------------------------------------------------------------------------
+# 5b. IVF nprobe sweep (the accuracy/cost tuning curve)
+# --------------------------------------------------------------------------
+
+def ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve: average recall@3 of nprobe=1 vs nprobe=2
+    against the exact top-3 — the measurement that picks the probe count
+    for a target accuracy. One centroid-assignment pass is shared (it
+    feeds corpus buckets, query probe lists, and the ground-truth side);
+    the probe search scores each (query, probe) bucket via equi-join, so
+    cost scales with nprobe/branching, never the full corpus; the exact
+    ground truth is the same broadcast one-pass scorer as
+    ``ann_cosine_topk``."""
+    e = _vectors(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    c_cos = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("c_nrm"))
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cid"))
+    ranked_cent = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "nrm", "cid", F.round(c_cos, 6).alias("c_sim"))
+        .withColumn("arn", F.row_number().over(aw))
+    )
+    assign = materialize(
+        ranked_cent.filter(F.col("arn") == 1).select(
+            "vec_id", "v", "nrm", F.col("cid").alias("bucket")
+        )
+    )
+    probes = ranked_cent.filter(
+        (F.col("vec_id") % _QUERY_MOD == 0) & (F.col("arn") <= 2)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("cid").alias("bucket"),
+        F.col("arn").alias("probe_rank"),
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("q_nrm") * F.col("nrm"))
+    probe_scored = (
+        probes.join(assign, "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "probe_rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+    levels = spark.range(1, 3).select(F.col("id").cast("int").alias("nprobe"))
+    leveled = probe_scored.join(
+        F.broadcast(levels), probe_scored.probe_rank <= F.col("nprobe")
+    )
+    lw = Window.partitionBy("nprobe", "q_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    ivf_topk = (
+        leveled.withColumn("rn", F.row_number().over(lw))
+        .filter(F.col("rn") <= _IVF_TOPK)
+        .select("nprobe", "q_id", "neighbor_id")
+    )
+    # exact ground truth: one broadcast pass over the corpus
+    q = assign.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    exact_scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+    ew = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    exact_topk = (
+        exact_scored.withColumn("rn", F.row_number().over(ew))
+        .filter(F.col("rn") <= _IVF_TOPK)
+        .select("q_id", "neighbor_id")
+    )
+    hits = ivf_topk.join(exact_topk, ["q_id", "neighbor_id"]).groupBy(
+        "nprobe", "q_id"
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    per_q = (
+        ivf_topk.select("nprobe", "q_id")
+        .distinct()
+        .join(hits, ["nprobe", "q_id"], "left")
+        .select(
+            "nprobe",
+            "q_id",
+            (F.coalesce("n_hit", F.lit(0)) / float(_IVF_TOPK)).alias("recall"),
+        )
+    )
+    return (
+        per_q.groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(F.avg("recall"), 4).alias("avg_recall_at_3"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+_IVF_SWEEP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_N_CENTROIDS}),
+ranked_cent AS (
+  SELECT e.vec_id, e.v, cent.cid,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ROUND(list_cosine_similarity(e.v, cent.cv), 6) DESC,
+                                     cent.cid) AS arn
+  FROM e, cent),
+assign AS (
+  SELECT vec_id, v, cid AS bucket FROM ranked_cent WHERE arn = 1),
+probes AS (
+  SELECT vec_id AS q_id, v AS qv, cid AS bucket, arn AS probe_rank
+  FROM ranked_cent
+  WHERE vec_id % {_QUERY_MOD} = 0 AND arn <= 2),
+probe_scored AS (
+  SELECT q_id, probe_rank, a.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(qv, a.v), 6) AS cos_sim
+  FROM probes JOIN assign a USING (bucket)
+  WHERE a.vec_id <> q_id),
+ivf_topk AS (
+  SELECT nprobe, q_id, neighbor_id FROM (
+    SELECT l.nprobe, s.q_id, s.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY l.nprobe, s.q_id
+                              ORDER BY s.cos_sim DESC, s.neighbor_id) AS rn
+    FROM probe_scored s
+    JOIN (SELECT unnest(generate_series(1, 2)) AS nprobe) l
+      ON s.probe_rank <= l.nprobe) r
+  WHERE rn <= {_IVF_TOPK}),
+q AS (SELECT vec_id AS q_id, v AS qv FROM assign WHERE vec_id % {_QUERY_MOD} = 0),
+exact_topk AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY ROUND(list_cosine_similarity(qv, e.v), 6) DESC,
+                                       e.vec_id) AS rn
+    FROM q, e
+    WHERE e.vec_id <> q_id) r
+  WHERE rn <= {_IVF_TOPK}),
+hits AS (
+  SELECT i.nprobe, i.q_id, COUNT(*) AS n_hit
+  FROM ivf_topk i JOIN exact_topk x
+    ON i.q_id = x.q_id AND i.neighbor_id = x.neighbor_id
+  GROUP BY i.nprobe, i.q_id),
+per_q AS (
+  SELECT d.nprobe, d.q_id,
+         COALESCE(h.n_hit, 0) / CAST({_IVF_TOPK} AS DOUBLE) AS recall
+  FROM (SELECT DISTINCT nprobe, q_id FROM ivf_topk) d
+  LEFT JOIN hits h ON d.nprobe = h.nprobe AND d.q_id = h.q_id)
+SELECT CAST(nprobe AS INTEGER) AS nprobe, COUNT(*) AS n_queries,
+       ROUND(AVG(recall), 4) AS avg_recall_at_3
+FROM per_q
+GROUP BY nprobe
+ORDER BY nprobe
+"""
+
+
+# --------------------------------------------------------------------------
 # 6. Matryoshka truncation evaluation (recall of low-dim prefixes)
 # --------------------------------------------------------------------------
 
@@ -532,6 +696,7 @@ QUERIES = {
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_label_centroids": embedding_label_centroids,
     "ann_truncated_recall": ann_truncated_recall,
+    "ann_ivf_recall_sweep": ann_ivf_recall_sweep,
 }
 
 ORACLES = {
@@ -540,4 +705,5 @@ ORACLES = {
     "embedding_near_dup_pairs": _NEAR_DUP_SQL,
     "embedding_label_centroids": _CENTROIDS_SQL,
     "ann_truncated_recall": _TRUNC_RECALL_SQL,
+    "ann_ivf_recall_sweep": _IVF_SWEEP_SQL,
 }
