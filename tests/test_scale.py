@@ -416,3 +416,25 @@ def test_dynamic_partition_pruning_on_join(spark, tmp_path):
     )
     plan = _plan(j)
     assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
+
+
+def test_perplexity_lm_broadcasts(spark):
+    """The unigram LM must broadcast onto the token stream — a shuffled
+    token-keyed join would put every Zipf-head token on one reducer."""
+    from datafusion_impl_spark.operators.text import text_perplexity_proxy
+
+    plan = _plan(text_perplexity_proxy(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_overlap_and_coverage_have_no_cartesian(spark):
+    """The gram-keyed self-joins must stay equi-joins on the hash — the
+    DF caps bound fan-out, never via a cross product."""
+    from datafusion_impl_spark.operators.curation import (
+        repeated_ngram_coverage,
+        source_overlap_matrix,
+    )
+
+    for q in (source_overlap_matrix, repeated_ngram_coverage):
+        assert "CartesianProduct" not in _plan(q(spark, SF_DIR)), q.__name__
