@@ -235,13 +235,66 @@ ORDER BY source, pack_id
 """
 
 
+#: shards for the training-order shuffle — at 100 TB this is the number of
+#: output files; each shard's internal order is a bounded window.
+_SHUFFLE_SHARDS = 8
+
+#: epoch salt: changing it produces an independent permutation — re-shuffling
+#: between epochs is a constant change, not a new pipeline.
+_SHUFFLE_SALT = "epoch0"
+
+
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle WITHOUT a global sort:
+    each doc hashes to a shard (uniform md5 ring) and to a position rank
+    *within* the shard (window over the shard, bounded at corpus/shards
+    rows); reading shards 0..N−1 in order yields a reproducible pseudo-
+    random permutation of the corpus. ``df.sample``/``orderBy(rand())``
+    would be neither reproducible across engines nor scale-safe (a global
+    sort single-chains the corpus); the hash ring is both."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(_SHUFFLE_SALT)))
+    keyed = docs.select(
+        "doc_id",
+        (h % _SHUFFLE_SHARDS).alias("shard"),
+        h.alias("hkey"),
+    )
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    return (
+        keyed.select(
+            "doc_id",
+            "shard",
+            (F.row_number().over(w) - 1).cast("long").alias("pos_in_shard"),
+        )
+        .orderBy("shard", "pos_in_shard")
+    )
+
+
+_SHUFFLE_HKEY = duck_md5_long(f"CAST(doc_id AS VARCHAR) || '{_SHUFFLE_SALT}'")
+
+_SHUFFLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         {_SHUFFLE_HKEY} % {_SHUFFLE_SHARDS} AS shard,
+         {_SHUFFLE_HKEY} AS hkey
+  FROM documents)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hkey, doc_id) - 1
+            AS BIGINT) AS pos_in_shard
+FROM keyed
+ORDER BY shard, pos_in_shard
+"""
+
+
 QUERIES = {
     "sample_documents_stratified": sample_documents_stratified,
     "corpus_split_assignment": corpus_split_assignment,
     "pack_documents_by_token_budget": pack_documents_by_token_budget,
+    "corpus_shuffle_order": corpus_shuffle_order,
 }
 
 ORACLES = {
+    "corpus_shuffle_order": _SHUFFLE_SQL,
     "sample_documents_stratified": _SAMPLE_SQL,
     "corpus_split_assignment": _SPLIT_SQL,
     "pack_documents_by_token_budget": _PACK_SQL,
