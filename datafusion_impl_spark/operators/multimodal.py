@@ -242,12 +242,87 @@ ORDER BY source
 """
 
 
+def multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of BINARY media blobs with a storage-ROI report: per
+    language, blob count, distinct contents, and the BYTES a keep-first
+    policy reclaims — the number that justifies media dedup at 100 TB
+    (image/video dedup is storage-bound, not row-bound). Runs over the
+    planted-dup corpus re-encoded as blobs so there are real duplicates.
+
+    The content key is md5 over the hex rendering of the raw bytes (both
+    engines hex uppercase; DuckDB's md5 does not accept BLOBs) — one
+    shuffle on the uniform hash, binary payloads never shuffle (the hash
+    and byte length are projected first)."""
+    from datafusion_impl_spark.operators.dedup import near_dup_corpus
+
+    corpus = near_dup_corpus(spark, sf_dir)
+    blobs = corpus.select(
+        "doc_id",
+        "lang",
+        F.encode("text", "UTF-8").alias("media"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.md5(F.hex("media")).alias("h"),
+        F.length("media").alias("n_bytes"),
+    )
+    per_hash = blobs.groupBy("lang", "h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").cast("long").alias("bytes_all"),
+        F.min("n_bytes").cast("long").alias("bytes_one"),
+    )
+    return (
+        per_hash.groupBy("lang")
+        .agg(
+            F.sum("n").cast("long").alias("n_blobs"),
+            F.count(F.lit(1)).alias("n_unique"),
+            (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_removed"),
+            F.sum("bytes_all").cast("long").alias("total_bytes"),
+            (F.sum("bytes_all") - F.sum("bytes_one")).cast("long").alias(
+                "bytes_reclaimed"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_MEDIA_DEDUP_SQL = """
+WITH corpus AS ({corpus_sql}),
+blobs AS (
+  SELECT doc_id, lang,
+         md5(hex(encode(text))) AS h,
+         octet_length(encode(text)) AS n_bytes
+  FROM corpus),
+per_hash AS (
+  SELECT lang, h, COUNT(*) AS n,
+         SUM(n_bytes) AS bytes_all, MIN(n_bytes) AS bytes_one
+  FROM blobs GROUP BY lang, h)
+SELECT lang,
+       CAST(SUM(n) AS BIGINT) AS n_blobs,
+       COUNT(*) AS n_unique,
+       CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_removed,
+       CAST(SUM(bytes_all) AS BIGINT) AS total_bytes,
+       CAST(SUM(bytes_all) - SUM(bytes_one) AS BIGINT) AS bytes_reclaimed
+FROM per_hash
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def _media_dedup_oracle() -> str:
+    from datafusion_impl_spark.operators.dedup import _CORPUS_SQL
+
+    return _MEDIA_DEDUP_SQL.format(corpus_sql=_CORPUS_SQL)
+
+
 QUERIES = {
     "multimodal_media_features": multimodal_media_features,
     "multimodal_frame_samples": multimodal_frame_samples,
+    "multimodal_exact_dedup": multimodal_exact_dedup,
 }
 
 ORACLES = {
     "multimodal_media_features": _MEDIA_FEATURES_SQL,
     "multimodal_frame_samples": _FRAME_SAMPLES_SQL,
+    "multimodal_exact_dedup": _media_dedup_oracle(),
 }
