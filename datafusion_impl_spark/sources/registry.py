@@ -40,21 +40,24 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazily scan one testdata table. ``sf_dir`` like ``/root/testdata/sf0.01``.
 
-    The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which the
-    Spark reader rejects outright; we read it as raw nanos (``nanosAsLong``)
-    and truncate to microseconds — exactly what DuckDB's TIMESTAMP_NS →
-    TIMESTAMP coercion does, so oracle comparisons agree. Our own session
-    factory sets the conf at construction (``session.configure``), but the
-    grading driver supplies a plain session, so we also set it here —
-    guarded, set-once, always to the same value, which is benign under
-    concurrent readers (unlike the unconditional per-read mutation this
-    replaces).
+    ``events.ts`` has shipped in two physical shapes across testdata
+    generations: parquet TIMESTAMP(NANOS) — which Spark only reads via the
+    ``nanosAsLong`` legacy conf, as a raw-nanos bigint — and native
+    TIMESTAMP(MICROS). We normalize both to a session-timezone TIMESTAMP
+    (the session factory pins UTC, so wall-clock values agree with the
+    DuckDB oracle either way). The conf is set guarded, set-once, always to
+    the same value, which is benign under concurrent readers.
     """
     if name == "events":
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # legacy TIMESTAMP(NANOS) read as raw nanos
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # native TIMESTAMP / TIMESTAMP_NTZ (driver sessions may infer either,
+        # depending on spark.sql.parquet.inferTimestampNTZ.enabled)
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

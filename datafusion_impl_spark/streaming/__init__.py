@@ -29,6 +29,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 from datafusion_impl_spark.operators import duck_md5_long, md5_long
@@ -52,13 +53,14 @@ __all__ = [
     "ORACLES",
 ]
 
-#: Physical schema of events.parquet: ts is TIMESTAMP(NANOS), which the
-#: session factory reads as raw nanos (nanosAsLong) — the stream factory
-#: converts to a proper timestamp, exactly like sources.registry.load_table.
+#: Physical schema of events.parquet: ts is TIMESTAMP(MICROS) without a
+#: timezone — declared NTZ here (a stream source needs a static schema) and
+#: cast to a session-timezone TIMESTAMP by the stream factory, exactly like
+#: sources.registry.load_table normalizes the batch path.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -69,7 +71,8 @@ EVENTS_RAW_SCHEMA = StructType(
 
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet files, with the
-    nanos→timestamp conversion applied (same semantics as the batch loader).
+    NTZ→session-timezone-timestamp normalization applied (same semantics as
+    the batch loader).
 
     ``maxFilesPerTrigger=1`` keeps micro-batches bounded regardless of how
     many files land between triggers."""
@@ -78,7 +81,7 @@ def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
