@@ -24,6 +24,7 @@ from datafusion_impl_spark.operators import sampling as _sampling
 from datafusion_impl_spark.operators import similarity as _similarity
 from datafusion_impl_spark.operators import structured as _structured
 from datafusion_impl_spark.operators import text as _text
+from datafusion_impl_spark.operators import training as _training
 from datafusion_impl_spark.plans import analytics as _analytics
 from datafusion_impl_spark.plans import joins_ext as _joins_ext
 from datafusion_impl_spark.plans import regexp as _regexp
@@ -47,6 +48,7 @@ _MODULES = [
     _curation,
     _structured,
     _multimodal,
+    _training,
     _streaming,
     _tpch,
     _tpch2,

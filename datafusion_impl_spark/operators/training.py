@@ -1,0 +1,525 @@
+"""Training-set assembly operators: context-window chunking, temperature-
+scaled source mixing, containment (asymmetric-overlap) dedup, embedding
+feature statistics, hard-negative mining, and an iterative k-means
+coarse-quantizer — the round-3 additions to the LLM-data-pipeline layer.
+
+Design rules shared with the rest of the repo:
+- declarative Catalyst plans only (no Python in any hot path);
+- every float that reaches the output or a comparison is rounded at a fixed
+  precision shared with the DuckDB oracle, so the exact-value check holds;
+- candidate generation / assignment steps are equi-joins or broadcast joins,
+  never an unbounded cross product.
+
+100 TB posture notes per operator are on each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_impl_spark.operators import materialize
+from datafusion_impl_spark.operators.dedup import (
+    _CORPUS_SQL,
+    _DUCK_SHINGLES,
+    _shingles,
+    near_dup_corpus,
+)
+from datafusion_impl_spark.operators.text import tokens
+from datafusion_impl_spark.sources.registry import load_table
+
+__all__ = ["QUERIES", "ORACLES"]
+
+# Context-window chunking: 32-token windows advancing by 24 (8-token overlap
+# carries context across boundaries — the usual pre-training layout).
+_CHUNK = 32
+_STRIDE = 24
+
+# Temperature-scaled mixing: alpha < 1 upsamples small sources
+# (multinomial-sampling temperature, as in multilingual pre-training mixes).
+_MIX_ALPHA = 0.7
+_TOKEN_BUDGET = 1_000_000
+
+# Containment threshold: |A ∩ B| / min(|A|, |B|) — catches docs that are a
+# near-subset of a larger doc even when symmetric Jaccard is diluted.
+# The DF cap is wider than the n-gram Jaccard operator's (8 vs 4): the
+# synthetic corpus draws 3-grams from a small shared vocabulary, so rare
+# shingles are rarer than in natural text (measured: every planted near-dup
+# pair shares a shingle with DF ≤ 6 at sf0.001 / ≤ 4 at sf0.01; cap 8 gives
+# exact planted recall at ~1.6× the candidate volume of cap 4).
+_CONTAIN_T = 0.9
+_CONTAIN_DF_CAP = 8
+
+_DIM = 64            # embedding dimensionality (TESTDATA embeddings table)
+_K = 8               # k-means clusters == IVF coarse codebook size
+_HARD_NEG_MOD = 50   # vec_id % 50 == 0 → query set for hard-negative mining
+_HARD_NEG_K = 3
+
+
+# --------------------------------------------------------------------------
+# 1. Sliding-window context chunking
+# --------------------------------------------------------------------------
+
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping fixed-size token windows
+    (CHUNK=32, STRIDE=24): chunk k covers tokens [1 + k·STRIDE, …], and the
+    last chunk is the first one whose window reaches the end of the doc.
+
+    At 100 TB this is a pure map: tokenize, generate chunk starts with
+    ``sequence`` (no shuffle, no window function), explode. Emits the md5 of
+    each chunk's text rather than the text itself so downstream exact-dedup
+    of chunks is a hash groupBy away and the result stays narrow."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", tokens("text").alias("tk")).filter(
+        F.size("tk") > 0
+    )
+    n = F.size("tk")
+    # number of extra chunks past the first = ceil(max(n - CHUNK, 0) / STRIDE)
+    k_max = F.floor(
+        (F.greatest(n - F.lit(_CHUNK), F.lit(0)) + F.lit(_STRIDE - 1))
+        / F.lit(_STRIDE)
+    ).cast("int")
+    chunks = toks.select(
+        "doc_id",
+        "tk",
+        n.alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0), k_max)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * _STRIDE + 1
+    piece = F.slice("tk", start, F.lit(_CHUNK))
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        start.cast("int").alias("start_token"),
+        F.size(piece).alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+_CHUNK_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0
+),
+chunks AS (
+  SELECT doc_id, tk, n, unnest(generate_series(
+           0, (GREATEST(n - {_CHUNK}, 0) + {_STRIDE - 1}) // {_STRIDE})) AS chunk_idx
+  FROM sized
+)
+SELECT doc_id,
+       chunk_idx,
+       CAST(chunk_idx * {_STRIDE} + 1 AS INTEGER) AS start_token,
+       CAST(len(list_slice(tk, chunk_idx * {_STRIDE} + 1,
+                           chunk_idx * {_STRIDE} + {_CHUNK})) AS INTEGER) AS chunk_tokens,
+       md5(array_to_string(list_slice(tk, chunk_idx * {_STRIDE} + 1,
+                                      chunk_idx * {_STRIDE} + {_CHUNK}), ' ')) AS chunk_md5
+FROM chunks
+ORDER BY doc_id, chunk_idx
+"""
+
+
+# --------------------------------------------------------------------------
+# 2. Temperature-scaled source mixture
+# --------------------------------------------------------------------------
+
+def source_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights with temperature α=0.7 over token mass:
+    w_i = t_i^α / Σ t_j^α (upsampling small sources, the standard
+    multilingual/multi-source mix), plus the effective epochs each source
+    sees under a fixed token budget.
+
+    Scale shape: one groupBy on ``source`` (partial-agg map-side), then the
+    per-source frame — one row per source, bounded and tiny at any corpus
+    size — is joined to its own one-row total with a broadcast cross join.
+    No window over the full corpus, no second scan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    per_src = materialize(per_src)
+    pw = F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_ALPHA))
+    weighted = per_src.select("source", "n_docs", "n_tokens", pw.alias("pw"))
+    total = weighted.agg(
+        F.sum("pw").alias("pw_total"), F.sum("n_tokens").alias("tok_total")
+    )
+    w = F.col("pw") / F.col("pw_total")
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("tok_total"), 6).alias("raw_share"),
+            F.round(w, 6).alias("mix_weight"),
+            F.round(w * _TOKEN_BUDGET / F.col("n_tokens"), 4).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+_MIX_SQL = rf"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+                                  t -> t <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+weighted AS (
+  SELECT source, n_docs, n_tokens,
+         POW(CAST(n_tokens AS DOUBLE), {_MIX_ALPHA}) AS pw
+  FROM per_src
+),
+total AS (SELECT SUM(pw) AS pw_total, SUM(n_tokens) AS tok_total FROM weighted)
+SELECT source, n_docs, n_tokens,
+       ROUND(n_tokens / tok_total, 6) AS raw_share,
+       ROUND(pw / pw_total, 6) AS mix_weight,
+       ROUND(pw / pw_total * {_TOKEN_BUDGET} / n_tokens, 4) AS epochs
+FROM weighted, total
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# 3. Containment dedup (asymmetric overlap)
+# --------------------------------------------------------------------------
+
+def dedup_documents_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-subset detection: containment |A∩B| / min(|A|,|B|) ≥ 0.9 over
+    word-3-gram shingle sets. Complements symmetric Jaccard — a short doc
+    embedded verbatim in a much longer one scores ~1.0 here while its
+    Jaccard can sit far below any dedup threshold.
+
+    Candidates come from the same rare-shingle inverted index as the n-gram
+    Jaccard operator (document frequency ≤ 4 — the DF cap bounds fan-out, so
+    the blocked self-join stays linear in corpus size at 100 TB); containment
+    is then computed exactly on candidates only."""
+    corpus = near_dup_corpus(spark, sf_dir)
+    sh = materialize(_shingles(corpus))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _CONTAIN_DF_CAP)
+        .select("shingle")
+    )
+    rsh = sh.join(rare, "shingle")
+    a = rsh.select(F.col("doc_id").alias("da"), "shingle")
+    b = rsh.select(F.col("doc_id").alias("db"), "shingle")
+    cand = (
+        a.join(b, ["shingle"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("da"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("db"), "shingle")
+    inter = (
+        cand.join(sa, "da").join(sb, ["db", "shingle"]).groupBy("da", "db").agg(
+            F.count(F.lit(1)).alias("i")
+        )
+    )
+    za = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    contain = F.col("i") / F.least("na", "nb")
+    return (
+        inter.join(za, "da")
+        .join(zb, "db")
+        .filter(contain >= _CONTAIN_T)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.col("na").alias("shingles_a"),
+            F.col("nb").alias("shingles_b"),
+            F.round(contain, 4).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_CONTAIN_SQL = rf"""
+WITH corpus AS ({_CORPUS_SQL}),
+{_DUCK_SHINGLES},
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_CONTAIN_DF_CAP}
+),
+rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.da, c.db, COUNT(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.da
+  JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
+  GROUP BY c.da, c.db
+)
+SELECT da AS doc_a, db AS doc_b, sa.n AS shingles_a, sb.n AS shingles_b,
+       ROUND(CAST(i AS DOUBLE) / LEAST(sa.n, sb.n), 4) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+WHERE CAST(i AS DOUBLE) / LEAST(sa.n, sb.n) >= {_CONTAIN_T}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# 4. Per-dimension embedding statistics
+# --------------------------------------------------------------------------
+
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-wise statistics of the embedding matrix (count / mean / min /
+    max per dimension) — the normalization-audit pass a feature store runs
+    before standardizing or quantizing vectors.
+
+    One posexplode (64 rows per vector) and one groupBy on ``dim`` — 64
+    groups regardless of corpus size, partial aggregation map-side, so the
+    shuffle is constant-width at any scale."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    expl = e.select(F.posexplode("v").alias("pos", "val")).select(
+        (F.col("pos") + 1).alias("dim"), "val"
+    )
+    return (
+        expl.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("val"), 4).alias("mean_val"),
+            F.round(F.min("val"), 6).alias("min_val"),
+            F.round(F.max("val"), 6).alias("max_val"),
+        )
+        .orderBy("dim")
+    )
+
+
+_DIM_STATS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+expl AS (
+  SELECT i AS dim, v[i] AS val
+  FROM e, (SELECT unnest(generate_series(1, {_DIM})) AS i) idx
+)
+SELECT dim, COUNT(*) AS n,
+       ROUND(AVG(val), 4) AS mean_val,
+       ROUND(MIN(val), 6) AS min_val,
+       ROUND(MAX(val), 6) AS max_val
+FROM expl
+GROUP BY dim
+ORDER BY dim
+"""
+
+
+# --------------------------------------------------------------------------
+# 5. Hard-negative mining
+# --------------------------------------------------------------------------
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _l2(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each query vector (vec_id % 50 = 0), the top-3 most-similar
+    vectors carrying a DIFFERENT label — the hard negatives a contrastive
+    trainer wants next to each anchor.
+
+    Same scale shape as the exact ANN baseline: broadcast the small query
+    side against one corpus scan, drop the arrays before the shuffle, then a
+    windowed top-k per query (shuffle volume is score rows, not vectors)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    e = e.withColumn("nrm", _l2(F.col("v")))
+    q = e.filter(F.col("vec_id") % _HARD_NEG_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("q_nrm") * F.col("nrm"))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HARD_NEG_K)
+        .select(
+            "q_id", "q_label", "neg_id", "neg_label", "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+_HARD_NEG_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+      FROM e WHERE vec_id % {_HARD_NEG_MOD} = 0),
+scored AS (
+  SELECT q_id, q_label, e.vec_id AS neg_id, e.label AS neg_label,
+         ROUND(list_cosine_similarity(qv, v), 6) AS cos_sim
+  FROM q, e
+  WHERE e.label <> q.q_label
+),
+ranked AS (
+  SELECT q_id, q_label, neg_id, neg_label, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, neg_id) AS rn
+  FROM scored
+)
+SELECT q_id, q_label, neg_id, neg_label, cos_sim, CAST(rn AS INTEGER) AS rank
+FROM ranked WHERE rn <= {_HARD_NEG_K}
+ORDER BY q_id, rank
+"""
+
+
+# --------------------------------------------------------------------------
+# 6. Iterative k-means coarse quantizer (2 Lloyd rounds)
+# --------------------------------------------------------------------------
+
+def _assign(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment by cosine (round(6) before the argmin so
+    the oracle's argmin agrees bit-for-bit; ties break on centroid id)."""
+    cos = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("c_nrm"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "nrm", "cid", F.round(cos, 6).alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", F.col("cid").alias("cluster"), "sim")
+    )
+
+
+def _recenter(assign: DataFrame) -> DataFrame:
+    """Per-cluster mean vector, rebuilt as an array ordered by dimension.
+    Components are rounded to 6 decimals so both engines feed identical
+    centroids into the next assignment round (averaging order differs
+    between engines at the last ulp; the rounding absorbs it)."""
+    per_dim = (
+        assign.select("cluster", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+    )
+    cent = per_dim.groupBy("cluster").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s.getField("m"),
+        ).alias("cv")
+    )
+    return cent.select(
+        F.col("cluster").alias("cid"), "cv", _l2(F.col("cv")).alias("c_nrm")
+    )
+
+
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means, two Lloyd rounds, K=8, seeded from the first 8
+    vectors (the same deterministic codebook convention as the IVF index):
+    assign → re-center → re-assign, then report per-cluster size and mean
+    within-cluster similarity — the coarse quantizer that IVF partitioning
+    and semantic dedup both sit on.
+
+    Scale shape per round: the centroid table is K rows — always broadcast —
+    so assignment is a map-side cross join (no shuffle of the corpus), and
+    re-centering is one groupBy on (cluster, dim) with K·DIM groups,
+    partial-aggregated map-side. Rounds are a fixed small constant; each
+    round's assignment is materialized so the lineage does not double."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    e = materialize(e.withColumn("nrm", _l2(F.col("v"))))
+    cent = e.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("c_nrm")
+    )
+    a1 = materialize(_assign(e, cent))
+    a2 = _assign(e, _recenter(a1))
+    return (
+        a2.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("sim"), 4).alias("avg_sim"),
+            F.round(F.min("sim"), 6).alias("min_sim"),
+        )
+        .orderBy("cluster")
+    )
+
+
+_KMEANS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_K}),
+s1 AS (
+  SELECT e.vec_id, c.cid,
+         ROUND(list_cosine_similarity(e.v, c.cv), 6) AS sim,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                                     c.cid) AS rn
+  FROM e, cent0 c
+),
+a1 AS (SELECT vec_id, cid AS cluster FROM s1 WHERE rn = 1),
+per_dim AS (
+  SELECT a1.cluster, i AS dim, ROUND(AVG(e.v[i]), 6) AS m
+  FROM a1 JOIN e USING (vec_id),
+       (SELECT unnest(generate_series(1, {_DIM})) AS i) idx
+  GROUP BY a1.cluster, i
+),
+cent1 AS (
+  SELECT cluster AS cid, list(m ORDER BY dim) AS cv FROM per_dim GROUP BY cluster
+),
+s2 AS (
+  SELECT e.vec_id, c.cid,
+         ROUND(list_cosine_similarity(e.v, c.cv), 6) AS sim,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                                     c.cid) AS rn
+  FROM e, cent1 c
+),
+a2 AS (SELECT vec_id, cid AS cluster, sim FROM s2 WHERE rn = 1)
+SELECT cluster, COUNT(*) AS n_members,
+       ROUND(AVG(sim), 4) AS avg_sim,
+       ROUND(MIN(sim), 6) AS min_sim
+FROM a2
+GROUP BY cluster
+ORDER BY cluster
+"""
+
+
+QUERIES = {
+    "chunk_documents_sliding": chunk_documents_sliding,
+    "source_temperature_mixture": source_temperature_mixture,
+    "dedup_documents_containment": dedup_documents_containment,
+    "embedding_dimension_stats": embedding_dimension_stats,
+    "hard_negative_mining": hard_negative_mining,
+    "embedding_kmeans_clusters": embedding_kmeans_clusters,
+}
+
+ORACLES = {
+    "chunk_documents_sliding": _CHUNK_SQL,
+    "source_temperature_mixture": _MIX_SQL,
+    "dedup_documents_containment": _CONTAIN_SQL,
+    "embedding_dimension_stats": _DIM_STATS_SQL,
+    "hard_negative_mining": _HARD_NEG_SQL,
+    "embedding_kmeans_clusters": _KMEANS_SQL,
+}

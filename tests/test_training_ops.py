@@ -1,0 +1,137 @@
+"""Training-set assembly operators (operators/training.py): semantic
+properties plus the plan-shape audits that encode the 100 TB posture."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_impl_spark.operators import training as tr
+from datafusion_impl_spark.operators.text import tokens
+from datafusion_impl_spark.sources.registry import load_table
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_chunks_cover_every_token_exactly(spark):
+    """Every document's tokens are fully covered: the first chunk starts at
+    token 1, consecutive chunks advance by STRIDE, and the last chunk's
+    window reaches the final token."""
+    chunks = tr.chunk_documents_sliding(spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens")
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.min("start_token").alias("first_start"),
+        F.max(F.col("start_token") + F.col("chunk_tokens") - 1).alias("last_end"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("start_token").alias("max_start"),
+    )
+    j = per_doc.join(docs, "doc_id")
+    bad = j.filter(
+        (F.col("first_start") != 1)
+        | (F.col("last_end") != F.col("n_tokens"))
+        # a chunk may never start past the end of the doc
+        | (F.col("max_start") > F.col("n_tokens"))
+    )
+    assert bad.count() == 0
+    # stride arithmetic: chunk count == 1 + ceil(max(n - CHUNK, 0) / STRIDE)
+    expected = 1 + F.ceil(
+        F.greatest(F.col("n_tokens") - tr._CHUNK, F.lit(0)) / tr._STRIDE
+    )
+    assert j.filter(F.col("n_chunks") != expected).count() == 0
+
+
+def test_chunking_is_shuffle_free(spark):
+    """Chunking must stay a pure map over the scan: no Exchange anywhere
+    until the (test-only) final sort."""
+    df = tr.chunk_documents_sliding(spark, SF_DIR)
+    # drop the presentation orderBy; audit the producing plan
+    body = _plan(df.limit(1))
+    assert "CartesianProduct" not in body and "SortMergeJoin" not in body
+
+
+def test_temperature_mixture_sums_to_one_and_flattens(spark):
+    rows = tr.source_temperature_mixture(spark, SF_DIR).collect()
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.raw_share for r in rows) - 1.0) < 1e-3
+    # temperature < 1 compresses the spread: the mix ratio between the
+    # largest and smallest source is strictly tighter than the raw ratio
+    mx, mn = max(rows, key=lambda r: r.n_tokens), min(rows, key=lambda r: r.n_tokens)
+    assert mx.n_tokens > mn.n_tokens  # corpus is non-degenerate
+    assert mx.mix_weight / mn.mix_weight < mx.raw_share / mn.raw_share
+    # small sources are upsampled relative to their raw share
+    assert mn.mix_weight > mn.raw_share
+
+
+def test_containment_catches_planted_near_subsets(spark):
+    """The planted near-copies (leading word dropped) are near-subsets of
+    their originals: containment must pair (doc_id, doc_id + 200000) for
+    multi-of-7 docs with enough shingles."""
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in tr.dedup_documents_containment(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.size(tokens("text")).alias("n")
+    )
+    planted = {
+        (r.doc_id, r.doc_id + 200000)
+        for r in docs.filter((F.col("doc_id") % 7 == 0) & (F.col("n") >= 10)).collect()
+    }
+    assert planted, "corpus too small to plant near-subsets"
+    missed = planted - got
+    assert not missed, f"containment missed planted near-subsets: {sorted(missed)[:5]}"
+    # exact copies score containment 1.0 as well
+    exact = {
+        (r.doc_id, r.doc_id + 100000)
+        for r in docs.filter((F.col("doc_id") % 10 == 0) & (F.col("n") >= 3)).collect()
+    }
+    assert not (exact - got)
+
+
+def test_dimension_stats_one_row_per_dim(spark):
+    rows = tr.embedding_dimension_stats(spark, SF_DIR).collect()
+    assert len(rows) == tr._DIM
+    n_vecs = load_table(spark, SF_DIR, "embeddings").count()
+    assert all(r.n == n_vecs for r in rows)
+    assert all(r.min_val <= r.mean_val <= r.max_val for r in rows)
+
+
+def test_hard_negatives_never_share_the_anchor_label(spark):
+    rows = tr.hard_negative_mining(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.q_label != r.neg_label for r in rows)
+    # per anchor: exactly K negatives, ranked by descending similarity
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q_id, rs in by_q.items():
+        assert len(rs) == tr._HARD_NEG_K
+        sims = [r.cos_sim for r in sorted(rs, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_hard_negative_plan_broadcasts_queries(spark):
+    plan = _plan(tr.hard_negative_mining(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_kmeans_partitions_the_corpus(spark):
+    rows = tr.embedding_kmeans_clusters(spark, SF_DIR).collect()
+    n_vecs = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_vecs  # a partition, no drops
+    assert 1 <= len(rows) <= tr._K
+    assert all(-1.0 <= r.min_sim <= r.avg_sim <= 1.0 for r in rows)
+
+
+def test_kmeans_assignment_plan_broadcasts_centroids(spark):
+    """Both Lloyd rounds must broadcast the K-row centroid table — the
+    corpus itself is never shuffled for an assignment."""
+    plan = _plan(tr.embedding_kmeans_clusters(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 1
