@@ -152,20 +152,43 @@ ORDER BY lang, predicted
 # 3. Quality scoring
 # --------------------------------------------------------------------------
 
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality features (length, stopword ratio, punctuation
-    ratio) combined into a [0,1] score; aggregated per source. One projection
-    + one shuffle — the canonical pre-training quality-filter shape."""
-    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars", "text")
+def quality_score() -> Column:
+    """[0,1] per-document quality score from length, stopword ratio, and
+    punctuation ratio (expects ``text`` and ``n_chars`` columns in scope).
+    Shared by the per-source aggregate here and the curriculum bucketing in
+    :mod:`datafusion_impl_spark.operators.training`."""
     n_tokens = F.regexp_count("text", F.lit(r"\S+"))
     stop_hits = F.regexp_count("text", F.lit(r"\b(the|a|of|and|is)\b"))
     punct = F.regexp_count("text", F.lit(r"[^\w\s]"))
-    score = F.round(
+    return F.round(
         F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.5
         + F.least(F.lit(1.0), stop_hits / F.greatest(n_tokens.cast("double"), F.lit(1.0)) * 5.0) * 0.3
         + (F.lit(1.0) - F.least(F.lit(1.0), punct / F.greatest(F.col("n_chars").cast("double"), F.lit(1.0)) * 10.0)) * 0.2,
         4,
     )
+
+
+#: DuckDB CTE body computing the same per-doc score as :func:`quality_score`;
+#: yields columns of ``documents`` plus ``score``.
+DUCK_QUALITY_SCORED = r"""
+  SELECT *,
+         ROUND(
+           LEAST(1.0, len(regexp_extract_all(text, '\S+')) / 100.0) * 0.5
+           + LEAST(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|is)\b'))
+                   / CAST(GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) * 5.0) * 0.3
+           + (1.0 - LEAST(1.0, len(regexp_extract_all(text, '[^\w\s]'))
+                    / CAST(GREATEST(n_chars, 1) AS DOUBLE) * 10.0)) * 0.2,
+           4) AS score
+  FROM documents
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length, stopword ratio, punctuation
+    ratio) combined into a [0,1] score; aggregated per source. One projection
+    + one shuffle — the canonical pre-training quality-filter shape."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars", "text")
+    score = quality_score()
     return (
         docs.select("source", score.alias("score"))
         .groupBy("source")

@@ -25,7 +25,11 @@ from datafusion_impl_spark.operators.dedup import (
     _shingles,
     near_dup_corpus,
 )
-from datafusion_impl_spark.operators.text import tokens
+from datafusion_impl_spark.operators.text import (
+    DUCK_QUALITY_SCORED,
+    quality_score,
+    tokens,
+)
 from datafusion_impl_spark.sources.registry import load_table
 
 __all__ = ["QUERIES", "ORACLES"]
@@ -506,6 +510,330 @@ ORDER BY cluster
 """
 
 
+# --------------------------------------------------------------------------
+# 7. Chunk-level exact dedup (boilerplate / copy-paste span detection)
+# --------------------------------------------------------------------------
+
+def dedup_chunks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at CHUNK granularity over the near-dup corpus: sliding
+    chunks whose md5 repeats across documents are copy-paste / boilerplate
+    spans (document-level dedup misses them when the surrounding text
+    differs). Reports each repeated span with its document reach.
+
+    Scale shape: the chunker is a pure map; the repeat detection is one
+    groupBy on the chunk md5 — a uniform 128-bit key, skew-free, same
+    posture as document-level exact dedup."""
+    corpus = near_dup_corpus(spark, sf_dir)
+    toks = corpus.select("doc_id", tokens("text").alias("tk")).filter(
+        F.size("tk") > 0
+    )
+    n = F.size("tk")
+    k_max = F.floor(
+        (F.greatest(n - F.lit(_CHUNK), F.lit(0)) + F.lit(_STRIDE - 1))
+        / F.lit(_STRIDE)
+    ).cast("int")
+    chunks = toks.select(
+        "doc_id", "tk", F.explode(F.sequence(F.lit(0), k_max)).alias("chunk_idx")
+    )
+    piece = F.slice("tk", F.col("chunk_idx") * _STRIDE + 1, F.lit(_CHUNK))
+    spans = chunks.select("doc_id", F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"))
+    return (
+        spans.groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("chunk_md5")
+    )
+
+
+_CHUNK_DEDUP_SQL = rf"""
+WITH corpus AS ({_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+  FROM corpus
+),
+sized AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(tk, ci * {_STRIDE} + 1,
+                                        ci * {_STRIDE} + {_CHUNK}), ' ')) AS chunk_md5
+  FROM sized,
+       LATERAL (SELECT unnest(generate_series(
+         0, (GREATEST(n - {_CHUNK}, 0) + {_STRIDE - 1}) // {_STRIDE})) AS ci) g
+)
+SELECT chunk_md5, COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+FROM chunks
+GROUP BY chunk_md5
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY chunk_md5
+"""
+
+
+# --------------------------------------------------------------------------
+# 8. Cross-modal source profile (documents ⋈ embeddings)
+# --------------------------------------------------------------------------
+
+def source_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding profile via the cross-modal equi-join
+    doc_id = vec_id: vector count, mean L2 norm, and the norm of the source
+    centroid. A centroid norm far below the mean norm means the source's
+    vectors point in scattered directions (dispersion audit before
+    clustering or retrieval-index building).
+
+    Scale shape: equi-join on the id (co-partitionable), then per-(source,
+    dim) partial aggregation — the shuffle carries source×64 rows, not
+    vectors."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    j = docs.join(e, "doc_id")
+    norms = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(_l2(F.col("v"))), 4).alias("avg_norm"),
+    )
+    per_dim = (
+        j.select("source", F.posexplode("v").alias("pos", "val"))
+        .groupBy("source", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+    )
+    cent = per_dim.groupBy("source").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("centroid_norm")
+    )
+    return (
+        norms.join(cent, "source")
+        .select(
+            "source",
+            "n_vecs",
+            "avg_norm",
+            "centroid_norm",
+            F.round(F.col("centroid_norm") / F.col("avg_norm"), 4).alias("coherence"),
+        )
+        .orderBy("source")
+    )
+
+
+_SRC_EMB_SQL = f"""
+WITH e AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings),
+j AS (SELECT d.source, e.v FROM documents d JOIN e USING (doc_id)),
+norms AS (
+  SELECT source, COUNT(*) AS n_vecs,
+         ROUND(AVG(sqrt(list_sum(list_transform(v, x -> x * x)))), 4) AS avg_norm
+  FROM j GROUP BY source
+),
+per_dim AS (
+  SELECT source, i AS dim, ROUND(AVG(v[i]), 6) AS m
+  FROM j, (SELECT unnest(generate_series(1, {_DIM})) AS i) idx
+  GROUP BY source, i
+),
+cent AS (
+  SELECT source, ROUND(sqrt(SUM(m * m)), 4) AS centroid_norm
+  FROM per_dim GROUP BY source
+)
+SELECT source, n_vecs, avg_norm, centroid_norm,
+       ROUND(centroid_norm / avg_norm, 4) AS coherence
+FROM norms JOIN cent USING (source)
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# 9. Quality-curriculum tiers
+# --------------------------------------------------------------------------
+
+_TIER_LOW, _TIER_HIGH = 0.5, 0.65  # fixed score cutoffs ≈ corpus terciles
+
+
+def quality_curriculum_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum tiers by quality score (fixed cutoffs, not quantiles — a
+    global ntile would be a single-reducer sort at scale; fixed thresholds
+    keep the bucketing a pure map and are how production curricula pin tier
+    boundaries across corpus versions): per (tier, lang) doc counts, token
+    mass, and mean score — the mix a staged training schedule consumes."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    scored = docs.select(
+        "lang",
+        quality_score().alias("score"),
+        F.size(tokens("text")).alias("n_tokens"),
+    )
+    tier = (
+        F.when(F.col("score") < _TIER_LOW, "c_low")
+        .when(F.col("score") < _TIER_HIGH, "b_mid")
+        .otherwise("a_high")
+    )
+    return (
+        scored.select(tier.alias("tier"), "lang", "score", "n_tokens")
+        .groupBy("tier", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+        .orderBy("tier", "lang")
+    )
+
+
+_TIERS_SQL = rf"""
+WITH scored AS ({DUCK_QUALITY_SCORED}),
+tiered AS (
+  SELECT CASE WHEN score < {_TIER_LOW} THEN 'c_low'
+              WHEN score < {_TIER_HIGH} THEN 'b_mid'
+              ELSE 'a_high' END AS tier,
+         lang, score,
+         len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_tokens
+  FROM scored
+)
+SELECT tier, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(AVG(score), 4) AS avg_score
+FROM tiered
+GROUP BY tier, lang
+ORDER BY tier, lang
+"""
+
+
+# --------------------------------------------------------------------------
+# 10. Train→eval split-leakage audit
+# --------------------------------------------------------------------------
+
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: a val/test document is *leaked* if it
+    shares ≥ 2 distinct rare word-5-grams (document frequency ≤ 10) with any
+    train document — the same inverted-index blocking as benchmark
+    decontamination, but run against the pipeline's own hash-ring split
+    (:mod:`.sampling`), which is exactly the audit a release gate wants:
+    the split is disjoint by doc_id, but near-duplicate *content* still
+    straddles it.
+
+    Scale shape: gram table built once (materialized — it feeds the DF
+    filter and both join sides), DF cap bounds the inverted-index fan-out,
+    and the final report is a constant-width (split × lang) aggregate."""
+    from datafusion_impl_spark.operators.sampling import _bucket, _TRAIN_END, _VAL_END
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    b = _bucket(F.col("doc_id"))
+    split = (
+        F.when(b < _TRAIN_END, "train").when(b < _VAL_END, "val").otherwise("test")
+    )
+    docs = docs.withColumn("split", split)
+    toks = docs.select("doc_id", "lang", "split", tokens("text").alias("tk")).filter(
+        F.size("tk") >= 5
+    )
+    tk = F.col("tk")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 4),
+        lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j) for j in range(5)]),
+    )
+    g = materialize(
+        toks.select("doc_id", "lang", "split", F.explode(grams).alias("gram")).distinct()
+    )
+    rare = (
+        g.groupBy("gram").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 10)
+    ).select("gram")
+    gr = g.join(rare, "gram")
+    ev = gr.filter(F.col("split") != "train").select(
+        F.col("doc_id").alias("eval_id"), "lang", "split", "gram"
+    )
+    trn = gr.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_id"), "gram"
+    )
+    pairs = (
+        ev.join(trn, "gram")
+        .groupBy("eval_id", "lang", "split", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    per_eval = pairs.groupBy("eval_id", "lang", "split").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    n_eval = docs.filter(F.col("split") != "train").groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        n_eval.join(
+            per_eval.groupBy("split", "lang").agg(
+                F.count(F.lit(1)).alias("n_leaked"),
+                F.sum("n_hits").cast("long").alias("n_pairs"),
+            ),
+            ["split", "lang"],
+            "left",
+        )
+        .select(
+            "split",
+            "lang",
+            "n_docs",
+            F.coalesce("n_leaked", F.lit(0)).alias("n_leaked"),
+            F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def _leakage_sql() -> str:
+    from datafusion_impl_spark.operators.sampling import (
+        _duck_bucket,
+        _TRAIN_END,
+        _VAL_END,
+    )
+
+    bucket = _duck_bucket("doc_id")
+    return rf"""
+WITH d AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN {bucket} < {_TRAIN_END} THEN 'train'
+              WHEN {bucket} < {_VAL_END} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, lang, split,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+  FROM d
+),
+g AS (
+  SELECT DISTINCT doc_id, lang, split,
+         unnest(list_transform(generate_series(1, len(tk) - 4),
+                i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS gram
+  FROM toks WHERE len(tk) >= 5
+),
+rare AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) <= 10),
+gr AS (SELECT g.* FROM g JOIN rare USING (gram)),
+pairs AS (
+  SELECT e.doc_id AS eval_id, e.lang, e.split, t.doc_id AS train_id,
+         COUNT(*) AS n_shared
+  FROM gr e JOIN gr t ON e.gram = t.gram
+  WHERE e.split <> 'train' AND t.split = 'train'
+  GROUP BY 1, 2, 3, 4
+  HAVING COUNT(*) >= 2
+),
+per_eval AS (
+  SELECT eval_id, lang, split, COUNT(*) AS n_hits
+  FROM pairs GROUP BY 1, 2, 3
+),
+n_eval AS (
+  SELECT split, lang, COUNT(*) AS n_docs FROM d
+  WHERE split <> 'train' GROUP BY 1, 2
+)
+SELECT n_eval.split, n_eval.lang, n_eval.n_docs,
+       COALESCE(agg.n_leaked, 0) AS n_leaked,
+       CAST(COALESCE(agg.n_pairs, 0) AS BIGINT) AS n_pairs
+FROM n_eval
+LEFT JOIN (
+  SELECT split, lang, COUNT(*) AS n_leaked, SUM(n_hits) AS n_pairs
+  FROM per_eval GROUP BY 1, 2
+) agg USING (split, lang)
+ORDER BY split, lang
+"""
+
+
 QUERIES = {
     "chunk_documents_sliding": chunk_documents_sliding,
     "source_temperature_mixture": source_temperature_mixture,
@@ -513,6 +841,10 @@ QUERIES = {
     "embedding_dimension_stats": embedding_dimension_stats,
     "hard_negative_mining": hard_negative_mining,
     "embedding_kmeans_clusters": embedding_kmeans_clusters,
+    "dedup_chunks_exact": dedup_chunks_exact,
+    "source_embedding_profile": source_embedding_profile,
+    "quality_curriculum_tiers": quality_curriculum_tiers,
+    "split_leakage_report": split_leakage_report,
 }
 
 ORACLES = {
@@ -522,4 +854,8 @@ ORACLES = {
     "embedding_dimension_stats": _DIM_STATS_SQL,
     "hard_negative_mining": _HARD_NEG_SQL,
     "embedding_kmeans_clusters": _KMEANS_SQL,
+    "dedup_chunks_exact": _CHUNK_DEDUP_SQL,
+    "source_embedding_profile": _SRC_EMB_SQL,
+    "quality_curriculum_tiers": _TIERS_SQL,
+    "split_leakage_report": _leakage_sql(),
 }

@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Compare a bench.py JSON line against a previous round's recording.
+
+Usage:
+    python scripts/bench_compare.py NEW.json [OLD.json]
+
+NEW.json: a file whose last line is bench.py's JSON output (or a driver
+BENCH_r{N}.json with a ``parsed`` payload). OLD defaults to the repo's
+BENCH_r01.json (whose parsed payload is the 31-query BASELINE set).
+Prints the shared-query total ratio (the judge's bench_vs_baseline number)
+and every query that moved more than 20% either way.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        text = f.read().strip()
+    try:
+        d = json.loads(text.splitlines()[-1])
+    except json.JSONDecodeError:
+        d = json.loads(text)
+    if "queries" in d:
+        return d
+    if d.get("parsed"):
+        return d["parsed"]
+    raise SystemExit(f"{path}: no parsed bench payload")
+
+
+def main() -> None:
+    new = load(sys.argv[1])
+    old = load(sys.argv[2] if len(sys.argv) > 2 else "BENCH_r01.json")
+    nq, oq = new["queries"], old["queries"]
+    shared = sorted(set(nq) & set(oq))
+    n_tot = sum(nq[k] for k in shared)
+    o_tot = sum(oq[k] for k in shared)
+    print(f"shared queries: {len(shared)}  new={n_tot:.2f}s old={o_tot:.2f}s "
+          f"ratio={n_tot / o_tot:.3f}x")
+    print(f"new-only queries: {len(set(nq) - set(oq))} "
+          f"({sum(nq[k] for k in set(nq) - set(oq)):.2f}s)")
+    movers = [
+        (nq[k] / max(oq[k], 1e-9), k) for k in shared
+        if nq[k] / max(oq[k], 1e-9) > 1.2 or nq[k] / max(oq[k], 1e-9) < 0.8
+    ]
+    for r, k in sorted(movers, reverse=True):
+        print(f"  {r:5.2f}x  {k}: {oq[k]:.3f} -> {nq[k]:.3f}")
+    slow = sorted(nq.items(), key=lambda kv: -kv[1])[:10]
+    print("slowest now:", ", ".join(f"{k}={v:.2f}s" for k, v in slow))
+
+
+if __name__ == "__main__":
+    main()

@@ -129,6 +129,63 @@ def test_kmeans_partitions_the_corpus(spark):
     assert all(-1.0 <= r.min_sim <= r.avg_sim <= 1.0 for r in rows)
 
 
+def test_chunk_dedup_finds_planted_copy_spans(spark):
+    """Every chunk of a planted exact-copy doc repeats across ≥ 2 docs, so
+    chunk-level dedup must report spans reaching at least the planted pair
+    count, and each reported span must genuinely span ≥ 2 docs."""
+    rows = tr.dedup_chunks_exact(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.n_docs >= 2 for r in rows)
+    assert all(r.n_occurrences >= r.n_docs for r in rows)
+    # planted exact copies guarantee at least one repeated chunk per pair
+    n_exact_dups = (
+        load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") % 10 == 0).count()
+    )
+    assert len(rows) >= n_exact_dups
+
+
+def test_source_embedding_profile_shape(spark):
+    rows = tr.source_embedding_profile(spark, SF_DIR).collect()
+    n_sources = (
+        load_table(spark, SF_DIR, "documents").select("source").distinct().count()
+    )
+    assert len(rows) == n_sources
+    # centroid of scattered unit-ish vectors is shorter than the mean norm
+    assert all(0.0 < r.centroid_norm <= r.avg_norm * 1.001 for r in rows)
+    assert all(0.0 < r.coherence <= 1.001 for r in rows)
+
+
+def test_quality_tiers_partition_the_corpus(spark):
+    rows = tr.quality_curriculum_tiers(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    tiers = {r.tier for r in rows}
+    assert tiers <= {"a_high", "b_mid", "c_low"}
+    # tier score ranges respect the cutoffs
+    for r in rows:
+        if r.tier == "c_low":
+            assert r.avg_score < tr._TIER_LOW
+        elif r.tier == "a_high":
+            assert r.avg_score >= tr._TIER_HIGH
+
+
+def test_split_leakage_counts_agree_with_split_assignment(spark):
+    """The leakage report's eval populations must equal the hash-ring split
+    operator's own (lang, split) counts — both derive from the same ring."""
+    from datafusion_impl_spark.operators.sampling import corpus_split_assignment
+
+    leak = tr.split_leakage_report(spark, SF_DIR).collect()
+    ring = {
+        (r.split, r.lang): r.n_docs
+        for r in corpus_split_assignment(spark, SF_DIR).collect()
+        if r.split != "train"
+    }
+    got = {(r.split, r.lang): r.n_docs for r in leak}
+    assert got == ring
+    assert all(r.n_leaked <= r.n_docs for r in leak)
+    assert all((r.n_leaked == 0) == (r.n_pairs == 0) for r in leak)
+
+
 def test_kmeans_assignment_plan_broadcasts_centroids(spark):
     """Both Lloyd rounds must broadcast the K-row centroid table — the
     corpus itself is never shuffled for an assignment."""
