@@ -27,6 +27,7 @@ from datafusion_impl_spark.operators import text as _text
 from datafusion_impl_spark.operators import training as _training
 from datafusion_impl_spark.plans import analytics as _analytics
 from datafusion_impl_spark.plans import joins_ext as _joins_ext
+from datafusion_impl_spark.plans import modern as _modern
 from datafusion_impl_spark.plans import regexp as _regexp
 from datafusion_impl_spark.plans import tpch as _tpch
 from datafusion_impl_spark.plans import tpch2 as _tpch2
@@ -55,6 +56,7 @@ _MODULES = [
     _tpch3,
     _tpch4,
     _joins_ext,
+    _modern,
     _regexp,
     _analytics,
     _source_queries,

@@ -161,6 +161,23 @@ def pack_documents_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFram
 
     Identical output to the single-window formulation (same oracle).
     Emits per-pack stats (docs, tokens, fill ratio vs budget)."""
+    with_packs = pack_assignments(spark, sf_dir)
+    return (
+        with_packs.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.round(F.sum("n_tok") / F.lit(float(_PACK_BUDGET)), 4).alias("fill"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+def pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document pack assignment (the hierarchical prefix scan described
+    on :func:`pack_documents_by_token_budget`): columns ``source, doc_id,
+    n_tok, global_prefix, pack_id``. Shared by the per-pack stats query and
+    the pack-manifest materialization in :mod:`.training`."""
     docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "text")
     tok_n = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != F.lit("")))
     base = docs.select(
@@ -192,24 +209,15 @@ def pack_documents_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
 
-    with_packs = (
+    return (
         base.withColumn("local_prefix", local_prefix)
         .join(F.broadcast(offsets), ["source", "shard"])
+        .withColumn("global_prefix", F.col("offset") + F.col("local_prefix"))
         .withColumn(
             "pack_id",
-            F.floor(
-                (F.col("offset") + F.col("local_prefix")) / _PACK_BUDGET
-            ).cast("long"),
+            F.floor(F.col("global_prefix") / _PACK_BUDGET).cast("long"),
         )
-    )
-    return (
-        with_packs.groupBy("source", "pack_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").alias("n_tokens"),
-            F.round(F.sum("n_tok") / F.lit(float(_PACK_BUDGET)), 4).alias("fill"),
-        )
-        .orderBy("source", "pack_id")
+        .select("source", "doc_id", "n_tok", "global_prefix", "pack_id")
     )
 
 

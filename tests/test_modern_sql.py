@@ -1,0 +1,66 @@
+"""Modern SQL surface (plans/modern.py): recursive CTE, LATERAL, VARIANT —
+cross-checked against equivalent non-SQL formulations."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datafusion_impl_spark.plans import modern as md
+from datafusion_impl_spark.sources.registry import load_table
+from tests.conftest import SF_DIR
+
+
+def test_recursive_ema_covers_every_month_and_smooths(spark):
+    rows = md.recursive_cte_revenue_ema(spark, SF_DIR).collect()
+    n_months = (
+        load_table(spark, SF_DIR, "orders")
+        .select(F.date_trunc("month", "o_orderdate").alias("m"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_months
+    # the EMA starts at the first month's revenue and stays inside the
+    # running [min, max] revenue envelope (a convex combination must)
+    assert rows[0].ema == rows[0].revenue
+    lo = hi = rows[0].revenue
+    for r in rows[1:]:
+        lo, hi = min(lo, r.revenue), max(hi, r.revenue)
+        assert lo - 0.01 <= r.ema <= hi + 0.01
+
+
+def test_lateral_topk_matches_window_formulation(spark):
+    got = [
+        (r.c_mktsegment, r.o_orderkey)
+        for r in md.lateral_top_orders_per_segment(spark, SF_DIR).collect()
+    ]
+    cust = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    want = [
+        (r.c_mktsegment, r.o_orderkey)
+        for r in orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .orderBy("c_mktsegment", F.desc("o_totalprice"), "o_orderkey")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_variant_extraction_matches_struct_path(spark):
+    var = {
+        (r.event_type, r.n_events, r.sum_k)
+        for r in md.events_props_variant(spark, SF_DIR).collect()
+    }
+    from datafusion_impl_spark.operators.structured import events_props_struct
+
+    struct = {
+        (r.event_type, r.n_events, r.sum_k)
+        for r in events_props_struct(spark, SF_DIR).collect()
+    }
+    assert var == struct
