@@ -43,6 +43,7 @@ def main() -> None:
         # releases prior queries' DataFrames so the ContextCleaner can drop
         # their localCheckpoint RDDs before the JVM collection.
         gc.collect()
+        spark.catalog.clearCache()
         spark._jvm.System.gc()
         run_once(fn(spark, sf_dir))  # warm-up: codegen + caches, un-timed
         # best-of-2 (sub-second queries see ±0.5 s of GC/scheduler noise; the
@@ -62,8 +63,8 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # The ONE contract line, last on stdout (progress bars are disabled in
-    # the session config so a bounded tail capture still contains it whole).
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf_dir
+    # Full per-query payload first (for scripts/bench_compare.py and humans)...
     print(
         json.dumps(
             {
@@ -71,7 +72,24 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+                "sf": sf_val,
+            }
+        ),
+        flush=True,
+    )
+    # ...then a compact summary as the LAST stdout line: with 130+ queries the
+    # full line is ~5 kB, and a consumer keeping only a bounded output tail
+    # (the bench driver keeps 2,000 chars) would truncate away the leading
+    # metric/value keys. The tail therefore always ends with this complete,
+    # parseable JSON object.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "n_queries": len(timings),
             }
         ),
         flush=True,

@@ -11,6 +11,7 @@ three constructs, so the oracles replay the exact semantics.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from datafusion_impl_spark.sources.registry import load_table
 
@@ -20,32 +21,87 @@ __all__ = ["QUERIES", "ORACLES"]
 _EMA_ALPHA = 0.2
 
 
+def _monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared seed: monthly order revenue + 1-based month index. This is the
+    only part of the EMA queries that touches the fact table — one ordinary
+    groupBy shuffle at any scale; the output is one row per MONTH (~80)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    return monthly.select(
+        "month",
+        "revenue",
+        F.row_number().over(Window.orderBy("month")).alias("i"),
+    )
+
+
+#: Months folded per recursive step (see recursive_cte_revenue_ema).
+_EMA_BLOCK = 8
+
+
 def recursive_cte_revenue_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential moving average of monthly order revenue via WITH
-    RECURSIVE — a genuinely sequential recurrence (ema_i depends on
-    ema_{i-1}) that no window frame expresses. ~80 months of recursion over
-    a pre-aggregated frame: the recursion depth is the number of MONTHS, not
-    rows, so at 100 TB the recursive part still iterates over a tiny
-    aggregate while the heavy lifting (the monthly groupBy) is one ordinary
-    shuffle."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rcte")
+    RECURSIVE — the genuinely sequential recurrence (ema_i depends on
+    ema_{i-1}) expressed through the iterative SQL surface.
+
+    Cost discipline (the r3 bench measured 25 s for the naive per-month
+    recursion): every UNION ALL step of a recursive CTE is a
+    driver-coordinated job, so per-iteration scheduling dominates when the
+    recursive frame is tiny. Standard fix for a LINEAR recurrence: *blocked
+    evaluation* — recurse over blocks of ``_EMA_BLOCK`` months and fold the
+    months inside a block with a higher-order ``aggregate`` (the exact same
+    multiply-add sequence as the per-month recursion, so results are
+    bit-identical), cutting iteration count by the block factor. The block
+    seed is pre-aggregated once (one ordinary groupBy shuffle over orders —
+    the only part that touches the fact table), ``coalesce(1)`` +
+    ``localCheckpoint``-ed so no step re-scans the source. r4 measured:
+    25.3 s → ~2 s at sf0.1.
+
+    See also :func:`ema_revenue_closed_form` — the same recurrence as a
+    closed-form exponentially-weighted prefix sum (one window, no
+    iteration), the shape to prefer when a closed form exists."""
+    months = _monthly_revenue(spark, sf_dir)
+    blocks = (
+        months.withColumn(
+            "b", ((F.col("i") - 1) / _EMA_BLOCK).cast("int") + 1
+        )
+        .groupBy("b")
+        # struct sorts by leading field i → months inside a block in order
+        .agg(F.sort_array(F.collect_list(F.struct("i", "month", "revenue"))).alias("ms"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    blocks.createOrReplaceTempView("blocks_rcte")
+
+    def fold(init: str) -> str:
+        """SQL fold of one block's months, carrying the running EMA in
+        ``acc.last`` (NULL carry → first month seeds ema = revenue)."""
+        return f"""aggregate(
+        ms,
+        named_struct('last', {init},
+                     'out', CAST(array() AS ARRAY<STRUCT<i: INT, month: DATE, revenue: DOUBLE, ema: DOUBLE>>)),
+        (acc, x) -> named_struct(
+            'last', CASE WHEN acc.last IS NULL THEN CAST(x.revenue AS DOUBLE)
+                         ELSE acc.last * {1.0 - _EMA_ALPHA} + x.revenue * {_EMA_ALPHA} END,
+            'out', array_append(acc.out, named_struct(
+                'i', x.i, 'month', x.month, 'revenue', x.revenue,
+                'ema', CASE WHEN acc.last IS NULL THEN CAST(x.revenue AS DOUBLE)
+                            ELSE acc.last * {1.0 - _EMA_ALPHA} + x.revenue * {_EMA_ALPHA} END))),
+        acc -> acc.out)"""
+
     return spark.sql(f"""
-WITH RECURSIVE months AS (
-  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-         SUM(o_totalprice) AS revenue,
-         ROW_NUMBER() OVER (ORDER BY CAST(date_trunc('month', o_orderdate) AS DATE)) AS i
-  FROM orders_rcte
-  GROUP BY 1
-),
-ema AS (
-  SELECT i, month, revenue, revenue AS ema FROM months WHERE i = 1
+WITH RECURSIVE ema_blocks AS (
+  SELECT b, {fold('CAST(NULL AS DOUBLE)')} AS out
+  FROM blocks_rcte WHERE b = 1
   UNION ALL
-  SELECT m.i, m.month, m.revenue,
-         e.ema * {1.0 - _EMA_ALPHA} + m.revenue * {_EMA_ALPHA}
-  FROM ema e JOIN months m ON m.i = e.i + 1
+  SELECT m.b, {fold('element_at(e.out, -1).ema')} AS out
+  FROM ema_blocks e JOIN blocks_rcte m ON m.b = e.b + 1
 )
-SELECT month, ROUND(revenue, 2) AS revenue, ROUND(ema, 2) AS ema
-FROM ema
+SELECT x.month AS month, ROUND(x.revenue, 2) AS revenue, ROUND(x.ema, 2) AS ema
+FROM ema_blocks LATERAL VIEW explode(out) t AS x
 ORDER BY month
 """)
 
@@ -67,6 +123,65 @@ ema AS (
 )
 SELECT month, ROUND(revenue, 2) AS revenue, ROUND(ema, 2) AS ema
 FROM ema
+ORDER BY month
+"""
+
+
+def ema_revenue_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same EMA recurrence as :func:`recursive_cte_revenue_ema`, solved
+    in closed form — EMA is a linear recurrence, so it is an exponentially
+    weighted prefix sum:
+
+        ema_i = (1-a)^(i-1) * rev_1  +  a * sum_{j=2..i} (1-a)^(i-j) * rev_j
+              = (1-a)^i * cumsum_j<=i [ t_j ],
+          t_j = (rev_1 if j=1 else a*rev_j) * (1-a)^(-j)
+
+    One monthly groupBy + ONE ordered window over ~80 aggregate rows — no
+    iteration, no per-month jobs. The (1-a)^(+/-i) rescaling stays far
+    inside double range for any realistic month count (a=0.2 → 0.8^-80 ≈
+    5e7); for unbounded i you would segment the sum, documented here as the
+    known bound. This is the 100 TB-preferred formulation; the RCTE twin
+    exists to exercise the iterative SQL surface itself."""
+    from pyspark.sql import Window
+
+    months = _monthly_revenue(spark, sf_dir)
+    decay = F.lit(1.0 - _EMA_ALPHA)
+    t = (
+        F.when(F.col("i") == 1, F.col("revenue"))
+        .otherwise(F.col("revenue") * F.lit(_EMA_ALPHA))
+        * F.pow(decay, -F.col("i"))
+    )
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        months.withColumn("t", t)
+        .select(
+            "month",
+            F.round("revenue", 2).alias("revenue"),
+            F.round(F.pow(decay, F.col("i")) * F.sum("t").over(w), 2).alias("ema"),
+        )
+        .orderBy("month")
+    )
+
+
+_EMA_CLOSED_SQL = f"""
+WITH months AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         SUM(o_totalprice) AS revenue,
+         ROW_NUMBER() OVER (ORDER BY CAST(date_trunc('month', o_orderdate) AS DATE)) AS i
+  FROM orders
+  GROUP BY 1
+),
+weighted AS (
+  SELECT month, revenue, i,
+         (CASE WHEN i = 1 THEN revenue ELSE revenue * {_EMA_ALPHA} END)
+           * POWER({1.0 - _EMA_ALPHA}, -i) AS t
+  FROM months
+)
+SELECT month, ROUND(revenue, 2) AS revenue,
+       ROUND(POWER({1.0 - _EMA_ALPHA}, i)
+             * SUM(t) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             2) AS ema
+FROM weighted
 ORDER BY month
 """
 
@@ -146,12 +261,14 @@ ORDER BY event_type
 
 QUERIES = {
     "recursive_cte_revenue_ema": recursive_cte_revenue_ema,
+    "ema_revenue_closed_form": ema_revenue_closed_form,
     "lateral_top_orders_per_segment": lateral_top_orders_per_segment,
     "events_props_variant": events_props_variant,
 }
 
 ORACLES = {
     "recursive_cte_revenue_ema": _RCTE_SQL,
+    "ema_revenue_closed_form": _EMA_CLOSED_SQL,
     "lateral_top_orders_per_segment": _LATERAL_SQL,
     "events_props_variant": _VARIANT_SQL,
 }

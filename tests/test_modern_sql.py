@@ -29,6 +29,15 @@ def test_recursive_ema_covers_every_month_and_smooths(spark):
         assert lo - 0.01 <= r.ema <= hi + 0.01
 
 
+def test_closed_form_ema_matches_recursive(spark):
+    """The closed-form exponentially-weighted prefix sum must reproduce the
+    blocked recursion's rounded output exactly — the two are algebraically
+    identical formulations of the same linear recurrence."""
+    rec = [tuple(r) for r in md.recursive_cte_revenue_ema(spark, SF_DIR).collect()]
+    closed = [tuple(r) for r in md.ema_revenue_closed_form(spark, SF_DIR).collect()]
+    assert rec == closed
+
+
 def test_lateral_topk_matches_window_formulation(spark):
     got = [
         (r.c_mktsegment, r.o_orderkey)
