@@ -53,34 +53,61 @@ __all__ = [
     "ORACLES",
 ]
 
-#: Physical schema of events.parquet: ts is TIMESTAMP(MICROS) without a
-#: timezone — declared NTZ here (a stream source needs a static schema) and
-#: cast to a session-timezone TIMESTAMP by the stream factory, exactly like
-#: sources.registry.load_table normalizes the batch path.
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", TimestampNTZType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_raw_schema(ts_is_nanos: bool) -> StructType:
+    """Static schema a stream source requires, parameterized on the physical
+    shape of ``ts``: events.parquet has shipped both as TIMESTAMP(NANOS)
+    (readable only through the session-wide ``nanosAsLong`` conf, i.e. as a
+    raw-nanos bigint) and as native TIMESTAMP(MICROS) (declared NTZ). Same
+    dual-shape contract as ``sources.registry.load_table`` on the batch
+    path."""
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType() if ts_is_nanos else TimestampNTZType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+#: Default export kept for callers/tests that build event-shaped frames by
+#: hand; ``stream_events`` itself sniffs the footer per directory.
+EVENTS_RAW_SCHEMA = _events_raw_schema(ts_is_nanos=False)
+
+
+def _ts_is_nanos(events_dir: str) -> bool:
+    """Sniff one parquet footer to learn the physical unit of ``ts``."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(events_dir):
+        files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+        target = files[0] if files else events_dir
+    else:
+        target = events_dir
+    return getattr(pq.read_schema(target).field("ts").type, "unit", None) == "ns"
 
 
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet files, with the
-    NTZ→session-timezone-timestamp normalization applied (same semantics as
-    the batch loader).
+    physical-``ts``-shape → session-timezone-timestamp normalization applied
+    (same semantics as the batch loader, chosen by footer sniff so either
+    testdata generation streams correctly).
 
     ``maxFilesPerTrigger=1`` keeps micro-batches bounded regardless of how
     many files land between triggers."""
+    nanos = _ts_is_nanos(events_dir)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(nanos))
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
+    if nanos:
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 

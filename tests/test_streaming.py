@@ -97,6 +97,40 @@ def test_stream_source_schema(spark, events_dir):
     assert dict(st.dtypes)["ts"] == "timestamp"
 
 
+def test_stream_source_reads_nanos_shape(spark, events_dir, tmp_path):
+    """events.parquet has shipped as TIMESTAMP(NANOS) in some testdata
+    generations: the stream factory must sniff the footer and normalize that
+    shape to the same session-tz timestamps as the MICROS path (the batch
+    loader already does; a static NTZ schema would fail at source read under
+    the session-wide nanosAsLong conf)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_DIR}/events.parquet")
+    ts_ns = tbl.column("ts").cast(pa.timestamp("ns"))
+    nanos_dir = tmp_path / "events_nanos"
+    nanos_dir.mkdir()
+    pq.write_table(
+        tbl.set_column(tbl.schema.get_field_index("ts"), "ts", ts_ns),
+        nanos_dir / "part-000.parquet",
+        use_deprecated_int96_timestamps=False,
+        coerce_timestamps=None,
+    )
+    assert stx._ts_is_nanos(str(nanos_dir))
+    st = stx.windowed_event_counts(stx.stream_events(spark, str(nanos_dir)))
+    assert dict(st.dtypes)["window_start"] == "timestamp"
+    _run_stream(st, "win_counts_nanos")
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM win_counts_nanos").collect()
+    }
+    expected = {
+        (r.window_start, r.event_type): r.n_events
+        for r in stx.windowed_event_counts(_batch_events(spark)).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
 def test_windowed_counts_stream_equals_batch(spark, events_dir):
     st = stx.windowed_event_counts(stx.stream_events(spark, events_dir))
     _run_stream(st, "win_counts")
