@@ -20,14 +20,26 @@ import sys
 def load(path: str) -> dict:
     with open(path) as f:
         text = f.read().strip()
+    # bench.py prints the full per-query payload, then a compact summary as
+    # the final line — scan from the end for the first line carrying
+    # per-query timings.
+    for line in reversed(text.splitlines()):
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "queries" in d:
+            return d
+        if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
+            return d["parsed"]
     try:
-        d = json.loads(text.splitlines()[-1])
-    except json.JSONDecodeError:
         d = json.loads(text)
-    if "queries" in d:
-        return d
-    if d.get("parsed"):
-        return d["parsed"]
+        if "queries" in d:
+            return d
+        if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
+            return d["parsed"]
+    except json.JSONDecodeError:
+        pass
     raise SystemExit(f"{path}: no parsed bench payload")
 
 
@@ -38,6 +50,10 @@ def main() -> None:
     shared = sorted(set(nq) & set(oq))
     n_tot = sum(nq[k] for k in shared)
     o_tot = sum(oq[k] for k in shared)
+    if not shared or o_tot <= 0:
+        print(f"shared queries: {len(shared)} — no comparable timings; "
+              f"new total={sum(nq.values()):.2f}s over {len(nq)} queries")
+        return
     print(f"shared queries: {len(shared)}  new={n_tot:.2f}s old={o_tot:.2f}s "
           f"ratio={n_tot / o_tot:.3f}x")
     print(f"new-only queries: {len(set(nq) - set(oq))} "
