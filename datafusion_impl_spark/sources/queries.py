@@ -160,14 +160,88 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+_BUCKET_ROOT = "/tmp/datafusion_impl_spark_bucketed"
+
+
+def bucketed_orders_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB fact-fact join layout, end to end: write ``orders``
+    storage-partitioned by ``o_orderpriority`` AND hash-bucketed+sorted on
+    ``o_custkey``, write ``customer`` bucketed identically on ``c_custkey``,
+    then run a filtered join-aggregate over the read-back tables.
+
+    What the layout buys (asserted by the plan audit in tests/test_scale.py):
+    the priority filter becomes a PartitionFilter — directory pruning, no
+    data scan of the other priorities — and the custkey join is a sort-merge
+    join with NO Exchange on either side, because both scans already expose
+    the same hash-bucketed distribution and per-bucket sort. The oracle
+    aggregates the ORIGINAL parquet, so equality also proves the
+    bucketed write→read cycle is lossless.
+
+    The ``merge`` hint pins the SMJ: at sf0.01 the customer side is tiny
+    enough that Spark would broadcast it (both joins are correct; the
+    co-located SMJ is the shape under audit because at 100 TB neither side
+    broadcasts)."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(_BUCKET_ROOT, tag)
+    ob, cb = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spark.sql(f"DROP TABLE IF EXISTS {ob}")
+    spark.sql(f"DROP TABLE IF EXISTS {cb}")
+    (
+        orders.write.mode("overwrite")
+        .format("parquet")
+        .partitionBy("o_orderpriority")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", os.path.join(base, "orders"))
+        .saveAsTable(ob)
+    )
+    (
+        cust.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", os.path.join(base, "customer"))
+        .saveAsTable(cb)
+    )
+    o = spark.table(ob).filter(F.col("o_orderpriority") == "1-URGENT")
+    c = spark.table(cb)
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_BUCKETED_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "csv_reference_golden": csv_reference_golden,
     "jsonl_documents_roundtrip": jsonl_documents_roundtrip,
     "orc_lineitem_roundtrip": orc_lineitem_roundtrip,
+    "bucketed_orders_pruned_join": bucketed_orders_pruned_join,
 }
 
 ORACLES = {
     "csv_reference_golden": _CSV_GOLDEN_SQL,
     "jsonl_documents_roundtrip": _JSONL_ROUNDTRIP_SQL,
     "orc_lineitem_roundtrip": _ORC_ROUNDTRIP_SQL,
+    "bucketed_orders_pruned_join": _BUCKETED_JOIN_SQL,
 }

@@ -241,6 +241,23 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS bt_lineitem")
 
 
+def test_bucketed_pruned_join_query_plan(spark):
+    """The registry-level bucketed layout query: the priority filter must be
+    a PartitionFilter on the bucketed orders scan (directory pruning, not a
+    data filter), both scans must read bucketed, and the custkey join must
+    be an Exchange-free sort-merge join. The aggregate/final-sort exchanges
+    after the join are the only ones allowed."""
+    from datafusion_impl_spark.sources.queries import bucketed_orders_pruned_join
+
+    plan = _plan(bucketed_orders_pruned_join(spark, SF_DIR))
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    orders_scan = plan.split("orders_bkt", 1)[1][:600]
+    assert "o_orderpriority" in orders_scan.split("PartitionFilters", 1)[1][:150]
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+    assert "Exchange hashpartitioning(c_custkey" not in plan
+
+
 # --- cost-based optimizer (catalog statistics) -------------------------------
 
 def test_cbo_stats_inform_the_plan(spark):
