@@ -1,0 +1,145 @@
+"""Registry-wide plan audit: every registered query's plan is EXPLAINed and
+checked against the scale invariants the per-operator tests enforce locally —
+turning the 100 TB discipline into a single fence no new query can slip past.
+
+Rules (on the optimized logical plan + physical plan string):
+
+- no CartesianProduct anywhere (broadcast-nested-loop over a scalar/constant
+  frame is fine and planned differently);
+- no GLOBAL Sort except (a) the root presentation ``orderBy`` every query
+  carries for oracle determinism, (b) a sort feeding a Limit (top-k →
+  TakeOrdered), or (c) a sort whose input subtree is bounded (sits above an
+  Aggregate / Limit / local relation — e.g. sorting per-group summaries);
+- no Window with an EMPTY partitionSpec unless its input subtree is bounded
+  the same way (e.g. ranking ~80 monthly aggregate rows is fine; a global
+  row_number over a fact table is not).
+
+"Bounded" is structural, not statistical: an Aggregate's output cardinality
+is its group count, which every query here keeps intentionally small
+(dims/flags/months/buckets), and a Limit is bounded by construction.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+from tests.conftest import SF_DIR
+
+
+def _children(node):
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def _walk(node):
+    yield node
+    for c in _children(node):
+        yield from _walk(c)
+
+
+def _cls(node) -> str:
+    return node.getClass().getSimpleName()
+
+
+#: Logical nodes whose presence below a sort/window bounds the row count.
+_BOUNDING = {
+    "Aggregate",
+    "GlobalLimit",
+    "LocalLimit",
+    "LocalRelation",
+    "OneRowRelation",
+    "Range",
+}
+
+
+def _is_bounded(node) -> bool:
+    return any(_cls(d) in _BOUNDING for d in _walk(node))
+
+
+def _strip_presentation_root(node):
+    """Drop the root Project/Sort/Limit chain — the final orderBy (and any
+    top-k limit around it) exists for oracle determinism, not as part of the
+    computation under audit."""
+    while True:
+        c = _cls(node)
+        if c in ("Project", "Sort", "GlobalLimit", "LocalLimit", "Deduplicate"):
+            kids = _children(node)
+            if len(kids) == 1:
+                node = kids[0]
+                continue
+        return node
+
+
+def _audit_one(name: str, df) -> list[str]:
+    problems: list[str] = []
+    qe = df._jdf.queryExecution()
+    physical = qe.executedPlan().toString()
+    if "CartesianProduct" in physical:
+        problems.append(f"{name}: CartesianProduct in physical plan")
+
+    root = _strip_presentation_root(qe.optimizedPlan())
+    # parent map so a global Sort directly under a Limit (top-k) is exempt
+    limit_children = set()
+    for node in _walk(root):
+        if _cls(node) in ("GlobalLimit", "LocalLimit"):
+            for c in _children(node):
+                limit_children.add(c.hashCode())
+    for node in _walk(root):
+        c = _cls(node)
+        if c == "Sort":
+            is_global = bool(getattr(node, "global")())
+            if (
+                is_global
+                and node.hashCode() not in limit_children
+                and not _is_bounded(node)
+            ):
+                problems.append(f"{name}: unbounded global Sort ({node.simpleStringWithNodeId()})")
+        elif c == "Window":
+            if node.partitionSpec().size() == 0 and not _is_bounded(node):
+                problems.append(f"{name}: unpartitioned Window over unbounded input")
+    return problems
+
+
+def test_audit_catches_known_bad_plans(spark):
+    """Negative control: the auditor must flag the anti-patterns it exists
+    for (otherwise a green audit proves nothing)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datafusion_impl_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # global row_number over an unbounded fact table
+    bad_window = docs.withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    assert any("Window" in p for p in _audit_one("bad_window", bad_window))
+    # (no negative control for the interior-global-Sort rule: Catalyst's
+    # EliminateSorts removes every simple repro — a sort surviving below a
+    # join/union is exactly the optimizer-miss the branch fences against)
+    # true cartesian product (hinted: at sf0.01 Spark would otherwise pick a
+    # broadcast nested-loop, which is exactly the sanctioned alternative)
+    cart = docs.hint("shuffle_replicate_nl").crossJoin(
+        docs.select(F.col("doc_id").alias("d2"))
+    )
+    assert any("CartesianProduct" in p for p in _audit_one("bad_cross", cart))
+    # and the sanctioned shapes stay clean
+    ok_root_sort = docs.orderBy("doc_id")
+    assert not _audit_one("ok_root_sort", ok_root_sort)
+    ok_grouped = (
+        docs.groupBy("source")
+        .count()
+        .withColumn("rn", F.row_number().over(Window.orderBy("source")))
+    )
+    assert not _audit_one("ok_grouped", ok_grouped)
+
+
+def test_all_registered_queries_pass_plan_audit(spark):
+    failures: list[str] = []
+    for name, fn in entry.queries().items():
+        try:
+            df = fn(spark, SF_DIR)
+        except Exception as exc:  # building the plan must itself succeed
+            failures.append(f"{name}: build failed: {exc}")
+            continue
+        failures.extend(_audit_one(name, df))
+    assert not failures, "\n".join(failures)
