@@ -113,6 +113,7 @@ _PRIORITY = [
     # new in r4
     "ema_revenue_closed_form",
     "bucketed_orders_pruned_join",
+    "xml_documents_roundtrip",
     # padding to 50: oldest driver evidence first (r1/r2 vintages)
     "asof_join_prior_click",
     "range_join_event_bursts",

@@ -160,6 +160,59 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def xml_documents_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → XML on disk (Spark 4's built-in ``xml`` datasource) →
+    read back with an explicit schema → per-source aggregate; the oracle
+    aggregates the ORIGINAL parquet, so equality proves the XML cycle is
+    lossless — entity escaping (&, <, >), embedded newlines, and
+    surrounding whitespace (``ignoreSurroundingSpaces=false``: the default
+    TRIMS text nodes, which would corrupt documents starting or ending in
+    whitespace).
+
+    Scale note: like JSON, XML parsing is row-at-a-time Jackson/StAX — an
+    ingest-boundary format, not a compute format. The explicit schema avoids
+    the inference double-scan; downstream stages persist to parquet."""
+    path = os.path.join(_JSONL_ROOT, os.path.basename(sf_dir.rstrip("/")), "docs_xml")
+    docs = load_table(spark, sf_dir, "documents")
+    (
+        docs.write.mode("overwrite")
+        .option("rootTag", "docs")
+        .option("rowTag", "doc")
+        .format("xml")
+        .save(path)
+    )
+    back = (
+        spark.read.schema(_DOCS_SCHEMA)
+        .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .format("xml")
+        .load(path)
+    )
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(F.length("text")).cast("long").alias("sum_text_len"),
+            F.sum(F.length("lang")).cast("long").alias("sum_lang_len"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+_XML_ROUNDTRIP_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+       CAST(SUM(length(lang)) AS BIGINT) AS sum_lang_len,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 _BUCKET_ROOT = "/tmp/datafusion_impl_spark_bucketed"
 
 
@@ -236,6 +289,7 @@ QUERIES = {
     "csv_reference_golden": csv_reference_golden,
     "jsonl_documents_roundtrip": jsonl_documents_roundtrip,
     "orc_lineitem_roundtrip": orc_lineitem_roundtrip,
+    "xml_documents_roundtrip": xml_documents_roundtrip,
     "bucketed_orders_pruned_join": bucketed_orders_pruned_join,
 }
 
@@ -243,5 +297,6 @@ ORACLES = {
     "csv_reference_golden": _CSV_GOLDEN_SQL,
     "jsonl_documents_roundtrip": _JSONL_ROUNDTRIP_SQL,
     "orc_lineitem_roundtrip": _ORC_ROUNDTRIP_SQL,
+    "xml_documents_roundtrip": _XML_ROUNDTRIP_SQL,
     "bucketed_orders_pruned_join": _BUCKETED_JOIN_SQL,
 }
