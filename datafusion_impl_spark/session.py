@@ -51,6 +51,16 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
         # documents/embeddings rows are wide (long text, float vectors);
         # cap arrow batch size so Python UDF workers stay memory-bounded.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # The AppStatusListener retains per-execution plan graphs and
+        # job/stage state even with the UI disabled (defaults: 1000
+        # executions / 1000 jobs). A long single-JVM run over the whole
+        # 135-query registry accumulates hundreds of retained executions of
+        # pure heap pressure — the uniform r2→r3 bench drift. Keep only a
+        # handful.
+        .config("spark.sql.ui.retainedExecutions", "8")
+        .config("spark.ui.retainedJobs", "50")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "2000")
     )
 
 

@@ -1,0 +1,41 @@
+"""Driver-contract invariants for __spark_entry__ that don't need a Spark
+session: the registry must be complete and the deliberately-rotated
+correctness window must be exactly what _PRIORITY says (the ordering helper
+skips unknown names SILENTLY, so a typo would otherwise shift the driver's
+50-query window without any test noticing)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+
+def test_priority_names_all_exist():
+    qs = entry.queries()
+    missing = [n for n in entry._PRIORITY if n not in qs]
+    assert not missing, f"_PRIORITY names not in the registry: {missing}"
+
+
+def test_priority_has_no_duplicates():
+    assert len(entry._PRIORITY) == len(set(entry._PRIORITY))
+
+
+def test_window_is_the_priority_head():
+    names = list(entry.queries())
+    head = entry._PRIORITY[: min(50, len(entry._PRIORITY))]
+    assert names[: len(head)] == head
+
+
+def test_every_query_has_oracle_or_documented_rows_only():
+    """Every queries() entry either has an oracle or is one of the known
+    rows-only-by-design queries (divergence paths where no cross-engine SQL
+    oracle can exist)."""
+    rows_only_by_design = {
+        "regexp_safe_edge_cases",       # DuckDB raises on invalid patterns
+        "approx_distinct_parts",        # HLL sketches are engine-specific
+        "profile_orders_columns_approx",
+        "dedup_documents_minhash_ml",   # ml.feature hash coefficients internal
+        "ann_lsh_ml_topk",
+    }
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    missing = set(qs) - set(oracles)
+    assert missing == rows_only_by_design
