@@ -132,7 +132,6 @@ _PRIORITY = [
     "regexp_extract_all_props",
     "regexp_docs_first_word",
     "window_top_orders_per_customer",
-    "window_running_revenue",
 ]
 
 

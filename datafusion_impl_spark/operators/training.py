@@ -63,15 +63,9 @@ _HARD_NEG_K = 3
 # 1. Sliding-window context chunking
 # --------------------------------------------------------------------------
 
-def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split every document into overlapping fixed-size token windows
-    (CHUNK=32, STRIDE=24): chunk k covers tokens [1 + k·STRIDE, …], and the
-    last chunk is the first one whose window reaches the end of the doc.
-
-    At 100 TB this is a pure map: tokenize, generate chunk starts with
-    ``sequence`` (no shuffle, no window function), explode. Emits the md5 of
-    each chunk's text rather than the text itself so downstream exact-dedup
-    of chunks is a hash groupBy away and the result stays narrow."""
+def _chunk_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunking plan WITHOUT the presentation sort — a pure map over the
+    scan (tests assert it is literally Exchange-free)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select("doc_id", tokens("text").alias("tk")).filter(
         F.size("tk") > 0
@@ -96,7 +90,20 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.cast("int").alias("start_token"),
         F.size(piece).alias("chunk_tokens"),
         F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),
-    ).orderBy("doc_id", "chunk_idx")
+    )
+
+
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping fixed-size token windows
+    (CHUNK=32, STRIDE=24): chunk k covers tokens [1 + k·STRIDE, …], and the
+    last chunk is the first one whose window reaches the end of the doc.
+
+    At 100 TB this is a pure map: tokenize, generate chunk starts with
+    ``sequence`` (no shuffle, no window function), explode. Emits the md5 of
+    each chunk's text rather than the text itself so downstream exact-dedup
+    of chunks is a hash groupBy away and the result stays narrow. The final
+    orderBy exists for oracle determinism only."""
+    return _chunk_projection(spark, sf_dir).orderBy("doc_id", "chunk_idx")
 
 
 _CHUNK_SQL = rf"""

@@ -78,18 +78,30 @@ EVENTS_RAW_SCHEMA = _events_raw_schema(ts_is_nanos=False)
 
 
 def _ts_is_nanos(events_dir: str) -> bool:
-    """Sniff one parquet footer to learn the physical unit of ``ts``."""
+    """Sniff one parquet footer to learn the physical unit of ``ts``.
+
+    A file-source stream directory may legitimately be empty at start (files
+    land between triggers) — with nothing to sniff, default to the MICROS
+    shape (the current testdata generation and the pre-sniff behavior)."""
     import glob
     import os
 
     import pyarrow.parquet as pq
 
     if os.path.isdir(events_dir):
-        files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
-        target = files[0] if files else events_dir
+        files = sorted(
+            glob.glob(os.path.join(events_dir, "**", "*.parquet"), recursive=True)
+        )
+        if not files:
+            return False
+        target = files[0]
     else:
         target = events_dir
-    return getattr(pq.read_schema(target).field("ts").type, "unit", None) == "ns"
+    try:
+        ts_type = pq.read_schema(target).field("ts").type
+    except Exception:
+        return False
+    return getattr(ts_type, "unit", None) == "ns"
 
 
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:

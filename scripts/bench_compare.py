@@ -28,12 +28,16 @@ def load(path: str) -> dict:
             d = json.loads(line)
         except json.JSONDecodeError:
             continue
+        if not isinstance(d, dict):
+            continue
         if "queries" in d:
             return d
         if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
             return d["parsed"]
     try:
         d = json.loads(text)
+        if not isinstance(d, dict):
+            raise json.JSONDecodeError("non-dict payload", text, 0)
         if "queries" in d:
             return d
         if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:

@@ -19,10 +19,12 @@ def test_priority_has_no_duplicates():
     assert len(entry._PRIORITY) == len(set(entry._PRIORITY))
 
 
-def test_window_is_the_priority_head():
+def test_priority_is_exactly_the_driver_window():
+    """The driver records the first 50 queries; _PRIORITY must be exactly
+    that size — an overflow entry would silently fall outside the window."""
+    assert len(entry._PRIORITY) == 50
     names = list(entry.queries())
-    head = entry._PRIORITY[: min(50, len(entry._PRIORITY))]
-    assert names[: len(head)] == head
+    assert names[:50] == entry._PRIORITY
 
 
 def test_every_query_has_oracle_or_documented_rows_only():

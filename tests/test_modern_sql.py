@@ -31,11 +31,19 @@ def test_recursive_ema_covers_every_month_and_smooths(spark):
 
 def test_closed_form_ema_matches_recursive(spark):
     """The closed-form exponentially-weighted prefix sum must reproduce the
-    blocked recursion's rounded output exactly — the two are algebraically
-    identical formulations of the same linear recurrence."""
-    rec = [tuple(r) for r in md.recursive_cte_revenue_ema(spark, SF_DIR).collect()]
-    closed = [tuple(r) for r in md.ema_revenue_closed_form(spark, SF_DIR).collect()]
-    assert rec == closed
+    blocked recursion — algebraically identical, but the two accumulate
+    different float error (the closed form rescales by pow(0.8, ±i)), so a
+    true value sitting within ~1e-7 of a half-cent boundary may round
+    differently. Months and revenues must match exactly; EMAs within one
+    cent."""
+    rec = md.recursive_cte_revenue_ema(spark, SF_DIR).collect()
+    closed = md.ema_revenue_closed_form(spark, SF_DIR).collect()
+    assert [(r.month, r.revenue) for r in rec] == [
+        (r.month, r.revenue) for r in closed
+    ]
+    assert all(
+        abs(a.ema - b.ema) <= 0.011 for a, b in zip(rec, closed)
+    ), max(abs(a.ema - b.ema) for a, b in zip(rec, closed))
 
 
 def test_lateral_topk_matches_window_formulation(spark):

@@ -40,7 +40,7 @@ def _cls(node) -> str:
     return node.getClass().getSimpleName()
 
 
-#: Logical nodes whose presence below a sort/window bounds the row count.
+#: Logical nodes that bound their output row count regardless of input.
 _BOUNDING = {
     "Aggregate",
     "GlobalLimit",
@@ -52,7 +52,19 @@ _BOUNDING = {
 
 
 def _is_bounded(node) -> bool:
-    return any(_cls(d) in _BOUNDING for d in _walk(node))
+    """Path-aware boundedness: a subtree is bounded iff EVERY data-flow path
+    from this node down reaches a bounding operator. An any-descendant check
+    would wrongly exempt e.g. fact.join(dim.groupBy(...).agg(...)) — the
+    aggregate bounds only the dimension side while the join output stays one
+    row per fact row."""
+    if _cls(node) in _BOUNDING:
+        return True
+    kids = _children(node)
+    if not kids:
+        return False  # leaf relation / file scan: unbounded
+    # joins/unions are bounded only if ALL inputs are; unary nodes
+    # (Project/Filter/Window/Sort/Generate/...) inherit the child's bound
+    return all(_is_bounded(k) for k in kids)
 
 
 def _strip_presentation_root(node):
@@ -113,6 +125,14 @@ def test_audit_catches_known_bad_plans(spark):
         "rn", F.row_number().over(Window.orderBy("doc_id"))
     )
     assert any("Window" in p for p in _audit_one("bad_window", bad_window))
+    # ...including when an aggregate exists on the OTHER side of a join: the
+    # join output is still one row per fact row, so the window stays global
+    # over unbounded input (path-aware boundedness, not any-descendant)
+    dim = docs.groupBy("source").count().withColumnRenamed("source", "src")
+    bad_joined = docs.join(dim, docs.source == dim.src).withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    assert any("Window" in p for p in _audit_one("bad_joined_window", bad_joined))
     # (no negative control for the interior-global-Sort rule: Catalyst's
     # EliminateSorts removes every simple repro — a sort surviving below a
     # join/union is exactly the optimizer-miss the branch fences against)

@@ -46,31 +46,13 @@ def test_chunks_cover_every_token_exactly(spark):
 
 
 def test_chunking_is_shuffle_free(spark):
-    """Chunking must stay a pure map over the scan: no Exchange anywhere
-    before the (presentation-only) final sort — rebuild the chunk projection
-    without the orderBy and require a literally shuffle-free plan."""
-    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
-    toks = docs.select("doc_id", tokens("text").alias("tk")).filter(
-        F.size("tk") > 0
-    )
-    n = F.size("tk")
-    k_max = F.floor(
-        (F.greatest(n - F.lit(tr._CHUNK), F.lit(0)) + F.lit(tr._STRIDE - 1))
-        / F.lit(tr._STRIDE)
-    ).cast("int")
-    chunks = toks.select(
-        "doc_id", "tk", F.explode(F.sequence(F.lit(0), k_max)).alias("chunk_idx")
-    )
-    start = F.col("chunk_idx") * tr._STRIDE + 1
-    piece = F.slice("tk", start, F.lit(tr._CHUNK))
-    body = _plan(
-        chunks.select(
-            "doc_id", "chunk_idx", F.md5(F.concat_ws(" ", piece)).alias("chunk_md5")
-        )
-    )
+    """Chunking must stay a pure map over the scan: the projection the
+    registered query itself is built from (everything before the
+    presentation-only orderBy) must be literally Exchange-free."""
+    body = _plan(tr._chunk_projection(spark, SF_DIR))
     assert "Exchange" not in body
     assert "CartesianProduct" not in body and "SortMergeJoin" not in body
-    # and the registered query differs only by the presentation orderBy
+    # and the registered query adds only the presentation sort on top
     full = _plan(tr.chunk_documents_sliding(spark, SF_DIR))
     assert full.count("Exchange") <= 1  # the single final sort's range exchange
 
