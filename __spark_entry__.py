@@ -131,7 +131,7 @@ _PRIORITY = [
     "regexp_events_props",
     "regexp_extract_all_props",
     "regexp_docs_first_word",
-    "window_top_orders_per_customer",
+    "dedup_pagerank_centrality",  # new in r4 (replaces one padding slot)
 ]
 
 

@@ -208,12 +208,121 @@ ORDER BY lang
 """
 
 
+_PR_DAMPING = 0.85
+_PR_ITERS = 5
+
+
+def pagerank(edges_sym: DataFrame, iters: int = _PR_ITERS,
+             damping: float = _PR_DAMPING) -> DataFrame:
+    """Fixed-iteration PageRank over a symmetric (``src``, ``dst``) edge
+    list → (``doc_id``, ``degree``, ``rank``).
+
+    Spark shape per iteration: one equi-join of the rank table with the
+    degree-annotated edge list on ``src`` and one groupBy on ``dst`` — both
+    keyed on the bounded pair graph (near-dup volume, not corpus volume),
+    with the rank table localCheckpoint-ed per round so lineage stays flat
+    (on a cluster: ``checkpoint()``). The iteration count is a fixed small
+    constant, so the oracle can unroll the exact same recurrence as chained
+    CTEs — no convergence test, no engine-specific stopping rule. A
+    symmetric graph has no dangling nodes, so no teleport-mass correction
+    term is needed."""
+    deg = edges_sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # n (node count) is a driver scalar: one job over the bounded node
+    # table, same pattern as connected_components' convergence count.
+    n = deg.count()
+    edges = edges_sym.join(deg, "src").localCheckpoint(eager=True)
+    ranks = deg.select(
+        F.col("src").alias("doc_id"), F.lit(1.0 / n).alias("rank")
+    ).localCheckpoint(eager=True)
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = edges.join(ranks, edges.src == ranks.doc_id).select(
+            "dst", (F.col("rank") / F.col("deg")).alias("c")
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("doc_id"),
+                (F.lit(base) + F.lit(damping) * F.col("s")).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.join(deg, ranks.doc_id == deg.src).select(
+        "doc_id", F.col("deg").alias("degree"), "rank"
+    )
+
+
+def dedup_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality scores over the MinHash near-dup graph — the
+    survivor-selection heuristic that keeps the most-connected member of
+    each duplicate cluster as canonical (a doc near-duplicating many others
+    is the template; the one-off variants hang off it). Output: every node
+    of the pair graph with its degree and 5-iteration PageRank."""
+    pairs = (
+        dedup_documents_minhash(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    pr = pagerank(edges.localCheckpoint(eager=True))
+    return pr.select(
+        "doc_id", "degree", F.round("rank", 6).alias("rank")
+    ).orderBy("doc_id")
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled power-iteration CTE chain mirroring :func:`pagerank` —
+    identical recurrence, identical float constants (Python repr of the
+    damping terms feeds both engines)."""
+    d = _PR_DAMPING
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"r{i} AS (\n"
+            f"  SELECT e.dst AS doc_id,\n"
+            f"         {(1.0 - d)!r} / (SELECT n FROM nn)\n"
+            f"           + {d!r} * SUM(r.rank / e.deg) AS rank\n"
+            f"  FROM e JOIN r{i - 1} r ON r.doc_id = e.src\n"
+            f"  GROUP BY e.dst\n"
+            f")"
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_SQL}) minhash_pairs
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+e AS (SELECT edges.src, edges.dst, deg.deg FROM edges JOIN deg USING (src)),
+r0 AS (SELECT src AS doc_id, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+{chain}
+SELECT r{_PR_ITERS}.doc_id,
+       CAST(deg.deg AS BIGINT) AS degree,
+       ROUND(r{_PR_ITERS}.rank, 6) AS rank
+FROM r{_PR_ITERS} JOIN deg ON deg.src = r{_PR_ITERS}.doc_id
+ORDER BY doc_id
+"""
+
+
+_PAGERANK_SQL = _pagerank_oracle()
+
+
 QUERIES = {
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_near_survivors": dedup_near_survivors,
+    "dedup_pagerank_centrality": dedup_pagerank_centrality,
 }
 
 ORACLES = {
     "dedup_cluster_components": _COMPONENTS_SQL,
     "dedup_near_survivors": _NEAR_SURVIVORS_SQL,
+    "dedup_pagerank_centrality": _PAGERANK_SQL,
 }

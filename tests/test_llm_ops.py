@@ -85,6 +85,28 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_pagerank_star_hub_and_mass_conservation(spark):
+    """On a star graph the hub must out-rank every leaf (and leaves tie);
+    and since a symmetric graph has no dangling mass, total rank must stay
+    1 after any number of iterations."""
+    from pyspark.sql import functions as F
+
+    from datafusion_impl_spark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5)], schema="doc_a long, doc_b long"
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    got = {r.doc_id: r.rank for r in pagerank(edges).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1] > max(got[i] for i in (2, 3, 4, 5))
+    leaf_ranks = [got[i] for i in (2, 3, 4, 5)]
+    assert max(leaf_ranks) - min(leaf_ranks) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
 def test_cluster_components_cover_minhash_pairs(spark):
     from datafusion_impl_spark.operators.graph import dedup_cluster_components
 
