@@ -130,8 +130,8 @@ _PRIORITY = [
     "q21_waiting_suppliers",
     "regexp_events_props",
     "regexp_extract_all_props",
-    "regexp_docs_first_word",
-    "dedup_pagerank_centrality",  # new in r4 (replaces one padding slot)
+    "dedup_pagerank_centrality",    # new in r4 (replaces a padding slot)
+    "length_bucketed_batches",      # new in r4 (replaces a padding slot)
 ]
 
 

@@ -294,11 +294,90 @@ ORDER BY shard, pos_in_shard
 """
 
 
+#: Length-bucketed batching: power-of-two context buckets and the per-batch
+#: token budget the trainer schedules against.
+_LEN_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+_BATCH_TOKEN_BUDGET = 16384
+
+
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: assign every document to the smallest
+    power-of-two context bucket that fits it (docs past the largest bucket
+    truncate to it), then report per bucket how many fixed-token-budget
+    batches the bucket fills and the padding fraction a padded-batch trainer
+    wastes there — the standard pre-training efficiency audit before picking
+    bucket boundaries.
+
+    Cross-engine exactness by construction: the bucket assignment is a CASE
+    ladder over integer token counts (no log2 float path), and every output
+    except the final rounded padding fraction is integer arithmetic. One
+    map over the scan + one 7-group aggregate — trivially 100 TB-safe."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from datafusion_impl_spark.operators.text import tokens
+
+    n = F.size(tokens("text"))
+    bucket = F.lit(_LEN_BUCKETS[-1])
+    for b in reversed(_LEN_BUCKETS):
+        bucket = F.when(n <= b, F.lit(b)).otherwise(bucket)
+    sized = docs.select(
+        n.alias("n_tokens"), bucket.alias("bucket")
+    ).filter(F.col("n_tokens") > 0)
+    cap = F.floor(F.lit(_BATCH_TOKEN_BUDGET) / F.col("bucket")).cast("long")
+    used = F.least(F.col("n_tokens"), F.col("bucket"))
+    agg = sized.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(used).cast("long").alias("used_tokens"),
+    )
+    return (
+        agg.select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_docs",
+            "used_tokens",
+            cap.alias("docs_per_batch"),
+            F.ceil(F.col("n_docs") / cap).cast("long").alias("n_batches"),
+            F.round(
+                1.0 - F.col("used_tokens") / (F.col("n_docs") * F.col("bucket")),
+                6,
+            ).alias("padding_frac"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _length_bucket_oracle() -> str:
+    ladder = " ".join(
+        f"WHEN n <= {b} THEN {b}" for b in _LEN_BUCKETS
+    )
+    return rf"""
+WITH sized AS (
+  SELECT len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n
+  FROM documents
+),
+bucketed AS (
+  SELECT n, CASE {ladder} ELSE {_LEN_BUCKETS[-1]} END AS bucket
+  FROM sized WHERE n > 0
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LEAST(n, bucket)) AS BIGINT) AS used_tokens,
+       CAST({_BATCH_TOKEN_BUDGET} // bucket AS BIGINT) AS docs_per_batch,
+       CAST(CEIL(COUNT(*) / ({_BATCH_TOKEN_BUDGET} // bucket)) AS BIGINT) AS n_batches,
+       ROUND(1.0 - SUM(LEAST(n, bucket)) / (COUNT(*) * bucket), 6) AS padding_frac
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+_LENGTH_BUCKET_SQL = _length_bucket_oracle()
+
+
 QUERIES = {
     "sample_documents_stratified": sample_documents_stratified,
     "corpus_split_assignment": corpus_split_assignment,
     "pack_documents_by_token_budget": pack_documents_by_token_budget,
     "corpus_shuffle_order": corpus_shuffle_order,
+    "length_bucketed_batches": length_bucketed_batches,
 }
 
 ORACLES = {
@@ -306,4 +385,5 @@ ORACLES = {
     "sample_documents_stratified": _SAMPLE_SQL,
     "corpus_split_assignment": _SPLIT_SQL,
     "pack_documents_by_token_budget": _PACK_SQL,
+    "length_bucketed_batches": _LENGTH_BUCKET_SQL,
 }
