@@ -128,8 +128,8 @@ _PRIORITY = [
     "q16_supplier_part_counts",
     "q19_disjunctive_revenue",
     "q21_waiting_suppliers",
-    "regexp_events_props",
-    "regexp_extract_all_props",
+    "scalar_try_error_safe",        # new in r4 (replaces a padding slot)
+    "corpus_embedding_coverage",    # new in r4 (replaces a padding slot)
     "dedup_pagerank_centrality",    # new in r4 (replaces a padding slot)
     "length_bucketed_batches",      # new in r4 (replaces a padding slot)
 ]

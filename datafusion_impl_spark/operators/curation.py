@@ -532,6 +532,51 @@ ORDER BY jaccard DESC, src_a, src_b
 """
 
 
+def corpus_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit between the document corpus and its
+    embedding table: how many docs have an embedding, how many are missing
+    one (un-embedded backlog), and how many embeddings are orphans (their
+    doc was deleted/filtered upstream) — the join-coverage gate a pipeline
+    runs before any embedding-dependent stage, per source plus a TOTAL row.
+
+    One full-outer equi-join on the id key carrying only ids + the source
+    label, then a rollup — no text or vectors move."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    j = docs.join(emb, docs.doc_id == emb.vec_id, "full_outer")
+    return (
+        j.groupBy(F.coalesce("source", F.lit("(orphan)")).alias("source"))
+        .agg(
+            F.count("doc_id").alias("n_docs"),
+            F.count(
+                F.when(F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull(), 1)
+            ).alias("n_embedded"),
+            F.count(
+                F.when(F.col("doc_id").isNotNull() & F.col("vec_id").isNull(), 1)
+            ).alias("n_missing"),
+            F.count(
+                F.when(F.col("doc_id").isNull() & F.col("vec_id").isNotNull(), 1)
+            ).alias("n_orphans"),
+        )
+        .orderBy("source")
+    )
+
+
+_COVERAGE_SQL = """
+SELECT COALESCE(source, '(orphan)') AS source,
+       COUNT(d.doc_id) AS n_docs,
+       CAST(SUM(CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_embedded,
+       CAST(SUM(CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+       CAST(SUM(CASE WHEN d.doc_id IS NULL AND e.vec_id IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY COALESCE(source, '(orphan)')
+ORDER BY source
+"""
+
+
 QUERIES = {
     "dedup_paragraphs_global": dedup_paragraphs_global,
     "dedup_documents_url": dedup_documents_url,
@@ -539,6 +584,7 @@ QUERIES = {
     "embedding_quantization_report": embedding_quantization_report,
     "repeated_ngram_coverage": repeated_ngram_coverage,
     "source_overlap_matrix": source_overlap_matrix,
+    "corpus_embedding_coverage": corpus_embedding_coverage,
 }
 
 
@@ -555,4 +601,5 @@ ORACLES = {
     "embedding_quantization_report": _QUANT_SQL,
     "repeated_ngram_coverage": _rep_coverage_oracle(),
     "source_overlap_matrix": _OVERLAP_SQL,
+    "corpus_embedding_coverage": _COVERAGE_SQL,
 }

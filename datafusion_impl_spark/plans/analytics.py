@@ -630,6 +630,58 @@ FROM customer
 """
 
 
+def scalar_try_error_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI error-safe scalar family (``try_cast`` / ``try_add`` /
+    ``try_divide`` / ``try_element_at``): malformed input → NULL, never a
+    query abort — the engine-level generalization of the reference's core
+    contract (regexp errors → '', ``src/regexp-extract.rs:51-115``).
+    Inline VALUES fixture (sf-independent by design): bad casts, date
+    overflow days, bigint overflow, divide-by-zero, out-of-range index,
+    NULL propagation."""
+    rows = [
+        (1, "123", 1, 0),
+        (2, "abc", 9223372036854775807, 1),
+        (3, "2023-02-30", 5, 2),
+        (4, "2024-02-29", 10, -2),
+        (5, " 42 ", -7, 0),
+        (6, None, None, 3),
+    ]
+    df = spark.createDataFrame(rows, schema="id int, s string, a long, b long")
+    return df.select(
+        "id",
+        "s",
+        F.expr("try_cast(s AS int)").alias("as_int"),
+        F.expr("try_cast(s AS date)").alias("as_date"),
+        F.expr("try_cast(s AS double)").alias("as_double"),
+        F.expr("try_add(a, 1L)").alias("a_plus_1"),
+        F.expr("try_divide(a, b)").alias("a_div_b"),
+        F.expr("try_element_at(array(a, b), 2)").alias("elem2"),
+        F.expr("try_element_at(array(a, b), 9)").alias("elem9"),
+    ).orderBy("id")
+
+
+# DuckDB expresses the same semantics with TRY_CAST + explicit guards
+# (divide-by-zero and bigint overflow are errors there, not NULLs; list
+# indexing is natively NULL out of range).
+_SCALAR_TRY_SQL = """
+SELECT id, s,
+       TRY_CAST(s AS INTEGER) AS as_int,
+       TRY_CAST(s AS DATE) AS as_date,
+       TRY_CAST(s AS DOUBLE) AS as_double,
+       CASE WHEN a >= 9223372036854775807 THEN NULL ELSE a + 1 END AS a_plus_1,
+       CASE WHEN b = 0 THEN NULL ELSE a / b END AS a_div_b,
+       [a, b][2] AS elem2,
+       [a, b][9] AS elem9
+FROM (VALUES (1, '123', 1, 0),
+             (2, 'abc', 9223372036854775807, 1),
+             (3, '2023-02-30', 5, 2),
+             (4, '2024-02-29', 10, -2),
+             (5, ' 42 ', -7, 0),
+             (6, NULL, NULL, 3)) AS t(id, s, a, b)
+ORDER BY id
+"""
+
+
 def string_agg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation: sort_array(collect_list) keeps the result
     deterministic under any partitioning."""
@@ -1263,6 +1315,7 @@ QUERIES = {
     "scalar_string_functions": scalar_string_functions,
     "scalar_date_functions": scalar_date_functions,
     "scalar_math_case_cast": scalar_math_case_cast,
+    "scalar_try_error_safe": scalar_try_error_safe,
     "scalar_array_struct_functions": scalar_array_struct_functions,
     "scalar_stats_aggregates": scalar_stats_aggregates,
     "salted_event_type_stats": salted_event_type_stats,
@@ -1304,6 +1357,7 @@ ORACLES = {
     "scalar_string_functions": _SCALAR_STRING_SQL,
     "scalar_date_functions": _SCALAR_DATE_SQL,
     "scalar_math_case_cast": _SCALAR_MATH_SQL,
+    "scalar_try_error_safe": _SCALAR_TRY_SQL,
     "scalar_array_struct_functions": _SCALAR_ARRAY_SQL,
     "scalar_stats_aggregates": _SCALAR_STATS_SQL,
     "salted_event_type_stats": _SALTED_STATS_SQL,
