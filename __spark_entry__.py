@@ -127,7 +127,7 @@ _PRIORITY = [
     "q15_top_supplier",
     "q16_supplier_part_counts",
     "q19_disjunctive_revenue",
-    "q21_waiting_suppliers",
+    "click_conversion_stats",       # new in r4 (replaces a padding slot)
     "scalar_try_error_safe",        # new in r4 (replaces a padding slot)
     "corpus_embedding_coverage",    # new in r4 (replaces a padding slot)
     "dedup_pagerank_centrality",    # new in r4 (replaces a padding slot)

@@ -45,6 +45,8 @@ __all__ = [
     "dedup_event_ids",
     "stream_static_segment_counts",
     "click_purchase_attribution",
+    "click_conversion_outer",
+    "click_conversion_stats",
     "windowed_event_counts",
     "sliding_value_avg",
     "session_window_counts",
@@ -243,6 +245,88 @@ def click_purchase_attribution(events: DataFrame,
         "purchase_id",
         "amount",
     )
+
+
+def click_conversion_outer(events: DataFrame,
+                           attribution_window: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click, with its attributed
+    purchase rows where one lands inside the window and NULLs where none.
+    Unmatched clicks are held in join state and emitted as null-extended
+    rows only once the watermark passes the end of their join window — so
+    at stream end, clicks younger than (watermark + window) are still held
+    back (the test accounts for exactly that horizon). Same two state-expiry
+    requirements as the inner join: watermarks on both sides + an event-time
+    band in the condition."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")
+        )
+    )
+    return clicks.join(purchases, cond, "left_outer").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "amount",
+    )
+
+
+def click_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch run of the left-outer stream-stream conversion join (identical
+    plan shape to the streaming version), aggregated per user: clicks,
+    clicks that converted inside the window, and total (click, purchase)
+    attribution pairs — the funnel metric the inner join cannot produce
+    (it never sees the unconverted clicks)."""
+    from datafusion_impl_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    pairs = click_conversion_outer(ev)
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.countDistinct("click_id").alias("n_clicks"),
+            F.countDistinct(
+                F.when(F.col("purchase_id").isNotNull(), F.col("click_id"))
+            ).alias("n_converted_clicks"),
+            F.count("purchase_id").alias("n_pairs"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_CONVERSION_SQL = """
+SELECT c.user_id,
+       COUNT(DISTINCT c.event_id) AS n_clicks,
+       COUNT(DISTINCT CASE WHEN p.event_id IS NOT NULL
+                      THEN c.event_id END) AS n_converted_clicks,
+       CAST(COUNT(p.event_id) AS BIGINT) AS n_pairs
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+GROUP BY c.user_id
+ORDER BY c.user_id
+"""
 
 
 # --- custom stateful operator ----------------------------------------------
@@ -455,11 +539,13 @@ ORDER BY lang
 QUERIES = {
     "session_window_stats": session_window_stats,
     "click_attribution_stats": click_attribution_stats,
+    "click_conversion_stats": click_conversion_stats,
     "stream_corpus_dedup_stats": stream_corpus_dedup_stats,
 }
 
 ORACLES = {
     "session_window_stats": _SESSION_WINDOW_SQL,
     "click_attribution_stats": _ATTRIBUTION_SQL,
+    "click_conversion_stats": _CONVERSION_SQL,
     "stream_corpus_dedup_stats": _CORPUS_DEDUP_SQL,
 }

@@ -97,6 +97,43 @@ def test_stream_source_schema(spark, events_dir):
     assert dict(st.dtypes)["ts"] == "timestamp"
 
 
+def test_outer_stream_join_matches_batch_up_to_watermark_horizon(spark, events_dir):
+    """Left-outer stream-stream join: matched pairs must equal the batch
+    join exactly; null-extended (unconverted) rows are emitted only when the
+    watermark passes the click's join-window end, so at stream end clicks
+    younger than (watermark + window) = 3h before the max event time may
+    still be held in state. Within that horizon the stream must equal the
+    batch answer row-for-row, and nothing the stream emits may be absent
+    from the batch answer."""
+    st = stx.click_conversion_outer(stx.stream_events(spark, events_dir))
+    _run_stream(st, "conv_outer", mode="append")
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM conv_outer").collect()
+    }
+    batch = stx.click_conversion_outer(_batch_events(spark)).collect()
+    want_all = {(r.user_id, r.click_id, r.purchase_id) for r in batch}
+    assert got <= want_all and got
+    max_ts = max(r.click_ts for r in batch)
+    horizon = max_ts - __import__("datetime").timedelta(hours=3)
+    want_old = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in batch
+        if r.click_ts <= horizon
+    }
+    got_old = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.sql(
+            "SELECT * FROM conv_outer WHERE click_ts <= timestamp'"
+            + horizon.strftime("%Y-%m-%d %H:%M:%S")
+            + "'"
+        ).collect()
+    }
+    assert got_old == want_old
+    # the outer join's whole point: unconverted clicks appear as null rows
+    assert any(p is None for (_, _, p) in got_old)
+
+
 def test_stream_source_reads_nanos_shape(spark, events_dir, tmp_path):
     """events.parquet has shipped as TIMESTAMP(NANOS) in some testdata
     generations: the stream factory must sniff the footer and normalize that
