@@ -125,8 +125,8 @@ _PRIORITY = [
     "q8_market_share",
     "q12_priority_lateness",
     "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q19_disjunctive_revenue",
+    "ann_ivf_incremental_assign",   # new in r4 (replaces a padding slot)
+    "join_key_skew_report",         # new in r4 (replaces a padding slot)
     "click_conversion_stats",       # new in r4 (replaces a padding slot)
     "scalar_try_error_safe",        # new in r4 (replaces a padding slot)
     "corpus_embedding_coverage",    # new in r4 (replaces a padding slot)

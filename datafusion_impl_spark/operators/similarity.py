@@ -689,6 +689,101 @@ ORDER BY q_id
 """
 
 
+#: Arriving-batch selector for incremental index maintenance.
+_ARRIVE_MOD = 10
+
+
+def ann_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance: vectors with ``vec_id % 10 == 9``
+    play an arriving batch appended to an index built over the REST of the
+    corpus. The batch is assigned to the existing coarse codebook (the
+    deterministic ``vec_id < 8`` centroids — all on the index side) with one
+    broadcast map — per bucket: current index size, arrivals, mean arrival-
+    to-centroid similarity, and the growth fraction a rebalance monitor
+    watches.
+
+    The 100 TB point: appending a batch is a broadcast assignment over the
+    BATCH only plus a metadata update — the existing index is never
+    re-shuffled or re-clustered; re-clustering (embedding_kmeans_clusters)
+    is the separate, rarer maintenance action this report tells you to
+    schedule when growth skews."""
+    e = _vectors(spark, sf_dir)
+    arriving = e.filter(F.col("vec_id") % _ARRIVE_MOD == _ARRIVE_MOD - 1)
+    index = e.filter(F.col("vec_id") % _ARRIVE_MOD != _ARRIVE_MOD - 1)
+    cent = index.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    c_cos = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("c_nrm"))
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cid"))
+
+    def assign(side: DataFrame) -> DataFrame:
+        return (
+            side.crossJoin(F.broadcast(cent))
+            .select("vec_id", "cid", F.round(c_cos, 6).alias("c_sim"))
+            .withColumn("arn", F.row_number().over(aw))
+            .filter(F.col("arn") == 1)
+            .select("vec_id", F.col("cid").alias("bucket"), "c_sim")
+        )
+
+    idx_sizes = assign(index).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_index")
+    )
+    arr = assign(arriving).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_arriving"),
+        F.round(F.avg("c_sim"), 4).alias("avg_arrival_sim"),
+    )
+    return (
+        idx_sizes.join(arr, "bucket", "left_outer")
+        .select(
+            "bucket",
+            "n_index",
+            F.coalesce("n_arriving", F.lit(0)).alias("n_arriving"),
+            F.coalesce("avg_arrival_sim", F.lit(0.0)).alias("avg_arrival_sim"),
+            F.round(
+                F.coalesce("n_arriving", F.lit(0)) / F.col("n_index"), 6
+            ).alias("growth_frac"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_IVF_INCR_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+arriving AS (SELECT * FROM e WHERE vec_id % {_ARRIVE_MOD} = {_ARRIVE_MOD - 1}),
+idx AS (SELECT * FROM e WHERE vec_id % {_ARRIVE_MOD} <> {_ARRIVE_MOD - 1}),
+cent AS (SELECT vec_id AS cid, v AS cv FROM idx WHERE vec_id < {_N_CENTROIDS}),
+assign_idx AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT i.vec_id, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY i.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(i.v, cent.cv), 6) DESC,
+                                       cent.cid) AS arn
+    FROM idx i, cent)
+  WHERE arn = 1),
+assign_arr AS (
+  SELECT vec_id, cid AS bucket, c_sim FROM (
+    SELECT a.vec_id, cent.cid,
+           ROUND(list_cosine_similarity(a.v, cent.cv), 6) AS c_sim,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(a.v, cent.cv), 6) DESC,
+                                       cent.cid) AS arn
+    FROM arriving a, cent)
+  WHERE arn = 1),
+idx_sizes AS (SELECT bucket, COUNT(*) AS n_index FROM assign_idx GROUP BY bucket),
+arr AS (SELECT bucket, COUNT(*) AS n_arriving,
+               ROUND(AVG(c_sim), 4) AS avg_arrival_sim
+        FROM assign_arr GROUP BY bucket)
+SELECT s.bucket, s.n_index,
+       CAST(COALESCE(a.n_arriving, 0) AS BIGINT) AS n_arriving,
+       COALESCE(a.avg_arrival_sim, 0.0) AS avg_arrival_sim,
+       ROUND(COALESCE(a.n_arriving, 0) / s.n_index, 6) AS growth_frac
+FROM idx_sizes s LEFT JOIN arr a USING (bucket)
+ORDER BY s.bucket
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -697,6 +792,7 @@ QUERIES = {
     "embedding_label_centroids": embedding_label_centroids,
     "ann_truncated_recall": ann_truncated_recall,
     "ann_ivf_recall_sweep": ann_ivf_recall_sweep,
+    "ann_ivf_incremental_assign": ann_ivf_incremental_assign,
 }
 
 ORACLES = {
@@ -706,4 +802,5 @@ ORACLES = {
     "embedding_label_centroids": _CENTROIDS_SQL,
     "ann_truncated_recall": _TRUNC_RECALL_SQL,
     "ann_ivf_recall_sweep": _IVF_SWEEP_SQL,
+    "ann_ivf_incremental_assign": _IVF_INCR_SQL,
 }

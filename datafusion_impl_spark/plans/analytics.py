@@ -702,6 +702,55 @@ GROUP BY r_name ORDER BY r_name
 """
 
 
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnosis for a prospective join/aggregation key: hash
+    ``user_id`` onto 32 partitions-worth of buckets (portable md5 ring, the
+    repo's cross-engine stand-in for Spark's murmur3 hash partitioner) and
+    report per-bucket row counts, shares, and the skew factor
+    (bucket / perfectly-even) — the report that decides whether a key needs
+    ``scale.salted_join`` BEFORE the job runs at 100 TB, for the cost of one
+    count-only aggregate. The post-aggregate window ranks 32 bounded rows."""
+    from datafusion_impl_spark.operators import md5_long
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    bucket = md5_long(F.col("user_id").cast("string")) % 32
+    per = ev.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        per.select(
+            "bucket",
+            "n_rows",
+            F.round(F.col("n_rows") / F.sum("n_rows").over(w), 6).alias("share"),
+            F.round(
+                F.col("n_rows") * 32 / F.sum("n_rows").over(w), 4
+            ).alias("skew_factor"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _skew_oracle() -> str:
+    from datafusion_impl_spark.operators import duck_md5_long
+
+    h = duck_md5_long("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH per AS (
+  SELECT {h} % 32 AS bucket, COUNT(*) AS n_rows
+  FROM events GROUP BY 1
+)
+SELECT bucket, n_rows,
+       ROUND(n_rows / SUM(n_rows) OVER (), 6) AS share,
+       ROUND(n_rows * 32 / SUM(n_rows) OVER (), 4) AS skew_factor
+FROM per
+ORDER BY bucket
+"""
+
+
+_KEY_SKEW_SQL = _skew_oracle()
+
+
 def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew-salted two-phase aggregation (scale.salted_groupby) on the
     driver-checked surface: per event_type count/sum/min/max of value.
@@ -1318,6 +1367,7 @@ QUERIES = {
     "scalar_try_error_safe": scalar_try_error_safe,
     "scalar_array_struct_functions": scalar_array_struct_functions,
     "scalar_stats_aggregates": scalar_stats_aggregates,
+    "join_key_skew_report": join_key_skew_report,
     "salted_event_type_stats": salted_event_type_stats,
     "salted_join_event_segments": salted_join_event_segments,
     "string_agg_nations_per_region": string_agg_nations_per_region,
@@ -1360,6 +1410,7 @@ ORACLES = {
     "scalar_try_error_safe": _SCALAR_TRY_SQL,
     "scalar_array_struct_functions": _SCALAR_ARRAY_SQL,
     "scalar_stats_aggregates": _SCALAR_STATS_SQL,
+    "join_key_skew_report": _KEY_SKEW_SQL,
     "salted_event_type_stats": _SALTED_STATS_SQL,
     "salted_join_event_segments": _SALTED_JOIN_SQL,
     "string_agg_nations_per_region": _STRING_AGG_SQL,
