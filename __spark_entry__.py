@@ -26,6 +26,7 @@ from datafusion_impl_spark.operators import structured as _structured
 from datafusion_impl_spark.operators import text as _text
 from datafusion_impl_spark.operators import training as _training
 from datafusion_impl_spark.plans import analytics as _analytics
+from datafusion_impl_spark.plans import cdc as _cdc
 from datafusion_impl_spark.plans import joins_ext as _joins_ext
 from datafusion_impl_spark.plans import modern as _modern
 from datafusion_impl_spark.plans import regexp as _regexp
@@ -55,6 +56,7 @@ _MODULES = [
     _tpch4,
     _joins_ext,
     _modern,
+    _cdc,
     _regexp,
     _analytics,
     _source_queries,
@@ -114,17 +116,20 @@ _PRIORITY = [
     "ema_revenue_closed_form",
     "bucketed_orders_pruned_join",
     "xml_documents_roundtrip",
+    # new in r4: CDC/temporal layer
+    "merge_upsert_latest_orders",
+    "scd2_order_status_history",
+    "range_frame_weekly_revenue",
+    # new in r4: corpus batching/ordering
+    "doc_length_quantile_bins",
+    "interleave_sources_round_robin",
+    # new in r4: layout/evolution
+    "parquet_schema_evolution_merge",
+    "zorder_orders_layout",
     # padding to 50: oldest driver evidence first (r1/r2 vintages)
     "asof_join_prior_click",
     "range_join_event_bursts",
     "full_outer_nation_accounts",
-    "q7_nation_volume",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q22_idle_rich_customers",
-    "q8_market_share",
-    "q12_priority_lateness",
-    "q15_top_supplier",
     "ann_ivf_incremental_assign",   # new in r4 (replaces a padding slot)
     "join_key_skew_report",         # new in r4 (replaces a padding slot)
     "click_conversion_stats",       # new in r4 (replaces a padding slot)

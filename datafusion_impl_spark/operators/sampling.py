@@ -372,12 +372,144 @@ ORDER BY bucket
 _LENGTH_BUCKET_SQL = _length_bucket_oracle()
 
 
+#: equal-frequency binning fan-out (deciles).
+_N_QUANTILE_BINS = 10
+
+
+def doc_length_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (decile) length binning with per-bin stats — the
+    feature-discretization step before curriculum/batching decisions.
+
+    A naive ``NTILE(10) OVER (ORDER BY n_chars)`` is a GLOBAL sort of the
+    corpus — the exact shape the repo's plan audit bans over a fact table.
+    Instead the corpus is first aggregated per distinct length (bounded:
+    ~thousands of lengths regardless of corpus size), then a cumulative
+    count over that bounded frame assigns each length a bin via pure
+    integer arithmetic ``(cum_before * 10) div total``. Ties (equal
+    lengths) land in one bin by construction, which also makes the
+    assignment engine-independent — no NTILE tie-ordering to disagree on.
+    Per-bin averages divide integer sums, so every value is cross-engine
+    exact before the final ROUND."""
+    docs = load_table(spark, sf_dir, "documents")
+    by_len = docs.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    w_cum = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy()
+    binned = by_len.select(
+        "n_chars",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(w_all).alias("total"),
+    ).withColumn(
+        "bin",
+        F.expr(f"(cum_before * {_N_QUANTILE_BINS}) div total").cast("int"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.sum("cnt").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(
+                F.sum(F.col("n_chars") * F.col("cnt")) / F.sum("cnt"), 4
+            ).alias("avg_chars"),
+        )
+        .orderBy("bin")
+    )
+
+
+_QUANTILE_BIN_SQL = f"""
+WITH by_len AS (
+  SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY n_chars
+),
+binned AS (
+  SELECT n_chars, cnt,
+         COALESCE(SUM(cnt) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+         SUM(cnt) OVER () AS total
+  FROM by_len
+)
+SELECT CAST((cum_before * {_N_QUANTILE_BINS}) // total AS INTEGER) AS bin,
+       SUM(cnt) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       ROUND(SUM(n_chars * cnt) / SUM(cnt), 4) AS avg_chars
+FROM binned
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+#: how many interleaved positions the audit query surfaces.
+_INTERLEAVE_HEAD = 200
+
+
+def interleave_sources_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted round-robin interleave of sources — the
+    training-order construction that guarantees a source with weight w
+    contributes w docs per w-sized stride from the very first batch,
+    instead of whenever a global shuffle happens to surface it.
+
+    Each source's docs get a stable within-source rank (ordered by the
+    portable md5 hash, so the per-source order IS `corpus_shuffle_order`'s
+    ring); a doc's virtual time is ``rank / weight``, and the global
+    training order sorts by (virtual time, source, rank). Weights are
+    themselves derived from the source name's hash (1..4), so the operator
+    needs no hardcoded source list. The audit surfaces the first
+    ``_INTERLEAVE_HEAD`` positions — a sort feeding a LIMIT, i.e. a
+    distributed TakeOrdered, never a global sort of the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    weight = (md5_long(F.col("source")) % 4 + 1).alias("weight")
+    w_src = Window.partitionBy("source").orderBy(
+        _bucket(F.col("doc_id")), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        weight,
+        F.row_number().over(w_src).alias("rk"),
+    ).withColumn("vt", F.col("rk") / F.col("weight"))
+    head = ranked.orderBy("vt", "source", "rk").limit(_INTERLEAVE_HEAD)
+    w_pos = Window.orderBy("vt", "source", "rk")
+    return head.select(
+        F.row_number().over(w_pos).alias("position"),
+        "source",
+        "doc_id",
+        "rk",
+        "weight",
+    ).orderBy("position")
+
+
+_INTERLEAVE_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         {duck_md5_long('source')} % 4 + 1 AS weight,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {_duck_bucket('doc_id')}, doc_id) AS rk
+  FROM documents
+),
+vt AS (
+  SELECT doc_id, source, weight, rk, rk / weight AS vt FROM ranked
+),
+head AS (
+  SELECT * FROM vt ORDER BY vt, source, rk LIMIT {_INTERLEAVE_HEAD}
+)
+SELECT ROW_NUMBER() OVER (ORDER BY vt, source, rk) AS position,
+       source, doc_id, rk, weight
+FROM head
+ORDER BY position
+"""
+
+
 QUERIES = {
     "sample_documents_stratified": sample_documents_stratified,
     "corpus_split_assignment": corpus_split_assignment,
     "pack_documents_by_token_budget": pack_documents_by_token_budget,
     "corpus_shuffle_order": corpus_shuffle_order,
     "length_bucketed_batches": length_bucketed_batches,
+    "doc_length_quantile_bins": doc_length_quantile_bins,
+    "interleave_sources_round_robin": interleave_sources_round_robin,
 }
 
 ORACLES = {
@@ -386,4 +518,6 @@ ORACLES = {
     "corpus_split_assignment": _SPLIT_SQL,
     "pack_documents_by_token_budget": _PACK_SQL,
     "length_bucketed_batches": _LENGTH_BUCKET_SQL,
+    "doc_length_quantile_bins": _QUANTILE_BIN_SQL,
+    "interleave_sources_round_robin": _INTERLEAVE_SQL,
 }

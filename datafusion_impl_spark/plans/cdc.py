@@ -1,0 +1,197 @@
+"""Change-data-capture and temporal-table operators — the mutation side of a
+pipeline the reference exercises read-only (its host engine's tables are
+immutable scans, ``tests/regexp-tests.rs:14-33``), but that any production
+corpus/warehouse deployment needs on day one: MERGE-style latest-wins upsert,
+slowly-changing-dimension (type 2) history construction, and time-range
+window frames (``RANGE BETWEEN INTERVAL``).
+
+Scale notes (100 TB posture):
+
+- ``merge_upsert_latest_orders`` is the MERGE INTO / latest-record-wins
+  pattern: union the base snapshot with the change feed and keep the max
+  version per key via one windowed ``row_number``. ONE shuffle on the merge
+  key; AQE skew handling covers hot keys. On a real lakehouse this is the
+  compaction step of any CDC ingest; the declarative form here is exactly
+  what Catalyst needs to push column pruning into both inputs.
+- ``scd2_order_status_history`` builds type-2 validity intervals with two
+  windows over the SAME partition key (customer) — Catalyst plans one
+  Exchange + one Sort and reuses them for both ``lag`` and ``lead``; no
+  second shuffle.
+- ``range_frame_weekly_revenue`` uses a time-RANGE frame over the *daily
+  pre-aggregate* (one ordinary groupBy shuffle over the fact table; the
+  window itself runs over ~2.4k bounded rows). Never run an un-partitioned
+  RANGE window over the raw fact table — aggregate first, window second.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_impl_spark.sources.registry import load_table
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+def merge_upsert_latest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins CDC merge: a deterministic change feed (every 7th order
+    flips to status ``'U'`` at version 2) is merged into the base snapshot
+    (version 1); per key the highest version survives. The post-merge state
+    is summarized per status so the oracle checks every merge decision
+    (13/14 of the keys keep their base row, 1/14 must take the update)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.withColumn("version", F.lit(1))
+    updates = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("version", F.lit(2))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    merged = (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_MERGE_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version FROM orders
+),
+updates AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice, 2 AS version
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+merged AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM merged WHERE rn = 1
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: per customer, collapse the
+    order stream into status *validity intervals* — a row survives when its
+    status differs from the previous order's (``lag``), and its interval
+    closes at the next surviving row's start (``lead``). Output is the
+    interval population per status: interval count, open (current) interval
+    count, and mean closed-interval duration in days."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("o_day"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_day", "o_orderkey")
+    changes = orders.withColumn(
+        "prev_status", F.lag("o_orderstatus").over(w)
+    ).filter(
+        F.col("prev_status").isNull()
+        | (F.col("prev_status") != F.col("o_orderstatus"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_day", "o_orderkey")
+    intervals = changes.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_day").alias("valid_from"),
+        F.lead("o_day").over(w2).alias("valid_to"),
+    )
+    return (
+        intervals.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.count(F.when(F.col("valid_to").isNull(), 1)).alias("n_open"),
+            F.round(
+                F.avg(F.datediff("valid_to", "valid_from")), 4
+            ).alias("avg_days"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_SCD2_SQL = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS o_day, o_orderkey,
+         LAG(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_status
+  FROM orders
+),
+changes AS (
+  SELECT * FROM ordered
+  WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+),
+intervals AS (
+  SELECT o_custkey, o_orderstatus, o_day AS valid_from,
+         LEAD(o_day) OVER (PARTITION BY o_custkey ORDER BY o_day, o_orderkey) AS valid_to
+  FROM changes
+)
+SELECT o_orderstatus, COUNT(*) AS n_intervals,
+       COUNT(CASE WHEN valid_to IS NULL THEN 1 END) AS n_open,
+       ROUND(AVG(DATE_DIFF('day', valid_from, valid_to)), 4) AS avg_days
+FROM intervals
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def range_frame_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue via a time-RANGE window frame
+    (``RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW``) — the
+    value-based frame the reference's host engine exposes for time series
+    and that differs semantically from a ROWS frame whenever days are
+    missing. Runs over the daily pre-aggregate (bounded), SQL-authored
+    because the interval-RANGE frame is a SQL-surface feature."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    daily.createOrReplaceTempView("daily_rev_cdc")
+    return spark.sql("""
+SELECT day, ROUND(rev, 2) AS rev,
+       ROUND(SUM(rev) OVER w, 2) AS rev_7d,
+       COUNT(*) OVER w AS n_days_7d
+FROM daily_rev_cdc
+WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+ORDER BY day
+""")
+
+
+_RANGE_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, SUM(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT day, ROUND(rev, 2) AS rev,
+       ROUND(SUM(rev) OVER w, 2) AS rev_7d,
+       COUNT(*) OVER w AS n_days_7d
+FROM daily
+WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""
+
+
+QUERIES = {
+    "merge_upsert_latest_orders": merge_upsert_latest_orders,
+    "scd2_order_status_history": scd2_order_status_history,
+    "range_frame_weekly_revenue": range_frame_weekly_revenue,
+}
+
+ORACLES = {
+    "merge_upsert_latest_orders": _MERGE_SQL,
+    "scd2_order_status_history": _SCD2_SQL,
+    "range_frame_weekly_revenue": _RANGE_SQL,
+}

@@ -285,12 +285,168 @@ ORDER BY c_mktsegment
 """
 
 
+def parquet_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches, read back as ONE table:
+    batch 1 is written with the v1 schema (no ``lang`` column), batch 2 with
+    the evolved v2 schema (adds ``lang``), and the union is read with
+    ``mergeSchema=true`` — the lakehouse reality that a 100 TB corpus is
+    written over months by evolving pipelines and must still scan as a
+    single table, with the missing column null-filled for old files.
+
+    The oracle recomputes the same aggregate from the ORIGINAL parquet with
+    the evolution emulated in SQL (even doc_ids lose ``lang``), so equality
+    proves (a) the write→read cycle is lossless per batch and (b) the merge
+    null-fills exactly the v1 rows — no row duplication, loss, or column
+    bleed between file schemas.
+
+    Scale note: ``mergeSchema`` reconciles footers at planning time — with
+    millions of files, prefer a declared read schema (the merged schema is
+    known once evolution lands); per-file column resolution at scan time is
+    free either way because parquet is self-describing."""
+    path = os.path.join(
+        _JSONL_ROOT, os.path.basename(sf_dir.rstrip("/")), "docs_evo"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "source", "n_chars"
+    )
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", "n_chars", "lang"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(path, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(path, "batch=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("lang").alias("n_with_lang"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+_SCHEMA_EVO_SQL = """
+WITH evolved AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN doc_id % 2 = 1 THEN lang END AS lang
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(lang) AS n_with_lang,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM evolved
+GROUP BY source
+ORDER BY source
+"""
+
+
+#: Z-order curve resolution: 8 bits per dimension → 16-bit Morton key.
+_Z_BITS = 8
+#: Epoch for the date dimension (min o_orderdate in the TPC-H-ish testdata).
+_Z_EPOCH = "1995-01-01"
+
+
+def _zkey_spark(x, y):
+    """16-bit Morton (Z-order) interleave of two 8-bit cells, as a pure
+    Catalyst integer expression (whole-stage-codegen'd, no UDF)."""
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def _zkey_duck(x: str, y: str) -> str:
+    terms = [
+        f"(((({x}) >> {i}) & 1) << {2 * i}) + (((({y}) >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_Z_BITS)
+    ]
+    return " + ".join(f"({t})" for t in terms)
+
+
+def zorder_orders_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout key over ``orders`` on the two pruning
+    dimensions a warehouse actually filters by — customer and order day —
+    then a per-curve-cell occupancy audit. Sorting files by this key is the
+    multi-dimensional clustering trick (Delta/Iceberg ``OPTIMIZE ZORDER
+    BY``): a range of the 1-D key covers a RECTANGLE of (custkey, day), so
+    min/max file stats prune scans on EITHER dimension, where a plain sort
+    prunes only its leading column. The interleave is 16 shift/mask terms of
+    whole-stage-codegen'd integer arithmetic — no UDF, identical in DuckDB.
+
+    ``tests/test_sources_sinks.py`` additionally writes the sf0.001 corpus
+    in z-key order and asserts the per-chunk (custkey × day) bounding boxes
+    shrink vs. a date-sorted layout — the actual stats-pruning benefit."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = 1 << _Z_BITS
+    x = F.pmod(F.col("o_custkey"), F.lit(cells)).cast("long")
+    y = F.pmod(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit(_Z_EPOCH).cast("date"),
+        ),
+        F.lit(cells),
+    ).cast("long")
+    keyed = orders.select(
+        _zkey_spark(x, y).alias("zkey"),
+        x.alias("cust_cell"),
+        y.alias("day_cell"),
+        "o_orderkey",
+    )
+    # coarse curve cells: top 4 bits of the 16-bit key → 16 quadrants
+    return (
+        keyed.groupBy((F.col("zkey") / 4096).cast("int").alias("z_quadrant"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("zkey").alias("min_z"),
+            F.max("zkey").alias("max_z"),
+            F.min("cust_cell").alias("min_cust_cell"),
+            F.max("cust_cell").alias("max_cust_cell"),
+            F.min("day_cell").alias("min_day_cell"),
+            F.max("day_cell").alias("max_day_cell"),
+            F.sum("o_orderkey").cast("long").alias("sum_orderkey"),
+        )
+        .orderBy("z_quadrant")
+    )
+
+
+_ZORDER_SQL = f"""
+WITH keyed AS (
+  SELECT {_zkey_duck(f'(o_custkey % {1 << _Z_BITS})', f"(date_diff('day', DATE '{_Z_EPOCH}', CAST(o_orderdate AS DATE)) % {1 << _Z_BITS})")} AS zkey,
+         o_custkey % {1 << _Z_BITS} AS cust_cell,
+         date_diff('day', DATE '{_Z_EPOCH}', CAST(o_orderdate AS DATE)) % {1 << _Z_BITS} AS day_cell,
+         o_orderkey
+  FROM orders
+)
+SELECT CAST(zkey // 4096 AS INTEGER) AS z_quadrant,
+       COUNT(*) AS n_orders,
+       MIN(zkey) AS min_z, MAX(zkey) AS max_z,
+       MIN(cust_cell) AS min_cust_cell, MAX(cust_cell) AS max_cust_cell,
+       MIN(day_cell) AS min_day_cell, MAX(day_cell) AS max_day_cell,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey
+FROM keyed
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "csv_reference_golden": csv_reference_golden,
     "jsonl_documents_roundtrip": jsonl_documents_roundtrip,
     "orc_lineitem_roundtrip": orc_lineitem_roundtrip,
     "xml_documents_roundtrip": xml_documents_roundtrip,
     "bucketed_orders_pruned_join": bucketed_orders_pruned_join,
+    "parquet_schema_evolution_merge": parquet_schema_evolution_merge,
+    "zorder_orders_layout": zorder_orders_layout,
 }
 
 ORACLES = {
@@ -299,4 +455,6 @@ ORACLES = {
     "orc_lineitem_roundtrip": _ORC_ROUNDTRIP_SQL,
     "xml_documents_roundtrip": _XML_ROUNDTRIP_SQL,
     "bucketed_orders_pruned_join": _BUCKETED_JOIN_SQL,
+    "parquet_schema_evolution_merge": _SCHEMA_EVO_SQL,
+    "zorder_orders_layout": _ZORDER_SQL,
 }

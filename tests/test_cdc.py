@@ -1,0 +1,118 @@
+"""Semantic invariants for the CDC/temporal layer (plans/cdc.py) and the r4
+corpus batching/layout operators — properties the exact-value oracle can't
+express (interval disjointness, interleave fairness, clustering benefit).
+Exactness itself is covered by tests/test_oracle_parity.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datafusion_impl_spark.operators import sampling
+from datafusion_impl_spark.plans import cdc
+from datafusion_impl_spark.sources.registry import load_table
+from tests.conftest import SF_DIR
+
+
+def test_merge_upsert_takes_every_update(spark):
+    """Every key in the change feed must surface with the updated status —
+    the 'U' bucket of the merged summary equals the feed's key count, and
+    total row count is preserved (merge never duplicates or drops keys)."""
+    orders = load_table(spark, SF_DIR, "orders")
+    n_orders = orders.count()
+    n_updates = orders.filter(F.col("o_orderkey") % 7 == 0).count()
+    rows = {r["o_orderstatus"]: r for r in cdc.merge_upsert_latest_orders(spark, SF_DIR).collect()}
+    assert rows["U"]["n_orders"] == n_updates
+    assert sum(r["n_orders"] for r in rows.values()) == n_orders
+
+
+def test_scd2_intervals_partition_the_timeline(spark):
+    """Reconstruct the per-customer intervals and check SCD2 shape: exactly
+    one open interval per customer, and each closed interval's valid_to is
+    the next interval's valid_from (half-open coverage, no gaps/overlaps)."""
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("o_day"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_day", "o_orderkey")
+    intervals = (
+        orders.withColumn("prev", F.lag("o_orderstatus").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderstatus")))
+        .select(
+            "o_custkey",
+            F.col("o_day").alias("valid_from"),
+            F.lead("o_day").over(w).alias("valid_to"),
+        )
+    )
+    per_cust = intervals.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("valid_to").isNull(), 1)).alias("n_open"),
+    )
+    bad = per_cust.filter(F.col("n_open") != 1).count()
+    assert bad == 0
+    # half-open chaining: valid_to == next valid_from within each customer
+    w2 = Window.partitionBy("o_custkey").orderBy("valid_from")
+    chained = intervals.withColumn("nxt", F.lead("valid_from").over(w2)).filter(
+        F.col("valid_to").isNotNull() & (F.col("valid_to") != F.col("nxt"))
+    )
+    assert chained.count() == 0
+    # and the summary's open-interval count equals the customer count
+    summary = cdc.scd2_order_status_history(spark, SF_DIR)
+    n_open_total = sum(r["n_open"] for r in summary.collect())
+    assert n_open_total == orders.select("o_custkey").distinct().count()
+
+
+def test_range_frame_counts_only_present_days(spark):
+    """RANGE vs ROWS: n_days_7d is the number of PRESENT days in the last 7
+    calendar days — never more than 7, and rev_7d ≥ rev (frames include the
+    current row). A ROWS 6-preceding frame would always report 7 once past
+    the first week; RANGE must not."""
+    rows = cdc.range_frame_weekly_revenue(spark, SF_DIR).collect()
+    assert rows, "no daily rows"
+    assert all(1 <= r["n_days_7d"] <= 7 for r in rows)
+    assert all(r["rev_7d"] >= r["rev"] - 0.01 for r in rows)
+    # first row's frame contains only itself
+    assert rows[0]["n_days_7d"] == 1
+    assert abs(rows[0]["rev_7d"] - rows[0]["rev"]) < 0.01
+
+
+def test_quantile_bins_are_ordered_and_balanced(spark):
+    """Bins must tile the length axis in order (disjoint, increasing) and be
+    equal-frequency up to tie granularity: every bin's population stays
+    within [total/10 - max_tie, total/10 + max_tie] where max_tie is the
+    largest single-length group (ties are indivisible by construction)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    total = docs.count()
+    max_tie = (
+        docs.groupBy("n_chars").count().agg(F.max("count")).collect()[0][0]
+    )
+    rows = sampling.doc_length_quantile_bins(spark, SF_DIR).collect()
+    assert [r["bin"] for r in rows] == sorted(r["bin"] for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_chars"] < b["min_chars"]
+    assert sum(r["n_docs"] for r in rows) == total
+    target = total / 10
+    for r in rows:
+        assert abs(r["n_docs"] - target) <= max_tie
+
+
+def test_interleave_is_weight_fair(spark):
+    """In any prefix of the interleaved order, source s with weight w has
+    emitted floor(T·w) or ceil(T·w) docs at virtual time T — the per-stride
+    fairness guarantee that motivates the operator."""
+    rows = sampling.interleave_sources_round_robin(spark, SF_DIR).collect()
+    assert [r["position"] for r in rows] == list(range(1, len(rows) + 1))
+    last_vt = max(r["rk"] / r["weight"] for r in rows)
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for src, rs in by_source.items():
+        w = rs[0]["weight"]
+        expect = last_vt * w
+        assert len(rs) <= int(expect) + 1, (src, len(rs), expect)
+        # within-source order follows the rank (stable hash-ring order)
+        assert [r["rk"] for r in sorted(rs, key=lambda r: r["position"])] == sorted(
+            r["rk"] for r in rs
+        )

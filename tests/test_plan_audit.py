@@ -93,7 +93,12 @@ def _audit_one(name: str, df) -> list[str]:
     limit_children = set()
     for node in _walk(root):
         if _cls(node) in ("GlobalLimit", "LocalLimit"):
+            # look through interposed Projects: Limit → Project* → Sort is
+            # Spark's TakeOrderedAndProject shape (top-k, never a full sort)
             for c in _children(node):
+                while _cls(c) == "Project" and len(_children(c)) == 1:
+                    limit_children.add(c.hashCode())
+                    c = _children(c)[0]
                 limit_children.add(c.hashCode())
     for node in _walk(root):
         c = _cls(node)

@@ -113,3 +113,56 @@ def test_observe_metrics_sink(spark):
     n = li.count()
     assert obs.get["n_rows"] == n > 0
     assert obs.get["n_bad_qty"] == 0
+
+
+def test_zorder_layout_shrinks_bounding_boxes(spark):
+    """The point of the Morton key: chunk the corpus into 16 'files' by sort
+    order and measure each chunk's per-dimension min/max span — what a
+    file-stats pruner must assume the file covers on EACH filter column. A
+    single-column (date) sort gives thin day strips but spans the whole
+    custkey range in every chunk (zero pruning for customer filters); the
+    z-order must bound BOTH dimensions well below the full range. Test-only
+    driver-side math over sf0.001; the production operator never collects."""
+    from datafusion_impl_spark.sources.queries import _Z_EPOCH, _zkey_spark
+    from datafusion_impl_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    cells = 256
+    x = F.pmod(F.col("o_custkey"), F.lit(cells)).cast("long")
+    y = F.pmod(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit(_Z_EPOCH).cast("date")),
+        F.lit(cells),
+    ).cast("long")
+    pdf = (
+        orders.select(
+            _zkey_spark(x, y).alias("zkey"), x.alias("cx"), y.alias("cy")
+        )
+        .toPandas()
+    )
+
+    def avg_spans(df, order_col):
+        df = df.sort_values([order_col, "cx", "cy"], kind="mergesort").reset_index(drop=True)
+        df["chunk"] = (df.index * 16) // len(df)
+        g = df.groupby("chunk").agg(
+            cx_min=("cx", "min"), cx_max=("cx", "max"),
+            cy_min=("cy", "min"), cy_max=("cy", "max"),
+        )
+        return (
+            (g.cx_max - g.cx_min + 1).mean(),
+            (g.cy_max - g.cy_min + 1).mean(),
+        )
+
+    cx_range = pdf.cx.max() - pdf.cx.min() + 1
+    cy_range = pdf.cy.max() - pdf.cy.min() + 1
+    z_cx, z_cy = avg_spans(pdf, "zkey")
+    d_cx, d_cy = avg_spans(pdf, "cy")
+    # date sort: thin day strips, but every chunk spans ~the whole custkey
+    # range — customer-filter pruning is impossible
+    assert d_cx > cx_range * 0.9, (d_cx, cx_range)
+    # z-order: BOTH dimensions bounded well under the full range — a 16-way
+    # split of a 2-D Morton curve covers ~quarter-range quadrants per chunk
+    assert z_cx < cx_range * 0.6, (z_cx, cx_range)
+    assert z_cy < cy_range * 0.6, (z_cy, cy_range)
+    # and z-order strictly beats the date layout on the custkey dimension
+    assert z_cx < d_cx * 0.6, (z_cx, d_cx)
