@@ -126,10 +126,10 @@ _PRIORITY = [
     # new in r4: layout/evolution
     "parquet_schema_evolution_merge",
     "zorder_orders_layout",
-    # padding to 50: oldest driver evidence first (r1/r2 vintages)
-    "asof_join_prior_click",
-    "range_join_event_bursts",
-    "full_outer_nation_accounts",
+    # new in r4: incremental maintenance + corpus lifecycle
+    "incremental_agg_merge",
+    "dedup_union_priority",
+    "corpus_snapshot_diff",
     "ann_ivf_incremental_assign",   # new in r4 (replaces a padding slot)
     "join_key_skew_report",         # new in r4 (replaces a padding slot)
     "click_conversion_stats",       # new in r4 (replaces a padding slot)

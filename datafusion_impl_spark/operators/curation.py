@@ -577,6 +577,86 @@ ORDER BY source
 """
 
 
+#: snapshot-diff simulation knobs: A drops doc_id % 20 == 5, B drops
+#: doc_id % 20 == 0, and B revises the text of doc_id % 7 == 3.
+_SNAP_REV_SUFFIX = " [rev2]"
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff — the audit run between two corpus
+    releases: which docs were added, removed, changed (same id, different
+    content), or untouched, per source. Two deterministic snapshots are
+    derived from the base corpus (A drops 5% of ids, B drops a different 5%
+    and revises every 7th doc's text), hashed to a narrow (id, md5) frame,
+    and FULL-OUTER-joined on doc_id.
+
+    Scale shape: the join carries 2 narrow columns per side — the md5
+    stands in for the text so document bodies never shuffle (the same
+    payload-stays-put discipline as the exact-dedup family); one shuffle on
+    doc_id, then a tiny (source × status) aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    snap_a = docs.filter(F.col("doc_id") % 20 != 5)
+    snap_b = docs.filter(F.col("doc_id") % 20 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(F.col("text"), F.lit(_SNAP_REV_SUFFIX)),
+        ).otherwise(F.col("text")),
+    )
+    a = snap_a.select("doc_id", "source", F.md5("text").alias("ha"))
+    b = snap_b.select(
+        F.col("doc_id").alias("b_doc_id"),
+        F.col("source").alias("b_source"),
+        F.md5("text").alias("hb"),
+    )
+    joined = a.join(b, a.doc_id == b.b_doc_id, "full_outer").select(
+        F.coalesce("source", "b_source").alias("source"),
+        F.when(F.col("ha").isNull(), "added")
+        .when(F.col("hb").isNull(), "removed")
+        .when(F.col("ha") != F.col("hb"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce("doc_id", "b_doc_id").alias("id"),
+    )
+    return (
+        joined.groupBy("source", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("id").cast("long").alias("sum_doc_id"),
+        )
+        .orderBy("source", "status")
+    )
+
+
+_SNAP_DIFF_SQL = f"""
+WITH snap_a AS (
+  SELECT doc_id, source, md5(text) AS ha FROM documents WHERE doc_id % 20 <> 5
+),
+snap_b AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN doc_id % 7 = 3 THEN text || '{_SNAP_REV_SUFFIX}'
+                  ELSE text END) AS hb
+  FROM documents WHERE doc_id % 20 <> 0
+),
+joined AS (
+  SELECT COALESCE(a.source, b.source) AS source,
+         CASE WHEN a.ha IS NULL THEN 'added'
+              WHEN b.hb IS NULL THEN 'removed'
+              WHEN a.ha <> b.hb THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         COALESCE(a.doc_id, b.doc_id) AS id
+  FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+)
+SELECT source, status, COUNT(*) AS n_docs,
+       CAST(SUM(id) AS BIGINT) AS sum_doc_id
+FROM joined
+GROUP BY source, status
+ORDER BY source, status
+"""
+
+
 QUERIES = {
     "dedup_paragraphs_global": dedup_paragraphs_global,
     "dedup_documents_url": dedup_documents_url,
@@ -585,6 +665,7 @@ QUERIES = {
     "repeated_ngram_coverage": repeated_ngram_coverage,
     "source_overlap_matrix": source_overlap_matrix,
     "corpus_embedding_coverage": corpus_embedding_coverage,
+    "corpus_snapshot_diff": corpus_snapshot_diff,
 }
 
 
@@ -602,4 +683,5 @@ ORACLES = {
     "repeated_ngram_coverage": _rep_coverage_oracle(),
     "source_overlap_matrix": _OVERLAP_SQL,
     "corpus_embedding_coverage": _COVERAGE_SQL,
+    "corpus_snapshot_diff": _SNAP_DIFF_SQL,
 }

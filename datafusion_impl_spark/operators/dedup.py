@@ -28,7 +28,7 @@ mirrored in the oracle SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_impl_spark.operators import duck_md5_long, materialize, md5_long
@@ -770,6 +770,65 @@ ORDER BY t.lang
 """
 
 
+def dedup_union_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-corpus union dedup with source priority — the merge step when
+    assembling a training set from overlapping corpora (curated editions
+    beat raw crawl for the same content). A 'curated' corpus (every 3rd
+    doc) and the full 'web' crawl are unioned with a priority tag; per
+    exact content hash the LOWEST priority number wins (tiebreak doc_id),
+    so every curated doc displaces its web twin, and intra-corpus exact
+    dups collapse as usual.
+
+    Scale shape: identical to :func:`dedup_documents_exact` — one shuffle
+    on the md5 content hash (bounded groups), document bodies never
+    shuffle; the priority rule is just the window's ORDER BY. Output: per
+    corpus, rows contributed / rows kept / rows ceded to a
+    higher-priority copy."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    curated = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("corpus", F.lit("curated"))
+        .withColumn("prio", F.lit(1))
+    )
+    web = docs.withColumn("corpus", F.lit("web")).withColumn("prio", F.lit(2))
+    uni = curated.unionByName(web).select(
+        "corpus", "prio", "doc_id", F.md5("text").alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("prio", "doc_id")
+    ranked = uni.withColumn("keep", (F.row_number().over(w) == 1).cast("long"))
+    return (
+        ranked.groupBy("corpus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("keep")).cast("long").alias("n_ceded"),
+        )
+        .orderBy("corpus")
+    )
+
+
+_UNION_PRIORITY_SQL = """
+WITH uni AS (
+  SELECT 'curated' AS corpus, 1 AS prio, doc_id, md5(text) AS h
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'web', 2, doc_id, md5(text) FROM documents
+),
+ranked AS (
+  SELECT corpus,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY h ORDER BY prio, doc_id) = 1
+              THEN 1 ELSE 0 END AS keep
+  FROM uni
+)
+SELECT corpus, COUNT(*) AS n_rows,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_ceded
+FROM ranked
+GROUP BY corpus
+ORDER BY corpus
+"""
+
+
 QUERIES = {
     "dedup_documents_exact": dedup_documents_exact,
     "dedup_documents_survivors": dedup_documents_survivors,
@@ -779,6 +838,7 @@ QUERIES = {
     "dedup_documents_ngram": dedup_documents_ngram,
     "dedup_documents_simhash": dedup_documents_simhash,
     "stream_near_dup_flags": stream_near_dup_flags,
+    "dedup_union_priority": dedup_union_priority,
 }
 
 ORACLES = {
@@ -789,4 +849,5 @@ ORACLES = {
     "dedup_documents_minhash": _MINHASH_SQL,
     "dedup_documents_ngram": _NGRAM_SQL,
     "dedup_documents_simhash": _SIMHASH_SQL,
+    "dedup_union_priority": _UNION_PRIORITY_SQL,
 }

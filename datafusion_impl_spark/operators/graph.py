@@ -315,14 +315,98 @@ ORDER BY doc_id
 _PAGERANK_SQL = _pagerank_oracle()
 
 
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup graph — the structure audit that
+    separates tight clone-cliques (high clustering) from chains of
+    borderline matches (low clustering, risky to collapse transitively).
+    Output is one row: nodes, edges, wedges (length-2 paths), triangles,
+    and the global clustering coefficient 3·triangles / wedges.
+
+    Scale shape: the classic two-equi-join triangle count over the
+    CANONICALLY ORIENTED edge list (doc_a < doc_b, emitted that way by the
+    LSH join) — each triangle {a<b<c} is found exactly once via
+    e(a,b) ⋈ e(b,c) ⋈ e(a,c). Joins are equi-joins on node ids of the
+    *bounded pair table* (near-dup volume, not corpus volume); wedge counts
+    come from the symmetric degree table, sum of C(deg, 2). No step touches
+    the corpus — this runs entirely on the dedup pipeline's output."""
+    pairs = (
+        dedup_documents_minhash(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wedge = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        wedge.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+_TRIANGLE_SQL = f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_SQL}) minhash_pairs
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+deg AS (
+  SELECT v, COUNT(*) AS deg
+  FROM (SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b FROM pairs)
+  GROUP BY v
+),
+wedge AS (
+  SELECT COUNT(*) AS n_nodes,
+         CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges
+  FROM deg
+),
+edges AS (SELECT COUNT(*) AS n_edges FROM pairs)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       ROUND(3.0 * n_triangles / n_wedges, 6) AS clustering_coeff
+FROM wedge, edges, tri
+"""
+
+
 QUERIES = {
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_near_survivors": dedup_near_survivors,
     "dedup_pagerank_centrality": dedup_pagerank_centrality,
+    "graph_triangle_stats": graph_triangle_stats,
 }
 
 ORACLES = {
     "dedup_cluster_components": _COMPONENTS_SQL,
     "dedup_near_survivors": _NEAR_SURVIVORS_SQL,
     "dedup_pagerank_centrality": _PAGERANK_SQL,
+    "graph_triangle_stats": _TRIANGLE_SQL,
 }

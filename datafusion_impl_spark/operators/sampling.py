@@ -502,6 +502,49 @@ ORDER BY position
 """
 
 
+#: fixed-size per-stratum sample size.
+_SAMPLE_K = 5
+
+
+def sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-K per-stratum sample: the K docs with the smallest portable
+    hash in each source — a *consistent* bottom-k sample (eval subsets,
+    spot-check panels). Unlike rate-based sampling the output size is fixed
+    per stratum, and because the hash order is a pure function of doc_id,
+    the K members only change when docs enter/leave the bottom of the ring:
+    re-runs, re-partitions, and corpus growth elsewhere keep the panel
+    stable.
+
+    Scale shape: one window partitioned by source ordered by the hash. The
+    per-source sort is the cost; for corpus-scale strata swap the window
+    for a groupBy(min_by-K) bottom-k aggregate — same output, partial
+    aggregation map-side. K is tiny so the shuffle carries K rows per
+    partition either way."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    hk = md5_long(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(hk.alias("hk"), "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SAMPLE_K)
+        .select("source", "rk", "doc_id")
+        .orderBy("source", "rk")
+    )
+
+
+_SAMPLE_K_SQL = f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {duck_md5_long("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+  FROM documents
+)
+SELECT source, rk, doc_id
+FROM ranked WHERE rk <= {_SAMPLE_K}
+ORDER BY source, rk
+"""
+
+
 QUERIES = {
     "sample_documents_stratified": sample_documents_stratified,
     "corpus_split_assignment": corpus_split_assignment,
@@ -510,6 +553,7 @@ QUERIES = {
     "length_bucketed_batches": length_bucketed_batches,
     "doc_length_quantile_bins": doc_length_quantile_bins,
     "interleave_sources_round_robin": interleave_sources_round_robin,
+    "sample_k_per_source": sample_k_per_source,
 }
 
 ORACLES = {
@@ -520,4 +564,5 @@ ORACLES = {
     "length_bucketed_batches": _LENGTH_BUCKET_SQL,
     "doc_length_quantile_bins": _QUANTILE_BIN_SQL,
     "interleave_sources_round_robin": _INTERLEAVE_SQL,
+    "sample_k_per_source": _SAMPLE_K_SQL,
 }

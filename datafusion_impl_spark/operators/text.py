@@ -849,6 +849,71 @@ ORDER BY lang
 """
 
 
+#: heavy-hitter surfacing: top-K tokens per source by exact count.
+_HH_TOPK = 5
+
+
+def topk_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source heavy hitters: the K most frequent tokens in each source
+    with their corpus share — the vocabulary audit behind stopword lists,
+    boilerplate detection (a token dominating one source but absent
+    elsewhere is template residue), and tokenizer-vocab sizing.
+
+    Exact two-phase shape: explode -> groupBy (source, token) with map-side
+    partial aggregation (the shuffle carries one row per DISTINCT
+    (source, token), not per occurrence), then a row_number window
+    partitioned by source over the bounded per-source vocabulary. Ties
+    break on the token string, so top-K is engine-deterministic."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select(
+        "source", F.explode(tokens("text")).alias("token")
+    )
+    counts = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = tok.groupBy("source").agg(F.count(F.lit(1)).alias("total"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), "token")
+    top = counts.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _HH_TOPK
+    )
+    return (
+        top.join(totals, "source")
+        .select(
+            "source",
+            "rk",
+            "token",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy("source", "rk")
+    )
+
+
+_HH_SQL = rf"""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT source, token, COUNT(*) AS n FROM tok GROUP BY source, token
+),
+totals AS (
+  SELECT source, COUNT(*) AS total FROM tok GROUP BY source
+),
+ranked AS (
+  SELECT source, token, n,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, token) AS rk
+  FROM counts
+)
+SELECT r.source, r.rk, r.token, r.n,
+       ROUND(r.n / CAST(t.total AS DOUBLE), 6) AS share
+FROM ranked r JOIN totals t ON r.source = t.source
+WHERE r.rk <= {_HH_TOPK}
+ORDER BY r.source, r.rk
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_tfidf_top_terms": text_tfidf_top_terms,
@@ -862,6 +927,7 @@ QUERIES = {
     "text_pii_redaction": text_pii_redaction,
     "text_repetition_stats": text_repetition_stats,
     "text_perplexity_proxy": text_perplexity_proxy,
+    "topk_tokens_per_source": topk_tokens_per_source,
 }
 
 ORACLES = {
@@ -877,4 +943,5 @@ ORACLES = {
     "text_pii_redaction": _PII_SQL,
     "text_repetition_stats": _REPETITION_SQL,
     "text_perplexity_proxy": _PERPLEXITY_SQL,
+    "topk_tokens_per_source": _HH_SQL,
 }

@@ -1335,7 +1335,48 @@ def profile_orders_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def events_user_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (the Apache DataSketches HLL surface Spark
+    ships): per (event_type, day) an ``hll_sketch_agg`` of user_id is
+    materialized — the daily rollup table a pipeline stores — then
+    period-level distinct users come from ``hll_union_agg`` over the DAILY
+    SKETCHES, never by rescanning events. The output contrasts the merged
+    estimate with the (double-counting) sum of daily estimates — the error
+    naive roll-ups make because COUNT DISTINCT does not add.
+
+    This is the 100 TB idiom for distinct-over-time: sketches are a few KB
+    per group, merge is associative (any rollup tree works, including
+    incremental day-by-day), and accuracy is ~±2% at lgConfigK=12 (bounded
+    by a pytest against exact counts). No oracle: sketch internals are
+    engine-specific by design — DuckDB's approx_count_distinct uses a
+    different estimator.
+
+    Cites the reference's aggregation design doc
+    (``spark-groupby-analysis.md:6-123``) — partial/final aggregation of a
+    mergeable state is exactly what its groupBy analysis describes."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    )
+    daily = events.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    # the stored rollup table: bounded (types x days), reused by any period
+    daily = daily.localCheckpoint(eager=True)
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_unique_users"),
+            F.sum(F.hll_sketch_estimate("sk")).alias("sum_daily_est"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "events_user_hll_rollup": events_user_hll_rollup,
     "window_top_orders_per_customer": window_top_orders_per_customer,
     "window_running_revenue": window_running_revenue,
     "window_event_gaps": window_event_gaps,

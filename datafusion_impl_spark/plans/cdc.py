@@ -184,14 +184,80 @@ ORDER BY day
 """
 
 
+#: incremental-maintenance cutoff: rows before it form the materialized
+#: state, rows at/after it are the arriving batch (mid-month on purpose, so
+#: the merge must actually combine partials inside the boundary month).
+_MV_CUTOFF = "1999-06-15"
+
+
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a monthly revenue MV is
+    updated with an arriving batch by MERGING PARTIAL AGGREGATES — never by
+    rescanning history. The 'state' (monthly partials of all orders before
+    the cutoff) is materialized once; the batch pass aggregates ONLY the
+    new rows (the cutoff predicate pushes into the scan) into the same
+    partial shape (sum, count); the merge is a groupBy over
+    state ∪ batch-partials — a shuffle of two MONTHLY summaries, not data.
+
+    This works because sum/count are commutative monoids (the same algebra
+    Spark itself exploits for partial aggregation); avg is derived at
+    presentation as merged_sum / merged_count. The oracle recomputes from
+    scratch, proving merged-incremental ≡ full recompute. At 100 TB the
+    state side is a few thousand rows regardless of corpus size and the
+    batch scan is bounded by the arrival rate."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_day"),
+    )
+    cutoff = F.lit(_MV_CUTOFF).cast("date")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("month").agg(
+            F.sum("o_totalprice").alias("p_sum"),
+            F.count(F.lit(1)).alias("p_n"),
+        )
+
+    # materialized state: in production this is a table on disk; the
+    # localCheckpoint stands in for "already computed, never rescanned"
+    state = partials(orders.filter(F.col("o_day") < cutoff)).localCheckpoint(
+        eager=True
+    )
+    batch = partials(orders.filter(F.col("o_day") >= cutoff))
+    merged = (
+        state.unionByName(batch)
+        .groupBy("month")
+        .agg(F.sum("p_sum").alias("m_sum"), F.sum("p_n").alias("m_n"))
+    )
+    return merged.select(
+        "month",
+        F.col("m_n").alias("n_orders"),
+        F.round("m_sum", 2).alias("revenue"),
+        F.round(F.col("m_sum") / F.col("m_n"), 2).alias("avg_price"),
+    ).orderBy("month")
+
+
+_MV_MERGE_SQL = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       ROUND(SUM(o_totalprice) / COUNT(*), 2) AS avg_price
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "merge_upsert_latest_orders": merge_upsert_latest_orders,
     "scd2_order_status_history": scd2_order_status_history,
     "range_frame_weekly_revenue": range_frame_weekly_revenue,
+    "incremental_agg_merge": incremental_agg_merge,
 }
 
 ORACLES = {
     "merge_upsert_latest_orders": _MERGE_SQL,
     "scd2_order_status_history": _SCD2_SQL,
     "range_frame_weekly_revenue": _RANGE_SQL,
+    "incremental_agg_merge": _MV_MERGE_SQL,
 }

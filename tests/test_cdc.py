@@ -116,3 +116,44 @@ def test_interleave_is_weight_fair(spark):
         assert [r["rk"] for r in sorted(rs, key=lambda r: r["position"])] == sorted(
             r["rk"] for r in rs
         )
+
+
+def test_incremental_merge_equals_full_recompute(spark):
+    """Merged-partials output must be row-identical to a from-scratch
+    monthly aggregate (the algebraic claim of incremental maintenance)."""
+    merged = {r["month"]: r for r in cdc.incremental_agg_merge(spark, SF_DIR).collect()}
+    full = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .collect()
+    )
+    assert len(merged) == len(full)
+    for r in full:
+        m = merged[r["month"]]
+        assert m["n_orders"] == r["n_orders"]
+        assert abs(m["revenue"] - r["revenue"]) < 0.02
+
+
+def test_priority_dedup_curated_always_wins(spark):
+    """Every curated row must be kept (priority 1 beats any web copy of the
+    same content, and curated rows are unique per doc_id); the ceded count
+    lands entirely on the web corpus."""
+    from datafusion_impl_spark.operators.dedup import dedup_union_priority
+
+    rows = {r["corpus"]: r for r in dedup_union_priority(spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents")
+    n_curated_hashes = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .count()
+    )
+    # curated keeps exactly one row per distinct curated content hash
+    assert rows["curated"]["n_kept"] == n_curated_hashes
+    # every web row whose content exists in curated must cede
+    assert rows["web"]["n_ceded"] >= rows["curated"]["n_kept"]
+    assert rows["curated"]["n_ceded"] == rows["curated"]["n_rows"] - n_curated_hashes

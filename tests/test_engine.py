@@ -71,3 +71,30 @@ def test_concurrent_queries_one_context(spark):
 def test_queries_registry_exposed(spark):
     qs = EngineContext.queries()
     assert "q1_pricing_summary" in qs and "dedup_documents_minhash" in qs
+
+
+def test_hll_rollup_accuracy_and_merge_semantics(spark):
+    """The merged-sketch estimate must sit within HLL error (±5% at the
+    default lgConfigK) of the exact period distinct count, and the naive
+    sum of daily estimates must exceed it whenever users appear on
+    multiple days (the double-count the mergeable rollup exists to
+    avoid)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_impl_spark.plans.analytics import events_user_hll_rollup
+    from datafusion_impl_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    rows = events_user_hll_rollup(spark, SF_DIR).collect()
+    assert rows
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        e = exact[r["event_type"]]
+        assert abs(r["est_unique_users"] - e) <= max(2, 0.05 * e)
+        assert r["sum_daily_est"] >= r["est_unique_users"]

@@ -37,6 +37,7 @@ def test_every_query_has_oracle_or_documented_rows_only():
         "profile_orders_columns_approx",
         "dedup_documents_minhash_ml",   # ml.feature hash coefficients internal
         "ann_lsh_ml_topk",
+        "events_user_hll_rollup",       # DataSketches HLL sketch internals
     }
     qs, oracles = entry.queries(), entry.oracle_sql()
     missing = set(qs) - set(oracles)
