@@ -315,13 +315,84 @@ def _media_dedup_oracle() -> str:
     return _MEDIA_DEDUP_SQL.format(corpus_sql=_CORPUS_SQL)
 
 
+def extract_media_features_arrow(media: DataFrame) -> DataFrame:
+    """``mapInArrow`` twin of :func:`extract_media_features` — the other
+    Arrow-native batch API, operating on ``pyarrow.RecordBatch`` directly
+    with compute kernels where the work is columnar (lengths, modular
+    dimension arithmetic) and a per-blob Python loop only where it is
+    inherently scalar (the md5). Skipping the pandas conversion removes a
+    copy per batch — the right call when the payload column dominates batch
+    size, exactly the multimodal case."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            media_col = b.column(b.schema.get_field_index("media"))
+            n_bytes = pc.cast(pc.binary_length(media_col), pa.int32())
+            checksum = pa.array(
+                [hashlib.md5(v.as_py()).hexdigest() for v in media_col],
+                type=pa.string(),
+            )
+            width = pc.cast(
+                pc.subtract(
+                    n_bytes, pc.multiply(pc.divide(n_bytes, 640), 640)
+                ),
+                pa.int32(),
+            )
+            h_full = pc.multiply(pc.cast(n_bytes, pa.int64()), 7)
+            height = pc.cast(
+                pc.subtract(
+                    h_full, pc.multiply(pc.divide(h_full, 480), 480)
+                ),
+                pa.int32(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("doc_id")),
+                    b.column(b.schema.get_field_index("source")),
+                    b.column(b.schema.get_field_index("kind")),
+                    n_bytes,
+                    checksum,
+                    width,
+                    height,
+                ],
+                names=[
+                    "doc_id", "source", "kind",
+                    "n_bytes", "checksum", "width", "height",
+                ],
+            )
+
+    return media.mapInArrow(fn, FEATURES_SCHEMA)
+
+
+def multimodal_arrow_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The :func:`multimodal_media_features` aggregate computed through the
+    ``mapInArrow`` extractor — same oracle, proving both Arrow batch APIs
+    produce byte-identical features end to end."""
+    feats = extract_media_features_arrow(media_table(spark, sf_dir))
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.countDistinct("checksum").alias("n_checksums"),
+            F.max("width").alias("max_width"),
+            F.min("height").alias("min_height"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "multimodal_arrow_features": multimodal_arrow_features,
     "multimodal_media_features": multimodal_media_features,
     "multimodal_frame_samples": multimodal_frame_samples,
     "multimodal_exact_dedup": multimodal_exact_dedup,
 }
 
 ORACLES = {
+    "multimodal_arrow_features": _MEDIA_FEATURES_SQL,
     "multimodal_media_features": _MEDIA_FEATURES_SQL,
     "multimodal_frame_samples": _FRAME_SAMPLES_SQL,
     "multimodal_exact_dedup": _media_dedup_oracle(),

@@ -1375,8 +1375,184 @@ def events_user_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bitmap_user_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct rollup via bitmap aggregates — the
+    complement of :func:`events_user_hll_rollup`: when ids are dense
+    integers, per-day RoaringBitmap-style partials (``bitmap_construct_agg``
+    over ``bitmap_bit_position``, bucketed by ``bitmap_bucket_number``)
+    OR-merge to EXACT period distinct counts — mergeable like a sketch,
+    exact like COUNT DISTINCT, a few KB per (group, bucket).
+
+    This is how a 100 TB pipeline counts distinct users per slice without
+    an Expand/double-shuffle COUNT DISTINCT: daily bitmap partials are the
+    stored rollup; any period = OR of dailies. Fully oracle-checked —
+    equality with DuckDB's COUNT(DISTINCT) proves exactness, not just
+    plausibility."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    )
+    daily = events.groupBy(
+        "event_type", "day", F.bitmap_bucket_number("user_id").alias("bkt")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+    )
+    # the stored rollup table (types x days x buckets), merged per period
+    daily = daily.localCheckpoint(eager=True)
+    per_bucket = daily.groupBy("event_type", "bkt").agg(
+        F.bitmap_count(F.bitmap_or_agg("bm")).alias("n_in_bucket")
+    )
+    n_days = daily.groupBy("event_type").agg(
+        F.countDistinct("day").alias("n_days")
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum("n_in_bucket").cast("long").alias("n_unique_users"))
+        .join(n_days, "event_type")
+        .select("event_type", "n_days", "n_unique_users")
+        .orderBy("event_type")
+    )
+
+
+_BITMAP_ROLLUP_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+       COUNT(DISTINCT user_id) AS n_unique_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def user_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel: per user, the first ``view``,
+    the first ``click`` AFTER that view, and the first ``purchase`` AFTER
+    that click — the sequencing that distinguishes a funnel from three
+    independent EXISTS checks (a purchase before the first view must NOT
+    count). Output: one row of stage populations + conversion rates.
+
+    Scale shape: three aggregates on user_id with two re-joins to the
+    event stream — each join is an equi-join on user_id carrying one
+    timestamp column; all stages shuffle on the same key so Catalyst
+    reuses the partitioning. No window over the raw stream, no
+    per-user collect."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    mv = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    mc = (
+        ev.join(mv, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    mp = (
+        ev.join(mc, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n_users = ev.select("user_id").distinct().agg(F.count(F.lit(1)).alias("n_users"))
+    stage = (
+        mv.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(F.broadcast(mc.agg(F.count(F.lit(1)).alias("n_click_after_view"))))
+        .crossJoin(F.broadcast(mp.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))))
+        .crossJoin(F.broadcast(n_users))
+    )
+    return stage.select(
+        "n_users",
+        "n_view",
+        "n_click_after_view",
+        "n_purchase_after_click",
+        F.round(F.col("n_view") / F.col("n_users"), 4).alias("view_rate"),
+        F.round(F.col("n_click_after_view") / F.col("n_view"), 4).alias("click_rate"),
+        F.round(
+            F.col("n_purchase_after_click") / F.col("n_click_after_view"), 4
+        ).alias("purchase_rate"),
+    )
+
+
+_FUNNEL_STEPS_SQL = """
+WITH mv AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+mc AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN mv ON e.user_id = mv.user_id
+  WHERE e.event_type = 'click' AND e.ts > mv.t_view
+  GROUP BY e.user_id
+),
+mp AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN mc ON e.user_id = mc.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > mc.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT COUNT(*) FROM mv) AS n_view,
+       (SELECT COUNT(*) FROM mc) AS n_click_after_view,
+       (SELECT COUNT(*) FROM mp) AS n_purchase_after_click,
+       ROUND((SELECT COUNT(*) FROM mv) / CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS DOUBLE), 4) AS view_rate,
+       ROUND((SELECT COUNT(*) FROM mc) / CAST((SELECT COUNT(*) FROM mv) AS DOUBLE), 4) AS click_rate,
+       ROUND((SELECT COUNT(*) FROM mp) / CAST((SELECT COUNT(*) FROM mc) AS DOUBLE), 4) AS purchase_rate
+"""
+
+
+def trending_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window trending: 2-hour windows sliding by 1 hour over the
+    event stream, each window reporting its dominant event type — the batch
+    twin of a streaming trending-topics job (same ``window()`` expression
+    Structured Streaming uses). Rank-1 per window with a name tiebreak, so
+    the winner is engine-deterministic.
+
+    Scale shape: ``F.window`` assigns each event to duration/slide = 2
+    windows map-side (an in-plan explode, no join against a window table),
+    then one groupBy on (window, type) and a per-window top-1 over the
+    bounded (windows x types) aggregate."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    counts = ev.groupBy(
+        F.window("ts", "2 hours", "1 hour").alias("win"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("win").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("win.start").alias("w_start"),
+            F.col("event_type").alias("top_type"),
+            "n",
+        )
+        .orderBy("w_start")
+    )
+
+
+_TRENDING_SQL = """
+WITH assigned AS (
+  SELECT date_trunc('hour', ts) - INTERVAL (o) HOUR AS w_start, event_type
+  FROM events, unnest([0, 1]) t(o)
+),
+counts AS (
+  SELECT w_start, event_type, COUNT(*) AS n
+  FROM assigned GROUP BY w_start, event_type
+),
+ranked AS (
+  SELECT w_start, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY w_start ORDER BY n DESC, event_type) AS rk
+  FROM counts
+)
+SELECT w_start, event_type AS top_type, n
+FROM ranked WHERE rk = 1
+ORDER BY w_start
+"""
+
+
 QUERIES = {
     "events_user_hll_rollup": events_user_hll_rollup,
+    "bitmap_user_distinct_rollup": bitmap_user_distinct_rollup,
+    "user_funnel_steps": user_funnel_steps,
+    "trending_event_windows": trending_event_windows,
     "window_top_orders_per_customer": window_top_orders_per_customer,
     "window_running_revenue": window_running_revenue,
     "window_event_gaps": window_event_gaps,
@@ -1420,6 +1596,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bitmap_user_distinct_rollup": _BITMAP_ROLLUP_SQL,
+    "user_funnel_steps": _FUNNEL_STEPS_SQL,
+    "trending_event_windows": _TRENDING_SQL,
     "window_top_orders_per_customer": _WINDOW_TOP_SQL,
     "window_running_revenue": _WINDOW_RUNNING_SQL,
     "window_event_gaps": _WINDOW_GAPS_SQL,

@@ -259,11 +259,37 @@ ORDER BY event_type
 """
 
 
+def group_by_all_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern SQL aggregation ergonomics surface in one query:
+    ``GROUP BY ALL`` (group on every non-aggregate select item),
+    ``FILTER (WHERE ...)`` on individual aggregates (the standard way to
+    compute conditional aggregates without CASE-NULL tricks), and
+    ``ORDER BY ALL``. Spark 4 and DuckDB implement all three with matching
+    semantics, so the oracle replays the query verbatim."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gba")
+    return spark.sql(_GBA_BODY.format(table="orders_gba"))
+
+
+_GBA_BODY = """
+SELECT YEAR(o_orderdate) AS yr, o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+       ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS rev_finished,
+       COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'O') AS n_open_custs
+FROM {table}
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+_GBA_SQL = _GBA_BODY.format(table="orders")
+
+
 QUERIES = {
     "recursive_cte_revenue_ema": recursive_cte_revenue_ema,
     "ema_revenue_closed_form": ema_revenue_closed_form,
     "lateral_top_orders_per_segment": lateral_top_orders_per_segment,
     "events_props_variant": events_props_variant,
+    "group_by_all_order_stats": group_by_all_order_stats,
 }
 
 ORACLES = {
@@ -271,4 +297,5 @@ ORACLES = {
     "ema_revenue_closed_form": _EMA_CLOSED_SQL,
     "lateral_top_orders_per_segment": _LATERAL_SQL,
     "events_props_variant": _VARIANT_SQL,
+    "group_by_all_order_stats": _GBA_SQL,
 }

@@ -98,3 +98,71 @@ def test_hll_rollup_accuracy_and_merge_semantics(spark):
         e = exact[r["event_type"]]
         assert abs(r["est_unique_users"] - e) <= max(2, 0.05 * e)
         assert r["sum_daily_est"] >= r["est_unique_users"]
+
+
+def test_bitmap_rollup_is_exact(spark):
+    """Bitmap OR-merge must equal exact COUNT DISTINCT — not approximately,
+    exactly (that is the operator's claim vs the HLL twin)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_impl_spark.plans.analytics import bitmap_user_distinct_rollup
+    from datafusion_impl_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    rows = {r["event_type"]: r for r in bitmap_user_distinct_rollup(spark, SF_DIR).collect()}
+    exact = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    )
+    assert rows
+    for r in exact:
+        assert rows[r["event_type"]]["n_unique_users"] == r["n"]
+
+
+def test_funnel_stages_are_monotone(spark):
+    """Funnel populations can only shrink stage to stage, and the strict
+    sequencing must bind: stage 2 cannot exceed the count of users who have
+    both a view and a click at all."""
+    from pyspark.sql import functions as F
+
+    from datafusion_impl_spark.plans.analytics import user_funnel_steps
+    from datafusion_impl_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    r = user_funnel_steps(spark, SF_DIR).collect()[0]
+    assert r["n_users"] >= r["n_view"] >= r["n_click_after_view"] >= r["n_purchase_after_click"]
+    ev = load_table(spark, SF_DIR, "events")
+    both = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("k"))
+        .filter(F.col("k") == 2)
+        .count()
+    )
+    assert r["n_click_after_view"] <= both
+
+
+def test_trending_windows_cover_every_slide(spark):
+    """Every 1-hour slide between the first and last event must surface a
+    window (2-hour duration x 1-hour slide => dense coverage), each with a
+    single deterministic winner."""
+    from pyspark.sql import functions as F
+
+    from datafusion_impl_spark.plans.analytics import trending_event_windows
+    from datafusion_impl_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    rows = trending_event_windows(spark, SF_DIR).collect()
+    starts = [r["w_start"] for r in rows]
+    assert len(starts) == len(set(starts))  # one winner per window
+    n_event_hours = (
+        load_table(spark, SF_DIR, "events")
+        .select(F.date_trunc("hour", "ts").alias("h"))
+        .distinct()
+        .count()
+    )
+    # every hour containing events contributes 2 window starts (h-1, h), so
+    # distinct windows ≥ distinct event hours; sparse hours yield no window
+    assert len(starts) >= n_event_hours

@@ -373,3 +373,20 @@ def test_approx_profiler_within_5pct_of_exact(spark):
     assert exact.keys() == approx.keys()
     for col, n in exact.items():
         assert abs(approx[col] - n) <= max(1, 0.05 * n), (col, n, approx[col])
+
+
+def test_arrow_and_pandas_media_features_are_identical(spark):
+    """mapInArrow and mapInPandas extractors must emit byte-identical
+    feature rows (same checksums, dims) — the two Arrow batch APIs are
+    interchangeable implementations of one contract."""
+    from datafusion_impl_spark.operators.multimodal import (
+        extract_media_features,
+        extract_media_features_arrow,
+        media_table,
+    )
+    from tests.conftest import SF_DIR
+
+    media = media_table(spark, SF_DIR)
+    a = sorted(tuple(r) for r in extract_media_features_arrow(media).collect())
+    p = sorted(tuple(r) for r in extract_media_features(media).collect())
+    assert a == p
