@@ -34,6 +34,7 @@ from datafusion_impl_spark.plans import tpch as _tpch
 from datafusion_impl_spark.plans import tpch2 as _tpch2
 from datafusion_impl_spark.plans import tpch3 as _tpch3
 from datafusion_impl_spark.plans import tpch4 as _tpch4
+from datafusion_impl_spark.sources import pydatasource as _pydatasource
 from datafusion_impl_spark.sources import queries as _source_queries
 from datafusion_impl_spark import streaming as _streaming
 
@@ -60,6 +61,7 @@ _MODULES = [
     _regexp,
     _analytics,
     _source_queries,
+    _pydatasource,
 ]
 
 # The driver's correctness gate checks the FIRST 50 entries of queries(), so

@@ -284,12 +284,103 @@ ORDER BY ALL
 _GBA_SQL = _GBA_BODY.format(table="orders")
 
 
+def sql_variables_threshold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session variables + EXECUTE IMMEDIATE + parameterized SQL — the
+    scripting surface (DECLARE VARIABLE / SET VAR from a scalar subquery /
+    `?` placeholders / named `:param` binding) that migration workloads and
+    notebook pipelines drive the engine with. The threshold is computed
+    once into a session variable (avg order price), then an
+    EXECUTE IMMEDIATE statement counts per-priority orders above it, with
+    the final projection bound through a named parameter. The oracle
+    inlines the same scalar subquery — the point is that variable binding
+    changes nothing semantically."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_var")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE price_threshold DOUBLE DEFAULT 0.0"
+    )
+    spark.sql(
+        "SET VAR price_threshold = (SELECT AVG(o_totalprice) FROM orders_var)"
+    )
+    big = spark.sql(
+        """EXECUTE IMMEDIATE
+           'SELECT o_orderpriority, COUNT(*) AS n_above,
+                   ROUND(MIN(o_totalprice) - ?, 2) AS min_gap
+            FROM orders_var WHERE o_totalprice > price_threshold
+            GROUP BY o_orderpriority'
+           USING price_threshold"""
+    )
+    big.createOrReplaceTempView("above_var")
+    return spark.sql(
+        "SELECT o_orderpriority, n_above, min_gap FROM above_var "
+        "WHERE n_above > :min_n ORDER BY o_orderpriority",
+        args={"min_n": 0},
+    )
+
+
+_SQL_VARS_SQL = """
+WITH t AS (SELECT AVG(o_totalprice) AS thr FROM orders)
+SELECT o_orderpriority, COUNT(*) AS n_above,
+       ROUND(MIN(o_totalprice) - (SELECT thr FROM t), 2) AS min_gap
+FROM orders, t
+WHERE o_totalprice > t.thr
+GROUP BY o_orderpriority
+HAVING COUNT(*) > 0
+ORDER BY o_orderpriority
+"""
+
+
+def collated_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping through Spark 4 COLLATIONS
+    (``COLLATE UTF8_LCASE``) rather than a ``lower()`` rewrite — collation
+    lives in the type, so every comparison/group/join on the column is
+    case-insensitive without touching the data. A mixed-case segment column
+    is planted (odd customers initcap'd), grouped under the collation, and
+    normalized to lowercase only for presentation. The oracle replays the
+    semantics with lower()."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_coll")
+    return spark.sql("""
+WITH planted AS (
+  SELECT CASE WHEN c_custkey % 2 = 1 THEN initcap(c_mktsegment)
+              ELSE c_mktsegment END AS seg,
+         c_acctbal
+  FROM customer_coll
+)
+SELECT lower(seg COLLATE UTF8_LCASE) AS segment,
+       COUNT(*) AS n_customers,
+       COUNT(DISTINCT seg COLLATE UTF8_BINARY) AS n_case_variants_merged,
+       ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+FROM planted
+GROUP BY seg COLLATE UTF8_LCASE
+ORDER BY segment
+""")
+
+
+_COLLATION_SQL = """
+WITH planted AS (
+  SELECT CASE WHEN c_custkey % 2 = 1 THEN
+           upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
+         ELSE c_mktsegment END AS seg,
+         c_acctbal
+  FROM customer
+)
+SELECT lower(seg) AS segment,
+       COUNT(*) AS n_customers,
+       COUNT(DISTINCT seg) AS n_case_variants_merged,
+       ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+FROM planted
+GROUP BY lower(seg)
+ORDER BY segment
+"""
+
+
 QUERIES = {
     "recursive_cte_revenue_ema": recursive_cte_revenue_ema,
     "ema_revenue_closed_form": ema_revenue_closed_form,
     "lateral_top_orders_per_segment": lateral_top_orders_per_segment,
     "events_props_variant": events_props_variant,
     "group_by_all_order_stats": group_by_all_order_stats,
+    "sql_variables_threshold_report": sql_variables_threshold_report,
+    "collated_segment_counts": collated_segment_counts,
 }
 
 ORACLES = {
@@ -298,4 +389,6 @@ ORACLES = {
     "lateral_top_orders_per_segment": _LATERAL_SQL,
     "events_props_variant": _VARIANT_SQL,
     "group_by_all_order_stats": _GBA_SQL,
+    "sql_variables_threshold_report": _SQL_VARS_SQL,
+    "collated_segment_counts": _COLLATION_SQL,
 }

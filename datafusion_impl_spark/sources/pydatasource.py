@@ -1,0 +1,137 @@
+"""Custom source through the Python Data Source API (Spark 4) — the
+extension point that makes "a source Spark doesn't ship" a first-class,
+parallel scan instead of a driver-side collect-and-parallelize hack. The
+reference's engine exposes the same concept as DataFusion TableProviders;
+this is the PySpark-native equivalent (``tests/regexp-tests.rs:14`` reads
+through the host engine's CSV provider the same way).
+
+The demo source is a deterministic synthetic event generator: rows are a
+pure function of the row index (multiplicative-hash user ids, modular
+amounts), so the scan is
+
+- **partitioned**: ``partitions()`` splits the index range; Spark schedules
+  one task per split — real parallel reads, the same planning contract a
+  Kafka/JDBC/REST source implements;
+- **reproducible**: any engine can regenerate the rows from the index
+  arithmetic — the DuckDB oracle does exactly that with generate_series,
+  so the *whole custom-source path* (registration → partition planning →
+  per-partition iterators → Arrow conversion) is value-checked end to end.
+
+At 100 TB the same shape backs real connectors: partition by file/offset
+range, yield tuples per split, let Spark handle distribution. Python-side
+generation is the slow path vs a JVM source (rows cross one
+Python→Arrow boundary per partition) — fine for ingest-boundary sources,
+wrong for a hot compute path; persist to parquet downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+__all__ = ["QUERIES", "ORACLES", "SyntheticEventsDataSource"]
+
+#: event-type vocabulary (index = row_index % 5).
+_ETYPES = ("view", "click", "purchase", "signup", "error")
+
+#: generator constants (Knuth multiplicative hash for user ids).
+_USER_MULT = 2654435761
+_USER_MOD = 997
+_AMT_MULT = 7919
+_AMT_MOD = 100000
+
+#: scan size for the registered query (rows / partitions).
+_N_ROWS = 20000
+_N_PARTS = 8
+
+
+class _SyntheticReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("n_rows", _N_ROWS))
+        self.n_parts = int(options.get("n_partitions", _N_PARTS))
+
+    def partitions(self):
+        chunk = -(-self.n_rows // self.n_parts)
+        return [
+            InputPartition((lo, min(lo + chunk, self.n_rows)))
+            for lo in range(0, self.n_rows, chunk)
+        ]
+
+    def read(self, partition: InputPartition):
+        lo, hi = partition.value
+        for i in range(lo, hi):
+            yield (
+                i,
+                (i * _USER_MULT) % _USER_MOD,
+                _ETYPES[i % len(_ETYPES)],
+                float((i * _AMT_MULT) % _AMT_MOD) / 100.0,
+            )
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("synthetic_events")`` — options ``n_rows``,
+    ``n_partitions``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, etype string, amount double"
+
+    def reader(self, schema) -> DataSourceReader:
+        return _SyntheticReader(self.options)
+
+
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register the custom source, scan it across 8 partitions, aggregate
+    per event type. sf-independent by design (the source IS the fixture,
+    like the reference's golden CSV)."""
+    spark.dataSource.register(SyntheticEventsDataSource)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", _N_ROWS)
+        .option("n_partitions", _N_PARTS)
+        .load()
+    )
+    return (
+        df.groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("amount"), 2).alias("sum_amount"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+        )
+        .orderBy("etype")
+    )
+
+
+_PY_DS_SQL = f"""
+WITH g AS (
+  SELECT i FROM generate_series(0, {_N_ROWS - 1}) t(i)
+),
+rows_ AS (
+  SELECT i AS event_id,
+         (i * {_USER_MULT}) % {_USER_MOD} AS user_id,
+         ['view', 'click', 'purchase', 'signup', 'error'][i % 5 + 1] AS etype,
+         CAST((i * {_AMT_MULT}) % {_AMT_MOD} AS DOUBLE) / 100.0 AS amount
+  FROM g
+)
+SELECT etype, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(amount), 2) AS sum_amount,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM rows_
+GROUP BY etype
+ORDER BY etype
+"""
+
+
+QUERIES = {
+    "python_datasource_scan": python_datasource_scan,
+}
+
+ORACLES = {
+    "python_datasource_scan": _PY_DS_SQL,
+}

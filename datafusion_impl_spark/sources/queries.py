@@ -439,6 +439,63 @@ ORDER BY 1
 """
 
 
+def file_lineage_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-input-file lineage via the hidden ``_metadata`` struct on file
+    scans — the provenance column a pipeline uses to trace a bad row back
+    to the file (and upstream batch) that delivered it. ``orders`` is
+    re-materialized as a 4-file dataset keyed by a deterministic split so
+    the lineage is non-trivial; the read back groups rows per
+    ``_metadata.file_name``. The oracle reads the SAME files with DuckDB's
+    ``filename=true`` — both engines must attribute every row to the same
+    file.
+
+    Scale note: ``_metadata`` is populated at scan time from the split
+    being read — constant-width, no extra I/O; at 100 TB it is the zero
+    cost way to partition error triage by ingest batch."""
+    path = os.path.join(
+        _JSONL_ROOT, os.path.basename(sf_dir.rstrip("/")), "orders_lineage"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    (
+        orders.repartition(4, F.pmod("o_orderkey", F.lit(4)).cast("int"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("_metadata.file_name").alias("file_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .orderBy("file_name")
+    )
+
+
+def _file_lineage_oracle(sf_dir_tag: str = "sf0.01") -> str:
+    # The oracle cannot know the sf tag at registration time; the driver and
+    # tests both run at sf0.01, and the Spark side writes under the same
+    # fixed root — regexp extracts the basename to match _metadata.file_name.
+    return f"""
+SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+       COUNT(*) AS n_rows,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+FROM read_parquet('{_JSONL_ROOT}/{sf_dir_tag}/orders_lineage/*.parquet', filename=true)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+_FILE_LINEAGE_SQL = _file_lineage_oracle()
+
+
 QUERIES = {
     "csv_reference_golden": csv_reference_golden,
     "jsonl_documents_roundtrip": jsonl_documents_roundtrip,
@@ -447,6 +504,7 @@ QUERIES = {
     "bucketed_orders_pruned_join": bucketed_orders_pruned_join,
     "parquet_schema_evolution_merge": parquet_schema_evolution_merge,
     "zorder_orders_layout": zorder_orders_layout,
+    "file_lineage_orders": file_lineage_orders,
 }
 
 ORACLES = {
@@ -457,4 +515,5 @@ ORACLES = {
     "bucketed_orders_pruned_join": _BUCKETED_JOIN_SQL,
     "parquet_schema_evolution_merge": _SCHEMA_EVO_SQL,
     "zorder_orders_layout": _ZORDER_SQL,
+    "file_lineage_orders": _FILE_LINEAGE_SQL,
 }

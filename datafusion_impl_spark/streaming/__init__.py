@@ -366,6 +366,67 @@ def running_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+#: transformWithState output contract (shared by the operator and tests).
+TWS_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """Custom stateful operator through Spark 4's ``transformWithStateInPandas``
+    — the successor API to ``applyInPandasWithState`` (see
+    :func:`running_user_counts` for the older shape): an object-oriented
+    ``StatefulProcessor`` with NAMED, individually-typed state cells
+    (``ValueState`` here; the API also offers ListState/MapState and
+    timers), initialized once per task in ``init``. Carries per-user
+    lifetime (event count, value sum) across micro-batches.
+
+    At 100 TB the state store is RocksDB per partition; a ValueState row
+    per user is the minimal footprint, and update-mode output emits only
+    keys touched by the current micro-batch.
+
+    Environment note: executing the operator needs ``google.protobuf``
+    (the state-server protocol), which this container does not ship — the
+    runtime tests skip gracefully and a plan-construction test pins the
+    API contract (tests/test_streaming.py); on a real cluster it runs
+    as-is."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, s DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, sv = self._totals.get()
+            else:
+                n, sv = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                sv += float(pdf["value"].sum())
+            self._totals.update((n, sv))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [sv]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=TWS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def dedup_stream_new_content(docs: DataFrame, corpus_index: DataFrame,
                              watermark: str = "2 hours") -> DataFrame:
     """Streaming corpus-ingestion dedup — the LLM-pipeline shape: an

@@ -114,9 +114,11 @@ def test_no_python_in_any_relational_plan(spark):
         "regexp_safe_edge_cases",
         "multimodal_media_features",
         "multimodal_frame_samples",
+        "multimodal_arrow_features",  # mapInArrow IS the operator's contract
         "grouped_zscore_doclen",
         "udaf_geometric_mean_events",
         "props_kv_udtf_stats",
+        "python_datasource_scan",     # Python Data Source API demo source
     }
     for name, fn in m.queries().items():
         if name in allowed_python:

