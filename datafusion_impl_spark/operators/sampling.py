@@ -545,6 +545,81 @@ ORDER BY source, rk
 """
 
 
+#: weighted-sample size and the rounding that makes the ES key portable.
+_WSAMPLE_K = 20
+_WSAMPLE_ROUND = 12
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement
+    (Efraimidis-Spirakis): each doc gets key = u^(1/w) with u the portable
+    hash mapped into (0,1] and w = n_chars; the top-K keys are a
+    length-weighted sample whose inclusion probabilities match sequential
+    weighted draws — computed as one scan + one top-K, no sequential draw
+    loop, which is what makes weighted sampling tractable at corpus scale.
+
+    Determinism across engines: u is the md5 ring (exact), and the only
+    transcendental step (POWER) is ROUNDed to 12 decimals before ranking
+    with a doc_id tiebreak, so a last-bit libm divergence between the JVM
+    and C runtimes cannot reorder the top-K. The rounded key is part of
+    the output, so the oracle checks the ranking input itself."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    u = (md5_long(F.col("doc_id").cast("string")) + 1) / float(2**60)
+    key = F.round(
+        F.pow(u, 1.0 / F.col("n_chars")), _WSAMPLE_ROUND
+    )
+    ranked = docs.select(
+        "doc_id", "source", "n_chars", key.alias("es_key")
+    ).orderBy(F.desc("es_key"), "doc_id").limit(_WSAMPLE_K)
+    w_pos = Window.orderBy(F.desc("es_key"), "doc_id")
+    return ranked.select(
+        F.row_number().over(w_pos).alias("rk"),
+        "doc_id",
+        "source",
+        "n_chars",
+        "es_key",
+    ).orderBy("rk")
+
+
+_WSAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ROUND(POWER(({duck_md5_long("CAST(doc_id AS VARCHAR)")} + 1) / {float(2**60)!r},
+                     1.0 / n_chars), {_WSAMPLE_ROUND}) AS es_key
+  FROM documents
+),
+top AS (
+  SELECT * FROM keyed ORDER BY es_key DESC, doc_id LIMIT {_WSAMPLE_K}
+)
+SELECT ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS rk,
+       doc_id, source, n_chars, es_key
+FROM top
+ORDER BY rk
+"""
+
+def tablesample_repeatable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's native ``TABLESAMPLE (10 PERCENT) REPEATABLE(seed)``
+    surface — included for SQL-parity completeness AND as the documented
+    counter-example: REPEATABLE pins the RNG per task, so the sample is
+    reproducible only for a fixed partitioning — re-split the 100 TB input
+    and the sample changes, which is exactly why every production sampler
+    in this repo gates on the md5 hash ring instead
+    (:func:`sample_documents_stratified`). Rows-only by design: DuckDB's
+    sampler is a different RNG; the determinism-under-fixed-partitioning
+    property is pinned by a pytest instead."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "docs_tablesample"
+    )
+    return spark.sql("""
+SELECT lang, COUNT(*) AS n_sampled
+FROM docs_tablesample TABLESAMPLE (10 PERCENT) REPEATABLE (42)
+GROUP BY lang
+ORDER BY lang
+""")
+
+
 QUERIES = {
     "sample_documents_stratified": sample_documents_stratified,
     "corpus_split_assignment": corpus_split_assignment,
@@ -554,6 +629,8 @@ QUERIES = {
     "doc_length_quantile_bins": doc_length_quantile_bins,
     "interleave_sources_round_robin": interleave_sources_round_robin,
     "sample_k_per_source": sample_k_per_source,
+    "weighted_sample_docs": weighted_sample_docs,
+    "tablesample_repeatable_stats": tablesample_repeatable_stats,
 }
 
 ORACLES = {
@@ -565,4 +642,5 @@ ORACLES = {
     "doc_length_quantile_bins": _QUANTILE_BIN_SQL,
     "interleave_sources_round_robin": _INTERLEAVE_SQL,
     "sample_k_per_source": _SAMPLE_K_SQL,
+    "weighted_sample_docs": _WSAMPLE_SQL,
 }

@@ -203,10 +203,90 @@ ORDER BY event_type
 """
 
 
+#: how many leading tokens the polymorphic UDTF widens into columns.
+_POLY_N_TOKENS = 3
+
+
+def udtf_polymorphic_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4): the output schema is computed at
+    analysis time by a static ``analyze`` method from the constant argument
+    — ``first_tokens(text, 3)`` materializes columns tok_0..tok_2, and
+    changing the literal re-plans a different width with no code change.
+    This is the table-function analogue of the reference's statically-typed
+    scalar UDF contract (``src/regexp-extract.rs:29``): types are fixed per
+    query, but derived from the call site.
+
+    The aggregate hashes every emitted cell per language, so the oracle
+    (list_extract in DuckDB) checks the full expansion, padding NULLs
+    included. Python in the dataflow is the point here (the API under
+    test); the production-path equivalent is a slice of ``split()``."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    try:
+        from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+    except ImportError:  # pragma: no cover - pyspark < 4
+        raise NotImplementedError("polymorphic UDTF needs pyspark >= 4.0")
+
+    class FirstTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField(f"tok_{i}", StringType())
+                        for i in range(n.value)
+                    ]
+                )
+            )
+
+        def eval(self, text, n):
+            toks = (text or "").split()
+            yield tuple(toks[i] if i < len(toks) else None for i in range(n))
+
+    spark.udtf.register("first_tokens", udtf(FirstTokens))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_poly")
+    return spark.sql(f"""
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       {", ".join(
+           f"COUNT(t.tok_{i}) AS n_tok_{i}, "
+           f"CAST(SUM(length(t.tok_{i})) AS BIGINT) AS len_tok_{i}"
+           for i in range(_POLY_N_TOKENS)
+       )}
+FROM docs_poly d, LATERAL first_tokens(d.text, {_POLY_N_TOKENS}) t
+GROUP BY d.lang
+ORDER BY d.lang
+""")
+
+
+_POLY_UDTF_SQL = rf"""
+WITH toks AS (
+  SELECT lang, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+wide AS (
+  SELECT lang,
+         {", ".join(f"t[{i + 1}] AS tok_{i}" for i in range(_POLY_N_TOKENS))}
+  FROM toks
+)
+SELECT lang, COUNT(*) AS n_docs,
+       {", ".join(
+           f"COUNT(tok_{i}) AS n_tok_{i}, "
+           f"CAST(SUM(length(tok_{i})) AS BIGINT) AS len_tok_{i}"
+           for i in range(_POLY_N_TOKENS)
+       )}
+FROM wide
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "events_props_struct": events_props_struct,
     "events_daily_k_histogram": events_daily_k_histogram,
     "props_kv_udtf_stats": props_kv_udtf_stats,
+    "udtf_polymorphic_tokens": udtf_polymorphic_tokens,
     "events_props_malformed_audit": events_props_malformed_audit,
 }
 
@@ -215,4 +295,5 @@ ORACLES = {
     "events_props_struct": _PROPS_STRUCT_SQL,
     "events_daily_k_histogram": _DAILY_HIST_SQL,
     "props_kv_udtf_stats": _PROPS_UDTF_SQL,
+    "udtf_polymorphic_tokens": _POLY_UDTF_SQL,
 }

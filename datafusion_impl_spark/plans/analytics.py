@@ -1548,11 +1548,101 @@ ORDER BY w_start
 """
 
 
+def agg_selector_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selector/predicate aggregate family — ``max_by``/``min_by``
+    (argmax/argmin), ``count_if``, ``bool_and``/``bool_or`` — per order
+    priority. Argmax determinism: the ordering value is a composite
+    integer (price cents · 1e7 + orderkey), unique per row, so both
+    engines must select the identical order even when two orders share a
+    price. All-JVM expressions, one groupBy shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    composite = cents * F.lit(10_000_000) + F.col("o_orderkey")
+    return (
+        orders.withColumn("pc", composite)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("max_by(o_orderkey, pc)").alias("priciest_order"),
+            F.expr("min_by(o_orderkey, pc)").alias("cheapest_order"),
+            F.expr("count_if(o_totalprice > 200000)").alias("n_big"),
+            F.expr("bool_and(o_totalprice > 0)").alias("all_positive"),
+            F.expr("bool_or(o_orderstatus = 'P')").alias("any_pending"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_SELECTOR_SQL = """
+WITH keyed AS (
+  SELECT *, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey AS pc
+  FROM orders
+)
+SELECT o_orderpriority,
+       arg_max(o_orderkey, pc) AS priciest_order,
+       arg_min(o_orderkey, pc) AS cheapest_order,
+       count_if(o_totalprice > 200000) AS n_big,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_orderstatus = 'P') AS any_pending
+FROM keyed
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+#: equi-width histogram: price domain [0, 600000) in 20 bins of 30000.
+_HIST_BIN_CENTS = 3_000_000
+_HIST_BINS = 20
+
+
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width price histogram in PURE INTEGER arithmetic (cents div
+    bin-width, clamped to the last bin) — the distribution profile behind
+    pricing dashboards and skew checks. Integer binning is deliberate:
+    a float ``width_bucket`` puts boundary values wherever the engine's
+    internal rounding lands them; cents arithmetic is cross-engine exact.
+    One scan + one 20-group aggregate at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    bin_ = F.least(
+        F.lit(_HIST_BINS - 1),
+        F.expr(f"CAST(ROUND(o_totalprice * 100) AS BIGINT) div {_HIST_BIN_CENTS}"),
+    ).cast("int")
+    return (
+        orders.select(bin_.alias("bin"), cents.alias("cents"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.min("cents") / 100.0).alias("min_price"),
+            (F.max("cents") / 100.0).alias("max_price"),
+        )
+        .orderBy("bin")
+    )
+
+
+_HISTOGRAM_SQL = f"""
+WITH b AS (
+  SELECT LEAST({_HIST_BINS - 1},
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) // {_HIST_BIN_CENTS}) AS bin,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT CAST(bin AS INTEGER) AS bin,
+       COUNT(*) AS n_orders,
+       cast(MIN(cents) AS DOUBLE) / 100.0 AS min_price,
+       cast(MAX(cents) AS DOUBLE) / 100.0 AS max_price
+FROM b
+GROUP BY bin
+ORDER BY bin
+"""
+
+
 QUERIES = {
     "events_user_hll_rollup": events_user_hll_rollup,
     "bitmap_user_distinct_rollup": bitmap_user_distinct_rollup,
     "user_funnel_steps": user_funnel_steps,
     "trending_event_windows": trending_event_windows,
+    "agg_selector_functions": agg_selector_functions,
+    "order_price_histogram": order_price_histogram,
     "window_top_orders_per_customer": window_top_orders_per_customer,
     "window_running_revenue": window_running_revenue,
     "window_event_gaps": window_event_gaps,
@@ -1599,6 +1689,8 @@ ORACLES = {
     "bitmap_user_distinct_rollup": _BITMAP_ROLLUP_SQL,
     "user_funnel_steps": _FUNNEL_STEPS_SQL,
     "trending_event_windows": _TRENDING_SQL,
+    "agg_selector_functions": _SELECTOR_SQL,
+    "order_price_histogram": _HISTOGRAM_SQL,
     "window_top_orders_per_customer": _WINDOW_TOP_SQL,
     "window_running_revenue": _WINDOW_RUNNING_SQL,
     "window_event_gaps": _WINDOW_GAPS_SQL,

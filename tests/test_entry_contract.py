@@ -38,6 +38,7 @@ def test_every_query_has_oracle_or_documented_rows_only():
         "dedup_documents_minhash_ml",   # ml.feature hash coefficients internal
         "ann_lsh_ml_topk",
         "events_user_hll_rollup",       # DataSketches HLL sketch internals
+        "tablesample_repeatable_stats",  # engine-native RNG sampler
     }
     qs, oracles = entry.queries(), entry.oracle_sql()
     missing = set(qs) - set(oracles)

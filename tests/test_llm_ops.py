@@ -390,3 +390,53 @@ def test_arrow_and_pandas_media_features_are_identical(spark):
     a = sorted(tuple(r) for r in extract_media_features_arrow(media).collect())
     p = sorted(tuple(r) for r in extract_media_features(media).collect())
     assert a == p
+
+
+def test_weighted_sample_prefers_long_docs(spark):
+    """Length-weighted ES sampling must overrepresent long documents: the
+    sample's mean length exceeds the corpus mean (w = n_chars)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_impl_spark.operators.sampling import weighted_sample_docs
+    from datafusion_impl_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    rows = weighted_sample_docs(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    assert [r["rk"] for r in rows] == list(range(1, 21))
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    corpus_mean = (
+        load_table(spark, SF_DIR, "documents").agg(F.avg("n_chars")).collect()[0][0]
+    )
+    assert sample_mean > corpus_mean
+
+
+def test_tablesample_repeatable_is_stable_for_fixed_partitioning(spark):
+    """TABLESAMPLE REPEATABLE must reproduce exactly under an unchanged
+    partitioning — the property it has, documented alongside the one it
+    lacks (stability under re-partitioning, which the md5-ring samplers
+    provide instead)."""
+    from datafusion_impl_spark.operators.sampling import (
+        tablesample_repeatable_stats,
+    )
+    from tests.conftest import SF_DIR
+
+    a = sorted(map(tuple, tablesample_repeatable_stats(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, tablesample_repeatable_stats(spark, SF_DIR).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_polymorphic_udtf_width_follows_argument(spark):
+    """The analyze()-computed schema must track the constant argument: the
+    same UDTF called with n=2 and n=4 plans 2 and 4 token columns."""
+    from datafusion_impl_spark.operators.structured import udtf_polymorphic_tokens
+    from tests.conftest import SF_DIR
+
+    # registering via the query also registers the function for reuse
+    df = udtf_polymorphic_tokens(spark, SF_DIR)
+    assert sum(c.startswith("n_tok_") for c in df.columns) == 3
+    two = spark.sql("SELECT t.* FROM LATERAL first_tokens('a b c', 2) t")
+    four = spark.sql("SELECT t.* FROM LATERAL first_tokens('a b c', 4) t")
+    assert two.columns == ["tok_0", "tok_1"]
+    assert four.columns == ["tok_0", "tok_1", "tok_2", "tok_3"]
+    assert [tuple(r) for r in four.collect()] == [("a", "b", "c", None)]

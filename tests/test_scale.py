@@ -118,6 +118,7 @@ def test_no_python_in_any_relational_plan(spark):
         "grouped_zscore_doclen",
         "udaf_geometric_mean_events",
         "props_kv_udtf_stats",
+        "udtf_polymorphic_tokens",    # polymorphic Python UDTF IS the API under test
         "python_datasource_scan",     # Python Data Source API demo source
     }
     for name, fn in m.queries().items():
