@@ -44,6 +44,27 @@ def load(path: str) -> dict:
             return d["parsed"]
     except json.JSONDecodeError:
         pass
+    # Driver BENCH_r{N}.json fallback: `parsed` may be null (the driver keeps
+    # only a bounded stdout tail, which truncates the leading metric/value of
+    # the full per-query line) — recover per-query timings from the raw
+    # `tail` text with a regex. Partial but sufficient for shared-query
+    # comparisons.
+    try:
+        d = json.loads(text)
+    except json.JSONDecodeError:
+        d = None
+    if isinstance(d, dict) and isinstance(d.get("tail"), str):
+        import re
+
+        pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9][0-9.]*)', d["tail"])
+        queries = {
+            k: float(v)
+            for k, v in pairs
+            if k not in ("value", "sf", "n_queries", "n", "rc", "cpus")
+        }
+        if queries:
+            return {"queries": queries, "value": sum(queries.values()),
+                    "recovered_from_tail": True}
     raise SystemExit(f"{path}: no parsed bench payload")
 
 
