@@ -1636,6 +1636,92 @@ ORDER BY bin
 """
 
 
+def cogrouped_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped grouped-map (``cogroup().applyInPandas``, §2.11's last
+    uncovered shape): orders and customers are co-partitioned by customer
+    key and each key's TWO pandas frames arrive in one call — the API for
+    per-key reconciliation of two tables (here: per-customer max gap in
+    days between consecutive orders, joined with the customer's segment,
+    including customers with no orders at all — cogroup keys are the UNION
+    of both sides, which a plain grouped-map cannot see). Python is the
+    point (the API under test); the aggregate over the pandas output is
+    ordinary JVM relational code, and the oracle replays the semantics
+    with a window + left join."""
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("o_day"),
+        "o_orderkey",
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def merge(od: pd.DataFrame, cd: pd.DataFrame) -> pd.DataFrame:
+        key = int(od["o_custkey"].iloc[0]) if len(od) else int(cd["c_custkey"].iloc[0])
+        seg = cd["c_mktsegment"].iloc[0] if len(cd) else None
+        n = len(od)
+        max_gap = None
+        if n >= 2:
+            days = od.sort_values(["o_day", "o_orderkey"])["o_day"]
+            max_gap = int(days.diff().dt.days.max())
+        return pd.DataFrame(
+            {
+                "custkey": [key],
+                "segment": [seg],
+                "n_orders": [n],
+                "max_gap_days": [max_gap],
+            }
+        )
+
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .cogroup(cust.groupBy("c_custkey"))
+        .applyInPandas(
+            merge,
+            "custkey long, segment string, n_orders long, max_gap_days int",
+        )
+    )
+    return (
+        per_cust.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.count_if(F.col("n_orders") == 0).alias("n_without_orders"),
+            F.count_if(F.col("n_orders") >= 2).alias("n_multi_order"),
+            F.sum("n_orders").cast("long").alias("total_orders"),
+            F.round(F.avg("max_gap_days"), 4).alias("avg_max_gap_days"),
+        )
+        .orderBy("segment")
+    )
+
+
+_COGROUP_SQL = """
+WITH seq AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_day, o_orderkey,
+         LAG(CAST(o_orderdate AS DATE)) OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_day
+  FROM orders
+),
+gaps AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         MAX(DATE_DIFF('day', prev_day, o_day)) AS max_gap_days
+  FROM seq
+  GROUP BY o_custkey
+)
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_customers,
+       count_if(g.n_orders IS NULL) AS n_without_orders,
+       count_if(COALESCE(g.n_orders, 0) >= 2) AS n_multi_order,
+       CAST(SUM(COALESCE(g.n_orders, 0)) AS BIGINT) AS total_orders,
+       ROUND(AVG(g.max_gap_days), 4) AS avg_max_gap_days
+FROM customer c LEFT JOIN gaps g ON c.c_custkey = g.o_custkey
+GROUP BY c.c_mktsegment
+ORDER BY segment
+"""
+
+
 QUERIES = {
     "events_user_hll_rollup": events_user_hll_rollup,
     "bitmap_user_distinct_rollup": bitmap_user_distinct_rollup,
@@ -1643,6 +1729,7 @@ QUERIES = {
     "trending_event_windows": trending_event_windows,
     "agg_selector_functions": agg_selector_functions,
     "order_price_histogram": order_price_histogram,
+    "cogrouped_order_gap_stats": cogrouped_order_gap_stats,
     "window_top_orders_per_customer": window_top_orders_per_customer,
     "window_running_revenue": window_running_revenue,
     "window_event_gaps": window_event_gaps,
@@ -1691,6 +1778,7 @@ ORACLES = {
     "trending_event_windows": _TRENDING_SQL,
     "agg_selector_functions": _SELECTOR_SQL,
     "order_price_histogram": _HISTOGRAM_SQL,
+    "cogrouped_order_gap_stats": _COGROUP_SQL,
     "window_top_orders_per_customer": _WINDOW_TOP_SQL,
     "window_running_revenue": _WINDOW_RUNNING_SQL,
     "window_event_gaps": _WINDOW_GAPS_SQL,

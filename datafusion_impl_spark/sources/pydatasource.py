@@ -28,7 +28,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 __all__ = ["QUERIES", "ORACLES", "SyntheticEventsDataSource"]
 
@@ -128,10 +134,110 @@ ORDER BY etype
 """
 
 
+# --------------------------------------------------------------------------
+# Custom SINK through the same API: a JSON-lines writer
+# --------------------------------------------------------------------------
+
+_SINK_ROOT = "/tmp/datafusion_impl_spark_pysink"
+
+
+class _JsonlWriter(DataSourceWriter):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        """Executor-side: stream this partition's rows to one JSONL file.
+        The partition id comes from TaskContext — the same contract a real
+        connector uses to name its shard outputs."""
+        import json as _json
+        import os as _os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        _os.makedirs(self.path, exist_ok=True)
+        out = _os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        n = 0
+        with open(out, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return WriterCommitMessage()
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonl_sink").option("path", ...)`` — a custom
+    sink through the Python Data Source API: per-partition ``write()``
+    with commit messages, the executor-parallel sink contract."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _JsonlWriter(self.options)
+
+
+def python_datasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the custom Python SINK: a documents projection is
+    written partition-parallel by :class:`JsonlSinkDataSource`, read back
+    with the builtin JSON reader, and aggregated; the oracle computes the
+    same aggregate from the original parquet — equality proves the custom
+    writer loses nothing (encoding, nulls, row boundaries)."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from datafusion_impl_spark.sources.registry import load_table
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    path = os.path.join(_SINK_ROOT, os.path.basename(sf_dir.rstrip("/")))
+    shutil.rmtree(path, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    docs.repartition(4).write.format("jsonl_sink").option("path", path).mode(
+        "append"
+    ).save()
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+_PY_SINK_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "python_datasource_scan": python_datasource_scan,
+    "python_datasource_write_roundtrip": python_datasource_write_roundtrip,
 }
 
 ORACLES = {
     "python_datasource_scan": _PY_DS_SQL,
+    "python_datasource_write_roundtrip": _PY_SINK_SQL,
 }

@@ -120,6 +120,8 @@ def test_no_python_in_any_relational_plan(spark):
         "props_kv_udtf_stats",
         "udtf_polymorphic_tokens",    # polymorphic Python UDTF IS the API under test
         "python_datasource_scan",     # Python Data Source API demo source
+        "python_datasource_write_roundtrip",  # custom Python sink under test
+        "cogrouped_order_gap_stats",  # cogroup().applyInPandas IS the API under test
     }
     for name, fn in m.queries().items():
         if name in allowed_python:
