@@ -784,7 +784,278 @@ ORDER BY s.bucket
 """
 
 
+# --------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric distance computation (ADC)
+# --------------------------------------------------------------------------
+
+#: PQ geometry: 64-dim vectors → _PQ_M subspaces of _PQ_DSUB dims, codebook
+#: of _PQ_K entries per subspace (codes fit a byte at any realistic K).
+_PQ_M = 8
+_PQ_DSUB = 8
+_PQ_K = 8
+
+
+def _pq_adc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the PQ codebooks, encode the corpus, and score every
+    (query, candidate) pair by ADC — the shared core of
+    :func:`ann_pq_adc_recall` and the quality pytest. Returns
+    (q_id, vec_id, adc)."""
+    e = _vectors(spark, sf_dir)
+    # subvector table: (vec_id, m, sv, s_n2)
+    sub = e.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}),"
+                f" m -> slice(v, m * {_PQ_DSUB} + 1, {_PQ_DSUB}))"
+            )
+        ).alias("m", "sv"),
+    )
+    sub = materialize(sub.withColumn("s_n2", _dot(F.col("sv"), F.col("sv"))))
+
+    def assign(sub_df: DataFrame, cent: DataFrame) -> DataFrame:
+        """Nearest centroid per (vec_id, m) by squared L2 (rounded rank key,
+        cid tiebreak — the repo's tie-proof argmin convention)."""
+        sq = F.col("s_n2") + F.col("c_n2") - 2 * _dot(F.col("sv"), F.col("cv"))
+        w = Window.partitionBy("vec_id", "m").orderBy(
+            F.round(sq, 4).asc(), F.col("cid").asc()
+        )
+        return (
+            sub_df.join(F.broadcast(cent), "m")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", F.col("cid").alias("code"))
+        )
+
+    cent0 = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "m",
+        F.col("vec_id").alias("cid"),
+        F.col("sv").alias("cv"),
+        F.col("s_n2").alias("c_n2"),
+    )
+    a1 = assign(sub, cent0)
+    # one Lloyd re-centering round: per (m, cid, dim) mean, rounded to 6
+    dims = (
+        a1.join(sub.select("vec_id", "m", "sv"), ["vec_id", "m"])
+        .select("m", F.col("code").alias("cid"), F.posexplode("sv").alias("dim", "x"))
+        .groupBy("m", "cid", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("mx"))
+    )
+    cent1 = (
+        dims.groupBy("m", "cid")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "mx"))),
+                lambda st: st["mx"],
+            ).alias("cv")
+        )
+    )
+    cent1 = materialize(
+        cent1.withColumn("c_n2", _dot(F.col("cv"), F.col("cv")))
+    )
+    codes = materialize(assign(sub, cent1))
+
+    # per-query ADC lookup table: (q_id, m, cid, pd) — _PQ_M × _PQ_K rows/query
+    qsub = sub.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        "m",
+        F.col("sv").alias("qsv"),
+        F.col("s_n2").alias("q_n2"),
+    )
+    pd_ = F.round(
+        F.col("q_n2") + F.col("c_n2") - 2 * _dot(F.col("qsv"), F.col("cv")), 6
+    )
+    lut = materialize(
+        qsub.join(F.broadcast(cent1), "m").select(
+            "q_id", "m", "cid", pd_.alias("pd")
+        )
+    )
+    # ADC scoring: codes ⋈ broadcast lut — raw vectors never touched
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.m == lut.m) & (codes.code == lut.cid),
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("pd").alias("adc"))
+    )
+    return adc
+
+
+def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end to end — the memory-bound ANN path that
+    IVF/LSH don't cover: each vector is stored as ``_PQ_M`` one-byte codes
+    (here 8 bytes vs 512 for the raw doubles, a 64× compression), and query
+    distances are computed WITHOUT touching raw vectors via asymmetric
+    distance computation: per query, a (subspace × codebook) lookup table
+    of squared distances is precomputed (``_PQ_M·_PQ_K`` = 64 rows —
+    broadcast), and a candidate's distance is the sum of 8 table lookups.
+
+    Training follows the repo's deterministic codebook convention
+    (:func:`ann_ivf_topk`, embedding_kmeans_clusters): per subspace, seeds
+    = the first ``_PQ_K`` vectors' subvectors, one Lloyd round (L2 assign →
+    re-center, means rounded to 6). Squared distances decompose as
+    ||a−b||² = ||a||² + ||b||² − 2·a·b with every dot a sequential fold —
+    verified bit-identical to DuckDB's ``list_inner_product`` — and every
+    ranking key ROUNDed first, so the full train→encode→ADC→recall pipeline
+    is value-checked against the oracle.
+
+    Output: per query (vec_id % {qm} = 0), recall@{k} of PQ-ADC against the
+    exact L2 top-{k}, plus both top-1 ids and the top-1 ADC distance.
+
+    Scale shape: encoding is {m} broadcast equi-joins on the subspace id
+    (codebooks are tiny); ADC scoring joins the CODES table (8 small ints
+    per vector) against the broadcast lookup table — the raw embedding
+    column is never read after encoding, which is the entire point of PQ
+    at 100 TB (the codes for a billion vectors fit in memory)."""
+    adc = _pq_adc_frame(spark, sf_dir)
+    e = _vectors(spark, sf_dir)
+    w_adc = Window.partitionBy("q_id").orderBy(
+        F.round("adc", 4).asc(), F.col("vec_id").asc()
+    )
+    pq_top = adc.withColumn("rk", F.row_number().over(w_adc)).filter(
+        F.col("rk") <= _TOPK
+    )
+
+    # exact L2 ground truth over the full vectors
+    full = e.select("vec_id", "v", _dot(F.col("v"), F.col("v")).alias("n2"))
+    qfull = full.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("q_n2"),
+    )
+    sq_full = F.col("q_n2") + F.col("n2") - 2 * _dot(F.col("qv"), F.col("v"))
+    w_ex = Window.partitionBy("q_id").orderBy(
+        F.round(sq_full, 4).asc(), F.col("vec_id").asc()
+    )
+    ex_top = (
+        full.crossJoin(F.broadcast(qfull))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("rk", F.row_number().over(w_ex))
+        .filter(F.col("rk") <= _TOPK)
+        .select("q_id", "vec_id", "rk")
+    )
+
+    hits = pq_top.select("q_id", "vec_id").join(
+        ex_top.select("q_id", "vec_id"), ["q_id", "vec_id"]
+    ).groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    pq1 = pq_top.filter(F.col("rk") == 1).select(
+        "q_id", F.col("vec_id").alias("pq_top1"), F.round("adc", 4).alias("pq_top1_adc")
+    )
+    ex1 = ex_top.filter(F.col("rk") == 1).select(
+        "q_id", F.col("vec_id").alias("exact_top1")
+    )
+    return (
+        pq1.join(ex1, "q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hits", F.lit(0)).cast("int").alias("recall_hits_at_5"),
+            "pq_top1",
+            "exact_top1",
+            "pq_top1_adc",
+        )
+        .orderBy("q_id")
+    )
+
+
+def _pq_oracle() -> str:
+    m, d, k = _PQ_M, _PQ_DSUB, _PQ_K
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sub AS (
+  SELECT vec_id, m, list_slice(v, m * {d} + 1, m * {d} + {d}) AS sv
+  FROM e, unnest(generate_series(0, {m - 1})) t(m)
+),
+sub2 AS (SELECT *, list_inner_product(sv, sv) AS s_n2 FROM sub),
+cent0 AS (
+  SELECT m, vec_id AS cid, sv AS cv, s_n2 AS c_n2 FROM sub2 WHERE vec_id < {k}
+),
+s1 AS (
+  SELECT s.vec_id, s.m, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+           ORDER BY ROUND(s.s_n2 + c.c_n2 - 2 * list_inner_product(s.sv, c.cv), 4),
+                    c.cid) AS rn
+  FROM sub2 s JOIN cent0 c ON s.m = c.m
+),
+a1 AS (SELECT vec_id, m, cid AS code FROM s1 WHERE rn = 1),
+dims AS (
+  SELECT s.m, a.code AS cid, i AS dim, ROUND(AVG(s.sv[i]), 6) AS mx
+  FROM a1 a JOIN sub2 s ON a.vec_id = s.vec_id AND a.m = s.m,
+       LATERAL (SELECT unnest(generate_series(1, {d})) AS i) idx
+  GROUP BY s.m, a.code, i
+),
+cent1 AS (
+  SELECT m, cid, list(mx ORDER BY dim) AS cv FROM dims GROUP BY m, cid
+),
+cent1n AS (SELECT *, list_inner_product(cv, cv) AS c_n2 FROM cent1),
+s2 AS (
+  SELECT s.vec_id, s.m, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+           ORDER BY ROUND(s.s_n2 + c.c_n2 - 2 * list_inner_product(s.sv, c.cv), 4),
+                    c.cid) AS rn
+  FROM sub2 s JOIN cent1n c ON s.m = c.m
+),
+codes AS (SELECT vec_id, m, cid AS code FROM s2 WHERE rn = 1),
+qsub AS (
+  SELECT vec_id AS q_id, m, sv AS qsv, s_n2 AS q_n2
+  FROM sub2 WHERE vec_id % {_QUERY_MOD} = 0
+),
+lut AS (
+  SELECT q.q_id, q.m, c.cid,
+         ROUND(q.q_n2 + c.c_n2 - 2 * list_inner_product(q.qsv, c.cv), 6) AS pd
+  FROM qsub q JOIN cent1n c ON q.m = c.m
+),
+adc AS (
+  SELECT l.q_id, co.vec_id, SUM(l.pd) AS adc
+  FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.cid
+  WHERE co.vec_id <> l.q_id
+  GROUP BY l.q_id, co.vec_id
+),
+pq_top AS (
+  SELECT q_id, vec_id, adc,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY ROUND(adc, 4), vec_id) AS rk
+  FROM adc
+),
+full_ AS (SELECT vec_id, v, list_inner_product(v, v) AS n2 FROM e),
+qfull AS (
+  SELECT vec_id AS q_id, v AS qv, n2 AS q_n2
+  FROM full_ WHERE vec_id % {_QUERY_MOD} = 0
+),
+ex_top AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY ROUND(q_n2 + n2 - 2 * list_inner_product(qv, v), 4),
+                    vec_id) AS rk
+  FROM full_, qfull
+  WHERE vec_id <> q_id
+),
+hits AS (
+  SELECT p.q_id, COUNT(*) AS n_hits
+  FROM pq_top p JOIN ex_top x ON p.q_id = x.q_id AND p.vec_id = x.vec_id
+  WHERE p.rk <= {_TOPK} AND x.rk <= {_TOPK}
+  GROUP BY p.q_id
+)
+SELECT p.q_id,
+       CAST(COALESCE(h.n_hits, 0) AS INTEGER) AS recall_hits_at_5,
+       p.vec_id AS pq_top1,
+       x.vec_id AS exact_top1,
+       ROUND(p.adc, 4) AS pq_top1_adc
+FROM pq_top p
+JOIN ex_top x ON p.q_id = x.q_id AND x.rk = 1
+LEFT JOIN hits h ON h.q_id = p.q_id
+WHERE p.rk = 1
+ORDER BY p.q_id
+"""
+
+
+_PQ_SQL = _pq_oracle()
+
+
 QUERIES = {
+    "ann_pq_adc_recall": ann_pq_adc_recall,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_ml_topk": ann_lsh_ml_topk,
@@ -796,6 +1067,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_pq_adc_recall": _PQ_SQL,
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
     "embedding_near_dup_pairs": _NEAR_DUP_SQL,
