@@ -29,6 +29,7 @@ from datafusion_impl_spark.plans import analytics as _analytics
 from datafusion_impl_spark.plans import cdc as _cdc
 from datafusion_impl_spark.plans import joins_ext as _joins_ext
 from datafusion_impl_spark.plans import modern as _modern
+from datafusion_impl_spark.plans import quality as _quality
 from datafusion_impl_spark.plans import regexp as _regexp
 from datafusion_impl_spark.plans import tpch as _tpch
 from datafusion_impl_spark.plans import tpch2 as _tpch2
@@ -58,6 +59,7 @@ _MODULES = [
     _joins_ext,
     _modern,
     _cdc,
+    _quality,
     _regexp,
     _analytics,
     _source_queries,

@@ -1,0 +1,261 @@
+"""Data-quality and observability operators — the Deequ/Great-Expectations
+layer a production warehouse runs on every ingest batch, plus the cohort /
+anomaly analytics built on the same aggregates. The reference exercises its
+host engine's aggregation surface for exactly this kind of audit
+(``spark-groupby-analysis.md:6-123``); these queries are the Spark-native
+form.
+
+Scale notes:
+- the constraint report computes EVERY metric in ONE pass per table
+  (a single multi-aggregate projection — no per-constraint scans); the
+  verdict projection is driver-free arithmetic on the 1-row metric frame.
+- referential integrity is a broadcast-able anti-join count, not an EXISTS
+  per row.
+- cohort retention is two groupBys on (user, month) — the matrix is
+  (cohorts × offsets), bounded by the calendar, so the final pivot-shaped
+  aggregate is tiny regardless of event volume.
+- anomaly detection aggregates to the DAILY series first (bounded), then
+  computes robust stats (median/MAD via exact interpolated percentiles —
+  the cross-engine-safe pattern established by order_price_percentiles)
+  over that bounded frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_impl_spark.sources.registry import load_table
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+def data_quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint suite over ``orders`` in ONE scan: each
+    constraint row reports its measured metric and PASS/FAIL against a
+    declared bound — uniqueness of the key, completeness (non-null rates),
+    value ranges, domain membership, and (via one extra anti-join)
+    referential integrity of ``o_custkey`` against ``customer``. The
+    measured metric travels with the verdict so a failure is diagnosable
+    from the report alone."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    n_orphans = (
+        orders.select(F.col("o_custkey").alias("k"))
+        .join(cust, F.col("k") == F.col("c_custkey"), "left_anti")
+        .count()
+    )
+    m = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.count("o_orderdate").alias("nn_date"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count_if(~F.col("o_orderstatus").isin("O", "F", "P", "U")).alias(
+            "n_bad_status"
+        ),
+    ).withColumn("n_orphans", F.lit(n_orphans))
+    # the metric frame is ONE row; materialize it so the 7 verdict rows
+    # project from it without re-running the scan per constraint
+    m = m.localCheckpoint(eager=True)
+    checks = [
+        ("orderkey_unique", F.col("n_keys") == F.col("n_rows"),
+         F.col("n_keys").cast("double")),
+        ("custkey_complete", F.col("nn_cust") == F.col("n_rows"),
+         F.col("nn_cust") / F.col("n_rows")),
+        ("orderdate_complete", F.col("nn_date") == F.col("n_rows"),
+         F.col("nn_date") / F.col("n_rows")),
+        ("price_positive", F.col("min_price") > 0,
+         F.col("min_price").cast("double")),
+        ("price_below_cap", F.col("max_price") < 1_000_000,
+         F.col("max_price").cast("double")),
+        ("status_in_domain", F.col("n_bad_status") == 0,
+         F.col("n_bad_status").cast("double")),
+        ("custkey_ref_integrity", F.col("n_orphans") == 0,
+         F.col("n_orphans").cast("double")),
+    ]
+    report = None
+    for name, ok, metric in checks:
+        row = m.select(
+            F.lit(name).alias("check_name"),
+            F.when(ok, "PASS").otherwise("FAIL").alias("status"),
+            F.round(metric, 4).alias("metric"),
+        )
+        report = row if report is None else report.unionByName(row)
+    return report.orderBy("check_name")
+
+
+_QUALITY_SQL = """
+WITH m AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(DISTINCT o_orderkey) AS n_keys,
+         COUNT(o_custkey) AS nn_cust,
+         COUNT(o_orderdate) AS nn_date,
+         MIN(o_totalprice) AS min_price,
+         MAX(o_totalprice) AS max_price,
+         count_if(o_orderstatus NOT IN ('O', 'F', 'P', 'U')) AS n_bad_status,
+         (SELECT COUNT(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'orderkey_unique' AS check_name, CASE WHEN n_keys = n_rows THEN 'PASS' ELSE 'FAIL' END AS status, ROUND(CAST(n_keys AS DOUBLE), 4) AS metric FROM m
+  UNION ALL
+  SELECT 'custkey_complete', CASE WHEN nn_cust = n_rows THEN 'PASS' ELSE 'FAIL' END, ROUND(nn_cust / CAST(n_rows AS DOUBLE), 4) FROM m
+  UNION ALL
+  SELECT 'orderdate_complete', CASE WHEN nn_date = n_rows THEN 'PASS' ELSE 'FAIL' END, ROUND(nn_date / CAST(n_rows AS DOUBLE), 4) FROM m
+  UNION ALL
+  SELECT 'price_positive', CASE WHEN min_price > 0 THEN 'PASS' ELSE 'FAIL' END, ROUND(CAST(min_price AS DOUBLE), 4) FROM m
+  UNION ALL
+  SELECT 'price_below_cap', CASE WHEN max_price < 1000000 THEN 'PASS' ELSE 'FAIL' END, ROUND(CAST(max_price AS DOUBLE), 4) FROM m
+  UNION ALL
+  SELECT 'status_in_domain', CASE WHEN n_bad_status = 0 THEN 'PASS' ELSE 'FAIL' END, ROUND(CAST(n_bad_status AS DOUBLE), 4) FROM m
+  UNION ALL
+  SELECT 'custkey_ref_integrity', CASE WHEN n_orphans = 0 THEN 'PASS' ELSE 'FAIL' END, ROUND(CAST(n_orphans AS DOUBLE), 4) FROM m
+)
+ORDER BY check_name
+"""
+
+
+def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over the event stream: users are cohorted by
+    first-active week, and each (cohort, week-offset) cell counts users
+    still active that many weeks later, with the retention rate against the
+    cohort's size. The canonical product-analytics shape: two groupBys on
+    (user, week) — event volume collapses before anything wide happens."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    )
+    user_weeks = ev.distinct()
+    cohort = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    cells = (
+        user_weeks.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            F.floor(F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        cells.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 4).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_COHORT_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_size FROM cohort GROUP BY cohort_week
+),
+cells AS (
+  SELECT c.cohort_week,
+         CAST(FLOOR(DATE_DIFF('day', c.cohort_week, uw.week) / 7.0) AS INTEGER) AS week_offset,
+         COUNT(DISTINCT uw.user_id) AS n_active
+  FROM uw JOIN cohort c ON uw.user_id = c.user_id
+  GROUP BY 1, 2
+)
+SELECT cells.cohort_week, week_offset, n_active, sizes.cohort_size,
+       ROUND(n_active / CAST(sizes.cohort_size AS DOUBLE), 4) AS retention
+FROM cells JOIN sizes ON cells.cohort_week = sizes.cohort_week
+ORDER BY 1, 2
+"""
+
+
+#: robust z-score flag threshold (|x - median| / MAD_sigma).
+_ANOMALY_Z = 3.0
+
+
+def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on the daily revenue series: flag days
+    whose revenue deviates from the MEDIAN by more than ``3 × 1.4826·MAD``
+    (median absolute deviation) — the outlier gate that, unlike mean/stddev
+    z-scores, is not dragged by the outliers it is hunting. Median and MAD
+    are exact interpolated percentiles over the bounded daily frame (the
+    cross-engine-safe pattern from order_price_percentiles). Output: the
+    monthly anomaly summary plus global stats, so the frame stays bounded
+    and the flags are auditable."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    stats = daily.agg(
+        F.expr("percentile(rev, 0.5)").alias("med")
+    )
+    with_dev = daily.crossJoin(F.broadcast(stats)).withColumn(
+        "absdev", F.abs(F.col("rev") - F.col("med"))
+    )
+    mad = with_dev.agg(F.expr("percentile(absdev, 0.5)").alias("mad"))
+    flagged = (
+        with_dev.crossJoin(F.broadcast(mad))
+        .withColumn(
+            "is_anomaly",
+            F.col("absdev") > _ANOMALY_Z * 1.4826 * F.col("mad"),
+        )
+    )
+    return (
+        flagged.groupBy(F.date_trunc("month", "day").cast("date").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.count_if(F.col("is_anomaly")).alias("n_anomalies"),
+            F.round(F.max("rev"), 2).alias("max_rev"),
+            F.round(F.min("rev"), 2).alias("min_rev"),
+        )
+        .orderBy("month")
+    )
+
+
+_ANOMALY_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, ROUND(SUM(o_totalprice), 2) AS rev
+  FROM orders GROUP BY 1
+),
+med AS (SELECT quantile_cont(rev, 0.5) AS med FROM daily),
+dev AS (
+  SELECT day, rev, ABS(rev - med.med) AS absdev FROM daily, med
+),
+mad AS (SELECT quantile_cont(absdev, 0.5) AS mad FROM dev),
+flagged AS (
+  SELECT day, rev, absdev > {_ANOMALY_Z} * 1.4826 * mad.mad AS is_anomaly
+  FROM dev, mad
+)
+SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+       COUNT(*) AS n_days,
+       count_if(is_anomaly) AS n_anomalies,
+       ROUND(MAX(rev), 2) AS max_rev,
+       ROUND(MIN(rev), 2) AS min_rev
+FROM flagged
+GROUP BY 1
+ORDER BY month
+"""
+
+
+QUERIES = {
+    "data_quality_constraint_report": data_quality_constraint_report,
+    "user_cohort_retention": user_cohort_retention,
+    "daily_revenue_anomalies": daily_revenue_anomalies,
+}
+
+ORACLES = {
+    "data_quality_constraint_report": _QUALITY_SQL,
+    "user_cohort_retention": _COHORT_SQL,
+    "daily_revenue_anomalies": _ANOMALY_SQL,
+}
