@@ -1638,49 +1638,74 @@ ORDER BY bin
 
 def cogrouped_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped grouped-map (``cogroup().applyInPandas``, §2.11's last
-    uncovered shape): orders and customers are co-partitioned by customer
-    key and each key's TWO pandas frames arrive in one call — the API for
-    per-key reconciliation of two tables (here: per-customer max gap in
-    days between consecutive orders, joined with the customer's segment,
+    uncovered shape): orders and customers are co-partitioned and each
+    key's TWO pandas frames arrive in one call — the API for per-key
+    reconciliation of two tables (here: per-customer max gap in days
+    between consecutive orders, joined with the customer's segment,
     including customers with no orders at all — cogroup keys are the UNION
-    of both sides, which a plain grouped-map cannot see). Python is the
-    point (the API under test); the aggregate over the pandas output is
-    ordinary JVM relational code, and the oracle replays the semantics
-    with a window + left join."""
+    of both sides, which a plain grouped-map cannot see).
+
+    Granularity discipline (the difference between 32 s and 1 s at sf0.1,
+    and between working and not working at 100 TB): the cogroup key is a
+    COARSE BUCKET (custkey % 64), not the raw customer key — one pandas
+    call per bucket with the per-customer logic VECTORIZED inside
+    (sort + groupby.diff), instead of one interpreter round-trip per
+    customer. Grouped-map Python cost is per-call, so key cardinality is
+    the knob; the bucket count just has to exceed the cluster's task
+    parallelism. The aggregate over the pandas output is ordinary JVM
+    relational code, and the oracle replays the semantics with a window +
+    left join."""
     import pandas as pd
 
+    n_buckets = 64
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         F.col("o_orderdate").cast("date").alias("o_day"),
         "o_orderkey",
+        F.pmod("o_custkey", F.lit(n_buckets)).alias("bkt"),
     )
     cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment"
+        "c_custkey",
+        "c_mktsegment",
+        F.pmod("c_custkey", F.lit(n_buckets)).alias("bkt"),
     )
 
     def merge(od: pd.DataFrame, cd: pd.DataFrame) -> pd.DataFrame:
-        key = int(od["o_custkey"].iloc[0]) if len(od) else int(cd["c_custkey"].iloc[0])
-        seg = cd["c_mktsegment"].iloc[0] if len(cd) else None
-        n = len(od)
-        max_gap = None
-        if n >= 2:
-            days = od.sort_values(["o_day", "o_orderkey"])["o_day"]
-            max_gap = int(days.diff().dt.days.max())
-        return pd.DataFrame(
-            {
-                "custkey": [key],
-                "segment": [seg],
-                "n_orders": [n],
-                "max_gap_days": [max_gap],
-            }
-        )
+        if len(od):
+            od = od.sort_values(["o_custkey", "o_day", "o_orderkey"])
+            # fully vectorized per-customer gaps: one diff over the sorted
+            # frame, first row of each customer masked out — no per-group
+            # Python apply (that shape is ~4x slower at bucket granularity)
+            days = pd.to_datetime(od["o_day"])
+            gap = days.diff().dt.days.mask(
+                od["o_custkey"].ne(od["o_custkey"].shift())
+            )
+            od = od.assign(gap=gap)
+            g = od.groupby("o_custkey", sort=False)
+            agg = pd.DataFrame(
+                {
+                    "custkey": g.size().index,
+                    "n_orders": g.size().values,
+                    "max_gap_days": g["gap"].max().values,
+                }
+            )
+        else:
+            agg = pd.DataFrame(columns=["custkey", "n_orders", "max_gap_days"])
+        cd = cd.rename(columns={"c_custkey": "custkey", "c_mktsegment": "segment"})[
+            ["custkey", "segment"]
+        ]
+        out = cd.merge(agg, on="custkey", how="outer")
+        out["segment"] = out["segment"].astype(object).where(out["segment"].notna(), None)
+        out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
+        out["max_gap_days"] = out["max_gap_days"].astype("float64")
+        return out[["custkey", "segment", "n_orders", "max_gap_days"]]
 
     per_cust = (
-        orders.groupBy("o_custkey")
-        .cogroup(cust.groupBy("c_custkey"))
+        orders.groupBy("bkt")
+        .cogroup(cust.groupBy("bkt"))
         .applyInPandas(
             merge,
-            "custkey long, segment string, n_orders long, max_gap_days int",
+            "custkey long, segment string, n_orders long, max_gap_days double",
         )
     )
     return (

@@ -460,3 +460,49 @@ def test_overlap_and_coverage_have_no_cartesian(spark):
 
     for q in (source_overlap_matrix, repeated_ngram_coverage):
         assert "CartesianProduct" not in _plan(q(spark, SF_DIR)), q.__name__
+
+
+def test_join_strategy_hints_control_physical_plan(spark):
+    """The engine surface must honor per-join strategy hints — the manual
+    override lever when AQE's choice is wrong for a workload: broadcast,
+    merge (SMJ), and shuffle_hash each produce their named physical join
+    over the same logical query."""
+    o = load_table(spark, SF_DIR, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    joined = lambda hint: o.join(c.hint(hint), o.o_custkey == c.c_custkey)  # noqa: E731
+    assert "BroadcastHashJoin" in _plan(joined("broadcast"))
+    assert "SortMergeJoin" in _plan(joined("merge"))
+    assert "ShuffledHashJoin" in _plan(joined("shuffle_hash"))
+
+
+def test_range_partitioned_write_gives_disjoint_file_ranges(spark, tmp_path):
+    """repartitionByRange + sortWithinPartitions is the 1-D layout
+    counterpart of the Z-order test: written files must cover DISJOINT
+    key ranges (file-level min/max stats then prune range predicates to
+    ~1/N of the files)."""
+    import pyarrow.parquet as pq
+    import os
+
+    path = str(tmp_path / "orders_range")
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    (
+        orders.repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    ranges = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(path, f))
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, (ranges,)  # strictly disjoint key ranges
