@@ -1747,6 +1747,98 @@ ORDER BY segment
 """
 
 
+def rolling_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day DISTINCT customer count — the window shape SQL cannot
+    express directly (COUNT(DISTINCT) OVER is illegal in Spark and most
+    engines): collapse to per-day customer sets first (bounded: one row per
+    day), then a RANGE-interval frame unions the last 7 days' sets and
+    counts the distinct members. Exact, and the set arrays live only in
+    the bounded daily frame — the corpus-volume stream never enters a
+    window.
+
+    At much higher per-day cardinality the same frame carries daily HLL
+    sketches instead (``hll_union_agg`` over the window — see
+    events_user_hll_rollup for the sketch algebra); the exact-set form is
+    kept here because it oracles exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.collect_set("o_custkey").alias("custs"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    daily.createOrReplaceTempView("daily_custs_roll")
+    return spark.sql("""
+SELECT day, n_orders,
+       size(custs) AS n_cust_1d,
+       size(array_distinct(flatten(collect_list(custs) OVER w))) AS n_cust_7d
+FROM daily_custs_roll
+WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+ORDER BY day
+""")
+
+
+_ROLLING_DISTINCT_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         list(DISTINCT o_custkey) AS custs,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT day, n_orders,
+       len(custs) AS n_cust_1d,
+       len(list_distinct(flatten(list(custs) OVER w))) AS n_cust_7d
+FROM daily
+WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""
+
+
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: P(next type | current type), from a lag window per user —
+    the behavioral-model input for session simulation and bot detection.
+    One shuffle on user_id for the window, then a (types × types) bounded
+    aggregate; probabilities divide integer counts, so values are
+    cross-engine exact before the final ROUND."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    totals = pairs.groupBy("prev_type").agg(F.count(F.lit(1)).alias("n_from"))
+    return (
+        pairs.groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(totals, "prev_type")
+        .select(
+            "prev_type",
+            F.col("event_type").alias("next_type"),
+            "n",
+            F.round(F.col("n") / F.col("n_from"), 6).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+pairs AS (SELECT prev_type, event_type FROM seq WHERE prev_type IS NOT NULL),
+totals AS (SELECT prev_type, COUNT(*) AS n_from FROM pairs GROUP BY prev_type)
+SELECT p.prev_type, p.event_type AS next_type, COUNT(*) AS n,
+       ROUND(COUNT(*) / CAST(t.n_from AS DOUBLE), 6) AS p
+FROM pairs p JOIN totals t ON p.prev_type = t.prev_type
+GROUP BY p.prev_type, p.event_type, t.n_from
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "events_user_hll_rollup": events_user_hll_rollup,
     "bitmap_user_distinct_rollup": bitmap_user_distinct_rollup,
@@ -1755,6 +1847,8 @@ QUERIES = {
     "agg_selector_functions": agg_selector_functions,
     "order_price_histogram": order_price_histogram,
     "cogrouped_order_gap_stats": cogrouped_order_gap_stats,
+    "rolling_distinct_customers": rolling_distinct_customers,
+    "event_type_transitions": event_type_transitions,
     "window_top_orders_per_customer": window_top_orders_per_customer,
     "window_running_revenue": window_running_revenue,
     "window_event_gaps": window_event_gaps,
@@ -1804,6 +1898,8 @@ ORACLES = {
     "agg_selector_functions": _SELECTOR_SQL,
     "order_price_histogram": _HISTOGRAM_SQL,
     "cogrouped_order_gap_stats": _COGROUP_SQL,
+    "rolling_distinct_customers": _ROLLING_DISTINCT_SQL,
+    "event_type_transitions": _TRANSITIONS_SQL,
     "window_top_orders_per_customer": _WINDOW_TOP_SQL,
     "window_running_revenue": _WINDOW_RUNNING_SQL,
     "window_event_gaps": _WINDOW_GAPS_SQL,
