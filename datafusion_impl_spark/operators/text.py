@@ -914,6 +914,72 @@ ORDER BY r.source, r.rk
 """
 
 
+#: corpus-prefix sizes (per-mille of the hash ring) for the growth curve.
+_GROWTH_PREFIXES = (100, 250, 500, 1000)
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth (Heaps'-law) curve: distinct-token and token-count
+    at nested corpus prefixes — the tokenizer-budget planning question
+    ("how much new vocabulary does the next 2× of data buy?") answered
+    without training anything. Prefixes are NESTED BY CONSTRUCTION because
+    membership gates on the md5 hash ring (a doc in the 10% prefix is in
+    every larger one) — the same monotone-sampling property
+    :mod:`..sampling` builds on, which is what makes the curve a curve and
+    not four unrelated samples.
+
+    One explode + one (prefix × token) dedup aggregate; the lateral
+    prefix fan-out multiplies the exploded stream by len(prefixes), all
+    map-side before the single shuffle."""
+    from datafusion_impl_spark.operators.sampling import _bucket, _duck_bucket
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        _bucket(F.col("doc_id")).alias("b"),
+        F.explode(tokens("text")).alias("token"),
+    )
+    thresholds = F.array(*[F.lit(t) for t in _GROWTH_PREFIXES])
+    fanned = tok.select(
+        F.explode(F.filter(thresholds, lambda t: F.col("b") < t)).alias("prefix_permille"),
+        "token",
+    )
+    return (
+        fanned.groupBy("prefix_permille")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("token").alias("n_vocab"),
+            F.round(
+                F.countDistinct("token") / F.count(F.lit(1)), 6
+            ).alias("vocab_per_token"),
+        )
+        .orderBy("prefix_permille")
+    )
+
+
+def _vocab_growth_oracle() -> str:
+    from datafusion_impl_spark.operators.sampling import _duck_bucket
+
+    prefixes = ", ".join(str(t) for t in _GROWTH_PREFIXES)
+    return rf"""
+WITH tok AS (
+  SELECT {_duck_bucket('doc_id')} AS b,
+         unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+  FROM documents
+),
+fanned AS (
+  SELECT p.prefix_permille, tok.token
+  FROM tok, unnest([{prefixes}]) p(prefix_permille)
+  WHERE tok.b < p.prefix_permille
+)
+SELECT prefix_permille, COUNT(*) AS n_tokens,
+       COUNT(DISTINCT token) AS n_vocab,
+       ROUND(COUNT(DISTINCT token) / CAST(COUNT(*) AS DOUBLE), 6) AS vocab_per_token
+FROM fanned
+GROUP BY prefix_permille
+ORDER BY prefix_permille
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_tfidf_top_terms": text_tfidf_top_terms,
@@ -928,6 +994,7 @@ QUERIES = {
     "text_repetition_stats": text_repetition_stats,
     "text_perplexity_proxy": text_perplexity_proxy,
     "topk_tokens_per_source": topk_tokens_per_source,
+    "vocab_growth_curve": vocab_growth_curve,
 }
 
 ORACLES = {
@@ -944,4 +1011,5 @@ ORACLES = {
     "text_repetition_stats": _REPETITION_SQL,
     "text_perplexity_proxy": _PERPLEXITY_SQL,
     "topk_tokens_per_source": _HH_SQL,
+    "vocab_growth_curve": _vocab_growth_oracle(),
 }

@@ -481,3 +481,19 @@ def test_pq_adc_distances_track_exact_distances(spark):
         .collect()[0]["c"]
     )
     assert corr > 0.35, corr
+
+
+def test_vocab_growth_curve_is_monotone_and_concave_ish(spark):
+    """Nested prefixes must grow monotonically in both tokens and vocab,
+    and the marginal vocabulary per token must shrink as the corpus grows
+    (Heaps-law concavity: the 100% prefix has a lower vocab/token ratio
+    than the 10% prefix)."""
+    from datafusion_impl_spark.operators.text import vocab_growth_curve
+    from tests.conftest import SF_DIR_ORACLE
+
+    rows = vocab_growth_curve(spark, SF_DIR_ORACLE).collect()
+    assert [r["prefix_permille"] for r in rows] == [100, 250, 500, 1000]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_tokens"] < b["n_tokens"]
+        assert a["n_vocab"] <= b["n_vocab"]
+    assert rows[-1]["vocab_per_token"] < rows[0]["vocab_per_token"]
