@@ -795,11 +795,12 @@ _PQ_DSUB = 8
 _PQ_K = 8
 
 
-def _pq_adc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train the PQ codebooks, encode the corpus, and score every
-    (query, candidate) pair by ADC — the shared core of
-    :func:`ann_pq_adc_recall` and the quality pytest. Returns
-    (q_id, vec_id, adc)."""
+def _pq_codes_lut(spark: SparkSession, sf_dir: str):
+    """Train the PQ codebooks, encode the corpus, and precompute the
+    per-query ADC lookup tables — the shared core of
+    :func:`ann_pq_adc_recall`, :func:`ann_ivf_pq_topk`, and the quality
+    pytest. Returns ``(codes, lut)``: (vec_id, m, code) and
+    (q_id, m, cid, pd)."""
     e = _vectors(spark, sf_dir)
     # subvector table: (vec_id, m, sv, s_n2)
     sub = e.select(
@@ -870,8 +871,14 @@ def _pq_adc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id", "m", "cid", pd_.alias("pd")
         )
     )
-    # ADC scoring: codes ⋈ broadcast lut — raw vectors never touched
-    adc = (
+    return codes, lut
+
+
+def _pq_adc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs ADC scores (q_id, vec_id, adc): codes ⋈ broadcast lut —
+    raw vectors never touched after encoding."""
+    codes, lut = _pq_codes_lut(spark, sf_dir)
+    return (
         codes.join(
             F.broadcast(lut),
             (codes.m == lut.m) & (codes.code == lut.cid),
@@ -880,7 +887,6 @@ def _pq_adc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_id", "vec_id")
         .agg(F.sum("pd").alias("adc"))
     )
-    return adc
 
 
 def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -960,10 +966,13 @@ def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_oracle() -> str:
+def _pq_ctes() -> str:
+    """Shared oracle CTE chain: subvectors → codebook training (seed + one
+    Lloyd round) → corpus codes → per-query ADC lookup tables. Consumed by
+    both the flat-PQ and the IVF-PQ oracles."""
     m, d, k = _PQ_M, _PQ_DSUB, _PQ_K
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 sub AS (
   SELECT vec_id, m, list_slice(v, m * {d} + 1, m * {d} + {d}) AS sv
   FROM e, unnest(generate_series(0, {m - 1})) t(m)
@@ -1007,18 +1016,6 @@ lut AS (
          ROUND(q.q_n2 + c.c_n2 - 2 * list_inner_product(q.qsv, c.cv), 6) AS pd
   FROM qsub q JOIN cent1n c ON q.m = c.m
 ),
-adc AS (
-  SELECT l.q_id, co.vec_id, SUM(l.pd) AS adc
-  FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.cid
-  WHERE co.vec_id <> l.q_id
-  GROUP BY l.q_id, co.vec_id
-),
-pq_top AS (
-  SELECT q_id, vec_id, adc,
-         ROW_NUMBER() OVER (PARTITION BY q_id
-                            ORDER BY ROUND(adc, 4), vec_id) AS rk
-  FROM adc
-),
 full_ AS (SELECT vec_id, v, list_inner_product(v, v) AS n2 FROM e),
 qfull AS (
   SELECT vec_id AS q_id, v AS qv, n2 AS q_n2
@@ -1031,6 +1028,23 @@ ex_top AS (
                     vec_id) AS rk
   FROM full_, qfull
   WHERE vec_id <> q_id
+)"""
+
+
+def _pq_oracle() -> str:
+    return f"""
+WITH {_pq_ctes()},
+adc AS (
+  SELECT l.q_id, co.vec_id, SUM(l.pd) AS adc
+  FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.cid
+  WHERE co.vec_id <> l.q_id
+  GROUP BY l.q_id, co.vec_id
+),
+pq_top AS (
+  SELECT q_id, vec_id, adc,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY ROUND(adc, 4), vec_id) AS rk
+  FROM adc
 ),
 hits AS (
   SELECT p.q_id, COUNT(*) AS n_hits
@@ -1054,7 +1068,195 @@ ORDER BY p.q_id
 _PQ_SQL = _pq_oracle()
 
 
+#: IVF-PQ probe count (cells searched per query).
+_IVFPQ_NPROBE = 2
+
+
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production ANN architecture (FAISS ``IVFx,PQy``):
+    coarse cells PRUNE the candidate set (only ``nprobe``=2 of the 8 cells
+    are searched per query) and PQ-ADC SCORES the survivors from 8-byte
+    codes — composing the two scale levers this module builds separately
+    (:func:`ann_ivf_topk`, :func:`ann_pq_adc_recall`). The output carries
+    the audit numbers that justify the architecture: per query, how many
+    candidates were actually scored (``scan_frac`` of the corpus), what
+    recall@5 survived the pruning+quantization, and both top-1s.
+
+    Scale shape: cell assignment is a broadcast argmin (8 centroids);
+    candidate generation is an equi-join on the cell id — with the codes
+    table partitioned by cell, a true partition-pruned probe; ADC scoring
+    touches only (candidate × 8) code rows against the broadcast lookup
+    table. Raw vectors appear in exactly two bounded places: codebook
+    training and the per-query LUT build."""
+    e = _vectors(spark, sf_dir)
+    full = e.select("vec_id", "v", _dot(F.col("v"), F.col("v")).alias("n2"))
+    coarse = full.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("ccid"),
+        F.col("v").alias("ccv"),
+        F.col("n2").alias("cc_n2"),
+    )
+    cell_sq = F.round(
+        F.col("n2") + F.col("cc_n2") - 2 * _dot(F.col("v"), F.col("ccv")), 4
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(cell_sq.asc(), F.col("ccid").asc())
+    cells = materialize(
+        full.crossJoin(F.broadcast(coarse))
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("ccid").alias("cell"))
+    )
+    qfull = full.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("q_n2"),
+    )
+    probe_sq = F.round(
+        F.col("q_n2") + F.col("cc_n2") - 2 * _dot(F.col("qv"), F.col("ccv")), 4
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(probe_sq.asc(), F.col("ccid").asc())
+    probes = (
+        qfull.crossJoin(F.broadcast(coarse))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .select("q_id", F.col("ccid").alias("cell"))
+    )
+    cands = materialize(
+        probes.join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    codes, lut = _pq_codes_lut(spark, sf_dir)
+    adc = (
+        cands.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["q_id", "m"])
+        .filter(F.col("code") == F.col("cid"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("pd").alias("adc"))
+    )
+    w_top = Window.partitionBy("q_id").orderBy(
+        F.round("adc", 4).asc(), F.col("vec_id").asc()
+    )
+    top = adc.withColumn("rk", F.row_number().over(w_top)).filter(
+        F.col("rk") <= _TOPK
+    )
+    # exact ground truth (full vectors)
+    sq_full = F.col("q_n2") + F.col("n2") - 2 * _dot(F.col("qv"), F.col("v"))
+    w_ex = Window.partitionBy("q_id").orderBy(
+        F.round(sq_full, 4).asc(), F.col("vec_id").asc()
+    )
+    ex_top = (
+        full.crossJoin(F.broadcast(qfull))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("rk", F.row_number().over(w_ex))
+        .filter(F.col("rk") <= _TOPK)
+        .select("q_id", "vec_id", "rk")
+    )
+    n_total = full.agg(F.count(F.lit(1)).alias("n_corpus"))
+    ncand = cands.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    hits = (
+        top.select("q_id", "vec_id")
+        .join(ex_top.select("q_id", "vec_id"), ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    top1 = top.filter(F.col("rk") == 1).select(
+        "q_id", F.col("vec_id").alias("ivfpq_top1"), F.round("adc", 4).alias("top1_adc")
+    )
+    ex1 = ex_top.filter(F.col("rk") == 1).select(
+        "q_id", F.col("vec_id").alias("exact_top1")
+    )
+    return (
+        top1.join(ex1, "q_id")
+        .join(ncand, "q_id")
+        .join(hits, "q_id", "left")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "q_id",
+            "n_candidates",
+            F.round(F.col("n_candidates") / (F.col("n_corpus") - 1), 4).alias(
+                "scan_frac"
+            ),
+            F.coalesce("n_hits", F.lit(0)).cast("int").alias("recall_hits_at_5"),
+            "ivfpq_top1",
+            "exact_top1",
+            "top1_adc",
+        )
+        .orderBy("q_id")
+    )
+
+
+def _ivfpq_oracle() -> str:
+    return f"""
+WITH {_pq_ctes()},
+coarse AS (
+  SELECT vec_id AS ccid, v AS ccv, n2 AS cc_n2 FROM full_ WHERE vec_id < {_N_CENTROIDS}
+),
+cellassign AS (
+  SELECT vec_id, ccid AS cell FROM (
+    SELECT f.vec_id, c.ccid,
+           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+             ORDER BY ROUND(f.n2 + c.cc_n2 - 2 * list_inner_product(f.v, c.ccv), 4),
+                      c.ccid) AS rn
+    FROM full_ f, coarse c)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT q_id, ccid AS cell FROM (
+    SELECT qf.q_id, c.ccid,
+           ROW_NUMBER() OVER (PARTITION BY qf.q_id
+             ORDER BY ROUND(qf.q_n2 + c.cc_n2 - 2 * list_inner_product(qf.qv, c.ccv), 4),
+                      c.ccid) AS rn
+    FROM qfull qf, coarse c)
+  WHERE rn <= {_IVFPQ_NPROBE}
+),
+cands AS (
+  SELECT p.q_id, ca.vec_id
+  FROM probes p JOIN cellassign ca ON p.cell = ca.cell
+  WHERE ca.vec_id <> p.q_id
+),
+adc_f AS (
+  SELECT cd.q_id, cd.vec_id, SUM(l.pd) AS adc
+  FROM cands cd
+  JOIN codes co ON co.vec_id = cd.vec_id
+  JOIN lut l ON l.q_id = cd.q_id AND l.m = co.m AND l.cid = co.code
+  GROUP BY cd.q_id, cd.vec_id
+),
+top AS (
+  SELECT q_id, vec_id, adc,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY ROUND(adc, 4), vec_id) AS rk
+  FROM adc_f
+),
+ncorpus AS (SELECT COUNT(*) AS n_corpus FROM e),
+ncand AS (SELECT q_id, COUNT(*) AS n_candidates FROM cands GROUP BY q_id),
+hits AS (
+  SELECT t.q_id, COUNT(*) AS n_hits
+  FROM top t JOIN ex_top x ON t.q_id = x.q_id AND t.vec_id = x.vec_id
+  WHERE t.rk <= {_TOPK} AND x.rk <= {_TOPK}
+  GROUP BY t.q_id
+)
+SELECT t.q_id,
+       nc.n_candidates,
+       ROUND(nc.n_candidates / CAST(n.n_corpus - 1 AS DOUBLE), 4) AS scan_frac,
+       CAST(COALESCE(h.n_hits, 0) AS INTEGER) AS recall_hits_at_5,
+       t.vec_id AS ivfpq_top1,
+       x.vec_id AS exact_top1,
+       ROUND(t.adc, 4) AS top1_adc
+FROM top t
+JOIN ex_top x ON t.q_id = x.q_id AND x.rk = 1
+JOIN ncand nc ON nc.q_id = t.q_id
+LEFT JOIN hits h ON h.q_id = t.q_id
+CROSS JOIN ncorpus n
+WHERE t.rk = 1
+ORDER BY t.q_id
+"""
+
+
+_IVFPQ_SQL = _ivfpq_oracle()
+
+
 QUERIES = {
+    "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "ann_pq_adc_recall": ann_pq_adc_recall,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1067,6 +1269,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_ivf_pq_topk": _IVFPQ_SQL,
     "ann_pq_adc_recall": _PQ_SQL,
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
