@@ -657,6 +657,135 @@ ORDER BY source, status
 """
 
 
+def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution (fuzzy record linkage) — the capability that exact
+    and MinHash dedup both miss: a 'dirty' registry of customer records
+    with CHARACTER-LEVEL errors (planted deterministically: a third get
+    their last two digits transposed, a third a substituted final digit, a
+    third arrive unchanged) is matched back to the master by
+    blocking + edit-distance verify + best-match survivorship.
+
+    Two design points carried by the construction:
+
+    - the BLOCKING KEY must be invariant under the expected error modes or
+      true matches never meet: errors here corrupt the ``Customer#`` stem,
+      so blocking on ``numeric_id div 100`` is error-invariant AND bounded
+      (≤100 master keys per block) — candidate generation is an equi-join
+      on the block with per-block quadratic cost capped at block_size²,
+      the linkage-at-scale contract;
+    - errors must land OUTSIDE the identity-bearing region or matching is
+      ill-posed: an early draft transposed the trailing DIGITS, which
+      turns one customer's name into ANOTHER customer's exact name — the
+      nearest master is then confidently wrong. Stem errors keep the
+      nearest master unique, so ``n_correct_identity`` doubles as the
+      well-posedness audit (must equal n_records per distance).
+
+    Verify is ``levenshtein ≤ 2`` (transposition costs 2 in classic edit
+    distance); survivorship keeps each dirty record's minimum-distance
+    master (tiebreak on key). Output: match population per edit distance +
+    the unmatched remainder (0 with error-invariant blocking)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    digits = F.regexp_replace("c_name", r"\D", "")
+    master = cust.select(
+        F.col("c_custkey").alias("m_key"),
+        F.col("c_name").alias("m_name"),
+        (digits.cast("long") / 100).cast("long").alias("block"),
+    )
+    # mutations confined to the 'Customer#' stem (chars 8-9): transpose
+    # 'r#' -> '#r' (distance 2) or substitute '#' -> '@' (distance 1)
+    dirty_name = (
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.substring("c_name", 1, 7),
+                F.substring("c_name", 9, 1),
+                F.substring("c_name", 8, 1),
+                F.expr("substring(c_name, 10)"),
+            ),
+        )
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.concat(
+                F.substring("c_name", 1, 8),
+                F.lit("@"),
+                F.expr("substring(c_name, 10)"),
+            ),
+        )
+        .otherwise(F.col("c_name"))
+    )
+    dirty = cust.select(
+        F.col("c_custkey").alias("d_key"), dirty_name.alias("d_name")
+    ).withColumn(
+        "block",
+        (F.regexp_replace("d_name", r"\D", "").cast("long") / 100).cast("long"),
+    )
+    pairs = (
+        dirty.join(master, "block")
+        .withColumn("dist", F.levenshtein("d_name", "m_name"))
+        .filter(F.col("dist") <= 2)
+    )
+    w = Window.partitionBy("d_key").orderBy("dist", "m_key")
+    best = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    n_dirty = dirty.count()
+    matched = best.groupBy("dist").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.count_if(F.col("d_key") == F.col("m_key")).alias("n_correct_identity"),
+    )
+    return (
+        matched.withColumn(
+            "n_unmatched_total", F.lit(n_dirty) - F.sum("n_records").over(Window.partitionBy())
+        )
+        .select("dist", "n_records", "n_correct_identity", "n_unmatched_total")
+        .orderBy("dist")
+    )
+
+
+_ENTITY_RES_SQL = r"""
+WITH master AS (
+  SELECT c_custkey AS m_key, c_name AS m_name,
+         CAST(CAST(regexp_replace(c_name, '\D', '', 'g') AS BIGINT) / 100 AS BIGINT) AS block
+  FROM customer
+),
+dirty0 AS (
+  SELECT c_custkey AS d_key,
+         CASE
+           WHEN c_custkey % 3 = 0 THEN
+             substring(c_name, 1, 7) || substring(c_name, 9, 1)
+             || substring(c_name, 8, 1) || substring(c_name, 10)
+           WHEN c_custkey % 3 = 1 THEN
+             substring(c_name, 1, 8) || '@' || substring(c_name, 10)
+           ELSE c_name
+         END AS d_name
+  FROM customer
+),
+dirty AS (
+  SELECT d_key, d_name,
+         CAST(CAST(regexp_replace(d_name, '\D', '', 'g') AS BIGINT) / 100 AS BIGINT) AS block
+  FROM dirty0
+),
+pairs AS (
+  SELECT d.d_key, m.m_key, levenshtein(d.d_name, m.m_name) AS dist
+  FROM dirty d JOIN master m USING (block)
+  WHERE levenshtein(d.d_name, m.m_name) <= 2
+),
+best AS (
+  SELECT d_key, m_key, dist,
+         ROW_NUMBER() OVER (PARTITION BY d_key ORDER BY dist, m_key) AS rn
+  FROM pairs
+),
+matched AS (
+  SELECT dist, COUNT(*) AS n_records,
+         count_if(d_key = m_key) AS n_correct_identity
+  FROM best WHERE rn = 1
+  GROUP BY dist
+)
+SELECT dist, n_records, n_correct_identity,
+       (SELECT COUNT(*) FROM dirty) - SUM(n_records) OVER () AS n_unmatched_total
+FROM matched
+ORDER BY dist
+"""
+
+
 QUERIES = {
     "dedup_paragraphs_global": dedup_paragraphs_global,
     "dedup_documents_url": dedup_documents_url,
@@ -666,6 +795,7 @@ QUERIES = {
     "source_overlap_matrix": source_overlap_matrix,
     "corpus_embedding_coverage": corpus_embedding_coverage,
     "corpus_snapshot_diff": corpus_snapshot_diff,
+    "entity_resolution_customers": entity_resolution_customers,
 }
 
 
@@ -684,4 +814,5 @@ ORACLES = {
     "source_overlap_matrix": _OVERLAP_SQL,
     "corpus_embedding_coverage": _COVERAGE_SQL,
     "corpus_snapshot_diff": _SNAP_DIFF_SQL,
+    "entity_resolution_customers": _ENTITY_RES_SQL,
 }

@@ -497,3 +497,21 @@ def test_vocab_growth_curve_is_monotone_and_concave_ish(spark):
         assert a["n_tokens"] < b["n_tokens"]
         assert a["n_vocab"] <= b["n_vocab"]
     assert rows[-1]["vocab_per_token"] < rows[0]["vocab_per_token"]
+
+
+def test_entity_resolution_matches_everything_correctly(spark):
+    """With error-invariant blocking and stem-confined errors, every dirty
+    record must match (n_unmatched 0), thirds land at distances 0/1/2, and
+    identity accuracy is 100% per distance."""
+    from datafusion_impl_spark.operators.curation import (
+        entity_resolution_customers,
+    )
+    from tests.conftest import SF_DIR_ORACLE
+
+    rows = {r["dist"]: r for r in entity_resolution_customers(spark, SF_DIR_ORACLE).collect()}
+    assert set(rows) == {0, 1, 2}
+    total = sum(r["n_records"] for r in rows.values())
+    for r in rows.values():
+        assert r["n_correct_identity"] == r["n_records"]
+        assert r["n_unmatched_total"] == 0
+        assert abs(r["n_records"] - total / 3) <= 1
