@@ -1839,6 +1839,117 @@ ORDER BY 1, 2
 """
 
 
+def map_higher_order_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map HIGHER-ORDER lambdas (§2.9's last uncovered corner beyond
+    map_functions_order_flags' scalar family): transform_values /
+    map_filter / map_zip_with over the per-order flag→count map — doubled
+    counts, low-count entries filtered out, and a self-zip computing
+    per-key shares. Maps stay intra-row; the oracle checks the extracted
+    results against their direct relational equivalents."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    per_flag = (
+        li.filter(F.col("l_orderkey") % 50 == 0)
+        .groupBy("l_orderkey", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    mapped = per_flag.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("l_returnflag", "cnt")))
+        ).alias("m")
+    )
+    total = F.aggregate(
+        F.map_values("m"), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return mapped.select(
+        "l_orderkey",
+        # transform_values: doubled counts, re-aggregated
+        F.aggregate(
+            F.map_values(F.transform_values("m", lambda k, v: v * 2)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("doubled_total"),
+        # map_filter: how many flags carry more than 2 lines
+        F.size(F.map_filter("m", lambda k, v: v > 2)).alias("n_heavy_flags"),
+        # map_zip_with(m, m): per-key share of the order's lines, max taken
+        F.round(
+            F.array_max(
+                F.map_values(
+                    F.map_zip_with(
+                        "m", "m", lambda k, v1, v2: v1 / total.cast("double")
+                    )
+                )
+            ),
+            6,
+        ).alias("max_flag_share"),
+    ).orderBy("l_orderkey")
+
+
+_MAP_HOF_SQL = """
+WITH per_flag AS (
+  SELECT l_orderkey, l_returnflag, COUNT(*) AS cnt
+  FROM lineitem WHERE l_orderkey % 50 = 0
+  GROUP BY l_orderkey, l_returnflag
+)
+SELECT l_orderkey,
+       CAST(SUM(cnt) * 2 AS BIGINT) AS doubled_total,
+       CAST(count_if(cnt > 2) AS INTEGER) AS n_heavy_flags,
+       ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6) AS max_flag_share
+FROM per_flag
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+"""
+
+
+def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer`` vs ``explode`` (§2.9): rows whose array is EMPTY
+    survive an outer explode as a single null row but vanish under the
+    inner form — the off-by-everything bug in any tokenize-then-explode
+    pipeline where some documents have no long tokens. Both variants are
+    computed and reconciled per language: outer row count = inner rows +
+    empty-array docs; the oracle replays the set algebra relationally."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    from datafusion_impl_spark.operators.text import tokens
+
+    long_toks = F.filter(tokens("text"), lambda t: F.length(t) > 9)
+    base = docs.select("doc_id", "lang", long_toks.alias("lt"))
+    inner = base.select("lang", F.explode("lt").alias("t")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_inner_rows")
+    )
+    outer = base.select("lang", F.explode_outer("lt").alias("t")).groupBy(
+        "lang"
+    ).agg(
+        F.count(F.lit(1)).alias("n_outer_rows"),
+        F.count_if(F.col("t").isNull()).alias("n_empty_docs"),
+    )
+    return (
+        outer.join(inner, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("n_inner_rows", F.lit(0)).alias("n_inner_rows"),
+            "n_outer_rows",
+            "n_empty_docs",
+        )
+        .orderBy("lang")
+    )
+
+
+_EXPLODE_OUTER_SQL = r"""
+WITH base AS (
+  SELECT doc_id, lang,
+         list_filter(list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+                     t -> length(t) > 9) AS lt
+  FROM documents
+)
+SELECT lang,
+       CAST(SUM(len(lt)) AS BIGINT) AS n_inner_rows,
+       CAST(SUM(CASE WHEN len(lt) = 0 THEN 1 ELSE len(lt) END) AS BIGINT) AS n_outer_rows,
+       CAST(count_if(len(lt) = 0) AS BIGINT) AS n_empty_docs
+FROM base
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "events_user_hll_rollup": events_user_hll_rollup,
     "bitmap_user_distinct_rollup": bitmap_user_distinct_rollup,
@@ -1849,6 +1960,8 @@ QUERIES = {
     "cogrouped_order_gap_stats": cogrouped_order_gap_stats,
     "rolling_distinct_customers": rolling_distinct_customers,
     "event_type_transitions": event_type_transitions,
+    "map_higher_order_ops": map_higher_order_ops,
+    "explode_outer_semantics": explode_outer_semantics,
     "window_top_orders_per_customer": window_top_orders_per_customer,
     "window_running_revenue": window_running_revenue,
     "window_event_gaps": window_event_gaps,
@@ -1900,6 +2013,8 @@ ORACLES = {
     "cogrouped_order_gap_stats": _COGROUP_SQL,
     "rolling_distinct_customers": _ROLLING_DISTINCT_SQL,
     "event_type_transitions": _TRANSITIONS_SQL,
+    "map_higher_order_ops": _MAP_HOF_SQL,
+    "explode_outer_semantics": _EXPLODE_OUTER_SQL,
     "window_top_orders_per_customer": _WINDOW_TOP_SQL,
     "window_running_revenue": _WINDOW_RUNNING_SQL,
     "window_event_gaps": _WINDOW_GAPS_SQL,

@@ -427,6 +427,59 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_ivf_cell_counts(spark: SparkSession, embeddings_dir: str,
+                           sf_dir: str) -> DataFrame:
+    """STREAMING IVF assignment: arriving embedding vectors are assigned to
+    the static coarse codebook and counted per cell — the index-maintenance
+    side of a vector pipeline as a stream (the batch twin is
+    ``operators.similarity.ann_ivf_incremental_assign``).
+
+    The streaming-legal argmin: ranking windows are illegal on unbounded
+    streams, so the nearest-centroid choice is a MAP-ONLY expression — the
+    8-entry codebook is inlined as an array-of-structs literal and
+    ``array_max`` picks (rounded cosine, -cid), i.e. best similarity with a
+    smaller-cid tiebreak. Per row: 8 fold evaluations, zero shuffle before
+    the final counts aggregate. This is the production shape: broadcast
+    (here: literal) codebook, stateless assignment, tiny stateful count."""
+    from datafusion_impl_spark.sources.registry import load_table
+
+    cent_rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents = []
+    for r in sorted(cent_rows, key=lambda r: r["vec_id"]):
+        cv = [float(x) for x in r["embedding"]]
+        nrm = sum(x * x for x in cv) ** 0.5
+        cents.append((int(r["vec_id"]), cv, nrm))
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(embeddings_dir)
+    )
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    scored = []
+    for cid, cv, c_nrm in cents:
+        cvec = F.array(*[F.lit(x) for x in cv])
+        dot = F.aggregate(
+            F.zip_with(v, cvec, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        scored.append(
+            F.struct(
+                F.round(dot / (nrm * F.lit(c_nrm)), 4).alias("sim"),
+                F.lit(-cid).alias("neg_cid"),
+            )
+        )
+    cell = (-F.array_max(F.array(*scored))["neg_cid"]).alias("cell")
+    return stream.select(cell).groupBy("cell").count()
+
+
 def dedup_stream_new_content(docs: DataFrame, corpus_index: DataFrame,
                              watermark: str = "2 hours") -> DataFrame:
     """Streaming corpus-ingestion dedup — the LLM-pipeline shape: an

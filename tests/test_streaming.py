@@ -490,3 +490,55 @@ def test_transform_with_state_plan_builds(spark, events_dir):
     assert [f.name for f in st.schema.fields] == ["user_id", "n_events", "sum_value"]
     plan = st._jdf.queryExecution().logical().toString()
     assert "TransformWithState" in plan
+
+
+@pytest.fixture(scope="module")
+def embeddings_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("emb_stream")
+    shutil.copy(f"{SF_DIR}/embeddings.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def test_stream_ivf_assignment_equals_batch(spark, embeddings_dir):
+    """Streaming cell assignment (literal-codebook array_max argmin, no
+    window) must produce exactly the batch per-cell counts computed with
+    the same expression."""
+    st = stx.stream_ivf_cell_counts(spark, embeddings_dir, SF_DIR)
+    _run_stream(st, "ivf_cells", mode="complete")
+    got = {
+        r.cell: r["count"]
+        for r in spark.sql("SELECT * FROM ivf_cells").collect()
+    }
+    # batch twin: same expression over a batch read
+    from datafusion_impl_spark.sources.registry import load_table
+
+    batch = load_table(spark, SF_DIR, "embeddings")
+    import pyspark.sql.functions as F2
+
+    # reuse the operator's own expression by running it as a batch stream
+    # equivalent: re-derive via the cosine argmin window (the batch idiom)
+    from pyspark.sql import Window
+
+    cent = batch.filter(F2.col("vec_id") < 8).select(
+        F2.col("vec_id").alias("cid"),
+        F2.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    e = batch.select(
+        "vec_id", F2.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    def dot(a, b):
+        return F2.aggregate(F2.zip_with(a, b, lambda x, y: x * y), F2.lit(0.0), lambda a_, x: a_ + x)
+    nrm = lambda a: F2.sqrt(F2.aggregate(a, F2.lit(0.0), lambda a_, x: a_ + x * x))  # noqa: E731
+    sim = F2.round(dot(F2.col("v"), F2.col("cv")) / (nrm(F2.col("v")) * nrm(F2.col("cv"))), 4)
+    w = Window.partitionBy("vec_id").orderBy(F2.desc("sim"), F2.asc("cid"))
+    assign = (
+        e.crossJoin(F2.broadcast(cent))
+        .select("vec_id", "cid", sim.alias("sim"))
+        .withColumn("rn", F2.row_number().over(w))
+        .filter(F2.col("rn") == 1)
+    )
+    expected = {
+        r.cid: r["count"]
+        for r in assign.groupBy("cid").count().collect()
+    }
+    assert got == expected and sum(got.values()) == batch.count()
