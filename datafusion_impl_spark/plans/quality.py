@@ -248,14 +248,189 @@ ORDER BY month
 """
 
 
+def weekly_seasonality_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily revenue: trend = centered
+    29-day moving average (RANGE frame over the bounded daily series),
+    seasonal = mean detrended value per day-of-week, residual = the rest.
+    Output per day-of-week: the seasonal effect and residual spread — the
+    decomposition behind 'is Monday really 12% low, or is that trend?'.
+
+    All frames run over the daily pre-aggregate; the day-of-week means
+    divide ROUNDed sums by counts, keeping every reported value
+    cross-engine exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    daily.createOrReplaceTempView("daily_season")
+    return spark.sql("""
+WITH trended AS (
+  SELECT day, rev,
+         ROUND(AVG(rev) OVER (ORDER BY day
+           RANGE BETWEEN INTERVAL 14 DAYS PRECEDING AND INTERVAL 14 DAYS FOLLOWING), 2)
+           AS trend
+  FROM daily_season
+),
+detrended AS (
+  SELECT dayofweek(day) AS dow, day, rev, trend,
+         ROUND(rev - trend, 2) AS detr
+  FROM trended
+)
+SELECT dow, COUNT(*) AS n_days,
+       ROUND(AVG(detr), 2) AS seasonal_effect,
+       ROUND(AVG(ABS(detr)), 2) AS mean_abs_detrended,
+       ROUND(MIN(detr), 2) AS min_detr,
+       ROUND(MAX(detr), 2) AS max_detr
+FROM detrended
+GROUP BY dow
+ORDER BY dow
+""")
+
+
+_SEASONALITY_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, ROUND(SUM(o_totalprice), 2) AS rev
+  FROM orders GROUP BY 1
+),
+trended AS (
+  SELECT day, rev,
+         ROUND(AVG(rev) OVER (ORDER BY day
+           RANGE BETWEEN INTERVAL 14 DAYS PRECEDING AND INTERVAL 14 DAYS FOLLOWING), 2)
+           AS trend
+  FROM daily
+),
+detrended AS (
+  SELECT dayofweek(day) + 1 AS dow, rev, trend,
+         ROUND(rev - trend, 2) AS detr
+  FROM trended
+)
+SELECT dow, COUNT(*) AS n_days,
+       ROUND(AVG(detr), 2) AS seasonal_effect,
+       ROUND(AVG(ABS(detr)), 2) AS mean_abs_detrended,
+       ROUND(MIN(detr), 2) AS min_detr,
+       ROUND(MAX(detr), 2) AS max_detr
+FROM detrended
+GROUP BY dow
+ORDER BY dow
+"""
+
+
+#: PSI severity conventions: <0.1 stable, 0.1-0.25 moderate, >0.25 major.
+_PSI_BINS = 10
+
+
+def length_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus snapshots' length
+    distributions — the drift monitor that fires before a retrain: bins
+    are fixed equal-width cuts over n_chars, snapshot A (doc_id % 20 != 5)
+    is the reference, snapshot B (doc_id % 20 != 0, the corpus-diff twin)
+    the current population, and PSI = Σ (pB−pA)·ln(pB/pA). Per-bin
+    contributions are emitted alongside the total so the drifting bins
+    are identifiable, with the standard severity call.
+
+    Determinism: bin shares are integer-count ratios and both engines
+    evaluate the same ln() on the same doubles; everything ROUNDs before
+    comparison."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    lo_hi = docs.agg(
+        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+    ).collect()[0]
+    lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
+    width = max(1, (hi - lo + _PSI_BINS) // _PSI_BINS)
+    bin_ = F.least(
+        F.lit(_PSI_BINS - 1), F.floor((F.col("n_chars") - lo) / width)
+    ).cast("int")
+    binned = docs.select("doc_id", bin_.alias("bin"))
+    a = binned.filter(F.col("doc_id") % 20 != 5).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    b = binned.filter(F.col("doc_id") % 20 != 0).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    tot_a = a.agg(F.sum("n_a").alias("t_a"))
+    tot_b = b.agg(F.sum("n_b").alias("t_b"))
+    joined = (
+        a.join(b, "bin", "full_outer")
+        .na.fill({"n_a": 0, "n_b": 0})
+        .crossJoin(F.broadcast(tot_a))
+        .crossJoin(F.broadcast(tot_b))
+    )
+    # Laplace-smoothed shares so empty bins stay finite (standard practice)
+    p_a = (F.col("n_a") + 1) / (F.col("t_a") + _PSI_BINS)
+    p_b = (F.col("n_b") + 1) / (F.col("t_b") + _PSI_BINS)
+    contrib = (p_b - p_a) * F.log(p_b / p_a)
+    per_bin = joined.select(
+        "bin", "n_a", "n_b", F.round(contrib, 8).alias("psi_contrib")
+    )
+    total = per_bin.agg(F.round(F.sum("psi_contrib"), 6).alias("psi"))
+    return (
+        per_bin.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            "psi_contrib",
+            "psi",
+            F.when(F.col("psi") < 0.1, "stable")
+            .when(F.col("psi") < 0.25, "moderate_drift")
+            .otherwise("major_drift")
+            .alias("verdict"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _psi_oracle() -> str:
+    return f"""
+WITH bounds AS (
+  SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents
+),
+binned AS (
+  SELECT doc_id,
+         CAST(LEAST({_PSI_BINS - 1},
+              FLOOR((n_chars - b.lo) / ((b.hi - b.lo + {_PSI_BINS}) // {_PSI_BINS})))
+              AS INTEGER) AS bin
+  FROM documents, bounds b
+),
+a AS (SELECT bin, COUNT(*) AS n_a FROM binned WHERE doc_id % 20 <> 5 GROUP BY bin),
+b2 AS (SELECT bin, COUNT(*) AS n_b FROM binned WHERE doc_id % 20 <> 0 GROUP BY bin),
+j AS (
+  SELECT COALESCE(a.bin, b2.bin) AS bin,
+         COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+         (SELECT SUM(n_a) FROM a) AS t_a,
+         (SELECT SUM(n_b) FROM b2) AS t_b
+  FROM a FULL OUTER JOIN b2 ON a.bin = b2.bin
+),
+per_bin AS (
+  SELECT bin, n_a, n_b,
+         ROUND(((n_b + 1) / CAST(t_b + {_PSI_BINS} AS DOUBLE)
+                - (n_a + 1) / CAST(t_a + {_PSI_BINS} AS DOUBLE))
+               * LN(((n_b + 1) / CAST(t_b + {_PSI_BINS} AS DOUBLE))
+                    / ((n_a + 1) / CAST(t_a + {_PSI_BINS} AS DOUBLE))), 8) AS psi_contrib
+  FROM j
+),
+total AS (SELECT ROUND(SUM(psi_contrib), 6) AS psi FROM per_bin)
+SELECT bin, n_a, n_b, psi_contrib, total.psi,
+       CASE WHEN total.psi < 0.1 THEN 'stable'
+            WHEN total.psi < 0.25 THEN 'moderate_drift'
+            ELSE 'major_drift' END AS verdict
+FROM per_bin, total
+ORDER BY bin
+"""
+
+
 QUERIES = {
     "data_quality_constraint_report": data_quality_constraint_report,
     "user_cohort_retention": user_cohort_retention,
     "daily_revenue_anomalies": daily_revenue_anomalies,
+    "weekly_seasonality_decomposition": weekly_seasonality_decomposition,
+    "length_distribution_psi": length_distribution_psi,
 }
 
 ORACLES = {
     "data_quality_constraint_report": _QUALITY_SQL,
     "user_cohort_retention": _COHORT_SQL,
     "daily_revenue_anomalies": _ANOMALY_SQL,
+    "weekly_seasonality_decomposition": _SEASONALITY_SQL,
+    "length_distribution_psi": _psi_oracle(),
 }
