@@ -829,6 +829,101 @@ ORDER BY corpus
 """
 
 
+def dedup_detector_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine detector EVALUATION: precision/recall of the MinHash-LSH
+    near-dup detector against the corpus's planted ground truth — the
+    metric computation a pipeline runs before trusting a dedup pass, as a
+    query rather than a notebook. Truth pairs are the construction of
+    :func:`near_dup_corpus` itself ((id, id+1e5) exact copies for id%10=0,
+    (id, id+2e5) dropped-word near copies for id%7=0); a detected pair is
+    'planted-related' iff both ids share a base (doc_id % offset), which
+    also credits the legitimate copy-of-copy pairs the truth list doesn't
+    enumerate. One row: per-class recall + detector precision.
+
+    Scale shape: the detector output is the bounded pair table; truth
+    construction is a projection of the corpus; all verdicts are equi-joins
+    on pair keys."""
+    detected = materialize(
+        dedup_documents_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    truth_exact = ids.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("t_a"),
+        (F.col("doc_id") + _DUP_OFFSET).alias("t_b"),
+    )
+    truth_near = ids.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("t_a"),
+        (F.col("doc_id") + 2 * _DUP_OFFSET).alias("t_b"),
+    )
+
+    def hits(truth: DataFrame) -> DataFrame:
+        return truth.join(
+            detected,
+            (truth.t_a == detected.doc_a) & (truth.t_b == detected.doc_b),
+            "left_semi",
+        )
+
+    n_te = truth_exact.count()
+    n_tn = truth_near.count()
+    n_he = hits(truth_exact).count()
+    n_hn = hits(truth_near).count()
+    stats = detected.agg(
+        F.count(F.lit(1)).alias("n_detected"),
+        F.count_if(
+            F.pmod("doc_a", F.lit(_DUP_OFFSET)) == F.pmod("doc_b", F.lit(_DUP_OFFSET))
+        ).alias("n_planted_related"),
+    )
+    return stats.select(
+        F.lit(n_te).alias("n_truth_exact"),
+        F.lit(n_he).alias("n_hit_exact"),
+        F.round(F.lit(n_he) / F.lit(n_te), 4).alias("recall_exact"),
+        F.lit(n_tn).alias("n_truth_near"),
+        F.lit(n_hn).alias("n_hit_near"),
+        F.round(F.lit(n_hn) / F.lit(n_tn), 4).alias("recall_near"),
+        "n_detected",
+        "n_planted_related",
+        F.round(
+            F.col("n_planted_related") / F.col("n_detected"), 4
+        ).alias("precision_planted"),
+    )
+
+
+_DETECTOR_PRF_SQL = f"""
+WITH detected AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_SQL}) mh
+),
+truth_exact AS (
+  SELECT doc_id AS t_a, doc_id + {_DUP_OFFSET} AS t_b
+  FROM documents WHERE doc_id % 10 = 0
+),
+truth_near AS (
+  SELECT doc_id AS t_a, doc_id + {2 * _DUP_OFFSET} AS t_b
+  FROM documents WHERE doc_id % 7 = 0
+),
+m AS (
+  SELECT
+    (SELECT COUNT(*) FROM truth_exact) AS n_truth_exact,
+    (SELECT COUNT(*) FROM truth_exact t
+      WHERE EXISTS (SELECT 1 FROM detected d
+                    WHERE d.doc_a = t.t_a AND d.doc_b = t.t_b)) AS n_hit_exact,
+    (SELECT COUNT(*) FROM truth_near) AS n_truth_near,
+    (SELECT COUNT(*) FROM truth_near t
+      WHERE EXISTS (SELECT 1 FROM detected d
+                    WHERE d.doc_a = t.t_a AND d.doc_b = t.t_b)) AS n_hit_near,
+    (SELECT COUNT(*) FROM detected) AS n_detected,
+    (SELECT COUNT(*) FROM detected
+      WHERE doc_a % {_DUP_OFFSET} = doc_b % {_DUP_OFFSET}) AS n_planted_related
+)
+SELECT n_truth_exact, n_hit_exact,
+       ROUND(n_hit_exact / CAST(n_truth_exact AS DOUBLE), 4) AS recall_exact,
+       n_truth_near, n_hit_near,
+       ROUND(n_hit_near / CAST(n_truth_near AS DOUBLE), 4) AS recall_near,
+       n_detected, n_planted_related,
+       ROUND(n_planted_related / CAST(n_detected AS DOUBLE), 4) AS precision_planted
+FROM m
+"""
+
+
 QUERIES = {
     "dedup_documents_exact": dedup_documents_exact,
     "dedup_documents_survivors": dedup_documents_survivors,
@@ -839,6 +934,7 @@ QUERIES = {
     "dedup_documents_simhash": dedup_documents_simhash,
     "stream_near_dup_flags": stream_near_dup_flags,
     "dedup_union_priority": dedup_union_priority,
+    "dedup_detector_prf": dedup_detector_prf,
 }
 
 ORACLES = {
@@ -850,4 +946,5 @@ ORACLES = {
     "dedup_documents_ngram": _NGRAM_SQL,
     "dedup_documents_simhash": _SIMHASH_SQL,
     "dedup_union_priority": _UNION_PRIORITY_SQL,
+    "dedup_detector_prf": _DETECTOR_PRF_SQL,
 }
