@@ -389,13 +389,14 @@ def zorder_orders_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cells = 1 << _Z_BITS
     x = F.pmod(F.col("o_custkey"), F.lit(cells)).cast("long")
-    y = F.pmod(
-        F.datediff(
-            F.col("o_orderdate").cast("date"),
-            F.lit(_Z_EPOCH).cast("date"),
-        ),
-        F.lit(cells),
-    ).cast("long")
+    # non-negative modulo spelled the sign-safe way ((d % n) + n) % n: Spark
+    # pmod is always non-negative but DuckDB % follows the dividend's sign,
+    # so a regenerated testdata with dates before the epoch would silently
+    # diverge under a bare % — both engines use the identical expression
+    d = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit(_Z_EPOCH).cast("date")
+    )
+    y = (((d % cells) + cells) % cells).cast("long")
     keyed = orders.select(
         _zkey_spark(x, y).alias("zkey"),
         x.alias("cust_cell"),
@@ -421,9 +422,9 @@ def zorder_orders_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ZORDER_SQL = f"""
 WITH keyed AS (
-  SELECT {_zkey_duck(f'(o_custkey % {1 << _Z_BITS})', f"(date_diff('day', DATE '{_Z_EPOCH}', CAST(o_orderdate AS DATE)) % {1 << _Z_BITS})")} AS zkey,
+  SELECT {_zkey_duck(f'(o_custkey % {1 << _Z_BITS})', f"(((date_diff('day', DATE '{_Z_EPOCH}', CAST(o_orderdate AS DATE)) % {1 << _Z_BITS}) + {1 << _Z_BITS}) % {1 << _Z_BITS})")} AS zkey,
          o_custkey % {1 << _Z_BITS} AS cust_cell,
-         date_diff('day', DATE '{_Z_EPOCH}', CAST(o_orderdate AS DATE)) % {1 << _Z_BITS} AS day_cell,
+         ((date_diff('day', DATE '{_Z_EPOCH}', CAST(o_orderdate AS DATE)) % {1 << _Z_BITS}) + {1 << _Z_BITS}) % {1 << _Z_BITS} AS day_cell,
          o_orderkey
   FROM orders
 )
