@@ -1950,6 +1950,50 @@ ORDER BY lang
 """
 
 
+def pivot_multi_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregate measures per pivoted value (§2.5's
+    last pivot variant): per market segment, each order status becomes a
+    (count, revenue) column PAIR — Spark names them ``{value}_{agg alias}``
+    and the query re-aliases to a stable contract. The oracle replays with
+    conditional aggregation, the pivot's relational identity."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", "o_orderstatus", "o_totalprice")
+    pivoted = (
+        base.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+    return pivoted.select(
+        "c_mktsegment",
+        F.col("F_n").alias("f_n"),
+        F.col("F_rev").alias("f_rev"),
+        F.col("O_n").alias("o_n"),
+        F.col("O_rev").alias("o_rev"),
+        F.col("P_n").alias("p_n"),
+        F.col("P_rev").alias("p_rev"),
+    ).orderBy("c_mktsegment")
+
+
+_PIVOT_MULTI_SQL = """
+SELECT c_mktsegment,
+       count_if(o_orderstatus = 'F') AS f_n,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS f_rev,
+       count_if(o_orderstatus = 'O') AS o_n,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS o_rev,
+       count_if(o_orderstatus = 'P') AS p_n,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS p_rev
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "events_user_hll_rollup": events_user_hll_rollup,
     "bitmap_user_distinct_rollup": bitmap_user_distinct_rollup,
@@ -1962,6 +2006,7 @@ QUERIES = {
     "event_type_transitions": event_type_transitions,
     "map_higher_order_ops": map_higher_order_ops,
     "explode_outer_semantics": explode_outer_semantics,
+    "pivot_multi_measures": pivot_multi_measures,
     "window_top_orders_per_customer": window_top_orders_per_customer,
     "window_running_revenue": window_running_revenue,
     "window_event_gaps": window_event_gaps,
@@ -2015,6 +2060,7 @@ ORACLES = {
     "event_type_transitions": _TRANSITIONS_SQL,
     "map_higher_order_ops": _MAP_HOF_SQL,
     "explode_outer_semantics": _EXPLODE_OUTER_SQL,
+    "pivot_multi_measures": _PIVOT_MULTI_SQL,
     "window_top_orders_per_customer": _WINDOW_TOP_SQL,
     "window_running_revenue": _WINDOW_RUNNING_SQL,
     "window_event_gaps": _WINDOW_GAPS_SQL,
