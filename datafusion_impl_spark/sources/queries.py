@@ -497,6 +497,61 @@ ORDER BY 1
 _FILE_LINEAGE_SQL = _file_lineage_oracle()
 
 
+def csv_documents_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → CSV on disk → read back → per-lang aggregate; closes the
+    CSV WRITE path (the read path is covered by csv_reference_golden). The
+    corpus is the adversarial CSV payload: texts with embedded newlines,
+    commas, and quotes — written with full quoting/escaping and read back
+    with ``multiLine=true`` (without it a quoted newline splits a record
+    and the row counts drift). The oracle aggregates the ORIGINAL parquet,
+    so equality proves the whole quote/escape/multiline cycle is lossless.
+
+    Scale note: ``multiLine`` CSV is not splittable (a file is one task's
+    work) — fine for modest exports, wrong for a 100 TB interchange; the
+    newline-free alternative is escaping to \n before write, or parquet."""
+    path = os.path.join(
+        _JSONL_ROOT, os.path.basename(sf_dir.rstrip("/")), "docs_csv"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    (
+        docs.write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+    back = (
+        spark.read.schema(_DOCS_SCHEMA)
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(F.length("text")).cast("long").alias("sum_text_len"),
+            F.sum(F.length("source")).cast("long").alias("sum_source_len"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+_CSV_ROUNDTRIP_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+       CAST(SUM(length(source)) AS BIGINT) AS sum_source_len,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "csv_reference_golden": csv_reference_golden,
     "jsonl_documents_roundtrip": jsonl_documents_roundtrip,
@@ -506,6 +561,7 @@ QUERIES = {
     "parquet_schema_evolution_merge": parquet_schema_evolution_merge,
     "zorder_orders_layout": zorder_orders_layout,
     "file_lineage_orders": file_lineage_orders,
+    "csv_documents_roundtrip": csv_documents_roundtrip,
 }
 
 ORACLES = {
@@ -517,4 +573,5 @@ ORACLES = {
     "parquet_schema_evolution_merge": _SCHEMA_EVO_SQL,
     "zorder_orders_layout": _ZORDER_SQL,
     "file_lineage_orders": _FILE_LINEAGE_SQL,
+    "csv_documents_roundtrip": _CSV_ROUNDTRIP_SQL,
 }
