@@ -427,6 +427,23 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def windowed_unique_users(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Distinct users per event-time window on a STREAM — exact distinct is
+    unbounded state, so the streaming-legal form is the mergeable HLL
+    sketch (``approx_count_distinct``): per-window sketch state is
+    constant-size, merges across micro-batches are order-insensitive, and
+    the result is deterministic for a given dataset — the stream-vs-batch
+    pytest asserts EQUALITY with the batch evaluation of the same
+    expression, not approximate closeness."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"))
+        .agg(F.approx_count_distinct("user_id").alias("n_users_approx"))
+        .select(F.col("win.start").alias("w_start"), "n_users_approx")
+    )
+
+
 def stream_ivf_cell_counts(spark: SparkSession, embeddings_dir: str,
                            sf_dir: str) -> DataFrame:
     """STREAMING IVF assignment: arriving embedding vectors are assigned to

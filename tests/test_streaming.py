@@ -542,3 +542,26 @@ def test_stream_ivf_assignment_equals_batch(spark, embeddings_dir):
         for r in assign.groupBy("cid").count().collect()
     }
     assert got == expected and sum(got.values()) == batch.count()
+
+
+def test_windowed_unique_users_stream_equals_batch(spark, dup_events_dir):
+    """HLL-sketch distinct over windows must be delivery-invariant: the
+    same file arriving twice across two micro-batches yields exactly the
+    single-delivery batch result — HLL insertion is idempotent per value,
+    so at-least-once redelivery cannot inflate the distinct counts (the
+    property that makes the sketch safe under replay, where a plain
+    count(*) would double)."""
+    st = stx.windowed_unique_users(stx.stream_events(spark, dup_events_dir))
+    _run_stream(st, "uniq_users", mode="complete")
+    got = {
+        r.w_start: r.n_users_approx
+        for r in spark.sql("SELECT * FROM uniq_users").collect()
+    }
+    batch = (
+        _batch_events(spark)
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.approx_count_distinct("user_id").alias("n"))
+        .select(F.col("win.start").alias("w_start"), "n")
+    )
+    expected = {r.w_start: r.n for r in batch.collect()}
+    assert got == expected and len(got) > 0
