@@ -143,12 +143,27 @@ _PRIORITY = [
     "length_bucketed_batches",      # new in r4 (replaces a padding slot)
 ]
 
+# Beyond the 50-query window: oracle-checked by pytest this round, queued to
+# LEAD the r5 _PRIORITY rotation so they get driver evidence next round.
+_NEXT_ROTATION = [
+    "minhash_estimation_error",     # new in r4, session 2
+    "dedup_semantic_ivf",           # new in r4, session 2
+    "compact_small_files_plan",     # new in r4, session 2
+    "table_checksum_buckets",       # new in r4, session 2
+    "text_bm25_search",             # new in r4, session 2
+    "events_linear_interpolation",  # new in r4, session 2
+]
+
 
 def _ordered(merged: dict) -> dict:
-    """Priority names first (in _PRIORITY order), then everything else in
-    module order — so the driver's 50-query window is exactly the head of
-    _PRIORITY while the full registry stays complete."""
-    out = {name: merged[name] for name in _PRIORITY if name in merged}
+    """Priority names first (in _PRIORITY order), then _NEXT_ROTATION, then
+    everything else in module order — so the driver's 50-query window is
+    exactly the head of _PRIORITY while the full registry stays complete."""
+    out = {
+        name: merged[name]
+        for name in (*_PRIORITY, *_NEXT_ROTATION)
+        if name in merged
+    }
     out.update((k, v) for k, v in merged.items() if k not in out)
     return out
 

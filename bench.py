@@ -10,6 +10,20 @@ timed execution into the ``noop`` sink — the full plan (including sorts) runs
 distributed, but no rows are transferred to the driver, so the number measures
 the engine, not py4j serialization. At 100 TB a driver-side collect of a
 15k-row-per-0.1SF query would OOM the driver; noop is the honest harness.
+
+On the uniform r2→r3/r4 drift (every small query +0.1-0.5 s vs the BENCH_r02
+recording): isolated r4 re-runs rule out the plausible causes inside this
+repo. The 59 r2-shared queries re-timed ALONE in a fresh JVM (via
+SPARK_GRAFT_BENCH_QUERIES) total 34.7 s — no faster than inside the full
+194-query suite (32.0 s), so suite-size heap/GC wake is NOT the cause; and
+those queries' code, the session config, and this harness are unchanged
+since r2 (git-diff-verified), so plan regressions are not either. A minimal
+3-query probe in a bare session also cannot reproduce r2-era times (q6:
+0.24 s best vs 0.14 s recorded at r2). Remaining explanation: the
+environment/testdata changed between recordings (the driver regenerates
+testdata between rounds — the events TIMESTAMP physical type demonstrably
+changed at r3). Same-round comparisons stay valid; cross-round absolute
+deltas below ~0.5 s/query are not evidence of plan changes.
 """
 
 from __future__ import annotations
@@ -33,6 +47,14 @@ def main() -> None:
 
     spark = get_spark("datafusion_impl_spark-bench")
     queries = entrymod.queries()
+    # Optional subset filter (comma-separated names): used to isolate
+    # drift — e.g. timing only the queries shared with a previous round in
+    # an otherwise-idle JVM, separating plan regressions from whole-suite
+    # heap/GC wake. The driver never sets this; full-suite is the default.
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        queries = {n: f for n, f in queries.items() if n in keep}
 
     timings: dict[str, float] = {}
     for name in sorted(queries):

@@ -256,48 +256,51 @@ sh AS (
 """
 
 
+def _sig_wide(sh: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh11) MinHash signature as ONE wide aggregate: 12
+    min-columns over the shingle table instead of a 12× seed explode. The
+    hash values are identical to the exploded formulation (same
+    ``md5(shingle || '#' || seed)``), but the shuffle carries one row per
+    doc-shingle instead of twelve, and map-side partial mins collapse most
+    of it — measured ~2× on the whole MinHash pipeline at sf0.1."""
+    aggs = [
+        F.min(
+            md5_long(F.concat(F.col("shingle"), F.lit(f"#{s}")))
+        ).alias(f"mh{s}")
+        for s in range(_NUM_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
 def _band_table(sh: DataFrame) -> DataFrame:
     """(doc_id, band, bkey) LSH band table from a (doc_id, shingle) table:
-    explode seeds → min-hash per (doc, seed) → signature array → band md5
-    digests. Whole-stage-codegen hashing over exploded rows — the batch
-    throughput path (contrast :func:`rowwise_bands`, the map-only streaming
-    path; both produce byte-identical keys, pinned by pytest)."""
-    mh = (
-        sh.select(
-            "doc_id",
-            "shingle",
-            F.explode(F.sequence(F.lit(0), F.lit(_NUM_HASHES - 1))).alias("seed"),
+    wide min-hash signature → band md5 digests → unpivot to one row per
+    (doc, band). Whole-stage-codegen hashing — the batch throughput path
+    (contrast :func:`rowwise_bands`, the map-only streaming path; both
+    produce byte-identical keys, pinned by pytest)."""
+    return _bands_from_sig(_sig_wide(sh))
+
+
+def _bands_from_sig(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) from a wide (doc_id, mh0..mh11) signature."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{b * _R + i}").cast("string")
+                        for i in range(_R)
+                    ],
+                )
+            ).alias("bkey"),
         )
-        .select(
-            "doc_id",
-            "seed",
-            md5_long(
-                F.concat(F.col("shingle"), F.lit("#"), F.col("seed").cast("string"))
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
-    )
-    sig = mh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.struct("seed", "mh"))).alias("sig")
-    )
+        for b in range(_BANDS)
+    ]
     return sig.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_BANDS - 1))).alias("band"),
-        "sig",
-    ).select(
-        "doc_id",
-        "band",
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice("sig", F.col("band") * _R + 1, _R),
-                    lambda x: x.getField("mh").cast("string"),
-                ),
-            )
-        ).alias("bkey"),
-    )
+        "doc_id", F.explode(F.array(*band_structs)).alias("x")
+    ).select("doc_id", F.col("x.band").alias("band"), F.col("x.bkey").alias("bkey"))
 
 
 def dedup_documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,9 +314,15 @@ def dedup_documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle table feeds four branches (signatures, sizes, both sides of
     # the Jaccard verify) — materialize it once (see operators.materialize)
     sh = materialize(_shingles(corpus))
-    bands = _band_table(sh)
+    cand = _band_candidates(_band_table(sh))
+    return _exact_jaccard_verify(cand, sh)
+
+
+def _band_candidates(bands: DataFrame) -> DataFrame:
+    """Distinct (da, db) candidate pairs from a band table: equi-join on
+    (band, bkey) — the only pairing step, never an all-pairs product."""
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -323,7 +332,6 @@ def dedup_documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
     )
-    return _exact_jaccard_verify(cand, sh)
 
 
 def _exact_jaccard_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:
@@ -474,6 +482,131 @@ cand AS (
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 ),
 {_DUCK_JACCARD_TAIL}
+"""
+
+
+def minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit: for every LSH candidate pair, the MinHash
+    *estimate* of Jaccard (fraction of the 12 seeds whose min-hashes agree —
+    the unbiased estimator E[mh_a=mh_b] = J) next to the *exact* Jaccard
+    from the shingle sets, with the absolute error.
+
+    This is the report that justifies (or rejects) a band/hash configuration
+    before a 100 TB dedup run: if the error column is wide at the decision
+    threshold, NUM_HASHES is too small. Same asymptotics as the dedup itself
+    — the pairing is the banded equi-join, the estimator join carries 12
+    rows per candidate pair, and the exact side touches candidates only."""
+    corpus = near_dup_corpus(spark, sf_dir)
+    sh = materialize(_shingles(corpus))
+    sig = materialize(_sig_wide(sh))
+    cand = _band_candidates(_bands_from_sig(sig))
+    sa_sig = sig.select(
+        F.col("doc_id").alias("da"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_NUM_HASHES)]
+    )
+    sb_sig = sig.select(
+        F.col("doc_id").alias("db"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_NUM_HASHES)]
+    )
+    n_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_NUM_HASHES)
+    )
+    est = (
+        cand.join(sa_sig, "da")
+        .join(sb_sig, "db")
+        .select("da", "db", (n_agree / _NUM_HASHES).alias("est_j"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("da"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("db"), "shingle")
+    inter = (
+        cand.join(sa, "da").join(sb, ["db", "shingle"]).groupBy("da", "db").agg(
+            F.count(F.lit(1)).alias("i")
+        )
+    )
+    za = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    exact = (
+        # left join: a banded collision CAN pair docs with zero shared
+        # shingles (est_j > 0, exact 0) — precisely the rows this audit exists
+        # to expose, so they must not drop out of the intersection join.
+        cand.join(inter, ["da", "db"], "left")
+        .join(za, "da")
+        .join(zb, "db")
+        .select(
+            "da",
+            "db",
+            (F.coalesce(F.col("i"), F.lit(0))
+             / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0)))
+             ).alias("exact_j"),
+        )
+    )
+    return (
+        est.join(exact, ["da", "db"])
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.round("est_j", 4).alias("est_j"),
+            F.round("exact_j", 4).alias("exact_j"),
+            F.round(F.abs(F.col("est_j") - F.col("exact_j")), 4).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_MINHASH_ERR_SQL = rf"""
+WITH corpus AS ({_CORPUS_SQL}),
+{_DUCK_SHINGLES},
+mh AS (
+  SELECT doc_id, seed,
+         MIN({duck_md5_long("shingle || '#' || CAST(seed AS VARCHAR)")}) AS mh
+  FROM sh, (SELECT unnest(generate_series(0, {_NUM_HASHES - 1})) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+sig AS (
+  SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band,
+         md5(array_to_string(
+           list_transform(list_slice(sig, band * {_R} + 1, band * {_R} + {_R}),
+                          x -> CAST(x AS VARCHAR)), ',')) AS bkey
+  FROM sig, (SELECT unnest(generate_series(0, {_BANDS - 1})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.da, c.db,
+         SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / CAST({_NUM_HASHES} AS DOUBLE) AS est_j
+  FROM cand c
+  JOIN mh x ON x.doc_id = c.da
+  JOIN mh y ON y.doc_id = c.db AND y.seed = x.seed
+  GROUP BY c.da, c.db
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.da, c.db, COUNT(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.da
+  JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
+  GROUP BY c.da, c.db
+),
+exact AS (
+  SELECT c.da, c.db,
+         COALESCE(i.i, 0) / CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE) AS exact_j
+  FROM cand c
+  LEFT JOIN inter i ON i.da = c.da AND i.db = c.db
+  JOIN sizes sa ON sa.doc_id = c.da
+  JOIN sizes sb ON sb.doc_id = c.db
+)
+SELECT e.da AS doc_a, e.db AS doc_b,
+       ROUND(e.est_j, 4) AS est_j,
+       ROUND(x.exact_j, 4) AS exact_j,
+       ROUND(ABS(e.est_j - x.exact_j), 4) AS abs_err
+FROM est e JOIN exact x ON x.da = e.da AND x.db = e.db
+ORDER BY doc_a, doc_b
 """
 
 
@@ -931,6 +1064,7 @@ QUERIES = {
     "dedup_documents_minhash": dedup_documents_minhash,
     "dedup_documents_minhash_ml": dedup_documents_minhash_ml,
     "dedup_documents_ngram": dedup_documents_ngram,
+    "minhash_estimation_error": minhash_estimation_error,
     "dedup_documents_simhash": dedup_documents_simhash,
     "stream_near_dup_flags": stream_near_dup_flags,
     "dedup_union_priority": dedup_union_priority,
@@ -944,6 +1078,7 @@ ORACLES = {
     "dedup_incremental_batch": _INCREMENTAL_SQL,
     "dedup_documents_minhash": _MINHASH_SQL,
     "dedup_documents_ngram": _NGRAM_SQL,
+    "minhash_estimation_error": _MINHASH_ERR_SQL,
     "dedup_documents_simhash": _SIMHASH_SQL,
     "dedup_union_priority": _UNION_PRIORITY_SQL,
     "dedup_detector_prf": _DETECTOR_PRF_SQL,

@@ -183,6 +183,27 @@ def ann_lsh_ml_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_assign(e: DataFrame) -> DataFrame:
+    """(vec_id, v, nrm, bucket): assign every vector to its nearest of the
+    deterministic coarse centroids (vec_id < _N_CENTROIDS) by rounded cosine,
+    centroid id as the tiebreak. The centroid frame is broadcast — the only
+    crossJoin is |corpus| × _N_CENTROIDS, a map-side operation."""
+    cent = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cid"))
+    c_cos = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("c_nrm"))
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "nrm", "cid", F.round(c_cos, 6).alias("c_sim"))
+        .withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "v", "nrm", F.col("cid").alias("bucket"))
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: coarse-quantize every vector to its nearest of 8 centroids
     (vec_id < 8 — deterministic coarse codebook), then each query searches
@@ -191,24 +212,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a partition-pruned scan of 1/8 of the data per query — the IVF
     promise, expressed relationally."""
     e = _vectors(spark, sf_dir)
-    cent = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("c_nrm"),
-    )
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.desc("c_sim"), F.asc("cid")
-    )
-    c_cos = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("c_nrm"))
-    assign = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "nrm", "cid", F.round(c_cos, 6).alias("c_sim"))
-        .withColumn("arn", F.row_number().over(aw))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "v", "nrm", F.col("cid").alias("bucket"))
-    )
     # the assignment feeds both the query side and the probe side
-    assign = materialize(assign)
+    assign = materialize(_ivf_assign(e))
     q = assign.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
@@ -262,6 +267,88 @@ ranked AS (
 SELECT q_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rank
 FROM ranked WHERE rn <= {_IVF_TOPK}
 ORDER BY q_id, rank
+"""
+
+
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding space
+    with the IVF coarse quantizer, then inside each cluster drop every vector
+    that has a *lower-id* semantic near-duplicate (rounded cosine ≥ 0.4) —
+    the keep-first-occurrence approximation of SemDeDup's epsilon-ball
+    pruning (Abbas et al. 2023), chosen because it is a single relational
+    pass (EXISTS) instead of an iterative greedy sweep.
+
+    Emits the per-cluster dedup profile (cluster size, drops, drop fraction)
+    — the report a curation run uses to pick its threshold. Scale shape: the
+    pairing is quadratic ONLY within a cluster; at 100 TB the quantizer's
+    centroid count grows with the corpus (SemDeDup uses ~√N clusters), so
+    per-cluster population — and with it the within-cluster product — stays
+    bounded, and clusters shard across executors via the bucket equi-join."""
+    e = _vectors(spark, sf_dir)
+    assign = materialize(_ivf_assign(e))
+    a = assign.select(
+        "bucket",
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assign.select(
+        "bucket",
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    dropped = (
+        a.join(b, "bucket")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(F.round(cos, 6) >= _NEAR_DUP_T)
+        .select("bucket", F.col("ib").alias("vec_id"))
+        .distinct()
+    )
+    stats = assign.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
+    d = dropped.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_dropped"))
+    return (
+        stats.join(d, "bucket", "left")
+        .select(
+            "bucket",
+            "n_vecs",
+            F.coalesce(F.col("n_dropped"), F.lit(0).cast("long")).alias("n_dropped"),
+            F.round(
+                F.coalesce(F.col("n_dropped"), F.lit(0).cast("long"))
+                / F.col("n_vecs"),
+                4,
+            ).alias("drop_frac"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_SEMANTIC_DEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_N_CENTROIDS}),
+assign AS (
+  SELECT vec_id, v, cid AS bucket FROM (
+    SELECT e.vec_id, e.v, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(e.v, cent.cv), 6) DESC,
+                                       cent.cid) AS arn
+    FROM e, cent)
+  WHERE arn = 1
+),
+dropped AS (
+  SELECT DISTINCT a.bucket, b.vec_id
+  FROM assign a JOIN assign b USING (bucket)
+  WHERE a.vec_id < b.vec_id
+    AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= {_NEAR_DUP_T}
+),
+stats AS (SELECT bucket, COUNT(*) AS n_vecs FROM assign GROUP BY bucket),
+d AS (SELECT bucket, COUNT(*) AS n_dropped FROM dropped GROUP BY bucket)
+SELECT s.bucket, s.n_vecs,
+       COALESCE(d.n_dropped, 0) AS n_dropped,
+       ROUND(COALESCE(d.n_dropped, 0) / CAST(s.n_vecs AS DOUBLE), 4) AS drop_frac
+FROM stats s LEFT JOIN d USING (bucket)
+ORDER BY bucket
 """
 
 
@@ -1260,6 +1347,7 @@ QUERIES = {
     "ann_pq_adc_recall": ann_pq_adc_recall,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "dedup_semantic_ivf": dedup_semantic_ivf,
     "ann_lsh_ml_topk": ann_lsh_ml_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_label_centroids": embedding_label_centroids,
@@ -1273,6 +1361,7 @@ ORACLES = {
     "ann_pq_adc_recall": _PQ_SQL,
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
+    "dedup_semantic_ivf": _SEMANTIC_DEDUP_SQL,
     "embedding_near_dup_pairs": _NEAR_DUP_SQL,
     "embedding_label_centroids": _CENTROIDS_SQL,
     "ann_truncated_recall": _TRUNC_RECALL_SQL,

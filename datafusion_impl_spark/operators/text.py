@@ -980,8 +980,93 @@ ORDER BY prefix_permille
 """
 
 
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text retrieval (k1=1.2, b=0.75) — the lexical-search
+    baseline every RAG/retrieval pipeline ships next to its ANN index. The
+    query is the corpus's two highest-DF terms of length ≥ 4 (deterministic
+    and data-derived, so the query always has matches at any SF); output is
+    the top-10 documents by summed BM25 with their matched-term count.
+
+    Scale shape: identical to TF-IDF — one explode, (doc, term) and doc-
+    length aggregates, a term-keyed DF aggregate bounded by vocabulary; the
+    query-term frame (2 rows) and the corpus stats (1 row) broadcast, so
+    scoring touches only postings of the query terms (an equi-join on term —
+    the relational form of an inverted-index lookup). Per-term scores are
+    ROUND(…, 6)ed before the ≤2-element sum (addition of two doubles is
+    order-insensitive), keeping the ranking engine-portable."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_corpus"), F.avg("dl").alias("avgdl")
+    )
+    qterms = (
+        dfq.filter(F.length("term") >= 4)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(2)
+    )
+    idf = F.log(
+        (F.col("n_corpus") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    s = idf * (
+        (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl"))))
+    )
+    per_doc = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(s, 6).alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s"), 6).alias("bm25"),
+            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+        )
+    )
+    return (
+        per_doc.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "bm25", "n_terms_hit")
+    )
+
+
+_BM25_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS.format(col='text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_corpus, AVG(dl) AS avgdl FROM dl),
+qterms AS (
+  SELECT term, df FROM dfq WHERE length(term) >= 4
+  ORDER BY df DESC, term LIMIT 2
+),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(ln((n_corpus - df + 0.5) / (df + 0.5) + 1.0)
+               * ((tf * 2.2)
+                  / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))), 6) AS s
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+per_doc AS (
+  SELECT doc_id, ROUND(SUM(s), 6) AS bm25,
+         CAST(COUNT(*) AS INTEGER) AS n_terms_hit
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, bm25, n_terms_hit
+FROM per_doc ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_bm25_search": text_bm25_search,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "corpus_curation_funnel": corpus_curation_funnel,
     "benchmark_decontamination": benchmark_decontamination,
@@ -999,6 +1084,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": _TOKEN_STATS_SQL,
+    "text_bm25_search": _BM25_SQL,
     "text_tfidf_top_terms": _TFIDF_SQL,
     "corpus_curation_funnel": _FUNNEL_SQL,
     "benchmark_decontamination": _DECONTAM_SQL,

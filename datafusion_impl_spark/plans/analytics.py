@@ -1020,6 +1020,94 @@ ORDER BY user_id, event_id
 """
 
 
+def events_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear time interpolation — the missing sibling of gap-fill (zeros)
+    and LOCF (step function): absent days get the straight line between the
+    surrounding observations, the standard resampling for continuous
+    metrics. Days with day-of-month ≡ 3 (mod 7) are synthetically dropped so
+    the operator always has real gaps to fill at any SF.
+
+    Plan shape: the daily aggregate bounds the series to the calendar before
+    any window runs — the prev/next scans (``last/first ignorenulls`` over
+    unbounded frames) operate on ~40 calendar rows of metadata, never on raw
+    events; at 100 TB the same plan holds with the series keyed per metric
+    (add the key to the partitionBy)."""
+    ev = load_table(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
+    daily = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    obs = daily.filter(F.dayofmonth("day") % 7 != 3)
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2023-12-25").cast("date"),
+                F.lit("2024-02-05").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    g = spine.join(obs, "day", "left")
+    wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    obs_day = F.when(F.col("n").isNotNull(), F.col("day"))
+    g = g.select(
+        "day",
+        "n",
+        F.last("n", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("pd"),
+        F.first("n", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("nd"),
+    )
+    frac = F.datediff("day", "pd") / F.datediff("nd", "pd")
+    interp = (
+        F.when(F.col("n").isNotNull(), F.col("n").cast("double"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .otherwise(F.coalesce("pv", "nv").cast("double"))
+    )
+    return g.select(
+        "day",
+        F.col("n").isNotNull().alias("observed"),
+        F.round(interp, 4).alias("value"),
+    ).orderBy("day")
+
+
+_INTERP_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
+),
+obs AS (SELECT * FROM daily WHERE dayofmonth(day) % 7 <> 3),
+spine AS (
+  SELECT unnest(generate_series(DATE '2023-12-25', DATE '2024-02-05',
+                                INTERVAL 1 DAY))::DATE AS day
+),
+g AS (
+  SELECT s.day, o.n,
+         LAST_VALUE(o.n IGNORE NULLS) OVER (ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         LAST_VALUE(CASE WHEN o.n IS NOT NULL THEN s.day END IGNORE NULLS)
+             OVER (ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         FIRST_VALUE(o.n IGNORE NULLS) OVER (ORDER BY s.day
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(CASE WHEN o.n IS NOT NULL THEN s.day END IGNORE NULLS)
+             OVER (ORDER BY s.day
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM spine s LEFT JOIN obs o USING (day)
+)
+SELECT day,
+       n IS NOT NULL AS observed,
+       ROUND(CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                    THEN pv + (nv - pv) * (date_diff('day', pd, day)
+                                           / CAST(date_diff('day', pd, nd) AS DOUBLE))
+                  ELSE CAST(COALESCE(pv, nv) AS DOUBLE) END,
+             4) AS value
+FROM g
+ORDER BY day
+"""
+
+
 def grouped_zscore_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map Pandas transform (§2.11 UDAF/grouped surface):
     per-language z-score of document length via ``applyInPandas`` — the
@@ -2016,6 +2104,7 @@ QUERIES = {
     "grouped_zscore_doclen": grouped_zscore_doclen,
     "events_daily_gapfill": events_daily_gapfill,
     "events_locf_imputation": events_locf_imputation,
+    "events_linear_interpolation": events_linear_interpolation,
     "map_functions_order_flags": map_functions_order_flags,
     "udaf_geometric_mean_events": udaf_geometric_mean_events,
     "sessionize_events": sessionize_events,
@@ -2070,6 +2159,7 @@ ORACLES = {
     "grouped_zscore_doclen": _GROUPED_ZSCORE_SQL,
     "events_daily_gapfill": _GAPFILL_SQL,
     "events_locf_imputation": _LOCF_SQL,
+    "events_linear_interpolation": _INTERP_SQL,
     "map_functions_order_flags": _MAP_FUNCS_SQL,
     "udaf_geometric_mean_events": _UDAF_GMEAN_SQL,
     "sessionize_events": _SESSIONIZE_SQL,

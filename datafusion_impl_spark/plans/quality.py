@@ -30,6 +30,110 @@ from datafusion_impl_spark.sources.registry import load_table
 __all__ = ["QUERIES", "ORACLES"]
 
 
+def table_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed anti-entropy check: order-independent bucketed checksums
+    of ``orders`` against a deliberately perturbed replica, the primitive
+    behind replica reconciliation / migration verification (compare two
+    100 TB copies WITHOUT co-sorting them — a Merkle-style census, fully
+    map-side + one tiny aggregate, no join of the two tables).
+
+    Every row hashes to a portable 60-bit md5 value over its business
+    columns; rows are assigned to 16 buckets by hash and each bucket keeps
+    (count, sum of hash mod p). The replica drops one known row and rewrites
+    the status of another, so exactly the buckets owning those rows must
+    mismatch — localizing the damage to 2/16 of the keyspace, which is the
+    point of bucketing (re-sync ships only the damaged buckets).
+
+    The modular sum uses p = 1e9+7: 60-bit hash % p < 2^30, so even billions
+    of rows per bucket stay far from BIGINT overflow — overflow-safe at
+    100 TB, where a raw SUM of 60-bit hashes would wrap."""
+    from datafusion_impl_spark.operators import md5_long
+
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+    )
+
+    def census(df: DataFrame, side: str) -> DataFrame:
+        h = md5_long(key).alias("h")
+        hashed = df.select(h)
+        return hashed.select(
+            (F.col("h") % 16).cast("int").alias("bucket"),
+            (F.col("h") % 1000000007).alias("hm"),
+        ).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias(f"n_{side}"),
+            F.sum("hm").alias(f"sum_{side}"),
+        )
+
+    # replica: one row deleted, one row's status corrupted — deterministic
+    # damage derived from the key space itself
+    replica = orders.filter(F.col("o_orderkey") != 7).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") == 32, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    a, b = census(orders, "a"), census(replica, "b")
+    return (
+        a.join(b, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0).cast("long")).alias("n_a"),
+            F.coalesce("n_b", F.lit(0).cast("long")).alias("n_b"),
+            F.coalesce("sum_a", F.lit(0).cast("long")).alias("sum_a"),
+            F.coalesce("sum_b", F.lit(0).cast("long")).alias("sum_b"),
+            (
+                (F.coalesce("n_a", F.lit(0)) == F.coalesce("n_b", F.lit(0)))
+                & (F.coalesce("sum_a", F.lit(0)) == F.coalesce("sum_b", F.lit(0)))
+            ).alias("match"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _checksum_oracle() -> str:
+    from datafusion_impl_spark.operators import duck_md5_long
+
+    key = (
+        "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' "
+        "|| o_orderstatus || '|' || CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR)"
+    )
+    h = duck_md5_long(f"({key})")
+    return f"""
+WITH a_h AS (SELECT {h} AS h FROM orders),
+b_src AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey = 32 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice
+  FROM orders WHERE o_orderkey <> 7
+),
+b_h AS (SELECT {h} AS h FROM b_src),
+a AS (
+  SELECT CAST(h % 16 AS INTEGER) AS bucket, COUNT(*) AS n_a,
+         SUM(h % 1000000007) AS sum_a
+  FROM a_h GROUP BY 1
+),
+b AS (
+  SELECT CAST(h % 16 AS INTEGER) AS bucket, COUNT(*) AS n_b,
+         SUM(h % 1000000007) AS sum_b
+  FROM b_h GROUP BY 1
+)
+SELECT bucket,
+       CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+       CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+       CAST(COALESCE(sum_a, 0) AS BIGINT) AS sum_a,
+       CAST(COALESCE(sum_b, 0) AS BIGINT) AS sum_b,
+       (COALESCE(n_a, 0) = COALESCE(n_b, 0)
+        AND COALESCE(sum_a, 0) = COALESCE(sum_b, 0)) AS match
+FROM a FULL OUTER JOIN b USING (bucket)
+ORDER BY bucket
+"""
+
+
 def data_quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style constraint suite over ``orders`` in ONE scan: each
     constraint row reports its measured metric and PASS/FAIL against a
@@ -420,6 +524,7 @@ ORDER BY bin
 
 
 QUERIES = {
+    "table_checksum_buckets": table_checksum_buckets,
     "data_quality_constraint_report": data_quality_constraint_report,
     "user_cohort_retention": user_cohort_retention,
     "daily_revenue_anomalies": daily_revenue_anomalies,
@@ -428,6 +533,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "table_checksum_buckets": _checksum_oracle(),
     "data_quality_constraint_report": _QUALITY_SQL,
     "user_cohort_retention": _COHORT_SQL,
     "daily_revenue_anomalies": _ANOMALY_SQL,

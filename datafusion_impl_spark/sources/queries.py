@@ -216,6 +216,92 @@ ORDER BY source
 _BUCKET_ROOT = "/tmp/datafusion_impl_spark_bucketed"
 
 
+def compact_small_files_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the table-maintenance operator every
+    long-lived 100 TB lake needs (streaming ingest and partitioned writes
+    accumulate small files; scan throughput dies by open()/footer overhead).
+
+    Materializes a deliberately over-split 12-file orders layout, then plans
+    the compaction RELATIONALLY from per-file stats (`input_file_name()` —
+    no driver-side file listing): files ordered by name are bin-packed into
+    4 target groups by cumulative row count, and the output is the per-bin
+    manifest (file count, rows, exact revenue checksum) a rewrite job would
+    execute. At scale the same plan runs per table-partition, each partition's
+    file census being a few hundred rows of metadata — the bin-packing window
+    runs over an Aggregate output, never over the fact rows.
+
+    The oracle recomputes the identical plan from the files Spark wrote
+    (DuckDB ``read_parquet(..., filename=...)``), so file/row/value agreement
+    also re-verifies the parquet write path end to end."""
+    path = os.path.join(_JSONL_ROOT, os.path.basename(sf_dir.rstrip("/")), "orders_small")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    orders.repartition(12, F.col("o_orderkey")).write.mode("overwrite").parquet(path)
+
+    from pyspark.sql import Window
+
+    back = spark.read.parquet(path).select(
+        F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("file"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    per_file = back.groupBy("file").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("price"),
+    )
+    tot = per_file.agg(F.sum("n_rows").alias("total_rows"))
+    # cumulative rows BEFORE each file (files in name order) → start-offset
+    # binning into 4 equal-row target groups; windows run over the 12-row
+    # file census (bounded: above the per-file Aggregate), not the fact table
+    w = Window.orderBy("file").rowsBetween(Window.unboundedPreceding, -1)
+    planned = (
+        per_file.crossJoin(F.broadcast(tot))
+        .withColumn("cum_before", F.coalesce(F.sum("n_rows").over(w), F.lit(0)))
+        .withColumn(
+            "bin",
+            F.floor(F.col("cum_before") * 4 / F.col("total_rows")).cast("int"),
+        )
+    )
+    return (
+        planned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.round(F.sum("price").cast("double"), 2).alias("revenue"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _compact_plan_oracle(sf_tag: str) -> str:
+    path = os.path.join(_JSONL_ROOT, sf_tag, "orders_small")
+    return f"""
+WITH back AS (
+  SELECT regexp_extract(filename, '([^/]+)$', 1) AS file, o_orderkey, o_totalprice
+  FROM read_parquet('{path}/*.parquet', filename=true)
+),
+per_file AS (
+  SELECT file, COUNT(*) AS n_rows,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS price
+  FROM back GROUP BY file
+),
+tot AS (SELECT SUM(n_rows) AS total_rows FROM per_file),
+planned AS (
+  SELECT file, n_rows, price,
+         COALESCE(SUM(n_rows) OVER (ORDER BY file
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+         total_rows
+  FROM per_file, tot
+)
+SELECT CAST(FLOOR(cum_before * 4 / CAST(total_rows AS DOUBLE)) AS INTEGER) AS bin,
+       COUNT(*) AS n_files,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(price) AS DOUBLE), 2) AS revenue
+FROM planned
+GROUP BY 1
+ORDER BY bin
+"""
+
+
 def bucketed_orders_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB fact-fact join layout, end to end: write ``orders``
     storage-partitioned by ``o_orderpriority`` AND hash-bucketed+sorted on
@@ -560,6 +646,7 @@ QUERIES = {
     "bucketed_orders_pruned_join": bucketed_orders_pruned_join,
     "parquet_schema_evolution_merge": parquet_schema_evolution_merge,
     "zorder_orders_layout": zorder_orders_layout,
+    "compact_small_files_plan": compact_small_files_plan,
     "file_lineage_orders": file_lineage_orders,
     "csv_documents_roundtrip": csv_documents_roundtrip,
 }
@@ -572,6 +659,7 @@ ORACLES = {
     "bucketed_orders_pruned_join": _BUCKETED_JOIN_SQL,
     "parquet_schema_evolution_merge": _SCHEMA_EVO_SQL,
     "zorder_orders_layout": _ZORDER_SQL,
+    "compact_small_files_plan": _compact_plan_oracle("sf0.01"),
     "file_lineage_orders": _FILE_LINEAGE_SQL,
     "csv_documents_roundtrip": _CSV_ROUNDTRIP_SQL,
 }

@@ -166,3 +166,20 @@ def test_trending_windows_cover_every_slide(spark):
     # every hour containing events contributes 2 window starts (h-1, h), so
     # distinct windows ≥ distinct event hours; sparse hours yield no window
     assert len(starts) >= n_event_hours
+
+
+def test_checksum_buckets_localize_the_damage(spark):
+    """The perturbed replica differs in two rows (one delete, one status
+    flip). The flip changes the row's hash and can migrate it to another
+    bucket, so between 1 and 3 buckets mismatch; total row delta stays one
+    and every other bucket agrees on both count and checksum."""
+    from datafusion_impl_spark.plans.quality import table_checksum_buckets
+    from tests.conftest import SF_DIR
+
+    rows = table_checksum_buckets(spark, SF_DIR).collect()
+    bad = [r for r in rows if not r.match]
+    assert 1 <= len(bad) <= 3
+    assert sum(r.n_a for r in rows) - sum(r.n_b for r in rows) == 1
+    for r in rows:
+        if r.match:
+            assert r.n_a == r.n_b and r.sum_a == r.sum_b

@@ -558,3 +558,48 @@ def test_ivf_partitioned_codes_layout_prunes_probes(spark, tmp_path):
     # and the pruned read returns exactly the probed cells' codes
     got_cells = {r["cell"] for r in probed.select("cell").distinct().collect()}
     assert got_cells <= {1, 3}
+
+
+def test_minhash_estimation_error_planted_exact_pairs(spark, planted):
+    """Planted exact copies share every shingle, so every seed's min-hash
+    agrees: est_j = exact_j = 1 with zero error — and the estimator is
+    bounded in [0, 1] with err = |est - exact| everywhere."""
+    exact, _ = planted
+    rows = dedup.minhash_estimation_error(spark, SF_DIR).collect()
+    by_pair = {(r.doc_a, r.doc_b): r for r in rows}
+    for d in exact:
+        r = by_pair.get((d, d + 100000))
+        assert r is not None
+        assert r.est_j == 1.0 and r.exact_j == 1.0 and r.abs_err == 0.0
+    for r in rows:
+        assert 0.0 <= r.est_j <= 1.0
+        assert 0.0 <= r.exact_j <= 1.0
+        # abs_err is rounded from the UNROUNDED estimates, so recomputing it
+        # from the rounded output columns can differ by one 4-dp ulp
+        assert abs(r.abs_err - round(abs(r.est_j - r.exact_j), 4)) <= 1e-4 + 1e-9
+
+
+def test_semantic_dedup_partitions_and_bounds(spark):
+    """Cluster sizes must sum to the corpus; drops never exceed cluster
+    size minus the surviving seed (at least one vector survives per
+    cluster)."""
+    from datafusion_impl_spark.operators import similarity
+
+    rows = similarity.dedup_semantic_ivf(spark, SF_DIR).collect()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assert sum(r.n_vecs for r in rows) == emb.count()
+    for r in rows:
+        assert 0 <= r.n_dropped < r.n_vecs
+        assert r.drop_frac == round(r.n_dropped / r.n_vecs, 4)
+
+
+def test_bm25_top10_shape_and_ordering(spark):
+    from datafusion_impl_spark.operators import text as text_ops
+
+    rows = text_ops.text_bm25_search(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 10
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r.n_terms_hit in (1, 2)
+        assert r.bm25 > 0

@@ -166,3 +166,17 @@ def test_zorder_layout_shrinks_bounding_boxes(spark):
     assert z_cy < cy_range * 0.6, (z_cy, cy_range)
     # and z-order strictly beats the date layout on the custkey dimension
     assert z_cx < d_cx * 0.6, (z_cx, d_cx)
+
+
+def test_compaction_plan_conserves_rows_and_files(spark):
+    from datafusion_impl_spark.sources.queries import compact_small_files_plan
+    from datafusion_impl_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    rows = compact_small_files_plan(spark, SF_DIR).collect()
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    assert sum(r.n_files for r in rows) == 12
+    assert sum(r.n_rows for r in rows) == n_orders
+    assert {r.bin for r in rows} <= {0, 1, 2, 3}
+    # bins are balanced by construction: no bin holds more than half the rows
+    assert max(r.n_rows for r in rows) <= n_orders * 0.5
