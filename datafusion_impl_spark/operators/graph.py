@@ -24,6 +24,8 @@ connected-components recipe.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,6 +38,28 @@ from datafusion_impl_spark.operators.dedup import (
 __all__ = ["QUERIES", "ORACLES", "connected_components"]
 
 _MAX_ROUNDS = 16
+
+
+@contextmanager
+def _single_partition_iteration(spark: SparkSession):
+    """Pin shuffle partitions to 1 for a fixed-point loop, restoring after.
+
+    The graph loops iterate over the BOUNDED pair graph (thousands of rows
+    at sf0.1), but with the session's 32 shuffle partitions every round
+    schedules 32-task stages whose fixed scheduling cost dwarfs the actual
+    work — the same per-iteration-overhead failure mode as the naive
+    recursive CTE (see plans/modern.py). Heavy upstream plans (the MinHash
+    pipeline) are localCheckpoint-ed at full parallelism BEFORE entering
+    this context, so only the tiny iterative stages are pinned. On a real
+    cluster the equivalent is repartitioning the iteration frame to a
+    handful of partitions sized to the graph, not to the corpus.
+    Measured at sf0.1: components 5.7 s → ~2 s, PageRank 6.4 s → ~2 s."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def connected_components(pairs: DataFrame, max_rounds: int = _MAX_ROUNDS) -> DataFrame:
@@ -52,56 +76,59 @@ def connected_components(pairs: DataFrame, max_rounds: int = _MAX_ROUNDS) -> Dat
     # near-dup graph, so materializing it is the iterative-algorithm pattern —
     # on a cluster this would be checkpoint() to reliable storage.
     edges = edges.localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-    )
-    labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_rounds):
-        prev = labels
-        # (a) one-hop propagation: each node also keeps its own label via the
-        # union branch, so a single min-aggregate replaces join+left-join.
-        prop = edges.join(labels, edges.dst == labels.doc_id).select(
-            F.col("src").alias("doc_id"), "label"
-        )
+    with _single_partition_iteration(edges.sparkSession):
         labels = (
-            labels.unionByName(prop)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
+            edges.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .withColumn("label", F.col("doc_id"))
         )
         labels = labels.localCheckpoint(eager=True)
-        # Fixed-point check BEFORE paying the compression join: if one-hop
-        # propagation changed nothing, then for every edge (u,v)
-        # label(u) = label(v), i.e. each component already shares one label
-        # and compression would be the identity — return prev and skip the
-        # final round's self-join + checkpoint entirely. Both sides are
-        # checkpointed, so this is one tiny join+count job.
-        changed = (
-            labels.select("doc_id", F.col("label").alias("new_label"))
-            .join(prev, "doc_id")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        if changed == 0:
-            return prev.select("doc_id", F.col("label").alias("component"))
-        # (b) path compression: label ← label's label. Every label IS a node
-        # id present in `labels` (it starts as self and only ever moves to a
-        # reachable node's id), so the inner join always matches, and the
-        # composed pointer doubles the effective reach of the next round.
-        # `labels` feeds BOTH sides of the compression join; it was
-        # materialized above, so the plan tree stays bounded (without
-        # truncation each round would embed two copies of the previous
-        # round's plan — 2^rounds subtree blowup). The label table is
-        # bounded by the pair-graph node count — tiny relative to the
-        # corpus — so this is the standard iterate-checkpoint pattern.
-        lmap = labels.select(
-            F.col("doc_id").alias("m_id"), F.col("label").alias("m_label")
-        )
-        labels = labels.join(lmap, labels.label == F.col("m_id")).select(
-            "doc_id", F.col("m_label").alias("label")
-        )
-        labels = labels.localCheckpoint(eager=True)
+        for _ in range(max_rounds):
+            prev = labels
+            # (a) one-hop propagation: each node also keeps its own label via
+            # the union branch, so a single min-aggregate replaces
+            # join+left-join.
+            prop = edges.join(labels, edges.dst == labels.doc_id).select(
+                F.col("src").alias("doc_id"), "label"
+            )
+            labels = (
+                labels.unionByName(prop)
+                .groupBy("doc_id")
+                .agg(F.min("label").alias("label"))
+            )
+            labels = labels.localCheckpoint(eager=True)
+            # Fixed-point check BEFORE paying the compression join: if one-hop
+            # propagation changed nothing, then for every edge (u,v)
+            # label(u) = label(v), i.e. each component already shares one label
+            # and compression would be the identity — return prev and skip the
+            # final round's self-join + checkpoint entirely. Both sides are
+            # checkpointed, so this is one tiny join+count job.
+            changed = (
+                labels.select("doc_id", F.col("label").alias("new_label"))
+                .join(prev, "doc_id")
+                .filter(F.col("new_label") != F.col("label"))
+                .count()
+            )
+            if changed == 0:
+                return prev.select("doc_id", F.col("label").alias("component"))
+            # (b) path compression: label ← label's label. Every label IS a
+            # node id present in `labels` (it starts as self and only ever
+            # moves to a reachable node's id), so the inner join always
+            # matches, and the composed pointer doubles the effective reach of
+            # the next round. `labels` feeds BOTH sides of the compression
+            # join; it was materialized above, so the plan tree stays bounded
+            # (without truncation each round would embed two copies of the
+            # previous round's plan — 2^rounds subtree blowup). The label
+            # table is bounded by the pair-graph node count — tiny relative
+            # to the corpus — so this is the standard iterate-checkpoint
+            # pattern.
+            lmap = labels.select(
+                F.col("doc_id").alias("m_id"), F.col("label").alias("m_label")
+            )
+            labels = labels.join(lmap, labels.label == F.col("m_id")).select(
+                "doc_id", F.col("m_label").alias("label")
+            )
+            labels = labels.localCheckpoint(eager=True)
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds "
         "(component diameter exceeds 2**max_rounds)"
@@ -226,28 +253,29 @@ def pagerank(edges_sym: DataFrame, iters: int = _PR_ITERS,
     CTEs — no convergence test, no engine-specific stopping rule. A
     symmetric graph has no dangling nodes, so no teleport-mass correction
     term is needed."""
-    deg = edges_sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # n (node count) is a driver scalar: one job over the bounded node
-    # table, same pattern as connected_components' convergence count.
-    n = deg.count()
-    edges = edges_sym.join(deg, "src").localCheckpoint(eager=True)
-    ranks = deg.select(
-        F.col("src").alias("doc_id"), F.lit(1.0 / n).alias("rank")
-    ).localCheckpoint(eager=True)
-    base = (1.0 - damping) / n
-    for _ in range(iters):
-        contrib = edges.join(ranks, edges.src == ranks.doc_id).select(
-            "dst", (F.col("rank") / F.col("deg")).alias("c")
-        )
-        ranks = (
-            contrib.groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-            .select(
-                F.col("dst").alias("doc_id"),
-                (F.lit(base) + F.lit(damping) * F.col("s")).alias("rank"),
+    with _single_partition_iteration(edges_sym.sparkSession):
+        deg = edges_sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        # n (node count) is a driver scalar: one job over the bounded node
+        # table, same pattern as connected_components' convergence count.
+        n = deg.count()
+        edges = edges_sym.join(deg, "src").localCheckpoint(eager=True)
+        ranks = deg.select(
+            F.col("src").alias("doc_id"), F.lit(1.0 / n).alias("rank")
+        ).localCheckpoint(eager=True)
+        base = (1.0 - damping) / n
+        for _ in range(iters):
+            contrib = edges.join(ranks, edges.src == ranks.doc_id).select(
+                "dst", (F.col("rank") / F.col("deg")).alias("c")
             )
-            .localCheckpoint(eager=True)
-        )
+            ranks = (
+                contrib.groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+                .select(
+                    F.col("dst").alias("doc_id"),
+                    (F.lit(base) + F.lit(damping) * F.col("s")).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
     return ranks.join(deg, ranks.doc_id == deg.src).select(
         "doc_id", F.col("deg").alias("degree"), "rank"
     )
