@@ -152,6 +152,9 @@ _NEXT_ROTATION = [
     "table_checksum_buckets",       # new in r4, session 2
     "text_bm25_search",             # new in r4, session 2
     "events_linear_interpolation",  # new in r4, session 2
+    "dedup_documents_winnowing",    # new in r4, session 2
+    "source_token_gini",            # new in r4, session 2
+    "corpus_novelty_curve",         # new in r4, session 2
 ]
 
 

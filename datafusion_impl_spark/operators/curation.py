@@ -786,7 +786,81 @@ ORDER BY dist
 """
 
 
+def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty curve: ingest documents in doc_id order, attribute
+    each distinct shingle to the FIRST document carrying it, and report per
+    ingest-decile how much genuinely new content arrives — the
+    diminishing-returns audit behind "is scraping more of this source still
+    worth it". Rates are ratios of exact integer sums (novel/total shingles
+    per decile), so no float accumulation order can diverge across engines.
+
+    Scale shape: one shingle explode + distinct, one min-aggregate keyed by
+    shingle (the first-occurrence index), one join back, and windows only
+    over the per-doc aggregate (bounded)."""
+    from datafusion_impl_spark.operators.dedup import _shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = _shingles(docs)
+    # the shingle table feeds the first-occurrence index AND the join probe
+    sh = sh.localCheckpoint(eager=True)
+    fo = sh.groupBy("shingle").agg(F.min("doc_id").alias("fo"))
+    per_doc = (
+        sh.join(fo, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count_if(F.col("fo") == F.col("doc_id")).alias("n_novel"),
+        )
+    )
+    deciled = per_doc.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("doc_id"))
+    )
+    return (
+        deciled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sh").cast("long").alias("n_shingles"),
+            F.sum("n_novel").cast("long").alias("n_novel"),
+            F.round(F.sum("n_novel") / F.sum("n_sh"), 6).alias("novelty_rate"),
+        )
+        .orderBy("decile")
+    )
+
+
+_NOVELTY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(tk) - 2),
+                               i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingle
+  FROM toks
+  WHERE len(tk) >= 3
+),
+fo AS (SELECT shingle, MIN(doc_id) AS fo FROM sh GROUP BY shingle),
+per_doc AS (
+  SELECT sh.doc_id, COUNT(*) AS n_sh,
+         SUM(CASE WHEN fo.fo = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM sh JOIN fo USING (shingle)
+  GROUP BY sh.doc_id
+),
+deciled AS (
+  SELECT *, NTILE(10) OVER (ORDER BY doc_id) AS decile FROM per_doc
+)
+SELECT decile, COUNT(*) AS n_docs,
+       CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+       CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+       ROUND(SUM(n_novel) / CAST(SUM(n_sh) AS DOUBLE), 6) AS novelty_rate
+FROM deciled
+GROUP BY decile
+ORDER BY decile
+"""
+
+
 QUERIES = {
+    "corpus_novelty_curve": corpus_novelty_curve,
     "dedup_paragraphs_global": dedup_paragraphs_global,
     "dedup_documents_url": dedup_documents_url,
     "source_mixture_weights": source_mixture_weights,
@@ -806,6 +880,7 @@ def _rep_coverage_oracle() -> str:
 
 
 ORACLES = {
+    "corpus_novelty_curve": _NOVELTY_SQL,
     "dedup_paragraphs_global": _PARA_SQL,
     "dedup_documents_url": _URL_SQL,
     "source_mixture_weights": _MIX_SQL,

@@ -610,6 +610,146 @@ ORDER BY doc_a, doc_b
 """
 
 
+# Winnowing (MOSS) parameters: window of 4 consecutive shingle hashes, pairs
+# need ≥ 2 shared fingerprints, inverted-index DF cap 8.
+_WINNOW_W = 4
+_WINNOW_SHARED_T = 2
+_WINNOW_DF_CAP = 8
+
+
+def dedup_documents_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint dedup (Schleimer/Wilkerson/Aiken — the MOSS
+    algorithm): slide a window of ``_WINNOW_W`` consecutive shingle hashes
+    over each document and keep each window's MINIMUM hash as a fingerprint.
+    Winnowing guarantees any shared run of ≥ w+2 shingles yields a shared
+    fingerprint while storing only ~2/(w+1) of the hashes — the index-size/
+    recall dial that plain full-shingle inverted indexes lack at 100 TB.
+
+    Pairing is the usual DF-capped inverted-index equi-join over the
+    (already ~4× smaller) fingerprint sets; emitted pairs carry the shared
+    count and a containment-style overlap vs the smaller fingerprint set.
+    All md5-derived — the DuckDB oracle replays every window min."""
+    corpus = near_dup_corpus(spark, sf_dir)
+    toks = corpus.select("doc_id", tokens("text").alias("tk")).filter(
+        F.size("tk") >= 3
+    )
+    tk = F.col("tk")
+    sh_arr = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(tk, i), F.element_at(tk, i + 1), F.element_at(tk, i + 2)
+        ),
+    )
+    posh = toks.select(
+        "doc_id", F.posexplode(sh_arr).alias("pos", "shingle")
+    ).select("doc_id", "pos", md5_long(F.col("shingle")).alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WINNOW_W - 1)
+    fp = (
+        posh.select(
+            "doc_id",
+            F.min("h").over(w).alias("fp"),
+            F.count(F.lit(1)).over(w).alias("wn"),
+        )
+        # only full windows define fingerprints (tail windows would re-select
+        # suffix minima and inflate short docs)
+        .filter(F.col("wn") == _WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    # fingerprint sets feed the index, both join sides, and the size table
+    fp = materialize(fp)
+    rare = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _WINNOW_DF_CAP)
+        .select("fp")
+    )
+    # DF-capped index generates CANDIDATES only; the shared count is then
+    # verified over the FULL fingerprint sets (same generation/verification
+    # split as the n-gram operator), so exact copies score overlap = 1.0
+    # even when some of their fingerprints are corpus-common.
+    rfp = fp.join(rare, "fp")
+    ra = rfp.select(F.col("doc_id").alias("da"), "fp")
+    rb = rfp.select(F.col("doc_id").alias("db"), "fp")
+    cand = (
+        ra.join(rb, "fp")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("da"), "fp")
+    fb = fp.select(F.col("doc_id").alias("db"), "fp")
+    shared = (
+        cand.join(fa, "da")
+        .join(fb, ["db", "fp"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_SHARED_T)
+    )
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    za = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    overlap = F.col("n_shared") / F.least("na", "nb")
+    return (
+        shared.join(za, "da")
+        .join(zb, "db")
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(overlap, 4).alias("overlap"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_WINNOW_SQL = rf"""
+WITH corpus AS ({_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+  FROM corpus
+),
+posh AS (
+  SELECT doc_id, i AS pos,
+         {duck_md5_long("array_to_string(list_slice(tk, i, i + 2), ' ')")} AS h
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) idx
+  WHERE len(tk) >= 3
+),
+fp AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp,
+           COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS wn
+    FROM posh)
+  WHERE wn = {_WINNOW_W}
+),
+rare AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= {_WINNOW_DF_CAP}),
+rfp AS (SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM rfp a JOIN rfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+shared AS (
+  SELECT c.da, c.db, COUNT(*) AS n_shared
+  FROM cand c
+  JOIN fp x ON x.doc_id = c.da
+  JOIN fp y ON y.doc_id = c.db AND y.fp = x.fp
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_WINNOW_SHARED_T}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       ROUND(n_shared / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 4) AS overlap
+FROM shared
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+ORDER BY doc_a, doc_b
+"""
+
+
 # --------------------------------------------------------------------------
 # 3. SimHash near-dedup (fingerprint + banded Hamming candidates)
 # --------------------------------------------------------------------------
@@ -1065,6 +1205,7 @@ QUERIES = {
     "dedup_documents_minhash_ml": dedup_documents_minhash_ml,
     "dedup_documents_ngram": dedup_documents_ngram,
     "minhash_estimation_error": minhash_estimation_error,
+    "dedup_documents_winnowing": dedup_documents_winnowing,
     "dedup_documents_simhash": dedup_documents_simhash,
     "stream_near_dup_flags": stream_near_dup_flags,
     "dedup_union_priority": dedup_union_priority,
@@ -1079,6 +1220,7 @@ ORACLES = {
     "dedup_documents_minhash": _MINHASH_SQL,
     "dedup_documents_ngram": _NGRAM_SQL,
     "minhash_estimation_error": _MINHASH_ERR_SQL,
+    "dedup_documents_winnowing": _WINNOW_SQL,
     "dedup_documents_simhash": _SIMHASH_SQL,
     "dedup_union_priority": _UNION_PRIORITY_SQL,
     "dedup_detector_prf": _DETECTOR_PRF_SQL,

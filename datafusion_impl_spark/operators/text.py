@@ -1064,8 +1064,70 @@ FROM per_doc ORDER BY bm25 DESC, doc_id LIMIT 10
 """
 
 
+def source_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass inequality per source — the Gini coefficient of per-doc
+    token counts, the curation metric that flags sources whose token budget
+    is concentrated in a few mega-documents (a mixture weighted by doc
+    count then oversamples their long tail). Uses the exact discrete form
+    G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) over ascending-sorted counts:
+    every term is integer arithmetic until the single final division, so
+    the statistic is bit-portable across engines.
+
+    Scale shape: one tokenize projection, one per-source ranking window
+    (partitioned by source — shards across executors), one aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    per_doc = docs.select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("x")
+    )
+    w = Window.partitionBy("source").orderBy("x", "doc_id")
+    ranked = per_doc.withColumn("i", F.row_number().over(w).cast("long"))
+    g = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("x").alias("total_tokens"),
+        F.sum(F.col("i") * 2 * F.col("x")).alias("s2ix"),
+    )
+    gini = (
+        F.col("s2ix") - (F.col("n_docs") + 1) * F.col("total_tokens")
+    ) / (F.col("n_docs") * F.col("total_tokens"))
+    return (
+        g.select(
+            "source",
+            "n_docs",
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.round(gini, 6).alias("gini"),
+        )
+        .orderBy("source")
+    )
+
+
+_GINI_SQL = rf"""
+WITH per_doc AS (
+  SELECT doc_id, source,
+         CAST(len({_DUCK_TOKENS.format(col='text')}) AS BIGINT) AS x
+  FROM documents
+),
+ranked AS (
+  SELECT source, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id) AS BIGINT) AS i
+  FROM per_doc
+),
+g AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(x) AS total_tokens,
+         SUM(i * 2 * x) AS s2ix
+  FROM ranked GROUP BY source
+)
+SELECT source, n_docs,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       ROUND((s2ix - (n_docs + 1) * total_tokens)
+             / CAST(n_docs * total_tokens AS DOUBLE), 6) AS gini
+FROM g
+ORDER BY source
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "source_token_gini": source_token_gini,
     "text_bm25_search": text_bm25_search,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "corpus_curation_funnel": corpus_curation_funnel,
@@ -1084,6 +1146,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": _TOKEN_STATS_SQL,
+    "source_token_gini": _GINI_SQL,
     "text_bm25_search": _BM25_SQL,
     "text_tfidf_top_terms": _TFIDF_SQL,
     "corpus_curation_funnel": _FUNNEL_SQL,

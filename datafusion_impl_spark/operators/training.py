@@ -205,7 +205,9 @@ def dedup_documents_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard can sit far below any dedup threshold.
 
     Candidates come from the same rare-shingle inverted index as the n-gram
-    Jaccard operator (document frequency ≤ 4 — the DF cap bounds fan-out, so
+    Jaccard operator (document frequency ≤ 8 here — twice the Jaccard
+    operator's cap, buying recall for the asymmetric short-in-long case at
+    ~3× the candidate volume; the DF cap still bounds fan-out, so
     the blocked self-join stays linear in corpus size at 100 TB); containment
     is then computed exactly on candidates only."""
     corpus = near_dup_corpus(spark, sf_dir)
