@@ -506,3 +506,53 @@ def test_range_partitioned_write_gives_disjoint_file_ranges(spark, tmp_path):
     assert len(ranges) == 4
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, (ranges,)  # strictly disjoint key ranges
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
+    """Runtime row-level bloom filtering — the 100 TB mechanism that lets a
+    selective dim-side predicate prune the fact-side SCAN of a shuffle join
+    (the dim side aggregates a bloom filter of its join keys at runtime;
+    the fact side applies might_contain before shuffling). Locally the
+    application-side threshold (10 GB default) suppresses it, so the test
+    lowers the threshold and asserts the optimizer injects the filter into
+    a lineitem ⋈ σ(orders) plan — proving the engine config path is live."""
+    from pyspark.sql import functions as F
+
+    from datafusion_impl_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    saved = {c: spark.conf.get(c, None) for c in confs}
+    try:
+        for c, v in confs.items():
+            spark.conf.set(c, v)
+        li = load_table(spark, SF_DIR, "lineitem")
+        orders = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized
+        assert "might_contain" in optimized
+        # and the filtered plan still returns the exact join result
+        expected = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+            .collect()
+        )
+        assert j.collect() == expected
+    finally:
+        for c, v in saved.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
