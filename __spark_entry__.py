@@ -155,6 +155,7 @@ _NEXT_ROTATION = [
     "dedup_documents_winnowing",    # new in r4, session 2
     "source_token_gini",            # new in r4, session 2
     "corpus_novelty_curve",         # new in r4, session 2
+    "sql_udf_revenue_bins",         # new in r4, session 2
 ]
 
 

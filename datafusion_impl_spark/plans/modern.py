@@ -373,7 +373,66 @@ ORDER BY segment
 """
 
 
+def sql_udf_revenue_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL user-defined functions — the declarative UDF surface the
+    reference's host engine exposes through ``ScalarUDF`` registration
+    (``readme.md:31-35``), here with zero Python in the execution path:
+
+    - a SQL *scalar* function ``disc_price_sqludf(p, d) = p·(1−d)`` (inlined
+      by the analyzer into the plan — whole-stage-codegen, exactly as if the
+      expression were written at the call site), and
+    - a SQL *table* function ``price_bins_sqludf(lo, hi, step)`` expanded
+      LATERAL-free into a 6-row bin spine that is broadcast against
+      lineitem with a band predicate (tiny side broadcast — the sanctioned
+      nested-loop shape, never a shuffled cartesian).
+
+    Revenue sums go through DECIMAL(18,4) casts so the aggregate is
+    addition-order-independent and engine-portable."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sqludf")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price_sqludf(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION price_bins_sqludf(lo INT, hi INT, step INT)
+RETURNS TABLE(bin_lo INT, bin_hi INT)
+RETURN SELECT t.b AS bin_lo, t.b + step - 1 AS bin_hi
+       FROM (SELECT explode(sequence(lo, hi, step)) AS b) t"""
+    )
+    return spark.sql(
+        """
+SELECT b.bin_lo, b.bin_hi,
+       COUNT(*) AS n_items,
+       ROUND(CAST(SUM(CAST(disc_price_sqludf(l_extendedprice, l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+FROM lineitem_sqludf l
+JOIN price_bins_sqludf(0, 50000, 10000) b
+  ON l.l_extendedprice >= b.bin_lo AND l.l_extendedprice <= b.bin_hi
+GROUP BY b.bin_lo, b.bin_hi
+ORDER BY b.bin_lo
+"""
+    )
+
+
+_SQL_UDF_SQL = """
+WITH bins AS (
+  SELECT b AS bin_lo, b + 10000 - 1 AS bin_hi
+  FROM (SELECT unnest(generate_series(0, 50000, 10000)) AS b)
+)
+SELECT CAST(bin_lo AS INTEGER) AS bin_lo,
+       CAST(bin_hi AS INTEGER) AS bin_hi,
+       COUNT(*) AS n_items,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+FROM lineitem l
+JOIN bins b ON l.l_extendedprice >= b.bin_lo AND l.l_extendedprice <= b.bin_hi
+GROUP BY b.bin_lo, b.bin_hi
+ORDER BY bin_lo
+"""
+
+
 QUERIES = {
+    "sql_udf_revenue_bins": sql_udf_revenue_bins,
     "recursive_cte_revenue_ema": recursive_cte_revenue_ema,
     "ema_revenue_closed_form": ema_revenue_closed_form,
     "lateral_top_orders_per_segment": lateral_top_orders_per_segment,
@@ -384,6 +443,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_udf_revenue_bins": _SQL_UDF_SQL,
     "recursive_cte_revenue_ema": _RCTE_SQL,
     "ema_revenue_closed_form": _EMA_CLOSED_SQL,
     "lateral_top_orders_per_segment": _LATERAL_SQL,
