@@ -156,6 +156,8 @@ _NEXT_ROTATION = [
     "source_token_gini",            # new in r4, session 2
     "corpus_novelty_curve",         # new in r4, session 2
     "sql_udf_revenue_bins",         # new in r4, session 2
+    "daily_trend_regression",       # new in r4, session 2
+    "doc_length_quantile_normalization",  # new in r4, session 2
 ]
 
 

@@ -855,7 +855,65 @@ ORDER BY split, lang
 """
 
 
+def doc_length_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document lengths ACROSS sources: each doc's
+    length is replaced by the global length at the same within-source
+    quantile — the standard distribution-matching transform that removes
+    per-source length bias before mixing (a web source's inflated tail no
+    longer skews a uniform token budget).
+
+    Discrete construction, exactly replayable cross-engine: within-source
+    ``percent_rank`` over (length, doc_id) → index ``round(p·(N−1))+1`` into
+    the globally sorted length array. The global array here is one
+    collect_list aggregate (bounded corpus); at 100 TB the array is replaced
+    by a fixed-size equi-spaced quantile sketch (percentile_approx over the
+    same plan), which this operator's shape already accommodates — the
+    per-row work is one broadcast lookup either way. Output samples every
+    10th doc; n_chars is the testdata's own length column."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    g = docs.agg(
+        F.sort_array(F.collect_list("n_chars")).alias("garr"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.withColumn("p", F.percent_rank().over(w))
+    idx = (F.round(F.col("p") * (F.col("n") - 1)) + 1).cast("int")
+    return (
+        ranked.crossJoin(F.broadcast(g))
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round("p", 6).alias("src_quantile"),
+            F.element_at("garr", idx).cast("long").alias("norm_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_QNORM_SQL = """
+WITH g AS (
+  SELECT list(n_chars ORDER BY n_chars) AS garr, COUNT(*) AS n FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, n_chars,
+         PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS p
+  FROM documents
+)
+SELECT doc_id, source, n_chars,
+       ROUND(p, 6) AS src_quantile,
+       CAST(garr[CAST(ROUND(p * (n - 1), 0) AS INTEGER) + 1] AS BIGINT) AS norm_chars
+FROM ranked, g
+WHERE doc_id % 10 = 0
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "doc_length_quantile_normalization": doc_length_quantile_normalization,
     "chunk_documents_sliding": chunk_documents_sliding,
     "source_temperature_mixture": source_temperature_mixture,
     "dedup_documents_containment": dedup_documents_containment,
@@ -869,6 +927,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_length_quantile_normalization": _QNORM_SQL,
     "chunk_documents_sliding": _CHUNK_SQL,
     "source_temperature_mixture": _MIX_SQL,
     "dedup_documents_containment": _CONTAIN_SQL,

@@ -134,6 +134,62 @@ ORDER BY bucket
 """
 
 
+def daily_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type trend line via the SQL regression aggregate family
+    (``regr_slope`` / ``regr_intercept`` / ``regr_r2`` — one pass, partials
+    merge map-side like any algebraic aggregate): events/day regressed on
+    day index. The monitoring primitive behind "is this event type growing
+    or decaying, and how linear is it".
+
+    Determinism note: x and y are small exact integers, so every sum of
+    products the aggregates need stays below 2^53 and is exact in double —
+    slope/intercept/r2 agree bit-for-bit across engines before the ROUND.
+    The regression runs over the bounded daily aggregate, never raw events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("y"))
+    base = daily.groupBy("event_type").agg(F.min("day").alias("d0"))
+    xy = daily.join(base, "event_type").select(
+        "event_type",
+        F.datediff("day", "d0").cast("double").alias("x"),
+        F.col("y").cast("double").alias("y"),
+    )
+    return (
+        xy.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+            F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+            F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+base AS (SELECT event_type, MIN(day) AS d0 FROM daily GROUP BY 1),
+xy AS (
+  SELECT d.event_type,
+         CAST(date_diff('day', b.d0, d.day) AS DOUBLE) AS x,
+         CAST(y AS DOUBLE) AS y
+  FROM daily d JOIN base b USING (event_type)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(regr_slope(y, x), 6) AS slope,
+       ROUND(regr_intercept(y, x), 6) AS intercept,
+       ROUND(regr_r2(y, x), 6) AS r2
+FROM xy
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def data_quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style constraint suite over ``orders`` in ONE scan: each
     constraint row reports its measured metric and PASS/FAIL against a
@@ -524,6 +580,7 @@ ORDER BY bin
 
 
 QUERIES = {
+    "daily_trend_regression": daily_trend_regression,
     "table_checksum_buckets": table_checksum_buckets,
     "data_quality_constraint_report": data_quality_constraint_report,
     "user_cohort_retention": user_cohort_retention,
@@ -533,6 +590,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "daily_trend_regression": _TREND_SQL,
     "table_checksum_buckets": _checksum_oracle(),
     "data_quality_constraint_report": _QUALITY_SQL,
     "user_cohort_retention": _COHORT_SQL,
