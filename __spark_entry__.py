@@ -158,6 +158,7 @@ _NEXT_ROTATION = [
     "sql_udf_revenue_bins",         # new in r4, session 2
     "daily_trend_regression",       # new in r4, session 2
     "doc_length_quantile_normalization",  # new in r4, session 2
+    "pipe_syntax_segment_revenue",  # new in r4, session 2
 ]
 
 

@@ -431,7 +431,45 @@ ORDER BY bin_lo
 """
 
 
+def pipe_syntax_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0 ``|>`` operators) — the linear query-flow
+    surface: table → WHERE → JOIN → AGGREGATE → SELECT → ORDER BY as
+    sequential pipe stages. Same Catalyst plan as the nested form (the
+    parser desugars stages 1:1), so this is an engine-surface query: it
+    proves the dialect ships, while the oracle checks the desugaring against
+    classic SQL semantics. Revenue goes through DECIMAL so the aggregate is
+    order-independent."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_pipe")
+    return spark.sql(
+        """
+FROM orders_pipe
+|> WHERE o_orderstatus = 'O'
+|> JOIN customer_pipe ON o_custkey = c_custkey
+|> AGGREGATE COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+   GROUP BY c_mktsegment
+|> SELECT c_mktsegment AS segment, n_orders,
+          ROUND(CAST(rev AS DOUBLE), 2) AS revenue
+|> ORDER BY segment
+"""
+    )
+
+
+_PIPE_SQL = """
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'O'
+GROUP BY c_mktsegment
+ORDER BY segment
+"""
+
+
 QUERIES = {
+    "pipe_syntax_segment_revenue": pipe_syntax_segment_revenue,
     "sql_udf_revenue_bins": sql_udf_revenue_bins,
     "recursive_cte_revenue_ema": recursive_cte_revenue_ema,
     "ema_revenue_closed_form": ema_revenue_closed_form,
@@ -443,6 +481,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipe_syntax_segment_revenue": _PIPE_SQL,
     "sql_udf_revenue_bins": _SQL_UDF_SQL,
     "recursive_cte_revenue_ema": _RCTE_SQL,
     "ema_revenue_closed_form": _EMA_CLOSED_SQL,
