@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Empirical scale-up smoke: replicate sf0.1 K× (key-shifted) into /tmp and
+time representative single-table queries at both scales, printing the
+time ratio next to the data ratio.
+
+The point is evidence for the 100 TB posture: a query whose plan is
+scan + bounded shuffle should scale ~linearly in rows on a fixed-core
+machine (ratio ≈ K, i.e. no super-linear blow-up from a hidden quadratic
+or a driver-side loop). Queries chosen to cover the main plan families
+without cross-table FK rewiring:
+
+- q1_pricing_summary      (lineitem scan + two-phase aggregate)
+- q6_forecast_revenue     (lineitem scan + selective filter + scalar agg)
+- text_token_stats        (documents explode + groupBy)
+- dedup_documents_exact   (documents hash groupBy)
+- ann_ivf_topk            (embeddings broadcast-assign + bucket equi-join)
+
+doc_id shifts stay below the planted-dup offset (100000) so the dedup
+corpus guard holds. Replicated docs ARE cross-copy exact duplicates — the
+dedup queries do MORE work per row at K×, which is the honest direction.
+
+Usage: python scripts/scale_smoke.py [K]   (default 10; writes to
+/tmp/datafusion_impl_spark_scale_smoke/sfK)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROOT = "/tmp/datafusion_impl_spark_scale_smoke"
+
+#: (table, key columns to shift) — shifts keep planted-dup guards valid.
+_REPLICATE = {
+    "lineitem": [("l_orderkey", 10_000_000)],
+    "documents": [("doc_id", 10_000)],
+    "embeddings": [("vec_id", 1_000_000)],
+}
+
+_QUERIES = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "text_token_stats",
+    "dedup_documents_exact",
+    "ann_ivf_topk",
+]
+
+
+def build(spark, k: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = os.path.join(ROOT, f"sf{k}x")
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "events"):
+        # tables the smoke queries don't scan: link the originals
+        shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+    for t, shifts in _REPLICATE.items():
+        df = spark.read.parquet(f"{BASE}/{t}.parquet")
+        copies = []
+        for i in range(k):
+            c = df
+            for col, stride in shifts:
+                c = c.withColumn(col, F.col(col) + F.lit(i * stride))
+            copies.append(c)
+        u = copies[0]
+        for c in copies[1:]:
+            u = u.unionByName(c)
+        u.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    return out
+
+
+def time_queries(spark, queries, sf_dir: str) -> dict[str, float]:
+    import gc
+
+    out: dict[str, float] = {}
+    for name in _QUERIES:
+        fn = queries[name]
+        gc.collect()
+        spark._jvm.System.gc()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from datafusion_impl_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("datafusion_impl_spark-scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    big = build(spark, k)
+    base_t = time_queries(spark, queries, BASE)
+    big_t = time_queries(spark, queries, big)
+    report = {
+        "k": k,
+        "base": base_t,
+        "scaled": big_t,
+        "ratios": {
+            q: (round(big_t[q] / base_t[q], 2) if base_t[q] > 0 else None)
+            for q in base_t
+        },
+    }
+    print(json.dumps(report), flush=True)
+
+
+if __name__ == "__main__":
+    main()
