@@ -159,6 +159,7 @@ _NEXT_ROTATION = [
     "daily_trend_regression",       # new in r4, session 2
     "doc_length_quantile_normalization",  # new in r4, session 2
     "pipe_syntax_segment_revenue",  # new in r4, session 2
+    "bpe_merge_candidates",         # new in r4, session 2
 ]
 
 

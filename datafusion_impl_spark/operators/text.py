@@ -1125,8 +1125,70 @@ ORDER BY source
 """
 
 
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner statistic of BPE tokenizer training: corpus-weighted
+    adjacent character-pair frequencies (the quantity whose argmax becomes
+    each merge rule). Top-20 pairs with their corpus counts and the share
+    of total pair mass — what a tokenizer-training run computes every merge
+    round over 100 TB, here as two bounded aggregates:
+
+    word-frequency table (vocabulary-bounded — pair extraction runs per
+    DISTINCT word, weighted by its count, not per corpus occurrence) →
+    char-bigram explode over the word table → weighted pair aggregate.
+    The explode fans out |vocab|·avg_len rows, never |corpus|·len."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    wf = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.length("w") >= 2)
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.substr(F.col("w"), i, F.lit(2)),
+    )
+    pair_counts = (
+        wf.select(F.explode(bigrams).alias("pair"), "cnt")
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+    )
+    tot = pair_counts.agg(F.sum("n").alias("total"))
+    return (
+        pair_counts.crossJoin(F.broadcast(tot))
+        .select(
+            "pair",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+_BPE_SQL = rf"""
+WITH wf AS (
+  SELECT w, COUNT(*) AS cnt FROM (
+    SELECT unnest({_DUCK_TOKENS.format(col='text')}) AS w FROM documents)
+  GROUP BY w
+  HAVING length(w) >= 2
+),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair, cnt
+  FROM wf, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) idx
+),
+pair_counts AS (SELECT pair, SUM(cnt) AS n FROM pairs GROUP BY pair),
+tot AS (SELECT SUM(n) AS total FROM pair_counts)
+SELECT pair, CAST(n AS BIGINT) AS n,
+       ROUND(n / CAST(total AS DOUBLE), 6) AS share
+FROM pair_counts, tot
+ORDER BY n DESC, pair
+LIMIT 20
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "bpe_merge_candidates": bpe_merge_candidates,
     "source_token_gini": source_token_gini,
     "text_bm25_search": text_bm25_search,
     "text_tfidf_top_terms": text_tfidf_top_terms,
@@ -1146,6 +1208,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": _TOKEN_STATS_SQL,
+    "bpe_merge_candidates": _BPE_SQL,
     "source_token_gini": _GINI_SQL,
     "text_bm25_search": _BM25_SQL,
     "text_tfidf_top_terms": _TFIDF_SQL,
