@@ -565,3 +565,40 @@ def test_windowed_unique_users_stream_equals_batch(spark, dup_events_dir):
     )
     expected = {r.w_start: r.n for r in batch.collect()}
     assert got == expected and len(got) > 0
+
+
+def test_file_sink_exactly_once_across_restart(spark, tmp_path):
+    """Exactly-once at the SINK: an append-mode stream writes parquet with a
+    checkpoint; after a stop + new data + restart (same checkpoint and same
+    output dir), the sink's committed manifest must contain each input row
+    exactly once — no duplicates from the restart, nothing lost. This is
+    the file-sink transactional-commit guarantee (the _spark_metadata log)
+    that checkpoint recovery alone does not pin."""
+    import shutil as _sh
+
+    src = tmp_path / "src"; src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _sh.copy(f"{SF_DIR}/events.parquet", src / "f1.parquet")
+
+    def start():
+        ev = stx.stream_events(spark, str(src)).select("event_id", "user_id")
+        return (
+            ev.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start(); q1.awaitTermination(120)
+    _sh.copy(f"{SF_DIR}/events.parquet", src / "f2.parquet")  # same rows again
+    q2 = start(); q2.awaitTermination(120)
+
+    back = spark.read.parquet(out)
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    # two deliveries -> each event_id exactly twice, total exactly 2n
+    assert back.count() == 2 * n_events
+    per_id = back.groupBy("event_id").count().filter(F.col("count") != 2).count()
+    assert per_id == 0
