@@ -617,19 +617,12 @@ _WINNOW_SHARED_T = 2
 _WINNOW_DF_CAP = 8
 
 
-def dedup_documents_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprint dedup (Schleimer/Wilkerson/Aiken — the MOSS
-    algorithm): slide a window of ``_WINNOW_W`` consecutive shingle hashes
-    over each document and keep each window's MINIMUM hash as a fingerprint.
-    Winnowing guarantees any shared run of ≥ w+2 shingles yields a shared
-    fingerprint while storing only ~2/(w+1) of the hashes — the index-size/
-    recall dial that plain full-shingle inverted indexes lack at 100 TB.
-
-    Pairing is the usual DF-capped inverted-index equi-join over the
-    (already ~4× smaller) fingerprint sets; emitted pairs carry the shared
-    count and a containment-style overlap vs the smaller fingerprint set.
-    All md5-derived — the DuckDB oracle replays every window min."""
-    corpus = near_dup_corpus(spark, sf_dir)
+def winnow_fingerprints(corpus: DataFrame) -> DataFrame:
+    """(doc_id, fp) distinct winnowing fingerprints of a (doc_id, text)
+    corpus: positional word-3-gram hashes, min over each full window of
+    ``_WINNOW_W`` consecutive positions. Guarantee (the winnowing theorem):
+    two docs sharing a run of ≥ _WINNOW_W consecutive shingles share at
+    least one fingerprint — pinned directly by pytest."""
     toks = corpus.select("doc_id", tokens("text").alias("tk")).filter(
         F.size("tk") >= 3
     )
@@ -644,7 +637,7 @@ def dedup_documents_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(sh_arr).alias("pos", "shingle")
     ).select("doc_id", "pos", md5_long(F.col("shingle")).alias("h"))
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WINNOW_W - 1)
-    fp = (
+    return (
         posh.select(
             "doc_id",
             F.min("h").over(w).alias("fp"),
@@ -656,8 +649,23 @@ def dedup_documents_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+def dedup_documents_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint dedup (Schleimer/Wilkerson/Aiken — the MOSS
+    algorithm): slide a window of ``_WINNOW_W`` consecutive shingle hashes
+    over each document and keep each window's MINIMUM hash as a fingerprint.
+    Winnowing guarantees any shared run of ≥ w+2 shingles yields a shared
+    fingerprint while storing only ~2/(w+1) of the hashes — the index-size/
+    recall dial that plain full-shingle inverted indexes lack at 100 TB.
+
+    Pairing is the usual DF-capped inverted-index equi-join over the
+    (already ~4× smaller) fingerprint sets; emitted pairs carry the shared
+    count and a containment-style overlap vs the smaller fingerprint set.
+    All md5-derived — the DuckDB oracle replays every window min."""
+    corpus = near_dup_corpus(spark, sf_dir)
     # fingerprint sets feed the index, both join sides, and the size table
-    fp = materialize(fp)
+    fp = materialize(winnow_fingerprints(corpus))
     rare = (
         fp.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -678,3 +678,32 @@ def test_novelty_curve_declines_and_conserves(spark):
     assert sum(r.n_shingles for r in rows) == sh.count()
     # first-occurrence attribution makes early deciles strictly more novel
     assert rows[0].novelty_rate > rows[-1].novelty_rate
+
+
+def test_winnowing_theorem_shared_run_implies_shared_fingerprint(spark):
+    """The winnowing guarantee: any two docs sharing a run of >= _WINNOW_W
+    consecutive shingles (here: a shared span of _WINNOW_W + 2 tokens)
+    share at least one fingerprint — for every random placement of the
+    shared span inside otherwise-disjoint documents."""
+    import random
+
+    from datafusion_impl_spark.operators.dedup import _WINNOW_W, winnow_fingerprints
+
+    rng = random.Random(7)
+    rows = []
+    n_pairs = 8
+    for p in range(n_pairs):
+        span = [f"s{p}w{j}" for j in range(_WINNOW_W + 2)]
+        for side in (0, 1):
+            doc_id = p * 2 + side
+            pre = [f"u{doc_id}x{j}" for j in range(rng.randint(0, 10))]
+            post = [f"u{doc_id}y{j}" for j in range(rng.randint(0, 10))]
+            rows.append((doc_id, " ".join(pre + span + post)))
+    corpus = spark.createDataFrame(rows, schema="doc_id long, text string")
+    fps = winnow_fingerprints(corpus).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    for p in range(n_pairs):
+        a, b = by_doc[p * 2], by_doc[p * 2 + 1]
+        assert a & b, f"pair {p}: no shared fingerprint despite shared run"
