@@ -69,13 +69,23 @@ def table_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("hm").alias(f"sum_{side}"),
         )
 
-    # replica: one row deleted, one row's status corrupted — deterministic
-    # damage derived from the key space itself
-    replica = orders.filter(F.col("o_orderkey") != 7).withColumn(
-        "o_orderstatus",
-        F.when(F.col("o_orderkey") == 32, F.lit("X")).otherwise(
-            F.col("o_orderstatus")
-        ),
+    # replica: one row deleted (min key), one row's status corrupted (max
+    # key) — damage keys derived from the data itself so the query survives
+    # any testdata regeneration (TPC-H orderkeys are sparse; fixed literals
+    # could vanish between rounds)
+    bounds = orders.agg(
+        F.min("o_orderkey").alias("k_min"), F.max("o_orderkey").alias("k_max")
+    )
+    keyed = orders.crossJoin(F.broadcast(bounds))
+    replica = (
+        keyed.filter(F.col("o_orderkey") != F.col("k_min"))
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") == F.col("k_max"), F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .drop("k_min", "k_max")
     )
     a, b = census(orders, "a"), census(replica, "b")
     return (
@@ -105,11 +115,14 @@ def _checksum_oracle() -> str:
     h = duck_md5_long(f"({key})")
     return f"""
 WITH a_h AS (SELECT {h} AS h FROM orders),
+bounds AS (
+  SELECT MIN(o_orderkey) AS k_min, MAX(o_orderkey) AS k_max FROM orders
+),
 b_src AS (
   SELECT o_orderkey, o_custkey,
-         CASE WHEN o_orderkey = 32 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey = k_max THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
          o_totalprice
-  FROM orders WHERE o_orderkey <> 7
+  FROM orders, bounds WHERE o_orderkey <> k_min
 ),
 b_h AS (SELECT {h} AS h FROM b_src),
 a AS (
