@@ -39,6 +39,11 @@ def run_once(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _sf_value(sf_dir: str):
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return float(sf) if sf.replace(".", "").isdigit() else sf_dir
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from datafusion_impl_spark.session import get_spark
@@ -82,10 +87,28 @@ def main() -> None:
             run_once(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # Insurance checkpoint: with 200+ queries the full run takes ~25 min;
+        # if an external time cap kills the process mid-run, a bounded stdout
+        # tail would otherwise hold no parseable JSON at all. Every 25
+        # queries, emit a complete compact line with the running total so a
+        # truncated run still reports an honest partial measurement.
+        if len(timings) % 25 == 0:
+            print(
+                json.dumps(
+                    {
+                        "metric": "headline_queries_total_sec",
+                        "value": round(sum(timings.values()), 4),
+                        "unit": "sec",
+                        "sf": _sf_value(sf_dir),
+                        "n_queries": len(timings),
+                        "partial": True,
+                    }
+                ),
+                flush=True,
+            )
 
     total = round(sum(timings.values()), 4)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf_dir
+    sf_val = _sf_value(sf_dir)
     # Full per-query payload first (for scripts/bench_compare.py and humans)...
     print(
         json.dumps(
