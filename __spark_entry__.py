@@ -160,6 +160,8 @@ _NEXT_ROTATION = [
     "doc_length_quantile_normalization",  # new in r4, session 2
     "pipe_syntax_segment_revenue",  # new in r4, session 2
     "bpe_merge_candidates",         # new in r4, session 2
+    "grouped_winsorized_stats",     # new in r4, session 2
+    "rolling_revenue_event_correlation",  # new in r4, session 2
 ]
 
 

@@ -1020,6 +1020,129 @@ ORDER BY user_id, event_id
 """
 
 
+def grouped_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per source: clip document lengths at the
+    source's exact interpolated [p05, p95] and report raw vs clipped means
+    plus the clip census — the outlier-taming transform applied before any
+    mean-based mixture weighting (one mega-doc otherwise owns the average).
+
+    Two passes over the bounded per-source aggregate: percentile bounds per
+    source (broadcast back), then one clipped aggregate. Mean arithmetic
+    runs on exact integer sums (lengths are longs; clipped values become
+    doubles only at the bound, which both engines compute identically via
+    linear interpolation), divided once at the end."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    bounds = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.05D)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95D)").alias("hi"),
+    )
+    clipped = docs.join(F.broadcast(bounds), "source").select(
+        "source",
+        "n_chars",
+        F.least(F.greatest(F.col("n_chars").cast("double"), F.col("lo")), F.col("hi")).alias("w"),
+        (F.col("n_chars") < F.col("lo")).cast("long").alias("clip_lo"),
+        (F.col("n_chars") > F.col("hi")).cast("long").alias("clip_hi"),
+    )
+    return (
+        clipped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("n_chars") / F.count(F.lit(1)), 4).alias("raw_mean"),
+            F.round(F.sum("w") / F.count(F.lit(1)), 4).alias("winsor_mean"),
+            F.sum("clip_lo").alias("n_clip_lo"),
+            F.sum("clip_hi").alias("n_clip_hi"),
+        )
+        .orderBy("source")
+    )
+
+
+_WINSOR_SQL = """
+WITH bounds AS (
+  SELECT source,
+         quantile_cont(n_chars, 0.05) AS lo,
+         quantile_cont(n_chars, 0.95) AS hi
+  FROM documents GROUP BY source
+),
+clipped AS (
+  SELECT d.source, d.n_chars,
+         LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), b.lo), b.hi) AS w,
+         CASE WHEN d.n_chars < b.lo THEN 1 ELSE 0 END AS clip_lo,
+         CASE WHEN d.n_chars > b.hi THEN 1 ELSE 0 END AS clip_hi
+  FROM documents d JOIN bounds b USING (source)
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       ROUND(SUM(n_chars) / CAST(COUNT(*) AS DOUBLE), 4) AS raw_mean,
+       ROUND(SUM(w) / COUNT(*), 4) AS winsor_mean,
+       CAST(SUM(clip_lo) AS BIGINT) AS n_clip_lo,
+       CAST(SUM(clip_hi) AS BIGINT) AS n_clip_hi
+FROM clipped
+GROUP BY source
+ORDER BY source
+"""
+
+
+def rolling_revenue_event_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day rolling Pearson correlation between two daily business series
+    (order revenue and event volume) — the ops question "do these metrics
+    still move together?" as a windowed aggregate. ``corr`` runs as a
+    window function over the bounded joined daily frame; inputs are exact
+    integers (cents / counts) so the correlation's internal sums are exact
+    and the statistic is engine-portable after ROUND. Days with fewer than
+    14 predecessors report NULL (declared warm-up), identically in both
+    engines via a row-count gate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    rev = o.groupBy("day").agg(F.sum("cents").alias("rev_cents"))
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    j = rev.join(ev, "day")
+    w = Window.orderBy("day").rowsBetween(-13, 0)
+    gated = F.when(
+        F.count(F.lit(1)).over(w) == 14,
+        F.corr(F.col("rev_cents").cast("double"), F.col("n_events").cast("double")).over(w),
+    )
+    return (
+        j.select(
+            "day",
+            F.col("rev_cents").cast("long").alias("rev_cents"),
+            "n_events",
+            F.round(gated, 6).alias("corr_14d"),
+        )
+        .orderBy("day")
+    )
+
+
+_ROLLCORR_SQL = """
+WITH rev AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY 1
+),
+ev AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events FROM events GROUP BY 1
+),
+j AS (SELECT rev.day, rev_cents, n_events FROM rev JOIN ev USING (day))
+SELECT day,
+       CAST(rev_cents AS BIGINT) AS rev_cents,
+       n_events,
+       ROUND(CASE WHEN COUNT(*) OVER (ORDER BY day
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) = 14
+                  THEN corr(CAST(rev_cents AS DOUBLE), CAST(n_events AS DOUBLE))
+                       OVER (ORDER BY day
+                             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+             END, 6) AS corr_14d
+FROM j
+ORDER BY day
+"""
+
+
 def events_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear time interpolation — the missing sibling of gap-fill (zeros)
     and LOCF (step function): absent days get the straight line between the
@@ -2105,6 +2228,8 @@ QUERIES = {
     "events_daily_gapfill": events_daily_gapfill,
     "events_locf_imputation": events_locf_imputation,
     "events_linear_interpolation": events_linear_interpolation,
+    "grouped_winsorized_stats": grouped_winsorized_stats,
+    "rolling_revenue_event_correlation": rolling_revenue_event_correlation,
     "map_functions_order_flags": map_functions_order_flags,
     "udaf_geometric_mean_events": udaf_geometric_mean_events,
     "sessionize_events": sessionize_events,
@@ -2160,6 +2285,8 @@ ORACLES = {
     "events_daily_gapfill": _GAPFILL_SQL,
     "events_locf_imputation": _LOCF_SQL,
     "events_linear_interpolation": _INTERP_SQL,
+    "grouped_winsorized_stats": _WINSOR_SQL,
+    "rolling_revenue_event_correlation": _ROLLCORR_SQL,
     "map_functions_order_flags": _MAP_FUNCS_SQL,
     "udaf_geometric_mean_events": _UDAF_GMEAN_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
