@@ -162,6 +162,7 @@ _NEXT_ROTATION = [
     "bpe_merge_candidates",         # new in r4, session 2
     "grouped_winsorized_stats",     # new in r4, session 2
     "rolling_revenue_event_correlation",  # new in r4, session 2
+    "scd2_pointintime_join",        # new in r4, session 2
 ]
 
 

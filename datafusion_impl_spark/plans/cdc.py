@@ -248,7 +248,100 @@ ORDER BY 1
 """
 
 
+def scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join: every event joined to the SCD2 dimension
+    version valid AT ITS EVENT TIME — the temporal-correctness join that
+    separates a leakage-free feature pipeline from one that trains on
+    future attribute values. Events before a customer's first interval get
+    status 'NONE' (left semantics).
+
+    Scalable shape: no inequality join. The dimension's interval STARTS and
+    the events union into one stream per customer; a single
+    ``last(status, ignorenulls)`` window (dim rows sort before same-day
+    events) assigns each event the latest interval started on or before its
+    day — one shuffle on the entity key, O(1) state per row, the same
+    union-window as-of pattern as ``asof_join_prior_click``. Output is the
+    bounded (event_type × status) census."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("o_day"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_day", "o_orderkey")
+    ivals = (
+        orders.withColumn("prev_status", F.lag("o_orderstatus").over(w))
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("o_orderstatus"))
+        )
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_day").alias("day"),
+            F.lit(0).alias("ord"),
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.lit(None).cast("string").alias("event_type"),
+        )
+    )
+    evs = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("cust"),
+        F.to_date("ts").alias("day"),
+        F.lit(1).alias("ord"),
+        F.col("event_id").alias("k"),
+        F.lit(None).cast("string").alias("status"),
+        "event_type",
+    )
+    u = ivals.unionByName(evs)
+    pw = (
+        Window.partitionBy("cust")
+        .orderBy("day", "ord", "k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pit = u.withColumn("pit_status", F.last("status", ignorenulls=True).over(pw))
+    return (
+        pit.filter(F.col("ord") == 1)
+        .groupBy("event_type", F.coalesce("pit_status", F.lit("NONE")).alias("status"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type", "status")
+    )
+
+
+_PIT_SQL = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS o_day, o_orderkey,
+         LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_status
+  FROM orders
+),
+ivals AS (
+  SELECT o_custkey AS cust, o_day AS day, 0 AS ord, o_orderkey AS k,
+         o_orderstatus AS status, CAST(NULL AS VARCHAR) AS event_type
+  FROM ordered
+  WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+),
+evs AS (
+  SELECT user_id AS cust, CAST(ts AS DATE) AS day, 1 AS ord, event_id AS k,
+         CAST(NULL AS VARCHAR) AS status, event_type
+  FROM events
+),
+u AS (SELECT * FROM ivals UNION ALL SELECT * FROM evs),
+pit AS (
+  SELECT *, LAST_VALUE(status IGNORE NULLS) OVER (PARTITION BY cust
+              ORDER BY day, ord, k
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pit_status
+  FROM u
+)
+SELECT event_type, COALESCE(pit_status, 'NONE') AS status,
+       COUNT(*) AS n_events
+FROM pit WHERE ord = 1
+GROUP BY 1, 2
+ORDER BY event_type, status
+"""
+
+
 QUERIES = {
+    "scd2_pointintime_join": scd2_pointintime_join,
     "merge_upsert_latest_orders": merge_upsert_latest_orders,
     "scd2_order_status_history": scd2_order_status_history,
     "range_frame_weekly_revenue": range_frame_weekly_revenue,
@@ -256,6 +349,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scd2_pointintime_join": _PIT_SQL,
     "merge_upsert_latest_orders": _MERGE_SQL,
     "scd2_order_status_history": _SCD2_SQL,
     "range_frame_weekly_revenue": _RANGE_SQL,
