@@ -73,96 +73,85 @@ _MODULES = [
 #   r2: tpch tranches 1-3, analytics, joins_ext, regexp (50 rows)
 #   r3: LLM-pipeline layer — dedup/graph/similarity/text/sampling/curation/
 #       structured/multimodal + 4 training (50 rows, 48 green + 2 no_oracle)
-#   r4 (this list): the 27 queries never covered by r1-r3 — tpch4, modern,
-#       the 3 streaming oracles, the 6 remaining training entries, the 3
-#       source/sink round-trips, the analytics stragglers, the 3 rows-only
-#       divergence-path queries — plus this round's new queries, padded to 50
-#       with the oldest-evidence relational queries (r1/r2 vintages).
+#   r4: the 27 queries never covered by r1-r3 + that round's new queries
+#       (50 rows, 45 green + 2 red-now-fixed + 3 no_oracle)
+#   r5 (this list): the 2 repaired r4 reds first, then the 48 highest-value
+#       queries that have NEVER had a driver row (r4 session-2 batch + the
+#       production-ANN flagships + analytics/modern/quality remainder).
+#       After r5, union driver coverage is >=200/205; the 3 deferred
+#       stragglers lead _NEXT_ROTATION. The rows-only `no_oracle` trio
+#       (regexp_safe_edge_cases, approx_distinct_parts,
+#       profile_orders_columns_approx) is dropped from the window
+#       PERMANENTLY — the driver records only `err` for them, so keeping
+#       them burned 3 green slots per round (r4 verdict).
 _PRIORITY = [
-    # never driver-checked: tpch tranche 4
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_parts",
-    "q20_part_flow_suppliers",
-    # never driver-checked: modern SQL surface
-    "recursive_cte_revenue_ema",
-    "lateral_top_orders_per_segment",
-    "events_props_variant",
-    # never driver-checked: streaming batch-twin oracles
-    "session_window_stats",
-    "click_attribution_stats",
-    "stream_corpus_dedup_stats",
-    # never driver-checked: training-assembly remainder
-    "hard_negative_mining",
-    "embedding_kmeans_clusters",
-    "dedup_chunks_exact",
-    "source_embedding_profile",
-    "quality_curriculum_tiers",
-    "split_leakage_report",
-    # never driver-checked: source/sink round-trips
-    "csv_reference_golden",
-    "jsonl_documents_roundtrip",
-    "orc_lineitem_roundtrip",
-    # never driver-checked: analytics stragglers
-    "salted_event_type_stats",
-    "salted_join_event_segments",
-    "events_time_rollup",
-    "profile_orders_columns",
-    "order_price_percentiles",
+    # r4 red rows, repaired this round (array column stringified; HUGEINT
+    # oracle sums cast) — lead the window so the fixes get driver evidence.
     "scalar_array_struct_functions",
-    "scalar_stats_aggregates",
-    "string_agg_nations_per_region",
-    # rows-only divergence paths (driver records rows-only evidence)
-    "approx_distinct_parts",
-    "profile_orders_columns_approx",
-    "regexp_safe_edge_cases",  # includes the Rust-dialect lookaround/backref rows
-    # new in r4
-    "ema_revenue_closed_form",
-    "bucketed_orders_pruned_join",
-    "xml_documents_roundtrip",
-    # new in r4: CDC/temporal layer
-    "merge_upsert_latest_orders",
-    "scd2_order_status_history",
-    "range_frame_weekly_revenue",
-    # new in r4: corpus batching/ordering
     "doc_length_quantile_bins",
-    "interleave_sources_round_robin",
-    # new in r4: layout/evolution
-    "parquet_schema_evolution_merge",
-    "zorder_orders_layout",
-    # new in r4: incremental maintenance + corpus lifecycle
-    "incremental_agg_merge",
-    "dedup_union_priority",
-    "corpus_snapshot_diff",
-    "ann_ivf_incremental_assign",   # new in r4 (replaces a padding slot)
-    "join_key_skew_report",         # new in r4 (replaces a padding slot)
-    "click_conversion_stats",       # new in r4 (replaces a padding slot)
-    "scalar_try_error_safe",        # new in r4 (replaces a padding slot)
-    "corpus_embedding_coverage",    # new in r4 (replaces a padding slot)
-    "dedup_pagerank_centrality",    # new in r4 (replaces a padding slot)
-    "length_bucketed_batches",      # new in r4 (replaces a padding slot)
+    # r4 session-2 batch (pytest-oracle green, queued from r4's _NEXT_ROTATION)
+    "minhash_estimation_error",
+    "dedup_semantic_ivf",
+    "compact_small_files_plan",
+    "table_checksum_buckets",
+    "text_bm25_search",
+    "events_linear_interpolation",
+    "dedup_documents_winnowing",
+    "source_token_gini",
+    "corpus_novelty_curve",
+    "sql_udf_revenue_bins",
+    "daily_trend_regression",
+    "doc_length_quantile_normalization",
+    "pipe_syntax_segment_revenue",
+    "bpe_merge_candidates",
+    "grouped_winsorized_stats",
+    "rolling_revenue_event_correlation",
+    "scd2_pointintime_join",
+    # production-ANN flagships, never driver-checked
+    "ann_ivf_pq_topk",
+    "ann_pq_adc_recall",
+    # LLM-ops remainder, never driver-checked
+    "entity_resolution_customers",
+    "dedup_detector_prf",
+    "graph_triangle_stats",
+    "multimodal_arrow_features",
+    "sample_k_per_source",
+    "weighted_sample_docs",
+    "udtf_polymorphic_tokens",
+    "topk_tokens_per_source",
+    "vocab_growth_curve",
+    "length_distribution_psi",
+    # analytics/quality remainder, never driver-checked
+    "bitmap_user_distinct_rollup",
+    "user_funnel_steps",
+    "trending_event_windows",
+    "agg_selector_functions",
+    "order_price_histogram",
+    "cogrouped_order_gap_stats",
+    "rolling_distinct_customers",
+    "event_type_transitions",
+    "map_higher_order_ops",
+    "explode_outer_semantics",
+    "pivot_multi_measures",
+    "group_by_all_order_stats",
+    "sql_variables_threshold_report",
+    "collated_segment_counts",
+    "data_quality_constraint_report",
+    "user_cohort_retention",
+    "daily_revenue_anomalies",
+    "weekly_seasonality_decomposition",
+    # sources, never driver-checked
+    "python_datasource_scan",
 ]
 
-# Beyond the 50-query window: oracle-checked by pytest this round, queued to
-# LEAD the r5 _PRIORITY rotation so they get driver evidence next round.
+# Beyond the 50-query window: the r6 rotation queue — the last 3
+# never-driver-checked oracled queries (deferred from r5's window for space),
+# plus any queries added this round (appended below as they land). After
+# these get driver rows, every oracled query in the registry has evidence.
 _NEXT_ROTATION = [
-    "minhash_estimation_error",     # new in r4, session 2
-    "dedup_semantic_ivf",           # new in r4, session 2
-    "compact_small_files_plan",     # new in r4, session 2
-    "table_checksum_buckets",       # new in r4, session 2
-    "text_bm25_search",             # new in r4, session 2
-    "events_linear_interpolation",  # new in r4, session 2
-    "dedup_documents_winnowing",    # new in r4, session 2
-    "source_token_gini",            # new in r4, session 2
-    "corpus_novelty_curve",         # new in r4, session 2
-    "sql_udf_revenue_bins",         # new in r4, session 2
-    "daily_trend_regression",       # new in r4, session 2
-    "doc_length_quantile_normalization",  # new in r4, session 2
-    "pipe_syntax_segment_revenue",  # new in r4, session 2
-    "bpe_merge_candidates",         # new in r4, session 2
-    "grouped_winsorized_stats",     # new in r4, session 2
-    "rolling_revenue_event_correlation",  # new in r4, session 2
-    "scd2_pointintime_join",        # new in r4, session 2
+    "csv_documents_roundtrip",          # deferred from r5 window
+    "file_lineage_orders",              # deferred from r5 window
+    "python_datasource_write_roundtrip",  # deferred from r5 window
 ]
 
 

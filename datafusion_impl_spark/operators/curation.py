@@ -779,8 +779,10 @@ matched AS (
   FROM best WHERE rn = 1
   GROUP BY dist
 )
-SELECT dist, n_records, n_correct_identity,
-       (SELECT COUNT(*) FROM dirty) - SUM(n_records) OVER () AS n_unmatched_total
+SELECT CAST(dist AS INTEGER) AS dist, n_records,
+       CAST(n_correct_identity AS BIGINT) AS n_correct_identity,
+       CAST((SELECT COUNT(*) FROM dirty) - SUM(n_records) OVER ()
+            AS BIGINT) AS n_unmatched_total
 FROM matched
 ORDER BY dist
 """
@@ -849,7 +851,7 @@ per_doc AS (
 deciled AS (
   SELECT *, NTILE(10) OVER (ORDER BY doc_id) AS decile FROM per_doc
 )
-SELECT decile, COUNT(*) AS n_docs,
+SELECT CAST(decile AS INTEGER) AS decile, COUNT(*) AS n_docs,
        CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
        CAST(SUM(n_novel) AS BIGINT) AS n_novel,
        ROUND(SUM(n_novel) / CAST(SUM(n_sh) AS DOUBLE), 6) AS novelty_rate

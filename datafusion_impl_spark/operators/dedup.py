@@ -1154,12 +1154,14 @@ def dedup_detector_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod("doc_a", F.lit(_DUP_OFFSET)) == F.pmod("doc_b", F.lit(_DUP_OFFSET))
         ).alias("n_planted_related"),
     )
+    # literal counts cast to long: a bare F.lit(int) is int32, but the
+    # oracle's COUNT(*) is BIGINT and the driver hashes dtype-sensitively
     return stats.select(
-        F.lit(n_te).alias("n_truth_exact"),
-        F.lit(n_he).alias("n_hit_exact"),
+        F.lit(n_te).cast("long").alias("n_truth_exact"),
+        F.lit(n_he).cast("long").alias("n_hit_exact"),
         F.round(F.lit(n_he) / F.lit(n_te), 4).alias("recall_exact"),
-        F.lit(n_tn).alias("n_truth_near"),
-        F.lit(n_hn).alias("n_hit_near"),
+        F.lit(n_tn).cast("long").alias("n_truth_near"),
+        F.lit(n_hn).cast("long").alias("n_hit_near"),
         F.round(F.lit(n_hn) / F.lit(n_tn), 4).alias("recall_near"),
         "n_detected",
         "n_planted_related",

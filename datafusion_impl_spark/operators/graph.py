@@ -40,9 +40,23 @@ __all__ = ["QUERIES", "ORACLES", "connected_components"]
 _MAX_ROUNDS = 16
 
 
+#: one iteration-stage shuffle partition per this many graph rows — sized so
+#: a partition's join state stays comfortably in executor memory.
+_ROWS_PER_ITER_PARTITION = 2_000_000
+
+
+def _iteration_partitions(n_rows: int) -> int:
+    """Shuffle-partition count for a fixed-point loop, sized from the
+    checkpointed graph's measured row count (NOT a hard-coded 1): tiny
+    graphs get 1 partition (scheduling overhead dominates), a 100×-scale
+    pair graph of tens of millions of edges gets real parallelism."""
+    return max(1, -(-n_rows // _ROWS_PER_ITER_PARTITION))
+
+
 @contextmanager
-def _single_partition_iteration(spark: SparkSession):
-    """Pin shuffle partitions to 1 for a fixed-point loop, restoring after.
+def _bounded_iteration(spark: SparkSession, n_rows: int):
+    """Pin shuffle partitions to `_iteration_partitions(n_rows)` for a
+    fixed-point loop, restoring after.
 
     The graph loops iterate over the BOUNDED pair graph (thousands of rows
     at sf0.1), but with the session's 32 shuffle partitions every round
@@ -50,12 +64,18 @@ def _single_partition_iteration(spark: SparkSession):
     work — the same per-iteration-overhead failure mode as the naive
     recursive CTE (see plans/modern.py). Heavy upstream plans (the MinHash
     pipeline) are localCheckpoint-ed at full parallelism BEFORE entering
-    this context, so only the tiny iterative stages are pinned. On a real
-    cluster the equivalent is repartitioning the iteration frame to a
-    handful of partitions sized to the graph, not to the corpus.
-    Measured at sf0.1: components 5.7 s → ~2 s, PageRank 6.4 s → ~2 s."""
+    this context, so only the tiny iterative stages are pinned, and the
+    count that sizes the pin is one cheap job over that checkpoint.
+    Measured at sf0.1: components 5.7 s → ~2 s, PageRank 6.4 s → ~2 s.
+
+    NOTE: this mutates the session-global shuffle-partition conf for the
+    duration of the loop (restored in ``finally``) and therefore assumes no
+    CONCURRENT queries plan on the same SparkSession while the loop runs —
+    true for the sequential bench/driver harness. A threaded harness would
+    need the override scoped per-frame (``df.repartition(n)`` on the
+    iteration frames) instead."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_iteration_partitions(n_rows)))
     try:
         yield
     finally:
@@ -76,7 +96,7 @@ def connected_components(pairs: DataFrame, max_rounds: int = _MAX_ROUNDS) -> Dat
     # near-dup graph, so materializing it is the iterative-algorithm pattern —
     # on a cluster this would be checkpoint() to reliable storage.
     edges = edges.localCheckpoint(eager=True)
-    with _single_partition_iteration(edges.sparkSession):
+    with _bounded_iteration(edges.sparkSession, edges.count()):
         labels = (
             edges.select(F.col("src").alias("doc_id"))
             .distinct()
@@ -253,7 +273,7 @@ def pagerank(edges_sym: DataFrame, iters: int = _PR_ITERS,
     CTEs — no convergence test, no engine-specific stopping rule. A
     symmetric graph has no dangling nodes, so no teleport-mass correction
     term is needed."""
-    with _single_partition_iteration(edges_sym.sparkSession):
+    with _bounded_iteration(edges_sym.sparkSession, edges_sym.count()):
         deg = edges_sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         # n (node count) is a driver scalar: one job over the bounded node
         # table, same pattern as connected_components' convergence count.

@@ -430,10 +430,10 @@ binned AS (
   FROM by_len
 )
 SELECT CAST((cum_before * {_N_QUANTILE_BINS}) // total AS INTEGER) AS bin,
-       SUM(cnt) AS n_docs,
+       CAST(SUM(cnt) AS BIGINT) AS n_docs,
        MIN(n_chars) AS min_chars,
        MAX(n_chars) AS max_chars,
-       ROUND(SUM(n_chars * cnt) / SUM(cnt), 4) AS avg_chars
+       ROUND(CAST(SUM(n_chars * cnt) AS BIGINT) / CAST(SUM(cnt) AS BIGINT), 4) AS avg_chars
 FROM binned
 GROUP BY 1
 ORDER BY 1
@@ -539,7 +539,7 @@ WITH ranked AS (
            ORDER BY {duck_md5_long("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
   FROM documents
 )
-SELECT source, rk, doc_id
+SELECT source, CAST(rk AS INTEGER) AS rk, doc_id
 FROM ranked WHERE rk <= {_SAMPLE_K}
 ORDER BY source, rk
 """
@@ -593,7 +593,7 @@ WITH keyed AS (
 top AS (
   SELECT * FROM keyed ORDER BY es_key DESC, doc_id LIMIT {_WSAMPLE_K}
 )
-SELECT ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS rk,
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS INTEGER) AS rk,
        doc_id, source, n_chars, es_key
 FROM top
 ORDER BY rk

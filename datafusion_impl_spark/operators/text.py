@@ -906,7 +906,7 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, token) AS rk
   FROM counts
 )
-SELECT r.source, r.rk, r.token, r.n,
+SELECT r.source, CAST(r.rk AS INTEGER) AS rk, r.token, r.n,
        ROUND(r.n / CAST(t.total AS DOUBLE), 6) AS share
 FROM ranked r JOIN totals t ON r.source = t.source
 WHERE r.rk <= {_HH_TOPK}

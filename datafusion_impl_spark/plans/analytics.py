@@ -823,7 +823,11 @@ ORDER BY c_mktsegment
 def scalar_array_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/struct scalar family (§2.9 'built-in when needed'): per-order
     line-number arrays with containment/extremum/indexing ops. Arrays are
-    sorted on build so results are partition-order independent."""
+    sorted on build so results are partition-order independent. The array
+    itself is surfaced as a CSV string (array_join) because the driver's
+    order-insensitive hasher cannot hash a raw array column (r4 red row:
+    ``TypeError: unhashable type: 'list'``); the array semantics are still
+    exercised by size/contains/element_at/max over the real array."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
     return (
         li.filter(F.col("l_orderkey") % 100 == 0)
@@ -831,7 +835,9 @@ def scalar_array_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.sort_array(F.collect_list("l_linenumber")).alias("lines"))
         .select(
             "l_orderkey",
-            "lines",
+            F.array_join(F.col("lines").cast("array<string>"), ",").alias(
+                "lines_csv"
+            ),
             F.size("lines").alias("n_lines"),
             F.array_contains("lines", 3).alias("has_line3"),
             F.element_at("lines", 1).alias("first_line"),
@@ -843,7 +849,8 @@ def scalar_array_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 _SCALAR_ARRAY_SQL = """
-SELECT l_orderkey, lines,
+SELECT l_orderkey,
+       array_to_string(lines, ',') AS lines_csv,
        CAST(len(lines) AS INTEGER) AS n_lines,
        list_contains(lines, 3) AS has_line3,
        lines[1] AS first_line,
@@ -937,7 +944,8 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-type dimension LEFT JOINed against daily aggregates, absent days
     zero-filled. The spine is bounded metadata (days × types), so the cross
     join is broadcast-tiny at any data scale; the fact side stays one
-    groupBy shuffle."""
+    groupBy shuffle. The day spine is derived from min/max(day) of the
+    daily aggregate (not hardcoded), so it tracks regenerated testdata."""
     ev = load_table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "event_type", "value"
     )
@@ -945,14 +953,10 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(_dec("value")), 2).cast("double").alias("sv"),
     )
-    days = spark.range(1).select(
-        F.explode(
-            F.sequence(
-                F.lit("2023-12-25").cast("date"),
-                F.lit("2024-02-05").cast("date"),
-                F.expr("INTERVAL 1 DAY"),
-            )
-        ).alias("day")
+    days = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
     )
     types = ev.select("event_type").distinct()
     return (
@@ -969,14 +973,15 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GAPFILL_SQL = """
-WITH days AS (
-  SELECT CAST(unnest(generate_series(DATE '2023-12-25', DATE '2024-02-05',
-                                     INTERVAL 1 DAY)) AS DATE) AS day),
-types AS (SELECT DISTINCT event_type FROM events),
-daily AS (
+WITH daily AS (
   SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
          CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sv
-  FROM events GROUP BY 1, 2)
+  FROM events GROUP BY 1, 2),
+days AS (
+  SELECT CAST(unnest(generate_series((SELECT MIN(day) FROM daily),
+                                     (SELECT MAX(day) FROM daily),
+                                     INTERVAL 1 DAY)) AS DATE) AS day),
+types AS (SELECT DISTINCT event_type FROM events)
 SELECT day, event_type, COALESCE(n, 0) AS n_events,
        COALESCE(sv, 0.0) AS sum_value
 FROM days CROSS JOIN types
@@ -1090,7 +1095,9 @@ def rolling_revenue_event_correlation(spark: SparkSession, sf_dir: str) -> DataF
     integers (cents / counts) so the correlation's internal sums are exact
     and the statistic is engine-portable after ROUND. Days with fewer than
     14 predecessors report NULL (declared warm-up), identically in both
-    engines via a row-count gate."""
+    engines via a row-count gate; zero-variance windows also report NULL via
+    a min≠max gate on both series (r4 ADVICE: Spark's corr yields NaN there
+    while DuckDB yields NULL, so without the gate the engines diverge)."""
     o = load_table(spark, sf_dir, "orders").select(
         F.to_date("o_orderdate").alias("day"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
@@ -1105,7 +1112,9 @@ def rolling_revenue_event_correlation(spark: SparkSession, sf_dir: str) -> DataF
     j = rev.join(ev, "day")
     w = Window.orderBy("day").rowsBetween(-13, 0)
     gated = F.when(
-        F.count(F.lit(1)).over(w) == 14,
+        (F.count(F.lit(1)).over(w) == 14)
+        & (F.min("rev_cents").over(w) != F.max("rev_cents").over(w))
+        & (F.min("n_events").over(w) != F.max("n_events").over(w)),
         F.corr(F.col("rev_cents").cast("double"), F.col("n_events").cast("double")).over(w),
     )
     return (
@@ -1132,13 +1141,14 @@ j AS (SELECT rev.day, rev_cents, n_events FROM rev JOIN ev USING (day))
 SELECT day,
        CAST(rev_cents AS BIGINT) AS rev_cents,
        n_events,
-       ROUND(CASE WHEN COUNT(*) OVER (ORDER BY day
-                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) = 14
+       ROUND(CASE WHEN COUNT(*) OVER w14 = 14
+                   AND MIN(rev_cents) OVER w14 <> MAX(rev_cents) OVER w14
+                   AND MIN(n_events) OVER w14 <> MAX(n_events) OVER w14
                   THEN corr(CAST(rev_cents AS DOUBLE), CAST(n_events AS DOUBLE))
-                       OVER (ORDER BY day
-                             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+                       OVER w14
              END, 6) AS corr_14d
 FROM j
+WINDOW w14 AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
 ORDER BY day
 """
 
@@ -1154,18 +1164,18 @@ def events_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     any window runs — the prev/next scans (``last/first ignorenulls`` over
     unbounded frames) operate on ~40 calendar rows of metadata, never on raw
     events; at 100 TB the same plan holds with the series keyed per metric
-    (add the key to the partitionBy)."""
+    (add the key to the partitionBy). The calendar spine is derived from
+    min/max(day) of the daily aggregate (a 1-row agg exploded into the day
+    sequence — no collect, no hardcoded dates), so it tracks whatever date
+    range the regenerated testdata carries (r4 ADVICE: a hardcoded spine
+    silently degenerates if the events range drifts)."""
     ev = load_table(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
     daily = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
     obs = daily.filter(F.dayofmonth("day") % 7 != 3)
-    spine = spark.range(1).select(
-        F.explode(
-            F.sequence(
-                F.lit("2023-12-25").cast("date"),
-                F.lit("2024-02-05").cast("date"),
-                F.expr("INTERVAL 1 DAY"),
-            )
-        ).alias("day")
+    spine = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
     )
     g = spine.join(obs, "day", "left")
     wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
@@ -1201,7 +1211,8 @@ WITH daily AS (
 ),
 obs AS (SELECT * FROM daily WHERE dayofmonth(day) % 7 <> 3),
 spine AS (
-  SELECT unnest(generate_series(DATE '2023-12-25', DATE '2024-02-05',
+  SELECT unnest(generate_series((SELECT MIN(day) FROM daily),
+                                (SELECT MAX(day) FROM daily),
                                 INTERVAL 1 DAY))::DATE AS day
 ),
 g AS (
@@ -1791,7 +1802,7 @@ WITH keyed AS (
 SELECT o_orderpriority,
        arg_max(o_orderkey, pc) AS priciest_order,
        arg_min(o_orderkey, pc) AS cheapest_order,
-       count_if(o_totalprice > 200000) AS n_big,
+       CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
        bool_and(o_totalprice > 0) AS all_positive,
        bool_or(o_orderstatus = 'P') AS any_pending
 FROM keyed
@@ -1948,8 +1959,8 @@ gaps AS (
 )
 SELECT c.c_mktsegment AS segment,
        COUNT(*) AS n_customers,
-       count_if(g.n_orders IS NULL) AS n_without_orders,
-       count_if(COALESCE(g.n_orders, 0) >= 2) AS n_multi_order,
+       CAST(count_if(g.n_orders IS NULL) AS BIGINT) AS n_without_orders,
+       CAST(count_if(COALESCE(g.n_orders, 0) >= 2) AS BIGINT) AS n_multi_order,
        CAST(SUM(COALESCE(g.n_orders, 0)) AS BIGINT) AS total_orders,
        ROUND(AVG(g.max_gap_days), 4) AS avg_max_gap_days
 FROM customer c LEFT JOIN gaps g ON c.c_custkey = g.o_custkey
@@ -1997,8 +2008,8 @@ WITH daily AS (
   FROM orders GROUP BY 1
 )
 SELECT day, n_orders,
-       len(custs) AS n_cust_1d,
-       len(list_distinct(flatten(list(custs) OVER w))) AS n_cust_7d
+       CAST(len(custs) AS INTEGER) AS n_cust_1d,
+       CAST(len(list_distinct(flatten(list(custs) OVER w))) AS INTEGER) AS n_cust_7d
 FROM daily
 WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
 ORDER BY day
@@ -2193,11 +2204,11 @@ def pivot_multi_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIVOT_MULTI_SQL = """
 SELECT c_mktsegment,
-       count_if(o_orderstatus = 'F') AS f_n,
+       CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS f_n,
        ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS f_rev,
-       count_if(o_orderstatus = 'O') AS o_n,
+       CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS o_n,
        ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS o_rev,
-       count_if(o_orderstatus = 'P') AS p_n,
+       CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS p_n,
        ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS p_rev
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment

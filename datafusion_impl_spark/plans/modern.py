@@ -271,7 +271,7 @@ def group_by_all_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GBA_BODY = """
-SELECT YEAR(o_orderdate) AS yr, o_orderpriority,
+SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS yr, o_orderpriority,
        COUNT(*) AS n_orders,
        COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
        ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS rev_finished,
@@ -382,10 +382,14 @@ def sql_udf_revenue_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
       by the analyzer into the plan — whole-stage-codegen, exactly as if the
       expression were written at the call site), and
     - a SQL *table* function ``price_bins_sqludf(lo, hi, step)`` expanded
-      LATERAL-free into a 6-row bin spine that is broadcast against
+      LATERAL-free into an 11-row bin spine that is broadcast against
       lineitem with a band predicate (tiny side broadcast — the sanctioned
       nested-loop shape, never a shuffled cartesian).
 
+    Bins are HALF-OPEN ``[bin_lo, bin_hi)`` (r4 ADVICE: the old closed
+    integer bins ``[b, b+9999]`` silently dropped fractional prices in the
+    gaps), and the spine spans [0, 110000) which covers TPC-H's price
+    domain (max ~104,950) — every lineitem row lands in exactly one bin.
     Revenue sums go through DECIMAL(18,4) casts so the aggregate is
     addition-order-independent and engine-portable."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sqludf")
@@ -396,7 +400,7 @@ def sql_udf_revenue_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(
         """CREATE OR REPLACE TEMPORARY FUNCTION price_bins_sqludf(lo INT, hi INT, step INT)
 RETURNS TABLE(bin_lo INT, bin_hi INT)
-RETURN SELECT t.b AS bin_lo, t.b + step - 1 AS bin_hi
+RETURN SELECT t.b AS bin_lo, t.b + step AS bin_hi
        FROM (SELECT explode(sequence(lo, hi, step)) AS b) t"""
     )
     return spark.sql(
@@ -406,8 +410,8 @@ SELECT b.bin_lo, b.bin_hi,
        ROUND(CAST(SUM(CAST(disc_price_sqludf(l_extendedprice, l_discount)
                            AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
 FROM lineitem_sqludf l
-JOIN price_bins_sqludf(0, 50000, 10000) b
-  ON l.l_extendedprice >= b.bin_lo AND l.l_extendedprice <= b.bin_hi
+JOIN price_bins_sqludf(0, 100000, 10000) b
+  ON l.l_extendedprice >= b.bin_lo AND l.l_extendedprice < b.bin_hi
 GROUP BY b.bin_lo, b.bin_hi
 ORDER BY b.bin_lo
 """
@@ -416,8 +420,8 @@ ORDER BY b.bin_lo
 
 _SQL_UDF_SQL = """
 WITH bins AS (
-  SELECT b AS bin_lo, b + 10000 - 1 AS bin_hi
-  FROM (SELECT unnest(generate_series(0, 50000, 10000)) AS b)
+  SELECT b AS bin_lo, b + 10000 AS bin_hi
+  FROM (SELECT unnest(generate_series(0, 100000, 10000)) AS b)
 )
 SELECT CAST(bin_lo AS INTEGER) AS bin_lo,
        CAST(bin_hi AS INTEGER) AS bin_hi,
@@ -425,7 +429,7 @@ SELECT CAST(bin_lo AS INTEGER) AS bin_lo,
        ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
                            AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
 FROM lineitem l
-JOIN bins b ON l.l_extendedprice >= b.bin_lo AND l.l_extendedprice <= b.bin_hi
+JOIN bins b ON l.l_extendedprice >= b.bin_lo AND l.l_extendedprice < b.bin_hi
 GROUP BY b.bin_lo, b.bin_hi
 ORDER BY bin_lo
 """

@@ -412,7 +412,7 @@ flagged AS (
 )
 SELECT CAST(date_trunc('month', day) AS DATE) AS month,
        COUNT(*) AS n_days,
-       count_if(is_anomaly) AS n_anomalies,
+       CAST(count_if(is_anomaly) AS BIGINT) AS n_anomalies,
        ROUND(MAX(rev), 2) AS max_rev,
        ROUND(MIN(rev), 2) AS min_rev
 FROM flagged
@@ -473,7 +473,7 @@ trended AS (
   FROM daily
 ),
 detrended AS (
-  SELECT dayofweek(day) + 1 AS dow, rev, trend,
+  SELECT CAST(dayofweek(day) + 1 AS INTEGER) AS dow, rev, trend,
          ROUND(rev - trend, 2) AS detr
   FROM trended
 )

@@ -36,12 +36,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ROOT = "/tmp/datafusion_impl_spark_scale_smoke"
 
-#: (table, key columns to shift) — shifts keep planted-dup guards valid.
+#: (table, key columns) — per-copy strides are computed from max(key)+1 at
+#: build time (r4 ADVICE: fixed strides alias copies for K above ~19 or a
+#: larger base SF). documents additionally asserts the shifted ids stay
+#: below the planted-dup offset that `near_dup_corpus` relies on.
 _REPLICATE = {
-    "lineitem": [("l_orderkey", 10_000_000)],
-    "documents": [("doc_id", 10_000)],
-    "embeddings": [("vec_id", 1_000_000)],
+    "lineitem": ["l_orderkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
+
+#: doc_id space where dedup's planted near-dups live — replicated doc_ids
+#: must stay strictly below it (mirrors operators/dedup.py's corpus guard).
+_DUP_OFFSET = 100_000
 
 _QUERIES = [
     "q1_pricing_summary",
@@ -62,13 +69,23 @@ def build(spark, k: int) -> str:
     for t in ("region", "nation", "customer", "supplier", "part", "orders", "events"):
         # tables the smoke queries don't scan: link the originals
         shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
-    for t, shifts in _REPLICATE.items():
+    for t, key_cols in _REPLICATE.items():
         df = spark.read.parquet(f"{BASE}/{t}.parquet")
+        maxes = df.agg(
+            *[F.max(c).alias(c) for c in key_cols]
+        ).first()
+        strides = {c: int(maxes[c]) + 1 for c in key_cols}
+        if t == "documents":
+            top = (k - 1) * strides["doc_id"] + maxes["doc_id"]
+            assert top < _DUP_OFFSET, (
+                f"K={k} would push replicated doc_ids to {top}, colliding "
+                f"with the planted-dup id space at {_DUP_OFFSET}; lower K"
+            )
         copies = []
         for i in range(k):
             c = df
-            for col, stride in shifts:
-                c = c.withColumn(col, F.col(col) + F.lit(i * stride))
+            for col in key_cols:
+                c = c.withColumn(col, F.col(col) + F.lit(i * strides[col]))
             copies.append(c)
         u = copies[0]
         for c in copies[1:]:
