@@ -152,6 +152,13 @@ _NEXT_ROTATION = [
     "csv_documents_roundtrip",          # deferred from r5 window
     "file_lineage_orders",              # deferred from r5 window
     "python_datasource_write_roundtrip",  # deferred from r5 window
+    "ann_knn_graph_ivf",                # new in r5 (mutual kNN graph)
+    "scd2_status_dwell_stats",          # new in r5 (time-in-state)
+    "source_unigram_kl",                # new in r5 (token drift)
+    "null_safe_segment_join",           # new in r5 (<=> surface)
+    "multimodal_chunk_manifest",        # new in r5 (multipart manifest)
+    "binaryfile_media_scan",            # new in r5 (binaryFile source)
+    "dedup_label_communities",          # new in r5 (label propagation)
 ]
 
 

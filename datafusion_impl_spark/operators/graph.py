@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_impl_spark.operators.dedup import (
@@ -35,7 +35,7 @@ from datafusion_impl_spark.operators.dedup import (
     dedup_documents_minhash,
 )
 
-__all__ = ["QUERIES", "ORACLES", "connected_components"]
+__all__ = ["QUERIES", "ORACLES", "connected_components", "label_propagation"]
 
 _MAX_ROUNDS = 16
 
@@ -363,6 +363,103 @@ ORDER BY doc_id
 _PAGERANK_SQL = _pagerank_oracle()
 
 
+_LPA_ITERS = 3
+
+
+def label_propagation(edges_sym: DataFrame, iters: int = _LPA_ITERS) -> DataFrame:
+    """Synchronous label propagation (community detection) over a symmetric
+    (``src``, ``dst``) edge list → (``doc_id``, ``community``).
+
+    Each of the fixed ``iters`` rounds re-labels every node with the label
+    most frequent among its neighbors (tie → minimum label) — the
+    deterministic variant of LPA: a fixed iteration count and a total
+    tie-order make the result engine-replayable, so the oracle unrolls the
+    exact recurrence as chained CTEs (no convergence race, the classic LPA
+    non-determinism source). Per round: one equi-join of the label table
+    with the edge list and one (src, label) count — both keyed on the
+    bounded pair graph, with the label table checkpointed per round
+    (cluster equivalent: ``checkpoint()``)."""
+    spark = edges_sym.sparkSession
+    with _bounded_iteration(spark, edges_sym.count()):
+        labels = (
+            edges_sym.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .withColumn("label", F.col("doc_id"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(iters):
+            votes = (
+                edges_sym.join(labels, edges_sym.dst == labels.doc_id)
+                .groupBy("src", "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            w = Window.partitionBy("src").orderBy(F.desc("cnt"), F.asc("label"))
+            labels = (
+                votes.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(F.col("src").alias("doc_id"), "label")
+                .localCheckpoint(eager=True)
+            )
+    return labels.select("doc_id", F.col("label").alias("community"))
+
+
+def dedup_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community assignment of the MinHash near-dup graph via 3-round
+    deterministic label propagation — the finer-grained alternative to
+    connected components when borderline LSH edges chain unrelated docs
+    together: LPA keeps densely-linked clone groups in one community while
+    a thin bridge between two groups does not merge them."""
+    pairs = (
+        dedup_documents_minhash(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    return label_propagation(edges.localCheckpoint(eager=True)).orderBy("doc_id")
+
+
+def _lpa_oracle() -> str:
+    """Unrolled LPA recurrence mirroring :func:`label_propagation`."""
+    steps = []
+    for i in range(1, _LPA_ITERS + 1):
+        steps.append(
+            f"v{i} AS (\n"
+            f"  SELECT e.src, l.label, COUNT(*) AS cnt\n"
+            f"  FROM edges e JOIN l{i - 1} l ON e.dst = l.doc_id\n"
+            f"  GROUP BY e.src, l.label\n"
+            f"),\n"
+            f"l{i} AS (\n"
+            f"  SELECT src AS doc_id, label FROM (\n"
+            f"    SELECT src, label,\n"
+            f"           ROW_NUMBER() OVER (PARTITION BY src\n"
+            f"                              ORDER BY cnt DESC, label) AS rn\n"
+            f"    FROM v{i})\n"
+            f"  WHERE rn = 1\n"
+            f")"
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_SQL}) minhash_pairs
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
+{chain}
+SELECT doc_id, label AS community
+FROM l{_LPA_ITERS}
+ORDER BY doc_id
+"""
+
+
+_LPA_SQL = _lpa_oracle()
+
+
 def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the near-dup graph — the structure audit that
     separates tight clone-cliques (high clustering) from chains of
@@ -446,6 +543,7 @@ FROM wedge, edges, tri
 
 
 QUERIES = {
+    "dedup_label_communities": dedup_label_communities,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_near_survivors": dedup_near_survivors,
     "dedup_pagerank_centrality": dedup_pagerank_centrality,
@@ -453,6 +551,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_label_communities": _LPA_SQL,
     "dedup_cluster_components": _COMPONENTS_SQL,
     "dedup_near_survivors": _NEAR_SURVIVORS_SQL,
     "dedup_pagerank_centrality": _PAGERANK_SQL,

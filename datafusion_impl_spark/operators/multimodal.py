@@ -384,7 +384,93 @@ def multimodal_arrow_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: multipart-transfer chunk size (bytes) and the doc_id sample the audit
+#: query surfaces (manifests are per-blob metadata; 1-in-20 keeps the
+#: driver-facing output bounded while every chunk computation is exercised).
+_CHUNK_BYTES = 256
+_MANIFEST_MOD = 20
+
+
+def multimodal_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multipart-transfer manifest over binary payloads: split every blob
+    into fixed 256-byte chunks and emit (offset, length, md5) per chunk —
+    the upload/verification plan object stores and dataset-shipping tools
+    (multipart PUT, torrent-style piece tables) need alongside the blob.
+
+    Pure Catalyst, no Python: chunk boundaries come from one
+    ``explode(sequence(...))`` over the blob's byte length, and each
+    chunk's checksum is md5 over the corresponding slice of the blob's hex
+    encoding — byte-exact, engine-portable (hex avoids DuckDB's missing
+    BLOB substring), and verifiable chunk-by-chunk on the receiving end.
+    Map-only plan: payloads are read once, never shuffled (the explode and
+    hashing happen in the scan stage); the manifest rows that do move are
+    ~40 bytes each."""
+    media = media_table(spark, sf_dir).filter(
+        F.col("doc_id") % _MANIFEST_MOD == 0
+    )
+    base = media.select(
+        "doc_id",
+        F.upper(F.hex("media")).alias("h"),
+        F.length("media").cast("int").alias("n_bytes"),
+    ).filter(F.col("n_bytes") > 0)
+    chunked = base.select(
+        "doc_id",
+        "h",
+        "n_bytes",
+        F.ceil(F.col("n_bytes") / _CHUNK_BYTES).cast("int").alias("n_chunks"),
+        F.explode(
+            F.sequence(
+                F.lit(0), (F.ceil(F.col("n_bytes") / _CHUNK_BYTES) - 1).cast("int")
+            )
+        ).alias("chunk_idx"),
+    )
+    return chunked.select(
+        "doc_id",
+        "n_bytes",
+        "n_chunks",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("chunk_idx") * _CHUNK_BYTES).cast("int").alias("offset"),
+        F.least(
+            F.lit(_CHUNK_BYTES),
+            F.col("n_bytes") - F.col("chunk_idx") * _CHUNK_BYTES,
+        ).cast("int").alias("chunk_len"),
+        F.md5(
+            F.expr(
+                f"substring(h, chunk_idx * {_CHUNK_BYTES} * 2 + 1, "
+                f"{_CHUNK_BYTES} * 2)"
+            )
+        ).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+_CHUNK_MANIFEST_SQL = f"""
+WITH m AS (
+  SELECT doc_id, upper(hex(encode(text))) AS h,
+         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+  FROM documents
+  WHERE doc_id % {_MANIFEST_MOD} = 0 AND octet_length(encode(text)) > 0
+),
+c AS (
+  SELECT doc_id, h, n_bytes,
+         CAST(CEIL(n_bytes / {_CHUNK_BYTES}.0) AS INTEGER) AS n_chunks,
+         unnest(generate_series(0,
+             CAST(CEIL(n_bytes / {_CHUNK_BYTES}.0) AS INTEGER) - 1)) AS chunk_idx
+  FROM m
+)
+SELECT doc_id, n_bytes, n_chunks,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(chunk_idx * {_CHUNK_BYTES} AS INTEGER) AS offset,
+       CAST(LEAST({_CHUNK_BYTES}, n_bytes - chunk_idx * {_CHUNK_BYTES}) AS INTEGER)
+         AS chunk_len,
+       md5(substr(h, chunk_idx * {_CHUNK_BYTES} * 2 + 1, {_CHUNK_BYTES} * 2))
+         AS chunk_md5
+FROM c
+ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
+    "multimodal_chunk_manifest": multimodal_chunk_manifest,
     "multimodal_arrow_features": multimodal_arrow_features,
     "multimodal_media_features": multimodal_media_features,
     "multimodal_frame_samples": multimodal_frame_samples,
@@ -392,6 +478,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_chunk_manifest": _CHUNK_MANIFEST_SQL,
     "multimodal_arrow_features": _MEDIA_FEATURES_SQL,
     "multimodal_media_features": _MEDIA_FEATURES_SQL,
     "multimodal_frame_samples": _FRAME_SAMPLES_SQL,

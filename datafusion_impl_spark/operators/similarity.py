@@ -1342,7 +1342,91 @@ ORDER BY t.q_id
 _IVFPQ_SQL = _ivfpq_oracle()
 
 
+def ann_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph over the WHOLE corpus (every vector gets its
+    top-3 in-cell neighbors, plus a mutual-kNN flag) — the structure behind
+    SemDeDup cluster sweeps, diversity filtering, and graph-based label
+    propagation; unlike :func:`ann_ivf_topk` (a query workload), this is the
+    index-construction workload.
+
+    Plan shape: one IVF coarse assignment (broadcast centroid crossJoin),
+    then a bucket equi-self-join — quadratic ONLY within a cell, sharded
+    across executors by the bucket key; the mutual flag is a self
+    equi-join of the (already tiny) edge list on the reversed key pair. At
+    100 TB the cell count grows ~√N (the SemDeDup recipe), keeping the
+    per-cell product bounded; no stage ever touches the all-pairs product.
+    """
+    e = _vectors(spark, sf_dir)
+    assign = materialize(_ivf_assign(e))
+    a = assign.select(
+        "bucket", F.col("vec_id").alias("src"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = assign.select(
+        "bucket", F.col("vec_id").alias("dst"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
+    edges = (
+        a.join(b, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", F.round(cos, 6).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IVF_TOPK)
+    )
+    edges = materialize(edges)
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(True).alias("m")
+    )
+    return (
+        edges.join(rev, ["src", "dst"], "left")
+        .select(
+            "src",
+            "dst",
+            "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+            F.coalesce("m", F.lit(False)).alias("mutual"),
+        )
+        .orderBy("src", "rank")
+    )
+
+
+_KNN_GRAPH_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_N_CENTROIDS}),
+assign AS (
+  SELECT vec_id, v, cid AS bucket FROM (
+    SELECT e.vec_id, e.v, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(e.v, cent.cv), 6) DESC,
+                                       cent.cid) AS arn
+    FROM e, cent)
+  WHERE arn = 1
+),
+scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+  FROM assign a JOIN assign b USING (bucket)
+  WHERE a.vec_id <> b.vec_id
+),
+edges AS (
+  SELECT src, dst, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY src
+                            ORDER BY cos_sim DESC, dst) AS rank
+  FROM scored
+  QUALIFY rank <= {_IVF_TOPK}
+)
+SELECT e1.src, e1.dst, e1.cos_sim, CAST(e1.rank AS INTEGER) AS rank,
+       e2.src IS NOT NULL AS mutual
+FROM edges e1
+LEFT JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+ORDER BY e1.src, e1.rank
+"""
+
+
 QUERIES = {
+    "ann_knn_graph_ivf": ann_knn_graph_ivf,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "ann_pq_adc_recall": ann_pq_adc_recall,
     "ann_cosine_topk": ann_cosine_topk,
@@ -1357,6 +1441,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_knn_graph_ivf": _KNN_GRAPH_SQL,
     "ann_ivf_pq_topk": _IVFPQ_SQL,
     "ann_pq_adc_recall": _PQ_SQL,
     "ann_cosine_topk": _ANN_TOPK_SQL,

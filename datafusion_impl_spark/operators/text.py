@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datafusion_impl_spark.operators import duck_md5_long, md5_long
+from datafusion_impl_spark.operators import duck_md5_long, materialize, md5_long
 from datafusion_impl_spark.sources.registry import load_table
 
 __all__ = ["QUERIES", "ORACLES"]
@@ -1186,7 +1186,131 @@ LIMIT 20
 """
 
 
+#: distributional-drift vocabulary size: KL runs over the top-V corpus
+#: tokens plus one out-of-vocabulary lump, so the sum is bounded at V+1
+#: terms per source regardless of corpus size.
+_KL_VOCAB = 100
+
+
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distributional drift: KL(source ‖ corpus) over unigram
+    token distributions — the token-level companion to
+    `length_distribution_psi` (which watches lengths). A source whose word
+    choice diverges from the corpus (templated boilerplate, different
+    domain) scores high and is the first candidate for re-weighting.
+
+    Scale shape: ONE (source, token) aggregate over the exploded corpus (a
+    single shuffle with map-side combine), from which both the corpus
+    unigram table and the per-source tables derive; the vocabulary is
+    bounded to the top-{V} corpus tokens via a distributed TakeOrdered
+    (never a global sort), everything rarer lumped into one ``<oov>`` mass,
+    so the KL sum is V+1 bounded terms per source. Per-term contributions
+    ROUND to 8 dp before the sum and the sum to 6 (the PSI precedent —
+    both engines evaluate ln() on identical doubles)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    st = (
+        docs.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n_st"))
+    )
+    st = materialize(st)
+    corpus = st.groupBy("token").agg(F.sum("n_st").alias("n_t"))
+    vocab = (
+        corpus.orderBy(F.desc("n_t"), "token")
+        .limit(_KL_VOCAB)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    mapped = (
+        st.join(F.broadcast(vocab), "token", "left")
+        .select(
+            "source",
+            F.when(F.col("in_vocab"), F.col("token"))
+            .otherwise(F.lit("<oov>"))
+            .alias("term"),
+            "n_st",
+        )
+        .groupBy("source", "term")
+        .agg(F.sum("n_st").alias("n"))
+    )
+    mapped = materialize(mapped)
+    corpus_terms = mapped.groupBy("term").agg(F.sum("n").alias("n_c"))
+    t_c = corpus_terms.agg(F.sum("n_c").alias("t_c"))
+    per_src = mapped.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("term") == "<oov>", F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("oov_tokens"),
+    )
+    p_s = F.col("n") / F.col("n_tokens")
+    p_c = F.col("n_c") / F.col("t_c")
+    contrib = F.round(p_s * F.log(p_s / p_c), 8)
+    kl = (
+        mapped.join(per_src.select("source", "n_tokens"), "source")
+        .join(F.broadcast(corpus_terms), "term")
+        .crossJoin(F.broadcast(t_c))
+        .groupBy("source")
+        .agg(F.round(F.sum(contrib), 6).alias("kl_vs_corpus"))
+    )
+    return (
+        per_src.join(kl, "source")
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("oov_tokens") / F.col("n_tokens"), 6).alias("oov_rate"),
+            "kl_vs_corpus",
+        )
+        .orderBy("source")
+    )
+
+
+_UNIGRAM_KL_SQL = rf"""
+WITH st AS (
+  SELECT source, token, COUNT(*) AS n_st
+  FROM (
+    SELECT source, unnest({_DUCK_TOKENS.format(col='text')}) AS token
+    FROM documents)
+  GROUP BY source, token
+),
+corpus AS (SELECT token, SUM(n_st) AS n_t FROM st GROUP BY token),
+vocab AS (
+  SELECT token FROM corpus ORDER BY n_t DESC, token LIMIT {_KL_VOCAB}
+),
+mapped AS (
+  SELECT source,
+         CASE WHEN v.token IS NOT NULL THEN st.token ELSE '<oov>' END AS term,
+         SUM(n_st) AS n
+  FROM st LEFT JOIN vocab v ON st.token = v.token
+  GROUP BY 1, 2
+),
+corpus_terms AS (SELECT term, SUM(n) AS n_c FROM mapped GROUP BY term),
+tc AS (SELECT SUM(n_c) AS t_c FROM corpus_terms),
+per_src AS (
+  SELECT source,
+         CAST(SUM(n) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN term = '<oov>' THEN n ELSE 0 END) AS BIGINT) AS oov_tokens
+  FROM mapped GROUP BY source
+),
+kl AS (
+  SELECT m.source,
+         ROUND(SUM(ROUND((m.n / CAST(p.n_tokens AS DOUBLE))
+                         * LN((m.n / CAST(p.n_tokens AS DOUBLE))
+                              / (c.n_c / CAST(tc.t_c AS DOUBLE))), 8)), 6)
+           AS kl_vs_corpus
+  FROM mapped m
+  JOIN per_src p USING (source)
+  JOIN corpus_terms c USING (term), tc
+  GROUP BY m.source
+)
+SELECT source, n_tokens,
+       ROUND(oov_tokens / CAST(n_tokens AS DOUBLE), 6) AS oov_rate,
+       kl_vs_corpus
+FROM per_src JOIN kl USING (source)
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "source_unigram_kl": source_unigram_kl,
     "text_token_stats": text_token_stats,
     "bpe_merge_candidates": bpe_merge_candidates,
     "source_token_gini": source_token_gini,
@@ -1207,6 +1331,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_unigram_kl": _UNIGRAM_KL_SQL,
     "text_token_stats": _TOKEN_STATS_SQL,
     "bpe_merge_candidates": _BPE_SQL,
     "source_token_gini": _GINI_SQL,

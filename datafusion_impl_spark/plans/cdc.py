@@ -340,7 +340,111 @@ ORDER BY event_type, status
 """
 
 
+def scd2_status_dwell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted temporal analytics over the SCD2 intervals — the
+    "time-in-state" question (`how long does a customer dwell in each
+    status, and what order value sits in it?`) that interval tables exist
+    to answer and that a plain per-row aggregate gets wrong (it weights by
+    transition count, not by elapsed time).
+
+    Reuses `scd2_order_status_history`'s interval construction (two windows
+    over ONE customer-keyed Exchange), keeps the CLOSED intervals, and
+    reports per status: interval count, total covered days, the status's
+    share of all covered days (exact integer ratio), and the
+    duration-weighted average opening order price —
+    ``SUM(price·days)/SUM(days)`` with the products routed through DECIMAL
+    so the sums are addition-order-independent across engines."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("o_day"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_day", "o_orderkey")
+    changes = orders.withColumn(
+        "prev_status", F.lag("o_orderstatus").over(w)
+    ).filter(
+        F.col("prev_status").isNull()
+        | (F.col("prev_status") != F.col("o_orderstatus"))
+    )
+    intervals = changes.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.datediff(F.lead("o_day").over(w), F.col("o_day")).alias("days"),
+    ).filter(F.col("days").isNotNull())
+    wall = Window.partitionBy()
+    pd_dec = (
+        F.col("o_totalprice").cast("decimal(18,2)")
+        * F.col("days").cast("decimal(10,0)")
+    ).cast("decimal(28,2)")
+    per_status = intervals.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_closed"),
+        F.sum("days").cast("long").alias("total_days"),
+        F.sum(pd_dec).alias("pd_sum"),
+    )
+    return (
+        per_status.select(
+            "o_orderstatus",
+            "n_closed",
+            "total_days",
+            F.round(
+                F.col("total_days")
+                / F.sum("total_days").over(wall).cast("double"),
+                6,
+            ).alias("days_share"),
+            # both engines cast the exact DECIMAL sum to the same nearest
+            # double, then perform ONE IEEE division — bit-identical; a
+            # decimal/decimal division would hit engine-specific scale rules
+            F.round(
+                F.col("pd_sum").cast("double")
+                / F.col("total_days").cast("double"),
+                4,
+            ).alias("dwell_weighted_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_DWELL_SQL = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS o_day,
+         o_orderkey, o_totalprice,
+         LAG(o_orderstatus) OVER w AS prev_status
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+),
+changes AS (
+  SELECT * FROM ordered
+  WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+),
+intervals AS (
+  SELECT o_orderstatus, o_totalprice,
+         DATE_DIFF('day', o_day,
+                   LEAD(o_day) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_day, o_orderkey)) AS days
+  FROM changes
+),
+per_status AS (
+  SELECT o_orderstatus,
+         COUNT(*) AS n_closed,
+         CAST(SUM(days) AS BIGINT) AS total_days,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                  * CAST(days AS DECIMAL(10,0)) AS DECIMAL(28,2))) AS pd_sum
+  FROM intervals WHERE days IS NOT NULL
+  GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n_closed, total_days,
+       ROUND(total_days / CAST(SUM(total_days) OVER () AS DOUBLE), 6) AS days_share,
+       ROUND(CAST(pd_sum AS DOUBLE) / CAST(total_days AS DOUBLE), 4)
+         AS dwell_weighted_price
+FROM per_status
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
+    "scd2_status_dwell_stats": scd2_status_dwell_stats,
     "scd2_pointintime_join": scd2_pointintime_join,
     "merge_upsert_latest_orders": merge_upsert_latest_orders,
     "scd2_order_status_history": scd2_order_status_history,
@@ -349,6 +453,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scd2_status_dwell_stats": _DWELL_SQL,
     "scd2_pointintime_join": _PIT_SQL,
     "merge_upsert_latest_orders": _MERGE_SQL,
     "scd2_order_status_history": _SCD2_SQL,

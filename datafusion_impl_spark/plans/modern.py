@@ -472,7 +472,56 @@ ORDER BY segment
 """
 
 
+def null_safe_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark ``<=>`` ≡ ANSI ``IS NOT DISTINCT
+    FROM``) — the dimension-lookup pattern where a NULL key is a real,
+    joinable category ("unassigned") instead of a dropped row: a plain
+    equi-join silently loses every NULL-keyed fact row, the classic
+    missing-revenue bug in segment reporting.
+
+    Events derive a nullable segment (``NULLIF(user_id % 5, 0)`` — a fifth
+    of users intentionally unassigned) and join to a 5-row inline dimension
+    whose last row carries a NULL key. Plan: the dimension is a broadcast
+    VALUES relation; a null-safe equi-condition still plans as a
+    BroadcastHashJoin in Spark (``<=>`` is hashable), so the 100 TB shape
+    is one map-side join, no shuffle."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_nsj")
+    return spark.sql(
+        """
+WITH dim(seg, seg_label) AS (VALUES
+  (1, 'alpha'), (2, 'beta'), (3, 'gamma'), (4, 'delta'),
+  (CAST(NULL AS INT), 'unassigned')),
+keyed AS (
+  SELECT NULLIF(CAST(user_id % 5 AS INT), 0) AS seg, value FROM events_nsj
+)
+SELECT d.seg_label,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+FROM keyed k JOIN dim d ON k.seg <=> d.seg
+GROUP BY d.seg_label
+ORDER BY d.seg_label
+"""
+    )
+
+
+_NULL_SAFE_SQL = """
+WITH dim(seg, seg_label) AS (VALUES
+  (1, 'alpha'), (2, 'beta'), (3, 'gamma'), (4, 'delta'),
+  (CAST(NULL AS INT), 'unassigned')),
+keyed AS (
+  SELECT NULLIF(CAST(user_id % 5 AS INT), 0) AS seg, value FROM events
+)
+SELECT d.seg_label,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+FROM keyed k JOIN dim d ON k.seg IS NOT DISTINCT FROM d.seg
+GROUP BY d.seg_label
+ORDER BY d.seg_label
+"""
+
+
 QUERIES = {
+    "null_safe_segment_join": null_safe_segment_join,
     "pipe_syntax_segment_revenue": pipe_syntax_segment_revenue,
     "sql_udf_revenue_bins": sql_udf_revenue_bins,
     "recursive_cte_revenue_ema": recursive_cte_revenue_ema,
@@ -485,6 +534,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "null_safe_segment_join": _NULL_SAFE_SQL,
     "pipe_syntax_segment_revenue": _PIPE_SQL,
     "sql_udf_revenue_bins": _SQL_UDF_SQL,
     "recursive_cte_revenue_ema": _RCTE_SQL,

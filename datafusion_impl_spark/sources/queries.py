@@ -638,7 +638,83 @@ ORDER BY lang
 """
 
 
+#: one object file per media asset, written by EXECUTORS (foreachPartition)
+#: — the canonical object-store layout for a multimodal corpus.
+_BLOB_MOD = 50
+
+
+def binaryfile_media_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``binaryFile`` source over a directory of blob
+    objects — the ingestion path for a multimodal corpus stored one object
+    per asset (images/audio): write a sampled set of documents as
+    individual ``doc_<id>.bin`` files from the EXECUTORS (foreachPartition
+    — no driver collect, the real distributed object-writer shape), then
+    read the directory back with ``format("binaryFile")`` +
+    ``pathGlobFilter`` and verify the round-trip byte-exactly.
+
+    The read-back row carries (path, length, content); the audit parses
+    the doc_id back out of the filename, checksums the content, and
+    aggregates — the oracle computes the same numbers from the original
+    parquet, so a mismatch pinpoints loss anywhere in write→scan. At
+    100 TB the scan parallelizes per-file with ``maxPartitionBytes``
+    packing many small objects per task; content is never shuffled."""
+    path = os.path.join(
+        _JSONL_ROOT, os.path.basename(sf_dir.rstrip("/")), "media_blobs"
+    )
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    sample = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _BLOB_MOD == 0)
+        .select("doc_id", F.encode("text", "UTF-8").alias("media"))
+    )
+
+    def write_blobs(rows) -> None:
+        for r in rows:
+            with open(os.path.join(path, f"doc_{r['doc_id']}.bin"), "wb") as f:
+                f.write(bytes(r["media"]))
+
+    sample.foreachPartition(write_blobs)
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+        .select(
+            F.regexp_extract(
+                F.element_at(F.split("path", "/"), -1), r"doc_(\d+)\.bin", 1
+            )
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("checksum"),
+        )
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.countDistinct("checksum").alias("n_checksums"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+_BINARYFILE_SQL = f"""
+SELECT COUNT(*) AS n_blobs,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       COUNT(DISTINCT md5(text)) AS n_checksums,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents
+WHERE doc_id % {_BLOB_MOD} = 0
+"""
+
+
 QUERIES = {
+    "binaryfile_media_scan": binaryfile_media_scan,
     "csv_reference_golden": csv_reference_golden,
     "jsonl_documents_roundtrip": jsonl_documents_roundtrip,
     "orc_lineitem_roundtrip": orc_lineitem_roundtrip,
@@ -652,6 +728,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "binaryfile_media_scan": _BINARYFILE_SQL,
     "csv_reference_golden": _CSV_GOLDEN_SQL,
     "jsonl_documents_roundtrip": _JSONL_ROUNDTRIP_SQL,
     "orc_lineitem_roundtrip": _ORC_ROUNDTRIP_SQL,

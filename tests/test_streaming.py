@@ -413,8 +413,9 @@ def _has_protobuf() -> bool:
 @pytest.mark.skipif(
     not _has_protobuf(),
     reason="transformWithStateInPandas needs google.protobuf (state-server "
-    "protocol); not shipped in this container — operator code is exercised "
-    "for plan construction below either way",
+    "protocol); not shipped in this container and package installs are "
+    "prohibited here, so this gate is PERMANENT in this environment — "
+    "operator code is exercised for plan construction below either way",
 )
 def test_transform_with_state_matches_batch(spark, events_dir):
     """transformWithStateInPandas running totals must converge to the batch
