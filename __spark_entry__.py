@@ -159,6 +159,8 @@ _NEXT_ROTATION = [
     "multimodal_chunk_manifest",        # new in r5 (multipart manifest)
     "binaryfile_media_scan",            # new in r5 (binaryFile source)
     "dedup_label_communities",          # new in r5 (label propagation)
+    "corpus_bootstrap_ci",              # new in r5 (Poisson bootstrap SE)
+    "context_length_sweep",             # new in r5 (ctx trade-off sweep)
 ]
 
 

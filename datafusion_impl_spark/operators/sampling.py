@@ -620,7 +620,123 @@ ORDER BY lang
 """)
 
 
+#: Poisson-bootstrap replicate count and the Poisson(1) CDF thresholds used
+#: for the deterministic inverse-CDF draw (Python repr literals shared with
+#: the oracle, so both engines compare the SAME doubles).
+_BOOT_REPS = 8
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+#: hash normalizer: md5_long is uniform on [0, 2^60).
+_HASH_DENOM = float(2 ** 60)
+
+
+def corpus_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap over the corpus: uncertainty (standard error) on
+    the mean document length without ever materializing resamples — the
+    streaming-friendly bootstrap used on datasets too large to resample by
+    index (each row independently gets a Poisson(1) multiplicity per
+    replicate, so a replicate is a weighted pass, not a shuffle of copies).
+
+    Determinism: the multiplicity is an inverse-CDF draw on the portable
+    md5 hash of (doc_id, replicate) — a pure function of the data, so the
+    "random" resample is reproducible across engines, partitionings and
+    reruns (same property as every sampler in this module). Per replicate:
+    weighted mean from exact integer sums; across the 8 bounded replicate
+    rows: SE of the mean via the population-variance formula written out
+    explicitly (engine stddev defaults differ: sample vs population).
+
+    Scale shape: one scan computes all replicates (the explode is ×8 on a
+    2-column projection, not the corpus), one groupBy(replicate) with
+    map-side combine, then driver-sized arithmetic on 8 rows."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    reps = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))).alias("rep"),
+    )
+    u = md5_long(
+        F.concat_ws(":", F.col("doc_id"), F.col("rep"), F.lit("boot"))
+    ) / F.lit(_HASH_DENOM)
+    w = F.lit(len(_POISSON1_CDF))
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < _POISSON1_CDF[k], F.lit(k)).otherwise(w)
+    per_rep = (
+        reps.withColumn("w", w)
+        .groupBy("rep")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.sum(F.col("w") * F.col("n_chars")).cast("long").alias("wsum"),
+        )
+        .select(
+            F.col("rep").cast("int").alias("rep"),
+            "n_eff",
+            F.round(F.col("wsum") / F.col("n_eff"), 6).alias("mean_chars"),
+        )
+    )
+    summary = per_rep.agg(
+        F.round(
+            F.sqrt(
+                F.avg(F.col("mean_chars") * F.col("mean_chars"))
+                - F.avg("mean_chars") * F.avg("mean_chars")
+            ),
+            4,
+        ).alias("se_mean_chars")
+    )
+    return (
+        per_rep.crossJoin(F.broadcast(summary))
+        .select("rep", "n_eff", "mean_chars", "se_mean_chars")
+        .orderBy("rep")
+    )
+
+
+def _bootstrap_oracle() -> str:
+    hash_expr = duck_md5_long("doc_id || ':' || rep || ':' || 'boot'")
+    cdf = _POISSON1_CDF
+    branches = " ".join(
+        f"WHEN u < {cdf[k]!r} THEN {k}" for k in range(len(cdf))
+    )
+    return f"""
+WITH reps AS (
+  SELECT doc_id, n_chars, unnest(generate_series(0, {_BOOT_REPS - 1})) AS rep
+  FROM documents
+),
+drawn AS (
+  SELECT n_chars, rep,
+         CASE {branches} ELSE {len(cdf)} END AS w
+  FROM (SELECT doc_id, n_chars, rep,
+               {hash_expr} / {_HASH_DENOM!r} AS u
+        FROM reps)
+),
+per_rep AS (
+  SELECT CAST(rep AS INTEGER) AS rep,
+         CAST(SUM(w) AS BIGINT) AS n_eff,
+         ROUND(CAST(SUM(w * n_chars) AS BIGINT)
+               / CAST(SUM(w) AS DOUBLE), 6) AS mean_chars
+  FROM drawn
+  GROUP BY rep
+),
+summary AS (
+  SELECT ROUND(SQRT(AVG(mean_chars * mean_chars)
+                    - AVG(mean_chars) * AVG(mean_chars)), 4) AS se_mean_chars
+  FROM per_rep
+)
+SELECT rep, n_eff, mean_chars, se_mean_chars
+FROM per_rep, summary
+ORDER BY rep
+"""
+
+
+_BOOTSTRAP_SQL = _bootstrap_oracle()
+
+
 QUERIES = {
+    "corpus_bootstrap_ci": corpus_bootstrap_ci,
     "sample_documents_stratified": sample_documents_stratified,
     "corpus_split_assignment": corpus_split_assignment,
     "pack_documents_by_token_budget": pack_documents_by_token_budget,
@@ -634,6 +750,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_bootstrap_ci": _BOOTSTRAP_SQL,
     "corpus_shuffle_order": _SHUFFLE_SQL,
     "sample_documents_stratified": _SAMPLE_SQL,
     "corpus_split_assignment": _SPLIT_SQL,

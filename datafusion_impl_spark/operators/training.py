@@ -912,7 +912,91 @@ ORDER BY doc_id
 """
 
 
+#: candidate context lengths for the truncation/packing trade-off sweep.
+_CTX_SWEEP = (512, 1024, 2048, 4096)
+
+
+def context_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length selection sweep: for each candidate sequence length,
+    what fraction of documents get truncated, what fraction of corpus
+    tokens is lost to truncation, and the information-theoretic lower
+    bound on pack count (``ceil(kept_tokens / ctx)``) — the one-pass
+    numbers that decide the ctx-vs-waste trade before committing to a
+    packing run (the committed layout itself is
+    :func:`pack_documents_by_token_budget`).
+
+    Plan: ONE per-document token count (a map over the scan), broadcast
+    cross-joined with the 4-row ctx spine, one aggregate — the corpus is
+    scanned once for all sweep points, and every reported ratio divides
+    exact integer sums."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(F.size(tokens("text")).alias("n")).filter(F.col("n") > 0)
+    ctxs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(c) for c in _CTX_SWEEP])).alias("ctx")
+    )
+    j = toks.crossJoin(F.broadcast(ctxs))
+    return (
+        j.groupBy("ctx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum((F.col("n") > F.col("ctx")).cast("long"))
+            .cast("long")
+            .alias("n_truncated"),
+            F.sum(F.greatest(F.col("n") - F.col("ctx"), F.lit(0)))
+            .cast("long")
+            .alias("tokens_lost"),
+            F.sum(F.least(F.col("n"), F.col("ctx")))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        .select(
+            F.col("ctx").cast("int").alias("ctx"),
+            "n_docs",
+            "total_tokens",
+            F.round(F.col("n_truncated") / F.col("n_docs"), 6).alias(
+                "frac_docs_truncated"
+            ),
+            F.round(F.col("tokens_lost") / F.col("total_tokens"), 6).alias(
+                "frac_tokens_lost"
+            ),
+            F.ceil(F.col("tokens_kept") / F.col("ctx"))
+            .cast("long")
+            .alias("min_packs"),
+        )
+        .orderBy("ctx")
+    )
+
+
+def _ctx_sweep_oracle() -> str:
+    ctx_values = ", ".join(f"({c})" for c in _CTX_SWEEP)
+    return rf"""
+WITH toks AS (
+  SELECT len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n
+  FROM documents
+),
+ctxs(ctx) AS (VALUES {ctx_values}),
+j AS (SELECT n, ctx FROM toks, ctxs WHERE n > 0)
+SELECT CAST(ctx AS INTEGER) AS ctx,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(CASE WHEN n > ctx THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS frac_docs_truncated,
+       ROUND(CAST(SUM(GREATEST(n - ctx, 0)) AS BIGINT)
+             / CAST(SUM(n) AS DOUBLE), 6) AS frac_tokens_lost,
+       CAST(CEIL(CAST(SUM(LEAST(n, ctx)) AS BIGINT)
+                 / CAST(ctx AS DOUBLE)) AS BIGINT) AS min_packs
+FROM j
+GROUP BY ctx
+ORDER BY ctx
+"""
+
+
+_CTX_SWEEP_SQL = _ctx_sweep_oracle()
+
+
 QUERIES = {
+    "context_length_sweep": context_length_sweep,
     "doc_length_quantile_normalization": doc_length_quantile_normalization,
     "chunk_documents_sliding": chunk_documents_sliding,
     "source_temperature_mixture": source_temperature_mixture,
@@ -927,6 +1011,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "context_length_sweep": _CTX_SWEEP_SQL,
     "doc_length_quantile_normalization": _QNORM_SQL,
     "chunk_documents_sliding": _CHUNK_SQL,
     "source_temperature_mixture": _MIX_SQL,

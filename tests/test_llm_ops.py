@@ -730,3 +730,59 @@ def test_winnowing_theorem_shared_run_implies_shared_fingerprint(spark):
     for p in range(n_pairs):
         a, b = by_doc[p * 2], by_doc[p * 2 + 1]
         assert a & b, f"pair {p}: no shared fingerprint despite shared run"
+
+
+def test_label_propagation_communities_on_toy_graphs(spark):
+    """Two 3-cliques joined by one bridge edge: LPA must keep them as two
+    communities (the bridge is outvoted by each clique's internal edges),
+    exactly where connected components would merge everything — the reason
+    the operator exists. Labels converge to each clique's minimum id."""
+    from pyspark.sql import functions as F
+
+    from datafusion_impl_spark.operators.graph import label_propagation
+
+    pairs = spark.createDataFrame(
+        # clique {1,2,3}, clique {10,11,12}, bridge 3-10
+        [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)],
+        schema="doc_a long, doc_b long",
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    got = {r.doc_id: r.community for r in label_propagation(edges).collect()}
+    assert set(got) == {1, 2, 3, 10, 11, 12}
+    left = {got[i] for i in (1, 2, 3)}
+    right = {got[i] for i in (10, 11, 12)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
+
+
+def test_bootstrap_weights_are_poisson_like(spark):
+    """The deterministic Poisson(1) draw must have the right first moment:
+    across all (doc, replicate) draws the mean multiplicity is ~1 and the
+    effective sample size per replicate is within 15% of the corpus."""
+    from datafusion_impl_spark.operators.sampling import (
+        _BOOT_REPS,
+        corpus_bootstrap_ci,
+    )
+
+    rows = corpus_bootstrap_ci(spark, SF_DIR).collect()
+    assert len(rows) == _BOOT_REPS
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    for r in rows:
+        assert 0.85 * n_docs <= r.n_eff <= 1.15 * n_docs
+    # replicate means vary, but all estimate the same corpus mean
+    ses = {r.se_mean_chars for r in rows}
+    assert len(ses) == 1 and rows[0].se_mean_chars >= 0.0
+
+
+def test_context_length_sweep_monotonic(spark):
+    """Longer contexts can only reduce truncation and never increase the
+    pack lower bound times ctx (kept tokens grow with ctx)."""
+    from datafusion_impl_spark.operators.training import context_length_sweep
+
+    rows = context_length_sweep(spark, SF_DIR).collect()
+    for a, b in zip(rows, rows[1:]):
+        assert b.frac_docs_truncated <= a.frac_docs_truncated
+        assert b.frac_tokens_lost <= a.frac_tokens_lost
+    assert rows[-1].frac_tokens_lost <= rows[0].frac_tokens_lost
