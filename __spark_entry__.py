@@ -161,6 +161,8 @@ _NEXT_ROTATION = [
     "dedup_label_communities",          # new in r5 (label propagation)
     "corpus_bootstrap_ci",              # new in r5 (Poisson bootstrap SE)
     "context_length_sweep",             # new in r5 (ctx trade-off sweep)
+    "merge_cdc_with_deletes",           # new in r5 (tombstone CDC apply)
+    "python_datasource_stream_agg",     # new in r5 (python stream source)
 ]
 
 

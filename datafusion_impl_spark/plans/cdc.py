@@ -84,6 +84,81 @@ ORDER BY o_orderstatus
 """
 
 
+def merge_cdc_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC apply with TOMBSTONES — the part of MERGE INTO that
+    latest-wins upsert alone misses: the change feed carries inserts/updates
+    AND deletes (op ``'D'``), and a delete must actually remove the key even
+    though an older update for the same key exists in the feed. Feed here:
+    every 7th key updates at version 2, every 13th key is deleted at
+    version 3 (keys divisible by both get update-then-delete — the ordering
+    trap this query pins).
+
+    Same single-shuffle shape as the upsert merge (union + one windowed
+    row_number on the key), then the surviving row is dropped if its
+    latest op is a tombstone. Output: post-apply state per status plus the
+    delete audit (how many keys vanished), so the oracle checks every
+    apply decision including the update-then-delete overlap."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.lit(1).alias("version"), F.lit("I").alias("op"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", F.lit("U").alias("o_orderstatus"), "o_totalprice",
+        F.lit(2).alias("version"), F.lit("U").alias("op"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey", F.lit("X").alias("o_orderstatus"), "o_totalprice",
+        F.lit(3).alias("version"), F.lit("D").alias("op"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    latest = (
+        base.unionByName(updates)
+        .unionByName(deletes)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    survivors = latest.filter(F.col("op") != "D")
+    n_deleted = latest.filter(F.col("op") == "D").agg(
+        F.count(F.lit(1)).alias("n_deleted")
+    )
+    return (
+        survivors.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .crossJoin(F.broadcast(n_deleted))
+        .orderBy("o_orderstatus")
+    )
+
+
+_MERGE_DELETES_SQL = """
+WITH feed AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version, 'I' AS op
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'U', o_totalprice, 2, 'U' FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 'X', o_totalprice, 3, 'D' FROM orders WHERE o_orderkey % 13 = 0
+),
+latest AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+  FROM feed
+),
+applied AS (SELECT * FROM latest WHERE rn = 1),
+audit AS (SELECT COUNT(*) AS n_deleted FROM applied WHERE op = 'D')
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       (SELECT n_deleted FROM audit) AS n_deleted
+FROM applied WHERE op <> 'D'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing-dimension build: per customer, collapse the
     order stream into status *validity intervals* — a row survives when its
@@ -444,6 +519,7 @@ ORDER BY o_orderstatus
 
 
 QUERIES = {
+    "merge_cdc_with_deletes": merge_cdc_with_deletes,
     "scd2_status_dwell_stats": scd2_status_dwell_stats,
     "scd2_pointintime_join": scd2_pointintime_join,
     "merge_upsert_latest_orders": merge_upsert_latest_orders,
@@ -453,6 +529,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "merge_cdc_with_deletes": _MERGE_DELETES_SQL,
     "scd2_status_dwell_stats": _DWELL_SQL,
     "scd2_pointintime_join": _PIT_SQL,
     "merge_upsert_latest_orders": _MERGE_SQL,

@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -52,6 +53,17 @@ _N_ROWS = 20000
 _N_PARTS = 8
 
 
+def _gen_row(i: int):
+    """One synthetic event — a pure function of the row index, shared by the
+    batch reader, the streaming reader, and (arithmetically) the oracle."""
+    return (
+        i,
+        (i * _USER_MULT) % _USER_MOD,
+        _ETYPES[i % len(_ETYPES)],
+        float((i * _AMT_MULT) % _AMT_MOD) / 100.0,
+    )
+
+
 class _SyntheticReader(DataSourceReader):
     def __init__(self, options: dict):
         self.n_rows = int(options.get("n_rows", _N_ROWS))
@@ -67,12 +79,37 @@ class _SyntheticReader(DataSourceReader):
     def read(self, partition: InputPartition):
         lo, hi = partition.value
         for i in range(lo, hi):
-            yield (
-                i,
-                (i * _USER_MULT) % _USER_MOD,
-                _ETYPES[i % len(_ETYPES)],
-                float((i * _AMT_MULT) % _AMT_MOD) / 100.0,
-            )
+            yield _gen_row(i)
+
+
+#: streaming variant: total rows and rows per micro-batch.
+_STREAM_ROWS = 20000
+_STREAM_BATCH = 6000
+
+
+class _SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader over the same deterministic generator: offsets are
+    row indices, each ``read`` serves one bounded batch and advances the
+    offset, and ``readBetweenOffsets`` replays any committed range exactly —
+    the replayability contract that makes the source exactly-once under
+    failure. The generator CAPS at ``n_rows``: past the cap ``read`` returns
+    an empty batch with an unchanged offset, which is how a finite fixture
+    signals 'no new data' to processAllAvailable()."""
+
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("n_rows", _STREAM_ROWS))
+        self.batch = int(options.get("batch_rows", _STREAM_BATCH))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = start["i"]
+        hi = min(lo + self.batch, self.n_rows)
+        return iter([_gen_row(i) for i in range(lo, hi)]), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_gen_row(i) for i in range(start["i"], end["i"])])
 
 
 class SyntheticEventsDataSource(DataSource):
@@ -88,6 +125,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _SyntheticReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _SyntheticStreamReader(self.options)
 
 
 def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,12 +272,76 @@ ORDER BY lang
 """
 
 
+def python_datasource_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom source consumed as a STREAM: ``spark.readStream`` over the
+    Python streaming data source (Spark 4's SimpleDataSourceStreamReader
+    contract — offset management, bounded micro-batches, exact offset-range
+    replay), drained to a memory sink with processAllAvailable() against the
+    generator's finite cap, then aggregated. The final state is a pure
+    function of the generator arithmetic — identical to a batch scan of the
+    same index range — so the DuckDB oracle value-checks the entire
+    streaming path: offsets → micro-batch planning → Python iterators →
+    append sink. sf-independent by design (the source IS the fixture)."""
+    spark.dataSource.register(SyntheticEventsDataSource)
+    sink = "py_stream_sink"
+    q = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", _STREAM_ROWS)
+        .option("batch_rows", _STREAM_BATCH)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("amount"), 2).alias("sum_amount"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+        )
+        .orderBy("etype")
+    )
+
+
+_PY_STREAM_SQL = f"""
+WITH g AS (
+  SELECT i FROM generate_series(0, {_STREAM_ROWS - 1}) t(i)
+),
+rows_ AS (
+  SELECT i AS event_id,
+         (i * {_USER_MULT}) % {_USER_MOD} AS user_id,
+         ['view', 'click', 'purchase', 'signup', 'error'][i % 5 + 1] AS etype,
+         CAST((i * {_AMT_MULT}) % {_AMT_MOD} AS DOUBLE) / 100.0 AS amount
+  FROM g
+)
+SELECT etype, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(amount), 2) AS sum_amount,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM rows_
+GROUP BY etype
+ORDER BY etype
+"""
+
+
 QUERIES = {
     "python_datasource_scan": python_datasource_scan,
     "python_datasource_write_roundtrip": python_datasource_write_roundtrip,
+    "python_datasource_stream_agg": python_datasource_stream_agg,
 }
 
 ORACLES = {
     "python_datasource_scan": _PY_DS_SQL,
     "python_datasource_write_roundtrip": _PY_SINK_SQL,
+    "python_datasource_stream_agg": _PY_STREAM_SQL,
 }
