@@ -163,6 +163,9 @@ _NEXT_ROTATION = [
     "context_length_sweep",             # new in r5 (ctx trade-off sweep)
     "merge_cdc_with_deletes",           # new in r5 (tombstone CDC apply)
     "python_datasource_stream_agg",     # new in r5 (python stream source)
+    "doc_readability_scores",           # new in r5 (Flesch readability)
+    "embedding_snapshot_drift",         # new in r5 (centroid drift)
+    "license_policy_gate",              # new in r5 (license compliance)
 ]
 
 

@@ -861,7 +861,79 @@ ORDER BY decile
 """
 
 
+#: license-detection policy, highest priority first: (marker token,
+#: license, allowed). Markers are drawn from the synthetic corpus's fake
+#: vocabulary so every branch actually fires (same caveat as the
+#: language-ID heuristic — the MECHANISM is the deliverable: priority
+#: matching + policy join + keep/drop accounting; swap real SPDX markers
+#: in production).
+_LICENSE_POLICY = (
+    ("copyright", "proprietary", False),
+    ("merge", "cc-by-sa", True),
+    ("batch", "apache-2.0", True),
+    ("window", "mit", True),
+)
+
+
+def license_policy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License compliance gate — the filter every training-corpus pipeline
+    runs before anything else: detect a document's license from marker
+    terms (FIRST match in a fixed priority order wins, mirroring how SPDX
+    headers shadow boilerplate mentions), join the policy verdict, and
+    report the keep/drop census per license. Unmatched docs land in
+    ``unknown``/quarantined — the safe default.
+
+    One scan, one aggregate: detection is a token-membership CASE chain
+    over the tokenized text (no regex backtracking, no Python), so at
+    100 TB this is a map + single groupBy shuffle with full column
+    pruning."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = tokens("text")
+    lic = F.lit("unknown")
+    allowed = F.lit(False)
+    for marker, license_, ok in reversed(_LICENSE_POLICY):
+        hit = F.array_contains(tk, marker)
+        lic = F.when(hit, F.lit(license_)).otherwise(lic)
+        allowed = F.when(hit, F.lit(ok)).otherwise(allowed)
+    tot = Window.partitionBy()
+    return (
+        docs.select(lic.alias("license"), allowed.alias("allowed"))
+        .groupBy("license", "allowed")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "doc_share",
+            F.round(F.col("n_docs") / F.sum("n_docs").over(tot), 6),
+        )
+        .orderBy("license")
+    )
+
+
+def _license_gate_oracle() -> str:
+    toks = _DUCK_TOKENS.format(col="text")
+    lic = "'unknown'"
+    allowed = "FALSE"
+    for marker, license_, ok in reversed(_LICENSE_POLICY):
+        lic = f"CASE WHEN list_contains(tk, '{marker}') THEN '{license_}' ELSE {lic} END"
+        allowed = (
+            f"CASE WHEN list_contains(tk, '{marker}') THEN {str(ok).upper()} "
+            f"ELSE {allowed} END"
+        )
+    return f"""
+WITH toks AS (SELECT {toks} AS tk FROM documents),
+gated AS (SELECT {lic} AS license, {allowed} AS allowed FROM toks)
+SELECT license, allowed, COUNT(*) AS n_docs,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS doc_share
+FROM gated
+GROUP BY license, allowed
+ORDER BY license
+"""
+
+
+_LICENSE_GATE_SQL = _license_gate_oracle()
+
+
 QUERIES = {
+    "license_policy_gate": license_policy_gate,
     "corpus_novelty_curve": corpus_novelty_curve,
     "dedup_paragraphs_global": dedup_paragraphs_global,
     "dedup_documents_url": dedup_documents_url,
@@ -882,6 +954,7 @@ def _rep_coverage_oracle() -> str:
 
 
 ORACLES = {
+    "license_policy_gate": _LICENSE_GATE_SQL,
     "corpus_novelty_curve": _NOVELTY_SQL,
     "dedup_paragraphs_global": _PARA_SQL,
     "dedup_documents_url": _URL_SQL,

@@ -1425,7 +1425,117 @@ ORDER BY e1.src, e1.rank
 """
 
 
+def embedding_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between two corpus snapshots — the retrain
+    trigger for anything that consumes the embeddings (ANN indexes, k-means
+    codebooks, semantic dedup thresholds): per label, the cosine between
+    the old and new snapshot CENTROIDS and the centroid-norm ratio. A
+    centroid cosine well below 1 means the region moved, not just resampled.
+
+    Plan shape: one ``posexplode`` of the vectors into (label, dim, x) —
+    the dimension-exploded analytics layout — then two bounded aggregates:
+    per (label, snapshot, dim) means (64·|labels|·2 rows), then the cosine
+    from dim-level sums of products. The corpus is scanned once; everything
+    after the first aggregate is metadata-sized. Per-dim centroid means
+    ROUND to 8 dp before the cosine combination (the PSI precedent: both
+    engines then combine identical doubles; final values ROUND to 6)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    both = e.select(
+        "vec_id", "label", F.posexplode("v").alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        "x",
+        (F.col("vec_id") % 20 != 5).alias("in_a"),
+        (F.col("vec_id") % 20 != 0).alias("in_b"),
+    )
+    per_dim = both.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.when(F.col("in_a"), F.col("x"))) /
+            F.sum(F.when(F.col("in_a"), 1)),
+            8,
+        ).alias("ca"),
+        F.round(
+            F.sum(F.when(F.col("in_b"), F.col("x"))) /
+            F.sum(F.when(F.col("in_b"), 1)),
+            8,
+        ).alias("cb"),
+    )
+    per_label = per_dim.groupBy("label").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+        F.sum(F.col("ca") * F.col("ca")).alias("na2"),
+        F.sum(F.col("cb") * F.col("cb")).alias("nb2"),
+    )
+    counts = (
+        e.select(
+            "label",
+            (F.col("vec_id") % 20 != 5).cast("long").alias("a"),
+            (F.col("vec_id") % 20 != 0).cast("long").alias("b"),
+        )
+        .groupBy("label")
+        .agg(F.sum("a").alias("n_a"), F.sum("b").alias("n_b"))
+    )
+    return (
+        per_label.join(counts, "label")
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), 6
+            ).alias("centroid_cos"),
+            F.round(F.sqrt("nb2") / F.sqrt("na2"), 6).alias("norm_ratio"),
+        )
+        .orderBy("label")
+    )
+
+
+_SNAPSHOT_DRIFT_SQL = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+exploded AS (
+  SELECT label,
+         generate_subscripts(v, 1) AS dim,
+         unnest(v) AS x,
+         vec_id % 20 <> 5 AS in_a,
+         vec_id % 20 <> 0 AS in_b
+  FROM e
+),
+per_dim AS (
+  SELECT label, dim,
+         ROUND(SUM(CASE WHEN in_a THEN x END)
+               / SUM(CASE WHEN in_a THEN 1 END), 8) AS ca,
+         ROUND(SUM(CASE WHEN in_b THEN x END)
+               / SUM(CASE WHEN in_b THEN 1 END), 8) AS cb
+  FROM exploded
+  GROUP BY label, dim
+),
+per_label AS (
+  SELECT label, SUM(ca * cb) AS dot,
+         SUM(ca * ca) AS na2, SUM(cb * cb) AS nb2
+  FROM per_dim GROUP BY label
+),
+counts AS (
+  SELECT label,
+         CAST(SUM(CASE WHEN vec_id % 20 <> 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN vec_id % 20 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM e GROUP BY label
+)
+SELECT CAST(p.label AS INTEGER) AS label, c.n_a, c.n_b,
+       ROUND(p.dot / (SQRT(p.na2) * SQRT(p.nb2)), 6) AS centroid_cos,
+       ROUND(SQRT(p.nb2) / SQRT(p.na2), 6) AS norm_ratio
+FROM per_label p JOIN counts c USING (label)
+ORDER BY label
+"""
+
+
 QUERIES = {
+    "embedding_snapshot_drift": embedding_snapshot_drift,
     "ann_knn_graph_ivf": ann_knn_graph_ivf,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "ann_pq_adc_recall": ann_pq_adc_recall,
@@ -1441,6 +1551,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_snapshot_drift": _SNAPSHOT_DRIFT_SQL,
     "ann_knn_graph_ivf": _KNN_GRAPH_SQL,
     "ann_ivf_pq_topk": _IVFPQ_SQL,
     "ann_pq_adc_recall": _PQ_SQL,

@@ -1309,7 +1309,85 @@ ORDER BY source
 """
 
 
+#: Flesch reading-ease coefficients (the published constants).
+_FLESCH_BASE = 206.835
+_FLESCH_SENT = 1.015
+_FLESCH_SYLL = 84.6
+
+
+def doc_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability profiling per source: average sentence length, average
+    syllables per word (vowel-group heuristic — the standard
+    dictionary-free approximation), and the Flesch reading-ease score —
+    the curriculum/quality signal that separates listy boilerplate from
+    prose without any model.
+
+    Pure regexp_count arithmetic over one scan (sentences ≈ [.!?]+ runs,
+    syllables ≈ [aeiouy]+ groups, words = whitespace tokens), aggregated
+    with exact integer sums per source; the two divisions and the Flesch
+    combination happen once per source row on identical doubles in both
+    engines, then ROUND."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    lower = F.lower("text")
+    per_doc = docs.select(
+        "source",
+        F.size(tokens("text")).alias("n_words"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+        ).alias("n_sents"),
+        F.regexp_count(lower, F.lit(r"[aeiouy]+")).alias("n_syll"),
+    ).filter(F.col("n_words") > 0)
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("w"),
+        F.sum("n_sents").cast("long").alias("s"),
+        F.sum("n_syll").cast("long").alias("y"),
+    )
+    wps = F.col("w") / F.col("s")
+    spw = F.col("y") / F.col("w")
+    return agg.select(
+        "source",
+        "n_docs",
+        F.round(wps, 4).alias("avg_words_per_sentence"),
+        F.round(spw, 4).alias("avg_syllables_per_word"),
+        F.round(
+            F.lit(_FLESCH_BASE)
+            - F.lit(_FLESCH_SENT) * wps
+            - F.lit(_FLESCH_SYLL) * spw,
+            4,
+        ).alias("flesch_reading_ease"),
+    ).orderBy("source")
+
+
+_READABILITY_SQL = rf"""
+WITH per_doc AS (
+  SELECT source,
+         len({_DUCK_TOKENS.format(col='text')}) AS n_words,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+  FROM documents
+),
+agg AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_words) AS BIGINT) AS w,
+         CAST(SUM(n_sents) AS BIGINT) AS s,
+         CAST(SUM(n_syll) AS BIGINT) AS y
+  FROM per_doc WHERE n_words > 0
+  GROUP BY source
+)
+SELECT source, n_docs,
+       ROUND(w / CAST(s AS DOUBLE), 4) AS avg_words_per_sentence,
+       ROUND(y / CAST(w AS DOUBLE), 4) AS avg_syllables_per_word,
+       ROUND({_FLESCH_BASE!r} - {_FLESCH_SENT!r} * (w / CAST(s AS DOUBLE))
+             - {_FLESCH_SYLL!r} * (y / CAST(w AS DOUBLE)), 4)
+         AS flesch_reading_ease
+FROM agg
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "doc_readability_scores": doc_readability_scores,
     "source_unigram_kl": source_unigram_kl,
     "text_token_stats": text_token_stats,
     "bpe_merge_candidates": bpe_merge_candidates,
@@ -1331,6 +1409,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_readability_scores": _READABILITY_SQL,
     "source_unigram_kl": _UNIGRAM_KL_SQL,
     "text_token_stats": _TOKEN_STATS_SQL,
     "bpe_merge_candidates": _BPE_SQL,
