@@ -166,6 +166,8 @@ _NEXT_ROTATION = [
     "doc_readability_scores",           # new in r5 (Flesch readability)
     "embedding_snapshot_drift",         # new in r5 (centroid drift)
     "license_policy_gate",              # new in r5 (license compliance)
+    "tokenizer_inflation_audit",        # new in r5 (tokenizer budgets)
+    "rfm_customer_segments",            # new in r5 (scale-safe RFM)
 ]
 
 

@@ -1386,7 +1386,107 @@ ORDER BY source
 """
 
 
+#: GPT-2-style pre-tokenizer split: letter runs, digit runs, punctuation
+#: runs (identical semantics in Java and RE2 regex dialects).
+_PIECE_RE = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+
+
+def tokenizer_inflation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer budget audit per source: whitespace token count vs
+    BPE-style pre-tokenizer piece count, the inflation ratio between them,
+    the punctuation share of pieces, and the hapax fraction of the
+    whitespace vocabulary — the numbers that decide how a token budget
+    stated in one tokenizer translates to another, and which sources are
+    punctuation-heavy or vocabulary-thin.
+
+    Two bounded aggregates over one corpus scan each: per-source piece/word
+    sums (map-side combined), and a (source, token) count for the hapax
+    census (same shuffle shape as the unigram-KL operator). All reported
+    ratios divide exact integer sums."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    per_doc = docs.select(
+        "source",
+        F.size(tokens("text")).alias("ws"),
+        F.size(F.regexp_extract_all("text", F.lit(_PIECE_RE), F.lit(0))).alias(
+            "pieces"
+        ),
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"[^\s\p{L}\p{N}]+"), F.lit(0)
+            )
+        ).alias("punct"),
+    )
+    sums = per_doc.groupBy("source").agg(
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.sum("pieces").cast("long").alias("piece_tokens"),
+        F.sum("punct").cast("long").alias("punct_pieces"),
+    )
+    st = (
+        docs.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hapax = st.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.count_if(F.col("cnt") == 1).cast("long").alias("n_hapax"),
+    )
+    return (
+        sums.join(hapax, "source")
+        .select(
+            "source",
+            "ws_tokens",
+            "piece_tokens",
+            F.round(F.col("piece_tokens") / F.col("ws_tokens"), 6).alias(
+                "inflation"
+            ),
+            F.round(F.col("punct_pieces") / F.col("piece_tokens"), 6).alias(
+                "punct_frac"
+            ),
+            "n_vocab",
+            F.round(F.col("n_hapax") / F.col("n_vocab"), 6).alias("hapax_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+_TOKENIZER_AUDIT_SQL = rf"""
+WITH per_doc AS (
+  SELECT source,
+         len({_DUCK_TOKENS.format(col='text')}) AS ws,
+         len(regexp_extract_all(text, '{_PIECE_RE}')) AS pieces,
+         len(regexp_extract_all(text, '[^\s\p{{L}}\p{{N}}]+')) AS punct
+  FROM documents
+),
+sums AS (
+  SELECT source,
+         CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+         CAST(SUM(pieces) AS BIGINT) AS piece_tokens,
+         CAST(SUM(punct) AS BIGINT) AS punct_pieces
+  FROM per_doc GROUP BY source
+),
+st AS (
+  SELECT source, unnest({_DUCK_TOKENS.format(col='text')}) AS token
+  FROM documents
+),
+counts AS (SELECT source, token, COUNT(*) AS cnt FROM st GROUP BY 1, 2),
+hapax AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_vocab,
+         CAST(count_if(cnt = 1) AS BIGINT) AS n_hapax
+  FROM counts GROUP BY source
+)
+SELECT s.source, s.ws_tokens, s.piece_tokens,
+       ROUND(s.piece_tokens / CAST(s.ws_tokens AS DOUBLE), 6) AS inflation,
+       ROUND(s.punct_pieces / CAST(s.piece_tokens AS DOUBLE), 6) AS punct_frac,
+       h.n_vocab,
+       ROUND(h.n_hapax / CAST(h.n_vocab AS DOUBLE), 6) AS hapax_frac
+FROM sums s JOIN hapax h USING (source)
+ORDER BY s.source
+"""
+
+
 QUERIES = {
+    "tokenizer_inflation_audit": tokenizer_inflation_audit,
     "doc_readability_scores": doc_readability_scores,
     "source_unigram_kl": source_unigram_kl,
     "text_token_stats": text_token_stats,
@@ -1409,6 +1509,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tokenizer_inflation_audit": _TOKENIZER_AUDIT_SQL,
     "doc_readability_scores": _READABILITY_SQL,
     "source_unigram_kl": _UNIGRAM_KL_SQL,
     "text_token_stats": _TOKEN_STATS_SQL,

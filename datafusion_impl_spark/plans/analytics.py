@@ -751,6 +751,129 @@ ORDER BY bucket
 _KEY_SKEW_SQL = _skew_oracle()
 
 
+#: RFM segmentation: terciles per metric, $100 monetary buckets so the
+#: by-value binning frame stays bounded.
+_RFM_BINS = 3
+_RFM_MONEY_BUCKET = 10_000  # cents
+
+
+def _equal_freq_bin(df, col: str, n_bins: int):
+    """(value → bin) mapping via the bounded by-value cumulative-count trick
+    (same shape as doc_length_quantile_bins: aggregate per distinct value
+    FIRST, then integer arithmetic over that bounded frame — never an
+    NTILE global sort over the fact table). Ties share a bin by
+    construction, making the assignment engine-independent."""
+    by_val = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    return by_val.select(
+        col,
+        F.expr(
+            f"(coalesce(sum(cnt) over (order by {col} rows between unbounded"
+            f" preceding and 1 preceding), 0) * {n_bins})"
+        )
+        .cast("long")
+        .alias("_num"),
+        F.sum("cnt").over(w_all).alias("_den"),
+    ).select(
+        col,
+        F.expr("_num div _den").cast("int").alias(f"{col}_bin"),
+    )
+
+
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic warehouse workload, built scale-safe: each metric's tercile
+    boundary comes from the bounded by-value cumulative-count binning
+    (recency values are bounded by the date range, frequency by max order
+    count, monetary by $100 buckets), so no NTILE ever globally sorts the
+    customer table. Output: the 27-cell segment census with per-cell
+    averages from exact integer sums."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    maxd = orders.agg(F.max("day").alias("maxd"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("maxd"), F.col("day"))).alias("r"),
+            F.count(F.lit(1)).cast("long").alias("f"),
+            (F.floor(F.sum("cents") / _RFM_MONEY_BUCKET))
+            .cast("long")
+            .alias("m"),
+        )
+    )
+    per_cust = per_cust.localCheckpoint(eager=True)
+    rb = _equal_freq_bin(per_cust, "r", _RFM_BINS)
+    fb = _equal_freq_bin(per_cust, "f", _RFM_BINS)
+    mb = _equal_freq_bin(per_cust, "m", _RFM_BINS)
+    seg = (
+        per_cust.join(F.broadcast(rb), "r")
+        .join(F.broadcast(fb), "f")
+        .join(F.broadcast(mb), "m")
+    )
+    return (
+        seg.groupBy("r_bin", "f_bin", "m_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("r") / F.count(F.lit(1)), 4).alias("avg_recency_days"),
+            F.round(F.sum("f") / F.count(F.lit(1)), 4).alias("avg_orders"),
+            F.round(
+                F.sum(F.col("m") * _RFM_MONEY_BUCKET / 100)
+                / F.count(F.lit(1)),
+                2,
+            ).alias("avg_spend_dollars"),
+        )
+        .orderBy("r_bin", "f_bin", "m_bin")
+    )
+
+
+def _rfm_bin_cte(col: str) -> str:
+    return f"""
+  SELECT {col},
+         CAST((COALESCE(SUM(cnt) OVER (ORDER BY {col} ROWS BETWEEN UNBOUNDED
+                PRECEDING AND 1 PRECEDING), 0) * {_RFM_BINS})
+              // (SUM(cnt) OVER ()) AS INTEGER) AS {col}_bin
+  FROM (SELECT {col}, COUNT(*) AS cnt FROM per_cust GROUP BY {col})
+"""
+
+
+_RFM_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+maxd AS (SELECT MAX(day) AS maxd FROM o),
+per_cust AS (
+  SELECT o_custkey,
+         MIN(DATE_DIFF('day', day, (SELECT maxd FROM maxd))) AS r,
+         CAST(COUNT(*) AS BIGINT) AS f,
+         CAST(FLOOR(SUM(cents) / {_RFM_MONEY_BUCKET}) AS BIGINT) AS m
+  FROM o GROUP BY o_custkey
+),
+rb AS ({_rfm_bin_cte('r')}),
+fb AS ({_rfm_bin_cte('f')}),
+mb AS ({_rfm_bin_cte('m')}),
+seg AS (
+  SELECT p.*, rb.r_bin, fb.f_bin, mb.m_bin
+  FROM per_cust p JOIN rb USING (r) JOIN fb USING (f) JOIN mb USING (m)
+)
+SELECT r_bin, f_bin, m_bin,
+       COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(r) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_recency_days,
+       ROUND(CAST(SUM(f) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_orders,
+       ROUND(CAST(SUM(m * {_RFM_MONEY_BUCKET} / 100) AS BIGINT)
+             / CAST(COUNT(*) AS DOUBLE), 2) AS avg_spend_dollars
+FROM seg
+GROUP BY r_bin, f_bin, m_bin
+ORDER BY r_bin, f_bin, m_bin
+"""
+
+
 def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew-salted two-phase aggregation (scale.salted_groupby) on the
     driver-checked surface: per event_type count/sum/min/max of value.
@@ -2264,6 +2387,7 @@ QUERIES = {
     "scalar_array_struct_functions": scalar_array_struct_functions,
     "scalar_stats_aggregates": scalar_stats_aggregates,
     "join_key_skew_report": join_key_skew_report,
+    "rfm_customer_segments": rfm_customer_segments,
     "salted_event_type_stats": salted_event_type_stats,
     "salted_join_event_segments": salted_join_event_segments,
     "string_agg_nations_per_region": string_agg_nations_per_region,
@@ -2321,6 +2445,7 @@ ORACLES = {
     "scalar_array_struct_functions": _SCALAR_ARRAY_SQL,
     "scalar_stats_aggregates": _SCALAR_STATS_SQL,
     "join_key_skew_report": _KEY_SKEW_SQL,
+    "rfm_customer_segments": _RFM_SQL,
     "salted_event_type_stats": _SALTED_STATS_SQL,
     "salted_join_event_segments": _SALTED_JOIN_SQL,
     "string_agg_nations_per_region": _STRING_AGG_SQL,
