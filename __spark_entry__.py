@@ -168,6 +168,7 @@ _NEXT_ROTATION = [
     "license_policy_gate",              # new in r5 (license compliance)
     "tokenizer_inflation_audit",        # new in r5 (tokenizer budgets)
     "rfm_customer_segments",            # new in r5 (scale-safe RFM)
+    "stream_cdc_merge_stats",           # new in r5 (foreachBatch CDC apply)
 ]
 
 

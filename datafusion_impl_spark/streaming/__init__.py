@@ -19,7 +19,7 @@ memory per user, Arrow-batched, no driver involvement.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -667,7 +667,148 @@ ORDER BY lang
 """
 
 
+#: streaming CDC fixture: feed subset (1-in-50 orders keeps the stream
+#: fast at any SF) and the ping-pong state root.
+_CDC_FEED_MOD = 50
+_CDC_ROOT = "/tmp/datafusion_impl_spark_stream_cdc"
+
+
+def stream_cdc_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply as a STREAM: the insert/update/delete change feed arrives
+    as parquet files (one micro-batch each via ``maxFilesPerTrigger=1``),
+    and ``foreachBatch`` merges every batch into a parquet state table —
+    read current state, union the batch, keep the max version per key,
+    write the new state. State writes ping-pong between two directories
+    (read-then-overwrite of one directory would race the lazy read), which
+    is the standard idempotent-upsert-sink recipe when the warehouse has
+    no transactional MERGE.
+
+    Latest-version-wins is ORDER-INDEPENDENT (max version commutes across
+    micro-batches), so the final state is deterministic regardless of file
+    pickup order, and — because the feed is derived from `orders` exactly
+    like the batch `merge_cdc_with_deletes` — the DuckDB oracle value-checks
+    the whole streaming path: file source → micro-batches → foreachBatch
+    merge → final state."""
+    import os
+    import shutil
+
+    from datafusion_impl_spark.sources.registry import load_table
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_CDC_ROOT, tag)
+    shutil.rmtree(root, ignore_errors=True)
+    feed_dir = os.path.join(root, "feed")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % _CDC_FEED_MOD == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.lit(1).alias("version"), F.lit("I").alias("op"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", F.lit("U").alias("o_orderstatus"), "o_totalprice",
+        F.lit(2).alias("version"), F.lit("U").alias("op"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey", F.lit("X").alias("o_orderstatus"), "o_totalprice",
+        F.lit(3).alias("version"), F.lit("D").alias("op"),
+    )
+    for name, df in (("b0_base", base), ("b1_updates", updates), ("b2_deletes", deletes)):
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(feed_dir, name)
+        )
+        # flatten: the file source watches one directory of files
+        part_dir = os.path.join(feed_dir, name)
+        for f in os.listdir(part_dir):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(part_dir, f),
+                    os.path.join(feed_dir, f"{name}.parquet"),
+                )
+        shutil.rmtree(part_dir)
+
+    states = [os.path.join(root, "state0"), os.path.join(root, "state1")]
+    last = {"dir": None}
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+
+    def apply_batch(batch, batch_id: int) -> None:
+        merged = batch
+        if last["dir"] is not None:
+            merged = batch.sparkSession.read.parquet(last["dir"]).unionByName(
+                batch
+            )
+        out = states[batch_id % 2]
+        (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        last["dir"] = out
+
+    schema = (
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double, "
+        "version int, op string"
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", os.path.join(root, "ckpt")
+        )
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.parquet(last["dir"])
+    survivors = state.filter(F.col("op") != "D")
+    n_deleted = state.filter(F.col("op") == "D").agg(
+        F.count(F.lit(1)).alias("n_deleted")
+    )
+    return (
+        survivors.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .crossJoin(F.broadcast(n_deleted))
+        .orderBy("o_orderstatus")
+    )
+
+
+_STREAM_CDC_SQL = f"""
+WITH feed AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version, 'I' AS op
+  FROM orders WHERE o_orderkey % {_CDC_FEED_MOD} = 0
+  UNION ALL
+  SELECT o_orderkey, 'U', o_totalprice, 2, 'U' FROM orders
+  WHERE o_orderkey % {_CDC_FEED_MOD} = 0 AND o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 'X', o_totalprice, 3, 'D' FROM orders
+  WHERE o_orderkey % {_CDC_FEED_MOD} = 0 AND o_orderkey % 13 = 0
+),
+latest AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+  FROM feed
+),
+applied AS (SELECT * FROM latest WHERE rn = 1),
+audit AS (SELECT COUNT(*) AS n_deleted FROM applied WHERE op = 'D')
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       (SELECT n_deleted FROM audit) AS n_deleted
+FROM applied WHERE op <> 'D'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
+    "stream_cdc_merge_stats": stream_cdc_merge_stats,
     "session_window_stats": session_window_stats,
     "click_attribution_stats": click_attribution_stats,
     "click_conversion_stats": click_conversion_stats,
@@ -675,6 +816,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_cdc_merge_stats": _STREAM_CDC_SQL,
     "session_window_stats": _SESSION_WINDOW_SQL,
     "click_attribution_stats": _ATTRIBUTION_SQL,
     "click_conversion_stats": _CONVERSION_SQL,
