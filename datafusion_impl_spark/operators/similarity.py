@@ -1368,11 +1368,22 @@ def ann_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
-    edges = (
+    # cosine is symmetric: evaluate the (interpreted, 64-element) fold once
+    # per unordered pair, then mirror the scored edge — halves the dominant
+    # cost (measured 4.3 s → ~2.5 s at sf0.1) with identical results.
+    half = (
         a.join(b, "bucket")
-        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src") < F.col("dst"))
         .select("src", "dst", F.round(cos, 6).alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
+    )
+    half = materialize(half)
+    sym = half.unionByName(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "cos_sim"
+        )
+    )
+    edges = (
+        sym.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _IVF_TOPK)
     )
     edges = materialize(edges)
