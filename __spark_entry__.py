@@ -169,6 +169,8 @@ _NEXT_ROTATION = [
     "tokenizer_inflation_audit",        # new in r5 (tokenizer budgets)
     "rfm_customer_segments",            # new in r5 (scale-safe RFM)
     "stream_cdc_merge_stats",           # new in r5 (foreachBatch CDC apply)
+    "brand_affinity_lift",              # new in r5 (market-basket lift)
+    "asof_join_with_tolerance",         # new in r5 (bounded as-of)
 ]
 
 

@@ -751,6 +751,94 @@ ORDER BY bucket
 _KEY_SKEW_SQL = _skew_oracle()
 
 
+#: market-basket affinity: how many top pairs the audit surfaces.
+_BASKET_TOPK = 20
+
+
+def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining at the BRAND grain: support and
+    lift for brand pairs co-occurring in one order — the classic
+    frequent-itemset workload, kept scale-safe by pairing at a bounded
+    dimension (|brands|² pairs regardless of corpus size) instead of the
+    raw part key (whose pair space explodes and whose supports starve).
+
+    Plan: distinct (order, brand) baskets via one broadcast dim join, a
+    self equi-join on the order key producing ordered pairs (brand_a <
+    brand_b — each unordered pair counted once), then lift from exact
+    integer counts: lift = n_ab·N / (n_a·n_b). Top pairs via a
+    distributed TakeOrdered (sort feeding LIMIT), never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    baskets = baskets.localCheckpoint(eager=True)
+    n_orders = baskets.select("l_orderkey").distinct().count()
+    per_brand = baskets.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_brand")
+    )
+    a = baskets.select("l_orderkey", F.col("brand").alias("brand_a"))
+    b = baskets.select("l_orderkey", F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(per_brand.select(F.col("brand").alias("brand_a"),
+                                         F.col("n_brand").alias("n_a"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(per_brand.select(F.col("brand").alias("brand_b"),
+                                         F.col("n_brand").alias("n_b"))),
+            "brand_b",
+        )
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_pair",
+            F.round(F.col("n_pair") / F.lit(n_orders), 6).alias("support"),
+            F.round(
+                (F.col("n_pair") * F.lit(n_orders))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(_BASKET_TOPK)
+    )
+
+
+_BRAND_LIFT_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand AS brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets),
+per_brand AS (SELECT brand, COUNT(*) AS n_brand FROM baskets GROUP BY brand),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_pair
+  FROM baskets a JOIN baskets b USING (l_orderkey)
+  WHERE a.brand < b.brand
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, n_pair,
+       ROUND(n_pair / CAST((SELECT n FROM n_orders) AS DOUBLE), 6) AS support,
+       ROUND(CAST(n_pair AS BIGINT) * (SELECT n FROM n_orders)
+             / CAST(pa.n_brand * pb.n_brand AS DOUBLE), 6) AS lift
+FROM pairs
+JOIN per_brand pa ON pairs.brand_a = pa.brand
+JOIN per_brand pb ON pairs.brand_b = pb.brand
+ORDER BY lift DESC, brand_a, brand_b
+LIMIT {_BASKET_TOPK}
+"""
+
+
 #: RFM segmentation: terciles per metric, $100 monetary buckets so the
 #: by-value binning frame stays bounded.
 _RFM_BINS = 3
@@ -2387,6 +2475,7 @@ QUERIES = {
     "scalar_array_struct_functions": scalar_array_struct_functions,
     "scalar_stats_aggregates": scalar_stats_aggregates,
     "join_key_skew_report": join_key_skew_report,
+    "brand_affinity_lift": brand_affinity_lift,
     "rfm_customer_segments": rfm_customer_segments,
     "salted_event_type_stats": salted_event_type_stats,
     "salted_join_event_segments": salted_join_event_segments,
@@ -2445,6 +2534,7 @@ ORACLES = {
     "scalar_array_struct_functions": _SCALAR_ARRAY_SQL,
     "scalar_stats_aggregates": _SCALAR_STATS_SQL,
     "join_key_skew_report": _KEY_SKEW_SQL,
+    "brand_affinity_lift": _BRAND_LIFT_SQL,
     "rfm_customer_segments": _RFM_SQL,
     "salted_event_type_stats": _SALTED_STATS_SQL,
     "salted_join_event_segments": _SALTED_JOIN_SQL,

@@ -72,6 +72,87 @@ ORDER BY e.event_id
 """
 
 
+#: as-of tolerance: a prior click older than this is considered stale.
+_ASOF_TOLERANCE_US = 3_600_000_000  # 1 hour
+
+
+def asof_join_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join — the variant every time-series store
+    ships (pandas ``merge_asof(tolerance=...)``, kdb ``wj``): the most
+    recent strictly-prior click counts ONLY if it happened within the last
+    hour; staler matches return NULL exactly like no-match, so downstream
+    attribution can't credit a session-old click.
+
+    Same single-window shape as the unbounded as-of (one shuffle on
+    user_id, O(1) state per row); the tolerance is a post-filter on the
+    carried gap, which keeps the operator free of inequality joins. The
+    audit aggregates per event_type: matched-within-tolerance count, stale
+    (dropped) count, and the mean in-tolerance gap from exact integer
+    sums."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click = F.when(
+        F.col("event_type") == "click", F.struct("ts", "event_id")
+    )
+    gap = F.unix_micros("ts") - F.unix_micros(F.col("prior.ts"))
+    enriched = ev.withColumn(
+        "prior", F.last(click, ignorenulls=True).over(w)
+    ).select(
+        "event_type",
+        gap.alias("gap_us"),
+    )
+    in_tol = F.col("gap_us") <= _ASOF_TOLERANCE_US
+    return (
+        enriched.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(F.col("gap_us").isNotNull() & in_tol)
+            .cast("long")
+            .alias("n_matched"),
+            F.count_if(F.col("gap_us").isNotNull() & ~in_tol)
+            .cast("long")
+            .alias("n_stale"),
+            F.round(
+                F.sum(F.when(in_tol, F.col("gap_us")))
+                / F.count_if(F.col("gap_us").isNotNull() & in_tol),
+                4,
+            ).alias("avg_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ASOF_TOL_SQL = f"""
+WITH matched AS (
+  SELECT e.event_type,
+         epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+  FROM events e ASOF LEFT JOIN
+       (SELECT * FROM events WHERE event_type = 'click') c
+    ON e.user_id = c.user_id AND e.ts > c.ts
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(count_if(gap_us IS NOT NULL AND gap_us <= {_ASOF_TOLERANCE_US})
+            AS BIGINT) AS n_matched,
+       CAST(count_if(gap_us IS NOT NULL AND gap_us > {_ASOF_TOLERANCE_US})
+            AS BIGINT) AS n_stale,
+       ROUND(CAST(SUM(CASE WHEN gap_us <= {_ASOF_TOLERANCE_US} THEN gap_us END)
+                  AS BIGINT)
+             / CAST(count_if(gap_us IS NOT NULL
+                             AND gap_us <= {_ASOF_TOLERANCE_US}) AS DOUBLE),
+             4) AS avg_gap_us
+FROM matched
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def range_join_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (band) join: for every event, how many OTHER events (any user)
     happened in the preceding 5 minutes.
@@ -180,12 +261,14 @@ ORDER BY nationkey
 
 
 QUERIES = {
+    "asof_join_with_tolerance": asof_join_with_tolerance,
     "asof_join_prior_click": asof_join_prior_click,
     "range_join_event_bursts": range_join_event_bursts,
     "full_outer_nation_accounts": full_outer_nation_accounts,
 }
 
 ORACLES = {
+    "asof_join_with_tolerance": _ASOF_TOL_SQL,
     "asof_join_prior_click": _ASOF_SQL,
     "range_join_event_bursts": _RANGE_SQL,
     "full_outer_nation_accounts": _FULL_OUTER_SQL,
