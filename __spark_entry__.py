@@ -171,6 +171,8 @@ _NEXT_ROTATION = [
     "stream_cdc_merge_stats",           # new in r5 (foreachBatch CDC apply)
     "brand_affinity_lift",              # new in r5 (market-basket lift)
     "asof_join_with_tolerance",         # new in r5 (bounded as-of)
+    "incremental_join_maintenance",     # new in r5 (delta-join IVM)
+    "dedup_community_bridges",          # new in r5 (bridge audit)
 ]
 
 

@@ -420,6 +420,61 @@ def dedup_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges.localCheckpoint(eager=True)).orderBy("doc_id")
 
 
+def dedup_community_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridge audit over the LPA communities: per community, how many
+    near-dup edges stay inside it vs cross to another community — the
+    health check that says whether collapsing each community to one
+    survivor is safe (high isolation) or whether thin bridges are chaining
+    unrelated content (low isolation → tighten the LSH threshold before
+    deduping). Composes :func:`label_propagation` with one edge⋈community
+    join; a bridging edge counts toward BOTH endpoint communities."""
+    pairs = (
+        dedup_documents_minhash(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    comm = label_propagation(edges.localCheckpoint(eager=True)).localCheckpoint(
+        eager=True
+    )
+    ca = comm.select(F.col("doc_id").alias("doc_a"), F.col("community").alias("c_a"))
+    cb = comm.select(F.col("doc_id").alias("doc_b"), F.col("community").alias("c_b"))
+    tagged = pairs.join(ca, "doc_a").join(cb, "doc_b")
+    per_side = tagged.select(
+        F.col("c_a").alias("community"), (F.col("c_a") == F.col("c_b")).alias("intra")
+    ).unionByName(
+        tagged.filter(F.col("c_a") != F.col("c_b")).select(
+            F.col("c_b").alias("community"), F.lit(False).alias("intra")
+        )
+    )
+    members = comm.groupBy("community").agg(F.count(F.lit(1)).alias("n_members"))
+    stats = per_side.groupBy("community").agg(
+        F.count_if(F.col("intra")).cast("long").alias("n_intra"),
+        F.count_if(~F.col("intra")).cast("long").alias("n_bridge"),
+    )
+    return (
+        members.join(stats, "community", "left")
+        .select(
+            "community",
+            "n_members",
+            F.coalesce("n_intra", F.lit(0).cast("long")).alias("n_intra"),
+            F.coalesce("n_bridge", F.lit(0).cast("long")).alias("n_bridge"),
+            F.round(
+                F.coalesce("n_intra", F.lit(0).cast("long"))
+                / F.greatest(
+                    F.coalesce("n_intra", F.lit(0).cast("long"))
+                    + F.coalesce("n_bridge", F.lit(0).cast("long")),
+                    F.lit(1),
+                ),
+                6,
+            ).alias("isolation"),
+        )
+        .orderBy("community")
+    )
+
+
 def _lpa_oracle() -> str:
     """Unrolled LPA recurrence mirroring :func:`label_propagation`."""
     steps = []
@@ -450,14 +505,47 @@ edges AS (
   SELECT doc_b, doc_a FROM pairs
 ),
 l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
-{chain}
+{chain}"""
+
+
+_LPA_SQL = _lpa_oracle() + f"""
 SELECT doc_id, label AS community
 FROM l{_LPA_ITERS}
 ORDER BY doc_id
 """
 
-
-_LPA_SQL = _lpa_oracle()
+_BRIDGES_SQL = _lpa_oracle() + f""",
+tagged AS (
+  SELECT p.doc_a, p.doc_b, la.label AS c_a, lb.label AS c_b
+  FROM pairs p
+  JOIN l{_LPA_ITERS} la ON p.doc_a = la.doc_id
+  JOIN l{_LPA_ITERS} lb ON p.doc_b = lb.doc_id
+),
+per_side AS (
+  SELECT c_a AS community, c_a = c_b AS intra FROM tagged
+  UNION ALL
+  SELECT c_b, FALSE FROM tagged WHERE c_a <> c_b
+),
+members AS (
+  SELECT label AS community, COUNT(*) AS n_members
+  FROM l{_LPA_ITERS} GROUP BY label
+),
+stats AS (
+  SELECT community,
+         CAST(count_if(intra) AS BIGINT) AS n_intra,
+         CAST(count_if(NOT intra) AS BIGINT) AS n_bridge
+  FROM per_side GROUP BY community
+)
+SELECT m.community, m.n_members,
+       COALESCE(s.n_intra, 0) AS n_intra,
+       COALESCE(s.n_bridge, 0) AS n_bridge,
+       ROUND(COALESCE(s.n_intra, 0)
+             / CAST(GREATEST(COALESCE(s.n_intra, 0)
+                             + COALESCE(s.n_bridge, 0), 1) AS DOUBLE),
+             6) AS isolation
+FROM members m LEFT JOIN stats s USING (community)
+ORDER BY m.community
+"""
 
 
 def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,6 +632,7 @@ FROM wedge, edges, tri
 
 QUERIES = {
     "dedup_label_communities": dedup_label_communities,
+    "dedup_community_bridges": dedup_community_bridges,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_near_survivors": dedup_near_survivors,
     "dedup_pagerank_centrality": dedup_pagerank_centrality,
@@ -552,6 +641,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_label_communities": _LPA_SQL,
+    "dedup_community_bridges": _BRIDGES_SQL,
     "dedup_cluster_components": _COMPONENTS_SQL,
     "dedup_near_survivors": _NEAR_SURVIVORS_SQL,
     "dedup_pagerank_centrality": _PAGERANK_SQL,

@@ -518,7 +518,78 @@ ORDER BY o_orderstatus
 """
 
 
+#: cutoff separating the materialized join state from the arriving batch.
+_JOIN_MV_CUTOFF = "1997-01-01"
+
+
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN-backed materialized view — the
+    delta-join rule ``Δ(A ⋈ B) = ΔA ⋈ B`` for an append-only fact and a
+    static dimension: the per-segment revenue MV is updated by joining ONLY
+    the arriving orders batch to the customer dim (broadcast — map-side,
+    no fact shuffle) and merging the resulting partial aggregates into the
+    stored state. History is never rescanned and never re-joined.
+
+    Complements `incremental_agg_merge` (aggregate-only maintenance) with
+    the join side of IVM. Merge algebra: (sum, count) partials — the same
+    commutative monoid Spark's own partial aggregation uses; avg derives
+    at presentation. The oracle recomputes the full join from scratch, so
+    a driver match PROVES incremental ≡ recompute. At 100 TB: state is
+    |segments| rows, the batch join is broadcast, and the only shuffle is
+    over two 5-row partial sets."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_day"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cutoff = F.lit(_JOIN_MV_CUTOFF).cast("date")
+
+    def joined_partials(fact: DataFrame) -> DataFrame:
+        return (
+            fact.join(F.broadcast(cust), fact.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("p_sum"),
+                F.count(F.lit(1)).alias("p_n"),
+            )
+        )
+
+    state = joined_partials(
+        orders.filter(F.col("o_day") < cutoff)
+    ).localCheckpoint(eager=True)
+    batch = joined_partials(orders.filter(F.col("o_day") >= cutoff))
+    return (
+        state.unionByName(batch)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("p_n").cast("long").alias("n_orders"),
+            F.round(F.sum("p_sum"), 2).cast("double").alias("revenue"),
+        )
+        .withColumn(
+            "avg_price",
+            F.round(F.col("revenue") / F.col("n_orders"), 4),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_JOIN_MV_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+       ROUND(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             / COUNT(*), 4) AS avg_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
+    "incremental_join_maintenance": incremental_join_maintenance,
     "merge_cdc_with_deletes": merge_cdc_with_deletes,
     "scd2_status_dwell_stats": scd2_status_dwell_stats,
     "scd2_pointintime_join": scd2_pointintime_join,
@@ -529,6 +600,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "incremental_join_maintenance": _JOIN_MV_SQL,
     "merge_cdc_with_deletes": _MERGE_DELETES_SQL,
     "scd2_status_dwell_stats": _DWELL_SQL,
     "scd2_pointintime_join": _PIT_SQL,
