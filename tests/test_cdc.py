@@ -157,3 +157,83 @@ def test_priority_dedup_curated_always_wins(spark):
     # every web row whose content exists in curated must cede
     assert rows["web"]["n_ceded"] >= rows["curated"]["n_kept"]
     assert rows["curated"]["n_ceded"] == rows["curated"]["n_rows"] - n_curated_hashes
+
+
+def test_merge_deletes_update_then_delete_trap(spark, sf_dir):
+    """A key divisible by both 7 and 13 gets an update (v2) AND a delete
+    (v3): the delete must win. Survivor count per status must exclude every
+    %13 key, and the audit column must equal the %13 key count."""
+    from pyspark.sql import functions as F
+
+    from datafusion_impl_spark.plans.cdc import merge_cdc_with_deletes
+    from datafusion_impl_spark.sources.registry import load_table
+
+    out = merge_cdc_with_deletes(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    n_del = orders.filter(F.col("o_orderkey") % 13 == 0).count()
+    n_all = orders.count()
+    assert out[0].n_deleted == n_del
+    assert sum(r.n_orders for r in out) == n_all - n_del
+    # updated-but-not-deleted keys surface under status 'U'
+    n_upd_only = orders.filter(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 13 != 0)
+    ).count()
+    assert {r.o_orderstatus: r.n_orders for r in out}.get("U", 0) == n_upd_only
+
+
+def test_stream_cdc_equals_batch_twin(spark, sf_dir):
+    """The foreachBatch streaming CDC apply must land on exactly the batch
+    merge's final state for the same feed subset."""
+    from pyspark.sql import functions as F
+
+    from datafusion_impl_spark.plans.cdc import merge_cdc_with_deletes
+    from datafusion_impl_spark.streaming import (
+        _CDC_FEED_MOD,
+        stream_cdc_merge_stats,
+    )
+
+    got = {
+        (r.o_orderstatus): (r.n_orders, r.sum_price, r.n_deleted)
+        for r in stream_cdc_merge_stats(spark, sf_dir).collect()
+    }
+    # batch twin on the same subset: reuse the batch op's logic by checking
+    # the streaming result against a direct batch computation of the feed
+    from datafusion_impl_spark.sources.registry import load_table
+    from pyspark.sql import Window
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % _CDC_FEED_MOD == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    feed = (
+        orders.select(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+            F.lit(1).alias("version"), F.lit("I").alias("op"))
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 7 == 0).select(
+                "o_orderkey", F.lit("U").alias("o_orderstatus"),
+                "o_totalprice", F.lit(2).alias("version"),
+                F.lit("U").alias("op")))
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 13 == 0).select(
+                "o_orderkey", F.lit("X").alias("o_orderstatus"),
+                "o_totalprice", F.lit(3).alias("version"),
+                F.lit("D").alias("op")))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    latest = feed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    n_deleted = latest.filter(F.col("op") == "D").count()
+    expected = {
+        r.o_orderstatus: (r.n_orders, r.sum_price, n_deleted)
+        for r in latest.filter(F.col("op") != "D")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .collect()
+    }
+    assert got == expected

@@ -786,3 +786,39 @@ def test_context_length_sweep_monotonic(spark):
         assert b.frac_docs_truncated <= a.frac_docs_truncated
         assert b.frac_tokens_lost <= a.frac_tokens_lost
     assert rows[-1].frac_tokens_lost <= rows[0].frac_tokens_lost
+
+
+def test_chunk_manifest_reassembly_property(spark):
+    """Per blob: chunk lengths must sum to the byte length, offsets must be
+    contiguous, and the first chunk's md5 must match a direct hash of the
+    payload's hex prefix — i.e. the manifest actually describes the bytes."""
+    from datafusion_impl_spark.operators.multimodal import (
+        _CHUNK_BYTES,
+        media_table,
+        multimodal_chunk_manifest,
+    )
+
+    man = multimodal_chunk_manifest(spark, SF_DIR).collect()
+    by_doc: dict[int, list] = {}
+    for r in man:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        assert sum(r.chunk_len for r in rows) == rows[0].n_bytes
+        assert [r.offset for r in rows] == [
+            i * _CHUNK_BYTES for i in range(len(rows))
+        ]
+        assert len(rows) == rows[0].n_chunks
+    some_id = min(by_doc)
+    payload = bytes(
+        media_table(spark, SF_DIR)
+        .filter(F.col("doc_id") == some_id)
+        .first()
+        .media
+    )
+    first = by_doc[some_id][0]
+    expect = hashlib.md5(
+        payload.hex().upper()[: 2 * _CHUNK_BYTES].encode()
+    ).hexdigest()
+    assert first.chunk_md5 == expect
