@@ -173,6 +173,7 @@ _NEXT_ROTATION = [
     "asof_join_with_tolerance",         # new in r5 (bounded as-of)
     "incremental_join_maintenance",     # new in r5 (delta-join IVM)
     "dedup_community_bridges",          # new in r5 (bridge audit)
+    "observed_scan_metrics",            # new in r5 (Observation API)
 ]
 
 

@@ -520,7 +520,57 @@ ORDER BY d.seg_label
 """
 
 
+def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``Observation`` API (Spark 3.3+) — pipeline observability
+    without a second scan: named aggregate metrics piggyback on a query's
+    OWN action (here a noop-ish count over a filtered projection), and the
+    driver reads them from the observation afterwards. This is how a
+    production job emits row-count/quality gauges per stage without paying
+    an extra pass over 100 TB.
+
+    The observed metrics are returned as a 1-row DataFrame and
+    value-checked against the oracle's direct aggregation — proving the
+    piggybacked metrics equal a dedicated aggregate of the same scan."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 25
+    )
+    obs = Observation("scan_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the host action
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                float(m["sum_qty"]),
+                int(m["min_key"]),
+                int(m["max_key"]),
+            )
+        ],
+        schema="n_rows bigint, sum_qty double, min_key bigint, max_key bigint",
+    )
+
+
+_OBSERVE_SQL = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       MIN(l_orderkey) AS min_key,
+       MAX(l_orderkey) AS max_key
+FROM lineitem
+WHERE l_quantity >= 25
+"""
+
+
 QUERIES = {
+    "observed_scan_metrics": observed_scan_metrics,
     "null_safe_segment_join": null_safe_segment_join,
     "pipe_syntax_segment_revenue": pipe_syntax_segment_revenue,
     "sql_udf_revenue_bins": sql_udf_revenue_bins,
@@ -534,6 +584,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "observed_scan_metrics": _OBSERVE_SQL,
     "null_safe_segment_join": _NULL_SAFE_SQL,
     "pipe_syntax_segment_revenue": _PIPE_SQL,
     "sql_udf_revenue_bins": _SQL_UDF_SQL,
