@@ -174,6 +174,7 @@ _NEXT_ROTATION = [
     "incremental_join_maintenance",     # new in r5 (delta-join IVM)
     "dedup_community_bridges",          # new in r5 (bridge audit)
     "observed_scan_metrics",            # new in r5 (Observation API)
+    "ab_experiment_analysis",           # new in r5 (hash-arm z-test)
 ]
 
 

@@ -592,7 +592,122 @@ ORDER BY bin
 """
 
 
+#: two-sided z critical value at alpha = 0.05.
+_AB_Z_CRIT = 1.959963984540054
+
+
+def ab_experiment_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users are assigned to arms by the portable
+    md5 hash (reproducible across engines, reruns, and partitionings —
+    never `rand()`), and per event type the arms' mean event values are
+    compared with a two-sample Welch z-test. This is the experimentation
+    workload every product warehouse runs nightly; at 100 TB it is one
+    groupBy(event_type, arm) with map-side combine — moments, not rows,
+    cross the shuffle.
+
+    Numeric discipline: each arm's sum and sum-of-squares go through
+    DECIMAL so they are addition-order-independent; mean/variance/z are
+    then derived per OUTPUT ROW from identical exact inputs in both
+    engines (population-variance formula — engine stddev defaults differ)
+    and ROUNDed. The synthetic assignment is real randomization, so the
+    expected readout is 'no significant lift' — the z column proves the
+    machinery, the boolean pins the conclusion."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    from datafusion_impl_spark.operators import md5_long
+
+    arm = (md5_long(F.col("user_id").cast("string")) % 2 == 0)
+    vdec = F.col("value").cast("decimal(18,6)")
+    stats = (
+        ev.select(
+            "event_type",
+            F.when(arm, "A").otherwise("B").alias("arm"),
+            vdec.alias("v"),
+            (vdec * vdec).cast("decimal(28,8)").alias("v2"),
+        )
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.sum("v2").alias("s2"),
+        )
+    )
+    a = stats.filter(F.col("arm") == "A").select(
+        "event_type",
+        F.col("n").alias("n_a"), F.col("s").alias("s_a"), F.col("s2").alias("s2_a"),
+    )
+    b = stats.filter(F.col("arm") == "B").select(
+        "event_type",
+        F.col("n").alias("n_b"), F.col("s").alias("s_b"), F.col("s2").alias("s2_b"),
+    )
+    j = a.join(b, "event_type")
+    mean_a = F.col("s_a").cast("double") / F.col("n_a")
+    mean_b = F.col("s_b").cast("double") / F.col("n_b")
+    var_a = F.col("s2_a").cast("double") / F.col("n_a") - mean_a * mean_a
+    var_b = F.col("s2_b").cast("double") / F.col("n_b") - mean_b * mean_b
+    z = (mean_b - mean_a) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(mean_b - mean_a, 6).alias("lift"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > _AB_Z_CRIT).alias("significant"),
+    ).orderBy("event_type")
+
+
+def _ab_oracle() -> str:
+    from datafusion_impl_spark.operators import duck_md5_long
+
+    h = duck_md5_long("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH tagged AS (
+  SELECT event_type,
+         CASE WHEN {h} % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CAST(value AS DECIMAL(18,6)) AS v,
+         CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+              AS DECIMAL(28,8)) AS v2
+  FROM events
+),
+stats AS (
+  SELECT event_type, arm, COUNT(*) AS n, SUM(v) AS s, SUM(v2) AS s2
+  FROM tagged GROUP BY event_type, arm
+),
+j AS (
+  SELECT a.event_type,
+         a.n AS n_a, a.s AS s_a, a.s2 AS s2_a,
+         b.n AS n_b, b.s AS s_b, b.s2 AS s2_b
+  FROM stats a JOIN stats b USING (event_type)
+  WHERE a.arm = 'A' AND b.arm = 'B'
+),
+m AS (
+  SELECT event_type, n_a, n_b,
+         CAST(s_a AS DOUBLE) / n_a AS mean_a,
+         CAST(s_b AS DOUBLE) / n_b AS mean_b,
+         CAST(s2_a AS DOUBLE) / n_a - (CAST(s_a AS DOUBLE) / n_a) * (CAST(s_a AS DOUBLE) / n_a) AS var_a,
+         CAST(s2_b AS DOUBLE) / n_b - (CAST(s_b AS DOUBLE) / n_b) * (CAST(s_b AS DOUBLE) / n_b) AS var_b
+  FROM j
+)
+SELECT event_type, n_a, n_b,
+       ROUND(mean_a, 6) AS mean_a,
+       ROUND(mean_b, 6) AS mean_b,
+       ROUND(mean_b - mean_a, 6) AS lift,
+       ROUND((mean_b - mean_a) / SQRT(var_a / n_a + var_b / n_b), 4) AS z_stat,
+       ABS((mean_b - mean_a) / SQRT(var_a / n_a + var_b / n_b)) > {_AB_Z_CRIT!r}
+         AS significant
+FROM m
+ORDER BY event_type
+"""
+
+
+_AB_SQL = _ab_oracle()
+
+
 QUERIES = {
+    "ab_experiment_analysis": ab_experiment_analysis,
     "daily_trend_regression": daily_trend_regression,
     "table_checksum_buckets": table_checksum_buckets,
     "data_quality_constraint_report": data_quality_constraint_report,
@@ -603,6 +718,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ab_experiment_analysis": _AB_SQL,
     "daily_trend_regression": _TREND_SQL,
     "table_checksum_buckets": _checksum_oracle(),
     "data_quality_constraint_report": _QUALITY_SQL,
