@@ -55,6 +55,7 @@ _QUERIES = [
     "q6_forecast_revenue",
     "text_token_stats",
     "dedup_documents_exact",
+    "dedup_documents_minhash",
     "ann_ivf_topk",
 ]
 
