@@ -175,6 +175,8 @@ _NEXT_ROTATION = [
     "dedup_community_bridges",          # new in r5 (bridge audit)
     "observed_scan_metrics",            # new in r5 (Observation API)
     "ab_experiment_analysis",           # new in r5 (hash-arm z-test)
+    "k_anonymity_audit",                # new in r5 (privacy census)
+    "pseudonymize_join_preservation",   # new in r5 (surrogate keys)
 ]
 
 

@@ -706,7 +706,155 @@ ORDER BY event_type
 _AB_SQL = _ab_oracle()
 
 
+#: k-anonymity thresholds the census reports against.
+_K_ANON_LEVELS = (2, 5, 10)
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity census over quasi-identifiers — the privacy audit run
+    before releasing or training on user-adjacent data: group customers by
+    the quasi-identifier tuple (nation, market segment, account balance
+    rounded to $100) and report, for each k threshold, how many people sit
+    in equivalence classes smaller than k (re-identifiable at that k) and
+    the suppression cost of enforcing it.
+
+    One groupBy over the QI tuple, then arithmetic over the bounded
+    class-size histogram — the class-size census is metadata-sized at any
+    corpus scale. Exact integer ratios throughout."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal") / 100) * 100).cast("long").alias("bal_band"),
+    )
+    classes = cust.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    by_size = classes.groupBy("class_size").agg(
+        F.count(F.lit(1)).alias("n_classes")
+    )
+    by_size = by_size.localCheckpoint(eager=True)
+    total = by_size.agg(
+        F.sum(F.col("class_size") * F.col("n_classes")).cast("long").alias("n_rows"),
+        F.sum("n_classes").cast("long").alias("n_classes_total"),
+    )
+    rows = []
+    for k in _K_ANON_LEVELS:
+        below = by_size.filter(F.col("class_size") < k).agg(
+            F.coalesce(
+                F.sum(F.col("class_size") * F.col("n_classes")), F.lit(0)
+            ).cast("long").alias("n_exposed"),
+            F.coalesce(F.sum("n_classes"), F.lit(0)).cast("long").alias(
+                "n_small_classes"
+            ),
+        )
+        rows.append(
+            below.crossJoin(F.broadcast(total)).select(
+                F.lit(k).cast("int").alias("k"),
+                "n_exposed",
+                "n_small_classes",
+                F.round(F.col("n_exposed") / F.col("n_rows"), 6).alias(
+                    "exposed_frac"
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("k")
+
+
+_K_ANON_SQL = f"""
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 100) * 100 AS BIGINT) AS bal_band
+  FROM customer
+),
+classes AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS class_size
+  FROM qi GROUP BY 1, 2, 3
+),
+by_size AS (
+  SELECT class_size, COUNT(*) AS n_classes FROM classes GROUP BY class_size
+),
+total AS (
+  SELECT CAST(SUM(class_size * n_classes) AS BIGINT) AS n_rows FROM by_size
+),
+ks(k) AS (VALUES {", ".join(f"({k})" for k in _K_ANON_LEVELS)})
+SELECT CAST(k AS INTEGER) AS k,
+       CAST(COALESCE(SUM(CASE WHEN class_size < k
+                              THEN class_size * n_classes END), 0) AS BIGINT)
+         AS n_exposed,
+       CAST(COALESCE(SUM(CASE WHEN class_size < k THEN n_classes END), 0)
+            AS BIGINT) AS n_small_classes,
+       ROUND(COALESCE(SUM(CASE WHEN class_size < k
+                               THEN class_size * n_classes END), 0)
+             / CAST((SELECT n_rows FROM total) AS DOUBLE), 6) AS exposed_frac
+FROM by_size, ks
+GROUP BY k
+ORDER BY k
+"""
+
+
+def pseudonymize_join_preservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization with referential integrity — the governance
+    transform that ships data to analysts: replace the customer key with a
+    stable md5-derived surrogate on BOTH the dimension and the fact, then
+    PROVE joins still work: the per-segment aggregate computed through the
+    surrogate join must equal the raw-key join exactly (oracle = raw-key
+    join), and the surrogate must be collision-free (distinct surrogates =
+    distinct keys — checked as a theorem column).
+
+    Map-side transform (hashing is codegen), one broadcast-dim join either
+    way — pseudonymization adds zero shuffle cost at any scale."""
+    from datafusion_impl_spark.operators import md5_long
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        md5_long(F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")))
+        .alias("surrogate"),
+        "c_custkey",
+        "c_mktsegment",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        md5_long(F.concat(F.lit("cust:"), F.col("o_custkey").cast("string")))
+        .alias("surrogate"),
+        "o_totalprice",
+    )
+    collision_free = cust.agg(
+        (F.countDistinct("surrogate") == F.countDistinct("c_custkey")).alias(
+            "collision_free"
+        )
+    )
+    joined = orders.join(
+        F.broadcast(cust.select("surrogate", "c_mktsegment")), "surrogate"
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .crossJoin(F.broadcast(collision_free))
+        .orderBy("c_mktsegment")
+    )
+
+
+_PSEUDONYM_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS revenue,
+       TRUE AS collision_free
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
+    "k_anonymity_audit": k_anonymity_audit,
+    "pseudonymize_join_preservation": pseudonymize_join_preservation,
     "ab_experiment_analysis": ab_experiment_analysis,
     "daily_trend_regression": daily_trend_regression,
     "table_checksum_buckets": table_checksum_buckets,
@@ -718,6 +866,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "k_anonymity_audit": _K_ANON_SQL,
+    "pseudonymize_join_preservation": _PSEUDONYM_SQL,
     "ab_experiment_analysis": _AB_SQL,
     "daily_trend_regression": _TREND_SQL,
     "table_checksum_buckets": _checksum_oracle(),
