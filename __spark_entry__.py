@@ -177,6 +177,7 @@ _NEXT_ROTATION = [
     "ab_experiment_analysis",           # new in r5 (hash-arm z-test)
     "k_anonymity_audit",                # new in r5 (privacy census)
     "pseudonymize_join_preservation",   # new in r5 (surrogate keys)
+    "embedding_cluster_silhouette",     # new in r5 (codebook health)
 ]
 
 

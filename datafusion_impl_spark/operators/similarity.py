@@ -1545,7 +1545,90 @@ ORDER BY label
 """
 
 
+def embedding_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified-silhouette clustering quality for the IVF coarse
+    quantizer: per vector, cosine to its OWN centroid vs the best OTHER
+    centroid; per cluster, the mean margin and the fraction of vectors
+    that actually sit closer to another centroid — the index-health gauge
+    that says when the codebook needs retraining (negative margins =
+    vectors probing the wrong cell at nprobe=1).
+
+    Exact and scale-safe: the centroid set is broadcast (a |corpus| × C
+    map-side crossJoin — the same shape as assignment itself), so unlike
+    true silhouette no pairwise distances are ever computed. Margins
+    ROUND before aggregation; means divide exact counts."""
+    e = _vectors(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    c_cos = F.round(
+        _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("c_nrm")), 6
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", c_cos.alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    own = ranked.filter(F.col("rk") == 1).select(
+        "vec_id", F.col("cid").alias("bucket"), F.col("sim").alias("own_sim")
+    )
+    other = ranked.filter(F.col("rk") == 2).select(
+        "vec_id", F.col("sim").alias("other_sim")
+    )
+    per_vec = own.join(other, "vec_id").select(
+        "bucket",
+        "own_sim",
+        F.round(F.col("own_sim") - F.col("other_sim"), 6).alias("margin"),
+    )
+    return (
+        per_vec.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("own_sim") / F.count(F.lit(1)), 6).alias("mean_own_sim"),
+            F.round(F.sum("margin") / F.count(F.lit(1)), 6).alias("mean_margin"),
+            F.round(
+                F.count_if(F.col("margin") < 0) / F.count(F.lit(1)), 6
+            ).alias("misassigned_frac"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_SILHOUETTE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_N_CENTROIDS}),
+scored AS (
+  SELECT e.vec_id, cent.cid,
+         ROUND(list_cosine_similarity(e.v, cent.cv), 6) AS sim
+  FROM e, cent
+),
+ranked AS (
+  SELECT vec_id, cid, sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+  FROM scored
+),
+per_vec AS (
+  SELECT o.cid AS bucket, o.sim AS own_sim,
+         ROUND(o.sim - x.sim, 6) AS margin
+  FROM (SELECT vec_id, cid, sim FROM ranked WHERE rk = 1) o
+  JOIN (SELECT vec_id, sim FROM ranked WHERE rk = 2) x USING (vec_id)
+)
+SELECT bucket,
+       COUNT(*) AS n_vecs,
+       ROUND(SUM(own_sim) / COUNT(*), 6) AS mean_own_sim,
+       ROUND(SUM(margin) / COUNT(*), 6) AS mean_margin,
+       ROUND(CAST(count_if(margin < 0) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS misassigned_frac
+FROM per_vec
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 QUERIES = {
+    "embedding_cluster_silhouette": embedding_cluster_silhouette,
     "embedding_snapshot_drift": embedding_snapshot_drift,
     "ann_knn_graph_ivf": ann_knn_graph_ivf,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
@@ -1562,6 +1645,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_cluster_silhouette": _SILHOUETTE_SQL,
     "embedding_snapshot_drift": _SNAPSHOT_DRIFT_SQL,
     "ann_knn_graph_ivf": _KNN_GRAPH_SQL,
     "ann_ivf_pq_topk": _IVFPQ_SQL,
