@@ -178,6 +178,7 @@ _NEXT_ROTATION = [
     "k_anonymity_audit",                # new in r5 (privacy census)
     "pseudonymize_join_preservation",   # new in r5 (surrogate keys)
     "embedding_cluster_silhouette",     # new in r5 (codebook health)
+    "watermark_lateness_audit",         # new in r5 (watermark sizing)
 ]
 
 

@@ -807,7 +807,113 @@ ORDER BY o_orderstatus
 """
 
 
+def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-lateness audit — the measurement that SIZES a watermark
+    instead of guessing it: treating arrival order as ``event_id`` order
+    (the ingestion sequence), an event is late by the gap between the
+    latest event time already seen and its own timestamp. Per event type:
+    the late fraction and the lateness level a 1-hour watermark would
+    drop, plus the max observed lateness.
+
+    The running max of event time over arrival order is the watermark
+    tracker's computation — but a single unpartitioned window over the
+    fact table is a global sort, exactly what this repo's plan audit bans.
+    Scale-safe prefix-max instead (the hierarchical-scan pattern shared
+    with `pack_documents_by_token_budget`): arrival order splits into
+    fixed segments; a partitioned window computes the within-segment
+    running max, a bounded window over per-segment maxima carries the
+    cross-segment prefix, and the true prior-max is their greatest.
+    Batch-computable because lateness is a pure function of the recorded
+    (arrival, event-time) pair; the result feeds `withWatermark` sizing
+    for the streaming operators in this module."""
+    from datafusion_impl_spark.sources.registry import load_table
+
+    seg_rows = 8192
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    ).withColumn("seg", F.expr(f"event_id div {seg_rows}"))
+    w_in = (
+        Window.partitionBy("seg")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg_max = ev.groupBy("seg").agg(F.max("ts").alias("m"))
+    w_seg = Window.orderBy("seg").rowsBetween(Window.unboundedPreceding, -1)
+    carry = seg_max.select(
+        "seg", F.max("m").over(w_seg).alias("carry")
+    )
+    prior = F.greatest(
+        F.coalesce(F.max("ts").over(w_in), F.col("carry")),
+        F.coalesce(F.col("carry"), F.max("ts").over(w_in)),
+    )
+    lateness = F.unix_micros(prior) - F.unix_micros(F.col("ts"))
+    lat = (
+        ev.join(F.broadcast(carry), "seg")
+        .select(
+            "event_type",
+            F.greatest(F.coalesce(lateness, F.lit(0)), F.lit(0)).alias(
+                "late_us"
+            ),
+        )
+    )
+    hour_us = 3_600_000_000
+    return (
+        lat.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(F.col("late_us") > 0).cast("long").alias("n_late"),
+            F.round(
+                F.count_if(F.col("late_us") > 0) / F.count(F.lit(1)), 6
+            ).alias("late_frac"),
+            F.count_if(F.col("late_us") > hour_us)
+            .cast("long")
+            .alias("n_dropped_1h_watermark"),
+            F.max("late_us").alias("max_late_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_LATENESS_SQL = """
+WITH ev AS (
+  SELECT event_id, event_type, ts, event_id // 8192 AS seg FROM events
+),
+seg_max AS (SELECT seg, MAX(ts) AS m FROM ev GROUP BY seg),
+carry AS (
+  SELECT seg,
+         MAX(m) OVER (ORDER BY seg
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS carry
+  FROM seg_max
+),
+prior AS (
+  SELECT e.event_type, e.ts,
+         GREATEST(
+           COALESCE(MAX(e.ts) OVER w_in, c.carry),
+           COALESCE(c.carry, MAX(e.ts) OVER w_in)) AS prior_max
+  FROM ev e JOIN carry c USING (seg)
+  WINDOW w_in AS (PARTITION BY e.seg ORDER BY e.event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+lat AS (
+  SELECT event_type,
+         GREATEST(COALESCE(epoch_us(prior_max) - epoch_us(ts), 0), 0) AS late_us
+  FROM prior
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(count_if(late_us > 0) AS BIGINT) AS n_late,
+       ROUND(CAST(count_if(late_us > 0) AS BIGINT)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS late_frac,
+       CAST(count_if(late_us > 3600000000) AS BIGINT) AS n_dropped_1h_watermark,
+       CAST(MAX(late_us) AS BIGINT) AS max_late_us
+FROM lat
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "watermark_lateness_audit": watermark_lateness_audit,
     "stream_cdc_merge_stats": stream_cdc_merge_stats,
     "session_window_stats": session_window_stats,
     "click_attribution_stats": click_attribution_stats,
@@ -816,6 +922,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "watermark_lateness_audit": _LATENESS_SQL,
     "stream_cdc_merge_stats": _STREAM_CDC_SQL,
     "session_window_stats": _SESSION_WINDOW_SQL,
     "click_attribution_stats": _ATTRIBUTION_SQL,
