@@ -179,6 +179,8 @@ _NEXT_ROTATION = [
     "pseudonymize_join_preservation",   # new in r5 (surrogate keys)
     "embedding_cluster_silhouette",     # new in r5 (codebook health)
     "watermark_lateness_audit",         # new in r5 (watermark sizing)
+    "lineitem_correlation_matrix",      # new in r5 (moment-exact profiler)
+    "linear_attribution_stats",         # new in r5 (multi-touch credit)
 ]
 
 

@@ -751,6 +751,106 @@ ORDER BY bucket
 _KEY_SKEW_SQL = _skew_oracle()
 
 
+#: numeric profiler: lineitem measure columns whose pairwise correlations
+#: the matrix reports (cents-scaled integers so moments are DECIMAL-exact).
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric measures
+    — the multi-column statistical profiler behind feature selection and
+    anomaly triage ("price moves with quantity; discount is independent").
+
+    Engine-portable by construction: instead of ``corr()`` (whose internal
+    double accumulation is addition-order-dependent), ONE pass collects the
+    full moment set (Σx, Σx², Σxy per pair) as DECIMAL sums of cents-scaled
+    integers — exact, order-independent — and the correlation derives per
+    OUTPUT ROW from identical exact moments in both engines:
+    r = (n·Σxy − Σx·Σy) / √((n·Σx² − Σx²)(n·Σy² − Σy²)). The k² pair space
+    is 6 rows; the scan is one map + one 1-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = {
+        c: F.round(F.col(c) * 100).cast("long").cast("decimal(18,0)")
+        for c in _CORR_COLS
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(cents[c]).alias(f"s_{c}"))
+        aggs.append(
+            F.sum((cents[c] * cents[c]).cast("decimal(38,0)")).alias(f"q_{c}")
+        )
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    ]
+    for a, b in pairs:
+        aggs.append(
+            F.sum((cents[a] * cents[b]).cast("decimal(38,0)")).alias(f"p_{a}_{b}")
+        )
+    m = li.agg(*aggs)
+    rows = []
+    for a, b in pairs:
+        num = (
+            F.col("n") * F.col(f"p_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        ).cast("double")
+        den_a = (
+            F.col("n") * F.col(f"q_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        ).cast("double")
+        den_b = (
+            F.col("n") * F.col(f"q_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        ).cast("double")
+        rows.append(
+            m.select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(num / F.sqrt(den_a * den_b), 6).alias("pearson_r"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("col_a", "col_b")
+
+
+def _corr_matrix_oracle() -> str:
+    cents = {
+        c: f"CAST(CAST(ROUND({c} * 100, 0) AS BIGINT) AS DECIMAL(18,0))"
+        for c in _CORR_COLS
+    }
+    sums = ["COUNT(*) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"SUM({cents[c]}) AS s_{c}")
+        sums.append(f"SUM(CAST({cents[c]} * {cents[c]} AS DECIMAL(38,0))) AS q_{c}")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    ]
+    for a, b in pairs:
+        sums.append(
+            f"SUM(CAST({cents[a]} * {cents[b]} AS DECIMAL(38,0))) AS p_{a}_{b}"
+        )
+    selects = []
+    for a, b in pairs:
+        selects.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b,\n"
+            f"  ROUND(CAST(n * p_{a}_{b} - s_{a} * s_{b} AS DOUBLE)\n"
+            f"        / SQRT(CAST(n * q_{a} - s_{a} * s_{a} AS DOUBLE)\n"
+            f"               * CAST(n * q_{b} - s_{b} * s_{b} AS DOUBLE)), 6)\n"
+            f"    AS pearson_r FROM m"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH m AS (SELECT {", ".join(sums)} FROM lineitem)
+{union}
+ORDER BY col_a, col_b
+"""
+
+
+_CORR_MATRIX_SQL = _corr_matrix_oracle()
+
+
 #: market-basket affinity: how many top pairs the audit surfaces.
 _BASKET_TOPK = 20
 
@@ -2475,6 +2575,7 @@ QUERIES = {
     "scalar_array_struct_functions": scalar_array_struct_functions,
     "scalar_stats_aggregates": scalar_stats_aggregates,
     "join_key_skew_report": join_key_skew_report,
+    "lineitem_correlation_matrix": lineitem_correlation_matrix,
     "brand_affinity_lift": brand_affinity_lift,
     "rfm_customer_segments": rfm_customer_segments,
     "salted_event_type_stats": salted_event_type_stats,
@@ -2534,6 +2635,7 @@ ORACLES = {
     "scalar_array_struct_functions": _SCALAR_ARRAY_SQL,
     "scalar_stats_aggregates": _SCALAR_STATS_SQL,
     "join_key_skew_report": _KEY_SKEW_SQL,
+    "lineitem_correlation_matrix": _CORR_MATRIX_SQL,
     "brand_affinity_lift": _BRAND_LIFT_SQL,
     "rfm_customer_segments": _RFM_SQL,
     "salted_event_type_stats": _SALTED_STATS_SQL,

@@ -153,6 +153,100 @@ ORDER BY event_type
 """
 
 
+#: multi-touch attribution window.
+_ATTR_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def linear_attribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution — the fair-share upgrade of
+    last-touch: every click by the same user within the hour before a
+    purchase gets an equal share of the purchase value, so campaigns whose
+    clicks assist-but-don't-close still get credit. Report: credited value
+    and assist counts by the CLICK's hour of day (the budget-allocation
+    view).
+
+    Scale shape: the purchase→prior-clicks pairing uses the quantized
+    time-bucket band join (each purchase probes exactly two click buckets
+    per user — a pure equi-join on (user, bucket), no inequality-join
+    blowup), then one window per purchase computes the split factor.
+    Per-click credits ROUND to 6 dp before the final aggregate (bounded
+    accumulation error ≪ the 2 dp report)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    us = F.unix_micros("ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        us.alias("c_t"),
+        F.hour("ts").alias("click_hour"),
+        F.floor(us / _ATTR_WINDOW_US).alias("cb"),
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            "user_id",
+            us.alias("p_t"),
+            "value",
+            F.floor(us / _ATTR_WINDOW_US).alias("pb"),
+        )
+        .select(
+            "p_id",
+            "user_id",
+            "p_t",
+            "value",
+            F.explode(F.array(F.col("pb") - 1, F.col("pb"))).alias("cb"),
+        )
+    )
+    j = purch.join(clicks, ["user_id", "cb"]).filter(
+        (F.col("p_t") - F.col("c_t") > 0)
+        & (F.col("p_t") - F.col("c_t") <= _ATTR_WINDOW_US)
+    )
+    w = Window.partitionBy("p_id")
+    credited = j.select(
+        "click_hour",
+        F.round(
+            F.col("value") / F.count(F.lit(1)).over(w), 6
+        ).alias("credit"),
+    )
+    return (
+        credited.groupBy("click_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_assists"),
+            F.round(F.sum("credit"), 2).alias("credited_value"),
+        )
+        .orderBy("click_hour")
+    )
+
+
+_LINEAR_ATTR_SQL = f"""
+WITH clicks AS (
+  SELECT user_id, epoch_us(ts) AS c_t, hour(ts) AS click_hour
+  FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_t, value
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT p.p_id, p.value, c.click_hour
+  FROM purch p JOIN clicks c USING (user_id)
+  WHERE p.p_t - c.c_t > 0 AND p.p_t - c.c_t <= {_ATTR_WINDOW_US}
+),
+credited AS (
+  SELECT click_hour,
+         ROUND(value / COUNT(*) OVER (PARTITION BY p_id), 6) AS credit
+  FROM j
+)
+SELECT CAST(click_hour AS INTEGER) AS click_hour,
+       COUNT(*) AS n_assists,
+       ROUND(SUM(credit), 2) AS credited_value
+FROM credited
+GROUP BY click_hour
+ORDER BY click_hour
+"""
+
+
 def range_join_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (band) join: for every event, how many OTHER events (any user)
     happened in the preceding 5 minutes.
@@ -261,6 +355,7 @@ ORDER BY nationkey
 
 
 QUERIES = {
+    "linear_attribution_stats": linear_attribution_stats,
     "asof_join_with_tolerance": asof_join_with_tolerance,
     "asof_join_prior_click": asof_join_prior_click,
     "range_join_event_bursts": range_join_event_bursts,
@@ -268,6 +363,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "linear_attribution_stats": _LINEAR_ATTR_SQL,
     "asof_join_with_tolerance": _ASOF_TOL_SQL,
     "asof_join_prior_click": _ASOF_SQL,
     "range_join_event_bursts": _RANGE_SQL,
