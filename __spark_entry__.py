@@ -181,6 +181,8 @@ _NEXT_ROTATION = [
     "watermark_lateness_audit",         # new in r5 (watermark sizing)
     "lineitem_correlation_matrix",      # new in r5 (moment-exact profiler)
     "linear_attribution_stats",         # new in r5 (multi-touch credit)
+    "dedup_minhash_param_sweep",        # new in r5 (LSH tuning curve)
+    "event_trigram_paths",              # new in r5 (3-step path mining)
 ]
 
 

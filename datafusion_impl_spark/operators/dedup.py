@@ -485,6 +485,134 @@ cand AS (
 """
 
 
+#: (bands, rows-per-band) configurations sharing the 12-hash signature.
+_SWEEP_CONFIGS = ((2, 6), (3, 4), (4, 3), (6, 2))
+
+
+def dedup_minhash_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding trade-off curve — the tuning run before committing a
+    band/row configuration to a 100 TB dedup: the SAME 12-hash signature is
+    banded four ways (2×6 … 6×2), and for each configuration the sweep
+    reports candidate volume, how many candidates verify at the exact
+    Jaccard threshold, the resulting precision, and the THEORETICAL
+    detection probability at the threshold (1−(1−J^r)^b — the S-curve both
+    the empirical columns should track: more bands with shorter rows catch
+    more true pairs but admit more false candidates).
+
+    Cost shape: the signature is computed ONCE (the same wide min-aggregate
+    the production dedup uses) and each configuration adds only a band-key
+    projection + equi-join; the exact-Jaccard verify touches candidates
+    only. The per-config counts are bounded aggregates (same
+    driver-scalar pattern as the detector-P/R audit)."""
+    corpus = near_dup_corpus(spark, sf_dir)
+    sh = materialize(_shingles(corpus))
+    sig = materialize(_sig_wide(sh))
+    rows = []
+    for b, r in _SWEEP_CONFIGS:
+        band_structs = [
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{band * r + i}").cast("string")
+                            for i in range(r)
+                        ],
+                    )
+                ).alias("bkey"),
+            )
+            for band in range(b)
+        ]
+        bands = sig.select(
+            "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+        ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+        cand = materialize(_band_candidates(bands))
+        n_cand = cand.count()
+        n_ver = _exact_jaccard_verify(cand, sh).count()
+        detect_prob = 1.0 - (1.0 - _JACCARD_T ** r) ** b
+        rows.append((b, r, n_cand, n_ver, detect_prob))
+    out = spark.createDataFrame(
+        rows,
+        schema="bands int, rows_per_band int, n_candidates bigint, "
+        "n_verified bigint, detect_prob_raw double",
+    )
+    return out.select(
+        "bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_verified",
+        F.round(
+            F.col("n_verified") / F.greatest(F.col("n_candidates"), F.lit(1)), 6
+        ).alias("precision"),
+        F.round(F.col("detect_prob_raw"), 6).alias("detect_prob_at_t"),
+    ).orderBy("bands")
+
+
+def _minhash_sweep_oracle() -> str:
+    parts = []
+    selects = []
+    for b, r in _SWEEP_CONFIGS:
+        parts.append(
+            f"bands_{b} AS (\n"
+            f"  SELECT doc_id, band,\n"
+            f"         md5(array_to_string(\n"
+            f"           list_transform(list_slice(sig, band * {r} + 1, band * {r} + {r}),\n"
+            f"                          x -> CAST(x AS VARCHAR)), ',')) AS bkey\n"
+            f"  FROM sig, (SELECT unnest(generate_series(0, {b - 1})) AS band) t\n"
+            f"),\n"
+            f"cand_{b} AS (\n"
+            f"  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db\n"
+            f"  FROM bands_{b} a JOIN bands_{b} b\n"
+            f"    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id\n"
+            f"),\n"
+            f"ver_{b} AS (\n"
+            f"  SELECT COUNT(*) AS v FROM (\n"
+            f"    SELECT c.da, c.db, COUNT(*) AS i\n"
+            f"    FROM cand_{b} c\n"
+            f"    JOIN sh x ON x.doc_id = c.da\n"
+            f"    JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle\n"
+            f"    GROUP BY c.da, c.db) q\n"
+            f"  JOIN sizes sa ON sa.doc_id = q.da\n"
+            f"  JOIN sizes sb ON sb.doc_id = q.db\n"
+            f"  WHERE CAST(q.i AS DOUBLE) / (sa.n + sb.n - q.i) >= {_JACCARD_T}\n"
+            f")"
+        )
+        detect_prob = 1.0 - (1.0 - _JACCARD_T ** r) ** b
+        selects.append(
+            f"SELECT CAST({b} AS INTEGER) AS bands,\n"
+            f"       CAST({r} AS INTEGER) AS rows_per_band,\n"
+            f"       (SELECT COUNT(*) FROM cand_{b}) AS n_candidates,\n"
+            f"       (SELECT v FROM ver_{b}) AS n_verified,\n"
+            f"       ROUND((SELECT v FROM ver_{b})\n"
+            f"             / CAST(GREATEST((SELECT COUNT(*) FROM cand_{b}), 1)\n"
+            f"                    AS DOUBLE), 6) AS precision,\n"
+            f"       ROUND({detect_prob!r}, 6) AS detect_prob_at_t"
+        )
+    ctes = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(selects)
+    return rf"""
+WITH corpus AS ({_CORPUS_SQL}),
+{_DUCK_SHINGLES},
+mh AS (
+  SELECT doc_id, seed,
+         MIN({duck_md5_long("shingle || '#' || CAST(seed AS VARCHAR)")}) AS mh
+  FROM sh, (SELECT unnest(generate_series(0, {_NUM_HASHES - 1})) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+sig AS (
+  SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+{ctes}
+{union}
+ORDER BY bands
+"""
+
+
+_MINHASH_SWEEP_SQL = _minhash_sweep_oracle()
+
+
 def minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-quality audit: for every LSH candidate pair, the MinHash
     *estimate* of Jaccard (fraction of the 12 seeds whose min-hashes agree —
@@ -1208,6 +1336,7 @@ FROM m
 
 
 QUERIES = {
+    "dedup_minhash_param_sweep": dedup_minhash_param_sweep,
     "dedup_documents_exact": dedup_documents_exact,
     "dedup_documents_survivors": dedup_documents_survivors,
     "dedup_incremental_batch": dedup_incremental_batch,
@@ -1223,6 +1352,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_minhash_param_sweep": _MINHASH_SWEEP_SQL,
     "stream_near_dup_flags": _STREAM_FLAGS_SQL,
     "dedup_documents_exact": _EXACT_SQL,
     "dedup_documents_survivors": _SURVIVORS_SQL,

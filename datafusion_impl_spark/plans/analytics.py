@@ -751,6 +751,69 @@ ORDER BY bucket
 _KEY_SKEW_SQL = _skew_oracle()
 
 
+#: sequence mining: how many top paths the report surfaces.
+_PATH_TOPK = 15
+
+
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining one step beyond the bigram transition
+    matrix: the top 3-step behavior paths per user stream (``lag`` twice
+    over the per-user event order), with each path's share of all
+    trigrams — the exploratory view that surfaces funnels nobody thought
+    to define (``view>click>purchase`` emerging organically vs the
+    predefined funnel query).
+
+    One shuffle on user_id for the windows (both lags share one
+    Exchange+Sort), one groupBy on the bounded path vocabulary (≤ |types|³
+    keys at any scale), TakeOrdered for the top-k — never a global sort."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select(
+            F.lag("event_type", 2).over(w).alias("e1"),
+            F.lag("event_type", 1).over(w).alias("e2"),
+            F.col("event_type").alias("e3"),
+        )
+        .filter(F.col("e1").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "path",
+            "n",
+            F.round(F.col("n") / F.col("t"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n"), "path")
+        .limit(_PATH_TOPK)
+    )
+
+
+_TRIGRAM_PATHS_SQL = f"""
+WITH seq AS (
+  SELECT LAG(event_type, 2) OVER w AS e1,
+         LAG(event_type, 1) OVER w AS e2,
+         event_type AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+  SELECT e1 || '>' || e2 || '>' || e3 AS path FROM seq WHERE e1 IS NOT NULL
+),
+counts AS (SELECT path, COUNT(*) AS n FROM paths GROUP BY path),
+total AS (SELECT SUM(n) AS t FROM counts)
+SELECT path, n,
+       ROUND(n / CAST((SELECT t FROM total) AS DOUBLE), 6) AS share
+FROM counts
+ORDER BY n DESC, path
+LIMIT {_PATH_TOPK}
+"""
+
+
 #: numeric profiler: lineitem measure columns whose pairwise correlations
 #: the matrix reports (cents-scaled integers so moments are DECIMAL-exact).
 _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -2575,6 +2638,7 @@ QUERIES = {
     "scalar_array_struct_functions": scalar_array_struct_functions,
     "scalar_stats_aggregates": scalar_stats_aggregates,
     "join_key_skew_report": join_key_skew_report,
+    "event_trigram_paths": event_trigram_paths,
     "lineitem_correlation_matrix": lineitem_correlation_matrix,
     "brand_affinity_lift": brand_affinity_lift,
     "rfm_customer_segments": rfm_customer_segments,
@@ -2635,6 +2699,7 @@ ORACLES = {
     "scalar_array_struct_functions": _SCALAR_ARRAY_SQL,
     "scalar_stats_aggregates": _SCALAR_STATS_SQL,
     "join_key_skew_report": _KEY_SKEW_SQL,
+    "event_trigram_paths": _TRIGRAM_PATHS_SQL,
     "lineitem_correlation_matrix": _CORR_MATRIX_SQL,
     "brand_affinity_lift": _BRAND_LIFT_SQL,
     "rfm_customer_segments": _RFM_SQL,
