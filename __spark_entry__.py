@@ -183,6 +183,7 @@ _NEXT_ROTATION = [
     "linear_attribution_stats",         # new in r5 (multi-touch credit)
     "dedup_minhash_param_sweep",        # new in r5 (LSH tuning curve)
     "event_trigram_paths",              # new in r5 (3-step path mining)
+    "multimodal_phash_near_dup",        # new in r5 (Hamming-LSH pHash)
 ]
 
 

@@ -469,7 +469,114 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+#: perceptual-hash parameters: 15 hex symbols × 4 frequency thresholds =
+#: a 60-bit signature (the 16th symbol's frequency is determined by the
+#: others, and 60 bits keeps the value inside signed BIGINT); banding is
+#: 4 chunks × 15 bits — a pair within Hamming distance d < 4 ALWAYS shares
+#: at least one exact chunk (pigeonhole), the classic Hamming-LSH recall
+#: guarantee; looser pairs are caught probabilistically.
+_PHASH_CHARS = "0123456789ABCDE"
+_PHASH_THRESHOLDS = (80, 95, 105, 120)  # percent of the uniform frequency
+_PHASH_HAMMING_T = 12
+
+
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate detection for opaque binary payloads — the
+    perceptual-hash workflow (pHash/aHash for images, chromaprints for
+    audio) with the decoder swapped for a deterministic byte-histogram
+    signature this container can compute (and DuckDB can replay): 60 bits
+    of 'is symbol s over/under t% of uniform frequency' over the payload's
+    hex distribution. Exact copies collide at Hamming 0; payloads with
+    similar byte statistics land within a few bits.
+
+    The pairing is Hamming-LSH: the signature splits into 4 chunks of 15
+    bits, candidates come from an equi-join on any identical chunk (never
+    an all-pairs product; distance <4 pairs are caught with certainty by
+    pigeonhole), and the exact Hamming distance (xor + bit_count) verifies
+    candidates. Output: the near-dup census by Hamming distance."""
+    media = media_table(spark, sf_dir).select(
+        "doc_id", F.upper(F.hex("media")).alias("h")
+    ).filter(F.length("h") > 0)
+    L = F.length("h")
+    sig = F.lit(0).cast("long")
+    for i, c in enumerate(_PHASH_CHARS):
+        freq = L - F.length(F.expr(f"replace(h, '{c}', '')"))
+        for t, pct in enumerate(_PHASH_THRESHOLDS):
+            bit = (freq * 16 * 100 > L * pct).cast("long")
+            sig = sig + bit * F.lit(2 ** (i * 4 + t)).cast("long")
+    hashed = media.select("doc_id", sig.alias("sig"))
+    hashed = hashed.localCheckpoint(eager=True)
+    chunks = hashed.select(
+        "doc_id",
+        "sig",
+        F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j"),
+    ).select(
+        "doc_id",
+        "sig",
+        "j",
+        F.expr("(sig >> (15 * j)) & 32767").alias("chunk"),
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("da"), F.col("sig").alias("sa"), "j", "chunk"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("db"), F.col("sig").alias("sb"), "j", "chunk"
+    )
+    cand = (
+        a.join(b, ["j", "chunk"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", "sa", "sb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sa ^ sb"))
+    return (
+        cand.select(hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= _PHASH_HAMMING_T)
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
+def _phash_oracle() -> str:
+    bits = []
+    for i, c in enumerate(_PHASH_CHARS):
+        freq = f"(length(h) - length(replace(h, '{c}', '')))"
+        for t, pct in enumerate(_PHASH_THRESHOLDS):
+            bits.append(
+                f"CASE WHEN {freq} * 16 * 100 > length(h) * {pct} "
+                f"THEN CAST({2 ** (i * 4 + t)} AS BIGINT) ELSE 0 END"
+            )
+    sig = " + ".join(bits)
+    return f"""
+WITH media AS (
+  SELECT doc_id, upper(hex(encode(text))) AS h FROM documents
+  WHERE length(text) > 0
+),
+hashed AS (SELECT doc_id, {sig} AS sig FROM media),
+chunks AS (
+  SELECT doc_id, sig, j, (sig >> (15 * j)) & 32767 AS chunk
+  FROM hashed, (SELECT unnest(generate_series(0, 3)) AS j) t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sig AS sa, b.sig AS sb
+  FROM chunks a JOIN chunks b
+    ON a.j = b.j AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming,
+       COUNT(*) AS n_pairs
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= {_PHASH_HAMMING_T}
+GROUP BY 1
+ORDER BY hamming
+"""
+
+
+_PHASH_SQL = _phash_oracle()
+
+
 QUERIES = {
+    "multimodal_phash_near_dup": multimodal_phash_near_dup,
     "multimodal_chunk_manifest": multimodal_chunk_manifest,
     "multimodal_arrow_features": multimodal_arrow_features,
     "multimodal_media_features": multimodal_media_features,
@@ -478,6 +585,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_phash_near_dup": _PHASH_SQL,
     "multimodal_chunk_manifest": _CHUNK_MANIFEST_SQL,
     "multimodal_arrow_features": _MEDIA_FEATURES_SQL,
     "multimodal_media_features": _MEDIA_FEATURES_SQL,
