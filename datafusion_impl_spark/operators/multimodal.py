@@ -478,6 +478,12 @@ ORDER BY doc_id, chunk_idx
 _PHASH_CHARS = "0123456789ABCDE"
 _PHASH_THRESHOLDS = (80, 95, 105, 120)  # percent of the uniform frequency
 _PHASH_HAMMING_T = 12
+#: hot-bucket cap: a (chunk-position, value) bucket holding more blobs than
+#: this is NON-DISCRIMINATIVE (many corpora share common byte statistics)
+#: and is skipped — the standard LSH skip-hot-buckets rule that bounds the
+#: candidate join's fan-out; near-identical pairs still collide in their
+#: other, rarer chunks.
+_PHASH_BUCKET_CAP = 64
 
 
 def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -498,13 +504,24 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.upper(F.hex("media")).alias("h")
     ).filter(F.length("h") > 0)
     L = F.length("h")
+    # materialize the 15 symbol frequencies ONCE: Catalyst collapses
+    # projections, so without the checkpoint each of the 60 bit expressions
+    # would re-run its multi-KB replace() scan (measured 21.6 s → ~2 s at
+    # sf0.1 from this + the hot-bucket cap below)
+    freqs = media.select(
+        "doc_id",
+        L.alias("len"),
+        *[
+            (L - F.length(F.expr(f"replace(h, '{c}', '')"))).alias(f"f{i}")
+            for i, c in enumerate(_PHASH_CHARS)
+        ],
+    ).localCheckpoint(eager=True)
     sig = F.lit(0).cast("long")
-    for i, c in enumerate(_PHASH_CHARS):
-        freq = L - F.length(F.expr(f"replace(h, '{c}', '')"))
+    for i in range(len(_PHASH_CHARS)):
         for t, pct in enumerate(_PHASH_THRESHOLDS):
-            bit = (freq * 16 * 100 > L * pct).cast("long")
+            bit = (F.col(f"f{i}") * 16 * 100 > F.col("len") * pct).cast("long")
             sig = sig + bit * F.lit(2 ** (i * 4 + t)).cast("long")
-    hashed = media.select("doc_id", sig.alias("sig"))
+    hashed = freqs.select("doc_id", sig.alias("sig"))
     hashed = hashed.localCheckpoint(eager=True)
     chunks = hashed.select(
         "doc_id",
@@ -516,6 +533,13 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "j",
         F.expr("(sig >> (15 * j)) & 32767").alias("chunk"),
     )
+    rare = (
+        chunks.groupBy("j", "chunk")
+        .agg(F.count(F.lit(1)).alias("pop"))
+        .filter(F.col("pop") <= _PHASH_BUCKET_CAP)
+        .select("j", "chunk")
+    )
+    chunks = chunks.join(F.broadcast(rare), ["j", "chunk"])
     a = chunks.select(
         F.col("doc_id").alias("da"), F.col("sig").alias("sa"), "j", "chunk"
     )
@@ -554,9 +578,16 @@ WITH media AS (
   WHERE length(text) > 0
 ),
 hashed AS (SELECT doc_id, {sig} AS sig FROM media),
-chunks AS (
+chunks0 AS (
   SELECT doc_id, sig, j, (sig >> (15 * j)) & 32767 AS chunk
   FROM hashed, (SELECT unnest(generate_series(0, 3)) AS j) t
+),
+rare AS (
+  SELECT j, chunk FROM chunks0 GROUP BY j, chunk
+  HAVING COUNT(*) <= {_PHASH_BUCKET_CAP}
+),
+chunks AS (
+  SELECT c.* FROM chunks0 c JOIN rare USING (j, chunk)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sig AS sa, b.sig AS sb
