@@ -822,3 +822,74 @@ def test_chunk_manifest_reassembly_property(spark):
         payload.hex().upper()[: 2 * _CHUNK_BYTES].encode()
     ).hexdigest()
     assert first.chunk_md5 == expect
+
+
+def test_minhash_sweep_tradeoff_shape(spark):
+    """More, shorter bands must admit at least as many candidates (the
+    sweep's monotonicity), the theoretical detection probability must rise
+    with band count, and verified pairs can never exceed candidates."""
+    from datafusion_impl_spark.operators.dedup import dedup_minhash_param_sweep
+
+    rows = sorted(
+        dedup_minhash_param_sweep(spark, SF_DIR).collect(),
+        key=lambda r: r.bands,
+    )
+    assert [r.bands * r.rows_per_band for r in rows] == [12, 12, 12, 12]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_candidates >= a.n_candidates
+        assert b.detect_prob_at_t >= a.detect_prob_at_t
+    for r in rows:
+        assert 0 <= r.n_verified <= r.n_candidates
+
+
+def test_phash_exact_copies_collide_at_zero(spark, planted):
+    """Planted exact copies share identical byte histograms, so the pHash
+    census MUST include Hamming distance 0 pairs (at least the planted
+    exact-dup volume that survives the hot-bucket cap)."""
+    from datafusion_impl_spark.operators.multimodal import (
+        multimodal_phash_near_dup,
+    )
+
+    census = {r.hamming: r.n_pairs
+              for r in multimodal_phash_near_dup(spark, SF_DIR).collect()}
+    assert census.get(0, 0) > 0
+    assert all(h <= 12 for h in census)
+
+
+def test_linear_attribution_conserves_value(spark):
+    """Credits must sum exactly to the value of purchases that have at
+    least one in-window assist (each purchase's value splits, never
+    inflates or leaks)."""
+    from pyspark.sql import Window
+
+    from datafusion_impl_spark.plans.joins_ext import (
+        _ATTR_WINDOW_US,
+        linear_attribution_stats,
+    )
+    from datafusion_impl_spark.sources.registry import load_table
+
+    credited = sum(
+        r.credited_value
+        for r in linear_attribution_stats(spark, SF_DIR).collect()
+    )
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    us = F.unix_micros("ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("c_t")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", us.alias("p_t"), "value"
+    )
+    assisted = (
+        purch.join(clicks, "user_id")
+        .filter(
+            (F.col("p_t") - F.col("c_t") > 0)
+            & (F.col("p_t") - F.col("c_t") <= _ATTR_WINDOW_US)
+        )
+        .select("p_id", "value")
+        .distinct()
+    )
+    expected = assisted.agg(F.sum("value")).first()[0]
+    assert abs(credited - expected) < 0.05 * max(1.0, abs(expected)) / 100 + 0.51
