@@ -78,12 +78,14 @@ _MODULES = [
 #   r5 (this list): the 2 repaired r4 reds first, then the 48 highest-value
 #       queries that have NEVER had a driver row (r4 session-2 batch + the
 #       production-ANN flagships + analytics/modern/quality remainder).
-#       After r5, union driver coverage is >=200/205; the 3 deferred
-#       stragglers lead _NEXT_ROTATION. The rows-only `no_oracle` trio
-#       (regexp_safe_edge_cases, approx_distinct_parts,
-#       profile_orders_columns_approx) is dropped from the window
-#       PERMANENTLY — the driver records only `err` for them, so keeping
-#       them burned 3 green slots per round (r4 verdict).
+#       After r5, union driver coverage is >=200 of the 205 queries that
+#       existed at r5's start; the 3 deferred stragglers plus the 32 NEW
+#       r5 operators (registry now 237) form _NEXT_ROTATION — with 15
+#       oldest-evidence pads that is exactly r6's 50-query window. The
+#       rows-only `no_oracle` trio (regexp_safe_edge_cases,
+#       approx_distinct_parts, profile_orders_columns_approx) is dropped
+#       from the window PERMANENTLY — the driver records only `err` for
+#       them, so keeping them burned 3 green slots per round (r4 verdict).
 _PRIORITY = [
     # r4 red rows, repaired this round (array column stringified; HUGEINT
     # oracle sums cast) — lead the window so the fixes get driver evidence.
