@@ -43,3 +43,14 @@ def test_every_query_has_oracle_or_documented_rows_only():
     qs, oracles = entry.queries(), entry.oracle_sql()
     missing = set(qs) - set(oracles)
     assert missing == rows_only_by_design
+
+
+def test_entry_smoke_matches_driver_contract(spark):
+    """The driver's smoke check: entry(spark) must run on sf0.001 and
+    return a stable-schema DataFrame (it collects; we pin schema + a
+    bounded count here)."""
+    import __spark_entry__ as m
+
+    df = m.entry(spark)
+    assert df.columns == ["doc_a", "doc_b", "jaccard"]
+    assert df.count() >= 0
