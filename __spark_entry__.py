@@ -80,77 +80,18 @@ _MODULES = [
 #       production-ANN flagships + analytics/modern/quality remainder).
 #       After r5, union driver coverage is >=200 of the 205 queries that
 #       existed at r5's start; the 3 deferred stragglers plus the 32 NEW
-#       r5 operators (registry now 237) form _NEXT_ROTATION — with 15
-#       oldest-evidence pads that is exactly r6's 50-query window. The
+#       r5 operators (registry now 237) formed r5's _NEXT_ROTATION. The
 #       rows-only `no_oracle` trio (regexp_safe_edge_cases,
 #       approx_distinct_parts, profile_orders_columns_approx) is dropped
 #       from the window PERMANENTLY — the driver records only `err` for
 #       them, so keeping them burned 3 green slots per round (r4 verdict).
+#   r6 (this list): the 35 never-driver-checked queries (3 deferred source
+#       queries + 32 r5 operators, exactly r5's _NEXT_ROTATION) + 15
+#       oldest-evidence pads (the 3 r1-only scalar families + 12 r2-era
+#       core queries untouched since). After r6, EVERY oracled query in
+#       the registry has a driver row — terminal coverage.
 _PRIORITY = [
-    # r4 red rows, repaired this round (array column stringified; HUGEINT
-    # oracle sums cast) — lead the window so the fixes get driver evidence.
-    "scalar_array_struct_functions",
-    "doc_length_quantile_bins",
-    # r4 session-2 batch (pytest-oracle green, queued from r4's _NEXT_ROTATION)
-    "minhash_estimation_error",
-    "dedup_semantic_ivf",
-    "compact_small_files_plan",
-    "table_checksum_buckets",
-    "text_bm25_search",
-    "events_linear_interpolation",
-    "dedup_documents_winnowing",
-    "source_token_gini",
-    "corpus_novelty_curve",
-    "sql_udf_revenue_bins",
-    "daily_trend_regression",
-    "doc_length_quantile_normalization",
-    "pipe_syntax_segment_revenue",
-    "bpe_merge_candidates",
-    "grouped_winsorized_stats",
-    "rolling_revenue_event_correlation",
-    "scd2_pointintime_join",
-    # production-ANN flagships, never driver-checked
-    "ann_ivf_pq_topk",
-    "ann_pq_adc_recall",
-    # LLM-ops remainder, never driver-checked
-    "entity_resolution_customers",
-    "dedup_detector_prf",
-    "graph_triangle_stats",
-    "multimodal_arrow_features",
-    "sample_k_per_source",
-    "weighted_sample_docs",
-    "udtf_polymorphic_tokens",
-    "topk_tokens_per_source",
-    "vocab_growth_curve",
-    "length_distribution_psi",
-    # analytics/quality remainder, never driver-checked
-    "bitmap_user_distinct_rollup",
-    "user_funnel_steps",
-    "trending_event_windows",
-    "agg_selector_functions",
-    "order_price_histogram",
-    "cogrouped_order_gap_stats",
-    "rolling_distinct_customers",
-    "event_type_transitions",
-    "map_higher_order_ops",
-    "explode_outer_semantics",
-    "pivot_multi_measures",
-    "group_by_all_order_stats",
-    "sql_variables_threshold_report",
-    "collated_segment_counts",
-    "data_quality_constraint_report",
-    "user_cohort_retention",
-    "daily_revenue_anomalies",
-    "weekly_seasonality_decomposition",
-    # sources, never driver-checked
-    "python_datasource_scan",
-]
-
-# Beyond the 50-query window: the r6 rotation queue — the last 3
-# never-driver-checked oracled queries (deferred from r5's window for space),
-# plus any queries added this round (appended below as they land). After
-# these get driver rows, every oracled query in the registry has evidence.
-_NEXT_ROTATION = [
+    # --- the 35 never-driver-checked (r5's _NEXT_ROTATION, verbatim) ---
     "csv_documents_roundtrip",          # deferred from r5 window
     "file_lineage_orders",              # deferred from r5 window
     "python_datasource_write_roundtrip",  # deferred from r5 window
@@ -172,11 +113,11 @@ _NEXT_ROTATION = [
     "rfm_customer_segments",            # new in r5 (scale-safe RFM)
     "stream_cdc_merge_stats",           # new in r5 (foreachBatch CDC apply)
     "brand_affinity_lift",              # new in r5 (market-basket lift)
-    "asof_join_with_tolerance",         # new in r5 (bounded as-of)
+    "asof_join_with_tolerance",         # new in r5 (bounded as-of; r6 tie fix)
     "incremental_join_maintenance",     # new in r5 (delta-join IVM)
     "dedup_community_bridges",          # new in r5 (bridge audit)
     "observed_scan_metrics",            # new in r5 (Observation API)
-    "ab_experiment_analysis",           # new in r5 (hash-arm z-test)
+    "ab_experiment_analysis",           # new in r5 (z-test; r6 0-var guard)
     "k_anonymity_audit",                # new in r5 (privacy census)
     "pseudonymize_join_preservation",   # new in r5 (surrogate keys)
     "embedding_cluster_silhouette",     # new in r5 (codebook health)
@@ -186,6 +127,29 @@ _NEXT_ROTATION = [
     "dedup_minhash_param_sweep",        # new in r5 (LSH tuning curve)
     "event_trigram_paths",              # new in r5 (3-step path mining)
     "multimodal_phash_near_dup",        # new in r5 (Hamming-LSH pHash)
+    # --- 15 oldest-evidence pads (r1/r2 rows, unchecked since) ---
+    "scalar_string_functions",          # r1-only evidence
+    "scalar_date_functions",            # r1-only evidence
+    "scalar_math_case_cast",            # r1-only evidence
+    "q1_pricing_summary",               # r2
+    "q3_shipping_priority",             # r2
+    "q6_forecast_revenue",              # r2
+    "q18_large_volume_customers",       # r2
+    "window_running_revenue",           # r2
+    "window_top_orders_per_customer",   # r2
+    "sessionize_events",                # r2
+    "asof_join_prior_click",            # r2 (pairs with the r6 as-of fix)
+    "range_join_event_bursts",          # r2
+    "rollup_order_stats",               # r2
+    "set_union_order_sources",          # r2
+    "anti_join_customers_without_orders",  # r2
+]
+
+# Beyond the 50-query window: the r7 rotation queue — queries added this
+# round are appended here as they land, to lead next round's window.
+_NEXT_ROTATION: list[str] = [
+    "multimodal_bmp_decode_stats",      # new in r6 (real BMP pixel decode)
+    "ann_residual_pq_recall",           # new in r6 (FAISS-style residual PQ)
 ]
 
 

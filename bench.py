@@ -24,6 +24,12 @@ environment/testdata changed between recordings (the driver regenerates
 testdata between rounds — the events TIMESTAMP physical type demonstrably
 changed at r3). Same-round comparisons stay valid; cross-round absolute
 deltas below ~0.5 s/query are not evidence of plan changes.
+
+Since r6 the suite times a FROZEN 5-query canary twice per run (before the
+first and after the last suite query; see ``_CANARY``). Cross-round
+canary_start deltas measure the environment; start-vs-end measures
+suite-induced heap wake — so uniform drifts like r4→r5's 1.25× can be
+attributed from the recorded JSON without an investigation.
 """
 
 from __future__ import annotations
@@ -37,6 +43,41 @@ import time
 def run_once(df) -> None:
     """Materialize the full plan executor-side only."""
     df.write.format("noop").mode("overwrite").save()
+
+
+#: Drift canary (r5 verdict #6): five cheap, diverse, FROZEN queries timed
+#: twice per suite — once before the first suite query and once after the
+#: last. Two uses: (a) start-vs-end in the SAME run separates suite-induced
+#: heap/GC wake from plan cost; (b) start-vs-start ACROSS rounds quantifies
+#: the environmental/testdata drift that made r2→r4 and r4→r5 cross-round
+#: deltas uninterpretable without an investigation. Do not edit this list —
+#: its value is comparability across rounds.
+_CANARY = (
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "topk_expensive_orders",
+    "text_token_stats",
+    "window_running_revenue",
+)
+
+
+def _time_query(spark, fn, sf_dir: str) -> float:
+    """Warm-up + best-of-2 (+1 extra sample over 2 s) under a leveled GC —
+    the shared methodology for suite queries and the canary."""
+    gc.collect()
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+    run_once(fn(spark, sf_dir))  # warm-up: codegen + caches, un-timed
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run_once(fn(spark, sf_dir))
+        best = min(best, time.perf_counter() - t0)
+    if best > 2.0:
+        t0 = time.perf_counter()
+        run_once(fn(spark, sf_dir))
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
 
 
 def _sf_value(sf_dir: str):
@@ -61,32 +102,22 @@ def main() -> None:
         keep = {n.strip() for n in only.split(",") if n.strip()}
         queries = {n: f for n, f in queries.items() if n in keep}
 
+    all_queries = entrymod.queries()
+    canary_start = {
+        n: _time_query(spark, all_queries[n], sf_dir)
+        for n in _CANARY
+        if n in all_queries
+    }
+
     timings: dict[str, float] = {}
     for name in sorted(queries):
-        fn = queries[name]
-        # level the GC playing field: without this, queries late in the
-        # alphabet inherit heap pressure from earlier heavy queries and
-        # read 2-3x slower than they do in isolation. The Python gc first
-        # releases prior queries' DataFrames so the ContextCleaner can drop
-        # their localCheckpoint RDDs before the JVM collection.
-        gc.collect()
-        spark.catalog.clearCache()
-        spark._jvm.System.gc()
-        run_once(fn(spark, sf_dir))  # warm-up: codegen + caches, un-timed
-        # best-of-2 (sub-second queries see ±0.5 s of GC/scheduler noise; the
-        # min is the stable engine cost), plus a third run for queries over
-        # 2 s — the heavy dedup pipelines swing up to ±50% run-to-run with
-        # checkpoint-GC timing, and one extra sample halves that spread.
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            run_once(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        if best > 2.0:
-            t0 = time.perf_counter()
-            run_once(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        # _time_query levels the GC playing field per query: without it,
+        # queries late in the alphabet inherit heap pressure from earlier
+        # heavy queries and read 2-3x slower than in isolation; best-of-2
+        # because sub-second queries see ±0.5 s of GC/scheduler noise, with
+        # a third sample for the heavy (>2 s) dedup pipelines whose
+        # checkpoint-GC timing swings up to ±50% run-to-run.
+        timings[name] = _time_query(spark, queries[name], sf_dir)
         # Insurance checkpoint: with 200+ queries the full run takes ~25 min;
         # if an external time cap kills the process mid-run, a bounded stdout
         # tail would otherwise hold no parseable JSON at all. Every 25
@@ -107,6 +138,12 @@ def main() -> None:
                 flush=True,
             )
 
+    canary_end = {
+        n: _time_query(spark, all_queries[n], sf_dir)
+        for n in _CANARY
+        if n in all_queries
+    }
+
     total = round(sum(timings.values()), 4)
     sf_val = _sf_value(sf_dir)
     # Full per-query payload first (for scripts/bench_compare.py and humans)...
@@ -118,6 +155,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "canary_start": canary_start,
+                "canary_end": canary_end,
             }
         ),
         flush=True,
@@ -135,6 +174,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "canary_start_sec": round(sum(canary_start.values()), 4),
+                "canary_end_sec": round(sum(canary_end.values()), 4),
             }
         ),
         flush=True,

@@ -10,12 +10,14 @@ work, so the Spark-side contract is
         → typed feature rows → normal relational ops
 
 The *plumbing* — schema, Arrow batch shape, partitioning, output contract —
-is real and oracle-checked end-to-end. The actual image/audio decoders are
-STUBBED (this container ships no PIL/av): :func:`decode_image` raises
-``NotImplementedError`` unless pillow appears, and the feature extractor
-used by the checked query computes deterministic byte-level features
-(length, md5 checksum, synthetic dimensions) that DuckDB reproduces from the
-same bytes.
+is real and oracle-checked end-to-end. General image/audio decoding is
+env-gated (this container ships no PIL/av): :func:`decode_image` raises
+``NotImplementedError`` unless pillow appears, and the byte-level feature
+extractor computes deterministic features DuckDB reproduces from the same
+bytes. Since r6 one REAL decode path needs no external libs at all:
+:func:`decode_bmp` parses genuine 24-bit BMP payloads (header, bottom-up
+rows, BGR order, row padding) inside the ``mapInArrow`` kernel, and
+``multimodal_bmp_decode_stats`` oracle-checks the decoded pixel statistics.
 
 At 100 TB: mapInPandas streams Arrow batches (bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``) through long-lived Python
@@ -41,6 +43,8 @@ __all__ = [
     "media_table",
     "extract_media_features",
     "decode_image",
+    "decode_bmp",
+    "BMP_STATS_SCHEMA",
 ]
 
 #: Output contract of :func:`extract_media_features`.
@@ -68,9 +72,12 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_image(data: bytes):
-    """Decode an image payload. STUB: requires pillow, which this container
-    does not ship — the Spark-side plumbing is exercised with
-    :func:`_byte_features` instead (see module docstring)."""
+    """Decode an image payload. Uncompressed 24-bit BMP decodes natively via
+    :func:`decode_bmp` (no external libs); every other format requires
+    pillow, which this container does not ship — those fall back to the
+    env-gated PIL path (see module docstring)."""
+    if data[:2] == b"BM":
+        return decode_bmp(data)
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - no pillow in container
@@ -606,7 +613,218 @@ ORDER BY hamming
 _PHASH_SQL = _phash_oracle()
 
 
+# --- real image decode: dependency-free 24-bit BMP ------------------------
+#
+# The container ships no pillow/av, so until r5 every "decode" ran on
+# byte-level twins. This path is a REAL decoder: deterministic 24-bit BMP
+# images are planted (encoded byte-for-byte to the Windows BITMAPINFOHEADER
+# spec — a public format), and :func:`decode_bmp` parses them back from the
+# BYTES ALONE (magic, header offsets, bottom-up row order, BGR pixel order,
+# 4-byte row padding). The DuckDB oracle replays the *pixel formula* in
+# closed form, so any decoder/encoder disagreement about the actual BMP
+# layout shows up as a stats mismatch; a golden-bytes pytest additionally
+# pins the layout against a handcrafted image so complementary
+# encoder/decoder bugs cannot cancel.
+
+_BMP_W_BASE, _BMP_W_MOD = 8, 5  # width  = 8 + doc_id % 5 → row padding varies
+_BMP_H_BASE, _BMP_H_MOD = 6, 3  # height = 6 + doc_id % 3
+_BMP_SAMPLE_MOD = 4             # plant 1-in-4 docs as images
+
+
+def _bmp_pixel(doc_id: int, x: int, y: int) -> tuple[int, int, int]:
+    """Deterministic (r, g, b) for the planted image — the formula the
+    DuckDB oracle replays in SQL."""
+    return (
+        (doc_id + 3 * x + 7 * y) % 256,
+        (3 * doc_id + 5 * x + 2 * y) % 256,
+        (doc_id + x * y) % 256,
+    )
+
+
+def _bmp_encode(doc_id: int) -> bytes:
+    """Encode the planted image for ``doc_id`` as a real uncompressed
+    24-bit BMP (14-byte file header + 40-byte BITMAPINFOHEADER, bottom-up
+    rows, BGR byte order, rows padded to 4 bytes)."""
+    import struct
+
+    w = _BMP_W_BASE + doc_id % _BMP_W_MOD
+    h = _BMP_H_BASE + doc_id % _BMP_H_MOD
+    row_stride = (w * 3 + 3) // 4 * 4
+    pixel_bytes = row_stride * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + pixel_bytes, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0
+    )
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        for x in range(w):
+            r, g, b = _bmp_pixel(doc_id, x, y)
+            rows += bytes((b, g, r))  # BGR
+        rows += b"\x00" * (row_stride - w * 3)
+    return header + bytes(rows)
+
+
+def decode_bmp(data: bytes):
+    """Parse an uncompressed 24-bit BMP from its bytes alone; returns
+    ``(width, height, pixels)`` with ``pixels`` an (h*w, 3) uint8 RGB
+    ndarray in top-down row-major order. Raises ``ValueError`` on
+    malformed/unsupported payloads (the honest contract for a decoder
+    kernel — corrupt blobs must fail loudly, not yield garbage stats)."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("unsupported BMP variant (need uncompressed 24-bit)")
+    bottom_up = h > 0
+    h = abs(h)
+    row_stride = (w * 3 + 3) // 4 * 4
+    if pixel_off + row_stride * h > len(data):
+        raise ValueError("truncated BMP pixel array")
+    raw = np.frombuffer(
+        data, dtype=np.uint8, count=row_stride * h, offset=pixel_off
+    ).reshape(h, row_stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        raw = raw[::-1]
+    return w, h, raw[..., ::-1].reshape(-1, 3)  # BGR → RGB
+
+
+#: Output contract of the BMP decode kernel.
+BMP_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def decode_bmp_stats(images: DataFrame) -> DataFrame:
+    """``mapInArrow`` decode kernel: (doc_id, media BINARY) → per-image
+    decoded dimensions and exact per-channel pixel sums. Per-blob Python is
+    the design here (decoding is inherently scalar work); the per-pixel
+    arithmetic is vectorized numpy inside each blob."""
+    import pyarrow as pa
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            doc_ids = b.column(b.schema.get_field_index("doc_id"))
+            blobs = b.column(b.schema.get_field_index("media"))
+            ws, hs, sr, sg, sb = [], [], [], [], []
+            for v in blobs:
+                w, h, px = decode_bmp(v.as_py())
+                s = px.astype("int64").sum(axis=0)
+                ws.append(w)
+                hs.append(h)
+                sr.append(int(s[0]))
+                sg.append(int(s[1]))
+                sb.append(int(s[2]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    pa.array(ws, type=pa.int32()),
+                    pa.array(hs, type=pa.int32()),
+                    pa.array(sr, type=pa.int64()),
+                    pa.array(sg, type=pa.int64()),
+                    pa.array(sb, type=pa.int64()),
+                ],
+                names=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return images.mapInArrow(fn, BMP_STATS_SCHEMA)
+
+
+def multimodal_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode end to end: plant deterministic 24-bit BMPs for
+    1-in-4 documents (builder kernel encodes REAL BMP bytes), decode them
+    back from bytes alone with :func:`decode_bmp`, and report per (width,
+    height) shape: image count, exact per-channel sums, and mean
+    brightness. The DuckDB oracle recomputes the same stats from the pixel
+    FORMULA (never the bytes), so every layout detail the decoder must get
+    right — BGR order, bottom-up rows, 4-byte padding, header offsets — is
+    value-checked.
+
+    Scale shape: map-only until the final tiny groupBy (15 shape groups);
+    blobs are built and decoded inside the scan stage and never shuffle."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": pdf["doc_id"].map(lambda d: _bmp_encode(int(d))),
+                }
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % _BMP_SAMPLE_MOD == 0)
+    )
+    images = docs.mapInPandas(build, "doc_id bigint, media binary")
+    stats = decode_bmp_stats(images)
+    n_px = F.sum(F.col("width").cast("long") * F.col("height"))
+    return (
+        stats.groupBy("width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("sum_r").alias("sum_r"),
+            F.sum("sum_g").alias("sum_g"),
+            F.sum("sum_b").alias("sum_b"),
+            F.round(
+                (F.sum("sum_r") + F.sum("sum_g") + F.sum("sum_b"))
+                / (n_px * 3.0),
+                4,
+            ).alias("avg_brightness"),
+        )
+        .orderBy("width", "height")
+    )
+
+
+_BMP_DECODE_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         {_BMP_W_BASE} + doc_id % {_BMP_W_MOD} AS w,
+         {_BMP_H_BASE} + doc_id % {_BMP_H_MOD} AS h
+  FROM documents WHERE doc_id % {_BMP_SAMPLE_MOD} = 0
+),
+px AS (
+  -- this DuckDB build has no lateral generate_series(col): cross with the
+  -- fixed max range (w <= {_BMP_W_BASE + _BMP_W_MOD - 1},
+  -- h <= {_BMP_H_BASE + _BMP_H_MOD - 1}) and filter per image
+  SELECT d.doc_id, d.w, d.h, gx.x, gy.y
+  FROM docs d
+  JOIN (SELECT unnest(generate_series(0, {_BMP_W_BASE + _BMP_W_MOD - 2})) AS x) gx
+    ON gx.x < d.w
+  JOIN (SELECT unnest(generate_series(0, {_BMP_H_BASE + _BMP_H_MOD - 2})) AS y) gy
+    ON gy.y < d.h
+),
+vals AS (
+  SELECT doc_id, w, h,
+         (doc_id + 3 * x + 7 * y) % 256 AS r,
+         (3 * doc_id + 5 * x + 2 * y) % 256 AS g,
+         (doc_id + x * y) % 256 AS b
+  FROM px
+)
+SELECT CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       COUNT(DISTINCT doc_id) AS n_images,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       ROUND(CAST(SUM(r) + SUM(g) + SUM(b) AS DOUBLE) / (COUNT(*) * 3.0), 4)
+         AS avg_brightness
+FROM vals
+GROUP BY w, h
+ORDER BY width, height
+"""
+
+
 QUERIES = {
+    "multimodal_bmp_decode_stats": multimodal_bmp_decode_stats,
     "multimodal_phash_near_dup": multimodal_phash_near_dup,
     "multimodal_chunk_manifest": multimodal_chunk_manifest,
     "multimodal_arrow_features": multimodal_arrow_features,
@@ -616,6 +834,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_bmp_decode_stats": _BMP_DECODE_SQL,
     "multimodal_phash_near_dup": _PHASH_SQL,
     "multimodal_chunk_manifest": _CHUNK_MANIFEST_SQL,
     "multimodal_arrow_features": _MEDIA_FEATURES_SQL,

@@ -882,46 +882,49 @@ _PQ_DSUB = 8
 _PQ_K = 8
 
 
-def _pq_codes_lut(spark: SparkSession, sf_dir: str):
-    """Train the PQ codebooks, encode the corpus, and precompute the
-    per-query ADC lookup tables — the shared core of
-    :func:`ann_pq_adc_recall`, :func:`ann_ivf_pq_topk`, and the quality
-    pytest. Returns ``(codes, lut)``: (vec_id, m, code) and
-    (q_id, m, cid, pd)."""
-    e = _vectors(spark, sf_dir)
-    # subvector table: (vec_id, m, sv, s_n2)
-    sub = e.select(
-        "vec_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {_PQ_M - 1}),"
-                f" m -> slice(v, m * {_PQ_DSUB} + 1, {_PQ_DSUB}))"
-            )
-        ).alias("m", "sv"),
+def _pq_subvectors(vecs: DataFrame, vcol: str = "v") -> DataFrame:
+    """Slice a (vec_id, <vcol>, ...) frame into the PQ subvector table
+    (vec_id [, carried cols], m, sv, s_n2)."""
+    carry = [c for c in vecs.columns if c != vcol]
+    return materialize(
+        vecs.select(
+            *carry,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {_PQ_M - 1}),"
+                    f" m -> slice({vcol}, m * {_PQ_DSUB} + 1, {_PQ_DSUB}))"
+                )
+            ).alias("m", "sv"),
+        ).withColumn("s_n2", _dot(F.col("sv"), F.col("sv")))
     )
-    sub = materialize(sub.withColumn("s_n2", _dot(F.col("sv"), F.col("sv"))))
 
-    def assign(sub_df: DataFrame, cent: DataFrame) -> DataFrame:
-        """Nearest centroid per (vec_id, m) by squared L2 (rounded rank key,
-        cid tiebreak — the repo's tie-proof argmin convention)."""
-        sq = F.col("s_n2") + F.col("c_n2") - 2 * _dot(F.col("sv"), F.col("cv"))
-        w = Window.partitionBy("vec_id", "m").orderBy(
-            F.round(sq, 4).asc(), F.col("cid").asc()
-        )
-        return (
-            sub_df.join(F.broadcast(cent), "m")
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "m", F.col("cid").alias("code"))
-        )
 
+def _pq_assign(sub_df: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest centroid per (vec_id, m) by squared L2 (rounded rank key,
+    cid tiebreak — the repo's tie-proof argmin convention)."""
+    sq = F.col("s_n2") + F.col("c_n2") - 2 * _dot(F.col("sv"), F.col("cv"))
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.round(sq, 4).asc(), F.col("cid").asc()
+    )
+    return (
+        sub_df.join(F.broadcast(cent), "m")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("cid").alias("code"))
+    )
+
+
+def _pq_train(sub: DataFrame) -> DataFrame:
+    """Deterministic PQ codebook per subspace — seeds = the first ``_PQ_K``
+    vectors' subvectors, one Lloyd round (L2 assign → re-center, means
+    rounded to 6). Returns the materialized (m, cid, cv, c_n2) codebook."""
     cent0 = sub.filter(F.col("vec_id") < _PQ_K).select(
         "m",
         F.col("vec_id").alias("cid"),
         F.col("sv").alias("cv"),
         F.col("s_n2").alias("c_n2"),
     )
-    a1 = assign(sub, cent0)
+    a1 = _pq_assign(sub, cent0)
     # one Lloyd re-centering round: per (m, cid, dim) mean, rounded to 6
     dims = (
         a1.join(sub.select("vec_id", "m", "sv"), ["vec_id", "m"])
@@ -938,10 +941,22 @@ def _pq_codes_lut(spark: SparkSession, sf_dir: str):
             ).alias("cv")
         )
     )
-    cent1 = materialize(
+    return materialize(
         cent1.withColumn("c_n2", _dot(F.col("cv"), F.col("cv")))
     )
-    codes = materialize(assign(sub, cent1))
+
+
+def _pq_codes_lut(spark: SparkSession, sf_dir: str):
+    """Train the PQ codebooks, encode the corpus, and precompute the
+    per-query ADC lookup tables — the shared core of
+    :func:`ann_pq_adc_recall`, :func:`ann_ivf_pq_topk`, and the quality
+    pytest. Returns ``(codes, lut)``: (vec_id, m, code) and
+    (q_id, m, cid, pd)."""
+    e = _vectors(spark, sf_dir)
+    # subvector table: (vec_id, m, sv, s_n2)
+    sub = _pq_subvectors(e.select("vec_id", "v"))
+    cent1 = _pq_train(sub)
+    codes = materialize(_pq_assign(sub, cent1))
 
     # per-query ADC lookup table: (q_id, m, cid, pd) — _PQ_M × _PQ_K rows/query
     qsub = sub.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
@@ -1342,6 +1357,386 @@ ORDER BY t.q_id
 _IVFPQ_SQL = _ivfpq_oracle()
 
 
+def _residual_frames(spark: SparkSession, sf_dir: str):
+    """Shared residual-IVF core for :func:`ann_residual_pq_recall` and the
+    quantization-error pytest: returns ``(full, coarse, cells, resv)`` where
+    ``coarse`` is the LLOYD-TRAINED coarse codebook (assign to the first
+    ``_N_CENTROIDS`` seed vectors → re-center as per-dim means rounded 6 —
+    the same deterministic recipe :func:`_pq_train` uses per subspace),
+    ``cells`` the final assignment against it, and ``resv`` each vector's
+    residual ``rv = v − centroid(cell)``."""
+    e = _vectors(spark, sf_dir)
+    full = e.select("vec_id", "v", _dot(F.col("v"), F.col("v")).alias("n2"))
+    seeds = full.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("ccid"),
+        F.col("v").alias("ccv"),
+        F.col("n2").alias("cc_n2"),
+    )
+
+    def cell_assign(cent: DataFrame) -> DataFrame:
+        sq = F.round(
+            F.col("n2") + F.col("cc_n2") - 2 * _dot(F.col("v"), F.col("ccv")), 4
+        )
+        w = Window.partitionBy("vec_id").orderBy(sq.asc(), F.col("ccid").asc())
+        return (
+            full.crossJoin(F.broadcast(cent))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("ccid").alias("cell"))
+        )
+
+    # one Lloyd round on the COARSE quantizer: per (cell, dim) mean, rounded 6
+    cells0 = cell_assign(seeds)
+    tdims = (
+        cells0.join(full.select("vec_id", "v"), "vec_id")
+        .select(F.col("cell").alias("ccid"), F.posexplode("v").alias("dim", "x"))
+        .groupBy("ccid", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("mx"))
+    )
+    coarse = materialize(
+        tdims.groupBy("ccid")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "mx"))),
+                lambda st: st["mx"],
+            ).alias("ccv")
+        )
+        .withColumn("cc_n2", _dot(F.col("ccv"), F.col("ccv")))
+    )
+    cells = materialize(cell_assign(coarse))
+    resv = (
+        cells.join(full.select("vec_id", "v"), "vec_id")
+        .join(
+            F.broadcast(coarse.select(F.col("ccid").alias("cell"), "ccv")),
+            "cell",
+        )
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with("v", "ccv", lambda a, b: a - b).alias("rv"),
+        )
+    )
+    return full, coarse, cells, resv
+
+
+def ann_residual_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ — the actual FAISS ``IVFPQ`` formulation: PQ encodes
+    each vector's RESIDUAL to its coarse centroid (``r = v − c(cell)``), not
+    the raw vector, and the per-query ADC lookup table is built from the
+    query's residual to each PROBED cell. Residuals concentrate near the
+    origin, so the same codebook budget quantizes them with less error —
+    this query measures exactly that: over the SAME IVF candidate set
+    (nprobe=2), recall@5 of raw-vector PQ codes vs residual PQ codes, per
+    query. (On this synthetic near-isotropic corpus — unit vectors, little
+    cluster structure — the residual advantage shows up robustly in mean
+    quantization error, asserted in pytest; per-query recall@5 over 5
+    queries is small-sample noise in either direction.)
+
+    Unlike the module's other coarse quantizers (pure pruning, where seed
+    centroids suffice), residuals only shrink if the coarse centroids are
+    actual cluster CENTERS — so this query trains them with one Lloyd round
+    (assign to seeds → re-center as per-dim means, the same deterministic
+    recipe :func:`_pq_train` uses at the subspace level; measured on sf0.01
+    this cuts mean subspace quantization error below the raw-PQ baseline,
+    whereas seed-centroid residuals are 2× WORSE than raw).
+
+    Scale shape is unchanged from :func:`ann_ivf_pq_topk` — cell assignment
+    and codebook training touch raw vectors once; scoring joins the 8-byte
+    code table against broadcast LUTs (nprobe×8×8 rows per query). The
+    residual LUT is keyed by (q_id, cell): at serve time this is the small
+    per-probe table FAISS precomputes before scanning each inverted list."""
+    full, coarse, cells, resv = _residual_frames(spark, sf_dir)
+    rsub = _pq_subvectors(resv, vcol="rv")
+    rcent = _pq_train(rsub.select("vec_id", "m", "sv", "s_n2"))
+    rcodes = materialize(
+        _pq_assign(rsub.select("vec_id", "m", "sv", "s_n2"), rcent)
+    )
+    # query probes (nprobe nearest coarse cells)
+    qfull = full.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("q_n2"),
+    )
+    probe_sq = F.round(
+        F.col("q_n2") + F.col("cc_n2") - 2 * _dot(F.col("qv"), F.col("ccv")), 4
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(probe_sq.asc(), F.col("ccid").asc())
+    probes = materialize(
+        qfull.crossJoin(F.broadcast(coarse))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .select("q_id", F.col("ccid").alias("cell"))
+    )
+    # per-(query, probed cell) residual LUT
+    qres = (
+        probes.join(qfull, "q_id")
+        .join(
+            F.broadcast(coarse.select(F.col("ccid").alias("cell"), "ccv")),
+            "cell",
+        )
+        .select(
+            "q_id",
+            "cell",
+            F.zip_with("qv", "ccv", lambda a, b: a - b).alias("qrv"),
+        )
+    )
+    qrsub = _pq_subvectors(qres, vcol="qrv")
+    pd_r = F.round(
+        F.col("s_n2") + F.col("c_n2") - 2 * _dot(F.col("sv"), F.col("cv")), 6
+    )
+    lut_r = materialize(
+        qrsub.join(F.broadcast(rcent), "m").select(
+            "q_id", "cell", "m", "cid", pd_r.alias("pd")
+        )
+    )
+    cands = materialize(
+        probes.join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "cell", "vec_id")
+    )
+    adc_res = (
+        cands.join(rcodes, "vec_id")
+        .join(F.broadcast(lut_r), ["q_id", "cell", "m"])
+        .filter(F.col("code") == F.col("cid"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("pd").alias("adc"))
+    )
+    # raw-vector PQ over the SAME candidates (the flat codes + per-query LUT)
+    codes, lut = _pq_codes_lut(spark, sf_dir)
+    adc_raw = (
+        cands.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["q_id", "m"])
+        .filter(F.col("code") == F.col("cid"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("pd").alias("adc"))
+    )
+    # exact ground truth over full vectors
+    sq_full = F.col("q_n2") + F.col("n2") - 2 * _dot(F.col("qv"), F.col("v"))
+    w_ex = Window.partitionBy("q_id").orderBy(
+        F.round(sq_full, 4).asc(), F.col("vec_id").asc()
+    )
+    ex_top = (
+        full.crossJoin(F.broadcast(qfull))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("rk", F.row_number().over(w_ex))
+        .filter(F.col("rk") <= _TOPK)
+        .select("q_id", "vec_id", "rk")
+    )
+
+    def topk(adc: DataFrame) -> DataFrame:
+        w_top = Window.partitionBy("q_id").orderBy(
+            F.round("adc", 4).asc(), F.col("vec_id").asc()
+        )
+        return (
+            adc.withColumn("rk", F.row_number().over(w_top))
+            .filter(F.col("rk") <= _TOPK)
+            .select("q_id", "vec_id", "rk")
+        )
+
+    res_top = topk(adc_res)
+    raw_top = topk(adc_raw)
+
+    def hits(top: DataFrame, name: str) -> DataFrame:
+        return (
+            top.select("q_id", "vec_id")
+            .join(ex_top.select("q_id", "vec_id"), ["q_id", "vec_id"])
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).cast("int").alias(name))
+        )
+
+    h_res = hits(res_top, "res_hits_at_5")
+    h_raw = hits(raw_top, "raw_hits_at_5")
+    ncand = cands.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    res1 = res_top.filter(F.col("rk") == 1).select(
+        "q_id", F.col("vec_id").alias("res_top1")
+    )
+    ex1 = ex_top.filter(F.col("rk") == 1).select(
+        "q_id", F.col("vec_id").alias("exact_top1")
+    )
+    return (
+        ncand.join(res1, "q_id")
+        .join(ex1, "q_id")
+        .join(h_res, "q_id", "left")
+        .join(h_raw, "q_id", "left")
+        .select(
+            "q_id",
+            "n_candidates",
+            F.coalesce("raw_hits_at_5", F.lit(0)).cast("int").alias("raw_hits_at_5"),
+            F.coalesce("res_hits_at_5", F.lit(0)).cast("int").alias("res_hits_at_5"),
+            "res_top1",
+            "exact_top1",
+        )
+        .orderBy("q_id")
+    )
+
+
+def _residual_pq_oracle() -> str:
+    m, d, k = _PQ_M, _PQ_DSUB, _PQ_K
+    dim = _PQ_M * _PQ_DSUB
+    return f"""
+WITH {_pq_ctes()},
+seeds AS (
+  SELECT vec_id AS ccid, v AS ccv, s.n2 AS cc_n2
+  FROM full_ s WHERE vec_id < {_N_CENTROIDS}
+),
+cellassign0 AS (
+  SELECT vec_id, ccid AS cell FROM (
+    SELECT f.vec_id, c.ccid,
+           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+             ORDER BY ROUND(f.n2 + c.cc_n2 - 2 * list_inner_product(f.v, c.ccv), 4),
+                      c.ccid) AS rn
+    FROM full_ f, seeds c)
+  WHERE rn = 1
+),
+tdims AS (
+  SELECT ca.cell AS ccid, i AS dim, ROUND(AVG(f.v[i]), 6) AS mx
+  FROM cellassign0 ca JOIN full_ f USING (vec_id),
+       LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) idx
+  GROUP BY ca.cell, i
+),
+coarse0 AS (SELECT ccid, list(mx ORDER BY dim) AS ccv FROM tdims GROUP BY ccid),
+coarse AS (
+  SELECT ccid, ccv, list_inner_product(ccv, ccv) AS cc_n2 FROM coarse0
+),
+cellassign AS (
+  SELECT vec_id, ccid AS cell FROM (
+    SELECT f.vec_id, c.ccid,
+           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+             ORDER BY ROUND(f.n2 + c.cc_n2 - 2 * list_inner_product(f.v, c.ccv), 4),
+                      c.ccid) AS rn
+    FROM full_ f, coarse c)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT q_id, ccid AS cell FROM (
+    SELECT qf.q_id, c.ccid,
+           ROW_NUMBER() OVER (PARTITION BY qf.q_id
+             ORDER BY ROUND(qf.q_n2 + c.cc_n2 - 2 * list_inner_product(qf.qv, c.ccv), 4),
+                      c.ccid) AS rn
+    FROM qfull qf, coarse c)
+  WHERE rn <= {_IVFPQ_NPROBE}
+),
+cands AS (
+  SELECT p.q_id, p.cell, ca.vec_id
+  FROM probes p JOIN cellassign ca ON p.cell = ca.cell
+  WHERE ca.vec_id <> p.q_id
+),
+resv AS (
+  SELECT ca.vec_id,
+         list_transform(generate_series(1, {dim}), i -> f.v[i] - c.ccv[i]) AS rv
+  FROM cellassign ca
+  JOIN full_ f USING (vec_id)
+  JOIN coarse c ON c.ccid = ca.cell
+),
+rsub AS (
+  SELECT vec_id, m, list_slice(rv, m * {d} + 1, m * {d} + {d}) AS sv
+  FROM resv, unnest(generate_series(0, {m - 1})) t(m)
+),
+rsub2 AS (SELECT *, list_inner_product(sv, sv) AS s_n2 FROM rsub),
+rcent0 AS (
+  SELECT m, vec_id AS cid, sv AS cv, s_n2 AS c_n2 FROM rsub2 WHERE vec_id < {k}
+),
+rs1 AS (
+  SELECT s.vec_id, s.m, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+           ORDER BY ROUND(s.s_n2 + c.c_n2 - 2 * list_inner_product(s.sv, c.cv), 4),
+                    c.cid) AS rn
+  FROM rsub2 s JOIN rcent0 c ON s.m = c.m
+),
+ra1 AS (SELECT vec_id, m, cid AS code FROM rs1 WHERE rn = 1),
+rdims AS (
+  SELECT s.m, a.code AS cid, i AS dim, ROUND(AVG(s.sv[i]), 6) AS mx
+  FROM ra1 a JOIN rsub2 s ON a.vec_id = s.vec_id AND a.m = s.m,
+       LATERAL (SELECT unnest(generate_series(1, {d})) AS i) idx
+  GROUP BY s.m, a.code, i
+),
+rcent1 AS (
+  SELECT m, cid, list(mx ORDER BY dim) AS cv FROM rdims GROUP BY m, cid
+),
+rcent1n AS (SELECT *, list_inner_product(cv, cv) AS c_n2 FROM rcent1),
+rs2 AS (
+  SELECT s.vec_id, s.m, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+           ORDER BY ROUND(s.s_n2 + c.c_n2 - 2 * list_inner_product(s.sv, c.cv), 4),
+                    c.cid) AS rn
+  FROM rsub2 s JOIN rcent1n c ON s.m = c.m
+),
+rcodes AS (SELECT vec_id, m, cid AS code FROM rs2 WHERE rn = 1),
+qres AS (
+  SELECT p.q_id, p.cell,
+         list_transform(generate_series(1, {dim}), i -> qf.qv[i] - c.ccv[i]) AS qrv
+  FROM probes p
+  JOIN qfull qf USING (q_id)
+  JOIN coarse c ON c.ccid = p.cell
+),
+qrsub AS (
+  SELECT q_id, cell, m, list_slice(qrv, m * {d} + 1, m * {d} + {d}) AS sv
+  FROM qres, unnest(generate_series(0, {m - 1})) t(m)
+),
+qrsub2 AS (SELECT *, list_inner_product(sv, sv) AS s_n2 FROM qrsub),
+lut_r AS (
+  SELECT q.q_id, q.cell, q.m, c.cid,
+         ROUND(q.s_n2 + c.c_n2 - 2 * list_inner_product(q.sv, c.cv), 6) AS pd
+  FROM qrsub2 q JOIN rcent1n c ON q.m = c.m
+),
+adc_res AS (
+  SELECT cd.q_id, cd.vec_id, SUM(l.pd) AS adc
+  FROM cands cd
+  JOIN rcodes co ON co.vec_id = cd.vec_id
+  JOIN lut_r l ON l.q_id = cd.q_id AND l.cell = cd.cell
+              AND l.m = co.m AND l.cid = co.code
+  GROUP BY cd.q_id, cd.vec_id
+),
+adc_raw AS (
+  SELECT cd.q_id, cd.vec_id, SUM(l.pd) AS adc
+  FROM cands cd
+  JOIN codes co ON co.vec_id = cd.vec_id
+  JOIN lut l ON l.q_id = cd.q_id AND l.m = co.m AND l.cid = co.code
+  GROUP BY cd.q_id, cd.vec_id
+),
+res_top AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY ROUND(adc, 4), vec_id) AS rk
+  FROM adc_res
+),
+raw_top AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY ROUND(adc, 4), vec_id) AS rk
+  FROM adc_raw
+),
+h_res AS (
+  SELECT t.q_id, COUNT(*) AS n
+  FROM res_top t JOIN ex_top x ON t.q_id = x.q_id AND t.vec_id = x.vec_id
+  WHERE t.rk <= {_TOPK} AND x.rk <= {_TOPK}
+  GROUP BY t.q_id
+),
+h_raw AS (
+  SELECT t.q_id, COUNT(*) AS n
+  FROM raw_top t JOIN ex_top x ON t.q_id = x.q_id AND t.vec_id = x.vec_id
+  WHERE t.rk <= {_TOPK} AND x.rk <= {_TOPK}
+  GROUP BY t.q_id
+),
+ncand AS (SELECT q_id, COUNT(*) AS n_candidates FROM cands GROUP BY q_id)
+SELECT nc.q_id,
+       nc.n_candidates,
+       CAST(COALESCE(hr.n, 0) AS INTEGER) AS raw_hits_at_5,
+       CAST(COALESCE(he.n, 0) AS INTEGER) AS res_hits_at_5,
+       rt.vec_id AS res_top1,
+       x.vec_id AS exact_top1
+FROM ncand nc
+JOIN res_top rt ON rt.q_id = nc.q_id AND rt.rk = 1
+JOIN ex_top x ON x.q_id = nc.q_id AND x.rk = 1
+LEFT JOIN h_res he ON he.q_id = nc.q_id
+LEFT JOIN h_raw hr ON hr.q_id = nc.q_id
+ORDER BY nc.q_id
+"""
+
+
+_RESIDUAL_PQ_SQL = _residual_pq_oracle()
+
+
 def ann_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN graph over the WHOLE corpus (every vector gets its
     top-3 in-cell neighbors, plus a mutual-kNN flag) — the structure behind
@@ -1632,6 +2027,7 @@ QUERIES = {
     "embedding_snapshot_drift": embedding_snapshot_drift,
     "ann_knn_graph_ivf": ann_knn_graph_ivf,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
+    "ann_residual_pq_recall": ann_residual_pq_recall,
     "ann_pq_adc_recall": ann_pq_adc_recall,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1649,6 +2045,7 @@ ORACLES = {
     "embedding_snapshot_drift": _SNAPSHOT_DRIFT_SQL,
     "ann_knn_graph_ivf": _KNN_GRAPH_SQL,
     "ann_ivf_pq_topk": _IVFPQ_SQL,
+    "ann_residual_pq_recall": _RESIDUAL_PQ_SQL,
     "ann_pq_adc_recall": _PQ_SQL,
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,

@@ -646,7 +646,15 @@ def ab_experiment_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_b = F.col("s_b").cast("double") / F.col("n_b")
     var_a = F.col("s2_a").cast("double") / F.col("n_a") - mean_a * mean_a
     var_b = F.col("s2_b").cast("double") / F.col("n_b") - mean_b * mean_b
-    z = (mean_b - mean_a) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    # Zero-variance guard (r5 verdict): when BOTH arms are constant the
+    # denominator is 0 — Spark's non-ANSI divide yields NULL while DuckDB
+    # evaluates ±inf/NaN. NULLIF the denominator in both engines so z is
+    # NULL-by-contract, and pin `significant` to FALSE (no evidence of a
+    # lift is not significance). Same recipe as the r4 rolling-corr gate.
+    denom = F.nullif(
+        F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")), F.lit(0.0)
+    )
+    z = (mean_b - mean_a) / denom
     return j.select(
         "event_type",
         "n_a",
@@ -655,7 +663,7 @@ def ab_experiment_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_b, 6).alias("mean_b"),
         F.round(mean_b - mean_a, 6).alias("lift"),
         F.round(z, 4).alias("z_stat"),
-        (F.abs(z) > _AB_Z_CRIT).alias("significant"),
+        F.coalesce(F.abs(z) > _AB_Z_CRIT, F.lit(False)).alias("significant"),
     ).orderBy("event_type")
 
 
@@ -695,8 +703,11 @@ SELECT event_type, n_a, n_b,
        ROUND(mean_a, 6) AS mean_a,
        ROUND(mean_b, 6) AS mean_b,
        ROUND(mean_b - mean_a, 6) AS lift,
-       ROUND((mean_b - mean_a) / SQRT(var_a / n_a + var_b / n_b), 4) AS z_stat,
-       ABS((mean_b - mean_a) / SQRT(var_a / n_a + var_b / n_b)) > {_AB_Z_CRIT!r}
+       ROUND((mean_b - mean_a)
+             / NULLIF(SQRT(var_a / n_a + var_b / n_b), 0), 4) AS z_stat,
+       COALESCE(ABS((mean_b - mean_a)
+                    / NULLIF(SQRT(var_a / n_a + var_b / n_b), 0))
+                > {_AB_Z_CRIT!r}, FALSE)
          AS significant
 FROM m
 ORDER BY event_type

@@ -893,3 +893,248 @@ def test_linear_attribution_conserves_value(spark):
     )
     expected = assisted.agg(F.sum("value")).first()[0]
     assert abs(credited - expected) < 0.05 * max(1.0, abs(expected)) / 100 + 0.51
+
+
+# --- as-of strictness on planted same-timestamp ties -----------------------
+
+def test_asof_same_timestamp_tie_is_strictly_time_prior(spark, tmp_path):
+    """r5 verdict divergence: a rows-frame as-of matched a click at the
+    probe row's EXACT timestamp (gap 0) while DuckDB's native ASOF
+    (``e.ts > c.ts``) skips it. The r6 range-frame fix must make Spark and
+    DuckDB agree on planted same-ts ties — in BOTH tie directions (click id
+    below and above the probe id) — and on the 1-hour tolerance audit."""
+    import duckdb
+
+    from datafusion_impl_spark.plans import joins_ext
+    from tests.oracle_utils import compare_spark_duckdb
+
+    base = 1_700_000_000_000_000  # µs epoch, arbitrary
+    hour = 3_600_000_000
+    rows = [
+        # (event_id, user_id, ts_us, event_type)
+        (1, 1, base + 1_000, "click"),
+        (2, 1, base + 5_000, "click"),
+        (3, 1, base + 5_000, "view"),      # same-ts tie, click id BELOW -> must match e1, not e2
+        (4, 1, base + 2_000, "view"),      # plain prior -> e1
+        (6, 1, base + 9_000, "click"),
+        (5, 1, base + 9_000, "view"),      # same-ts tie, click id ABOVE -> must match e2
+        (7, 2, base, "view"),              # no prior click at all
+        (8, 2, base + 2 * hour, "view"),   # prior click exists? none for user 2
+        (9, 3, base, "click"),
+        (10, 3, base + 2 * hour, "view"),  # prior click stale (> 1 h) -> tolerance drops it
+    ]
+    pdf = pd.DataFrame(
+        [
+            {
+                "event_id": e,
+                "user_id": u,
+                "ts": pd.Timestamp(t, unit="us"),
+                "event_type": k,
+            }
+            for e, u, t, k in rows
+        ]
+    )
+    planted_dir = str(tmp_path / "sf_planted")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{planted_dir}/events.parquet"
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW events AS SELECT * FROM "
+        f"read_parquet('{planted_dir}/events.parquet/*.parquet')"
+    )
+
+    # unbounded as-of: exact per-row expectations, then cross-engine parity
+    got = {
+        r.event_id: (r.prior_click_id, r.gap_us)
+        for r in joins_ext.asof_join_prior_click(spark, planted_dir).collect()
+    }
+    assert got[3] == (1, 4_000), "same-ts click (lower id) must NOT match"
+    assert got[5] == (2, 4_000), "same-ts click (higher id) must NOT match"
+    assert got[4] == (1, 1_000)
+    assert got[2] == (1, 4_000), "a click's own prior is the previous click"
+    assert got[7] == (None, None)
+    assert got[10] == (9, 2 * hour)
+
+    ok, msg = compare_spark_duckdb(
+        joins_ext.asof_join_prior_click(spark, planted_dir), con,
+        joins_ext._ASOF_SQL,
+    )
+    assert ok, msg
+
+    # tolerance variant: the stale (2 h) match must count as stale, and the
+    # full audit must agree cross-engine on the tie-planted table
+    tol = {
+        r.event_type: (r.n_events, r.n_matched, r.n_stale)
+        for r in joins_ext.asof_join_with_tolerance(spark, planted_dir).collect()
+    }
+    assert tol["view"][2] == 1, "the 2-hour-old prior click must be stale"
+    ok, msg = compare_spark_duckdb(
+        joins_ext.asof_join_with_tolerance(spark, planted_dir), con,
+        joins_ext._ASOF_TOL_SQL,
+    )
+    assert ok, msg
+    con.close()
+
+
+def test_ab_zero_variance_arm_is_null_z_not_significant(spark, tmp_path):
+    """r5 verdict divergence: when both arms of an event type have constant
+    values the z denominator is 0 — Spark's non-ANSI divide gave NULL while
+    DuckDB evaluated ±inf/NaN, and `significant` inherited the divergence.
+    The r6 NULLIF guard must pin z=NULL, significant=FALSE in BOTH engines
+    on a planted constant-value event type."""
+    import duckdb
+
+    from datafusion_impl_spark.plans import quality
+    from tests.oracle_utils import compare_spark_duckdb
+
+    rows = []
+    for uid in range(40):
+        # 'constant': every event has the same value -> var 0 in both arms
+        rows.append((uid, "constant", 5.0))
+        # 'varying': per-user value -> healthy variance
+        rows.append((uid, "varying", float(uid % 7)))
+    pdf = pd.DataFrame(
+        [
+            {
+                "event_id": i,
+                "user_id": u,
+                "ts": pd.Timestamp(1_700_000_000_000_000 + i, unit="us"),
+                "event_type": k,
+                "value": v,
+            }
+            for i, (u, k, v) in enumerate(rows)
+        ]
+    )
+    planted_dir = str(tmp_path / "sf_ab")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{planted_dir}/events.parquet"
+    )
+
+    out = {
+        r.event_type: r
+        for r in quality.ab_experiment_analysis(spark, planted_dir).collect()
+    }
+    assert out["constant"].z_stat is None
+    assert out["constant"].significant is False
+    assert out["varying"].z_stat is not None
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW events AS SELECT * FROM "
+        f"read_parquet('{planted_dir}/events.parquet/*.parquet')"
+    )
+    ok, msg = compare_spark_duckdb(
+        quality.ab_experiment_analysis(spark, planted_dir), con, quality._AB_SQL
+    )
+    assert ok, msg
+    con.close()
+
+
+# --- real BMP decode (r6) --------------------------------------------------
+
+def test_bmp_golden_bytes_layout():
+    """Pin the actual BMP layout with a handcrafted image so complementary
+    encoder/decoder bugs cannot cancel: a 2x2 24-bit BMP built byte-by-byte
+    from the public spec (bottom-up rows, BGR order, rows padded to 4
+    bytes) must decode to the exact top-down RGB pixels."""
+    import struct
+
+    import numpy as np
+
+    from datafusion_impl_spark.operators.multimodal import decode_bmp
+
+    # pixels top-down: row0 = [(255,0,0), (0,128,64)], row1 = [(1,2,3), (4,5,6)]
+    # stored bottom-up, BGR, row stride = ceil(6/4)*4 = 8 (2 pad bytes)
+    pixel_data = (
+        bytes((3, 2, 1)) + bytes((6, 5, 4)) + b"\x00\x00"      # row1 (bottom)
+        + bytes((0, 0, 255)) + bytes((64, 128, 0)) + b"\x00\x00"  # row0 (top)
+    )
+    golden = (
+        struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixel_data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixel_data),
+                      2835, 2835, 0, 0)
+        + pixel_data
+    )
+    w, h, px = decode_bmp(golden)
+    assert (w, h) == (2, 2)
+    assert px.tolist() == [[255, 0, 0], [0, 128, 64], [1, 2, 3], [4, 5, 6]]
+    assert px.dtype == np.uint8
+
+
+def test_bmp_encode_decode_roundtrip_matches_formula():
+    """The planted-image builder must produce REAL BMPs: decode_bmp (proven
+    against golden bytes above) recovers exactly the formula pixels for
+    shapes covering every padding residue (w*3 % 4 in {0,1,2,3})."""
+    from datafusion_impl_spark.operators.multimodal import (
+        _bmp_encode,
+        _bmp_pixel,
+        decode_bmp,
+    )
+
+    for doc_id in range(8):  # w in 8..12 covers all 4 padding residues
+        data = _bmp_encode(doc_id)
+        assert data[:2] == b"BM"
+        w, h, px = decode_bmp(data)
+        assert (w, h) == (8 + doc_id % 5, 6 + doc_id % 3)
+        expected = [
+            list(_bmp_pixel(doc_id, x, y))
+            for y in range(h)
+            for x in range(w)
+        ]
+        assert px.tolist() == expected
+
+
+def test_decode_bmp_rejects_malformed():
+    import pytest as _pytest
+
+    from datafusion_impl_spark.operators.multimodal import (
+        _bmp_encode,
+        decode_bmp,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"PNG not bmp")
+    with _pytest.raises(ValueError):
+        decode_bmp(_bmp_encode(3)[:40])   # truncated header
+    with _pytest.raises(ValueError):
+        decode_bmp(_bmp_encode(3)[:-10])  # truncated pixel array
+
+
+def test_residual_pq_beats_raw_pq_quantization_error(spark):
+    """The point of residual IVF-PQ (r6): with a LLOYD-TRAINED coarse
+    quantizer, PQ on residuals must reconstruct better than PQ on raw
+    vectors at the same codebook budget. Asserted on mean squared subspace
+    quantization error — the stable metric on this near-isotropic corpus
+    (recall@5 over 5 queries is small-sample noise either way)."""
+    from datafusion_impl_spark.operators.similarity import (
+        _dot,
+        _pq_assign,
+        _pq_subvectors,
+        _pq_train,
+        _residual_frames,
+        _vectors,
+    )
+
+    def quant_err(sub):
+        cent = _pq_train(sub)
+        codes = _pq_assign(sub, cent)
+        d = F.zip_with("sv", "cv", lambda a, b: a - b)
+        return (
+            codes.join(sub.select("vec_id", "m", "sv"), ["vec_id", "m"])
+            .join(cent.withColumnRenamed("cid", "code"), ["m", "code"])
+            .select(_dot(d, d).alias("e2"))
+            .agg(F.avg("e2"))
+            .first()[0]
+        )
+
+    e = _vectors(spark, SF_DIR)
+    raw_err = quant_err(_pq_subvectors(e.select("vec_id", "v")))
+    _, _, _, resv = _residual_frames(spark, SF_DIR)
+    res_err = quant_err(
+        _pq_subvectors(resv, vcol="rv").select("vec_id", "m", "sv", "s_n2")
+    )
+    # measured: raw 0.0894, residual 0.0846 at sf0.001 (0.0902 vs 0.0851
+    # at sf0.01) — residual must stay strictly better
+    assert res_err < raw_err
