@@ -150,6 +150,11 @@ _PRIORITY = [
 _NEXT_ROTATION: list[str] = [
     "multimodal_bmp_decode_stats",      # new in r6 (real BMP pixel decode)
     "ann_residual_pq_recall",           # new in r6 (FAISS-style residual PQ)
+    "stream_tws_user_totals",           # new in r6 (transformWithState runtime)
+    "dedup_substring_spans",            # new in r6 (ExactSubstr span dedup)
+    "ann_sq8_recall",                   # new in r6 (scalar-quantized ANN)
+    "zorder_layout_effectiveness",      # new in r6 (Morton layout skipping)
+    "interval_overlap_sessions",        # new in r6 (interval×interval join)
 ]
 
 

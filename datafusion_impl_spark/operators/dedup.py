@@ -1350,7 +1350,156 @@ FROM m
 """
 
 
+#: word-gram width for substring-level dedup (the ExactSubstr recipe of
+#: Lee et al., "Deduplicating Training Data Makes Language Models Better",
+#: applied at word granularity: a duplicated run must span N consecutive
+#: tokens to count).
+_SPAN_N = 8
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level exact dedup — the third member of the dedup taxonomy
+    after whole-document exact and near-dup: find every maximal token span
+    that occurs more than once ANYWHERE in the corpus (the suffix-array
+    "ExactSubstr" pipeline, re-expressed relationally as duplicated
+    word-8-grams merged into gaps-and-islands spans), and report per
+    planted tier (base docs / exact copies / near copies): how many docs
+    carry duplicated spans, the spans' token volume, and mean coverage.
+    Exact copies must read coverage ≈ 1; base docs only their copied part.
+
+    Scale shape: one gram table (doc, pos, hash) — linear in corpus
+    tokens; the "duplicated?" flag is a groupBy(h) + equi-join back, never
+    a doc×doc pairing, so no quadratic stage exists even for boilerplate
+    grams repeated across millions of docs (heavy grams only widen the
+    flagged-position set, which stays ≤ the corpus token count). Span
+    merging is one window per doc (running max of span end), the standard
+    gaps-and-islands plan."""
+    corpus = near_dup_corpus(spark, sf_dir)
+    toks = corpus.select("doc_id", tokens("text").alias("tk")).filter(
+        F.size("tk") >= _SPAN_N
+    )
+    tk = F.col("tk")
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - (_SPAN_N - 1)),
+        lambda i: F.array_join(F.slice(tk, i, _SPAN_N), " "),
+    )
+    grams = materialize(
+        toks.select(
+            "doc_id",
+            F.size("tk").alias("n_tokens"),
+            F.posexplode(gram_arr).alias("pos", "g"),
+        ).select(
+            "doc_id", "n_tokens", "pos", md5_long(F.col("g")).alias("h")
+        )
+    )
+    dup_h = grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") >= 2
+    )
+    flagged = grams.join(dup_h.select("h"), "h").select(
+        "doc_id", "n_tokens", "pos", (F.col("pos") + _SPAN_N).alias("end")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = flagged.withColumn(
+        "new_island",
+        F.when(
+            F.col("pos") > F.coalesce(F.max("end").over(w_prev), F.lit(-1)),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = islands.groupBy("doc_id", "n_tokens", "island").agg(
+        (F.max("end") - F.min("pos")).alias("span_tokens")
+    )
+    per_doc = spans.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+    tier = (
+        F.when(F.col("doc_id") >= 2 * _DUP_OFFSET, "near_copy")
+        .when(F.col("doc_id") >= _DUP_OFFSET, "exact_copy")
+        .otherwise("base")
+    )
+    return (
+        per_doc.select(
+            tier.alias("tier"),
+            "n_spans",
+            "dup_tokens",
+            (F.col("dup_tokens") / F.col("n_tokens")).alias("coverage"),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_spans").cast("long").alias("n_spans"),
+            F.sum("dup_tokens").cast("long").alias("dup_tokens"),
+            F.round(F.avg("coverage"), 4).alias("avg_coverage"),
+        )
+        .orderBy("tier")
+    )
+
+
+_SPAN_SQL = rf"""
+WITH corpus AS ({_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+  FROM corpus
+),
+grams AS (
+  SELECT doc_id, len(tk) AS n_tokens, i AS pos,
+         {duck_md5_long(f"array_to_string(list_slice(tk, i, i + {_SPAN_N - 1}), ' ')")} AS h
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(tk) - {_SPAN_N - 1})) AS i) idx
+  WHERE len(tk) >= {_SPAN_N}
+),
+dup_h AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
+flagged AS (
+  SELECT g.doc_id, g.n_tokens, g.pos, g.pos + {_SPAN_N} AS "end"
+  FROM grams g JOIN dup_h USING (h)
+),
+islands AS (
+  SELECT *,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (
+    SELECT *,
+           CASE WHEN pos > COALESCE(MAX("end") OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                THEN 1 ELSE 0 END AS new_island
+    FROM flagged)
+),
+spans AS (
+  SELECT doc_id, n_tokens, island,
+         MAX("end") - MIN(pos) AS span_tokens
+  FROM islands GROUP BY doc_id, n_tokens, island
+),
+per_doc AS (
+  SELECT doc_id, n_tokens, COUNT(*) AS n_spans, SUM(span_tokens) AS dup_tokens
+  FROM spans GROUP BY doc_id, n_tokens
+)
+SELECT CASE WHEN doc_id >= {2 * _DUP_OFFSET} THEN 'near_copy'
+            WHEN doc_id >= {_DUP_OFFSET} THEN 'exact_copy'
+            ELSE 'base' END AS tier,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+       CAST(SUM(dup_tokens) AS BIGINT) AS dup_tokens,
+       ROUND(AVG(CAST(dup_tokens AS DOUBLE) / n_tokens), 4) AS avg_coverage
+FROM per_doc
+GROUP BY 1
+ORDER BY tier
+"""
+
+
 QUERIES = {
+    "dedup_substring_spans": dedup_substring_spans,
     "dedup_minhash_param_sweep": dedup_minhash_param_sweep,
     "dedup_documents_exact": dedup_documents_exact,
     "dedup_documents_survivors": dedup_documents_survivors,
@@ -1367,6 +1516,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_substring_spans": _SPAN_SQL,
     "dedup_minhash_param_sweep": _MINHASH_SWEEP_SQL,
     "stream_near_dup_flags": _STREAM_FLAGS_SQL,
     "dedup_documents_exact": _EXACT_SQL,

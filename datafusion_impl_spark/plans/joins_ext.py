@@ -361,7 +361,184 @@ ORDER BY nationkey
 """
 
 
+#: interval-overlap geometry: 30-minute inactivity gap closes a session,
+#: promo windows run 09:00–17:00 daily, and intervals replicate into
+#: 1-hour buckets for the equi-join.
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+_IVL_BUCKET_US = 3_600_000_000
+_PROMO_START_H, _PROMO_END_H = 9, 17
+
+
+def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL × INTERVAL overlap join — the shape ``range_join_event_
+    bursts`` (point-in-window) cannot express: user activity SESSIONS
+    (events split on 30-min inactivity gaps) overlapped against daily
+    09:00–17:00 promo WINDOWS, reporting per window weekday how many
+    sessions intersected and for how long. This is the telemetry-vs-
+    maintenance-window / exposure-measurement workhorse.
+
+    Scale shape: both interval sets replicate into the 1-hour buckets
+    they COVER (``sequence(floor(lo/H), floor(hi/H))`` — sessions span
+    1-2 buckets, windows 9), so candidate generation is a pure equi-join
+    on the bucket key; a pair spanning several shared buckets is deduped
+    by DISTINCT on ids before the exact boundary test, and the exact
+    overlap length is computed only for candidates. No inequality join,
+    no cartesian stage, shuffle keyed by time-uniform buckets."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    us = F.unix_micros("ts")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = (
+        ev.select("user_id", us.alias("t"))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("t") - F.coalesce(
+                    F.max("t").over(w_prev), F.col("t") - _SESSION_GAP_US - 1
+                )
+                > _SESSION_GAP_US,
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(w_run))
+    )
+    sessions = marked.groupBy("user_id", "sid").agg(
+        F.min("t").alias("s_lo"), F.max("t").alias("s_hi")
+    )
+    day_us = 24 * 3_600_000_000
+    windows = (
+        ev.select(F.floor(us / day_us).alias("day"))
+        .distinct()
+        .select(
+            "day",
+            (F.col("day") * day_us + _PROMO_START_H * _IVL_BUCKET_US).alias("w_lo"),
+            (F.col("day") * day_us + _PROMO_END_H * _IVL_BUCKET_US).alias("w_hi"),
+        )
+    )
+    sb = sessions.select(
+        "user_id", "sid", "s_lo", "s_hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s_lo") / _IVL_BUCKET_US),
+                F.floor(F.col("s_hi") / _IVL_BUCKET_US),
+            )
+        ).alias("bucket"),
+    )
+    wb = windows.select(
+        "day", "w_lo", "w_hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("w_lo") / _IVL_BUCKET_US),
+                F.floor(F.col("w_hi") / _IVL_BUCKET_US),
+            )
+        ).alias("bucket"),
+    )
+    pairs = (
+        sb.join(wb, "bucket")
+        .select("user_id", "sid", "s_lo", "s_hi", "day", "w_lo", "w_hi")
+        .distinct()
+        .filter(
+            (F.col("s_lo") <= F.col("w_hi")) & (F.col("s_hi") >= F.col("w_lo"))
+        )
+    )
+    overlap_us = F.least("s_hi", "w_hi") - F.greatest("s_lo", "w_lo")
+    per_day = pairs.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(overlap_us).alias("overlap_us"),
+    )
+    weekday = (F.col("day") + 4) % 7  # 1970-01-01 was a Thursday (=4)
+    return (
+        windows.select("day")
+        .join(per_day, "day", "left")
+        .select(
+            weekday.alias("weekday"),
+            F.coalesce("n_overlaps", F.lit(0)).alias("n_overlaps"),
+            F.coalesce("n_users", F.lit(0)).alias("n_users"),
+            F.coalesce("overlap_us", F.lit(0)).alias("overlap_us"),
+        )
+        .groupBy("weekday")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("n_overlaps").cast("long").alias("n_overlaps"),
+            F.sum("n_users").cast("long").alias("n_user_hits"),
+            F.round(F.sum("overlap_us") / 60_000_000.0, 2).alias(
+                "overlap_minutes"
+            ),
+        )
+        .orderBy("weekday")
+    )
+
+
+_IVL_OVERLAP_SQL = f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+marked AS (
+  SELECT user_id, t,
+         CASE WHEN t - COALESCE(MAX(t) OVER (
+                PARTITION BY user_id ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                t - {_SESSION_GAP_US + 1})
+              > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS new_s
+  FROM ev
+),
+sess0 AS (
+  SELECT user_id, t,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t) AS sid
+  FROM marked
+),
+sessions AS (
+  SELECT user_id, sid, MIN(t) AS s_lo, MAX(t) AS s_hi
+  FROM sess0 GROUP BY user_id, sid
+),
+windows AS (
+  SELECT day,
+         day * {24 * 3_600_000_000} + {_PROMO_START_H} * {_IVL_BUCKET_US} AS w_lo,
+         day * {24 * 3_600_000_000} + {_PROMO_END_H} * {_IVL_BUCKET_US} AS w_hi
+  FROM (SELECT DISTINCT t // {24 * 3_600_000_000} AS day FROM ev)
+),
+sb AS (
+  SELECT user_id, sid, s_lo, s_hi, b.bucket
+  FROM sessions,
+       LATERAL (SELECT unnest(generate_series(s_lo // {_IVL_BUCKET_US},
+                                              s_hi // {_IVL_BUCKET_US})) AS bucket) b
+),
+wb AS (
+  SELECT day, w_lo, w_hi, b.bucket
+  FROM windows,
+       LATERAL (SELECT unnest(generate_series(w_lo // {_IVL_BUCKET_US},
+                                              w_hi // {_IVL_BUCKET_US})) AS bucket) b
+),
+pairs AS (
+  SELECT DISTINCT user_id, sid, s_lo, s_hi, day, w_lo, w_hi
+  FROM sb JOIN wb USING (bucket)
+  WHERE s_lo <= w_hi AND s_hi >= w_lo
+),
+per_day AS (
+  SELECT day, COUNT(*) AS n_overlaps, COUNT(DISTINCT user_id) AS n_users,
+         SUM(LEAST(s_hi, w_hi) - GREATEST(s_lo, w_lo)) AS overlap_us
+  FROM pairs GROUP BY day
+)
+SELECT CAST((w.day + 4) % 7 AS BIGINT) AS weekday,
+       COUNT(*) AS n_windows,
+       CAST(SUM(COALESCE(p.n_overlaps, 0)) AS BIGINT) AS n_overlaps,
+       CAST(SUM(COALESCE(p.n_users, 0)) AS BIGINT) AS n_user_hits,
+       ROUND(SUM(COALESCE(p.overlap_us, 0)) / 60000000.0, 2) AS overlap_minutes
+FROM windows w LEFT JOIN per_day p USING (day)
+GROUP BY 1
+ORDER BY weekday
+"""
+
+
 QUERIES = {
+    "interval_overlap_sessions": interval_overlap_sessions,
     "linear_attribution_stats": linear_attribution_stats,
     "asof_join_with_tolerance": asof_join_with_tolerance,
     "asof_join_prior_click": asof_join_prior_click,
@@ -370,6 +547,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "interval_overlap_sessions": _IVL_OVERLAP_SQL,
     "linear_attribution_stats": _LINEAR_ATTR_SQL,
     "asof_join_with_tolerance": _ASOF_TOL_SQL,
     "asof_join_prior_click": _ASOF_SQL,

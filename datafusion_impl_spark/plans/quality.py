@@ -863,7 +863,196 @@ ORDER BY c_mktsegment
 """
 
 
+#: Z-order geometry: 8 bits per dimension → 16-bit z-values; files are
+#: z-prefix blocks (z >> 8 → up to 256 files), the linear baseline targets
+#: the same file count; 8 fixed range probes measure skipping.
+_Z_BITS = 8
+_Z_FILE_SHIFT = 8
+_Z_N_FILES = 256
+_Z_N_PROBES = 8
+
+
+def zorder_layout_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER data layout, measured — the Delta/Iceberg ``OPTIMIZE
+    ZORDER BY`` story quantified instead of asserted: lay ``orders`` out
+    in files two ways — interleaved-bit (Morton) order on (customer,
+    order date) vs single-key insertion order — record each file's
+    per-column min/max (exactly what parquet footers store), replay 8
+    two-dimensional range probes against those stats, and report how many
+    files each layout lets the scanner SKIP. Z-order files are compact
+    rectangles in key space, so 2-D predicates touch ~√F of them; linear
+    files span the full date range each, so a date-constrained probe
+    touches almost everything with a matching customer range.
+
+    Plan shape: entirely map-side quantization + two tiny aggregates (one
+    per layout, ≤ {files} groups); file ids come from z-VALUE PREFIXES
+    (``z >> {shift}``), not a global sort — the real clustered-write
+    mapping, and the reason no unbounded Sort appears in the plan. All
+    grid math is integer (``div``), bit-exact in both engines."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias("dy"),
+    )
+    bounds = orders.agg(
+        F.min("o_custkey").alias("cmn"), F.max("o_custkey").alias("cmx"),
+        F.min("dy").alias("dmn"), F.max("dy").alias("dmx"),
+        F.min("o_orderkey").alias("kmn"), F.max("o_orderkey").alias("kmx"),
+    )
+    b = orders.crossJoin(F.broadcast(bounds))
+    grid = 1 << _Z_BITS
+    gx = F.expr(f"(o_custkey - cmn) * {grid} div (cmx - cmn + 1)")
+    gy = F.expr(f"(dy - dmn) * {grid} div (dmx - dmn + 1)")
+    g = b.select(
+        "o_custkey", "dy",
+        gx.alias("gx"), gy.alias("gy"),
+        F.expr(f"(o_orderkey - kmn) * {_Z_N_FILES} div (kmx - kmn + 1)").alias(
+            "f_linear"
+        ),
+    )
+    z = None
+    for bit in range(_Z_BITS):
+        term = F.shiftleft(
+            F.shiftright("gx", bit).bitwiseAND(F.lit(1)), 2 * bit + 1
+        ) + F.shiftleft(
+            F.shiftright("gy", bit).bitwiseAND(F.lit(1)), 2 * bit
+        )
+        z = term if z is None else z + term
+    g = g.withColumn("f_zorder", F.shiftright(z, _Z_FILE_SHIFT))
+
+    def file_stats(df: DataFrame, col: str, layout: str) -> DataFrame:
+        return df.groupBy(F.col(col).alias("file_id")).agg(
+            F.min("o_custkey").alias("c_lo"), F.max("o_custkey").alias("c_hi"),
+            F.min("dy").alias("d_lo"), F.max("dy").alias("d_hi"),
+        ).select(F.lit(layout).alias("layout"), "file_id", "c_lo", "c_hi", "d_lo", "d_hi")
+
+    stats = file_stats(g, "f_zorder", "zorder").unionByName(
+        file_stats(g, "f_linear", "linear")
+    )
+    probes = (
+        spark.range(_Z_N_PROBES)
+        .withColumnRenamed("id", "probe")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "probe",
+            F.expr(f"cmn + probe * (cmx - cmn + 1) div {_Z_N_PROBES}").alias("pc_lo"),
+            F.expr(
+                f"cmn + probe * (cmx - cmn + 1) div {_Z_N_PROBES}"
+                f" + (cmx - cmn + 1) div {2 * _Z_N_PROBES}"
+            ).alias("pc_hi"),
+            F.expr(
+                f"dmn + ((probe * 3) % {_Z_N_PROBES}) * (dmx - dmn + 1) div {_Z_N_PROBES}"
+            ).alias("pd_lo"),
+            F.expr(
+                f"dmn + ((probe * 3) % {_Z_N_PROBES}) * (dmx - dmn + 1) div {_Z_N_PROBES}"
+                f" + (dmx - dmn + 1) div {2 * _Z_N_PROBES}"
+            ).alias("pd_hi"),
+        )
+    )
+    touched = (
+        stats.crossJoin(F.broadcast(probes))
+        .filter(
+            (F.col("c_lo") <= F.col("pc_hi")) & (F.col("c_hi") >= F.col("pc_lo"))
+            & (F.col("d_lo") <= F.col("pd_hi")) & (F.col("d_hi") >= F.col("pd_lo"))
+        )
+        .groupBy("layout", "probe")
+        .agg(F.count(F.lit(1)).alias("n_touched"))
+    )
+    nfiles = stats.groupBy("layout").agg(F.count(F.lit(1)).alias("n_files"))
+    universe = nfiles.select("layout", "n_files").crossJoin(
+        F.broadcast(probes.select("probe"))
+    )
+    per_probe = universe.join(touched, ["layout", "probe"], "left").select(
+        "layout",
+        "n_files",
+        F.coalesce("n_touched", F.lit(0)).alias("n_touched"),
+    )
+    return (
+        per_probe.groupBy("layout", "n_files")
+        .agg(
+            F.round(F.avg("n_touched"), 4).alias("avg_files_touched"),
+            F.round(1 - F.avg(F.col("n_touched") / F.col("n_files")), 4).alias(
+                "avg_skip_frac"
+            ),
+        )
+        .select("layout", "n_files", "avg_files_touched", "avg_skip_frac")
+        .orderBy("layout")
+    )
+
+
+def _zorder_oracle() -> str:
+    grid = 1 << _Z_BITS
+    zbits = " + ".join(
+        f"(((gx >> {b}) & 1) << {2 * b + 1}) + (((gy >> {b}) & 1) << {2 * b})"
+        for b in range(_Z_BITS)
+    )
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dy
+  FROM orders
+),
+bounds AS (
+  SELECT MIN(o_custkey) AS cmn, MAX(o_custkey) AS cmx,
+         MIN(dy) AS dmn, MAX(dy) AS dmx,
+         MIN(o_orderkey) AS kmn, MAX(o_orderkey) AS kmx
+  FROM o
+),
+g0 AS (
+  SELECT o_custkey, dy,
+         (o_custkey - cmn) * {grid} // (cmx - cmn + 1) AS gx,
+         (dy - dmn) * {grid} // (dmx - dmn + 1) AS gy,
+         (o_orderkey - kmn) * {_Z_N_FILES} // (kmx - kmn + 1) AS f_linear
+  FROM o, bounds
+),
+g AS (SELECT *, ({zbits}) >> {_Z_FILE_SHIFT} AS f_zorder FROM g0),
+stats AS (
+  SELECT 'zorder' AS layout, f_zorder AS file_id,
+         MIN(o_custkey) AS c_lo, MAX(o_custkey) AS c_hi,
+         MIN(dy) AS d_lo, MAX(dy) AS d_hi
+  FROM g GROUP BY f_zorder
+  UNION ALL
+  SELECT 'linear', f_linear,
+         MIN(o_custkey), MAX(o_custkey), MIN(dy), MAX(dy)
+  FROM g GROUP BY f_linear
+),
+probes AS (
+  SELECT i AS probe,
+         cmn + i * (cmx - cmn + 1) // {_Z_N_PROBES} AS pc_lo,
+         cmn + i * (cmx - cmn + 1) // {_Z_N_PROBES}
+           + (cmx - cmn + 1) // {2 * _Z_N_PROBES} AS pc_hi,
+         dmn + ((i * 3) % {_Z_N_PROBES}) * (dmx - dmn + 1) // {_Z_N_PROBES} AS pd_lo,
+         dmn + ((i * 3) % {_Z_N_PROBES}) * (dmx - dmn + 1) // {_Z_N_PROBES}
+           + (dmx - dmn + 1) // {2 * _Z_N_PROBES} AS pd_hi
+  FROM (SELECT unnest(generate_series(0, {_Z_N_PROBES - 1})) AS i), bounds
+),
+touched AS (
+  SELECT s.layout, p.probe, COUNT(*) AS n_touched
+  FROM stats s JOIN probes p
+    ON s.c_lo <= p.pc_hi AND s.c_hi >= p.pc_lo
+   AND s.d_lo <= p.pd_hi AND s.d_hi >= p.pd_lo
+  GROUP BY s.layout, p.probe
+),
+nfiles AS (SELECT layout, COUNT(*) AS n_files FROM stats GROUP BY layout),
+per_probe AS (
+  SELECT n.layout, n.n_files, p.probe, COALESCE(t.n_touched, 0) AS n_touched
+  FROM nfiles n CROSS JOIN probes p
+  LEFT JOIN touched t ON t.layout = n.layout AND t.probe = p.probe
+)
+SELECT layout, n_files,
+       ROUND(AVG(n_touched), 4) AS avg_files_touched,
+       ROUND(1 - AVG(CAST(n_touched AS DOUBLE) / n_files), 4) AS avg_skip_frac
+FROM per_probe
+GROUP BY layout, n_files
+ORDER BY layout
+"""
+
+
+_ZORDER_SQL = _zorder_oracle()
+
+
 QUERIES = {
+    "zorder_layout_effectiveness": zorder_layout_effectiveness,
     "k_anonymity_audit": k_anonymity_audit,
     "pseudonymize_join_preservation": pseudonymize_join_preservation,
     "ab_experiment_analysis": ab_experiment_analysis,
@@ -877,6 +1066,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "zorder_layout_effectiveness": _ZORDER_SQL,
     "k_anonymity_audit": _K_ANON_SQL,
     "pseudonymize_join_preservation": _PSEUDONYM_SQL,
     "ab_experiment_analysis": _AB_SQL,

@@ -70,6 +70,11 @@ def get_spark(app_name: str = "datafusion_impl_spark", master: str | None = None
     Thread-safe to share across concurrent queries, matching the reference's
     cloned-context concurrency test (``tests/regexp-tests.rs:155-177``).
     """
+    # Best-effort protobuf for transformWithStateInPandas: must run before
+    # the JVM starts so workers inherit the (possibly shimmed) PYTHONPATH.
+    from datafusion_impl_spark.pbshim import ensure_protobuf
+
+    ensure_protobuf()
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or f"local[{_LOCAL_CORES}]")
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

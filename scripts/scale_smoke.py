@@ -57,6 +57,13 @@ _QUERIES = [
     "dedup_documents_exact",
     "dedup_documents_minhash",
     "ann_ivf_topk",
+    # r5 flagships whose hot-bucket caps / cell sizing exist precisely to
+    # bound growth — the smoke measures the ratio that proves it (r5
+    # verdict #7): Hamming-LSH pHash census, in-cell kNN graph, and the
+    # multi-config MinHash banding sweep.
+    "multimodal_phash_near_dup",
+    "ann_knn_graph_ivf",
+    "dedup_minhash_param_sweep",
 ]
 
 

@@ -122,6 +122,7 @@ def test_no_python_in_any_relational_plan(spark):
         "python_datasource_scan",     # Python Data Source API demo source
         "python_datasource_write_roundtrip",  # custom Python sink under test
         "cogrouped_order_gap_stats",  # cogroup().applyInPandas IS the API under test
+        "multimodal_bmp_decode_stats",  # mapInPandas build + mapInArrow decode IS the operator
     }
     for name, fn in m.queries().items():
         if name in allowed_python:

@@ -9,6 +9,7 @@ sink, and compares against the identical batch plan.
 from __future__ import annotations
 
 import shutil
+from contextlib import contextmanager
 
 import pytest
 from pyspark.sql import functions as F
@@ -402,26 +403,51 @@ def test_stream_near_dup_flags_equals_batch(spark, tmp_path):
     assert batch_flagged > 0
 
 
-def _has_protobuf() -> bool:
+@contextmanager
+def _rocksdb_state(spark):
+    """transformWithState needs a state store with multiple column
+    families — the default HDFSBackedStateStoreProvider refuses; RocksDB
+    (bundled rocksdbjni) supports it. Scoped to the TWS tests so every
+    other streaming test keeps exercising the default provider."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
     try:
-        from google.protobuf import descriptor  # noqa: F401
-        return True
-    except ImportError:
-        return False
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def _has_protobuf() -> bool:
+    """True when the protobuf runtime is importable — including via the
+    google-cloud-sdk shim (datafusion_impl_spark.pbshim), which the session
+    factory installs before the JVM starts; since r6 this makes the
+    transformWithState runtime tests RUN in this container."""
+    from datafusion_impl_spark.pbshim import ensure_protobuf
+
+    return ensure_protobuf()
 
 
 @pytest.mark.skipif(
     not _has_protobuf(),
     reason="transformWithStateInPandas needs google.protobuf (state-server "
-    "protocol); not shipped in this container and package installs are "
-    "prohibited here, so this gate is PERMANENT in this environment — "
-    "operator code is exercised for plan construction below either way",
+    "protocol) and neither a real install nor the gcloud-vendored shim "
+    "runtime is available — operator code is exercised for plan "
+    "construction below either way",
 )
 def test_transform_with_state_matches_batch(spark, events_dir):
     """transformWithStateInPandas running totals must converge to the batch
     per-user aggregate (count + value sum)."""
     st = stx.user_running_totals_tws(stx.stream_events(spark, events_dir))
-    _run_stream(st, "tws_totals", mode="update")
+    with _rocksdb_state(spark):
+        _run_stream(st, "tws_totals", mode="update")
     rows = spark.sql(
         "SELECT user_id, MAX(n_events) AS n, MAX(sum_value) AS s "
         "FROM tws_totals GROUP BY user_id"
@@ -455,15 +481,16 @@ def test_transform_with_state_accumulates_across_batches(spark, dup_events_dir):
         "maxFilesPerTrigger", 1
     ).parquet(dup_events_dir) if False else src
     st = stx.user_running_totals_tws(src)
-    q = (
-        st.writeStream.format("memory")
-        .queryName("tws_totals_dup")
-        .outputMode("update")
-        .option("maxFilesPerTrigger", 1)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with _rocksdb_state(spark):
+        q = (
+            st.writeStream.format("memory")
+            .queryName("tws_totals_dup")
+            .outputMode("update")
+            .option("maxFilesPerTrigger", 1)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     rows = spark.sql(
         "SELECT user_id, MAX(n_events) AS n FROM tws_totals_dup GROUP BY user_id"
     ).collect()
