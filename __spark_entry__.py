@@ -88,8 +88,10 @@ _MODULES = [
 #   r6 (this list): the 35 never-driver-checked queries (3 deferred source
 #       queries + 32 r5 operators, exactly r5's _NEXT_ROTATION) + 15
 #       oldest-evidence pads (the 3 r1-only scalar families + 12 r2-era
-#       core queries untouched since). After r6, EVERY oracled query in
-#       the registry has a driver row — terminal coverage.
+#       core queries untouched since). After r6, every query that was
+#       oracled at r6's START has a driver row — terminal coverage for the
+#       pre-r6 registry; the 10 NEW r6 operators (registry now 247, 240
+#       oracled) queue in _NEXT_ROTATION for r7.
 _PRIORITY = [
     # --- the 35 never-driver-checked (r5's _NEXT_ROTATION, verbatim) ---
     "csv_documents_roundtrip",          # deferred from r5 window
@@ -155,6 +157,9 @@ _NEXT_ROTATION: list[str] = [
     "ann_sq8_recall",                   # new in r6 (scalar-quantized ANN)
     "zorder_layout_effectiveness",      # new in r6 (Morton layout skipping)
     "interval_overlap_sessions",        # new in r6 (interval×interval join)
+    "stream_tws_recent_events",         # new in r6 (TWS ListState, 2 batches)
+    "heavy_hitters_cms",                # new in r6 (count-min sketch audit)
+    "token_zipf_fit",                   # new in r6 (Zipf OLS per language)
 ]
 
 

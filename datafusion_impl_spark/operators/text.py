@@ -1485,7 +1485,231 @@ ORDER BY s.source
 """
 
 
+#: count-min sketch geometry (depth × width counters; ~0.2% of the token
+#: vocabulary's counter space at sf0.01, so collisions actually occur and
+#: the overestimate column is non-trivial).
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+_CMS_TOPK = 10
+
+#: Zipf fit window: tokens ranked 1..N per language.
+_ZIPF_TOP = 100
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters, AUDITED against exact counts: build
+    a {depth}×{width} CMS over the corpus token stream (the bounded-memory
+    structure streaming frequency estimation uses when the vocabulary
+    doesn't fit anywhere), then report, for the exact top-{k} tokens, the
+    CMS estimate next to the true count and the collision overestimate.
+    CMS never underestimates — ``overestimate >= 0`` is pinned by pytest —
+    and the md5-derived row hashes make the whole sketch bit-reproducible
+    in DuckDB, so even the collision noise is value-checked.
+
+    Scale shape: the sketch is two aggregates — token counts (the pass any
+    frequency job already does), then SUM into (depth × width) = {dw}
+    counters, a broadcast-size table; estimates join the top-k tokens
+    against {depth} counter rows each. Counters merge by addition, so the
+    same plan shards over any partitioning (mergeable-sketch property)."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("tok"))
+    )
+    tc = materialize(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    )
+    d_ids = spark.range(_CMS_DEPTH).withColumnRenamed("id", "d")
+    hashed = tc.crossJoin(F.broadcast(d_ids)).select(
+        "tok",
+        "c",
+        "d",
+        (
+            md5_long(F.concat_ws("|", F.col("d").cast("string"), F.col("tok")))
+            % _CMS_WIDTH
+        ).alias("b"),
+    )
+    counters = hashed.groupBy("d", "b").agg(F.sum("c").alias("cnt"))
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    # two-phase top-k: per-partition prune to k before the single-row window
+    topk = (
+        tc.withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy(F.spark_partition_id()).orderBy(
+                    F.desc("c"), F.asc("tok")
+                )
+            ),
+        )
+        .filter(F.col("pr") <= _CMS_TOPK)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _CMS_TOPK)
+        .select("rank", "tok", "c")
+    )
+    est = (
+        topk.crossJoin(F.broadcast(d_ids))
+        .select(
+            "rank",
+            "tok",
+            "c",
+            "d",
+            (
+                md5_long(
+                    F.concat_ws("|", F.col("d").cast("string"), F.col("tok"))
+                )
+                % _CMS_WIDTH
+            ).alias("b"),
+        )
+        .join(counters, ["d", "b"])
+        .groupBy("rank", "tok", "c")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("rank").cast("int").alias("rank"),
+        "tok",
+        F.col("c").cast("long").alias("exact_count"),
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("c")).cast("long").alias("overestimate"),
+    ).orderBy("rank")
+
+
+_CMS_SQL = rf"""
+WITH toks AS (
+  SELECT unnest({_DUCK_TOKENS.format(col='text')}) AS tok FROM documents
+),
+tc AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+d_ids AS (SELECT unnest(generate_series(0, {_CMS_DEPTH - 1})) AS d),
+hashed AS (
+  SELECT tok, c, d,
+         {duck_md5_long("concat_ws('|', CAST(d AS VARCHAR), tok)")} % {_CMS_WIDTH} AS b
+  FROM tc, d_ids
+),
+counters AS (SELECT d, b, SUM(c) AS cnt FROM hashed GROUP BY d, b),
+topk AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rank, tok, c
+  FROM tc
+  QUALIFY rank <= {_CMS_TOPK}
+),
+est AS (
+  SELECT t.rank, t.tok, t.c, MIN(co.cnt) AS cms_estimate
+  FROM topk t
+  JOIN hashed h ON h.tok = t.tok
+  JOIN counters co ON co.d = h.d AND co.b = h.b
+  GROUP BY t.rank, t.tok, t.c
+)
+SELECT CAST(rank AS INTEGER) AS rank, tok,
+       CAST(c AS BIGINT) AS exact_count,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(cms_estimate - c AS BIGINT) AS overestimate
+FROM est
+ORDER BY rank
+"""
+
+
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language — the sanity probe run on every raw
+    text source (natural language shows slope ≈ −1 on log-rank/log-freq;
+    far-off slopes flag boilerplate floods or shattered tokenization):
+    OLS over (ln rank, ln count) for each language's top-{n} tokens,
+    reporting slope, intercept, and R².
+
+    Determinism: ln values ROUND to 6 dp and sum through DECIMAL, so the
+    OLS moments are addition-order-exact in both engines; slope/intercept/
+    R² derive per output row from those exact sums (the repo's standard
+    cross-engine regression discipline — ``regr_slope`` over raw doubles
+    would be partial-merge-order-dependent here because the inputs aren't
+    integers)."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "lang", F.explode(tokens("text")).alias("tok")
+    )
+    tc = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tok"))
+    ranked = (
+        tc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ZIPF_TOP)
+        .select(
+            "lang",
+            F.round(F.log(F.col("rank").cast("double")), 6).alias("x"),
+            F.round(F.log(F.col("c").cast("double")), 6).alias("y"),
+        )
+    )
+
+    def dsum(expr) -> F.Column:
+        # products rounded in DOUBLE then summed as DECIMAL: decimal×decimal
+        # precision-overflow rules differ between engines, double+round does
+        # not — this keeps every OLS moment addition-order-exact AND
+        # engine-identical
+        return F.sum(F.round(expr, 6).cast("decimal(24,8)"))
+
+    agg = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = cov / vx
+    return agg.select(
+        "lang",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(cov * cov / (vx * vy), 6).alias("r2"),
+    ).orderBy("lang")
+
+
+_ZIPF_SQL = rf"""
+WITH toks AS (
+  SELECT lang, unnest({_DUCK_TOKENS.format(col='text')}) AS tok FROM documents
+),
+tc AS (SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY lang, tok),
+ranked AS (
+  SELECT lang,
+         ROUND(ln(CAST(rank AS DOUBLE)), 6) AS x,
+         ROUND(ln(CAST(c AS DOUBLE)), 6) AS y
+  FROM (
+    SELECT lang, c,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rank
+    FROM tc)
+  WHERE rank <= {_ZIPF_TOP}
+),
+agg AS (
+  SELECT lang, COUNT(*) AS n,
+         SUM(CAST(ROUND(x, 6) AS DECIMAL(24,8))) AS sx,
+         SUM(CAST(ROUND(y, 6) AS DECIMAL(24,8))) AS sy,
+         SUM(CAST(ROUND(x * y, 6) AS DECIMAL(24,8))) AS sxy,
+         SUM(CAST(ROUND(x * x, 6) AS DECIMAL(24,8))) AS sxx,
+         SUM(CAST(ROUND(y * y, 6) AS DECIMAL(24,8))) AS syy
+  FROM ranked GROUP BY lang
+)
+SELECT lang,
+       CAST(n AS BIGINT) AS n,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+       ROUND(POW(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+             / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+FROM agg
+ORDER BY lang
+"""
+
+
 QUERIES = {
+    "heavy_hitters_cms": heavy_hitters_cms,
+    "token_zipf_fit": token_zipf_fit,
     "tokenizer_inflation_audit": tokenizer_inflation_audit,
     "doc_readability_scores": doc_readability_scores,
     "source_unigram_kl": source_unigram_kl,
@@ -1509,6 +1733,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "heavy_hitters_cms": _CMS_SQL,
+    "token_zipf_fit": _ZIPF_SQL,
     "tokenizer_inflation_audit": _TOKENIZER_AUDIT_SQL,
     "doc_readability_scores": _READABILITY_SQL,
     "source_unigram_kl": _UNIGRAM_KL_SQL,

@@ -1042,6 +1042,151 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_tws_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``transformWithStateInPandas`` with LIST state, multi-micro-batch:
+    per user, carry the 3 most recent event ids (recency = the id itself —
+    monotone in the feed) in a ``ListState`` cell while the events table
+    arrives as TWO files with ``maxFilesPerTrigger=1``, so the list
+    genuinely persists and merges ACROSS micro-batch boundaries. The
+    keep-top-3-of-union rule is order-independent, so the result is
+    deterministic no matter how rows split into batches — which is exactly
+    what lets DuckDB value-check a stateful stream: the oracle is a plain
+    per-user top-3 window. Output is rolled up per user-id bucket.
+
+    Together with :func:`stream_tws_user_totals` (ValueState) this covers
+    the transformWithState state-variable surface the container can run;
+    same protobuf-shim + RocksDB plumbing, self-carried."""
+    import pandas as pd
+
+    from datafusion_impl_spark.pbshim import ensure_protobuf_on_workers
+    from datafusion_impl_spark.sources.registry import load_table
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    if not ensure_protobuf_on_workers(spark):  # pragma: no cover - env gate
+        raise RuntimeError(
+            "transformWithStateInPandas needs a protobuf runtime and none "
+            "is available (no install, no gcloud-vendored shim)"
+        )
+
+    class RecentEvents(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._recent = handle.getListState("recent", "eid BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            kept = [r[0] for r in self._recent.get()] if self._recent.exists() else []
+            for pdf in rows:
+                kept.extend(int(x) for x in pdf["event_id"])
+            kept = sorted(kept, reverse=True)[:3]
+            self._recent.put([(e,) for e in kept])
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_recent": [len(kept)],
+                    "recent_sum": [sum(kept)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    import os
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    feed = os.path.join("/tmp/datafusion_impl_spark_tws_feed", tag + "_recent")
+    shutil.rmtree(feed, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    # two files -> two micro-batches; the even/odd split interleaves ids so
+    # batch 2 must MERGE into existing list state, not just append
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(feed, "even.parquet")
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(feed, "odd.parquet")
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_recent", LongType()),
+            StructField("recent_sum", LongType()),
+        ]
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    view = "tws_recent_events_drv"
+    try:
+        src = (
+            spark.readStream.schema("user_id bigint, event_id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(feed)
+        )
+        st = src.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RecentEvents(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        q = (
+            st.writeStream.format("memory")
+            .queryName(view)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    # update mode re-emits per batch; the FINAL state per user is the row
+    # with the largest (n_recent, recent_sum) — both monotone under merge
+    per_user = spark.table(view).groupBy("user_id").agg(
+        F.max(F.struct("n_recent", "recent_sum")).alias("fin")
+    )
+    return (
+        per_user.select(
+            (F.col("user_id") % 10).alias("user_bucket"),
+            F.col("fin.n_recent").alias("n_recent"),
+            F.col("fin.recent_sum").alias("recent_sum"),
+        )
+        .groupBy("user_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_recent").cast("long").alias("n_recent"),
+            F.sum("recent_sum").cast("long").alias("recent_sum"),
+        )
+        .orderBy("user_bucket")
+    )
+
+
+_TWS_RECENT_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rk
+  FROM events
+),
+per_user AS (
+  SELECT user_id, COUNT(*) AS n_recent, SUM(event_id) AS recent_sum
+  FROM ranked WHERE rk <= 3 GROUP BY user_id
+)
+SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       COUNT(*) AS n_users,
+       CAST(SUM(n_recent) AS BIGINT) AS n_recent,
+       CAST(SUM(recent_sum) AS BIGINT) AS recent_sum
+FROM per_user
+GROUP BY 1
+ORDER BY user_bucket
+"""
+
+
 _TWS_TOTALS_SQL = """
 WITH per_user AS (
   SELECT user_id, COUNT(*) AS n,
@@ -1060,6 +1205,7 @@ ORDER BY user_bucket
 
 QUERIES = {
     "stream_tws_user_totals": stream_tws_user_totals,
+    "stream_tws_recent_events": stream_tws_recent_events,
     "watermark_lateness_audit": watermark_lateness_audit,
     "stream_cdc_merge_stats": stream_cdc_merge_stats,
     "session_window_stats": session_window_stats,
@@ -1070,6 +1216,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_tws_user_totals": _TWS_TOTALS_SQL,
+    "stream_tws_recent_events": _TWS_RECENT_SQL,
     "watermark_lateness_audit": _LATENESS_SQL,
     "stream_cdc_merge_stats": _STREAM_CDC_SQL,
     "session_window_stats": _SESSION_WINDOW_SQL,

