@@ -92,74 +92,73 @@ _MODULES = [
 #       oracled at r6's START has a driver row — terminal coverage for the
 #       pre-r6 registry; the 10 NEW r6 operators (registry now 247, 240
 #       oracled) queue in _NEXT_ROTATION for r7.
+#   r7 (this list): the 10 r6-new queries (r6's _NEXT_ROTATION, all
+#       judge-verified local-oracle PASS in the r6 session) + the 37 queries
+#       whose newest driver row is still r2 + 3 oldest-r3 LLM flagships.
+#       After r7, no oracled query's newest evidence predates r3.
 _PRIORITY = [
-    # --- the 35 never-driver-checked (r5's _NEXT_ROTATION, verbatim) ---
-    "csv_documents_roundtrip",          # deferred from r5 window
-    "file_lineage_orders",              # deferred from r5 window
-    "python_datasource_write_roundtrip",  # deferred from r5 window
-    "ann_knn_graph_ivf",                # new in r5 (mutual kNN graph)
-    "scd2_status_dwell_stats",          # new in r5 (time-in-state)
-    "source_unigram_kl",                # new in r5 (token drift)
-    "null_safe_segment_join",           # new in r5 (<=> surface)
-    "multimodal_chunk_manifest",        # new in r5 (multipart manifest)
-    "binaryfile_media_scan",            # new in r5 (binaryFile source)
-    "dedup_label_communities",          # new in r5 (label propagation)
-    "corpus_bootstrap_ci",              # new in r5 (Poisson bootstrap SE)
-    "context_length_sweep",             # new in r5 (ctx trade-off sweep)
-    "merge_cdc_with_deletes",           # new in r5 (tombstone CDC apply)
-    "python_datasource_stream_agg",     # new in r5 (python stream source)
-    "doc_readability_scores",           # new in r5 (Flesch readability)
-    "embedding_snapshot_drift",         # new in r5 (centroid drift)
-    "license_policy_gate",              # new in r5 (license compliance)
-    "tokenizer_inflation_audit",        # new in r5 (tokenizer budgets)
-    "rfm_customer_segments",            # new in r5 (scale-safe RFM)
-    "stream_cdc_merge_stats",           # new in r5 (foreachBatch CDC apply)
-    "brand_affinity_lift",              # new in r5 (market-basket lift)
-    "asof_join_with_tolerance",         # new in r5 (bounded as-of; r6 tie fix)
-    "incremental_join_maintenance",     # new in r5 (delta-join IVM)
-    "dedup_community_bridges",          # new in r5 (bridge audit)
-    "observed_scan_metrics",            # new in r5 (Observation API)
-    "ab_experiment_analysis",           # new in r5 (z-test; r6 0-var guard)
-    "k_anonymity_audit",                # new in r5 (privacy census)
-    "pseudonymize_join_preservation",   # new in r5 (surrogate keys)
-    "embedding_cluster_silhouette",     # new in r5 (codebook health)
-    "watermark_lateness_audit",         # new in r5 (watermark sizing)
-    "lineitem_correlation_matrix",      # new in r5 (moment-exact profiler)
-    "linear_attribution_stats",         # new in r5 (multi-touch credit)
-    "dedup_minhash_param_sweep",        # new in r5 (LSH tuning curve)
-    "event_trigram_paths",              # new in r5 (3-step path mining)
-    "multimodal_phash_near_dup",        # new in r5 (Hamming-LSH pHash)
-    # --- 15 oldest-evidence pads (r1/r2 rows, unchecked since) ---
-    "scalar_string_functions",          # r1-only evidence
-    "scalar_date_functions",            # r1-only evidence
-    "scalar_math_case_cast",            # r1-only evidence
-    "q1_pricing_summary",               # r2
-    "q3_shipping_priority",             # r2
-    "q6_forecast_revenue",              # r2
-    "q18_large_volume_customers",       # r2
-    "window_running_revenue",           # r2
-    "window_top_orders_per_customer",   # r2
-    "sessionize_events",                # r2
-    "asof_join_prior_click",            # r2 (pairs with the r6 as-of fix)
-    "range_join_event_bursts",          # r2
-    "rollup_order_stats",               # r2
-    "set_union_order_sources",          # r2
-    "anti_join_customers_without_orders",  # r2
-]
-
-# Beyond the 50-query window: the r7 rotation queue — queries added this
-# round are appended here as they land, to lead next round's window.
-_NEXT_ROTATION: list[str] = [
+    # --- the 10 r6-new queries (r6's _NEXT_ROTATION, verbatim) ---
     "multimodal_bmp_decode_stats",      # new in r6 (real BMP pixel decode)
     "ann_residual_pq_recall",           # new in r6 (FAISS-style residual PQ)
     "stream_tws_user_totals",           # new in r6 (transformWithState runtime)
     "dedup_substring_spans",            # new in r6 (ExactSubstr span dedup)
     "ann_sq8_recall",                   # new in r6 (scalar-quantized ANN)
     "zorder_layout_effectiveness",      # new in r6 (Morton layout skipping)
-    "interval_overlap_sessions",        # new in r6 (interval×interval join)
+    "interval_overlap_sessions",        # new in r6 (interval-interval join)
     "stream_tws_recent_events",         # new in r6 (TWS ListState, 2 batches)
     "heavy_hitters_cms",                # new in r6 (count-min sketch audit)
-    "token_zipf_fit",                   # new in r6 (Zipf OLS per language)
+    "token_zipf_fit",                   # new in r6 (Zipf OLS; r7 0-var guard)
+    # --- 37 r2-only-evidence pads (every oracled query whose newest driver
+    # row is still CORRECTNESS_r02) ---
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_priority_lateness",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "cube_lineitem_flags",
+    "distinct_segments",
+    "events_daily_gapfill",
+    "events_locf_imputation",
+    "full_outer_nation_accounts",
+    "grouped_zscore_doclen",
+    "grouping_sets_events",
+    "higher_order_array_ops",
+    "map_functions_order_flags",
+    "min_price_part_per_brand",
+    "pivot_segment_by_status",
+    "regexp_docs_first_word",
+    "regexp_events_props",
+    "regexp_extract_all_props",
+    "set_except_all_priorities",
+    "set_except_nations",
+    "set_intersect_all_priorities",
+    "set_intersect_nations",
+    "topk_expensive_orders",
+    "udaf_geometric_mean_events",
+    "unpivot_part_measures",
+    "window_event_gaps",
+    "window_rank_family",
+    # --- 3 oldest-r3 pads (LLM-layer flagships unchecked since r3) ---
+    "dedup_documents_exact",
+    "dedup_documents_minhash",
+    "ann_cosine_topk",
+]
+
+# Beyond the 50-query window: the r7 rotation queue — queries added this
+# round are appended here as they land, to lead next round's window.
+_NEXT_ROTATION: list[str] = [
+    "multimodal_wav_decode_stats",      # new in r7 (real RIFF/WAVE decode)
+    "stream_tws_session_timeout",       # new in r7 (TWS event-time timers)
+    "ann_opq_subspace_balance",         # new in r7 (OPQ permutation vs PQ)
 ]
 
 

@@ -31,6 +31,13 @@ import importlib.util
 import sys
 import types
 
+# Import-surface note (r6 advice): appending the whole third_party dir makes
+# every other package gcloud vendors (six, httplib2, ...) importable too, not
+# just cloudsdk.google.protobuf. That widening is accepted deliberately: the
+# APPEND means any site-packages installation of those names still wins, the
+# vendored tree is only ever a fallback of last resort, and importing
+# `cloudsdk` by pinned spec would still need the same directory on sys.path
+# for its own intra-package absolute imports.
 _SDK = "/usr/lib/google-cloud-sdk/lib/third_party"
 if _SDK not in sys.path:
     sys.path.append(_SDK)

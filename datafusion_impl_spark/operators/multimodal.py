@@ -823,8 +823,228 @@ ORDER BY width, height
 """
 
 
+
+
+# --- real audio decode: dependency-free 16-bit PCM WAV --------------------
+#
+# The audio sibling of the BMP path above (r6 verdict #3): deterministic
+# 16-bit PCM mono WAV clips are planted (encoded byte-for-byte to the RIFF/
+# WAVE spec — a public format), and :func:`decode_wav` parses them back from
+# the BYTES ALONE (RIFF framing, chunk walk, fmt fields, little-endian int16
+# samples). The DuckDB oracle replays the *sample formula* in closed form,
+# so any encoder/decoder disagreement about the actual WAV layout shows up
+# as a stats mismatch; a golden-bytes pytest additionally pins the byte
+# layout against a handcrafted clip.
+
+_WAV_RATE_BASE, _WAV_RATE_MOD = 8000, 3   # rate = 8000 * (1 + doc_id % 3)
+_WAV_N_BASE, _WAV_N_MOD = 48, 9           # n_samples = 48 + doc_id % 9
+_WAV_SAMPLE_MOD = 4                       # plant 1-in-4 docs as audio
+_WAV_SAMPLE_RES = 2                       # ... at residue 2 (images use 0)
+
+
+def _wav_sample(doc_id: int, i: int) -> int:
+    """Deterministic int16 sample value — the formula the DuckDB oracle
+    replays in SQL. Range ±2000, comfortably inside int16."""
+    return (doc_id * 31 + i * 17) % 4001 - 2000
+
+
+def _wav_encode(doc_id: int) -> bytes:
+    """Encode the planted clip for ``doc_id`` as a real 16-bit PCM mono
+    WAV (44-byte RIFF/WAVE header: ``fmt `` subchunk with format tag 1,
+    then a ``data`` subchunk of little-endian int16 samples)."""
+    import struct
+
+    import numpy as np
+
+    rate = _WAV_RATE_BASE * (1 + doc_id % _WAV_RATE_MOD)
+    n = _WAV_N_BASE + doc_id % _WAV_N_MOD
+    samples = (
+        (doc_id * 31 + np.arange(n, dtype=np.int64) * 17) % 4001 - 2000
+    ).astype("<i2")
+    data = samples.tobytes()
+    hdr = struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16)
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def decode_wav(data: bytes):
+    """Parse a 16-bit PCM mono WAV from its bytes alone; returns
+    ``(sample_rate, samples)`` with ``samples`` an int16 ndarray. Walks the
+    RIFF chunk list (tolerating extra chunks in any order), and raises
+    ``ValueError`` on malformed/truncated/unsupported payloads — corrupt
+    blobs must fail loudly, not yield garbage stats."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    rate = None
+    samples = None
+    off = 12
+    while off + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, off)
+        body = off + 8
+        if body + size > len(data):
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            tag, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", data, body
+            )
+            if tag != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    "unsupported WAV variant (need 16-bit PCM mono)"
+                )
+        elif cid == b"data":
+            if size % 2:
+                raise ValueError("odd data chunk size for 16-bit samples")
+            samples = np.frombuffer(data, dtype="<i2", count=size // 2,
+                                    offset=body)
+        off = body + size + (size & 1)  # RIFF chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, samples
+
+
+#: Output contract of the WAV decode kernel.
+WAV_STATS_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples int, "
+    "sum_sq bigint, peak int, zero_cross bigint"
+)
+
+
+def decode_wav_stats(clips: DataFrame) -> DataFrame:
+    """``mapInArrow`` decode kernel: (doc_id, media BINARY) → per-clip
+    decoded rate, length, exact energy (sum of squared samples), peak
+    amplitude, and zero-crossing count (sign transitions under the
+    ``sample < 0`` convention). Per-blob Python is the design (decoding is
+    inherently scalar work); per-sample arithmetic is vectorized numpy."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            doc_ids = b.column(b.schema.get_field_index("doc_id"))
+            blobs = b.column(b.schema.get_field_index("media"))
+            rates, ns, sq, pk, zc = [], [], [], [], []
+            for v in blobs:
+                rate, s = decode_wav(v.as_py())
+                s64 = s.astype("int64")
+                neg = s64 < 0
+                rates.append(rate)
+                ns.append(len(s64))
+                sq.append(int((s64 * s64).sum()))
+                pk.append(int(np.abs(s64).max()) if len(s64) else 0)
+                zc.append(int((neg[1:] != neg[:-1]).sum()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    pa.array(rates, type=pa.int32()),
+                    pa.array(ns, type=pa.int32()),
+                    pa.array(sq, type=pa.int64()),
+                    pa.array(pk, type=pa.int32()),
+                    pa.array(zc, type=pa.int64()),
+                ],
+                names=["doc_id", "sample_rate", "n_samples", "sum_sq",
+                       "peak", "zero_cross"],
+            )
+
+    return clips.mapInArrow(fn, WAV_STATS_SCHEMA)
+
+
+def multimodal_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode end to end: plant deterministic 16-bit PCM WAV
+    clips for 1-in-4 documents (builder kernel encodes REAL RIFF/WAVE
+    bytes), decode them back from bytes alone with :func:`decode_wav`, and
+    report per sample rate: clip count, total samples, RMS amplitude from
+    the exact integer energy sum, peak amplitude, and mean zero-crossing
+    rate. The DuckDB oracle recomputes the same stats from the sample
+    FORMULA (never the bytes), so every layout detail the decoder must get
+    right — chunk walk, little-endian int16, fmt fields — is value-checked.
+
+    Scale shape: map-only until the final tiny groupBy (3 rate groups);
+    blobs are built and decoded inside the scan stage and never shuffle."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": pdf["doc_id"].map(lambda d: _wav_encode(int(d))),
+                }
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % _WAV_SAMPLE_MOD == _WAV_SAMPLE_RES)
+    )
+    clips = docs.mapInPandas(build, "doc_id bigint, media binary")
+    stats = decode_wav_stats(clips)
+    total_n = F.sum(F.col("n_samples").cast("long"))
+    return (
+        stats.groupBy("sample_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            total_n.alias("total_samples"),
+            F.sum("sum_sq").alias("sum_sq"),
+            F.round(
+                F.sqrt(F.sum("sum_sq") / F.sum(F.col("n_samples").cast("long"))),
+                6,
+            ).alias("rms"),
+            F.max("peak").alias("max_peak"),
+            F.sum("zero_cross").alias("zero_crossings"),
+        )
+        .orderBy("sample_rate")
+    )
+
+
+_WAV_DECODE_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         {_WAV_RATE_BASE} * (1 + doc_id % {_WAV_RATE_MOD}) AS rate,
+         {_WAV_N_BASE} + doc_id % {_WAV_N_MOD} AS n
+  FROM documents
+  WHERE doc_id % {_WAV_SAMPLE_MOD} = {_WAV_SAMPLE_RES}
+),
+-- no lateral generate_series(col) in this DuckDB build: cross with the
+-- fixed max range (n <= {_WAV_N_BASE + _WAV_N_MOD - 1}) and filter per clip
+samp AS (
+  SELECT d.doc_id, d.rate, d.n, gi.i,
+         (d.doc_id * 31 + gi.i * 17) % 4001 - 2000 AS s,
+         CASE WHEN gi.i > 0
+              THEN (d.doc_id * 31 + (gi.i - 1) * 17) % 4001 - 2000
+         END AS prev_s
+  FROM docs d
+  JOIN (SELECT unnest(generate_series(0, {_WAV_N_BASE + _WAV_N_MOD - 2})) AS i) gi
+    ON gi.i < d.n
+),
+clip AS (
+  SELECT doc_id, rate, n,
+         SUM(s * s) AS sum_sq,
+         MAX(abs(s)) AS peak,
+         count_if(i > 0 AND (prev_s < 0) <> (s < 0)) AS zero_cross
+  FROM samp GROUP BY doc_id, rate, n
+)
+SELECT CAST(rate AS INTEGER) AS sample_rate,
+       COUNT(*) AS n_clips,
+       CAST(SUM(n) AS BIGINT) AS total_samples,
+       CAST(SUM(sum_sq) AS BIGINT) AS sum_sq,
+       ROUND(sqrt(CAST(SUM(sum_sq) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)), 6)
+         AS rms,
+       CAST(MAX(peak) AS INTEGER) AS max_peak,
+       CAST(SUM(zero_cross) AS BIGINT) AS zero_crossings
+FROM clip
+GROUP BY rate
+ORDER BY sample_rate
+"""
+
+
 QUERIES = {
     "multimodal_bmp_decode_stats": multimodal_bmp_decode_stats,
+    "multimodal_wav_decode_stats": multimodal_wav_decode_stats,
     "multimodal_phash_near_dup": multimodal_phash_near_dup,
     "multimodal_chunk_manifest": multimodal_chunk_manifest,
     "multimodal_arrow_features": multimodal_arrow_features,
@@ -835,6 +1055,7 @@ QUERIES = {
 
 ORACLES = {
     "multimodal_bmp_decode_stats": _BMP_DECODE_SQL,
+    "multimodal_wav_decode_stats": _WAV_DECODE_SQL,
     "multimodal_phash_near_dup": _PHASH_SQL,
     "multimodal_chunk_manifest": _CHUNK_MANIFEST_SQL,
     "multimodal_arrow_features": _MEDIA_FEATURES_SQL,

@@ -2191,7 +2191,292 @@ ORDER BY bucket
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# OPQ: variance-balancing dimension permutation before PQ (r6 verdict #8)
+# --------------------------------------------------------------------------
+#
+# Production PQ pipelines (FAISS OPQ, ScaNN AH) insert a learned rotation
+# between the raw vectors and the quantizer so every subspace carries a
+# comparable share of the corpus variance — a subspace with 10x the energy
+# of another wastes codebook budget on the quiet one. The full OPQ learns an
+# orthogonal matrix by alternating SVD; the deterministic, SQL-replayable
+# member of that family implemented here is the PERMUTATION variant (also
+# the standard OPQ initialization): rank dimensions by corpus variance and
+# deal them into subspaces in snake order, so each subspace receives one
+# dim from every variance tier.
+
+_OPQ_D = _PQ_M * _PQ_DSUB  # full dimensionality (64)
+
+
+def _dim_moments(e: DataFrame) -> DataFrame:
+    """Per-dimension exact variance moments: (dim, n, var_num) where
+    ``var_num = ROUND(n*sxx - sx^2, 6)`` is computed in double from
+    addition-order-exact DECIMAL sums of ROUND(x, 6) — the repo's standard
+    cross-engine regression discipline, so the variance RANKING (the only
+    thing the permutation consumes) is engine-identical."""
+    dims = e.select("vec_id", F.posexplode("v").alias("dim", "x"))
+
+    def dsum(expr) -> Column:
+        return F.sum(F.round(expr, 6).cast("decimal(24,8)"))
+
+    agg = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    return agg.select(
+        "dim",
+        "n",
+        F.round(
+            n * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double"),
+            6,
+        ).alias("var_num"),
+    )
+
+
+def _opq_mapping(e: DataFrame) -> DataFrame:
+    """The learned permutation as a 64-row broadcastable mapping
+    (dim, new_dim, m, var_num): rank dims by variance desc (dim tiebreak),
+    snake-deal rank r into subspace m, position r // M within it."""
+    w = Window.orderBy(F.desc("var_num"), F.asc("dim"))
+    ranked = _dim_moments(e).withColumn(
+        "r", F.row_number().over(w) - F.lit(1)
+    )
+    tier = F.col("r") % _PQ_M
+    even_pass = (F.col("r") / _PQ_M).cast("long") % 2 == 0
+    m = F.when(even_pass, tier).otherwise(_PQ_M - 1 - tier)
+    return materialize(
+        ranked.select(
+            "dim",
+            "var_num",
+            m.cast("int").alias("m"),
+            (m * _PQ_DSUB + (F.col("r") / _PQ_M).cast("long"))
+            .cast("int")
+            .alias("new_dim"),
+        )
+    )
+
+
+def ann_opq_subspace_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ permutation vs natural dimension order at the same codebook
+    budget, value-checked end to end: for each layout, train the standard
+    PQ codebooks (seed + one Lloyd round) and report the mean squared
+    subspace quantization error plus the per-subspace variance balance
+    (min/max subspace variance share and their spread ratio). The
+    permutation provably evens the variance columns; whether that buys
+    reconstruction error on a given corpus is exactly what this query
+    measures — both numbers from exact DECIMAL sums, so DuckDB replays the
+    full train→assign→error pipeline bit-for-bit.
+
+    Scale shape: the mapping is 64 rows (broadcast); permutation is a
+    map-side array rebuild (no shuffle added over plain PQ); training and
+    assignment reuse the PQ machinery whose plans are already audited.
+
+    Cites reference capability surface only (no same-named reference file):
+    the reference engine has no ANN layer — this extends SURVEY §2's
+    similarity family along the FAISS/ScaNN production axis."""
+    e = _vectors(spark, sf_dir).select("vec_id", "v")
+    mapping = _opq_mapping(e)
+
+    # permuted corpus: v'[new_dim] = v[dim] — rebuilt map-side per vector
+    dims = e.select("vec_id", F.posexplode("v").alias("dim", "x"))
+    perm = dims.join(F.broadcast(mapping.select("dim", "new_dim")), "dim").groupBy(
+        "vec_id"
+    ).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("new_dim", "x"))),
+            lambda st: st["x"],
+        ).alias("v")
+    )
+
+    def msqe(vecs: DataFrame) -> Column:
+        """Train PQ on `vecs`, return the (1-row) mean squared subspace
+        quantization error as an exact-DECIMAL mean, rounded to 6."""
+        sub = _pq_subvectors(vecs)
+        cent = _pq_train(sub)
+        sq = (
+            F.col("s_n2") + F.col("c_n2") - 2 * _dot(F.col("sv"), F.col("cv"))
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy(
+            F.round(sq, 4).asc(), F.col("cid").asc()
+        )
+        err = (
+            sub.join(F.broadcast(cent), "m")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.round(sq, 6).alias("err"))
+        )
+        return err.agg(
+            F.round(
+                F.sum(F.col("err").cast("decimal(24,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("msqe")
+        )
+
+    # per-subspace variance totals under each layout, from the SAME exact
+    # per-dim moments (natural: m = dim // DSUB; opq: the learned mapping)
+    bal = mapping.select(
+        F.lit("opq_snake").alias("method"), "m", "var_num"
+    ).unionByName(
+        mapping.select(
+            F.lit("natural").alias("method"),
+            (F.col("dim") / _PQ_DSUB).cast("int").alias("m"),
+            "var_num",
+        )
+    )
+    spread = (
+        bal.groupBy("method", "m")
+        .agg(
+            F.round(
+                F.sum(F.col("var_num").cast("decimal(24,8)")).cast("double"), 6
+            ).alias("sub_var")
+        )
+        .groupBy("method")
+        .agg(
+            F.round(F.min("sub_var"), 6).alias("min_subspace_var"),
+            F.round(F.max("sub_var"), 6).alias("max_subspace_var"),
+            F.round(F.max("sub_var") / F.min("sub_var"), 6).alias(
+                "var_spread"
+            ),
+        )
+    )
+    err = msqe(e).select(
+        F.lit("natural").alias("method"), "msqe"
+    ).unionByName(msqe(perm).select(F.lit("opq_snake").alias("method"), "msqe"))
+    return (
+        spread.join(err, "method")
+        .select(
+            "method", "min_subspace_var", "max_subspace_var", "var_spread",
+            "msqe",
+        )
+        .orderBy("method")
+    )
+
+
+def _opq_oracle() -> str:
+    m, d, k = _PQ_M, _PQ_DSUB, _PQ_K
+
+    def pq_err_ctes(src: str, p: str) -> str:
+        """The PQ train→assign→error chain over vector CTE ``src``,
+        prefixed ``p`` — mirrors _pq_ctes but carries the winning
+        assignment's squared error instead of ADC tables."""
+        return f"""
+{p}sub AS (
+  SELECT vec_id, m, list_slice(v, m * {d} + 1, m * {d} + {d}) AS sv
+  FROM {src}, unnest(generate_series(0, {m - 1})) t(m)
+),
+{p}sub2 AS (SELECT *, list_inner_product(sv, sv) AS s_n2 FROM {p}sub),
+{p}cent0 AS (
+  SELECT m, vec_id AS cid, sv AS cv, s_n2 AS c_n2
+  FROM {p}sub2 WHERE vec_id < {k}
+),
+{p}s1 AS (
+  SELECT s.vec_id, s.m, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+           ORDER BY ROUND(s.s_n2 + c.c_n2 - 2 * list_inner_product(s.sv, c.cv), 4),
+                    c.cid) AS rn
+  FROM {p}sub2 s JOIN {p}cent0 c ON s.m = c.m
+),
+{p}a1 AS (SELECT vec_id, m, cid AS code FROM {p}s1 WHERE rn = 1),
+{p}dims AS (
+  SELECT s.m, a.code AS cid, i AS dim, ROUND(AVG(s.sv[i]), 6) AS mx
+  FROM {p}a1 a JOIN {p}sub2 s ON a.vec_id = s.vec_id AND a.m = s.m,
+       LATERAL (SELECT unnest(generate_series(1, {d})) AS i) idx
+  GROUP BY s.m, a.code, i
+),
+{p}cent1 AS (
+  SELECT m, cid, list(mx ORDER BY dim) AS cv FROM {p}dims GROUP BY m, cid
+),
+{p}cent1n AS (SELECT *, list_inner_product(cv, cv) AS c_n2 FROM {p}cent1),
+{p}s2 AS (
+  SELECT s.vec_id, s.m,
+         ROUND(s.s_n2 + c.c_n2 - 2 * list_inner_product(s.sv, c.cv), 6) AS err,
+         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+           ORDER BY ROUND(s.s_n2 + c.c_n2 - 2 * list_inner_product(s.sv, c.cv), 4),
+                    c.cid) AS rn
+  FROM {p}sub2 s JOIN {p}cent1n c ON s.m = c.m
+),
+{p}err AS (
+  SELECT ROUND(CAST(SUM(CAST(err AS DECIMAL(24,8))) AS DOUBLE) / COUNT(*), 6)
+           AS msqe
+  FROM {p}s2 WHERE rn = 1
+)"""
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+edims AS (
+  SELECT vec_id, i - 1 AS dim, v[i] AS x
+  FROM e, LATERAL (SELECT unnest(generate_series(1, {_OPQ_D})) AS i) t
+),
+dmom AS (
+  SELECT dim, COUNT(*) AS n,
+         SUM(CAST(ROUND(x, 6) AS DECIMAL(24,8))) AS sx,
+         SUM(CAST(ROUND(x * x, 6) AS DECIMAL(24,8))) AS sxx
+  FROM edims GROUP BY dim
+),
+dvar AS (
+  SELECT dim,
+         ROUND(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+               6) AS var_num
+  FROM dmom
+),
+ranked AS (
+  SELECT dim, var_num,
+         ROW_NUMBER() OVER (ORDER BY var_num DESC, dim) - 1 AS r
+  FROM dvar
+),
+mapping AS (
+  SELECT dim, var_num,
+         CASE WHEN (r // {m}) % 2 = 0 THEN r % {m}
+              ELSE {m} - 1 - (r % {m}) END AS m,
+         CASE WHEN (r // {m}) % 2 = 0 THEN r % {m}
+              ELSE {m} - 1 - (r % {m}) END * {d} + (r // {m}) AS new_dim
+  FROM ranked
+),
+perm AS (
+  SELECT e2.vec_id, list(e2.x ORDER BY mp.new_dim) AS v
+  FROM edims e2 JOIN mapping mp ON e2.dim = mp.dim
+  GROUP BY e2.vec_id
+),
+{pq_err_ctes('e', 'n_')},
+{pq_err_ctes('perm', 'o_')},
+bal AS (
+  SELECT 'opq_snake' AS method, m, var_num FROM mapping
+  UNION ALL
+  SELECT 'natural' AS method, dim // {d} AS m, var_num FROM dvar
+),
+spread AS (
+  SELECT method,
+         ROUND(MIN(sub_var), 6) AS min_subspace_var,
+         ROUND(MAX(sub_var), 6) AS max_subspace_var,
+         ROUND(MAX(sub_var) / MIN(sub_var), 6) AS var_spread
+  FROM (
+    SELECT method, m,
+           ROUND(CAST(SUM(CAST(var_num AS DECIMAL(24,8))) AS DOUBLE), 6)
+             AS sub_var
+    FROM bal GROUP BY method, m
+  ) GROUP BY method
+),
+err AS (
+  SELECT 'natural' AS method, msqe FROM n_err
+  UNION ALL
+  SELECT 'opq_snake' AS method, msqe FROM o_err
+)
+SELECT s.method, s.min_subspace_var, s.max_subspace_var, s.var_spread, e2.msqe
+FROM spread s JOIN err e2 ON s.method = e2.method
+ORDER BY s.method
+"""
+
+
+_OPQ_SQL = _opq_oracle()
+
 QUERIES = {
+    "ann_opq_subspace_balance": ann_opq_subspace_balance,
     "embedding_cluster_silhouette": embedding_cluster_silhouette,
     "embedding_snapshot_drift": embedding_snapshot_drift,
     "ann_knn_graph_ivf": ann_knn_graph_ivf,
@@ -2211,6 +2496,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_opq_subspace_balance": _OPQ_SQL,
     "embedding_cluster_silhouette": _SILHOUETTE_SQL,
     "embedding_snapshot_drift": _SNAPSHOT_DRIFT_SQL,
     "ann_knn_graph_ivf": _KNN_GRAPH_SQL,

@@ -1654,8 +1654,14 @@ def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy = F.col("sxy").cast("double")
     sxx = F.col("sxx").cast("double")
     syy = F.col("syy").cast("double")
-    vx = n * sxx - sx * sx
-    vy = n * syy - sy * sy
+    # Zero-variance guards (same recipe as the r6 z-test fix in
+    # plans/quality.py): vx=0 (a single distinct rank — one token in the
+    # language) or vy=0 (all-equal counts, e.g. every token appearing once)
+    # would divide by zero.  Spark's non-ANSI divide yields NULL there while
+    # DuckDB yields ±inf/NaN, so both engines NULLIF the denominators and the
+    # fit columns pin to NULL consistently.
+    vx = F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    vy = F.nullif(n * syy - sy * sy, F.lit(0.0))
     cov = n * sxy - sx * sy
     slope = cov / vx
     return agg.select(
@@ -1690,19 +1696,24 @@ agg AS (
          SUM(CAST(ROUND(x * x, 6) AS DECIMAL(24,8))) AS sxx,
          SUM(CAST(ROUND(y * y, 6) AS DECIMAL(24,8))) AS syy
   FROM ranked GROUP BY lang
+),
+moments AS (
+  -- NULLIF mirrors the Spark plan's zero-variance guard: DuckDB would
+  -- otherwise evaluate cov/0 to +-inf and 0/0 to NaN where Spark's
+  -- non-ANSI divide yields NULL.
+  SELECT lang, n,
+         CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         NULLIF(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) AS vx,
+         NULLIF(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0) AS vy,
+         n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov
+  FROM agg
 )
 SELECT lang,
        CAST(n AS BIGINT) AS n,
-       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
-       ROUND((CAST(sy AS DOUBLE)
-              - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
-       ROUND(POW(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
-             / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
-FROM agg
+       ROUND(cov / vx, 6) AS slope,
+       ROUND((sy - cov / vx * sx) / n, 6) AS intercept,
+       ROUND(cov * cov / (vx * vy), 6) AS r2
+FROM moments
 ORDER BY lang
 """
 

@@ -39,7 +39,15 @@ def asof_join_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     click at the SAME timestamp as the probe row is excluded, exactly like
     the DuckDB oracle's native ``ASOF ... ON e.ts > c.ts`` (r5 verdict: a
     rows-frame silently matched same-ts clicks with gap 0). ``max(struct(ts,
-    event_id))`` is deterministic under same-ts click ties (largest id)."""
+    event_id))`` is deterministic under same-ts click ties (largest id).
+
+    Cross-engine caveat (r6 advice): when TWO clicks share a (user_id, ts),
+    this plan deterministically picks the larger event_id while DuckDB's
+    native ASOF picks an arbitrary row among right-side ties — the engines
+    agree because (user_id, ts) is unique among clicks in this data (and in
+    the planted-tie pytest, whose ties are probe-vs-click, never
+    click-vs-click). If that uniqueness ever breaks, pre-dedup the click
+    side to max(event_id) per (user_id, ts) in BOTH engines."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type"
     )

@@ -934,7 +934,13 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     provider that supports transformWithState's multiple column families.
 
     At 100 TB: RocksDB state per partition, one ValueState row per user,
-    update-mode emits touching only keys seen in the micro-batch."""
+    update-mode emits touching only keys seen in the micro-batch.
+
+    Concurrency note: the provider class and shuffle-partition confs are
+    session-global (Spark exposes no per-query equivalent), so this query
+    must not run concurrently with others on the same session; the feed
+    directory itself is unique per invocation, so only the conf window is
+    sensitive."""
     import numpy as np
     import pandas as pd
 
@@ -985,13 +991,23 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
+    # the stateful stages otherwise run at the session default (200 on the
+    # driver's plain session) — wasted task scheduling on tiny inputs; pin a
+    # small count for the stream's duration and restore with the provider
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prev_shuffle = spark.conf.get(shuffle_key, None)
+    spark.conf.set(shuffle_key, "8")
     # the file source wants a DIRECTORY; stage the events file(s) into one
+    # (unique per invocation so concurrent/overlapping runs never rmtree
+    # each other's feed)
     import os
     import shutil
+    import uuid
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    feed = os.path.join("/tmp/datafusion_impl_spark_tws_feed", tag)
-    shutil.rmtree(feed, ignore_errors=True)
+    feed = os.path.join(
+        "/tmp/datafusion_impl_spark_tws_feed", f"{tag}_{uuid.uuid4().hex}"
+    )
     os.makedirs(feed)
     src_path = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(src_path):
@@ -1028,8 +1044,21 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, prev)
+        if prev_shuffle is None:
+            spark.conf.unset(shuffle_key)
+        else:
+            spark.conf.set(shuffle_key, prev_shuffle)
+        shutil.rmtree(feed, ignore_errors=True)
+    # update mode re-emits per batch; pick the FINAL state row atomically as
+    # max(struct(n_events, value_micros)) — n_events alone is monotone across
+    # micro-batches, so correctness no longer leans on value >= 0 keeping the
+    # micros sum monotone too (r6 advice)
     per_user = spark.table(view).groupBy("user_id").agg(
-        F.max("n_events").alias("n"), F.max("value_micros").alias("micros")
+        F.max(F.struct("n_events", "value_micros")).alias("fin")
+    ).select(
+        "user_id",
+        F.col("fin.n_events").alias("n"),
+        F.col("fin.value_micros").alias("micros"),
     )
     return (
         per_user.groupBy((F.col("user_id") % 10).alias("user_bucket"))
@@ -1055,7 +1084,9 @@ def stream_tws_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Together with :func:`stream_tws_user_totals` (ValueState) this covers
     the transformWithState state-variable surface the container can run;
-    same protobuf-shim + RocksDB plumbing, self-carried."""
+    same protobuf-shim + RocksDB plumbing, self-carried — including that
+    query's non-concurrent-session caveat (session-global provider/shuffle
+    confs; the feed directory is unique per invocation)."""
     import pandas as pd
 
     from datafusion_impl_spark.pbshim import ensure_protobuf_on_workers
@@ -1091,10 +1122,13 @@ def stream_tws_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import os
     import shutil
+    import uuid
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    feed = os.path.join("/tmp/datafusion_impl_spark_tws_feed", tag + "_recent")
-    shutil.rmtree(feed, ignore_errors=True)
+    feed = os.path.join(
+        "/tmp/datafusion_impl_spark_tws_feed",
+        f"{tag}_recent_{uuid.uuid4().hex}",
+    )
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
     # two files -> two micro-batches; the even/odd split interleaves ids so
     # batch 2 must MERGE into existing list state, not just append
@@ -1119,6 +1153,11 @@ def stream_tws_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
+    # pin small shuffle partitions for the stateful stages (see
+    # stream_tws_user_totals); restored in the finally below
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prev_shuffle = spark.conf.get(shuffle_key, None)
+    spark.conf.set(shuffle_key, "8")
     view = "tws_recent_events_drv"
     try:
         src = (
@@ -1146,6 +1185,11 @@ def stream_tws_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, prev)
+        if prev_shuffle is None:
+            spark.conf.unset(shuffle_key)
+        else:
+            spark.conf.set(shuffle_key, prev_shuffle)
+        shutil.rmtree(feed, ignore_errors=True)
     # update mode re-emits per batch; the FINAL state per user is the row
     # with the largest (n_recent, recent_sum) — both monotone under merge
     per_user = spark.table(view).groupBy("user_id").agg(
@@ -1165,6 +1209,212 @@ def stream_tws_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_bucket")
     )
+
+
+#: Session timeout for the event-time TWS operator: a user idle for this
+#: long (in event time) has their session finalized by a TIMER.
+_TWS_GAP_MS = 7_200_000          # 2 h
+_TWS_WM_DELAY = "1 hour"         # watermark lateness allowance
+_TWS_WM_DELAY_MS = 3_600_000
+
+
+def stream_tws_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``transformWithStateInPandas`` EVENT-TIME TIMERS end to end — the
+    state-expiry half of the API that ``timeMode="None"`` never touches
+    (r6 verdict #4): per user, a running (n_events, value_micros, last_ms)
+    ValueState plus ONE registered timer at ``last_ms + 2 h``; every input
+    batch deletes the user's old timer and re-registers at the new last
+    event time (the canonical session-timeout pattern). When the watermark
+    (event time, 1 h lateness allowance) passes a timer, the session is
+    finalized FROM THE TIMER CALLBACK — ``handleExpiredTimer`` emits the
+    totals row and clears the state. Events arrive as TWO files with
+    ``maxFilesPerTrigger=1``, so timers genuinely persist and are
+    re-registered ACROSS micro-batch boundaries, and the final firings
+    happen in the trailing no-data micro-batch that availableNow runs for
+    watermark-driven state cleanup.
+
+    Determinism is why this is value-checkable: the emitted set does not
+    depend on how rows split into batches — a user fires iff
+    ``last_ms + GAP < final watermark = global_max_ms - delay``, carrying
+    their full exact-integer-micros totals (same discipline as
+    :func:`stream_tws_user_totals`). The DuckDB oracle replays exactly
+    that closed-form rule. Output is rolled up per user-id bucket.
+
+    Same protobuf-shim + RocksDB plumbing and non-concurrent-session
+    caveat as the other TWS queries. At 100 TB: one ValueState row + one
+    timer per live user; timers are range-scanned by the state store, so
+    expiry work is proportional to FIRED timers, not corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    from datafusion_impl_spark.pbshim import ensure_protobuf_on_workers
+    from datafusion_impl_spark.sources.registry import load_table
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    if not ensure_protobuf_on_workers(spark):  # pragma: no cover - env gate
+        raise RuntimeError(
+            "transformWithStateInPandas needs a protobuf runtime and none "
+            "is available (no install, no gcloud-vendored shim)"
+        )
+
+    class SessionTimeout(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._st = handle.getValueState(
+                "sess", "n BIGINT, s BIGINT, last_ms BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._st.exists():
+                n, s, last = self._st.get()
+            else:
+                n, s, last = 0, 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                s += int(
+                    np.floor(pdf["value"].to_numpy() * 1e6 + 0.5)
+                    .astype("int64")
+                    .sum()
+                )
+                last = max(last, int(pdf["ts_ms"].max()))
+            self._st.update((n, s, last))
+            # session-timeout pattern: one live timer per user, moved
+            # forward on every batch that touches the user
+            for t in list(self._h.listTimers()):
+                self._h.deleteTimer(t)
+            self._h.registerTimer(last + _TWS_GAP_MS)
+            return iter([])
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._st.exists():
+                n, s, last = self._st.get()
+                self._st.clear()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "value_micros": [s],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("value_micros", LongType()),
+        ]
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prev_shuffle = spark.conf.get(shuffle_key, None)
+    spark.conf.set(shuffle_key, "8")
+
+    import os
+    import shutil
+    import uuid
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    feed = os.path.join(
+        "/tmp/datafusion_impl_spark_tws_feed",
+        f"{tag}_timeout_{uuid.uuid4().hex}",
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        "ts",
+        (F.unix_micros("ts") / F.lit(1000)).cast("long").alias("ts_ms"),
+    )
+    # two files -> two micro-batches; even/odd event ids interleave times so
+    # batch 2 must DELETE batch 1's timers and re-register later ones
+    cols = ["user_id", "value", "ts", "ts_ms"]
+    ev.filter(F.col("event_id") % 2 == 0).select(*cols).coalesce(1).write.parquet(
+        os.path.join(feed, "even.parquet")
+    )
+    ev.filter(F.col("event_id") % 2 == 1).select(*cols).coalesce(1).write.parquet(
+        os.path.join(feed, "odd.parquet")
+    )
+
+    view = "tws_session_timeout_drv"
+    try:
+        src = (
+            spark.readStream.schema(
+                "user_id bigint, value double, ts timestamp, ts_ms bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(feed)
+            .withWatermark("ts", _TWS_WM_DELAY)
+        )
+        st = src.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=SessionTimeout(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+        q = (
+            st.writeStream.format("memory")
+            .queryName(view)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+        if prev_shuffle is None:
+            spark.conf.unset(shuffle_key)
+        else:
+            spark.conf.set(shuffle_key, prev_shuffle)
+        shutil.rmtree(feed, ignore_errors=True)
+    # each user fires at most once (state cleared on fire; no later events
+    # can follow the final no-data batch), so the memory table rows ARE the
+    # finalized sessions
+    return (
+        spark.table(view)
+        .groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_expired_users"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_micros").alias("value_micros"),
+        )
+        .orderBy("user_bucket")
+    )
+
+
+_TWS_TIMEOUT_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS micros,
+         MAX(ts) AS last_ts
+  FROM events GROUP BY user_id
+),
+g AS (SELECT MAX(ts) AS gmax FROM events),
+fired AS (
+  SELECT p.* FROM per_user p, g
+  WHERE epoch_ms(p.last_ts) + {_TWS_GAP_MS}
+        < epoch_ms(g.gmax) - {_TWS_WM_DELAY_MS}
+)
+SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       COUNT(*) AS n_expired_users,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(micros) AS BIGINT) AS value_micros
+FROM fired
+GROUP BY 1
+ORDER BY user_bucket
+"""
 
 
 _TWS_RECENT_SQL = """
@@ -1205,6 +1455,7 @@ ORDER BY user_bucket
 
 QUERIES = {
     "stream_tws_user_totals": stream_tws_user_totals,
+    "stream_tws_session_timeout": stream_tws_session_timeout,
     "stream_tws_recent_events": stream_tws_recent_events,
     "watermark_lateness_audit": watermark_lateness_audit,
     "stream_cdc_merge_stats": stream_cdc_merge_stats,
@@ -1216,6 +1467,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_tws_user_totals": _TWS_TOTALS_SQL,
+    "stream_tws_session_timeout": _TWS_TIMEOUT_SQL,
     "stream_tws_recent_events": _TWS_RECENT_SQL,
     "watermark_lateness_audit": _LATENESS_SQL,
     "stream_cdc_merge_stats": _STREAM_CDC_SQL,

@@ -17,6 +17,29 @@ import json
 import sys
 
 
+def _attach_canary(d: dict, text: str) -> dict:
+    """Best-effort: pull the frozen-canary suite-start total (r6 bench.py
+    addition) out of whatever payload shape we were handed, so ratios can be
+    normalized for environment drift. Sources, in order: the full payload's
+    per-query ``canary_start`` dict, the compact summary's
+    ``canary_start_sec``, or a regex over the raw text (driver JSONs keep
+    only a stdout tail whose final line is the compact summary)."""
+    import re
+
+    sec = None
+    if isinstance(d.get("canary_start"), dict) and d["canary_start"]:
+        sec = sum(d["canary_start"].values())
+    elif isinstance(d.get("canary_start_sec"), (int, float)):
+        sec = float(d["canary_start_sec"])
+    else:
+        m = re.findall(r'"canary_start_sec":\s*([0-9][0-9.]*)', text)
+        if m:
+            sec = float(m[-1])
+    if sec:
+        d["_canary_start_sec"] = sec
+    return d
+
+
 def load(path: str) -> dict:
     with open(path) as f:
         text = f.read().strip()
@@ -31,17 +54,17 @@ def load(path: str) -> dict:
         if not isinstance(d, dict):
             continue
         if "queries" in d:
-            return d
+            return _attach_canary(d, text)
         if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
-            return d["parsed"]
+            return _attach_canary(d["parsed"], text)
     try:
         d = json.loads(text)
         if not isinstance(d, dict):
             raise json.JSONDecodeError("non-dict payload", text, 0)
         if "queries" in d:
-            return d
+            return _attach_canary(d, text)
         if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
-            return d["parsed"]
+            return _attach_canary(d["parsed"], text)
     except json.JSONDecodeError:
         pass
     # Driver BENCH_r{N}.json fallback: `parsed` may be null (the driver keeps
@@ -60,11 +83,15 @@ def load(path: str) -> dict:
         queries = {
             k: float(v)
             for k, v in pairs
-            if k not in ("value", "sf", "n_queries", "n", "rc", "cpus")
+            if k not in ("value", "sf", "n_queries", "n", "rc", "cpus",
+                         "canary_start_sec", "canary_end_sec")
         }
         if queries:
-            return {"queries": queries, "value": sum(queries.values()),
-                    "recovered_from_tail": True}
+            return _attach_canary(
+                {"queries": queries, "value": sum(queries.values()),
+                 "recovered_from_tail": True},
+                d["tail"],
+            )
     raise SystemExit(f"{path}: no parsed bench payload")
 
 
@@ -81,6 +108,17 @@ def main() -> None:
         return
     print(f"shared queries: {len(shared)}  new={n_tot:.2f}s old={o_tot:.2f}s "
           f"ratio={n_tot / o_tot:.3f}x")
+    # Canary normalization (r6 verdict #6): both runs time the same FROZEN
+    # 5-query set at suite start, so their ratio measures pure environment/
+    # JVM drift between recordings — divide it out to see what the PLANS did.
+    nc, oc = new.get("_canary_start_sec"), old.get("_canary_start_sec")
+    if nc and oc:
+        drift = nc / oc
+        print(f"canary drift: {drift:.3f}x (start {oc:.2f}s -> {nc:.2f}s); "
+              f"normalized ratio={n_tot / o_tot / drift:.3f}x")
+    else:
+        print("canary drift: n/a (one side predates the r6 canary) — "
+              "raw ratio includes environment drift")
     print(f"new-only queries: {len(set(nq) - set(oq))} "
           f"({sum(nq[k] for k in set(nq) - set(oq)):.2f}s)")
     movers = [

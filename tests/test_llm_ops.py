@@ -1236,3 +1236,224 @@ def test_zipf_fit_shape(spark):
         assert r.slope < 0
         assert 0.0 <= r.r2 <= 1.0
         assert 2 <= r.n <= 100
+
+
+def test_zipf_zero_variance_languages_pin_null(spark, tmp_path):
+    """r6 verdict latent divergence: vx=0 (a single distinct token) or vy=0
+    (all-equal counts) made slope/r2 divide by zero — Spark's non-ANSI
+    divide yields NULL while DuckDB evaluates ±inf/NaN.  The r7 NULLIF
+    guard must pin the degenerate fit columns to NULL in BOTH engines on a
+    planted table holding one language per failure class."""
+    import duckdb
+
+    from datafusion_impl_spark.operators.text import token_zipf_fit, _ZIPF_SQL
+    from tests.oracle_utils import compare_spark_duckdb
+
+    docs = [
+        # 'solo': one distinct token -> one rank -> vx=0 -> all fits NULL
+        (1, "onlytoken onlytoken onlytoken", "solo", "s1"),
+        # 'flat': every token appears exactly once -> all y=ln(1)=0 ->
+        # vy=0, cov=0 -> slope=0, intercept=0, r2 NULL
+        (2, "alpha beta gamma delta epsilon", "flat", "s1"),
+        # 'healthy': a real frequency gradient -> non-NULL fit
+        (3, "x x x x x y y y z z w", "healthy", "s1"),
+    ]
+    pdf = pd.DataFrame(
+        [
+            {"doc_id": d, "text": t, "lang": lg, "source": s, "n_chars": len(t)}
+            for d, t, lg, s in docs
+        ]
+    )
+    planted_dir = str(tmp_path / "sf_zipf")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{planted_dir}/documents.parquet"
+    )
+
+    out = {r.lang: r for r in token_zipf_fit(spark, planted_dir).collect()}
+    assert out["solo"].slope is None
+    assert out["solo"].intercept is None
+    assert out["solo"].r2 is None
+    assert out["flat"].slope == 0.0
+    assert out["flat"].intercept == 0.0
+    assert out["flat"].r2 is None
+    assert out["healthy"].slope is not None and out["healthy"].slope < 0
+    assert out["healthy"].r2 is not None
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{planted_dir}/documents.parquet/*.parquet')"
+    )
+    ok, msg = compare_spark_duckdb(token_zipf_fit(spark, planted_dir), con, _ZIPF_SQL)
+    assert ok, msg
+    con.close()
+
+
+def test_wav_golden_bytes_layout():
+    """Pin the actual WAV layout with a handcrafted clip so complementary
+    encoder/decoder bugs cannot cancel: a 3-sample 16-bit PCM mono WAV
+    built byte-by-byte from the public RIFF spec (44-byte header,
+    little-endian int16 samples, an extra non-data chunk to force a real
+    chunk walk) must decode to the exact samples."""
+    import struct
+
+    from datafusion_impl_spark.operators.multimodal import decode_wav
+
+    samples = struct.pack("<3h", -1, 32767, -32768)
+    extra = struct.pack("<4sI", b"LIST", 4) + b"INFO"  # ignored chunk
+    golden = (
+        struct.pack("<4sI4s", b"RIFF", 4 + len(extra) + 24 + 2 + len(samples),
+                    b"WAVE")
+        + extra
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 44100, 88200, 2, 16)
+        + struct.pack("<4sI", b"data", len(samples))
+        + samples
+    )
+    rate, s = decode_wav(golden)
+    assert rate == 44100
+    assert s.tolist() == [-1, 32767, -32768]
+
+
+def test_wav_encode_decode_roundtrip_matches_formula():
+    """The planted-clip builder must produce REAL WAVs: decode_wav (proven
+    against golden bytes above) recovers exactly the formula samples for
+    doc_ids covering every rate and length residue."""
+    from datafusion_impl_spark.operators.multimodal import (
+        _wav_encode,
+        _wav_sample,
+        decode_wav,
+    )
+
+    for doc_id in range(2, 2 + 4 * 9, 4):  # the planted residue class
+        data = _wav_encode(doc_id)
+        assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+        rate, s = decode_wav(data)
+        assert rate == 8000 * (1 + doc_id % 3)
+        assert len(s) == 48 + doc_id % 9
+        assert s.tolist() == [_wav_sample(doc_id, i) for i in range(len(s))]
+
+
+def test_decode_wav_rejects_malformed():
+    import struct
+
+    import pytest as _pytest
+
+    from datafusion_impl_spark.operators.multimodal import (
+        _wav_encode,
+        decode_wav,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"OggS not wav")
+    with _pytest.raises(ValueError):
+        decode_wav(_wav_encode(2)[:20])    # truncated fmt chunk
+    with _pytest.raises(ValueError):
+        decode_wav(_wav_encode(2)[:-5])    # truncated data chunk
+    # stereo / non-PCM / 8-bit variants must be refused, not mis-decoded
+    stereo = bytearray(_wav_encode(2))
+    struct.pack_into("<H", stereo, 22, 2)  # channels field inside fmt
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(stereo))
+    # fmt/data missing entirely
+    with _pytest.raises(ValueError):
+        decode_wav(struct.pack("<4sI4s", b"RIFF", 4, b"WAVE"))
+
+
+def test_wav_decode_stats_matches_duckdb_oracle(spark):
+    """Cross-engine: the Spark mapInArrow decode pipeline vs the DuckDB
+    closed-form replay of the sample formula, on the real sf0.01 corpus."""
+    import duckdb
+
+    from datafusion_impl_spark.operators.multimodal import (
+        _WAV_DECODE_SQL,
+        multimodal_wav_decode_stats,
+    )
+    from tests.oracle_utils import compare_spark_duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    ok, msg = compare_spark_duckdb(
+        multimodal_wav_decode_stats(spark, SF_DIR), con, _WAV_DECODE_SQL
+    )
+    assert ok, msg
+    con.close()
+
+
+def test_opq_permutation_balances_and_helps_on_skewed_corpus(spark, tmp_path):
+    """The point of the OPQ permutation (r7): when the high-variance
+    dimensions cluster in ONE natural subspace (dims 0-7 hot, rest quiet),
+    snake-dealing by variance rank must (a) provably even the per-subspace
+    variance totals and (b) buy real reconstruction error at the same
+    codebook budget. Also cross-checks the planted corpus against the
+    DuckDB oracle, and pins that the mapping is a true permutation."""
+    import duckdb
+    import numpy as np
+
+    from datafusion_impl_spark.operators import similarity as sim
+    from tests.oracle_utils import compare_spark_duckdb
+
+    rng_rows = []
+    for i in range(96):
+        v = []
+        for d in range(64):
+            base = ((i * 7 + d * 13) % 11) - 5        # deterministic, no RNG
+            scale = 10.0 if d < 8 else 0.1            # hot dims 0-7
+            v.append(np.float32(base * scale))
+        rng_rows.append({"vec_id": i, "embedding": v, "label": i % 3})
+    pdf = pd.DataFrame(rng_rows)
+    planted_dir = str(tmp_path / "sf_opq")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{planted_dir}/embeddings.parquet"
+    )
+
+    out = {
+        r.method: r
+        for r in sim.ann_opq_subspace_balance(spark, planted_dir).collect()
+    }
+    nat, opq = out["natural"], out["opq_snake"]
+    assert opq.var_spread < nat.var_spread, "snake must even the subspaces"
+    assert opq.var_spread < 1.5 < nat.var_spread, (
+        "planted skew: natural keeps all hot dims in subspace 0"
+    )
+    assert opq.msqe < nat.msqe, (
+        "balanced subspaces must reconstruct better at equal budget"
+    )
+
+    # the mapping is a permutation of 0..63 and each subspace gets 8 dims
+    mapping = sim._opq_mapping(
+        sim._vectors(spark, planted_dir).select("vec_id", "v")
+    ).collect()
+    assert sorted(r.new_dim for r in mapping) == list(range(64))
+    per_m = {}
+    for r in mapping:
+        per_m[r.m] = per_m.get(r.m, 0) + 1
+    assert per_m == {m: 8 for m in range(8)}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{planted_dir}/embeddings.parquet/*.parquet')"
+    )
+    ok, msg = compare_spark_duckdb(
+        sim.ann_opq_subspace_balance(spark, planted_dir), con, sim._OPQ_SQL
+    )
+    assert ok, msg
+    con.close()
+
+
+def test_opq_improves_balance_on_real_corpus(spark):
+    """On the real (near-isotropic) sf0.01 embeddings the permutation must
+    still strictly tighten the subspace variance spread — the guarantee
+    that holds by construction whenever per-dim variances differ."""
+    from datafusion_impl_spark.operators.similarity import (
+        ann_opq_subspace_balance,
+    )
+
+    out = {
+        r.method: r for r in ann_opq_subspace_balance(spark, SF_DIR).collect()
+    }
+    assert out["opq_snake"].var_spread < out["natural"].var_spread
+    assert out["opq_snake"].msqe > 0 and out["natural"].msqe > 0

@@ -630,3 +630,123 @@ def test_file_sink_exactly_once_across_restart(spark, tmp_path):
     assert back.count() == 2 * n_events
     per_id = back.groupBy("event_id").count().filter(F.col("count") != 2).count()
     assert per_id == 0
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf",
+)
+def test_tws_session_timeout_stream_equals_batch(spark):
+    """Event-time TIMER semantics (r7): the sessions finalized by
+    handleExpiredTimer must be exactly the closed-form batch rule — a user
+    fires iff last_event + GAP < global_max - watermark_delay — with their
+    full exact-integer-micros totals, independent of the even/odd batch
+    split. Also pins that the rule is non-trivial here: some users fire,
+    some stay live."""
+    from datafusion_impl_spark.streaming import (
+        _TWS_GAP_MS,
+        _TWS_WM_DELAY_MS,
+        stream_tws_session_timeout,
+    )
+
+    got = {
+        r.user_bucket: (r.n_expired_users, r.n_events, r.value_micros)
+        for r in stream_tws_session_timeout(spark, SF_DIR).collect()
+    }
+
+    ev = load_table(spark, SF_DIR, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+        ).alias("micros"),
+        (F.unix_micros(F.max("ts")) / 1000).cast("long").alias("last_ms"),
+    )
+    gmax_ms = ev.agg(
+        (F.unix_micros(F.max("ts")) / 1000).cast("long").alias("g")
+    ).first().g
+    fired = per_user.filter(
+        F.col("last_ms") + _TWS_GAP_MS < F.lit(gmax_ms - _TWS_WM_DELAY_MS)
+    )
+    expected = {
+        r.user_bucket: (r.n_expired_users, r.n_events, r.value_micros)
+        for r in fired.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_expired_users"),
+            F.sum("n").alias("n_events"),
+            F.sum("micros").alias("value_micros"),
+        )
+        .collect()
+    }
+    assert got == expected
+    n_fired = sum(v[0] for v in got.values())
+    n_users = per_user.count()
+    assert 0 < n_fired < n_users, "need both expired and live users"
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf",
+)
+def test_tws_state_ttl_expires_between_batches(spark, dup_events_dir):
+    """State TTL (r7): a ValueState declared with ttlDurationMs=1 must be
+    GONE by the next micro-batch (wall-clock between availableNow triggers
+    is orders of magnitude above 1 ms), while an identical no-TTL state
+    survives — the two counters diverge exactly at the batch boundary."""
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    class TtlProbe(StatefulProcessor):
+        def init(self, handle):
+            self._ttl = handle.getValueState("with_ttl", "n BIGINT",
+                                             ttlDurationMs=1)
+            self._forever = handle.getValueState("no_ttl", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            for _ in rows:
+                pass  # consume; the probe counts BATCHES, not rows
+            t = (self._ttl.get()[0] if self._ttl.exists() else 0) + 1
+            f = (self._forever.get()[0] if self._forever.exists() else 0) + 1
+            self._ttl.update((t,))
+            self._forever.update((f,))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "ttl_n": [t], "forever_n": [f]}
+            )
+
+        def close(self):
+            pass
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ttl_n", LongType()),
+            StructField("forever_n", LongType()),
+        ]
+    )
+    src = spark.readStream.schema(stx.EVENTS_RAW_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(dup_events_dir)
+    # TTL is defined relative to processing time, so the probe must run in
+    # ProcessingTime mode (NoTime refuses TTL configs outright)
+    st = src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TtlProbe(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+    with _rocksdb_state(spark):
+        q = (
+            st.writeStream.format("memory")
+            .queryName("tws_ttl_probe")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT MAX(ttl_n) AS t, MAX(forever_n) AS f FROM tws_ttl_probe"
+    ).first()
+    assert rows.f == 2, "no-TTL state must survive into the second batch"
+    assert rows.t == 1, "1ms-TTL state must have expired between batches"
