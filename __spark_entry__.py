@@ -159,6 +159,10 @@ _NEXT_ROTATION: list[str] = [
     "multimodal_wav_decode_stats",      # new in r7 (real RIFF/WAVE decode)
     "stream_tws_session_timeout",       # new in r7 (TWS event-time timers)
     "ann_opq_subspace_balance",         # new in r7 (OPQ permutation vs PQ)
+    "multimodal_y4m_decode_stats",      # new in r7 (real YUV4MPEG2 decode)
+    "stream_tws_event_type_profile",    # new in r7 (TWS MapState)
+    "text_charset_audit",               # new in r7 (encoding/mojibake QA)
+    "benford_price_audit",              # new in r7 (first-digit audit)
 ]
 
 

@@ -1042,9 +1042,272 @@ ORDER BY sample_rate
 """
 
 
+# --- real video decode: dependency-free YUV4MPEG2 (y4m) -------------------
+#
+# The video sibling of the BMP/WAV paths (r7): y4m is the uncompressed
+# video interchange format mjpegtools defined and ffmpeg/mplayer ship —
+# a plain-text "YUV4MPEG2 W.. H.. F.. C420jpeg" header line followed by
+# "FRAME" markers and raw 4:2:0 planar YUV bytes. Deterministic clips are
+# planted (encoded byte-for-byte to that public layout), and
+# :func:`decode_y4m` parses them back from the BYTES ALONE (header token
+# walk, per-frame marker, Y/U/V plane strides at half-resolution chroma).
+# The DuckDB oracle replays the *pixel formulas* in closed form, and a
+# golden-bytes pytest pins the byte layout, so encoder/decoder bugs cannot
+# cancel. Frame SAMPLING (the middle frame's stats next to the full-clip
+# stats) exercises the "decode only the frames you need" shape a training
+# pipeline uses at scale.
+
+_Y4M_W_BASE, _Y4M_W_MOD = 8, 3    # width  = 8 + 2*(doc_id % 3) — even, 8..12
+_Y4M_H_BASE, _Y4M_H_MOD = 6, 2    # height = 6 + 2*(doc_id % 2) — even, 6..8
+_Y4M_F_BASE, _Y4M_F_MOD = 3, 4    # frames = 3 + doc_id % 4     — 3..6
+_Y4M_SAMPLE_MOD = 4               # plant 1-in-4 docs as video
+_Y4M_SAMPLE_RES = 3               # ... at residue 3 (BMP=0, WAV=2)
+
+
+def _y4m_geometry(doc_id: int) -> tuple[int, int, int]:
+    w = _Y4M_W_BASE + 2 * (doc_id % _Y4M_W_MOD)
+    h = _Y4M_H_BASE + 2 * (doc_id % _Y4M_H_MOD)
+    n = _Y4M_F_BASE + doc_id % _Y4M_F_MOD
+    return w, h, n
+
+
+def _y4m_luma(doc_id: int, f: int, x: int, y: int) -> int:
+    """Deterministic Y sample — the formula the DuckDB oracle replays."""
+    return (doc_id + 5 * f + 3 * x + 7 * y) % 256
+
+
+def _y4m_chroma(doc_id: int, f: int, cx: int, cy: int) -> tuple[int, int]:
+    """Deterministic (U, V) at half-resolution chroma coords."""
+    return (
+        (2 * doc_id + f + 3 * cx + cy) % 256,
+        (doc_id + 11 * f + cx + 2 * cy) % 256,
+    )
+
+
+def _y4m_encode(doc_id: int) -> bytes:
+    """Encode the planted clip for ``doc_id`` as a real YUV4MPEG2 stream
+    (C420jpeg: full-res Y plane then quarter-size U and V planes per
+    FRAME)."""
+    import numpy as np
+
+    w, h, n = _y4m_geometry(doc_id)
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode())
+    xs = np.arange(w, dtype=np.int64)
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    cxs = np.arange(w // 2, dtype=np.int64)
+    cys = np.arange(h // 2, dtype=np.int64)[:, None]
+    for f in range(n):
+        out += b"FRAME\n"
+        out += (((doc_id + 5 * f + 3 * xs + 7 * ys) % 256)
+                .astype(np.uint8).tobytes())
+        out += (((2 * doc_id + f + 3 * cxs + cys) % 256)
+                .astype(np.uint8).tobytes())
+        out += (((doc_id + 11 * f + cxs + 2 * cys) % 256)
+                .astype(np.uint8).tobytes())
+    return bytes(out)
+
+
+def decode_y4m(data: bytes):
+    """Parse a YUV4MPEG2 4:2:0 stream from its bytes alone; returns
+    ``(width, height, frames)`` with ``frames`` a list of (Y, U, V) uint8
+    ndarrays (Y is h x w; U and V are h/2 x w/2). Raises ``ValueError`` on
+    malformed/truncated/unsupported payloads."""
+    import numpy as np
+
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    for tok in data[:nl].split(b" ")[1:]:
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+        elif tok.startswith(b"C") and not tok.startswith(b"C420"):
+            raise ValueError("unsupported chroma mode (need C420*)")
+    if not w or not h or w % 2 or h % 2:
+        raise ValueError("missing or odd W/H for 4:2:0 planes")
+    ysz, csz = w * h, (w // 2) * (h // 2)
+    frames = []
+    off = nl + 1
+    while off < len(data):
+        fnl = data.find(b"\n", off)
+        if fnl < 0 or not data[off:fnl].startswith(b"FRAME"):
+            raise ValueError("bad FRAME marker")
+        off = fnl + 1
+        if off + ysz + 2 * csz > len(data):
+            raise ValueError("truncated frame planes")
+        yp = np.frombuffer(data, np.uint8, ysz, off).reshape(h, w)
+        up = np.frombuffer(data, np.uint8, csz, off + ysz).reshape(h // 2, w // 2)
+        vp = np.frombuffer(data, np.uint8, csz, off + ysz + csz).reshape(
+            h // 2, w // 2
+        )
+        frames.append((yp, up, vp))
+        off += ysz + 2 * csz
+    if not frames:
+        raise ValueError("no frames")
+    return w, h, frames
+
+
+#: Output contract of the y4m decode kernel.
+Y4M_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, n_frames int, "
+    "sum_y bigint, sum_u bigint, sum_v bigint, mid_frame_sum_y bigint"
+)
+
+
+def decode_y4m_stats(videos: DataFrame) -> DataFrame:
+    """``mapInArrow`` decode kernel: (doc_id, media BINARY) → per-clip
+    geometry, exact per-plane sums over ALL frames, and the middle frame's
+    luma sum (the frame-sampling path)."""
+    import pyarrow as pa
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            doc_ids = b.column(b.schema.get_field_index("doc_id"))
+            blobs = b.column(b.schema.get_field_index("media"))
+            ws, hs, nf, sy, su, sv, mid = [], [], [], [], [], [], []
+            for v in blobs:
+                w, h, frames = decode_y4m(v.as_py())
+                ws.append(w)
+                hs.append(h)
+                nf.append(len(frames))
+                sy.append(sum(int(f[0].astype("int64").sum()) for f in frames))
+                su.append(sum(int(f[1].astype("int64").sum()) for f in frames))
+                sv.append(sum(int(f[2].astype("int64").sum()) for f in frames))
+                mid.append(
+                    int(frames[len(frames) // 2][0].astype("int64").sum())
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    pa.array(ws, type=pa.int32()),
+                    pa.array(hs, type=pa.int32()),
+                    pa.array(nf, type=pa.int32()),
+                    pa.array(sy, type=pa.int64()),
+                    pa.array(su, type=pa.int64()),
+                    pa.array(sv, type=pa.int64()),
+                    pa.array(mid, type=pa.int64()),
+                ],
+                names=["doc_id", "width", "height", "n_frames", "sum_y",
+                       "sum_u", "sum_v", "mid_frame_sum_y"],
+            )
+
+    return videos.mapInArrow(fn, Y4M_STATS_SCHEMA)
+
+
+def multimodal_y4m_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video decode end to end: plant deterministic YUV4MPEG2 4:2:0
+    clips for 1-in-4 documents, decode them back from bytes alone with
+    :func:`decode_y4m`, and report per (width, height, n_frames) shape:
+    clip count, exact Y/U/V plane sums, mean luma, and the exact
+    middle-frame luma sum (frame sampling). The DuckDB oracle recomputes
+    everything from the pixel FORMULAS (never the bytes), so the header
+    walk, FRAME framing, and half-resolution chroma strides are all
+    value-checked.
+
+    Scale shape: map-only until the final tiny groupBy (24 shape groups);
+    blobs are built and decoded inside the scan stage and never shuffle —
+    and the middle-frame column shows the kernel can sample frames without
+    materializing per-frame rows."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": pdf["doc_id"].map(lambda d: _y4m_encode(int(d))),
+                }
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % _Y4M_SAMPLE_MOD == _Y4M_SAMPLE_RES)
+    )
+    videos = docs.mapInPandas(build, "doc_id bigint, media binary")
+    stats = decode_y4m_stats(videos)
+    n_luma = F.sum(
+        F.col("width").cast("long") * F.col("height") * F.col("n_frames")
+    )
+    return (
+        stats.groupBy("width", "height", "n_frames")
+        .agg(
+            F.count(F.lit(1)).alias("n_videos"),
+            F.sum("sum_y").alias("sum_y"),
+            F.sum("sum_u").alias("sum_u"),
+            F.sum("sum_v").alias("sum_v"),
+            F.round(F.sum("sum_y") / n_luma, 4).alias("avg_luma"),
+            F.sum("mid_frame_sum_y").alias("mid_frame_sum_y"),
+        )
+        .orderBy("width", "height", "n_frames")
+    )
+
+
+_Y4M_DECODE_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         {_Y4M_W_BASE} + 2 * (doc_id % {_Y4M_W_MOD}) AS w,
+         {_Y4M_H_BASE} + 2 * (doc_id % {_Y4M_H_MOD}) AS h,
+         {_Y4M_F_BASE} + doc_id % {_Y4M_F_MOD} AS n
+  FROM documents
+  WHERE doc_id % {_Y4M_SAMPLE_MOD} = {_Y4M_SAMPLE_RES}
+),
+-- fixed max ranges (w <= {_Y4M_W_BASE + 2 * (_Y4M_W_MOD - 1)},
+-- h <= {_Y4M_H_BASE + 2 * (_Y4M_H_MOD - 1)},
+-- frames <= {_Y4M_F_BASE + _Y4M_F_MOD - 1}), filtered per clip
+luma AS (
+  SELECT d.doc_id, d.w, d.h, d.n, gf.f,
+         SUM((d.doc_id + 5 * gf.f + 3 * gx.x + 7 * gy.y) % 256) AS fy
+  FROM docs d
+  JOIN (SELECT unnest(generate_series(0, {_Y4M_F_BASE + _Y4M_F_MOD - 2})) AS f) gf
+    ON gf.f < d.n
+  JOIN (SELECT unnest(generate_series(0, {_Y4M_W_BASE + 2 * (_Y4M_W_MOD - 1) - 1})) AS x) gx
+    ON gx.x < d.w
+  JOIN (SELECT unnest(generate_series(0, {_Y4M_H_BASE + 2 * (_Y4M_H_MOD - 1) - 1})) AS y) gy
+    ON gy.y < d.h
+  GROUP BY d.doc_id, d.w, d.h, d.n, gf.f
+),
+chroma AS (
+  SELECT d.doc_id,
+         SUM((2 * d.doc_id + gf.f + 3 * gx.cx + gy.cy) % 256) AS su,
+         SUM((d.doc_id + 11 * gf.f + gx.cx + 2 * gy.cy) % 256) AS sv
+  FROM docs d
+  JOIN (SELECT unnest(generate_series(0, {_Y4M_F_BASE + _Y4M_F_MOD - 2})) AS f) gf
+    ON gf.f < d.n
+  JOIN (SELECT unnest(generate_series(0, {(_Y4M_W_BASE + 2 * (_Y4M_W_MOD - 1)) // 2 - 1})) AS cx) gx
+    ON gx.cx < d.w // 2
+  JOIN (SELECT unnest(generate_series(0, {(_Y4M_H_BASE + 2 * (_Y4M_H_MOD - 1)) // 2 - 1})) AS cy) gy
+    ON gy.cy < d.h // 2
+  GROUP BY d.doc_id
+),
+clip AS (
+  SELECT l.doc_id, l.w, l.h, l.n,
+         SUM(l.fy) AS sum_y,
+         SUM(CASE WHEN l.f = l.n // 2 THEN l.fy ELSE 0 END) AS mid_y
+  FROM luma l GROUP BY l.doc_id, l.w, l.h, l.n
+)
+SELECT CAST(c.w AS INTEGER) AS width,
+       CAST(c.h AS INTEGER) AS height,
+       CAST(c.n AS INTEGER) AS n_frames,
+       COUNT(*) AS n_videos,
+       CAST(SUM(c.sum_y) AS BIGINT) AS sum_y,
+       CAST(SUM(ch.su) AS BIGINT) AS sum_u,
+       CAST(SUM(ch.sv) AS BIGINT) AS sum_v,
+       ROUND(CAST(SUM(c.sum_y) AS DOUBLE)
+             / SUM(CAST(c.w AS BIGINT) * c.h * c.n), 4) AS avg_luma,
+       CAST(SUM(c.mid_y) AS BIGINT) AS mid_frame_sum_y
+FROM clip c JOIN chroma ch ON c.doc_id = ch.doc_id
+GROUP BY c.w, c.h, c.n
+ORDER BY width, height, n_frames
+"""
+
+
+
 QUERIES = {
     "multimodal_bmp_decode_stats": multimodal_bmp_decode_stats,
     "multimodal_wav_decode_stats": multimodal_wav_decode_stats,
+    "multimodal_y4m_decode_stats": multimodal_y4m_decode_stats,
     "multimodal_phash_near_dup": multimodal_phash_near_dup,
     "multimodal_chunk_manifest": multimodal_chunk_manifest,
     "multimodal_arrow_features": multimodal_arrow_features,
@@ -1056,6 +1319,7 @@ QUERIES = {
 ORACLES = {
     "multimodal_bmp_decode_stats": _BMP_DECODE_SQL,
     "multimodal_wav_decode_stats": _WAV_DECODE_SQL,
+    "multimodal_y4m_decode_stats": _Y4M_DECODE_SQL,
     "multimodal_phash_near_dup": _PHASH_SQL,
     "multimodal_chunk_manifest": _CHUNK_MANIFEST_SQL,
     "multimodal_arrow_features": _MEDIA_FEATURES_SQL,

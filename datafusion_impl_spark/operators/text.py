@@ -1718,7 +1718,123 @@ ORDER BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# Charset / encoding QA audit (mojibake detection)
+# --------------------------------------------------------------------------
+
+#: 1-in-this docs get deterministic planted corruption (same corpus-guard
+#: pattern as the planted-PII operator): a U+FFFD replacement character (the
+#: signature of a mis-decoded byte), a BEL control char, and the classic
+#: UTF-8-read-as-Latin-1 mojibake digraph for "e-acute". Characters are
+#: built with chr() so no raw control bytes live in source files.
+_CHARSET_CORRUPT_MOD = 5
+_CHARSET_CORRUPT_RES = 1
+_REPL_CHAR = chr(0xFFFD)
+_BEL_CHAR = chr(7)
+_MOJIBAKE = chr(0xC3) + chr(0xA9)  # "e-acute" mis-decoded as Latin-1
+_CTRL_CLASS = "[" + chr(1) + "-" + chr(8) + chr(0x0B) + "-" + chr(0x1F) + "]"
+_MOJIBAKE_CLASS = chr(0xC3) + "[" + chr(0xA0) + "-" + chr(0xBF) + "]"
+
+
+def text_charset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-QA audit — the first pass every crawled corpus needs before
+    tokenization: per source, how many documents carry replacement
+    characters (U+FFFD, i.e. upstream decode failures), raw control
+    characters, or Latin-1 mojibake digraphs, plus the printable-character
+    mass ratio. The synthetic corpus is clean printable ASCII, so (exactly
+    like ``text_pii_redaction``) deterministic corruption is PLANTED into
+    1-in-5 documents inside the query and the audit must flag exactly that
+    planted set — giving the oracle exact positives AND exact negatives to
+    value-check.
+
+    Scale shape: one scan, per-row regexp counts, tiny per-source
+    aggregate; nothing shuffles but the 20-row group table. The character
+    classes are in the Java-regex/RE2 common subset and all planted
+    characters are BMP single-units, so Spark (UTF-16 units) and DuckDB
+    (codepoints) count identically."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    corrupt = (
+        F.col("doc_id") % _CHARSET_CORRUPT_MOD == _CHARSET_CORRUPT_RES
+    )
+    injected = F.concat(
+        F.lit(_REPL_CHAR),
+        F.substring("text", 1, 40),
+        F.lit(_BEL_CHAR),
+        F.lit(_MOJIBAKE),
+        F.expr("substring(text, 41)"),
+    )
+    d = docs.withColumn("t", F.when(corrupt, injected).otherwise(F.col("text")))
+    n_bad_chars = F.length("t") - F.length(
+        F.regexp_replace("t", "[^\\n\\t\\x20-\\x7e]", "")
+    )
+    return (
+        d.select(
+            "source",
+            n_bad_chars.alias("bad_chars"),
+            F.length("t").alias("n_chars"),
+            F.col("t").rlike(_REPL_CHAR).cast("int").alias("has_repl"),
+            F.col("t").rlike(_CTRL_CLASS).cast("int").alias("has_ctrl"),
+            F.col("t").rlike(_MOJIBAKE_CLASS).cast("int").alias(
+                "has_mojibake"
+            ),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("has_repl").cast("long").alias("n_replacement_docs"),
+            F.sum("has_ctrl").cast("long").alias("n_control_docs"),
+            F.sum("has_mojibake").cast("long").alias("n_mojibake_docs"),
+            F.sum(F.col("bad_chars").cast("long")).alias("n_bad_chars"),
+            F.round(
+                1.0
+                - F.sum(F.col("bad_chars").cast("long"))
+                / F.sum(F.col("n_chars").cast("long")),
+                6,
+            ).alias("printable_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+_CHARSET_SQL = rf"""
+WITH d AS (
+  SELECT source,
+         CASE WHEN doc_id % {_CHARSET_CORRUPT_MOD} = {_CHARSET_CORRUPT_RES}
+              THEN chr(65533) || substr(text, 1, 40) || chr(7)
+                   || chr(195) || chr(169) || substr(text, 41)
+              ELSE text END AS t
+  FROM documents
+),
+m AS (
+  SELECT source,
+         length(t) AS n_chars,
+         length(t) - length(regexp_replace(t, '[^\n\t\x20-\x7e]', '', 'g'))
+           AS bad_chars,
+         CAST(regexp_matches(t, chr(65533)) AS INT) AS has_repl,
+         CAST(regexp_matches(t, '[' || chr(1) || '-' || chr(8)
+              || chr(11) || '-' || chr(31) || ']') AS INT) AS has_ctrl,
+         CAST(regexp_matches(t, chr(195) || '[' || chr(160) || '-' || chr(191) || ']')
+              AS INT) AS has_mojibake
+  FROM d
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(has_repl) AS BIGINT) AS n_replacement_docs,
+       CAST(SUM(has_ctrl) AS BIGINT) AS n_control_docs,
+       CAST(SUM(has_mojibake) AS BIGINT) AS n_mojibake_docs,
+       CAST(SUM(bad_chars) AS BIGINT) AS n_bad_chars,
+       ROUND(1.0 - CAST(SUM(bad_chars) AS DOUBLE) / SUM(n_chars), 6)
+         AS printable_ratio
+FROM m
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "text_charset_audit": text_charset_audit,
     "heavy_hitters_cms": heavy_hitters_cms,
     "token_zipf_fit": token_zipf_fit,
     "tokenizer_inflation_audit": tokenizer_inflation_audit,
@@ -1744,6 +1860,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_charset_audit": _CHARSET_SQL,
     "heavy_hitters_cms": _CMS_SQL,
     "token_zipf_fit": _ZIPF_SQL,
     "tokenizer_inflation_audit": _TOKENIZER_AUDIT_SQL,

@@ -1051,7 +1051,82 @@ ORDER BY layout
 _ZORDER_SQL = _zorder_oracle()
 
 
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fabricated-data / ETL-corruption screen a warehouse runs on monetary
+    columns: the observed share of each leading digit 1-9 against the
+    Benford expectation log10(1 + 1/d), with per-digit chi-squared
+    contributions so the verdict localizes to the digits that diverge.
+
+    Determinism: prices are fixed to exact integer cents with the repo's
+    standard floor(x*100 + 0.5) (identical IEEE in both engines); the
+    leading digit comes from integer string length + integer division —
+    never log10 of a double, whose last-bit wobble at exact powers of ten
+    could flip a digit cross-engine. The Benford share itself rounds to 6
+    before the chi-squared terms, so the only transcendental (ln) is
+    rounded before reuse.
+
+    Scale shape: one scan, 9-group aggregate; a broadcast-size 1-row total
+    joined back for shares. TPC-H totals are NOT Benford-distributed
+    (they're sums of uniform-ish parts, concentrating around the mean) —
+    the audit correctly reports that divergence, which is exactly its job
+    on synthetic data."""
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    digit = F.floor(
+        cents / F.pow(F.lit(10.0), (F.length(cents.cast("string")) - 1))
+    ).cast("int")
+    per_digit = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    tot = per_digit.agg(F.sum("n_orders").alias("n_total"))
+    benford = F.round(
+        F.log(10.0, 1.0 + 1.0 / F.col("digit")), 6
+    )
+    obs = F.col("n_orders") / F.col("n_total")
+    expect_n = F.col("benford_share") * F.col("n_total")
+    return (
+        per_digit.crossJoin(F.broadcast(tot))
+        .withColumn("benford_share", benford)
+        .select(
+            "digit",
+            "n_orders",
+            F.round(obs, 6).alias("observed_share"),
+            "benford_share",
+            F.round(
+                F.pow(F.col("n_orders") - expect_n, 2) / expect_n, 4
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_SQL = """
+WITH cents AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c FROM orders
+),
+per_digit AS (
+  SELECT CAST(floor(c / power(10.0, length(CAST(c AS VARCHAR)) - 1)) AS INTEGER)
+           AS digit,
+         COUNT(*) AS n_orders
+  FROM cents GROUP BY 1
+),
+tot AS (SELECT SUM(n_orders) AS n_total FROM per_digit)
+SELECT digit,
+       n_orders,
+       ROUND(CAST(n_orders AS DOUBLE) / n_total, 6) AS observed_share,
+       ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+       ROUND(power(n_orders - ROUND(log10(1.0 + 1.0 / digit), 6) * n_total, 2)
+             / (ROUND(log10(1.0 + 1.0 / digit), 6) * n_total), 4) AS chi2_term
+FROM per_digit, tot
+ORDER BY digit
+"""
+
+
 QUERIES = {
+    "benford_price_audit": benford_price_audit,
     "zorder_layout_effectiveness": zorder_layout_effectiveness,
     "k_anonymity_audit": k_anonymity_audit,
     "pseudonymize_join_preservation": pseudonymize_join_preservation,
@@ -1066,6 +1141,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "benford_price_audit": _BENFORD_SQL,
     "zorder_layout_effectiveness": _ZORDER_SQL,
     "k_anonymity_audit": _K_ANON_SQL,
     "pseudonymize_join_preservation": _PSEUDONYM_SQL,

@@ -1417,6 +1417,189 @@ ORDER BY user_bucket
 """
 
 
+def stream_tws_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``transformWithStateInPandas`` with MAP state — completing the
+    state-variable surface (ValueState: ``stream_tws_user_totals``,
+    ListState: ``stream_tws_recent_events``, timers:
+    ``stream_tws_session_timeout``): per user, a ``MapState`` keyed by
+    event_type accumulates (n, value_micros) per type across TWO
+    micro-batches (even/odd event ids, ``maxFilesPerTrigger=1``), so map
+    entries genuinely merge across batch boundaries — batch 2 must
+    ``updateValue`` types it has seen AND insert types it hasn't. Each
+    update emits the user's map-wide rollup (distinct types, total events,
+    exact integer micros); the final row per user is selected atomically
+    via ``max(struct(n_events, n_types, value_micros))`` (n_events is
+    monotone), then rolled up per user-id bucket. The DuckDB oracle is the
+    plain batch profile: COUNT(*), COUNT(DISTINCT event_type), micros sum.
+
+    Same protobuf-shim + RocksDB plumbing and non-concurrent-session
+    caveat as the other TWS queries. At 100 TB: state is one map row per
+    (user, event_type) — bounded by the type vocabulary, range-scanned per
+    user in one state-store prefix read."""
+    import numpy as np
+    import pandas as pd
+
+    from datafusion_impl_spark.pbshim import ensure_protobuf_on_workers
+    from datafusion_impl_spark.sources.registry import load_table
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    if not ensure_protobuf_on_workers(spark):  # pragma: no cover - env gate
+        raise RuntimeError(
+            "transformWithStateInPandas needs a protobuf runtime and none "
+            "is available (no install, no gcloud-vendored shim)"
+        )
+
+    class TypeProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._m = handle.getMapState(
+                "per_type", "event_type STRING", "n BIGINT, s BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                micros = np.floor(
+                    pdf["value"].to_numpy() * 1e6 + 0.5
+                ).astype("int64")
+                g = pd.DataFrame(
+                    {"t": pdf["event_type"].to_numpy(), "n": 1, "s": micros}
+                ).groupby("t", sort=False).sum()
+                for t, row in g.iterrows():
+                    if self._m.containsKey((t,)):
+                        n0, s0 = self._m.getValue((t,))
+                    else:
+                        n0, s0 = 0, 0
+                    self._m.updateValue(
+                        (t,), (n0 + int(row["n"]), s0 + int(row["s"]))
+                    )
+            n_types = n_events = micros_total = 0
+            for _k, (n, s) in self._m.iterator():
+                n_types += 1
+                n_events += n
+                micros_total += s
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_types": [n_types],
+                    "n_events": [n_events],
+                    "value_micros": [micros_total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_types", LongType()),
+            StructField("n_events", LongType()),
+            StructField("value_micros", LongType()),
+        ]
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prev_shuffle = spark.conf.get(shuffle_key, None)
+    spark.conf.set(shuffle_key, "8")
+
+    import os
+    import shutil
+    import uuid
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    feed = os.path.join(
+        "/tmp/datafusion_impl_spark_tws_feed",
+        f"{tag}_types_{uuid.uuid4().hex}",
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    cols = ["user_id", "event_type", "value"]
+    ev.filter(F.col("event_id") % 2 == 0).select(*cols).coalesce(1).write.parquet(
+        os.path.join(feed, "even.parquet")
+    )
+    ev.filter(F.col("event_id") % 2 == 1).select(*cols).coalesce(1).write.parquet(
+        os.path.join(feed, "odd.parquet")
+    )
+
+    view = "tws_type_profile_drv"
+    try:
+        src = (
+            spark.readStream.schema(
+                "user_id bigint, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(feed)
+        )
+        st = src.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=TypeProfile(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        q = (
+            st.writeStream.format("memory")
+            .queryName(view)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+        if prev_shuffle is None:
+            spark.conf.unset(shuffle_key)
+        else:
+            spark.conf.set(shuffle_key, prev_shuffle)
+        shutil.rmtree(feed, ignore_errors=True)
+    per_user = spark.table(view).groupBy("user_id").agg(
+        F.max(F.struct("n_events", "n_types", "value_micros")).alias("fin")
+    ).select(
+        "user_id",
+        F.col("fin.n_types").alias("n_types"),
+        F.col("fin.n_events").alias("n_events"),
+        F.col("fin.value_micros").alias("value_micros"),
+    )
+    return (
+        per_user.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_types").alias("n_types"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_micros").alias("value_micros"),
+        )
+        .orderBy("user_bucket")
+    )
+
+
+_TWS_TYPES_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         COUNT(DISTINCT event_type) AS n_types,
+         COUNT(*) AS n,
+         SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS micros
+  FROM events GROUP BY user_id
+)
+SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       COUNT(*) AS n_users,
+       CAST(SUM(n_types) AS BIGINT) AS n_types,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(micros) AS BIGINT) AS value_micros
+FROM per_user
+GROUP BY 1
+ORDER BY user_bucket
+"""
+
+
 _TWS_RECENT_SQL = """
 WITH ranked AS (
   SELECT user_id, event_id,
@@ -1456,6 +1639,7 @@ ORDER BY user_bucket
 QUERIES = {
     "stream_tws_user_totals": stream_tws_user_totals,
     "stream_tws_session_timeout": stream_tws_session_timeout,
+    "stream_tws_event_type_profile": stream_tws_event_type_profile,
     "stream_tws_recent_events": stream_tws_recent_events,
     "watermark_lateness_audit": watermark_lateness_audit,
     "stream_cdc_merge_stats": stream_cdc_merge_stats,
@@ -1468,6 +1652,7 @@ QUERIES = {
 ORACLES = {
     "stream_tws_user_totals": _TWS_TOTALS_SQL,
     "stream_tws_session_timeout": _TWS_TIMEOUT_SQL,
+    "stream_tws_event_type_profile": _TWS_TYPES_SQL,
     "stream_tws_recent_events": _TWS_RECENT_SQL,
     "watermark_lateness_audit": _LATENESS_SQL,
     "stream_cdc_merge_stats": _STREAM_CDC_SQL,

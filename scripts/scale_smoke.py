@@ -112,10 +112,24 @@ def build(spark, k: int) -> str:
     return out
 
 
-def time_queries(spark, queries, sf_dir: str) -> dict[str, float]:
+#: Pair-emitting dedup queries whose OUTPUT grows ~quadratically in K by
+#: construction (replicated docs are exact cross-copy duplicates, so every
+#: K-copy group emits K*(K-1)/2 pairs — the honest-direction caveat in the
+#: module docstring). Their row counts are recorded alongside the timings so
+#: a super-linear TIME ratio can be judged against the output ratio: e.g. at
+#: K=10 minhash's 16x time on 45x the output pairs is sub-linear per pair.
+_COUNT_ROWS = {
+    "dedup_documents_minhash",
+    "multimodal_phash_near_dup",
+    "dedup_minhash_param_sweep",
+}
+
+
+def time_queries(spark, queries, sf_dir: str) -> tuple[dict, dict]:
     import gc
 
     out: dict[str, float] = {}
+    rows: dict[str, int] = {}
     for name in _QUERIES:
         fn = queries[name]
         gc.collect()
@@ -127,7 +141,9 @@ def time_queries(spark, queries, sf_dir: str) -> dict[str, float]:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         out[name] = round(best, 3)
-    return out
+        if name in _COUNT_ROWS:
+            rows[name] = fn(spark, sf_dir).count()
+    return out, rows
 
 
 def main() -> None:
@@ -140,8 +156,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
     big = build(spark, k)
-    base_t = time_queries(spark, queries, BASE)
-    big_t = time_queries(spark, queries, big)
+    base_t, base_rows = time_queries(spark, queries, BASE)
+    big_t, big_rows = time_queries(spark, queries, big)
     report = {
         "k": k,
         "base": base_t,
@@ -149,6 +165,17 @@ def main() -> None:
         "ratios": {
             q: (round(big_t[q] / base_t[q], 2) if base_t[q] > 0 else None)
             for q in base_t
+        },
+        "output_rows": {
+            q: {
+                "base": base_rows[q],
+                "scaled": big_rows[q],
+                "ratio": (
+                    round(big_rows[q] / base_rows[q], 2)
+                    if base_rows[q] else None
+                ),
+            }
+            for q in base_rows
         },
     }
     print(json.dumps(report), flush=True)

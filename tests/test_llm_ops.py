@@ -1457,3 +1457,156 @@ def test_opq_improves_balance_on_real_corpus(spark):
     }
     assert out["opq_snake"].var_spread < out["natural"].var_spread
     assert out["opq_snake"].msqe > 0 and out["natural"].msqe > 0
+
+
+def test_y4m_golden_bytes_layout():
+    """Pin the actual YUV4MPEG2 layout with a handcrafted clip so
+    complementary encoder/decoder bugs cannot cancel: a 2x2, 2-frame
+    C420jpeg stream built byte-by-byte from the public spec (text header
+    line, FRAME markers, full-res Y then quarter-size U and V planes) must
+    decode to the exact planes."""
+    from datafusion_impl_spark.operators.multimodal import decode_y4m
+
+    golden = (
+        b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420jpeg\n"
+        + b"FRAME\n"
+        + bytes((10, 20, 30, 40))   # Y frame 0 (row-major 2x2)
+        + bytes((77,))              # U frame 0 (1x1)
+        + bytes((88,))              # V frame 0
+        + b"FRAME\n"
+        + bytes((1, 2, 3, 4))       # Y frame 1
+        + bytes((5,))               # U frame 1
+        + bytes((6,))               # V frame 1
+    )
+    w, h, frames = decode_y4m(golden)
+    assert (w, h, len(frames)) == (2, 2, 2)
+    assert frames[0][0].tolist() == [[10, 20], [30, 40]]
+    assert frames[0][1].tolist() == [[77]]
+    assert frames[0][2].tolist() == [[88]]
+    assert frames[1][0].tolist() == [[1, 2], [3, 4]]
+    assert frames[1][1].tolist() == [[5]]
+    assert frames[1][2].tolist() == [[6]]
+
+
+def test_y4m_encode_decode_roundtrip_matches_formula():
+    """The planted-clip builder must produce REAL y4m streams: decode_y4m
+    (proven against golden bytes above) recovers exactly the formula
+    planes for doc_ids covering every geometry residue."""
+    from datafusion_impl_spark.operators.multimodal import (
+        _y4m_chroma,
+        _y4m_encode,
+        _y4m_geometry,
+        _y4m_luma,
+        decode_y4m,
+    )
+
+    for doc_id in range(3, 3 + 4 * 12, 4):  # the planted residue class
+        w, h, frames = decode_y4m(_y4m_encode(doc_id))
+        assert (w, h, len(frames)) == _y4m_geometry(doc_id)
+        for f, (Y, U, V) in enumerate(frames):
+            assert Y.tolist() == [
+                [_y4m_luma(doc_id, f, x, y) for x in range(w)]
+                for y in range(h)
+            ]
+            expect_uv = [
+                [_y4m_chroma(doc_id, f, cx, cy) for cx in range(w // 2)]
+                for cy in range(h // 2)
+            ]
+            assert U.tolist() == [[uv[0] for uv in row] for row in expect_uv]
+            assert V.tolist() == [[uv[1] for uv in row] for row in expect_uv]
+
+
+def test_decode_y4m_rejects_malformed():
+    import pytest as _pytest
+
+    from datafusion_impl_spark.operators.multimodal import (
+        _y4m_encode,
+        decode_y4m,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_y4m(b"RIFF not video")
+    with _pytest.raises(ValueError):
+        decode_y4m(_y4m_encode(3)[:10])    # truncated header
+    with _pytest.raises(ValueError):
+        decode_y4m(_y4m_encode(3)[:-5])    # truncated frame planes
+    with _pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W8 H6 C444\n")   # unsupported chroma mode
+    with _pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W7 H6 C420jpeg\n")  # odd width for 4:2:0
+
+
+def test_y4m_decode_stats_matches_duckdb_oracle(spark):
+    """Cross-engine: the Spark mapInArrow video pipeline vs the DuckDB
+    closed-form replay of the pixel formulas, on the real sf0.01 corpus."""
+    import duckdb
+
+    from datafusion_impl_spark.operators.multimodal import (
+        _Y4M_DECODE_SQL,
+        multimodal_y4m_decode_stats,
+    )
+    from tests.oracle_utils import compare_spark_duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    ok, msg = compare_spark_duckdb(
+        multimodal_y4m_decode_stats(spark, SF_DIR), con, _Y4M_DECODE_SQL
+    )
+    assert ok, msg
+    con.close()
+
+
+def test_charset_audit_flags_exactly_the_planted_set(spark):
+    """The corruption is planted 1-in-5 by doc_id, so the audit's flags must
+    reconstruct exactly that census per source — exact positives AND exact
+    negatives — and every clean doc keeps printable_ratio contributions of
+    zero bad chars (4 planted bad chars per corrupted doc: U+FFFD, BEL,
+    and the 2-char mojibake digraph)."""
+    from datafusion_impl_spark.operators.text import (
+        _CHARSET_CORRUPT_MOD,
+        _CHARSET_CORRUPT_RES,
+        text_charset_audit,
+    )
+    from datafusion_impl_spark.sources.registry import load_table
+
+    expected = {
+        r.source: r.n
+        for r in load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") % _CHARSET_CORRUPT_MOD == _CHARSET_CORRUPT_RES)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = text_charset_audit(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        planted = expected.get(r.source, 0)
+        assert r.n_replacement_docs == planted
+        assert r.n_control_docs == planted
+        assert r.n_mojibake_docs == planted
+        assert r.n_bad_chars == 4 * planted
+        assert 0.9 < r.printable_ratio <= 1.0
+        if planted == 0:
+            assert r.printable_ratio == 1.0
+
+
+def test_benford_audit_digits_complete_and_consistent(spark):
+    """Structural pins: all 9 leading digits present exactly once, observed
+    shares sum to 1, Benford shares match log10(1+1/d) to 6dp, chi2 terms
+    non-negative, and counts conserve the orders row count."""
+    import math
+
+    from datafusion_impl_spark.plans.quality import benford_price_audit
+    from datafusion_impl_spark.sources.registry import load_table
+
+    rows = benford_price_audit(spark, SF_DIR).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    assert abs(sum(r.observed_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.benford_share == round(math.log10(1 + 1 / r.digit), 6)
+        assert r.chi2_term >= 0

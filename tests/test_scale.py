@@ -123,6 +123,8 @@ def test_no_python_in_any_relational_plan(spark):
         "python_datasource_write_roundtrip",  # custom Python sink under test
         "cogrouped_order_gap_stats",  # cogroup().applyInPandas IS the API under test
         "multimodal_bmp_decode_stats",  # mapInPandas build + mapInArrow decode IS the operator
+        "multimodal_wav_decode_stats",  # same contract, audio (r7)
+        "multimodal_y4m_decode_stats",  # same contract, video (r7)
     }
     for name, fn in m.queries().items():
         if name in allowed_python:
