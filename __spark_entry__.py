@@ -163,6 +163,11 @@ _NEXT_ROTATION: list[str] = [
     "stream_tws_event_type_profile",    # new in r7 (TWS MapState)
     "text_charset_audit",               # new in r7 (encoding/mojibake QA)
     "benford_price_audit",              # new in r7 (first-digit audit)
+    "stream_tws_warm_start",            # new in r7 (TWS initialState cutover)
+    "ann_pq_refine_recall",             # new in r7 (two-stage ADC+exact serve)
+    "dedup_graph_kcore",                # new in r7 (k-core density census)
+    "daily_revenue_cusum",              # new in r7 (CUSUM changepoint)
+    "split_group_aware",                # new in r7 (leakage-proof group split)
 ]
 
 

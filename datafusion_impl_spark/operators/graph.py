@@ -255,6 +255,275 @@ ORDER BY lang
 """
 
 
+#: k-core peeling: values of k audited, and the unrolled-round budget the
+#: oracle replays (Spark peels to the TRUE fixpoint and raises if it takes
+#: more rounds than the oracle unrolls — same honesty contract as
+#: ``connected_components``' max_rounds).
+_KCORE_KS = (2, 3)
+_KCORE_ROUNDS = 8
+
+
+def kcore_edges(spark: SparkSession, edges_sym: DataFrame, k: int,
+                max_rounds: int = _KCORE_ROUNDS) -> DataFrame:
+    """Peel the symmetric edge list to its k-core: repeatedly drop nodes
+    with degree < k (and their edges) until a fixpoint. Returns the
+    surviving symmetric edges. Each round is one groupBy + two semi-joins
+    over the BOUNDED pair graph; the loop runs under the measured-size
+    iteration-partition context like every fixed-point loop here."""
+    edges = edges_sym.localCheckpoint(eager=True)
+    n_edges = edges.count()
+    with _bounded_iteration(spark, n_edges):
+        for _ in range(max_rounds):
+            keep = (
+                edges.groupBy("s")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= k)
+                .select("s")
+            )
+            nxt = (
+                edges.join(keep, "s", "left_semi")
+                .join(keep.withColumnRenamed("s", "d"), "d", "left_semi")
+                .select("s", "d")
+                .localCheckpoint(eager=True)
+            )
+            n_nxt = nxt.count()
+            if n_nxt == n_edges:
+                return edges
+            edges, n_edges = nxt, n_nxt
+        # one verification round past the budget
+        keep = (
+            edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k).select("s")
+        )
+        n_final = (
+            edges.join(keep, "s", "left_semi")
+            .join(keep.withColumnRenamed("s", "d"), "d", "left_semi")
+            .count()
+        )
+        if n_final != n_edges:  # pragma: no cover - adversarial graphs only
+            raise RuntimeError(
+                f"k-core (k={k}) not converged in {max_rounds} rounds"
+            )
+    return edges
+
+
+def dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core census of the near-dup graph — the density audit that
+    separates heavy duplication NESTS from incidental pairs: a doc in the
+    k-core sits in a subgraph where everyone has >= k near-dup neighbors
+    (near-clique copy farms, template floods), while chains and isolated
+    pairs peel away. Reported per k: surviving node/edge counts and the
+    count of dropped nodes — the triage signal for where aggressive
+    cluster-collapse (vs pairwise survivorship) is warranted.
+
+    Scale shape: peeling iterates on the bounded PAIR graph only (the
+    corpus is never touched after candidate generation); each round is a
+    degree count + two semi-joins, log-ish rounds on real graphs, with the
+    same raise-don't-truncate convergence contract as components."""
+    pairs = (
+        dedup_documents_minhash(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+    )
+    n_nodes_total = edges.select("s").distinct().count()
+    outs = []
+    for k in _KCORE_KS:
+        core = kcore_edges(spark, edges, k)
+        stats = core.agg(
+            F.count_distinct("s").cast("long").alias("n_core_nodes"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_core_edges"),
+        ).select(
+            F.lit(k).alias("k"),
+            "n_core_nodes",
+            "n_core_edges",
+            (F.lit(n_nodes_total) - F.col("n_core_nodes"))
+            .cast("long")
+            .alias("n_peeled_nodes"),
+        )
+        outs.append(stats)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("k")
+
+
+def _kcore_oracle() -> str:
+    def peel_chain(k: int, p: str) -> str:
+        # every CTE is MATERIALIZED: each round references the previous
+        # one twice, so default inlining would expand e0 2^rounds times
+        # (observed as "too many open files" on the embedded parquet scan)
+        ctes = [f"{p}e0 AS MATERIALIZED (SELECT s, d FROM edges)"]
+        for i in range(1, _KCORE_ROUNDS + 1):
+            ctes.append(
+                f"{p}k{i} AS MATERIALIZED (SELECT s FROM {p}e{i-1} GROUP BY s"
+                f" HAVING COUNT(*) >= {k})"
+            )
+            ctes.append(
+                f"{p}e{i} AS MATERIALIZED (SELECT e.s, e.d FROM {p}e{i-1} e"
+                f" JOIN {p}k{i} a ON e.s = a.s"
+                f" JOIN {p}k{i} b ON e.d = b.s)"
+            )
+        return ",\n".join(ctes)
+
+    last = f"e{_KCORE_ROUNDS}"
+    per_k = "\nUNION ALL\n".join(
+        f"""SELECT {k} AS k,
+       COUNT(DISTINCT s) AS n_core_nodes,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_core_edges,
+       (SELECT COUNT(DISTINCT s) FROM edges) - COUNT(DISTINCT s)
+         AS n_peeled_nodes
+FROM c{k}_{last}"""
+        for k in _KCORE_KS
+    )
+    chains = ",\n".join(peel_chain(k, f"c{k}_") for k in _KCORE_KS)
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({_MINHASH_SQL}) minhash_pairs
+),
+edges AS MATERIALIZED (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+{chains}
+SELECT CAST(k AS INTEGER) AS k,
+       CAST(n_core_nodes AS BIGINT) AS n_core_nodes,
+       n_core_edges,
+       CAST(n_peeled_nodes AS BIGINT) AS n_peeled_nodes
+FROM ({per_k})
+ORDER BY k
+"""
+
+
+_KCORE_SQL = _kcore_oracle()
+
+
+def split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE train/val/test split — the leakage-proof version of
+    ``corpus_split_assignment``: hashing doc_ids independently scatters
+    near-duplicate documents across splits, so the eval set silently
+    contains near-copies of training docs. Here the ring hashes the
+    near-dup CLUSTER id (connected component of the MinHash pair graph;
+    singletons hash their own doc_id), so every cluster lands wholly in
+    one split — group k-fold, the standard fix. The output carries the
+    proof: ``n_leaked_pairs`` counts near-dup pairs whose endpoints
+    landed in different splits, and is zero BY CONSTRUCTION (any planted
+    or organic near-dup pair shares a component, hence a bucket).
+
+    Scale shape: components over the bounded pair graph (log-diameter
+    rounds), one broadcast-size join of cluster ids back to the corpus,
+    then the same md5 per-mille ring as every sampler here — partition-
+    invariant, re-run-stable, and shared with the samplers so a sampled
+    doc keeps its split."""
+    from datafusion_impl_spark.operators.dedup import near_dup_corpus
+    from datafusion_impl_spark.operators.sampling import (
+        _TRAIN_END,
+        _VAL_END,
+        _bucket,
+    )
+
+    corpus = near_dup_corpus(spark, sf_dir).select("doc_id", "lang")
+    pairs = (
+        dedup_documents_minhash(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    comp = connected_components(pairs)
+    grouped = corpus.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("grp"),
+    )
+    b = _bucket(F.col("grp"))
+    split = (
+        F.when(b < _TRAIN_END, "train")
+        .when(b < _VAL_END, "val")
+        .otherwise("test")
+    )
+    assigned = grouped.select("doc_id", "grp", split.alias("split"))
+    leaked = (
+        pairs.join(
+            assigned.select(F.col("doc_id").alias("doc_a"),
+                            F.col("split").alias("split_a")),
+            "doc_a",
+        )
+        .join(
+            assigned.select(F.col("doc_id").alias("doc_b"),
+                            F.col("split").alias("split_b")),
+            "doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaked_pairs"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("grp").cast("long").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(leaked))
+        .orderBy("split")
+    )
+
+
+def _group_split_oracle() -> str:
+    from datafusion_impl_spark.operators.sampling import (
+        _TRAIN_END,
+        _VAL_END,
+        _duck_bucket,
+    )
+
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({_MINHASH_SQL}) minhash_pairs
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+comp AS (SELECT s AS doc_id, MIN(d) AS component FROM reach GROUP BY s),
+corpus2 AS (SELECT doc_id FROM ({_CORPUS_SQL}) c),
+grouped AS MATERIALIZED (
+  SELECT c.doc_id, COALESCE(p.component, c.doc_id) AS grp
+  FROM corpus2 c LEFT JOIN comp p ON c.doc_id = p.doc_id
+),
+assigned AS MATERIALIZED (
+  SELECT doc_id, grp,
+         CASE WHEN {_duck_bucket('grp')} < {_TRAIN_END} THEN 'train'
+              WHEN {_duck_bucket('grp')} < {_VAL_END} THEN 'val'
+              ELSE 'test' END AS split
+  FROM grouped
+),
+leaked AS (
+  SELECT COUNT(*) AS n_leaked_pairs
+  FROM pairs p
+  JOIN assigned a ON a.doc_id = p.doc_a
+  JOIN assigned b ON b.doc_id = p.doc_b
+  WHERE a.split <> b.split
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+       CAST((SELECT n_leaked_pairs FROM leaked) AS BIGINT) AS n_leaked_pairs
+FROM assigned
+GROUP BY split
+ORDER BY split
+"""
+
+
+_GROUP_SPLIT_SQL = _group_split_oracle()
+
+
 _PR_DAMPING = 0.85
 _PR_ITERS = 5
 
@@ -631,6 +900,8 @@ FROM wedge, edges, tri
 
 
 QUERIES = {
+    "dedup_graph_kcore": dedup_graph_kcore,
+    "split_group_aware": split_group_aware,
     "dedup_label_communities": dedup_label_communities,
     "dedup_community_bridges": dedup_community_bridges,
     "dedup_cluster_components": dedup_cluster_components,
@@ -640,6 +911,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_graph_kcore": _KCORE_SQL,
+    "split_group_aware": _GROUP_SPLIT_SQL,
     "dedup_label_communities": _LPA_SQL,
     "dedup_community_bridges": _BRIDGES_SQL,
     "dedup_cluster_components": _COMPONENTS_SQL,

@@ -1172,6 +1172,167 @@ ORDER BY p.q_id
 _PQ_SQL = _pq_oracle()
 
 
+#: Refinement candidate depth: the ADC stage keeps this many candidates per
+#: query for the exact re-rank (the standard two-stage serving ratio).
+_REFINE_M = 20
+
+
+def ann_pq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN serving — the shape every production vector store
+    runs (FAISS refine, ScaNN reorder, Milvus/pgvector rescore): the
+    compressed PQ-ADC index nominates top-{m} candidates per query, then
+    ONLY those candidates are re-ranked with exact L2 over the raw
+    vectors. Reports, per query, recall@{k} of the raw PQ ranking vs the
+    refined ranking against the exact ground truth — quantifying what the
+    cheap refinement step buys back of the quantization loss.
+
+    Scale shape: stage 1 never touches raw vectors (codes x broadcast
+    LUT); stage 2 touches exactly {m} raw vectors per query via an
+    id equi-join — at a billion vectors that is the difference between
+    scanning 8 GB of codes and fetching 20 rows. Ranking keys ROUND
+    before ordering, ids break ties, so the full two-stage pipeline is
+    value-checked against the DuckDB replay."""
+    adc = _pq_adc_frame(spark, sf_dir)
+    e = _vectors(spark, sf_dir)
+    w_adc = Window.partitionBy("q_id").orderBy(
+        F.round("adc", 4).asc(), F.col("vec_id").asc()
+    )
+    cand = materialize(
+        adc.withColumn("rk", F.row_number().over(w_adc)).filter(
+            F.col("rk") <= _REFINE_M
+        )
+    )
+
+    full = e.select("vec_id", "v", _dot(F.col("v"), F.col("v")).alias("n2"))
+    qfull = full.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("q_n2"),
+    )
+    # exact ground truth (same plan as ann_pq_adc_recall)
+    sq_full = F.col("q_n2") + F.col("n2") - 2 * _dot(F.col("qv"), F.col("v"))
+    w_ex = Window.partitionBy("q_id").orderBy(
+        F.round(sq_full, 4).asc(), F.col("vec_id").asc()
+    )
+    ex_top = (
+        full.crossJoin(F.broadcast(qfull))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("rk", F.row_number().over(w_ex))
+        .filter(F.col("rk") <= _TOPK)
+        .select("q_id", "vec_id", "rk")
+    )
+
+    # stage 2: exact re-rank of the {m} nominated candidates only
+    refined = (
+        cand.select("q_id", "vec_id", "rk")
+        .join(full, "vec_id")
+        .join(F.broadcast(qfull), "q_id")
+        .withColumn(
+            "rrk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.round(sq_full, 4).asc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rrk") <= _TOPK)
+        .select("q_id", "vec_id", "rrk")
+    )
+
+    def hits(top: DataFrame, alias: str) -> DataFrame:
+        return (
+            top.select("q_id", "vec_id")
+            .join(ex_top.select("q_id", "vec_id"), ["q_id", "vec_id"])
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).cast("int").alias(alias))
+        )
+
+    pq5 = cand.filter(F.col("rk") <= _TOPK)
+    q_ids = cand.select("q_id").distinct()
+    return (
+        q_ids.join(hits(pq5, "pq_hits_at_5"), "q_id", "left")
+        .join(hits(refined, "refined_hits_at_5"), "q_id", "left")
+        .join(
+            refined.filter(F.col("rrk") == 1).select(
+                "q_id", F.col("vec_id").alias("refined_top1")
+            ),
+            "q_id",
+        )
+        .join(
+            ex_top.filter(F.col("rk") == 1).select(
+                "q_id", F.col("vec_id").alias("exact_top1")
+            ),
+            "q_id",
+        )
+        .select(
+            "q_id",
+            F.coalesce("pq_hits_at_5", F.lit(0)).cast("int").alias(
+                "pq_hits_at_5"
+            ),
+            F.coalesce("refined_hits_at_5", F.lit(0)).cast("int").alias(
+                "refined_hits_at_5"
+            ),
+            "refined_top1",
+            "exact_top1",
+        )
+        .orderBy("q_id")
+    )
+
+
+def _pq_refine_oracle() -> str:
+    return f"""
+WITH {_pq_ctes()},
+adc AS (
+  SELECT l.q_id, co.vec_id, SUM(l.pd) AS adc
+  FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.cid
+  WHERE co.vec_id <> l.q_id
+  GROUP BY l.q_id, co.vec_id
+),
+cand AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY ROUND(adc, 4), vec_id) AS rk
+  FROM adc
+  QUALIFY rk <= {_REFINE_M}
+),
+refined AS (
+  SELECT c.q_id, c.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY c.q_id
+           ORDER BY ROUND(q.q_n2 + f.n2 - 2 * list_inner_product(q.qv, f.v), 4),
+                    c.vec_id) AS rrk
+  FROM cand c
+  JOIN full_ f ON f.vec_id = c.vec_id
+  JOIN qfull q ON q.q_id = c.q_id
+),
+pq_hits AS (
+  SELECT c.q_id, COUNT(*) AS n
+  FROM cand c JOIN ex_top x ON c.q_id = x.q_id AND c.vec_id = x.vec_id
+  WHERE c.rk <= {_TOPK} AND x.rk <= {_TOPK}
+  GROUP BY c.q_id
+),
+ref_hits AS (
+  SELECT r.q_id, COUNT(*) AS n
+  FROM refined r JOIN ex_top x ON r.q_id = x.q_id AND r.vec_id = x.vec_id
+  WHERE r.rrk <= {_TOPK} AND x.rk <= {_TOPK}
+  GROUP BY r.q_id
+)
+SELECT q.q_id,
+       CAST(COALESCE(p.n, 0) AS INTEGER) AS pq_hits_at_5,
+       CAST(COALESCE(rh.n, 0) AS INTEGER) AS refined_hits_at_5,
+       r1.vec_id AS refined_top1,
+       x1.vec_id AS exact_top1
+FROM (SELECT DISTINCT q_id FROM cand) q
+LEFT JOIN pq_hits p ON p.q_id = q.q_id
+LEFT JOIN ref_hits rh ON rh.q_id = q.q_id
+JOIN (SELECT q_id, vec_id FROM refined WHERE rrk = 1) r1 ON r1.q_id = q.q_id
+JOIN (SELECT q_id, vec_id FROM ex_top WHERE rk = 1) x1 ON x1.q_id = q.q_id
+ORDER BY q.q_id
+"""
+
+
+_PQ_REFINE_SQL = _pq_refine_oracle()
+
+
 #: IVF-PQ probe count (cells searched per query).
 _IVFPQ_NPROBE = 2
 
@@ -2484,6 +2645,7 @@ QUERIES = {
     "ann_residual_pq_recall": ann_residual_pq_recall,
     "ann_sq8_recall": ann_sq8_recall,
     "ann_pq_adc_recall": ann_pq_adc_recall,
+    "ann_pq_refine_recall": ann_pq_refine_recall,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "dedup_semantic_ivf": dedup_semantic_ivf,
@@ -2497,6 +2659,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_opq_subspace_balance": _OPQ_SQL,
+    "ann_pq_refine_recall": _PQ_REFINE_SQL,
     "embedding_cluster_silhouette": _SILHOUETTE_SQL,
     "embedding_snapshot_drift": _SNAPSHOT_DRIFT_SQL,
     "ann_knn_graph_ivf": _KNN_GRAPH_SQL,

@@ -22,7 +22,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_impl_spark.sources.registry import load_table
@@ -1051,6 +1051,139 @@ ORDER BY layout
 _ZORDER_SQL = _zorder_oracle()
 
 
+#: CUSUM parameters: slack k (in std units) absorbs ordinary noise, alarm
+#: threshold h flags an accumulated shift.
+_CUSUM_K = 0.5
+_CUSUM_H = 4.0
+
+
+def daily_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily revenue series — the
+    classic sequential drift monitor (Page 1954) that catches a sustained
+    small SHIFT long before a per-day z-score gate does: one-sided
+    cumulative sums S+ = max(0, S+ + z - k) and S- = max(0, S- - z - k)
+    alarm when they exceed h.
+
+    The recurrence is window-expressible in closed form: with prefix sums
+    P of (z - k), S+(t) = P(t) - min(0, running-min P) — a running sum
+    plus a running min over the BOUNDED daily frame (same boundedness
+    argument as every quality-series operator here). Determinism: daily
+    revenue is exact integer cents; z rounds to 6 from decimal-exact
+    moments; the prefixes accumulate the ROUNDED z in DECIMAL, so both
+    engines walk identical sequences. Output: monthly alarm census, so
+    the frame stays bounded and auditable."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(cents).alias("c"))
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,4)")).alias("sx"),
+        F.sum(
+            (F.col("c").cast("decimal(38,4)") * F.col("c")).cast(
+                "decimal(38,4)"
+            )
+        ).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    std = F.sqrt((n * sxx - sx * sx) / (n * n))
+    z = F.round((F.col("c") - sx / n) / std, 6)
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    zed = daily.crossJoin(F.broadcast(mom)).select(
+        "day",
+        (z - _CUSUM_K).alias("zp"),
+        (-z - _CUSUM_K).alias("zn"),
+    )
+    pref = zed.select(
+        "day",
+        F.sum(F.round("zp", 6).cast("decimal(24,8)")).over(w).alias("p"),
+        F.sum(F.round("zn", 6).cast("decimal(24,8)")).over(w).alias("q"),
+    )
+    run = pref.select(
+        "day",
+        F.round(
+            (F.col("p") - F.least(F.lit(0).cast("decimal(24,8)"),
+                                  F.min("p").over(w))).cast("double"),
+            6,
+        ).alias("cusum_pos"),
+        F.round(
+            (F.col("q") - F.least(F.lit(0).cast("decimal(24,8)"),
+                                  F.min("q").over(w))).cast("double"),
+            6,
+        ).alias("cusum_neg"),
+    )
+    return (
+        run.groupBy(
+            F.date_trunc("month", "day").cast("date").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.count_if(F.col("cusum_pos") > _CUSUM_H)
+            .cast("long")
+            .alias("n_pos_alarms"),
+            F.count_if(F.col("cusum_neg") > _CUSUM_H)
+            .cast("long")
+            .alias("n_neg_alarms"),
+            F.round(F.max("cusum_pos"), 6).alias("max_cusum_pos"),
+            F.round(F.max("cusum_neg"), 6).alias("max_cusum_neg"),
+        )
+        .orderBy("month")
+    )
+
+
+_CUSUM_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+  FROM orders GROUP BY 1
+),
+mom AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(c AS DECIMAL(38,4))) AS sx,
+         SUM(CAST(CAST(c AS DECIMAL(38,4)) * c AS DECIMAL(38,4))) AS sxx
+  FROM daily
+),
+zed AS (
+  SELECT day,
+         ROUND((c - CAST(sx AS DOUBLE) / n)
+               / sqrt((n * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (n * n)),
+               6) AS z
+  FROM daily, mom
+),
+pref AS (
+  SELECT day,
+         SUM(CAST(ROUND(z - {_CUSUM_K}, 6) AS DECIMAL(24,8)))
+           OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS p,
+         SUM(CAST(ROUND(-z - {_CUSUM_K}, 6) AS DECIMAL(24,8)))
+           OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS q
+  FROM zed
+),
+run AS (
+  SELECT day,
+         ROUND(CAST(p - LEAST(CAST(0 AS DECIMAL(24,8)),
+               MIN(p) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))
+               AS DOUBLE), 6) AS cusum_pos,
+         ROUND(CAST(q - LEAST(CAST(0 AS DECIMAL(24,8)),
+               MIN(q) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))
+               AS DOUBLE), 6) AS cusum_neg
+  FROM pref
+)
+SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+       COUNT(*) AS n_days,
+       CAST(count_if(cusum_pos > {_CUSUM_H}) AS BIGINT) AS n_pos_alarms,
+       CAST(count_if(cusum_neg > {_CUSUM_H}) AS BIGINT) AS n_neg_alarms,
+       ROUND(MAX(cusum_pos), 6) AS max_cusum_pos,
+       ROUND(MAX(cusum_neg), 6) AS max_cusum_neg
+FROM run
+GROUP BY 1
+ORDER BY month
+"""
+
+
 def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit audit over order totals — the classic
     fabricated-data / ETL-corruption screen a warehouse runs on monetary
@@ -1126,6 +1259,7 @@ ORDER BY digit
 
 
 QUERIES = {
+    "daily_revenue_cusum": daily_revenue_cusum,
     "benford_price_audit": benford_price_audit,
     "zorder_layout_effectiveness": zorder_layout_effectiveness,
     "k_anonymity_audit": k_anonymity_audit,
@@ -1141,6 +1275,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "daily_revenue_cusum": _CUSUM_SQL,
     "benford_price_audit": _BENFORD_SQL,
     "zorder_layout_effectiveness": _ZORDER_SQL,
     "k_anonymity_audit": _K_ANON_SQL,

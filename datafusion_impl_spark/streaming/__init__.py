@@ -1600,6 +1600,175 @@ ORDER BY user_bucket
 """
 
 
+def stream_tws_warm_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``transformWithStateInPandas`` INITIAL STATE — the warm-start /
+    migration surface of the API (seeding a new streaming job from a batch
+    backfill, the standard cutover pattern when moving a pipeline to
+    streaming): per-user totals over the EVEN-event history are
+    batch-aggregated and passed as ``initialState``; the stream then
+    processes only the ODD events, and ``handleInitialState`` must seed
+    each user's ValueState so the emitted totals equal the FULL corpus
+    aggregate — the proof that no history was lost at cutover. Exact
+    integer-micros discipline as the other TWS queries; output rolled up
+    per user-id bucket over users that appear in the stream (update-mode
+    emits only touched keys; history-only users hold state but emit no
+    row, exactly like a real cutover).
+
+    Same protobuf-shim + RocksDB plumbing and non-concurrent-session
+    caveat. At 100 TB: the initial state is itself a distributed grouped
+    DataFrame cogrouped with the first micro-batch — no driver collect."""
+    import numpy as np
+    import pandas as pd
+
+    from datafusion_impl_spark.pbshim import ensure_protobuf_on_workers
+    from datafusion_impl_spark.sources.registry import load_table
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    if not ensure_protobuf_on_workers(spark):  # pragma: no cover - env gate
+        raise RuntimeError(
+            "transformWithStateInPandas needs a protobuf runtime and none "
+            "is available (no install, no gcloud-vendored shim)"
+        )
+
+    class WarmTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("totals", "n BIGINT, s BIGINT")
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            self._st.update(
+                (int(initialState["n"].iloc[0]), int(initialState["s"].iloc[0]))
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._st.exists():
+                n, s = self._st.get()
+            else:
+                n, s = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                s += int(
+                    np.floor(pdf["value"].to_numpy() * 1e6 + 0.5)
+                    .astype("int64")
+                    .sum()
+                )
+            self._st.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "value_micros": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("value_micros", LongType()),
+        ]
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prev_shuffle = spark.conf.get(shuffle_key, None)
+    spark.conf.set(shuffle_key, "8")
+
+    import os
+    import shutil
+    import uuid
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    feed = os.path.join(
+        "/tmp/datafusion_impl_spark_tws_feed",
+        f"{tag}_warm_{uuid.uuid4().hex}",
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    micros = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    history = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(micros).alias("s"))
+    )
+    ev.filter(F.col("event_id") % 2 == 1).select(
+        "user_id", "value"
+    ).coalesce(1).write.parquet(os.path.join(feed, "live.parquet"))
+
+    view = "tws_warm_start_drv"
+    try:
+        src = (
+            spark.readStream.schema("user_id bigint, value double")
+            .option("recursiveFileLookup", "true")
+            .parquet(feed)
+        )
+        st = src.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=WarmTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+            initialState=history.groupBy("user_id"),
+        )
+        q = (
+            st.writeStream.format("memory")
+            .queryName(view)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+        if prev_shuffle is None:
+            spark.conf.unset(shuffle_key)
+        else:
+            spark.conf.set(shuffle_key, prev_shuffle)
+        shutil.rmtree(feed, ignore_errors=True)
+    per_user = spark.table(view).groupBy("user_id").agg(
+        F.max(F.struct("n_events", "value_micros")).alias("fin")
+    ).select(
+        "user_id",
+        F.col("fin.n_events").alias("n"),
+        F.col("fin.value_micros").alias("micros"),
+    )
+    return (
+        per_user.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n").alias("n_events"),
+            F.sum("micros").alias("value_micros"),
+        )
+        .orderBy("user_bucket")
+    )
+
+
+_TWS_WARM_SQL = """
+WITH live_users AS (
+  SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 1
+),
+per_user AS (
+  SELECT e.user_id, COUNT(*) AS n,
+         SUM(CAST(floor(e.value * 1000000 + 0.5) AS BIGINT)) AS micros
+  FROM events e JOIN live_users l ON e.user_id = l.user_id
+  GROUP BY e.user_id
+)
+SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       COUNT(*) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(micros) AS BIGINT) AS value_micros
+FROM per_user
+GROUP BY 1
+ORDER BY user_bucket
+"""
+
+
 _TWS_RECENT_SQL = """
 WITH ranked AS (
   SELECT user_id, event_id,
@@ -1640,6 +1809,7 @@ QUERIES = {
     "stream_tws_user_totals": stream_tws_user_totals,
     "stream_tws_session_timeout": stream_tws_session_timeout,
     "stream_tws_event_type_profile": stream_tws_event_type_profile,
+    "stream_tws_warm_start": stream_tws_warm_start,
     "stream_tws_recent_events": stream_tws_recent_events,
     "watermark_lateness_audit": watermark_lateness_audit,
     "stream_cdc_merge_stats": stream_cdc_merge_stats,
@@ -1653,6 +1823,7 @@ ORACLES = {
     "stream_tws_user_totals": _TWS_TOTALS_SQL,
     "stream_tws_session_timeout": _TWS_TIMEOUT_SQL,
     "stream_tws_event_type_profile": _TWS_TYPES_SQL,
+    "stream_tws_warm_start": _TWS_WARM_SQL,
     "stream_tws_recent_events": _TWS_RECENT_SQL,
     "watermark_lateness_audit": _LATENESS_SQL,
     "stream_cdc_merge_stats": _STREAM_CDC_SQL,

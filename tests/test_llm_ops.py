@@ -1610,3 +1610,147 @@ def test_benford_audit_digits_complete_and_consistent(spark):
     for r in rows:
         assert r.benford_share == round(math.log10(1 + 1 / r.digit), 6)
         assert r.chi2_term >= 0
+
+
+def test_kcore_planted_graph_peels_correctly(spark):
+    """Planted-graph semantics: a 4-clique survives k=3; a 4-cycle survives
+    k=2 but not k=3; a chain and an isolated pair peel away at k=2."""
+    from datafusion_impl_spark.operators.graph import kcore_edges
+
+    pairs = [
+        # 4-clique on 1-4 (deg 3 each)
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        # 4-cycle on 10-13 (deg 2 each)
+        (10, 11), (11, 12), (12, 13), (13, 10),
+        # chain 20-23 (endpoints deg 1 -> whole chain peels at k=2)
+        (20, 21), (21, 22), (22, 23),
+        # isolated pair
+        (30, 31),
+    ]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs], ["s", "d"]
+    )
+    core2 = kcore_edges(spark, edges, 2)
+    nodes2 = {r.s for r in core2.select("s").distinct().collect()}
+    assert nodes2 == {1, 2, 3, 4, 10, 11, 12, 13}
+    core3 = kcore_edges(spark, edges, 3)
+    nodes3 = {r.s for r in core3.select("s").distinct().collect()}
+    assert nodes3 == {1, 2, 3, 4}
+
+
+def test_pq_refinement_never_hurts_recall(spark):
+    """Provable property of two-stage serving: every exact-top-5 member
+    that survives into the candidate set is kept by the exact re-rank, so
+    refined recall@5 >= raw-ADC recall@5 for EVERY query."""
+    from datafusion_impl_spark.operators.similarity import (
+        ann_pq_refine_recall,
+    )
+
+    rows = ann_pq_refine_recall(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.refined_hits_at_5 >= r.pq_hits_at_5
+        assert 0 <= r.refined_hits_at_5 <= 5
+
+
+def test_cusum_alarms_on_planted_mean_shift(spark, tmp_path):
+    """A planted +8-sigma-per-day sustained shift after day 40 must raise
+    positive CUSUM alarms only in the shifted regime (the detector's whole
+    point: accumulate evidence, alarm after the change, stay quiet
+    before)."""
+    from datafusion_impl_spark.plans.quality import daily_revenue_cusum
+
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    oid = 0
+    for day in range(80):
+        # stable regime ~100.00/day, shifted regime ~130.00/day, with a
+        # small deterministic wiggle so the std is nonzero
+        level = 100.0 if day < 40 else 130.0
+        price = level + (day % 5)
+        rows.append(
+            {
+                "o_orderkey": (oid := oid + 1),
+                "o_custkey": 1,
+                "o_orderstatus": "F",
+                "o_totalprice": price,
+                "o_orderdate": base + pd.Timedelta(days=day),
+                "o_orderpriority": "1-URGENT",
+            }
+        )
+    planted_dir = str(tmp_path / "sf_cusum")
+    spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.parquet(
+        f"{planted_dir}/orders.parquet"
+    )
+    out = {r.month: r for r in daily_revenue_cusum(spark, planted_dir).collect()}
+    # the shift lands on Feb 10, so January is purely pre-shift and March
+    # purely post-shift; February mixes both regimes and proves nothing
+    jan = [m for m in out if m < pd.Timestamp("2024-02-01").date()]
+    mar = [m for m in out if m >= pd.Timestamp("2024-03-01").date()]
+    assert jan and mar
+    assert sum(out[m].n_pos_alarms for m in jan) == 0
+    assert sum(out[m].n_pos_alarms for m in mar) > 0
+    # the GLOBAL baseline sits between the regimes, so the low (pre) regime
+    # symmetrically raises negative alarms, and the high regime drains S-
+    assert sum(out[m].n_neg_alarms for m in jan) > 0
+    assert sum(out[m].n_neg_alarms for m in mar) == 0
+
+    # cross-engine on the planted series too
+    import duckdb
+
+    from datafusion_impl_spark.plans.quality import _CUSUM_SQL
+    from tests.oracle_utils import compare_spark_duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{planted_dir}/orders.parquet/*.parquet')"
+    )
+    ok, msg = compare_spark_duckdb(
+        daily_revenue_cusum(spark, planted_dir), con, _CUSUM_SQL
+    )
+    assert ok, msg
+    con.close()
+
+
+def test_group_aware_split_prevents_leakage_docs_split_allows(spark):
+    """The operator's reason to exist: the group-aware ring leaks zero
+    near-dup pairs across splits (pinned in its own output), while the
+    plain doc-id ring DOES leak on this corpus — i.e. the fix is load-
+    bearing, not vacuous."""
+    from datafusion_impl_spark.operators.dedup import dedup_documents_minhash
+    from datafusion_impl_spark.operators.graph import split_group_aware
+    from datafusion_impl_spark.operators.sampling import (
+        _TRAIN_END,
+        _VAL_END,
+        _bucket,
+    )
+
+    rows = split_group_aware(spark, SF_DIR).collect()
+    assert {r.split for r in rows} == {"train", "val", "test"}
+    assert all(r.n_leaked_pairs == 0 for r in rows)
+    assert all(r.n_groups <= r.n_docs for r in rows)
+
+    pairs = dedup_documents_minhash(spark, SF_DIR).select("doc_a", "doc_b")
+    b = _bucket(F.col("doc_id"))
+    doc_split = (
+        F.when(b < _TRAIN_END, "train")
+        .when(b < _VAL_END, "val")
+        .otherwise("test")
+    )
+    from datafusion_impl_spark.operators.dedup import near_dup_corpus
+
+    assigned = near_dup_corpus(spark, SF_DIR).select(
+        "doc_id", doc_split.alias("split")
+    )
+    doc_level_leaks = (
+        pairs.join(
+            assigned.select(F.col("doc_id").alias("doc_a"),
+                            F.col("split").alias("sa")), "doc_a")
+        .join(
+            assigned.select(F.col("doc_id").alias("doc_b"),
+                            F.col("split").alias("sb")), "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert doc_level_leaks > 0, "doc-id split must leak on this corpus"

@@ -750,3 +750,47 @@ def test_tws_state_ttl_expires_between_batches(spark, dup_events_dir):
     ).first()
     assert rows.f == 2, "no-TTL state must survive into the second batch"
     assert rows.t == 1, "1ms-TTL state must have expired between batches"
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf",
+)
+def test_tws_warm_start_carries_batch_history(spark):
+    """initialState cutover semantics: the streamed totals must equal the
+    FULL per-user aggregate (even history seeded via handleInitialState +
+    odd live events), strictly exceeding the odd-only totals — i.e. no
+    history was lost at cutover."""
+    from datafusion_impl_spark.streaming import stream_tws_warm_start
+
+    got = {
+        r.user_bucket: (r.n_users, r.n_events, r.value_micros)
+        for r in stream_tws_warm_start(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    micros = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    live_users = ev.filter(F.col("event_id") % 2 == 1).select("user_id").distinct()
+    expected_df = (
+        ev.join(live_users, "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(micros).alias("s"))
+        .groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n").alias("n_events"),
+            F.sum("s").alias("value_micros"),
+        )
+    )
+    expected = {
+        r.user_bucket: (r.n_users, r.n_events, r.value_micros)
+        for r in expected_df.collect()
+    }
+    assert got == expected
+    odd_only = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    odd_counts = {r.user_bucket: r.n for r in odd_only.collect()}
+    for b, (_, n_events, _) in got.items():
+        assert n_events > odd_counts[b], "history must be included"
