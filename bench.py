@@ -146,6 +146,31 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf_val = _sf_value(sf_dir)
+    # Persist the FULL per-query payload into the repo: the bench driver
+    # keeps only a 2,000-char stdout tail, which loses per-query timings for
+    # all but the last ~45 queries — so cross-round per-query comparisons
+    # were impossible for most of the suite. This file is overwritten per
+    # full-suite run (subset runs skip it) and picked up by the end-of-round
+    # commit, giving the NEXT round a complete same-methodology baseline for
+    # scripts/bench_compare.py.
+    if not only:
+        payload = {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_val,
+            "canary_start": canary_start,
+            "canary_end": canary_end,
+        }
+        try:
+            out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "bench_runs")
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(out_dir, f"full_sf{sf_val}.json"), "w") as f:
+                json.dump(payload, f)
+        except OSError:
+            pass  # read-only checkout: stdout payload below still has it all
     # Full per-query payload first (for scripts/bench_compare.py and humans)...
     print(
         json.dumps(
