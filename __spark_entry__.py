@@ -168,6 +168,9 @@ _NEXT_ROTATION: list[str] = [
     "dedup_graph_kcore",                # new in r7 (k-core density census)
     "daily_revenue_cusum",              # new in r7 (CUSUM changepoint)
     "split_group_aware",                # new in r7 (leakage-proof group split)
+    "decontamination_semantic",         # new in r7 (embedding decontam screen)
+    "l_diversity_audit",                # new in r7 (attribute-disclosure census)
+    "mixture_reweight_step",            # new in r7 (DoReMi EG update)
 ]
 
 

@@ -215,6 +215,131 @@ ORDER BY source
 # 3. Temperature-scaled source mixture weights
 # --------------------------------------------------------------------------
 
+#: DoReMi-style step size for the exponentiated-gradient mixture update.
+_DOREMI_ETA = 1.0
+
+
+def mixture_reweight_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi-style domain-reweighting step (Xie et al. 2023,
+    simplified to its in-engine skeleton): per source, measure the excess
+    loss proxy — the source's cross-entropy under the GLOBAL unigram LM
+    (sources whose token distribution the corpus-wide model fits worst
+    score highest) — then update the token-share baseline weights by
+    exponentiated gradient, ``w_s ∝ u_s · exp(η · ce_s)``, normalized.
+    High-excess-loss domains get up-weighted for the next training round;
+    the output reports baseline vs updated weight and the delta per
+    source — the input a mixture scheduler consumes.
+
+    Determinism: token counts are exact; every ln rounds to 6 and the
+    cross-entropy numerators accumulate as DECIMAL (the zipf/OLS
+    discipline); exp() runs on the ROUNDED ce, each normalization term
+    rounds to 6 again, and the 20-term normalizer sums as DECIMAL — no
+    float sum-order anywhere.
+
+    Scale shape: one (source, token) aggregate joined to the broadcast
+    global token LM, then arithmetic on the 20-row source table."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    toks = docs.select("source", F.explode(tokens("text")).alias("tok"))
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_st"))
+    glob = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_t"))
+    total = glob.agg(F.sum("c_t").cast("long").alias("n_total"))
+    # -ln p_global(tok), rounded — the per-token surprise under the corpus LM
+    nll = F.round(
+        -F.log(F.col("c_t") / F.col("n_total")), 6
+    )
+    ce = (
+        st.join(glob, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "c_st",
+            (F.col("c_st").cast("decimal(24,8)") * nll).cast(
+                "decimal(24,8)"
+            ).alias("w_nll"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("c_st").cast("long").alias("n_tokens"),
+            F.sum("w_nll").alias("sum_nll"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.round(
+                F.col("sum_nll").cast("double") / F.col("n_tokens"), 6
+            ).alias("ce"),
+        )
+    )
+    corpus = ce.agg(F.sum("n_tokens").cast("long").alias("n_corpus"))
+    terms = ce.crossJoin(F.broadcast(corpus)).select(
+        "source",
+        "n_tokens",
+        "ce",
+        F.round(F.col("n_tokens") / F.col("n_corpus"), 6).alias("base_weight"),
+        F.round(
+            (F.col("n_tokens") / F.col("n_corpus"))
+            * F.exp(F.lit(_DOREMI_ETA) * F.col("ce")),
+            6,
+        ).alias("term"),
+    )
+    z = terms.agg(
+        F.sum(F.col("term").cast("decimal(24,8)")).alias("z")
+    )
+    return (
+        terms.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_tokens",
+            "ce",
+            "base_weight",
+            F.round(F.col("term") / F.col("z").cast("double"), 6).alias(
+                "new_weight"
+            ),
+            F.round(
+                F.col("term") / F.col("z").cast("double")
+                - F.col("base_weight"),
+                6,
+            ).alias("weight_delta"),
+        )
+        .orderBy("source")
+    )
+
+
+_DOREMI_SQL = rf"""
+WITH toks AS (
+  SELECT source, unnest({_DUCK_TOKENS.format(col='text')}) AS tok
+  FROM documents
+),
+st AS (SELECT source, tok, COUNT(*) AS c_st FROM toks GROUP BY source, tok),
+glm AS (SELECT tok, COUNT(*) AS c_t FROM toks GROUP BY tok),
+total AS (SELECT SUM(c_t) AS n_total FROM glm),
+ce AS (
+  SELECT s.source,
+         CAST(SUM(s.c_st) AS BIGINT) AS n_tokens,
+         ROUND(CAST(SUM(CAST(CAST(s.c_st AS DECIMAL(24,8))
+                    * ROUND(-ln(CAST(g.c_t AS DOUBLE) / t.n_total), 6)
+                    AS DECIMAL(24,8))) AS DOUBLE)
+               / SUM(s.c_st), 6) AS ce
+  FROM st s JOIN glm g USING (tok), total t
+  GROUP BY s.source
+),
+corpus AS (SELECT SUM(n_tokens) AS n_corpus FROM ce),
+terms AS (
+  SELECT source, n_tokens, ce,
+         ROUND(CAST(n_tokens AS DOUBLE) / n_corpus, 6) AS base_weight,
+         ROUND(CAST(n_tokens AS DOUBLE) / n_corpus
+               * exp({_DOREMI_ETA} * ce), 6) AS term
+  FROM ce, corpus
+),
+z AS (SELECT SUM(CAST(term AS DECIMAL(24,8))) AS z FROM terms)
+SELECT source, n_tokens, ce, base_weight,
+       ROUND(term / CAST(z.z AS DOUBLE), 6) AS new_weight,
+       ROUND(term / CAST(z.z AS DOUBLE) - base_weight, 6) AS weight_delta
+FROM terms, z
+ORDER BY source
+"""
+
+
 def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing table for training: per source, token count n_i, the
     temperature-scaled sampling probability p_i ∝ n_i^alpha (alpha = 0.5
@@ -933,6 +1058,7 @@ _LICENSE_GATE_SQL = _license_gate_oracle()
 
 
 QUERIES = {
+    "mixture_reweight_step": mixture_reweight_step,
     "license_policy_gate": license_policy_gate,
     "corpus_novelty_curve": corpus_novelty_curve,
     "dedup_paragraphs_global": dedup_paragraphs_global,
@@ -954,6 +1080,7 @@ def _rep_coverage_oracle() -> str:
 
 
 ORACLES = {
+    "mixture_reweight_step": _DOREMI_SQL,
     "license_policy_gate": _LICENSE_GATE_SQL,
     "corpus_novelty_curve": _NOVELTY_SQL,
     "dedup_paragraphs_global": _PARA_SQL,

@@ -272,6 +272,109 @@ ORDER BY q_id, rank
 """
 
 
+#: Semantic-decontamination threshold (cosine) and eval-set selector.
+_DECON_TAU = 0.8
+_DECON_EVAL_MOD = 50
+
+
+def decontamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-space sibling of
+    the n-gram ``benchmark_decontamination``: paraphrased or lightly
+    edited eval contamination that shares no 5-gram still lands next to
+    its source in embedding space, so production pipelines (GPT-3 appendix
+    C onward) run BOTH screens. Held-out "benchmark" vectors (vec_id %
+    {mod} = 0) are screened against the training corpus through the IVF
+    coarse index: a same-cell training vector with cosine >= {tau} marks
+    the eval vector contaminated. Reported per cell: eval/train census,
+    contaminated count, and the worst offender similarity.
+
+    nprobe=1 by design (same single-cell probe as ``ann_ivf_topk``):
+    recall of the screen is the IVF cell-assignment recall, which the
+    nprobe sweep query already characterizes; the DuckDB oracle replays
+    the same single-cell probe, so the check is exact about what the
+    screen actually computes.
+
+    Scale shape: the screen is an equi-join on the cell id — on a
+    cell-partitioned corpus layout a pruned scan per eval vector, never a
+    corpus cross-join; the flag aggregates per eval vector before the
+    8-row cell census."""
+    e = _vectors(spark, sf_dir)
+    assign = materialize(_ivf_assign(e))
+    ev = assign.filter(F.col("vec_id") % _DECON_EVAL_MOD == 0).select(
+        F.col("vec_id").alias("e_id"),
+        F.col("v").alias("ev"),
+        F.col("nrm").alias("e_nrm"),
+        "bucket",
+    )
+    tr = assign.filter(F.col("vec_id") % _DECON_EVAL_MOD != 0)
+    cos = _dot(F.col("ev"), F.col("v")) / (F.col("e_nrm") * F.col("nrm"))
+    per_eval = (
+        ev.join(tr, "bucket")
+        .select("bucket", "e_id", F.round(cos, 6).alias("c"))
+        .groupBy("bucket", "e_id")
+        .agg(F.max("c").alias("max_c"))
+    )
+    flags = per_eval.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.count_if(F.col("max_c") >= _DECON_TAU)
+        .cast("long")
+        .alias("n_contaminated"),
+        F.round(F.max("max_c"), 6).alias("worst_cos"),
+    )
+    census = tr.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_train"))
+    return (
+        flags.join(census, "bucket", "full_outer")
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.coalesce("n_eval", F.lit(0).cast("long")).alias("n_eval"),
+            F.coalesce("n_train", F.lit(0).cast("long")).alias("n_train"),
+            F.coalesce("n_contaminated", F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
+            "worst_cos",
+        )
+        .orderBy("bucket")
+    )
+
+
+_DECON_SEMANTIC_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_N_CENTROIDS}),
+assign AS (
+  SELECT vec_id, v, cid AS bucket FROM (
+    SELECT e.vec_id, e.v, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(e.v, cent.cv), 6) DESC,
+                                       cent.cid) AS arn
+    FROM e, cent)
+  WHERE arn = 1
+),
+ev AS (SELECT vec_id AS e_id, v AS evec, bucket FROM assign
+       WHERE vec_id % {_DECON_EVAL_MOD} = 0),
+tr AS (SELECT * FROM assign WHERE vec_id % {_DECON_EVAL_MOD} <> 0),
+per_eval AS (
+  SELECT ev.bucket, ev.e_id,
+         MAX(ROUND(list_cosine_similarity(ev.evec, tr.v), 6)) AS max_c
+  FROM ev JOIN tr USING (bucket)
+  GROUP BY ev.bucket, ev.e_id
+),
+flags AS (
+  SELECT bucket, COUNT(*) AS n_eval,
+         count_if(max_c >= {_DECON_TAU}) AS n_contaminated,
+         ROUND(MAX(max_c), 6) AS worst_cos
+  FROM per_eval GROUP BY bucket
+),
+census AS (SELECT bucket, COUNT(*) AS n_train FROM tr GROUP BY bucket)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       CAST(COALESCE(f.n_eval, 0) AS BIGINT) AS n_eval,
+       CAST(COALESCE(c.n_train, 0) AS BIGINT) AS n_train,
+       CAST(COALESCE(f.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       f.worst_cos
+FROM census c FULL OUTER JOIN flags f USING (bucket)
+ORDER BY bucket
+"""
+
+
 def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the embedding space
     with the IVF coarse quantizer, then inside each cluster drop every vector
@@ -2649,6 +2752,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "dedup_semantic_ivf": dedup_semantic_ivf,
+    "decontamination_semantic": decontamination_semantic,
     "ann_lsh_ml_topk": ann_lsh_ml_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_label_centroids": embedding_label_centroids,
@@ -2660,6 +2764,7 @@ QUERIES = {
 ORACLES = {
     "ann_opq_subspace_balance": _OPQ_SQL,
     "ann_pq_refine_recall": _PQ_REFINE_SQL,
+    "decontamination_semantic": _DECON_SEMANTIC_SQL,
     "embedding_cluster_silhouette": _SILHOUETTE_SQL,
     "embedding_snapshot_drift": _SNAPSHOT_DRIFT_SQL,
     "ann_knn_graph_ivf": _KNN_GRAPH_SQL,

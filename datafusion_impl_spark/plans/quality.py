@@ -1184,6 +1184,71 @@ ORDER BY month
 """
 
 
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity census — the attribute-disclosure audit k-anonymity
+    misses (Machanavajjhala et al. 2007): a class can hold >= k people and
+    still leak the sensitive attribute if all of them SHARE it. Over the
+    same quasi-identifier classes as ``k_anonymity_audit`` (nation x $100
+    balance band) with market segment as the sensitive attribute, report
+    the full diversity histogram: for each distinct-sensitive-value count
+    l, how many classes and customers sit at exactly that diversity — the
+    l=1 row is the homogeneity-attack surface (everyone in the class is
+    revealed), rows below a policy l are the suppression cost.
+
+    Same scale shape as the k-anonymity census: one groupBy over the QI
+    tuple (+ COUNT DISTINCT of one bounded attribute), then arithmetic on
+    the metadata-sized histogram. Exact integer ratios."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        (F.floor(F.col("c_acctbal") / 100) * 100).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    classes = cust.groupBy("c_nationkey", "bal_band").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.count_distinct("c_mktsegment").alias("diversity"),
+    )
+    hist = classes.groupBy("diversity").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_customers"),
+    )
+    total = hist.agg(F.sum("n_customers").cast("long").alias("n_total"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            F.col("diversity").cast("int").alias("diversity"),
+            "n_classes",
+            "n_customers",
+            F.round(F.col("n_customers") / F.col("n_total"), 6).alias(
+                "frac_customers"
+            ),
+        )
+        .orderBy("diversity")
+    )
+
+
+_L_DIVERSITY_SQL = """
+WITH classes AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / 100) * 100 AS BIGINT) AS bal_band,
+         COUNT(*) AS class_size,
+         COUNT(DISTINCT c_mktsegment) AS diversity
+  FROM customer
+  GROUP BY 1, 2
+),
+hist AS (
+  SELECT diversity, COUNT(*) AS n_classes, SUM(class_size) AS n_customers
+  FROM classes GROUP BY diversity
+),
+total AS (SELECT SUM(n_customers) AS n_total FROM hist)
+SELECT CAST(diversity AS INTEGER) AS diversity,
+       CAST(n_classes AS BIGINT) AS n_classes,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       ROUND(CAST(n_customers AS DOUBLE) / n_total, 6) AS frac_customers
+FROM hist, total
+ORDER BY diversity
+"""
+
+
 def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit audit over order totals — the classic
     fabricated-data / ETL-corruption screen a warehouse runs on monetary
@@ -1259,6 +1324,7 @@ ORDER BY digit
 
 
 QUERIES = {
+    "l_diversity_audit": l_diversity_audit,
     "daily_revenue_cusum": daily_revenue_cusum,
     "benford_price_audit": benford_price_audit,
     "zorder_layout_effectiveness": zorder_layout_effectiveness,
@@ -1275,6 +1341,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "l_diversity_audit": _L_DIVERSITY_SQL,
     "daily_revenue_cusum": _CUSUM_SQL,
     "benford_price_audit": _BENFORD_SQL,
     "zorder_layout_effectiveness": _ZORDER_SQL,

@@ -1754,3 +1754,67 @@ def test_group_aware_split_prevents_leakage_docs_split_allows(spark):
         .count()
     )
     assert doc_level_leaks > 0, "doc-id split must leak on this corpus"
+
+
+def test_semantic_decontamination_census_is_consistent(spark):
+    """Structural pins: every coarse cell reported once, eval+train censuses
+    conserve the corpus split, contamination never exceeds the eval count,
+    and cosines stay in range."""
+    from datafusion_impl_spark.operators.similarity import (
+        _DECON_EVAL_MOD,
+        decontamination_semantic,
+        _vectors,
+    )
+
+    rows = decontamination_semantic(spark, SF_DIR).collect()
+    n_vec = _vectors(spark, SF_DIR).count()
+    n_eval_total = _vectors(spark, SF_DIR).filter(
+        F.col("vec_id") % _DECON_EVAL_MOD == 0
+    ).count()
+    assert sum(r.n_eval for r in rows) == n_eval_total
+    assert sum(r.n_train for r in rows) == n_vec - n_eval_total
+    for r in rows:
+        assert 0 <= r.n_contaminated <= r.n_eval
+        if r.worst_cos is not None:
+            assert -1.0 <= r.worst_cos <= 1.0
+
+
+def test_l_diversity_histogram_conserves_classes(spark):
+    """The diversity histogram must conserve the QI-class and customer
+    counts, and diversity is bounded by the 5 TPC-H market segments."""
+    from datafusion_impl_spark.plans.quality import l_diversity_audit
+    from datafusion_impl_spark.sources.registry import load_table
+
+    rows = l_diversity_audit(spark, SF_DIR).collect()
+    cust = load_table(spark, SF_DIR, "customer")
+    n_customers = cust.count()
+    n_classes = (
+        cust.select(
+            "c_nationkey",
+            (F.floor(F.col("c_acctbal") / 100) * 100).alias("b"),
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == n_customers
+    assert sum(r.n_classes for r in rows) == n_classes
+    for r in rows:
+        assert 1 <= r.diversity <= 5
+    assert abs(sum(r.frac_customers for r in rows) - 1.0) < 1e-4
+
+
+def test_mixture_reweight_step_is_a_valid_eg_update(spark):
+    """Both weight columns are distributions (sum 1), deltas sum to 0, and
+    the exponentiated-gradient direction holds: the worst-fit (max-ce)
+    source is up-weighted, the best-fit down-weighted."""
+    from datafusion_impl_spark.operators.curation import mixture_reweight_step
+
+    rows = mixture_reweight_step(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    assert abs(sum(r.base_weight for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.new_weight for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.weight_delta for r in rows)) < 1e-3
+    worst = max(rows, key=lambda r: r.ce)
+    best = min(rows, key=lambda r: r.ce)
+    assert worst.weight_delta > 0
+    assert best.weight_delta < 0
