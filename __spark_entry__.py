@@ -171,6 +171,7 @@ _NEXT_ROTATION: list[str] = [
     "decontamination_semantic",         # new in r7 (embedding decontam screen)
     "l_diversity_audit",                # new in r7 (attribute-disclosure census)
     "mixture_reweight_step",            # new in r7 (DoReMi EG update)
+    "dedup_token_savings",              # new in r7 (dedup token ledger)
 ]
 
 

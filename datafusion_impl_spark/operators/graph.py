@@ -524,6 +524,107 @@ ORDER BY split
 _GROUP_SPLIT_SQL = _group_split_oracle()
 
 
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-adjusted corpus accounting — the number a training-data team
+    actually reports: per language, raw token mass vs the mass surviving
+    near-dup cluster collapse (keep the cluster-canonical doc, drop the
+    rest), and the fraction of the token budget dedup buys back. Composes
+    the MinHash pair graph, connected components, and whitespace token
+    counts into one ledger: singleton docs keep their tokens; a cluster
+    contributes only its canonical member's tokens.
+
+    Scale shape: components over the bounded pair graph; token counts are
+    a map-side ``size(split())`` projection aggregated per (lang) — the
+    corpus text is scanned once and never shuffled (only the per-doc
+    token COUNT moves)."""
+    from datafusion_impl_spark.operators.dedup import near_dup_corpus
+    from datafusion_impl_spark.operators.text import tokens
+
+    corpus = near_dup_corpus(spark, sf_dir).select(
+        "doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    pairs = (
+        dedup_documents_minhash(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    comp = connected_components(pairs)
+    keep = corpus.join(comp, "doc_id", "left").withColumn(
+        "survives",
+        F.coalesce("component", "doc_id") == F.col("doc_id"),
+    )
+    return (
+        keep.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("raw_tokens"),
+            F.sum(F.when(F.col("survives"), F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("surviving_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "raw_tokens",
+            "surviving_tokens",
+            (F.col("raw_tokens") - F.col("surviving_tokens")).alias(
+                "saved_tokens"
+            ),
+            F.round(
+                (F.col("raw_tokens") - F.col("surviving_tokens"))
+                / F.col("raw_tokens"),
+                6,
+            ).alias("saved_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _token_savings_oracle() -> str:
+    from datafusion_impl_spark.operators.text import _DUCK_TOKENS
+
+    n_tok = f"CAST(len({_DUCK_TOKENS.format(col='text')}) AS BIGINT)"
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({_MINHASH_SQL}) minhash_pairs
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+comp AS (SELECT s AS doc_id, MIN(d) AS component FROM reach GROUP BY s),
+corpus2 AS (
+  SELECT doc_id, lang, {n_tok} AS n_tok FROM ({_CORPUS_SQL}) c
+),
+keep AS (
+  SELECT c.lang, c.n_tok,
+         COALESCE(p.component, c.doc_id) = c.doc_id AS survives
+  FROM corpus2 c LEFT JOIN comp p ON c.doc_id = p.doc_id
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+       CAST(SUM(CASE WHEN survives THEN n_tok ELSE 0 END) AS BIGINT)
+         AS surviving_tokens,
+       CAST(SUM(n_tok) - SUM(CASE WHEN survives THEN n_tok ELSE 0 END)
+            AS BIGINT) AS saved_tokens,
+       ROUND(CAST(SUM(n_tok) - SUM(CASE WHEN survives THEN n_tok ELSE 0 END)
+             AS DOUBLE) / SUM(n_tok), 6) AS saved_frac
+FROM keep
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+_TOKEN_SAVINGS_SQL = _token_savings_oracle()
+
+
 _PR_DAMPING = 0.85
 _PR_ITERS = 5
 
@@ -901,6 +1002,7 @@ FROM wedge, edges, tri
 
 QUERIES = {
     "dedup_graph_kcore": dedup_graph_kcore,
+    "dedup_token_savings": dedup_token_savings,
     "split_group_aware": split_group_aware,
     "dedup_label_communities": dedup_label_communities,
     "dedup_community_bridges": dedup_community_bridges,
@@ -912,6 +1014,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_graph_kcore": _KCORE_SQL,
+    "dedup_token_savings": _TOKEN_SAVINGS_SQL,
     "split_group_aware": _GROUP_SPLIT_SQL,
     "dedup_label_communities": _LPA_SQL,
     "dedup_community_bridges": _BRIDGES_SQL,

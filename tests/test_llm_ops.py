@@ -1818,3 +1818,16 @@ def test_mixture_reweight_step_is_a_valid_eg_update(spark):
     best = min(rows, key=lambda r: r.ce)
     assert worst.weight_delta > 0
     assert best.weight_delta < 0
+
+
+def test_dedup_token_savings_ledger_is_conserved(spark):
+    """raw = surviving + saved per language; savings strictly positive
+    overall (planted near-dups exist) and never exceed the raw mass."""
+    from datafusion_impl_spark.operators.graph import dedup_token_savings
+
+    rows = dedup_token_savings(spark, SF_DIR).collect()
+    assert len(rows) >= 3
+    for r in rows:
+        assert r.raw_tokens == r.surviving_tokens + r.saved_tokens
+        assert 0 <= r.saved_frac < 1
+    assert sum(r.saved_tokens for r in rows) > 0
