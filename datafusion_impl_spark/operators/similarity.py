@@ -308,8 +308,12 @@ def decontamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tr = assign.filter(F.col("vec_id") % _DECON_EVAL_MOD != 0)
     cos = _dot(F.col("ev"), F.col("v")) / (F.col("e_nrm") * F.col("nrm"))
+    # LEFT join (r8, ADVICE): an eval vector whose cell holds zero training
+    # vectors must still be COUNTED in n_eval (max_c stays NULL, so it can
+    # never flag contaminated) — otherwise the per-cell eval census
+    # undercounts and sum(n_eval) != |eval set|.
     per_eval = (
-        ev.join(tr, "bucket")
+        ev.join(tr, "bucket", "left")
         .select("bucket", "e_id", F.round(cos, 6).alias("c"))
         .groupBy("bucket", "e_id")
         .agg(F.max("c").alias("max_c"))
@@ -353,9 +357,11 @@ ev AS (SELECT vec_id AS e_id, v AS evec, bucket FROM assign
        WHERE vec_id % {_DECON_EVAL_MOD} = 0),
 tr AS (SELECT * FROM assign WHERE vec_id % {_DECON_EVAL_MOD} <> 0),
 per_eval AS (
+  -- LEFT join mirrors the Spark side: eval-only cells keep their eval
+  -- census row with max_c NULL (never contaminated).
   SELECT ev.bucket, ev.e_id,
          MAX(ROUND(list_cosine_similarity(ev.evec, tr.v), 6)) AS max_c
-  FROM ev JOIN tr USING (bucket)
+  FROM ev LEFT JOIN tr USING (bucket)
   GROUP BY ev.bucket, ev.e_id
 ),
 flags AS (

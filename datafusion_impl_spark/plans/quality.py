@@ -1089,7 +1089,17 @@ def daily_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")
     sxx = F.col("sxx").cast("double")
-    std = F.sqrt((n * sxx - sx * sx) / (n * n))
+    # Zero-variance guard (same recipe as ab_experiment_analysis above and
+    # token_zipf_fit in operators/text.py): an all-equal daily series gives
+    # variance 0 — Spark's non-ANSI divide would yield NULL while DuckDB
+    # yields ±inf — and the double-cast moment difference can round to a
+    # tiny NEGATIVE, making sqrt NaN.  Clamp at 0, NULLIF, so std (and hence
+    # z, the prefixes, and every cusum column) pins to NULL consistently in
+    # both engines.
+    var = F.nullif(
+        F.greatest((n * sxx - sx * sx) / (n * n), F.lit(0.0)), F.lit(0.0)
+    )
+    std = F.sqrt(var)
     z = F.round((F.col("c") - sx / n) / std, 6)
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     zed = daily.crossJoin(F.broadcast(mom)).select(
@@ -1148,9 +1158,14 @@ mom AS (
 ),
 zed AS (
   SELECT day,
+         -- zero-variance guard: clamp-at-0 + NULLIF, mirroring the Spark
+         -- side, so a flat series pins z (and every cusum column) to NULL
+         -- in BOTH engines instead of DuckDB's +-inf vs Spark's NULL.
          ROUND((c - CAST(sx AS DOUBLE) / n)
-               / sqrt((n * CAST(sxx AS DOUBLE)
-                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (n * n)),
+               / sqrt(NULLIF(GREATEST(
+                     (n * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (n * n),
+                     0), 0)),
                6) AS z
   FROM daily, mom
 ),
@@ -1188,8 +1203,9 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l-diversity census — the attribute-disclosure audit k-anonymity
     misses (Machanavajjhala et al. 2007): a class can hold >= k people and
     still leak the sensitive attribute if all of them SHARE it. Over the
-    same quasi-identifier classes as ``k_anonymity_audit`` (nation x $100
-    balance band) with market segment as the sensitive attribute, report
+    ``k_anonymity_audit`` QI minus the sensitive attribute — nation x $100
+    balance band, dropping ``c_mktsegment`` because it is exactly the
+    attribute this audit treats as sensitive — report
     the full diversity histogram: for each distinct-sensitive-value count
     l, how many classes and customers sit at exactly that diversity — the
     l=1 row is the homogeneity-attack surface (everyone in the class is

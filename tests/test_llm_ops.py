@@ -1713,6 +1713,55 @@ def test_cusum_alarms_on_planted_mean_shift(spark, tmp_path):
     con.close()
 
 
+def test_cusum_flat_series_pins_null(spark, tmp_path):
+    """r7 verdict latent divergence: an all-equal daily revenue series gives
+    variance 0, so the z denominator divides by zero — Spark's non-ANSI
+    divide yields NULL while DuckDB evaluates ±inf — and the double-cast
+    moment difference can round slightly negative (sqrt → NaN).  The r8
+    clamp-at-0 + NULLIF guard must pin z, both cusum columns, and both max
+    columns to NULL (alarms to 0) identically in BOTH engines."""
+    import duckdb
+
+    from datafusion_impl_spark.plans.quality import (
+        _CUSUM_SQL,
+        daily_revenue_cusum,
+    )
+    from tests.oracle_utils import compare_spark_duckdb
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        {
+            "o_orderkey": day + 1,
+            "o_custkey": 1,
+            "o_orderstatus": "F",
+            "o_totalprice": 100.0,  # identical every day -> std = 0
+            "o_orderdate": base + pd.Timedelta(days=day),
+            "o_orderpriority": "1-URGENT",
+        }
+        for day in range(40)
+    ]
+    planted_dir = str(tmp_path / "sf_cusum_flat")
+    spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.parquet(
+        f"{planted_dir}/orders.parquet"
+    )
+    out = daily_revenue_cusum(spark, planted_dir).collect()
+    assert len(out) == 2  # Jan + Feb months present even when degenerate
+    for r in out:
+        assert r.n_pos_alarms == 0 and r.n_neg_alarms == 0
+        assert r.max_cusum_pos is None and r.max_cusum_neg is None
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{planted_dir}/orders.parquet/*.parquet')"
+    )
+    ok, msg = compare_spark_duckdb(
+        daily_revenue_cusum(spark, planted_dir), con, _CUSUM_SQL
+    )
+    assert ok, msg
+    con.close()
+
+
 def test_group_aware_split_prevents_leakage_docs_split_allows(spark):
     """The operator's reason to exist: the group-aware ring leaks zero
     near-dup pairs across splits (pinned in its own output), while the
@@ -1777,6 +1826,61 @@ def test_semantic_decontamination_census_is_consistent(spark):
         assert 0 <= r.n_contaminated <= r.n_eval
         if r.worst_cos is not None:
             assert -1.0 <= r.worst_cos <= 1.0
+
+
+def test_semantic_decontamination_counts_eval_only_cells(spark, tmp_path):
+    """r7 ADVICE: an eval vector whose IVF cell contains ZERO training
+    vectors used to vanish from the census (inner join).  Plant exactly that
+    shape — centroid 0's cell attracts only eval vectors — and require the
+    eval census to conserve, the eval-only cell to report max_c NULL /
+    0 contaminated, and both engines to agree."""
+    import duckdb
+
+    from datafusion_impl_spark.operators.similarity import (
+        _DECON_SEMANTIC_SQL,
+        decontamination_semantic,
+    )
+    from tests.oracle_utils import compare_spark_duckdb
+
+    # 8 centroids = vec_id 0..7; eval = vec_id % 50 == 0.  Axis-aligned
+    # 8-dim unit vectors: vec i (i<8) is axis i.  Training vectors (all
+    # other non-multiples of 50) sit on axis 1; the extra eval vectors
+    # (50, 100) sit on axis 0 — so cell 0 = {0, 50, 100}, all eval.
+    def axis(i):
+        v = [0.0] * 8
+        v[i] = 1.0
+        return v
+
+    rows = []
+    for vid in range(110):
+        if vid < 8:
+            emb = axis(vid)
+        elif vid % 50 == 0:
+            emb = axis(0)
+        else:
+            emb = axis(1)
+        rows.append({"vec_id": vid, "embedding": emb, "label": 0})
+    pdf = pd.DataFrame(rows)
+    planted_dir = str(tmp_path / "sf_decon")
+    spark.createDataFrame(
+        pdf, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{planted_dir}/embeddings.parquet")
+
+    out = {r.bucket: r for r in decontamination_semantic(spark, planted_dir).collect()}
+    assert sum(r.n_eval for r in out.values()) == 3  # 0, 50, 100
+    assert out[0].n_eval == 3 and out[0].n_train == 0
+    assert out[0].n_contaminated == 0 and out[0].worst_cos is None
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{planted_dir}/embeddings.parquet/*.parquet')"
+    )
+    ok, msg = compare_spark_duckdb(
+        decontamination_semantic(spark, planted_dir), con, _DECON_SEMANTIC_SQL
+    )
+    assert ok, msg
+    con.close()
 
 
 def test_l_diversity_histogram_conserves_classes(spark):
