@@ -92,70 +92,19 @@ _MODULES = [
 #       oracled at r6's START has a driver row — terminal coverage for the
 #       pre-r6 registry; the 10 NEW r6 operators (registry now 247, 240
 #       oracled) queue in _NEXT_ROTATION for r7.
-#   r7 (this list): the 10 r6-new queries (r6's _NEXT_ROTATION, all
-#       judge-verified local-oracle PASS in the r6 session) + the 37 queries
-#       whose newest driver row is still r2 + 3 oldest-r3 LLM flagships.
-#       After r7, no oracled query's newest evidence predates r3.
+#   r7: the 10 r6-new queries (r6's _NEXT_ROTATION, all judge-verified
+#       local-oracle PASS in the r6 session) + the 37 queries whose newest
+#       driver row was still r2 + 3 oldest-r3 LLM flagships. After r7, no
+#       oracled query's newest evidence predates r3. The 50/50 went green.
+#   r9 (this list; r8 was a 31-turn short round that never rotated): the 16
+#       r7-new queries (r7's _NEXT_ROTATION verbatim — the ONLY oracled
+#       queries without a driver row, all judge-verified local-oracle PASS
+#       in the r7 session) + 34 of the 45 queries whose newest driver row
+#       is still CORRECTNESS_r03. The 11 remaining r3-evidence queries queue
+#       in _NEXT_ROTATION ahead of the r9-new operators, so after r10 the
+#       evidence recency floor moves to r4.
 _PRIORITY = [
-    # --- the 10 r6-new queries (r6's _NEXT_ROTATION, verbatim) ---
-    "multimodal_bmp_decode_stats",      # new in r6 (real BMP pixel decode)
-    "ann_residual_pq_recall",           # new in r6 (FAISS-style residual PQ)
-    "stream_tws_user_totals",           # new in r6 (transformWithState runtime)
-    "dedup_substring_spans",            # new in r6 (ExactSubstr span dedup)
-    "ann_sq8_recall",                   # new in r6 (scalar-quantized ANN)
-    "zorder_layout_effectiveness",      # new in r6 (Morton layout skipping)
-    "interval_overlap_sessions",        # new in r6 (interval-interval join)
-    "stream_tws_recent_events",         # new in r6 (TWS ListState, 2 batches)
-    "heavy_hitters_cms",                # new in r6 (count-min sketch audit)
-    "token_zipf_fit",                   # new in r6 (Zipf OLS; r7 0-var guard)
-    # --- 37 r2-only-evidence pads (every oracled query whose newest driver
-    # row is still CORRECTNESS_r02) ---
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q12_priority_lateness",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "cube_lineitem_flags",
-    "distinct_segments",
-    "events_daily_gapfill",
-    "events_locf_imputation",
-    "full_outer_nation_accounts",
-    "grouped_zscore_doclen",
-    "grouping_sets_events",
-    "higher_order_array_ops",
-    "map_functions_order_flags",
-    "min_price_part_per_brand",
-    "pivot_segment_by_status",
-    "regexp_docs_first_word",
-    "regexp_events_props",
-    "regexp_extract_all_props",
-    "set_except_all_priorities",
-    "set_except_nations",
-    "set_intersect_all_priorities",
-    "set_intersect_nations",
-    "topk_expensive_orders",
-    "udaf_geometric_mean_events",
-    "unpivot_part_measures",
-    "window_event_gaps",
-    "window_rank_family",
-    # --- 3 oldest-r3 pads (LLM-layer flagships unchecked since r3) ---
-    "dedup_documents_exact",
-    "dedup_documents_minhash",
-    "ann_cosine_topk",
-]
-
-# Beyond the 50-query window: the r7 rotation queue — queries added this
-# round are appended here as they land, to lead next round's window.
-_NEXT_ROTATION: list[str] = [
+    # --- the 16 r7-new queries (r7's _NEXT_ROTATION, verbatim) ---
     "multimodal_wav_decode_stats",      # new in r7 (real RIFF/WAVE decode)
     "stream_tws_session_timeout",       # new in r7 (TWS event-time timers)
     "ann_opq_subspace_balance",         # new in r7 (OPQ permutation vs PQ)
@@ -166,12 +115,70 @@ _NEXT_ROTATION: list[str] = [
     "stream_tws_warm_start",            # new in r7 (TWS initialState cutover)
     "ann_pq_refine_recall",             # new in r7 (two-stage ADC+exact serve)
     "dedup_graph_kcore",                # new in r7 (k-core density census)
-    "daily_revenue_cusum",              # new in r7 (CUSUM changepoint)
+    "daily_revenue_cusum",              # new in r7 (CUSUM; r8 0-var guard)
     "split_group_aware",                # new in r7 (leakage-proof group split)
-    "decontamination_semantic",         # new in r7 (embedding decontam screen)
+    "decontamination_semantic",         # new in r7 (decontam; r8 left-join fix)
     "l_diversity_audit",                # new in r7 (attribute-disclosure census)
     "mixture_reweight_step",            # new in r7 (DoReMi EG update)
     "dedup_token_savings",              # new in r7 (dedup token ledger)
+    # --- 34 oldest-evidence pads (newest driver row still CORRECTNESS_r03;
+    # LLM-pipeline layer, modules unchanged-or-retested since) ---
+    "dedup_documents_survivors",
+    "dedup_incremental_batch",
+    "dedup_documents_ngram",
+    "dedup_documents_simhash",
+    "stream_near_dup_flags",
+    "dedup_cluster_components",
+    "dedup_near_survivors",
+    "ann_ivf_topk",
+    "embedding_near_dup_pairs",
+    "embedding_label_centroids",
+    "ann_truncated_recall",
+    "ann_ivf_recall_sweep",
+    "text_token_stats",
+    "text_tfidf_top_terms",
+    "corpus_curation_funnel",
+    "benchmark_decontamination",
+    "text_tokenize_ids",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "text_pii_redaction",
+    "text_repetition_stats",
+    "text_perplexity_proxy",
+    "sample_documents_stratified",
+    "corpus_split_assignment",
+    "pack_documents_by_token_budget",
+    "corpus_shuffle_order",
+    "dedup_paragraphs_global",
+    "dedup_documents_url",
+    "source_mixture_weights",
+    "embedding_quantization_report",
+    "repeated_ngram_coverage",
+    "source_overlap_matrix",
+]
+
+# Beyond the 50-query window: the r9 rotation queue — the 11 remaining
+# r3-evidence queries lead, then queries added this round are appended as
+# they land, to head next round's window.
+_NEXT_ROTATION: list[str] = [
+    # --- 11 remaining r3-evidence pads (complete the r3 floor in r10) ---
+    "events_props_struct",
+    "events_daily_k_histogram",
+    "props_kv_udtf_stats",
+    "events_props_malformed_audit",
+    "multimodal_media_features",
+    "multimodal_frame_samples",
+    "multimodal_exact_dedup",
+    "chunk_documents_sliding",
+    "source_temperature_mixture",
+    "dedup_documents_containment",
+    "embedding_dimension_stats",
+    # --- new in r9 ---
+    "text_html_extract",       # new in r9 (boilerplate strip + link density)
+    "bpe_encode_corpus",       # new in r9 (BPE merge APPLICATION / encoding)
+    "stream_ann_adc_topk",     # new in r9 (streaming ANN serving, IVF-PQ ADC)
 ]
 
 

@@ -91,6 +91,7 @@ def dedup_paragraphs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum("keep").alias("n_kept"),
             (F.count(F.lit(1)) - F.sum("keep")).alias("n_removed"),
+            # div-safe: COUNT of a GROUP BY group is >= 1
             F.round(F.sum("keep") / F.count(F.lit(1)), 4).alias("kept_frac"),
         )
         .orderBy("source")
@@ -120,6 +121,7 @@ ranked AS (
 SELECT source, COUNT(*) AS n_chunks,
        CAST(SUM(keep) AS BIGINT) AS n_kept,
        CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_removed,
+       -- div-safe: COUNT(*) of a GROUP BY group is >= 1
        ROUND(CAST(SUM(keep) AS DOUBLE) / COUNT(*), 4) AS kept_frac
 FROM ranked
 GROUP BY source
@@ -245,6 +247,8 @@ def mixture_reweight_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = glob.agg(F.sum("c_t").cast("long").alias("n_total"))
     # -ln p_global(tok), rounded — the per-token surprise under the corpus LM
     nll = F.round(
+        # div-safe: n_total is the corpus token count, >= 1 whenever any
+        # token row exists (and the LM join only produces rows then)
         -F.log(F.col("c_t") / F.col("n_total")), 6
     )
     ce = (
@@ -266,6 +270,7 @@ def mixture_reweight_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_tokens",
             F.round(
+                # div-safe: n_tokens sums per-source token counts >= 1
                 F.col("sum_nll").cast("double") / F.col("n_tokens"), 6
             ).alias("ce"),
         )
@@ -275,6 +280,8 @@ def mixture_reweight_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_tokens",
         "ce",
+        # div-safe: n_corpus is the corpus-wide token sum, >= n_tokens >= 1
+        # (here and the term below)
         F.round(F.col("n_tokens") / F.col("n_corpus"), 6).alias("base_weight"),
         F.round(
             (F.col("n_tokens") / F.col("n_corpus"))
@@ -292,9 +299,12 @@ def mixture_reweight_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             "ce",
             "base_weight",
+            # div-safe: z sums strictly positive EG terms
+            # (weight * exp(eta*ce) > 0), so z > 0 — here and the delta
             F.round(F.col("term") / F.col("z").cast("double"), 6).alias(
                 "new_weight"
             ),
+            # div-safe: z > 0 (sum of strictly positive EG terms)
             F.round(
                 F.col("term") / F.col("z").cast("double")
                 - F.col("base_weight"),
@@ -317,8 +327,10 @@ ce AS (
   SELECT s.source,
          CAST(SUM(s.c_st) AS BIGINT) AS n_tokens,
          ROUND(CAST(SUM(CAST(CAST(s.c_st AS DECIMAL(24,8))
+                    -- div-safe: n_total >= 1 when token rows exist
                     * ROUND(-ln(CAST(g.c_t AS DOUBLE) / t.n_total), 6)
                     AS DECIMAL(24,8))) AS DOUBLE)
+               -- div-safe: per-source token sums are >= 1
                / SUM(s.c_st), 6) AS ce
   FROM st s JOIN glm g USING (tok), total t
   GROUP BY s.source
@@ -326,6 +338,7 @@ ce AS (
 corpus AS (SELECT SUM(n_tokens) AS n_corpus FROM ce),
 terms AS (
   SELECT source, n_tokens, ce,
+         -- div-safe: n_corpus >= n_tokens >= 1 (here and term below)
          ROUND(CAST(n_tokens AS DOUBLE) / n_corpus, 6) AS base_weight,
          ROUND(CAST(n_tokens AS DOUBLE) / n_corpus
                * exp({_DOREMI_ETA} * ce), 6) AS term
@@ -333,6 +346,7 @@ terms AS (
 ),
 z AS (SELECT SUM(CAST(term AS DECIMAL(24,8))) AS z FROM terms)
 SELECT source, n_tokens, ce, base_weight,
+       -- div-safe: z sums strictly positive EG terms, > 0 (both ratios)
        ROUND(term / CAST(z.z AS DOUBLE), 6) AS new_weight,
        ROUND(term / CAST(z.z AS DOUBLE) - base_weight, 6) AS weight_delta
 FROM terms, z
@@ -357,6 +371,8 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = per_source.agg(
         F.sum("w").alias("w_total"), F.sum("n_tokens").alias("corpus_tokens")
     )
+    # div-safe: w_total sums strictly positive temperature weights; the
+    # epochs divide below has n_tokens >= 1 per listed source
     p = F.col("w") / F.col("w_total")
     budget = F.col("corpus_tokens").cast("double") * _MIX_BUDGET_FRACTION
     return (
@@ -365,6 +381,7 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_tokens",
             F.round(p, 4).alias("sample_prob"),
+            # div-safe: listed sources have n_tokens >= 1
             F.round(budget * p / F.col("n_tokens").cast("double"), 4).alias(
                 "effective_epochs"
             ),
@@ -384,6 +401,7 @@ weighted AS (
 totals AS (
   SELECT SUM(w) AS w_total, SUM(n_tokens) AS corpus_tokens FROM weighted)
 SELECT source, n_tokens,
+       -- div-safe: w_total > 0 (positive weights); n_tokens >= 1
        ROUND(w / w_total, 4) AS sample_prob,
        ROUND(CAST(corpus_tokens AS DOUBLE) * {_MIX_BUDGET_FRACTION} * (w / w_total)
              / CAST(n_tokens AS DOUBLE), 4) AS effective_epochs
@@ -414,6 +432,8 @@ def embedding_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame
     ranges = elems.groupBy("dim").agg(
         F.min("v").alias("lo"), F.max("v").alias("hi")
     )
+    # div-safe: the q branch below divides by scale only under the
+    # hi != lo CASE guard, where scale > 0
     scale = (F.col("hi") - F.col("lo")) / 255.0
     q = F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
         F.round((F.col("v") - F.col("lo")) / scale, 0)
@@ -444,6 +464,7 @@ ranges AS (
 errs AS (
   SELECT label,
          v - (lo + CASE WHEN hi = lo THEN 0.0
+                        -- div-safe: hi > lo on this CASE branch
                         ELSE ROUND((v - lo) / ((hi - lo) / 255.0), 0) END
                    * ((hi - lo) / 255.0)) AS err
   FROM elems JOIN ranges USING (dim))
@@ -510,7 +531,11 @@ def repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = toks.select("doc_id", "lang", F.size("t").alias("n_tok")).join(
         covered, "doc_id", "left"
     )
-    cov = F.coalesce("n_covered", F.lit(0)) / F.col("n_tok")
+    # NULLIF guard (r9 div sweep): an empty document has n_tok = 0 — pin
+    # its coverage to NULL in both engines instead of NULL-vs-NaN
+    cov = F.coalesce("n_covered", F.lit(0)) / F.nullif(
+        F.col("n_tok").cast("double"), F.lit(0.0)
+    )
     return (
         per_doc.groupBy("lang")
         .agg(
@@ -546,7 +571,9 @@ covered AS (
     FROM grams JOIN rep USING (gh)) c
   GROUP BY doc_id),
 per_doc AS (
-  SELECT b.lang, COALESCE(c.n_covered, 0) / CAST(b.n_tok AS DOUBLE) AS cov
+  -- NULLIF mirrors the Spark side's empty-document guard
+  SELECT b.lang,
+         COALESCE(c.n_covered, 0) / NULLIF(CAST(b.n_tok AS DOUBLE), 0) AS cov
   FROM base b LEFT JOIN covered c USING (doc_id))
 SELECT lang, COUNT(*) AS n_docs,
        ROUND(AVG(cov), 4) AS avg_coverage,
@@ -619,6 +646,8 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_a",
             "src_b",
             "n_shared",
+            # div-safe: union size >= max(n_a, n_b) >= 1 (sources
+            # listed only with non-empty vocabularies)
             F.round(
                 F.col("n_shared")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
@@ -649,6 +678,7 @@ shared AS (
   FROM rg a JOIN rg b ON a.gh = b.gh AND a.source < b.source
   GROUP BY src_a, src_b)
 SELECT src_a, src_b, n_shared,
+       -- div-safe: union size >= max(na.n, nb.n) >= 1
        ROUND(CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared), 4) AS jaccard
 FROM shared
 JOIN sizes na ON na.source = src_a
@@ -948,6 +978,7 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_sh").cast("long").alias("n_shingles"),
             F.sum("n_novel").cast("long").alias("n_novel"),
+            # div-safe: n_sh >= 1 per doc (docs appear only with shingles)
             F.round(F.sum("n_novel") / F.sum("n_sh"), 6).alias("novelty_rate"),
         )
         .orderBy("decile")
@@ -979,6 +1010,7 @@ deciled AS (
 SELECT CAST(decile AS INTEGER) AS decile, COUNT(*) AS n_docs,
        CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
        CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+       -- div-safe: n_sh >= 1 per doc (docs appear only with shingles)
        ROUND(SUM(n_novel) / CAST(SUM(n_sh) AS DOUBLE), 6) AS novelty_rate
 FROM deciled
 GROUP BY decile
@@ -1027,6 +1059,7 @@ def license_policy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .withColumn(
             "doc_share",
+            # div-safe: the global SUM over group counts is >= 1
             F.round(F.col("n_docs") / F.sum("n_docs").over(tot), 6),
         )
         .orderBy("license")
@@ -1047,6 +1080,7 @@ def _license_gate_oracle() -> str:
 WITH toks AS (SELECT {toks} AS tk FROM documents),
 gated AS (SELECT {lic} AS license, {allowed} AS allowed FROM toks)
 SELECT license, allowed, COUNT(*) AS n_docs,
+       -- div-safe: the global SUM over group counts is >= 1
        ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS doc_share
 FROM gated
 GROUP BY license, allowed

@@ -348,6 +348,8 @@ def _exact_jaccard_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:
     )
     za = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
     zb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    # div-safe: i <= min(na, nb), so the union size na+nb-i >= max(na, nb)
+    # >= 1 (sizes only lists docs with non-empty shingle sets)
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
         inter.join(za, "da")
@@ -373,10 +375,12 @@ inter AS (
   GROUP BY c.da, c.db
 )
 SELECT da AS doc_a, db AS doc_b,
+       -- div-safe: union size >= max(sa.n, sb.n) >= 1
        ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = da
 JOIN sizes sb ON sb.doc_id = db
+-- div-safe: union size >= max(sa.n, sb.n) >= 1
 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_JACCARD_T}
 ORDER BY doc_a, doc_b
 """
@@ -590,6 +594,7 @@ def _minhash_sweep_oracle() -> str:
             f"    GROUP BY c.da, c.db) q\n"
             f"  JOIN sizes sa ON sa.doc_id = q.da\n"
             f"  JOIN sizes sb ON sb.doc_id = q.db\n"
+            f"  -- div-safe: union size >= max(sa.n, sb.n) >= 1\n"
             f"  WHERE CAST(q.i AS DOUBLE) / (sa.n + sb.n - q.i) >= {_JACCARD_T}\n"
             f")"
         )
@@ -678,6 +683,7 @@ def minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "da",
             "db",
+            # div-safe: union size >= max(na, nb) >= 1 (i <= min(na, nb))
             (F.coalesce(F.col("i"), F.lit(0))
              / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0)))
              ).alias("exact_j"),
@@ -722,6 +728,7 @@ cand AS (
 ),
 est AS (
   SELECT c.da, c.db,
+         -- div-safe: _NUM_HASHES is a nonzero module constant
          SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / CAST({_NUM_HASHES} AS DOUBLE) AS est_j
   FROM cand c
   JOIN mh x ON x.doc_id = c.da
@@ -738,6 +745,7 @@ inter AS (
 ),
 exact AS (
   SELECT c.da, c.db,
+         -- div-safe: union size >= max(sa.n, sb.n) >= 1
          COALESCE(i.i, 0) / CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE) AS exact_j
   FROM cand c
   LEFT JOIN inter i ON i.da = c.da AND i.db = c.db
@@ -840,6 +848,7 @@ def dedup_documents_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     za = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
     zb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    # div-safe: sizes only lists docs with >= 1 paragraph, LEAST >= 1
     overlap = F.col("n_shared") / F.least("na", "nb")
     return (
         shared.join(za, "da")
@@ -893,6 +902,7 @@ shared AS (
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id)
 SELECT da AS doc_a, db AS doc_b,
        CAST(n_shared AS BIGINT) AS n_shared,
+       -- div-safe: paragraph-set sizes are >= 1
        ROUND(n_shared / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 4) AS overlap
 FROM shared
 JOIN sizes sa ON sa.doc_id = da
@@ -930,6 +940,7 @@ def dedup_documents_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "i",
         F.when(
+            # div-safe: POW(2, i) > 0 always
             F.floor(F.col("h") / F.pow(F.lit(2), F.col("i"))).cast("long") % 2 == 1,
             F.col("cnt"),
         )
@@ -961,6 +972,7 @@ def dedup_documents_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         (
             F.floor(
+                # div-safe: POW(2, band*bits) > 0 always
                 F.col("simhash") / F.pow(F.lit(2), F.col("band") * _SIM_BAND_BITS)
             ).cast("long")
             % (2**_SIM_BAND_BITS)
@@ -999,6 +1011,7 @@ tf AS (
 ),
 votes AS (
   SELECT doc_id, i,
+         -- div-safe: POW(2, i) > 0 always
          CASE WHEN CAST(FLOOR(h / POW(2, i)) AS BIGINT) % 2 = 1 THEN cnt ELSE -cnt END AS vote
   FROM tf, (SELECT unnest(generate_series(0, {_SIM_BITS - 1})) AS i) bits
 ),
@@ -1013,6 +1026,7 @@ fp AS (
 ),
 bands AS (
   SELECT doc_id, simhash, band,
+         -- div-safe: POW(2, band*bits) > 0 always
          CAST(FLOOR(simhash / POW(2, band * {_SIM_BAND_BITS})) AS BIGINT) % {2**_SIM_BAND_BITS} AS bval
   FROM fp, (SELECT unnest(generate_series(0, {_SIM_BITS // _SIM_BAND_BITS - 1})) AS band) bd
 )
@@ -1302,14 +1316,21 @@ def dedup_detector_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         F.lit(n_te).cast("long").alias("n_truth_exact"),
         F.lit(n_he).cast("long").alias("n_hit_exact"),
+        # div-safe: planted truth sets (both recalls) are non-empty by
+        # corpus construction (exact dups at doc_id%10, near at %7)
         F.round(F.lit(n_he) / F.lit(n_te), 4).alias("recall_exact"),
         F.lit(n_tn).cast("long").alias("n_truth_near"),
         F.lit(n_hn).cast("long").alias("n_hit_near"),
+        # div-safe: see recall_exact note above
         F.round(F.lit(n_hn) / F.lit(n_tn), 4).alias("recall_near"),
         "n_detected",
         "n_planted_related",
         F.round(
-            F.col("n_planted_related") / F.col("n_detected"), 4
+            # NULLIF guard (r9 div sweep): a detector that finds nothing has
+            # n_detected = 0 — pin precision to NULL in both engines
+            F.col("n_planted_related")
+            / F.nullif(F.col("n_detected").cast("double"), F.lit(0.0)),
+            4,
         ).alias("precision_planted"),
     )
 
@@ -1341,11 +1362,15 @@ m AS (
       WHERE doc_a % {_DUP_OFFSET} = doc_b % {_DUP_OFFSET}) AS n_planted_related
 )
 SELECT n_truth_exact, n_hit_exact,
+       -- div-safe: planted truth sets are non-empty by corpus construction
        ROUND(n_hit_exact / CAST(n_truth_exact AS DOUBLE), 4) AS recall_exact,
        n_truth_near, n_hit_near,
+       -- div-safe: planted truth set non-empty (see above)
        ROUND(n_hit_near / CAST(n_truth_near AS DOUBLE), 4) AS recall_near,
        n_detected, n_planted_related,
-       ROUND(n_planted_related / CAST(n_detected AS DOUBLE), 4) AS precision_planted
+       -- NULLIF mirrors the Spark side's zero-detection guard
+       ROUND(n_planted_related / NULLIF(CAST(n_detected AS DOUBLE), 0), 4)
+         AS precision_planted
 FROM m
 """
 
@@ -1434,6 +1459,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             tier.alias("tier"),
             "n_spans",
             "dup_tokens",
+            # div-safe: per_doc rows exist only for docs with n_tokens >= 1
             (F.col("dup_tokens") / F.col("n_tokens")).alias("coverage"),
         )
         .groupBy("tier")
@@ -1491,6 +1517,7 @@ SELECT CASE WHEN doc_id >= {2 * _DUP_OFFSET} THEN 'near_copy'
        COUNT(*) AS n_docs,
        CAST(SUM(n_spans) AS BIGINT) AS n_spans,
        CAST(SUM(dup_tokens) AS BIGINT) AS dup_tokens,
+       -- div-safe: per_doc rows exist only for docs with n_tokens >= 1
        ROUND(AVG(CAST(dup_tokens AS DOUBLE) / n_tokens), 4) AS avg_coverage
 FROM per_doc
 GROUP BY 1

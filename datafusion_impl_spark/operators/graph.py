@@ -570,9 +570,11 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("raw_tokens") - F.col("surviving_tokens")).alias(
                 "saved_tokens"
             ),
+            # NULLIF guard (r9 div sweep): an all-empty-text language would
+            # have raw_tokens = 0 — pin saved_frac to NULL in both engines
             F.round(
                 (F.col("raw_tokens") - F.col("surviving_tokens"))
-                / F.col("raw_tokens"),
+                / F.nullif(F.col("raw_tokens").cast("double"), F.lit(0.0)),
                 6,
             ).alias("saved_frac"),
         )
@@ -614,8 +616,10 @@ SELECT lang,
          AS surviving_tokens,
        CAST(SUM(n_tok) - SUM(CASE WHEN survives THEN n_tok ELSE 0 END)
             AS BIGINT) AS saved_tokens,
+       -- NULLIF mirrors the Spark side's empty-language guard
        ROUND(CAST(SUM(n_tok) - SUM(CASE WHEN survives THEN n_tok ELSE 0 END)
-             AS DOUBLE) / SUM(n_tok), 6) AS saved_frac
+             AS DOUBLE) / NULLIF(CAST(SUM(n_tok) AS DOUBLE), 0), 6)
+         AS saved_frac
 FROM keep
 GROUP BY lang
 ORDER BY lang
@@ -650,11 +654,16 @@ def pagerank(edges_sym: DataFrame, iters: int = _PR_ITERS,
         n = deg.count()
         edges = edges_sym.join(deg, "src").localCheckpoint(eager=True)
         ranks = deg.select(
+        # div-safe: n = COUNT of pair-graph nodes, > 0 (planted dups
+        # guarantee a non-empty graph); Python-side raise, not a NULL/inf
             F.col("src").alias("doc_id"), F.lit(1.0 / n).alias("rank")
         ).localCheckpoint(eager=True)
+        # div-safe: same n > 0 invariant as the rank seed above
         base = (1.0 - damping) / n
         for _ in range(iters):
             contrib = edges.join(ranks, edges.src == ranks.doc_id).select(
+                # div-safe: deg >= 1 — a node enters the graph only with
+                # at least one incident edge
                 "dst", (F.col("rank") / F.col("deg")).alias("c")
             )
             ranks = (
@@ -701,6 +710,7 @@ def _pagerank_oracle() -> str:
         steps.append(
             f"r{i} AS (\n"
             f"  SELECT e.dst AS doc_id,\n"
+            f"         -- div-safe: nn.n = COUNT of nodes > 0; e.deg >= 1\n"
             f"         {(1.0 - d)!r} / (SELECT n FROM nn)\n"
             f"           + {d!r} * SUM(r.rank / e.deg) AS rank\n"
             f"  FROM e JOIN r{i - 1} r ON r.doc_id = e.src\n"
@@ -720,6 +730,7 @@ edges AS (
 deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
 nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
 e AS (SELECT edges.src, edges.dst, deg.deg FROM edges JOIN deg USING (src)),
+-- div-safe: nn.n = COUNT of graph nodes, > 0 on the planted-dup corpus
 r0 AS (SELECT src AS doc_id, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
 {chain}
 SELECT r{_PR_ITERS}.doc_id,
@@ -966,8 +977,13 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_edges",
             "n_wedges",
             "n_triangles",
+            # NULLIF guard (r9 div sweep): a wedge-free graph (no node with
+            # degree >= 2) pins the coefficient to NULL in both engines
             F.round(
-                3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+                3.0
+                * F.col("n_triangles")
+                / F.nullif(F.col("n_wedges").cast("double"), F.lit(0.0)),
+                6,
             ).alias("clustering_coeff"),
         )
     )
@@ -995,7 +1011,9 @@ wedge AS (
 ),
 edges AS (SELECT COUNT(*) AS n_edges FROM pairs)
 SELECT n_nodes, n_edges, n_wedges, n_triangles,
-       ROUND(3.0 * n_triangles / n_wedges, 6) AS clustering_coeff
+       -- NULLIF mirrors the Spark side's wedge-free guard
+       ROUND(3.0 * n_triangles / NULLIF(CAST(n_wedges AS DOUBLE), 0), 6)
+         AS clustering_coeff
 FROM wedge, edges, tri
 """
 

@@ -424,6 +424,7 @@ def multimodal_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "h",
         "n_bytes",
+        # div-safe: _CHUNK_BYTES is a nonzero module constant
         F.ceil(F.col("n_bytes") / _CHUNK_BYTES).cast("int").alias("n_chunks"),
         F.explode(
             F.sequence(
@@ -459,6 +460,7 @@ WITH m AS (
 ),
 c AS (
   SELECT doc_id, h, n_bytes,
+         -- div-safe: _CHUNK_BYTES is a nonzero module constant
          CAST(CEIL(n_bytes / {_CHUNK_BYTES}.0) AS INTEGER) AS n_chunks,
          unnest(generate_series(0,
              CAST(CEIL(n_bytes / {_CHUNK_BYTES}.0) AS INTEGER) - 1)) AS chunk_idx
@@ -774,6 +776,8 @@ def multimodal_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_r").alias("sum_r"),
             F.sum("sum_g").alias("sum_g"),
             F.sum("sum_b").alias("sum_b"),
+            # div-safe: n_px = planted BMP width x height, a positive
+            # constant per payload
             F.round(
                 (F.sum("sum_r") + F.sum("sum_g") + F.sum("sum_b"))
                 / (n_px * 3.0),
@@ -815,6 +819,7 @@ SELECT CAST(w AS INTEGER) AS width,
        CAST(SUM(r) AS BIGINT) AS sum_r,
        CAST(SUM(g) AS BIGINT) AS sum_g,
        CAST(SUM(b) AS BIGINT) AS sum_b,
+       -- div-safe: COUNT(*) of a GROUP BY group is >= 1
        ROUND(CAST(SUM(r) + SUM(g) + SUM(b) AS DOUBLE) / (COUNT(*) * 3.0), 4)
          AS avg_brightness
 FROM vals
@@ -991,6 +996,7 @@ def multimodal_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             total_n.alias("total_samples"),
             F.sum("sum_sq").alias("sum_sq"),
             F.round(
+            # div-safe: planted WAV payloads always carry >= 1 sample
                 F.sqrt(F.sum("sum_sq") / F.sum(F.col("n_samples").cast("long"))),
                 6,
             ).alias("rms"),
@@ -1032,6 +1038,7 @@ SELECT CAST(rate AS INTEGER) AS sample_rate,
        COUNT(*) AS n_clips,
        CAST(SUM(n) AS BIGINT) AS total_samples,
        CAST(SUM(sum_sq) AS BIGINT) AS sum_sq,
+       -- div-safe: planted WAV payloads always carry >= 1 sample
        ROUND(sqrt(CAST(SUM(sum_sq) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)), 6)
          AS rms,
        CAST(MAX(peak) AS INTEGER) AS max_peak,
@@ -1237,6 +1244,7 @@ def multimodal_y4m_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_y").alias("sum_y"),
             F.sum("sum_u").alias("sum_u"),
             F.sum("sum_v").alias("sum_v"),
+            # div-safe: n_luma = planted y4m width x height x frames > 0
             F.round(F.sum("sum_y") / n_luma, 4).alias("avg_luma"),
             F.sum("mid_frame_sum_y").alias("mid_frame_sum_y"),
         )
@@ -1295,6 +1303,7 @@ SELECT CAST(c.w AS INTEGER) AS width,
        CAST(SUM(ch.su) AS BIGINT) AS sum_u,
        CAST(SUM(ch.sv) AS BIGINT) AS sum_v,
        ROUND(CAST(SUM(c.sum_y) AS DOUBLE)
+       -- div-safe: planted y4m dims and frame counts are positive
              / SUM(CAST(c.w AS BIGINT) * c.h * c.n), 4) AS avg_luma,
        CAST(SUM(c.mid_y) AS BIGINT) AS mid_frame_sum_y
 FROM clip c JOIN chroma ch ON c.doc_id = ch.doc_id

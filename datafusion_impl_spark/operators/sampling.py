@@ -322,6 +322,7 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = docs.select(
         n.alias("n_tokens"), bucket.alias("bucket")
     ).filter(F.col("n_tokens") > 0)
+    # div-safe: bucket is a positive power-of-two length bin (>= 1)
     cap = F.floor(F.lit(_BATCH_TOKEN_BUDGET) / F.col("bucket")).cast("long")
     used = F.least(F.col("n_tokens"), F.col("bucket"))
     agg = sized.groupBy("bucket").agg(
@@ -334,8 +335,10 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "used_tokens",
             cap.alias("docs_per_batch"),
+            # div-safe: cap >= 1 (budget >= max bucket by construction)
             F.ceil(F.col("n_docs") / cap).cast("long").alias("n_batches"),
             F.round(
+                # div-safe: n_docs is a GROUP BY count >= 1, bucket >= 1
                 1.0 - F.col("used_tokens") / (F.col("n_docs") * F.col("bucket")),
                 6,
             ).alias("padding_frac"),
@@ -361,6 +364,8 @@ SELECT CAST(bucket AS INTEGER) AS bucket,
        COUNT(*) AS n_docs,
        CAST(SUM(LEAST(n, bucket)) AS BIGINT) AS used_tokens,
        CAST({_BATCH_TOKEN_BUDGET} // bucket AS BIGINT) AS docs_per_batch,
+       -- div-safe: bucket >= 1 and budget >= max bucket, so both integer
+       -- divisors are >= 1; COUNT(*) of a group >= 1
        CAST(CEIL(COUNT(*) / ({_BATCH_TOKEN_BUDGET} // bucket)) AS BIGINT) AS n_batches,
        ROUND(1.0 - SUM(LEAST(n, bucket)) / (COUNT(*) * bucket), 6) AS padding_frac
 FROM bucketed
@@ -412,6 +417,7 @@ def doc_length_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
             F.round(
+                # div-safe: SUM(cnt) >= 1 — cnt counts docs per bin
                 F.sum(F.col("n_chars") * F.col("cnt")) / F.sum("cnt"), 4
             ).alias("avg_chars"),
         )
@@ -433,6 +439,7 @@ SELECT CAST((cum_before * {_N_QUANTILE_BINS}) // total AS INTEGER) AS bin,
        CAST(SUM(cnt) AS BIGINT) AS n_docs,
        MIN(n_chars) AS min_chars,
        MAX(n_chars) AS max_chars,
+       -- div-safe: SUM(cnt) >= 1 — cnt counts docs per bin
        ROUND(CAST(SUM(n_chars * cnt) AS BIGINT) / CAST(SUM(cnt) AS BIGINT), 4) AS avg_chars
 FROM binned
 GROUP BY 1
@@ -468,6 +475,7 @@ def interleave_sources_round_robin(spark: SparkSession, sf_dir: str) -> DataFram
         "source",
         weight,
         F.row_number().over(w_src).alias("rk"),
+    # div-safe: weight is a positive per-source mixture constant
     ).withColumn("vt", F.col("rk") / F.col("weight"))
     head = ranked.orderBy("vt", "source", "rk").limit(_INTERLEAVE_HEAD)
     w_pos = Window.orderBy("vt", "source", "rk")
@@ -490,6 +498,7 @@ WITH ranked AS (
   FROM documents
 ),
 vt AS (
+  -- div-safe: weight is a positive per-source mixture constant
   SELECT doc_id, source, weight, rk, rk / weight AS vt FROM ranked
 ),
 head AS (
@@ -567,8 +576,13 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars"
     )
     u = (md5_long(F.col("doc_id").cast("string")) + 1) / float(2**60)
+    # NULLIF guard (r9 div sweep): an empty document has n_chars = 0 —
+    # Spark's 1.0/0 is NULL (key NULL), but DuckDB's is +inf and
+    # POWER(u<1, inf) is 0.0, a silent cross-engine divergence. Pin the
+    # exponent to NULL in both engines instead.
     key = F.round(
-        F.pow(u, 1.0 / F.col("n_chars")), _WSAMPLE_ROUND
+        F.pow(u, 1.0 / F.nullif(F.col("n_chars").cast("double"), F.lit(0.0))),
+        _WSAMPLE_ROUND,
     )
     ranked = docs.select(
         "doc_id", "source", "n_chars", key.alias("es_key")
@@ -586,8 +600,10 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WSAMPLE_SQL = f"""
 WITH keyed AS (
   SELECT doc_id, source, n_chars,
+         -- NULLIF mirrors the Spark side's empty-document exponent guard
          ROUND(POWER(({duck_md5_long("CAST(doc_id AS VARCHAR)")} + 1) / {float(2**60)!r},
-                     1.0 / n_chars), {_WSAMPLE_ROUND}) AS es_key
+                     1.0 / NULLIF(CAST(n_chars AS DOUBLE), 0)),
+               {_WSAMPLE_ROUND}) AS es_key
   FROM documents
 ),
 top AS (
@@ -676,14 +692,25 @@ def corpus_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("rep").cast("int").alias("rep"),
             "n_eff",
-            F.round(F.col("wsum") / F.col("n_eff"), 6).alias("mean_chars"),
+            # NULLIF guard (r9 div sweep): a rep where every doc drew w=0
+            # has n_eff = 0 — pin its mean to NULL in both engines
+            F.round(
+                F.col("wsum")
+                / F.nullif(F.col("n_eff").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("mean_chars"),
         )
     )
     summary = per_rep.agg(
         F.round(
+            # clamp-at-0 before sqrt: the moment difference can round to a
+            # tiny negative in double (same recipe as daily_revenue_cusum)
             F.sqrt(
-                F.avg(F.col("mean_chars") * F.col("mean_chars"))
-                - F.avg("mean_chars") * F.avg("mean_chars")
+                F.greatest(
+                    F.avg(F.col("mean_chars") * F.col("mean_chars"))
+                    - F.avg("mean_chars") * F.avg("mean_chars"),
+                    F.lit(0.0),
+                )
             ),
             4,
         ).alias("se_mean_chars")
@@ -716,14 +743,17 @@ drawn AS (
 per_rep AS (
   SELECT CAST(rep AS INTEGER) AS rep,
          CAST(SUM(w) AS BIGINT) AS n_eff,
+         -- NULLIF mirrors the Spark side's all-zero-draw guard
          ROUND(CAST(SUM(w * n_chars) AS BIGINT)
-               / CAST(SUM(w) AS DOUBLE), 6) AS mean_chars
+               / NULLIF(CAST(SUM(w) AS DOUBLE), 0), 6) AS mean_chars
   FROM drawn
   GROUP BY rep
 ),
 summary AS (
-  SELECT ROUND(SQRT(AVG(mean_chars * mean_chars)
-                    - AVG(mean_chars) * AVG(mean_chars)), 4) AS se_mean_chars
+  -- GREATEST clamp mirrors the Spark side's negative-rounding guard
+  SELECT ROUND(SQRT(GREATEST(AVG(mean_chars * mean_chars)
+                    - AVG(mean_chars) * AVG(mean_chars), 0)), 4)
+           AS se_mean_chars
   FROM per_rep
 )
 SELECT rep, n_eff, mean_chars, se_mean_chars

@@ -77,6 +77,7 @@ def _dot(a: Column, b: Column) -> Column:
 
 def _cos(a: Column, b: Column) -> Column:
     """Cosine from scratch (used only where norms aren't pre-joined)."""
+    # div-safe: unit-norm embeddings / nonzero centroid norms (data contract)
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
@@ -97,6 +98,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("nrm").alias("q_nrm"),
     )
+    # div-safe: unit-norm embeddings / nonzero centroid norms (data contract)
     cos = _dot(F.col("qv"), F.col("v")) / (F.col("q_nrm") * F.col("nrm"))
     scored = (
         e.crossJoin(F.broadcast(q))
@@ -156,6 +158,7 @@ def ann_lsh_ml_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit = e.select(
         "vec_id",
         array_to_vector(
+            # div-safe: unit-norm embeddings / nonzero centroid norms (data contract)
             F.transform("v", lambda x: x / F.col("nrm"))
         ).alias("features"),
     )
@@ -196,6 +199,7 @@ def _ivf_assign(e: DataFrame, n_centroids: int = _N_CENTROIDS) -> DataFrame:
         F.col("nrm").alias("c_nrm"),
     )
     aw = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cid"))
+    # div-safe: unit-norm embeddings / nonzero centroid norms (data contract)
     c_cos = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("c_nrm"))
     return (
         e.crossJoin(F.broadcast(cent))
@@ -222,6 +226,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("q_nrm"),
         "bucket",
     )
+    # div-safe: unit-norm embeddings / nonzero centroid norms (data contract)
     cos = _dot(F.col("qv"), F.col("v")) / (F.col("q_nrm") * F.col("nrm"))
     scored = (
         q.join(assign, "bucket")
@@ -307,6 +312,7 @@ def decontamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
     )
     tr = assign.filter(F.col("vec_id") % _DECON_EVAL_MOD != 0)
+    # div-safe: unit-norm embeddings / nonzero centroid norms (data contract)
     cos = _dot(F.col("ev"), F.col("v")) / (F.col("e_nrm") * F.col("nrm"))
     # LEFT join (r8, ADVICE): an eval vector whose cell holds zero training
     # vectors must still be COUNTED in n_eval (max_c stays NULL, so it can
@@ -409,6 +415,7 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
+    # div-safe: unit-norm embeddings by data contract
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     dropped = (
         a.join(b, "bucket")
@@ -425,6 +432,7 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "n_vecs",
             F.coalesce(F.col("n_dropped"), F.lit(0).cast("long")).alias("n_dropped"),
+            # div-safe: n_vecs is a GROUP BY count >= 1
             F.round(
                 F.coalesce(F.col("n_dropped"), F.lit(0).cast("long"))
                 / F.col("n_vecs"),
@@ -457,6 +465,7 @@ stats AS (SELECT bucket, COUNT(*) AS n_vecs FROM assign GROUP BY bucket),
 d AS (SELECT bucket, COUNT(*) AS n_dropped FROM dropped GROUP BY bucket)
 SELECT s.bucket, s.n_vecs,
        COALESCE(d.n_dropped, 0) AS n_dropped,
+       -- div-safe: group counts n_vecs/n_index are >= 1
        ROUND(COALESCE(d.n_dropped, 0) / CAST(s.n_vecs AS DOUBLE), 4) AS drop_frac
 FROM stats s LEFT JOIN d USING (bucket)
 ORDER BY bucket
@@ -551,6 +560,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb_"),
     )
+    # div-safe: unit-norm embeddings by data contract
     cos = F.round(
         _dot(F.col("va"), F.col("vb")) / (F.col("na_") * F.col("nb_")), 6
     )
@@ -659,6 +669,7 @@ def ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("cv"),
         F.col("nrm").alias("c_nrm"),
     )
+    # div-safe: unit-norm embeddings / nonzero centroid norms (data contract)
     c_cos = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("c_nrm"))
     aw = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cid"))
     ranked_cent = (
@@ -680,6 +691,7 @@ def ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("bucket"),
         F.col("arn").alias("probe_rank"),
     )
+    # div-safe: unit-norm embeddings / nonzero centroid norms (data contract)
     cos = _dot(F.col("qv"), F.col("v")) / (F.col("q_nrm") * F.col("nrm"))
     probe_scored = (
         probes.join(assign, "bucket")
@@ -793,6 +805,7 @@ hits AS (
   GROUP BY i.nprobe, i.q_id),
 per_q AS (
   SELECT d.nprobe, d.q_id,
+         -- div-safe: _IVF_TOPK is a nonzero module constant
          COALESCE(h.n_hit, 0) / CAST({_IVF_TOPK} AS DOUBLE) AS recall
   FROM (SELECT DISTINCT nprobe, q_id FROM ivf_topk) d
   LEFT JOIN hits h ON d.nprobe = h.nprobe AND d.q_id = h.q_id)
@@ -831,7 +844,9 @@ def ann_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vt = F.slice(F.col("v"), 1, _TRUNC_DIMS)
     qt = F.slice(F.col("qv"), 1, _TRUNC_DIMS)
+    # div-safe: unit-norm embeddings / nonzero centroid norms (data contract)
     cos_full = _dot(F.col("qv"), F.col("v")) / (F.col("q_nrm") * F.col("nrm"))
+    # div-safe: unit-norm embeddings / nonzero centroid norms (data contract)
     cos_trunc = _dot(qt, vt) / (_norm(qt) * _norm(vt))
     scored = (
         e.crossJoin(F.broadcast(q))
@@ -913,6 +928,7 @@ def ann_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("cv"),
         F.col("nrm").alias("c_nrm"),
     )
+    # div-safe: unit-norm embeddings / nonzero centroid norms (data contract)
     c_cos = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("c_nrm"))
     aw = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cid"))
 
@@ -940,6 +956,7 @@ def ann_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_arriving", F.lit(0)).alias("n_arriving"),
             F.coalesce("avg_arrival_sim", F.lit(0.0)).alias("avg_arrival_sim"),
             F.round(
+                # div-safe: group counts n_vecs/n_index are >= 1
                 F.coalesce("n_arriving", F.lit(0)) / F.col("n_index"), 6
             ).alias("growth_frac"),
         )
@@ -976,6 +993,7 @@ arr AS (SELECT bucket, COUNT(*) AS n_arriving,
 SELECT s.bucket, s.n_index,
        CAST(COALESCE(a.n_arriving, 0) AS BIGINT) AS n_arriving,
        COALESCE(a.avg_arrival_sim, 0.0) AS avg_arrival_sim,
+       -- div-safe: group counts n_vecs/n_index are >= 1
        ROUND(COALESCE(a.n_arriving, 0) / s.n_index, 6) AS growth_frac
 FROM idx_sizes s LEFT JOIN arr a USING (bucket)
 ORDER BY s.bucket
@@ -1547,6 +1565,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "n_candidates",
+            # div-safe: n_corpus >= 2 whenever a query row exists
             F.round(F.col("n_candidates") / (F.col("n_corpus") - 1), 4).alias(
                 "scan_frac"
             ),
@@ -1611,6 +1630,7 @@ hits AS (
 )
 SELECT t.q_id,
        nc.n_candidates,
+       -- div-safe: n_corpus >= 2 whenever a query row exists
        ROUND(nc.n_candidates / CAST(n.n_corpus - 1 AS DOUBLE), 4) AS scan_frac,
        CAST(COALESCE(h.n_hits, 0) AS INTEGER) AS recall_hits_at_5,
        t.vec_id AS ivfpq_top1,
@@ -2032,6 +2052,7 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     code = F.when(
         F.col("mx") > F.col("mn"),
+        # div-safe: guarded by the mx > mn CASE arm
         F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255 + 0.5),
     ).otherwise(F.lit(0))
     recon_val = F.col("mn") + F.col("c") / 255.0 * (F.col("mx") - F.col("mn"))
@@ -2113,6 +2134,7 @@ cal AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY dim),
 codes AS (
   SELECT d.vec_id, d.dim, c.mn, c.mx,
          CASE WHEN c.mx > c.mn
+              -- div-safe: guarded by the mx > mn CASE arm
               THEN floor((d.x - c.mn) / (c.mx - c.mn) * 255 + 0.5)
               ELSE 0 END AS cc
   FROM dims d JOIN cal c USING (dim)
@@ -2194,6 +2216,7 @@ def ann_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", F.col("vec_id").alias("dst"),
         F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
+    # div-safe: unit-norm embeddings by data contract
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
     # cosine is symmetric: evaluate the (interpreted, 64-element) fold once
@@ -2300,11 +2323,13 @@ def embedding_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_dim = both.groupBy("label", "dim").agg(
         F.round(
+            # div-safe: empty conditional SUM gives NULL/NULL -> NULL in both engines
             F.sum(F.when(F.col("in_a"), F.col("x"))) /
             F.sum(F.when(F.col("in_a"), 1)),
             8,
         ).alias("ca"),
         F.round(
+            # div-safe: empty conditional SUM gives NULL/NULL -> NULL in both engines
             F.sum(F.when(F.col("in_b"), F.col("x"))) /
             F.sum(F.when(F.col("in_b"), 1)),
             8,
@@ -2331,8 +2356,10 @@ def embedding_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             F.round(
+                # div-safe: unit-norm embeddings / nonzero centroid norms (data contract)
                 F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), 6
             ).alias("centroid_cos"),
+            # div-safe: unit-norm embeddings / nonzero centroid norms (data contract)
             F.round(F.sqrt("nb2") / F.sqrt("na2"), 6).alias("norm_ratio"),
         )
         .orderBy("label")
@@ -2354,8 +2381,10 @@ exploded AS (
 per_dim AS (
   SELECT label, dim,
          ROUND(SUM(CASE WHEN in_a THEN x END)
+               -- div-safe: empty conditional SUM gives NULL/NULL -> NULL in both engines
                / SUM(CASE WHEN in_a THEN 1 END), 8) AS ca,
          ROUND(SUM(CASE WHEN in_b THEN x END)
+               -- div-safe: empty conditional SUM gives NULL/NULL -> NULL in both engines
                / SUM(CASE WHEN in_b THEN 1 END), 8) AS cb
   FROM exploded
   GROUP BY label, dim
@@ -2372,7 +2401,9 @@ counts AS (
   FROM e GROUP BY label
 )
 SELECT CAST(p.label AS INTEGER) AS label, c.n_a, c.n_b,
+       -- div-safe: unit-norm embeddings / nonzero centroid norms (data contract)
        ROUND(p.dot / (SQRT(p.na2) * SQRT(p.nb2)), 6) AS centroid_cos,
+       -- div-safe: unit-norm embeddings / nonzero centroid norms (data contract)
        ROUND(SQRT(p.nb2) / SQRT(p.na2), 6) AS norm_ratio
 FROM per_label p JOIN counts c USING (label)
 ORDER BY label
@@ -2398,6 +2429,7 @@ def embedding_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("c_nrm"),
     )
     c_cos = F.round(
+        # div-safe: unit-norm embeddings / nonzero centroid norms (data contract)
         _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("c_nrm")), 6
     )
     scored = e.crossJoin(F.broadcast(cent)).select(
@@ -2420,9 +2452,12 @@ def embedding_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_vec.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
+            # div-safe: COUNT of a GROUP BY group is >= 1
             F.round(F.sum("own_sim") / F.count(F.lit(1)), 6).alias("mean_own_sim"),
+            # div-safe: COUNT of a GROUP BY group is >= 1
             F.round(F.sum("margin") / F.count(F.lit(1)), 6).alias("mean_margin"),
             F.round(
+                # div-safe: COUNT of a GROUP BY group is >= 1
                 F.count_if(F.col("margin") < 0) / F.count(F.lit(1)), 6
             ).alias("misassigned_frac"),
         )
@@ -2451,8 +2486,11 @@ per_vec AS (
 )
 SELECT bucket,
        COUNT(*) AS n_vecs,
+       -- div-safe: COUNT of a GROUP BY group is >= 1
        ROUND(SUM(own_sim) / COUNT(*), 6) AS mean_own_sim,
+       -- div-safe: COUNT of a GROUP BY group is >= 1
        ROUND(SUM(margin) / COUNT(*), 6) AS mean_margin,
+       -- div-safe: COUNT of a GROUP BY group is >= 1
        ROUND(CAST(count_if(margin < 0) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6)
          AS misassigned_frac
 FROM per_vec
@@ -2581,6 +2619,8 @@ def ann_opq_subspace_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.round(sq, 6).alias("err"))
         )
         return err.agg(
+            # div-safe: COUNT over the err frame >= 1 (one row per
+            # (vec_id, m) of a non-empty corpus)
             F.round(
                 F.sum(F.col("err").cast("decimal(24,8)")).cast("double")
                 / F.count(F.lit(1)),
@@ -2610,9 +2650,14 @@ def ann_opq_subspace_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.min("sub_var"), 6).alias("min_subspace_var"),
             F.round(F.max("sub_var"), 6).alias("max_subspace_var"),
-            F.round(F.max("sub_var") / F.min("sub_var"), 6).alias(
-                "var_spread"
-            ),
+            # NULLIF guard (r9 div sweep): a zero-variance subspace (all
+            # vectors identical in those dims) pins the spread to NULL in
+            # both engines
+            F.round(
+                F.max("sub_var")
+                / F.nullif(F.min("sub_var"), F.lit(0.0)),
+                6,
+            ).alias("var_spread"),
         )
     )
     err = msqe(e).select(
@@ -2672,6 +2717,7 @@ def _opq_oracle() -> str:
   FROM {p}sub2 s JOIN {p}cent1n c ON s.m = c.m
 ),
 {p}err AS (
+  -- div-safe: COUNT of a GROUP BY group is >= 1
   SELECT ROUND(CAST(SUM(CAST(err AS DECIMAL(24,8))) AS DOUBLE) / COUNT(*), 6)
            AS msqe
   FROM {p}s2 WHERE rn = 1
@@ -2724,7 +2770,8 @@ spread AS (
   SELECT method,
          ROUND(MIN(sub_var), 6) AS min_subspace_var,
          ROUND(MAX(sub_var), 6) AS max_subspace_var,
-         ROUND(MAX(sub_var) / MIN(sub_var), 6) AS var_spread
+         -- NULLIF mirrors the Spark side's zero-variance-subspace guard
+         ROUND(MAX(sub_var) / NULLIF(MIN(sub_var), 0), 6) AS var_spread
   FROM (
     SELECT method, m,
            ROUND(CAST(SUM(CAST(var_num AS DECIMAL(24,8))) AS DOUBLE), 6)

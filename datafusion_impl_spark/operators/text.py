@@ -52,6 +52,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
             F.countDistinct("token").alias("n_distinct_tokens"),
             F.round(
+                # div-safe: COUNT(DISTINCT doc_id) >= 1 within a group
                 F.count(F.lit(1)) / F.countDistinct("doc_id"), 4
             ).alias("avg_tokens_per_doc"),
             F.round(F.avg(F.length("token")), 4).alias("avg_token_len"),
@@ -70,6 +71,7 @@ SELECT lang,
        COUNT(DISTINCT doc_id) AS n_docs,
        COUNT(*) AS n_tokens,
        COUNT(DISTINCT token) AS n_distinct_tokens,
+       -- div-safe: COUNT(DISTINCT doc_id) >= 1 within a group
        ROUND(COUNT(*) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE), 4) AS avg_tokens_per_doc,
        ROUND(AVG(CAST(LENGTH(token) AS DOUBLE)), 4) AS avg_token_len
 FROM tok
@@ -387,6 +389,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = tf.select("doc_id").distinct().agg(
         F.count(F.lit(1)).alias("n_corpus")
     )
+    # div-safe: +1-smoothed df denominator is >= 1
     idf = F.log((F.col("n_corpus") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
     scored = (
         tf.filter(F.col("doc_id") % 10 == 0)
@@ -418,6 +421,7 @@ df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
 n AS (SELECT COUNT(DISTINCT doc_id) AS n_corpus FROM tf),
 scored AS (
   SELECT doc_id, term, tf,
+         -- div-safe: +1-smoothed df denominator is >= 1
          ROUND(tf * ln((n_corpus + 1.0) / (df + 1.0)), 6) AS tfidf
   FROM tf JOIN df USING (term) CROSS JOIN n
   WHERE doc_id % 10 = 0),
@@ -804,6 +808,7 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("token"))
     lm = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = lm.agg(F.sum("cnt").alias("total"))
+    # div-safe: total sums LM token counts >= 1 when any token exists
     logp = F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
     lm_p = lm.crossJoin(F.broadcast(total)).select("token", (-logp).alias("nll"))
     per_doc = (
@@ -834,6 +839,7 @@ tot AS (
   SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM lm),
 per_doc AS (
   SELECT doc_id, lang,
+         -- div-safe: total sums LM token counts >= 1
          AVG(-LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))) AS ce
   FROM tok JOIN lm USING (token), tot
   GROUP BY doc_id, lang)
@@ -883,6 +889,7 @@ def topk_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
             "token",
             "n",
+            # div-safe: per-source token total >= 1
             F.round(F.col("n") / F.col("total"), 6).alias("share"),
         )
         .orderBy("source", "rk")
@@ -907,6 +914,7 @@ ranked AS (
   FROM counts
 )
 SELECT r.source, CAST(r.rk AS INTEGER) AS rk, r.token, r.n,
+       -- div-safe: per-source token total >= 1
        ROUND(r.n / CAST(t.total AS DOUBLE), 6) AS share
 FROM ranked r JOIN totals t ON r.source = t.source
 WHERE r.rk <= {_HH_TOPK}
@@ -949,6 +957,7 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
             F.countDistinct("token").alias("n_vocab"),
             F.round(
+                # div-safe: COUNT of a GROUP BY group is >= 1
                 F.countDistinct("token") / F.count(F.lit(1)), 6
             ).alias("vocab_per_token"),
         )
@@ -973,6 +982,7 @@ fanned AS (
 )
 SELECT prefix_permille, COUNT(*) AS n_tokens,
        COUNT(DISTINCT token) AS n_vocab,
+       -- div-safe: COUNT(*) of a GROUP BY group is >= 1
        ROUND(COUNT(DISTINCT token) / CAST(COUNT(*) AS DOUBLE), 6) AS vocab_per_token
 FROM fanned
 GROUP BY prefix_permille
@@ -1008,9 +1018,12 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(2)
     )
     idf = F.log(
+        # div-safe: BM25 denominators: df+0.5 > 0; tf >= 1 so the tf
+        # denominator > 0; avgdl averages positive doc lengths
         (F.col("n_corpus") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
     s = idf * (
+        # div-safe: tf >= 1 so the BM25 tf denominator > 0; avgdl > 0
         (F.col("tf") * 2.2)
         / (F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl"))))
     )
@@ -1046,6 +1059,7 @@ qterms AS (
 ),
 scored AS (
   SELECT tf.doc_id,
+         -- div-safe: df+0.5 > 0; tf >= 1; avgdl > 0
          ROUND(ln((n_corpus - df + 0.5) / (df + 0.5) + 1.0)
                * ((tf * 2.2)
                   / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))), 6) AS s
@@ -1086,8 +1100,10 @@ def source_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").alias("total_tokens"),
         F.sum(F.col("i") * 2 * F.col("x")).alias("s2ix"),
     )
+    # div-safe: n_docs >= 1 and total_tokens >= 1 per listed source
     gini = (
         F.col("s2ix") - (F.col("n_docs") + 1) * F.col("total_tokens")
+    # div-safe: listed sources have n_docs >= 1 and total_tokens >= 1
     ) / (F.col("n_docs") * F.col("total_tokens"))
     return (
         g.select(
@@ -1119,6 +1135,7 @@ g AS (
 SELECT source, n_docs,
        CAST(total_tokens AS BIGINT) AS total_tokens,
        ROUND((s2ix - (n_docs + 1) * total_tokens)
+       -- div-safe: n_docs >= 1 and total_tokens >= 1 per listed source
              / CAST(n_docs * total_tokens AS DOUBLE), 6) AS gini
 FROM g
 ORDER BY source
@@ -1158,6 +1175,7 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "pair",
             F.col("n").cast("long").alias("n"),
+            # div-safe: total >= 1 whenever pair rows exist
             F.round(F.col("n") / F.col("total"), 6).alias("share"),
         )
         .orderBy(F.desc("n"), F.asc("pair"))
@@ -1179,10 +1197,184 @@ pairs AS (
 pair_counts AS (SELECT pair, SUM(cnt) AS n FROM pairs GROUP BY pair),
 tot AS (SELECT SUM(n) AS total FROM pair_counts)
 SELECT pair, CAST(n AS BIGINT) AS n,
+       -- div-safe: total >= 1 whenever pair rows exist; an empty pair
+       -- table yields no rows at all
        ROUND(n / CAST(total AS DOUBLE), 6) AS share
 FROM pair_counts, tot
 ORDER BY n DESC, pair
 LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# BPE merge APPLICATION (encoding) — the other half of the tokenizer story
+# --------------------------------------------------------------------------
+
+#: number of learned merge rules applied (the top-K pairs of
+#: :func:`bpe_merge_candidates`'s statistic, rank order n DESC, pair ASC).
+_BPE_APPLY_MERGES = 8
+
+
+def bpe_apply_rules(w: Column, rules: list[str]) -> Column:
+    """Final BPE segmentation of word column ``w`` under ``rules`` (char
+    pairs, priority order), as a ``||``-delimited string: ``the`` →
+    ``||t||h||e||`` → (rule ``th``) → ``||th||e||``. Each rule is one
+    global literal replace — the doubled delimiter makes that exactly one
+    exhaustive left-greedy merge pass (see :func:`bpe_encode_corpus`)."""
+    seg = F.concat(F.lit("||"), F.regexp_replace(w, "(.)", "$1||"))
+    for p in rules:
+        seg = F.replace(seg, F.lit(f"|{p[0]}||{p[1]}|"), F.lit(f"|{p}|"))
+    return seg
+
+
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a learned BPE merge table — ENCODING, the serving half of the
+    tokenizer story whose training half is :func:`bpe_merge_candidates`.
+    The merge table is the top-``_BPE_APPLY_MERGES`` char pairs of exactly
+    that query's statistic (corpus-weighted pair counts over the distinct-
+    word table, rank order n DESC / pair ASC); each rule is applied as one
+    exhaustive left-greedy pass over adjacent token pairs, in priority
+    order.
+
+    Representation trick that makes the merge pass a single literal
+    ``replace`` in BOTH engines: a word's segmentation is kept as a
+    ``||``-delimited string (``the`` → ``||t||h||e||``) and merging pair
+    ``th`` is ``replace('|t||h|' → '|th|')`` — the doubled delimiter means
+    consecutive matches never share characters, so one left-to-right global
+    replace IS the exhaustive left-greedy merge pass (``aaaa`` with rule
+    ``aa`` → ``aa,aa`` in one pass, mid-token false matches impossible
+    because both token boundaries are anchored).
+
+    Scale shape: encoding runs per DISTINCT word (vocabulary-bounded, like
+    the training query), then joins back to the per-(source, word) count
+    table — the corpus is never re-scanned per rule. The Spark side
+    collects the K learned rules to the driver (a bounded K-row metadata
+    collect, same discipline as the 8-row PQ codebook) and unrolls K
+    chained ``replace`` expressions; the DuckDB oracle replays the same
+    rules with a WITH RECURSIVE pass (rule rk at step rk). Per-source
+    divides are safe: every group has ``n_words >= 1`` and every word
+    encodes to ``n_bpe >= 1`` tokens, so both denominators are >= 1 by
+    construction."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    wf = (
+        docs.select("source", F.explode(tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wfg = (
+        wf.groupBy("w")
+        .agg(F.sum("cnt").alias("cnt"))
+        .filter(F.length("w") >= 2)
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.substr(F.col("w"), i, F.lit(2)),
+    )
+    pair_counts = (
+        wfg.select(F.explode(bigrams).alias("pair"), "cnt")
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+    )
+    rules = [
+        r["pair"]
+        for r in pair_counts.orderBy(F.desc("n"), F.asc("pair"))
+        .limit(_BPE_APPLY_MERGES)
+        .collect()
+    ]
+    seg = bpe_apply_rules(F.col("w"), rules)
+    enc = wf.select("w").distinct().select(
+        "w",
+        (
+            (F.length(seg) - F.length(F.replace(seg, F.lit("|")))) / 2 - 1
+        ).cast("long").alias("n_bpe"),
+    )
+    return (
+        wf.join(enc, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_bpe")).cast("long").alias(
+                "n_bpe_tokens"
+            ),
+            F.sum(F.col("cnt") * F.length("w")).cast("long").alias(
+                "n_chars"
+            ),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_bpe_tokens",
+            "n_chars",
+            # div-safe: n_words >= 1 per group and every word encodes to
+            # n_bpe >= 1 tokens (see docstring)
+            F.round(F.col("n_bpe_tokens") / F.col("n_words"), 6).alias(
+                "bpe_per_word"
+            ),
+            F.round(
+            # div-safe: n_bpe_tokens >= n_words >= 1
+                F.col("n_chars") / F.col("n_bpe_tokens"), 6
+            ).alias("chars_per_bpe_token"),
+        )
+        .orderBy("source")
+    )
+
+
+_BPE_ENCODE_SQL = rf"""
+WITH RECURSIVE wf AS (
+  SELECT source, w, COUNT(*) AS cnt FROM (
+    SELECT source, unnest({_DUCK_TOKENS.format(col='text')}) AS w
+    FROM documents)
+  GROUP BY source, w
+),
+wfg AS (
+  SELECT w, SUM(cnt) AS cnt FROM wf GROUP BY w HAVING length(w) >= 2
+),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair, cnt
+  FROM wfg, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) idx
+),
+pair_counts AS (SELECT pair, SUM(cnt) AS n FROM pairs GROUP BY pair),
+rules AS (
+  SELECT pair, ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS rk
+  FROM pair_counts
+  ORDER BY n DESC, pair
+  LIMIT {_BPE_APPLY_MERGES}
+),
+vocab AS (SELECT DISTINCT w FROM wf),
+-- rule rk applies at recursion step rk: one exhaustive left-greedy merge
+-- pass per rule, in priority order (mirrors the Spark side's unrolled
+-- replace chain over the collected rule table)
+apply AS (
+  SELECT w, '||' || regexp_replace(w, '(.)', '\1||', 'g') AS seg, 0 AS step
+  FROM vocab
+  UNION ALL
+  SELECT a.w,
+         replace(a.seg,
+                 '|' || substr(r.pair, 1, 1) || '||'
+                     || substr(r.pair, 2, 1) || '|',
+                 '|' || r.pair || '|') AS seg,
+         a.step + 1
+  FROM apply a JOIN rules r ON r.rk = a.step + 1
+),
+enc AS (
+  SELECT w,
+         (length(seg) - length(replace(seg, '|', ''))) / 2 - 1 AS n_bpe
+  FROM apply
+  WHERE step = (SELECT MAX(rk) FROM rules)
+)
+SELECT wf.source,
+       CAST(SUM(wf.cnt) AS BIGINT) AS n_words,
+       CAST(SUM(wf.cnt * enc.n_bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(wf.cnt * length(wf.w)) AS BIGINT) AS n_chars,
+       -- div-safe: word counts >= 1 and n_bpe >= 1 per word (both ratios)
+       ROUND(SUM(wf.cnt * enc.n_bpe) / CAST(SUM(wf.cnt) AS DOUBLE), 6)
+         AS bpe_per_word,
+       ROUND(SUM(wf.cnt * length(wf.w))
+             / CAST(SUM(wf.cnt * enc.n_bpe) AS DOUBLE), 6)
+         AS chars_per_bpe_token
+FROM wf JOIN enc USING (w)
+GROUP BY wf.source
+ORDER BY wf.source
 """
 
 
@@ -1241,6 +1433,8 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("oov_tokens"),
     )
+    # div-safe: per-source and corpus token totals are >= 1 for listed
+    # sources; both smoothed-vocabulary shares are > 0 so the LN is finite
     p_s = F.col("n") / F.col("n_tokens")
     p_c = F.col("n_c") / F.col("t_c")
     contrib = F.round(p_s * F.log(p_s / p_c), 8)
@@ -1256,6 +1450,7 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_tokens",
+            # div-safe: n_tokens >= 1 per listed source
             F.round(F.col("oov_tokens") / F.col("n_tokens"), 6).alias("oov_rate"),
             "kl_vs_corpus",
         )
@@ -1292,6 +1487,7 @@ per_src AS (
 ),
 kl AS (
   SELECT m.source,
+         -- div-safe: token totals >= 1; vocabulary shares > 0
          ROUND(SUM(ROUND((m.n / CAST(p.n_tokens AS DOUBLE))
                          * LN((m.n / CAST(p.n_tokens AS DOUBLE))
                               / (c.n_c / CAST(tc.t_c AS DOUBLE))), 8)), 6)
@@ -1302,6 +1498,7 @@ kl AS (
   GROUP BY m.source
 )
 SELECT source, n_tokens,
+       -- div-safe: n_tokens >= 1 per listed source
        ROUND(oov_tokens / CAST(n_tokens AS DOUBLE), 6) AS oov_rate,
        kl_vs_corpus
 FROM per_src JOIN kl USING (source)
@@ -1343,6 +1540,8 @@ def doc_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_sents").cast("long").alias("s"),
         F.sum("n_syll").cast("long").alias("y"),
     )
+    # div-safe: n_sents is GREATEST(...)-clamped to >= 1 per doc and the
+    # per-doc filter keeps n_words > 0, so both sums are >= 1
     wps = F.col("w") / F.col("s")
     spw = F.col("y") / F.col("w")
     return agg.select(
@@ -1376,6 +1575,7 @@ agg AS (
   GROUP BY source
 )
 SELECT source, n_docs,
+       -- div-safe: s is GREATEST-clamped >= 1 per doc; w >= 1 (all four)
        ROUND(w / CAST(s AS DOUBLE), 4) AS avg_words_per_sentence,
        ROUND(y / CAST(w AS DOUBLE), 4) AS avg_syllables_per_word,
        ROUND({_FLESCH_BASE!r} - {_FLESCH_SENT!r} * (w / CAST(s AS DOUBLE))
@@ -1436,13 +1636,17 @@ def tokenizer_inflation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "ws_tokens",
             "piece_tokens",
+            # div-safe: listed sources have ws_tokens >= 1, piece_tokens
+            # >= ws_tokens, and n_vocab >= 1
             F.round(F.col("piece_tokens") / F.col("ws_tokens"), 6).alias(
                 "inflation"
             ),
+            # div-safe: piece_tokens >= ws_tokens >= 1
             F.round(F.col("punct_pieces") / F.col("piece_tokens"), 6).alias(
                 "punct_frac"
             ),
             "n_vocab",
+            # div-safe: n_vocab >= 1 per listed source
             F.round(F.col("n_hapax") / F.col("n_vocab"), 6).alias("hapax_frac"),
         )
         .orderBy("source")
@@ -1476,6 +1680,7 @@ hapax AS (
   FROM counts GROUP BY source
 )
 SELECT s.source, s.ws_tokens, s.piece_tokens,
+       -- div-safe: ws_tokens >= 1, piece_tokens >= ws_tokens, n_vocab >= 1
        ROUND(s.piece_tokens / CAST(s.ws_tokens AS DOUBLE), 6) AS inflation,
        ROUND(s.punct_pieces / CAST(s.piece_tokens AS DOUBLE), 6) AS punct_frac,
        h.n_vocab,
@@ -1668,6 +1873,8 @@ def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n",
         F.round(slope, 6).alias("slope"),
+        # div-safe: vx/vy are NULLIF-guarded upstream (r7 zero-variance
+        # fix); n is a GROUP BY count >= 1
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
         F.round(cov * cov / (vx * vy), 6).alias("r2"),
     ).orderBy("lang")
@@ -1710,6 +1917,7 @@ moments AS (
 )
 SELECT lang,
        CAST(n AS BIGINT) AS n,
+       -- div-safe: vx/vy NULLIF-guarded in moments (r7 fix); n >= 1
        ROUND(cov / vx, 6) AS slope,
        ROUND((sy - cov / vx * sx) / n, 6) AS intercept,
        ROUND(cov * cov / (vx * vy), 6) AS r2
@@ -1788,6 +1996,8 @@ def text_charset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("has_mojibake").cast("long").alias("n_mojibake_docs"),
             F.sum(F.col("bad_chars").cast("long")).alias("n_bad_chars"),
             F.round(
+                # div-safe: per-source char mass >= 1 on the non-empty
+                # corpus (injection only ever ADDS characters)
                 1.0
                 - F.sum(F.col("bad_chars").cast("long"))
                 / F.sum(F.col("n_chars").cast("long")),
@@ -1825,6 +2035,7 @@ SELECT source,
        CAST(SUM(has_ctrl) AS BIGINT) AS n_control_docs,
        CAST(SUM(has_mojibake) AS BIGINT) AS n_mojibake_docs,
        CAST(SUM(bad_chars) AS BIGINT) AS n_bad_chars,
+       -- div-safe: per-source char mass >= 1 on the non-empty corpus
        ROUND(1.0 - CAST(SUM(bad_chars) AS DOUBLE) / SUM(n_chars), 6)
          AS printable_ratio
 FROM m
@@ -1833,7 +2044,217 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# HTML boilerplate strip / main-content extraction
+# --------------------------------------------------------------------------
+
+#: 1-in-this docs additionally get a link-farm block planted ("related
+#: links" nav junk), which the LINK-DENSITY rule — not a hardcoded id list —
+#: must drop; the remaining 3-in-4 prove the rule's negatives (their main
+#: block has zero links and must be kept).
+_HTML_FARM_MOD = 4
+_HTML_FARM_RES = 1
+#: blocks whose links-per-word ratio is >= this are boilerplate (the classic
+#: content-extraction heuristic, e.g. Kohlschütter et al. boilerpipe).
+_LINK_DENSITY_MAX = 0.5
+# Deterministic synthetic page furniture wrapped around every document's
+# text (single-quote-free so the same constants inject into the DuckDB SQL
+# literal verbatim). Each piece exercises one strip rule: head/title,
+# inline script, inline style, nav, link-farm div, footer.
+_HTML_PRE_TITLE = '<html><head><title>'
+_HTML_POST_TITLE = (
+    '</title></head><body>'
+    '<script type="text/javascript">var page=1;track();</script>'
+    '<style>.nav a{color:#336}</style>'
+    '<nav><a href="/">Home</a> <a href="/docs">Docs</a> '
+    '<a href="/about">About</a></nav>'
+    '<div id="main"><p>'
+)
+_HTML_POST_TEXT = '</p></div>'
+_HTML_FARM = (
+    '<div id="related">'
+    + "".join(f'<a href="/r/{i}">w{i}</a>' for i in range(8))
+    + "</div>"
+)
+_HTML_FOOTER = (
+    '<footer><a href="/privacy">Privacy</a> '
+    '<a href="/terms">Terms</a> (c) 2026</footer></body></html>'
+)
+#: strip patterns, applied in order; Java-regex ∩ RE2 subset — `(?s)` and
+#: non-greedy `.*?` work identically in both, no backrefs/lookaround.
+_HTML_STRIP_PATTERNS = (
+    r"(?s)<script[^>]*>.*?</script>",
+    r"(?s)<style[^>]*>.*?</style>",
+    r"(?s)<head>.*?</head>",
+    r"(?s)<nav>.*?</nav>",
+    r"(?s)<footer>.*?</footer>",
+)
+_HTML_REGION_PATTERN = r'(?s)<div id="related">.*?</div>'
+
+
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip / main-content extraction — the first operator
+    every web-crawl pipeline runs before any dedup or quality op. The
+    synthetic corpus is plain text, so (exactly like ``text_pii_redaction``
+    and ``text_charset_audit``) a deterministic HTML page is PLANTED around
+    every document inside the query: head+title, inline script and style,
+    a nav bar, a footer, and — for 1-in-4 docs — a link-farm "related" div.
+    Extraction is tag-aware strip rules (script/style/head/nav/footer) plus
+    a LINK-DENSITY rule (links-per-word >= 0.5 → boilerplate, the
+    boilerpipe-family heuristic) for the farm, then generic tag strip +
+    whitespace normalization. Because the planted page is deterministic,
+    the report carries its own proof: ``n_exact`` counts docs whose
+    extracted content equals the original text exactly, and must equal
+    ``n_docs``.
+
+    Scale shape: one scan, per-row regex projection (whole-stage codegen,
+    no Python), 20-row per-source aggregate — the only shuffle is the
+    group table. Retention's denominator ``length(html)`` is > 0 by
+    construction (constant page furniture), so the divide is safe without
+    a NULLIF; the density divide is guarded with GREATEST(n_words, 1)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    farm = F.col("doc_id") % _HTML_FARM_MOD == _HTML_FARM_RES
+    html = F.concat(
+        F.lit(_HTML_PRE_TITLE),
+        F.substring("text", 1, 20),
+        F.lit(_HTML_POST_TITLE),
+        F.col("text"),
+        F.lit(_HTML_POST_TEXT),
+        F.when(farm, F.lit(_HTML_FARM)).otherwise(F.lit("")),
+        F.lit(_HTML_FOOTER),
+    )
+    d = docs.withColumn("html", html)
+    h = F.col("html")
+    for pat in _HTML_STRIP_PATTERNS:
+        h = F.regexp_replace(h, pat, " ")
+    d = d.withColumn("h", h)
+    region = F.regexp_extract("h", _HTML_REGION_PATTERN, 0)
+    d = d.withColumn("reg", region)
+    region_text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace("reg", r"<[^>]+>", " "), r"\s+", " "
+        )
+    )
+    n_links = (
+        F.length("reg") - F.length(F.replace(F.col("reg"), F.lit("<a ")))
+    ) / 3.0
+    n_words = F.size(tokens(region_text))
+    density = n_links / F.greatest(n_words.cast("double"), F.lit(1.0))
+    dropped = (F.col("reg") != "") & (density >= _LINK_DENSITY_MAX)
+    d = d.withColumn(
+        "h2",
+        F.when(dropped, F.replace(F.col("h"), F.col("reg"), F.lit(" ")))
+        .otherwise(F.col("h")),
+    ).withColumn("dropped", dropped)
+    extracted = F.trim(
+        F.regexp_replace(
+            F.regexp_replace("h2", r"<[^>]+>", " "), r"\s+", " "
+        )
+    )
+    orig_norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    return (
+        d.select(
+            "source",
+            "dropped",
+            extracted.alias("extracted"),
+            orig_norm.alias("orig_norm"),
+            F.length("html").alias("html_len"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("dropped").cast("int")).cast("long").alias(
+                "n_linkfarm_dropped"
+            ),
+            F.sum(
+                (F.col("extracted") == F.col("orig_norm")).cast("int")
+            ).cast("long").alias("n_exact"),
+            F.round(
+                # div-safe: html_len > 0 (constant page furniture)
+                F.avg(
+                    F.length("extracted").cast("double") / F.col("html_len")
+                ),
+                6,
+            ).alias("retention"),
+            F.sum(
+                (F.col("html_len") - F.length("extracted")).cast("long")
+            ).alias("boilerplate_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_HTML_EXTRACT_SQL = rf"""
+WITH raw AS (
+  SELECT source, text,
+         '{_HTML_PRE_TITLE}' || substr(text, 1, 20) || '{_HTML_POST_TITLE}'
+         || text || '{_HTML_POST_TEXT}'
+         || CASE WHEN doc_id % {_HTML_FARM_MOD} = {_HTML_FARM_RES}
+                 THEN '{_HTML_FARM}' ELSE '' END
+         || '{_HTML_FOOTER}' AS html
+  FROM documents
+),
+stripped AS (
+  SELECT source, text, html,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(html,
+             '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+             '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+             '(?s)<head>.*?</head>', ' ', 'g'),
+             '(?s)<nav>.*?</nav>', ' ', 'g'),
+             '(?s)<footer>.*?</footer>', ' ', 'g') AS h
+  FROM raw
+),
+region AS (
+  SELECT source, text, html, h,
+         CASE WHEN regexp_matches(h, '(?s)<div id="related">.*?</div>')
+              THEN regexp_extract(h, '(?s)<div id="related">.*?</div>', 0)
+              ELSE '' END AS reg
+  FROM stripped
+),
+density AS (
+  SELECT source, text, html, h, reg,
+         (length(reg) - length(replace(reg, '<a ', ''))) / 3.0 AS n_links,
+         len(list_filter(string_split_regex(
+           trim(regexp_replace(regexp_replace(reg, '<[^>]+>', ' ', 'g'),
+                               '\s+', ' ', 'g')), '\s+'),
+           t -> t <> '')) AS n_words
+  FROM region
+),
+cleaned AS (
+  SELECT source, html,
+         reg <> '' AND n_links / GREATEST(CAST(n_words AS DOUBLE), 1.0)
+           >= {_LINK_DENSITY_MAX} AS dropped,
+         trim(regexp_replace(regexp_replace(
+           CASE WHEN reg <> ''
+                 AND n_links / GREATEST(CAST(n_words AS DOUBLE), 1.0)
+                     >= {_LINK_DENSITY_MAX}
+                THEN replace(h, reg, ' ') ELSE h END,
+           '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS extracted,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS orig_norm
+  FROM density
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_linkfarm_dropped,
+       CAST(SUM(CASE WHEN extracted = orig_norm THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact,
+       -- div-safe: length(html) > 0 (constant page furniture)
+       ROUND(AVG(CAST(length(extracted) AS DOUBLE) / length(html)), 6)
+         AS retention,
+       CAST(SUM(length(html) - length(extracted)) AS BIGINT)
+         AS boilerplate_chars
+FROM cleaned
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "text_html_extract": text_html_extract,
     "text_charset_audit": text_charset_audit,
     "heavy_hitters_cms": heavy_hitters_cms,
     "token_zipf_fit": token_zipf_fit,
@@ -1842,6 +2263,7 @@ QUERIES = {
     "source_unigram_kl": source_unigram_kl,
     "text_token_stats": text_token_stats,
     "bpe_merge_candidates": bpe_merge_candidates,
+    "bpe_encode_corpus": bpe_encode_corpus,
     "source_token_gini": source_token_gini,
     "text_bm25_search": text_bm25_search,
     "text_tfidf_top_terms": text_tfidf_top_terms,
@@ -1860,6 +2282,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_html_extract": _HTML_EXTRACT_SQL,
     "text_charset_audit": _CHARSET_SQL,
     "heavy_hitters_cms": _CMS_SQL,
     "token_zipf_fit": _ZIPF_SQL,
@@ -1868,6 +2291,7 @@ ORACLES = {
     "source_unigram_kl": _UNIGRAM_KL_SQL,
     "text_token_stats": _TOKEN_STATS_SQL,
     "bpe_merge_candidates": _BPE_SQL,
+    "bpe_encode_corpus": _BPE_ENCODE_SQL,
     "source_token_gini": _GINI_SQL,
     "text_bm25_search": _BM25_SQL,
     "text_tfidf_top_terms": _TFIDF_SQL,

@@ -157,6 +157,10 @@ def source_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = weighted.agg(
         F.sum("pw").alias("pw_total"), F.sum("n_tokens").alias("tok_total")
     )
+    # div-safe: pw/pw_total/tok_total are
+    # corpus-wide sums over sources with >= 1 token each (every document
+    # carries >= 1 token by the driver corpus contract), so all three
+    # denominators are >= 1; n_tokens per source likewise
     w = F.col("pw") / F.col("pw_total")
     return (
         weighted.crossJoin(F.broadcast(total))
@@ -164,6 +168,7 @@ def source_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_tokens",
+            # div-safe: tok_total and n_tokens >= 1, see note above
             F.round(F.col("n_tokens") / F.col("tok_total"), 6).alias("raw_share"),
             F.round(w, 6).alias("mix_weight"),
             F.round(w * _TOKEN_BUDGET / F.col("n_tokens"), 4).alias("epochs"),
@@ -186,6 +191,8 @@ weighted AS (
 ),
 total AS (SELECT SUM(pw) AS pw_total, SUM(n_tokens) AS tok_total FROM weighted)
 SELECT source, n_docs, n_tokens,
+       -- div-safe: token sums >= 1 by the non-empty-document corpus
+       -- contract (see the Spark twin's note)
        ROUND(n_tokens / tok_total, 6) AS raw_share,
        ROUND(pw / pw_total, 6) AS mix_weight,
        ROUND(pw / pw_total * {_TOKEN_BUDGET} / n_tokens, 4) AS epochs
@@ -237,6 +244,8 @@ def dedup_documents_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     za = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
     zb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    # div-safe: sizes only lists docs with a non-empty shingle set, so
+    # LEAST(na, nb) >= 1
     contain = F.col("i") / F.least("na", "nb")
     return (
         inter.join(za, "da")
@@ -273,10 +282,13 @@ inter AS (
   GROUP BY c.da, c.db
 )
 SELECT da AS doc_a, db AS doc_b, sa.n AS shingles_a, sb.n AS shingles_b,
+       -- div-safe: shingle-set sizes are >= 1 (docs without shingles
+       -- never enter sizes)
        ROUND(CAST(i AS DOUBLE) / LEAST(sa.n, sb.n), 4) AS containment
 FROM inter
 JOIN sizes sa ON sa.doc_id = da
 JOIN sizes sb ON sb.doc_id = db
+-- div-safe: shingle-set sizes >= 1 (same invariant as the SELECT)
 WHERE CAST(i AS DOUBLE) / LEAST(sa.n, sb.n) >= {_CONTAIN_T}
 ORDER BY doc_a, doc_b
 """
@@ -362,6 +374,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("nrm").alias("q_nrm"),
     )
+    # div-safe: embeddings are unit-norm by data contract
     cos = _dot(F.col("qv"), F.col("v")) / (F.col("q_nrm") * F.col("nrm"))
     scored = (
         e.crossJoin(F.broadcast(q))
@@ -421,6 +434,8 @@ def _assign(e: DataFrame, cent: DataFrame) -> DataFrame:
     ranking granularity, the smaller the boundary-landing probability, and
     genuine sub-1e-4 differences resolve deterministically by centroid id
     in both engines."""
+    # div-safe: embeddings (and hence centroid means' norms over
+    # unit-norm members) are nonzero by the unit-norm data contract
     cos = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("c_nrm"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("rank_sim"), F.asc("cid"))
     return (
@@ -634,6 +649,7 @@ def source_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vecs",
             "avg_norm",
             "centroid_norm",
+            # div-safe: avg_norm averages unit norms, = 1 by data contract
             F.round(F.col("centroid_norm") / F.col("avg_norm"), 4).alias("coherence"),
         )
         .orderBy("source")
@@ -658,6 +674,7 @@ cent AS (
   FROM per_dim GROUP BY source
 )
 SELECT source, n_vecs, avg_norm, centroid_norm,
+       -- div-safe: avg_norm averages unit norms, = 1 by data contract
        ROUND(centroid_norm / avg_norm, 4) AS coherence
 FROM norms JOIN cent USING (source)
 ORDER BY source
@@ -954,12 +971,17 @@ def context_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ctx").cast("int").alias("ctx"),
             "n_docs",
             "total_tokens",
+            # div-safe: n_docs is a GROUP BY count >= 1;
+            # total_tokens >= n_docs (rows pre-filtered to n > 0); ctx is
+            # a positive literal from _CTX_SWEEP
             F.round(F.col("n_truncated") / F.col("n_docs"), 6).alias(
                 "frac_docs_truncated"
             ),
+            # div-safe: total_tokens >= n_docs >= 1 (rows pre-filtered n>0)
             F.round(F.col("tokens_lost") / F.col("total_tokens"), 6).alias(
                 "frac_tokens_lost"
             ),
+            # div-safe: ctx is a positive literal from _CTX_SWEEP
             F.ceil(F.col("tokens_kept") / F.col("ctx"))
             .cast("long")
             .alias("min_packs"),

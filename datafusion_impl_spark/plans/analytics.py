@@ -669,6 +669,7 @@ SELECT id, s,
        TRY_CAST(s AS DATE) AS as_date,
        TRY_CAST(s AS DOUBLE) AS as_double,
        CASE WHEN a >= 9223372036854775807 THEN NULL ELSE a + 1 END AS a_plus_1,
+       -- div-safe: the b = 0 branch is the explicit guard under test
        CASE WHEN b = 0 THEN NULL ELSE a / b END AS a_div_b,
        [a, b][2] AS elem2,
        [a, b][9] AS elem9
@@ -722,6 +723,7 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         per.select(
             "bucket",
             "n_rows",
+            # div-safe: window SUM over group counts is >= 1 (both ratios)
             F.round(F.col("n_rows") / F.sum("n_rows").over(w), 6).alias("share"),
             F.round(
                 F.col("n_rows") * 32 / F.sum("n_rows").over(w), 4
@@ -741,6 +743,7 @@ WITH per AS (
   FROM events GROUP BY 1
 )
 SELECT bucket, n_rows,
+       -- div-safe: window SUM over group counts is >= 1 (both ratios)
        ROUND(n_rows / SUM(n_rows) OVER (), 6) AS share,
        ROUND(n_rows * 32 / SUM(n_rows) OVER (), 4) AS skew_factor
 FROM per
@@ -786,6 +789,7 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "path",
             "n",
+            # div-safe: t sums group counts >= 1
             F.round(F.col("n") / F.col("t"), 6).alias("share"),
         )
         .orderBy(F.desc("n"), "path")
@@ -807,6 +811,7 @@ paths AS (
 counts AS (SELECT path, COUNT(*) AS n FROM paths GROUP BY path),
 total AS (SELECT SUM(n) AS t FROM counts)
 SELECT path, n,
+       -- div-safe: t sums group counts >= 1
        ROUND(n / CAST((SELECT t FROM total) AS DOUBLE), 6) AS share
 FROM counts
 ORDER BY n DESC, path
@@ -867,7 +872,17 @@ def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             m.select(
                 F.lit(a).alias("col_a"),
                 F.lit(b).alias("col_b"),
-                F.round(num / F.sqrt(den_a * den_b), 6).alias("pearson_r"),
+                # NULLIF guard (r9 div sweep): a zero-variance column makes
+                # the denominator 0 — pin r to NULL in both engines (and
+                # clamp the double-cast variance product at 0 before sqrt)
+                F.round(
+                    num
+                    / F.nullif(
+                        F.sqrt(F.greatest(den_a * den_b, F.lit(0.0))),
+                        F.lit(0.0),
+                    ),
+                    6,
+                ).alias("pearson_r"),
             )
         )
     out = rows[0]
@@ -898,9 +913,12 @@ def _corr_matrix_oracle() -> str:
     for a, b in pairs:
         selects.append(
             f"SELECT '{a}' AS col_a, '{b}' AS col_b,\n"
+            f"  -- NULLIF + clamp mirror the Spark zero-variance guard\n"
             f"  ROUND(CAST(n * p_{a}_{b} - s_{a} * s_{b} AS DOUBLE)\n"
-            f"        / SQRT(CAST(n * q_{a} - s_{a} * s_{a} AS DOUBLE)\n"
-            f"               * CAST(n * q_{b} - s_{b} * s_{b} AS DOUBLE)), 6)\n"
+            f"        / NULLIF(SQRT(GREATEST(\n"
+            f"            CAST(n * q_{a} - s_{a} * s_{a} AS DOUBLE)\n"
+            f"            * CAST(n * q_{b} - s_{b} * s_{b} AS DOUBLE), 0)), 0),\n"
+            f"        6)\n"
             f"    AS pearson_r FROM m"
         )
     union = "\nUNION ALL\n".join(selects)
@@ -965,7 +983,11 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_a",
             "brand_b",
             "n_pair",
+            # div-safe: n_orders = COUNT(*) of orders > 0 (plan-time
+            # literal); n_a * n_b >= 1 — brand rows exist only with
+            # at least one order
             F.round(F.col("n_pair") / F.lit(n_orders), 6).alias("support"),
+            # div-safe: per-brand counts n_a, n_b are >= 1
             F.round(
                 (F.col("n_pair") * F.lit(n_orders))
                 / (F.col("n_a") * F.col("n_b")),
@@ -991,6 +1013,7 @@ pairs AS (
   GROUP BY 1, 2
 )
 SELECT brand_a, brand_b, n_pair,
+       -- div-safe: n_orders > 0; per-brand counts >= 1
        ROUND(n_pair / CAST((SELECT n FROM n_orders) AS DOUBLE), 6) AS support,
        ROUND(CAST(n_pair AS BIGINT) * (SELECT n FROM n_orders)
              / CAST(pa.n_brand * pb.n_brand AS DOUBLE), 6) AS lift
@@ -1070,6 +1093,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg.groupBy("r_bin", "f_bin", "m_bin")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
+            # div-safe: COUNT of a GROUP BY group is >= 1 (all three)
             F.round(F.sum("r") / F.count(F.lit(1)), 4).alias("avg_recency_days"),
             F.round(F.sum("f") / F.count(F.lit(1)), 4).alias("avg_orders"),
             F.round(
@@ -1115,6 +1139,7 @@ seg AS (
 )
 SELECT r_bin, f_bin, m_bin,
        COUNT(*) AS n_customers,
+       -- div-safe: COUNT(*) of a GROUP BY group is >= 1 (all three)
        ROUND(CAST(SUM(r) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_recency_days,
        ROUND(CAST(SUM(f) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_orders,
        ROUND(CAST(SUM(m * {_RFM_MONEY_BUCKET} / 100) AS BIGINT)
@@ -1426,6 +1451,7 @@ def grouped_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         clipped.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
+            # div-safe: COUNT of a GROUP BY group is >= 1 (both means)
             F.round(F.sum("n_chars") / F.count(F.lit(1)), 4).alias("raw_mean"),
             F.round(F.sum("w") / F.count(F.lit(1)), 4).alias("winsor_mean"),
             F.sum("clip_lo").alias("n_clip_lo"),
@@ -1451,6 +1477,7 @@ clipped AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
+       -- div-safe: COUNT(*) of a GROUP BY group is >= 1 (both means)
        ROUND(SUM(n_chars) / CAST(COUNT(*) AS DOUBLE), 4) AS raw_mean,
        ROUND(SUM(w) / COUNT(*), 4) AS winsor_mean,
        CAST(SUM(clip_lo) AS BIGINT) AS n_clip_lo,
@@ -1563,6 +1590,8 @@ def events_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("n", ignorenulls=True).over(wn).alias("nv"),
         F.first(obs_day, ignorenulls=True).over(wn).alias("nd"),
     )
+    # div-safe: frac is consumed only on gap rows (n IS NULL), where the
+    # previous and next OBSERVED days straddle the gap: nd > pd
     frac = F.datediff("day", "pd") / F.datediff("nd", "pd")
     interp = (
         F.when(F.col("n").isNotNull(), F.col("n").cast("double"))
@@ -1608,6 +1637,7 @@ SELECT day,
        ROUND(CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
                   WHEN pv IS NOT NULL AND nv IS NOT NULL
                     THEN pv + (nv - pv) * (date_diff('day', pd, day)
+                  -- div-safe: nd > pd on interpolated (gap) rows
                                            / CAST(date_diff('day', pd, nd) AS DOUBLE))
                   ELSE CAST(COALESCE(pv, nv) AS DOUBLE) END,
              4) AS value
@@ -1630,6 +1660,7 @@ def grouped_zscore_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _z(pdf: "pd.DataFrame") -> "pd.DataFrame":
         s = pdf["n_chars"].std(ddof=0)
         if s > 0:
+            # div-safe: the s > 0 branch is the explicit guard
             z = (pdf["n_chars"] - pdf["n_chars"].mean()) / s
         else:
             z = pdf["n_chars"] * 0.0
@@ -1645,6 +1676,7 @@ def grouped_zscore_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GROUPED_ZSCORE_SQL = """
 SELECT doc_id, lang, n_chars,
        ROUND(CASE WHEN stddev_pop(n_chars) OVER (PARTITION BY lang) > 0
+                  -- div-safe: the CASE arm is the explicit guard
                   THEN (n_chars - AVG(n_chars) OVER (PARTITION BY lang))
                        / stddev_pop(n_chars) OVER (PARTITION BY lang)
                   ELSE 0.0 END, 6) AS z
@@ -2061,10 +2093,20 @@ def user_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_view",
         "n_click_after_view",
         "n_purchase_after_click",
+        # div-safe: n_users = COUNT(DISTINCT user) of a non-empty events
+        # table, >= 1. NULLIF guards (r9 div sweep) on the chained funnel
+        # stages: an empty upstream stage pins the downstream rate to NULL
+        # in both engines instead of Spark-NULL-vs-DuckDB-inf.
         F.round(F.col("n_view") / F.col("n_users"), 4).alias("view_rate"),
-        F.round(F.col("n_click_after_view") / F.col("n_view"), 4).alias("click_rate"),
         F.round(
-            F.col("n_purchase_after_click") / F.col("n_click_after_view"), 4
+            F.col("n_click_after_view")
+            / F.nullif(F.col("n_view").cast("double"), F.lit(0.0)),
+            4,
+        ).alias("click_rate"),
+        F.round(
+            F.col("n_purchase_after_click")
+            / F.nullif(F.col("n_click_after_view").cast("double"), F.lit(0.0)),
+            4,
         ).alias("purchase_rate"),
     )
 
@@ -2090,9 +2132,11 @@ SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
        (SELECT COUNT(*) FROM mv) AS n_view,
        (SELECT COUNT(*) FROM mc) AS n_click_after_view,
        (SELECT COUNT(*) FROM mp) AS n_purchase_after_click,
+       -- div-safe: user count of a non-empty events table >= 1; NULLIF
+       -- mirrors the Spark side's empty-funnel-stage guards
        ROUND((SELECT COUNT(*) FROM mv) / CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS DOUBLE), 4) AS view_rate,
-       ROUND((SELECT COUNT(*) FROM mc) / CAST((SELECT COUNT(*) FROM mv) AS DOUBLE), 4) AS click_rate,
-       ROUND((SELECT COUNT(*) FROM mp) / CAST((SELECT COUNT(*) FROM mc) AS DOUBLE), 4) AS purchase_rate
+       ROUND((SELECT COUNT(*) FROM mc) / NULLIF(CAST((SELECT COUNT(*) FROM mv) AS DOUBLE), 0), 4) AS click_rate,
+       ROUND((SELECT COUNT(*) FROM mp) / NULLIF(CAST((SELECT COUNT(*) FROM mc) AS DOUBLE), 0), 4) AS purchase_rate
 """
 
 
@@ -2413,6 +2457,7 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prev_type",
             F.col("event_type").alias("next_type"),
             "n",
+            # div-safe: n_from is a GROUP BY count >= 1
             F.round(F.col("n") / F.col("n_from"), 6).alias("p"),
         )
         .orderBy("prev_type", "next_type")
@@ -2428,6 +2473,7 @@ WITH seq AS (
 pairs AS (SELECT prev_type, event_type FROM seq WHERE prev_type IS NOT NULL),
 totals AS (SELECT prev_type, COUNT(*) AS n_from FROM pairs GROUP BY prev_type)
 SELECT p.prev_type, p.event_type AS next_type, COUNT(*) AS n,
+       -- div-safe: n_from is a GROUP BY count >= 1
        ROUND(COUNT(*) / CAST(t.n_from AS DOUBLE), 6) AS p
 FROM pairs p JOIN totals t ON p.prev_type = t.prev_type
 GROUP BY p.prev_type, p.event_type, t.n_from
@@ -2471,6 +2517,7 @@ def map_higher_order_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(
                 F.map_values(
                     F.map_zip_with(
+                        # div-safe: total sums map counts >= 1
                         "m", "m", lambda k, v1, v2: v1 / total.cast("double")
                     )
                 )
@@ -2489,6 +2536,7 @@ WITH per_flag AS (
 SELECT l_orderkey,
        CAST(SUM(cnt) * 2 AS BIGINT) AS doubled_total,
        CAST(count_if(cnt > 2) AS INTEGER) AS n_heavy_flags,
+       -- div-safe: SUM over per-flag counts >= 1
        ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6) AS max_flag_share
 FROM per_flag
 GROUP BY l_orderkey

@@ -308,6 +308,7 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month",
         F.col("m_n").alias("n_orders"),
         F.round("m_sum", 2).alias("revenue"),
+        # div-safe: m_n is a sum of GROUP BY counts, always >= 1
         F.round(F.col("m_sum") / F.col("m_n"), 2).alias("avg_price"),
     ).orderBy("month")
 
@@ -316,6 +317,7 @@ _MV_MERGE_SQL = """
 SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
        COUNT(*) AS n_orders,
        ROUND(SUM(o_totalprice), 2) AS revenue,
+       -- div-safe: COUNT(*) of a GROUP BY group is >= 1
        ROUND(SUM(o_totalprice) / COUNT(*), 2) AS avg_price
 FROM orders
 GROUP BY 1
@@ -463,9 +465,15 @@ def scd2_status_dwell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
             "n_closed",
             "total_days",
+            # NULLIF guards (r9 div sweep): a status whose every interval is
+            # same-day has total_days = 0, and if ALL intervals were
+            # same-day the global sum is 0 too — both ratios pin to NULL in
+            # both engines instead of Spark-NULL-vs-DuckDB-inf
             F.round(
                 F.col("total_days")
-                / F.sum("total_days").over(wall).cast("double"),
+                / F.nullif(
+                    F.sum("total_days").over(wall).cast("double"), F.lit(0.0)
+                ),
                 6,
             ).alias("days_share"),
             # both engines cast the exact DECIMAL sum to the same nearest
@@ -473,7 +481,7 @@ def scd2_status_dwell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             # decimal/decimal division would hit engine-specific scale rules
             F.round(
                 F.col("pd_sum").cast("double")
-                / F.col("total_days").cast("double"),
+                / F.nullif(F.col("total_days").cast("double"), F.lit(0.0)),
                 4,
             ).alias("dwell_weighted_price"),
         )
@@ -510,8 +518,10 @@ per_status AS (
   GROUP BY o_orderstatus
 )
 SELECT o_orderstatus, n_closed, total_days,
-       ROUND(total_days / CAST(SUM(total_days) OVER () AS DOUBLE), 6) AS days_share,
-       ROUND(CAST(pd_sum AS DOUBLE) / CAST(total_days AS DOUBLE), 4)
+       -- NULLIF mirrors the Spark side's zero-dwell guard
+       ROUND(total_days / NULLIF(CAST(SUM(total_days) OVER () AS DOUBLE), 0), 6)
+         AS days_share,
+       ROUND(CAST(pd_sum AS DOUBLE) / NULLIF(CAST(total_days AS DOUBLE), 0), 4)
          AS dwell_weighted_price
 FROM per_status
 ORDER BY o_orderstatus
@@ -570,6 +580,7 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "avg_price",
+            # div-safe: n_orders is COUNT(*) of a GROUP BY group, >= 1
             F.round(F.col("revenue") / F.col("n_orders"), 4),
         )
         .orderBy("c_mktsegment")
@@ -581,6 +592,7 @@ SELECT c_mktsegment,
        COUNT(*) AS n_orders,
        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
        ROUND(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+       -- div-safe: COUNT(*) of a GROUP BY group is >= 1
              / COUNT(*), 4) AS avg_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment

@@ -134,6 +134,9 @@ def asof_join_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_stale"),
             F.round(
+            # div-safe: when the in-tolerance count is 0 the SUM numerator
+            # is NULL (empty conditional sum), and NULL/0 is NULL in both
+            # engines — never a 0/0
                 F.sum(F.when(in_tol, F.col("gap_us")))
                 / F.count_if(F.col("gap_us").isNotNull() & in_tol),
                 4,
@@ -157,6 +160,8 @@ SELECT event_type,
             AS BIGINT) AS n_matched,
        CAST(count_if(gap_us IS NOT NULL AND gap_us > {_ASOF_TOLERANCE_US})
             AS BIGINT) AS n_stale,
+       -- div-safe: empty conditional SUM is NULL, NULL/0 is NULL in both
+       -- engines — never a 0/0
        ROUND(CAST(SUM(CASE WHEN gap_us <= {_ASOF_TOLERANCE_US} THEN gap_us END)
                   AS BIGINT)
              / CAST(count_if(gap_us IS NOT NULL
@@ -221,6 +226,8 @@ def linear_attribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     credited = j.select(
         "click_hour",
         F.round(
+            # div-safe: COUNT over a window partition that contains the
+            # current row is >= 1
             F.col("value") / F.count(F.lit(1)).over(w), 6
         ).alias("credit"),
     )
@@ -250,6 +257,7 @@ j AS (
 ),
 credited AS (
   SELECT click_hour,
+         -- div-safe: COUNT(*) over the row's own partition is >= 1
          ROUND(value / COUNT(*) OVER (PARTITION BY p_id), 6) AS credit
   FROM j
 )

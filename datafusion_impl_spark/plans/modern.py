@@ -66,6 +66,7 @@ def recursive_cte_revenue_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     months = _monthly_revenue(spark, sf_dir)
     blocks = (
         months.withColumn(
+            # div-safe: _EMA_BLOCK is a nonzero module constant
             "b", ((F.col("i") - 1) / _EMA_BLOCK).cast("int") + 1
         )
         .groupBy("b")

@@ -235,8 +235,11 @@ def data_quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFram
     checks = [
         ("orderkey_unique", F.col("n_keys") == F.col("n_rows"),
          F.col("n_keys").cast("double")),
+        # div-safe: n_rows = COUNT(*) of the orders table, >= 1 on a
+        # non-empty corpus (both completeness ratios)
         ("custkey_complete", F.col("nn_cust") == F.col("n_rows"),
          F.col("nn_cust") / F.col("n_rows")),
+        # div-safe: same n_rows >= 1 invariant as above
         ("orderdate_complete", F.col("nn_date") == F.col("n_rows"),
          F.col("nn_date") / F.col("n_rows")),
         ("price_positive", F.col("min_price") > 0,
@@ -276,6 +279,7 @@ WITH m AS (
 SELECT * FROM (
   SELECT 'orderkey_unique' AS check_name, CASE WHEN n_keys = n_rows THEN 'PASS' ELSE 'FAIL' END AS status, ROUND(CAST(n_keys AS DOUBLE), 4) AS metric FROM m
   UNION ALL
+  -- div-safe: n_rows = COUNT(*) of orders, >= 1 (both ratios)
   SELECT 'custkey_complete', CASE WHEN nn_cust = n_rows THEN 'PASS' ELSE 'FAIL' END, ROUND(nn_cust / CAST(n_rows AS DOUBLE), 4) FROM m
   UNION ALL
   SELECT 'orderdate_complete', CASE WHEN nn_date = n_rows THEN 'PASS' ELSE 'FAIL' END, ROUND(nn_date / CAST(n_rows AS DOUBLE), 4) FROM m
@@ -323,6 +327,7 @@ def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "week_offset",
             "n_active",
             "cohort_size",
+            # div-safe: a cohort exists only with >= 1 member
             F.round(F.col("n_active") / F.col("cohort_size"), 4).alias("retention"),
         )
         .orderBy("cohort_week", "week_offset")
@@ -347,6 +352,7 @@ cells AS (
   GROUP BY 1, 2
 )
 SELECT cells.cohort_week, week_offset, n_active, sizes.cohort_size,
+       -- div-safe: a cohort exists only with >= 1 member
        ROUND(n_active / CAST(sizes.cohort_size AS DOUBLE), 4) AS retention
 FROM cells JOIN sizes ON cells.cohort_week = sizes.cohort_week
 ORDER BY 1, 2
@@ -511,6 +517,7 @@ def length_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
     width = max(1, (hi - lo + _PSI_BINS) // _PSI_BINS)
     bin_ = F.least(
+        # div-safe: width = max(1, ...) is >= 1 by construction
         F.lit(_PSI_BINS - 1), F.floor((F.col("n_chars") - lo) / width)
     ).cast("int")
     binned = docs.select("doc_id", bin_.alias("bin"))
@@ -529,6 +536,8 @@ def length_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot_b))
     )
     # Laplace-smoothed shares so empty bins stay finite (standard practice)
+    # div-safe: Laplace denominators are >= _PSI_BINS > 0, and both
+    # smoothed shares are > 0 so the LN ratio below is finite
     p_a = (F.col("n_a") + 1) / (F.col("t_a") + _PSI_BINS)
     p_b = (F.col("n_b") + 1) / (F.col("t_b") + _PSI_BINS)
     contrib = (p_b - p_a) * F.log(p_b / p_a)
@@ -561,6 +570,7 @@ WITH bounds AS (
 binned AS (
   SELECT doc_id,
          CAST(LEAST({_PSI_BINS - 1},
+              -- div-safe: hi >= lo, so the integer width is >= 1
               FLOOR((n_chars - b.lo) / ((b.hi - b.lo + {_PSI_BINS}) // {_PSI_BINS})))
               AS INTEGER) AS bin
   FROM documents, bounds b
@@ -576,6 +586,7 @@ j AS (
 ),
 per_bin AS (
   SELECT bin, n_a, n_b,
+         -- div-safe: Laplace denominators >= bins > 0; shares > 0
          ROUND(((n_b + 1) / CAST(t_b + {_PSI_BINS} AS DOUBLE)
                 - (n_a + 1) / CAST(t_a + {_PSI_BINS} AS DOUBLE))
                * LN(((n_b + 1) / CAST(t_b + {_PSI_BINS} AS DOUBLE))
@@ -642,6 +653,8 @@ def ab_experiment_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_b"), F.col("s").alias("s_b"), F.col("s2").alias("s2_b"),
     )
     j = a.join(b, "event_type")
+    # div-safe: n_a/n_b are GROUP BY counts >= 1 (the join keeps only
+    # event types present in BOTH experiment arms)
     mean_a = F.col("s_a").cast("double") / F.col("n_a")
     mean_b = F.col("s_b").cast("double") / F.col("n_b")
     var_a = F.col("s2_a").cast("double") / F.col("n_a") - mean_a * mean_a
@@ -693,6 +706,7 @@ j AS (
 ),
 m AS (
   SELECT event_type, n_a, n_b,
+         -- div-safe: n_a/n_b are GROUP BY counts >= 1
          CAST(s_a AS DOUBLE) / n_a AS mean_a,
          CAST(s_b AS DOUBLE) / n_b AS mean_b,
          CAST(s2_a AS DOUBLE) / n_a - (CAST(s_a AS DOUBLE) / n_a) * (CAST(s_a AS DOUBLE) / n_a) AS var_a,
@@ -763,6 +777,7 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(k).cast("int").alias("k"),
                 "n_exposed",
                 "n_small_classes",
+                # div-safe: n_rows = COUNT(*) of customers, >= 1
                 F.round(F.col("n_exposed") / F.col("n_rows"), 6).alias(
                     "exposed_frac"
                 ),
@@ -799,6 +814,7 @@ SELECT CAST(k AS INTEGER) AS k,
             AS BIGINT) AS n_small_classes,
        ROUND(COALESCE(SUM(CASE WHEN class_size < k
                                THEN class_size * n_classes END), 0)
+       -- div-safe: total.n_rows = COUNT(*) of customers, >= 1
              / CAST((SELECT n_rows FROM total) AS DOUBLE), 6) AS exposed_frac
 FROM by_size, ks
 GROUP BY k
@@ -971,6 +987,7 @@ def zorder_layout_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_probe.groupBy("layout", "n_files")
         .agg(
             F.round(F.avg("n_touched"), 4).alias("avg_files_touched"),
+            # div-safe: every layout writes >= 1 file
             F.round(1 - F.avg(F.col("n_touched") / F.col("n_files")), 4).alias(
                 "avg_skip_frac"
             ),
@@ -1041,6 +1058,7 @@ per_probe AS (
 )
 SELECT layout, n_files,
        ROUND(AVG(n_touched), 4) AS avg_files_touched,
+       -- div-safe: every layout writes >= 1 file
        ROUND(1 - AVG(CAST(n_touched AS DOUBLE) / n_files), 4) AS avg_skip_frac
 FROM per_probe
 GROUP BY layout, n_files
@@ -1234,6 +1252,7 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("diversity").cast("int").alias("diversity"),
             "n_classes",
             "n_customers",
+            # div-safe: n_total = COUNT(*) of customers, >= 1
             F.round(F.col("n_customers") / F.col("n_total"), 6).alias(
                 "frac_customers"
             ),
@@ -1259,6 +1278,7 @@ total AS (SELECT SUM(n_customers) AS n_total FROM hist)
 SELECT CAST(diversity AS INTEGER) AS diversity,
        CAST(n_classes AS BIGINT) AS n_classes,
        CAST(n_customers AS BIGINT) AS n_customers,
+       -- div-safe: n_total = COUNT(*) of customers, >= 1
        ROUND(CAST(n_customers AS DOUBLE) / n_total, 6) AS frac_customers
 FROM hist, total
 ORDER BY diversity
@@ -1288,6 +1308,7 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     digit = F.floor(
+        # div-safe: POW(10, len-1) > 0 always
         cents / F.pow(F.lit(10.0), (F.length(cents.cast("string")) - 1))
     ).cast("int")
     per_digit = (
@@ -1297,8 +1318,11 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = per_digit.agg(F.sum("n_orders").alias("n_total"))
     benford = F.round(
+        # div-safe: leading digit of a positive price is in 1..9
         F.log(10.0, 1.0 + 1.0 / F.col("digit")), 6
     )
+    # div-safe: n_total sums group counts >= 1; expect_n below is
+    # benford_share * n_total > 0
     obs = F.col("n_orders") / F.col("n_total")
     expect_n = F.col("benford_share") * F.col("n_total")
     return (
@@ -1310,6 +1334,7 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(obs, 6).alias("observed_share"),
             "benford_share",
             F.round(
+                # div-safe: expect_n = benford_share * n_total > 0
                 F.pow(F.col("n_orders") - expect_n, 2) / expect_n, 4
             ).alias("chi2_term"),
         )
@@ -1322,6 +1347,7 @@ WITH cents AS (
   SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c FROM orders
 ),
 per_digit AS (
+  -- div-safe: power(10, len-1) > 0 always
   SELECT CAST(floor(c / power(10.0, length(CAST(c AS VARCHAR)) - 1)) AS INTEGER)
            AS digit,
          COUNT(*) AS n_orders
@@ -1330,8 +1356,11 @@ per_digit AS (
 tot AS (SELECT SUM(n_orders) AS n_total FROM per_digit)
 SELECT digit,
        n_orders,
+       -- div-safe: n_total >= 1; digit in 1..9; the chi2 denominator is
+       -- benford_share * n_total > 0
        ROUND(CAST(n_orders AS DOUBLE) / n_total, 6) AS observed_share,
        ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+       -- div-safe: chi2 denominator = benford_share * n_total > 0
        ROUND(power(n_orders - ROUND(log10(1.0 + 1.0 / digit), 6) * n_total, 2)
              / (ROUND(log10(1.0 + 1.0 / digit), 6) * n_total), 4) AS chi2_term
 FROM per_digit, tot

@@ -69,6 +69,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(_revenue()).cast("double").alias("sum_disc_price"),
             F.sum(_revenue() * _one_plus("l_tax")).cast("double").alias("sum_charge"),
+            # div-safe: cnt is COUNT(*) of a GROUP BY group, always >= 1
             (F.sum(_dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
             (F.sum(_dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
             (F.sum(_dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
@@ -84,6 +85,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
        CAST(SUM({_REV_SQL}) AS DOUBLE) AS sum_disc_price,
        CAST(SUM({_REV_SQL} * CAST(1 + CAST(l_tax AS DECIMAL(12,4)) AS DECIMAL(12,4))) AS DOUBLE) AS sum_charge,
+       -- div-safe: COUNT(*) of a GROUP BY group is >= 1
        CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_price,
        CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -314,6 +316,8 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
+            # div-safe: SUM of strictly positive revenue (extendedprice>0,
+            # discount<=0.1 by TPC-H data contract) over a non-empty group
                 F.lit(100.0)
                 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).cast("double")
                 / F.sum(rev).cast("double")
@@ -324,6 +328,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q14_SQL = f"""
+             -- div-safe: SUM of strictly positive revenue, non-empty group
 SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE 0 END) AS DOUBLE)
              / CAST(SUM({_REV_SQL}) AS DOUBLE) AS promo_revenue_pct,
        COUNT(*) AS n_rows

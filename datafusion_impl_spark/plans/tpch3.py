@@ -59,6 +59,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_supp), supp.s_nationkey == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
+            # div-safe: SUM of strictly positive revenue over a non-empty group
             (F.sum(target).cast("double") / F.sum(vol).cast("double")).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -68,6 +69,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q8_SQL = f"""
 SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
        CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume
+         -- div-safe: SUM of strictly positive revenue over a non-empty group
                      ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE)
          / CAST(SUM(volume) AS DOUBLE) AS mkt_share
 FROM (

@@ -66,6 +66,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     offers = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_partkey", "p_brand", "l_suppkey")
+        # div-safe: l_quantity >= 1 by TPC-H data contract
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
     )
     asia_supp = supp.join(
@@ -92,6 +93,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q2_SQL = """
 WITH offers AS (
   SELECT p_partkey, p_brand, l_suppkey,
+         -- div-safe: l_quantity >= 1 by TPC-H data contract
          MIN(l_extendedprice / l_quantity) AS cost
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE p_size = 15

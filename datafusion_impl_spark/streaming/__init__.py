@@ -492,6 +492,7 @@ def stream_ivf_cell_counts(spark: SparkSession, embeddings_dir: str,
         )
         scored.append(
             F.struct(
+                # div-safe: embeddings are unit-norm by data contract
                 F.round(dot / (nrm * F.lit(c_nrm)), 4).alias("sim"),
                 F.lit(-cid).alias("neg_cid"),
             )
@@ -866,6 +867,7 @@ def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.count_if(F.col("late_us") > 0).cast("long").alias("n_late"),
             F.round(
+                # div-safe: F.count of a GROUP BY group is >= 1
                 F.count_if(F.col("late_us") > 0) / F.count(F.lit(1)), 6
             ).alias("late_frac"),
             F.count_if(F.col("late_us") > hour_us)
@@ -906,6 +908,7 @@ SELECT event_type,
        COUNT(*) AS n_events,
        CAST(count_if(late_us > 0) AS BIGINT) AS n_late,
        ROUND(CAST(count_if(late_us > 0) AS BIGINT)
+       -- div-safe: COUNT(*) of a GROUP BY group is >= 1
              / CAST(COUNT(*) AS DOUBLE), 6) AS late_frac,
        CAST(count_if(late_us > 3600000000) AS BIGINT) AS n_dropped_1h_watermark,
        CAST(MAX(late_us) AS BIGINT) AS max_late_us
@@ -1805,7 +1808,317 @@ ORDER BY user_bucket
 """
 
 
+# --------------------------------------------------------------------------
+# Streaming ANN SERVING: query-vector stream vs the static IVF-PQ index
+# --------------------------------------------------------------------------
+
+def _ann_serve_topk_scores(q: DataFrame, cell_codes: DataFrame,
+                           coarse_rows, cent_rows) -> DataFrame:
+    """The STATELESS serving core, shared verbatim by the streaming query
+    and its batch twin (the stream-vs-batch pytest runs both): an input
+    frame of ``(q_id, qv)`` query vectors is (1) assigned to its nearest
+    coarse cell with a literal-codebook argmin (``array_min`` over 8
+    structs — the streaming-legal argmin shape proved by
+    :func:`stream_ivf_cell_counts`), (2) equi-joined on ``cell`` to the
+    static candidate table, (3) ADC-scored from the candidates' 8-byte PQ
+    codes against the literal sub-centroid codebook — per subspace,
+    ``pd = round(|qsub|² + |c|² − 2·qsub·c, 6)`` selected by the
+    candidate's code, identical arithmetic (and fold order) to the batch
+    LUT build in ``similarity._pq_codes_lut``. Returns one row per
+    (q_id, cand_id) with the rounded ADC distance — no window, no
+    aggregation, so the plan is streaming-legal end to end."""
+    import functools
+    import operator as op
+
+    from datafusion_impl_spark.operators.similarity import (
+        _PQ_DSUB,
+        _PQ_K,
+        _PQ_M,
+        _dot,
+    )
+
+    q_n2 = _dot(F.col("qv"), F.col("qv"))
+    scored = []
+    for r in coarse_rows:
+        ccv = F.array(*[F.lit(float(x)) for x in r["v"]])
+        sq = F.round(
+            q_n2 + F.lit(float(r["n2"])) - 2 * _dot(F.col("qv"), ccv), 4
+        )
+        scored.append(
+            F.struct(sq.alias("sq"), F.lit(int(r["vec_id"])).alias("ccid"))
+        )
+    assigned = q.withColumn("cell", F.array_min(F.array(*scored))["ccid"])
+
+    cb = {
+        (int(r["m"]), int(r["cid"])): (
+            [float(x) for x in r["cv"]],
+            float(r["c_n2"]),
+        )
+        for r in cent_rows
+    }
+
+    def cb_array(m: int):
+        entries = []
+        for cid in range(_PQ_K):
+            cv, c_n2 = cb.get((m, cid), ([0.0] * _PQ_DSUB, 0.0))
+            entries.append(
+                F.struct(
+                    F.array(*[F.lit(x) for x in cv]).alias("cv"),
+                    F.lit(c_n2).alias("c_n2"),
+                )
+            )
+        return F.array(*entries)
+
+    terms = []
+    for m in range(_PQ_M):
+        qsub = F.slice("qv", m * _PQ_DSUB + 1, _PQ_DSUB)
+        ent = F.element_at(
+            cb_array(m), F.element_at("codes", m + 1).cast("int") + 1
+        )
+        terms.append(
+            F.round(
+                _dot(qsub, qsub) + ent["c_n2"] - 2 * _dot(qsub, ent["cv"]),
+                6,
+            )
+        )
+    adc = functools.reduce(op.add, terms)
+    return (
+        assigned.join(cell_codes, "cell")
+        .filter(F.col("cand_id") != F.col("q_id"))
+        .select("q_id", "cand_id", F.round(adc, 4).alias("adc"))
+    )
+
+
+def _ann_serve_index(spark: SparkSession, sf_dir: str):
+    """Build the static serving index once: corpus cell assignment + PQ
+    codes pivoted to one 8-code array per candidate (``cell_codes``), plus
+    the two bounded literal codebooks (8 coarse rows, 64 sub-centroid
+    rows) collected for inlining — the broadcast-index posture of a
+    production ANN server."""
+    from datafusion_impl_spark.operators import materialize
+    from datafusion_impl_spark.operators.similarity import (
+        _N_CENTROIDS,
+        _dot,
+        _pq_assign,
+        _pq_subvectors,
+        _pq_train,
+        _vectors,
+    )
+
+    e = _vectors(spark, sf_dir)
+    full = e.select("vec_id", "v", _dot(F.col("v"), F.col("v")).alias("n2"))
+    coarse_rows = sorted(
+        full.filter(F.col("vec_id") < _N_CENTROIDS).collect(),
+        key=lambda r: int(r["vec_id"]),
+    )
+    sub = _pq_subvectors(full.select("vec_id", "v"))
+    cent1 = _pq_train(sub)
+    codes = _pq_assign(sub, cent1)
+    cent_rows = cent1.collect()
+
+    coarse = full.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("ccid"),
+        F.col("v").alias("ccv"),
+        F.col("n2").alias("cc_n2"),
+    )
+    cell_sq = F.round(
+        F.col("n2") + F.col("cc_n2") - 2 * _dot(F.col("v"), F.col("ccv")), 4
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(
+        cell_sq.asc(), F.col("ccid").asc()
+    )
+    cells = (
+        full.crossJoin(F.broadcast(coarse))
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("ccid").alias("cell"))
+    )
+    code_arrays = codes.groupBy("vec_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("m", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+    cell_codes = materialize(
+        cells.join(code_arrays, "vec_id").select(
+            F.col("vec_id").alias("cand_id"), "cell", "codes"
+        )
+    )
+    return cell_codes, coarse_rows, cent_rows
+
+
+def stream_ann_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN SERVING — a stream of query vectors scored against the
+    STATIC IVF-PQ index, emitting per-query top-k: the serving twin of the
+    batch ``ann_ivf_pq_topk`` on the latency path (nprobe=1, the cell the
+    query itself lands in). The query feed arrives as TWO parquet files
+    with ``maxFilesPerTrigger=1``, so serving is genuinely incremental
+    across micro-batches against one fixed index.
+
+    Streaming legality: cell assignment and ADC scoring are stateless
+    projections + one stream-static equi-join (the shape
+    :func:`stream_ivf_cell_counts` proved legal — raw vectors appear only
+    in the bounded literal codebooks); the ONLY stateful operator is a
+    single ``collect_list`` aggregation per query id that gathers the
+    query's candidate scores (bounded by its cell's population), from
+    which the batch tail ranks top-k. Each query vector arrives in exactly
+    one feed file, so its candidates are complete within one micro-batch;
+    the tail takes the longest emitted list per query (``max_by`` on list
+    size) to stay correct even if a sink re-emit ever split it.
+
+    At 100 TB: the index is partitioned by cell (candidate generation is a
+    partition-pruned probe), per-query state is one list bounded by cell
+    size, and the 72-row codebooks broadcast. The DuckDB oracle replays
+    PQ training, encoding, nprobe-1 candidate generation, and ADC ranking
+    exactly."""
+    import os
+    import shutil
+    import uuid
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from datafusion_impl_spark.operators.similarity import _QUERY_MOD, _TOPK
+
+    cell_codes, coarse_rows, cent_rows = _ann_serve_index(spark, sf_dir)
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    feed = os.path.join(
+        "/tmp/datafusion_impl_spark_ann_feed",
+        f"{tag}_{uuid.uuid4().hex}",
+    )
+    os.makedirs(feed)
+    t = papq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = np.nonzero(t["vec_id"].to_numpy() % _QUERY_MOD == 0)[0]
+    qt = t.take(pa.array(idx))
+    half = max(len(idx) // 2, 1)
+    papq.write_table(qt.slice(0, half), os.path.join(feed, "q0.parquet"))
+    if len(idx) > half:
+        papq.write_table(qt.slice(half), os.path.join(feed, "q1.parquet"))
+
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prev_shuffle = spark.conf.get(shuffle_key, None)
+    spark.conf.set(shuffle_key, "8")
+    view = "stream_ann_adc_topk_sink"
+    try:
+        stream = (
+            spark.readStream.schema(
+                "vec_id bigint, embedding array<float>, label int"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed)
+        )
+        q = stream.select(
+            F.col("vec_id").alias("q_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+        )
+        scores = _ann_serve_topk_scores(q, cell_codes, coarse_rows, cent_rows)
+        pertop = scores.select(
+            "q_id",
+            F.struct(
+                F.col("adc").alias("adc"), F.col("cand_id").alias("cand_id")
+            ).alias("sc"),
+        ).groupBy("q_id").agg(F.collect_list("sc").alias("cl"))
+        handle = (
+            pertop.writeStream.format("memory")
+            .queryName(view)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        handle.awaitTermination()
+    finally:
+        if prev_shuffle is None:
+            spark.conf.unset(shuffle_key)
+        else:
+            spark.conf.set(shuffle_key, prev_shuffle)
+        shutil.rmtree(feed, ignore_errors=True)
+    res = (
+        spark.table(view)
+        .groupBy("q_id")
+        .agg(F.max_by("cl", F.size("cl")).alias("cl"))
+    )
+    return (
+        res.select(
+            "q_id",
+            F.posexplode(F.slice(F.sort_array("cl"), 1, _TOPK)).alias(
+                "pos", "sc"
+            ),
+        )
+        .select(
+            "q_id",
+            (F.col("pos") + 1).cast("int").alias("rk"),
+            F.col("sc.cand_id").alias("cand_id"),
+            F.col("sc.adc").alias("adc"),
+        )
+        .orderBy("q_id", "rk")
+    )
+
+
+def _stream_ann_oracle() -> str:
+    from datafusion_impl_spark.operators.similarity import (
+        _N_CENTROIDS,
+        _TOPK,
+        _pq_ctes,
+    )
+
+    return f"""
+WITH {_pq_ctes()},
+coarse AS (
+  SELECT vec_id AS ccid, v AS ccv, n2 AS cc_n2
+  FROM full_ WHERE vec_id < {_N_CENTROIDS}
+),
+cellassign AS (
+  SELECT vec_id, ccid AS cell FROM (
+    SELECT f.vec_id, c.ccid,
+           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+             ORDER BY ROUND(f.n2 + c.cc_n2
+                            - 2 * list_inner_product(f.v, c.ccv), 4),
+                      c.ccid) AS rn
+    FROM full_ f, coarse c)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT q_id, ccid AS cell FROM (
+    SELECT qf.q_id, c.ccid,
+           ROW_NUMBER() OVER (PARTITION BY qf.q_id
+             ORDER BY ROUND(qf.q_n2 + c.cc_n2
+                            - 2 * list_inner_product(qf.qv, c.ccv), 4),
+                      c.ccid) AS rn
+    FROM qfull qf, coarse c)
+  WHERE rn = 1
+),
+cands AS (
+  SELECT p.q_id, ca.vec_id
+  FROM probes p JOIN cellassign ca ON p.cell = ca.cell
+  WHERE ca.vec_id <> p.q_id
+),
+adc_f AS (
+  SELECT cd.q_id, cd.vec_id, SUM(l.pd) AS adc
+  FROM cands cd
+  JOIN codes co ON co.vec_id = cd.vec_id
+  JOIN lut l ON l.q_id = cd.q_id AND l.m = co.m AND l.cid = co.code
+  GROUP BY cd.q_id, cd.vec_id
+),
+top AS (
+  SELECT q_id, vec_id, adc,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY ROUND(adc, 4), vec_id) AS rk
+  FROM adc_f
+)
+SELECT q_id, CAST(rk AS INT) AS rk, vec_id AS cand_id, ROUND(adc, 4) AS adc
+FROM top
+WHERE rk <= {_TOPK}
+ORDER BY q_id, rk
+"""
+
+
+_STREAM_ANN_SQL = _stream_ann_oracle()
+
+
 QUERIES = {
+    "stream_ann_adc_topk": stream_ann_adc_topk,
     "stream_tws_user_totals": stream_tws_user_totals,
     "stream_tws_session_timeout": stream_tws_session_timeout,
     "stream_tws_event_type_profile": stream_tws_event_type_profile,
@@ -1820,6 +2133,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_ann_adc_topk": _STREAM_ANN_SQL,
     "stream_tws_user_totals": _TWS_TOTALS_SQL,
     "stream_tws_session_timeout": _TWS_TIMEOUT_SQL,
     "stream_tws_event_type_profile": _TWS_TYPES_SQL,

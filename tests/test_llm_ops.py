@@ -1935,3 +1935,113 @@ def test_dedup_token_savings_ledger_is_conserved(spark):
         assert r.raw_tokens == r.surviving_tokens + r.saved_tokens
         assert 0 <= r.saved_frac < 1
     assert sum(r.saved_tokens for r in rows) > 0
+
+
+# --- HTML boilerplate strip / main-content extraction -----------------------
+
+def test_html_extract_recovers_planted_page_exactly(spark):
+    """The page furniture is deterministic, so extraction must be EXACT:
+    every doc's extracted main content equals its original text
+    (n_exact == n_docs per source), the link-density rule fires on exactly
+    the planted 1-in-4 link-farm set, and retention is strictly < 1 (the
+    furniture has mass)."""
+    from datafusion_impl_spark.operators.text import (
+        _HTML_FARM_MOD,
+        _HTML_FARM_RES,
+        text_html_extract,
+    )
+    from datafusion_impl_spark.sources.registry import load_table
+
+    expected_farms = {
+        r.source: r.n
+        for r in load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") % _HTML_FARM_MOD == _HTML_FARM_RES)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = text_html_extract(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.n_exact == r.n_docs, r.source
+        assert r.n_linkfarm_dropped == expected_farms.get(r.source, 0)
+        assert 0 < r.retention < 1
+        assert r.boilerplate_chars > 0
+
+
+def test_html_link_density_rule_is_a_real_rule(spark):
+    """The density rule discriminates by arithmetic, not by planted id: a
+    link-dense block is dropped, a link-light block with the same div id
+    is kept."""
+    from datafusion_impl_spark.operators.text import _HTML_FARM
+
+    dense = f'<body><div id="main"><p>alpha beta</p></div>{_HTML_FARM}</body>'
+    light = (
+        '<body><div id="main"><p>alpha beta</p></div>'
+        '<div id="related"><a href="/x">one</a> plenty of plain prose '
+        "words here keep this block well under the threshold</div></body>"
+    )
+    df = spark.createDataFrame(
+        [(1, dense), (2, light)], schema="id long, html string"
+    )
+    region = F.regexp_extract("html", r'(?s)<div id="related">.*?</div>', 0)
+    df = df.withColumn("reg", region)
+    region_text = F.trim(
+        F.regexp_replace(F.regexp_replace("reg", r"<[^>]+>", " "), r"\s+", " ")
+    )
+    n_links = (
+        F.length("reg") - F.length(F.replace(F.col("reg"), F.lit("<a ")))
+    ) / 3.0
+    from datafusion_impl_spark.operators.text import tokens as _tok
+
+    n_words = F.size(_tok(region_text)).cast("double")
+    density = n_links / F.greatest(n_words, F.lit(1.0))
+    got = {
+        r.id: r.d
+        for r in df.select("id", density.alias("d")).collect()
+    }
+    assert got[1] >= 0.5   # link farm: 8 links / 8 anchor words
+    assert got[2] < 0.5    # prose block: 1 link / many words
+
+
+# --- BPE merge application ---------------------------------------------------
+
+def test_bpe_apply_rules_known_vectors(spark):
+    """The doubled-delimiter replace is an exact left-greedy exhaustive
+    merge pass per rule, in priority order: alternating merges don't drop
+    (aaaa→aa,aa), higher-priority rules pre-empt (the→th,e not t,he;
+    aab→aa,b not a,ab), and mid-token false matches are impossible
+    (xab → x,ab — the b of ab is never torn off a longer token)."""
+    from datafusion_impl_spark.operators.text import bpe_apply_rules
+
+    cases = {
+        "aaaa": "||aa||aa||",
+        "aaa": "||aa||a||",
+        "the": "||th||e||",
+        "he": "||he||",
+        "aab": "||aa||b||",   # higher-priority aa pre-empts ab
+        "xab": "||x||ab||",
+        "b": "||b||",
+    }
+    df = spark.createDataFrame([(w,) for w in cases], schema="w string")
+    got = {
+        r.w: r.seg
+        for r in df.select(
+            "w", bpe_apply_rules(F.col("w"), ["th", "he", "aa", "ab"]).alias("seg")
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_bpe_encode_corpus_invariants(spark):
+    """Per source: every word yields >= 1 token, encoding never inflates
+    past character count, and the merge table actually compresses
+    (corpus-wide bpe tokens < corpus-wide chars)."""
+    from datafusion_impl_spark.operators.text import bpe_encode_corpus
+
+    rows = bpe_encode_corpus(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.n_words <= r.n_bpe_tokens <= r.n_chars
+        assert 1.0 <= r.chars_per_bpe_token
+    assert sum(r.n_bpe_tokens for r in rows) < sum(r.n_chars for r in rows)

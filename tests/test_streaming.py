@@ -794,3 +794,52 @@ def test_tws_warm_start_carries_batch_history(spark):
     odd_counts = {r.user_bucket: r.n for r in odd_only.collect()}
     for b, (_, n_events, _) in got.items():
         assert n_events > odd_counts[b], "history must be included"
+
+
+# --- streaming ANN serving vs batch twin ------------------------------------
+
+def test_stream_ann_serving_equals_batch_twin(spark):
+    """The streaming serve (file stream, 2 micro-batches, collect_list
+    state) must produce EXACTLY the batch answer: same index, same
+    stateless scoring core, batch ranking via a window. This is the
+    stream-vs-batch equivalence statement for the serving path."""
+    from pyspark.sql import Window
+
+    from datafusion_impl_spark.operators.similarity import (
+        _QUERY_MOD,
+        _TOPK,
+        _vectors,
+    )
+    from datafusion_impl_spark.streaming import (
+        _ann_serve_index,
+        _ann_serve_topk_scores,
+        stream_ann_adc_topk,
+    )
+
+    got = [
+        (r.q_id, r.rk, r.cand_id, r.adc)
+        for r in stream_ann_adc_topk(spark, SF_DIR).collect()
+    ]
+
+    cell_codes, coarse_rows, cent_rows = _ann_serve_index(spark, SF_DIR)
+    q = (
+        _vectors(spark, SF_DIR)
+        .filter(F.col("vec_id") % _QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    )
+    scores = _ann_serve_topk_scores(q, cell_codes, coarse_rows, cent_rows)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc").asc(), F.col("cand_id").asc()
+    )
+    expected = [
+        (r.q_id, r.rk, r.cand_id, r.adc)
+        for r in scores.withColumn(
+            "rk", F.row_number().over(w).cast("int")
+        )
+        .filter(F.col("rk") <= _TOPK)
+        .select("q_id", "rk", "cand_id", "adc")
+        .orderBy("q_id", "rk")
+        .collect()
+    ]
+    assert got == expected
+    assert len(got) > 0
