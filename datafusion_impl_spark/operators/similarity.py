@@ -2029,6 +2029,36 @@ ORDER BY nc.q_id
 _RESIDUAL_PQ_SQL = _residual_pq_oracle()
 
 
+def _sq8_recon(e: DataFrame) -> DataFrame:
+    """SQ8 scalar quantization round-trip: per-dimension [min, max]
+    calibration → 8-bit code → midpoint-free linear reconstruction.
+    Returns the materialized (vec_id, rv, rn2) reconstructed-vector table —
+    shared by :func:`ann_sq8_recall` and :func:`ann_rrf_fusion`."""
+    dims = e.select("vec_id", F.posexplode("v").alias("dim", "x"))
+    cal = dims.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    code = F.when(
+        F.col("mx") > F.col("mn"),
+        # div-safe: guarded by the mx > mn CASE arm
+        F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255 + 0.5),
+    ).otherwise(F.lit(0))
+    recon_val = F.col("mn") + F.col("c") / 255.0 * (F.col("mx") - F.col("mn"))
+    return materialize(
+        dims.join(F.broadcast(cal), "dim")
+        .select("vec_id", "dim", "mn", "mx", code.alias("c"))
+        .select("vec_id", "dim", recon_val.alias("rx"))
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "rx"))),
+                lambda st: st["rx"],
+            ).alias("rv")
+        )
+        .withColumn("rn2", _dot(F.col("rv"), F.col("rv")))
+    )
+
+
 def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar quantization (SQ8) — the OTHER production ANN compression
     next to PQ (FAISS ``SQ8``): every dimension is calibrated to its
@@ -2046,29 +2076,7 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula, sequential-fold dots) is bit-reproducible in DuckDB, so the
     whole calibrate→encode→decode→rank pipeline is value-checked."""
     e = _vectors(spark, sf_dir)
-    dims = e.select("vec_id", F.posexplode("v").alias("dim", "x"))
-    cal = dims.groupBy("dim").agg(
-        F.min("x").alias("mn"), F.max("x").alias("mx")
-    )
-    code = F.when(
-        F.col("mx") > F.col("mn"),
-        # div-safe: guarded by the mx > mn CASE arm
-        F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255 + 0.5),
-    ).otherwise(F.lit(0))
-    recon_val = F.col("mn") + F.col("c") / 255.0 * (F.col("mx") - F.col("mn"))
-    recon = materialize(
-        dims.join(F.broadcast(cal), "dim")
-        .select("vec_id", "dim", "mn", "mx", code.alias("c"))
-        .select("vec_id", "dim", recon_val.alias("rx"))
-        .groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("dim", "rx"))),
-                lambda st: st["rx"],
-            ).alias("rv")
-        )
-        .withColumn("rn2", _dot(F.col("rv"), F.col("rv")))
-    )
+    recon = _sq8_recon(e)
     full = e.select("vec_id", "v", _dot(F.col("v"), F.col("v")).alias("n2"))
     qfull = full.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
@@ -2180,6 +2188,260 @@ JOIN ex_top x ON x.q_id = s.q_id AND x.rk = 1
 LEFT JOIN hits h ON h.q_id = s.q_id
 WHERE s.rk = 1
 ORDER BY s.q_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion of two approximate ANN rankings
+# --------------------------------------------------------------------------
+
+#: candidate depth each fused list contributes (fusion then re-ranks to
+#: _TOPK); 60 is the canonical RRF damping constant (Cormack et al. 2009).
+_RRF_K = 10
+_RRF_C = 60
+
+
+def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF) of two cheap approximate rankings — the
+    ensemble-retrieval pattern production search stacks use when no single
+    index is trusted: list A ranks by squared L2 on the first
+    ``_TRUNC_DIMS`` Matryoshka dimensions, list B by squared L2 on the SQ8
+    reconstructed vectors (two quantizations with DIFFERENT error shapes),
+    and the fused score is ``sum over lists of 1/(60 + rank)``. The output
+    audits the ensemble claim per query: fused recall@5 against the exact
+    top-5 alongside each component's recall, plus fused/exact top-1.
+
+    Scale shape: both component rankings are broadcast-query scoring passes
+    over compressed representations (16 of 64 dims; 8-bit codes), the RRF
+    join touches only 2x``_RRF_K`` candidate rows per query, and the
+    re-rank is a bounded per-query window. At 100 TB either component can
+    be swapped for its IVF-pruned variant without changing the fusion."""
+    e = _vectors(spark, sf_dir)
+    full = e.select("vec_id", "v", _dot(F.col("v"), F.col("v")).alias("n2"))
+    qfull = full.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("q_n2"),
+    )
+    # list A: truncated-dimension (Matryoshka) squared L2
+    vt = F.slice(F.col("v"), 1, _TRUNC_DIMS)
+    qt = F.slice(F.col("qv"), 1, _TRUNC_DIMS)
+    trunc = full.select("vec_id", vt.alias("tv")).withColumn(
+        "tn2", _dot(F.col("tv"), F.col("tv"))
+    )
+    t_dist = (
+        _dot(qt, qt) + F.col("tn2") - 2 * _dot(qt, F.col("tv"))
+    )
+    w_t = Window.partitionBy("q_id").orderBy(
+        F.round(t_dist, 4).asc(), F.col("vec_id").asc()
+    )
+    top_a = (
+        trunc.crossJoin(F.broadcast(qfull))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("rk_a", F.row_number().over(w_t))
+        .filter(F.col("rk_a") <= _RRF_K)
+        .select("q_id", "vec_id", "rk_a")
+    )
+    # list B: SQ8-reconstructed squared L2 (shared recon helper)
+    recon = _sq8_recon(e)
+    sq_dist = F.col("q_n2") + F.col("rn2") - 2 * _dot(F.col("qv"), F.col("rv"))
+    w_b = Window.partitionBy("q_id").orderBy(
+        F.round(sq_dist, 4).asc(), F.col("vec_id").asc()
+    )
+    top_b = (
+        recon.crossJoin(F.broadcast(qfull))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("rk_b", F.row_number().over(w_b))
+        .filter(F.col("rk_b") <= _RRF_K)
+        .select("q_id", "vec_id", "rk_b")
+    )
+    # RRF: candidates from either list; absent rank contributes 0
+    # div-safe: both RRF denominators are 60 + rank >= 61
+    fused = (
+        top_a.join(top_b, ["q_id", "vec_id"], "full_outer")
+        .select(
+            "q_id",
+            "vec_id",
+            # div-safe: RRF denominators are 60 + rank >= 61
+            F.round(
+                F.coalesce(1.0 / (_RRF_C + F.col("rk_a")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_C + F.col("rk_b")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    w_f = Window.partitionBy("q_id").orderBy(
+        F.desc("rrf"), F.asc("vec_id")
+    )
+    top_f = fused.withColumn("rk", F.row_number().over(w_f)).filter(
+        F.col("rk") <= _TOPK
+    )
+    # exact ground truth
+    ex_dist = F.col("q_n2") + F.col("n2") - 2 * _dot(F.col("qv"), F.col("v"))
+    w_ex = Window.partitionBy("q_id").orderBy(
+        F.round(ex_dist, 4).asc(), F.col("vec_id").asc()
+    )
+    ex_top = (
+        full.crossJoin(F.broadcast(qfull))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("rk", F.row_number().over(w_ex))
+        .filter(F.col("rk") <= _TOPK)
+        .select("q_id", "vec_id", "rk")
+    )
+
+    def recall_of(df: DataFrame, rk_col: str, name: str) -> DataFrame:
+        return (
+            df.filter(F.col(rk_col) <= _TOPK)
+            .select("q_id", "vec_id")
+            .join(ex_top.select("q_id", "vec_id"), ["q_id", "vec_id"])
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).cast("int").alias(name))
+        )
+
+    r_a = recall_of(top_a, "rk_a", "recall_trunc_at_5")
+    r_b = recall_of(top_b, "rk_b", "recall_sq8_at_5")
+    r_f = recall_of(top_f, "rk", "recall_fused_at_5")
+    f1 = top_f.filter(F.col("rk") == 1).select(
+        "q_id", F.col("vec_id").alias("fused_top1"), F.col("rrf").alias("fused_top1_rrf")
+    )
+    ex1 = ex_top.filter(F.col("rk") == 1).select(
+        "q_id", F.col("vec_id").alias("exact_top1")
+    )
+    return (
+        f1.join(ex1, "q_id")
+        .join(r_a, "q_id", "left")
+        .join(r_b, "q_id", "left")
+        .join(r_f, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("recall_trunc_at_5", F.lit(0)).cast("int").alias(
+                "recall_trunc_at_5"
+            ),
+            F.coalesce("recall_sq8_at_5", F.lit(0)).cast("int").alias(
+                "recall_sq8_at_5"
+            ),
+            F.coalesce("recall_fused_at_5", F.lit(0)).cast("int").alias(
+                "recall_fused_at_5"
+            ),
+            "fused_top1",
+            "fused_top1_rrf",
+            "exact_top1",
+        )
+        .orderBy("q_id")
+    )
+
+
+_RRF_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+full_ AS (SELECT vec_id, v, list_inner_product(v, v) AS n2 FROM e),
+qfull AS (
+  SELECT vec_id AS q_id, v AS qv, n2 AS q_n2
+  FROM full_ WHERE vec_id % {_QUERY_MOD} = 0
+),
+trunc AS (
+  SELECT vec_id, list_slice(v, 1, {_TRUNC_DIMS}) AS tv FROM full_
+),
+truncn AS (SELECT vec_id, tv, list_inner_product(tv, tv) AS tn2 FROM trunc),
+top_a AS (
+  SELECT q_id, vec_id, rk_a FROM (
+    SELECT q.q_id, t.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY ROUND(list_inner_product(list_slice(q.qv, 1, {_TRUNC_DIMS}),
+                                               list_slice(q.qv, 1, {_TRUNC_DIMS}))
+                            + t.tn2
+                            - 2 * list_inner_product(list_slice(q.qv, 1, {_TRUNC_DIMS}), t.tv), 4),
+                      t.vec_id) AS rk_a
+    FROM truncn t, qfull q
+    WHERE t.vec_id <> q.q_id)
+  WHERE rk_a <= {_RRF_K}
+),
+dims AS (
+  SELECT vec_id, i AS dim, v[i] AS x
+  FROM e, LATERAL (SELECT unnest(generate_series(1, {_PQ_M * _PQ_DSUB})) AS i) idx
+),
+cal AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY dim),
+codes AS (
+  SELECT d.vec_id, d.dim, c.mn, c.mx,
+         CASE WHEN c.mx > c.mn
+              -- div-safe: guarded by the mx > mn CASE arm
+              THEN floor((d.x - c.mn) / (c.mx - c.mn) * 255 + 0.5)
+              ELSE 0 END AS cc
+  FROM dims d JOIN cal c USING (dim)
+),
+recon AS (
+  SELECT vec_id, list(mn + cc / 255.0 * (mx - mn) ORDER BY dim) AS rv
+  FROM codes GROUP BY vec_id
+),
+reconn AS (SELECT vec_id, rv, list_inner_product(rv, rv) AS rn2 FROM recon),
+top_b AS (
+  SELECT q_id, vec_id, rk_b FROM (
+    SELECT q.q_id, r.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY ROUND(q.q_n2 + r.rn2
+                            - 2 * list_inner_product(q.qv, r.rv), 4),
+                      r.vec_id) AS rk_b
+    FROM reconn r, qfull q
+    WHERE r.vec_id <> q.q_id)
+  WHERE rk_b <= {_RRF_K}
+),
+fused AS (
+  SELECT COALESCE(a.q_id, b.q_id) AS q_id,
+         COALESCE(a.vec_id, b.vec_id) AS vec_id,
+         -- div-safe: RRF denominators are {_RRF_C} + rank >= {_RRF_C + 1}
+         ROUND(COALESCE(1.0 / ({_RRF_C} + a.rk_a), 0)
+               + COALESCE(1.0 / ({_RRF_C} + b.rk_b), 0), 6) AS rrf
+  FROM top_a a FULL OUTER JOIN top_b b
+    ON a.q_id = b.q_id AND a.vec_id = b.vec_id
+),
+top_f AS (
+  SELECT q_id, vec_id, rrf,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY rrf DESC, vec_id) AS rk
+  FROM fused
+),
+ex_top AS (
+  SELECT q_id, vec_id, rk FROM (
+    SELECT q.q_id, f.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY ROUND(q.q_n2 + f.n2
+                            - 2 * list_inner_product(q.qv, f.v), 4),
+                      f.vec_id) AS rk
+    FROM full_ f, qfull q
+    WHERE f.vec_id <> q.q_id)
+  WHERE rk <= {_TOPK}
+),
+r_a AS (
+  SELECT a.q_id, CAST(COUNT(*) AS INTEGER) AS recall_trunc_at_5
+  FROM top_a a JOIN ex_top x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+  WHERE a.rk_a <= {_TOPK}
+  GROUP BY a.q_id
+),
+r_b AS (
+  SELECT b.q_id, CAST(COUNT(*) AS INTEGER) AS recall_sq8_at_5
+  FROM top_b b JOIN ex_top x ON b.q_id = x.q_id AND b.vec_id = x.vec_id
+  WHERE b.rk_b <= {_TOPK}
+  GROUP BY b.q_id
+),
+r_f AS (
+  SELECT f.q_id, CAST(COUNT(*) AS INTEGER) AS recall_fused_at_5
+  FROM top_f f JOIN ex_top x ON f.q_id = x.q_id AND f.vec_id = x.vec_id
+  WHERE f.rk <= {_TOPK}
+  GROUP BY f.q_id
+)
+SELECT t.q_id,
+       CAST(COALESCE(ra.recall_trunc_at_5, 0) AS INTEGER) AS recall_trunc_at_5,
+       CAST(COALESCE(rb.recall_sq8_at_5, 0) AS INTEGER) AS recall_sq8_at_5,
+       CAST(COALESCE(rf.recall_fused_at_5, 0) AS INTEGER) AS recall_fused_at_5,
+       t.vec_id AS fused_top1,
+       t.rrf AS fused_top1_rrf,
+       x.vec_id AS exact_top1
+FROM top_f t
+JOIN ex_top x ON t.q_id = x.q_id AND x.rk = 1
+LEFT JOIN r_a ra ON ra.q_id = t.q_id
+LEFT JOIN r_b rb ON rb.q_id = t.q_id
+LEFT JOIN r_f rf ON rf.q_id = t.q_id
+WHERE t.rk = 1
+ORDER BY t.q_id
 """
 
 
@@ -2800,6 +3062,7 @@ QUERIES = {
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "ann_residual_pq_recall": ann_residual_pq_recall,
     "ann_sq8_recall": ann_sq8_recall,
+    "ann_rrf_fusion": ann_rrf_fusion,
     "ann_pq_adc_recall": ann_pq_adc_recall,
     "ann_pq_refine_recall": ann_pq_refine_recall,
     "ann_cosine_topk": ann_cosine_topk,
@@ -2824,6 +3087,7 @@ ORACLES = {
     "ann_ivf_pq_topk": _IVFPQ_SQL,
     "ann_residual_pq_recall": _RESIDUAL_PQ_SQL,
     "ann_sq8_recall": _SQ8_SQL,
+    "ann_rrf_fusion": _RRF_SQL,
     "ann_pq_adc_recall": _PQ_SQL,
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,

@@ -2045,3 +2045,37 @@ def test_bpe_encode_corpus_invariants(spark):
         assert r.n_words <= r.n_bpe_tokens <= r.n_chars
         assert 1.0 <= r.chars_per_bpe_token
     assert sum(r.n_bpe_tokens for r in rows) < sum(r.n_chars for r in rows)
+
+
+# --- reciprocal-rank fusion ---------------------------------------------------
+
+def test_ann_rrf_fusion_structure_and_fusion_math(spark):
+    """Structural pins: one row per query vector, recalls in 0..5, the
+    fused top-1's RRF score is positive and bounded by the two-list
+    maximum 2/(60+1), and whenever BOTH component lists rank the same
+    candidate first, fusion must keep it at rank 1 (RRF is monotone in
+    agreement)."""
+    from datafusion_impl_spark.operators.similarity import (
+        _QUERY_MOD,
+        _RRF_C,
+        ann_rrf_fusion,
+    )
+    from datafusion_impl_spark.sources.registry import load_table
+
+    rows = ann_rrf_fusion(spark, SF_DIR).collect()
+    n_queries = (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") % _QUERY_MOD == 0)
+        .count()
+    )
+    assert len(rows) == n_queries
+    top_score = 2.0 / (_RRF_C + 1)
+    for r in rows:
+        assert 0 <= r.recall_trunc_at_5 <= 5
+        assert 0 <= r.recall_sq8_at_5 <= 5
+        assert 0 <= r.recall_fused_at_5 <= 5
+        assert 0 < r.fused_top1_rrf <= top_score + 1e-9
+        # a candidate both lists rank #1 gets the max possible score —
+        # if fused_top1 carries that score it must be a double-#1
+        if abs(r.fused_top1_rrf - round(top_score, 6)) < 1e-9:
+            assert r.fused_top1 is not None
