@@ -2555,6 +2555,177 @@ ORDER BY e1.src, e1.rank
 """
 
 
+# --------------------------------------------------------------------------
+# Embedding PCA spectrum via deterministic power iteration
+# --------------------------------------------------------------------------
+
+#: fixed power-iteration depth — the 12-step TRACE is the deliverable, so
+#: convergence is an observable, not a loop condition.
+_PCA_ITERS = 12
+#: per-step re-sync rounding: both engines round every normalized
+#: coordinate to 10 decimals each iteration, so sub-5e-11 float-association
+#: differences can never accumulate across steps.
+_PCA_SYNC_ROUND = 10
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    """Round half AWAY FROM ZERO — matching Spark's ``F.round`` and DuckDB's
+    ``ROUND`` (Python's builtin ``round`` is banker's rounding and would
+    diverge exactly on .5 boundaries)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"), rounding=ROUND_HALF_UP)
+    )
+
+
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA spectrum QA for the embedding corpus: the top principal
+    component extracted by POWER ITERATION on the covariance matrix, with
+    the full 12-step iteration trace as the output — per step, the
+    Rayleigh/norm eigenvalue estimate, its variance-explained fraction of
+    the trace, and the leading loading dimension. The convergence of
+    ``lambda_est`` across rows IS the health signal, in both directions: a
+    collapsed embedding space converges in 2 steps to a dominant
+    eigenvalue near the trace, while a healthy near-isotropic corpus (like
+    the synthetic one) climbs slowly through the flat spectrum — the
+    estimates are provably monotone nondecreasing and bounded by the true
+    top eigenvalue (pytest cross-checks both against numpy).
+
+    The 100 TB split done right: the DISTRIBUTED pass is the one-pass
+    64x64 covariance — centered outer products map-side (two chained
+    posexplodes over the broadcast-mean-centered array, NO self-join),
+    aggregated into exactly 4096 cells. The 64x64 eigen-iteration is then
+    genuinely driver-scale math on that bounded sketch (collected like the
+    PQ codebooks), never a distributed job. Cross-engine determinism: C
+    entries, means, and every per-step normalized coordinate are rounded
+    half-away-from-zero (``_round_half_up`` = F.round = DuckDB ROUND) at
+    10 decimals — float association errors (~1e-13) re-sync each step, so
+    the Python loop and the oracle's WITH RECURSIVE replay produce
+    bit-identical traces."""
+    e = _vectors(spark, sf_dir).select("vec_id", "v")
+    n = e.count()  # bounded action: one long, drives the 1/n scaling
+    dims = e.select("vec_id", F.posexplode("v").alias("p", "x")).select(
+        "vec_id", (F.col("p") + 1).alias("i"), "x"
+    )
+    mu_rows = (
+        dims.groupBy("i")
+        .agg(F.round(F.avg("x"), _PCA_SYNC_ROUND).alias("mu"))
+        .collect()
+    )
+    mu = [r["mu"] for r in sorted(mu_rows, key=lambda r: int(r["i"]))]
+    d = len(mu)
+    cv = F.transform(
+        "v", lambda x, j: x - F.element_at(F.array(*[F.lit(m) for m in mu]), j + 1)
+    )
+    # centered outer products, map-side: explode i, then explode the
+    # xci-scaled centered array over j — 4096 rows per vector, no join
+    rows_i = e.select(
+        cv.alias("cv"), F.posexplode(cv).alias("pi", "xci")
+    )
+    prods = rows_i.select(
+        (F.col("pi") + 1).alias("i"),
+        F.posexplode(
+            F.transform("cv", lambda y: y * F.col("xci"))
+        ).alias("pj", "prod"),
+    ).select("i", (F.col("pj") + 1).alias("j"), "prod")
+    c_rows = (
+        prods.groupBy("i", "j")
+        # div-safe: n = COUNT of embeddings, >= 1 on a non-empty corpus
+        .agg(F.round(F.sum("prod") / F.lit(float(n)), _PCA_SYNC_ROUND).alias("val"))
+        .collect()
+    )
+    C = {(int(r["i"]), int(r["j"])): float(r["val"]) for r in c_rows}
+    trace = _round_half_up(sum(C[(i, i)] for i in range(1, d + 1)), 8)
+
+    v = [1.0] + [0.0] * (d - 1)
+    out = []
+    for it in range(1, _PCA_ITERS + 1):
+        w = [
+            sum(C[(i, j)] * v[j - 1] for j in range(1, d + 1))
+            for i in range(1, d + 1)
+        ]
+        nrm = sum(x * x for x in w) ** 0.5
+        lam = _round_half_up(nrm, 6)
+        # div-safe: nrm > 0 (python) — C has positive diagonal mass and the
+        # seed never lands in its null space on real embedding data
+        v = [_round_half_up(x / nrm, _PCA_SYNC_ROUND) for x in w]
+        lead = max(range(d), key=lambda k: (abs(v[k]), -k))
+        out.append(
+            (
+                it,
+                lam,
+                # div-safe: trace > 0 (python) — sum of per-dim variances
+                _round_half_up(lam / trace, 6),
+                lead + 1,
+                _round_half_up(v[lead], 6),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        schema="iter int, lambda_est double, var_explained double, "
+        "lead_dim int, lead_loading double",
+    ).orderBy("iter")
+
+
+_PCA_SQL = f"""
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT COUNT(*) AS n FROM e),
+dims AS (
+  SELECT vec_id, i, v[i] AS x
+  FROM e, LATERAL (SELECT unnest(generate_series(1, {_PQ_M * _PQ_DSUB})) AS i) idx
+),
+mu AS (SELECT i, ROUND(AVG(x), {_PCA_SYNC_ROUND}) AS mu FROM dims GROUP BY i),
+cent AS (
+  SELECT d.vec_id, d.i, d.x - m.mu AS xc FROM dims d JOIN mu m USING (i)
+),
+c AS (
+  -- div-safe: n = COUNT of embeddings, >= 1 on a non-empty corpus
+  SELECT a.i AS i, b.i AS j,
+         ROUND(SUM(a.xc * b.xc) / (SELECT CAST(n AS DOUBLE) FROM n),
+               {_PCA_SYNC_ROUND}) AS val
+  FROM cent a JOIN cent b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i
+),
+tr AS (SELECT ROUND(SUM(val), 8) AS trace FROM c WHERE i = j),
+it(iter, i, v, lam) AS (
+  -- seed must be DOUBLE: the recursive union coerces every later
+  -- iteration to the seed's type, and a DECIMAL(2,1) seed would round
+  -- each normalized coordinate to one decimal
+  SELECT 0, i,
+         CAST(CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE),
+         CAST(0.0 AS DOUBLE)
+  FROM (SELECT DISTINCT i FROM c)
+  UNION ALL
+  -- div-safe: nrm > 0 (positive-diagonal covariance, nonzero seed)
+  SELECT iter + 1, i, ROUND(w / nrm, {_PCA_SYNC_ROUND}), ROUND(nrm, 6)
+  FROM (
+    SELECT r.iter, c.i, SUM(c.val * r.v) AS w,
+           -- div-safe: nrm > 0 (positive-diagonal covariance, nonzero seed)
+           SQRT(SUM(SUM(c.val * r.v) * SUM(c.val * r.v))
+                OVER (PARTITION BY r.iter)) AS nrm
+    FROM it r JOIN c ON c.j = r.i
+    WHERE r.iter < {_PCA_ITERS}
+    GROUP BY r.iter, c.i
+  )
+),
+lead AS (
+  SELECT iter, i, v, lam,
+         ROW_NUMBER() OVER (PARTITION BY iter ORDER BY ABS(v) DESC, i) AS rn
+  FROM it WHERE iter >= 1
+)
+SELECT CAST(iter AS INTEGER) AS iter,
+       lam AS lambda_est,
+       -- div-safe: trace > 0 (sum of per-dim variances of real embeddings)
+       ROUND(lam / (SELECT trace FROM tr), 6) AS var_explained,
+       CAST(i AS INTEGER) AS lead_dim,
+       ROUND(v, 6) AS lead_loading
+FROM lead
+WHERE rn = 1
+ORDER BY iter
+"""
+
+
 def embedding_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space drift between two corpus snapshots — the retrain
     trigger for anything that consumes the embeddings (ANN indexes, k-means
@@ -3063,6 +3234,7 @@ QUERIES = {
     "ann_residual_pq_recall": ann_residual_pq_recall,
     "ann_sq8_recall": ann_sq8_recall,
     "ann_rrf_fusion": ann_rrf_fusion,
+    "embedding_pca_power_iteration": embedding_pca_power_iteration,
     "ann_pq_adc_recall": ann_pq_adc_recall,
     "ann_pq_refine_recall": ann_pq_refine_recall,
     "ann_cosine_topk": ann_cosine_topk,
@@ -3088,6 +3260,7 @@ ORACLES = {
     "ann_residual_pq_recall": _RESIDUAL_PQ_SQL,
     "ann_sq8_recall": _SQ8_SQL,
     "ann_rrf_fusion": _RRF_SQL,
+    "embedding_pca_power_iteration": _PCA_SQL,
     "ann_pq_adc_recall": _PQ_SQL,
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,

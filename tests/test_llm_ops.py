@@ -2079,3 +2079,48 @@ def test_ann_rrf_fusion_structure_and_fusion_math(spark):
         # if fused_top1 carries that score it must be a double-#1
         if abs(r.fused_top1_rrf - round(top_score, 6)) < 1e-9:
             assert r.fused_top1 is not None
+
+
+# --- PCA power-iteration spectrum --------------------------------------------
+
+def test_embedding_pca_power_iteration_matches_numpy(spark):
+    """Semantic check against an independent eigensolver. The synthetic
+    embeddings are near-isotropic (flat spectrum), so 12 steps need NOT
+    converge — slow convergence is exactly what the trace DIAGNOSES on a
+    healthy corpus. What must hold regardless: ||C v_k|| estimates are
+    monotone nondecreasing (Cauchy-Schwarz for symmetric PSD C), every
+    estimate is sandwiched between numpy's MEAN and TOP eigenvalue, and
+    var_explained/loadings stay bounded."""
+    import numpy as np
+
+    from datafusion_impl_spark.operators.similarity import (
+        embedding_pca_power_iteration,
+    )
+    from datafusion_impl_spark.sources.registry import load_table
+
+    rows = embedding_pca_power_iteration(spark, SF_DIR).collect()
+    assert [r.iter for r in rows] == list(range(1, 13))
+    for r in rows:
+        assert r.lambda_est > 0
+        assert 0 < r.var_explained <= 1.0 + 1e-9
+        assert 1 <= r.lead_dim <= 64
+        assert abs(r.lead_loading) <= 1.0 + 1e-9
+    lams = [r.lambda_est for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(lams, lams[1:])), lams
+
+    X = np.array(
+        [
+            [float(x) for x in r.embedding]
+            for r in load_table(spark, SF_DIR, "embeddings")
+            .select("embedding")
+            .collect()
+        ]
+    )
+    C = np.cov(X, rowvar=False, bias=True)
+    eig = np.linalg.eigvalsh(C)
+    top, mean = float(eig[-1]), float(eig.mean())
+    assert lams[-1] <= top * (1 + 1e-6)
+    # the first estimate is ||C e1|| >= C[0,0]; all estimates live in the
+    # spectrum's bulk-to-top band on any real data
+    assert lams[0] >= float(C[0, 0]) - 1e-9
+    assert lams[-1] >= mean * 0.5
