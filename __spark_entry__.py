@@ -101,8 +101,8 @@ _MODULES = [
 #       queries without a driver row, all judge-verified local-oracle PASS
 #       in the r7 session) + 34 of the 45 queries whose newest driver row
 #       is still CORRECTNESS_r03. The 11 remaining r3-evidence queries queue
-#       in _NEXT_ROTATION ahead of the r9-new operators (registry now 268,
-#       261 oracled), so after r10 the evidence recency floor moves to r4.
+#       in _NEXT_ROTATION ahead of the r9-new operators (registry now 269,
+#       262 oracled), so after r10 the evidence recency floor moves to r4.
 _PRIORITY = [
     # --- the 16 r7-new queries (r7's _NEXT_ROTATION, verbatim) ---
     "multimodal_wav_decode_stats",      # new in r7 (real RIFF/WAVE decode)
@@ -181,6 +181,7 @@ _NEXT_ROTATION: list[str] = [
     "stream_ann_adc_topk",     # new in r9 (streaming ANN serving, IVF-PQ ADC)
     "ann_rrf_fusion",          # new in r9 (reciprocal-rank fusion ensemble)
     "embedding_pca_power_iteration",  # new in r9 (PCA spectrum trace)
+    "embedding_pca_top2_deflation",   # new in r9 (top-2 PCA, Hotelling)
 ]
 
 

@@ -2579,6 +2579,67 @@ def _round_half_up(x: float, nd: int) -> float:
     )
 
 
+def _pca_cov_collect(spark: SparkSession, sf_dir: str):
+    """Distributed one-pass covariance sketch: centered outer products
+    map-side (two chained posexplodes over the broadcast-mean-centered
+    array — no self-join), aggregated into exactly d*d cells and collected
+    like the PQ codebooks. Returns ``(C, d, trace)`` with every entry
+    rounded half-away-from-zero at ``_PCA_SYNC_ROUND`` so both engines
+    iterate from a bit-identical matrix."""
+    e = _vectors(spark, sf_dir).select("vec_id", "v")
+    n = e.count()  # bounded action: one long, drives the 1/n scaling
+    dims = e.select("vec_id", F.posexplode("v").alias("p", "x")).select(
+        "vec_id", (F.col("p") + 1).alias("i"), "x"
+    )
+    mu_rows = (
+        dims.groupBy("i")
+        .agg(F.round(F.avg("x"), _PCA_SYNC_ROUND).alias("mu"))
+        .collect()
+    )
+    mu = [r["mu"] for r in sorted(mu_rows, key=lambda r: int(r["i"]))]
+    d = len(mu)
+    cv = F.transform(
+        "v", lambda x, j: x - F.element_at(F.array(*[F.lit(m) for m in mu]), j + 1)
+    )
+    rows_i = e.select(
+        cv.alias("cv"), F.posexplode(cv).alias("pi", "xci")
+    )
+    prods = rows_i.select(
+        (F.col("pi") + 1).alias("i"),
+        F.posexplode(
+            F.transform("cv", lambda y: y * F.col("xci"))
+        ).alias("pj", "prod"),
+    ).select("i", (F.col("pj") + 1).alias("j"), "prod")
+    c_rows = (
+        prods.groupBy("i", "j")
+        # div-safe: n = COUNT of embeddings, >= 1 on a non-empty corpus
+        .agg(F.round(F.sum("prod") / F.lit(float(n)), _PCA_SYNC_ROUND).alias("val"))
+        .collect()
+    )
+    C = {(int(r["i"]), int(r["j"])): float(r["val"]) for r in c_rows}
+    trace = _round_half_up(sum(C[(i, i)] for i in range(1, d + 1)), 8)
+    return C, d, trace
+
+
+def _pca_power(C: dict, d: int, seed_dim: int, iters: int = _PCA_ITERS):
+    """Deterministic power iteration on a collected covariance dict: yields
+    ``(iter, lambda_est, v)`` per step, every normalized coordinate rounded
+    half-away-from-zero at ``_PCA_SYNC_ROUND`` (the cross-engine re-sync
+    discipline; see :func:`embedding_pca_power_iteration`)."""
+    v = [1.0 if i == seed_dim else 0.0 for i in range(1, d + 1)]
+    for it in range(1, iters + 1):
+        w = [
+            sum(C[(i, j)] * v[j - 1] for j in range(1, d + 1))
+            for i in range(1, d + 1)
+        ]
+        nrm = sum(x * x for x in w) ** 0.5
+        lam = _round_half_up(nrm, 6)
+        # div-safe: nrm > 0 (python) — C has positive diagonal mass and the
+        # seed never lands in its null space on real embedding data
+        v = [_round_half_up(x / nrm, _PCA_SYNC_ROUND) for x in w]
+        yield it, lam, v
+
+
 def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA spectrum QA for the embedding corpus: the top principal
     component extracted by POWER ITERATION on the covariance matrix, with
@@ -2603,53 +2664,9 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     10 decimals — float association errors (~1e-13) re-sync each step, so
     the Python loop and the oracle's WITH RECURSIVE replay produce
     bit-identical traces."""
-    e = _vectors(spark, sf_dir).select("vec_id", "v")
-    n = e.count()  # bounded action: one long, drives the 1/n scaling
-    dims = e.select("vec_id", F.posexplode("v").alias("p", "x")).select(
-        "vec_id", (F.col("p") + 1).alias("i"), "x"
-    )
-    mu_rows = (
-        dims.groupBy("i")
-        .agg(F.round(F.avg("x"), _PCA_SYNC_ROUND).alias("mu"))
-        .collect()
-    )
-    mu = [r["mu"] for r in sorted(mu_rows, key=lambda r: int(r["i"]))]
-    d = len(mu)
-    cv = F.transform(
-        "v", lambda x, j: x - F.element_at(F.array(*[F.lit(m) for m in mu]), j + 1)
-    )
-    # centered outer products, map-side: explode i, then explode the
-    # xci-scaled centered array over j — 4096 rows per vector, no join
-    rows_i = e.select(
-        cv.alias("cv"), F.posexplode(cv).alias("pi", "xci")
-    )
-    prods = rows_i.select(
-        (F.col("pi") + 1).alias("i"),
-        F.posexplode(
-            F.transform("cv", lambda y: y * F.col("xci"))
-        ).alias("pj", "prod"),
-    ).select("i", (F.col("pj") + 1).alias("j"), "prod")
-    c_rows = (
-        prods.groupBy("i", "j")
-        # div-safe: n = COUNT of embeddings, >= 1 on a non-empty corpus
-        .agg(F.round(F.sum("prod") / F.lit(float(n)), _PCA_SYNC_ROUND).alias("val"))
-        .collect()
-    )
-    C = {(int(r["i"]), int(r["j"])): float(r["val"]) for r in c_rows}
-    trace = _round_half_up(sum(C[(i, i)] for i in range(1, d + 1)), 8)
-
-    v = [1.0] + [0.0] * (d - 1)
+    C, d, trace = _pca_cov_collect(spark, sf_dir)
     out = []
-    for it in range(1, _PCA_ITERS + 1):
-        w = [
-            sum(C[(i, j)] * v[j - 1] for j in range(1, d + 1))
-            for i in range(1, d + 1)
-        ]
-        nrm = sum(x * x for x in w) ** 0.5
-        lam = _round_half_up(nrm, 6)
-        # div-safe: nrm > 0 (python) — C has positive diagonal mass and the
-        # seed never lands in its null space on real embedding data
-        v = [_round_half_up(x / nrm, _PCA_SYNC_ROUND) for x in w]
+    for it, lam, v in _pca_power(C, d, seed_dim=1):
         lead = max(range(d), key=lambda k: (abs(v[k]), -k))
         out.append(
             (
@@ -2723,6 +2740,165 @@ SELECT CAST(iter AS INTEGER) AS iter,
 FROM lead
 WHERE rn = 1
 ORDER BY iter
+"""
+
+
+def embedding_pca_top2_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 PCA via power iteration + Hotelling DEFLATION: after the first
+    component (12 deterministic steps, seed e1), the covariance is deflated
+    — ``C2 = C - lambda1 * v1 v1^T``, every entry re-rounded at the sync
+    precision — and the iteration re-runs on C2 for the second component,
+    seeded at e1 unless v1's leading dimension IS dim 1 (then e2), a
+    deterministic rule both engines apply. Output: one row per component
+    with its eigenvalue estimate, variance-explained share, leading
+    loading, and the cumulative explained fraction — the 2-component
+    spectrum summary an embedding-QA dashboard tracks.
+
+    Deflation with an approximate v1 is itself approximate (standard
+    Hotelling behavior); determinism, not exactness, is the cross-engine
+    contract, and the pytest checks both eigenvalue estimates against
+    numpy's true spectrum bounds. Scale shape: identical to
+    :func:`embedding_pca_power_iteration` — one distributed covariance
+    pass, then driver-scale math on the bounded sketch."""
+    C, d, trace = _pca_cov_collect(spark, sf_dir)
+    for _, lam1, v1 in _pca_power(C, d, seed_dim=1):
+        pass
+    lead1 = max(range(d), key=lambda k: (abs(v1[k]), -k))
+    seed2 = 2 if lead1 + 1 == 1 else 1
+    C2 = {
+        (i, j): _round_half_up(
+            C[(i, j)] - lam1 * v1[i - 1] * v1[j - 1], _PCA_SYNC_ROUND
+        )
+        for i in range(1, d + 1)
+        for j in range(1, d + 1)
+    }
+    for _, lam2, v2 in _pca_power(C2, d, seed_dim=seed2):
+        pass
+    lead2 = max(range(d), key=lambda k: (abs(v2[k]), -k))
+    rows = [
+        (
+            1,
+            lam1,
+            # div-safe: trace > 0 (python) — sum of per-dim variances
+            _round_half_up(lam1 / trace, 6),
+            lead1 + 1,
+            _round_half_up(v1[lead1], 6),
+            _round_half_up(lam1 / trace, 6),
+        ),
+        (
+            2,
+            lam2,
+            # div-safe: trace > 0 (python), both component shares
+            _round_half_up(lam2 / trace, 6),
+            lead2 + 1,
+            _round_half_up(v2[lead2], 6),
+            _round_half_up((lam1 + lam2) / trace, 6),
+        ),
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema="component int, lambda_est double, var_explained double, "
+        "lead_dim int, lead_loading double, cum_var_explained double",
+    ).orderBy("component")
+
+
+_PCA2_SQL = f"""
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT COUNT(*) AS n FROM e),
+dims AS (
+  SELECT vec_id, i, v[i] AS x
+  FROM e, LATERAL (SELECT unnest(generate_series(1, {_PQ_M * _PQ_DSUB})) AS i) idx
+),
+mu AS (SELECT i, ROUND(AVG(x), {_PCA_SYNC_ROUND}) AS mu FROM dims GROUP BY i),
+cent AS (
+  SELECT d.vec_id, d.i, d.x - m.mu AS xc FROM dims d JOIN mu m USING (i)
+),
+c AS (
+  -- div-safe: n = COUNT of embeddings, >= 1 on a non-empty corpus
+  SELECT a.i AS i, b.i AS j,
+         ROUND(SUM(a.xc * b.xc) / (SELECT CAST(n AS DOUBLE) FROM n),
+               {_PCA_SYNC_ROUND}) AS val
+  FROM cent a JOIN cent b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i
+),
+tr AS (SELECT ROUND(SUM(val), 8) AS trace FROM c WHERE i = j),
+it1(iter, i, v, lam) AS (
+  SELECT 0, i,
+         CAST(CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE),
+         CAST(0.0 AS DOUBLE)
+  FROM (SELECT DISTINCT i FROM c)
+  UNION ALL
+  -- div-safe: nrm > 0 (positive-diagonal covariance, nonzero seed)
+  SELECT iter + 1, i, ROUND(w / nrm, {_PCA_SYNC_ROUND}), ROUND(nrm, 6)
+  FROM (
+    SELECT r.iter, c.i, SUM(c.val * r.v) AS w,
+           SQRT(SUM(SUM(c.val * r.v) * SUM(c.val * r.v))
+                OVER (PARTITION BY r.iter)) AS nrm
+    FROM it1 r JOIN c ON c.j = r.i
+    WHERE r.iter < {_PCA_ITERS}
+    GROUP BY r.iter, c.i
+  )
+),
+v1 AS (SELECT i, v FROM it1 WHERE iter = {_PCA_ITERS}),
+lam1 AS (SELECT MAX(lam) AS lam FROM it1 WHERE iter = {_PCA_ITERS}),
+lead1 AS (
+  SELECT i, v FROM (
+    SELECT i, v, ROW_NUMBER() OVER (ORDER BY ABS(v) DESC, i) AS rn FROM v1)
+  WHERE rn = 1
+),
+seed2 AS (SELECT CASE WHEN (SELECT i FROM lead1) = 1 THEN 2 ELSE 1 END AS sd),
+c2 AS (
+  SELECT c.i, c.j,
+         ROUND(c.val - (SELECT lam FROM lam1) * a.v * b.v,
+               {_PCA_SYNC_ROUND}) AS val
+  FROM c JOIN v1 a ON a.i = c.i JOIN v1 b ON b.i = c.j
+),
+it2(iter, i, v, lam) AS (
+  SELECT 0, i,
+         CAST(CASE WHEN i = (SELECT sd FROM seed2) THEN 1.0 ELSE 0.0 END
+              AS DOUBLE),
+         CAST(0.0 AS DOUBLE)
+  FROM (SELECT DISTINCT i FROM c2)
+  UNION ALL
+  -- div-safe: nrm > 0 (nonzero residual spectrum, nonzero seed)
+  SELECT iter + 1, i, ROUND(w / nrm, {_PCA_SYNC_ROUND}), ROUND(nrm, 6)
+  FROM (
+    SELECT r.iter, c2.i, SUM(c2.val * r.v) AS w,
+           SQRT(SUM(SUM(c2.val * r.v) * SUM(c2.val * r.v))
+                OVER (PARTITION BY r.iter)) AS nrm
+    FROM it2 r JOIN c2 ON c2.j = r.i
+    WHERE r.iter < {_PCA_ITERS}
+    GROUP BY r.iter, c2.i
+  )
+),
+lam2 AS (SELECT MAX(lam) AS lam FROM it2 WHERE iter = {_PCA_ITERS}),
+lead2 AS (
+  SELECT i, v FROM (
+    SELECT i, v, ROW_NUMBER() OVER (ORDER BY ABS(v) DESC, i) AS rn
+    FROM it2 WHERE iter = {_PCA_ITERS})
+  WHERE rn = 1
+)
+SELECT 1 AS component,
+       (SELECT lam FROM lam1) AS lambda_est,
+       -- div-safe: trace > 0 (sum of per-dim variances), both ratios
+       ROUND((SELECT lam FROM lam1) / (SELECT trace FROM tr), 6)
+         AS var_explained,
+       CAST((SELECT i FROM lead1) AS INTEGER) AS lead_dim,
+       ROUND((SELECT v FROM lead1), 6) AS lead_loading,
+       -- div-safe: trace > 0 (per-dim variance sum)
+       ROUND((SELECT lam FROM lam1) / (SELECT trace FROM tr), 6)
+         AS cum_var_explained
+UNION ALL
+SELECT 2,
+       (SELECT lam FROM lam2),
+       -- div-safe: trace > 0 (per-dim variance sum), all three ratios
+       ROUND((SELECT lam FROM lam2) / (SELECT trace FROM tr), 6),
+       CAST((SELECT i FROM lead2) AS INTEGER),
+       ROUND((SELECT v FROM lead2), 6),
+       -- div-safe: trace > 0 (see above)
+       ROUND(((SELECT lam FROM lam1) + (SELECT lam FROM lam2))
+             / (SELECT trace FROM tr), 6)
+ORDER BY component
 """
 
 
@@ -3235,6 +3411,7 @@ QUERIES = {
     "ann_sq8_recall": ann_sq8_recall,
     "ann_rrf_fusion": ann_rrf_fusion,
     "embedding_pca_power_iteration": embedding_pca_power_iteration,
+    "embedding_pca_top2_deflation": embedding_pca_top2_deflation,
     "ann_pq_adc_recall": ann_pq_adc_recall,
     "ann_pq_refine_recall": ann_pq_refine_recall,
     "ann_cosine_topk": ann_cosine_topk,
@@ -3261,6 +3438,7 @@ ORACLES = {
     "ann_sq8_recall": _SQ8_SQL,
     "ann_rrf_fusion": _RRF_SQL,
     "embedding_pca_power_iteration": _PCA_SQL,
+    "embedding_pca_top2_deflation": _PCA2_SQL,
     "ann_pq_adc_recall": _PQ_SQL,
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,

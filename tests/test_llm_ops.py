@@ -2124,3 +2124,39 @@ def test_embedding_pca_power_iteration_matches_numpy(spark):
     # spectrum's bulk-to-top band on any real data
     assert lams[0] >= float(C[0, 0]) - 1e-9
     assert lams[-1] >= mean * 0.5
+
+
+def test_embedding_pca_top2_deflation_bounds(spark):
+    """Both component estimates live inside the true spectrum envelope
+    (<= numpy's top eigenvalue; positive), the cumulative explained
+    fraction is consistent and bounded, and the two rows are well-formed.
+    (Exactness is not claimed: Hotelling deflation with an approximate v1
+    is approximate by construction — cross-engine determinism is what the
+    oracle checks.)"""
+    import numpy as np
+
+    from datafusion_impl_spark.operators.similarity import (
+        embedding_pca_top2_deflation,
+    )
+    from datafusion_impl_spark.sources.registry import load_table
+
+    rows = embedding_pca_top2_deflation(spark, SF_DIR).collect()
+    assert [r.component for r in rows] == [1, 2]
+    r1, r2 = rows
+    X = np.array(
+        [
+            [float(x) for x in r.embedding]
+            for r in load_table(spark, SF_DIR, "embeddings")
+            .select("embedding")
+            .collect()
+        ]
+    )
+    top = float(np.linalg.eigvalsh(np.cov(X, rowvar=False, bias=True))[-1])
+    for r in rows:
+        assert 0 < r.lambda_est <= top * (1 + 1e-6)
+        assert 1 <= r.lead_dim <= 64
+        assert abs(r.lead_loading) <= 1.0 + 1e-9
+    assert abs(
+        r2.cum_var_explained - (r1.var_explained + r2.var_explained)
+    ) < 2e-6
+    assert r2.cum_var_explained <= 1.02
