@@ -761,6 +761,139 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --------------------------------------------------------------------------
+# Contrastive pair mining (positives + LSH-false-positive hard negatives)
+# --------------------------------------------------------------------------
+
+def contrastive_pairs_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair DATASET MINING for embedding-model training, built
+    from the dedup pipeline's own byproducts: POSITIVES are the verified
+    near-dup pairs (exact Jaccard >= 0.5), and HARD NEGATIVES are the LSH
+    candidates that FAILED verification — banded-signature collisions whose
+    exact overlap is below threshold, i.e. pairs that *look* alike to the
+    sketch but aren't. That is precisely the "hard" negative a contrastive
+    loss needs (random negatives are trivially separable; sketch-collision
+    negatives sit near the decision boundary by construction).
+
+    Per anchor language: candidate/positive/hard-negative counts, the mean
+    exact Jaccard of each class (the margin the training data will carry),
+    and the hard-negative ratio. Scale shape: identical to the dedup
+    pipeline itself — banded equi-join candidates, exact verification on
+    candidates only; the mining is a reclassification of rows the dedup
+    run already produced, so it is FREE on top of a 100 TB dedup pass."""
+    corpus = near_dup_corpus(spark, sf_dir)
+    sh = materialize(_shingles(corpus))
+    sig = materialize(_sig_wide(sh))
+    cand = _band_candidates(_bands_from_sig(sig))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("da"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("db"), "shingle")
+    inter = (
+        cand.join(sa, "da").join(sb, ["db", "shingle"]).groupBy("da", "db").agg(
+            F.count(F.lit(1)).alias("i")
+        )
+    )
+    za = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    scored = (
+        # left join keeps zero-overlap collisions — the hardest negatives
+        cand.join(inter, ["da", "db"], "left")
+        .join(za, "da")
+        .join(zb, "db")
+        .select(
+            "da",
+            "db",
+            # div-safe: union size >= max(na, nb) >= 1 (i <= min(na, nb))
+            (F.coalesce(F.col("i"), F.lit(0))
+             / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0)))
+             ).alias("exact_j"),
+        )
+    )
+    langs = corpus.select("doc_id", "lang")
+    pos = F.col("exact_j") >= _JACCARD_T
+    return (
+        scored.join(langs.withColumnRenamed("doc_id", "da"), "da")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(pos.cast("int")).cast("long").alias("n_positives"),
+            F.sum((~pos).cast("int")).cast("long").alias("n_hard_negatives"),
+            F.round(F.avg(F.when(pos, F.col("exact_j"))), 4).alias(
+                "avg_positive_j"
+            ),
+            F.round(F.avg(F.when(~pos, F.col("exact_j"))), 4).alias(
+                "avg_hard_negative_j"
+            ),
+            F.round(
+                # div-safe: n_candidates is a GROUP BY count >= 1
+                F.sum((~pos).cast("int")) / F.count(F.lit(1)), 4
+            ).alias("hard_negative_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+_CONTRASTIVE_SQL = rf"""
+WITH corpus AS ({_CORPUS_SQL}),
+{_DUCK_SHINGLES},
+mh AS (
+  SELECT doc_id, seed,
+         MIN({duck_md5_long("shingle || '#' || CAST(seed AS VARCHAR)")}) AS mh
+  FROM sh, (SELECT unnest(generate_series(0, {_NUM_HASHES - 1})) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+sig AS (
+  SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band,
+         md5(array_to_string(
+           list_transform(list_slice(sig, band * {_R} + 1, band * {_R} + {_R}),
+                          x -> CAST(x AS VARCHAR)), ',')) AS bkey
+  FROM sig, (SELECT unnest(generate_series(0, {_BANDS - 1})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.da, c.db, COUNT(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.da
+  JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
+  GROUP BY c.da, c.db
+),
+scored AS (
+  SELECT c.da, c.db,
+         -- div-safe: union size >= max(sa.n, sb.n) >= 1
+         COALESCE(i.i, 0) / CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE)
+           AS exact_j
+  FROM cand c
+  LEFT JOIN inter i ON i.da = c.da AND i.db = c.db
+  JOIN sizes sa ON sa.doc_id = c.da
+  JOIN sizes sb ON sb.doc_id = c.db
+)
+SELECT l.lang,
+       COUNT(*) AS n_candidates,
+       CAST(SUM(CASE WHEN s.exact_j >= {_JACCARD_T} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_positives,
+       CAST(SUM(CASE WHEN s.exact_j < {_JACCARD_T} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hard_negatives,
+       ROUND(AVG(CASE WHEN s.exact_j >= {_JACCARD_T} THEN s.exact_j END), 4)
+         AS avg_positive_j,
+       ROUND(AVG(CASE WHEN s.exact_j < {_JACCARD_T} THEN s.exact_j END), 4)
+         AS avg_hard_negative_j,
+       -- div-safe: COUNT(*) of a GROUP BY group is >= 1
+       ROUND(SUM(CASE WHEN s.exact_j < {_JACCARD_T} THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS hard_negative_ratio
+FROM scored s JOIN corpus l ON l.doc_id = s.da
+GROUP BY l.lang
+ORDER BY l.lang
+"""
+
+
 # Winnowing (MOSS) parameters: window of 4 consecutive shingle hashes, pairs
 # need ≥ 2 shared fingerprints, inverted-index DF cap 8.
 _WINNOW_W = 4
@@ -1535,6 +1668,7 @@ QUERIES = {
     "dedup_documents_minhash_ml": dedup_documents_minhash_ml,
     "dedup_documents_ngram": dedup_documents_ngram,
     "minhash_estimation_error": minhash_estimation_error,
+    "contrastive_pairs_mining": contrastive_pairs_mining,
     "dedup_documents_winnowing": dedup_documents_winnowing,
     "dedup_documents_simhash": dedup_documents_simhash,
     "stream_near_dup_flags": stream_near_dup_flags,
@@ -1552,6 +1686,7 @@ ORACLES = {
     "dedup_documents_minhash": _MINHASH_SQL,
     "dedup_documents_ngram": _NGRAM_SQL,
     "minhash_estimation_error": _MINHASH_ERR_SQL,
+    "contrastive_pairs_mining": _CONTRASTIVE_SQL,
     "dedup_documents_winnowing": _WINNOW_SQL,
     "dedup_documents_simhash": _SIMHASH_SQL,
     "dedup_union_priority": _UNION_PRIORITY_SQL,

@@ -2160,3 +2160,22 @@ def test_embedding_pca_top2_deflation_bounds(spark):
         r2.cum_var_explained - (r1.var_explained + r2.var_explained)
     ) < 2e-6
     assert r2.cum_var_explained <= 1.02
+
+
+def test_contrastive_pairs_partition_candidates_exactly(spark):
+    """Positives + hard negatives partition the candidate set per language,
+    the class margins are ordered (mean positive Jaccard > mean hard-
+    negative Jaccard wherever both exist), and the planted near-dups
+    guarantee positives exist."""
+    from datafusion_impl_spark.operators.dedup import contrastive_pairs_mining
+
+    rows = contrastive_pairs_mining(spark, SF_DIR).collect()
+    assert rows
+    total_pos = 0
+    for r in rows:
+        assert r.n_positives + r.n_hard_negatives == r.n_candidates
+        assert 0 <= r.hard_negative_ratio <= 1
+        if r.avg_positive_j is not None and r.avg_hard_negative_j is not None:
+            assert r.avg_positive_j > r.avg_hard_negative_j
+        total_pos += r.n_positives
+    assert total_pos > 0
