@@ -1368,8 +1368,95 @@ ORDER BY digit
 """
 
 
+# --------------------------------------------------------------------------
+# Per-user contribution capping (DP-style contribution bounding)
+# --------------------------------------------------------------------------
+
+#: max events any single user may contribute to the training extract.
+_CONTRIB_CAP = 50
+
+
+def user_contribution_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CONTRIBUTION BOUNDING — the privacy/robustness gate every
+    user-generated training extract runs before anything else (and the
+    prerequisite of any DP accounting: sensitivity is only defined once one
+    user's contribution is capped): each user keeps at most
+    ``_CONTRIB_CAP`` events, selected deterministically (earliest by
+    ``(ts, event_id)`` — re-runs keep the SAME events, so lineage is
+    stable). The report audits the cap per event type: events before/after,
+    how many CAPPED USERS contributed to the type, and the retained
+    fraction — the skew diagnosis (a type dominated by few heavy users
+    loses the most mass).
+
+    Scale shape: one window rank per user (single shuffle on user_id —
+    bounded state per key, no global sort), then a 6-row per-type
+    aggregate. At 100 TB this is the standard contribution-bounding pass;
+    hot users are exactly the rows the cap removes, so the post-cap join
+    key is UNSKEWED by construction."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn("rk", F.row_number().over(w))
+    capped_users = (
+        ranked.groupBy("user_id")
+        .agg(F.max("rk").alias("n_user"))
+        .filter(F.col("n_user") > _CONTRIB_CAP)
+        .select("user_id")
+    )
+    flagged = ranked.join(
+        F.broadcast(capped_users.withColumn("is_capped", F.lit(1))),
+        "user_id",
+        "left",
+    )
+    kept = F.col("rk") <= _CONTRIB_CAP
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events_before"),
+            F.sum(kept.cast("int")).cast("long").alias("n_events_after"),
+            F.countDistinct(
+                F.when(F.col("is_capped") == 1, F.col("user_id"))
+            ).cast("long").alias("n_capped_users"),
+            F.round(
+                # div-safe: COUNT of a GROUP BY group is >= 1
+                F.sum(kept.cast("int")) / F.count(F.lit(1)),
+                6,
+            ).alias("retained_frac"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_CONTRIB_CAP_SQL = f"""
+WITH ranked AS (
+  SELECT event_type, user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+  FROM events
+),
+capped AS (
+  SELECT user_id FROM ranked GROUP BY user_id
+  HAVING MAX(rk) > {_CONTRIB_CAP}
+)
+SELECT r.event_type,
+       COUNT(*) AS n_events_before,
+       CAST(SUM(CASE WHEN r.rk <= {_CONTRIB_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_events_after,
+       CAST(COUNT(DISTINCT CASE WHEN c.user_id IS NOT NULL
+                                THEN r.user_id END) AS BIGINT)
+         AS n_capped_users,
+       -- div-safe: COUNT(*) of a GROUP BY group is >= 1
+       ROUND(SUM(CASE WHEN r.rk <= {_CONTRIB_CAP} THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS retained_frac
+FROM ranked r LEFT JOIN capped c ON c.user_id = r.user_id
+GROUP BY r.event_type
+ORDER BY r.event_type
+"""
+
+
 QUERIES = {
     "l_diversity_audit": l_diversity_audit,
+    "user_contribution_capping": user_contribution_capping,
     "daily_revenue_cusum": daily_revenue_cusum,
     "benford_price_audit": benford_price_audit,
     "zorder_layout_effectiveness": zorder_layout_effectiveness,
@@ -1387,6 +1474,7 @@ QUERIES = {
 
 ORACLES = {
     "l_diversity_audit": _L_DIVERSITY_SQL,
+    "user_contribution_capping": _CONTRIB_CAP_SQL,
     "daily_revenue_cusum": _CUSUM_SQL,
     "benford_price_audit": _BENFORD_SQL,
     "zorder_layout_effectiveness": _ZORDER_SQL,

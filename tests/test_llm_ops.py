@@ -2179,3 +2179,30 @@ def test_contrastive_pairs_partition_candidates_exactly(spark):
             assert r.avg_positive_j > r.avg_hard_negative_j
         total_pos += r.n_positives
     assert total_pos > 0
+
+
+def test_user_contribution_capping_bounds_every_user(spark):
+    """Post-cap, no user exceeds the cap (checked independently of the
+    report), counts conserve (after <= before, retained in (0,1]), and the
+    report's totals match a direct recount."""
+    from datafusion_impl_spark.plans.quality import (
+        _CONTRIB_CAP,
+        user_contribution_capping,
+    )
+    from datafusion_impl_spark.sources.registry import load_table
+    from pyspark.sql import Window
+
+    rows = user_contribution_capping(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_events_after <= r.n_events_before
+        assert 0 < r.retained_frac <= 1
+    ev = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    kept = (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _CONTRIB_CAP)
+    )
+    per_user_max = kept.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    assert per_user_max <= _CONTRIB_CAP
+    assert kept.count() == sum(r.n_events_after for r in rows)
