@@ -1207,6 +1207,153 @@ LIMIT 20
 
 
 # --------------------------------------------------------------------------
+# Bigram LM perplexity (bounded-vocabulary, add-k smoothed)
+# --------------------------------------------------------------------------
+
+#: bigram-LM vocabulary: top-V corpus tokens; everything else lumps into
+#: one OOV symbol, so the LM table is bounded at (V+1)^2 rows regardless of
+#: corpus size (the same boundedness discipline as ``source_unigram_kl``).
+_BIGRAM_VOCAB = 100
+_BIGRAM_K = 0.5
+_BIGRAM_OOV = "<oov>"
+#: flag threshold on per-doc bigram cross-entropy (nats).
+_BIGRAM_CE_FLAG = 4.2
+
+
+def source_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring — the step up from the unigram
+    :func:`text_perplexity_proxy` that real CCNet-style filters take: each
+    document's cross-entropy under an add-k-smoothed corpus BIGRAM model,
+    ``p(b|a) = (c(a,b)+k) / (c(a)+k*(V+1))``, trained and applied in one
+    job over a BOUNDED vocabulary (top-100 tokens + one OOV lump, so the
+    LM table never exceeds (V+1)^2 rows at any corpus size — the same
+    discipline as ``source_unigram_kl``). Per source: scored docs, bigram
+    mass, mean cross-entropy, the implied perplexity, and the count above
+    the flag threshold.
+
+    Scale shape: the vocabulary is a bounded collect (top-100, rank
+    ``cnt DESC, token ASC`` — deterministic in both engines) inlined as an
+    ``array_contains`` literal, so OOV mapping is map-side; bigram
+    extraction is a per-doc array transform (no positional self-join); the
+    LM join BROADCASTS the bounded (V+1)^2 table, so the Zipf-skewed
+    bigram key never shuffles."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    toks = docs.select(
+        "doc_id", "source", tokens("text").alias("t")
+    ).filter(F.size("t") >= 2)
+    vocab_rows = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(_BIGRAM_VOCAB)
+        .collect()
+    )
+    vlit = F.array(*[F.lit(r["token"]) for r in vocab_rows])
+    mapped = F.transform(
+        "t",
+        lambda x: F.when(F.array_contains(vlit, x), x).otherwise(
+            F.lit(_BIGRAM_OOV)
+        ),
+    )
+    big = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at(mapped, i).alias("a"),
+                    F.element_at(mapped, i + 1).alias("b"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "source", F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    c_ab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    c_a = c_ab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    # div-safe: the smoothed denominator is >= k*(V+1) > 0
+    nll = -F.log(
+        (F.col("c_ab") + F.lit(_BIGRAM_K))
+        / (F.col("c_a") + F.lit(_BIGRAM_K * (_BIGRAM_VOCAB + 1)))
+    )
+    lm = c_ab.join(F.broadcast(c_a), "a").select("a", "b", nll.alias("nll"))
+    per_doc = (
+        big.join(F.broadcast(lm), ["a", "b"])
+        .groupBy("doc_id", "source")
+        .agg(F.avg("nll").alias("ce"), F.count(F.lit(1)).alias("n_bg"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_scored"),
+            F.sum("n_bg").cast("long").alias("n_bigrams"),
+            F.round(F.avg("ce"), 4).alias("avg_cross_entropy"),
+            F.round(F.exp(F.avg("ce")), 4).alias("perplexity"),
+            F.sum((F.col("ce") > _BIGRAM_CE_FLAG).cast("long")).alias(
+                "n_flagged"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_BIGRAM_PPL_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, {_DUCK_TOKENS.format(col='text')} AS t
+  FROM documents
+),
+eligible AS (SELECT * FROM toks WHERE len(t) >= 2),
+vocab AS (
+  SELECT token FROM (
+    SELECT unnest(t) AS token FROM toks) u
+  GROUP BY token
+  ORDER BY COUNT(*) DESC, token
+  LIMIT {_BIGRAM_VOCAB}
+),
+big0 AS (
+  SELECT doc_id, source, t[i] AS ra, t[i + 1] AS rb
+  FROM eligible,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) idx
+),
+-- OOV-map at the exploded level (DuckDB forbids subqueries in lambdas)
+big AS (
+  SELECT doc_id, source,
+         CASE WHEN va.token IS NULL THEN '{_BIGRAM_OOV}' ELSE big0.ra END AS a,
+         CASE WHEN vb.token IS NULL THEN '{_BIGRAM_OOV}' ELSE big0.rb END AS b
+  FROM big0
+  LEFT JOIN vocab va ON va.token = big0.ra
+  LEFT JOIN vocab vb ON vb.token = big0.rb
+),
+c_ab AS (SELECT a, b, COUNT(*) AS c_ab FROM big GROUP BY a, b),
+c_a AS (SELECT a, SUM(c_ab) AS c_a FROM c_ab GROUP BY a),
+lm AS (
+  -- div-safe: the smoothed denominator is >= k*(V+1) > 0
+  SELECT ab.a, ab.b,
+         -LN((ab.c_ab + {_BIGRAM_K})
+             / (ca.c_a + {_BIGRAM_K * (_BIGRAM_VOCAB + 1)})) AS nll
+  FROM c_ab ab JOIN c_a ca USING (a)
+),
+per_doc AS (
+  SELECT g.doc_id, g.source, AVG(l.nll) AS ce, COUNT(*) AS n_bg
+  FROM big g JOIN lm l ON l.a = g.a AND l.b = g.b
+  GROUP BY g.doc_id, g.source
+)
+SELECT source,
+       COUNT(*) AS n_docs_scored,
+       CAST(SUM(n_bg) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(ce), 4) AS avg_cross_entropy,
+       ROUND(EXP(AVG(ce)), 4) AS perplexity,
+       CAST(SUM(CASE WHEN ce > {_BIGRAM_CE_FLAG} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # BPE merge APPLICATION (encoding) — the other half of the tokenizer story
 # --------------------------------------------------------------------------
 
@@ -2264,6 +2411,7 @@ QUERIES = {
     "text_token_stats": text_token_stats,
     "bpe_merge_candidates": bpe_merge_candidates,
     "bpe_encode_corpus": bpe_encode_corpus,
+    "source_bigram_perplexity": source_bigram_perplexity,
     "source_token_gini": source_token_gini,
     "text_bm25_search": text_bm25_search,
     "text_tfidf_top_terms": text_tfidf_top_terms,
@@ -2292,6 +2440,7 @@ ORACLES = {
     "text_token_stats": _TOKEN_STATS_SQL,
     "bpe_merge_candidates": _BPE_SQL,
     "bpe_encode_corpus": _BPE_ENCODE_SQL,
+    "source_bigram_perplexity": _BIGRAM_PPL_SQL,
     "source_token_gini": _GINI_SQL,
     "text_bm25_search": _BM25_SQL,
     "text_tfidf_top_terms": _TFIDF_SQL,

@@ -2206,3 +2206,26 @@ def test_user_contribution_capping_bounds_every_user(spark):
     per_user_max = kept.groupBy("user_id").count().agg(F.max("count")).first()[0]
     assert per_user_max <= _CONTRIB_CAP
     assert kept.count() == sum(r.n_events_after for r in rows)
+
+
+def test_bigram_perplexity_bounded_lm_and_sane_entropy(spark):
+    """The bigram LM is genuinely bounded (vocabulary top-100 + OOV), so
+    per-source cross-entropy must be positive and below ln of the max
+    possible support (V+1 successors with smoothing), and perplexity =
+    exp(ce) to rounding."""
+    import math
+
+    from datafusion_impl_spark.operators.text import (
+        _BIGRAM_VOCAB,
+        source_bigram_perplexity,
+    )
+
+    rows = source_bigram_perplexity(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    hi = math.log((_BIGRAM_VOCAB + 1) / 0.5) + 1e-6
+    for r in rows:
+        assert r.n_docs_scored > 0 and r.n_bigrams > 0
+        assert 0 < r.avg_cross_entropy < hi
+        assert abs(r.perplexity - math.exp(r.avg_cross_entropy)) < max(
+            1e-3, r.perplexity * 1e-3
+        )
