@@ -2133,7 +2133,183 @@ ORDER BY q_id, rk
 _STREAM_ANN_SQL = _stream_ann_oracle()
 
 
+# --------------------------------------------------------------------------
+# Streaming per-user contribution capping (TWS counter as an ingest gate)
+# --------------------------------------------------------------------------
+
+#: streaming cap mirrors the batch `plans.quality.user_contribution_capping`
+#: bound (but applies it in ARRIVAL order, the honest ingest semantics).
+_STREAM_CAP = 50
+
+
+def stream_contribution_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user contribution capping as a STREAMING INGEST GATE — the
+    transformWithState counter pattern: a ``ValueState`` per user counts
+    admitted events; each micro-batch admits at most the remaining budget,
+    choosing deterministically WITHIN the batch by ``(ts_ms, event_id)``
+    (rows reach the processor in shuffle order, so an order-insensitive
+    within-batch rule is what makes the stream value-checkable). Across
+    the two feed micro-batches (even then odd event ids) the admitted set
+    is therefore: first-K-by-(ts,id) of the even batch, then the leftover
+    budget from the odd batch — exactly what the DuckDB oracle replays
+    with two windowed ranks. Output: per event type, arriving/admitted/
+    rejected counts and the admitted fraction.
+
+    The batch twin is ``plans.quality.user_contribution_capping`` (global
+    earliest-K; the streaming gate is necessarily arrival-ordered — the
+    difference IS the lesson). At 100 TB: one BIGINT of state per user,
+    admission work proportional to the micro-batch, and the gate runs
+    before any downstream cost is paid."""
+    import pandas as pd
+
+    from datafusion_impl_spark.pbshim import ensure_protobuf_on_workers
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    if not ensure_protobuf_on_workers(spark):  # pragma: no cover - env gate
+        raise RuntimeError(
+            "transformWithStateInPandas needs a protobuf runtime and none "
+            "is available (no install, no gcloud-vendored shim)"
+        )
+
+    class CapGate(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._used = handle.getValueState("used", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            used = self._used.get()[0] if self._used.exists() else 0
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf = pdf.sort_values(["ts_ms", "event_id"], kind="mergesort")
+            room = max(0, _STREAM_CAP - used)
+            kept = pdf.iloc[:room]
+            self._used.update((used + len(kept),))
+            if len(kept):
+                yield kept[["user_id", "event_id", "event_type"]]
+
+        def close(self) -> None:
+            pass
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prev_shuffle = spark.conf.get(shuffle_key, None)
+    spark.conf.set(shuffle_key, "8")
+    feed = _tws_shared_split_feed(sf_dir)
+    view = "stream_cap_gate_drv"
+    try:
+        src = (
+            spark.readStream.schema(
+                "event_id bigint, user_id bigint, event_type string, "
+                "ts_ms bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(feed)
+        )
+        st = src.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=CapGate(),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="None",
+        )
+        q = (
+            st.writeStream.format("memory")
+            .queryName(view)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+        if prev_shuffle is None:
+            spark.conf.unset(shuffle_key)
+        else:
+            spark.conf.set(shuffle_key, prev_shuffle)
+        # shared feed: kept for reuse by the other TWS queries
+    from datafusion_impl_spark.sources.registry import load_table
+
+    admitted = spark.table(view).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_admitted")
+    )
+    arriving = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_arriving"))
+    )
+    return (
+        arriving.join(admitted, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n_arriving").cast("long").alias("n_arriving"),
+            F.coalesce("n_admitted", F.lit(0)).cast("long").alias(
+                "n_admitted"
+            ),
+            (
+                F.col("n_arriving")
+                - F.coalesce("n_admitted", F.lit(0))
+            ).cast("long").alias("n_rejected"),
+            F.round(
+                # div-safe: n_arriving is a GROUP BY count >= 1
+                F.coalesce("n_admitted", F.lit(0)) / F.col("n_arriving"),
+                6,
+            ).alias("admitted_frac"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_STREAM_CAP_SQL = f"""
+WITH ranked AS (
+  SELECT event_id, user_id, event_type,
+         event_id % 2 AS odd_batch,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_id % 2
+           ORDER BY epoch_ms(ts), event_id) AS rk
+  FROM events
+),
+counts AS (
+  SELECT user_id,
+         SUM(CASE WHEN odd_batch = 0 THEN 1 ELSE 0 END) AS n_even
+  FROM ranked GROUP BY user_id
+),
+admitted AS (
+  SELECT r.event_type
+  FROM ranked r JOIN counts c USING (user_id)
+  WHERE (r.odd_batch = 0 AND r.rk <= {_STREAM_CAP})
+     OR (r.odd_batch = 1
+         AND r.rk <= {_STREAM_CAP} - LEAST(c.n_even, {_STREAM_CAP}))
+),
+adm AS (SELECT event_type, COUNT(*) AS n_admitted FROM admitted GROUP BY event_type),
+arr AS (SELECT event_type, COUNT(*) AS n_arriving FROM events GROUP BY event_type)
+SELECT a.event_type,
+       CAST(a.n_arriving AS BIGINT) AS n_arriving,
+       CAST(COALESCE(m.n_admitted, 0) AS BIGINT) AS n_admitted,
+       CAST(a.n_arriving - COALESCE(m.n_admitted, 0) AS BIGINT) AS n_rejected,
+       -- div-safe: n_arriving is a GROUP BY count >= 1
+       ROUND(COALESCE(m.n_admitted, 0) / CAST(a.n_arriving AS DOUBLE), 6)
+         AS admitted_frac
+FROM arr a LEFT JOIN adm m USING (event_type)
+ORDER BY a.event_type
+"""
+
+
 QUERIES = {
+    "stream_contribution_capping": stream_contribution_capping,
     "stream_ann_adc_topk": stream_ann_adc_topk,
     "stream_tws_user_totals": stream_tws_user_totals,
     "stream_tws_session_timeout": stream_tws_session_timeout,
@@ -2149,6 +2325,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_contribution_capping": _STREAM_CAP_SQL,
     "stream_ann_adc_topk": _STREAM_ANN_SQL,
     "stream_tws_user_totals": _TWS_TOTALS_SQL,
     "stream_tws_session_timeout": _TWS_TIMEOUT_SQL,

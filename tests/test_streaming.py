@@ -843,3 +843,56 @@ def test_stream_ann_serving_equals_batch_twin(spark):
     ]
     assert got == expected
     assert len(got) > 0
+
+
+def test_stream_contribution_capping_matches_batch_replay(spark):
+    """The streaming gate's admitted census must equal a batch replay of
+    the same two-batch budget rule (even-batch first-K by (ts, id), then
+    the leftover budget from the odd batch), and no user may exceed the
+    cap in the admitted set."""
+    from datafusion_impl_spark.streaming import (
+        _STREAM_CAP,
+        stream_contribution_capping,
+    )
+
+    got = {
+        r.event_type: (r.n_arriving, r.n_admitted, r.n_rejected)
+        for r in stream_contribution_capping(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(
+        "user_id", (F.col("event_id") % 2).alias("b")
+    ).orderBy(F.unix_micros("ts"), "event_id")
+    ranked = ev.withColumn("b", F.col("event_id") % 2).withColumn(
+        "rk", F.row_number().over(w)
+    )
+    n_even = ranked.filter(F.col("b") == 0).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_even")
+    )
+    adm = (
+        ranked.join(n_even, "user_id", "left")
+        .withColumn("ne", F.coalesce("n_even", F.lit(0)))
+        .filter(
+            ((F.col("b") == 0) & (F.col("rk") <= _STREAM_CAP))
+            | (
+                (F.col("b") == 1)
+                & (
+                    F.col("rk")
+                    <= _STREAM_CAP - F.least(F.col("ne"), F.lit(_STREAM_CAP))
+                )
+            )
+        )
+    )
+    expected_adm = {
+        r.event_type: r.n
+        for r in adm.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    per_user_max = adm.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    assert per_user_max <= _STREAM_CAP
+    for et, (arr, admitted, rejected) in got.items():
+        assert admitted == expected_adm.get(et, 0), et
+        assert arr == admitted + rejected
