@@ -1658,7 +1658,87 @@ ORDER BY tier
 """
 
 
+# --------------------------------------------------------------------------
+# Shared-prefix boilerplate census (template/header detection)
+# --------------------------------------------------------------------------
+
+#: prefix length that defines a "template" cluster — long enough that a
+#: shared prefix is never chance on natural text, short enough to catch
+#: crawler boilerplate (cookie banners, license headers, feed templates).
+_PREFIX_CHARS = 32
+
+
+def dedup_common_prefix_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-PREFIX boilerplate census — the cheap screen that catches
+    template families full-content dedup misses: documents whose first
+    ``_PREFIX_CHARS`` characters hash identically are one template cluster
+    (crawler cookie banners, license headers, generated-page skeletons all
+    share prefixes while their tails differ, so neither exact dedup nor
+    MinHash flags them). The planted near-dup corpus guarantees non-trivial
+    clusters: exact copies share their full prefix with their source, so
+    the census must find them. Per language: cluster count, docs inside
+    multi-doc clusters, the largest cluster, and the clustered fraction.
+
+    Scale shape: one scan, a 15-digit md5 prefix key (the repo's portable
+    hash), one groupBy on the bounded key space, one per-language rollup —
+    the exact-dedup plan shape with a prefix instead of the full text."""
+    corpus = near_dup_corpus(spark, sf_dir)
+    keyed = corpus.select(
+        "lang",
+        md5_long(F.substring("text", 1, _PREFIX_CHARS)).alias("pk"),
+    )
+    clusters = keyed.groupBy("lang", "pk").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        clusters.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_prefix_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("sz") >= 2, F.col("sz"))), F.lit(0)
+            ).cast("long").alias("n_docs_in_multi"),
+            F.max("sz").cast("long").alias("max_cluster"),
+            F.round(
+                # div-safe: per-language doc totals are >= 1
+                F.coalesce(
+                    F.sum(F.when(F.col("sz") >= 2, F.col("sz"))), F.lit(0)
+                )
+                / F.sum("sz"),
+                6,
+            ).alias("clustered_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+_PREFIX_CENSUS_SQL = rf"""
+WITH corpus AS ({_CORPUS_SQL}),
+keyed AS (
+  SELECT lang,
+         {duck_md5_long(f"substr(text, 1, {_PREFIX_CHARS})")} AS pk
+  FROM corpus
+),
+clusters AS (
+  SELECT lang, pk, COUNT(*) AS sz FROM keyed GROUP BY lang, pk
+)
+SELECT lang,
+       COUNT(*) AS n_prefix_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(CASE WHEN sz >= 2 THEN sz END), 0) AS BIGINT)
+         AS n_docs_in_multi,
+       CAST(MAX(sz) AS BIGINT) AS max_cluster,
+       -- div-safe: per-language doc totals are >= 1
+       ROUND(COALESCE(SUM(CASE WHEN sz >= 2 THEN sz END), 0)
+             / CAST(SUM(sz) AS DOUBLE), 6) AS clustered_frac
+FROM clusters
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
+    "dedup_common_prefix_census": dedup_common_prefix_census,
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_minhash_param_sweep": dedup_minhash_param_sweep,
     "dedup_documents_exact": dedup_documents_exact,
@@ -1677,6 +1757,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_common_prefix_census": _PREFIX_CENSUS_SQL,
     "dedup_substring_spans": _SPAN_SQL,
     "dedup_minhash_param_sweep": _MINHASH_SWEEP_SQL,
     "stream_near_dup_flags": _STREAM_FLAGS_SQL,

@@ -2229,3 +2229,26 @@ def test_bigram_perplexity_bounded_lm_and_sane_entropy(spark):
         assert abs(r.perplexity - math.exp(r.avg_cross_entropy)) < max(
             1e-3, r.perplexity * 1e-3
         )
+
+
+def test_prefix_census_finds_planted_template_clusters(spark):
+    """The planted exact copies share their source's full prefix, so every
+    language with an exact-dup doc must show a multi-doc cluster, counts
+    must conserve (multi <= total, max_cluster >= 2 where multi > 0), and
+    the clustered fraction is consistent."""
+    from datafusion_impl_spark.operators.dedup import (
+        dedup_common_prefix_census,
+    )
+
+    rows = dedup_common_prefix_census(spark, SF_DIR).collect()
+    assert rows
+    any_multi = False
+    for r in rows:
+        assert 0 <= r.n_docs_in_multi <= r.n_docs
+        assert abs(
+            r.clustered_frac - r.n_docs_in_multi / r.n_docs
+        ) < 1e-6
+        if r.n_docs_in_multi > 0:
+            any_multi = True
+            assert r.max_cluster >= 2
+    assert any_multi  # planted exact copies guarantee template clusters
