@@ -101,8 +101,8 @@ _MODULES = [
 #       queries without a driver row, all judge-verified local-oracle PASS
 #       in the r7 session) + 34 of the 45 queries whose newest driver row
 #       is still CORRECTNESS_r03. The 11 remaining r3-evidence queries queue
-#       in _NEXT_ROTATION ahead of the r9-new operators (registry now 274,
-#       267 oracled), so after r10 the evidence recency floor moves to r4.
+#       in _NEXT_ROTATION ahead of the r9-new operators (registry now 275,
+#       268 oracled), so after r10 the evidence recency floor moves to r4.
 _PRIORITY = [
     # --- the 16 r7-new queries (r7's _NEXT_ROTATION, verbatim) ---
     "multimodal_wav_decode_stats",      # new in r7 (real RIFF/WAVE decode)
@@ -187,6 +187,7 @@ _NEXT_ROTATION: list[str] = [
     "source_bigram_perplexity",       # new in r9 (bounded-vocab bigram LM)
     "stream_contribution_capping",    # new in r9 (TWS ingest-gate counter)
     "dedup_common_prefix_census",     # new in r9 (template-prefix screen)
+    "span_corruption_mask_stats",     # new in r9 (T5-style mask audit)
 ]
 
 

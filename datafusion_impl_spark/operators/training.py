@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datafusion_impl_spark.operators import materialize
+from datafusion_impl_spark.operators import duck_md5_long, materialize, md5_long
 from datafusion_impl_spark.operators.dedup import (
     _CORPUS_SQL,
     _DUCK_SHINGLES,
@@ -26,6 +26,7 @@ from datafusion_impl_spark.operators.dedup import (
     near_dup_corpus,
 )
 from datafusion_impl_spark.operators.text import (
+    _DUCK_TOKENS,
     DUCK_QUALITY_SCORED,
     quality_score,
     tokens,
@@ -1017,7 +1018,157 @@ ORDER BY ctx
 _CTX_SWEEP_SQL = _ctx_sweep_oracle()
 
 
+# --------------------------------------------------------------------------
+# Span-corruption (T5-style) masking statistics
+# --------------------------------------------------------------------------
+
+#: a span STARTS at ~1-in-this token positions (hash-gated, deterministic).
+_MASK_START_MOD = 20
+#: fixed span length (tokens) — the mean-span-3 T5 configuration, with the
+#: hash ring supplying the randomness instead of an RNG.
+_MASK_SPAN = 3
+
+
+def span_corruption_mask_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption (T5/UL2) MASK CONSTRUCTION statistics: span starts
+    are selected by the portable hash ring (``md5(doc_id:pos) % 20 == 0`` —
+    deterministic under re-runs, re-partitioning, and engine swaps, the
+    same reproducibility contract as every sampler in this repo), each
+    start covers ``_MASK_SPAN`` tokens clipped at the document end, and
+    overlapping spans MERGE (maximal runs counted via a per-doc
+    gaps-and-islands pass over the covered positions). Per source: masked
+    token mass and fraction, merged-span count, and mean merged-span
+    length — the knobs (corruption rate r, mean span length) an
+    infilling-objective pipeline must audit before training.
+
+    Scale shape: one scan + explode to token positions, a hash-gated
+    filter, a bounded 3x explode of the starts, one per-doc window over
+    COVERED positions only (a ~15% slice), and a 20-row rollup."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(tokens("text")).alias("p", "tok"),
+    )
+    per_doc_n = toks.groupBy("doc_id").agg(F.max("p").alias("max_p"))
+    start_hash = md5_long(
+        F.concat_ws(":", F.col("doc_id"), F.col("p"), F.lit("mask"))
+    )
+    starts = toks.filter(start_hash % _MASK_START_MOD == 0).select(
+        "doc_id", "source", "p"
+    )
+    covered = (
+        starts.join(per_doc_n, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(
+                    F.col("p"),
+                    F.least(F.col("p") + _MASK_SPAN - 1, F.col("max_p")),
+                )
+            ).alias("cp"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("cp")
+    runs = covered.withColumn("prev", F.lag("cp").over(w)).withColumn(
+        "is_run_start",
+        (F.col("prev").isNull() | (F.col("cp") - F.col("prev") != 1)).cast(
+            "int"
+        ),
+    )
+    per_doc = runs.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("masked"),
+        F.sum("is_run_start").alias("n_spans"),
+    )
+    totals = toks.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_tokens"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("masked").cast("long").alias("masked_tokens"),
+            F.sum("n_spans").cast("long").alias("n_spans"),
+        )
+        .join(totals, "source")
+        .select(
+            "source",
+            "n_docs",
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            "masked_tokens",
+            "n_spans",
+            F.round(
+                # div-safe: per-source token totals are >= 1
+                F.col("masked_tokens") / F.col("total_tokens"), 6
+            ).alias("masked_frac"),
+            F.round(
+                # div-safe: n_spans >= 1 whenever the source has a masked
+                # row (per_doc rows exist only with >= 1 covered position,
+                # and every covered run contributes >= 1 span)
+                F.col("masked_tokens") / F.col("n_spans"), 4
+            ).alias("avg_span_len"),
+        )
+        .orderBy("source")
+    )
+
+
+_SPAN_MASK_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, i - 1 AS p
+  FROM (SELECT doc_id, source, {_DUCK_TOKENS.format(col='text')} AS t
+        FROM documents) d,
+       LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) idx
+),
+per_doc_n AS (SELECT doc_id, MAX(p) AS max_p FROM toks GROUP BY doc_id),
+starts AS (
+  SELECT doc_id, source, p FROM toks
+  WHERE {duck_md5_long("doc_id || ':' || p || ':' || 'mask'")}
+        % {_MASK_START_MOD} = 0
+),
+covered AS (
+  SELECT DISTINCT s.doc_id, s.source, cp
+  FROM starts s JOIN per_doc_n n USING (doc_id),
+       LATERAL (SELECT unnest(generate_series(
+                  s.p, LEAST(s.p + {_MASK_SPAN - 1}, n.max_p))) AS cp) c
+),
+runs AS (
+  SELECT doc_id, source, cp,
+         CASE WHEN LAG(cp) OVER (PARTITION BY doc_id ORDER BY cp) IS NULL
+                OR cp - LAG(cp) OVER (PARTITION BY doc_id ORDER BY cp) <> 1
+              THEN 1 ELSE 0 END AS is_run_start
+  FROM covered
+),
+per_doc AS (
+  SELECT doc_id, source, COUNT(*) AS masked, SUM(is_run_start) AS n_spans
+  FROM runs GROUP BY doc_id, source
+),
+totals AS (
+  SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS total_tokens
+  FROM toks GROUP BY source
+)
+SELECT t.source,
+       t.n_docs,
+       CAST(t.total_tokens AS BIGINT) AS total_tokens,
+       CAST(SUM(p.masked) AS BIGINT) AS masked_tokens,
+       CAST(SUM(p.n_spans) AS BIGINT) AS n_spans,
+       -- div-safe: per-source token totals are >= 1
+       ROUND(SUM(p.masked) / CAST(t.total_tokens AS DOUBLE), 6)
+         AS masked_frac,
+       -- div-safe: n_spans >= 1 whenever masked rows exist
+       ROUND(SUM(p.masked) / CAST(SUM(p.n_spans) AS DOUBLE), 4)
+         AS avg_span_len
+FROM per_doc p JOIN totals t USING (source)
+GROUP BY t.source, t.n_docs, t.total_tokens
+ORDER BY t.source
+"""
+
+
 QUERIES = {
+    "span_corruption_mask_stats": span_corruption_mask_stats,
     "context_length_sweep": context_length_sweep,
     "doc_length_quantile_normalization": doc_length_quantile_normalization,
     "chunk_documents_sliding": chunk_documents_sliding,
@@ -1033,6 +1184,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "span_corruption_mask_stats": _SPAN_MASK_SQL,
     "context_length_sweep": _CTX_SWEEP_SQL,
     "doc_length_quantile_normalization": _QNORM_SQL,
     "chunk_documents_sliding": _CHUNK_SQL,

@@ -2252,3 +2252,24 @@ def test_prefix_census_finds_planted_template_clusters(spark):
             any_multi = True
             assert r.max_cluster >= 2
     assert any_multi  # planted exact copies guarantee template clusters
+
+
+def test_span_corruption_mask_stats_invariants(spark):
+    """Corruption rate lands near the configured 1-in-20 start rate times
+    span 3 (within a loose band — merging and doc-end clipping pull it
+    down), mean merged-span length is >= the configured span floor of 1
+    and <= a merged multiple, and counts conserve."""
+    from datafusion_impl_spark.operators.training import (
+        _MASK_SPAN,
+        _MASK_START_MOD,
+        span_corruption_mask_stats,
+    )
+
+    rows = span_corruption_mask_stats(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    expect = _MASK_SPAN / _MASK_START_MOD  # 0.15 nominal corruption rate
+    for r in rows:
+        assert 0 < r.masked_tokens <= r.total_tokens
+        assert 0 < r.n_spans <= r.masked_tokens
+        assert 0.4 * expect < r.masked_frac < 1.6 * expect
+        assert 1.0 <= r.avg_span_len <= 3 * _MASK_SPAN
