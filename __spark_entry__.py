@@ -103,67 +103,14 @@ _MODULES = [
 #       is still CORRECTNESS_r03. The 11 remaining r3-evidence queries queue
 #       in _NEXT_ROTATION ahead of the r9-new operators (registry now 275,
 #       268 oracled), so after r10 the evidence recency floor moves to r4.
+#   r10: the 23 staged queries (r9's _NEXT_ROTATION verbatim — 11 r3-evidence
+#       pads + the 12 r9-new operators, which were the only oracled queries
+#       with no driver row) + 27 of the 45 queries whose newest driver row is
+#       CORRECTNESS_r04. The 18 remaining r4-evidence queries queue in
+#       _NEXT_ROTATION ahead of r10-new operators; after r11 the evidence
+#       recency floor moves to r5.
 _PRIORITY = [
-    # --- the 16 r7-new queries (r7's _NEXT_ROTATION, verbatim) ---
-    "multimodal_wav_decode_stats",      # new in r7 (real RIFF/WAVE decode)
-    "stream_tws_session_timeout",       # new in r7 (TWS event-time timers)
-    "ann_opq_subspace_balance",         # new in r7 (OPQ permutation vs PQ)
-    "multimodal_y4m_decode_stats",      # new in r7 (real YUV4MPEG2 decode)
-    "stream_tws_event_type_profile",    # new in r7 (TWS MapState)
-    "text_charset_audit",               # new in r7 (encoding/mojibake QA)
-    "benford_price_audit",              # new in r7 (first-digit audit)
-    "stream_tws_warm_start",            # new in r7 (TWS initialState cutover)
-    "ann_pq_refine_recall",             # new in r7 (two-stage ADC+exact serve)
-    "dedup_graph_kcore",                # new in r7 (k-core density census)
-    "daily_revenue_cusum",              # new in r7 (CUSUM; r8 0-var guard)
-    "split_group_aware",                # new in r7 (leakage-proof group split)
-    "decontamination_semantic",         # new in r7 (decontam; r8 left-join fix)
-    "l_diversity_audit",                # new in r7 (attribute-disclosure census)
-    "mixture_reweight_step",            # new in r7 (DoReMi EG update)
-    "dedup_token_savings",              # new in r7 (dedup token ledger)
-    # --- 34 oldest-evidence pads (newest driver row still CORRECTNESS_r03;
-    # LLM-pipeline layer, modules unchanged-or-retested since) ---
-    "dedup_documents_survivors",
-    "dedup_incremental_batch",
-    "dedup_documents_ngram",
-    "dedup_documents_simhash",
-    "stream_near_dup_flags",
-    "dedup_cluster_components",
-    "dedup_near_survivors",
-    "ann_ivf_topk",
-    "embedding_near_dup_pairs",
-    "embedding_label_centroids",
-    "ann_truncated_recall",
-    "ann_ivf_recall_sweep",
-    "text_token_stats",
-    "text_tfidf_top_terms",
-    "corpus_curation_funnel",
-    "benchmark_decontamination",
-    "text_tokenize_ids",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "text_pii_redaction",
-    "text_repetition_stats",
-    "text_perplexity_proxy",
-    "sample_documents_stratified",
-    "corpus_split_assignment",
-    "pack_documents_by_token_budget",
-    "corpus_shuffle_order",
-    "dedup_paragraphs_global",
-    "dedup_documents_url",
-    "source_mixture_weights",
-    "embedding_quantization_report",
-    "repeated_ngram_coverage",
-    "source_overlap_matrix",
-]
-
-# Beyond the 50-query window: the r9 rotation queue — the 11 remaining
-# r3-evidence queries lead, then queries added this round are appended as
-# they land, to head next round's window.
-_NEXT_ROTATION: list[str] = [
-    # --- 11 remaining r3-evidence pads (complete the r3 floor in r10) ---
+    # --- 11 r3-evidence pads (complete the r3 floor) ---
     "events_props_struct",
     "events_daily_k_histogram",
     "props_kv_udtf_stats",
@@ -175,20 +122,74 @@ _NEXT_ROTATION: list[str] = [
     "source_temperature_mixture",
     "dedup_documents_containment",
     "embedding_dimension_stats",
-    # --- new in r9 ---
-    "text_html_extract",       # new in r9 (boilerplate strip + link density)
-    "bpe_encode_corpus",       # new in r9 (BPE merge APPLICATION / encoding)
-    "stream_ann_adc_topk",     # new in r9 (streaming ANN serving, IVF-PQ ADC)
-    "ann_rrf_fusion",          # new in r9 (reciprocal-rank fusion ensemble)
-    "embedding_pca_power_iteration",  # new in r9 (PCA spectrum trace)
-    "embedding_pca_top2_deflation",   # new in r9 (top-2 PCA, Hotelling)
-    "contrastive_pairs_mining",       # new in r9 (pos + LSH-FP hard negs)
-    "user_contribution_capping",      # new in r9 (DP-style contribution cap)
-    "source_bigram_perplexity",       # new in r9 (bounded-vocab bigram LM)
-    "stream_contribution_capping",    # new in r9 (TWS ingest-gate counter)
-    "dedup_common_prefix_census",     # new in r9 (template-prefix screen)
-    "span_corruption_mask_stats",     # new in r9 (T5-style mask audit)
+    # --- the 12 r9-new operators (first driver rows) ---
+    "text_html_extract",
+    "bpe_encode_corpus",
+    "stream_ann_adc_topk",
+    "ann_rrf_fusion",
+    "embedding_pca_power_iteration",
+    "embedding_pca_top2_deflation",
+    "contrastive_pairs_mining",
+    "user_contribution_capping",
+    "source_bigram_perplexity",       # r10: quadratic recompute FIXED
+    "stream_contribution_capping",
+    "dedup_common_prefix_census",
+    "span_corruption_mask_stats",
+    # --- 27 oldest-evidence pads (newest driver row CORRECTNESS_r04) ---
+    "ann_ivf_incremental_assign",
+    "bucketed_orders_pruned_join",
+    "click_attribution_stats",
+    "click_conversion_stats",
+    "corpus_embedding_coverage",
+    "corpus_snapshot_diff",
+    "csv_reference_golden",
+    "dedup_chunks_exact",
+    "dedup_pagerank_centrality",
+    "dedup_union_priority",
+    "ema_revenue_closed_form",
+    "embedding_kmeans_clusters",
+    "events_props_variant",
+    "events_time_rollup",
+    "hard_negative_mining",
+    "incremental_agg_merge",
+    "interleave_sources_round_robin",
+    "join_key_skew_report",
+    "jsonl_documents_roundtrip",
+    "lateral_top_orders_per_segment",
+    "length_bucketed_batches",
+    "merge_upsert_latest_orders",
+    "orc_lineitem_roundtrip",
+    "order_price_percentiles",
+    "parquet_schema_evolution_merge",
+    "profile_orders_columns",
+    "q11_important_parts",
 ]
+
+# Beyond the 50-query window: the r10 rotation queue — the 18 remaining
+# r4-evidence queries lead, then queries added this round are appended as
+# they land, to head next round's window.
+_NEXT_ROTATION: list[str] = [
+    # --- 18 remaining r4-evidence pads (complete the r4 floor in r11) ---
+    "q20_part_flow_suppliers",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "quality_curriculum_tiers",
+    "range_frame_weekly_revenue",
+    "recursive_cte_revenue_ema",
+    "salted_event_type_stats",
+    "salted_join_event_segments",
+    "scalar_stats_aggregates",
+    "scalar_try_error_safe",
+    "scd2_order_status_history",
+    "session_window_stats",
+    "source_embedding_profile",
+    "split_leakage_report",
+    "stream_corpus_dedup_stats",
+    "string_agg_nations_per_region",
+    "xml_documents_roundtrip",
+    "zorder_orders_layout",
+]
+
 
 
 def _ordered(merged: dict) -> dict:

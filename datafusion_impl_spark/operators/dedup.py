@@ -1208,15 +1208,19 @@ def rowwise_bands(docs: DataFrame, keep_cols: list[str] | None = None) -> DataFr
             ),
         )
     )
-    mh = F.transform(
-        F.sequence(F.lit(0), F.lit(_NUM_HASHES - 1)),
-        lambda s: F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda x: md5_long(F.concat(x, F.lit("#"), s.cast("string"))),
-            )
-        ),
-    )
+    # one top-level expression per seed, NOT a lambda over a seed sequence:
+    # inside a seed lambda the single-use `sh` alias gets inlined by
+    # CollapseProject and the whole shingle construction re-runs per seed
+    # (12× — the loop-invariant-HOF recompute the plan audit lints); as 12
+    # sibling expressions `sh` is multi-referenced and stays materialized.
+    # Hash formula unchanged: md5_long(shingle + "#" + str(seed)).
+    def _seeded_min(s: int) -> Column:
+        tag = F.lit(f"#{s}")
+        return F.array_min(
+            F.transform(F.col("sh"), lambda x: md5_long(F.concat(x, tag)))
+        )
+
+    mh = F.array(*[_seeded_min(s) for s in range(_NUM_HASHES)])
     banded = (
         with_sh.withColumn("sh", sh)
         .withColumn("mh", mh)

@@ -151,16 +151,23 @@ def ann_lsh_ml_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors are engine-internal (the oracle cannot replay the bucketing) —
     with recall-vs-exact asserted in pytest. Same output contract as
     :func:`ann_cosine_topk`."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
     from pyspark.ml.functions import array_to_vector
 
-    e = _vectors(spark, sf_dir)
-    unit = e.select(
+    # L2-normalize with ml.feature.Normalizer (one JVM pass per vector, no
+    # lambda): dividing by a norm column inside a transform() lambda gets
+    # the single-use norm fold inlined by CollapseProject and re-evaluated
+    # per element — the loop-invariant-HOF recompute the plan audit lints.
+    vecs = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         array_to_vector(
-            # div-safe: unit-norm embeddings / nonzero centroid norms (data contract)
-            F.transform("v", lambda x: x / F.col("nrm"))
-        ).alias("features"),
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("emb_vec"),
+    )
+    unit = (
+        Normalizer(inputCol="emb_vec", outputCol="features", p=2.0)
+        .transform(vecs)
+        .select("vec_id", "features")
     )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes",

@@ -1233,9 +1233,14 @@ def source_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the vocabulary is a bounded collect (top-100, rank
     ``cnt DESC, token ASC`` — deterministic in both engines) inlined as an
-    ``array_contains`` literal, so OOV mapping is map-side; bigram
-    extraction is a per-doc array transform (no positional self-join); the
-    LM join BROADCASTS the bounded (V+1)^2 table, so the Zipf-skewed
+    ``isin`` literal list (Catalyst converts >10 literals to a hash-set
+    ``InSet``, O(1) per token), so OOV mapping is map-side; the mapped
+    array is MATERIALIZED in its own projection before bigram extraction
+    so the O(n) transform evaluates once per document — referencing it
+    inside a positional lambda would inline it at every call site and go
+    O(n²) per doc (the r9 `weak` finding) — and adjacent pairs come from
+    ``arrays_zip`` over two shifted ``slice``s (no positional self-join);
+    the LM join BROADCASTS the bounded (V+1)^2 table, so the Zipf-skewed
     bigram key never shuffles."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
@@ -1251,23 +1256,22 @@ def source_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BIGRAM_VOCAB)
         .collect()
     )
-    vlit = F.array(*[F.lit(r["token"]) for r in vocab_rows])
+    vocab = [r["token"] for r in vocab_rows]
     mapped = F.transform(
         "t",
-        lambda x: F.when(F.array_contains(vlit, x), x).otherwise(
-            F.lit(_BIGRAM_OOV)
-        ),
+        lambda x: F.when(x.isin(*vocab), x).otherwise(F.lit(_BIGRAM_OOV)),
     )
-    big = toks.select(
+    # Materialize the O(n·V→n) mapping ONCE per doc; building pairs via
+    # element_at(mapped, i) inside the lambda would re-inline the whole
+    # transform at each position (O(n²) per doc — BENCH_r09's 51.8 s).
+    tm = toks.select("doc_id", "source", mapped.alias("m"))
+    big = tm.select(
         "doc_id",
         "source",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.struct(
-                    F.element_at(mapped, i).alias("a"),
-                    F.element_at(mapped, i + 1).alias("b"),
-                ),
+            F.arrays_zip(
+                F.slice("m", 1, F.size("m") - 1).alias("a"),
+                F.slice("m", 2, F.size("m") - 1).alias("b"),
             )
         ).alias("bg"),
     ).select("doc_id", "source", F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))

@@ -2494,15 +2494,18 @@ def map_higher_order_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_returnflag")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    mapped = per_flag.groupBy("l_orderkey").agg(
+    # the order total is an AGGREGATE output (not a project alias over a
+    # map fold): referencing a single-use fold alias inside the
+    # map_zip_with lambda gets it inlined by CollapseProject and re-run
+    # per map entry — the loop-invariant-HOF recompute the plan audit
+    # lints against; an Aggregate attribute cannot be inlined.
+    with_total = per_flag.groupBy("l_orderkey").agg(
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct("l_returnflag", "cnt")))
-        ).alias("m")
+        ).alias("m"),
+        F.sum("cnt").alias("tot"),
     )
-    total = F.aggregate(
-        F.map_values("m"), F.lit(0).cast("long"), lambda acc, x: acc + x
-    )
-    return mapped.select(
+    return with_total.select(
         "l_orderkey",
         # transform_values: doubled counts, re-aggregated
         F.aggregate(
@@ -2517,8 +2520,9 @@ def map_higher_order_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(
                 F.map_values(
                     F.map_zip_with(
-                        # div-safe: total sums map counts >= 1
-                        "m", "m", lambda k, v1, v2: v1 / total.cast("double")
+                        # div-safe: tot sums map counts >= 1
+                        "m", "m",
+                        lambda k, v1, v2: v1 / F.col("tot").cast("double"),
                     )
                 )
             ),

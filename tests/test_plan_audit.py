@@ -12,7 +12,14 @@ Rules (on the optimized logical plan + physical plan string):
   Aggregate / Limit / local relation — e.g. sorting per-group summaries);
 - no Window with an EMPTY partitionSpec unless its input subtree is bounded
   the same way (e.g. ranking ~80 monthly aggregate rows is fine; a global
-  row_number over a fact table is not).
+  row_number over a fact table is not);
+- no loop-invariant higher-order function inside a lambda body: an
+  ArrayTransform/ArrayFilter/... whose subtree references NONE of the
+  enclosing lambda's variables is re-evaluated per element (Catalyst inlines
+  the shared Column at every call site), turning an O(n) expression into
+  O(n²) per row — the r9 `source_bigram_perplexity` defect
+  (`element_at(transform(t, ...), i)` inside a position lambda). The fix
+  pattern is to materialize the invariant array in its own projection.
 
 "Bounded" is structural, not statistical: an Aggregate's output cardinality
 is its group count, which every query here keeps intentionally small
@@ -67,6 +74,80 @@ def _is_bounded(node) -> bool:
     return all(_is_bounded(k) for k in kids)
 
 
+#: expression classes that evaluate a lambda over every element of their
+#: input collection — expensive when re-evaluated per element of an
+#: ENCLOSING lambda.
+_HOF = {
+    "ArrayTransform",
+    "ArrayFilter",
+    "ArrayExists",
+    "ArrayForAll",
+    "ArrayAggregate",
+    "ArraySort",
+    "ZipWith",
+    "MapFilter",
+    "TransformKeys",
+    "TransformValues",
+    "MapZipWith",
+}
+
+
+def _expr_walk(e):
+    yield e
+    seq = e.children()
+    for i in range(seq.size()):
+        yield from _expr_walk(seq.apply(i))
+
+
+def _lambda_arg_ids(lam) -> set[int]:
+    seq = lam.arguments()
+    return {seq.apply(i).exprId().id() for i in range(seq.size())}
+
+
+def _free_lambda_var_ids(e) -> set[int]:
+    """NamedLambdaVariable exprIds referenced in ``e``'s subtree but not
+    bound by a LambdaFunction within that subtree."""
+    bound: set[int] = set()
+    used: set[int] = set()
+    for n in _expr_walk(e):
+        c = _cls(n)
+        if c == "LambdaFunction":
+            bound |= _lambda_arg_ids(n)
+        elif c == "NamedLambdaVariable":
+            used.add(n.exprId().id())
+    return used - bound
+
+
+def _audit_recompute(name: str, root) -> list[str]:
+    """Flag loop-invariant higher-order functions inside lambda bodies: a
+    HOF in a lambda whose subtree references none of the lambda's variables
+    re-runs in full for EVERY element the enclosing lambda visits —
+    O(n)→O(n²) per row. (An HOF that does use the variable is a genuinely
+    element-dependent computation and is not flagged.)"""
+    problems: list[str] = []
+    for node in _walk(root):
+        exprs = node.expressions()
+        for i in range(exprs.size()):
+            top = exprs.apply(i)
+            # cheap prefilter: one py4j string fetch vs thousands of walks
+            if "lambdafunction" not in top.toString():
+                continue
+            for e in _expr_walk(top):
+                if _cls(e) != "LambdaFunction":
+                    continue
+                bound = _lambda_arg_ids(e)
+                for h in _expr_walk(e.function()):
+                    if _cls(h) in _HOF and not (
+                        _free_lambda_var_ids(h) & bound
+                    ):
+                        problems.append(
+                            f"{name}: loop-invariant {_cls(h)} re-evaluated"
+                            f" inside lambda — materialize it in its own"
+                            f" projection first"
+                        )
+    return sorted(set(problems))
+
+
 def _strip_presentation_root(node):
     """Drop the root Project/Sort/Limit chain — the final orderBy (and any
     top-k limit around it) exists for oracle determinism, not as part of the
@@ -87,6 +168,8 @@ def _audit_one(name: str, df) -> list[str]:
     physical = qe.executedPlan().toString()
     if "CartesianProduct" in physical:
         problems.append(f"{name}: CartesianProduct in physical plan")
+
+    problems.extend(_audit_recompute(name, qe.optimizedPlan()))
 
     root = _strip_presentation_root(qe.optimizedPlan())
     # parent map so a global Sort directly under a Limit (top-k) is exempt
@@ -138,6 +221,43 @@ def test_audit_catches_known_bad_plans(spark):
         "rn", F.row_number().over(Window.orderBy("doc_id"))
     )
     assert any("Window" in p for p in _audit_one("bad_joined_window", bad_joined))
+    # loop-invariant HOF recompute — the r9 source_bigram_perplexity defect:
+    # a shared transform() Column referenced via element_at inside a
+    # position lambda is inlined (hence re-evaluated) at every position
+    toks = docs.select(F.split("text", " ").alias("t"))
+    mapped = F.transform(
+        "t", lambda x: F.when(x == "a", x).otherwise(F.lit("<oov>"))
+    )
+    bad_recompute = toks.select(
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.struct(
+                F.element_at(mapped, i).alias("a"),
+                F.element_at(mapped, i + 1).alias("b"),
+            ),
+        ).alias("bg")
+    )
+    assert any(
+        "loop-invariant" in p for p in _audit_one("bad_recompute", bad_recompute)
+    )
+    # ...while the fixed shape (materialize once, zip shifted slices) and an
+    # element-DEPENDENT inner HOF both stay clean
+    ok_zip = toks.select(mapped.alias("m")).select(
+        F.arrays_zip(
+            F.slice("m", 1, F.size("m") - 1).alias("a"),
+            F.slice("m", 2, F.size("m") - 1).alias("b"),
+        ).alias("bg")
+    )
+    assert not _audit_one("ok_zip", ok_zip)
+    ok_dependent = toks.select(
+        F.transform(
+            "t", lambda x: F.size(F.filter("t", lambda y: y == x))
+        ).alias("rank_of")
+    )
+    assert not [
+        p for p in _audit_one("ok_dependent", ok_dependent)
+        if "loop-invariant" in p
+    ]
     # (no negative control for the interior-global-Sort rule: Catalyst's
     # EliminateSorts removes every simple repro — a sort surviving below a
     # join/union is exactly the optimizer-miss the branch fences against)
