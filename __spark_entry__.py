@@ -188,6 +188,8 @@ _NEXT_ROTATION: list[str] = [
     "string_agg_nations_per_region",
     "xml_documents_roundtrip",
     "zorder_orders_layout",
+    # --- new in r10 ---
+    "multimodal_png_decode_stats",  # new in r10 (real zlib PNG decode)
 ]
 
 

@@ -1313,8 +1313,351 @@ ORDER BY width, height, n_frames
 
 
 
+# --- real COMPRESSED image decode: dependency-free 8-bit RGB PNG ----------
+#
+# The first compressed format in the decoder family (r9 verdict #5): BMP is
+# uncompressed, WAV is raw PCM, Y4M is raw planes — PNG adds a real codec
+# stage (zlib inflate from the stdlib) plus the per-scanline predictive
+# filters every real PNG carries. Deterministic 8-bit RGB images are
+# planted (encoded byte-for-byte to the public PNG spec: signature, CRC'd
+# chunks, IHDR, filtered scanlines deflated into SPLIT IDAT chunks, IEND),
+# and :func:`decode_png` parses them back from the BYTES ALONE — chunk
+# walk with CRC verification, multi-IDAT concatenation, inflate, and
+# reversal of all five filter types (the encoder cycles filter = y % 5, so
+# None/Sub/Up/Average/Paeth are ALL exercised on every image). The DuckDB
+# oracle replays the pixel FORMULA in closed form (never the bytes), and a
+# golden-bytes pytest pins the byte layout, so encoder/decoder bugs cannot
+# cancel. Golden-fixture discipline follows the reference's test style
+# (reference tests/regexp-tests.rs:5-27: planted input, formula-checkable
+# expected output).
+
+_PNG_W_BASE, _PNG_W_MOD = 12, 5   # width  = 12 + doc_id % 5 — 12..16
+_PNG_H_BASE, _PNG_H_MOD = 9, 6    # height = 9 + doc_id % 6  — 9..14 (>= 5
+#                                   rows, so every filter type appears)
+_PNG_SAMPLE_MOD = 4               # plant 1-in-4 docs as PNG images
+_PNG_SAMPLE_RES = 1               # ... at residue 1 (BMP=0, WAV=2, Y4M=3)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_pixel(doc_id: int, x: int, y: int) -> tuple[int, int, int]:
+    """Deterministic (r, g, b) for the planted image — the formula the
+    DuckDB oracle replays in SQL (distinct from the BMP formula so the two
+    image families can never mask each other)."""
+    return (
+        (2 * doc_id + 5 * x + 3 * y) % 256,
+        (doc_id + x + 11 * y) % 256,
+        (7 * doc_id + 4 * x + y) % 256,
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (left, up, up-left) per the public spec."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(typ: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + typ
+        + payload
+        + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+    )
+
+
+def _png_encode(doc_id: int) -> bytes:
+    """Encode the planted image for ``doc_id`` as a real 8-bit RGB PNG:
+    scanlines filtered with filter type ``y % 5`` (all five spec filters),
+    deflated with stdlib zlib, and written as TWO IDAT chunks (the spec
+    allows the stream to split anywhere; decoders must concatenate)."""
+    import struct
+    import zlib
+
+    w = _PNG_W_BASE + doc_id % _PNG_W_MOD
+    h = _PNG_H_BASE + doc_id % _PNG_H_MOD
+    stride = w * 3
+    raw = bytearray()
+    prior = [0] * stride
+    for y in range(h):
+        row = []
+        for x in range(w):
+            row.extend(_png_pixel(doc_id, x, y))
+        ftype = y % 5
+        raw.append(ftype)
+        for i in range(stride):
+            a = row[i - 3] if i >= 3 else 0
+            b = prior[i]
+            c = prior[i - 3] if i >= 3 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                pred = _paeth(a, b, c)
+            raw.append((row[i] - pred) % 256)
+        prior = row
+    z = zlib.compress(bytes(raw), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    mid = len(z) // 2
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", z[:mid])
+        + _png_chunk(b"IDAT", z[mid:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes):
+    """Parse an 8-bit RGB non-interlaced PNG from its bytes alone; returns
+    ``(width, height, pixels)`` with ``pixels`` an (h*w, 3) uint8 RGB
+    ndarray in top-down row-major order. Verifies every chunk CRC,
+    concatenates split IDAT streams, inflates with stdlib zlib, and
+    reverses all five scanline filter types. Raises ``ValueError`` on
+    malformed/unsupported payloads (corrupt blobs must fail loudly, not
+    yield garbage stats)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    off = 8
+    w = h = None
+    idat = bytearray()
+    seen_iend = False
+    first = True
+    while off < len(data) and not seen_iend:
+        if off + 8 > len(data):
+            raise ValueError("truncated chunk header")
+        ln, typ = struct.unpack_from(">I4s", data, off)
+        off += 8
+        if off + ln + 4 > len(data):
+            raise ValueError("truncated chunk payload")
+        payload = data[off : off + ln]
+        (crc,) = struct.unpack_from(">I", data, off + ln)
+        if zlib.crc32(typ + payload) & 0xFFFFFFFF != crc:
+            raise ValueError("chunk CRC mismatch")
+        off += ln + 4
+        if first and typ != b"IHDR":
+            raise ValueError("IHDR must be the first chunk")
+        first = False
+        if typ == b"IHDR":
+            if ln != 13:
+                raise ValueError("bad IHDR length")
+            w, h, depth, ctype, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if (depth, ctype, comp, filt, ilace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG variant (need 8-bit RGB, deflate,"
+                    " no interlace)"
+                )
+        elif typ == b"IDAT":
+            idat += payload
+        elif typ == b"IEND":
+            seen_iend = True
+    if w is None or h is None or not seen_iend or not idat:
+        raise ValueError("missing IHDR/IDAT/IEND")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT stream: {exc}") from None
+    stride = w * 3
+    if len(raw) != h * (1 + stride):
+        raise ValueError("decompressed scanline size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int64)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        row = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int64)
+        pos += stride
+        if ftype == 0:
+            recon = row
+        elif ftype == 2:
+            recon = (row + prior) % 256
+        elif ftype in (1, 3, 4):
+            # Sub/Average/Paeth are sequential along x (each pixel needs
+            # the reconstructed left neighbor) — per-byte loop; planted
+            # scanlines are tens of bytes, and real decoders special-case
+            # this exact dependency too
+            recon = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = int(recon[i - 3]) if i >= 3 else 0
+                b = int(prior[i])
+                c = int(prior[i - 3]) if i >= 3 else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(a, b, c)
+                recon[i] = (int(row[i]) + pred) % 256
+        else:
+            raise ValueError(f"bad scanline filter type {ftype}")
+        out[y] = recon.astype(np.uint8)
+        prior = recon
+    return w, h, out.reshape(h, w, 3).reshape(-1, 3)
+
+
+#: Output contract of the PNG decode kernel.
+PNG_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint, mid_row_sum_r bigint"
+)
+
+
+def decode_png_stats(images: DataFrame) -> DataFrame:
+    """``mapInArrow`` decode kernel: (doc_id, media BINARY) → per-image
+    decoded dimensions, exact per-channel pixel sums, and the MIDDLE row's
+    red sum (proves top-down row order survives filter reversal — a
+    decoder that reverses rows would still get the totals right)."""
+    import pyarrow as pa
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            doc_ids = b.column(b.schema.get_field_index("doc_id"))
+            blobs = b.column(b.schema.get_field_index("media"))
+            ws, hs, sr, sg, sb, mid = [], [], [], [], [], []
+            for v in blobs:
+                w, h, px = decode_png(v.as_py())
+                s = px.astype("int64").sum(axis=0)
+                mrow = px.reshape(h, w, 3)[h // 2, :, 0].astype("int64")
+                ws.append(w)
+                hs.append(h)
+                sr.append(int(s[0]))
+                sg.append(int(s[1]))
+                sb.append(int(s[2]))
+                mid.append(int(mrow.sum()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    pa.array(ws, type=pa.int32()),
+                    pa.array(hs, type=pa.int32()),
+                    pa.array(sr, type=pa.int64()),
+                    pa.array(sg, type=pa.int64()),
+                    pa.array(sb, type=pa.int64()),
+                    pa.array(mid, type=pa.int64()),
+                ],
+                names=[
+                    "doc_id", "width", "height",
+                    "sum_r", "sum_g", "sum_b", "mid_row_sum_r",
+                ],
+            )
+
+    return images.mapInArrow(fn, PNG_STATS_SCHEMA)
+
+
+def multimodal_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real COMPRESSED image decode end to end: plant deterministic 8-bit
+    RGB PNGs for 1-in-4 documents (builder encodes real zlib-deflated,
+    CRC'd, filter-cycled PNG bytes), decode them back from bytes alone with
+    :func:`decode_png`, and report per (width, height) shape: image count,
+    exact per-channel sums, mean brightness, and the exact middle-row red
+    sum. The DuckDB oracle recomputes the same stats from the pixel FORMULA
+    (never the bytes), so every layout detail the decoder must get right —
+    chunk CRCs, IDAT reassembly, inflate, and all five filter reversals —
+    is value-checked: a single wrong predicted byte corrupts every later
+    pixel in the row (and via the Up/Average/Paeth filters, every later
+    ROW), which the sums catch.
+
+    Scale shape: map-only until the final tiny groupBy (30 shape groups);
+    blobs are built and decoded inside the scan stage and never shuffle."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": pdf["doc_id"].map(lambda d: _png_encode(int(d))),
+                }
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % _PNG_SAMPLE_MOD == _PNG_SAMPLE_RES)
+    )
+    images = docs.mapInPandas(build, "doc_id bigint, media binary")
+    stats = decode_png_stats(images)
+    n_px = F.sum(F.col("width").cast("long") * F.col("height"))
+    return (
+        stats.groupBy("width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("sum_r").alias("sum_r"),
+            F.sum("sum_g").alias("sum_g"),
+            F.sum("sum_b").alias("sum_b"),
+            # div-safe: n_px = planted PNG width x height, positive
+            F.round(
+                (F.sum("sum_r") + F.sum("sum_g") + F.sum("sum_b"))
+                / (n_px * 3.0),
+                4,
+            ).alias("avg_brightness"),
+            F.sum("mid_row_sum_r").alias("mid_row_sum_r"),
+        )
+        .orderBy("width", "height")
+    )
+
+
+_PNG_DECODE_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         {_PNG_W_BASE} + doc_id % {_PNG_W_MOD} AS w,
+         {_PNG_H_BASE} + doc_id % {_PNG_H_MOD} AS h
+  FROM documents WHERE doc_id % {_PNG_SAMPLE_MOD} = {_PNG_SAMPLE_RES}
+),
+px AS (
+  -- fixed max ranges (w <= {_PNG_W_BASE + _PNG_W_MOD - 1},
+  -- h <= {_PNG_H_BASE + _PNG_H_MOD - 1}), filtered per image
+  SELECT d.doc_id, d.w, d.h, gx.x, gy.y
+  FROM docs d
+  JOIN (SELECT unnest(generate_series(0, {_PNG_W_BASE + _PNG_W_MOD - 2})) AS x) gx
+    ON gx.x < d.w
+  JOIN (SELECT unnest(generate_series(0, {_PNG_H_BASE + _PNG_H_MOD - 2})) AS y) gy
+    ON gy.y < d.h
+),
+vals AS (
+  SELECT doc_id, w, h, x, y,
+         (2 * doc_id + 5 * x + 3 * y) % 256 AS r,
+         (doc_id + x + 11 * y) % 256 AS g,
+         (7 * doc_id + 4 * x + y) % 256 AS b
+  FROM px
+)
+SELECT CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       COUNT(DISTINCT doc_id) AS n_images,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       -- div-safe: COUNT(*) of a GROUP BY group is >= 1
+       ROUND(CAST(SUM(r) + SUM(g) + SUM(b) AS DOUBLE) / (COUNT(*) * 3.0), 4)
+         AS avg_brightness,
+       CAST(SUM(CASE WHEN y = h // 2 THEN r ELSE 0 END) AS BIGINT)
+         AS mid_row_sum_r
+FROM vals
+GROUP BY w, h
+ORDER BY width, height
+"""
+
+
 QUERIES = {
     "multimodal_bmp_decode_stats": multimodal_bmp_decode_stats,
+    "multimodal_png_decode_stats": multimodal_png_decode_stats,
     "multimodal_wav_decode_stats": multimodal_wav_decode_stats,
     "multimodal_y4m_decode_stats": multimodal_y4m_decode_stats,
     "multimodal_phash_near_dup": multimodal_phash_near_dup,
@@ -1327,6 +1670,7 @@ QUERIES = {
 
 ORACLES = {
     "multimodal_bmp_decode_stats": _BMP_DECODE_SQL,
+    "multimodal_png_decode_stats": _PNG_DECODE_SQL,
     "multimodal_wav_decode_stats": _WAV_DECODE_SQL,
     "multimodal_y4m_decode_stats": _Y4M_DECODE_SQL,
     "multimodal_phash_near_dup": _PHASH_SQL,

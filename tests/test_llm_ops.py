@@ -1102,6 +1102,123 @@ def test_decode_bmp_rejects_malformed():
         decode_bmp(_bmp_encode(3)[:-10])  # truncated pixel array
 
 
+def test_decode_png_golden_bytes():
+    """A handcrafted 2x2 8-bit RGB PNG assembled by hand from the public
+    spec (CRC'd chunks, one None-filtered and one Sub-filtered scanline,
+    zlib-deflated) must decode to the exact top-down RGB pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from datafusion_impl_spark.operators.multimodal import decode_png
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    # pixels top-down: row0 = [(255,0,0), (0,128,64)], row1 = [(1,2,3), (4,5,6)]
+    # row0 filter None; row1 filter Sub (deltas vs left pixel, first = raw)
+    raw = (
+        b"\x00" + bytes((255, 0, 0)) + bytes((0, 128, 64))
+        + b"\x01" + bytes((1, 2, 3)) + bytes(((4 - 1) % 256, (5 - 2) % 256, (6 - 3) % 256))
+    )
+    golden = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, px = decode_png(golden)
+    assert (w, h) == (2, 2)
+    assert px.tolist() == [[255, 0, 0], [0, 128, 64], [1, 2, 3], [4, 5, 6]]
+    assert px.dtype == np.uint8
+
+
+def test_png_encode_decode_roundtrip_matches_formula():
+    """The planted-image builder must produce REAL PNGs: decode_png (proven
+    against golden bytes above) recovers exactly the formula pixels. Heights
+    9..14 guarantee every scanline filter type (y % 5) is exercised, and the
+    encoder's split-IDAT stream proves multi-IDAT concatenation."""
+    from datafusion_impl_spark.operators.multimodal import (
+        _png_encode,
+        _png_pixel,
+        decode_png,
+    )
+
+    for doc_id in range(1, 25, 4):  # the planted residue class
+        data = _png_encode(doc_id)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        assert data.count(b"IDAT") == 2  # split stream, reassembled on decode
+        w, h, px = decode_png(data)
+        assert (w, h) == (12 + doc_id % 5, 9 + doc_id % 6)
+        expected = [
+            list(_png_pixel(doc_id, x, y))
+            for y in range(h)
+            for x in range(w)
+        ]
+        assert px.tolist() == expected
+
+
+def test_decode_png_rejects_malformed():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from datafusion_impl_spark.operators.multimodal import (
+        _png_encode,
+        decode_png,
+    )
+
+    good = _png_encode(5)
+    with _pytest.raises(ValueError):
+        decode_png(b"BM not a png")
+    with _pytest.raises(ValueError):
+        decode_png(good[:20])              # truncated mid-IHDR
+    with _pytest.raises(ValueError):
+        decode_png(good[:-8])              # truncated final chunk
+    flipped = bytearray(good)
+    flipped[40] ^= 0xFF                    # corrupt an IDAT byte -> CRC fails
+    with _pytest.raises(ValueError):
+        decode_png(bytes(flipped))
+    # unsupported variant: grayscale (color type 0) with a valid CRC
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    gray = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x00\x03\x04"))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError):
+        decode_png(gray)
+    # bad scanline filter type inside an otherwise-valid stream
+    bad_filter = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x07\x01\x02\x03"))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError):
+        decode_png(bad_filter)
+    # deflate stream whose payload is the wrong size for the geometry
+    short = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02"))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError):
+        decode_png(short)
+
+
 def test_residual_pq_beats_raw_pq_quantization_error(spark):
     """The point of residual IVF-PQ (r6): with a LLOYD-TRAINED coarse
     quantizer, PQ on residuals must reconstruct better than PQ on raw
