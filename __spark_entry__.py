@@ -190,6 +190,7 @@ _NEXT_ROTATION: list[str] = [
     "zorder_orders_layout",
     # --- new in r10 ---
     "multimodal_png_decode_stats",  # new in r10 (real zlib PNG decode)
+    "quality_classifier_trained",   # new in r10 (in-engine logistic reg.)
 ]
 
 

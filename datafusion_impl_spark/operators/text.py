@@ -2404,8 +2404,210 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Trained quality classifier (in-engine logistic regression)
+# --------------------------------------------------------------------------
+
+#: fixed gradient-descent schedule: convergence is an observable, not a
+#: loop condition (the PCA power-iteration discipline — bounded driver-side
+#: iteration, DuckDB WITH RECURSIVE replay).
+_QCLF_STEPS = 12
+_QCLF_LR = 4.0
+#: per-step re-sync rounding: both engines round the gradient and the
+#: updated weights to 10 decimals each step, so float-association
+#: differences can never accumulate across steps.
+_QCLF_SYNC_ROUND = 10
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    """Round half AWAY FROM ZERO — matching Spark ``F.round`` and DuckDB
+    ``ROUND`` (Python's builtin ``round`` is banker's and diverges on .5)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _logreg_z(w: list[float]) -> Column:
+    """Linear score ``w0 + w1*x1 + w2*x2 + w3*x3`` over feature columns."""
+    return (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+
+
+def _logreg_fit(
+    feats: DataFrame, steps: int = _QCLF_STEPS, lr: float = _QCLF_LR
+) -> list[float]:
+    """Full-batch logistic-regression GD over a (x1, x2, x3, y) frame:
+    each step is ONE distributed aggregate whose result is a bounded
+    4-double gradient (the only ``.collect()``), the weight update happens
+    driver-side, and the next step ships the weights back as literals —
+    the broadcast-sufficient-statistics shape that runs unchanged at
+    100 TB (K passes over a persisted feature table, no driver-side data).
+    Gradient components and weights round half-away-from-zero at
+    ``_QCLF_SYNC_ROUND`` so DuckDB's WITH RECURSIVE replay of the same
+    schedule is bit-identical."""
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(steps):
+        # div-safe: 1 + exp(-z) >= 1
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z(w)))
+        r = p - F.col("y")
+        g = feats.agg(
+            F.round(F.avg(r), _QCLF_SYNC_ROUND).alias("g0"),
+            F.round(F.avg(r * F.col("x1")), _QCLF_SYNC_ROUND).alias("g1"),
+            F.round(F.avg(r * F.col("x2")), _QCLF_SYNC_ROUND).alias("g2"),
+            F.round(F.avg(r * F.col("x3")), _QCLF_SYNC_ROUND).alias("g3"),
+        ).collect()[0]  # bounded collect: one 4-double gradient per step
+        w = [
+            _round_half_up(w[j] - lr * g[j], _QCLF_SYNC_ROUND)
+            for j in range(4)
+        ]
+    return w
+
+
+def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-BASED quality filtering — the trained step up from the
+    heuristic :func:`text_quality_score`: an in-engine logistic regression
+    over the quality features (length, stopword ratio, punctuation ratio)
+    is trained to reproduce the heuristic keep/drop label (the CCNet move:
+    distill a cheap labeler into a model, then score everything with the
+    model), by ``_QCLF_STEPS`` deterministic full-batch GD steps. Per
+    source: docs, model-kept docs, label-kept docs, model/label agreement,
+    and mean keep-probability.
+
+    Scale shape: features are computed once and persisted (here
+    ``materialize``; a real 100 TB run writes the 4-column feature table);
+    each GD step is one distributed aggregate returning a bounded 4-double
+    gradient; scoring is one map-side pass with broadcast (literal)
+    weights. The DuckDB oracle replays the SAME schedule with WITH
+    RECURSIVE — both engines round gradients and weights at 10 dp per
+    step, so the trained weights are bit-identical."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", "text"
+    )
+    n_tokens = F.regexp_count("text", F.lit(r"\S+"))
+    stop_hits = F.regexp_count("text", F.lit(r"\b(the|a|of|and|is)\b"))
+    punct = F.regexp_count("text", F.lit(r"[^\w\s]"))
+    feats = materialize(
+        docs.select(
+            "source",
+            F.round(
+                F.least(F.lit(1.0), n_tokens / F.lit(100.0)), 6
+            ).alias("x1"),
+            # div-safe: greatest(n_tokens, 1) >= 1
+            F.round(
+                stop_hits / F.greatest(n_tokens.cast("double"), F.lit(1.0)), 6
+            ).alias("x2"),
+            # div-safe: greatest(n_chars, 1) >= 1
+            F.round(
+                punct / F.greatest(F.col("n_chars").cast("double"), F.lit(1.0)),
+                6,
+            ).alias("x3"),
+            F.when(quality_score() >= 0.5, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("y"),
+        )
+    )
+    w = _logreg_fit(feats.select("x1", "x2", "x3", "y"))
+    # div-safe: 1 + exp(-z) >= 1
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z(w)))
+    scored = feats.select("source", "y", p.alias("p"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("p") >= 0.5).cast("long")).alias("n_pred_keep"),
+            F.sum((F.col("y") == 1.0).cast("long")).alias("n_label_keep"),
+            F.sum(
+                ((F.col("p") >= 0.5) == (F.col("y") == 1.0)).cast("long")
+            ).alias("n_agree"),
+            F.round(F.avg("p"), 4).alias("avg_p"),
+        )
+        .orderBy("source")
+    )
+
+
+_QCLF_FEAT_SQL = r"""
+  SELECT source,
+         ROUND(LEAST(1.0, len(regexp_extract_all(text, '\S+')) / 100.0), 6)
+           AS x1,
+         -- div-safe: GREATEST(n_tokens, 1) >= 1
+         ROUND(len(regexp_extract_all(text, '\b(the|a|of|and|is)\b'))
+               / CAST(GREATEST(len(regexp_extract_all(text, '\S+')), 1)
+                      AS DOUBLE), 6) AS x2,
+         -- div-safe: GREATEST(n_chars, 1) >= 1
+         ROUND(len(regexp_extract_all(text, '[^\w\s]'))
+               / CAST(GREATEST(n_chars, 1) AS DOUBLE), 6) AS x3,
+         CASE WHEN ROUND(
+           LEAST(1.0, len(regexp_extract_all(text, '\S+')) / 100.0) * 0.5
+           + LEAST(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|is)\b'))
+                   / CAST(GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) * 5.0) * 0.3
+           + (1.0 - LEAST(1.0, len(regexp_extract_all(text, '[^\w\s]'))
+                    / CAST(GREATEST(n_chars, 1) AS DOUBLE) * 10.0)) * 0.2,
+           4) >= 0.5 THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+"""
+
+_QCLF_SQL = f"""
+WITH RECURSIVE feat AS ({_QCLF_FEAT_SQL}),
+it(iter, w0, w1, w2, w3) AS (
+  -- seeds CAST to DOUBLE: the recursive union coerces later iterates to
+  -- the seed's type (a DECIMAL seed would truncate every weight)
+  SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+         CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+  UNION ALL
+  SELECT iter + 1,
+         ROUND(w0 - {_QCLF_LR} * g0, {_QCLF_SYNC_ROUND}),
+         ROUND(w1 - {_QCLF_LR} * g1, {_QCLF_SYNC_ROUND}),
+         ROUND(w2 - {_QCLF_LR} * g2, {_QCLF_SYNC_ROUND}),
+         ROUND(w3 - {_QCLF_LR} * g3, {_QCLF_SYNC_ROUND})
+  FROM (
+    SELECT iter, w0, w1, w2, w3,
+           ROUND(AVG(p - y), {_QCLF_SYNC_ROUND}) AS g0,
+           ROUND(AVG((p - y) * x1), {_QCLF_SYNC_ROUND}) AS g1,
+           ROUND(AVG((p - y) * x2), {_QCLF_SYNC_ROUND}) AS g2,
+           ROUND(AVG((p - y) * x3), {_QCLF_SYNC_ROUND}) AS g3
+    FROM (
+      -- div-safe: 1 + EXP(-z) >= 1
+      SELECT r.iter, r.w0, r.w1, r.w2, r.w3, f.x1, f.x2, f.x3, f.y,
+             1.0 / (1.0 + EXP(-(r.w0 + r.w1 * f.x1 + r.w2 * f.x2
+                                + r.w3 * f.x3))) AS p
+      FROM it r, feat f
+      WHERE r.iter < {_QCLF_STEPS}
+    )
+    GROUP BY iter, w0, w1, w2, w3
+  )
+),
+final AS (SELECT w0, w1, w2, w3 FROM it WHERE iter = {_QCLF_STEPS}),
+scored AS (
+  -- div-safe: 1 + EXP(-z) >= 1
+  SELECT f.source, f.y,
+         1.0 / (1.0 + EXP(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2
+                            + w.w3 * f.x3))) AS p
+  FROM feat f, final w
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pred_keep,
+       CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_label_keep,
+       CAST(SUM(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_agree,
+       ROUND(AVG(p), 4) AS avg_p
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "text_html_extract": text_html_extract,
+    "quality_classifier_trained": quality_classifier_trained,
     "text_charset_audit": text_charset_audit,
     "heavy_hitters_cms": heavy_hitters_cms,
     "token_zipf_fit": token_zipf_fit,
@@ -2434,6 +2636,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_classifier_trained": _QCLF_SQL,
     "text_html_extract": _HTML_EXTRACT_SQL,
     "text_charset_audit": _CHARSET_SQL,
     "heavy_hitters_cms": _CMS_SQL,
