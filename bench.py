@@ -146,6 +146,27 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf_val = _sf_value(sf_dir)
+    # Canary-normalized cross-round comparison (r9 verdict #9): the previous
+    # full-suite recording (committed as bench_runs/full_sf{sf}.json) holds
+    # the prior round's canary timings on ITS host; the ratio of canary_start
+    # sums is the host-drift correction every round's verdict was re-deriving
+    # by hand. >1 means this host/run is slower on identical frozen queries.
+    canary_ratio_vs_prev = None
+    prev_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "bench_runs",
+        f"full_sf{sf_val}.json",
+    )
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+        prev_canary = sum(prev.get("canary_start", {}).values())
+        if prev_canary > 0 and canary_start:
+            canary_ratio_vs_prev = round(
+                sum(canary_start.values()) / prev_canary, 4
+            )
+    except (OSError, ValueError):
+        pass
     # Persist the FULL per-query payload into the repo: the bench driver
     # keeps only a 2,000-char stdout tail, which loses per-query timings for
     # all but the last ~45 queries — so cross-round per-query comparisons
@@ -162,6 +183,7 @@ def main() -> None:
             "sf": sf_val,
             "canary_start": canary_start,
             "canary_end": canary_end,
+            "canary_ratio_vs_prev": canary_ratio_vs_prev,
         }
         try:
             out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -182,6 +204,7 @@ def main() -> None:
                 "sf": sf_val,
                 "canary_start": canary_start,
                 "canary_end": canary_end,
+                "canary_ratio_vs_prev": canary_ratio_vs_prev,
             }
         ),
         flush=True,
@@ -201,6 +224,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "canary_start_sec": round(sum(canary_start.values()), 4),
                 "canary_end_sec": round(sum(canary_end.values()), 4),
+                "canary_ratio_vs_prev": canary_ratio_vs_prev,
             }
         ),
         flush=True,

@@ -999,7 +999,7 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # small count for the stream's duration and restore with the provider
     shuffle_key = "spark.sql.shuffle.partitions"
     prev_shuffle = spark.conf.get(shuffle_key, None)
-    spark.conf.set(shuffle_key, "8")
+    spark.conf.set(shuffle_key, _TWS_SHUFFLE)
     # the file source wants a DIRECTORY; stage the events file(s) into one
     # (unique per invocation so concurrent/overlapping runs never rmtree
     # each other's feed)
@@ -1147,7 +1147,7 @@ def stream_tws_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream_tws_user_totals); restored in the finally below
     shuffle_key = "spark.sql.shuffle.partitions"
     prev_shuffle = spark.conf.get(shuffle_key, None)
-    spark.conf.set(shuffle_key, "8")
+    spark.conf.set(shuffle_key, _TWS_SHUFFLE)
     view = "tws_recent_events_drv"
     try:
         src = (
@@ -1200,6 +1200,15 @@ def stream_tws_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_bucket")
     )
 
+
+#: Shuffle-partition pin for the stateful stages of every TWS query. r10
+#: A/B (alternating, best-of-2, sf0.1): 1 -> 17.8 s, 2 -> 11.7 s,
+#: 8 -> 7.7 s, 16 -> 7.1 s, 32 -> 7.7 s over a 2-query probe — per-
+#: partition RocksDB/handshake costs run CONCURRENTLY on local[32], so
+#: fewer partitions serialize them and more partitions win until task
+#: overhead bites; 16 is the measured optimum. On a real cluster this
+#: would be sized to key cardinality; queries restore the session value.
+_TWS_SHUFFLE = "16"
 
 #: Session timeout for the event-time TWS operator: a user idle for this
 #: long (in event time) has their session finalized by a TIMER.
@@ -1377,7 +1386,7 @@ def stream_tws_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shuffle_key = "spark.sql.shuffle.partitions"
     prev_shuffle = spark.conf.get(shuffle_key, None)
-    spark.conf.set(shuffle_key, "8")
+    spark.conf.set(shuffle_key, _TWS_SHUFFLE)
 
     # two files -> two micro-batches; even/odd event ids interleave times so
     # batch 2 must DELETE batch 1's timers and re-register later ones.
@@ -1547,7 +1556,7 @@ def stream_tws_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     shuffle_key = "spark.sql.shuffle.partitions"
     prev_shuffle = spark.conf.get(shuffle_key, None)
-    spark.conf.set(shuffle_key, "8")
+    spark.conf.set(shuffle_key, _TWS_SHUFFLE)
 
     # Shared staged even/odd feed (r9): the readStream schema projects this
     # query's (user_id, event_type, value) subset out of the split.
@@ -1701,7 +1710,7 @@ def stream_tws_warm_start(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shuffle_key = "spark.sql.shuffle.partitions"
     prev_shuffle = spark.conf.get(shuffle_key, None)
-    spark.conf.set(shuffle_key, "8")
+    spark.conf.set(shuffle_key, _TWS_SHUFFLE)
 
     import os
 
@@ -2015,7 +2024,7 @@ def stream_ann_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shuffle_key = "spark.sql.shuffle.partitions"
     prev_shuffle = spark.conf.get(shuffle_key, None)
-    spark.conf.set(shuffle_key, "8")
+    spark.conf.set(shuffle_key, _TWS_SHUFFLE)
     view = "stream_ann_adc_topk_sink"
     try:
         stream = (
@@ -2204,7 +2213,7 @@ def stream_contribution_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shuffle_key = "spark.sql.shuffle.partitions"
     prev_shuffle = spark.conf.get(shuffle_key, None)
-    spark.conf.set(shuffle_key, "8")
+    spark.conf.set(shuffle_key, _TWS_SHUFFLE)
     feed = _tws_shared_split_feed(sf_dir)
     view = "stream_cap_gate_drv"
     try:
