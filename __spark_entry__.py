@@ -192,6 +192,7 @@ _NEXT_ROTATION: list[str] = [
     "multimodal_png_decode_stats",  # new in r10 (real zlib PNG decode)
     "quality_classifier_trained",   # new in r10 (in-engine logistic reg.)
     "source_trigram_backoff",       # new in r10 (held-out stupid-backoff LM)
+    "sketch_hll_distinct_users",    # new in r10 (portable mergeable HLL)
 ]
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from datafusion_impl_spark.operators import duck_md5_long
 from datafusion_impl_spark.sources.registry import load_table
 
 __all__ = ["QUERIES", "ORACLES"]
@@ -2642,7 +2643,189 @@ ORDER BY c_mktsegment
 """
 
 
+# --------------------------------------------------------------------------
+# Portable HyperLogLog (mergeable distinct-count sketch, exact oracle)
+# --------------------------------------------------------------------------
+
+#: HLL precision: 2^9 = 512 registers (~4.6% standard error).
+_HLL_P = 9
+_HLL_M = 1 << _HLL_P
+#: md5_long yields 60 bits; after the 9 bucket bits, 51 remain for the
+#: leading-zero rank, so rho ranges 1..52 (52 = the remainder was zero).
+_HLL_W = 60 - _HLL_P
+
+
+def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE HyperLogLog: per-event-type distinct users estimated from
+    explicit 512-register sketches built on the repo's cross-engine
+    ``md5_long`` hash — unlike ``approx_count_distinct``, whose engine-
+    internal sketch no oracle can replay, every register here is exactly
+    reproducible in DuckDB, so the ORACLE CHECKS THE SKETCH ITSELF, not a
+    tolerance. The ``__ALL__`` row is computed by MERGING the per-type
+    sketches (register-wise max) — the mergeability that makes HLL the
+    100 TB distinct-count tool (combine per-partition/per-day sketches
+    without re-scanning). Per row: exact distinct (the audit), the HLL
+    estimate, relative error, and registers hit.
+
+    Determinism: bucket = low 9 hash bits, rank = 52 - bitlength(high 51
+    bits) — pure integer ops; the harmonic sum is computed as an exact
+    BIGINT (sum of 2^(52-rho), empty registers contributing 2^52), so the
+    only float ops are one division, the bias constant, and the small-
+    range LN correction — identical IEEE in both engines.
+
+    Scale shape: one groupBy (type, bucket) with map-side combine (the
+    shuffle carries <= types*512 rows), then a 512-row-per-type rollup;
+    the merge path touches only register rows, never the events table."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    from datafusion_impl_spark.operators import md5_long
+
+    h = md5_long(F.col("user_id").cast("string"))
+    regs = (
+        ev.select(
+            "event_type",
+            h.bitwiseAND(F.lit(_HLL_M - 1)).alias("bucket"),
+            F.shiftright(h, _HLL_P).alias("w"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            F.when(F.col("w") == 0, F.lit(_HLL_W + 1))
+            .otherwise(F.lit(_HLL_W + 1) - F.length(F.bin("w")))
+            .alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+        .select(F.lit("__ALL__").alias("event_type"), "bucket", "r")
+    )
+    all_regs = regs.unionByName(merged)
+
+    def _estimate(reg_df: DataFrame) -> DataFrame:
+        s_hit = F.sum(
+            F.pow(F.lit(2.0), F.lit(_HLL_W + 1) - F.col("r")).cast("long")
+        )
+        v = F.lit(_HLL_M) - F.count(F.lit(1))
+        s_int = s_hit + v * F.lit(2 ** (_HLL_W + 1)).cast("long")
+        alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(_HLL_M))
+        # div-safe: s_int >= m * 1 > 0 (every register contributes >= 1)
+        raw = (
+            alpha
+            * F.lit(float(_HLL_M))
+            * F.lit(float(_HLL_M))
+            * F.lit(float(2 ** (_HLL_W + 1)))
+            / F.col("s_int")
+        )
+        return reg_df.groupBy("event_type").agg(
+            s_int.alias("s_int"),
+            v.cast("long").alias("v"),
+            F.count(F.lit(1)).cast("long").alias("buckets_used"),
+        ).select(
+            "event_type",
+            "buckets_used",
+            F.round(
+                F.when(
+                    (raw <= 2.5 * _HLL_M) & (F.col("v") > 0),
+                    # div-safe: v > 0 in this branch
+                    F.lit(float(_HLL_M))
+                    * F.log(F.lit(float(_HLL_M)) / F.col("v")),
+                ).otherwise(raw),
+                2,
+            ).alias("hll_estimate"),
+        )
+
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    exact_all = ev.agg(
+        F.countDistinct("user_id").alias("n_exact")
+    ).select(F.lit("__ALL__").alias("event_type"), "n_exact")
+    return (
+        _estimate(all_regs)
+        .join(exact.unionByName(exact_all), "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "hll_estimate",
+            # div-safe: n_exact >= 1 for listed event types
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("n_exact"))
+                / F.col("n_exact"),
+                4,
+            ).alias("rel_error"),
+            "buckets_used",
+        )
+        .orderBy("event_type")
+    )
+
+
+_HLL_SQL = f"""
+WITH ev AS (
+  SELECT event_type, {duck_md5_long("CAST(user_id AS VARCHAR)")} AS h
+  FROM events
+),
+rho AS (
+  SELECT event_type, h & {_HLL_M - 1} AS bucket,
+         CASE WHEN (h >> {_HLL_P}) = 0 THEN {_HLL_W + 1}
+              ELSE {_HLL_W + 1} - length(bin(h >> {_HLL_P})) END AS rho
+  FROM ev
+),
+regs AS (
+  SELECT event_type, bucket, MAX(rho) AS r FROM rho
+  GROUP BY event_type, bucket
+),
+all_regs AS (
+  SELECT event_type, bucket, r FROM regs
+  UNION ALL
+  SELECT '__ALL__' AS event_type, bucket, MAX(r) AS r FROM regs
+  GROUP BY bucket
+),
+est AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS buckets_used,
+         SUM(CAST(POW(2, {_HLL_W + 1} - r) AS BIGINT))
+           + ({_HLL_M} - COUNT(*)) * CAST(POW(2, {_HLL_W + 1}) AS BIGINT)
+           AS s_int,
+         {_HLL_M} - COUNT(*) AS v
+  FROM all_regs GROUP BY event_type
+),
+scored AS (
+  SELECT event_type, buckets_used, v,
+         -- div-safe: s_int >= m (every register contributes >= 1)
+         (0.7213 / (1.0 + 1.079 / {_HLL_M})) * {float(_HLL_M)}
+           * {float(_HLL_M)} * {float(2 ** (_HLL_W + 1))}
+           / s_int AS raw
+  FROM est
+),
+final AS (
+  SELECT event_type, buckets_used,
+         ROUND(CASE WHEN raw <= 2.5 * {_HLL_M} AND v > 0
+                    -- div-safe: v > 0 in this branch
+                    THEN {float(_HLL_M)} * LN({float(_HLL_M)} / v)
+                    ELSE raw END, 2) AS hll_estimate
+  FROM scored
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events
+  GROUP BY event_type
+  UNION ALL
+  SELECT '__ALL__', COUNT(DISTINCT user_id) FROM events
+)
+SELECT f.event_type,
+       CAST(e.n_exact AS BIGINT) AS n_exact,
+       f.hll_estimate,
+       -- div-safe: n_exact >= 1 for listed event types
+       ROUND(ABS(f.hll_estimate - e.n_exact) / e.n_exact, 4) AS rel_error,
+       f.buckets_used
+FROM final f JOIN exact e USING (event_type)
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "sketch_hll_distinct_users": sketch_hll_distinct_users,
     "events_user_hll_rollup": events_user_hll_rollup,
     "bitmap_user_distinct_rollup": bitmap_user_distinct_rollup,
     "user_funnel_steps": user_funnel_steps,
@@ -2705,6 +2888,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sketch_hll_distinct_users": _HLL_SQL,
     "bitmap_user_distinct_rollup": _BITMAP_ROLLUP_SQL,
     "user_funnel_steps": _FUNNEL_STEPS_SQL,
     "trending_event_windows": _TRENDING_SQL,

@@ -1102,6 +1102,31 @@ def test_decode_bmp_rejects_malformed():
         decode_bmp(_bmp_encode(3)[:-10])  # truncated pixel array
 
 
+def test_hll_sketch_estimates_and_merges(spark):
+    """The portable HLL must actually estimate: every per-type estimate
+    within 5 standard errors (1.04/sqrt(512) ~ 4.6%) of the exact distinct
+    count, and the merged __ALL__ row — built register-wise from the
+    per-type sketches, never from the raw events — must agree with the
+    exact all-types distinct count equally well (mergeability)."""
+    from datafusion_impl_spark.plans.analytics import (
+        sketch_hll_distinct_users,
+    )
+
+    rows = {r.event_type: r for r in
+            sketch_hll_distinct_users(spark, SF_DIR).collect()}
+    assert "__ALL__" in rows and len(rows) > 2
+    se = 1.04 / (512 ** 0.5)
+    for et, r in rows.items():
+        assert r.rel_error <= 5 * se, (et, r)
+        assert 0 < r.buckets_used <= 512
+    # the union sketch must cover at least as many registers as any part
+    assert rows["__ALL__"].buckets_used == max(
+        r.buckets_used for r in rows.values()
+    ) or rows["__ALL__"].buckets_used >= max(
+        r.buckets_used for et, r in rows.items() if et != "__ALL__"
+    )
+
+
 def test_trigram_backoff_levels_all_fire(spark):
     """Held-out trigram scoring must genuinely exercise the backoff: with
     the model trained on even doc_ids and scored on odd ones, some held-out
