@@ -2709,6 +2709,7 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         v = F.lit(_HLL_M) - F.count(F.lit(1))
         s_int = s_hit + v * F.lit(2 ** (_HLL_W + 1)).cast("long")
+        # div-safe: constant denominators (1 + 1.079/512 and m are > 0)
         alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(_HLL_M))
         # div-safe: s_int >= m * 1 > 0 (every register contributes >= 1)
         raw = (
