@@ -193,6 +193,7 @@ _NEXT_ROTATION: list[str] = [
     "quality_classifier_trained",   # new in r10 (in-engine logistic reg.)
     "source_trigram_backoff",       # new in r10 (held-out stupid-backoff LM)
     "sketch_hll_distinct_users",    # new in r10 (portable mergeable HLL)
+    "sketch_hll_overlap_matrix",    # new in r10 (sketch-algebra overlap)
 ]
 
 

@@ -2655,6 +2655,71 @@ _HLL_M = 1 << _HLL_P
 _HLL_W = 60 - _HLL_P
 
 
+def _hll_regs(ev: DataFrame) -> DataFrame:
+    """(event_type, bucket, r): sparse 512-register HLL sketch per event
+    type over the cross-engine ``md5_long`` user hash — bucket = low 9
+    hash bits, r = max leading-zero rank of the high 51 bits (pure
+    integer ops, bit-reproducible in DuckDB)."""
+    from datafusion_impl_spark.operators import md5_long
+
+    h = md5_long(F.col("user_id").cast("string"))
+    return (
+        ev.select(
+            "event_type",
+            h.bitwiseAND(F.lit(_HLL_M - 1)).alias("bucket"),
+            F.shiftright(h, _HLL_P).alias("w"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            F.when(F.col("w") == 0, F.lit(_HLL_W + 1))
+            .otherwise(F.lit(_HLL_W + 1) - F.length(F.bin("w")))
+            .alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def _hll_estimates(reg_df: DataFrame, keys: list[str]) -> DataFrame:
+    """Standard HLL estimator over sparse register rows grouped by
+    ``keys``: exact-BIGINT harmonic sum (empty registers contribute 2^52),
+    bias constant, small-range linear-counting correction; the estimate
+    rounds at 2 dp so downstream sketch algebra is cross-engine stable."""
+    s_hit = F.sum(
+        F.pow(F.lit(2.0), F.lit(_HLL_W + 1) - F.col("r")).cast("long")
+    )
+    v = F.lit(_HLL_M) - F.count(F.lit(1))
+    s_int = s_hit + v * F.lit(2 ** (_HLL_W + 1)).cast("long")
+    # div-safe: constant denominators (1 + 1.079/512 and m are > 0)
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(_HLL_M))
+    # div-safe: s_int >= m * 1 > 0 (every register contributes >= 1)
+    raw = (
+        alpha
+        * F.lit(float(_HLL_M))
+        * F.lit(float(_HLL_M))
+        * F.lit(float(2 ** (_HLL_W + 1)))
+        / F.col("s_int")
+    )
+    return reg_df.groupBy(*keys).agg(
+        s_int.alias("s_int"),
+        v.cast("long").alias("v"),
+        F.count(F.lit(1)).cast("long").alias("buckets_used"),
+    ).select(
+        *keys,
+        "buckets_used",
+        F.round(
+            F.when(
+                (raw <= 2.5 * _HLL_M) & (F.col("v") > 0),
+                # div-safe: v > 0 in this branch
+                F.lit(float(_HLL_M))
+                * F.log(F.lit(float(_HLL_M)) / F.col("v")),
+            ).otherwise(raw),
+            2,
+        ).alias("hll_estimate"),
+    )
+
+
 def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PORTABLE HyperLogLog: per-event-type distinct users estimated from
     explicit 512-register sketches built on the repo's cross-engine
@@ -2677,65 +2742,13 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries <= types*512 rows), then a 512-row-per-type rollup;
     the merge path touches only register rows, never the events table."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    from datafusion_impl_spark.operators import md5_long
-
-    h = md5_long(F.col("user_id").cast("string"))
-    regs = (
-        ev.select(
-            "event_type",
-            h.bitwiseAND(F.lit(_HLL_M - 1)).alias("bucket"),
-            F.shiftright(h, _HLL_P).alias("w"),
-        )
-        .select(
-            "event_type",
-            "bucket",
-            F.when(F.col("w") == 0, F.lit(_HLL_W + 1))
-            .otherwise(F.lit(_HLL_W + 1) - F.length(F.bin("w")))
-            .alias("rho"),
-        )
-        .groupBy("event_type", "bucket")
-        .agg(F.max("rho").alias("r"))
-    )
+    regs = _hll_regs(ev)
     merged = (
         regs.groupBy("bucket")
         .agg(F.max("r").alias("r"))
         .select(F.lit("__ALL__").alias("event_type"), "bucket", "r")
     )
     all_regs = regs.unionByName(merged)
-
-    def _estimate(reg_df: DataFrame) -> DataFrame:
-        s_hit = F.sum(
-            F.pow(F.lit(2.0), F.lit(_HLL_W + 1) - F.col("r")).cast("long")
-        )
-        v = F.lit(_HLL_M) - F.count(F.lit(1))
-        s_int = s_hit + v * F.lit(2 ** (_HLL_W + 1)).cast("long")
-        # div-safe: constant denominators (1 + 1.079/512 and m are > 0)
-        alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(_HLL_M))
-        # div-safe: s_int >= m * 1 > 0 (every register contributes >= 1)
-        raw = (
-            alpha
-            * F.lit(float(_HLL_M))
-            * F.lit(float(_HLL_M))
-            * F.lit(float(2 ** (_HLL_W + 1)))
-            / F.col("s_int")
-        )
-        return reg_df.groupBy("event_type").agg(
-            s_int.alias("s_int"),
-            v.cast("long").alias("v"),
-            F.count(F.lit(1)).cast("long").alias("buckets_used"),
-        ).select(
-            "event_type",
-            "buckets_used",
-            F.round(
-                F.when(
-                    (raw <= 2.5 * _HLL_M) & (F.col("v") > 0),
-                    # div-safe: v > 0 in this branch
-                    F.lit(float(_HLL_M))
-                    * F.log(F.lit(float(_HLL_M)) / F.col("v")),
-                ).otherwise(raw),
-                2,
-            ).alias("hll_estimate"),
-        )
 
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact")
@@ -2744,7 +2757,7 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_exact")
     ).select(F.lit("__ALL__").alias("event_type"), "n_exact")
     return (
-        _estimate(all_regs)
+        _hll_estimates(all_regs, ["event_type"])
         .join(exact.unionByName(exact_all), "event_type")
         .select(
             "event_type",
@@ -2760,6 +2773,183 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def sketch_hll_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH ALGEBRA: pairwise user-audience overlap between event types
+    computed ONLY from the per-type HLL sketches — per unordered type
+    pair, the union sketch is the register-wise max, the intersection
+    estimate is inclusion-exclusion (|A|+|B|−|A∪B|, floored at 0), and
+    Jaccard follows. This is the 100 TB overlap workflow: cross-segment
+    audience overlap from stored per-segment sketches, never a user-level
+    self-join — the exact intersection column here exists purely as the
+    audit (and is the thing you could NOT afford at scale).
+
+    Determinism: all estimates come from :func:`_hll_estimates` (exact
+    integer harmonic sums, 2-dp rounding), so the inclusion-exclusion
+    arithmetic runs on identical doubles in both engines."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    regs = _hll_regs(ev)
+    types = regs.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    # pair-union registers: each pair adopts both member sketches' rows
+    # (two broadcast equi-joins, never an OR-join), then register-wise max
+    pair_regs = (
+        F.broadcast(pairs)
+        .join(regs, F.col("type_a") == F.col("event_type"))
+        .select("type_a", "type_b", "bucket", "r")
+        .unionByName(
+            F.broadcast(pairs)
+            .join(regs, F.col("type_b") == F.col("event_type"))
+            .select("type_a", "type_b", "bucket", "r")
+        )
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    est_u = _hll_estimates(pair_regs, ["type_a", "type_b"]).select(
+        "type_a", "type_b", F.col("hll_estimate").alias("est_union")
+    )
+    est_t = _hll_estimates(regs, ["event_type"])
+    est_a = est_t.select(
+        F.col("event_type").alias("type_a"),
+        F.col("hll_estimate").alias("est_a"),
+    )
+    est_b = est_t.select(
+        F.col("event_type").alias("type_b"),
+        F.col("hll_estimate").alias("est_b"),
+    )
+    du = ev.distinct()
+    exact_inter = (
+        du.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(
+            du.select(F.col("event_type").alias("type_b"), "user_id"),
+            "user_id",
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("user_id").alias("exact_inter"))
+    )
+    inter = F.round(
+        F.greatest(
+            F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+        ),
+        2,
+    )
+    return (
+        est_u.join(F.broadcast(est_a), "type_a")
+        .join(F.broadcast(est_b), "type_b")
+        .join(exact_inter, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce("exact_inter", F.lit(0)).cast("long").alias(
+                "exact_inter"
+            ),
+            inter.alias("est_inter"),
+            "est_union",
+            # div-safe: a union of non-empty sketches estimates > 0
+            F.round(inter / F.col("est_union"), 4).alias("est_jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+#: shared SQL fragments for the HLL oracles.
+_HLL_ALPHA_SQL = f"(0.7213 / (1.0 + 1.079 / {_HLL_M}))"
+_HLL_POW_SQL = float(2 ** (_HLL_W + 1))
+
+
+def _hll_est_sql(src: str, keys: str) -> str:
+    """SELECT producing ``keys, buckets_used, hll_estimate`` from a sparse
+    register relation ``src(… keys …, bucket, r)`` — the SQL twin of
+    :func:`_hll_estimates`."""
+    return f"""
+  SELECT {keys}, buckets_used,
+         ROUND(CASE WHEN raw <= 2.5 * {_HLL_M} AND v > 0
+                    -- div-safe: v > 0 in this branch
+                    THEN {float(_HLL_M)} * LN({float(_HLL_M)} / v)
+                    ELSE raw END, 2) AS hll_estimate
+  FROM (
+    SELECT {keys},
+           CAST(COUNT(*) AS BIGINT) AS buckets_used,
+           {_HLL_M} - COUNT(*) AS v,
+           -- div-safe: the harmonic sum is >= m (every register >= 1)
+           {_HLL_ALPHA_SQL} * {float(_HLL_M)} * {float(_HLL_M)}
+             * {_HLL_POW_SQL}
+             / (SUM(CAST(POW(2, {_HLL_W + 1} - r) AS BIGINT))
+                + ({_HLL_M} - COUNT(*)) * CAST(POW(2, {_HLL_W + 1}) AS BIGINT))
+             AS raw
+    FROM {src} GROUP BY {keys}
+  )
+"""
+
+
+_HLL_REGS_SQL = f"""
+ev AS (
+  SELECT event_type, {duck_md5_long("CAST(user_id AS VARCHAR)")} AS h
+  FROM events
+),
+rho AS (
+  SELECT event_type, h & {_HLL_M - 1} AS bucket,
+         CASE WHEN (h >> {_HLL_P}) = 0 THEN {_HLL_W + 1}
+              ELSE {_HLL_W + 1} - length(bin(h >> {_HLL_P})) END AS rho
+  FROM ev
+),
+regs AS (
+  SELECT event_type, bucket, MAX(rho) AS r FROM rho
+  GROUP BY event_type, bucket
+)
+"""
+
+
+_HLL_OVERLAP_SQL = f"""
+WITH {_HLL_REGS_SQL},
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM regs) a
+  JOIN (SELECT DISTINCT event_type FROM regs) b
+    ON a.event_type < b.event_type
+),
+pair_regs AS (
+  SELECT type_a, type_b, bucket, MAX(r) AS r FROM (
+    SELECT p.type_a, p.type_b, g.bucket, g.r
+    FROM pairs p JOIN regs g ON g.event_type = p.type_a
+    UNION ALL
+    SELECT p.type_a, p.type_b, g.bucket, g.r
+    FROM pairs p JOIN regs g ON g.event_type = p.type_b
+  ) GROUP BY type_a, type_b, bucket
+),
+est_u AS ({_hll_est_sql("pair_regs", "type_a, type_b")}),
+est_t AS ({_hll_est_sql("regs", "event_type")}),
+du AS (SELECT DISTINCT event_type, user_id FROM events),
+exact_inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(DISTINCT a.user_id) AS exact_inter
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT u.type_a, u.type_b,
+       CAST(COALESCE(x.exact_inter, 0) AS BIGINT) AS exact_inter,
+       ROUND(GREATEST(0.0, ea.hll_estimate + eb.hll_estimate
+                           - u.hll_estimate), 2) AS est_inter,
+       u.hll_estimate AS est_union,
+       -- div-safe: a union of non-empty sketches estimates > 0
+       ROUND(GREATEST(0.0, ea.hll_estimate + eb.hll_estimate
+                           - u.hll_estimate) / u.hll_estimate, 4)
+         AS est_jaccard
+FROM est_u u
+JOIN est_t ea ON ea.event_type = u.type_a
+JOIN est_t eb ON eb.event_type = u.type_b
+LEFT JOIN exact_inter x ON x.type_a = u.type_a AND x.type_b = u.type_b
+ORDER BY u.type_a, u.type_b
+"""
 
 
 _HLL_SQL = f"""
@@ -2827,6 +3017,7 @@ ORDER BY event_type
 
 QUERIES = {
     "sketch_hll_distinct_users": sketch_hll_distinct_users,
+    "sketch_hll_overlap_matrix": sketch_hll_overlap_matrix,
     "events_user_hll_rollup": events_user_hll_rollup,
     "bitmap_user_distinct_rollup": bitmap_user_distinct_rollup,
     "user_funnel_steps": user_funnel_steps,
@@ -2890,6 +3081,7 @@ QUERIES = {
 
 ORACLES = {
     "sketch_hll_distinct_users": _HLL_SQL,
+    "sketch_hll_overlap_matrix": _HLL_OVERLAP_SQL,
     "bitmap_user_distinct_rollup": _BITMAP_ROLLUP_SQL,
     "user_funnel_steps": _FUNNEL_STEPS_SQL,
     "trending_event_windows": _TRENDING_SQL,
