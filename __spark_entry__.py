@@ -194,6 +194,7 @@ _NEXT_ROTATION: list[str] = [
     "source_trigram_backoff",       # new in r10 (held-out stupid-backoff LM)
     "sketch_hll_distinct_users",    # new in r10 (portable mergeable HLL)
     "sketch_hll_overlap_matrix",    # new in r10 (sketch-algebra overlap)
+    "stream_quality_scoring",       # new in r10 (streaming model serving)
 ]
 
 

@@ -2738,6 +2738,34 @@ def _logreg_fit(
     return w
 
 
+def quality_feature_frame(df: DataFrame, keep: list[str]) -> DataFrame:
+    """``keep`` passthrough columns + the classifier features (x1 length,
+    x2 stopword ratio, x3 punctuation ratio; 6-dp synced) and the
+    heuristic keep label ``y`` — shared by the batch trainer
+    (:func:`quality_classifier_trained`) and the streaming scorer
+    (``streaming.stream_quality_scoring``). Expects ``text`` and
+    ``n_chars`` in scope; all expressions are stateless projections, so
+    the same frame is streaming-legal."""
+    n_tokens = F.regexp_count("text", F.lit(r"\S+"))
+    stop_hits = F.regexp_count("text", F.lit(r"\b(the|a|of|and|is)\b"))
+    punct = F.regexp_count("text", F.lit(r"[^\w\s]"))
+    return df.select(
+        *keep,
+        F.round(F.least(F.lit(1.0), n_tokens / F.lit(100.0)), 6).alias("x1"),
+        # div-safe: greatest(n_tokens, 1) >= 1
+        F.round(
+            stop_hits / F.greatest(n_tokens.cast("double"), F.lit(1.0)), 6
+        ).alias("x2"),
+        # div-safe: greatest(n_chars, 1) >= 1
+        F.round(
+            punct / F.greatest(F.col("n_chars").cast("double"), F.lit(1.0)), 6
+        ).alias("x3"),
+        F.when(quality_score() >= 0.5, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+
+
 def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MODEL-BASED quality filtering — the trained step up from the
     heuristic :func:`text_quality_score`: an in-engine logistic regression
@@ -2758,29 +2786,7 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "source", "n_chars", "text"
     )
-    n_tokens = F.regexp_count("text", F.lit(r"\S+"))
-    stop_hits = F.regexp_count("text", F.lit(r"\b(the|a|of|and|is)\b"))
-    punct = F.regexp_count("text", F.lit(r"[^\w\s]"))
-    feats = materialize(
-        docs.select(
-            "source",
-            F.round(
-                F.least(F.lit(1.0), n_tokens / F.lit(100.0)), 6
-            ).alias("x1"),
-            # div-safe: greatest(n_tokens, 1) >= 1
-            F.round(
-                stop_hits / F.greatest(n_tokens.cast("double"), F.lit(1.0)), 6
-            ).alias("x2"),
-            # div-safe: greatest(n_chars, 1) >= 1
-            F.round(
-                punct / F.greatest(F.col("n_chars").cast("double"), F.lit(1.0)),
-                6,
-            ).alias("x3"),
-            F.when(quality_score() >= 0.5, F.lit(1.0))
-            .otherwise(F.lit(0.0))
-            .alias("y"),
-        )
-    )
+    feats = materialize(quality_feature_frame(docs, ["source"]))
     w = _logreg_fit(feats.select("x1", "x2", "x3", "y"))
     # div-safe: 1 + exp(-z) >= 1
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z(w)))
@@ -2801,7 +2807,7 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QCLF_FEAT_SQL = r"""
-  SELECT source,
+  SELECT doc_id, source,
          ROUND(LEAST(1.0, len(regexp_extract_all(text, '\S+')) / 100.0), 6)
            AS x1,
          -- div-safe: GREATEST(n_tokens, 1) >= 1
@@ -2821,7 +2827,12 @@ _QCLF_FEAT_SQL = r"""
   FROM documents
 """
 
-_QCLF_SQL = f"""
+def _qclf_sql(train_pred: str, score_pred: str) -> str:
+    """DuckDB replay of the classifier, parametrized by the train/score
+    split predicates — ``(TRUE, TRUE)`` is the batch trainer (train and
+    score the full corpus); the streaming twin trains on even doc_ids and
+    scores the odd-doc stream."""
+    return f"""
 WITH RECURSIVE feat AS ({_QCLF_FEAT_SQL}),
 it(iter, w0, w1, w2, w3) AS (
   -- seeds CAST to DOUBLE: the recursive union coerces later iterates to
@@ -2846,7 +2857,7 @@ it(iter, w0, w1, w2, w3) AS (
              1.0 / (1.0 + EXP(-(r.w0 + r.w1 * f.x1 + r.w2 * f.x2
                                 + r.w3 * f.x3))) AS p
       FROM it r, feat f
-      WHERE r.iter < {_QCLF_STEPS}
+      WHERE r.iter < {_QCLF_STEPS} AND ({train_pred})
     )
     GROUP BY iter, w0, w1, w2, w3
   )
@@ -2858,6 +2869,7 @@ scored AS (
          1.0 / (1.0 + EXP(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2
                             + w.w3 * f.x3))) AS p
   FROM feat f, final w
+  WHERE {score_pred}
 )
 SELECT source,
        COUNT(*) AS n_docs,
@@ -2872,6 +2884,9 @@ FROM scored
 GROUP BY source
 ORDER BY source
 """
+
+
+_QCLF_SQL = _qclf_sql("TRUE", "TRUE")
 
 
 QUERIES = {

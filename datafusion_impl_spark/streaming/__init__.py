@@ -2317,7 +2317,109 @@ ORDER BY a.event_type
 """
 
 
+def stream_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MODEL SERVING for the trained quality classifier: the
+    logistic-regression weights train BATCH-side on the even-doc_id half
+    of the corpus (yesterday's corpus trains the model), then the odd-doc
+    stream — staged as TWO parquet files with ``maxFilesPerTrigger=1``,
+    so scoring is genuinely incremental across micro-batches — is scored
+    by a fully STATELESS projection with the weights inlined as literals
+    (the broadcast-model serving shape: no state store, no watermark, the
+    scorer fuses into the scan). Per-doc scored rows land in an
+    append-mode memory sink; the batch tail reports the same per-source
+    keep/agreement census as :func:`~datafusion_impl_spark.operators.text.
+    quality_classifier_trained`.
+
+    At 100 TB: the model is a handful of doubles broadcast to every
+    executor; scoring adds zero shuffle to ingestion. The DuckDB oracle
+    replays the split schedule exactly (train even / score odd)."""
+    import os
+    import shutil
+    import uuid
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from datafusion_impl_spark.operators.text import (
+        _logreg_fit,
+        _logreg_z,
+        quality_feature_frame,
+    )
+    from datafusion_impl_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    train_feats = quality_feature_frame(
+        docs.filter(F.col("doc_id") % 2 == 0), []
+    ).localCheckpoint(eager=True)
+    w = _logreg_fit(train_feats)
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    feed = os.path.join(
+        "/tmp/datafusion_impl_spark_qclf_feed", f"{tag}_{uuid.uuid4().hex}"
+    )
+    os.makedirs(feed)
+    t = papq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars", "text"],
+    )
+    idx = np.nonzero(t["doc_id"].to_numpy() % 2 == 1)[0]
+    qt = t.take(pa.array(idx))
+    half = max(len(idx) // 2, 1)
+    papq.write_table(qt.slice(0, half), os.path.join(feed, "d0.parquet"))
+    if len(idx) > half:
+        papq.write_table(qt.slice(half), os.path.join(feed, "d1.parquet"))
+
+    view = "stream_quality_scoring_drv"
+    try:
+        src = (
+            spark.readStream.schema(
+                "doc_id bigint, source string, n_chars bigint, text string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        # div-safe: 1 + exp(-z) >= 1
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z(w)))
+        scored = quality_feature_frame(src, ["source"]).select(
+            "source", "y", p.alias("p")
+        )
+        q = (
+            scored.writeStream.format("memory")
+            .queryName(view)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+    return (
+        spark.table(view)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("p") >= 0.5).cast("long")).alias("n_pred_keep"),
+            F.sum((F.col("y") == 1.0).cast("long")).alias("n_label_keep"),
+            F.sum(
+                ((F.col("p") >= 0.5) == (F.col("y") == 1.0)).cast("long")
+            ).alias("n_agree"),
+            F.round(F.avg("p"), 4).alias("avg_p"),
+        )
+        .orderBy("source")
+    )
+
+
+def _stream_qclf_sql() -> str:
+    from datafusion_impl_spark.operators.text import _qclf_sql
+
+    return _qclf_sql("f.doc_id % 2 = 0", "f.doc_id % 2 = 1")
+
+
 QUERIES = {
+    "stream_quality_scoring": stream_quality_scoring,
     "stream_contribution_capping": stream_contribution_capping,
     "stream_ann_adc_topk": stream_ann_adc_topk,
     "stream_tws_user_totals": stream_tws_user_totals,
@@ -2334,6 +2436,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_quality_scoring": _stream_qclf_sql(),
     "stream_contribution_capping": _STREAM_CAP_SQL,
     "stream_ann_adc_topk": _STREAM_ANN_SQL,
     "stream_tws_user_totals": _TWS_TOTALS_SQL,

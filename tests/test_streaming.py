@@ -896,3 +896,48 @@ def test_stream_contribution_capping_matches_batch_replay(spark):
     for et, (arr, admitted, rejected) in got.items():
         assert admitted == expected_adm.get(et, 0), et
         assert arr == admitted + rejected
+
+
+def test_stream_quality_scoring_matches_batch_equivalent(spark):
+    """The streaming scorer (weights trained on even docs, odd docs scored
+    as an availableNow file stream) must produce the SAME per-source
+    census as a pure batch evaluation of the identical split — the
+    stream-vs-batch equivalence the stateless serving shape guarantees."""
+    from datafusion_impl_spark.operators.text import (
+        _logreg_fit,
+        _logreg_z,
+        quality_feature_frame,
+    )
+    from datafusion_impl_spark.sources.registry import load_table
+    from datafusion_impl_spark.streaming import stream_quality_scoring
+
+    got = {
+        r.source: (r.n_docs, r.n_pred_keep, r.n_label_keep, r.n_agree, r.avg_p)
+        for r in stream_quality_scoring(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    w = _logreg_fit(
+        quality_feature_frame(docs.filter(F.col("doc_id") % 2 == 0), [])
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z(w)))
+    batch = (
+        quality_feature_frame(docs.filter(F.col("doc_id") % 2 == 1), ["source"])
+        .select("source", "y", p.alias("p"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("p") >= 0.5).cast("long")).alias("n_pred_keep"),
+            F.sum((F.col("y") == 1.0).cast("long")).alias("n_label_keep"),
+            F.sum(
+                ((F.col("p") >= 0.5) == (F.col("y") == 1.0)).cast("long")
+            ).alias("n_agree"),
+            F.round(F.avg("p"), 4).alias("avg_p"),
+        )
+    )
+    expected = {
+        r.source: (r.n_docs, r.n_pred_keep, r.n_label_keep, r.n_agree, r.avg_p)
+        for r in batch.collect()
+    }
+    assert got == expected
