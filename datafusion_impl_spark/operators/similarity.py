@@ -3408,7 +3408,142 @@ ORDER BY s.method
 
 _OPQ_SQL = _opq_oracle()
 
+# --------------------------------------------------------------------------
+# Johnson–Lindenstrauss sign projection (cheap dim reduction + audit)
+# --------------------------------------------------------------------------
+
+_JL_K = 16   # output dims (64 -> 16, 4x compression)
+_JL_D = 64   # input embedding dims
+
+
+def _jl_sign(j: int, i: int) -> float:
+    """Deterministic ±1 from md5 — the SAME constant matrix is inlined
+    into the Spark plan and the DuckDB oracle, so 'random projection' is
+    a fixed broadcastable artifact, exactly like a trained codebook."""
+    import hashlib
+
+    h = int(hashlib.md5(f"jl_{j}_{i}".encode()).hexdigest()[:15], 16)
+    return 1.0 if h % 2 == 1 else -1.0
+
+
+_JL_SIGNS = [
+    [_jl_sign(j, i) for i in range(1, _JL_D + 1)] for j in range(1, _JL_K + 1)
+]
+
+
+def embedding_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with its own
+    distance-preservation audit: project 64-dim embeddings to 16 dims with
+    a fixed ±1 sign matrix scaled by 1/sqrt(k) (the database-friendly JL
+    transform — no training, pure map), then for a deterministic sample of
+    pairs (vec_id 2t vs 2t+1) compare squared distances before and after.
+    The histogram of d_proj²/d_orig² ratios IS the JL lemma made
+    observable: mass concentrates around 1 with ~1/sqrt(k) spread.
+
+    Scale shape: projection is a stateless map with a 1 KB literal matrix
+    (at 100 TB: broadcast, fused into the scan — this is how you cut
+    embedding storage 4x before ANN indexing); the pair audit is an
+    adjacent-id equi-join, present only to measure distortion.
+
+    Determinism: projected coordinates round at 8 dp, per-term squared
+    diffs at 8, sums fold sequentially (F.aggregate ≡ list_sum over an
+    ordered list), ratios round at 4 — both engines walk identical
+    doubles."""
+    e = _vectors(spark, sf_dir).select("vec_id", "v")
+    y = F.array(
+        *[
+            F.round(
+                _dot(F.col("v"), F.array(*[F.lit(s) for s in row]))
+                # div-safe: sqrt(k) is a positive constant
+                * F.lit(1.0 / math.sqrt(_JL_K)),
+                8,
+            )
+            for row in _JL_SIGNS
+        ]
+    )
+    proj = e.select("vec_id", "v", y.alias("y"))
+    a = proj.select(
+        (F.col("vec_id") / 2).cast("long").alias("pair_id"),
+        F.col("v").alias("va"),
+        F.col("y").alias("ya"),
+    ).filter(F.col("vec_id") % 2 == 0)
+    b = proj.select(
+        ((F.col("vec_id") - 1) / 2).cast("long").alias("pair_id"),
+        F.col("v").alias("vb"),
+        F.col("y").alias("yb"),
+    ).filter(F.col("vec_id") % 2 == 1)
+    sq = lambda u, w: F.aggregate(  # noqa: E731 - local fold shorthand
+        F.zip_with(u, w, lambda x, z: F.round((x - z) * (x - z), 8)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(b, "pair_id").select(
+        F.round(sq(F.col("va"), F.col("vb")), 6).alias("d_x"),
+        F.round(sq(F.col("ya"), F.col("yb")), 6).alias("d_y"),
+    )
+    # div-safe: rows reaching this expression pass the d_x > 0 filter
+    ratio = F.round(F.col("d_y") / F.col("d_x"), 4)
+    return (
+        # div-safe: d_x > 0 enforced by the filter (distinct planted vectors)
+        pairs.filter(F.col("d_x") > 0)
+        .select((F.floor(ratio * 10) / 10.0).alias("ratio_bucket"),
+                ratio.alias("ratio"))
+        .groupBy("ratio_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("ratio"), 4).alias("avg_ratio"),
+        )
+        .orderBy("ratio_bucket")
+    )
+
+
+def _jl_sql() -> str:
+    sign_rows = ",\n    ".join(
+        f"({j + 1}, {_JL_SIGNS[j]}::DOUBLE[])" for j in range(_JL_K)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+signs(j, s) AS (VALUES
+    {sign_rows}
+),
+yl AS (
+  SELECT vec_id, j,
+         ROUND(list_sum(list_transform(generate_series(1, {_JL_D}),
+                                       i -> v[i] * s[i]))
+               -- div-safe: sqrt(k) is a positive constant
+               * {1.0 / math.sqrt(_JL_K)!r}, 8) AS yj
+  FROM e, signs
+),
+proj AS (
+  SELECT e.vec_id, e.v, (SELECT list(yj ORDER BY j) FROM yl
+                         WHERE yl.vec_id = e.vec_id) AS y
+  FROM e
+),
+pairs AS (
+  SELECT ROUND(list_sum(list_transform(generate_series(1, {_JL_D}),
+                 i -> ROUND((a.v[i] - b.v[i]) * (a.v[i] - b.v[i]), 8))), 6)
+           AS d_x,
+         ROUND(list_sum(list_transform(generate_series(1, {_JL_K}),
+                 j -> ROUND((a.y[j] - b.y[j]) * (a.y[j] - b.y[j]), 8))), 6)
+           AS d_y
+  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % 2 = 0
+),
+rt AS (
+  -- div-safe: d_x > 0 enforced by the filter (distinct planted vectors)
+  SELECT FLOOR(ROUND(d_y / d_x, 4) * 10) / 10.0 AS ratio_bucket,
+         ROUND(d_y / d_x, 4) AS ratio
+  FROM pairs WHERE d_x > 0
+)
+SELECT ratio_bucket, COUNT(*) AS n_pairs, ROUND(AVG(ratio), 4) AS avg_ratio
+FROM rt
+GROUP BY ratio_bucket
+ORDER BY ratio_bucket
+"""
+
+
 QUERIES = {
+    "embedding_jl_projection_audit": embedding_jl_projection_audit,
     "ann_opq_subspace_balance": ann_opq_subspace_balance,
     "embedding_cluster_silhouette": embedding_cluster_silhouette,
     "embedding_snapshot_drift": embedding_snapshot_drift,
@@ -3434,6 +3569,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_jl_projection_audit": _jl_sql(),
     "ann_opq_subspace_balance": _OPQ_SQL,
     "ann_pq_refine_recall": _PQ_REFINE_SQL,
     "decontamination_semantic": _DECON_SEMANTIC_SQL,

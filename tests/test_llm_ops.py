@@ -1102,6 +1102,24 @@ def test_decode_bmp_rejects_malformed():
         decode_bmp(_bmp_encode(3)[:-10])  # truncated pixel array
 
 
+def test_jl_projection_preserves_distances(spark):
+    """The JL lemma made a test: with k=16 output dims, squared-distance
+    ratios must concentrate around 1 — at least 80% of audited pairs in
+    [0.5, 1.5] and the pair-weighted mean ratio within 15% of 1. (A wrong
+    sign matrix or scaling would shift the whole histogram.)"""
+    from datafusion_impl_spark.operators.similarity import (
+        embedding_jl_projection_audit,
+    )
+
+    rows = embedding_jl_projection_audit(spark, SF_DIR).collect()
+    total = sum(r.n_pairs for r in rows)
+    assert total > 0
+    near = sum(r.n_pairs for r in rows if 0.5 <= r.ratio_bucket <= 1.4)
+    assert near / total >= 0.8, [(r.ratio_bucket, r.n_pairs) for r in rows]
+    mean = sum(r.n_pairs * r.avg_ratio for r in rows) / total
+    assert abs(mean - 1.0) <= 0.15, mean
+
+
 def test_hll_sketch_estimates_and_merges(spark):
     """The portable HLL must actually estimate: every per-type estimate
     within 5 standard errors (1.04/sqrt(512) ~ 4.6%) of the exact distinct
