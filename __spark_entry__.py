@@ -196,6 +196,7 @@ _NEXT_ROTATION: list[str] = [
     "sketch_hll_overlap_matrix",    # new in r10 (sketch-algebra overlap)
     "stream_quality_scoring",       # new in r10 (streaming model serving)
     "embedding_jl_projection_audit",  # new in r10 (JL sign projection)
+    "text_nfc_normalization_audit",   # new in r10 (Unicode NFC audit)
 ]
 
 

@@ -2364,6 +2364,106 @@ _CTRL_CLASS = "[" + chr(1) + "-" + chr(8) + chr(0x0B) + "-" + chr(0x1F) + "]"
 _MOJIBAKE_CLASS = chr(0xC3) + "[" + chr(0xA0) + "-" + chr(0xBF) + "]"
 
 
+# --------------------------------------------------------------------------
+# Unicode NFC normalization audit
+# --------------------------------------------------------------------------
+
+#: planted per-residue Unicode suffixes: 0/2/3 CHANGE under NFC
+#: (combining acute composes into é, combining ring into Å, and the
+#: ANGSTROM SIGN singleton maps to Å), 1 is already composed, 4 adds
+#: nothing — so ground truth is exact per doc_id.
+_NFC_SUFFIXES = {
+    0: " cafe\u0301",   # e + COMBINING ACUTE -> \u00e9 (len shrinks by 1)
+    1: " caf\u00e9",     # precomposed \u00e9 (NFC no-op)
+    2: " A\u030Arhus",   # A + COMBINING RING -> \u00c5 (len shrinks by 1)
+    3: " 1\u212b",       # ANGSTROM SIGN -> \u00c5 (singleton, len unchanged)
+}
+
+
+def text_nfc_normalization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization QA — the canonicalization step every text
+    pipeline runs before hashing/dedup (the same logical string must hash
+    identically whether a crawler emitted composed or decomposed
+    accents). Deterministic Unicode variants are planted per ``doc_id %
+    5`` (combining-mark sequences, a precomposed control, an ANGSTROM-sign
+    singleton, and an untouched control), then an Arrow-batched kernel
+    applies ``unicodedata.normalize('NFC', ...)`` — the general-purpose
+    normalizer Spark has no builtin for — and reports per source: docs,
+    docs changed by NFC, and codepoints saved. The DuckDB oracle builds
+    the identical planted text and replays with its native
+    ``nfc_normalize`` — two INDEPENDENT Unicode implementations agreeing
+    on every row is the point of the audit.
+
+    Scale shape: pure map (plant + normalize fuse into the scan; the
+    kernel is Arrow-batched, not per-row Python) + one tiny per-source
+    aggregate."""
+    import pandas as pd  # noqa: F811 - kernel-local alias
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    variant = F.col("doc_id") % 5
+    suffix = F.lit("")
+    for res, suf in _NFC_SUFFIXES.items():
+        suffix = F.when(variant == res, F.lit(suf)).otherwise(suffix)
+    planted = docs.select(
+        "source", F.concat(F.col("text"), suffix).alias("t")
+    )
+
+    def kernel(batches):
+        import unicodedata
+
+        for pdf in batches:
+            norm = pdf["t"].map(lambda s: unicodedata.normalize("NFC", s))
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "changed": (norm != pdf["t"]).astype("int64"),
+                    "delta": (
+                        pdf["t"].str.len() - norm.str.len()
+                    ).astype("int64"),
+                }
+            )
+
+    audited = planted.mapInPandas(
+        kernel, "source string, changed bigint, delta bigint"
+    )
+    return (
+        audited.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("changed").alias("n_changed"),
+            F.sum("delta").alias("codepoints_saved"),
+        )
+        .orderBy("source")
+    )
+
+
+def _nfc_sql() -> str:
+    cases = " ".join(
+        "WHEN {r} THEN {lit}".format(
+            r=r,
+            lit="chr(" + ") || chr(".join(str(ord(c)) for c in suf) + ")",
+        )
+        for r, suf in _NFC_SUFFIXES.items()
+    )
+    return f"""
+WITH planted AS (
+  SELECT source,
+         text || CASE doc_id % 5 {cases} ELSE '' END AS t
+  FROM documents
+),
+norm AS (SELECT source, t, nfc_normalize(t) AS n FROM planted)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n <> t THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(length(t) - length(n)) AS BIGINT) AS codepoints_saved
+FROM norm
+GROUP BY source
+ORDER BY source
+"""
+
+
 def text_charset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding-QA audit — the first pass every crawled corpus needs before
     tokenization: per source, how many documents carry replacement
@@ -2893,6 +2993,7 @@ QUERIES = {
     "text_html_extract": text_html_extract,
     "quality_classifier_trained": quality_classifier_trained,
     "text_charset_audit": text_charset_audit,
+    "text_nfc_normalization_audit": text_nfc_normalization_audit,
     "heavy_hitters_cms": heavy_hitters_cms,
     "token_zipf_fit": token_zipf_fit,
     "tokenizer_inflation_audit": tokenizer_inflation_audit,
@@ -2924,6 +3025,7 @@ ORACLES = {
     "quality_classifier_trained": _QCLF_SQL,
     "text_html_extract": _HTML_EXTRACT_SQL,
     "text_charset_audit": _CHARSET_SQL,
+    "text_nfc_normalization_audit": _nfc_sql(),
     "heavy_hitters_cms": _CMS_SQL,
     "token_zipf_fit": _ZIPF_SQL,
     "tokenizer_inflation_audit": _TOKENIZER_AUDIT_SQL,

@@ -1102,6 +1102,33 @@ def test_decode_bmp_rejects_malformed():
         decode_bmp(_bmp_encode(3)[:-10])  # truncated pixel array
 
 
+def test_nfc_audit_matches_planted_ground_truth(spark):
+    """The planted Unicode variants give exact per-residue ground truth:
+    residues 0/2/3 change under NFC (two of them shrinking by one
+    codepoint), 1 and 4 do not — so per source, n_changed and
+    codepoints_saved are fully determined by the doc_id distribution."""
+    from datafusion_impl_spark.operators.text import (
+        text_nfc_normalization_audit,
+    )
+    from datafusion_impl_spark.sources.registry import load_table
+
+    got = {
+        r.source: (r.n_docs, r.n_changed, r.codepoints_saved)
+        for r in text_nfc_normalization_audit(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    expected = {}
+    for r in docs.collect():
+        n, ch, sv = expected.get(r.source, (0, 0, 0))
+        res = r.doc_id % 5
+        expected[r.source] = (
+            n + 1,
+            ch + (1 if res in (0, 2, 3) else 0),
+            sv + (1 if res in (0, 2) else 0),
+        )
+    assert got == expected
+
+
 def test_jl_projection_preserves_distances(spark):
     """The JL lemma made a test: with k=16 output dims, squared-distance
     ratios must concentrate around 1 — at least 80% of audited pairs in
