@@ -197,6 +197,7 @@ _NEXT_ROTATION: list[str] = [
     "stream_quality_scoring",       # new in r10 (streaming model serving)
     "embedding_jl_projection_audit",  # new in r10 (JL sign projection)
     "text_nfc_normalization_audit",   # new in r10 (Unicode NFC audit)
+    "classifier_calibration_audit",   # new in r10 (reliability diagram)
 ]
 
 

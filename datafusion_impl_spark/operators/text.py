@@ -2906,6 +2906,40 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def classifier_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the trained quality classifier — the
+    ML-ops step after training: scored documents bucket into probability
+    deciles, and each decile reports predicted-vs-observed keep rate and
+    the absolute gap (the per-bin term of expected calibration error). A
+    well-calibrated model tracks the diagonal; a distilled heuristic like
+    this one typically saturates at the extremes — which this audit makes
+    visible instead of assumed.
+
+    Same training schedule and determinism discipline as
+    :func:`quality_classifier_trained` (identical weights both engines);
+    the scoring pass and decile census are one map + one 10-group
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", "text"
+    )
+    feats = materialize(quality_feature_frame(docs, []))
+    w = _logreg_fit(feats)
+    # div-safe: 1 + exp(-z) >= 1
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z(w)))
+    scored = feats.select("y", p.alias("p"))
+    decile = F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("int")
+    return (
+        scored.groupBy(decile.alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("p"), 4).alias("avg_p"),
+            F.round(F.avg("y"), 4).alias("frac_label_keep"),
+            F.round(F.abs(F.avg("p") - F.avg("y")), 4).alias("abs_gap"),
+        )
+        .orderBy("decile")
+    )
+
+
 _QCLF_FEAT_SQL = r"""
   SELECT doc_id, source,
          ROUND(LEAST(1.0, len(regexp_extract_all(text, '\S+')) / 100.0), 6)
@@ -2927,11 +2961,10 @@ _QCLF_FEAT_SQL = r"""
   FROM documents
 """
 
-def _qclf_sql(train_pred: str, score_pred: str) -> str:
-    """DuckDB replay of the classifier, parametrized by the train/score
-    split predicates — ``(TRUE, TRUE)`` is the batch trainer (train and
-    score the full corpus); the streaming twin trains on even doc_ids and
-    scores the odd-doc stream."""
+def _qclf_core_sql(train_pred: str, score_pred: str) -> str:
+    """Shared DuckDB CTE chain (features → recursive GD → final weights →
+    per-doc scores), parametrized by the train/score split predicates;
+    each classifier query appends its own final SELECT over ``scored``."""
     return f"""
 WITH RECURSIVE feat AS ({_QCLF_FEAT_SQL}),
 it(iter, w0, w1, w2, w3) AS (
@@ -2971,6 +3004,14 @@ scored AS (
   FROM feat f, final w
   WHERE {score_pred}
 )
+"""
+
+
+def _qclf_sql(train_pred: str, score_pred: str) -> str:
+    """Per-source keep/agreement census over the shared classifier core —
+    ``(TRUE, TRUE)`` is the batch trainer; the streaming twin trains on
+    even doc_ids and scores the odd-doc stream."""
+    return _qclf_core_sql(train_pred, score_pred) + """
 SELECT source,
        COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
@@ -2988,10 +3029,22 @@ ORDER BY source
 
 _QCLF_SQL = _qclf_sql("TRUE", "TRUE")
 
+_QCLF_CALIBRATION_SQL = _qclf_core_sql("TRUE", "TRUE") + """
+SELECT CAST(LEAST(FLOOR(p * 10), 9) AS INTEGER) AS decile,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(p), 4) AS avg_p,
+       ROUND(AVG(y), 4) AS frac_label_keep,
+       ROUND(ABS(AVG(p) - AVG(y)), 4) AS abs_gap
+FROM scored
+GROUP BY 1
+ORDER BY decile
+"""
+
 
 QUERIES = {
     "text_html_extract": text_html_extract,
     "quality_classifier_trained": quality_classifier_trained,
+    "classifier_calibration_audit": classifier_calibration_audit,
     "text_charset_audit": text_charset_audit,
     "text_nfc_normalization_audit": text_nfc_normalization_audit,
     "heavy_hitters_cms": heavy_hitters_cms,
@@ -3023,6 +3076,7 @@ QUERIES = {
 
 ORACLES = {
     "quality_classifier_trained": _QCLF_SQL,
+    "classifier_calibration_audit": _QCLF_CALIBRATION_SQL,
     "text_html_extract": _HTML_EXTRACT_SQL,
     "text_charset_audit": _CHARSET_SQL,
     "text_nfc_normalization_audit": _nfc_sql(),
