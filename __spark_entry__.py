@@ -198,6 +198,7 @@ _NEXT_ROTATION: list[str] = [
     "embedding_jl_projection_audit",  # new in r10 (JL sign projection)
     "text_nfc_normalization_audit",   # new in r10 (Unicode NFC audit)
     "classifier_calibration_audit",   # new in r10 (reliability diagram)
+    "stream_hll_distinct_users",      # new in r10 (streaming sketch upkeep)
 ]
 
 

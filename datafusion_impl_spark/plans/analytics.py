@@ -2742,7 +2742,13 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries <= types*512 rows), then a 512-row-per-type rollup;
     the merge path touches only register rows, never the events table."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    regs = _hll_regs(ev)
+    return _hll_report(ev, _hll_regs(ev))
+
+
+def _hll_report(ev: DataFrame, regs: DataFrame) -> DataFrame:
+    """The report tail shared by the batch sketch and its streaming twin:
+    merge an ``__ALL__`` sketch register-wise, estimate, and audit against
+    the exact distinct counts from the batch events frame ``ev``."""
     merged = (
         regs.groupBy("bucket")
         .agg(F.max("r").alias("r"))

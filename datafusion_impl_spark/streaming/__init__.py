@@ -2412,6 +2412,83 @@ def stream_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH MAINTENANCE AS A CONTINUOUS QUERY: the per-event-type HLL
+    registers from ``plans.analytics.sketch_hll_distinct_users`` kept
+    up to date by a streaming max-aggregation while events arrive as TWO
+    files with ``maxFilesPerTrigger=1`` — registers from the first
+    micro-batch genuinely merge with the second's (register max is
+    monotone, so update-mode re-emits are reconciled with a plain max in
+    the batch tail). This is the dashboard-distinct-count shape: the
+    stream maintains 512 longs per key, never a user set, and the batch
+    tail estimates + audits against the exact counts. Same estimate as
+    the batch sketch by construction, so the oracle is shared verbatim.
+
+    At 100 TB: state is (types × 512) longs regardless of user
+    cardinality — the whole reason HLL replaces countDistinct on
+    streams."""
+    import os
+    import shutil
+    import uuid
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from datafusion_impl_spark.plans.analytics import _hll_regs, _hll_report
+    from datafusion_impl_spark.sources.registry import load_table
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    feed = os.path.join(
+        "/tmp/datafusion_impl_spark_hll_feed", f"{tag}_{uuid.uuid4().hex}"
+    )
+    os.makedirs(feed)
+    t = papq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "user_id"],
+    )
+    half = max(t.num_rows // 2, 1)
+    papq.write_table(t.slice(0, half), os.path.join(feed, "e0.parquet"))
+    if t.num_rows > half:
+        papq.write_table(t.slice(half), os.path.join(feed, "e1.parquet"))
+
+    view = "stream_hll_drv"
+    try:
+        src = (
+            spark.readStream.schema(
+                "event_id bigint, event_type string, user_id bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            _hll_regs(src.select("event_type", "user_id"))
+            .writeStream.format("memory")
+            .queryName(view)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+    # update mode re-emits a register row per batch that touched it; the
+    # register value is monotone, so the final sketch is the max
+    regs = (
+        spark.table(view)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return _hll_report(ev, regs)
+
+
+def _stream_hll_sql() -> str:
+    from datafusion_impl_spark.plans.analytics import _HLL_SQL
+
+    return _HLL_SQL
+
+
 def _stream_qclf_sql() -> str:
     from datafusion_impl_spark.operators.text import _qclf_sql
 
@@ -2420,6 +2497,7 @@ def _stream_qclf_sql() -> str:
 
 QUERIES = {
     "stream_quality_scoring": stream_quality_scoring,
+    "stream_hll_distinct_users": stream_hll_distinct_users,
     "stream_contribution_capping": stream_contribution_capping,
     "stream_ann_adc_topk": stream_ann_adc_topk,
     "stream_tws_user_totals": stream_tws_user_totals,
@@ -2437,6 +2515,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_quality_scoring": _stream_qclf_sql(),
+    "stream_hll_distinct_users": _stream_hll_sql(),
     "stream_contribution_capping": _STREAM_CAP_SQL,
     "stream_ann_adc_topk": _STREAM_ANN_SQL,
     "stream_tws_user_totals": _TWS_TOTALS_SQL,

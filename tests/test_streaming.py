@@ -941,3 +941,24 @@ def test_stream_quality_scoring_matches_batch_equivalent(spark):
         for r in batch.collect()
     }
     assert got == expected
+
+
+def test_stream_hll_registers_merge_across_batches(spark):
+    """The streaming HLL must equal the batch sketch exactly: registers
+    built incrementally across two micro-batches and reconciled from
+    update-mode re-emits are the same sparse register table the batch
+    query computes in one pass, so the estimates match row-for-row."""
+    from datafusion_impl_spark.plans.analytics import (
+        sketch_hll_distinct_users,
+    )
+    from datafusion_impl_spark.streaming import stream_hll_distinct_users
+
+    got = {
+        r.event_type: (r.n_exact, r.hll_estimate, r.rel_error, r.buckets_used)
+        for r in stream_hll_distinct_users(spark, SF_DIR).collect()
+    }
+    expected = {
+        r.event_type: (r.n_exact, r.hll_estimate, r.rel_error, r.buckets_used)
+        for r in sketch_hll_distinct_users(spark, SF_DIR).collect()
+    }
+    assert got == expected
