@@ -199,6 +199,7 @@ _NEXT_ROTATION: list[str] = [
     "text_nfc_normalization_audit",   # new in r10 (Unicode NFC audit)
     "classifier_calibration_audit",   # new in r10 (reliability diagram)
     "stream_hll_distinct_users",      # new in r10 (streaming sketch upkeep)
+    "chunk_perplexity_localization",  # new in r10 (worst-span trim signal)
 ]
 
 

@@ -855,6 +855,115 @@ ORDER BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# Chunk-level perplexity localization
+# --------------------------------------------------------------------------
+
+#: chunk width (tokens) for perplexity localization.
+_PPL_CHUNK = 20
+#: worst-chunk cross-entropy above this flags the doc as a TRIM candidate.
+_PPL_CHUNK_FLAG = 3.8
+
+
+def chunk_perplexity_localization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity LOCALIZATION — the step after doc-level filtering: a doc
+    whose average is fine can still hide one garbage span, and the fix is
+    to trim the span, not drop the doc. Tokens score under the corpus
+    unigram LM (same broadcast-LM shape as :func:`text_perplexity_proxy`),
+    aggregate per 20-token chunk, and each doc reports its WORST chunk
+    next to its own mean; per source: docs, mean doc cross-entropy, mean
+    worst-chunk cross-entropy, the mean localization gap (worst − doc),
+    and how many docs a span-trimmer would touch.
+
+    Scale shape: one exploded token frame feeds both the LM aggregate and
+    the scoring join (LM side bounded → broadcast, the Zipf key never
+    shuffles); chunking is arithmetic on the token position (no second
+    tokenize); per-doc worst-chunk is a max over a struct, not a window
+    over the fact table."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(tokens("text")).alias("pos", "token"),
+    )
+    lm = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = lm.agg(F.sum("cnt").alias("total"))
+    # div-safe: total sums LM token counts >= 1 when any token exists
+    logp = F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+    lm_p = lm.crossJoin(F.broadcast(total)).select("token", (-logp).alias("nll"))
+    scored = tok.join(F.broadcast(lm_p), "token").select(
+        "doc_id",
+        "source",
+        F.floor(F.col("pos") / _PPL_CHUNK).cast("int").alias("chunk_id"),
+        "nll",
+    )
+    per_chunk = scored.groupBy("doc_id", "source", "chunk_id").agg(
+        F.round(F.avg("nll"), 6).alias("chunk_ce")
+    )
+    per_doc = (
+        per_chunk.groupBy("doc_id", "source")
+        .agg(
+            F.max("chunk_ce").alias("worst_ce"),
+            F.round(F.avg("chunk_ce"), 6).alias("doc_ce"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("doc_ce"), 4).alias("avg_doc_ce"),
+            F.round(F.avg("worst_ce"), 4).alias("avg_worst_chunk_ce"),
+            F.round(F.avg(F.col("worst_ce") - F.col("doc_ce")), 4).alias(
+                "avg_localization_gap"
+            ),
+            F.sum((F.col("worst_ce") > _PPL_CHUNK_FLAG).cast("long")).alias(
+                "n_trim_candidates"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_PPL_CHUNK_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, i - 1 AS pos, t[i] AS token
+  FROM (
+    SELECT doc_id, source, {_DUCK_TOKENS.format(col='text')} AS t
+    FROM documents),
+    LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) idx
+),
+lm AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM lm),
+per_chunk AS (
+  SELECT doc_id, source, CAST(FLOOR(pos / {_PPL_CHUNK}) AS INTEGER)
+           AS chunk_id,
+         -- div-safe: total sums LM token counts >= 1
+         ROUND(AVG(-LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))), 6)
+           AS chunk_ce
+  FROM tok JOIN lm USING (token), tot
+  GROUP BY doc_id, source, CAST(FLOOR(pos / {_PPL_CHUNK}) AS INTEGER)
+),
+per_doc AS (
+  SELECT doc_id, source,
+         MAX(chunk_ce) AS worst_ce,
+         ROUND(AVG(chunk_ce), 6) AS doc_ce
+  FROM per_chunk GROUP BY doc_id, source
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(doc_ce), 4) AS avg_doc_ce,
+       ROUND(AVG(worst_ce), 4) AS avg_worst_chunk_ce,
+       ROUND(AVG(worst_ce - doc_ce), 4) AS avg_localization_gap,
+       CAST(SUM(CASE WHEN worst_ce > {_PPL_CHUNK_FLAG} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_trim_candidates
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
 #: heavy-hitter surfacing: top-K tokens per source by exact count.
 _HH_TOPK = 5
 
@@ -3070,6 +3179,7 @@ QUERIES = {
     "text_pii_redaction": text_pii_redaction,
     "text_repetition_stats": text_repetition_stats,
     "text_perplexity_proxy": text_perplexity_proxy,
+    "chunk_perplexity_localization": chunk_perplexity_localization,
     "topk_tokens_per_source": topk_tokens_per_source,
     "vocab_growth_curve": vocab_growth_curve,
 }
@@ -3103,6 +3213,7 @@ ORACLES = {
     "text_pii_redaction": _PII_SQL,
     "text_repetition_stats": _REPETITION_SQL,
     "text_perplexity_proxy": _PERPLEXITY_SQL,
+    "chunk_perplexity_localization": _PPL_CHUNK_SQL,
     "topk_tokens_per_source": _HH_SQL,
     "vocab_growth_curve": _vocab_growth_oracle(),
 }

@@ -1102,6 +1102,22 @@ def test_decode_bmp_rejects_malformed():
         decode_bmp(_bmp_encode(3)[:-10])  # truncated pixel array
 
 
+def test_chunk_perplexity_localization_invariants(spark):
+    """Worst-chunk cross-entropy can never sit below the doc mean (max >=
+    mean of the same chunks), so the localization gap is nonnegative for
+    every source, and every source reports docs."""
+    from datafusion_impl_spark.operators.text import (
+        chunk_perplexity_localization,
+    )
+
+    rows = chunk_perplexity_localization(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs > 0
+        assert r.avg_localization_gap >= 0, r
+        assert r.avg_worst_chunk_ce >= r.avg_doc_ce, r
+
+
 def test_nfc_audit_matches_planted_ground_truth(spark):
     """The planted Unicode variants give exact per-residue ground truth:
     residues 0/2/3 change under NFC (two of them shrinking by one
