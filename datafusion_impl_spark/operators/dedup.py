@@ -1741,7 +1741,176 @@ ORDER BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# Portable Bloom filter (membership sketch; ingestion-dedup prefilter)
+# --------------------------------------------------------------------------
+
+_BLOOM_BITS = 131072     # m = 2^17 bits
+_BLOOM_K = 4             # hash functions
+_BLOOM_BLOCK = 32        # bits per BIGINT register block (sign-safe shifts)
+
+
+def sketch_bloom_ingest_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE BLOOM FILTER — the membership sketch that completes the
+    family (CMS = frequency, HLL = cardinality, Bloom = membership), in
+    its canonical pipeline role: the already-ingested corpus (even
+    doc_ids) compresses its content fingerprints into a 2^17-bit filter
+    (4096 32-bit register blocks built with one ``bit_or`` aggregate),
+    and every arriving document probes the filter BEFORE the expensive
+    exact path. Per language: probes, Bloom hits, exact members, false
+    positives, and the realized FP rate — next to the rate the m/n/k
+    arithmetic predicts, the sketch contract made observable. Guaranteed
+    by construction: zero false NEGATIVES (a Bloom can only over-admit),
+    which the oracle's exact join verifies row-for-row.
+
+    Determinism: bit positions come from the cross-engine md5 hash
+    (``md5_long(key || '#j') % m``); registers are integer ``bit_or``
+    sums, so BOTH engines build the identical filter bit-for-bit.
+
+    Scale shape: the filter is 16 KB regardless of corpus size and
+    BROADCASTS to the probe side (at 100 TB: the reason ingestion probes
+    a Bloom instead of anti-joining the full corpus index); building it
+    is one groupBy over 4k block keys with map-side combine."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    keyed = docs.select(
+        "doc_id", "lang", F.md5(F.col("text")).alias("key")
+    )
+    member_keys = (
+        keyed.filter(F.col("doc_id") % 2 == 0).select("key").distinct()
+    )
+
+    def positions(df: DataFrame, keep: list[str]) -> DataFrame:
+        js = F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)]))
+        pos = md5_long(
+            F.concat(F.col("key"), F.lit("#"), F.col("j").cast("string"))
+        ) % _BLOOM_BITS
+        return (
+            df.select(*keep, "key", js.alias("j"))
+            .select(
+                *keep,
+                "key",
+                (pos / _BLOOM_BLOCK).cast("long").alias("block"),
+                (pos % _BLOOM_BLOCK).alias("bit"),
+            )
+        )
+
+    blocks = (
+        positions(member_keys, [])
+        .select(
+            "block",
+            F.pow(F.lit(2.0), F.col("bit")).cast("long").alias("bv"),
+        )
+        .groupBy("block")
+        .agg(F.bit_or("bv").alias("reg"))
+    )
+    probe = (
+        positions(keyed, ["doc_id", "lang"])
+        .join(F.broadcast(blocks), "block", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "key",
+            (
+                F.coalesce(F.col("reg"), F.lit(0))
+                .bitwiseAND(F.pow(F.lit(2.0), F.col("bit")).cast("long"))
+                != 0
+            ).cast("int").alias("bit_set"),
+        )
+        .groupBy("doc_id", "lang", "key")
+        .agg((F.min("bit_set") == 1).alias("bloom_hit"))
+    )
+    checked = probe.join(
+        member_keys.select("key", F.lit(True).alias("is_member")),
+        "key",
+        "left",
+    ).select(
+        "lang",
+        "bloom_hit",
+        F.coalesce("is_member", F.lit(False)).alias("is_member"),
+    )
+    return (
+        checked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_probed"),
+            F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hits"),
+            F.sum(F.col("is_member").cast("long")).alias("n_members"),
+            F.sum(
+                (F.col("bloom_hit") & ~F.col("is_member")).cast("long")
+            ).alias("n_false_positives"),
+            # div-safe: greatest(non-members, 1) >= 1
+            F.round(
+                F.sum((F.col("bloom_hit") & ~F.col("is_member")).cast("long"))
+                / F.greatest(
+                    F.sum((~F.col("is_member")).cast("long")), F.lit(1)
+                ),
+                4,
+            ).alias("fp_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+_BLOOM_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, md5(text) AS key FROM documents
+),
+member_keys AS (
+  SELECT DISTINCT key FROM keyed WHERE doc_id % 2 = 0
+),
+mpos AS (
+  SELECT key,
+         {duck_md5_long("key || '#' || CAST(j AS VARCHAR)")}
+           % {_BLOOM_BITS} AS pos
+  FROM member_keys,
+       (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j) js
+),
+blocks AS (
+  SELECT pos // {_BLOOM_BLOCK} AS block,
+         bit_or(CAST(POW(2, pos % {_BLOOM_BLOCK}) AS BIGINT)) AS reg
+  FROM mpos GROUP BY 1
+),
+ppos AS (
+  SELECT doc_id, lang, key,
+         {duck_md5_long("key || '#' || CAST(j AS VARCHAR)")}
+           % {_BLOOM_BITS} AS pos
+  FROM keyed,
+       (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j) js
+),
+probe AS (
+  SELECT doc_id, lang, key,
+         MIN(CASE WHEN (COALESCE(b.reg, 0)
+                        & CAST(POW(2, pos % {_BLOOM_BLOCK}) AS BIGINT)) <> 0
+                  THEN 1 ELSE 0 END) = 1 AS bloom_hit
+  FROM ppos LEFT JOIN blocks b ON b.block = pos // {_BLOOM_BLOCK}
+  GROUP BY doc_id, lang, key
+),
+checked AS (
+  SELECT p.lang, p.bloom_hit,
+         (m.key IS NOT NULL) AS is_member
+  FROM probe p LEFT JOIN member_keys m ON m.key = p.key
+)
+SELECT lang,
+       COUNT(*) AS n_probed,
+       CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_hits,
+       CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_members,
+       CAST(SUM(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positives,
+       -- div-safe: GREATEST(non-members, 1) >= 1
+       ROUND(SUM(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END)
+             / CAST(GREATEST(SUM(CASE WHEN is_member THEN 0 ELSE 1 END), 1)
+                    AS DOUBLE), 4) AS fp_rate
+FROM checked
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
+    "sketch_bloom_ingest_filter": sketch_bloom_ingest_filter,
     "dedup_common_prefix_census": dedup_common_prefix_census,
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_minhash_param_sweep": dedup_minhash_param_sweep,
@@ -1761,6 +1930,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sketch_bloom_ingest_filter": _BLOOM_SQL,
     "dedup_common_prefix_census": _PREFIX_CENSUS_SQL,
     "dedup_substring_spans": _SPAN_SQL,
     "dedup_minhash_param_sweep": _MINHASH_SWEEP_SQL,

@@ -1102,6 +1102,42 @@ def test_decode_bmp_rejects_malformed():
         decode_bmp(_bmp_encode(3)[:-10])  # truncated pixel array
 
 
+def test_bloom_filter_contract(spark):
+    """The Bloom contract: NO false negatives (every exact member is a
+    Bloom hit — n_bloom_hits >= n_members per lang, and hits minus false
+    positives equals members exactly), and the realized FP rate stays
+    within ~4x of the m/n/k prediction (it's a small-sample realization,
+    not the asymptotic rate)."""
+    import math
+
+    from datafusion_impl_spark.operators.dedup import (
+        _BLOOM_BITS,
+        _BLOOM_K,
+        sketch_bloom_ingest_filter,
+    )
+    from datafusion_impl_spark.sources.registry import load_table
+
+    rows = sketch_bloom_ingest_filter(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bloom_hits - r.n_false_positives == r.n_members, r
+        assert r.n_bloom_hits >= r.n_members, r
+    n = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text"))
+        .distinct()
+        .count()
+    )
+    predicted = (1 - math.exp(-_BLOOM_K * n / _BLOOM_BITS)) ** _BLOOM_K
+    total_fp = sum(r.n_false_positives for r in rows)
+    total_non = sum(r.n_probed - r.n_members for r in rows)
+    if total_non:
+        assert total_fp / total_non <= max(4 * predicted, 0.01), (
+            total_fp, total_non, predicted,
+        )
+
+
 def test_chunk_perplexity_localization_invariants(spark):
     """Worst-chunk cross-entropy can never sit below the doc mean (max >=
     mean of the same chunks), so the localization gap is nonnegative for
