@@ -201,6 +201,7 @@ _NEXT_ROTATION: list[str] = [
     "stream_hll_distinct_users",      # new in r10 (streaming sketch upkeep)
     "chunk_perplexity_localization",  # new in r10 (worst-span trim signal)
     "sketch_bloom_ingest_filter",     # new in r10 (portable Bloom filter)
+    "tier_classifier_trained",        # new in r10 (multiclass OVR confusion)
 ]
 
 

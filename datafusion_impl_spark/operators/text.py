@@ -3015,6 +3015,218 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: curriculum tier cutoffs — pinned to ``training._TIER_LOW/_TIER_HIGH``
+#: (duplicated literals to avoid a module cycle; a pytest asserts equality).
+_TIER_CUTS = (0.5, 0.65)
+_TIER_NAMES = ("c_low", "b_mid", "a_high")
+
+
+def _logreg_fit_multi(
+    feats: DataFrame,
+    n_classes: int,
+    steps: int = _QCLF_STEPS,
+    lr: float = _QCLF_LR,
+) -> list[list[float]]:
+    """One-vs-rest logistic regression over one-hot label columns
+    ``y0..y{n-1}``: each GD step is STILL one distributed aggregate — it
+    just carries ``4·n_classes`` rounded gradient components — so the
+    multiclass upgrade costs zero extra passes over the data. Same
+    10-dp re-sync discipline as :func:`_logreg_fit`."""
+    ws = [[0.0] * 4 for _ in range(n_classes)]
+    xs = ("x1", "x2", "x3")
+    for _ in range(steps):
+        aggs = []
+        for c in range(n_classes):
+            z = (
+                F.lit(ws[c][0])
+                + F.lit(ws[c][1]) * F.col("x1")
+                + F.lit(ws[c][2]) * F.col("x2")
+                + F.lit(ws[c][3]) * F.col("x3")
+            )
+            # div-safe: 1 + exp(-z) >= 1
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            r = p - F.col(f"y{c}")
+            aggs.append(
+                F.round(F.avg(r), _QCLF_SYNC_ROUND).alias(f"g{c}_0")
+            )
+            for k, x in enumerate(xs, start=1):
+                aggs.append(
+                    F.round(F.avg(r * F.col(x)), _QCLF_SYNC_ROUND).alias(
+                        f"g{c}_{k}"
+                    )
+                )
+        row = feats.agg(*aggs).collect()[0]  # bounded: 4*n_classes doubles
+        ws = [
+            [
+                _round_half_up(
+                    ws[c][k] - lr * row[f"g{c}_{k}"], _QCLF_SYNC_ROUND
+                )
+                for k in range(4)
+            ]
+            for c in range(n_classes)
+        ]
+    return ws
+
+
+def tier_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTICLASS model-based curation: one-vs-rest logistic regression
+    distills the 3-tier curriculum labeler (the fixed score cutoffs of
+    ``quality_curriculum_tiers``) into a trained model over the same raw
+    features, and the output is the CONFUSION MATRIX (tier × predicted
+    tier, long form) — the artifact a curation team actually reviews
+    before swapping a heuristic for a model. Prediction is argmax of the
+    three linear scores with a smallest-class tiebreak, identical in both
+    engines because weights and features are 10-dp/6-dp synced.
+
+    Scale: training is 12 aggregates each returning 12 doubles (one pass
+    per GD step regardless of class count); scoring is a stateless map."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", "text"
+    )
+    score = quality_score()
+    tier = (
+        F.when(score < _TIER_CUTS[0], _TIER_NAMES[0])
+        .when(score < _TIER_CUTS[1], _TIER_NAMES[1])
+        .otherwise(_TIER_NAMES[2])
+    )
+    feats = materialize(
+        quality_feature_frame(
+            docs.select("n_chars", "text", tier.alias("tier")), ["tier"]
+        )
+        .drop("y")
+        .select(
+            "tier",
+            "x1",
+            "x2",
+            "x3",
+            *[
+                (F.col("tier") == name).cast("double").alias(f"y{c}")
+                for c, name in enumerate(_TIER_NAMES)
+            ],
+        )
+    )
+    ws = _logreg_fit_multi(feats, len(_TIER_NAMES))
+    zs = [
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+        for w in ws
+    ]
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(z.alias("z"), F.lit(-c).alias("nc"))
+                for c, z in enumerate(zs)
+            ]
+        )
+    )
+    pred = F.element_at(
+        F.array(*[F.lit(n) for n in _TIER_NAMES]), (-best["nc"] + 1).cast("int")
+    )
+    return (
+        feats.select("tier", pred.alias("pred_tier"))
+        .groupBy("tier", "pred_tier")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("tier", "pred_tier")
+    )
+
+
+def _tier_sql() -> str:
+    """DuckDB replay of the multiclass trainer: the same recursive-GD
+    shape as :func:`_qclf_core_sql` widened to 12 weight columns, with
+    argmax-by-CASE prediction (ties fall to the smallest class index,
+    matching the Spark struct-max tiebreak)."""
+    R = _QCLF_SYNC_ROUND
+    ncls = len(_TIER_NAMES)
+    xs = ("x1", "x2", "x3")
+    cols = ", ".join(f"w{c}_{k}" for c in range(ncls) for k in range(4))
+    seeds = ", ".join("CAST(0.0 AS DOUBLE)" for _ in range(4 * ncls))
+    p_exprs = ",\n             ".join(
+        f"1.0 / (1.0 + EXP(-(r.w{c}_0 + r.w{c}_1 * f.x1 + r.w{c}_2 * f.x2"
+        f" + r.w{c}_3 * f.x3))) AS p{c}"
+        for c in range(ncls)
+    )
+    passthru = ", ".join(
+        f"r.w{c}_{k}" for c in range(ncls) for k in range(4)
+    )
+    g_exprs = []
+    for c in range(ncls):
+        g_exprs.append(f"ROUND(AVG(p{c} - y{c}), {R}) AS g{c}_0")
+        for k, x in enumerate(xs, start=1):
+            g_exprs.append(
+                f"ROUND(AVG((p{c} - y{c}) * {x}), {R}) AS g{c}_{k}"
+            )
+    g_sql = ",\n           ".join(g_exprs)
+    updates = ",\n         ".join(
+        f"ROUND(w{c}_{k} - {_QCLF_LR} * g{c}_{k}, {R})"
+        for c in range(ncls)
+        for k in range(4)
+    )
+    onehots = ",\n         ".join(
+        f"CASE WHEN tier = '{n}' THEN 1.0 ELSE 0.0 END AS y{c}"
+        for c, n in enumerate(_TIER_NAMES)
+    )
+    z_final = ",\n         ".join(
+        f"(w.w{c}_0 + w.w{c}_1 * f.x1 + w.w{c}_2 * f.x2 + w.w{c}_3 * f.x3)"
+        f" AS z{c}"
+        for c in range(ncls)
+    )
+    return f"""
+WITH RECURSIVE feat0 AS ({_QCLF_FEAT_SQL}),
+scored_docs AS ({DUCK_QUALITY_SCORED}),
+feat_tier AS (
+  SELECT f.x1, f.x2, f.x3,
+         CASE WHEN s.score < {_TIER_CUTS[0]} THEN '{_TIER_NAMES[0]}'
+              WHEN s.score < {_TIER_CUTS[1]} THEN '{_TIER_NAMES[1]}'
+              ELSE '{_TIER_NAMES[2]}' END AS tier
+  FROM feat0 f JOIN scored_docs s USING (doc_id)
+),
+feat AS (
+  SELECT x1, x2, x3, tier,
+         {onehots}
+  FROM feat_tier
+),
+it(iter, {cols}) AS (
+  SELECT 0, {seeds}
+  UNION ALL
+  SELECT iter + 1,
+         {updates}
+  FROM (
+    SELECT iter, {cols},
+           {g_sql}
+    FROM (
+      -- div-safe: 1 + EXP(-z) >= 1
+      SELECT r.iter, {passthru},
+             f.x1, f.x2, f.x3,
+             {", ".join(f"f.y{c}" for c in range(ncls))},
+             {p_exprs}
+      FROM it r, feat f
+      WHERE r.iter < {_QCLF_STEPS}
+    )
+    GROUP BY iter, {cols}
+  )
+),
+final AS (SELECT {cols} FROM it WHERE iter = {_QCLF_STEPS}),
+z AS (
+  SELECT f.tier,
+         {z_final}
+  FROM feat f, final w
+),
+pred AS (
+  SELECT tier,
+         CASE WHEN z0 >= z1 AND z0 >= z2 THEN '{_TIER_NAMES[0]}'
+              WHEN z1 >= z2 THEN '{_TIER_NAMES[1]}'
+              ELSE '{_TIER_NAMES[2]}' END AS pred_tier
+  FROM z
+)
+SELECT tier, pred_tier, COUNT(*) AS n_docs
+FROM pred
+GROUP BY tier, pred_tier
+ORDER BY tier, pred_tier
+"""
+
+
 def classifier_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram for the trained quality classifier — the
     ML-ops step after training: scored documents bucket into probability
@@ -3154,6 +3366,7 @@ QUERIES = {
     "text_html_extract": text_html_extract,
     "quality_classifier_trained": quality_classifier_trained,
     "classifier_calibration_audit": classifier_calibration_audit,
+    "tier_classifier_trained": tier_classifier_trained,
     "text_charset_audit": text_charset_audit,
     "text_nfc_normalization_audit": text_nfc_normalization_audit,
     "heavy_hitters_cms": heavy_hitters_cms,
@@ -3187,6 +3400,7 @@ QUERIES = {
 ORACLES = {
     "quality_classifier_trained": _QCLF_SQL,
     "classifier_calibration_audit": _QCLF_CALIBRATION_SQL,
+    "tier_classifier_trained": _tier_sql(),
     "text_html_extract": _HTML_EXTRACT_SQL,
     "text_charset_audit": _CHARSET_SQL,
     "text_nfc_normalization_audit": _nfc_sql(),

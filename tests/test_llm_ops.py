@@ -1102,6 +1102,27 @@ def test_decode_bmp_rejects_malformed():
         decode_bmp(_bmp_encode(3)[:-10])  # truncated pixel array
 
 
+def test_tier_classifier_confusion_and_cutoff_pin(spark):
+    """The multiclass tier classifier must (a) use exactly the curriculum
+    tier cutoffs (the text-module literals are pinned to training's — a
+    drift here would silently change the labels), and (b) actually learn:
+    the confusion-matrix diagonal holds a clear majority over the 1/3
+    chance rate, with every tier represented in the labels."""
+    from datafusion_impl_spark.operators import training
+    from datafusion_impl_spark.operators.text import (
+        _TIER_CUTS,
+        tier_classifier_trained,
+    )
+
+    assert _TIER_CUTS == (training._TIER_LOW, training._TIER_HIGH)
+    rows = tier_classifier_trained(spark, SF_DIR).collect()
+    total = sum(r.n_docs for r in rows)
+    diag = sum(r.n_docs for r in rows if r.tier == r.pred_tier)
+    labels = {r.tier for r in rows}
+    assert labels == {"c_low", "b_mid", "a_high"}
+    assert diag / total >= 0.5, (diag, total)
+
+
 def test_bloom_filter_contract(spark):
     """The Bloom contract: NO false negatives (every exact member is a
     Bloom hit — n_bloom_hits >= n_members per lang, and hits minus false
