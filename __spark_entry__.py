@@ -202,6 +202,7 @@ _NEXT_ROTATION: list[str] = [
     "chunk_perplexity_localization",  # new in r10 (worst-span trim signal)
     "sketch_bloom_ingest_filter",     # new in r10 (portable Bloom filter)
     "tier_classifier_trained",        # new in r10 (multiclass OVR confusion)
+    "sketch_bottomk_distinct",        # new in r10 (bottom-k sample+estimate)
 ]
 
 

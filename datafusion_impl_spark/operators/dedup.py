@@ -1742,6 +1742,137 @@ ORDER BY lang
 
 
 # --------------------------------------------------------------------------
+# Bottom-k sketch (mergeable distinct estimate + uniform content sample)
+# --------------------------------------------------------------------------
+
+_BOTTOMK = 32                 # sketch size per group
+_RANK_SPACE = float(1 << 60)  # md5_long rank domain
+
+
+def sketch_bottomk_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTTOM-K sketch — the third mergeable-sketch estimator family next
+    to HLL (registers) and Bloom (bits): per source, keep the k=32
+    smallest md5 ranks over distinct document contents; the k-th smallest
+    rank r_k estimates the distinct count as (k−1)·2^60/r_k, and the kept
+    keys double as a provably UNIFORM content sample (the property
+    bottom-k is actually prized for: a mergeable random sample with no
+    coordination). The ``__ALL__`` row merges the per-source sketches —
+    union the ≤ 32·|sources| kept ranks, re-take the k smallest — without
+    touching the corpus again. Exact distinct counts ride along as the
+    audit; groups smaller than k report exactly (their sketch IS the
+    distinct set).
+
+    Determinism: ranks are the integer cross-engine hash, the k-th order
+    statistic is an integer, and the estimate is one double division
+    rounded at 2 — bit-identical in both engines.
+
+    Scale shape: one distinct on (source, rank) then a per-source window
+    over ≤ distinct rows (partitioned, never global); the merge path
+    reads only sketch rows."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    ranks = docs.select(
+        "source", md5_long(F.col("text")).alias("rank")
+    ).distinct()
+    w = Window.partitionBy("source").orderBy("rank")
+    sk = (
+        ranks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BOTTOMK)
+    )
+    merged = (
+        sk.select("rank")
+        .distinct()
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("rank"))
+        )
+        .filter(F.col("rn") <= _BOTTOMK)
+        .select(F.lit("__ALL__").alias("source"), "rank", "rn")
+    )
+    all_sk = sk.unionByName(merged)
+    est_in = all_sk.groupBy("source").agg(
+        F.max("rn").alias("k_used"),
+        F.max(F.when(F.col("rn") == _BOTTOMK, F.col("rank"))).alias("r_k"),
+    )
+    # div-safe: r_k >= k >= 1 when the full-sketch branch fires (ranks are
+    # distinct positive integers, so the k-th smallest is >= k)
+    est = F.when(
+        F.col("k_used") < _BOTTOMK, F.col("k_used").cast("double")
+    ).otherwise(
+        F.round(
+            # div-safe: r_k >= k >= 1 in this branch (distinct positive
+            # integer ranks, so the k-th smallest is at least k)
+            F.lit(float(_BOTTOMK - 1)) * F.lit(_RANK_SPACE) / F.col("r_k"), 2
+        )
+    )
+    exact = docs.groupBy("source").agg(
+        F.countDistinct("text").alias("n_exact")
+    )
+    exact_all = docs.agg(F.countDistinct("text").alias("n_exact")).select(
+        F.lit("__ALL__").alias("source"), "n_exact"
+    )
+    return (
+        est_in.join(exact.unionByName(exact_all), "source")
+        .select(
+            "source",
+            "n_exact",
+            est.alias("bottomk_estimate"),
+            # div-safe: n_exact >= 1 for listed sources
+            F.round(
+                F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_error"),
+            F.col("k_used").cast("int").alias("k_used"),
+        )
+        .orderBy("source")
+    )
+
+
+_BOTTOMK_SQL = f"""
+WITH ranks AS (
+  SELECT DISTINCT source, {duck_md5_long("text")} AS rank FROM documents
+),
+sk AS (
+  SELECT source, rank,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY rank) AS rn
+  FROM ranks
+  QUALIFY rn <= {_BOTTOMK}
+),
+merged AS (
+  SELECT '__ALL__' AS source, rank,
+         ROW_NUMBER() OVER (ORDER BY rank) AS rn
+  FROM (SELECT DISTINCT rank FROM sk)
+  QUALIFY rn <= {_BOTTOMK}
+),
+all_sk AS (SELECT * FROM sk UNION ALL SELECT * FROM merged),
+est_in AS (
+  SELECT source, MAX(rn) AS k_used,
+         MAX(CASE WHEN rn = {_BOTTOMK} THEN rank END) AS r_k
+  FROM all_sk GROUP BY source
+),
+exact AS (
+  SELECT source, COUNT(DISTINCT text) AS n_exact FROM documents
+  GROUP BY source
+  UNION ALL
+  SELECT '__ALL__', COUNT(DISTINCT text) FROM documents
+),
+scored AS (
+  SELECT e.source, x.n_exact, e.k_used,
+         -- div-safe: r_k >= k >= 1 when the full-sketch branch fires
+         CASE WHEN e.k_used < {_BOTTOMK} THEN CAST(e.k_used AS DOUBLE)
+              ELSE ROUND({float(_BOTTOMK - 1)} * {_RANK_SPACE!r} / e.r_k, 2)
+         END AS bottomk_estimate
+  FROM est_in e JOIN exact x USING (source)
+)
+SELECT source,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       bottomk_estimate,
+       -- div-safe: n_exact >= 1 for listed sources
+       ROUND(ABS(bottomk_estimate - n_exact) / n_exact, 4) AS rel_error,
+       CAST(k_used AS INTEGER) AS k_used
+FROM scored
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # Portable Bloom filter (membership sketch; ingestion-dedup prefilter)
 # --------------------------------------------------------------------------
 
@@ -1911,6 +2042,7 @@ ORDER BY lang
 
 QUERIES = {
     "sketch_bloom_ingest_filter": sketch_bloom_ingest_filter,
+    "sketch_bottomk_distinct": sketch_bottomk_distinct,
     "dedup_common_prefix_census": dedup_common_prefix_census,
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_minhash_param_sweep": dedup_minhash_param_sweep,
@@ -1931,6 +2063,7 @@ QUERIES = {
 
 ORACLES = {
     "sketch_bloom_ingest_filter": _BLOOM_SQL,
+    "sketch_bottomk_distinct": _BOTTOMK_SQL,
     "dedup_common_prefix_census": _PREFIX_CENSUS_SQL,
     "dedup_substring_spans": _SPAN_SQL,
     "dedup_minhash_param_sweep": _MINHASH_SWEEP_SQL,

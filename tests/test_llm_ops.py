@@ -1102,6 +1102,29 @@ def test_decode_bmp_rejects_malformed():
         decode_bmp(_bmp_encode(3)[:-10])  # truncated pixel array
 
 
+def test_bottomk_sketch_estimates_and_merges(spark):
+    """Bottom-k contract: groups smaller than k report EXACTLY (the sketch
+    is the distinct set), full sketches estimate within 5 standard errors
+    (SE ~ 1/sqrt(k-2) for the (k-1)/r_k estimator), and the merged
+    __ALL__ row — built from per-source sketches only — obeys the same
+    bound against the true global distinct count."""
+    from datafusion_impl_spark.operators.dedup import (
+        _BOTTOMK,
+        sketch_bottomk_distinct,
+    )
+
+    rows = {r.source: r for r in
+            sketch_bottomk_distinct(spark, SF_DIR).collect()}
+    assert "__ALL__" in rows and len(rows) > 2
+    se = 1.0 / (_BOTTOMK - 2) ** 0.5
+    for src, r in rows.items():
+        assert r.k_used <= _BOTTOMK
+        if r.k_used < _BOTTOMK:
+            assert r.bottomk_estimate == float(r.n_exact), (src, r)
+        else:
+            assert r.rel_error <= 5 * se, (src, r)
+
+
 def test_tier_classifier_confusion_and_cutoff_pin(spark):
     """The multiclass tier classifier must (a) use exactly the curriculum
     tier cutoffs (the text-module literals are pinned to training's — a
