@@ -203,6 +203,7 @@ _NEXT_ROTATION: list[str] = [
     "sketch_bloom_ingest_filter",     # new in r10 (portable Bloom filter)
     "tier_classifier_trained",        # new in r10 (multiclass OVR confusion)
     "sketch_bottomk_distinct",        # new in r10 (bottom-k sample+estimate)
+    "classifier_incremental_refresh",  # new in r10 (warm-start model refresh)
 ]
 
 

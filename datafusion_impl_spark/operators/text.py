@@ -2918,7 +2918,10 @@ def _logreg_z(w: list[float]) -> Column:
 
 
 def _logreg_fit(
-    feats: DataFrame, steps: int = _QCLF_STEPS, lr: float = _QCLF_LR
+    feats: DataFrame,
+    steps: int = _QCLF_STEPS,
+    lr: float = _QCLF_LR,
+    init: list[float] | None = None,
 ) -> list[float]:
     """Full-batch logistic-regression GD over a (x1, x2, x3, y) frame:
     each step is ONE distributed aggregate whose result is a bounded
@@ -2928,8 +2931,9 @@ def _logreg_fit(
     100 TB (K passes over a persisted feature table, no driver-side data).
     Gradient components and weights round half-away-from-zero at
     ``_QCLF_SYNC_ROUND`` so DuckDB's WITH RECURSIVE replay of the same
-    schedule is bit-identical."""
-    w = [0.0, 0.0, 0.0, 0.0]
+    schedule is bit-identical. ``init`` warm-starts from existing weights
+    (model refresh) instead of zeros."""
+    w = list(init) if init is not None else [0.0, 0.0, 0.0, 0.0]
     for _ in range(steps):
         # div-safe: 1 + exp(-z) >= 1
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z(w)))
@@ -3013,6 +3017,99 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: warm-start refresh schedule: half the from-scratch step count.
+_QCLF_REFRESH_STEPS = 6
+
+
+def classifier_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL REFRESH — the maintenance story for the in-engine classifier:
+    v1 trains from scratch on the already-ingested half of the corpus
+    (even doc_ids, the full 12-step schedule), then v2 WARM-STARTS from
+    v1's weights and takes only 6 more steps over the full corpus — the
+    production cadence (yesterday's model + a short pass over today's
+    data, never a from-scratch retrain). Output is the per-coefficient
+    ledger: v1 weight, v2 weight, absolute drift — the artifact a model
+    registry diffs before promoting a refresh.
+
+    Both phases use the same 10-dp synced GD kernel, so the DuckDB replay
+    (two chained WITH RECURSIVE iterations, the second seeded from the
+    first's final row) reproduces both weight vectors bit-identically."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    feats = materialize(quality_feature_frame(docs, ["doc_id"]))
+    v1 = _logreg_fit(feats.filter(F.col("doc_id") % 2 == 0))
+    v2 = _logreg_fit(feats, steps=_QCLF_REFRESH_STEPS, init=v1)
+    names = ("bias", "x1", "x2", "x3")
+    rows = [
+        (k, names[k], v1[k], v2[k], _round_half_up(abs(v2[k] - v1[k]), 10))
+        for k in range(4)
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema="idx int, coefficient string, w_v1 double, w_v2 double, "
+        "abs_drift double",
+    ).orderBy("idx")
+
+
+def _qclf_refresh_sql() -> str:
+    R = _QCLF_SYNC_ROUND
+
+    def gd_cte(name: str, seed_sql: str, steps: int, pred: str) -> str:
+        return f"""
+{name}(iter, w0, w1, w2, w3) AS (
+  {seed_sql}
+  UNION ALL
+  SELECT iter + 1,
+         ROUND(w0 - {_QCLF_LR} * g0, {R}),
+         ROUND(w1 - {_QCLF_LR} * g1, {R}),
+         ROUND(w2 - {_QCLF_LR} * g2, {R}),
+         ROUND(w3 - {_QCLF_LR} * g3, {R})
+  FROM (
+    SELECT iter, w0, w1, w2, w3,
+           ROUND(AVG(p - y), {R}) AS g0,
+           ROUND(AVG((p - y) * x1), {R}) AS g1,
+           ROUND(AVG((p - y) * x2), {R}) AS g2,
+           ROUND(AVG((p - y) * x3), {R}) AS g3
+    FROM (
+      -- div-safe: 1 + EXP(-z) >= 1
+      SELECT r.iter, r.w0, r.w1, r.w2, r.w3, f.x1, f.x2, f.x3, f.y,
+             1.0 / (1.0 + EXP(-(r.w0 + r.w1 * f.x1 + r.w2 * f.x2
+                                + r.w3 * f.x3))) AS p
+      FROM {name} r, feat f
+      WHERE r.iter < {steps} AND ({pred})
+    )
+    GROUP BY iter, w0, w1, w2, w3
+  )
+)"""
+
+    seed1 = (
+        "SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),"
+        " CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)"
+    )
+    seed2 = (
+        f"SELECT 0, w0, w1, w2, w3 FROM it1 WHERE iter = {_QCLF_STEPS}"
+    )
+    return f"""
+WITH RECURSIVE feat AS ({_QCLF_FEAT_SQL}),
+{gd_cte("it1", seed1, _QCLF_STEPS, "f.doc_id % 2 = 0")},
+{gd_cte("it2", seed2, _QCLF_REFRESH_STEPS, "TRUE")},
+v1 AS (SELECT w0, w1, w2, w3 FROM it1 WHERE iter = {_QCLF_STEPS}),
+v2 AS (SELECT w0, w1, w2, w3 FROM it2 WHERE iter = {_QCLF_REFRESH_STEPS}),
+ledger AS (
+  SELECT 0 AS idx, 'bias' AS coefficient, v1.w0 AS w_v1, v2.w0 AS w_v2
+  FROM v1, v2
+  UNION ALL SELECT 1, 'x1', v1.w1, v2.w1 FROM v1, v2
+  UNION ALL SELECT 2, 'x2', v1.w2, v2.w2 FROM v1, v2
+  UNION ALL SELECT 3, 'x3', v1.w3, v2.w3 FROM v1, v2
+)
+SELECT idx, coefficient, w_v1, w_v2,
+       ROUND(ABS(w_v2 - w_v1), {R}) AS abs_drift
+FROM ledger
+ORDER BY idx
+"""
 
 
 #: curriculum tier cutoffs — pinned to ``training._TIER_LOW/_TIER_HIGH``
@@ -3367,6 +3464,7 @@ QUERIES = {
     "quality_classifier_trained": quality_classifier_trained,
     "classifier_calibration_audit": classifier_calibration_audit,
     "tier_classifier_trained": tier_classifier_trained,
+    "classifier_incremental_refresh": classifier_incremental_refresh,
     "text_charset_audit": text_charset_audit,
     "text_nfc_normalization_audit": text_nfc_normalization_audit,
     "heavy_hitters_cms": heavy_hitters_cms,
@@ -3401,6 +3499,7 @@ ORACLES = {
     "quality_classifier_trained": _QCLF_SQL,
     "classifier_calibration_audit": _QCLF_CALIBRATION_SQL,
     "tier_classifier_trained": _tier_sql(),
+    "classifier_incremental_refresh": _qclf_refresh_sql(),
     "text_html_extract": _HTML_EXTRACT_SQL,
     "text_charset_audit": _CHARSET_SQL,
     "text_nfc_normalization_audit": _nfc_sql(),

@@ -1102,6 +1102,32 @@ def test_decode_bmp_rejects_malformed():
         decode_bmp(_bmp_encode(3)[:-10])  # truncated pixel array
 
 
+def test_incremental_refresh_warm_start_semantics(spark):
+    """Warm-start refresh: the ledger covers all four coefficients, v1
+    matches an independent from-scratch fit on the even half, and the
+    6-step refresh actually moves the weights (nonzero drift somewhere —
+    the full corpus differs from the training half)."""
+    from datafusion_impl_spark.operators.text import (
+        _logreg_fit,
+        classifier_incremental_refresh,
+        quality_feature_frame,
+    )
+    from datafusion_impl_spark.sources.registry import load_table
+
+    rows = {r.coefficient: r for r in
+            classifier_incremental_refresh(spark, SF_DIR).collect()}
+    assert set(rows) == {"bias", "x1", "x2", "x3"}
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "n_chars", "text"
+    )
+    v1 = _logreg_fit(
+        quality_feature_frame(docs.filter(F.col("doc_id") % 2 == 0), [])
+    )
+    got_v1 = [rows[c].w_v1 for c in ("bias", "x1", "x2", "x3")]
+    assert got_v1 == v1
+    assert any(r.abs_drift > 0 for r in rows.values())
+
+
 def test_bottomk_sketch_estimates_and_merges(spark):
     """Bottom-k contract: groups smaller than k report EXACTLY (the sketch
     is the distinct set), full sketches estimate within 5 standard errors
