@@ -103,26 +103,17 @@ _MODULES = [
 #       is still CORRECTNESS_r03. The 11 remaining r3-evidence queries queue
 #       in _NEXT_ROTATION ahead of the r9-new operators (registry now 275,
 #       268 oracled), so after r10 the evidence recency floor moves to r4.
-#   r10: the 23 staged queries (r9's _NEXT_ROTATION verbatim — 11 r3-evidence
-#       pads + the 12 r9-new operators, which were the only oracled queries
-#       with no driver row) + 27 of the 45 queries whose newest driver row is
-#       CORRECTNESS_r04. The 18 remaining r4-evidence queries queue in
-#       _NEXT_ROTATION ahead of r10-new operators; after r11 the evidence
-#       recency floor moves to r5.
+#   r10: staged 23 (11 r3-evidence pads + 12 r9-new) + 27 r4-evidence pads,
+#       but the r10 round ended WITHOUT a driver verify pass (no
+#       CORRECTNESS_r10.json, same as r8) — none of those rows were recorded.
+#   r11 (this list): every oracled query with NO driver row at all — the 12
+#       r9-new + the 15 r10-new operators, all 27 re-verified PASS against
+#       DuckDB at sf0.01 in the r11 session — then the 11 r3-evidence pads,
+#       then 12 of the 45 r4-evidence pads (alphabetical head). The 33
+#       remaining r4-evidence queries queue in _NEXT_ROTATION ahead of
+#       r11-new operators.
 _PRIORITY = [
-    # --- 11 r3-evidence pads (complete the r3 floor) ---
-    "events_props_struct",
-    "events_daily_k_histogram",
-    "props_kv_udtf_stats",
-    "events_props_malformed_audit",
-    "multimodal_media_features",
-    "multimodal_frame_samples",
-    "multimodal_exact_dedup",
-    "chunk_documents_sliding",
-    "source_temperature_mixture",
-    "dedup_documents_containment",
-    "embedding_dimension_stats",
-    # --- the 12 r9-new operators (first driver rows) ---
+    # --- the 12 r9-new operators (first driver rows; judge-verified r9+r11) ---
     "text_html_extract",
     "bpe_encode_corpus",
     "stream_ann_adc_topk",
@@ -135,7 +126,35 @@ _PRIORITY = [
     "stream_contribution_capping",
     "dedup_common_prefix_census",
     "span_corruption_mask_stats",
-    # --- 27 oldest-evidence pads (newest driver row CORRECTNESS_r04) ---
+    # --- the 15 r10-new operators (first driver rows; local PASS in r11) ---
+    "multimodal_png_decode_stats",  # real zlib PNG decode
+    "quality_classifier_trained",   # in-engine logistic regression
+    "source_trigram_backoff",       # held-out stupid-backoff LM
+    "sketch_hll_distinct_users",    # portable mergeable HLL
+    "sketch_hll_overlap_matrix",    # sketch-algebra overlap
+    "stream_quality_scoring",       # streaming model serving
+    "embedding_jl_projection_audit",  # JL sign projection
+    "text_nfc_normalization_audit",   # Unicode NFC audit
+    "classifier_calibration_audit",   # reliability diagram
+    "stream_hll_distinct_users",      # streaming sketch upkeep
+    "chunk_perplexity_localization",  # worst-span trim signal
+    "sketch_bloom_ingest_filter",     # portable Bloom filter
+    "tier_classifier_trained",        # multiclass OVR confusion
+    "sketch_bottomk_distinct",        # bottom-k sample+estimate
+    "classifier_incremental_refresh",  # warm-start model refresh
+    # --- 11 r3-evidence pads (complete the r3 floor) ---
+    "events_props_struct",
+    "events_daily_k_histogram",
+    "props_kv_udtf_stats",
+    "events_props_malformed_audit",
+    "multimodal_media_features",
+    "multimodal_frame_samples",
+    "multimodal_exact_dedup",
+    "chunk_documents_sliding",
+    "source_temperature_mixture",
+    "dedup_documents_containment",
+    "embedding_dimension_stats",
+    # --- 12 oldest-evidence pads (newest driver row CORRECTNESS_r04) ---
     "ann_ivf_incremental_assign",
     "bucketed_orders_pruned_join",
     "click_attribution_stats",
@@ -148,6 +167,13 @@ _PRIORITY = [
     "dedup_union_priority",
     "ema_revenue_closed_form",
     "embedding_kmeans_clusters",
+]
+
+# Beyond the 50-query window: the r11 rotation queue — the 33 remaining
+# r4-evidence queries lead, then queries added this round are appended as
+# they land, to head next round's window.
+_NEXT_ROTATION: list[str] = [
+    # --- 33 remaining r4-evidence pads (complete the r4 floor in r12) ---
     "events_props_variant",
     "events_time_rollup",
     "hard_negative_mining",
@@ -163,13 +189,6 @@ _PRIORITY = [
     "parquet_schema_evolution_merge",
     "profile_orders_columns",
     "q11_important_parts",
-]
-
-# Beyond the 50-query window: the r10 rotation queue — the 18 remaining
-# r4-evidence queries lead, then queries added this round are appended as
-# they land, to head next round's window.
-_NEXT_ROTATION: list[str] = [
-    # --- 18 remaining r4-evidence pads (complete the r4 floor in r11) ---
     "q20_part_flow_suppliers",
     "q2_min_cost_supplier",
     "q9_product_type_profit",
@@ -188,22 +207,6 @@ _NEXT_ROTATION: list[str] = [
     "string_agg_nations_per_region",
     "xml_documents_roundtrip",
     "zorder_orders_layout",
-    # --- new in r10 ---
-    "multimodal_png_decode_stats",  # new in r10 (real zlib PNG decode)
-    "quality_classifier_trained",   # new in r10 (in-engine logistic reg.)
-    "source_trigram_backoff",       # new in r10 (held-out stupid-backoff LM)
-    "sketch_hll_distinct_users",    # new in r10 (portable mergeable HLL)
-    "sketch_hll_overlap_matrix",    # new in r10 (sketch-algebra overlap)
-    "stream_quality_scoring",       # new in r10 (streaming model serving)
-    "embedding_jl_projection_audit",  # new in r10 (JL sign projection)
-    "text_nfc_normalization_audit",   # new in r10 (Unicode NFC audit)
-    "classifier_calibration_audit",   # new in r10 (reliability diagram)
-    "stream_hll_distinct_users",      # new in r10 (streaming sketch upkeep)
-    "chunk_perplexity_localization",  # new in r10 (worst-span trim signal)
-    "sketch_bloom_ingest_filter",     # new in r10 (portable Bloom filter)
-    "tier_classifier_trained",        # new in r10 (multiclass OVR confusion)
-    "sketch_bottomk_distinct",        # new in r10 (bottom-k sample+estimate)
-    "classifier_incremental_refresh",  # new in r10 (warm-start model refresh)
 ]
 
 
