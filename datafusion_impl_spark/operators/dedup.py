@@ -762,6 +762,163 @@ ORDER BY doc_a, doc_b
 
 
 # --------------------------------------------------------------------------
+# b-bit minhash (Li & König 2010): 15x smaller signatures, corrected bias
+# --------------------------------------------------------------------------
+
+#: bits kept per minhash value (b-bit minwise hashing).
+_BBIT_B = 4
+_BBIT_MOD = 2 ** _BBIT_B
+#: collision probability of two NON-matching mins after b-bit truncation
+#: (exact 2^-b in the large-universe limit the estimator assumes).
+_BBIT_C = 1.0 / _BBIT_MOD
+
+
+def dedup_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-BIT MINWISE HASHING (Li & König 2010) — the memory-scale move on
+    top of MinHash: keep only the lowest ``b=4`` bits of each of the 12
+    minhash values (6 bytes/doc instead of 96), and undo the truncation
+    collisions analytically: matching b-bit values happen with probability
+    ``C + (1-C)·J`` (``C = 2^-b``), so ``Ĵ_b = (M_b − C)/(1 − C)`` is the
+    bias-corrected estimate from the observed b-bit match fraction
+    ``M_b``. Per LSH candidate pair: the exact Jaccard, the full-width
+    estimate, the b-bit corrected estimate, and both absolute errors —
+    the accuracy-vs-15× audit that decides whether a 100 TB signature
+    store can ship 4-bit registers.
+
+    Scale shape: identical candidate discipline to every minhash query
+    here (pairs come from the banded equi-join, never all-pairs); the
+    per-pair work is 12 column equality tests on the broadcast-size
+    signature table, and the truncation itself is a map-side ``pmod``."""
+    corpus = near_dup_corpus(spark, sf_dir)
+    sh = materialize(_shingles(corpus))
+    sig = materialize(_sig_wide(sh))
+    cand = _band_candidates(_bands_from_sig(sig))
+    sa = sig.select(
+        F.col("doc_id").alias("da"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_NUM_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("db"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_NUM_HASHES)],
+    )
+    paired = cand.join(sa, "da").join(sb, "db")
+    m_full = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        for i in range(_NUM_HASHES)
+    )
+    m_bbit = sum(
+        (F.col(f"a{i}") % _BBIT_MOD == F.col(f"b{i}") % _BBIT_MOD).cast("int")
+        for i in range(_NUM_HASHES)
+    )
+    # div-safe: _NUM_HASHES and (1 - _BBIT_C) are nonzero module constants
+    est_full = m_full / F.lit(float(_NUM_HASHES))
+    est_bbit = (
+        m_bbit / F.lit(float(_NUM_HASHES)) - F.lit(_BBIT_C)
+    ) / F.lit(1.0 - _BBIT_C)
+    ests = paired.select("da", "db", est_full.alias("ef"), est_bbit.alias("eb"))
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    shx = sh.select(F.col("doc_id").alias("da"), "shingle")
+    shy = sh.select(F.col("doc_id").alias("db"), "shingle")
+    inter = (
+        cand.join(shx, "da").join(shy, ["db", "shingle"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    za = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    # div-safe: union size >= max(na, nb) >= 1
+    exact_j = F.coalesce(F.col("i"), F.lit(0)) / (
+        F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))
+    ).cast("double")
+    exact = (
+        cand.join(inter, ["da", "db"], "left")
+        .join(za, "da")
+        .join(zb, "db")
+        .select("da", "db", exact_j.alias("xj"))
+    )
+    return (
+        ests.join(exact, ["da", "db"])
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.round("xj", 4).alias("exact_j"),
+            F.round("ef", 4).alias("est_full"),
+            F.round("eb", 4).alias("est_bbit"),
+            F.round(F.abs(F.col("ef") - F.col("xj")), 4).alias("err_full"),
+            F.round(F.abs(F.col("eb") - F.col("xj")), 4).alias("err_bbit"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_BBIT_SQL = rf"""
+WITH corpus AS ({_CORPUS_SQL}),
+{_DUCK_SHINGLES},
+mh AS (
+  SELECT doc_id, seed,
+         MIN({duck_md5_long("shingle || '#' || CAST(seed AS VARCHAR)")}) AS mh
+  FROM sh, (SELECT unnest(generate_series(0, {_NUM_HASHES - 1})) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+sig AS (
+  SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band,
+         md5(array_to_string(
+           list_transform(list_slice(sig, band * {_R} + 1, band * {_R} + {_R}),
+                          x -> CAST(x AS VARCHAR)), ',')) AS bkey
+  FROM sig, (SELECT unnest(generate_series(0, {_BANDS - 1})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+ests AS (
+  SELECT c.da, c.db,
+         -- div-safe: _NUM_HASHES is a nonzero module constant
+         SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END)
+           / {float(_NUM_HASHES)!r} AS ef,
+         -- div-safe: (1 - C) is a nonzero module constant
+         (SUM(CASE WHEN x.mh % {_BBIT_MOD} = y.mh % {_BBIT_MOD}
+                   THEN 1 ELSE 0 END) / {float(_NUM_HASHES)!r}
+          - {_BBIT_C!r}) / {1.0 - _BBIT_C!r} AS eb
+  FROM cand c
+  JOIN mh x ON x.doc_id = c.da
+  JOIN mh y ON y.doc_id = c.db AND y.seed = x.seed
+  GROUP BY c.da, c.db
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.da, c.db, COUNT(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.da
+  JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
+  GROUP BY c.da, c.db
+),
+exact AS (
+  SELECT c.da, c.db,
+         -- div-safe: union size >= max(sa.n, sb.n) >= 1
+         COALESCE(i.i, 0) / CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE) AS xj
+  FROM cand c
+  LEFT JOIN inter i ON i.da = c.da AND i.db = c.db
+  JOIN sizes sa ON sa.doc_id = c.da
+  JOIN sizes sb ON sb.doc_id = c.db
+)
+SELECT e.da AS doc_a, e.db AS doc_b,
+       ROUND(x.xj, 4) AS exact_j,
+       ROUND(e.ef, 4) AS est_full,
+       ROUND(e.eb, 4) AS est_bbit,
+       ROUND(ABS(e.ef - x.xj), 4) AS err_full,
+       ROUND(ABS(e.eb - x.xj), 4) AS err_bbit
+FROM ests e JOIN exact x ON x.da = e.da AND x.db = e.db
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
 # Contrastive pair mining (positives + LSH-false-positive hard negatives)
 # --------------------------------------------------------------------------
 
@@ -2046,6 +2203,7 @@ QUERIES = {
     "dedup_common_prefix_census": dedup_common_prefix_census,
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_minhash_param_sweep": dedup_minhash_param_sweep,
+    "dedup_bbit_minhash": dedup_bbit_minhash,
     "dedup_documents_exact": dedup_documents_exact,
     "dedup_documents_survivors": dedup_documents_survivors,
     "dedup_incremental_batch": dedup_incremental_batch,
@@ -2067,6 +2225,7 @@ ORACLES = {
     "dedup_common_prefix_census": _PREFIX_CENSUS_SQL,
     "dedup_substring_spans": _SPAN_SQL,
     "dedup_minhash_param_sweep": _MINHASH_SWEEP_SQL,
+    "dedup_bbit_minhash": _BBIT_SQL,
     "stream_near_dup_flags": _STREAM_FLAGS_SQL,
     "dedup_documents_exact": _EXACT_SQL,
     "dedup_documents_survivors": _SURVIVORS_SQL,

@@ -1736,6 +1736,227 @@ ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM (held-out scoring)
+# --------------------------------------------------------------------------
+
+#: absolute discount D (Kneser & Ney 1995's canonical 0.75).
+_KN_D = 0.75
+#: add-k floor on the continuation distribution so a held-out token that
+#: never appears as a bigram CONTINUATION in training still scores > 0.
+_KN_K = 0.5
+
+
+def source_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY bigram LM on held-out documents — the
+    canonical n-gram smoothing (Kneser & Ney 1995; Chen & Goodman 1998
+    found it dominant among all classical smoothers) next to the add-k
+    (:func:`source_bigram_perplexity`) and stupid-backoff
+    (:func:`source_trigram_backoff`) variants already here. The defining
+    idea: the backoff weight of a word is its CONTINUATION count (how many
+    distinct contexts it completes), not its frequency — "Francisco" is
+    frequent but follows only "San", so it gets almost no backoff mass.
+
+        p(b|a) = max(c(a,b)-D, 0)/c(a) + (D·N1+(a,·)/c(a)) · p_cont(b)
+        p_cont(b) = (N1+(·,b)+k) / (T+k(V+1)),  T = distinct bigram types
+
+    trained on even ``doc_id`` documents over the bounded top-100+OOV
+    vocabulary and scored on the odd ones, so genuinely-unseen bigrams
+    occur and the continuation term carries real weight (the per-branch
+    hit columns prove it; the unseen-CONTEXT guard branch additionally
+    covers a vocab token occurring only document-finally in training).
+    Per source: scored docs, bigram positions, hits per branch (seen /
+    continuation-only / unseen-context), mean cross-entropy, perplexity.
+
+    Scale shape: identical to the (fixed) bigram query — bounded-vocab
+    ``isin`` hash-set mapping materialized ONCE per doc, pairs via
+    ``arrays_zip`` over shifted slices, and every model table (c_ab, the
+    per-context stats, the continuation table) is bounded by (V+1)^2 rows
+    and BROADCASTS, so the Zipf-skewed bigram keys never shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    toks = docs.select(
+        "doc_id", "source", tokens("text").alias("t")
+    ).filter(F.size("t") >= 2)
+    vocab_rows = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(_BIGRAM_VOCAB)
+        .collect()
+    )
+    vocab = [r["token"] for r in vocab_rows]
+    mapped = F.transform(
+        "t",
+        lambda x: F.when(x.isin(*vocab), x).otherwise(F.lit(_BIGRAM_OOV)),
+    )
+    tm = materialize(toks.select("doc_id", "source", mapped.alias("m")))
+
+    def _pairs(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("m", 1, F.size("m") - 1).alias("a"),
+                    F.slice("m", 2, F.size("m") - 1).alias("b"),
+                )
+            ).alias("g"),
+        ).select(
+            "doc_id", "source",
+            F.col("g.a").alias("a"), F.col("g.b").alias("b"),
+        )
+
+    c_ab = (
+        _pairs(tm.filter(F.col("doc_id") % 2 == 0))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    # per-context stats: total count AND distinct-continuation count in one
+    # pass over the bounded bigram-type table
+    ctx = c_ab.groupBy("a").agg(
+        F.sum("c_ab").alias("c_a"),
+        F.count(F.lit(1)).alias("n1p_a"),
+    )
+    cont = c_ab.groupBy("b").agg(F.count(F.lit(1)).alias("n1p_b"))
+    types = c_ab.agg(F.count(F.lit(1)).alias("n_types"))
+
+    scored = (
+        _pairs(tm.filter(F.col("doc_id") % 2 == 1))
+        .join(F.broadcast(c_ab), ["a", "b"], "left")
+        .join(F.broadcast(ctx), ["a"], "left")
+        .join(F.broadcast(cont), ["b"], "left")
+        .crossJoin(F.broadcast(types))
+    )
+    # div-safe: n_types >= 1 whenever any training bigram exists (the even
+    # half of the corpus is non-empty), and the +k(V+1) floor is > 0 anyway
+    p_cont = (F.coalesce(F.col("n1p_b"), F.lit(0)) + F.lit(_KN_K)) / (
+        F.col("n_types") + F.lit(_KN_K * (_BIGRAM_VOCAB + 1))
+    )
+    p = F.when(
+        F.col("c_a").isNull(), p_cont  # unseen context: pure continuation
+    ).otherwise(
+        # div-safe: c_a >= 1 whenever the context branch fires (c_a is a
+        # SUM of >=1 positive bigram counts)
+        F.greatest(
+            F.coalesce(F.col("c_ab"), F.lit(0)) - F.lit(_KN_D), F.lit(0.0)
+        )
+        / F.col("c_a")
+        # div-safe: same c_a >= 1 invariant
+        + (F.lit(_KN_D) * F.col("n1p_a") / F.col("c_a")) * p_cont
+    )
+    branch = (
+        F.when(F.col("c_a").isNull(), F.lit(0))
+        .when(F.col("c_ab").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    per_doc = (
+        scored.select(
+            "doc_id", "source",
+            branch.alias("br"), (-F.log(p)).alias("nll"),
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.avg("nll").alias("ce"),
+            F.count(F.lit(1)).alias("n_bg"),
+            F.sum((F.col("br") == 2).cast("long")).alias("h_seen"),
+            F.sum((F.col("br") == 1).cast("long")).alias("h_cont"),
+            F.sum((F.col("br") == 0).cast("long")).alias("h_noctx"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_scored"),
+            F.sum("n_bg").cast("long").alias("n_bigrams"),
+            F.sum("h_seen").cast("long").alias("seen_hits"),
+            F.sum("h_cont").cast("long").alias("continuation_hits"),
+            F.sum("h_noctx").cast("long").alias("unseen_context_hits"),
+            F.round(F.avg("ce"), 4).alias("avg_cross_entropy"),
+            F.round(F.exp(F.avg("ce")), 4).alias("perplexity"),
+        )
+        .orderBy("source")
+    )
+
+
+_KN_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, {_DUCK_TOKENS.format(col='text')} AS t
+  FROM documents
+),
+eligible AS (SELECT * FROM toks WHERE len(t) >= 2),
+vocab AS (
+  SELECT token FROM (
+    SELECT unnest(t) AS token FROM toks WHERE doc_id % 2 = 0) u
+  GROUP BY token
+  ORDER BY COUNT(*) DESC, token
+  LIMIT {_BIGRAM_VOCAB}
+),
+pairs0 AS (
+  SELECT doc_id, source, t[i] AS ra, t[i + 1] AS rb
+  FROM eligible,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) idx
+),
+-- OOV-map at the exploded level (DuckDB forbids subqueries in lambdas)
+pairs AS (
+  SELECT doc_id, source,
+         CASE WHEN va.token IS NULL THEN '{_BIGRAM_OOV}' ELSE pairs0.ra END AS a,
+         CASE WHEN vb.token IS NULL THEN '{_BIGRAM_OOV}' ELSE pairs0.rb END AS b
+  FROM pairs0
+  LEFT JOIN vocab va ON va.token = pairs0.ra
+  LEFT JOIN vocab vb ON vb.token = pairs0.rb
+),
+c_ab AS (
+  SELECT a, b, COUNT(*) AS c_ab FROM pairs WHERE doc_id % 2 = 0 GROUP BY a, b
+),
+ctx AS (SELECT a, SUM(c_ab) AS c_a, COUNT(*) AS n1p_a FROM c_ab GROUP BY a),
+cont AS (SELECT b, COUNT(*) AS n1p_b FROM c_ab GROUP BY b),
+types AS (SELECT COUNT(*) AS n_types FROM c_ab),
+scored AS (
+  SELECT g.doc_id, g.source,
+         CASE WHEN x.c_a IS NULL THEN 0
+              WHEN ab.c_ab IS NOT NULL THEN 2 ELSE 1 END AS br,
+         -LN(CASE WHEN x.c_a IS NULL THEN
+               -- div-safe: n_types >= 1 (the training half is non-empty)
+               (COALESCE(n.n1p_b, 0) + {_KN_K})
+                 / (t.n_types + {_KN_K * (_BIGRAM_VOCAB + 1)})
+             ELSE
+               -- div-safe: c_a >= 1 in this branch (SUM of positive counts)
+               GREATEST(COALESCE(ab.c_ab, 0) - {_KN_D}, 0.0) / x.c_a
+               + ({_KN_D} * x.n1p_a / x.c_a)
+                 * ((COALESCE(n.n1p_b, 0) + {_KN_K})
+                    / (t.n_types + {_KN_K * (_BIGRAM_VOCAB + 1)}))
+             END) AS nll
+  FROM (SELECT * FROM pairs WHERE doc_id % 2 = 1) g
+  LEFT JOIN c_ab ab ON ab.a = g.a AND ab.b = g.b
+  LEFT JOIN ctx x ON x.a = g.a
+  LEFT JOIN cont n ON n.b = g.b
+  CROSS JOIN types t
+),
+per_doc AS (
+  SELECT doc_id, source, AVG(nll) AS ce, COUNT(*) AS n_bg,
+         SUM(CASE WHEN br = 2 THEN 1 ELSE 0 END) AS h_seen,
+         SUM(CASE WHEN br = 1 THEN 1 ELSE 0 END) AS h_cont,
+         SUM(CASE WHEN br = 0 THEN 1 ELSE 0 END) AS h_noctx
+  FROM scored GROUP BY doc_id, source
+)
+SELECT source,
+       COUNT(*) AS n_docs_scored,
+       CAST(SUM(n_bg) AS BIGINT) AS n_bigrams,
+       CAST(SUM(h_seen) AS BIGINT) AS seen_hits,
+       CAST(SUM(h_cont) AS BIGINT) AS continuation_hits,
+       CAST(SUM(h_noctx) AS BIGINT) AS unseen_context_hits,
+       ROUND(AVG(ce), 4) AS avg_cross_entropy,
+       ROUND(EXP(AVG(ce)), 4) AS perplexity
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # BPE merge APPLICATION (encoding) — the other half of the tokenizer story
 # --------------------------------------------------------------------------
 
@@ -3459,12 +3680,124 @@ ORDER BY decile
 """
 
 
+# --------------------------------------------------------------------------
+# Per-feature ROC-AUC (Mann-Whitney rank-sum) vs the trained model
+# --------------------------------------------------------------------------
+
+def classifier_feature_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE-LEVEL model audit: the exact ROC-AUC of each quality
+    feature against the keep label via the Mann-Whitney rank-sum identity
+    ``AUC = (Σ avg-rank(positives) − n⁺(n⁺+1)/2) / (n⁺·n⁻)`` (ties get
+    average ranks), side-by-side with the sign of the trained logistic
+    weight — the audit a feature-store review runs before trusting a
+    model: does each feature discriminate alone (AUC ≷ 0.5), and does the
+    multivariate model use it in the same direction?
+
+    Scale shape: AUC needs a global ranking, but NOT over the corpus —
+    scores first collapse to per-distinct-VALUE counts (bounded by the
+    features' 6-dp rounding grid, ≤ 10^6 rows per feature regardless of
+    corpus size), and the rank window runs over that bounded aggregate,
+    partitioned by feature. All rank arithmetic is integers and exact
+    halves; the one division per feature happens at the end. The trained
+    weights come from the same 10-dp-synced GD kernel as
+    :func:`quality_classifier_trained`, so the DuckDB WITH RECURSIVE
+    replay is bit-identical."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", "text"
+    )
+    feats = materialize(
+        quality_feature_frame(docs, []).select("x1", "x2", "x3", "y")
+    )
+    w = _logreg_fit(feats)
+    melted = feats.select(
+        "y",
+        F.expr("stack(3, 'x1', x1, 'x2', x2, 'x3', x3) as (feature, v)"),
+    )
+    per_v = melted.groupBy("feature", "v").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("long")).alias("n_pos"),
+    )
+    win = Window.partitionBy("feature").orderBy("v")
+    ranked = per_v.withColumn(
+        "cum_below", F.sum("n").over(win) - F.col("n")
+    ).withColumn(
+        "avg_rank", F.col("cum_below") + (F.col("n") + F.lit(1)) / F.lit(2.0)
+    )
+    agg = ranked.groupBy("feature").agg(
+        F.sum(F.col("n_pos") * F.col("avg_rank")).alias("rank_sum_pos"),
+        F.sum("n_pos").alias("np"),
+        (F.sum("n") - F.sum("n_pos")).alias("nn"),
+    )
+    # div-safe: NULLIF pins the degenerate all-one-class corpus to NULL in
+    # both engines
+    auc = (
+        F.col("rank_sum_pos") - F.col("np") * (F.col("np") + 1) / F.lit(2.0)
+    ) / F.nullif((F.col("np") * F.col("nn")).cast("double"), F.lit(0.0))
+    weight = F.when(F.col("feature") == "x1", F.lit(w[1])).when(
+        F.col("feature") == "x2", F.lit(w[2])
+    ).otherwise(F.lit(w[3]))
+    return (
+        agg.select(
+            "feature",
+            F.col("np").cast("long").alias("n_pos"),
+            F.col("nn").cast("long").alias("n_neg"),
+            F.round(auc, 6).alias("auc"),
+            weight.alias("trained_weight"),
+            ((auc > 0.5) == (weight > 0)).alias("direction_agrees"),
+        )
+        .orderBy("feature")
+    )
+
+
+_FEATURE_AUC_SQL = _qclf_core_sql("TRUE", "TRUE") + """
+, melted AS (
+  SELECT 'x1' AS feature, x1 AS v, y FROM feat
+  UNION ALL SELECT 'x2', x2, y FROM feat
+  UNION ALL SELECT 'x3', x3, y FROM feat
+),
+per_v AS (
+  SELECT feature, v, COUNT(*) AS n,
+         CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos
+  FROM melted GROUP BY feature, v
+),
+ranked AS (
+  SELECT feature, v, n, n_pos,
+         SUM(n) OVER (PARTITION BY feature ORDER BY v) - n AS cum_below
+  FROM per_v
+),
+agg AS (
+  SELECT feature,
+         SUM(n_pos * (cum_below + (n + 1) / 2.0)) AS rank_sum_pos,
+         SUM(n_pos) AS np, SUM(n) - SUM(n_pos) AS nn
+  FROM ranked GROUP BY feature
+)
+SELECT feature,
+       CAST(np AS BIGINT) AS n_pos,
+       CAST(nn AS BIGINT) AS n_neg,
+       -- div-safe: NULLIF pins the all-one-class corpus to NULL
+       ROUND((rank_sum_pos - np * (np + 1) / 2.0)
+             / NULLIF(CAST(np * nn AS DOUBLE), 0.0), 6) AS auc,
+       CASE feature WHEN 'x1' THEN (SELECT w1 FROM final)
+                    WHEN 'x2' THEN (SELECT w2 FROM final)
+                    ELSE (SELECT w3 FROM final) END AS trained_weight,
+       ((rank_sum_pos - np * (np + 1) / 2.0)
+        / NULLIF(CAST(np * nn AS DOUBLE), 0.0) > 0.5)
+       = (CASE feature WHEN 'x1' THEN (SELECT w1 FROM final)
+                       WHEN 'x2' THEN (SELECT w2 FROM final)
+                       ELSE (SELECT w3 FROM final) END > 0)
+         AS direction_agrees
+FROM agg
+ORDER BY feature
+"""
+
+
 QUERIES = {
     "text_html_extract": text_html_extract,
     "quality_classifier_trained": quality_classifier_trained,
     "classifier_calibration_audit": classifier_calibration_audit,
     "tier_classifier_trained": tier_classifier_trained,
     "classifier_incremental_refresh": classifier_incremental_refresh,
+    "classifier_feature_auc": classifier_feature_auc,
     "text_charset_audit": text_charset_audit,
     "text_nfc_normalization_audit": text_nfc_normalization_audit,
     "heavy_hitters_cms": heavy_hitters_cms,
@@ -3477,6 +3810,7 @@ QUERIES = {
     "bpe_encode_corpus": bpe_encode_corpus,
     "source_bigram_perplexity": source_bigram_perplexity,
     "source_trigram_backoff": source_trigram_backoff,
+    "source_kneser_ney_bigram": source_kneser_ney_bigram,
     "source_token_gini": source_token_gini,
     "text_bm25_search": text_bm25_search,
     "text_tfidf_top_terms": text_tfidf_top_terms,
@@ -3500,6 +3834,7 @@ ORACLES = {
     "classifier_calibration_audit": _QCLF_CALIBRATION_SQL,
     "tier_classifier_trained": _tier_sql(),
     "classifier_incremental_refresh": _qclf_refresh_sql(),
+    "classifier_feature_auc": _FEATURE_AUC_SQL,
     "text_html_extract": _HTML_EXTRACT_SQL,
     "text_charset_audit": _CHARSET_SQL,
     "text_nfc_normalization_audit": _nfc_sql(),
@@ -3513,6 +3848,7 @@ ORACLES = {
     "bpe_encode_corpus": _BPE_ENCODE_SQL,
     "source_bigram_perplexity": _BIGRAM_PPL_SQL,
     "source_trigram_backoff": _TRIGRAM_SQL,
+    "source_kneser_ney_bigram": _KN_SQL,
     "source_token_gini": _GINI_SQL,
     "text_bm25_search": _BM25_SQL,
     "text_tfidf_top_terms": _TFIDF_SQL,

@@ -2646,3 +2646,203 @@ def test_span_corruption_mask_stats_invariants(spark):
         assert 0 < r.n_spans <= r.masked_tokens
         assert 0.4 * expect < r.masked_frac < 1.6 * expect
         assert 1.0 <= r.avg_span_len <= 3 * _MASK_SPAN
+
+
+def test_kneser_ney_all_branches_fire_and_counts_conserve(spark):
+    """KN contract: per source the three scoring branches partition the
+    held-out bigrams exactly; the seen and continuation-only branches both
+    fire (the held-out split exists to make the latter true — the
+    unseen-context branch is a guard that needs a vocab token occurring
+    ONLY document-finally in training, which this corpus doesn't plant);
+    and perplexity is consistent with the cross-entropy."""
+    from datafusion_impl_spark.operators.text import source_kneser_ney_bigram
+
+    rows = source_kneser_ney_bigram(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r.seen_hits + r.continuation_hits + r.unseen_context_hits
+            == r.n_bigrams
+        ), r
+        assert abs(r.perplexity - round(2.718281828459045 ** r.avg_cross_entropy, 2)) < 0.05 * r.perplexity
+    assert sum(r.seen_hits for r in rows) > 0
+    assert sum(r.continuation_hits for r in rows) > 0
+
+
+def test_feature_auc_ranks_and_direction(spark):
+    """Rank-sum AUC contract: every AUC is in [0,1]; all three features see
+    the same (n_pos, n_neg) split; and the LENGTH feature — which carries
+    half the label heuristic's weight by construction — discriminates
+    positively (AUC > 0.5) and agrees in direction with its trained
+    logistic weight."""
+    from datafusion_impl_spark.operators.text import classifier_feature_auc
+
+    rows = {r.feature: r for r in classifier_feature_auc(spark, SF_DIR).collect()}
+    assert set(rows) == {"x1", "x2", "x3"}
+    splits = {(r.n_pos, r.n_neg) for r in rows.values()}
+    assert len(splits) == 1 and all(n > 0 for n in splits.pop())
+    for r in rows.values():
+        assert 0.0 <= r.auc <= 1.0, r
+    assert rows["x1"].auc > 0.5
+    assert rows["x1"].direction_agrees
+
+
+def test_bbit_minhash_exact_dups_and_bias_correction(spark):
+    """b-bit contract: planted exact duplicates (doc_id + offset) estimate
+    1.0 under BOTH widths (all mins match, and the bias correction maps a
+    full match fraction back to exactly 1); every corrected estimate stays
+    finite and the raw b-bit match fraction can only overestimate the
+    full-width one on average (truncation only MERGES values)."""
+    from datafusion_impl_spark.operators.dedup import (
+        _DUP_OFFSET,
+        dedup_bbit_minhash,
+    )
+
+    rows = dedup_bbit_minhash(spark, SF_DIR).collect()
+    assert rows
+    exact_pairs = [r for r in rows if r.doc_b == r.doc_a + _DUP_OFFSET and r.exact_j == 1.0]
+    assert exact_pairs, "planted exact duplicates must surface as candidates"
+    for r in exact_pairs:
+        assert r.est_full == 1.0 and r.est_bbit == 1.0, r
+    for r in rows:
+        assert r.est_bbit >= r.est_full - 1e-9 or r.est_bbit <= 1.0
+        assert r.err_full >= 0 and r.err_bbit >= 0
+
+
+def test_gif_lzw_codec_roundtrip_and_malformed(spark):
+    """The LZW pair must round-trip arbitrary index streams across code-
+    width growth and CLEAR resets; planted fixtures decode to the exact
+    formula pixels; structural corruption (truncation, bad block type)
+    fails loudly. A palette byte flip is UNDETECTABLE by design — GIF has
+    no checksum — which is exactly why the oracle checks pixel VALUES."""
+    import random
+
+    from datafusion_impl_spark.operators.multimodal import (
+        _gif_encode,
+        _gif_index,
+        _gif_lzw_compress,
+        _gif_lzw_decompress,
+        _gif_palette,
+        decode_gif,
+    )
+
+    def unblk(b):
+        out, off = bytearray(), 0
+        while True:
+            ln = b[off]
+            off += 1
+            if ln == 0:
+                return bytes(out)
+            out += b[off : off + ln]
+            off += ln
+
+    rng = random.Random(11)
+    for _ in range(50):
+        mcs = rng.choice([2, 4, 8])
+        seq = [rng.randrange(1 << mcs) for _ in range(rng.randrange(1, 500))]
+        assert _gif_lzw_decompress(unblk(_gif_lzw_compress(seq, mcs)), mcs,
+                                   len(seq)) == seq
+
+    blob = _gif_encode(42)
+    w, h, px = decode_gif(blob)
+    flat = [(x, y) for y in range(h) for x in range(w)]
+    assert all(
+        tuple(px[i]) == _gif_palette(_gif_index(42, x, y))
+        for i, (x, y) in enumerate(flat)
+    )
+    for bad in (b"NOTGIF", blob[:20], blob[:-4]):
+        with pytest.raises(ValueError):
+            decode_gif(bad)
+
+
+def test_tar_codec_matches_stdlib_both_directions(spark):
+    """Our ustar writer must be readable by stdlib tarfile, our scanner
+    must read stdlib-written archives, and a flipped header byte must
+    fail the checksum gate."""
+    import io
+    import tarfile
+
+    from datafusion_impl_spark.operators.multimodal import _tar_build, _tar_scan
+
+    members = [("9.txt", b"payload bytes"), ("9.cls", b"web"),
+               ("10.txt", b""), ("10.cls", b"Z" * 700)]
+    blob = _tar_build(members)
+    assert len(blob) % 512 == 0
+    expect = [(n, len(p)) for n, p in members]
+    assert _tar_scan(blob) == expect
+    tf = tarfile.open(fileobj=io.BytesIO(blob))
+    assert [(m.name, m.size) for m in tf.getmembers()] == expect
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as wtr:
+        for n, p in members:
+            ti = tarfile.TarInfo(n)
+            ti.size = len(p)
+            wtr.addfile(ti, io.BytesIO(p))
+    assert _tar_scan(buf.getvalue()) == expect
+    bad = bytearray(blob)
+    bad[130] ^= 0x01
+    with pytest.raises(ValueError):
+        _tar_scan(bytes(bad))
+
+
+def test_quantile_histogram_bound_and_ranks(spark):
+    """The midpoint estimate must sit within ~one bin of the exact
+    interpolated percentile, and the target rank must be ceil(q·n)."""
+    import math
+
+    from datafusion_impl_spark.operators import dedup  # noqa: F401
+    from datafusion_impl_spark.plans.analytics import (
+        sketch_quantile_histogram,
+    )
+
+    rows = sketch_quantile_histogram(spark, SF_DIR).collect()
+    assert [r.q for r in rows] == [0.5, 0.9, 0.99]
+    for r in rows:
+        assert r.target_rank == math.ceil(r.q * r.n_rows), r
+        assert r.abs_err <= 1.5 * r.bin_width, r
+
+
+def test_ndcg_eval_invariants(spark):
+    """nDCG/MRR sanity: one output row; every metric in range; a perfect
+    list count never exceeding the query count; mean overlap within the
+    list depth."""
+    from datafusion_impl_spark.operators.similarity import (
+        _NDCG_K,
+        ann_ndcg_eval,
+    )
+
+    (r,) = ann_ndcg_eval(spark, SF_DIR).collect()
+    assert r.n_queries > 0
+    assert 0.0 < r.mean_ndcg <= 1.0
+    assert 0.0 <= r.mrr <= 1.0
+    assert 0 <= r.n_perfect <= r.n_queries
+    assert 0.0 <= r.mean_overlap <= _NDCG_K
+
+
+def test_wav_spectrum_dominant_bins_conserve(spark):
+    """Per rate, the dominant-bin counts partition the clips, and every
+    mean bin power is non-negative."""
+    from datafusion_impl_spark.operators.multimodal import (
+        multimodal_wav_spectrum_stats,
+    )
+
+    rows = multimodal_wav_spectrum_stats(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_dom1 + r.n_dom2 + r.n_dom3 == r.n_clips, r
+        assert min(r.avg_p1, r.avg_p2, r.avg_p3) >= 0.0, r
+
+
+def test_gzip_jsonl_scan_covers_corpus(spark):
+    """Shard census: every document lands in exactly one shard and the
+    per-shard doc counts sum to the corpus size."""
+    from datafusion_impl_spark.sources.queries import (
+        _GZ_SHARDS,
+        source_gzip_jsonl_scan,
+    )
+
+    rows = source_gzip_jsonl_scan(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= _GZ_SHARDS
+    total = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == total
