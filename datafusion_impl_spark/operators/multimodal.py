@@ -1655,10 +1655,757 @@ ORDER BY width, height
 """
 
 
+# --------------------------------------------------------------------------
+# GIF decode (real variable-width LZW) — dictionary-compressed format #2
+# --------------------------------------------------------------------------
+
+_GIF_W_BASE, _GIF_W_MOD = 18, 5   # width  = 18 + doc_id % 5 — 18..22
+_GIF_H_BASE, _GIF_H_MOD = 11, 4   # height = 11 + doc_id % 4 — 11..14
+_GIF_SAMPLE_MOD = 5               # plant 1-in-5 docs as GIF images
+_GIF_SAMPLE_RES = 0
+_GIF_NCOLORS = 16                 # 4-bit palette → LZW min code size 4
+#: encoder emits a CLEAR every this many codes, so the decoder's
+#: dictionary-reset path is exercised on every planted image
+_GIF_CLEAR_EVERY = 64
+
+
+def _gif_palette(i: int) -> tuple[int, int, int]:
+    """Deterministic 16-color palette (pure arithmetic — the oracle
+    recomputes it in SQL)."""
+    return ((17 * i) % 256, (11 * i + 5) % 256, (7 * i + 13) % 256)
+
+
+def _gif_index(doc_id: int, x: int, y: int) -> int:
+    """Planted palette index at (x, y) — pure arithmetic."""
+    return (doc_id + 3 * x + 7 * y) % _GIF_NCOLORS
+
+
+class _LZWBitWriter:
+    """LSB-first bit packer (GIF's bit order) with 255-byte sub-blocking."""
+
+    def __init__(self) -> None:
+        self.bytes = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.bytes.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.bytes.append(self.acc & 0xFF)
+        out = bytearray()
+        for i in range(0, len(self.bytes), 255):
+            chunk = self.bytes[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+        return bytes(out)
+
+
+def _gif_lzw_compress(indices: list[int], mcs: int) -> bytes:
+    """Real GIF LZW: dictionary of pixel strings, variable code width
+    (mcs+1 up to 12 bits, 'late change' convention), periodic CLEAR codes
+    so decode exercises the reset path. The code WIDTH is driven by the
+    DECODER's dictionary schedule (one add per code read after the first
+    since reset) — not the encoder's own add schedule, which skips an add
+    at the stream-final and pre-clear emissions and would desync the width
+    exactly when the decoder's lagging add lands on a power of two.
+    Mirrors :func:`_gif_lzw_decompress` exactly (pytest round-trips random
+    sequences and the planted fixtures)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    wtr = _LZWBitWriter()
+    width = mcs + 1
+    n_reads = 0  # data codes the decoder has read since the last clear
+
+    def emit(code: int) -> None:
+        nonlocal width, n_reads
+        wtr.put(code, width)
+        n_reads += 1
+        if n_reads >= 2:  # decoder adds entry eoi+1 + (n_reads-2) now
+            if eoi + n_reads == (1 << width) and width < 12:
+                width += 1
+
+    def reset() -> tuple[dict, int]:
+        nonlocal width, n_reads
+        wtr.put(clear, width)
+        width = mcs + 1
+        n_reads = 0
+        return {(-1, k): k for k in range(1 << mcs)}, eoi + 1
+
+    table, nxt = reset()
+    w = -1
+    emitted = 0
+    for k in indices:
+        if (w, k) in table:
+            w = table[(w, k)]
+            continue
+        emit(w)
+        emitted += 1
+        if nxt < 4096:
+            table[(w, k)] = nxt
+            nxt += 1
+        w = k
+        if emitted % _GIF_CLEAR_EVERY == 0:
+            emit(w)
+            table, nxt = reset()
+            w = -1
+    if w != -1:
+        emit(w)
+    emit(eoi)
+    return wtr.finish()
+
+
+def _gif_lzw_decompress(data: bytes, mcs: int, expect: int) -> list[int]:
+    """Decode a GIF LZW code stream (already de-sub-blocked) back to at
+    most ``expect`` palette indices. Handles variable code width, CLEAR
+    resets, the KwKwK (code == next entry) case, and raises ``ValueError``
+    on codes beyond the dictionary or a truncated stream."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    pos = 0  # bit position
+    nbits = len(data) * 8
+    out: list[int] = []
+    table: list[list[int]] = []
+    width = mcs + 1
+    nxt = eoi + 1
+    prev: list[int] | None = None
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > nbits:
+            raise ValueError("truncated LZW stream")
+        byte, bit = pos >> 3, pos & 7
+        v = int.from_bytes(data[byte : byte + 3], "little") >> bit
+        pos += width
+        return v & ((1 << width) - 1)
+
+    def reset_table() -> None:
+        nonlocal table, width, nxt, prev
+        table = [[k] for k in range(1 << mcs)] + [[], []]
+        width = mcs + 1
+        nxt = eoi + 1
+        prev = None
+
+    reset_table()
+    while True:
+        code = read(width)
+        if code == clear:
+            reset_table()
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("first code after clear not a root")
+            entry = table[code]
+        elif code < nxt:
+            entry = table[code]
+        elif code == nxt:  # KwKwK
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError(f"LZW code {code} beyond dictionary {nxt}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + [entry[0]])
+            nxt += 1
+            if nxt == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) > expect:
+            raise ValueError("LZW stream decodes past the image size")
+    return out
+
+
+def _gif_encode(doc_id: int) -> bytes:
+    """Build a real GIF89a: logical screen descriptor, 16-color global
+    palette, a Graphic Control Extension (the decoder must SKIP extension
+    blocks), one image descriptor, LZW-compressed pixel indices, trailer."""
+    import struct
+
+    w = _GIF_W_BASE + doc_id % _GIF_W_MOD
+    h = _GIF_H_BASE + doc_id % _GIF_H_MOD
+    mcs = 4  # 16-color palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | 0x03)  # global color table, 2^(3+1) = 16 entries
+    out += b"\x00\x00"       # bg color, aspect
+    for i in range(_GIF_NCOLORS):
+        out += bytes(_gif_palette(i))
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control extension
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    indices = [_gif_index(doc_id, x, y) for y in range(h) for x in range(w)]
+    out.append(mcs)
+    out += _gif_lzw_compress(indices, mcs)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif(data: bytes):
+    """Parse a GIF87a/89a with a global color table and one non-interlaced
+    image from its bytes alone; returns ``(width, height, pixels)`` with
+    ``pixels`` an (h*w, 3) uint8 RGB ndarray in top-down row-major order.
+    Skips extension blocks, de-sub-blocks the LZW stream, and runs the
+    full variable-width LZW decode. Raises ``ValueError`` on malformed
+    payloads (corrupt blobs must fail loudly, not yield garbage stats)."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack_from("<HH", data, 6)
+    packed = data[10]
+    off = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if off + 3 * n > len(data):
+            raise ValueError("truncated global color table")
+        palette = np.frombuffer(data, np.uint8, 3 * n, off).reshape(n, 3)
+        off += 3 * n
+    while off < len(data):
+        b0 = data[off]
+        off += 1
+        if b0 == 0x21:  # extension: label + sub-blocks
+            off += 1
+            while off < len(data) and data[off] != 0:
+                off += 1 + data[off]
+            off += 1
+        elif b0 == 0x2C:
+            break
+        elif b0 == 0x3B:
+            raise ValueError("trailer before any image data")
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    else:
+        raise ValueError("no image descriptor")
+    if off + 9 > len(data):
+        raise ValueError("truncated image descriptor")
+    left, top, w, h, ipacked = struct.unpack_from("<HHHHB", data, off)
+    off += 9
+    if ipacked & 0x80:
+        raise ValueError("local color tables unsupported")
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIFs unsupported")
+    if palette is None:
+        raise ValueError("no color table")
+    if (left, top, w, h) != (0, 0, sw, sh):
+        raise ValueError("sub-rectangle images unsupported")
+    if off >= len(data):
+        raise ValueError("missing LZW minimum code size")
+    mcs = data[off]
+    off += 1
+    if not 2 <= mcs <= 8:
+        raise ValueError(f"bad LZW minimum code size {mcs}")
+    stream = bytearray()
+    while True:
+        if off >= len(data):
+            raise ValueError("unterminated image sub-blocks")
+        ln = data[off]
+        off += 1
+        if ln == 0:
+            break
+        stream += data[off : off + ln]
+        off += ln
+    idx = _gif_lzw_decompress(bytes(stream), mcs, w * h)
+    if len(idx) != w * h:
+        raise ValueError(f"decoded {len(idx)} pixels, expected {w * h}")
+    arr = np.asarray(idx, dtype=np.int64)
+    if arr.max() >= len(palette):
+        raise ValueError("palette index out of range")
+    return int(w), int(h), palette[arr]
+
+
+#: Output contract of the GIF decode kernel.
+GIF_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint, mid_row_sum_r bigint"
+)
+
+
+def decode_gif_stats(images: DataFrame) -> DataFrame:
+    """``mapInArrow`` decode kernel: (doc_id, media BINARY) → decoded
+    dimensions, exact per-channel sums, and the middle row's red sum
+    (proves pixel ORDER survives the LZW round-trip, not just totals)."""
+    import pyarrow as pa
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            doc_ids = b.column(b.schema.get_field_index("doc_id"))
+            blobs = b.column(b.schema.get_field_index("media"))
+            ws, hs, sr, sg, sb, mid = [], [], [], [], [], []
+            for v in blobs:
+                w, h, px = decode_gif(v.as_py())
+                s = px.astype("int64").sum(axis=0)
+                mrow = px.reshape(h, w, 3)[h // 2, :, 0].astype("int64")
+                ws.append(w)
+                hs.append(h)
+                sr.append(int(s[0]))
+                sg.append(int(s[1]))
+                sb.append(int(s[2]))
+                mid.append(int(mrow.sum()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    pa.array(ws, type=pa.int32()),
+                    pa.array(hs, type=pa.int32()),
+                    pa.array(sr, type=pa.int64()),
+                    pa.array(sg, type=pa.int64()),
+                    pa.array(sb, type=pa.int64()),
+                    pa.array(mid, type=pa.int64()),
+                ],
+                names=[
+                    "doc_id", "width", "height",
+                    "sum_r", "sum_g", "sum_b", "mid_row_sum_r",
+                ],
+            )
+
+    return images.mapInArrow(fn, GIF_STATS_SCHEMA)
+
+
+def multimodal_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DICTIONARY-compressed image decode end to end — the codec class PNG
+    (zlib/LZ77+Huffman) doesn't cover: plant deterministic 16-color GIF89a
+    payloads for 1-in-5 documents (real variable-width LZW with dictionary
+    growth and periodic CLEAR resets, palette table, extension block,
+    sub-blocked stream), decode them back from bytes alone with
+    :func:`decode_gif`, and report per (width, height): image count, exact
+    per-channel sums, mean brightness, and the exact middle-row red sum.
+    The DuckDB oracle recomputes from the palette/index FORMULA (never the
+    bytes), so every LZW detail — code widths, the late-change growth
+    rule, KwKwK, dictionary resets, sub-block reassembly — is
+    value-checked: one wrong code shifts the whole remaining pixel stream.
+
+    Scale shape: map-only until the final tiny groupBy (20 shape groups);
+    blobs are built and decoded inside the scan stage and never shuffle."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": pdf["doc_id"].map(lambda d: _gif_encode(int(d))),
+                }
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % _GIF_SAMPLE_MOD == _GIF_SAMPLE_RES)
+    )
+    images = docs.mapInPandas(build, "doc_id bigint, media binary")
+    stats = decode_gif_stats(images)
+    n_px = F.sum(F.col("width").cast("long") * F.col("height"))
+    return (
+        stats.groupBy("width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("sum_r").alias("sum_r"),
+            F.sum("sum_g").alias("sum_g"),
+            F.sum("sum_b").alias("sum_b"),
+            # div-safe: n_px = planted GIF width x height, positive
+            F.round(
+                (F.sum("sum_r") + F.sum("sum_g") + F.sum("sum_b"))
+                / (n_px * 3.0),
+                4,
+            ).alias("avg_brightness"),
+            F.sum("mid_row_sum_r").alias("mid_row_sum_r"),
+        )
+        .orderBy("width", "height")
+    )
+
+
+_GIF_DECODE_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         {_GIF_W_BASE} + doc_id % {_GIF_W_MOD} AS w,
+         {_GIF_H_BASE} + doc_id % {_GIF_H_MOD} AS h
+  FROM documents WHERE doc_id % {_GIF_SAMPLE_MOD} = {_GIF_SAMPLE_RES}
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h, gx.x, gy.y
+  FROM docs d
+  JOIN (SELECT unnest(generate_series(0, {_GIF_W_BASE + _GIF_W_MOD - 2})) AS x) gx
+    ON gx.x < d.w
+  JOIN (SELECT unnest(generate_series(0, {_GIF_H_BASE + _GIF_H_MOD - 2})) AS y) gy
+    ON gy.y < d.h
+),
+vals AS (
+  SELECT doc_id, w, h, x, y,
+         (17 * ((doc_id + 3 * x + 7 * y) % {_GIF_NCOLORS})) % 256 AS r,
+         (11 * ((doc_id + 3 * x + 7 * y) % {_GIF_NCOLORS}) + 5) % 256 AS g,
+         (7 * ((doc_id + 3 * x + 7 * y) % {_GIF_NCOLORS}) + 13) % 256 AS b
+  FROM px
+)
+SELECT CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       COUNT(DISTINCT doc_id) AS n_images,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       -- div-safe: COUNT(*) of a GROUP BY group is >= 1
+       ROUND(CAST(SUM(r) + SUM(g) + SUM(b) AS DOUBLE) / (COUNT(*) * 3.0), 4)
+         AS avg_brightness,
+       CAST(SUM(CASE WHEN y = h // 2 THEN r ELSE 0 END) AS BIGINT)
+         AS mid_row_sum_r
+FROM vals
+GROUP BY w, h
+ORDER BY width, height
+"""
+
+
+# --------------------------------------------------------------------------
+# WAV spectral analysis (per-clip DFT bins over the decoded samples)
+# --------------------------------------------------------------------------
+
+#: DFT bins analyzed per clip (k = 1..3 cycles over the clip length).
+_SPEC_BINS = 3
+#: per-clip power rounding before any comparison/aggregation: engine libm
+#: cos/sin differ at the last bit, which is ~1e-6 absolute on these 1e10-
+#: scale powers — far inside a 2-dp round, so both engines round alike.
+_SPEC_ROUND = 2
+
+
+def wav_spectrum(clips: DataFrame) -> DataFrame:
+    """``mapInArrow`` DFT kernel: decode each WAV and compute the exact
+    DFT power ``|Σ s_i·e^{-2πik·i/N}|²`` at bins k=1..{bins} with a scalar
+    ``math.cos/sin`` loop (the same libm path the SQL replay takes — a
+    SIMD-vectorized trig variant could differ beyond the rounding margin).
+    Emits per-clip rounded bin powers and the dominant bin (argmax on the
+    ROUNDED powers, smaller k on ties — deterministic cross-engine)."""
+    import math
+
+    import pyarrow as pa
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            doc_ids = b.column(b.schema.get_field_index("doc_id"))
+            blobs = b.column(b.schema.get_field_index("media"))
+            rates, powers, doms = [], [[] for _ in range(_SPEC_BINS)], []
+            for v in blobs:
+                rate, s = decode_wav(v.as_py())
+                n = len(s)
+                pk = []
+                for k in range(1, _SPEC_BINS + 1):
+                    re = im = 0.0
+                    for i in range(n):
+                        # div-safe: decode_wav yields >= 1 sample here (the
+                        # loop body only runs when n >= 1)
+                        th = 2 * math.pi * k * i / n
+                        re += float(s[i]) * math.cos(th)
+                        im += float(s[i]) * math.sin(th)
+                    p = re * re + im * im
+                    pk.append(_round_half_up_f(p, _SPEC_ROUND))
+                rates.append(rate)
+                for j in range(_SPEC_BINS):
+                    powers[j].append(pk[j])
+                doms.append(1 + max(range(_SPEC_BINS),
+                                    key=lambda j: (pk[j], -j)))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    pa.array(rates, type=pa.int32()),
+                    *[pa.array(powers[j], type=pa.float64())
+                      for j in range(_SPEC_BINS)],
+                    pa.array(doms, type=pa.int32()),
+                ],
+                names=["doc_id", "sample_rate",
+                       *[f"p{k}" for k in range(1, _SPEC_BINS + 1)],
+                       "dominant_bin"],
+            )
+
+    schema = (
+        "doc_id bigint, sample_rate int, "
+        + ", ".join(f"p{k} double" for k in range(1, _SPEC_BINS + 1))
+        + ", dominant_bin int"
+    )
+    return clips.mapInArrow(fn, schema)
+
+
+def _round_half_up_f(x: float, nd: int) -> float:
+    """Half-away-from-zero rounding matching Spark F.round / DuckDB ROUND
+    (Python's builtin round is banker's and diverges on exact halves)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"), rounding=ROUND_HALF_UP)
+    )
+
+
+def multimodal_wav_spectrum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPECTRAL feature extraction over decoded audio — the step after
+    :func:`multimodal_wav_decode_stats`'s time-domain stats that a real
+    audio-curation pipeline takes (tone/speech/music heuristics all start
+    from band energies): per planted clip, the exact DFT power at the
+    first {bins} bins, and per sample rate: clip count, the mean bin
+    powers, and how many clips each bin dominates. The DuckDB oracle
+    recomputes the full DFT from the planted sample FORMULA with SQL
+    ``COS/SIN`` sums — so the decode AND the transform are value-checked.
+
+    Scale shape: the O(N·K) per-clip transform runs inside the map-only
+    decode kernel (no shuffle sees a sample); the aggregate is 3 rows."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": pdf["doc_id"].map(lambda d: _wav_encode(int(d))),
+                }
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % _WAV_SAMPLE_MOD == _WAV_SAMPLE_RES)
+    )
+    clips = docs.mapInPandas(build, "doc_id bigint, media binary")
+    spec = wav_spectrum(clips)
+    return (
+        spec.groupBy("sample_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            *[
+                F.round(F.avg(f"p{k}"), _SPEC_ROUND).alias(f"avg_p{k}")
+                for k in range(1, _SPEC_BINS + 1)
+            ],
+            *[
+                F.sum((F.col("dominant_bin") == k).cast("long")).alias(
+                    f"n_dom{k}"
+                )
+                for k in range(1, _SPEC_BINS + 1)
+            ],
+        )
+        .orderBy("sample_rate")
+    )
+
+
+_WAV_SPECTRUM_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         {_WAV_RATE_BASE} * (1 + doc_id % {_WAV_RATE_MOD}) AS rate,
+         {_WAV_N_BASE} + doc_id % {_WAV_N_MOD} AS n
+  FROM documents
+  WHERE doc_id % {_WAV_SAMPLE_MOD} = {_WAV_SAMPLE_RES}
+),
+samples AS (
+  SELECT d.doc_id, d.rate, d.n, gi.i,
+         (d.doc_id * 31 + gi.i * 17) % 4001 - 2000 AS s
+  FROM docs d
+  JOIN (SELECT unnest(generate_series(0, {_WAV_N_BASE + _WAV_N_MOD - 2})) AS i) gi
+    ON gi.i < d.n
+),
+sums AS (
+  SELECT doc_id, rate, k,
+         -- div-safe: n >= {_WAV_N_BASE} (planted clip length)
+         SUM(s * COS(2 * PI() * k * i / n)) AS re,
+         SUM(s * SIN(2 * PI() * k * i / n)) AS im
+  FROM samples, (SELECT unnest(generate_series(1, {_SPEC_BINS})) AS k) ks
+  GROUP BY doc_id, rate, k, n
+),
+bins AS (
+  SELECT doc_id, rate, k, ROUND(re * re + im * im, {_SPEC_ROUND}) AS p
+  FROM sums
+),
+wide AS (
+  SELECT doc_id, rate,
+         MAX(CASE WHEN k = 1 THEN p END) AS p1,
+         MAX(CASE WHEN k = 2 THEN p END) AS p2,
+         MAX(CASE WHEN k = 3 THEN p END) AS p3
+  FROM bins GROUP BY doc_id, rate
+),
+dom AS (
+  SELECT doc_id, rate, p1, p2, p3,
+         CASE WHEN p1 >= p2 AND p1 >= p3 THEN 1
+              WHEN p2 >= p3 THEN 2 ELSE 3 END AS dominant_bin
+  FROM wide
+)
+SELECT CAST(rate AS INTEGER) AS sample_rate,
+       COUNT(*) AS n_clips,
+       ROUND(AVG(p1), {_SPEC_ROUND}) AS avg_p1,
+       ROUND(AVG(p2), {_SPEC_ROUND}) AS avg_p2,
+       ROUND(AVG(p3), {_SPEC_ROUND}) AS avg_p3,
+       CAST(SUM(CASE WHEN dominant_bin = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dom1,
+       CAST(SUM(CASE WHEN dominant_bin = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dom2,
+       CAST(SUM(CASE WHEN dominant_bin = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dom3
+FROM dom
+GROUP BY rate
+ORDER BY sample_rate
+"""
+
+
+# --------------------------------------------------------------------------
+# TAR / WebDataset shard round-trip (the training-corpus container format)
+# --------------------------------------------------------------------------
+
+#: WebDataset sharding: documents hash into this many tar shards.
+_TAR_SHARDS = 24
+
+
+def _tar_header(name: str, size: int) -> bytes:
+    """POSIX ustar member header: octal size field, magic/version, and the
+    spec's checksum (header summed with the checksum field as 8 spaces)."""
+    h = bytearray(512)
+    nb = name.encode()
+    if len(nb) > 100:
+        raise ValueError("member name too long for the ustar name field")
+    h[0 : len(nb)] = nb
+    h[100:108] = b"0000644\x00"          # mode
+    h[108:116] = b"0000000\x00"          # uid
+    h[116:124] = b"0000000\x00"          # gid
+    h[124:136] = f"{size:011o}".encode() + b"\x00"
+    h[136:148] = b"00000000000\x00"      # mtime (deterministic)
+    h[148:156] = b" " * 8                # chksum placeholder
+    h[156] = ord("0")                    # typeflag: regular file
+    h[257:263] = b"ustar\x00"
+    h[263:265] = b"00"
+    chk = sum(h)
+    h[148:156] = f"{chk:06o}".encode() + b"\x00 "
+    return bytes(h)
+
+
+def _tar_build(members: list[tuple[str, bytes]]) -> bytes:
+    """Assemble a tar archive: header + NUL-padded payload per member,
+    then the two end-of-archive zero blocks."""
+    out = bytearray()
+    for name, payload in members:
+        out += _tar_header(name, len(payload))
+        out += payload
+        pad = (-len(payload)) % 512
+        out += b"\x00" * pad
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
+def _tar_scan(data: bytes) -> list[tuple[str, int]]:
+    """Parse a tar archive from bytes alone: walk 512-byte headers, VERIFY
+    each header checksum, skip payload blocks, stop at the end-of-archive
+    zero block. Returns (member name, size) pairs; raises ``ValueError``
+    on corrupt headers (a flipped size byte would desync every later
+    member, so the checksum gate matters)."""
+    off = 0
+    out: list[tuple[str, int]] = []
+    while off + 512 <= len(data):
+        block = data[off : off + 512]
+        if block == b"\x00" * 512:
+            return out
+        stored = int(block[148:156].split(b"\x00")[0].strip() or b"0", 8)
+        calc = sum(block[:148]) + 8 * 32 + sum(block[156:])
+        if stored != calc:
+            raise ValueError(f"tar header checksum mismatch at offset {off}")
+        name = block[:100].split(b"\x00")[0].decode()
+        size = int(block[124:136].split(b"\x00")[0].strip(), 8)
+        out.append((name, size))
+        off += 512 + size + ((-size) % 512)
+    raise ValueError("unterminated tar archive")
+
+
+def multimodal_tar_webdataset_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEBDATASET round-trip — the container format large multimodal
+    training corpora actually ship in (tar shards whose consecutive
+    members share a basename per sample): hash-shard the documents into
+    {shards} tars, ASSEMBLE each shard as a real POSIX ustar archive
+    (octal size fields, checksummed headers, NUL padding, end blocks)
+    with two members per sample (``<doc_id>.txt`` = the text,
+    ``<doc_id>.cls`` = the source label), then SCAN the shards back from
+    bytes alone — checksum-verifying every header — and report per shard:
+    members, samples, exact payload bytes, and the archive size, which the
+    DuckDB oracle recomputes from the 512-byte block FORMULA (a single
+    mis-written octal size field desyncs every later member, so the
+    round-trip is self-proving).
+
+    Scale shape: shard assembly is ``applyInPandas`` over the shard key —
+    ONE shuffle of the payload (exactly what a distributed WebDataset
+    writer does); the scan is map-only over shard blobs; the final
+    aggregate is {shards} rows."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text",
+        (F.col("doc_id") % _TAR_SHARDS).cast("int").alias("shard_id"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        members: list[tuple[str, bytes]] = []
+        for r in pdf.itertuples():
+            members.append((f"{r.doc_id}.txt", r.text.encode()))
+            members.append((f"{r.doc_id}.cls", r.source.encode()))
+        return pd.DataFrame(
+            {"shard_id": [int(pdf["shard_id"].iloc[0])],
+             "tar": [_tar_build(members)]}
+        )
+
+    shards = docs.groupBy("shard_id").applyInPandas(
+        build, "shard_id int, tar binary"
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                members = _tar_scan(bytes(r.tar))
+                samples = {n.rsplit(".", 1)[0] for n, _ in members}
+                rows.append(
+                    (int(r.shard_id), len(members), len(samples),
+                     sum(s for _, s in members), len(bytes(r.tar)))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["shard_id", "n_members", "n_samples",
+                         "payload_bytes", "tar_bytes"],
+            )
+
+    stats = shards.mapInPandas(
+        scan,
+        "shard_id int, n_members long, n_samples long, "
+        "payload_bytes long, tar_bytes long",
+    )
+    return stats.select(
+        "shard_id",
+        "n_members",
+        "n_samples",
+        "payload_bytes",
+        "tar_bytes",
+        (F.col("tar_bytes") % 512 == 0).alias("block_aligned"),
+    ).orderBy("shard_id")
+
+
+_TAR_SCAN_SQL = f"""
+WITH m AS (
+  SELECT CAST(doc_id % {_TAR_SHARDS} AS INTEGER) AS shard_id,
+         strlen(text) AS txt_b, strlen(source) AS cls_b
+  FROM documents
+)
+SELECT shard_id,
+       2 * COUNT(*) AS n_members,
+       COUNT(*) AS n_samples,
+       CAST(SUM(txt_b + cls_b) AS BIGINT) AS payload_bytes,
+       -- per member: 512-byte header + payload NUL-padded to 512; plus the
+       -- two end-of-archive zero blocks
+       CAST(SUM(512 + CAST(CEIL(txt_b / 512.0) AS BIGINT) * 512
+                + 512 + CAST(CEIL(cls_b / 512.0) AS BIGINT) * 512)
+            + 1024 AS BIGINT) AS tar_bytes,
+       TRUE AS block_aligned
+FROM m
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
 QUERIES = {
     "multimodal_bmp_decode_stats": multimodal_bmp_decode_stats,
     "multimodal_png_decode_stats": multimodal_png_decode_stats,
+    "multimodal_gif_decode_stats": multimodal_gif_decode_stats,
+    "multimodal_tar_webdataset_scan": multimodal_tar_webdataset_scan,
     "multimodal_wav_decode_stats": multimodal_wav_decode_stats,
+    "multimodal_wav_spectrum_stats": multimodal_wav_spectrum_stats,
     "multimodal_y4m_decode_stats": multimodal_y4m_decode_stats,
     "multimodal_phash_near_dup": multimodal_phash_near_dup,
     "multimodal_chunk_manifest": multimodal_chunk_manifest,
@@ -1671,7 +2418,10 @@ QUERIES = {
 ORACLES = {
     "multimodal_bmp_decode_stats": _BMP_DECODE_SQL,
     "multimodal_png_decode_stats": _PNG_DECODE_SQL,
+    "multimodal_gif_decode_stats": _GIF_DECODE_SQL,
+    "multimodal_tar_webdataset_scan": _TAR_SCAN_SQL,
     "multimodal_wav_decode_stats": _WAV_DECODE_SQL,
+    "multimodal_wav_spectrum_stats": _WAV_SPECTRUM_SQL,
     "multimodal_y4m_decode_stats": _Y4M_DECODE_SQL,
     "multimodal_phash_near_dup": _PHASH_SQL,
     "multimodal_chunk_manifest": _CHUNK_MANIFEST_SQL,

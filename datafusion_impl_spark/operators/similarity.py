@@ -284,6 +284,174 @@ ORDER BY q_id, rank
 """
 
 
+# --------------------------------------------------------------------------
+# Graded retrieval evaluation: nDCG@K + MRR of IVF vs the exact ranking
+# --------------------------------------------------------------------------
+
+#: nDCG list depth (matches the exact baseline's top-K).
+_NDCG_K = 5
+import math as _math
+
+#: ideal DCG for the constant grade ladder (K, K-1, …, 1) — every query's
+#: exact top-K exists in full, so the ideal ranking is the same for all.
+_IDCG = sum(
+    # div-safe: log2(i+1) >= 1 for the constant positions i >= 1
+    (_NDCG_K + 1 - i) / _math.log2(i + 1) for i in range(1, _NDCG_K + 1)
+)
+
+
+def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED retrieval evaluation — recall@K (the sweep queries) treats
+    every true neighbor alike; ranking quality needs position-aware
+    metrics. For each query: grade the exact top-{K} neighbors
+    ``K+1−true_rank`` (best neighbor = grade {K}), score the IVF
+    (nprobe=1) top-{K} list by ``nDCG@K = Σ grade_i/log2(i+1) / IDCG``
+    (IDCG is the same constant for every query — the full exact list
+    always exists), and take the reciprocal rank of the TRUE nearest
+    neighbor in the IVF list (MRR). Output: query count, mean nDCG, MRR,
+    perfect-list count, and mean top-{K} overlap — the eval table an ANN
+    deployment reviews before trading recall for probe count.
+
+    Scale shape: the exact side is the broadcast-query brute-force pass
+    (the audit — at 100 TB it runs on a query SAMPLE); the IVF side is the
+    bucket equi-join; both lists drop vectors before their windows, and
+    the final aggregate is one row."""
+    e = _vectors(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    # div-safe: unit-norm embeddings / nonzero centroid norms (data contract)
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("q_nrm") * F.col("nrm"))
+    exact_scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    exact = (
+        exact_scored.withColumn("t_rank", F.row_number().over(w))
+        .filter(F.col("t_rank") <= _NDCG_K)
+        .select("q_id", "neighbor_id", "t_rank")
+    )
+    assign = materialize(_ivf_assign(e))
+    qa = assign.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+        "bucket",
+    )
+    approx = (
+        qa.join(assign, "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .withColumn("a_rank", F.row_number().over(w))
+        .filter(F.col("a_rank") <= _NDCG_K)
+        .select("q_id", "neighbor_id", "a_rank")
+    )
+    rel = F.coalesce(
+        F.lit(_NDCG_K + 1) - F.col("t_rank"), F.lit(0)
+    ).cast("double")
+    per_q = (
+        approx.join(exact, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            # div-safe: _IDCG and log2(a_rank+1>=2) are positive constants
+            F.round(
+                F.sum(rel / F.log2(F.col("a_rank") + 1)) / F.lit(_IDCG), 6
+            ).alias("ndcg"),
+            F.round(
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            F.col("t_rank") == 1,
+                            # div-safe: a_rank is a ROW_NUMBER >= 1
+                            F.lit(1.0) / F.col("a_rank"),
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("rr"),
+            F.sum(F.col("t_rank").isNotNull().cast("long")).alias("overlap"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("ndcg"), 4).alias("mean_ndcg"),
+        F.round(F.avg("rr"), 4).alias("mrr"),
+        F.sum((F.col("ndcg") >= 0.9999).cast("long")).alias("n_perfect"),
+        F.round(F.avg("overlap"), 4).alias("mean_overlap"),
+    )
+
+
+_NDCG_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % {_QUERY_MOD} = 0),
+exact AS (
+  SELECT q_id, neighbor_id, rn AS t_rank FROM (
+    SELECT q_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY ROUND(list_cosine_similarity(qv, e.v), 6) DESC,
+                                       e.vec_id) AS rn
+    FROM q, e WHERE e.vec_id <> q_id)
+  WHERE rn <= {_NDCG_K}
+),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_N_CENTROIDS}),
+assign AS (
+  SELECT vec_id, v, cid AS bucket FROM (
+    SELECT e.vec_id, e.v, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(e.v, cent.cv), 6) DESC,
+                                       cent.cid) AS arn
+    FROM e, cent)
+  WHERE arn = 1
+),
+qa AS (SELECT vec_id AS q_id, v AS qv, bucket FROM assign
+       WHERE vec_id % {_QUERY_MOD} = 0),
+approx AS (
+  SELECT q_id, neighbor_id, rn AS a_rank FROM (
+    SELECT q_id, a.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY ROUND(list_cosine_similarity(qv, a.v), 6) DESC,
+                                       a.vec_id) AS rn
+    FROM qa JOIN assign a USING (bucket) WHERE a.vec_id <> q_id)
+  WHERE rn <= {_NDCG_K}
+),
+per_q AS (
+  SELECT ap.q_id,
+         -- div-safe: IDCG and log2(a_rank+1>=2) are positive constants
+         ROUND(SUM(CAST(COALESCE({_NDCG_K + 1} - x.t_rank, 0) AS DOUBLE)
+                   / log2(ap.a_rank + 1)) / {_IDCG!r}, 6) AS ndcg,
+         -- div-safe: a_rank is a ROW_NUMBER >= 1
+         ROUND(COALESCE(MAX(CASE WHEN x.t_rank = 1
+                                 THEN 1.0 / ap.a_rank END), 0.0), 6) AS rr,
+         SUM(CASE WHEN x.t_rank IS NOT NULL THEN 1 ELSE 0 END) AS overlap
+  FROM approx ap
+  LEFT JOIN exact x ON x.q_id = ap.q_id AND x.neighbor_id = ap.neighbor_id
+  GROUP BY ap.q_id
+)
+SELECT COUNT(*) AS n_queries,
+       ROUND(AVG(ndcg), 4) AS mean_ndcg,
+       ROUND(AVG(rr), 4) AS mrr,
+       CAST(SUM(CASE WHEN ndcg >= 0.9999 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_perfect,
+       ROUND(AVG(overlap), 4) AS mean_overlap
+FROM per_q
+"""
+
+
 #: Semantic-decontamination threshold (cosine) and eval-set selector.
 _DECON_TAU = 0.8
 _DECON_EVAL_MOD = 50
@@ -3558,6 +3726,7 @@ QUERIES = {
     "ann_pq_refine_recall": ann_pq_refine_recall,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ndcg_eval": ann_ndcg_eval,
     "dedup_semantic_ivf": dedup_semantic_ivf,
     "decontamination_semantic": decontamination_semantic,
     "ann_lsh_ml_topk": ann_lsh_ml_topk,
@@ -3585,6 +3754,7 @@ ORACLES = {
     "ann_pq_adc_recall": _PQ_SQL,
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
+    "ann_ndcg_eval": _NDCG_SQL,
     "dedup_semantic_ivf": _SEMANTIC_DEDUP_SQL,
     "embedding_near_dup_pairs": _NEAR_DUP_SQL,
     "embedding_label_centroids": _CENTROIDS_SQL,

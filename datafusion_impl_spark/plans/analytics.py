@@ -1927,6 +1927,160 @@ ORDER BY o_orderpriority, pos
 """
 
 
+# --------------------------------------------------------------------------
+# Mergeable quantile-histogram sketch (the 4th sketch family: quantiles)
+# --------------------------------------------------------------------------
+
+#: histogram resolution (bins). 512 counters ≈ 4 KB per merge unit.
+_QHIST_NB = 512
+#: quantiles estimated from the sketch.
+_QHIST_QS = (0.5, 0.9, 0.99)
+
+
+def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE QUANTILE SKETCH — the fourth estimator family next to HLL
+    (cardinality), Bloom (membership) and bottom-k (distinct sample): a
+    {nb}-bin equi-width histogram over integer price cents whose per-bin
+    counts are a plain distributive aggregate (map-side combine, any merge
+    tree — the property KLL/t-digest are used for at 100 TB, in the
+    simplest shape that stays bit-portable across engines: bin indices are
+    PURE INTEGER arithmetic, so no float boundary can disagree). Per
+    target quantile: the crossing bin, the midpoint estimate, the exact
+    interpolated percentile as the audit column, the absolute error, and
+    the bin width (the error is provably within ~one bin width).
+
+    Scale shape: one min/max pass, one 512-group aggregate, a window over
+    the ≤512-row bin table, and a 3-row output. The EXACT column is the
+    audit — at 100 TB you'd drop it or compute it on a sample; the sketch
+    itself never sorts and never holds more than 512 counters."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    mm = o.agg(
+        F.min("cents").alias("min_c"),
+        F.max("cents").alias("max_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = (
+        o.crossJoin(F.broadcast(mm))
+        .select(
+            F.least(
+                F.lit(_QHIST_NB - 1),
+                F.expr(
+                    f"(cents - min_c) * {_QHIST_NB} DIV (max_c - min_c + 1)"
+                ),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = binned.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bin"))
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _QHIST_QS])).alias("q")
+    )
+    hits = (
+        qs.crossJoin(F.broadcast(mm))
+        .withColumn("target_rank", F.ceil(F.col("q") * F.col("n")))
+        .join(F.broadcast(cum), F.col("cum") >= F.col("target_rank"))
+        .groupBy("q", "target_rank", "min_c", "max_c", "n")
+        .agg(F.min("bin").alias("est_bin"))
+    )
+    width_c = (F.col("max_c") - F.col("min_c") + 1) / F.lit(float(_QHIST_NB))
+    est = (F.col("min_c") + (F.col("est_bin") + 0.5) * width_c) / 100.0
+    exact = load_table(spark, sf_dir, "orders").agg(
+        F.expr(
+            "percentile(o_totalprice, array("
+            + ", ".join(f"{q}D" for q in _QHIST_QS)
+            + "))"
+        ).alias("xs")
+    ).select(F.posexplode("xs").alias("pos", "exact"))
+    qpos = {q: i for i, q in enumerate(_QHIST_QS)}
+    hits = hits.withColumn(
+        "pos",
+        F.coalesce(
+            *[
+                F.when(F.col("q") == q, F.lit(i))
+                for q, i in qpos.items()
+            ]
+        ),
+    )
+    return (
+        hits.join(exact, "pos")
+        .select(
+            "q",
+            F.col("n").alias("n_rows"),
+            F.col("target_rank").cast("long").alias("target_rank"),
+            F.col("est_bin").cast("int").alias("est_bin"),
+            F.round(est, 4).alias("estimate"),
+            F.round("exact", 4).alias("exact"),
+            F.round(F.abs(est - F.col("exact")), 4).alias("abs_err"),
+            # div-safe: _QHIST_NB and the /100 are nonzero constants
+            F.round(width_c / 100.0, 4).alias("bin_width"),
+        )
+        .orderBy("q")
+    )
+
+
+_QHIST_SQL = f"""
+WITH cents AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders
+),
+mm AS (
+  SELECT MIN(cents) AS min_c, MAX(cents) AS max_c, COUNT(*) AS n FROM cents
+),
+binned AS (
+  SELECT LEAST({_QHIST_NB - 1},
+               (cents - min_c) * {_QHIST_NB} // (max_c - min_c + 1)) AS bin,
+         COUNT(*) AS cnt
+  FROM cents, mm
+  GROUP BY 1
+),
+cum AS (
+  SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM binned
+),
+-- ::DOUBLE: a bare 0.9 parses as DECIMAL, whose EXACT q*n can land one
+-- CEIL below the double product Spark computes
+qs AS (SELECT unnest([{", ".join(f"{q}::DOUBLE" for q in _QHIST_QS)}]) AS q),
+hits AS (
+  SELECT q, CEIL(q * n) AS target_rank, min_c, max_c, n,
+         MIN(bin) AS est_bin
+  FROM qs, mm, cum
+  WHERE cum >= CEIL(q * n)
+  GROUP BY q, min_c, max_c, n
+),
+exact AS (
+  SELECT quantile_cont(o_totalprice,
+                       [{", ".join(str(q) for q in _QHIST_QS)}]) AS xs
+  FROM orders
+),
+exploded AS (
+  SELECT generate_subscripts(xs, 1) - 1 AS pos, unnest(xs) AS exact
+  FROM exact
+)
+SELECT h.q,
+       CAST(h.n AS BIGINT) AS n_rows,
+       CAST(h.target_rank AS BIGINT) AS target_rank,
+       CAST(h.est_bin AS INTEGER) AS est_bin,
+       -- div-safe: the bin count and /100 are nonzero constants
+       ROUND((h.min_c + (h.est_bin + 0.5)
+              * ((h.max_c - h.min_c + 1) / {float(_QHIST_NB)!r})) / 100.0, 4)
+         AS estimate,
+       ROUND(e.exact, 4) AS exact,
+       ROUND(ABS((h.min_c + (h.est_bin + 0.5)
+                  * ((h.max_c - h.min_c + 1) / {float(_QHIST_NB)!r})) / 100.0
+                 - e.exact), 4) AS abs_err,
+       -- div-safe: same constants
+       ROUND(((h.max_c - h.min_c + 1) / {float(_QHIST_NB)!r}) / 100.0, 4)
+         AS bin_width
+FROM hits h
+JOIN exploded e
+  ON e.pos = CASE h.q {" ".join(f"WHEN {q} THEN {i}" for i, q in enumerate(_QHIST_QS))} END
+ORDER BY q
+"""
+
+
 def profile_orders_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB form of :func:`profile_orders_columns`: distinct counts
     via ``approx_count_distinct`` (HLL++, constant memory, ONE pass with NO
@@ -3083,6 +3237,7 @@ QUERIES = {
     "profile_orders_columns": profile_orders_columns,
     "profile_orders_columns_approx": profile_orders_columns_approx,
     "order_price_percentiles": order_price_percentiles,
+    "sketch_quantile_histogram": sketch_quantile_histogram,
 }
 
 ORACLES = {
@@ -3145,4 +3300,5 @@ ORACLES = {
     "events_time_rollup": _TIME_ROLLUP_SQL,
     "profile_orders_columns": _profile_oracle(),
     "order_price_percentiles": _PERCENTILES_SQL,
+    "sketch_quantile_histogram": _QHIST_SQL,
 }

@@ -713,6 +713,134 @@ WHERE doc_id % {_BLOB_MOD} = 0
 """
 
 
+# --------------------------------------------------------------------------
+# gzip-compressed JSONL shards (the wire format raw web corpora arrive in)
+# --------------------------------------------------------------------------
+
+#: gzip-JSONL sharding: documents hash into this many .jsonl.gz shards.
+_GZ_SHARDS = 16
+#: bounded modulus for the per-shard content-hash sum (keeps the BIGINT
+#: aggregate far from overflow at any corpus size).
+_GZ_HASH_MOD = 1000003
+
+
+def source_gzip_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GZIP-JSONL INGESTION round-trip — the wire format raw web corpora
+    actually arrive in (Common-Crawl-style ``.jsonl.gz`` shards): hash-
+    shard the documents, ENCODE each shard as a real gzip stream (stdlib
+    zlib deflate + CRC32/ISIZE trailer, deterministic header) of JSON
+    lines, then ingest the shards back: gunzip (CRC-verified) and line-
+    split in an Arrow-batched kernel, but parse the JSON **JVM-side with
+    ``from_json`` and an explicit schema** — the scale path (Python only
+    touches bytes; all field extraction is codegen'd Jackson). Per shard:
+    docs, char sum, distinct sources, and a bounded per-shard content-hash
+    sum over the round-tripped TEXT — any loss in JSON escaping, UTF-8, or
+    line splitting (embedded newlines!) diverges the hash, which the
+    oracle recomputes from the original parquet.
+
+    Scale shape: one shuffle to assemble shards (``applyInPandas`` over
+    the shard key — the distributed shard-writer shape), map-only decode,
+    {shards}-row aggregate."""
+    import json
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text",
+        (F.col("doc_id") % _GZ_SHARDS).cast("int").alias("shard_id"),
+    )
+
+    def build(pdf):
+        import gzip
+        import io
+
+        pdf = pdf.sort_values("doc_id")
+        buf = io.BytesIO()
+        # mtime=0: deterministic gzip header (content equality is what the
+        # hash column checks; byte determinism keeps reruns identical)
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            for r in pdf.itertuples():
+                gz.write(
+                    json.dumps(
+                        {
+                            "doc_id": int(r.doc_id),
+                            "source": r.source,
+                            "n_chars": int(r.n_chars),
+                            "text": r.text,
+                        },
+                        ensure_ascii=False,
+                        sort_keys=True,
+                    ).encode()
+                    + b"\n"
+                )
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"shard_id": [int(pdf["shard_id"].iloc[0])],
+             "gz": [buf.getvalue()]}
+        )
+
+    shards = docs.groupBy("shard_id").applyInPandas(
+        build, "shard_id int, gz binary"
+    )
+
+    def gunzip_lines(batches):
+        import gzip
+
+        import pandas as pd
+
+        for pdf in batches:
+            sids, lines = [], []
+            for r in pdf.itertuples():
+                # gzip.decompress verifies the CRC32 + ISIZE trailer —
+                # a truncated or bit-flipped shard fails loudly here
+                text = gzip.decompress(bytes(r.gz)).decode()
+                for line in text.splitlines():
+                    sids.append(int(r.shard_id))
+                    lines.append(line)
+            yield pd.DataFrame({"shard_id": sids, "line": lines})
+
+    lines = shards.mapInPandas(gunzip_lines, "shard_id int, line string")
+    j = F.from_json(
+        "line", "doc_id BIGINT, source STRING, n_chars BIGINT, text STRING"
+    )
+    parsed = lines.select("shard_id", j.alias("j")).select(
+        "shard_id",
+        F.col("j.doc_id").alias("doc_id"),
+        F.col("j.source").alias("source"),
+        F.col("j.n_chars").alias("n_chars"),
+        F.col("j.text").alias("text"),
+    )
+    from datafusion_impl_spark.operators import md5_long
+
+    return (
+        parsed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum(md5_long(F.col("text")) % _GZ_HASH_MOD).alias(
+                "text_hash_sum"
+            ),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def _gzip_jsonl_oracle() -> str:
+    from datafusion_impl_spark.operators import duck_md5_long
+
+    return f"""
+SELECT CAST(doc_id % {_GZ_SHARDS} AS INTEGER) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM({duck_md5_long("text")} % {_GZ_HASH_MOD}) AS BIGINT)
+         AS text_hash_sum
+FROM documents
+GROUP BY 1
+ORDER BY shard_id
+"""
+
+
 QUERIES = {
     "binaryfile_media_scan": binaryfile_media_scan,
     "csv_reference_golden": csv_reference_golden,
@@ -725,6 +853,7 @@ QUERIES = {
     "compact_small_files_plan": compact_small_files_plan,
     "file_lineage_orders": file_lineage_orders,
     "csv_documents_roundtrip": csv_documents_roundtrip,
+    "source_gzip_jsonl_scan": source_gzip_jsonl_scan,
 }
 
 ORACLES = {
@@ -739,4 +868,5 @@ ORACLES = {
     "compact_small_files_plan": _compact_plan_oracle("sf0.01"),
     "file_lineage_orders": _FILE_LINEAGE_SQL,
     "csv_documents_roundtrip": _CSV_ROUNDTRIP_SQL,
+    "source_gzip_jsonl_scan": _gzip_jsonl_oracle(),
 }
