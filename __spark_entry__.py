@@ -207,6 +207,16 @@ _NEXT_ROTATION: list[str] = [
     "string_agg_nations_per_region",
     "xml_documents_roundtrip",
     "zorder_orders_layout",
+    # --- new in r11 ---
+    "source_kneser_ney_bigram",      # new in r11 (interpolated KN bigram LM)
+    "classifier_feature_auc",        # new in r11 (rank-sum AUC vs weights)
+    "dedup_bbit_minhash",            # new in r11 (b-bit minwise, bias-corrected)
+    "multimodal_gif_decode_stats",   # new in r11 (real variable-width LZW)
+    "multimodal_tar_webdataset_scan",  # new in r11 (ustar shard round-trip)
+    "source_gzip_jsonl_scan",        # new in r11 (gzip JSONL shard ingest)
+    "multimodal_wav_spectrum_stats",  # new in r11 (per-clip DFT bins)
+    "sketch_quantile_histogram",     # new in r11 (mergeable quantile digest)
+    "ann_ndcg_eval",                 # new in r11 (graded nDCG@5 + MRR)
 ]
 
 
