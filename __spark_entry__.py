@@ -217,6 +217,8 @@ _NEXT_ROTATION: list[str] = [
     "multimodal_wav_spectrum_stats",  # new in r11 (per-clip DFT bins)
     "sketch_quantile_histogram",     # new in r11 (mergeable quantile digest)
     "ann_ndcg_eval",                 # new in r11 (graded nDCG@5 + MRR)
+    "classifier_platt_recalibration",  # new in r11 (held-out Platt fit)
+    "stream_quantile_histogram",     # new in r11 (streaming sketch upkeep)
 ]
 
 

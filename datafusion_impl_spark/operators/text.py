@@ -3681,6 +3681,199 @@ ORDER BY decile
 
 
 # --------------------------------------------------------------------------
+# Platt-scaling recalibration (the fix for what the calibration audit finds)
+# --------------------------------------------------------------------------
+
+#: Platt fit schedule: GD over (a, b) on the held-out linear scores.
+_PLATT_STEPS = 8
+_PLATT_LR = 2.0
+
+
+def _platt_fit(held: DataFrame, steps: int = _PLATT_STEPS,
+               lr: float = _PLATT_LR) -> tuple[float, float]:
+    """Fit Platt scaling ``sigma(a·z + b)`` on a (z, y) frame by the same
+    broadcast-sufficient-statistics GD as :func:`_logreg_fit`: each step
+    is one distributed aggregate returning a 2-double gradient, weights
+    update driver-side, 10-dp sync rounding keeps the DuckDB WITH
+    RECURSIVE replay bit-identical. Init (1, 0) = the identity map, so
+    every step is a strict recalibration move."""
+    a, b = 1.0, 0.0
+    for _ in range(steps):
+        # div-safe: 1 + exp(-t) >= 1
+        p = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-(F.lit(a) * F.col("z") + F.lit(b)))
+        )
+        r = p - F.col("y")
+        g = held.agg(
+            F.round(F.avg(r * F.col("z")), _QCLF_SYNC_ROUND).alias("ga"),
+            F.round(F.avg(r), _QCLF_SYNC_ROUND).alias("gb"),
+        ).collect()[0]  # bounded collect: one 2-double gradient per step
+        a = _round_half_up(a - lr * g["ga"], _QCLF_SYNC_ROUND)
+        b = _round_half_up(b - lr * g["gb"], _QCLF_SYNC_ROUND)
+    return a, b
+
+
+def classifier_platt_recalibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLATT SCALING — the remediation step for what
+    :func:`classifier_calibration_audit` diagnoses: train the classifier
+    on the even half, then fit a 1-D logistic map ``sigma(a·z + b)`` over
+    the held-out linear scores (GD from the identity init) and report the
+    held-out calibration ledger BEFORE vs AFTER — expected calibration
+    error (decile-weighted |predicted − observed|), Brier score, mean
+    prediction, and the true keep rate. The production pattern: never
+    retrain to fix calibration; refit the 2-parameter output map on fresh
+    labels.
+
+    Scale shape: both fits are K passes of one distributed aggregate with
+    literal weights shipped back (nothing driver-side but 2-4 doubles);
+    scoring and the decile census are one map + tiny aggregates. The
+    DuckDB oracle replays BOTH recursions chained (v1 weights, then the
+    Platt fit seeded from them) bit-identically."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    feats = materialize(quality_feature_frame(docs, ["doc_id"]))
+    w = _logreg_fit(feats.filter(F.col("doc_id") % 2 == 0))
+    held = materialize(
+        feats.filter(F.col("doc_id") % 2 == 1).select(
+            F.round(_logreg_z(w), _QCLF_SYNC_ROUND).alias("z"), "y"
+        )
+    )
+    a, b = _platt_fit(held)
+    # div-safe: 1 + exp(-t) >= 1 (both stages)
+    p_raw = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))
+    p_cal = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.lit(a) * F.col("z") + F.lit(b)))
+    )
+    melted = held.select(
+        "y", p_raw.alias("p_raw"), p_cal.alias("p_cal")
+    ).select(
+        "y",
+        F.expr("stack(2, 'raw', p_raw, 'platt', p_cal) as (stage, p)"),
+    )
+    decile = F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("int")
+    per_dec = melted.groupBy("stage", decile.alias("d")).agg(
+        F.count(F.lit(1)).alias("n_d"),
+        F.avg("p").alias("ap"),
+        F.avg("y").alias("ay"),
+        F.avg((F.col("p") - F.col("y"))
+              * (F.col("p") - F.col("y"))).alias("brier_d"),
+    )
+    return (
+        per_dec.groupBy("stage")
+        .agg(
+            F.sum("n_d").cast("long").alias("n_docs"),
+            # div-safe: SUM(n_d) >= 1 whenever the group exists
+            F.round(
+                F.sum(F.col("n_d") * F.abs(F.col("ap") - F.col("ay")))
+                / F.sum("n_d"),
+                4,
+            ).alias("ece"),
+            # div-safe: same SUM(n_d) >= 1 invariant
+            F.round(
+                F.sum(F.col("n_d") * F.col("brier_d")) / F.sum("n_d"), 4
+            ).alias("brier"),
+            # div-safe: same SUM(n_d) >= 1 invariant
+            F.round(
+                F.sum(F.col("n_d") * F.col("ap")) / F.sum("n_d"), 4
+            ).alias("avg_p"),
+            # div-safe: same SUM(n_d) >= 1 invariant
+            F.round(
+                F.sum(F.col("n_d") * F.col("ay")) / F.sum("n_d"), 4
+            ).alias("frac_keep"),
+        )
+        .orderBy("stage")
+    )
+
+
+def _platt_sql() -> str:
+    R = _QCLF_SYNC_ROUND
+    return f"""
+WITH RECURSIVE feat AS ({_QCLF_FEAT_SQL}),
+it(iter, w0, w1, w2, w3) AS (
+  SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+         CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+  UNION ALL
+  SELECT iter + 1,
+         ROUND(w0 - {_QCLF_LR} * g0, {R}),
+         ROUND(w1 - {_QCLF_LR} * g1, {R}),
+         ROUND(w2 - {_QCLF_LR} * g2, {R}),
+         ROUND(w3 - {_QCLF_LR} * g3, {R})
+  FROM (
+    SELECT iter, w0, w1, w2, w3,
+           ROUND(AVG(p - y), {R}) AS g0,
+           ROUND(AVG((p - y) * x1), {R}) AS g1,
+           ROUND(AVG((p - y) * x2), {R}) AS g2,
+           ROUND(AVG((p - y) * x3), {R}) AS g3
+    FROM (
+      -- div-safe: 1 + EXP(-t) >= 1
+      SELECT r.iter, r.w0, r.w1, r.w2, r.w3, f.x1, f.x2, f.x3, f.y,
+             1.0 / (1.0 + EXP(-(r.w0 + r.w1 * f.x1 + r.w2 * f.x2
+                                + r.w3 * f.x3))) AS p
+      FROM it r, feat f
+      WHERE r.iter < {_QCLF_STEPS} AND f.doc_id % 2 = 0
+    )
+    GROUP BY iter, w0, w1, w2, w3
+  )
+),
+v1 AS (SELECT w0, w1, w2, w3 FROM it WHERE iter = {_QCLF_STEPS}),
+held AS (
+  SELECT ROUND(v1.w0 + v1.w1 * f.x1 + v1.w2 * f.x2 + v1.w3 * f.x3, {R}) AS z,
+         f.y
+  FROM feat f, v1
+  WHERE f.doc_id % 2 = 1
+),
+pl(iter, a, b) AS (
+  SELECT 0, CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+  UNION ALL
+  SELECT iter + 1,
+         ROUND(a - {_PLATT_LR} * ga, {R}),
+         ROUND(b - {_PLATT_LR} * gb, {R})
+  FROM (
+    SELECT iter, a, b,
+           ROUND(AVG((p - y) * z), {R}) AS ga,
+           ROUND(AVG(p - y), {R}) AS gb
+    FROM (
+      -- div-safe: 1 + EXP(-t) >= 1
+      SELECT r.iter, r.a, r.b, h.z, h.y,
+             1.0 / (1.0 + EXP(-(r.a * h.z + r.b))) AS p
+      FROM pl r, held h
+      WHERE r.iter < {_PLATT_STEPS}
+    )
+    GROUP BY iter, a, b
+  )
+),
+ab AS (SELECT a, b FROM pl WHERE iter = {_PLATT_STEPS}),
+melted AS (
+  -- div-safe: 1 + EXP(-t) >= 1 (both stages)
+  SELECT 'raw' AS stage, y, 1.0 / (1.0 + EXP(-z)) AS p FROM held
+  UNION ALL
+  SELECT 'platt', y, 1.0 / (1.0 + EXP(-(ab.a * z + ab.b)))
+  FROM held, ab
+),
+per_dec AS (
+  SELECT stage, CAST(LEAST(FLOOR(p * 10), 9) AS INTEGER) AS d,
+         COUNT(*) AS n_d, AVG(p) AS ap, AVG(y) AS ay,
+         AVG((p - y) * (p - y)) AS brier_d
+  FROM melted GROUP BY stage, d
+)
+SELECT stage,
+       CAST(SUM(n_d) AS BIGINT) AS n_docs,
+       -- div-safe: SUM(n_d) >= 1 whenever the group exists
+       ROUND(SUM(n_d * ABS(ap - ay)) / SUM(n_d), 4) AS ece,
+       -- div-safe: same SUM(n_d) >= 1 invariant
+       ROUND(SUM(n_d * brier_d) / SUM(n_d), 4) AS brier,
+       -- div-safe: same SUM(n_d) >= 1 invariant
+       ROUND(SUM(n_d * ap) / SUM(n_d), 4) AS avg_p,
+       -- div-safe: same SUM(n_d) >= 1 invariant
+       ROUND(SUM(n_d * ay) / SUM(n_d), 4) AS frac_keep
+FROM per_dec
+GROUP BY stage
+ORDER BY stage
+"""
+
+
+# --------------------------------------------------------------------------
 # Per-feature ROC-AUC (Mann-Whitney rank-sum) vs the trained model
 # --------------------------------------------------------------------------
 
@@ -3798,6 +3991,7 @@ QUERIES = {
     "tier_classifier_trained": tier_classifier_trained,
     "classifier_incremental_refresh": classifier_incremental_refresh,
     "classifier_feature_auc": classifier_feature_auc,
+    "classifier_platt_recalibration": classifier_platt_recalibration,
     "text_charset_audit": text_charset_audit,
     "text_nfc_normalization_audit": text_nfc_normalization_audit,
     "heavy_hitters_cms": heavy_hitters_cms,
@@ -3835,6 +4029,7 @@ ORACLES = {
     "tier_classifier_trained": _tier_sql(),
     "classifier_incremental_refresh": _qclf_refresh_sql(),
     "classifier_feature_auc": _FEATURE_AUC_SQL,
+    "classifier_platt_recalibration": _platt_sql(),
     "text_html_extract": _HTML_EXTRACT_SQL,
     "text_charset_audit": _CHARSET_SQL,
     "text_nfc_normalization_audit": _nfc_sql(),

@@ -1953,27 +1953,48 @@ def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ≤512-row bin table, and a 3-row output. The EXACT column is the
     audit — at 100 TB you'd drop it or compute it on a sample; the sketch
     itself never sorts and never holds more than 512 counters."""
-    o = load_table(spark, sf_dir, "orders").select(
+    o = _qhist_cents(spark, sf_dir)
+    mm = _qhist_mm(o)
+    binned = (
+        _qhist_binned(o.crossJoin(F.broadcast(mm)))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return _qhist_report(spark, sf_dir, binned, mm)
+
+
+def _qhist_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer price cents — the exact (float-free) histogram domain."""
+    return load_table(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
     )
-    mm = o.agg(
+
+
+def _qhist_mm(cents: DataFrame) -> DataFrame:
+    """1-row (min_c, max_c, n) frame fixing the histogram edges."""
+    return cents.agg(
         F.min("cents").alias("min_c"),
         F.max("cents").alias("max_c"),
         F.count(F.lit(1)).alias("n"),
     )
-    binned = (
-        o.crossJoin(F.broadcast(mm))
-        .select(
-            F.least(
-                F.lit(_QHIST_NB - 1),
-                F.expr(
-                    f"(cents - min_c) * {_QHIST_NB} DIV (max_c - min_c + 1)"
-                ),
-            ).alias("bin")
-        )
-        .groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _qhist_binned(withmm: DataFrame) -> DataFrame:
+    """Pure-integer bin assignment over a (cents, min_c, max_c, …) frame —
+    stateless, so the same projection runs on a stream side unchanged."""
+    return withmm.select(
+        F.least(
+            F.lit(_QHIST_NB - 1),
+            F.expr(f"(cents - min_c) * {_QHIST_NB} DIV (max_c - min_c + 1)"),
+        ).alias("bin")
     )
+
+
+def _qhist_report(
+    spark: SparkSession, sf_dir: str, binned: DataFrame, mm: DataFrame
+) -> DataFrame:
+    """Shared tail: cumulative bin table → quantile crossing bins →
+    midpoint estimates vs the exact interpolated percentiles."""
     cum = binned.withColumn(
         "cum", F.sum("cnt").over(Window.orderBy("bin"))
     )

@@ -2489,6 +2489,88 @@ def _stream_hll_sql() -> str:
     return _HLL_SQL
 
 
+def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE-SKETCH MAINTENANCE AS A CONTINUOUS QUERY: the 512-bin
+    price histogram from ``plans.analytics.sketch_quantile_histogram``
+    kept up to date by a streaming count-aggregation while orders arrive
+    as two files with ``maxFilesPerTrigger=1``. The bin EDGES are pinned
+    from the static table before the stream starts — the production
+    pattern (yesterday's layout bins today's arrivals; bin assignment is
+    a stateless stream-static join, integer-only) — and bin counts are
+    monotone, so update-mode re-emits reconcile with a plain max in the
+    batch tail. Estimates and the audit come from the shared batch tail,
+    so the oracle is the batch sketch's verbatim.
+
+    At 100 TB: state is 512 longs total regardless of order volume — the
+    reason histogram/KLL sketches replace sorts on streams."""
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as papq
+
+    from datafusion_impl_spark.plans.analytics import (
+        _qhist_binned,
+        _qhist_cents,
+        _qhist_mm,
+        _qhist_report,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    feed = os.path.join(
+        "/tmp/datafusion_impl_spark_qhist_feed", f"{tag}_{uuid.uuid4().hex}"
+    )
+    os.makedirs(feed)
+    t = papq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice"]
+    )
+    half = max(t.num_rows // 2, 1)
+    papq.write_table(t.slice(0, half), os.path.join(feed, "o0.parquet"))
+    if t.num_rows > half:
+        papq.write_table(t.slice(half), os.path.join(feed, "o1.parquet"))
+
+    mm = _qhist_mm(_qhist_cents(spark, sf_dir))
+    mmk = mm.withColumn("k", F.lit(1))
+    view = "stream_qhist_drv"
+    try:
+        src = (
+            spark.readStream.schema("o_totalprice double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        cents = src.select(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+            F.lit(1).alias("k"),
+        )
+        q = (
+            _qhist_binned(cents.join(mmk, "k"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .writeStream.format("memory")
+            .queryName(view)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+    # update mode re-emits a bin row per touching batch; counts are
+    # monotone, so the final histogram is the per-bin max
+    binned = (
+        spark.table(view).groupBy("bin").agg(F.max("cnt").alias("cnt"))
+    )
+    return _qhist_report(spark, sf_dir, binned, mm)
+
+
+def _stream_qhist_sql() -> str:
+    from datafusion_impl_spark.plans.analytics import _QHIST_SQL
+
+    return _QHIST_SQL
+
+
 def _stream_qclf_sql() -> str:
     from datafusion_impl_spark.operators.text import _qclf_sql
 
@@ -2498,6 +2580,7 @@ def _stream_qclf_sql() -> str:
 QUERIES = {
     "stream_quality_scoring": stream_quality_scoring,
     "stream_hll_distinct_users": stream_hll_distinct_users,
+    "stream_quantile_histogram": stream_quantile_histogram,
     "stream_contribution_capping": stream_contribution_capping,
     "stream_ann_adc_topk": stream_ann_adc_topk,
     "stream_tws_user_totals": stream_tws_user_totals,
@@ -2516,6 +2599,7 @@ QUERIES = {
 ORACLES = {
     "stream_quality_scoring": _stream_qclf_sql(),
     "stream_hll_distinct_users": _stream_hll_sql(),
+    "stream_quantile_histogram": _stream_qhist_sql(),
     "stream_contribution_capping": _STREAM_CAP_SQL,
     "stream_ann_adc_topk": _STREAM_ANN_SQL,
     "stream_tws_user_totals": _TWS_TOTALS_SQL,

@@ -2846,3 +2846,21 @@ def test_gzip_jsonl_scan_covers_corpus(spark):
     assert 0 < len(rows) <= _GZ_SHARDS
     total = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     assert sum(r.n_docs for r in rows) == total
+
+
+def test_platt_recalibration_improves_heldout_calibration(spark):
+    """Platt scaling's whole point: the 2-parameter output map must reduce
+    BOTH expected calibration error and Brier score on the held-out half
+    (it is fit there from the identity init, so each GD step is a strict
+    recalibration move), without touching the labels."""
+    from datafusion_impl_spark.operators.text import (
+        classifier_platt_recalibration,
+    )
+
+    rows = {r.stage: r for r in
+            classifier_platt_recalibration(spark, SF_DIR).collect()}
+    assert set(rows) == {"raw", "platt"}
+    assert rows["raw"].n_docs == rows["platt"].n_docs > 0
+    assert rows["raw"].frac_keep == rows["platt"].frac_keep
+    assert rows["platt"].ece < rows["raw"].ece
+    assert rows["platt"].brier < rows["raw"].brier

@@ -962,3 +962,20 @@ def test_stream_hll_registers_merge_across_batches(spark):
         for r in sketch_hll_distinct_users(spark, SF_DIR).collect()
     }
     assert got == expected
+
+
+def test_stream_quantile_histogram_equals_batch_sketch(spark):
+    """The streaming histogram must equal the batch sketch exactly: bin
+    counts accumulated across two micro-batches (with edges pinned from
+    the static table) and reconciled from update-mode re-emits feed the
+    same report tail, so every estimate matches row-for-row."""
+    from datafusion_impl_spark.plans.analytics import (
+        sketch_quantile_histogram,
+    )
+    from datafusion_impl_spark.streaming import stream_quantile_histogram
+
+    got = [tuple(r) for r in
+           stream_quantile_histogram(spark, SF_DIR).collect()]
+    expected = [tuple(r) for r in
+                sketch_quantile_histogram(spark, SF_DIR).collect()]
+    assert got == expected
