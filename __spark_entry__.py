@@ -219,6 +219,8 @@ _NEXT_ROTATION: list[str] = [
     "ann_ndcg_eval",                 # new in r11 (graded nDCG@5 + MRR)
     "classifier_platt_recalibration",  # new in r11 (held-out Platt fit)
     "stream_quantile_histogram",     # new in r11 (streaming sketch upkeep)
+    "multimodal_y4m_scene_cuts",     # new in r11 (temporal frame-diff cuts)
+    "sample_horvitz_thompson_estimate",  # new in r11 (1/pi-weighted totals)
 ]
 
 

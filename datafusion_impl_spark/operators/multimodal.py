@@ -2060,6 +2060,186 @@ ORDER BY width, height
 
 
 # --------------------------------------------------------------------------
+# Y4M scene-cut detection (temporal analysis over decoded video frames)
+# --------------------------------------------------------------------------
+
+#: luma shift planted at the mid-clip frame — the "scene cut".
+_CUT_SHIFT = 128
+#: mean-abs-luma-diff threshold separating cut pairs (~128) from the
+#: smooth +5/frame drift (~10 including mod-256 wrap pixels).
+_CUT_MAD_T = 64.0
+
+
+def _y4m_encode_cut(doc_id: int) -> bytes:
+    """Planted clip WITH a scene cut: same geometry and smooth luma drift
+    as :func:`_y4m_encode`, plus a +{shift} luma shift from the mid-clip
+    frame onward (pure arithmetic — the oracle replays both halves)."""
+    import numpy as np
+
+    w, h, n = _y4m_geometry(doc_id)
+    cut = n // 2
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode())
+    xs = np.arange(w, dtype=np.int64)
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    cxs = np.arange(w // 2, dtype=np.int64)
+    cys = np.arange(h // 2, dtype=np.int64)[:, None]
+    for f in range(n):
+        shift = _CUT_SHIFT if f >= cut else 0
+        out += b"FRAME\n"
+        out += (((doc_id + 5 * f + 3 * xs + 7 * ys + shift) % 256)
+                .astype(np.uint8).tobytes())
+        out += (((2 * doc_id + f + 3 * cxs + cys) % 256)
+                .astype(np.uint8).tobytes())
+        out += (((doc_id + 11 * f + cxs + 2 * cys) % 256)
+                .astype(np.uint8).tobytes())
+    return bytes(out)
+
+
+def multimodal_y4m_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCENE-CUT DETECTION — the first TEMPORAL video operator (the frame
+    decoders are spatial): plant clips whose luma drifts smoothly +5 per
+    frame except for one +{shift} shift at the mid-clip frame, decode them
+    with the shared YUV4MPEG2 parser, and flag a cut wherever the mean
+    absolute luma difference between consecutive frames exceeds
+    {t} (smooth pairs sit near 10 — including the mod-256 wrap pixels —
+    cut pairs near 128). Per frame-count group: clips, frame pairs, cuts
+    detected, and the mean MAD on cut vs non-cut pairs. The oracle
+    replays the pixel formulas for BOTH halves in SQL, so the detector's
+    inputs are value-checked, not just its verdicts — and pytest pins
+    exactly one cut per clip at the planted position.
+
+    Scale shape: frame differencing is vectorized numpy inside the
+    map-only decode kernel (consecutive frames of one clip are adjacent
+    bytes in one blob — no shuffle sees a frame); the aggregate is 4
+    rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": pdf["doc_id"].map(
+                        lambda d: _y4m_encode_cut(int(d))
+                    ),
+                }
+            )
+
+    def diffs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            blobs = b.column(b.schema.get_field_index("media"))
+            nf, pair, sad, npx = [], [], [], []
+            for v in blobs:
+                w, h, frames = decode_y4m(v.as_py())
+                for i in range(1, len(frames)):
+                    d = np.abs(
+                        frames[i][0].astype(np.int64)
+                        - frames[i - 1][0].astype(np.int64)
+                    )
+                    nf.append(len(frames))
+                    pair.append(i)
+                    sad.append(int(d.sum()))
+                    npx.append(int(d.size))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(nf, type=pa.int32()),
+                    pa.array(pair, type=pa.int32()),
+                    pa.array(sad, type=pa.int64()),
+                    pa.array(npx, type=pa.int64()),
+                ],
+                names=["n_frames", "pair", "sad", "n_px"],
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % _Y4M_SAMPLE_MOD == _Y4M_SAMPLE_RES)
+    )
+    clips = docs.mapInPandas(build, "doc_id bigint, media binary")
+    pairs = clips.mapInArrow(
+        diffs, "n_frames int, pair int, sad long, n_px long"
+    )
+    # div-safe: n_px = decoded width x height of a planted frame, positive
+    mad = F.col("sad") / F.col("n_px")
+    is_cut = mad > _CUT_MAD_T
+    return (
+        pairs.groupBy("n_frames")
+        .agg(
+            # each clip contributes n_frames - 1 pairs
+            # div-safe: planted clips have n_frames >= 3, so the divisor
+            # n_frames - 1 >= 2
+            (
+                F.count(F.lit(1)) / (F.col("n_frames") - 1)
+            ).cast("long").alias("n_clips"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(is_cut.cast("long")).alias("n_cuts"),
+            F.round(
+                F.avg(F.when(is_cut, mad)), 4
+            ).alias("avg_mad_cut"),
+            F.round(
+                F.avg(F.when(~is_cut, mad)), 4
+            ).alias("avg_mad_smooth"),
+        )
+        .orderBy("n_frames")
+    )
+
+
+_Y4M_CUTS_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         {_Y4M_W_BASE} + 2 * (doc_id % {_Y4M_W_MOD}) AS w,
+         {_Y4M_H_BASE} + 2 * (doc_id % {_Y4M_H_MOD}) AS h,
+         {_Y4M_F_BASE} + doc_id % {_Y4M_F_MOD} AS n
+  FROM documents
+  WHERE doc_id % {_Y4M_SAMPLE_MOD} = {_Y4M_SAMPLE_RES}
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h, d.n, gf.f, gx.x, gy.y
+  FROM docs d
+  JOIN (SELECT unnest(generate_series(1, {_Y4M_F_BASE + _Y4M_F_MOD - 2})) AS f) gf
+    ON gf.f < d.n
+  JOIN (SELECT unnest(generate_series(0, {_Y4M_W_BASE + 2 * (_Y4M_W_MOD - 1) - 1})) AS x) gx
+    ON gx.x < d.w
+  JOIN (SELECT unnest(generate_series(0, {_Y4M_H_BASE + 2 * (_Y4M_H_MOD - 1) - 1})) AS y) gy
+    ON gy.y < d.h
+),
+d AS (
+  SELECT doc_id, n, f,
+         ABS(((doc_id + 5 * f + 3 * x + 7 * y
+               + CASE WHEN f >= n // 2 THEN {_CUT_SHIFT} ELSE 0 END) % 256)
+             - ((doc_id + 5 * (f - 1) + 3 * x + 7 * y
+                 + CASE WHEN f - 1 >= n // 2 THEN {_CUT_SHIFT} ELSE 0 END)
+                % 256)) AS ad
+  FROM px
+),
+pairs AS (
+  SELECT doc_id, n AS n_frames, f AS pair,
+         SUM(ad) AS sad, COUNT(*) AS n_px
+  FROM d GROUP BY doc_id, n, f
+),
+scored AS (
+  -- div-safe: n_px = planted frame width x height, positive
+  SELECT n_frames, CAST(sad AS DOUBLE) / n_px AS mad
+  FROM pairs
+)
+SELECT CAST(n_frames AS INTEGER) AS n_frames,
+       -- div-safe: planted clips have n_frames >= 3
+       CAST(COUNT(*) / (n_frames - 1) AS BIGINT) AS n_clips,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN mad > {_CUT_MAD_T} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cuts,
+       ROUND(AVG(CASE WHEN mad > {_CUT_MAD_T} THEN mad END), 4)
+         AS avg_mad_cut,
+       ROUND(AVG(CASE WHEN mad <= {_CUT_MAD_T} THEN mad END), 4)
+         AS avg_mad_smooth
+FROM scored
+GROUP BY n_frames
+ORDER BY n_frames
+"""
+
+
+# --------------------------------------------------------------------------
 # WAV spectral analysis (per-clip DFT bins over the decoded samples)
 # --------------------------------------------------------------------------
 
@@ -2406,6 +2586,7 @@ QUERIES = {
     "multimodal_tar_webdataset_scan": multimodal_tar_webdataset_scan,
     "multimodal_wav_decode_stats": multimodal_wav_decode_stats,
     "multimodal_wav_spectrum_stats": multimodal_wav_spectrum_stats,
+    "multimodal_y4m_scene_cuts": multimodal_y4m_scene_cuts,
     "multimodal_y4m_decode_stats": multimodal_y4m_decode_stats,
     "multimodal_phash_near_dup": multimodal_phash_near_dup,
     "multimodal_chunk_manifest": multimodal_chunk_manifest,
@@ -2422,6 +2603,7 @@ ORACLES = {
     "multimodal_tar_webdataset_scan": _TAR_SCAN_SQL,
     "multimodal_wav_decode_stats": _WAV_DECODE_SQL,
     "multimodal_wav_spectrum_stats": _WAV_SPECTRUM_SQL,
+    "multimodal_y4m_scene_cuts": _Y4M_CUTS_SQL,
     "multimodal_y4m_decode_stats": _Y4M_DECODE_SQL,
     "multimodal_phash_near_dup": _PHASH_SQL,
     "multimodal_chunk_manifest": _CHUNK_MANIFEST_SQL,

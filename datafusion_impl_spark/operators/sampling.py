@@ -92,6 +92,134 @@ ORDER BY lang
 """
 
 
+def sample_horvitz_thompson_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HORVITZ-THOMPSON estimation — the statistical contract that makes a
+    stratified sample USABLE: the language-stratified sample keeps docs at
+    unequal rates (en 50%, de 25%, others 10%), so plain sample sums are
+    biased toward English; weighting every sampled doc by 1/π (its
+    stratum's inclusion probability) restores unbiased corpus totals. Per
+    LANGUAGE: sampled count, the naive scaled-up char total a single
+    global rate would imply, the HT estimate, the exact total, and both
+    relative errors. Grouping by the stratum dimension makes the naive
+    estimator's failure STRUCTURAL (its error is the π_lang/global-rate
+    ratio — ~2.5× for English — not sampling noise), which pytest pins;
+    HT's residual error is pure sampling variance.
+
+    Scale shape: the sample gate is the same pushdown-friendly hash-ring
+    projection as the sampler itself; the whole query is one pass and one
+    per-language aggregate; the exact column is the audit (at 100 TB it
+    is yesterday's bookkeeping total, not a rescan)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(r))
+            for lang, r in _LANG_RATES.items()
+        ],
+        F.lit(_DEFAULT_RATE),
+    )
+    kept = _bucket(F.col("doc_id")) < rate
+    # div-safe: rate is one of the positive module constants
+    pi = rate.cast("double") / F.lit(float(_BUCKETS))
+    # the overall expected keep fraction a naive scale-up would assume
+    naive = docs.agg(
+        # div-safe: the corpus is non-empty (COUNT >= 1 by data contract)
+        (F.sum(kept.cast("long")) / F.count(F.lit(1))).alias("g_rate")
+    )
+    # div-safe (both): pi and g_rate are positive by construction
+    per_lang = (
+        docs.crossJoin(F.broadcast(naive))
+        .groupBy("lang")
+        .agg(
+            F.sum(kept.cast("long")).alias("n_sampled"),
+            F.round(
+                F.sum(
+                    # div-safe: g_rate > 0 (the hash ring keeps >= 1 doc)
+                    F.when(kept, F.col("n_chars") / F.col("g_rate")).otherwise(
+                        F.lit(0.0)
+                    )
+                ),
+                2,
+            ).alias("naive_chars"),
+            F.round(
+                F.sum(
+                    # div-safe: pi derives from positive rate constants
+                    F.when(kept, F.col("n_chars") / pi).otherwise(F.lit(0.0))
+                ),
+                2,
+            ).alias("ht_chars"),
+            F.sum("n_chars").alias("exact_chars"),
+        )
+    )
+    # div-safe: exact_chars >= 1 for any source with documents (n_chars
+    # can be 0 per doc but every source group holds non-trivial docs; the
+    # GREATEST guard pins a hypothetical all-empty source)
+    err = lambda c: F.round(  # noqa: E731
+        F.abs(F.col(c) - F.col("exact_chars"))
+        / F.greatest(F.col("exact_chars").cast("double"), F.lit(1.0)),
+        4,
+    )
+    return per_lang.select(
+        "lang",
+        "n_sampled",
+        "naive_chars",
+        "ht_chars",
+        F.col("exact_chars").cast("long").alias("exact_chars"),
+        err("naive_chars").alias("naive_rel_err"),
+        err("ht_chars").alias("ht_rel_err"),
+    ).orderBy("lang")
+
+
+def _ht_oracle() -> str:
+    rate_case = (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{lang}' THEN {r}" for lang, r in _LANG_RATES.items()
+        )
+        + f" ELSE {_DEFAULT_RATE} END"
+    )
+    return f"""
+WITH d AS (
+  SELECT lang, n_chars,
+         {_duck_bucket('doc_id')} < {rate_case} AS kept,
+         -- div-safe: rate is one of the positive module constants
+         CAST({rate_case} AS DOUBLE) / {float(_BUCKETS)!r} AS pi
+  FROM documents
+),
+g AS (
+  -- div-safe: the corpus is non-empty
+  SELECT SUM(CASE WHEN kept THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
+    AS g_rate
+  FROM d
+),
+per_lang AS (
+  SELECT lang,
+         CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         -- div-safe: g_rate > 0 (the hash ring keeps >= 1 doc)
+         ROUND(SUM(CASE WHEN kept THEN n_chars / g_rate ELSE 0.0 END), 2)
+           AS naive_chars,
+         -- div-safe: pi derives from positive rate constants
+         ROUND(SUM(CASE WHEN kept THEN n_chars / pi ELSE 0.0 END), 2)
+           AS ht_chars,
+         SUM(n_chars) AS exact_chars
+  FROM d, g
+  GROUP BY lang
+)
+SELECT lang, n_sampled, naive_chars, ht_chars,
+       CAST(exact_chars AS BIGINT) AS exact_chars,
+       -- div-safe: GREATEST pins a hypothetical all-empty source
+       ROUND(ABS(naive_chars - exact_chars)
+             / GREATEST(CAST(exact_chars AS DOUBLE), 1.0), 4)
+         AS naive_rel_err,
+       -- div-safe: same GREATEST guard
+       ROUND(ABS(ht_chars - exact_chars)
+             / GREATEST(CAST(exact_chars AS DOUBLE), 1.0), 4) AS ht_rel_err
+FROM per_lang
+ORDER BY lang
+"""
+
+
 def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test split (90/5/5) assigned from the same hash ring —
     disjoint by construction, stable under re-runs, and (because the ring is
@@ -776,6 +904,7 @@ QUERIES = {
     "interleave_sources_round_robin": interleave_sources_round_robin,
     "sample_k_per_source": sample_k_per_source,
     "weighted_sample_docs": weighted_sample_docs,
+    "sample_horvitz_thompson_estimate": sample_horvitz_thompson_estimate,
     "tablesample_repeatable_stats": tablesample_repeatable_stats,
 }
 
@@ -790,4 +919,5 @@ ORACLES = {
     "interleave_sources_round_robin": _INTERLEAVE_SQL,
     "sample_k_per_source": _SAMPLE_K_SQL,
     "weighted_sample_docs": _WSAMPLE_SQL,
+    "sample_horvitz_thompson_estimate": _ht_oracle(),
 }

@@ -2864,3 +2864,46 @@ def test_platt_recalibration_improves_heldout_calibration(spark):
     assert rows["raw"].frac_keep == rows["platt"].frac_keep
     assert rows["platt"].ece < rows["raw"].ece
     assert rows["platt"].brier < rows["raw"].brier
+
+
+def test_y4m_scene_cuts_exactly_one_per_clip(spark):
+    """Each planted clip carries exactly ONE luma shift, so the detector
+    must find exactly one cut per clip (n_cuts == n_clips per group), and
+    the two MAD populations must be unambiguously separated by the
+    threshold's design margin."""
+    from datafusion_impl_spark.operators.multimodal import (
+        _CUT_MAD_T,
+        multimodal_y4m_scene_cuts,
+    )
+
+    rows = multimodal_y4m_scene_cuts(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_pairs == r.n_clips * (r.n_frames - 1), r
+        assert r.n_cuts == r.n_clips, r
+        assert r.avg_mad_cut > 2 * _CUT_MAD_T * 0.9, r
+        if r.avg_mad_smooth is not None:
+            assert r.avg_mad_smooth < _CUT_MAD_T / 2, r
+
+
+def test_horvitz_thompson_fixes_structural_stratum_bias(spark):
+    """HT's contract: grouping by the stratum dimension, the naive
+    global-rate scale-up is biased by the factor pi_lang/global_rate —
+    ~2.5x for English (rate 500/1000 vs a ~0.2 global rate) — while the
+    1/pi-weighted HT estimate errs only by sampling variance. For the
+    heavily-oversampled 'en' stratum the gap is structural, not noise,
+    so the comparison is deterministic at every scale factor."""
+    from datafusion_impl_spark.operators.sampling import (
+        sample_horvitz_thompson_estimate,
+    )
+
+    rows = {r.lang: r for r in
+            sample_horvitz_thompson_estimate(spark, SF_DIR).collect()}
+    assert "en" in rows
+    for r in rows.values():
+        assert r.n_sampled >= 0 and r.exact_chars > 0
+    en = rows["en"]
+    # bias factor = pi_en/global_rate ~ 0.5/0.28 -> rel err ~ 0.8 here
+    assert en.naive_rel_err > 0.5, en
+    assert en.ht_rel_err < 0.2, en         # sampling noise only
+    assert en.ht_rel_err < en.naive_rel_err
