@@ -221,6 +221,8 @@ _NEXT_ROTATION: list[str] = [
     "stream_quantile_histogram",     # new in r11 (streaming sketch upkeep)
     "multimodal_y4m_scene_cuts",     # new in r11 (temporal frame-diff cuts)
     "sample_horvitz_thompson_estimate",  # new in r11 (1/pi-weighted totals)
+    "sketch_join_cardinality",       # new in r11 (AMS/CMS inner product)
+    "quality_gopher_rules",          # new in r11 (published filter battery)
 ]
 
 

@@ -3681,6 +3681,138 @@ ORDER BY decile
 
 
 # --------------------------------------------------------------------------
+# Gopher-rules quality filter battery (Rae et al. 2021, published thresholds)
+# --------------------------------------------------------------------------
+
+#: Gopher word-count bounds, mean-word-length bounds, symbol-to-word cap,
+#: alphabetic-word floor, and the >=2-distinct-stop-words rule.
+_GOPHER_WC_MIN, _GOPHER_WC_MAX = 50, 100000
+_GOPHER_MWL_MIN, _GOPHER_MWL_MAX = 3.0, 10.0
+_GOPHER_SYMBOL_MAX = 0.1
+_GOPHER_ALPHA_MIN = 0.8
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GOPHER quality-filter battery (Rae et al. 2021's published
+    thresholds — the rule set most web-scale text pipelines start from),
+    as a per-source census: documents passing each rule and the
+    conjunction. Rules: word count in [{wmin}, {wmax}]; mean word length
+    in [{mmin}, {mmax}]; symbol-to-word ratio ('#' chars + '...'
+    occurrences per word) <= {sym}; >= {alpha:.0%} of words contain an
+    alphabetic character; and >= 2 DISTINCT stop words present. The
+    line-based Gopher rules (bullet/ellipsis line fractions) are omitted:
+    this corpus is single-line by construction, so they cannot
+    discriminate (they would count 0 lines failing everywhere).
+
+    Scale shape: every rule is a higher-order array expression over the
+    token array — one scan, map-side, no Python — and the census is one
+    per-source aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    t = tokens("text")
+    d = docs.select(
+        "source",
+        F.size(t).alias("wc"),
+        F.aggregate(
+            F.transform(t, F.length), F.lit(0), lambda a, x: a + x
+        ).alias("sum_len"),
+        F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]"))).alias("alpha_w"),
+        F.size(
+            F.array_intersect(t, F.array(*[F.lit(s) for s in _GOPHER_STOPS]))
+        ).alias("n_stops"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("#")))
+            + F.regexp_count("text", F.lit(r"\.\.\."))
+        ).alias("n_sym"),
+    )
+    wc_d = F.col("wc").cast("double")
+    pass_wc = (F.col("wc") >= _GOPHER_WC_MIN) & (
+        F.col("wc") <= _GOPHER_WC_MAX
+    )
+    # div-safe (all three): docs with wc = 0 fail the word-count rule and
+    # short-circuit via the GREATEST clamp
+    mwl = F.col("sum_len") / F.greatest(wc_d, F.lit(1.0))
+    pass_mwl = (mwl >= _GOPHER_MWL_MIN) & (mwl <= _GOPHER_MWL_MAX)
+    pass_sym = (
+        F.col("n_sym") / F.greatest(wc_d, F.lit(1.0))
+    ) <= _GOPHER_SYMBOL_MAX
+    pass_alpha = (
+        F.col("alpha_w") / F.greatest(wc_d, F.lit(1.0))
+    ) >= _GOPHER_ALPHA_MIN
+    pass_stop = F.col("n_stops") >= 2
+    pass_all = pass_wc & pass_mwl & pass_sym & pass_alpha & pass_stop
+    cnt = lambda c, n: F.sum(c.cast("long")).alias(n)  # noqa: E731
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt(pass_wc, "pass_word_count"),
+            cnt(pass_mwl, "pass_mean_word_len"),
+            cnt(pass_sym, "pass_symbol_ratio"),
+            cnt(pass_alpha, "pass_alpha_words"),
+            cnt(pass_stop, "pass_stop_words"),
+            cnt(pass_all, "pass_all"),
+            # div-safe: COUNT(*) of a GROUP BY group is >= 1
+            F.round(
+                F.sum(pass_all.cast("long")) / F.count(F.lit(1)), 4
+            ).alias("pass_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_GOPHER_SQL = rf"""
+WITH d AS (
+  SELECT source,
+         len(t) AS wc,
+         list_sum(list_transform(t, x -> length(x))) AS sum_len,
+         len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_w,
+         len(list_intersect(t, [{", ".join(f"'{s}'" for s in _GOPHER_STOPS)}]))
+           AS n_stops,
+         length(text) - length(replace(text, '#', ''))
+           + len(regexp_extract_all(text, '\.\.\.')) AS n_sym
+  FROM (SELECT source, text, {_DUCK_TOKENS.format(col='text')} AS t
+        FROM documents)
+),
+flags AS (
+  SELECT source,
+         wc >= {_GOPHER_WC_MIN} AND wc <= {_GOPHER_WC_MAX} AS p_wc,
+         -- div-safe (all three): wc = 0 short-circuits via GREATEST
+         COALESCE(sum_len, 0) / GREATEST(CAST(wc AS DOUBLE), 1.0)
+           BETWEEN {_GOPHER_MWL_MIN} AND {_GOPHER_MWL_MAX} AS p_mwl,
+         n_sym / GREATEST(CAST(wc AS DOUBLE), 1.0)
+           <= {_GOPHER_SYMBOL_MAX} AS p_sym,
+         alpha_w / GREATEST(CAST(wc AS DOUBLE), 1.0)
+           >= {_GOPHER_ALPHA_MIN} AS p_alpha,
+         n_stops >= 2 AS p_stop
+  FROM d
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN p_wc THEN 1 ELSE 0 END) AS BIGINT)
+         AS pass_word_count,
+       CAST(SUM(CASE WHEN p_mwl THEN 1 ELSE 0 END) AS BIGINT)
+         AS pass_mean_word_len,
+       CAST(SUM(CASE WHEN p_sym THEN 1 ELSE 0 END) AS BIGINT)
+         AS pass_symbol_ratio,
+       CAST(SUM(CASE WHEN p_alpha THEN 1 ELSE 0 END) AS BIGINT)
+         AS pass_alpha_words,
+       CAST(SUM(CASE WHEN p_stop THEN 1 ELSE 0 END) AS BIGINT)
+         AS pass_stop_words,
+       CAST(SUM(CASE WHEN p_wc AND p_mwl AND p_sym AND p_alpha AND p_stop
+                THEN 1 ELSE 0 END) AS BIGINT) AS pass_all,
+       -- div-safe: COUNT(*) of a GROUP BY group is >= 1
+       ROUND(SUM(CASE WHEN p_wc AND p_mwl AND p_sym AND p_alpha AND p_stop
+                 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 4)
+         AS pass_rate
+FROM flags
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # Platt-scaling recalibration (the fix for what the calibration audit finds)
 # --------------------------------------------------------------------------
 
@@ -4013,6 +4145,7 @@ QUERIES = {
     "text_tokenize_ids": text_tokenize_ids,
     "text_language_id": text_language_id,
     "text_quality_score": text_quality_score,
+    "quality_gopher_rules": quality_gopher_rules,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
     "text_pii_redaction": text_pii_redaction,
@@ -4052,6 +4185,7 @@ ORACLES = {
     "text_tokenize_ids": _TOKENIZE_SQL,
     "text_language_id": _langid_oracle(),
     "text_quality_score": _QUALITY_SQL,
+    "quality_gopher_rules": _GOPHER_SQL,
     "text_token_count": _TOKEN_COUNT_SQL,
     "text_fingerprint": _FINGERPRINT_SQL,
     "text_pii_redaction": _PII_SQL,

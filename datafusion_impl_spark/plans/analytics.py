@@ -1928,6 +1928,147 @@ ORDER BY o_orderpriority, pos
 
 
 # --------------------------------------------------------------------------
+# Sketch-based join-cardinality estimation (AMS/CMS inner product)
+# --------------------------------------------------------------------------
+
+#: CMS geometry for the join-size estimator (depth x width counters/side).
+_JCARD_D = 4
+_JCARD_W = 1024
+
+
+def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION FROM SKETCHES — the optimizer-statistics move
+    (AMS/CMS inner product, Alon-Gilbert-Matias-Szegedy): the size of
+    ``orders ⋈ lineitem`` on orderkey is the inner product of the two
+    key-frequency vectors, and the DOT PRODUCT OF THEIR COUNT-MIN ROWS
+    never underestimates it — so ``min`` over the {d} independent rows is
+    a one-pass, mergeable, 4 KB-per-side estimate of a join neither side
+    ever executes. The same sketch estimates lineitem's self-join size
+    (F2, the skew signal cost models use). Output: both estimates next to
+    the exact sizes with relative errors — all integer arithmetic, so the
+    oracle is bit-exact.
+
+    Scale shape: one pass per side building {d}x{w} counters (map-side
+    combinable), a {d}x{w} equi-join for the dot product, and a 1-row
+    output; the EXACT columns are the audit (the whole point at 100 TB is
+    to never run that join just to plan it)."""
+    from datafusion_impl_spark.operators import md5_long
+
+    o_keys = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    l_keys = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+
+    def cms(keys: DataFrame) -> DataFrame:
+        d = F.explode(
+            F.array(*[F.lit(i) for i in range(_JCARD_D)])
+        ).alias("d")
+        rows = keys.select("k", d)
+        bucket = (
+            md5_long(F.concat_ws("#", F.col("k"), F.col("d"))) % _JCARD_W
+        )
+        return rows.select("d", bucket.alias("w")).groupBy("d", "w").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    cms_o = cms(o_keys)
+    cms_l = cms(l_keys)
+    dot = (
+        cms_o.join(
+            cms_l.select("d", "w", F.col("c").alias("c2")), ["d", "w"]
+        )
+        .groupBy("d")
+        .agg(F.sum(F.col("c") * F.col("c2")).alias("dp"))
+        .agg(F.min("dp").alias("join_est"))
+    )
+    f2 = (
+        cms_l.groupBy("d")
+        .agg(F.sum(F.col("c") * F.col("c")).alias("dp"))
+        .agg(F.min("dp").alias("f2_est"))
+    )
+    exact_join = (
+        o_keys.join(l_keys, "k").agg(F.count(F.lit(1)).alias("join_exact"))
+    )
+    exact_f2 = (
+        l_keys.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("f2_exact"))
+    )
+    # div-safe (both): exact join/self-join sizes >= 1 (every order has
+    # lineitems in the TPC-H-ish generator; F2 >= n_rows >= 1)
+    return (
+        dot.crossJoin(F.broadcast(f2))
+        .crossJoin(F.broadcast(exact_join))
+        .crossJoin(F.broadcast(exact_f2))
+        .select(
+            F.col("join_exact").cast("long").alias("join_exact"),
+            F.col("join_est").cast("long").alias("join_est"),
+            F.round(
+                # div-safe: exact join size >= 1 (generator contract)
+                (F.col("join_est") - F.col("join_exact"))
+                / F.col("join_exact").cast("double"),
+                6,
+            ).alias("join_rel_overest"),
+            F.col("f2_exact").cast("long").alias("f2_exact"),
+            F.col("f2_est").cast("long").alias("f2_est"),
+            F.round(
+                # div-safe: F2 >= n_rows >= 1
+                (F.col("f2_est") - F.col("f2_exact"))
+                / F.col("f2_exact").cast("double"),
+                6,
+            ).alias("f2_rel_overest"),
+        )
+    )
+
+
+def _jcard_oracle() -> str:
+    bucket = duck_md5_long("CAST(k AS VARCHAR) || '#' || CAST(d AS VARCHAR)")
+    return f"""
+WITH ds AS (SELECT unnest(generate_series(0, {_JCARD_D - 1})) AS d),
+cms_o AS (
+  SELECT d, {bucket} % {_JCARD_W} AS w, COUNT(*) AS c
+  FROM (SELECT o_orderkey AS k FROM orders), ds
+  GROUP BY 1, 2
+),
+cms_l AS (
+  SELECT d, {bucket} % {_JCARD_W} AS w, COUNT(*) AS c
+  FROM (SELECT l_orderkey AS k FROM lineitem), ds
+  GROUP BY 1, 2
+),
+dot AS (
+  SELECT MIN(dp) AS join_est FROM (
+    SELECT a.d, SUM(a.c * b.c) AS dp
+    FROM cms_o a JOIN cms_l b ON a.d = b.d AND a.w = b.w
+    GROUP BY a.d)
+),
+f2 AS (
+  SELECT MIN(dp) AS f2_est FROM (
+    SELECT d, SUM(c * c) AS dp FROM cms_l GROUP BY d)
+),
+xj AS (
+  SELECT COUNT(*) AS join_exact
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+xf AS (
+  SELECT SUM(c * c) AS f2_exact FROM (
+    SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey)
+)
+SELECT CAST(join_exact AS BIGINT) AS join_exact,
+       CAST(join_est AS BIGINT) AS join_est,
+       -- div-safe: exact join size >= 1 (generator contract)
+       ROUND((join_est - join_exact) / CAST(join_exact AS DOUBLE), 6)
+         AS join_rel_overest,
+       CAST(f2_exact AS BIGINT) AS f2_exact,
+       CAST(f2_est AS BIGINT) AS f2_est,
+       -- div-safe: F2 >= n_rows >= 1
+       ROUND((f2_est - f2_exact) / CAST(f2_exact AS DOUBLE), 6)
+         AS f2_rel_overest
+FROM dot, f2, xj, xf
+"""
+
+
+# --------------------------------------------------------------------------
 # Mergeable quantile-histogram sketch (the 4th sketch family: quantiles)
 # --------------------------------------------------------------------------
 
@@ -3259,6 +3400,7 @@ QUERIES = {
     "profile_orders_columns_approx": profile_orders_columns_approx,
     "order_price_percentiles": order_price_percentiles,
     "sketch_quantile_histogram": sketch_quantile_histogram,
+    "sketch_join_cardinality": sketch_join_cardinality,
 }
 
 ORACLES = {
@@ -3322,4 +3464,5 @@ ORACLES = {
     "profile_orders_columns": _profile_oracle(),
     "order_price_percentiles": _PERCENTILES_SQL,
     "sketch_quantile_histogram": _QHIST_SQL,
+    "sketch_join_cardinality": _jcard_oracle(),
 }

@@ -2907,3 +2907,36 @@ def test_horvitz_thompson_fixes_structural_stratum_bias(spark):
     assert en.naive_rel_err > 0.5, en
     assert en.ht_rel_err < 0.2, en         # sampling noise only
     assert en.ht_rel_err < en.naive_rel_err
+
+
+def test_join_cardinality_sketch_never_underestimates(spark):
+    """The CMS inner product is a provable UPPER bound on the true inner
+    product (collisions only add), so both estimates must be >= exact and
+    within a sane collision margin at this scale."""
+    from datafusion_impl_spark.plans.analytics import sketch_join_cardinality
+
+    (r,) = sketch_join_cardinality(spark, SF_DIR).collect()
+    assert r.join_est >= r.join_exact > 0
+    assert r.f2_est >= r.f2_exact > 0
+    assert r.join_rel_overest >= 0 and r.f2_rel_overest >= 0
+    assert r.join_rel_overest < 2.0, r
+    assert r.f2_rel_overest < 2.0, r
+
+
+def test_gopher_rules_discriminate_and_conjoin(spark):
+    """The battery's conjunction can never exceed any individual rule's
+    pass count, and on this corpus at least one rule must actually
+    discriminate (pass_all strictly below n_docs somewhere) while the
+    vacuous ones stay internally consistent."""
+    from datafusion_impl_spark.operators.text import quality_gopher_rules
+
+    rows = quality_gopher_rules(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        singles = (r.pass_word_count, r.pass_mean_word_len,
+                   r.pass_symbol_ratio, r.pass_alpha_words,
+                   r.pass_stop_words)
+        assert all(0 <= s <= r.n_docs for s in singles), r
+        assert r.pass_all <= min(singles), r
+        assert abs(r.pass_rate - round(r.pass_all / r.n_docs, 4)) < 1e-9
+    assert any(r.pass_all < r.n_docs for r in rows)
