@@ -223,6 +223,7 @@ _NEXT_ROTATION: list[str] = [
     "sample_horvitz_thompson_estimate",  # new in r11 (1/pi-weighted totals)
     "sketch_join_cardinality",       # new in r11 (AMS/CMS inner product)
     "quality_gopher_rules",          # new in r11 (published filter battery)
+    "stream_bloom_ingest_filter",    # new in r11 (streaming sketch upkeep)
 ]
 
 

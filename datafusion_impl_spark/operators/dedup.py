@@ -2059,33 +2059,8 @@ def sketch_bloom_ingest_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCASTS to the probe side (at 100 TB: the reason ingestion probes
     a Bloom instead of anti-joining the full corpus index); building it
     is one groupBy over 4k block keys with map-side combine."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text"
-    )
-    keyed = docs.select(
-        "doc_id", "lang", F.md5(F.col("text")).alias("key")
-    )
-    member_keys = (
-        keyed.filter(F.col("doc_id") % 2 == 0).select("key").distinct()
-    )
-
-    def positions(df: DataFrame, keep: list[str]) -> DataFrame:
-        js = F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)]))
-        pos = md5_long(
-            F.concat(F.col("key"), F.lit("#"), F.col("j").cast("string"))
-        ) % _BLOOM_BITS
-        return (
-            df.select(*keep, "key", js.alias("j"))
-            .select(
-                *keep,
-                "key",
-                (pos / _BLOOM_BLOCK).cast("long").alias("block"),
-                (pos % _BLOOM_BLOCK).alias("bit"),
-            )
-        )
-
     blocks = (
-        positions(member_keys, [])
+        _bloom_positions(_bloom_member_keys(spark, sf_dir), [])
         .select(
             "block",
             F.pow(F.lit(2.0), F.col("bit")).cast("long").alias("bv"),
@@ -2093,8 +2068,53 @@ def sketch_bloom_ingest_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("block")
         .agg(F.bit_or("bv").alias("reg"))
     )
+    return _bloom_probe_census(spark, sf_dir, blocks)
+
+
+def _bloom_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, key): per-doc content fingerprint."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5(F.col("text")).alias("key")
+    )
+
+
+def _bloom_member_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct fingerprints of the already-ingested (even doc_id) half."""
+    return (
+        _bloom_keyed(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("key")
+        .distinct()
+    )
+
+
+def _bloom_positions(df: DataFrame, keep: list[str]) -> DataFrame:
+    """(…, key, block, bit): the k portable hash positions per key —
+    stateless, so the same projection runs on a stream side unchanged."""
+    js = F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)]))
+    pos = md5_long(
+        F.concat(F.col("key"), F.lit("#"), F.col("j").cast("string"))
+    ) % _BLOOM_BITS
+    return (
+        df.select(*keep, "key", js.alias("j"))
+        .select(
+            *keep,
+            "key",
+            (pos / _BLOOM_BLOCK).cast("long").alias("block"),
+            (pos % _BLOOM_BLOCK).alias("bit"),
+        )
+    )
+
+
+def _bloom_probe_census(
+    spark: SparkSession, sf_dir: str, blocks: DataFrame
+) -> DataFrame:
+    """Shared tail: probe every document's k bit positions against the
+    (broadcast) register blocks and report the per-language hit/FP census."""
+    keyed = _bloom_keyed(spark, sf_dir)
+    member_keys = _bloom_member_keys(spark, sf_dir)
     probe = (
-        positions(keyed, ["doc_id", "lang"])
+        _bloom_positions(keyed, ["doc_id", "lang"])
         .join(F.broadcast(blocks), "block", "left")
         .select(
             "doc_id",

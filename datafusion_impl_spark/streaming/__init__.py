@@ -2571,6 +2571,89 @@ def _stream_qhist_sql() -> str:
     return _QHIST_SQL
 
 
+def stream_bloom_ingest_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM MAINTENANCE AS A CONTINUOUS QUERY — the third streaming
+    sketch next to HLL (cardinality) and the quantile histogram: the
+    already-ingested half of the corpus (even doc_ids) arrives as two
+    files with ``maxFilesPerTrigger=1`` and a streaming ``bit_or``
+    aggregation keeps the 2^17-bit filter's register blocks current.
+    OR-ing bits is numerically monotone non-decreasing, so update-mode
+    re-emits reconcile with a plain max — the same discipline as the
+    other streaming sketches — and the probe census runs the shared batch
+    tail against the streamed registers, so the oracle is the batch
+    filter's verbatim.
+
+    At 100 TB: the filter stays 16 KB however much is ingested — the
+    reason a streaming ingest gate probes a Bloom instead of anti-joining
+    the full corpus index."""
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as papq
+
+    from datafusion_impl_spark.operators.dedup import (
+        _bloom_positions,
+        _bloom_probe_census,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    feed = os.path.join(
+        "/tmp/datafusion_impl_spark_bloom_feed", f"{tag}_{uuid.uuid4().hex}"
+    )
+    os.makedirs(feed)
+    t = papq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    half = max(t.num_rows // 2, 1)
+    papq.write_table(t.slice(0, half), os.path.join(feed, "d0.parquet"))
+    if t.num_rows > half:
+        papq.write_table(t.slice(half), os.path.join(feed, "d1.parquet"))
+
+    view = "stream_bloom_drv"
+    try:
+        src = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        # no streaming dedup needed: Bloom insertion is idempotent (a
+        # duplicate fingerprint ORs the same bits), so the stream stays a
+        # single stateful operator
+        member = src.filter(F.col("doc_id") % 2 == 0).select(
+            F.md5(F.col("text")).alias("key")
+        )
+        q = (
+            _bloom_positions(member, [])
+            .select(
+                "block",
+                F.pow(F.lit(2.0), F.col("bit")).cast("long").alias("bv"),
+            )
+            .groupBy("block")
+            .agg(F.bit_or("bv").alias("reg"))
+            .writeStream.format("memory")
+            .queryName(view)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+    # update mode re-emits a block row per touching batch; OR-accumulated
+    # registers are numerically monotone, so the final filter is the max
+    blocks = (
+        spark.table(view).groupBy("block").agg(F.max("reg").alias("reg"))
+    )
+    return _bloom_probe_census(spark, sf_dir, blocks)
+
+
+def _stream_bloom_sql() -> str:
+    from datafusion_impl_spark.operators.dedup import _BLOOM_SQL
+
+    return _BLOOM_SQL
+
+
 def _stream_qclf_sql() -> str:
     from datafusion_impl_spark.operators.text import _qclf_sql
 
@@ -2581,6 +2664,7 @@ QUERIES = {
     "stream_quality_scoring": stream_quality_scoring,
     "stream_hll_distinct_users": stream_hll_distinct_users,
     "stream_quantile_histogram": stream_quantile_histogram,
+    "stream_bloom_ingest_filter": stream_bloom_ingest_filter,
     "stream_contribution_capping": stream_contribution_capping,
     "stream_ann_adc_topk": stream_ann_adc_topk,
     "stream_tws_user_totals": stream_tws_user_totals,
@@ -2600,6 +2684,7 @@ ORACLES = {
     "stream_quality_scoring": _stream_qclf_sql(),
     "stream_hll_distinct_users": _stream_hll_sql(),
     "stream_quantile_histogram": _stream_qhist_sql(),
+    "stream_bloom_ingest_filter": _stream_bloom_sql(),
     "stream_contribution_capping": _STREAM_CAP_SQL,
     "stream_ann_adc_topk": _STREAM_ANN_SQL,
     "stream_tws_user_totals": _TWS_TOTALS_SQL,

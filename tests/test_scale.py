@@ -126,6 +126,12 @@ def test_no_python_in_any_relational_plan(spark):
         "multimodal_wav_decode_stats",  # same contract, audio (r7)
         "multimodal_y4m_decode_stats",  # same contract, video (r7)
         "multimodal_png_decode_stats",  # same contract, compressed image (r10)
+        "multimodal_gif_decode_stats",  # same contract, LZW image (r11)
+        "multimodal_y4m_scene_cuts",    # same contract, temporal video (r11)
+        "multimodal_wav_spectrum_stats",  # same contract, spectral audio (r11)
+        "multimodal_tar_webdataset_scan",  # tar (dis)assembly IS the operator
+        "source_gzip_jsonl_scan",       # gunzip kernel IS the operator (the
+        # JSON parse itself is JVM-side from_json)
         "text_nfc_normalization_audit",  # unicodedata kernel IS the operator
         # trained classifiers: per-step gradients collect inside the query
         # function (bounded 4/12-double rows), so the RETURNED plan is pure

@@ -979,3 +979,20 @@ def test_stream_quantile_histogram_equals_batch_sketch(spark):
     expected = [tuple(r) for r in
                 sketch_quantile_histogram(spark, SF_DIR).collect()]
     assert got == expected
+
+
+def test_stream_bloom_filter_equals_batch_filter(spark):
+    """The streamed Bloom registers (two micro-batches, OR-monotone
+    update-mode re-emits reconciled by max, no dedup needed because
+    insertion is idempotent) must produce the exact per-language census
+    the batch-built filter produces."""
+    from datafusion_impl_spark.operators.dedup import (
+        sketch_bloom_ingest_filter,
+    )
+    from datafusion_impl_spark.streaming import stream_bloom_ingest_filter
+
+    got = [tuple(r) for r in
+           stream_bloom_ingest_filter(spark, SF_DIR).collect()]
+    expected = [tuple(r) for r in
+                sketch_bloom_ingest_filter(spark, SF_DIR).collect()]
+    assert got == expected
