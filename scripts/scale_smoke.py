@@ -82,6 +82,15 @@ _QUERIES = [
     "dedup_graph_kcore",
     "ann_opq_subspace_balance",
     "split_group_aware",
+    # r11 flagships: the LZW decode and tar assembly are map-only kernels
+    # (expect ~K× time at K× rows), b-bit minhash is candidate-bounded like
+    # every minhash query (output grows quadratically in cross-copy dups —
+    # honest direction), and the quantile histogram is one pass + 512
+    # counters (expect ~K× or better).
+    "multimodal_gif_decode_stats",
+    "multimodal_tar_webdataset_scan",
+    "dedup_bbit_minhash",
+    "sketch_quantile_histogram",
 ]
 
 
