@@ -793,9 +793,14 @@ def source_gzip_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # gzip.decompress verifies the CRC32 + ISIZE trailer —
                 # a truncated or bit-flipped shard fails loudly here
                 text = gzip.decompress(bytes(r.gz)).decode()
-                for line in text.splitlines():
-                    sids.append(int(r.shard_id))
-                    lines.append(line)
+                # split strictly on \n: splitlines() also splits on
+                # U+2028/U+0085, which json.dumps(ensure_ascii=False)
+                # leaves RAW inside string values (valid JSON) — a doc
+                # containing one would shear its record in two
+                for line in text.split("\n"):
+                    if line:
+                        sids.append(int(r.shard_id))
+                        lines.append(line)
             yield pd.DataFrame({"shard_id": sids, "line": lines})
 
     lines = shards.mapInPandas(gunzip_lines, "shard_id int, line string")
