@@ -2940,3 +2940,31 @@ def test_gopher_rules_discriminate_and_conjoin(spark):
         assert r.pass_all <= min(singles), r
         assert abs(r.pass_rate - round(r.pass_all / r.n_docs, 4)) < 1e-9
     assert any(r.pass_all < r.n_docs for r in rows)
+
+
+def test_gif_lzw_dictionary_cap_roundtrip(monkeypatch):
+    """With periodic CLEARs disabled and a low-entropy 60k-pixel stream,
+    the LZW dictionary genuinely fills to the 4096-code cap and the code
+    width walks 5→12 bits; the encoder must stop adding entries exactly
+    where the decoder's (still-growing, never-referenced) table diverges
+    harmlessly, and the round-trip must stay exact."""
+    import random
+
+    from datafusion_impl_spark.operators import multimodal as mm
+
+    def unblk(b):
+        out, off = bytearray(), 0
+        while True:
+            ln = b[off]
+            off += 1
+            if ln == 0:
+                return bytes(out)
+            out += b[off : off + ln]
+            off += ln
+
+    monkeypatch.setattr(mm, "_GIF_CLEAR_EVERY", 10**9)
+    rng = random.Random(3)
+    seq = [rng.randrange(4) if rng.random() < 0.9 else rng.randrange(16)
+           for _ in range(60000)]
+    enc = mm._gif_lzw_compress(seq, 4)
+    assert mm._gif_lzw_decompress(unblk(enc), 4, len(seq)) == seq
