@@ -224,6 +224,7 @@ _NEXT_ROTATION: list[str] = [
     "sketch_join_cardinality",       # new in r11 (AMS/CMS inner product)
     "quality_gopher_rules",          # new in r11 (published filter battery)
     "stream_bloom_ingest_filter",    # new in r11 (streaming sketch upkeep)
+    "stream_cms_heavy_hitters",      # new in r11 (streaming sketch upkeep)
 ]
 
 

@@ -2473,8 +2473,18 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = materialize(
         toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     )
+    counters = _cms_hashed(spark, tc).groupBy("d", "b").agg(
+        F.sum("c").alias("cnt")
+    )
+    return _cms_report(spark, sf_dir, counters, tc)
+
+
+def _cms_hashed(spark: SparkSession, tc: DataFrame) -> DataFrame:
+    """(tok, c, d, b): each token row replicated across the {depth} CMS
+    rows with its md5 bucket — stateless, so the same projection runs on
+    a stream side unchanged (with c = 1 per raw token occurrence)."""
     d_ids = spark.range(_CMS_DEPTH).withColumnRenamed("id", "d")
-    hashed = tc.crossJoin(F.broadcast(d_ids)).select(
+    return tc.crossJoin(F.broadcast(d_ids)).select(
         "tok",
         "c",
         "d",
@@ -2483,7 +2493,22 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _CMS_WIDTH
         ).alias("b"),
     )
-    counters = hashed.groupBy("d", "b").agg(F.sum("c").alias("cnt"))
+
+
+def _cms_report(
+    spark: SparkSession, sf_dir: str, counters: DataFrame, tc=None
+) -> DataFrame:
+    """Shared tail: exact top-{k} tokens audited against their CMS
+    estimates (min over the counter rows each token hashes into)."""
+    if tc is None:
+        toks = (
+            load_table(spark, sf_dir, "documents")
+            .select(F.explode(tokens("text")).alias("tok"))
+        )
+        tc = materialize(
+            toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        )
+    d_ids = spark.range(_CMS_DEPTH).withColumnRenamed("id", "d")
     w = Window.orderBy(F.desc("c"), F.asc("tok"))
     # two-phase top-k: per-partition prune to k before the single-row window
     topk = (

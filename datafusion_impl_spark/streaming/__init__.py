@@ -2654,6 +2654,82 @@ def _stream_bloom_sql() -> str:
     return _BLOOM_SQL
 
 
+def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS MAINTENANCE AS A CONTINUOUS QUERY — the fourth and final
+    streaming sketch (HLL = cardinality, quantile histogram =
+    distribution, Bloom = membership, CMS = frequency): documents arrive
+    as two files with ``maxFilesPerTrigger=1`` and a streaming sum
+    aggregation keeps the {d}×{w} counter grid current (each token
+    occurrence adds 1 to its bucket in every row — counters are additive
+    and monotone, so update-mode re-emits reconcile with a plain max).
+    The exact-top-k audit runs the shared batch tail against the streamed
+    counters, so the oracle is the batch sketch's verbatim.
+
+    At 100 TB: state is 4096 longs however many tokens stream past — the
+    reason CMS replaces a token-count table in streaming frequency
+    estimation."""
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as papq
+
+    from datafusion_impl_spark.operators.text import (
+        _cms_hashed,
+        _cms_report,
+        tokens,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    feed = os.path.join(
+        "/tmp/datafusion_impl_spark_cms_feed", f"{tag}_{uuid.uuid4().hex}"
+    )
+    os.makedirs(feed)
+    t = papq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    half = max(t.num_rows // 2, 1)
+    papq.write_table(t.slice(0, half), os.path.join(feed, "d0.parquet"))
+    if t.num_rows > half:
+        papq.write_table(t.slice(half), os.path.join(feed, "d1.parquet"))
+
+    view = "stream_cms_drv"
+    try:
+        src = (
+            spark.readStream.schema("text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        tok1 = src.select(
+            F.explode(tokens("text")).alias("tok"), F.lit(1).alias("c")
+        )
+        q = (
+            _cms_hashed(spark, tok1)
+            .groupBy("d", "b")
+            .agg(F.sum("c").alias("cnt"))
+            .writeStream.format("memory")
+            .queryName(view)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+    # update mode re-emits a counter row per touching batch; sums are
+    # monotone, so the final grid is the per-bucket max
+    counters = (
+        spark.table(view).groupBy("d", "b").agg(F.max("cnt").alias("cnt"))
+    )
+    return _cms_report(spark, sf_dir, counters)
+
+
+def _stream_cms_sql() -> str:
+    from datafusion_impl_spark.operators.text import _CMS_SQL
+
+    return _CMS_SQL
+
+
 def _stream_qclf_sql() -> str:
     from datafusion_impl_spark.operators.text import _qclf_sql
 
@@ -2665,6 +2741,7 @@ QUERIES = {
     "stream_hll_distinct_users": stream_hll_distinct_users,
     "stream_quantile_histogram": stream_quantile_histogram,
     "stream_bloom_ingest_filter": stream_bloom_ingest_filter,
+    "stream_cms_heavy_hitters": stream_cms_heavy_hitters,
     "stream_contribution_capping": stream_contribution_capping,
     "stream_ann_adc_topk": stream_ann_adc_topk,
     "stream_tws_user_totals": stream_tws_user_totals,
@@ -2685,6 +2762,7 @@ ORACLES = {
     "stream_hll_distinct_users": _stream_hll_sql(),
     "stream_quantile_histogram": _stream_qhist_sql(),
     "stream_bloom_ingest_filter": _stream_bloom_sql(),
+    "stream_cms_heavy_hitters": _stream_cms_sql(),
     "stream_contribution_capping": _STREAM_CAP_SQL,
     "stream_ann_adc_topk": _STREAM_ANN_SQL,
     "stream_tws_user_totals": _TWS_TOTALS_SQL,

@@ -996,3 +996,18 @@ def test_stream_bloom_filter_equals_batch_filter(spark):
     expected = [tuple(r) for r in
                 sketch_bloom_ingest_filter(spark, SF_DIR).collect()]
     assert got == expected
+
+
+def test_stream_cms_heavy_hitters_equals_batch_sketch(spark):
+    """The streamed CMS counters (two micro-batches of exploded tokens,
+    additive-monotone update-mode re-emits reconciled by max) must
+    reproduce the batch sketch's heavy-hitter audit row-for-row —
+    including the collision overestimates, since the counter grids are
+    identical by construction."""
+    from datafusion_impl_spark.operators.text import heavy_hitters_cms
+    from datafusion_impl_spark.streaming import stream_cms_heavy_hitters
+
+    got = [tuple(r) for r in
+           stream_cms_heavy_hitters(spark, SF_DIR).collect()]
+    expected = [tuple(r) for r in heavy_hitters_cms(spark, SF_DIR).collect()]
+    assert got == expected
