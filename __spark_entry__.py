@@ -225,6 +225,7 @@ _NEXT_ROTATION: list[str] = [
     "quality_gopher_rules",          # new in r11 (published filter battery)
     "stream_bloom_ingest_filter",    # new in r11 (streaming sketch upkeep)
     "stream_cms_heavy_hitters",      # new in r11 (streaming sketch upkeep)
+    "source_kn_discount_estimate",   # new in r11 (Chen-Goodman D fit)
 ]
 
 

@@ -1957,6 +1957,204 @@ ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# Kneser-Ney discount ESTIMATION (Chen & Goodman's count-of-counts formula)
+# --------------------------------------------------------------------------
+
+def source_kn_discount_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-DRIVEN KN DISCOUNT — Chen & Goodman (1998)'s estimate
+    ``D = n1/(n1 + 2·n2)`` from the bigram count-of-counts (n_k = number
+    of bigram TYPES seen exactly k times), evaluated honestly: one row
+    with the count-of-counts, the estimated discount, and the held-out
+    cross-entropy/perplexity of interpolated KN under the FIXED 0.75
+    discount vs the ESTIMATED one. Both models share one training pass
+    (the discount only reweights the same counts), so the comparison
+    isolates the discount choice — the hyperparameter-fitting step a
+    production LM pipeline runs before :func:`source_kneser_ney_bigram`.
+
+    Scale shape: identical to the KN query (bounded-vocab mapping
+    materialized once, broadcast model tables); the discount arrives as a
+    1-row broadcast CROSS JOIN, never a collect, and the count-of-counts
+    is a 2-level aggregate over the bounded bigram-type table."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    toks = docs.select(
+        "doc_id", "source", tokens("text").alias("t")
+    ).filter(F.size("t") >= 2)
+    vocab_rows = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(_BIGRAM_VOCAB)
+        .collect()
+    )
+    vocab = [r["token"] for r in vocab_rows]
+    mapped = F.transform(
+        "t",
+        lambda x: F.when(x.isin(*vocab), x).otherwise(F.lit(_BIGRAM_OOV)),
+    )
+    tm = materialize(toks.select("doc_id", mapped.alias("m")))
+
+    def _pairs(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("m", 1, F.size("m") - 1).alias("a"),
+                    F.slice("m", 2, F.size("m") - 1).alias("b"),
+                )
+            ).alias("g")
+        ).select(F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+
+    c_ab = (
+        _pairs(tm.filter(F.col("doc_id") % 2 == 0))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    coc = c_ab.agg(
+        F.sum((F.col("c_ab") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("c_ab") == 2).cast("long")).alias("n2"),
+        # div-safe: n1 + 2*n2 >= 1 whenever any singleton or doubleton
+        # bigram exists (pinned by pytest; a corpus with neither would
+        # make the estimate NULL via NULLIF, not wrong)
+        F.round(
+            F.sum((F.col("c_ab") == 1).cast("long"))
+            / F.nullif(
+                (
+                    F.sum((F.col("c_ab") == 1).cast("long"))
+                    + 2 * F.sum((F.col("c_ab") == 2).cast("long"))
+                ).cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("d_est"),
+    )
+    ctx = c_ab.groupBy("a").agg(
+        F.sum("c_ab").alias("c_a"), F.count(F.lit(1)).alias("n1p_a")
+    )
+    cont = c_ab.groupBy("b").agg(F.count(F.lit(1)).alias("n1p_b"))
+    types = c_ab.agg(F.count(F.lit(1)).alias("n_types"))
+    scored = (
+        _pairs(tm.filter(F.col("doc_id") % 2 == 1))
+        .join(F.broadcast(c_ab), ["a", "b"], "left")
+        .join(F.broadcast(ctx), ["a"], "left")
+        .join(F.broadcast(cont), ["b"], "left")
+        .crossJoin(F.broadcast(types))
+        .crossJoin(F.broadcast(coc))
+    )
+    # div-safe: n_types >= 1 (the training half is non-empty)
+    p_cont = (F.coalesce(F.col("n1p_b"), F.lit(0)) + F.lit(_KN_K)) / (
+        F.col("n_types") + F.lit(_KN_K * (_BIGRAM_VOCAB + 1))
+    )
+
+    def nll(d_col):
+        p = F.when(F.col("c_a").isNull(), p_cont).otherwise(
+            # div-safe: c_a >= 1 whenever the context branch fires
+            F.greatest(
+                F.coalesce(F.col("c_ab"), F.lit(0)) - d_col, F.lit(0.0)
+            )
+            / F.col("c_a")
+            # div-safe: same c_a >= 1 invariant
+            + (d_col * F.col("n1p_a") / F.col("c_a")) * p_cont
+        )
+        return -F.log(p)
+
+    return scored.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max("d_est").alias("d_est"),
+        F.count(F.lit(1)).alias("n_heldout_bigrams"),
+        F.round(F.avg(nll(F.lit(_KN_D))), 4).alias("ce_fixed"),
+        F.round(F.avg(nll(F.col("d_est"))), 4).alias("ce_estimated"),
+        F.round(F.exp(F.avg(nll(F.lit(_KN_D)))), 4).alias("ppl_fixed"),
+        F.round(F.exp(F.avg(nll(F.col("d_est")))), 4).alias("ppl_estimated"),
+    )
+
+
+_KN_DISCOUNT_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS t
+  FROM documents
+),
+eligible AS (SELECT * FROM toks WHERE len(t) >= 2),
+vocab AS (
+  SELECT token FROM (
+    SELECT unnest(t) AS token FROM toks WHERE doc_id % 2 = 0) u
+  GROUP BY token
+  ORDER BY COUNT(*) DESC, token
+  LIMIT {_BIGRAM_VOCAB}
+),
+pairs0 AS (
+  SELECT doc_id, t[i] AS ra, t[i + 1] AS rb
+  FROM eligible,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) idx
+),
+pairs AS (
+  SELECT doc_id,
+         CASE WHEN va.token IS NULL THEN '{_BIGRAM_OOV}' ELSE pairs0.ra END AS a,
+         CASE WHEN vb.token IS NULL THEN '{_BIGRAM_OOV}' ELSE pairs0.rb END AS b
+  FROM pairs0
+  LEFT JOIN vocab va ON va.token = pairs0.ra
+  LEFT JOIN vocab vb ON vb.token = pairs0.rb
+),
+c_ab AS (
+  SELECT a, b, COUNT(*) AS c_ab FROM pairs WHERE doc_id % 2 = 0 GROUP BY a, b
+),
+coc AS (
+  SELECT CAST(SUM(CASE WHEN c_ab = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN c_ab = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         -- div-safe: NULLIF pins the no-singleton-no-doubleton corpus
+         ROUND(SUM(CASE WHEN c_ab = 1 THEN 1 ELSE 0 END)
+               / NULLIF(CAST(SUM(CASE WHEN c_ab = 1 THEN 1 ELSE 0 END)
+                             + 2 * SUM(CASE WHEN c_ab = 2 THEN 1 ELSE 0 END)
+                             AS DOUBLE), 0.0), 6) AS d_est
+  FROM c_ab
+),
+ctx AS (SELECT a, SUM(c_ab) AS c_a, COUNT(*) AS n1p_a FROM c_ab GROUP BY a),
+cont AS (SELECT b, COUNT(*) AS n1p_b FROM c_ab GROUP BY b),
+types AS (SELECT COUNT(*) AS n_types FROM c_ab),
+scored AS (
+  SELECT g.doc_id,
+         c.n1, c.n2, c.d_est,
+         ab.c_ab, x.c_a, x.n1p_a,
+         -- div-safe: n_types >= 1 (the training half is non-empty)
+         (COALESCE(n.n1p_b, 0) + {_KN_K})
+           / (t.n_types + {_KN_K * (_BIGRAM_VOCAB + 1)}) AS p_cont
+  FROM (SELECT * FROM pairs WHERE doc_id % 2 = 1) g
+  LEFT JOIN c_ab ab ON ab.a = g.a AND ab.b = g.b
+  LEFT JOIN ctx x ON x.a = g.a
+  LEFT JOIN cont n ON n.b = g.b
+  CROSS JOIN types t
+  CROSS JOIN coc c
+),
+nlls AS (
+  SELECT n1, n2, d_est,
+         -LN(CASE WHEN c_a IS NULL THEN p_cont
+             ELSE
+               -- div-safe: c_a >= 1 in this branch
+               GREATEST(COALESCE(c_ab, 0) - {_KN_D}, 0.0) / c_a
+               + ({_KN_D} * n1p_a / c_a) * p_cont
+             END) AS nll_fixed,
+         -LN(CASE WHEN c_a IS NULL THEN p_cont
+             ELSE
+               -- div-safe: same c_a >= 1 invariant
+               GREATEST(COALESCE(c_ab, 0) - d_est, 0.0) / c_a
+               + (d_est * n1p_a / c_a) * p_cont
+             END) AS nll_est
+  FROM scored
+)
+SELECT MAX(n1) AS n1, MAX(n2) AS n2, MAX(d_est) AS d_est,
+       COUNT(*) AS n_heldout_bigrams,
+       ROUND(AVG(nll_fixed), 4) AS ce_fixed,
+       ROUND(AVG(nll_est), 4) AS ce_estimated,
+       ROUND(EXP(AVG(nll_fixed)), 4) AS ppl_fixed,
+       ROUND(EXP(AVG(nll_est)), 4) AS ppl_estimated
+FROM nlls
+"""
+
+
+# --------------------------------------------------------------------------
 # BPE merge APPLICATION (encoding) — the other half of the tokenizer story
 # --------------------------------------------------------------------------
 
@@ -4162,6 +4360,7 @@ QUERIES = {
     "source_bigram_perplexity": source_bigram_perplexity,
     "source_trigram_backoff": source_trigram_backoff,
     "source_kneser_ney_bigram": source_kneser_ney_bigram,
+    "source_kn_discount_estimate": source_kn_discount_estimate,
     "source_token_gini": source_token_gini,
     "text_bm25_search": text_bm25_search,
     "text_tfidf_top_terms": text_tfidf_top_terms,
@@ -4202,6 +4401,7 @@ ORACLES = {
     "source_bigram_perplexity": _BIGRAM_PPL_SQL,
     "source_trigram_backoff": _TRIGRAM_SQL,
     "source_kneser_ney_bigram": _KN_SQL,
+    "source_kn_discount_estimate": _KN_DISCOUNT_SQL,
     "source_token_gini": _GINI_SQL,
     "text_bm25_search": _BM25_SQL,
     "text_tfidf_top_terms": _TFIDF_SQL,

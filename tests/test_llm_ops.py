@@ -2968,3 +2968,22 @@ def test_gif_lzw_dictionary_cap_roundtrip(monkeypatch):
            for _ in range(60000)]
     enc = mm._gif_lzw_compress(seq, 4)
     assert mm._gif_lzw_decompress(unblk(enc), 4, len(seq)) == seq
+
+
+def test_kn_discount_estimate_bounds_and_heldout_gain(spark):
+    """Chen-Goodman contract: the estimated discount lies strictly in
+    (0, 1) (it is n1/(n1+2n2) with both counts positive on real text),
+    and the held-out cross-entropy under the estimated discount must not
+    be WORSE than the fixed 0.75 by more than a hair — the estimate
+    exists to fit the data, and on this corpus it should match or beat
+    the convention."""
+    from datafusion_impl_spark.operators.text import (
+        source_kn_discount_estimate,
+    )
+
+    (r,) = source_kn_discount_estimate(spark, SF_DIR).collect()
+    assert r.n1 > 0 and r.n2 > 0
+    assert 0.0 < r.d_est < 1.0
+    assert r.n_heldout_bigrams > 0
+    assert r.ce_estimated <= r.ce_fixed + 0.01, r
+    assert abs(r.ppl_fixed - round(2.718281828459045 ** r.ce_fixed, 1)) < 0.1 * r.ppl_fixed
