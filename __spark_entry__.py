@@ -112,68 +112,34 @@ _MODULES = [
 #       then 12 of the 45 r4-evidence pads (alphabetical head). The 33
 #       remaining r4-evidence queries queue in _NEXT_ROTATION ahead of
 #       r11-new operators.
+#   r12 (this list): the 18 r11-new operators (the ONLY oracled queries with
+#       no driver row, all judge-re-verified PASS in the r11 session) + 32 of
+#       the 33 remaining r4-evidence pads. zorder_orders_layout (slot 51)
+#       heads _NEXT_ROTATION; after a green r12, the evidence floor is r5
+#       except that one query, and every operator ever shipped has a row.
 _PRIORITY = [
-    # --- the 12 r9-new operators (first driver rows; judge-verified r9+r11) ---
-    "text_html_extract",
-    "bpe_encode_corpus",
-    "stream_ann_adc_topk",
-    "ann_rrf_fusion",
-    "embedding_pca_power_iteration",
-    "embedding_pca_top2_deflation",
-    "contrastive_pairs_mining",
-    "user_contribution_capping",
-    "source_bigram_perplexity",       # r10: quadratic recompute FIXED
-    "stream_contribution_capping",
-    "dedup_common_prefix_census",
-    "span_corruption_mask_stats",
-    # --- the 15 r10-new operators (first driver rows; local PASS in r11) ---
-    "multimodal_png_decode_stats",  # real zlib PNG decode
-    "quality_classifier_trained",   # in-engine logistic regression
-    "source_trigram_backoff",       # held-out stupid-backoff LM
-    "sketch_hll_distinct_users",    # portable mergeable HLL
-    "sketch_hll_overlap_matrix",    # sketch-algebra overlap
-    "stream_quality_scoring",       # streaming model serving
-    "embedding_jl_projection_audit",  # JL sign projection
-    "text_nfc_normalization_audit",   # Unicode NFC audit
-    "classifier_calibration_audit",   # reliability diagram
-    "stream_hll_distinct_users",      # streaming sketch upkeep
-    "chunk_perplexity_localization",  # worst-span trim signal
-    "sketch_bloom_ingest_filter",     # portable Bloom filter
-    "tier_classifier_trained",        # multiclass OVR confusion
-    "sketch_bottomk_distinct",        # bottom-k sample+estimate
-    "classifier_incremental_refresh",  # warm-start model refresh
-    # --- 11 r3-evidence pads (complete the r3 floor) ---
-    "events_props_struct",
-    "events_daily_k_histogram",
-    "props_kv_udtf_stats",
-    "events_props_malformed_audit",
-    "multimodal_media_features",
-    "multimodal_frame_samples",
-    "multimodal_exact_dedup",
-    "chunk_documents_sliding",
-    "source_temperature_mixture",
-    "dedup_documents_containment",
-    "embedding_dimension_stats",
-    # --- 12 oldest-evidence pads (newest driver row CORRECTNESS_r04) ---
-    "ann_ivf_incremental_assign",
-    "bucketed_orders_pruned_join",
-    "click_attribution_stats",
-    "click_conversion_stats",
-    "corpus_embedding_coverage",
-    "corpus_snapshot_diff",
-    "csv_reference_golden",
-    "dedup_chunks_exact",
-    "dedup_pagerank_centrality",
-    "dedup_union_priority",
-    "ema_revenue_closed_form",
-    "embedding_kmeans_clusters",
-]
-
-# Beyond the 50-query window: the r11 rotation queue — the 33 remaining
-# r4-evidence queries lead, then queries added this round are appended as
-# they land, to head next round's window.
-_NEXT_ROTATION: list[str] = [
-    # --- 33 remaining r4-evidence pads (complete the r4 floor in r12) ---
+    # --- the 18 r11-new operators (the ONLY oracled queries with no driver
+    #     row; all judge-verified PASS vs DuckDB in the r11 session) ---
+    "source_kneser_ney_bigram",         # interpolated KN bigram LM
+    "classifier_feature_auc",           # rank-sum AUC vs weights
+    "dedup_bbit_minhash",               # b-bit minwise, bias-corrected
+    "multimodal_gif_decode_stats",      # real variable-width LZW
+    "multimodal_tar_webdataset_scan",   # ustar shard round-trip
+    "source_gzip_jsonl_scan",           # gzip JSONL shard ingest
+    "multimodal_wav_spectrum_stats",    # per-clip DFT bins
+    "sketch_quantile_histogram",        # mergeable quantile digest
+    "ann_ndcg_eval",                    # graded nDCG@5 + MRR
+    "classifier_platt_recalibration",   # held-out Platt fit
+    "stream_quantile_histogram",        # streaming sketch upkeep
+    "multimodal_y4m_scene_cuts",        # temporal frame-diff cuts
+    "sample_horvitz_thompson_estimate", # 1/pi-weighted totals
+    "sketch_join_cardinality",          # AMS/CMS inner product
+    "quality_gopher_rules",             # published filter battery
+    "stream_bloom_ingest_filter",       # streaming sketch upkeep
+    "stream_cms_heavy_hitters",         # streaming sketch upkeep
+    "source_kn_discount_estimate",      # Chen-Goodman D fit
+    # --- 32 of the 33 remaining r4-evidence pads (alphabetical; after r12
+    #     the evidence recency floor moves to r5 bar one query) ---
     "events_props_variant",
     "events_time_rollup",
     "hard_negative_mining",
@@ -206,29 +172,15 @@ _NEXT_ROTATION: list[str] = [
     "stream_corpus_dedup_stats",
     "string_agg_nations_per_region",
     "xml_documents_roundtrip",
-    "zorder_orders_layout",
-    # --- new in r11 ---
-    "source_kneser_ney_bigram",      # new in r11 (interpolated KN bigram LM)
-    "classifier_feature_auc",        # new in r11 (rank-sum AUC vs weights)
-    "dedup_bbit_minhash",            # new in r11 (b-bit minwise, bias-corrected)
-    "multimodal_gif_decode_stats",   # new in r11 (real variable-width LZW)
-    "multimodal_tar_webdataset_scan",  # new in r11 (ustar shard round-trip)
-    "source_gzip_jsonl_scan",        # new in r11 (gzip JSONL shard ingest)
-    "multimodal_wav_spectrum_stats",  # new in r11 (per-clip DFT bins)
-    "sketch_quantile_histogram",     # new in r11 (mergeable quantile digest)
-    "ann_ndcg_eval",                 # new in r11 (graded nDCG@5 + MRR)
-    "classifier_platt_recalibration",  # new in r11 (held-out Platt fit)
-    "stream_quantile_histogram",     # new in r11 (streaming sketch upkeep)
-    "multimodal_y4m_scene_cuts",     # new in r11 (temporal frame-diff cuts)
-    "sample_horvitz_thompson_estimate",  # new in r11 (1/pi-weighted totals)
-    "sketch_join_cardinality",       # new in r11 (AMS/CMS inner product)
-    "quality_gopher_rules",          # new in r11 (published filter battery)
-    "stream_bloom_ingest_filter",    # new in r11 (streaming sketch upkeep)
-    "stream_cms_heavy_hitters",      # new in r11 (streaming sketch upkeep)
-    "source_kn_discount_estimate",   # new in r11 (Chen-Goodman D fit)
 ]
 
-
+# Beyond the 50-query window: the r12 rotation queue — the one r4 pad that
+# didn't fit the 50-slot window leads, then the 50 r5-evidence queries form
+# the r13 pad pool (rebuilt from CORRECTNESS_r*.json at r13 start), and
+# queries added this round are appended as they land.
+_NEXT_ROTATION: list[str] = [
+    "zorder_orders_layout",          # last r4-evidence pad (51st for r12)
+]
 
 def _ordered(merged: dict) -> dict:
     """Priority names first (in _PRIORITY order), then _NEXT_ROTATION, then
