@@ -185,12 +185,14 @@ _NEXT_ROTATION: list[str] = [
 def _ordered(merged: dict) -> dict:
     """Priority names first (in _PRIORITY order), then _NEXT_ROTATION, then
     everything else in module order — so the driver's 50-query window is
-    exactly the head of _PRIORITY while the full registry stays complete."""
-    out = {
-        name: merged[name]
-        for name in (*_PRIORITY, *_NEXT_ROTATION)
-        if name in merged
-    }
+    exactly the head of _PRIORITY while the full registry stays complete.
+
+    A rotation name that doesn't resolve in the merged registry fails LOUDLY
+    (r12 advice): a typo would otherwise silently shrink the 50-query window
+    and promote an unintended query into the correctness gate."""
+    missing = [n for n in (*_PRIORITY, *_NEXT_ROTATION) if n not in merged]
+    assert not missing, f"rotation names not in registry: {missing}"
+    out = {name: merged[name] for name in (*_PRIORITY, *_NEXT_ROTATION)}
     out.update((k, v) for k, v in merged.items() if k not in out)
     return out
 
