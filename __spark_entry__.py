@@ -180,6 +180,7 @@ _PRIORITY = [
 # queries added this round are appended as they land.
 _NEXT_ROTATION: list[str] = [
     "zorder_orders_layout",          # last r4-evidence pad (51st for r12)
+    "multimodal_jpeg_decode_stats",  # r13-new: baseline JPEG (DCT+Huffman)
 ]
 
 def _ordered(merged: dict) -> dict:

@@ -44,7 +44,9 @@ __all__ = [
     "extract_media_features",
     "decode_image",
     "decode_bmp",
+    "decode_jpeg",
     "BMP_STATS_SCHEMA",
+    "JPEG_STATS_SCHEMA",
 ]
 
 #: Output contract of :func:`extract_media_features`.
@@ -2579,10 +2581,522 @@ ORDER BY shard_id
 """
 
 
+# --------------------------------------------------------------------------
+# Baseline JPEG decode (DCT + Huffman) — transform-coded capstone of the
+# decoder lineage (BMP → PNG/zlib → GIF/LZW → JPEG)
+# --------------------------------------------------------------------------
+
+_JPEG_W_BASE, _JPEG_W_MOD = 16, 11   # width  = 16 + doc_id % 11 — 16..26
+_JPEG_H_BASE, _JPEG_H_MOD = 9, 13    # height =  9 + doc_id % 13 — 9..21
+_JPEG_SAMPLE_MOD = 5                 # plant 1-in-5 docs as JPEG images
+_JPEG_SAMPLE_RES = 1                 # (residue 1: disjoint from the GIF set)
+
+#: Planted quantized-coefficient lattice. Only (u,v) ∈ {(0,0),(0,4),(4,0),
+#: (4,4)} are nonzero: cos((2t+1)·4π/16) = ±√2/2 with sign pattern
+#: [+,−,−,+,+,−,−,+], so with Q=8 at the AC positions and Q=16 at DC every
+#: IDCT output pixel is an EXACT small integer — the oracle replays the
+#: pixel FORMULA in integer SQL while the decoder runs the general float
+#: IDCT. The Huffman/zigzag layout this lattice produces exercises DC
+#: prediction (per-block varying DC), mid-block runs, ZRL (gap 14→39 is 24
+#: zeros), double-ZRL (gap 0→39 when both earlier ACs are zero), and EOB.
+_JPEG_SIGN = (1, -1, -1, 1, 1, -1, -1, 1)
+
+
+def _jpeg_zigzag() -> list[tuple[int, int]]:
+    """The JPEG zigzag scan order as (u, v) pairs: diagonals u+v = s, odd
+    diagonals walked with u ascending, even ones descending."""
+    order: list[tuple[int, int]] = []
+    for s in range(15):
+        us = [u for u in range(8) if 0 <= s - u < 8]
+        for u in (us if s % 2 else reversed(us)):
+            order.append((u, s - u))
+    return order
+
+
+_JPEG_ZIGZAG = _jpeg_zigzag()
+
+
+def _jpeg_qtable() -> list[int]:
+    """Quantization table in ZIGZAG order (how DQT stores it): 16 at DC,
+    8 at the three planted AC positions, arbitrary valid steps elsewhere
+    (they multiply zeros)."""
+    q = {(0, 0): 16, (0, 4): 8, (4, 0): 8, (4, 4): 8}
+    return [q.get((u, v), 5 + u + v) for (u, v) in _JPEG_ZIGZAG]
+
+
+def _jpeg_coeffs(doc_id: int, bx: int, by: int) -> dict[tuple[int, int], int]:
+    """Planted QUANTIZED coefficients for block (bx, by) — pure arithmetic
+    the oracle recomputes in SQL. (0,4) varies along x, (4,0) along y."""
+    return {
+        (0, 0): (doc_id + 5 * bx + 3 * by) % 32 - 16,
+        (0, 4): (doc_id + bx) % 7 - 3,
+        (4, 0): (doc_id + by) % 5 - 2,
+        (4, 4): (doc_id + bx + by) % 9 - 4,
+    }
+
+
+#: DC diff size categories 0..5 (planted diffs span [-31, 31]), flat 3-bit.
+_JPEG_DC_SYMBOLS = tuple(range(6))
+_JPEG_DC_LENGTHS = (3,) * 6
+#: AC symbols ordered by planted frequency — like the spec's Annex K
+#: tables, common symbols get short unary-style codes (lengths 1..10) and
+#: the rare tail sits at length 13 behind the all-ones prefix. The long
+#: 1-runs of the tail codes are what drives real scans into the 0xFF00
+#: byte-stuffing path (a flat short-code table never emits 8 aligned
+#: 1-bits, leaving destuffing untested).
+_JPEG_AC_SYMBOLS = (
+    0x00, 0x92, 0x32, 0xF0, 0x83, 0x82, 0x91, 0x31, 0x81, 0xC3,  # len 1..10
+    0xC2, 0xC1, 0xD2, 0xD1, 0x63, 0x62, 0x61,                    # len 13
+)
+_JPEG_AC_LENGTHS = tuple(range(1, 11)) + (13,) * 7
+
+
+def _jpeg_canonical(
+    symbols: tuple[int, ...], lengths: tuple[int, ...]
+) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (JPEG C.2): symbols listed in ascending
+    code-length order get consecutive codes, left-shifted at each length
+    step; the all-ones code of the maximum length stays unused. Returns
+    symbol → (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, prev = 0, lengths[0]
+    for sym, length in zip(symbols, lengths):
+        code <<= length - prev
+        prev = length
+        out[sym] = (code, length)
+        code += 1
+    assert code <= (1 << prev) - 1, "canonical table would use all-ones code"
+    return out
+
+
+def _jpeg_dht(
+    tc_th: int, symbols: tuple[int, ...], lengths: tuple[int, ...]
+) -> bytes:
+    """A DHT segment (16 per-length counts + symbol list in length order)."""
+    import struct
+
+    counts = [0] * 16
+    for length in lengths:
+        counts[length - 1] += 1
+    payload = bytes([tc_th]) + bytes(counts) + bytes(symbols)
+    return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with 0xFF→0xFF00 byte stuffing (JPEG ECS rule);
+    the final partial byte is padded with 1-bits per the spec."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, width: int) -> None:
+        for i in range(width - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def finish(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            final = (self.acc << pad) | ((1 << pad) - 1)
+            self.out.append(final)
+            if final == 0xFF:
+                self.out.append(0x00)
+        return bytes(self.out)
+
+
+def _jpeg_encode(doc_id: int) -> bytes:
+    """Build a real baseline grayscale JFIF: SOI, APP0, DQT (zigzag), SOF0,
+    two DHTs (DC+AC), SOS, the entropy-coded segment (Huffman + magnitude
+    bits + byte stuffing + DC prediction across blocks), EOI. Edge blocks
+    are coded in full and cropped by the decoder (w, h are deliberately not
+    multiples of 8)."""
+    import struct
+
+    w = _JPEG_W_BASE + doc_id % _JPEG_W_MOD
+    h = _JPEG_H_BASE + doc_id % _JPEG_H_MOD
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(_jpeg_qtable())
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+    out += _jpeg_dht(0x00, _JPEG_DC_SYMBOLS, _JPEG_DC_LENGTHS)
+    out += _jpeg_dht(0x10, _JPEG_AC_SYMBOLS, _JPEG_AC_LENGTHS)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
+    dc_codes = _jpeg_canonical(_JPEG_DC_SYMBOLS, _JPEG_DC_LENGTHS)
+    ac_codes = _jpeg_canonical(_JPEG_AC_SYMBOLS, _JPEG_AC_LENGTHS)
+    wtr = _JpegBitWriter()
+    pred = 0
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            co = _jpeg_coeffs(doc_id, bx, by)
+            diff = co[(0, 0)] - pred
+            pred = co[(0, 0)]
+            size = abs(diff).bit_length()
+            wtr.put(*dc_codes[size])
+            if size:
+                wtr.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+            run = 0
+            for k in range(1, 64):
+                v = co.get(_JPEG_ZIGZAG[k], 0)
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    wtr.put(*ac_codes[0xF0])
+                    run -= 16
+                size = abs(v).bit_length()
+                wtr.put(*ac_codes[(run << 4) | size])
+                wtr.put(v if v > 0 else v + (1 << size) - 1, size)
+                run = 0
+            if run:
+                wtr.put(*ac_codes[0x00])
+    out += wtr.finish()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg(data: bytes):
+    """Decode a BASELINE (SOF0) grayscale JFIF from its bytes alone:
+    marker walk (APPn/COM skipped), 8-bit DQT tables, canonical Huffman
+    tables rebuilt from DHT length counts, entropy decode with 0xFF00
+    destuffing / DC prediction / ZRL / EOB, dequantize in zigzag order,
+    dezigzag, float separable IDCT, +128 level shift, clamp, and crop the
+    MCU padding back to (h, w). Returns ``(width, height, pixels)`` with
+    ``pixels`` an (h, w) uint8 ndarray. Raises ``ValueError`` on anything
+    malformed or non-baseline (progressive SOF2, multi-component color,
+    16-bit DQT, restart intervals) — corrupt blobs must fail loudly."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = qid = None
+    dc_id = ac_id = None
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG stream (no SOS)")
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected a marker at offset {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("EOI before any scan data")
+        if pos + 2 > len(data):
+            raise ValueError("truncated segment header")
+        seg_len = struct.unpack_from(">H", data, pos)[0]
+        seg = data[pos + 2 : pos + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError("truncated segment body")
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            o = 0
+            while o < len(seg):
+                if seg[o] >> 4 != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                if o + 65 > len(seg):
+                    raise ValueError("truncated DQT")
+                qtables[seg[o] & 15] = np.frombuffer(
+                    seg, np.uint8, 64, o + 1
+                ).astype(np.int32)
+                o += 65
+        elif marker == 0xC0:  # SOF0 — baseline sequential
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            if ncomp != 1:
+                raise ValueError("multi-component (color) JPEG unsupported")
+            if w == 0 or h == 0:
+                raise ValueError("empty image")
+            if seg[7] != 0x11:
+                raise ValueError("subsampled single component")
+            qid = seg[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline SOF 0xff{marker:02x} unsupported")
+        elif marker == 0xC4:  # DHT — rebuild canonical codes from counts
+            o = 0
+            while o < len(seg):
+                tc, th = seg[o] >> 4, seg[o] & 15
+                counts = seg[o + 1 : o + 17]
+                if len(counts) != 16:
+                    raise ValueError("truncated DHT")
+                syms = seg[o + 17 : o + 17 + sum(counts)]
+                if len(syms) != sum(counts):
+                    raise ValueError("truncated DHT symbol list")
+                table: dict[tuple[int, int], int] = {}
+                code, i = 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[i]
+                        i += 1
+                        code += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                o += 17 + len(syms)
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif 0xE0 <= marker <= 0xEF or marker == 0xFE:
+            pass  # APPn / COM
+        elif marker == 0xDA:  # SOS
+            if seg[0] != 1:
+                raise ValueError("scan must cover exactly one component")
+            dc_id, ac_id = seg[2] >> 4, seg[2] & 15
+            if tuple(seg[3:6]) != (0, 63, 0):
+                raise ValueError("non-baseline spectral selection")
+            pos += seg_len
+            break
+        else:
+            raise ValueError(f"unsupported marker 0xff{marker:02x}")
+        pos += seg_len
+    if w is None or qid not in qtables:
+        raise ValueError("missing SOF0 or its quantization table")
+    if (0, dc_id) not in huff or (1, ac_id) not in huff:
+        raise ValueError("missing Huffman table referenced by SOS")
+    # destuff the entropy-coded segment up to the terminating marker
+    body = bytearray()
+    i = pos
+    end_marker = None
+    while i < len(data):
+        if data[i] == 0xFF:
+            if i + 1 >= len(data):
+                raise ValueError("dangling 0xFF at end of scan")
+            if data[i + 1] == 0x00:
+                body.append(0xFF)
+                i += 2
+                continue
+            end_marker = data[i + 1]
+            break
+        body.append(data[i])
+        i += 1
+    if end_marker != 0xD9:
+        raise ValueError("scan not terminated by EOI")
+
+    nbits = len(body) * 8
+    bitpos = 0
+
+    def read_bits(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            raise ValueError("truncated entropy-coded segment")
+        v = 0
+        for _ in range(width):
+            v = (v << 1) | ((body[bitpos >> 3] >> (7 - (bitpos & 7))) & 1)
+            bitpos += 1
+        return v
+
+    def read_huff(table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | read_bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+    def extend(bits: int, size: int) -> int:
+        return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+    qt = qtables[qid].astype(np.float64)
+    u = np.arange(8)
+    # div-safe: sqrt(2) is a positive constant
+    cu = np.where(u == 0, 1.0 / np.sqrt(2.0), 1.0)
+    basis = 0.5 * cu[:, None] * np.cos(
+        (2 * np.arange(8)[None, :] + 1) * u[:, None] * np.pi / 16.0
+    )  # basis[u, y]; spatial = basis.T @ S @ basis
+    zz_u = np.array([p[0] for p in _JPEG_ZIGZAG])
+    zz_v = np.array([p[1] for p in _JPEG_ZIGZAG])
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    img = np.zeros((bh * 8, bw * 8), np.float64)
+    pred = 0
+    for byi in range(bh):
+        for bxi in range(bw):
+            coeffs = np.zeros(64, np.float64)
+            size = read_huff(huff[(0, dc_id)])
+            pred += extend(read_bits(size), size) if size else 0
+            coeffs[0] = pred * qt[0]
+            k = 1
+            while k < 64:
+                sym = read_huff(huff[(1, ac_id)])
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 15
+                if size == 0:
+                    raise ValueError(f"invalid AC symbol 0x{sym:02x}")
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                coeffs[k] = extend(read_bits(size), size) * qt[k]
+                k += 1
+            mat = np.zeros((8, 8), np.float64)
+            mat[zz_u, zz_v] = coeffs
+            img[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = (
+                basis.T @ mat @ basis + 128.0
+            )
+    px = np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w]
+    return int(w), int(h), px
+
+
+#: Output contract of the JPEG decode kernel.
+JPEG_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, "
+    "sum_px bigint, mid_row_sum bigint, mid_col_sum bigint"
+)
+
+
+def decode_jpeg_stats(images: DataFrame) -> DataFrame:
+    """``mapInArrow`` decode kernel: (doc_id, media BINARY) → decoded
+    dimensions, the exact pixel sum, and the middle row's / middle
+    column's sums (pixel ORDER must survive Huffman + IDCT + crop in both
+    axes, not just totals)."""
+    import pyarrow as pa
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            doc_ids = b.column(b.schema.get_field_index("doc_id"))
+            blobs = b.column(b.schema.get_field_index("media"))
+            ws, hs, tot, mrow, mcol = [], [], [], [], []
+            for v in blobs:
+                w, h, px = decode_jpeg(v.as_py())
+                p64 = px.astype("int64")
+                ws.append(w)
+                hs.append(h)
+                tot.append(int(p64.sum()))
+                mrow.append(int(p64[h // 2, :].sum()))
+                mcol.append(int(p64[:, w // 2].sum()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    pa.array(ws, type=pa.int32()),
+                    pa.array(hs, type=pa.int32()),
+                    pa.array(tot, type=pa.int64()),
+                    pa.array(mrow, type=pa.int64()),
+                    pa.array(mcol, type=pa.int64()),
+                ],
+                names=[
+                    "doc_id", "width", "height",
+                    "sum_px", "mid_row_sum", "mid_col_sum",
+                ],
+            )
+
+    return images.mapInArrow(fn, JPEG_STATS_SCHEMA)
+
+
+def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSFORM-coded image decode end to end — the codec class the
+    dictionary formats (GIF/LZW, PNG/zlib) don't cover: plant deterministic
+    baseline grayscale JFIF payloads for 1-in-5 documents (real DCT-domain
+    coefficients, canonical Huffman DC+AC tables, zigzag, ZRL runs, DC
+    prediction across blocks, byte stuffing, MCU edge-padding), decode
+    them back from bytes alone with :func:`decode_jpeg` (general float
+    IDCT), and report per (width, height): image count, exact pixel sum,
+    mean intensity, and the exact middle-row / middle-column sums. The
+    coefficients live on an exactly-IDCT-able lattice (DC plus ACs at
+    (0,4)/(4,0)/(4,4), where the cosines are ±√2/2), so the DuckDB oracle
+    recomputes every pixel in INTEGER SQL — one wrong Huffman bit, run
+    length, predictor update, or dequant step shifts the remaining stream
+    and diverges the sums.
+
+    Scale shape: map-only until the final tiny groupBy (width×height shape
+    groups); blobs are built and decoded inside the scan stage and never
+    shuffle."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": pdf["doc_id"].map(lambda d: _jpeg_encode(int(d))),
+                }
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % _JPEG_SAMPLE_MOD == _JPEG_SAMPLE_RES)
+    )
+    images = docs.mapInPandas(build, "doc_id bigint, media binary")
+    stats = decode_jpeg_stats(images)
+    n_px = F.sum(F.col("width").cast("long") * F.col("height"))
+    return (
+        stats.groupBy("width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("sum_px").alias("sum_px"),
+            # div-safe: n_px = planted JPEG width x height, positive
+            F.round(F.sum("sum_px") / n_px, 4).alias("avg_intensity"),
+            F.sum("mid_row_sum").alias("mid_row_sum"),
+            F.sum("mid_col_sum").alias("mid_col_sum"),
+        )
+        .orderBy("width", "height")
+    )
+
+
+_JPEG_DECODE_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         {_JPEG_W_BASE} + doc_id % {_JPEG_W_MOD} AS w,
+         {_JPEG_H_BASE} + doc_id % {_JPEG_H_MOD} AS h
+  FROM documents WHERE doc_id % {_JPEG_SAMPLE_MOD} = {_JPEG_SAMPLE_RES}
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h, gx.x, gy.y
+  FROM docs d
+  JOIN (SELECT unnest(generate_series(0, {_JPEG_W_BASE + _JPEG_W_MOD - 2})) AS x) gx
+    ON gx.x < d.w
+  JOIN (SELECT unnest(generate_series(0, {_JPEG_H_BASE + _JPEG_H_MOD - 2})) AS y) gy
+    ON gy.y < d.h
+),
+vals AS (
+  SELECT doc_id, w, h, x, y,
+         128
+         + 2 * ((doc_id + 5 * (x // 8) + 3 * (y // 8)) % 32 - 16)
+         + ((doc_id + (x // 8)) % 7 - 3)
+             * (CASE WHEN (x % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+         + ((doc_id + (y // 8)) % 5 - 2)
+             * (CASE WHEN (y % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+         + ((doc_id + (x // 8) + (y // 8)) % 9 - 4)
+             * (CASE WHEN (x % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             * (CASE WHEN (y % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+         AS p
+  FROM px
+)
+SELECT CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       COUNT(DISTINCT doc_id) AS n_images,
+       CAST(SUM(p) AS BIGINT) AS sum_px,
+       -- div-safe: COUNT(*) of a GROUP BY group is >= 1
+       ROUND(CAST(SUM(p) AS DOUBLE) / COUNT(*), 4) AS avg_intensity,
+       CAST(SUM(CASE WHEN y = h // 2 THEN p ELSE 0 END) AS BIGINT)
+         AS mid_row_sum,
+       CAST(SUM(CASE WHEN x = w // 2 THEN p ELSE 0 END) AS BIGINT)
+         AS mid_col_sum
+FROM vals
+GROUP BY w, h
+ORDER BY width, height
+"""
+
+
 QUERIES = {
     "multimodal_bmp_decode_stats": multimodal_bmp_decode_stats,
     "multimodal_png_decode_stats": multimodal_png_decode_stats,
     "multimodal_gif_decode_stats": multimodal_gif_decode_stats,
+    "multimodal_jpeg_decode_stats": multimodal_jpeg_decode_stats,
     "multimodal_tar_webdataset_scan": multimodal_tar_webdataset_scan,
     "multimodal_wav_decode_stats": multimodal_wav_decode_stats,
     "multimodal_wav_spectrum_stats": multimodal_wav_spectrum_stats,
@@ -2600,6 +3114,7 @@ ORACLES = {
     "multimodal_bmp_decode_stats": _BMP_DECODE_SQL,
     "multimodal_png_decode_stats": _PNG_DECODE_SQL,
     "multimodal_gif_decode_stats": _GIF_DECODE_SQL,
+    "multimodal_jpeg_decode_stats": _JPEG_DECODE_SQL,
     "multimodal_tar_webdataset_scan": _TAR_SCAN_SQL,
     "multimodal_wav_decode_stats": _WAV_DECODE_SQL,
     "multimodal_wav_spectrum_stats": _WAV_SPECTRUM_SQL,

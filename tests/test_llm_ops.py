@@ -2987,3 +2987,71 @@ def test_kn_discount_estimate_bounds_and_heldout_gain(spark):
     assert r.n_heldout_bigrams > 0
     assert r.ce_estimated <= r.ce_fixed + 0.01, r
     assert abs(r.ppl_fixed - round(2.718281828459045 ** r.ce_fixed, 1)) < 0.1 * r.ppl_fixed
+
+
+def test_jpeg_codec_roundtrip_stuffing_and_malformed(spark):
+    """Planted baseline JFIFs must decode to the exact coefficient-lattice
+    formula pixels (the general float IDCT lands on exact integers by
+    construction); the corpus must exercise the 0xFF00 byte-stuffing path;
+    structural corruption (truncation, progressive SOF, restart markers,
+    a desynced entropy stream) fails loudly or diverges the pixels — JPEG
+    has no payload checksum, which is exactly why the oracle checks pixel
+    VALUES."""
+    import numpy as np
+
+    from datafusion_impl_spark.operators.multimodal import (
+        _JPEG_SAMPLE_MOD,
+        _JPEG_SAMPLE_RES,
+        _JPEG_SIGN,
+        _jpeg_coeffs,
+        _jpeg_encode,
+        decode_jpeg,
+    )
+
+    def formula(doc_id, x, y):
+        co = _jpeg_coeffs(doc_id, x // 8, y // 8)
+        sx, sy = _JPEG_SIGN[x % 8], _JPEG_SIGN[y % 8]
+        return (128 + 2 * co[(0, 0)] + co[(0, 4)] * sx
+                + co[(4, 0)] * sy + co[(4, 4)] * sx * sy)
+
+    doc_ids = [d for d in range(240) if d % _JPEG_SAMPLE_MOD == _JPEG_SAMPLE_RES]
+    stuffed = 0
+    for doc_id in doc_ids:
+        blob = _jpeg_encode(doc_id)
+        if b"\xff\x00" in blob.split(b"\xff\xda")[1]:
+            stuffed += 1
+        w, h, px = decode_jpeg(blob)
+        exp = np.array(
+            [[formula(doc_id, x, y) for x in range(w)] for y in range(h)]
+        )
+        assert (px.astype(int) == exp).all(), f"pixel mismatch doc {doc_id}"
+    # the restructured AC table (long all-ones prefixes on the rare tail)
+    # must drive a large share of real scans through destuffing
+    assert stuffed >= len(doc_ids) // 2, f"only {stuffed} stuffed scans"
+
+    blob = _jpeg_encode(doc_ids[7])
+    for bad in (
+        b"",
+        b"NOTAJPEG",
+        blob[:2],                                   # SOI only
+        blob[:40],                                  # truncated mid-header
+        blob[:-2],                                  # EOI stripped
+        blob[:-30],                                 # truncated mid-scan
+        blob.replace(b"\xff\xc0", b"\xff\xc2", 1),  # progressive SOF
+        blob.replace(b"\xff\xc0", b"\xff\xdd", 1),  # restart interval
+    ):
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+
+    # a single flipped bit inside the entropy-coded segment must never
+    # silently reproduce the planted pixels: it either desyncs the Huffman
+    # stream (ValueError) or lands on different coefficients
+    scan_at = blob.index(b"\xff\xda") + 10
+    w0, h0, px0 = decode_jpeg(blob)
+    corrupted = bytearray(blob)
+    corrupted[scan_at + 5] ^= 0x10
+    try:
+        _, _, px1 = decode_jpeg(bytes(corrupted))
+        assert not (px1 == px0).all()
+    except ValueError:
+        pass

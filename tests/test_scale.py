@@ -127,6 +127,7 @@ def test_no_python_in_any_relational_plan(spark):
         "multimodal_y4m_decode_stats",  # same contract, video (r7)
         "multimodal_png_decode_stats",  # same contract, compressed image (r10)
         "multimodal_gif_decode_stats",  # same contract, LZW image (r11)
+        "multimodal_jpeg_decode_stats",  # same contract, DCT+Huffman (r13)
         "multimodal_y4m_scene_cuts",    # same contract, temporal video (r11)
         "multimodal_wav_spectrum_stats",  # same contract, spectral audio (r11)
         "multimodal_tar_webdataset_scan",  # tar (dis)assembly IS the operator
