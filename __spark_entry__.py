@@ -181,6 +181,7 @@ _PRIORITY = [
 _NEXT_ROTATION: list[str] = [
     "zorder_orders_layout",          # last r4-evidence pad (51st for r12)
     "multimodal_jpeg_decode_stats",  # r13-new: baseline JPEG (DCT+Huffman)
+    "avro_lineitem_roundtrip",       # r13-new: Avro OCF round-trip
 ]
 
 def _ordered(merged: dict) -> dict:

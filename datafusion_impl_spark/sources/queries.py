@@ -846,6 +846,325 @@ ORDER BY shard_id
 """
 
 
+# --------------------------------------------------------------------------
+# Avro Object Container File round-trip (the one mainstream ingest format
+# still absent from CSV/JSON/JSONL/XML/ORC/parquet/tar/gzip)
+# --------------------------------------------------------------------------
+# The container ships no spark-avro DataSource jar, so the OCF layer is
+# implemented from the PUBLIC Avro 1.12 spec directly: zigzag-varint
+# longs/ints, length-prefixed strings, IEEE-LE doubles, ["null", T] unions,
+# deflate-codec blocks (raw RFC-1951), and the 16-byte sync marker between
+# blocks. Writer and reader are independent enough that a one-byte slip in
+# either diverges the value hash against the parquet oracle.
+
+#: lineitem hash-shards into this many .avro container files.
+_AVRO_SHARDS = 8
+#: records per OCF block — small enough that every shard spans MANY blocks,
+#: so the reader's block loop + per-block sync check is really exercised.
+_AVRO_BLOCK_RECORDS = 1000
+#: rows with l_orderkey % this == 0 plant a null into the union field.
+_AVRO_NULL_MOD = 11
+
+#: The writer schema (embedded in every container's metadata; the reader
+#: decodes records by walking THIS JSON, not a hard-coded field list).
+_AVRO_SCHEMA_JSON = (
+    '{"type":"record","name":"lineitem","fields":['
+    '{"name":"l_orderkey","type":"long"},'
+    '{"name":"l_linenumber","type":"int"},'
+    '{"name":"l_quantity","type":"double"},'
+    '{"name":"l_extendedprice","type":"double"},'
+    '{"name":"l_returnflag","type":"string"},'
+    '{"name":"l_linestatus","type":["null","string"]}]}'
+)
+
+
+def _avro_zigzag(n: int) -> bytes:
+    """Encode a long as Avro's zigzag varint."""
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _avro_encode_shard(shard_id: int, rows) -> bytes:
+    """Serialize rows (iterable of tuples matching the schema field order)
+    into one deflate-codec OCF: magic, metadata map, sync, then blocks of
+    ``_AVRO_BLOCK_RECORDS`` records each followed by the sync marker."""
+    import hashlib
+    import struct
+    import zlib
+
+    def s(v: str) -> bytes:
+        b = v.encode()
+        return _avro_zigzag(len(b)) + b
+
+    sync = hashlib.md5(f"avro-shard-{shard_id}".encode()).digest()
+    out = bytearray(b"Obj\x01")
+    out += _avro_zigzag(2)  # metadata map: one block of 2 entries
+    out += s("avro.schema") + s(_AVRO_SCHEMA_JSON)
+    out += s("avro.codec") + s("deflate")
+    out += _avro_zigzag(0)  # map terminator
+    out += sync
+
+    buf = bytearray()
+    n_in_block = 0
+
+    def flush() -> None:
+        nonlocal buf, n_in_block
+        if not n_in_block:
+            return
+        comp = zlib.compressobj(wbits=-15)  # Avro deflate = raw RFC-1951
+        body = comp.compress(bytes(buf)) + comp.flush()
+        out.extend(_avro_zigzag(n_in_block))
+        out.extend(_avro_zigzag(len(body)))
+        out.extend(body)
+        out.extend(sync)
+        buf = bytearray()
+        n_in_block = 0
+
+    for ok, ln, qty, price, rf, ls in rows:
+        buf += _avro_zigzag(int(ok))
+        buf += _avro_zigzag(int(ln))
+        buf += struct.pack("<d", float(qty))
+        buf += struct.pack("<d", float(price))
+        buf += s(rf)
+        if ls is None:
+            buf += _avro_zigzag(0)  # union branch 0: null
+        else:
+            buf += _avro_zigzag(1) + s(ls)
+        n_in_block += 1
+        if n_in_block >= _AVRO_BLOCK_RECORDS:
+            flush()
+    flush()
+    return bytes(out)
+
+
+def _avro_decode(data: bytes):
+    """Parse an OCF from its bytes alone, driven by the EMBEDDED schema
+    (supports long/int/double/string and ["null", T] unions; codecs null
+    and deflate). Yields one tuple per record in field order. Raises
+    ``ValueError`` on a bad magic, unknown codec/type, sync-marker
+    mismatch, or a truncated block — corrupt containers fail loudly."""
+    import json
+    import struct
+    import zlib
+
+    if data[:4] != b"Obj\x01":
+        raise ValueError("not an Avro object container file")
+    pos = 4
+
+    def read_long(b, p):
+        u = shift = 0
+        while True:
+            if p >= len(b):
+                raise ValueError("truncated varint")
+            byte = b[p]
+            p += 1
+            u |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                return (u >> 1) ^ -(u & 1), p
+            shift += 7
+
+    def read_bytes(b, p):
+        n, p = read_long(b, p)
+        if n < 0 or p + n > len(b):
+            raise ValueError("truncated bytes value")
+        return b[p : p + n], p + n
+
+    meta = {}
+    while True:
+        count, pos = read_long(data, pos)
+        if count == 0:
+            break
+        if count < 0:  # spec: negative count prefixes a byte-size long
+            count = -count
+            _, pos = read_long(data, pos)
+        for _ in range(count):
+            k, pos = read_bytes(data, pos)
+            v, pos = read_bytes(data, pos)
+            meta[k.decode()] = v
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported Avro codec {codec!r}")
+    schema = json.loads(meta["avro.schema"])
+    if schema.get("type") != "record":
+        raise ValueError("only record schemas supported")
+    fields = [f["type"] for f in schema["fields"]]
+    sync = data[pos : pos + 16]
+    if len(sync) != 16:
+        raise ValueError("truncated header sync marker")
+    pos += 16
+
+    def read_value(ftype, b, p):
+        if isinstance(ftype, list):  # union — branch index then value
+            idx, p = read_long(b, p)
+            if not 0 <= idx < len(ftype):
+                raise ValueError("union branch out of range")
+            branch = ftype[idx]
+            if branch == "null":
+                return None, p
+            return read_value(branch, b, p)
+        if ftype in ("long", "int"):
+            return read_long(b, p)
+        if ftype == "double":
+            if p + 8 > len(b):
+                raise ValueError("truncated double")
+            return struct.unpack_from("<d", b, p)[0], p + 8
+        if ftype == "string":
+            raw, p = read_bytes(b, p)
+            return raw.decode(), p
+        raise ValueError(f"unsupported Avro type {ftype!r}")
+
+    while pos < len(data):
+        count, pos = read_long(data, pos)
+        size, pos = read_long(data, pos)
+        if count < 0 or size < 0 or pos + size > len(data):
+            raise ValueError("truncated Avro block")
+        body = data[pos : pos + size]
+        pos += size
+        if codec == "deflate":
+            body = zlib.decompressobj(-15).decompress(body)
+        p = 0
+        for _ in range(count):
+            row = []
+            for ftype in fields:
+                v, p = read_value(ftype, body, p)
+                row.append(v)
+            yield tuple(row)
+        if p != len(body):
+            raise ValueError("trailing bytes inside Avro block")
+        if data[pos : pos + 16] != sync:
+            raise ValueError("Avro sync marker mismatch")
+        pos += 16
+
+
+def avro_lineitem_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → hash-sharded Avro OCFs on disk (deflate codec, multi-
+    block, planted union-nulls) → ``binaryFile`` scan → schema-driven OCF
+    decode → pricing aggregate per return flag. The oracle aggregates the
+    ORIGINAL parquet (replaying the null plant), so equality proves the
+    full write→read cycle preserves every varint, IEEE double, UTF-8
+    string, union branch, and block boundary exactly.
+
+    Scale shape: the shard assembly is one shuffle (``applyInPandas`` over
+    the shard key — the distributed object-writer shape), the scan is
+    per-file parallel with blobs never shuffling (decode happens in the
+    scan stage; only typed rows reach the aggregate)."""
+    import shutil
+
+    import pandas as pd
+
+    path = os.path.join(
+        _JSONL_ROOT, os.path.basename(sf_dir.rstrip("/")), "li_avro"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag",
+        F.when(F.col("l_orderkey") % _AVRO_NULL_MOD == 0, F.lit(None))
+        .otherwise(F.col("l_linestatus"))
+        .alias("l_linestatus"),
+        (F.col("l_orderkey") % _AVRO_SHARDS).cast("int").alias("shard_id"),
+    )
+
+    def build(pdf):
+        pdf = pdf.sort_values(["l_orderkey", "l_linenumber"])
+        shard = int(pdf["shard_id"].iloc[0])
+        rows = zip(
+            pdf["l_orderkey"], pdf["l_linenumber"], pdf["l_quantity"],
+            pdf["l_extendedprice"], pdf["l_returnflag"],
+            (None if pd.isna(v) else v for v in pdf["l_linestatus"]),
+        )
+        return pd.DataFrame(
+            {"shard_id": [shard], "ocf": [_avro_encode_shard(shard, rows)]}
+        )
+
+    shards = li.groupBy("shard_id").applyInPandas(
+        build, "shard_id int, ocf binary"
+    )
+
+    def write_files(rows) -> None:
+        for r in rows:
+            with open(
+                os.path.join(path, f"part_{r['shard_id']}.avro"), "wb"
+            ) as f:
+                f.write(bytes(r["ocf"]))
+
+    shards.foreachPartition(write_files)
+
+    back_raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select("content")
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            for blob in pdf["content"]:
+                recs = list(_avro_decode(bytes(blob)))
+                yield pd.DataFrame(
+                    recs,
+                    columns=[
+                        "l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_returnflag", "l_linestatus",
+                    ],
+                )
+
+    back = back_raw.mapInPandas(
+        decode,
+        "l_orderkey long, l_linenumber int, l_quantity double, "
+        "l_extendedprice double, l_returnflag string, l_linestatus string",
+    )
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_orderkey").cast("long").alias("sum_orderkey"),
+            F.sum(F.col("l_quantity").cast("decimal(12,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,4)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.sum(F.col("l_linestatus").isNull().cast("long")).alias(
+                "n_null_status"
+            ),
+            F.countDistinct("l_linestatus").alias("n_status"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_AVRO_ROUNDTRIP_SQL = f"""
+WITH src AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+         l_returnflag,
+         CASE WHEN l_orderkey % {_AVRO_NULL_MOD} = 0 THEN NULL
+              ELSE l_linestatus END AS l_linestatus
+  FROM lineitem
+)
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(SUM(l_orderkey) AS BIGINT) AS sum_orderkey,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
+         AS sum_price,
+       CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_status,
+       COUNT(DISTINCT l_linestatus) AS n_status
+FROM src
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "binaryfile_media_scan": binaryfile_media_scan,
     "csv_reference_golden": csv_reference_golden,
@@ -859,6 +1178,7 @@ QUERIES = {
     "file_lineage_orders": file_lineage_orders,
     "csv_documents_roundtrip": csv_documents_roundtrip,
     "source_gzip_jsonl_scan": source_gzip_jsonl_scan,
+    "avro_lineitem_roundtrip": avro_lineitem_roundtrip,
 }
 
 ORACLES = {
@@ -874,4 +1194,5 @@ ORACLES = {
     "file_lineage_orders": _FILE_LINEAGE_SQL,
     "csv_documents_roundtrip": _CSV_ROUNDTRIP_SQL,
     "source_gzip_jsonl_scan": _gzip_jsonl_oracle(),
+    "avro_lineitem_roundtrip": _AVRO_ROUNDTRIP_SQL,
 }

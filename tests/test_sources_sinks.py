@@ -180,3 +180,79 @@ def test_compaction_plan_conserves_rows_and_files(spark):
     assert {r.bin for r in rows} <= {0, 1, 2, 3}
     # bins are balanced by construction: no bin holds more than half the rows
     assert max(r.n_rows for r in rows) <= n_orders * 0.5
+
+
+def test_avro_ocf_interop_with_apache_avro_both_directions(spark, tmp_path):
+    """Our hand-rolled OCF layer must interoperate with Apache Avro itself
+    (the avro-1.12 jar on Spark's classpath): files we write are read back
+    record-for-record by org.apache.avro.file.DataFileReader, and files
+    Apache Avro writes (null codec, its own random sync marker) decode
+    with our reader. Multi-block layout and loud failures are pinned."""
+    from datafusion_impl_spark.sources.queries import (
+        _AVRO_BLOCK_RECORDS,
+        _AVRO_SCHEMA_JSON,
+        _avro_decode,
+        _avro_encode_shard,
+    )
+
+    rows = [
+        (i, i % 7, float(i) / 4.0, i * 1.25, "ARN"[i % 3],
+         None if i % 11 == 0 else "FO"[i % 2])
+        for i in range(2500)  # > 2 blocks at 1000 records/block
+    ]
+    blob = _avro_encode_shard(5, iter(rows))
+    assert list(_avro_decode(blob)) == rows
+
+    # our writer → Apache Avro's reader
+    p = str(tmp_path / "ours.avro")
+    with open(p, "wb") as f:
+        f.write(blob)
+    jvm = spark._jvm
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    n = 0
+    while rdr.hasNext():
+        rec = rdr.next()
+        ls = rec.get("l_linestatus")
+        got = (
+            rec.get("l_orderkey"), rec.get("l_linenumber"),
+            rec.get("l_quantity"), rec.get("l_extendedprice"),
+            str(rec.get("l_returnflag")), None if ls is None else str(ls),
+        )
+        assert got == rows[n], (n, got)
+        n += 1
+    rdr.close()
+    assert n == len(rows)
+
+    # Apache Avro's writer → our reader
+    schema = jvm.org.apache.avro.Schema.Parser().parse(_AVRO_SCHEMA_JSON)
+    p2 = str(tmp_path / "theirs.avro")
+    wtr = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter()
+    )
+    wtr.create(schema, jvm.java.io.File(p2))
+    for ok, ln, qty, price, rf, ls in rows[:50]:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("l_orderkey", ok)
+        rec.put("l_linenumber", ln)
+        rec.put("l_quantity", qty)
+        rec.put("l_extendedprice", price)
+        rec.put("l_returnflag", rf)
+        rec.put("l_linestatus", ls)
+        wtr.append(rec)
+    wtr.close()
+    with open(p2, "rb") as f:
+        theirs = f.read()
+    assert list(_avro_decode(theirs)) == rows[:50]
+
+    # corrupt containers fail loudly
+    for bad in (
+        b"NOTAVRO",
+        blob[:40],                      # truncated metadata
+        blob[:-10],                     # truncated final block/sync
+        blob[:-16] + b"\x00" * 16,      # sync marker mismatch
+        blob.replace(b"deflate", b"snappyx", 1),  # unknown codec
+    ):
+        with pytest.raises(ValueError):
+            list(_avro_decode(bad))
