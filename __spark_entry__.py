@@ -182,6 +182,7 @@ _NEXT_ROTATION: list[str] = [
     "zorder_orders_layout",          # last r4-evidence pad (51st for r12)
     "multimodal_jpeg_decode_stats",  # r13-new: baseline JPEG (DCT+Huffman)
     "avro_lineitem_roundtrip",       # r13-new: Avro OCF round-trip
+    "hybrid_bm25_dense_rrf",         # r13-new: lexical+dense RRF ensemble
 ]
 
 def _ordered(merged: dict) -> dict:

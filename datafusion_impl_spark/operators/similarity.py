@@ -452,6 +452,300 @@ FROM per_q
 """
 
 
+# --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 lexical + dense (IVF) fused by reciprocal-rank
+# fusion, evaluated against the exact dense ranking
+# --------------------------------------------------------------------------
+
+#: RRF smoothing constant (the value from the original RRF paper).
+_RRF_K = 60
+#: per-source candidate list depth feeding the fusion.
+_HYBRID_TOPN = 10
+
+
+def hybrid_bm25_dense_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION retrieval ensemble: a lexical BM25 ranking and an
+    approximate dense (IVF nprobe=1) ranking over the SAME query set,
+    fused per query by reciprocal-rank fusion
+    ``rrf = Σ 1/({k} + rank)``, then the fused top-{K} graded against the
+    exact dense ranking with the :func:`ann_ndcg_eval` metrics (nDCG@{K},
+    MRR, overlap) plus the fusion-diagnostic ``mean_src_both`` (how many
+    fused hits both sources agreed on). Queries are the vec_id % {mod} = 0
+    vectors; each query's lexical form is its own document's two
+    highest-tf terms of length ≥ 4 (data-derived, deterministic) — the
+    documents and embeddings tables share the id space by construction.
+
+    Scale shape: the lexical side is the inverted-index equi-join from
+    ``text_bm25_search`` (postings of ≤ 2·|Q| terms, query frame
+    broadcast); the dense side is the IVF bucket equi-join; fusion is a
+    |Q|·{topn}-row full-outer join; only the exact-truth audit is a
+    broadcast brute-force pass (at 100 TB it runs on a query SAMPLE, as in
+    the recall sweeps)."""
+    from datafusion_impl_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_corpus"), F.avg("dl").alias("avgdl")
+    )
+    qw = Window.partitionBy("q_id").orderBy(F.desc("qtf"), F.asc("term"))
+    qterms = (
+        tf.filter(
+            (F.col("doc_id") % _QUERY_MOD == 0) & (F.length("term") >= 4)
+        )
+        .select(
+            F.col("doc_id").alias("q_id"), "term", F.col("tf").alias("qtf")
+        )
+        .withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= 2)
+        .join(dfq, "term")
+        .select("q_id", "term", "df")
+    )
+    # div-safe: df + 0.5 > 0; tf >= 1 so the BM25 tf denominator > 0;
+    # avgdl averages positive doc lengths
+    idf = F.log(
+        (F.col("n_corpus") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    s = idf * (
+        # div-safe: tf >= 1 so the BM25 tf denominator > 0; avgdl > 0
+        (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl"))))
+    )
+    lw = Window.partitionBy("q_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = (
+        tf.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("q_id", "doc_id", F.round(s, 6).alias("s"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        .withColumn("lex_rank", F.row_number().over(lw))
+        .filter(F.col("lex_rank") <= _HYBRID_TOPN)
+        .select("q_id", "doc_id", "lex_rank")
+    )
+
+    e = _vectors(spark, sf_dir)
+    assign = materialize(_ivf_assign(e))
+    qa = assign.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+        "bucket",
+    )
+    # div-safe: unit-norm embeddings / nonzero norms (data contract)
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("q_nrm") * F.col("nrm"))
+    dw = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    dense = (
+        qa.join(assign, "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .withColumn("dense_rank", F.row_number().over(dw))
+        .filter(F.col("dense_rank") <= _HYBRID_TOPN)
+        .select("q_id", "doc_id", "dense_rank")
+    )
+
+    # div-safe: _RRF_K + rank >= 61
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("dense_rank")), F.lit(0.0)
+        ),
+        6,
+    )
+    fw = Window.partitionBy("q_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    fused = (
+        lex.join(dense, ["q_id", "doc_id"], "full_outer")
+        .select(
+            "q_id",
+            "doc_id",
+            rrf.alias("rrf"),
+            (
+                F.col("lex_rank").isNotNull()
+                & F.col("dense_rank").isNotNull()
+            )
+            .cast("long")
+            .alias("in_both"),
+        )
+        .withColumn("f_rank", F.row_number().over(fw))
+        .filter(F.col("f_rank") <= _NDCG_K)
+    )
+
+    q = e.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    ew = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    exact = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .withColumn("t_rank", F.row_number().over(ew))
+        .filter(F.col("t_rank") <= _NDCG_K)
+        .select("q_id", "doc_id", "t_rank")
+    )
+
+    rel = F.coalesce(
+        F.lit(_NDCG_K + 1) - F.col("t_rank"), F.lit(0)
+    ).cast("double")
+    per_q = (
+        fused.join(exact, ["q_id", "doc_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            # div-safe: _IDCG and log2(f_rank+1 >= 2) are positive constants
+            F.round(
+                F.sum(rel / F.log2(F.col("f_rank") + 1)) / F.lit(_IDCG), 6
+            ).alias("ndcg"),
+            F.round(
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            F.col("t_rank") == 1,
+                            # div-safe: f_rank is a ROW_NUMBER >= 1
+                            F.lit(1.0) / F.col("f_rank"),
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("rr"),
+            F.sum(F.col("t_rank").isNotNull().cast("long")).alias("overlap"),
+            F.sum("in_both").alias("n_both"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("ndcg"), 4).alias("mean_ndcg"),
+        F.round(F.avg("rr"), 4).alias("mrr"),
+        F.round(F.avg("overlap"), 4).alias("mean_overlap"),
+        F.round(F.avg("n_both"), 4).alias("mean_src_both"),
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    from datafusion_impl_spark.operators.text import _DUCK_TOKENS
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS.format(col='text')}) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_corpus, AVG(dl) AS avgdl FROM dl),
+qterms AS (
+  SELECT t.q_id, t.term, dfq.df FROM (
+    SELECT doc_id AS q_id, term,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY tf DESC, term) AS rn
+    FROM tf WHERE doc_id % {_QUERY_MOD} = 0 AND length(term) >= 4
+  ) t JOIN dfq USING (term)
+  WHERE t.rn <= 2
+),
+lex AS (
+  SELECT q_id, doc_id, lex_rank FROM (
+    SELECT q_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY bm25 DESC, doc_id) AS lex_rank
+    FROM (
+      SELECT q.q_id, tf.doc_id,
+             -- div-safe: df+0.5 > 0; tf >= 1; avgdl > 0
+             ROUND(SUM(ROUND(ln((n_corpus - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                   * ((tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / avgdl)))),
+                   6)), 6) AS bm25
+      FROM tf
+      JOIN qterms q USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      WHERE tf.doc_id <> q.q_id
+      GROUP BY q.q_id, tf.doc_id))
+  WHERE lex_rank <= {_HYBRID_TOPN}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_N_CENTROIDS}),
+assign AS (
+  SELECT vec_id, v, cid AS bucket FROM (
+    SELECT e.vec_id, e.v, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(e.v, cent.cv), 6) DESC,
+                                       cent.cid) AS arn
+    FROM e, cent)
+  WHERE arn = 1
+),
+qa AS (SELECT vec_id AS q_id, v AS qv, bucket FROM assign
+       WHERE vec_id % {_QUERY_MOD} = 0),
+dense AS (
+  SELECT q_id, doc_id, dense_rank FROM (
+    SELECT q_id, a.vec_id AS doc_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY ROUND(list_cosine_similarity(qv, a.v), 6) DESC,
+                                       a.vec_id) AS dense_rank
+    FROM qa JOIN assign a USING (bucket) WHERE a.vec_id <> q_id)
+  WHERE dense_rank <= {_HYBRID_TOPN}
+),
+fused AS (
+  SELECT q_id, doc_id, rrf, in_both,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY rrf DESC, doc_id) AS f_rank
+  FROM (
+    SELECT COALESCE(l.q_id, d.q_id) AS q_id,
+           COALESCE(l.doc_id, d.doc_id) AS doc_id,
+           -- div-safe: {_RRF_K} + rank >= {_RRF_K + 1}
+           ROUND(COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0.0)
+                 + COALESCE(1.0 / ({_RRF_K} + d.dense_rank), 0.0), 6) AS rrf,
+           CASE WHEN l.doc_id IS NOT NULL AND d.doc_id IS NOT NULL
+                THEN 1 ELSE 0 END AS in_both
+    FROM lex l
+    FULL OUTER JOIN dense d ON l.q_id = d.q_id AND l.doc_id = d.doc_id)
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % {_QUERY_MOD} = 0),
+exact AS (
+  SELECT q_id, doc_id, rn AS t_rank FROM (
+    SELECT q_id, e.vec_id AS doc_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY ROUND(list_cosine_similarity(qv, e.v), 6) DESC,
+                                       e.vec_id) AS rn
+    FROM q, e WHERE e.vec_id <> q_id)
+  WHERE rn <= {_NDCG_K}
+),
+per_q AS (
+  SELECT f.q_id,
+         -- div-safe: IDCG and log2(f_rank+1 >= 2) are positive constants
+         ROUND(SUM(CAST(COALESCE({_NDCG_K + 1} - x.t_rank, 0) AS DOUBLE)
+                   / log2(f.f_rank + 1)) / {_IDCG!r}, 6) AS ndcg,
+         -- div-safe: f_rank is a ROW_NUMBER >= 1
+         ROUND(COALESCE(MAX(CASE WHEN x.t_rank = 1
+                                 THEN 1.0 / f.f_rank END), 0.0), 6) AS rr,
+         SUM(CASE WHEN x.t_rank IS NOT NULL THEN 1 ELSE 0 END) AS overlap,
+         SUM(f.in_both) AS n_both
+  FROM fused f
+  LEFT JOIN exact x ON x.q_id = f.q_id AND x.doc_id = f.doc_id
+  WHERE f.f_rank <= {_NDCG_K}
+  GROUP BY f.q_id
+)
+SELECT COUNT(*) AS n_queries,
+       ROUND(AVG(ndcg), 4) AS mean_ndcg,
+       ROUND(AVG(rr), 4) AS mrr,
+       ROUND(AVG(overlap), 4) AS mean_overlap,
+       ROUND(AVG(n_both), 4) AS mean_src_both
+FROM per_q
+"""
+
+
 #: Semantic-decontamination threshold (cosine) and eval-set selector.
 _DECON_TAU = 0.8
 _DECON_EVAL_MOD = 50
@@ -3727,6 +4021,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ndcg_eval": ann_ndcg_eval,
+    "hybrid_bm25_dense_rrf": hybrid_bm25_dense_rrf,
     "dedup_semantic_ivf": dedup_semantic_ivf,
     "decontamination_semantic": decontamination_semantic,
     "ann_lsh_ml_topk": ann_lsh_ml_topk,
@@ -3755,6 +4050,7 @@ ORACLES = {
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
     "ann_ndcg_eval": _NDCG_SQL,
+    "hybrid_bm25_dense_rrf": _hybrid_rrf_oracle(),
     "dedup_semantic_ivf": _SEMANTIC_DEDUP_SQL,
     "embedding_near_dup_pairs": _NEAR_DUP_SQL,
     "embedding_label_centroids": _CENTROIDS_SQL,

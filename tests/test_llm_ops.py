@@ -3055,3 +3055,24 @@ def test_jpeg_codec_roundtrip_stuffing_and_malformed(spark):
         assert not (px1 == px0).all()
     except ValueError:
         pass
+
+
+def test_hybrid_rrf_metric_invariants(spark):
+    """The fused eval must respect the metric algebra: every score in
+    [0, 1], overlap bounded by the list depth, a nonzero MRR only when the
+    true top-1 is actually in the fused list, and the both-sources count
+    bounded by the fused depth. (Exact VALUES are pinned by the DuckDB
+    oracle; this pins the semantics.)"""
+    from datafusion_impl_spark.operators.similarity import (
+        _NDCG_K,
+        hybrid_bm25_dense_rrf,
+    )
+
+    row = hybrid_bm25_dense_rrf(spark, SF_DIR).collect()[0]
+    assert row.n_queries >= 1
+    assert 0.0 <= row.mean_ndcg <= 1.0
+    assert 0.0 <= row.mrr <= 1.0
+    assert 0.0 <= row.mean_overlap <= _NDCG_K
+    assert 0.0 <= row.mean_src_both <= _NDCG_K
+    if row.mrr > 0:
+        assert row.mean_overlap > 0
