@@ -183,6 +183,7 @@ _NEXT_ROTATION: list[str] = [
     "multimodal_jpeg_decode_stats",  # r13-new: baseline JPEG (DCT+Huffman)
     "avro_lineitem_roundtrip",       # r13-new: Avro OCF round-trip
     "hybrid_bm25_dense_rrf",         # r13-new: lexical+dense RRF ensemble
+    "unigram_lm_tokenizer_em",       # r13-new: SentencePiece-style EM
 ]
 
 def _ordered(merged: dict) -> dict:

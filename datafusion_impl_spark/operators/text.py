@@ -4339,6 +4339,313 @@ ORDER BY feature
 """
 
 
+# --------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer trainer — the EM counterpart
+# to the BPE merge statistics
+# --------------------------------------------------------------------------
+
+_ULM_WORDS = 60        # bounded training word table (top by count)
+_ULM_MAXLEN = 8        # words truncated to this many chars
+_ULM_PLEN = 4          # maximum piece length
+_ULM_MULTI = 40        # multi-char candidate pieces kept after seeding
+_ULM_ROUNDS = 2        # deterministic EM rounds
+_ULM_PRUNE = 1e-4      # multi-char pieces below this prob are pruned
+_ULM_CHAR_FLOOR = 1e-9  # coverage floor: single-char pieces never hit 0
+_ULM_TOP = 15          # reported pieces
+
+
+def _ulm_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded training word table: top-{n} corpus tokens by count
+    (ties lexical), truncated to {m} chars BEFORE counting."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    return (
+        tok.select(F.substring("token", 1, _ULM_MAXLEN).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(_ULM_WORDS)
+        .select("word", "cnt", F.length("word").alias("len"))
+    )
+
+
+def unigram_lm_tokenizer_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (the SentencePiece EM alternative to
+    BPE): seed a candidate vocabulary from substring counts of the bounded
+    word table (every single char for coverage + the top-{multi} multi-char
+    substrings of length ≤ {plen}), then run {rounds} deterministic rounds
+    of SOFT EM — the forward/backward DP over each word's segmentation
+    lattice yields expected piece counts (E-step), which renormalize into
+    new piece probabilities (M-step) with single-char probs floored at
+    {floor} (coverage can never collapse) and multi-char pieces below
+    {prune} pruned. Output: the top-{top} multi-char pieces by final
+    probability.
+
+    The DP is UNROLLED into pure column expressions (positions 1..{maxlen},
+    piece lengths 1..{plen}) over a broadcast piece→prob map column — no
+    Python in the dataflow; the per-round model is a bounded ≤ {vocab}-row
+    collect (the Lloyd-training / classifier-gradient precedent), and the
+    corpus-scale work (token counting) is one relational aggregate. The
+    DuckDB oracle replays the identical unrolled DP with list columns, so
+    every alpha/beta term, rounding site, floor, and prune is
+    value-checked.
+
+    Scale shape: the corpus pass is one tokenize + count aggregate; the EM
+    itself runs on the BOUNDED word table (model tables broadcast), so
+    cost is independent of corpus size beyond the first aggregate — the
+    standard shape of tokenizer training at 100 TB (count once, iterate on
+    the sketch)."""
+    words = materialize(_ulm_words(spark, sf_dir))
+
+    occ = materialize(
+        words.select(
+            "word", "cnt", "len",
+            F.explode(F.sequence(F.lit(0), F.col("len") - 1)).alias("j"),
+        )
+        .select(
+            "word", "cnt", "len", "j",
+            F.explode(F.sequence(F.lit(1), F.lit(_ULM_PLEN))).alias("k"),
+        )
+        .filter(F.col("j") + F.col("k") <= F.col("len"))
+        .withColumn("piece", F.expr("substring(word, j + 1, k)"))
+    )
+
+    # seed model: every char + top multi-char substrings, prob ∝ count
+    seed = occ.groupBy("piece").agg(F.sum("cnt").alias("seed_cnt"))
+    vocab0 = seed.filter(F.length("piece") == 1).unionByName(
+        seed.filter(F.length("piece") > 1)
+        .orderBy(F.desc("seed_cnt"), F.asc("piece"))
+        .limit(_ULM_MULTI)
+    )
+    tot0 = vocab0.agg(F.sum("seed_cnt").alias("t"))
+    model_df = vocab0.crossJoin(F.broadcast(tot0)).select(
+        "piece",
+        F.round(
+            # div-safe: t sums positive seed counts of a non-empty vocab
+            F.col("seed_cnt").cast("double") / F.col("t").cast("double"),
+            9,
+        ).alias("prob"),
+    )
+
+    for _ in range(_ULM_ROUNDS):
+        model_rows = sorted(
+            (r["piece"], float(r["prob"])) for r in model_df.collect()
+        )
+        mp = F.create_map(
+            *[x for pc, pr in model_rows for x in (F.lit(pc), F.lit(pr))]
+        )
+        # the map literal is materialized ONCE as a column (localCheckpoint)
+        # so the 64 unrolled lookups below reference a stored column instead
+        # of re-inlining the whole literal into every expression
+        dfw = materialize(words.withColumn("mp", mp))
+
+        def p_at(start, k):  # prob of the piece at 1-based start, length k
+            return F.coalesce(
+                F.col("mp")[F.substring("word", start, k)], F.lit(0.0)
+            )
+
+        def p_end(m, k):  # piece starting at len-m+1 (column start)
+            return F.coalesce(
+                F.col("mp")[
+                    F.col("word").substr(F.col("len") - F.lit(m - 1), F.lit(k))
+                ],
+                F.lit(0.0),
+            )
+
+        # unrolled forward/backward DP as a withColumn chain: each a_i/b_m
+        # references the previously defined columns
+        dp = dfw.select("word", "len", "mp")
+        for i in range(0, _ULM_MAXLEN + 1):
+            a_terms = None
+            b_terms = None
+            if i == 0:
+                dp = dp.withColumn("a0", F.lit(1.0)).withColumn(
+                    "b0", F.lit(1.0)
+                )
+                continue
+            for k in range(1, min(_ULM_PLEN, i) + 1):
+                ta = p_at(i - k + 1, k) * F.col(f"a{i - k}")
+                tb = p_end(i, k) * F.col(f"b{i - k}")
+                a_terms = ta if a_terms is None else a_terms + ta
+                b_terms = tb if b_terms is None else b_terms + tb
+            dp = dp.withColumn(
+                f"a{i}", F.when(F.col("len") >= i, a_terms)
+            ).withColumn(f"b{i}", F.when(F.col("len") >= i, b_terms))
+        arr_a = F.array(*[F.col(f"a{i}") for i in range(_ULM_MAXLEN + 1)])
+        arr_b = F.array(*[F.col(f"b{i}") for i in range(_ULM_MAXLEN + 1)])
+        lattice = dp.select(
+            "word",
+            arr_a.alias("aa"),
+            arr_b.alias("bb"),
+        )
+
+        e = (
+            occ.join(F.broadcast(lattice), "word")
+            .join(F.broadcast(model_df), "piece")
+            .select(
+                "piece",
+                F.round(
+                    # div-safe: the total path likelihood aa[len+1] > 0 —
+                    # single-char pieces keep a floored positive prob, so
+                    # every word has at least the all-chars segmentation
+                    F.col("cnt")
+                    * F.element_at("aa", F.col("j") + 1)
+                    * F.col("prob")
+                    * F.element_at(
+                        "bb", F.col("len") - F.col("j") - F.col("k") + 1
+                    )
+                    / F.element_at("aa", F.col("len") + 1),
+                    8,
+                ).alias("e"),
+            )
+        )
+        mass = e.groupBy("piece").agg(F.round(F.sum("e"), 5).alias("mass"))
+        mt = mass.agg(F.sum("mass").alias("mt"))
+        # div-safe: mt sums non-negative masses with at least the char
+        # pieces positive (floored probs keep expected char usage > 0)
+        prob_new = F.round(F.col("mass") / F.col("mt"), 9)
+        model_df = (
+            mass.crossJoin(F.broadcast(mt))
+            .select(
+                "piece",
+                F.when(
+                    F.length("piece") == 1,
+                    F.greatest(prob_new, F.lit(_ULM_CHAR_FLOOR)),
+                )
+                .otherwise(prob_new)
+                .alias("prob"),
+            )
+            .filter(
+                (F.length("piece") == 1) | (F.col("prob") >= _ULM_PRUNE)
+            )
+        )
+
+    w = Window.orderBy(F.desc("prob"), F.asc("piece"))
+    return (
+        model_df.filter(F.length("piece") > 1)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ULM_TOP)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "piece",
+            F.round("prob", 6).alias("prob"),
+        )
+        .orderBy("rank")
+    )
+
+
+def _ulm_oracle() -> str:
+    """Generate the DuckDB replay of the unrolled EM: the same word table,
+    seed vocabulary, and per-round forward/backward DP (as list columns
+    built by {maxlen} chained CTEs), expected-count rounding, char floor,
+    and prune — one SQL string assembled by the same loops that build the
+    Spark expressions."""
+    R, M, P = _ULM_ROUNDS, _ULM_MAXLEN, _ULM_PLEN
+    parts = [f"""
+WITH tok0 AS MATERIALIZED (
+  SELECT unnest({_DUCK_TOKENS.format(col='text')}) AS token FROM documents
+),
+wcnt AS MATERIALIZED (
+  SELECT substr(token, 1, {M}) AS word, COUNT(*) AS cnt
+  FROM tok0 GROUP BY 1
+),
+wsel AS MATERIALIZED (
+  SELECT word, cnt, length(word) AS len FROM (
+    SELECT word, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rn
+    FROM wcnt) WHERE rn <= {_ULM_WORDS}
+),
+occ AS MATERIALIZED (
+  SELECT w.word, w.cnt, w.len, j.j, k.k,
+         substr(w.word, j.j + 1, k.k) AS piece
+  FROM wsel w
+  JOIN (SELECT unnest(generate_series(0, {M - 1})) AS j) j ON j.j < w.len
+  JOIN (SELECT unnest(generate_series(1, {P})) AS k) k
+    ON j.j + k.k <= w.len
+),
+seed AS MATERIALIZED (SELECT piece, SUM(cnt) AS seed_cnt FROM occ GROUP BY 1),
+vocab0pre AS MATERIALIZED (
+  SELECT piece, seed_cnt FROM seed WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, seed_cnt FROM (
+    SELECT piece, seed_cnt,
+           ROW_NUMBER() OVER (ORDER BY seed_cnt DESC, piece) AS rn
+    FROM seed WHERE length(piece) > 1) WHERE rn <= {_ULM_MULTI}
+),
+vocab_0 AS MATERIALIZED (
+  SELECT piece,
+         -- div-safe: the seed total sums positive counts
+         ROUND(CAST(seed_cnt AS DOUBLE)
+               / (SELECT CAST(SUM(seed_cnt) AS DOUBLE) FROM vocab0pre), 9)
+           AS prob
+  FROM vocab0pre
+)"""]
+    for r in range(1, R + 1):
+        v = f"vocab_{r - 1}"
+        parts.append(f""",
+a_{r}_0 AS MATERIALIZED (SELECT word, cnt, len, [CAST(1.0 AS DOUBLE)] AS arr FROM wsel)""")
+        for i in range(1, M + 1):
+            terms = " + ".join(
+                f"COALESCE((SELECT v.prob FROM {v} v WHERE v.piece = "
+                f"substr(word, {i - k + 1}, {k})), 0.0) * arr[{i - k + 1}]"
+                for k in range(1, min(P, i) + 1)
+            )
+            parts.append(f""",
+a_{r}_{i} AS MATERIALIZED (
+  SELECT word, cnt, len,
+         list_append(arr, CASE WHEN len >= {i} THEN {terms} END) AS arr
+  FROM a_{r}_{i - 1})""")
+        parts.append(f""",
+b_{r}_0 AS MATERIALIZED (SELECT word, len, [CAST(1.0 AS DOUBLE)] AS brr FROM wsel)""")
+        for m in range(1, M + 1):
+            terms = " + ".join(
+                f"COALESCE((SELECT v.prob FROM {v} v WHERE v.piece = "
+                f"substr(word, len - {m - 1}, {k})), 0.0) * brr[{m - k + 1}]"
+                for k in range(1, min(P, m) + 1)
+            )
+            parts.append(f""",
+b_{r}_{m} AS MATERIALIZED (
+  SELECT word, len,
+         list_append(brr, CASE WHEN len >= {m} THEN {terms} END) AS brr
+  FROM b_{r}_{m - 1})""")
+        parts.append(f""",
+eoc_{r} AS MATERIALIZED (
+  SELECT o.piece,
+         ROUND(o.cnt * a.arr[o.j + 1] * v.prob
+               * b.brr[o.len - o.j - o.k + 1]
+               -- div-safe: total likelihood arr[len+1] > 0 (floored
+               -- single-char probs keep the all-chars path positive)
+               / a.arr[o.len + 1], 8) AS e
+  FROM occ o
+  JOIN {v} v USING (piece)
+  JOIN a_{r}_{M} a USING (word)
+  JOIN b_{r}_{M} b ON b.word = o.word
+),
+mass_{r} AS MATERIALIZED (SELECT piece, ROUND(SUM(e), 5) AS mass FROM eoc_{r} GROUP BY 1),
+vocab_{r} AS MATERIALIZED (
+  SELECT piece, prob FROM (
+    SELECT piece,
+           CASE WHEN length(piece) = 1 THEN
+             -- div-safe: the mass total is positive (floored char probs)
+             GREATEST(ROUND(mass / (SELECT SUM(mass) FROM mass_{r}), 9),
+                      {_ULM_CHAR_FLOOR!r})
+           ELSE ROUND(mass / (SELECT SUM(mass) FROM mass_{r}), 9)
+           END AS prob
+    FROM mass_{r})
+  WHERE length(piece) = 1 OR prob >= {_ULM_PRUNE!r}
+)""")
+    parts.append(f"""
+SELECT CAST(rank AS INTEGER) AS rank, piece, ROUND(prob, 6) AS prob
+FROM (
+  SELECT piece, prob,
+         ROW_NUMBER() OVER (ORDER BY prob DESC, piece) AS rank
+  FROM vocab_{R} WHERE length(piece) > 1)
+WHERE rank <= {_ULM_TOP}
+ORDER BY rank
+""")
+    return "".join(parts)
+
+
 QUERIES = {
     "text_html_extract": text_html_extract,
     "quality_classifier_trained": quality_classifier_trained,
@@ -4360,6 +4667,7 @@ QUERIES = {
     "source_bigram_perplexity": source_bigram_perplexity,
     "source_trigram_backoff": source_trigram_backoff,
     "source_kneser_ney_bigram": source_kneser_ney_bigram,
+    "unigram_lm_tokenizer_em": unigram_lm_tokenizer_em,
     "source_kn_discount_estimate": source_kn_discount_estimate,
     "source_token_gini": source_token_gini,
     "text_bm25_search": text_bm25_search,
@@ -4401,6 +4709,7 @@ ORACLES = {
     "source_bigram_perplexity": _BIGRAM_PPL_SQL,
     "source_trigram_backoff": _TRIGRAM_SQL,
     "source_kneser_ney_bigram": _KN_SQL,
+    "unigram_lm_tokenizer_em": _ulm_oracle(),
     "source_kn_discount_estimate": _KN_DISCOUNT_SQL,
     "source_token_gini": _GINI_SQL,
     "text_bm25_search": _BM25_SQL,

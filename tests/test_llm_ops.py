@@ -3076,3 +3076,105 @@ def test_hybrid_rrf_metric_invariants(spark):
     assert 0.0 <= row.mean_src_both <= _NDCG_K
     if row.mrr > 0:
         assert row.mean_overlap > 0
+
+
+def test_unigram_lm_em_matches_reference_and_likelihood_monotone(spark):
+    """An independent pure-Python EM over the same bounded word table must
+    reproduce the query's final pieces EXACTLY (same rounding sites,
+    half-away-from-zero), and the unpruned EM update must obey the EM
+    guarantee: corpus log-likelihood never decreases across rounds."""
+    import math
+
+    from datafusion_impl_spark.operators.similarity import _round_half_up
+    from datafusion_impl_spark.operators.text import (
+        _ULM_CHAR_FLOOR,
+        _ULM_MAXLEN,
+        _ULM_MULTI,
+        _ULM_PLEN,
+        _ULM_PRUNE,
+        _ULM_ROUNDS,
+        _ULM_TOP,
+        _ulm_words,
+        unigram_lm_tokenizer_em,
+    )
+
+    words = [(r.word, int(r.cnt)) for r in _ulm_words(spark, SF_DIR).collect()]
+    assert len(words) > 0
+
+    occ = [
+        (w, c, j, k, w[j : j + k])
+        for (w, c) in words
+        for j in range(len(w))
+        for k in range(1, _ULM_PLEN + 1)
+        if j + k <= len(w)
+    ]
+    seed: dict[str, int] = {}
+    for _, c, _, _, piece in occ:
+        seed[piece] = seed.get(piece, 0) + c
+    chars = {p: n for p, n in seed.items() if len(p) == 1}
+    multi = dict(
+        sorted(
+            ((p, n) for p, n in seed.items() if len(p) > 1),
+            key=lambda x: (-x[1], x[0]),
+        )[:_ULM_MULTI]
+    )
+    vocab = {**chars, **multi}
+    t = float(sum(vocab.values()))
+    model = {p: _round_half_up(n / t, 9) for p, n in vocab.items()}
+
+    def lattice(word, probs):
+        n = len(word)
+        a = [1.0] + [0.0] * n
+        for i in range(1, n + 1):
+            a[i] = sum(
+                probs.get(word[i - k : i], 0.0) * a[i - k]
+                for k in range(1, min(_ULM_PLEN, i) + 1)
+            )
+        b = [0.0] * n + [1.0]
+        for m in range(1, n + 1):
+            i = n - m
+            b[i] = sum(
+                probs.get(word[i : i + k], 0.0) * b[i + k]
+                for k in range(1, min(_ULM_PLEN, m) + 1)
+            )
+        return a, b
+
+    def loglik(probs):
+        return sum(
+            c * math.log(lattice(w, probs)[0][len(w)]) for w, c in words
+        )
+
+    lls = [loglik(model)]
+    for _ in range(_ULM_ROUNDS):
+        mass: dict[str, float] = {}
+        for w, c, j, k, piece in occ:
+            p = model.get(piece)
+            if p is None:
+                continue
+            a, b = lattice(w, model)
+            e = _round_half_up(c * a[j] * p * b[j + k] / a[len(w)], 8)
+            mass[piece] = mass.get(piece, 0.0) + e
+        mass = {p: _round_half_up(m, 5) for p, m in mass.items()}
+        mt = sum(mass.values())
+        unpruned = {p: m / mt for p, m in mass.items()}
+        # EM guarantee on the exact (unpruned, unfloored) update
+        lls.append(loglik(unpruned))
+        model = {}
+        for p, m in mass.items():
+            pr = _round_half_up(m / mt, 9)
+            if len(p) == 1:
+                model[p] = max(pr, _ULM_CHAR_FLOOR)
+            elif pr >= _ULM_PRUNE:
+                model[p] = pr
+    for prev, nxt in zip(lls, lls[1:]):
+        assert nxt >= prev - 1e-9 * abs(prev), (prev, nxt)
+
+    expected = sorted(
+        ((p, pr) for p, pr in model.items() if len(p) > 1),
+        key=lambda x: (-x[1], x[0]),
+    )[:_ULM_TOP]
+    got = unigram_lm_tokenizer_em(spark, SF_DIR).collect()
+    assert [(r.piece, r.prob) for r in got] == [
+        (p, _round_half_up(pr, 6)) for p, pr in expected
+    ]
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
