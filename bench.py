@@ -146,6 +146,16 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf_val = _sf_value(sf_dir)
+    # TWS fixed-cost pin (r11/r12 verdicts): the five stream_tws_* queries
+    # are wall-clock-dominated by streaming trigger/await overhead that does
+    # NOT scale with CPU speed, so their subtotal is tracked explicitly and
+    # judged canary-normalized against an 18 s target at sf0.1 — a silent
+    # drift past the target now shows up as tws_within_target=false in
+    # every bench artifact instead of needing a by-hand recomputation.
+    _TWS_TARGET_SEC = 18.0
+    tws_total = round(
+        sum(v for n, v in timings.items() if n.startswith("stream_tws_")), 4
+    )
     # Canary-normalized cross-round comparison (r9 verdict #9): the previous
     # full-suite recording (committed as bench_runs/full_sf{sf}.json) holds
     # the prior round's canary timings on ITS host; the ratio of canary_start
@@ -167,6 +177,13 @@ def main() -> None:
             )
     except (OSError, ValueError):
         pass
+    # normalize the TWS subtotal by measured host drift before judging the
+    # target (r12 met the raw number only because the host ran ~35% faster)
+    tws_norm = round(
+        tws_total / canary_ratio_vs_prev if canary_ratio_vs_prev else tws_total,
+        4,
+    )
+    tws_within_target = (tws_norm <= _TWS_TARGET_SEC) if sf_val == 0.1 else None
     # Persist the FULL per-query payload into the repo: the bench driver
     # keeps only a 2,000-char stdout tail, which loses per-query timings for
     # all but the last ~45 queries — so cross-round per-query comparisons
@@ -184,6 +201,10 @@ def main() -> None:
             "canary_start": canary_start,
             "canary_end": canary_end,
             "canary_ratio_vs_prev": canary_ratio_vs_prev,
+            "tws_total_sec": tws_total,
+            "tws_total_norm_sec": tws_norm,
+            "tws_target_sec": _TWS_TARGET_SEC,
+            "tws_within_target": tws_within_target,
         }
         try:
             out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -205,6 +226,10 @@ def main() -> None:
                 "canary_start": canary_start,
                 "canary_end": canary_end,
                 "canary_ratio_vs_prev": canary_ratio_vs_prev,
+                "tws_total_sec": tws_total,
+                "tws_total_norm_sec": tws_norm,
+                "tws_target_sec": _TWS_TARGET_SEC,
+                "tws_within_target": tws_within_target,
             }
         ),
         flush=True,
@@ -225,6 +250,9 @@ def main() -> None:
                 "canary_start_sec": round(sum(canary_start.values()), 4),
                 "canary_end_sec": round(sum(canary_end.values()), 4),
                 "canary_ratio_vs_prev": canary_ratio_vs_prev,
+                "tws_total_sec": tws_total,
+                "tws_total_norm_sec": tws_norm,
+                "tws_within_target": tws_within_target,
             }
         ),
         flush=True,

@@ -121,12 +121,25 @@ def main() -> None:
               "raw ratio includes environment drift")
     print(f"new-only queries: {len(set(nq) - set(oq))} "
           f"({sum(nq[k] for k in set(nq) - set(oq)):.2f}s)")
+    # Per-query deltas are printed RAW and canary-NORMALIZED side by side
+    # (r12 verdict #7): same-code r11→r12 runs showed individual iterative
+    # queries swinging up to 1.5× from host/GC alone, so only a normalized
+    # ratio beyond the measured noise envelope is labeled a regression.
+    drift = (nc / oc) if (nc and oc) else 1.0
+    noise_gate = 1.5   # measured same-code r11→r12 envelope
+    abs_gate = 0.5     # sub-second queries swing ±0.5 s on GC/scheduling
     movers = [
         (nq[k] / max(oq[k], 1e-9), k) for k in shared
         if nq[k] / max(oq[k], 1e-9) > 1.2 or nq[k] / max(oq[k], 1e-9) < 0.8
     ]
     for r, k in sorted(movers, reverse=True):
-        print(f"  {r:5.2f}x  {k}: {oq[k]:.3f} -> {nq[k]:.3f}")
+        norm = r / drift
+        material = abs(nq[k] - oq[k]) >= abs_gate
+        label = ("REGRESSION" if norm > noise_gate and material
+                 else "improvement" if norm < 1.0 / noise_gate and material
+                 else "within noise")
+        print(f"  raw {r:5.2f}x  norm {norm:5.2f}x  [{label}]  "
+              f"{k}: {oq[k]:.3f} -> {nq[k]:.3f}")
     slow = sorted(nq.items(), key=lambda kv: -kv[1])[:10]
     print("slowest now:", ", ".join(f"{k}={v:.2f}s" for k, v in slow))
 
