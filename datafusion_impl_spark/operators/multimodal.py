@@ -2784,8 +2784,7 @@ def decode_jpeg(data: bytes):
     pos = 2
     qtables: dict[int, "np.ndarray"] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
-    w = h = qid = None
-    dc_id = ac_id = None
+    w = h = comps = scan_tabs = None
     while True:
         if pos + 2 > len(data):
             raise ValueError("truncated JPEG stream (no SOS)")
@@ -2816,13 +2815,20 @@ def decode_jpeg(data: bytes):
             prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
-            if ncomp != 1:
-                raise ValueError("multi-component (color) JPEG unsupported")
             if w == 0 or h == 0:
                 raise ValueError("empty image")
-            if seg[7] != 0x11:
-                raise ValueError("subsampled single component")
-            qid = seg[8]
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF0 component list")
+            comps = [
+                (seg[6 + 3 * c], seg[7 + 3 * c] >> 4,
+                 seg[7 + 3 * c] & 15, seg[8 + 3 * c])
+                for c in range(ncomp)
+            ]
+            samps = tuple((hs, vs) for _, hs, vs, _ in comps)
+            if samps not in (((1, 1),), ((2, 2), (1, 1), (1, 1))):
+                raise ValueError(
+                    "only grayscale or YCbCr 4:2:0 baseline supported"
+                )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline SOF 0xff{marker:02x} unsupported")
@@ -2851,20 +2857,30 @@ def decode_jpeg(data: bytes):
         elif 0xE0 <= marker <= 0xEF or marker == 0xFE:
             pass  # APPn / COM
         elif marker == 0xDA:  # SOS
-            if seg[0] != 1:
-                raise ValueError("scan must cover exactly one component")
-            dc_id, ac_id = seg[2] >> 4, seg[2] & 15
-            if tuple(seg[3:6]) != (0, 63, 0):
+            ns = seg[0]
+            if comps is None or ns != len(comps):
+                raise ValueError("scan must cover all frame components")
+            scan_tabs = {
+                seg[1 + 2 * c]: (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                for c in range(ns)
+            }
+            if tuple(seg[1 + 2 * ns : 4 + 2 * ns]) != (0, 63, 0):
                 raise ValueError("non-baseline spectral selection")
             pos += seg_len
             break
         else:
             raise ValueError(f"unsupported marker 0xff{marker:02x}")
         pos += seg_len
-    if w is None or qid not in qtables:
-        raise ValueError("missing SOF0 or its quantization table")
-    if (0, dc_id) not in huff or (1, ac_id) not in huff:
-        raise ValueError("missing Huffman table referenced by SOS")
+    if w is None or comps is None:
+        raise ValueError("missing SOF0 before SOS")
+    for cid, _, _, cqid in comps:
+        if cqid not in qtables:
+            raise ValueError("missing quantization table for a component")
+        if cid not in scan_tabs:
+            raise ValueError("SOS does not cover a frame component")
+        dci, aci = scan_tabs[cid]
+        if (0, dci) not in huff or (1, aci) not in huff:
+            raise ValueError("missing Huffman table referenced by SOS")
     # destuff the entropy-coded segment up to the terminating marker
     body = bytearray()
     i = pos
@@ -2909,7 +2925,6 @@ def decode_jpeg(data: bytes):
     def extend(bits: int, size: int) -> int:
         return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
-    qt = qtables[qid].astype(np.float64)
     u = np.arange(8)
     # div-safe: sqrt(2) is a positive constant
     cu = np.where(u == 0, 1.0 / np.sqrt(2.0), 1.0)
@@ -2918,37 +2933,75 @@ def decode_jpeg(data: bytes):
     )  # basis[u, y]; spatial = basis.T @ S @ basis
     zz_u = np.array([p[0] for p in _JPEG_ZIGZAG])
     zz_v = np.array([p[1] for p in _JPEG_ZIGZAG])
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    img = np.zeros((bh * 8, bw * 8), np.float64)
-    pred = 0
-    for byi in range(bh):
-        for bxi in range(bw):
-            coeffs = np.zeros(64, np.float64)
-            size = read_huff(huff[(0, dc_id)])
-            pred += extend(read_bits(size), size) if size else 0
-            coeffs[0] = pred * qt[0]
-            k = 1
-            while k < 64:
-                sym = read_huff(huff[(1, ac_id)])
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 15
-                if size == 0:
-                    raise ValueError(f"invalid AC symbol 0x{sym:02x}")
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                coeffs[k] = extend(read_bits(size), size) * qt[k]
-                k += 1
-            mat = np.zeros((8, 8), np.float64)
-            mat[zz_u, zz_v] = coeffs
-            img[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = (
-                basis.T @ mat @ basis + 128.0
-            )
-    px = np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w]
+
+    def decode_block(qt, dctab, actab, pred):
+        coeffs = np.zeros(64, np.float64)
+        size = read_huff(dctab)
+        pred += extend(read_bits(size), size) if size else 0
+        coeffs[0] = pred * qt[0]
+        k = 1
+        while k < 64:
+            sym = read_huff(actab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 15
+            if size == 0:
+                raise ValueError(f"invalid AC symbol 0x{sym:02x}")
+            k += run
+            if k > 63:
+                raise ValueError("AC run past block end")
+            coeffs[k] = extend(read_bits(size), size) * qt[k]
+            k += 1
+        mat = np.zeros((8, 8), np.float64)
+        mat[zz_u, zz_v] = coeffs
+        return basis.T @ mat @ basis + 128.0, pred
+
+    # interleaved MCU scan (a 1-component frame degenerates to raster 8×8)
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        cid: np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), np.float64)
+        for cid, hs, vs, _ in comps
+    }
+    preds = {cid: 0 for cid, _, _, _ in comps}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid, hs, vs, cqid in comps:
+                qt = qtables[cqid].astype(np.float64)
+                dci, aci = scan_tabs[cid]
+                for iy in range(vs):
+                    for ix in range(hs):
+                        blk, preds[cid] = decode_block(
+                            qt, huff[(0, dci)], huff[(1, aci)], preds[cid]
+                        )
+                        y0, x0 = (my * vs + iy) * 8, (mx * hs + ix) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
+    if len(comps) == 1:
+        px = (
+            np.clip(np.round(planes[comps[0][0]]), 0, 255)
+            .astype(np.uint8)[:h, :w]
+        )
+        return int(w), int(h), px
+    # YCbCr 4:2:0 → RGB (JFIF constants); chroma upsampled by 2× pixel
+    # replication — with the planted DC-only chroma every 8×8 chroma block
+    # is flat, so the upsampling kernel choice cannot change any pixel
+    lum = planes[comps[0][0]][:h, :w]
+    cb = np.repeat(np.repeat(planes[comps[1][0]], 2, 0), 2, 1)[:h, :w] - 128.0
+    cr = np.repeat(np.repeat(planes[comps[2][0]], 2, 0), 2, 1)[:h, :w] - 128.0
+    rgb = np.stack(
+        [
+            lum + 1.402 * cr,
+            lum - 0.344136 * cb - 0.714136 * cr,
+            lum + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    px = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return int(w), int(h), px
 
 
@@ -3092,11 +3145,315 @@ ORDER BY width, height
 """
 
 
+# --------------------------------------------------------------------------
+# Color JPEG decode (YCbCr 4:2:0, interleaved MCUs) — the dominant web
+# image shape, on top of the grayscale baseline machinery
+# --------------------------------------------------------------------------
+
+_JPEGC_W_BASE, _JPEGC_W_MOD = 16, 9   # width  = 16 + doc_id % 9 — 16..24
+_JPEGC_H_BASE, _JPEGC_H_MOD = 16, 7   # height = 16 + doc_id % 7 — 16..22
+_JPEGC_SAMPLE_MOD = 5                 # plant 1-in-5 docs as color JPEGs
+_JPEGC_SAMPLE_RES = 2                 # (disjoint from gray %5=1, GIF %5=0)
+
+#: Chroma DC quantizer — deliberately DIFFERENT from the luma table's 16 so
+#: a decoder that routes the wrong quant table to a component diverges.
+_JPEGC_CHROMA_QDC = 24
+
+
+def _jpegc_chroma_dc(doc_id: int, mx: int, my: int) -> tuple[int, int]:
+    """Planted quantized chroma DC per MCU (the only nonzero chroma
+    coefficients): values in {-8,-4,0,4,8}, i.e. Cb'/Cr' offsets in
+    {-24,-12,0,12,24} after ×{qdc}/8 — chosen so every YCbCr→RGB rounding
+    lands ≥ 0.028 away from a .5 boundary (pinned by pytest), making the
+    float conversion exactly replayable in integer-driven SQL."""
+    cb = 4 * ((doc_id + mx + 2 * my) % 5 - 2)
+    cr = 4 * ((doc_id + 2 * mx + my) % 5 - 2)
+    return cb, cr
+
+
+def _jpegc_qtable_chroma() -> list[int]:
+    """Chroma quantization table in zigzag order (DC = {qdc}, the rest
+    arbitrary valid steps — chroma ACs are planted zero)."""
+    return [
+        _JPEGC_CHROMA_QDC if (u, v) == (0, 0) else 7 + u + v
+        for (u, v) in _JPEG_ZIGZAG
+    ]
+
+
+#: Chroma DC sizes 0..5 (diffs span ±16); chroma AC table is EOB-only.
+_JPEGC_CDC_SYMBOLS = tuple(range(6))
+_JPEGC_CDC_LENGTHS = (3,) * 6
+_JPEGC_CAC_SYMBOLS = (0x00,)
+_JPEGC_CAC_LENGTHS = (1,)
+
+
+def _jpegc_encode(doc_id: int) -> bytes:
+    """Build a real baseline COLOR JFIF: 4:2:0 subsampling (Y 2×2, Cb/Cr
+    1×1), two DQT tables in ONE segment, four Huffman tables in ONE DHT
+    segment (DC/AC × luma/chroma), and an interleaved MCU scan
+    (Y00 Y01 Y10 Y11 Cb Cr per MCU) with per-component DC predictors. The
+    luma blocks carry the grayscale coefficient lattice at global block
+    coordinates; chroma blocks are DC-only (flat per MCU)."""
+    import struct
+
+    w = _JPEGC_W_BASE + doc_id % _JPEGC_W_MOD
+    h = _JPEGC_H_BASE + doc_id % _JPEGC_H_MOD
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    out += (
+        b"\xff\xdb" + struct.pack(">H", 2 + 65 * 2)
+        + b"\x00" + bytes(_jpeg_qtable())
+        + b"\x01" + bytes(_jpegc_qtable_chroma())
+    )
+    out += (
+        b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+        + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+    )
+
+    def dht_payload(tc_th, symbols, lengths):
+        counts = [0] * 16
+        for length in lengths:
+            counts[length - 1] += 1
+        return bytes([tc_th]) + bytes(counts) + bytes(symbols)
+
+    dht = (
+        dht_payload(0x00, _JPEG_DC_SYMBOLS, _JPEG_DC_LENGTHS)
+        + dht_payload(0x10, _JPEG_AC_SYMBOLS, _JPEG_AC_LENGTHS)
+        + dht_payload(0x01, _JPEGC_CDC_SYMBOLS, _JPEGC_CDC_LENGTHS)
+        + dht_payload(0x11, _JPEGC_CAC_SYMBOLS, _JPEGC_CAC_LENGTHS)
+    )
+    out += b"\xff\xc4" + struct.pack(">H", len(dht) + 2) + dht
+    out += (
+        b"\xff\xda" + struct.pack(">HB", 12, 3)
+        + b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00"
+    )
+
+    dc_codes = _jpeg_canonical(_JPEG_DC_SYMBOLS, _JPEG_DC_LENGTHS)
+    ac_codes = _jpeg_canonical(_JPEG_AC_SYMBOLS, _JPEG_AC_LENGTHS)
+    cdc_codes = _jpeg_canonical(_JPEGC_CDC_SYMBOLS, _JPEGC_CDC_LENGTHS)
+    cac_codes = _jpeg_canonical(_JPEGC_CAC_SYMBOLS, _JPEGC_CAC_LENGTHS)
+    wtr = _JpegBitWriter()
+
+    def put_dc(diff, codes):
+        size = abs(diff).bit_length()
+        wtr.put(*codes[size])
+        if size:
+            wtr.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+
+    def put_luma_block(bx, by, pred):
+        co = _jpeg_coeffs(doc_id, bx, by)
+        put_dc(co[(0, 0)] - pred, dc_codes)
+        run = 0
+        for k in range(1, 64):
+            v = co.get(_JPEG_ZIGZAG[k], 0)
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                wtr.put(*ac_codes[0xF0])
+                run -= 16
+            size = abs(v).bit_length()
+            wtr.put(*ac_codes[(run << 4) | size])
+            wtr.put(v if v > 0 else v + (1 << size) - 1, size)
+            run = 0
+        if run:
+            wtr.put(*ac_codes[0x00])
+        return co[(0, 0)]
+
+    mcus_x = (w + 15) // 16
+    mcus_y = (h + 15) // 16
+    pred_y = pred_cb = pred_cr = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for iy in range(2):
+                for ix in range(2):
+                    pred_y = put_luma_block(2 * mx + ix, 2 * my + iy, pred_y)
+            cb, cr = _jpegc_chroma_dc(doc_id, mx, my)
+            put_dc(cb - pred_cb, cdc_codes)
+            wtr.put(*cac_codes[0x00])  # EOB — chroma ACs all zero
+            pred_cb = cb
+            put_dc(cr - pred_cr, cdc_codes)
+            wtr.put(*cac_codes[0x00])
+            pred_cr = cr
+    out += wtr.finish()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+#: Output contract of the color JPEG decode kernel.
+JPEGC_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint, "
+    "mid_row_sum_r bigint, mid_col_sum_g bigint"
+)
+
+
+def decode_jpeg_color_stats(images: DataFrame) -> DataFrame:
+    """``mapInArrow`` decode kernel for color JFIFs: per-channel exact
+    sums plus the middle row's R sum and middle column's G sum (pixel
+    order must survive the interleaved MCU scan, chroma upsampling, and
+    color conversion in both axes)."""
+    import pyarrow as pa
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            doc_ids = b.column(b.schema.get_field_index("doc_id"))
+            blobs = b.column(b.schema.get_field_index("media"))
+            ws, hs, sr, sg, sb, mrow, mcol = [], [], [], [], [], [], []
+            for v in blobs:
+                w, h, px = decode_jpeg(v.as_py())
+                p64 = px.astype("int64")
+                ws.append(w)
+                hs.append(h)
+                sr.append(int(p64[:, :, 0].sum()))
+                sg.append(int(p64[:, :, 1].sum()))
+                sb.append(int(p64[:, :, 2].sum()))
+                mrow.append(int(p64[h // 2, :, 0].sum()))
+                mcol.append(int(p64[:, w // 2, 1].sum()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    pa.array(ws, type=pa.int32()),
+                    pa.array(hs, type=pa.int32()),
+                    pa.array(sr, type=pa.int64()),
+                    pa.array(sg, type=pa.int64()),
+                    pa.array(sb, type=pa.int64()),
+                    pa.array(mrow, type=pa.int64()),
+                    pa.array(mcol, type=pa.int64()),
+                ],
+                names=[
+                    "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+                    "mid_row_sum_r", "mid_col_sum_g",
+                ],
+            )
+
+    return images.mapInArrow(fn, JPEGC_STATS_SCHEMA)
+
+
+def multimodal_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR JPEG decode end to end — the dominant web image format in its
+    real shape: YCbCr with 4:2:0 chroma subsampling, interleaved MCUs,
+    separate luma/chroma quantization and Huffman tables, per-component DC
+    prediction, and the JFIF YCbCr→RGB conversion. Luma carries the
+    grayscale coefficient lattice (exactly-IDCT-able); chroma is DC-only
+    so each 8×8 chroma block is flat and the ×2 upsampling is kernel-
+    independent; planted chroma offsets keep every conversion rounding
+    ≥ 0.028 from a .5 boundary, so the DuckDB oracle replays every RGB
+    pixel exactly — a wrong table routing, MCU interleave order, predictor
+    stream, or conversion constant diverges the channel sums.
+
+    Scale shape: map-only until the final tiny groupBy; blobs never
+    shuffle."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": pdf["doc_id"].map(
+                        lambda d: _jpegc_encode(int(d))
+                    ),
+                }
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % _JPEGC_SAMPLE_MOD == _JPEGC_SAMPLE_RES)
+    )
+    images = docs.mapInPandas(build, "doc_id bigint, media binary")
+    stats = decode_jpeg_color_stats(images)
+    n_px = F.sum(F.col("width").cast("long") * F.col("height"))
+    return (
+        stats.groupBy("width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("sum_r").alias("sum_r"),
+            F.sum("sum_g").alias("sum_g"),
+            F.sum("sum_b").alias("sum_b"),
+            # div-safe: n_px = planted JPEG width x height, positive
+            F.round(
+                (F.sum("sum_r") + F.sum("sum_g") + F.sum("sum_b"))
+                / (n_px * 3.0),
+                4,
+            ).alias("avg_brightness"),
+            F.sum("mid_row_sum_r").alias("mid_row_sum_r"),
+            F.sum("mid_col_sum_g").alias("mid_col_sum_g"),
+        )
+        .orderBy("width", "height")
+    )
+
+
+_JPEGC_DECODE_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         {_JPEGC_W_BASE} + doc_id % {_JPEGC_W_MOD} AS w,
+         {_JPEGC_H_BASE} + doc_id % {_JPEGC_H_MOD} AS h
+  FROM documents WHERE doc_id % {_JPEGC_SAMPLE_MOD} = {_JPEGC_SAMPLE_RES}
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h, gx.x, gy.y
+  FROM docs d
+  JOIN (SELECT unnest(generate_series(0, {_JPEGC_W_BASE + _JPEGC_W_MOD - 2})) AS x) gx
+    ON gx.x < d.w
+  JOIN (SELECT unnest(generate_series(0, {_JPEGC_H_BASE + _JPEGC_H_MOD - 2})) AS y) gy
+    ON gy.y < d.h
+),
+ycc AS (
+  SELECT doc_id, w, h, x, y,
+         128
+         + 2 * ((doc_id + 5 * (x // 8) + 3 * (y // 8)) % 32 - 16)
+         + ((doc_id + (x // 8)) % 7 - 3)
+             * (CASE WHEN (x % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+         + ((doc_id + (y // 8)) % 5 - 2)
+             * (CASE WHEN (y % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+         + ((doc_id + (x // 8) + (y // 8)) % 9 - 4)
+             * (CASE WHEN (x % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             * (CASE WHEN (y % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+           AS yy,
+         -- chroma offsets Cb', Cr': quantized DC × Q({_JPEGC_CHROMA_QDC})/8,
+         -- constant per 16×16 MCU (flat DC-only chroma, replicated 2×)
+         {_JPEGC_CHROMA_QDC} // 8 * (4 * ((doc_id + (x // 16) + 2 * (y // 16)) % 5 - 2))
+           AS cbp,
+         {_JPEGC_CHROMA_QDC} // 8 * (4 * ((doc_id + 2 * (x // 16) + (y // 16)) % 5 - 2))
+           AS crp
+  FROM px
+),
+vals AS (
+  SELECT doc_id, w, h, x, y,
+         CAST(ROUND(yy + 1.402 * crp, 0) AS BIGINT) AS r,
+         CAST(ROUND(yy - 0.344136 * cbp - 0.714136 * crp, 0) AS BIGINT) AS g,
+         CAST(ROUND(yy + 1.772 * cbp, 0) AS BIGINT) AS b
+  FROM ycc
+)
+SELECT CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       COUNT(DISTINCT doc_id) AS n_images,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       -- div-safe: COUNT(*) of a GROUP BY group is >= 1
+       ROUND(CAST(SUM(r) + SUM(g) + SUM(b) AS DOUBLE) / (COUNT(*) * 3.0), 4)
+         AS avg_brightness,
+       CAST(SUM(CASE WHEN y = h // 2 THEN r ELSE 0 END) AS BIGINT)
+         AS mid_row_sum_r,
+       CAST(SUM(CASE WHEN x = w // 2 THEN g ELSE 0 END) AS BIGINT)
+         AS mid_col_sum_g
+FROM vals
+GROUP BY w, h
+ORDER BY width, height
+"""
+
+
 QUERIES = {
     "multimodal_bmp_decode_stats": multimodal_bmp_decode_stats,
     "multimodal_png_decode_stats": multimodal_png_decode_stats,
     "multimodal_gif_decode_stats": multimodal_gif_decode_stats,
     "multimodal_jpeg_decode_stats": multimodal_jpeg_decode_stats,
+    "multimodal_jpeg_color_stats": multimodal_jpeg_color_stats,
     "multimodal_tar_webdataset_scan": multimodal_tar_webdataset_scan,
     "multimodal_wav_decode_stats": multimodal_wav_decode_stats,
     "multimodal_wav_spectrum_stats": multimodal_wav_spectrum_stats,
@@ -3115,6 +3472,7 @@ ORACLES = {
     "multimodal_png_decode_stats": _PNG_DECODE_SQL,
     "multimodal_gif_decode_stats": _GIF_DECODE_SQL,
     "multimodal_jpeg_decode_stats": _JPEG_DECODE_SQL,
+    "multimodal_jpeg_color_stats": _JPEGC_DECODE_SQL,
     "multimodal_tar_webdataset_scan": _TAR_SCAN_SQL,
     "multimodal_wav_decode_stats": _WAV_DECODE_SQL,
     "multimodal_wav_spectrum_stats": _WAV_SPECTRUM_SQL,

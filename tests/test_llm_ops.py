@@ -3178,3 +3178,75 @@ def test_unigram_lm_em_matches_reference_and_likelihood_monotone(spark):
         (p, _round_half_up(pr, 6)) for p, pr in expected
     ]
     assert [r.rank for r in got] == list(range(1, len(got) + 1))
+
+
+def test_jpeg_color_codec_roundtrip_and_malformed(spark):
+    """Planted 4:2:0 color JFIFs must decode to the exact per-channel
+    formula (interleaved MCU order, per-component predictors/tables,
+    replicated chroma, JFIF conversion); every planted conversion value
+    sits >= 0.02 from a rounding boundary; structural corruption fails
+    loudly; a component with an unplanted sampling factor is rejected."""
+    import decimal
+
+    import numpy as np
+
+    from datafusion_impl_spark.operators.multimodal import (
+        _JPEG_SIGN,
+        _JPEGC_SAMPLE_MOD,
+        _JPEGC_SAMPLE_RES,
+        _jpeg_coeffs,
+        _jpegc_chroma_dc,
+        _jpegc_encode,
+        decode_jpeg,
+    )
+
+    def rnd(v):
+        return int(
+            decimal.Decimal(v).quantize(0, rounding=decimal.ROUND_HALF_UP)
+        )
+
+    def formula(doc_id, x, y):
+        co = _jpeg_coeffs(doc_id, x // 8, y // 8)
+        sx, sy = _JPEG_SIGN[x % 8], _JPEG_SIGN[y % 8]
+        yy = (128 + 2 * co[(0, 0)] + co[(0, 4)] * sx
+              + co[(4, 0)] * sy + co[(4, 4)] * sx * sy)
+        cb, cr = _jpegc_chroma_dc(doc_id, x // 16, y // 16)
+        cbp, crp = 3 * cb, 3 * cr
+        return (
+            rnd(yy + 1.402 * crp),
+            rnd(yy - 0.344136 * cbp - 0.714136 * crp),
+            rnd(yy + 1.772 * cbp),
+        )
+
+    doc_ids = [
+        d for d in range(160) if d % _JPEGC_SAMPLE_MOD == _JPEGC_SAMPLE_RES
+    ]
+    for doc_id in doc_ids:
+        blob = _jpegc_encode(doc_id)
+        w, h, px = decode_jpeg(blob)
+        exp = np.array(
+            [[formula(doc_id, x, y) for x in range(w)] for y in range(h)]
+        )
+        assert (px.astype(int) == exp).all(), f"pixel mismatch doc {doc_id}"
+
+    # boundary-distance audit of the whole planted conversion lattice
+    dists = [
+        abs(v - np.floor(v) - 0.5)
+        for yy in range(60, 200)
+        for c1 in (-24, -12, 0, 12, 24)
+        for c2 in (-24, -12, 0, 12, 24)
+        for v in (yy + 1.402 * c2,
+                  yy - 0.344136 * c1 - 0.714136 * c2,
+                  yy + 1.772 * c1)
+    ]
+    assert min(dists) >= 0.02
+
+    blob = _jpegc_encode(doc_ids[3])
+    for bad in (
+        blob[:-25],                                 # truncated mid-scan
+        blob[:-2],                                  # EOI stripped
+        blob.replace(b"\x01\x22\x00", b"\x01\x21\x00", 1),  # 4:2:2 sampling
+        blob.replace(b"\xff\xc0", b"\xff\xc2", 1),  # progressive SOF
+    ):
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)

@@ -128,6 +128,7 @@ def test_no_python_in_any_relational_plan(spark):
         "multimodal_png_decode_stats",  # same contract, compressed image (r10)
         "multimodal_gif_decode_stats",  # same contract, LZW image (r11)
         "multimodal_jpeg_decode_stats",  # same contract, DCT+Huffman (r13)
+        "multimodal_jpeg_color_stats",   # same contract, 4:2:0 color (r13)
         "multimodal_y4m_scene_cuts",    # same contract, temporal video (r11)
         "multimodal_wav_spectrum_stats",  # same contract, spectral audio (r11)
         "multimodal_tar_webdataset_scan",  # tar (dis)assembly IS the operator
