@@ -185,6 +185,7 @@ _NEXT_ROTATION: list[str] = [
     "hybrid_bm25_dense_rrf",         # r13-new: lexical+dense RRF ensemble
     "unigram_lm_tokenizer_em",       # r13-new: SentencePiece-style EM
     "multimodal_jpeg_color_stats",   # r13-new: YCbCr 4:2:0 color JPEG
+    "dsir_importance_resample",      # r13-new: hashed-ngram DSIR selection
 ]
 
 def _ordered(merged: dict) -> dict:

@@ -1091,8 +1091,179 @@ ORDER BY license
 _LICENSE_GATE_SQL = _license_gate_oracle()
 
 
+# --------------------------------------------------------------------------
+# DSIR-style data selection: hashed-n-gram importance resampling
+# --------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 64     # hashed feature space (unigrams + bigrams)
+_DSIR_K = 100          # examples selected by Gumbel top-k
+_DSIR_U_MOD = 1000003  # hash-ring modulus for the deterministic uniform
+
+
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023), the
+    published recipe for steering a raw crawl toward a target domain:
+    hash every token unigram and bigram into {B} buckets, fit two
+    add-one-smoothed bucket multinomials — the TARGET (here lang='en'
+    documents) and the RAW pool (all documents) — score every document by
+    its importance log-weight ``Σ_b c_doc(b)·(ln p_t(b) − ln p_r(b))``,
+    and draw {K} documents WITHOUT replacement ∝ their weights via
+    deterministic Gumbel top-k (the uniform comes from the md5 hash ring,
+    so the sample is reproducible and the DuckDB oracle replays the exact
+    selection). Output: the selected sample's language census with mean
+    log-weights — the dashboard that shows the resample actually steering
+    toward the target.
+
+    Scale shape: one tokenize/hash pass, a {B}-row bucket-distribution
+    aggregate (broadcast back), one per-doc weight aggregate, and a
+    global top-{K} (TakeOrdered — never a full sort); nothing shuffles
+    more than (doc, bucket) pairs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    toks = docs.select("doc_id", "lang", tokens("text").alias("t"))
+    feats = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(
+                F.col("t"),
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN transform("
+                    "sequence(1, size(t) - 1), "
+                    "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                    " ELSE array() END"
+                ),
+            )
+        ).alias("feature"),
+    ).withColumn("b", md5_long(F.col("feature")) % _DSIR_BUCKETS)
+
+    bstats = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("n_en"),
+    )
+    totals = bstats.agg(
+        F.sum("n_all").alias("t_all"), F.sum("n_en").alias("t_en")
+    )
+    delta = bstats.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            # div-safe: add-one smoothing keeps every ratio positive and
+            # the totals-plus-B denominators strictly positive
+            F.log(
+                (F.col("n_en") + 1) / (F.col("t_en") + _DSIR_BUCKETS)
+            )
+            - F.log(
+                (F.col("n_all") + 1) / (F.col("t_all") + _DSIR_BUCKETS)
+            ),
+            9,
+        ).alias("delta"),
+    )
+    logw = (
+        feats.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(F.broadcast(delta), "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("c") * F.col("delta")), 6).alias("logw"))
+    )
+    # deterministic Gumbel: u from the md5 ring, strictly inside (0, 1)
+    u = (
+        md5_long(F.concat(F.lit("dsir-"), F.col("doc_id").cast("string")))
+        % _DSIR_U_MOD
+        + 1
+    ) / F.lit(float(_DSIR_U_MOD + 2))
+    scored = (
+        docs.select("doc_id", "lang")
+        .join(logw, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw"),
+            # div-safe: u is strictly inside (0,1), so -ln(u) > 0
+            F.round(-F.log(-F.log(u)), 6).alias("gumbel"),
+        )
+        .withColumn(
+            "key", F.round(F.col("logw") + F.col("gumbel"), 6)
+        )
+    )
+    sel = scored.orderBy(F.desc("key"), F.asc("doc_id")).limit(_DSIR_K)
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.round(F.avg("logw"), 4).alias("mean_logw"),
+            # div-safe: the sample budget K is a positive constant
+            F.round(F.count(F.lit(1)) / F.lit(float(_DSIR_K)), 4).alias(
+                "share"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_DSIR_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang, {_DUCK_TOKENS.format(col='text')} AS t FROM documents
+),
+feats AS (
+  SELECT doc_id, lang,
+         {duck_md5_long('feature')} % {_DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_concat(t,
+             list_transform(generate_series(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i + 1]))) AS feature
+    FROM toks)
+),
+bstats AS (
+  SELECT b, COUNT(*) AS n_all,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+  FROM feats GROUP BY b
+),
+totals AS (SELECT SUM(n_all) AS t_all, SUM(n_en) AS t_en FROM bstats),
+delta AS (
+  SELECT b,
+         -- div-safe: add-one smoothing keeps every ratio positive and the
+         -- totals-plus-B denominators strictly positive
+         ROUND(ln((n_en + 1) / CAST(t_en + {_DSIR_BUCKETS} AS DOUBLE))
+               - ln((n_all + 1) / CAST(t_all + {_DSIR_BUCKETS} AS DOUBLE)),
+               9) AS delta
+  FROM bstats CROSS JOIN totals
+),
+logw AS (
+  SELECT doc_id, ROUND(SUM(c * delta), 6) AS logw FROM (
+    SELECT doc_id, b, COUNT(*) AS c FROM feats GROUP BY doc_id, b) dbc
+  JOIN delta USING (b)
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.lang, COALESCE(l.logw, 0.0) AS logw,
+         -- div-safe: u is strictly inside (0,1), so -ln(u) > 0
+         ROUND(-ln(-ln((({duck_md5_long("'dsir-' || CAST(d.doc_id AS VARCHAR)")})
+                        % {_DSIR_U_MOD} + 1)
+                       / {float(_DSIR_U_MOD + 2)!r})), 6) AS gumbel
+  FROM documents d LEFT JOIN logw l ON l.doc_id = d.doc_id
+),
+sel AS (
+  SELECT doc_id, lang, logw,
+         ROUND(logw + gumbel, 6) AS skey
+  FROM scored
+  ORDER BY skey DESC, doc_id
+  LIMIT {_DSIR_K}
+)
+SELECT lang, COUNT(*) AS n_selected,
+       ROUND(AVG(logw), 4) AS mean_logw,
+       -- div-safe: the sample budget K is a positive constant
+       ROUND(COUNT(*) / {float(_DSIR_K)!r}, 4) AS share
+FROM sel
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "mixture_reweight_step": mixture_reweight_step,
+    "dsir_importance_resample": dsir_importance_resample,
     "license_policy_gate": license_policy_gate,
     "corpus_novelty_curve": corpus_novelty_curve,
     "dedup_paragraphs_global": dedup_paragraphs_global,
@@ -1115,6 +1286,7 @@ def _rep_coverage_oracle() -> str:
 
 ORACLES = {
     "mixture_reweight_step": _DOREMI_SQL,
+    "dsir_importance_resample": _DSIR_SQL,
     "license_policy_gate": _LICENSE_GATE_SQL,
     "corpus_novelty_curve": _NOVELTY_SQL,
     "dedup_paragraphs_global": _PARA_SQL,

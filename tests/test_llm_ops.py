@@ -3250,3 +3250,33 @@ def test_jpeg_color_codec_roundtrip_and_malformed(spark):
     ):
         with pytest.raises(ValueError):
             decode_jpeg(bad)
+
+
+def test_dsir_resample_steers_toward_target(spark):
+    """The whole point of DSIR: the importance-resampled selection must
+    over-represent the TARGET distribution (lang='en') relative to the raw
+    pool, target documents must carry higher mean log-weights than the
+    pool average, and the census must sum to the sample budget."""
+    from datafusion_impl_spark.operators.curation import (
+        _DSIR_K,
+        dsir_importance_resample,
+    )
+
+    rows = dsir_importance_resample(spark, SF_DIR).collect()
+    by_lang = {r.lang: r for r in rows}
+    n_total = sum(r.n_selected for r in rows)
+    assert n_total == _DSIR_K
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    corpus_en_frac = corpus.get("en", 0) / sum(corpus.values())
+    sel_en_frac = by_lang["en"].n_selected / n_total
+    assert sel_en_frac > corpus_en_frac, (sel_en_frac, corpus_en_frac)
+    # selected en docs should carry the higher importance weights
+    non_en = [r.mean_logw for r in rows if r.lang != "en"]
+    if non_en:
+        assert by_lang["en"].mean_logw > min(non_en)
+    for r in rows:
+        assert abs(r.share - r.n_selected / _DSIR_K) < 1e-9
