@@ -1154,6 +1154,7 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_en") + 1) / (F.col("t_en") + _DSIR_BUCKETS)
             )
             - F.log(
+                # div-safe: totals-plus-B denominator strictly positive
                 (F.col("n_all") + 1) / (F.col("t_all") + _DSIR_BUCKETS)
             ),
             9,
