@@ -186,6 +186,7 @@ _NEXT_ROTATION: list[str] = [
     "unigram_lm_tokenizer_em",       # r13-new: SentencePiece-style EM
     "multimodal_jpeg_color_stats",   # r13-new: YCbCr 4:2:0 color JPEG
     "dsir_importance_resample",      # r13-new: hashed-ngram DSIR selection
+    "unigram_viterbi_encode",        # r13-new: tokenizer apply (Viterbi)
 ]
 
 def _ordered(merged: dict) -> dict:

@@ -4369,32 +4369,11 @@ def _ulm_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def unigram_lm_tokenizer_em(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM tokenizer training (the SentencePiece EM alternative to
-    BPE): seed a candidate vocabulary from substring counts of the bounded
-    word table (every single char for coverage + the top-{multi} multi-char
-    substrings of length ≤ {plen}), then run {rounds} deterministic rounds
-    of SOFT EM — the forward/backward DP over each word's segmentation
-    lattice yields expected piece counts (E-step), which renormalize into
-    new piece probabilities (M-step) with single-char probs floored at
-    {floor} (coverage can never collapse) and multi-char pieces below
-    {prune} pruned. Output: the top-{top} multi-char pieces by final
-    probability.
-
-    The DP is UNROLLED into pure column expressions (positions 1..{maxlen},
-    piece lengths 1..{plen}) over a broadcast piece→prob map column — no
-    Python in the dataflow; the per-round model is a bounded ≤ {vocab}-row
-    collect (the Lloyd-training / classifier-gradient precedent), and the
-    corpus-scale work (token counting) is one relational aggregate. The
-    DuckDB oracle replays the identical unrolled DP with list columns, so
-    every alpha/beta term, rounding site, floor, and prune is
-    value-checked.
-
-    Scale shape: the corpus pass is one tokenize + count aggregate; the EM
-    itself runs on the BOUNDED word table (model tables broadcast), so
-    cost is independent of corpus size beyond the first aggregate — the
-    standard shape of tokenizer training at 100 TB (count once, iterate on
-    the sketch)."""
+def _ulm_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the unigram-LM EM fit and return the FINAL model frame
+    ``(piece, prob)`` with a relational tail (its lineage ends in the
+    M-step Aggregate, so downstream global windows stay plan-audit
+    bounded). Shared by the trainer query and the Viterbi encoder."""
     words = materialize(_ulm_words(spark, sf_dir))
 
     occ = materialize(
@@ -4519,7 +4498,36 @@ def unigram_lm_tokenizer_em(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.length("piece") == 1) | (F.col("prob") >= _ULM_PRUNE)
             )
         )
+    return model_df
 
+
+def unigram_lm_tokenizer_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (the SentencePiece EM alternative to
+    BPE): seed a candidate vocabulary from substring counts of the bounded
+    word table (every single char for coverage + the top-{multi} multi-char
+    substrings of length ≤ {plen}), then run {rounds} deterministic rounds
+    of SOFT EM — the forward/backward DP over each word's segmentation
+    lattice yields expected piece counts (E-step), which renormalize into
+    new piece probabilities (M-step) with single-char probs floored at
+    {floor} (coverage can never collapse) and multi-char pieces below
+    {prune} pruned. Output: the top-{top} multi-char pieces by final
+    probability.
+
+    The DP is UNROLLED into pure column expressions (positions 1..{maxlen},
+    piece lengths 1..{plen}) over a broadcast piece→prob map column — no
+    Python in the dataflow; the per-round model is a bounded ≤ {vocab}-row
+    collect (the Lloyd-training / classifier-gradient precedent), and the
+    corpus-scale work (token counting) is one relational aggregate. The
+    DuckDB oracle replays the identical unrolled DP with list columns, so
+    every alpha/beta term, rounding site, floor, and prune is
+    value-checked.
+
+    Scale shape: the corpus pass is one tokenize + count aggregate; the EM
+    itself runs on the BOUNDED word table (model tables broadcast), so
+    cost is independent of corpus size beyond the first aggregate — the
+    standard shape of tokenizer training at 100 TB (count once, iterate on
+    the sketch)."""
+    model_df = _ulm_fit(spark, sf_dir)
     w = Window.orderBy(F.desc("prob"), F.asc("piece"))
     return (
         model_df.filter(F.length("piece") > 1)
@@ -4534,12 +4542,12 @@ def unigram_lm_tokenizer_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ulm_oracle() -> str:
-    """Generate the DuckDB replay of the unrolled EM: the same word table,
-    seed vocabulary, and per-round forward/backward DP (as list columns
-    built by {maxlen} chained CTEs), expected-count rounding, char floor,
-    and prune — one SQL string assembled by the same loops that build the
-    Spark expressions."""
+def _ulm_cte_block() -> str:
+    """The WITH block replaying the unrolled EM in DuckDB — word table,
+    seed vocabulary, and per-round forward/backward DP as list columns
+    built by {maxlen} chained MATERIALIZED CTEs — ending at the final
+    ``vocab_{R}`` model. Shared by the trainer and Viterbi-encode
+    oracles."""
     R, M, P = _ULM_ROUNDS, _ULM_MAXLEN, _ULM_PLEN
     parts = [f"""
 WITH tok0 AS MATERIALIZED (
@@ -4634,16 +4642,217 @@ vocab_{r} AS MATERIALIZED (
     FROM mass_{r})
   WHERE length(piece) = 1 OR prob >= {_ULM_PRUNE!r}
 )""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+#: log-prob assigned to out-of-vocabulary single chars at ENCODE time (the
+#: same 1e-9 coverage floor the trainer applies to in-vocab chars).
+_ULM_OOV_LP = -20.723266
+#: sentinel for impossible multi-char pieces — never wins a Viterbi max.
+_ULM_NEG_LP = -1000000000.0
+
+
+def unigram_viterbi_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODING with the trained unigram LM — the serving half of the
+    tokenizer whose training half is :func:`unigram_lm_tokenizer_em` (the
+    same train→apply pairing as ``bpe_merge_candidates`` →
+    ``bpe_encode_corpus``): fit the EM model, score every DISTINCT corpus
+    word (truncated to the trainer's {maxlen}-char contract) with the
+    VITERBI best-segmentation log-probability — max instead of sum over
+    the same unrolled lattice, with out-of-vocabulary chars floored at the
+    trainer's 1e-9 and impossible multi-char pieces at a −1e9 sentinel —
+    and report per source: token count, distinct-word count, the count-
+    weighted mean best log-prob (the corpus encodability under this
+    tokenizer), and the OOV-char rate. Max is order-insensitive and the
+    DP structure fixes every addition order, so the scores are
+    bit-portable without per-step rounding.
+
+    Scale shape: one tokenize + (source, word) count aggregate; the DP
+    runs per DISTINCT word (vocabulary-bounded, the BPE-encode
+    discipline) with the ≤ {vocab}-entry log-prob table broadcast."""
+    model_df = _ulm_fit(spark, sf_dir)
+    vlp = materialize(
+        model_df.select("piece", F.round(F.log("prob"), 6).alias("lp"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    ws = (
+        docs.select("source", F.explode(tokens("text")).alias("token"))
+        .select(
+            "source", F.substring("token", 1, _ULM_MAXLEN).alias("word")
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wall = ws.select("word").distinct().withColumn("len", F.length("word"))
+    grid = (
+        wall.select(
+            "word", "len",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_ULM_MAXLEN - 1))
+            ).alias("j"),
+        )
+        .select(
+            "word", "len", "j",
+            F.explode(F.sequence(F.lit(1), F.lit(_ULM_PLEN))).alias("k"),
+        )
+        .select(
+            "word", "len", "j", "k",
+            (F.col("j") * _ULM_PLEN + F.col("k")).alias("slot"),
+            F.expr("substring(word, j + 1, k)").alias("piece"),
+        )
+    )
+    joined = grid.join(F.broadcast(vlp), "piece", "left")
+    lps = (
+        joined.select(
+            "word", "len", "slot",
+            F.coalesce(
+                F.col("lp"),
+                F.when(F.col("k") == 1, F.lit(_ULM_OOV_LP)).otherwise(
+                    F.lit(_ULM_NEG_LP)
+                ),
+            ).alias("lp"),
+        )
+        .groupBy("word", "len")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("slot", "lp"))),
+                lambda x: x["lp"],
+            ).alias("lps")
+        )
+    )
+    dp = lps.withColumn("v0", F.lit(0.0))
+    for i in range(1, _ULM_MAXLEN + 1):
+        terms = [
+            F.element_at("lps", (i - k) * _ULM_PLEN + k) + F.col(f"v{i - k}")
+            for k in range(1, min(_ULM_PLEN, i) + 1)
+        ]
+        dp = dp.withColumn(
+            f"v{i}",
+            F.when(
+                F.col("len") >= i,
+                F.greatest(*terms) if len(terms) > 1 else terms[0],
+            ),
+        )
+    best = dp.select(
+        "word",
+        F.element_at(
+            F.array(*[F.col(f"v{i}") for i in range(_ULM_MAXLEN + 1)]),
+            F.col("len") + 1,
+        ).alias("v"),
+    )
+    oovw = (
+        joined.filter((F.col("k") == 1) & (F.col("j") < F.col("len")))
+        .groupBy("word")
+        .agg(F.sum(F.col("lp").isNull().cast("long")).alias("n_oov"))
+    )
+    return (
+        ws.join(best, "word")
+        .join(oovw, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.countDistinct("word").alias("n_distinct_words"),
+            # div-safe: every listed source has n_words >= 1
+            F.round(
+                F.sum(F.col("cnt") * F.col("v")) / F.sum("cnt"), 4
+            ).alias("mean_best_lp"),
+            # div-safe: words are non-empty, so cnt*len sums are >= 1
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_oov"))
+                / F.sum(F.col("cnt") * F.length("word")),
+                6,
+            ).alias("oov_char_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+def _ulm_viterbi_oracle() -> str:
+    """Viterbi-encode oracle: the EM replay block, then the same unrolled
+    max-DP as list columns over every distinct corpus word."""
+    M, P, R = _ULM_MAXLEN, _ULM_PLEN, _ULM_ROUNDS
+    parts = [_ulm_cte_block()]
+    parts.append(f""",
+vlp AS MATERIALIZED (
+  SELECT piece, ROUND(ln(prob), 6) AS lp FROM vocab_{R}
+),
+ws AS MATERIALIZED (
+  SELECT source, substr(token, 1, {M}) AS word, COUNT(*) AS cnt FROM (
+    SELECT source, unnest({_DUCK_TOKENS.format(col='text')}) AS token
+    FROM documents)
+  GROUP BY 1, 2
+),
+wall AS MATERIALIZED (
+  SELECT DISTINCT word, length(word) AS len FROM ws
+),
+vgrid AS MATERIALIZED (
+  SELECT w.word, w.len, j.j, k.k, j.j * {P} + k.k AS slot,
+         substr(w.word, j.j + 1, k.k) AS piece
+  FROM wall w,
+       (SELECT unnest(generate_series(0, {M - 1})) AS j) j,
+       (SELECT unnest(generate_series(1, {P})) AS k) k
+),
+lps AS MATERIALIZED (
+  SELECT g.word, g.len,
+         list(COALESCE(v.lp, CASE WHEN g.k = 1 THEN {_ULM_OOV_LP!r}
+                                  ELSE {_ULM_NEG_LP!r} END)
+              ORDER BY g.slot) AS lp
+  FROM vgrid g LEFT JOIN vlp v USING (piece)
+  GROUP BY g.word, g.len
+),
+v_0 AS MATERIALIZED (
+  SELECT word, len, lp, [CAST(0.0 AS DOUBLE)] AS varr FROM lps
+)""")
+    for i in range(1, M + 1):
+        terms = ", ".join(
+            f"varr[{i - k + 1}] + lp[{(i - k) * P + k}]"
+            for k in range(1, min(P, i) + 1)
+        )
+        expr = f"GREATEST({terms})" if "," in terms else terms
+        parts.append(f""",
+v_{i} AS MATERIALIZED (
+  SELECT word, len, lp,
+         list_append(varr, CASE WHEN len >= {i} THEN {expr} END) AS varr
+  FROM v_{i - 1})""")
+    parts.append(f""",
+best AS MATERIALIZED (SELECT word, varr[len + 1] AS v FROM v_{M}),
+oovw AS MATERIALIZED (
+  SELECT g.word,
+         SUM(CASE WHEN v.lp IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM vgrid g LEFT JOIN vlp v USING (piece)
+  WHERE g.k = 1 AND g.j < g.len
+  GROUP BY g.word
+)
+SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_words,
+       COUNT(DISTINCT word) AS n_distinct_words,
+       -- div-safe: every listed source has n_words >= 1
+       ROUND(SUM(cnt * v) / CAST(SUM(cnt) AS DOUBLE), 4) AS mean_best_lp,
+       -- div-safe: words are non-empty, so cnt*len sums are >= 1
+       ROUND(SUM(cnt * n_oov) / CAST(SUM(cnt * length(word)) AS DOUBLE), 6)
+         AS oov_char_frac
+FROM ws
+JOIN best USING (word)
+JOIN oovw USING (word)
+GROUP BY source
+ORDER BY source
+""")
+    return "".join(parts)
+
+
+def _ulm_oracle() -> str:
+    """Trainer oracle: the EM replay block plus the top-piece report."""
+    return (
+        _ulm_cte_block()
+        + f"""
 SELECT CAST(rank AS INTEGER) AS rank, piece, ROUND(prob, 6) AS prob
 FROM (
   SELECT piece, prob,
          ROW_NUMBER() OVER (ORDER BY prob DESC, piece) AS rank
-  FROM vocab_{R} WHERE length(piece) > 1)
+  FROM vocab_{_ULM_ROUNDS} WHERE length(piece) > 1)
 WHERE rank <= {_ULM_TOP}
 ORDER BY rank
-""")
-    return "".join(parts)
+"""
+    )
 
 
 QUERIES = {
@@ -4668,6 +4877,7 @@ QUERIES = {
     "source_trigram_backoff": source_trigram_backoff,
     "source_kneser_ney_bigram": source_kneser_ney_bigram,
     "unigram_lm_tokenizer_em": unigram_lm_tokenizer_em,
+    "unigram_viterbi_encode": unigram_viterbi_encode,
     "source_kn_discount_estimate": source_kn_discount_estimate,
     "source_token_gini": source_token_gini,
     "text_bm25_search": text_bm25_search,
@@ -4710,6 +4920,7 @@ ORACLES = {
     "source_trigram_backoff": _TRIGRAM_SQL,
     "source_kneser_ney_bigram": _KN_SQL,
     "unigram_lm_tokenizer_em": _ulm_oracle(),
+    "unigram_viterbi_encode": _ulm_viterbi_oracle(),
     "source_kn_discount_estimate": _KN_DISCOUNT_SQL,
     "source_token_gini": _GINI_SQL,
     "text_bm25_search": _BM25_SQL,

@@ -3280,3 +3280,69 @@ def test_dsir_resample_steers_toward_target(spark):
         assert by_lang["en"].mean_logw > min(non_en)
     for r in rows:
         assert abs(r.share - r.n_selected / _DSIR_K) < 1e-9
+
+
+def test_unigram_viterbi_encode_matches_reference(spark):
+    """An independent pure-Python Viterbi over the same fitted model and
+    word table must reproduce the per-source encode report exactly (modulo
+    the output rounding), and every best log-prob must be non-positive."""
+    import math
+
+    from datafusion_impl_spark.operators.similarity import _round_half_up
+    from datafusion_impl_spark.operators.text import (
+        _ULM_MAXLEN,
+        _ULM_NEG_LP,
+        _ULM_OOV_LP,
+        _ULM_PLEN,
+        _ulm_fit,
+        tokens,
+        unigram_viterbi_encode,
+    )
+
+    model = {
+        r.piece: _round_half_up(math.log(r.prob), 6)
+        for r in _ulm_fit(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents")
+    ws = (
+        docs.select("source", F.explode(tokens("text")).alias("token"))
+        .select("source", F.substring("token", 1, _ULM_MAXLEN).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+
+    def lp(piece):
+        v = model.get(piece)
+        if v is not None:
+            return v
+        return _ULM_OOV_LP if len(piece) == 1 else _ULM_NEG_LP
+
+    def viterbi(word):
+        v = [0.0] + [None] * len(word)
+        for i in range(1, len(word) + 1):
+            v[i] = max(
+                v[i - k] + lp(word[i - k : i])
+                for k in range(1, min(_ULM_PLEN, i) + 1)
+            )
+        return v[len(word)]
+
+    agg: dict[str, list] = {}
+    for r in ws:
+        a = agg.setdefault(r.source, [0, set(), 0.0, 0, 0])
+        v = viterbi(r.word)
+        assert v <= 0.0, (r.word, v)
+        a[0] += r.cnt
+        a[1].add(r.word)
+        a[2] += r.cnt * v
+        a[3] += r.cnt * sum(1 for ch in r.word if ch not in model)
+        a[4] += r.cnt * len(r.word)
+
+    got = unigram_viterbi_encode(spark, SF_DIR).collect()
+    assert [r.source for r in got] == sorted(agg)
+    for r in got:
+        a = agg[r.source]
+        assert r.n_words == a[0]
+        assert r.n_distinct_words == len(a[1])
+        assert abs(r.mean_best_lp - a[2] / a[0]) < 2e-4
+        assert abs(r.oov_char_frac - a[3] / a[4]) < 2e-6
