@@ -187,6 +187,7 @@ _NEXT_ROTATION: list[str] = [
     "multimodal_jpeg_color_stats",   # r13-new: YCbCr 4:2:0 color JPEG
     "dsir_importance_resample",      # r13-new: hashed-ngram DSIR selection
     "unigram_viterbi_encode",        # r13-new: tokenizer apply (Viterbi)
+    "source_protobuf_scan",          # r13-new: protobuf wire-format scan
 ]
 
 def _ordered(merged: dict) -> dict:

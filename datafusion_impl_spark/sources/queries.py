@@ -1165,6 +1165,216 @@ ORDER BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+# Protobuf wire-format record stream (length-delimited messages — the other
+# ubiquitous binary transport next to Avro)
+# --------------------------------------------------------------------------
+# Implemented from the PUBLIC protobuf encoding spec: base-128 varints,
+# zigzag sint64, length-delimited strings, and field tags (field_no << 3 |
+# wire_type). The writer plants an EXTRA field the schema doesn't know
+# (field 7, fixed64) so the reader's unknown-field SKIPPING — the wire
+# format's forward-compatibility contract — is value-checked, not just
+# implemented.
+
+#: documents hash into this many length-delimited .pb stream shards.
+_PB_SHARDS = 8
+#: signed value planted in the zigzag sint64 field: n_chars - this offset
+#: goes negative for short docs, so both zigzag branches are exercised.
+_PB_SIGN_OFFSET = 500
+
+
+def _pb_varint(n: int) -> bytes:
+    """Unsigned base-128 varint."""
+    if n < 0:
+        raise ValueError("varint requires a non-negative value")
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pb_encode_doc(doc_id: int, text: str, source: str, n_chars: int) -> bytes:
+    """One document message: field 1 doc_id (varint), field 2 text
+    (length-delimited), field 3 source (length-delimited), field 4
+    n_chars-offset (zigzag sint64), field 7 an UNKNOWN fixed64 the reader
+    must skip."""
+    import struct
+
+    out = bytearray()
+    out += _pb_varint(1 << 3 | 0) + _pb_varint(doc_id)
+    tb = text.encode()
+    out += _pb_varint(2 << 3 | 2) + _pb_varint(len(tb)) + tb
+    sb = source.encode()
+    out += _pb_varint(3 << 3 | 2) + _pb_varint(len(sb)) + sb
+    signed = n_chars - _PB_SIGN_OFFSET
+    out += _pb_varint(4 << 3 | 0) + _pb_varint((signed << 1) ^ (signed >> 63))
+    out += _pb_varint(7 << 3 | 1) + struct.pack("<Q", doc_id * 977 % 2**64)
+    return bytes(out)
+
+
+def _pb_decode_stream(data: bytes):
+    """Parse a length-delimited stream of document messages from bytes
+    alone; yields (doc_id, text, source, n_chars). Unknown fields are
+    skipped by wire type (varint / fixed64 / length-delimited / fixed32);
+    anything structurally broken raises ``ValueError``."""
+
+    def varint(b, p):
+        u = shift = 0
+        while True:
+            if p >= len(b):
+                raise ValueError("truncated varint")
+            byte = b[p]
+            p += 1
+            u |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                return u, p
+            shift += 7
+            if shift > 63:
+                raise ValueError("varint overflow")
+
+    pos = 0
+    while pos < len(data):
+        mlen, pos = varint(data, pos)
+        if pos + mlen > len(data):
+            raise ValueError("truncated message")
+        msg = data[pos : pos + mlen]
+        pos += mlen
+        doc_id = text = source = n_chars = None
+        p = 0
+        while p < len(msg):
+            tag, p = varint(msg, p)
+            field, wt = tag >> 3, tag & 7
+            if wt == 0:
+                v, p = varint(msg, p)
+                if field == 1:
+                    doc_id = v
+                elif field == 4:
+                    n_chars = (v >> 1) ^ -(v & 1)  # zigzag
+            elif wt == 2:
+                ln, p = varint(msg, p)
+                if p + ln > len(msg):
+                    raise ValueError("truncated length-delimited field")
+                raw = msg[p : p + ln]
+                p += ln
+                if field == 2:
+                    text = raw.decode()
+                elif field == 3:
+                    source = raw.decode()
+            elif wt == 1:  # fixed64 — skip (the planted unknown field)
+                if p + 8 > len(msg):
+                    raise ValueError("truncated fixed64")
+                p += 8
+            elif wt == 5:  # fixed32 — skip
+                if p + 4 > len(msg):
+                    raise ValueError("truncated fixed32")
+                p += 4
+            else:
+                raise ValueError(f"unsupported wire type {wt}")
+        if doc_id is None or text is None or source is None or n_chars is None:
+            raise ValueError("message missing a required field")
+        yield doc_id, text, source, n_chars + _PB_SIGN_OFFSET
+
+
+def source_protobuf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROTOBUF ingestion round-trip: hash-shard the documents, encode each
+    shard as a length-delimited stream of wire-format messages (varints,
+    zigzag sint64, length-delimited strings, plus an UNKNOWN field the
+    reader must skip by wire type), decode the shards back in an Arrow-
+    batched kernel, and aggregate per shard with a bounded content-hash
+    sum — any slip in varint continuation, zigzag, length framing, UTF-8,
+    or unknown-field skipping shifts the remaining stream and diverges the
+    hash, which the oracle recomputes from the original parquet.
+
+    Scale shape: identical to the gzip-JSONL twin — one shuffle to
+    assemble shards, map-only decode, {shards}-row aggregate."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text",
+        (F.col("doc_id") % _PB_SHARDS).cast("int").alias("shard_id"),
+    )
+
+    def build(pdf):
+        pdf = pdf.sort_values("doc_id")
+        out = bytearray()
+        for r in pdf.itertuples():
+            msg = _pb_encode_doc(
+                int(r.doc_id), r.text, r.source, int(r.n_chars)
+            )
+            out += _pb_varint(len(msg)) + msg
+        return pd.DataFrame(
+            {"shard_id": [int(pdf["shard_id"].iloc[0])], "pb": [bytes(out)]}
+        )
+
+    shards = docs.groupBy("shard_id").applyInPandas(
+        build, "shard_id int, pb binary"
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            sids, ids, texts, srcs, ncs = [], [], [], [], []
+            for r in pdf.itertuples():
+                for doc_id, text, source, n_chars in _pb_decode_stream(
+                    bytes(r.pb)
+                ):
+                    sids.append(int(r.shard_id))
+                    ids.append(doc_id)
+                    texts.append(text)
+                    srcs.append(source)
+                    ncs.append(n_chars)
+            yield pd.DataFrame(
+                {
+                    "shard_id": sids,
+                    "doc_id": ids,
+                    "text": texts,
+                    "source": srcs,
+                    "n_chars": ncs,
+                }
+            )
+
+    back = shards.mapInPandas(
+        decode,
+        "shard_id int, doc_id long, text string, source string, n_chars long",
+    )
+    from datafusion_impl_spark.operators import md5_long
+
+    return (
+        back.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum(md5_long(F.col("text")) % _GZ_HASH_MOD).alias(
+                "text_hash_sum"
+            ),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def _protobuf_oracle() -> str:
+    from datafusion_impl_spark.operators import duck_md5_long
+
+    return f"""
+SELECT CAST(doc_id % {_PB_SHARDS} AS INTEGER) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM({duck_md5_long("text")} % {_GZ_HASH_MOD}) AS BIGINT)
+         AS text_hash_sum
+FROM documents
+GROUP BY 1
+ORDER BY shard_id
+"""
+
+
 QUERIES = {
     "binaryfile_media_scan": binaryfile_media_scan,
     "csv_reference_golden": csv_reference_golden,
@@ -1179,6 +1389,7 @@ QUERIES = {
     "csv_documents_roundtrip": csv_documents_roundtrip,
     "source_gzip_jsonl_scan": source_gzip_jsonl_scan,
     "avro_lineitem_roundtrip": avro_lineitem_roundtrip,
+    "source_protobuf_scan": source_protobuf_scan,
 }
 
 ORACLES = {
@@ -1195,4 +1406,5 @@ ORACLES = {
     "csv_documents_roundtrip": _CSV_ROUNDTRIP_SQL,
     "source_gzip_jsonl_scan": _gzip_jsonl_oracle(),
     "avro_lineitem_roundtrip": _AVRO_ROUNDTRIP_SQL,
+    "source_protobuf_scan": _protobuf_oracle(),
 }

@@ -135,6 +135,7 @@ def test_no_python_in_any_relational_plan(spark):
         "source_gzip_jsonl_scan",       # gunzip kernel IS the operator (the
         # JSON parse itself is JVM-side from_json)
         "avro_lineitem_roundtrip",      # OCF (de)serialization IS the operator
+        "source_protobuf_scan",         # wire-format codec IS the operator
         "text_nfc_normalization_audit",  # unicodedata kernel IS the operator
         # trained classifiers: per-step gradients collect inside the query
         # function (bounded 4/12-double rows), so the RETURNED plan is pure

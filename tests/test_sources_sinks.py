@@ -256,3 +256,48 @@ def test_avro_ocf_interop_with_apache_avro_both_directions(spark, tmp_path):
     ):
         with pytest.raises(ValueError):
             list(_avro_decode(bad))
+
+
+def test_protobuf_wire_codec_roundtrip_unknown_fields_malformed(spark):
+    """The wire-format pair must round-trip unicode text and BOTH zigzag
+    branches, skip the planted unknown fixed64 field (and an injected
+    unknown fixed32/varint) without disturbing later fields, and fail
+    loudly on truncation, varint overflow, and unsupported wire types."""
+    from datafusion_impl_spark.sources.queries import (
+        _pb_decode_stream,
+        _pb_encode_doc,
+        _pb_varint,
+    )
+
+    rows = [
+        (0, "héllo wörld   newline\ntab\t", "src0", 48),     # negative
+        (7, "x" * 600, "src1", 600),                              # positive
+        (12, "", "src2", 0),                                      # empty text
+        (99, "中文 текст mixed", "src3", 500),                    # zero signed
+    ]
+    stream = bytearray()
+    for doc_id, text, source, n_chars in rows:
+        msg = _pb_encode_doc(doc_id, text, source, n_chars)
+        stream += _pb_varint(len(msg)) + msg
+    assert list(_pb_decode_stream(bytes(stream))) == rows
+
+    # inject EXTRA unknown fields (varint field 9, fixed32 field 10) into a
+    # message — a forward-compatible reader must skip them
+    msg = _pb_encode_doc(5, "abc", "s", 3)
+    extra = _pb_varint(9 << 3 | 0) + _pb_varint(12345)
+    extra += _pb_varint(10 << 3 | 5) + b"\x01\x02\x03\x04"
+    patched = extra + msg  # unknown fields first: later fields must survive
+    framed = _pb_varint(len(patched)) + patched
+    assert list(_pb_decode_stream(bytes(framed))) == [(5, "abc", "s", 3)]
+
+    good = _pb_varint(len(msg)) + msg
+    for bad in (
+        good[:-3],                            # truncated message
+        good[:1],                             # frame length, no body
+        _pb_varint(50) + msg,                 # frame length beyond data
+        _pb_varint(len(msg) + 1) + msg[:-1] + b"\x83",  # dangling varint
+        _pb_varint(2) + _pb_varint(1 << 3 | 3),  # unsupported wire type 3
+        b"\xff" * 11,                         # varint overflow
+    ):
+        with pytest.raises(ValueError):
+            list(_pb_decode_stream(bytes(bad)))
