@@ -188,6 +188,7 @@ _NEXT_ROTATION: list[str] = [
     "dsir_importance_resample",      # r13-new: hashed-ngram DSIR selection
     "unigram_viterbi_encode",        # r13-new: tokenizer apply (Viterbi)
     "source_protobuf_scan",          # r13-new: protobuf wire-format scan
+    "passage_bm25_maxpool",          # r13-new: RAG passage retrieval (MaxP)
 ]
 
 def _ordered(merged: dict) -> dict:

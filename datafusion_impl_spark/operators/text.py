@@ -1187,6 +1187,177 @@ FROM per_doc ORDER BY bm25 DESC, doc_id LIMIT 10
 """
 
 
+# --------------------------------------------------------------------------
+# Passage-level retrieval: BM25 over fixed-token passages with MaxP pooling
+# --------------------------------------------------------------------------
+
+_PASSAGE_TOKENS = 10   # passage window (the curation chunking contract)
+_PASSAGE_QMOD = 100    # doc_id % 100 == 0 → query documents
+_PASSAGE_TOPK = 5      # reported docs per query
+
+
+def passage_bm25_maxpool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASSAGE-level retrieval with MaxP pooling — how RAG pipelines
+    actually index long documents (Dai & Callan 2019): split every
+    document into fixed {p}-token passages, score passages with BM25
+    (k1=1.2, b=0.75; N/avgdl/df computed at PASSAGE granularity), pool to
+    the document level by the max passage score, and report each query's
+    top-{k} documents with the winning passage index. Queries are the
+    doc_id % {mod} = 0 documents; each contributes its two highest-tf
+    terms of length ≥ 4 (the ``hybrid_bm25_dense_rrf`` convention), and
+    query documents are excluded from their own candidate set.
+
+    Scale shape: the chunking is a map-side transform; scoring touches
+    only the postings of the query terms (equi-join on term — the
+    relational inverted index); MaxP is one (q, doc) aggregate; the
+    final per-query rank is a bounded window over ≤ |postings| rows."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", tokens("text").alias("t")).filter(
+        F.size("t") > 0
+    )
+    passages = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, int(ceil(size(t) / {_PASSAGE_TOKENS}.0))),"
+                f" i -> slice(t, (i - 1) * {_PASSAGE_TOKENS} + 1,"
+                f" {_PASSAGE_TOKENS}))"
+            )
+        ).alias("p_idx", "p_toks"),
+    )
+    ptok = passages.select(
+        "doc_id", "p_idx", F.explode("p_toks").alias("term")
+    )
+    tf = ptok.groupBy("doc_id", "p_idx", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    pl = ptok.groupBy("doc_id", "p_idx").agg(F.count(F.lit(1)).alias("dl"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = pl.agg(
+        F.count(F.lit(1)).alias("n_passages"), F.avg("dl").alias("avgdl")
+    )
+    qw = Window.partitionBy("q_id").orderBy(F.desc("qtf"), F.asc("term"))
+    dtf = ptok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("qtf"))
+    qterms = (
+        dtf.filter(
+            (F.col("doc_id") % _PASSAGE_QMOD == 0) & (F.length("term") >= 4)
+        )
+        .select(F.col("doc_id").alias("q_id"), "term", "qtf")
+        .withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= 2)
+        .join(dfq, "term")
+        .select("q_id", "term", "df")
+    )
+    idf = F.log(
+        # div-safe: df + 0.5 > 0; tf >= 1; avgdl averages positive lengths
+        (F.col("n_passages") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    s = idf * (
+        # div-safe: tf >= 1 so the BM25 tf denominator > 0; avgdl > 0
+        (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl"))))
+    )
+    p_scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .join(pl, ["doc_id", "p_idx"])
+        .crossJoin(F.broadcast(stats))
+        .select("q_id", "doc_id", "p_idx", F.round(s, 6).alias("s"))
+        .groupBy("q_id", "doc_id", "p_idx")
+        .agg(F.round(F.sum("s"), 6).alias("p_score"))
+    )
+    pw = Window.partitionBy("q_id", "doc_id").orderBy(
+        F.desc("p_score"), F.asc("p_idx")
+    )
+    maxp = (
+        p_scored.withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") == 1)
+        .select(
+            "q_id",
+            "doc_id",
+            F.col("p_idx").cast("int").alias("best_passage"),
+            F.col("p_score").alias("maxp"),
+        )
+    )
+    rw = Window.partitionBy("q_id").orderBy(F.desc("maxp"), F.asc("doc_id"))
+    return (
+        maxp.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= _PASSAGE_TOPK)
+        .select(
+            "q_id", F.col("rank").cast("int").alias("rank"),
+            "doc_id", "best_passage", "maxp",
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+_PASSAGE_BM25_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS t FROM documents
+),
+passages AS (
+  SELECT doc_id,
+         generate_subscripts(ps, 1) - 1 AS p_idx,
+         unnest(ps) AS p_toks
+  FROM (
+    SELECT doc_id,
+           list_transform(range(1, CAST(ceil(len(t) / {_PASSAGE_TOKENS}.0) AS BIGINT) + 1),
+                          i -> list_slice(t, (i - 1) * {_PASSAGE_TOKENS} + 1,
+                                          i * {_PASSAGE_TOKENS})) AS ps
+    FROM toks WHERE len(t) > 0)
+),
+ptok AS (
+  SELECT doc_id, p_idx, unnest(p_toks) AS term FROM passages
+),
+tf AS (SELECT doc_id, p_idx, term, COUNT(*) AS tf FROM ptok GROUP BY 1, 2, 3),
+pl AS (SELECT doc_id, p_idx, COUNT(*) AS dl FROM ptok GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_passages, AVG(dl) AS avgdl FROM pl),
+dtf AS (SELECT doc_id, term, COUNT(*) AS qtf FROM ptok GROUP BY 1, 2),
+qterms AS (
+  SELECT t.q_id, t.term, dfq.df FROM (
+    SELECT doc_id AS q_id, term,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY qtf DESC, term) AS rn
+    FROM dtf WHERE doc_id % {_PASSAGE_QMOD} = 0 AND length(term) >= 4
+  ) t JOIN dfq USING (term)
+  WHERE t.rn <= 2
+),
+p_scored AS (
+  SELECT q.q_id, tf.doc_id, tf.p_idx,
+         -- div-safe: df+0.5 > 0; tf >= 1; avgdl > 0
+         ROUND(SUM(ROUND(ln((n_passages - q.df + 0.5) / (q.df + 0.5) + 1.0)
+               * ((tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * (pl.dl / avgdl)))), 6)),
+               6) AS p_score
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN pl ON pl.doc_id = tf.doc_id AND pl.p_idx = tf.p_idx
+  CROSS JOIN stats
+  WHERE tf.doc_id <> q.q_id
+  GROUP BY q.q_id, tf.doc_id, tf.p_idx
+),
+maxp AS (
+  SELECT q_id, doc_id, CAST(p_idx AS INTEGER) AS best_passage,
+         p_score AS maxp
+  FROM (
+    SELECT q_id, doc_id, p_idx, p_score,
+           ROW_NUMBER() OVER (PARTITION BY q_id, doc_id
+                              ORDER BY p_score DESC, p_idx) AS prn
+    FROM p_scored)
+  WHERE prn = 1
+)
+SELECT q_id, CAST(rank AS INTEGER) AS rank, doc_id, best_passage, maxp
+FROM (
+  SELECT q_id, doc_id, best_passage, maxp,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY maxp DESC, doc_id) AS rank
+  FROM maxp)
+WHERE rank <= {_PASSAGE_TOPK}
+ORDER BY q_id, rank
+"""
+
+
 def source_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-mass inequality per source — the Gini coefficient of per-doc
     token counts, the curation metric that flags sources whose token budget
@@ -4878,6 +5049,7 @@ QUERIES = {
     "source_kneser_ney_bigram": source_kneser_ney_bigram,
     "unigram_lm_tokenizer_em": unigram_lm_tokenizer_em,
     "unigram_viterbi_encode": unigram_viterbi_encode,
+    "passage_bm25_maxpool": passage_bm25_maxpool,
     "source_kn_discount_estimate": source_kn_discount_estimate,
     "source_token_gini": source_token_gini,
     "text_bm25_search": text_bm25_search,
@@ -4921,6 +5093,7 @@ ORACLES = {
     "source_kneser_ney_bigram": _KN_SQL,
     "unigram_lm_tokenizer_em": _ulm_oracle(),
     "unigram_viterbi_encode": _ulm_viterbi_oracle(),
+    "passage_bm25_maxpool": _PASSAGE_BM25_SQL,
     "source_kn_discount_estimate": _KN_DISCOUNT_SQL,
     "source_token_gini": _GINI_SQL,
     "text_bm25_search": _BM25_SQL,

@@ -3346,3 +3346,28 @@ def test_unigram_viterbi_encode_matches_reference(spark):
         assert r.n_distinct_words == len(a[1])
         assert abs(r.mean_best_lp - a[2] / a[0]) < 2e-4
         assert abs(r.oov_char_frac - a[3] / a[4]) < 2e-6
+
+
+def test_passage_maxpool_dominates_and_is_bounded(spark):
+    """MaxP semantics: each reported doc score equals the max of that
+    doc's passage BM25 scores (never a sum across passages), ranks are
+    dense per query, and the query document never retrieves itself."""
+    from datafusion_impl_spark.operators.text import (
+        _PASSAGE_TOPK,
+        passage_bm25_maxpool,
+    )
+
+    rows = passage_bm25_maxpool(spark, SF_DIR).collect()
+    assert rows, "no retrieval results"
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+        assert r.doc_id != r.q_id
+        assert r.maxp > 0
+        assert r.best_passage >= 0
+    for q, lst in by_q.items():
+        ranks = sorted(r.rank for r in lst)
+        assert ranks == list(range(1, len(lst) + 1))
+        assert len(lst) <= _PASSAGE_TOPK
+        scores = [r.maxp for r in sorted(lst, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
