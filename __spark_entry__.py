@@ -112,84 +112,89 @@ _MODULES = [
 #       then 12 of the 45 r4-evidence pads (alphabetical head). The 33
 #       remaining r4-evidence queries queue in _NEXT_ROTATION ahead of
 #       r11-new operators.
-#   r12 (this list): the 18 r11-new operators (the ONLY oracled queries with
-#       no driver row, all judge-re-verified PASS in the r11 session) + 32 of
-#       the 33 remaining r4-evidence pads. zorder_orders_layout (slot 51)
-#       heads _NEXT_ROTATION; after a green r12, the evidence floor is r5
-#       except that one query, and every operator ever shipped has a row.
+#   r12: the 18 r11-new operators (the ONLY oracled queries with no driver
+#       row, all judge-re-verified PASS in the r11 session) + 32 of the 33
+#       remaining r4-evidence pads. Went 50/50 green — after r12 every
+#       oracled query has a driver row; evidence floor r5 except
+#       zorder_orders_layout (green r4).
+#   r13 (this list): zorder_orders_layout first (the sole r4-evidence
+#       query), then the 9 r13-NEW operators (never driver-checked; every
+#       one oracle-verified PASS vs DuckDB at sf0.01 in the r13 session),
+#       then the 40 alphabetically-first of the 50 r5-evidence pads. The
+#       10 remaining r5 pads queue in _NEXT_ROTATION; after a green r13
+#       the evidence floor moves to r6 except those ten.
 _PRIORITY = [
-    # --- the 18 r11-new operators (the ONLY oracled queries with no driver
-    #     row; all judge-verified PASS vs DuckDB in the r11 session) ---
-    "source_kneser_ney_bigram",         # interpolated KN bigram LM
-    "classifier_feature_auc",           # rank-sum AUC vs weights
-    "dedup_bbit_minhash",               # b-bit minwise, bias-corrected
-    "multimodal_gif_decode_stats",      # real variable-width LZW
-    "multimodal_tar_webdataset_scan",   # ustar shard round-trip
-    "source_gzip_jsonl_scan",           # gzip JSONL shard ingest
-    "multimodal_wav_spectrum_stats",    # per-clip DFT bins
-    "sketch_quantile_histogram",        # mergeable quantile digest
-    "ann_ndcg_eval",                    # graded nDCG@5 + MRR
-    "classifier_platt_recalibration",   # held-out Platt fit
-    "stream_quantile_histogram",        # streaming sketch upkeep
-    "multimodal_y4m_scene_cuts",        # temporal frame-diff cuts
-    "sample_horvitz_thompson_estimate", # 1/pi-weighted totals
-    "sketch_join_cardinality",          # AMS/CMS inner product
-    "quality_gopher_rules",             # published filter battery
-    "stream_bloom_ingest_filter",       # streaming sketch upkeep
-    "stream_cms_heavy_hitters",         # streaming sketch upkeep
-    "source_kn_discount_estimate",      # Chen-Goodman D fit
-    # --- 32 of the 33 remaining r4-evidence pads (alphabetical; after r12
-    #     the evidence recency floor moves to r5 bar one query) ---
-    "events_props_variant",
-    "events_time_rollup",
-    "hard_negative_mining",
-    "incremental_agg_merge",
-    "interleave_sources_round_robin",
-    "join_key_skew_report",
-    "jsonl_documents_roundtrip",
-    "lateral_top_orders_per_segment",
-    "length_bucketed_batches",
-    "merge_upsert_latest_orders",
-    "orc_lineitem_roundtrip",
-    "order_price_percentiles",
-    "parquet_schema_evolution_merge",
-    "profile_orders_columns",
-    "q11_important_parts",
-    "q20_part_flow_suppliers",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "quality_curriculum_tiers",
-    "range_frame_weekly_revenue",
-    "recursive_cte_revenue_ema",
-    "salted_event_type_stats",
-    "salted_join_event_segments",
-    "scalar_stats_aggregates",
-    "scalar_try_error_safe",
-    "scd2_order_status_history",
-    "session_window_stats",
-    "source_embedding_profile",
-    "split_leakage_report",
-    "stream_corpus_dedup_stats",
-    "string_agg_nations_per_region",
-    "xml_documents_roundtrip",
+    "zorder_orders_layout",          # sole r4-evidence query
+    # --- the 9 r13-new operators (never driver-checked) ---
+    "multimodal_jpeg_decode_stats",  # baseline JPEG (DCT+Huffman)
+    "multimodal_jpeg_color_stats",   # YCbCr 4:2:0 color JPEG
+    "avro_lineitem_roundtrip",       # Avro OCF round-trip (spec-level)
+    "source_protobuf_scan",          # protobuf wire-format scan
+    "hybrid_bm25_dense_rrf",         # lexical+dense RRF ensemble eval
+    "unigram_lm_tokenizer_em",       # SentencePiece-style EM trainer
+    "unigram_viterbi_encode",        # tokenizer apply (Viterbi)
+    "dsir_importance_resample",      # hashed-ngram DSIR selection
+    "passage_bm25_maxpool",          # RAG passage retrieval (MaxP)
+    # --- 40 oldest r5-evidence pads (alphabetical head of the 50) ---
+    "agg_selector_functions",
+    "ann_ivf_pq_topk",
+    "ann_pq_adc_recall",
+    "bitmap_user_distinct_rollup",
+    "bpe_merge_candidates",
+    "cogrouped_order_gap_stats",
+    "collated_segment_counts",
+    "compact_small_files_plan",
+    "corpus_novelty_curve",
+    "daily_revenue_anomalies",
+    "daily_trend_regression",
+    "data_quality_constraint_report",
+    "dedup_detector_prf",
+    "dedup_documents_winnowing",
+    "dedup_semantic_ivf",
+    "doc_length_quantile_bins",
+    "doc_length_quantile_normalization",
+    "entity_resolution_customers",
+    "event_type_transitions",
+    "events_linear_interpolation",
+    "explode_outer_semantics",
+    "graph_triangle_stats",
+    "group_by_all_order_stats",
+    "grouped_winsorized_stats",
+    "length_distribution_psi",
+    "map_higher_order_ops",
+    "minhash_estimation_error",
+    "multimodal_arrow_features",
+    "order_price_histogram",
+    "pipe_syntax_segment_revenue",
+    "pivot_multi_measures",
+    "python_datasource_scan",
+    "rolling_distinct_customers",
+    "rolling_revenue_event_correlation",
+    "sample_k_per_source",
+    "scalar_array_struct_functions",
+    "scd2_pointintime_join",
+    "source_token_gini",
+    "sql_udf_revenue_bins",
+    "sql_variables_threshold_report",
 ]
 
-# Beyond the 50-query window: the r12 rotation queue — the one r4 pad that
-# didn't fit the 50-slot window leads, then the 50 r5-evidence queries form
-# the r13 pad pool (rebuilt from CORRECTNESS_r*.json at r13 start), and
-# queries added this round are appended as they land.
+# Beyond the 50-query window: the 10 r5-evidence pads that didn't fit the
+# r13 window (alphabetical tail) — the r14 pad pool, re-derived from
+# CORRECTNESS_r*.json at r14 start; r14-new operators append here as they
+# land.
 _NEXT_ROTATION: list[str] = [
-    "zorder_orders_layout",          # last r4-evidence pad (51st for r12)
-    "multimodal_jpeg_decode_stats",  # r13-new: baseline JPEG (DCT+Huffman)
-    "avro_lineitem_roundtrip",       # r13-new: Avro OCF round-trip
-    "hybrid_bm25_dense_rrf",         # r13-new: lexical+dense RRF ensemble
-    "unigram_lm_tokenizer_em",       # r13-new: SentencePiece-style EM
-    "multimodal_jpeg_color_stats",   # r13-new: YCbCr 4:2:0 color JPEG
-    "dsir_importance_resample",      # r13-new: hashed-ngram DSIR selection
-    "unigram_viterbi_encode",        # r13-new: tokenizer apply (Viterbi)
-    "source_protobuf_scan",          # r13-new: protobuf wire-format scan
-    "passage_bm25_maxpool",          # r13-new: RAG passage retrieval (MaxP)
+    "table_checksum_buckets",
+    "text_bm25_search",
+    "topk_tokens_per_source",
+    "trending_event_windows",
+    "udtf_polymorphic_tokens",
+    "user_cohort_retention",
+    "user_funnel_steps",
+    "vocab_growth_curve",
+    "weekly_seasonality_decomposition",
+    "weighted_sample_docs",
 ]
+
 
 def _ordered(merged: dict) -> dict:
     """Priority names first (in _PRIORITY order), then _NEXT_ROTATION, then
