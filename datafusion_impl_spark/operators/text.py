@@ -5026,6 +5026,109 @@ ORDER BY rank
     )
 
 
+# --------------------------------------------------------------------------
+# PMI collocation mining (statistically-bound bigrams)
+# --------------------------------------------------------------------------
+
+#: minimum bigram support — PMI is notoriously noisy on rare pairs, so every
+#: serious collocation extractor (NLTK, gensim Phrases) applies a floor.
+_PMI_MIN_COUNT = 5
+#: report size.
+_PMI_TOP = 20
+
+
+def collocation_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top-{top} token bigrams by pointwise mutual
+    information ``PMI(a,b) = ln p(a,b) − ln p(a) − ln p(b)`` with a minimum
+    support of {minc} occurrences — the classic phrase detector (gensim
+    ``Phrases``/NLTK collocations) a tokenizer-training pipeline runs to
+    decide which multi-word units deserve vocabulary slots.
+
+    Cross-engine determinism: PMI is evaluated as the SAME left-to-right
+    chain of ``LN`` terms over exact integer counts in both engines
+    (``ln c_ab − ln N − ln c_a + ln T − ln c_b + ln T``) — no division, no
+    cross-row double sums — then rounded to 6 dp before ranking, with the
+    (a, b) pair as a unique tiebreak.
+
+    Scale shape: one explode → two-phase hash count for unigrams and one for
+    bigrams (map-side combine shrinks both shuffles to |vocab| / |bigram
+    vocab| rows), two hash joins on the token key (uniform key, bounded
+    groups), 1-row count aggregates broadcast via cross-join, and a
+    TakeOrdered top-{top} — never a global sort of the pair table."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("t")
+    )
+    toks = docs.select(F.explode("t").alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    t_tok = toks.agg(F.count(F.lit(1)).alias("t_tok"))
+    pairs = docs.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1).alias("a"),
+                F.slice("t", 2, F.size("t") - 1).alias("b"),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    bi = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab")).filter(
+        F.col("c_ab") >= _PMI_MIN_COUNT
+    )
+    n_bi = pairs.agg(F.count(F.lit(1)).alias("n_bi"))
+    scored = (
+        bi.join(uni.select(F.col("w").alias("a"), F.col("c_w").alias("c_a")), "a")
+        .join(uni.select(F.col("w").alias("b"), F.col("c_w").alias("c_b")), "b")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(t_tok))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(F.col("c_ab").cast("double"))
+                - F.log(F.col("n_bi").cast("double"))
+                - F.log(F.col("c_a").cast("double"))
+                + F.log(F.col("t_tok").cast("double"))
+                - F.log(F.col("c_b").cast("double"))
+                + F.log(F.col("t_tok").cast("double")),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "a", "b").limit(_PMI_TOP)
+
+
+collocation_pmi_bigrams.__doc__ = collocation_pmi_bigrams.__doc__.format(
+    top=_PMI_TOP, minc=_PMI_MIN_COUNT
+)
+
+_PMI_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS tk FROM documents),
+uni AS (
+  SELECT w, COUNT(*) AS c_w
+  FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w),
+t_tok AS (SELECT COUNT(*) AS t_tok FROM (SELECT unnest(tk) FROM toks)),
+pairs AS (
+  SELECT tk[i] AS a, tk[i + 1] AS b
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i)
+  WHERE len(tk) >= 2),
+bi AS (
+  SELECT a, b, COUNT(*) AS c_ab FROM pairs GROUP BY a, b
+  HAVING COUNT(*) >= {_PMI_MIN_COUNT}),
+n_bi AS (SELECT COUNT(*) AS n_bi FROM pairs)
+SELECT a, b, c_ab,
+       ROUND(LN(CAST(c_ab AS DOUBLE)) - LN(CAST(n_bi AS DOUBLE))
+             - LN(CAST(ua.c_w AS DOUBLE)) + LN(CAST(t_tok AS DOUBLE))
+             - LN(CAST(ub.c_w AS DOUBLE)) + LN(CAST(t_tok AS DOUBLE)), 6)
+         AS pmi
+FROM bi
+JOIN uni ua ON ua.w = bi.a
+JOIN uni ub ON ub.w = bi.b
+CROSS JOIN n_bi CROSS JOIN t_tok
+ORDER BY pmi DESC, a, b
+LIMIT {_PMI_TOP}
+"""
+
+
 QUERIES = {
     "text_html_extract": text_html_extract,
     "quality_classifier_trained": quality_classifier_trained,
@@ -5053,6 +5156,7 @@ QUERIES = {
     "source_kn_discount_estimate": source_kn_discount_estimate,
     "source_token_gini": source_token_gini,
     "text_bm25_search": text_bm25_search,
+    "collocation_pmi_bigrams": collocation_pmi_bigrams,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "corpus_curation_funnel": corpus_curation_funnel,
     "benchmark_decontamination": benchmark_decontamination,
@@ -5097,6 +5201,7 @@ ORACLES = {
     "source_kn_discount_estimate": _KN_DISCOUNT_SQL,
     "source_token_gini": _GINI_SQL,
     "text_bm25_search": _BM25_SQL,
+    "collocation_pmi_bigrams": _PMI_SQL,
     "text_tfidf_top_terms": _TFIDF_SQL,
     "corpus_curation_funnel": _FUNNEL_SQL,
     "benchmark_decontamination": _DECONTAM_SQL,

@@ -3371,3 +3371,49 @@ def test_passage_maxpool_dominates_and_is_bounded(spark):
         assert len(lst) <= _PASSAGE_TOPK
         scores = [r.maxp for r in sorted(lst, key=lambda r: r.rank)]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_pmi_collocations_beat_unigram_product(spark):
+    """PMI invariants: every reported pair meets the support floor, PMI > 0
+    (a collocation must co-occur MORE than its unigrams' independence
+    baseline — the top of the ranking cannot be independent), the report is
+    sorted by (pmi desc, a, b), and a hand-recount of one pair's statistics
+    over the raw token stream reproduces the reported PMI."""
+    import math
+
+    from datafusion_impl_spark.operators.text import (
+        _PMI_MIN_COUNT,
+        _PMI_TOP,
+        collocation_pmi_bigrams,
+        tokens,
+    )
+
+    rows = collocation_pmi_bigrams(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= _PMI_TOP
+    keys = [(-r.pmi, r.a, r.b) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert r.c_ab >= _PMI_MIN_COUNT
+        assert r.pmi > 0, (r.a, r.b, r.pmi)
+    # recount the top pair from the raw corpus
+    top = rows[0]
+    toks = [
+        r.t
+        for r in load_table(spark, SF_DIR, "documents")
+        .select(tokens("text").alias("t"))
+        .collect()
+    ]
+    c_a = sum(t.count(top.a) for t in toks)
+    c_b = sum(t.count(top.b) for t in toks)
+    t_tok = sum(len(t) for t in toks)
+    c_ab = sum(
+        sum(1 for x, y in zip(t, t[1:]) if x == top.a and y == top.b)
+        for t in toks
+    )
+    n_bi = sum(len(t) - 1 for t in toks if len(t) >= 2)
+    assert c_ab == top.c_ab
+    pmi = (
+        math.log(c_ab) - math.log(n_bi) - math.log(c_a)
+        + math.log(t_tok) - math.log(c_b) + math.log(t_tok)
+    )
+    assert abs(pmi - top.pmi) < 1e-5
