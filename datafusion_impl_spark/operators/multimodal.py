@@ -2425,6 +2425,248 @@ ORDER BY sample_rate
 
 
 # --------------------------------------------------------------------------
+# Mel filterbank energies (the audio-feature step after the raw spectrum)
+# --------------------------------------------------------------------------
+
+#: DFT bins feeding the filterbank (k = 1..6 cycles over the clip length —
+#: well under Nyquist for the >= 48-sample planted clips).
+_MEL_BINS = 6
+#: triangular mel filters.
+_MEL_FILTERS = 3
+#: log-mel rounding (values are ~log10(1e10) ≈ 10; 4 dp leaves ~9 orders of
+#: margin over last-bit libm drift).
+_MEL_ROUND = 4
+
+
+def _mel_weights() -> list[list[float]]:
+    """Triangular filterbank weights ``w[m][k]`` computed ONCE at module
+    import in plain Python and injected into BOTH engines as 6-dp literals —
+    the mel transcendentals (``2595·log10(1+f/700)``) never run inside
+    either engine, so there is no cross-engine libm surface in the weights.
+
+    Bin k stands for the k-th harmonic of the fixed-length analysis frame
+    (mapped to a nominal ``k·1000 Hz`` axis); real pipelines use fixed
+    frame lengths, which makes the bin→Hz map a constant exactly like
+    this."""
+    import math
+
+    def mel(f: float) -> float:
+        return 2595.0 * math.log10(1.0 + f / 700.0)
+
+    lo, hi = mel(1000.0), mel(_MEL_BINS * 1000.0)
+    edges = [lo + (hi - lo) * j / (_MEL_FILTERS + 1) for j in range(_MEL_FILTERS + 2)]
+    w = []
+    for m in range(_MEL_FILTERS):
+        e0, e1, e2 = edges[m], edges[m + 1], edges[m + 2]
+        row = []
+        for k in range(1, _MEL_BINS + 1):
+            mk = mel(k * 1000.0)
+            if e0 < mk <= e1:
+                v = (mk - e0) / (e1 - e0)
+            elif e1 < mk < e2:
+                v = (e2 - mk) / (e2 - e1)
+            else:
+                v = 0.0
+            row.append(_round_half_up_f(v, 6))
+        w.append(row)
+    return w
+
+
+def wav_spectrum_bins(clips: DataFrame, n_bins: int) -> DataFrame:
+    """``mapInArrow`` DFT kernel, the :func:`wav_spectrum` transform
+    generalized to ``n_bins`` bins: per clip, decode and emit the rounded
+    DFT powers ``p1..p{n_bins}`` (same scalar ``math.cos/sin`` loop — the
+    libm path the SQL replay takes)."""
+    import math
+
+    import pyarrow as pa
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            doc_ids = b.column(b.schema.get_field_index("doc_id"))
+            blobs = b.column(b.schema.get_field_index("media"))
+            rates: list[int] = []
+            powers: list[list[float]] = [[] for _ in range(n_bins)]
+            for v in blobs:
+                rate, s = decode_wav(v.as_py())
+                n = len(s)
+                rates.append(rate)
+                for k in range(1, n_bins + 1):
+                    re = im = 0.0
+                    for i in range(n):
+                        # div-safe: decode_wav yields >= 1 sample here (the
+                        # loop body only runs when n >= 1)
+                        th = 2 * math.pi * k * i / n
+                        re += float(s[i]) * math.cos(th)
+                        im += float(s[i]) * math.sin(th)
+                    powers[k - 1].append(
+                        _round_half_up_f(re * re + im * im, _SPEC_ROUND)
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    pa.array(rates, type=pa.int32()),
+                    *[pa.array(powers[j], type=pa.float64())
+                      for j in range(n_bins)],
+                ],
+                names=["doc_id", "sample_rate",
+                       *[f"p{k}" for k in range(1, n_bins + 1)]],
+            )
+
+    schema = (
+        "doc_id bigint, sample_rate int, "
+        + ", ".join(f"p{k} double" for k in range(1, n_bins + 1))
+    )
+    return clips.mapInArrow(fn, schema)
+
+
+def audio_mel_filterbank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mel-filterbank feature extraction — the canonical audio featurizer
+    (the front half of MFCC) a speech-data curation pipeline runs after the
+    raw spectrum: per planted clip, {f} triangular mel filters pool the
+    first {b} DFT bin powers into log-energies
+    ``log10(Σ_k w_mk·p_k + 1)``, and per sample rate the report gives the
+    clip count, mean log-mel energies, and how many clips each filter
+    dominates. The DuckDB oracle recomputes the DFT from the planted sample
+    FORMULA and applies the SAME 6-dp literal weights, so decode, transform,
+    and filterbank are all value-checked.
+
+    Cross-engine determinism: bin powers are rounded to {sr} dp inside the
+    kernel (libm trig margin), the weighted pool is the same left-to-right
+    chain of literal·power products in both engines (IEEE754-identical),
+    and the log-mel is rounded to {r} dp before the argmax/mean.
+
+    Scale shape: the O(N·K) transform runs inside the map-only decode
+    kernel; the filterbank is a JVM-side codegen projection over the
+    kernel's {b} bin columns; the aggregate is 3 rows."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": pdf["doc_id"].map(lambda d: _wav_encode(int(d))),
+                }
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % _WAV_SAMPLE_MOD == _WAV_SAMPLE_RES)
+    )
+    clips = docs.mapInPandas(build, "doc_id bigint, media binary")
+    spec = wav_spectrum_bins(clips, _MEL_BINS)
+    w = _mel_weights()
+    mel_cols = []
+    for m in range(_MEL_FILTERS):
+        e = F.lit(w[m][0]) * F.col("p1")
+        for k in range(2, _MEL_BINS + 1):
+            e = e + F.lit(w[m][k - 1]) * F.col(f"p{k}")
+        mel_cols.append(
+            F.round(F.log10(e + F.lit(1.0)), _MEL_ROUND).alias(f"m{m + 1}")
+        )
+    feats = spec.select("doc_id", "sample_rate", *mel_cols)
+    dom = F.when(
+        (F.col("m1") >= F.col("m2")) & (F.col("m1") >= F.col("m3")), F.lit(1)
+    ).when(F.col("m2") >= F.col("m3"), F.lit(2)).otherwise(F.lit(3))
+    feats = feats.withColumn("dominant_filter", dom)
+    return (
+        feats.groupBy("sample_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            *[
+                F.round(F.avg(f"m{m}"), _MEL_ROUND).alias(f"avg_m{m}")
+                for m in range(1, _MEL_FILTERS + 1)
+            ],
+            *[
+                F.sum((F.col("dominant_filter") == m).cast("long")).alias(
+                    f"n_dom{m}"
+                )
+                for m in range(1, _MEL_FILTERS + 1)
+            ],
+        )
+        .orderBy("sample_rate")
+    )
+
+
+audio_mel_filterbank_stats.__doc__ = audio_mel_filterbank_stats.__doc__.format(
+    f=_MEL_FILTERS, b=_MEL_BINS, sr=_SPEC_ROUND, r=_MEL_ROUND
+)
+
+
+def _mel_sql() -> str:
+    w = _mel_weights()
+    mel_exprs = ",\n         ".join(
+        "ROUND(LOG10("
+        + " + ".join(f"{w[m][k - 1]!r} * p{k}" for k in range(1, _MEL_BINS + 1))
+        + f" + 1.0), {_MEL_ROUND}) AS m{m + 1}"
+        for m in range(_MEL_FILTERS)
+    )
+    p_cols = ",\n         ".join(
+        f"MAX(CASE WHEN k = {k} THEN p END) AS p{k}"
+        for k in range(1, _MEL_BINS + 1)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         {_WAV_RATE_BASE} * (1 + doc_id % {_WAV_RATE_MOD}) AS rate,
+         {_WAV_N_BASE} + doc_id % {_WAV_N_MOD} AS n
+  FROM documents
+  WHERE doc_id % {_WAV_SAMPLE_MOD} = {_WAV_SAMPLE_RES}
+),
+samples AS (
+  SELECT d.doc_id, d.rate, d.n, gi.i,
+         (d.doc_id * 31 + gi.i * 17) % 4001 - 2000 AS s
+  FROM docs d
+  JOIN (SELECT unnest(generate_series(0, {_WAV_N_BASE + _WAV_N_MOD - 2})) AS i) gi
+    ON gi.i < d.n
+),
+sums AS (
+  SELECT doc_id, rate, k,
+         -- div-safe: n >= {_WAV_N_BASE} (planted clip length)
+         SUM(s * COS(2 * PI() * k * i / n)) AS re,
+         SUM(s * SIN(2 * PI() * k * i / n)) AS im
+  FROM samples, (SELECT unnest(generate_series(1, {_MEL_BINS})) AS k) ks
+  GROUP BY doc_id, rate, k, n
+),
+bins AS (
+  SELECT doc_id, rate, k, ROUND(re * re + im * im, {_SPEC_ROUND}) AS p
+  FROM sums
+),
+wide AS (
+  SELECT doc_id, rate,
+         {p_cols}
+  FROM bins GROUP BY doc_id, rate
+),
+mels AS (
+  SELECT doc_id, rate,
+         {mel_exprs}
+  FROM wide
+),
+dom AS (
+  SELECT doc_id, rate, m1, m2, m3,
+         CASE WHEN m1 >= m2 AND m1 >= m3 THEN 1
+              WHEN m2 >= m3 THEN 2 ELSE 3 END AS dominant_filter
+  FROM mels
+)
+SELECT CAST(rate AS INTEGER) AS sample_rate,
+       COUNT(*) AS n_clips,
+       ROUND(AVG(m1), {_MEL_ROUND}) AS avg_m1,
+       ROUND(AVG(m2), {_MEL_ROUND}) AS avg_m2,
+       ROUND(AVG(m3), {_MEL_ROUND}) AS avg_m3,
+       CAST(SUM(CASE WHEN dominant_filter = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dom1,
+       CAST(SUM(CASE WHEN dominant_filter = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dom2,
+       CAST(SUM(CASE WHEN dominant_filter = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dom3
+FROM dom
+GROUP BY rate
+ORDER BY sample_rate
+"""
+
+
+# --------------------------------------------------------------------------
 # TAR / WebDataset shard round-trip (the training-corpus container format)
 # --------------------------------------------------------------------------
 
@@ -3457,6 +3699,7 @@ QUERIES = {
     "multimodal_tar_webdataset_scan": multimodal_tar_webdataset_scan,
     "multimodal_wav_decode_stats": multimodal_wav_decode_stats,
     "multimodal_wav_spectrum_stats": multimodal_wav_spectrum_stats,
+    "audio_mel_filterbank_stats": audio_mel_filterbank_stats,
     "multimodal_y4m_scene_cuts": multimodal_y4m_scene_cuts,
     "multimodal_y4m_decode_stats": multimodal_y4m_decode_stats,
     "multimodal_phash_near_dup": multimodal_phash_near_dup,
@@ -3476,6 +3719,7 @@ ORACLES = {
     "multimodal_tar_webdataset_scan": _TAR_SCAN_SQL,
     "multimodal_wav_decode_stats": _WAV_DECODE_SQL,
     "multimodal_wav_spectrum_stats": _WAV_SPECTRUM_SQL,
+    "audio_mel_filterbank_stats": _mel_sql(),
     "multimodal_y4m_scene_cuts": _Y4M_CUTS_SQL,
     "multimodal_y4m_decode_stats": _Y4M_DECODE_SQL,
     "multimodal_phash_near_dup": _PHASH_SQL,

