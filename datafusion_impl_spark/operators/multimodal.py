@@ -2462,8 +2462,11 @@ def _mel_weights() -> list[list[float]]:
         for k in range(1, _MEL_BINS + 1):
             mk = mel(k * 1000.0)
             if e0 < mk <= e1:
+                # div-safe: edges are strictly increasing (mel is monotone
+                # and lo < hi), so e1 - e0 > 0
                 v = (mk - e0) / (e1 - e0)
             elif e1 < mk < e2:
+                # div-safe: strictly increasing edges, e2 - e1 > 0
                 v = (e2 - mk) / (e2 - e1)
             else:
                 v = 0.0
