@@ -2670,6 +2670,211 @@ ORDER BY sample_rate
 
 
 # --------------------------------------------------------------------------
+# Bilinear resize (the thumbnail/normalization step of an image pipeline)
+# --------------------------------------------------------------------------
+
+#: fixed target size every image is resized to (vision models take a fixed
+#: input resolution; the planted 8-12 x 6-8 sources all downscale).
+_RESIZE_W, _RESIZE_H = 4, 3
+#: rounding for per-image resized channel means (values <= 255; the only
+#: cross-engine noise is 12-term sum ordering, ~1e-13 absolute).
+_RESIZE_ROUND = 6
+
+
+def resize_bilinear_means(images: DataFrame) -> DataFrame:
+    """``mapInArrow`` resize kernel: (doc_id, media BINARY) → decode the BMP
+    and bilinear-resample it to {w}x{h}, emitting the per-image mean of each
+    resized channel. The sampling arithmetic is written as the EXACT
+    expression sequence the SQL oracle uses — ``sx = (x2+0.5)·w/{w}.0-0.5``,
+    floor/frac, LEAST/GREATEST edge clamps, and a left-associated 4-term
+    bilinear blend — so both engines produce bit-identical per-pixel values
+    and only the 12-term mean ordering needs the {r}-dp round."""
+    import math
+
+    import pyarrow as pa
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            doc_ids = b.column(b.schema.get_field_index("doc_id"))
+            blobs = b.column(b.schema.get_field_index("media"))
+            ws, hs = [], []
+            means: list[list[float]] = [[], [], []]
+            for v in blobs:
+                w, h, flat = decode_bmp(v.as_py())
+                px = flat.reshape(h, w, 3)
+                sums = [0.0, 0.0, 0.0]
+                for y2 in range(_RESIZE_H):
+                    sy = (y2 + 0.5) * h / float(_RESIZE_H) - 0.5
+                    y0 = math.floor(sy)
+                    fy = sy - y0
+                    ya = min(max(int(y0), 0), h - 1)
+                    yb = min(max(int(y0) + 1, 0), h - 1)
+                    for x2 in range(_RESIZE_W):
+                        sx = (x2 + 0.5) * w / float(_RESIZE_W) - 0.5
+                        x0 = math.floor(sx)
+                        fx = sx - x0
+                        xa = min(max(int(x0), 0), w - 1)
+                        xb = min(max(int(x0) + 1, 0), w - 1)
+                        for c in range(3):
+                            pa_v = float(px[ya, xa, c])
+                            pb_v = float(px[ya, xb, c])
+                            pc_v = float(px[yb, xa, c])
+                            pd_v = float(px[yb, xb, c])
+                            sums[c] += (
+                                (pa_v * (1 - fx)) * (1 - fy)
+                                + (pb_v * fx) * (1 - fy)
+                                + (pc_v * (1 - fx)) * fy
+                                + (pd_v * fx) * fy
+                            )
+                ws.append(w)
+                hs.append(h)
+                for c in range(3):
+                    means[c].append(
+                        _round_half_up_f(
+                            sums[c] / float(_RESIZE_W * _RESIZE_H),
+                            _RESIZE_ROUND,
+                        )
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    pa.array(ws, type=pa.int32()),
+                    pa.array(hs, type=pa.int32()),
+                    *[pa.array(means[c], type=pa.float64()) for c in range(3)],
+                ],
+                names=["doc_id", "width", "height", "r_mean", "g_mean",
+                       "b_mean"],
+            )
+
+    return images.mapInArrow(
+        fn,
+        "doc_id bigint, width int, height int, "
+        "r_mean double, g_mean double, b_mean double",
+    )
+
+
+resize_bilinear_means.__doc__ = resize_bilinear_means.__doc__.format(
+    w=_RESIZE_W, h=_RESIZE_H, r=_RESIZE_ROUND
+)
+
+
+def multimodal_resize_bilinear_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE end to end — the normalization step every vision-data
+    pipeline runs between decode and feature extraction: plant real 24-bit
+    BMPs for 1-in-4 documents, decode them from bytes alone, bilinear-
+    resample each to a fixed {w}x{h} thumbnail inside the map-only kernel,
+    and report per source (width, height) shape: image count and the mean
+    resized channel values. The DuckDB oracle re-derives every output pixel
+    from the planted pixel FORMULA with the same sampling arithmetic — so
+    decode AND the resampler's coordinate math (half-pixel centers, edge
+    clamps, fractional blend) are value-checked.
+
+    Scale shape: decode + resize run inside the scan-stage kernel (blobs
+    never shuffle); the aggregate is 15 shape groups."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": pdf["doc_id"].map(lambda d: _bmp_encode(int(d))),
+                }
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % _BMP_SAMPLE_MOD == 0)
+    )
+    images = docs.mapInPandas(build, "doc_id bigint, media binary")
+    resized = resize_bilinear_means(images)
+    return (
+        resized.groupBy("width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.round(F.avg("r_mean"), _RESIZE_ROUND).alias("avg_r"),
+            F.round(F.avg("g_mean"), _RESIZE_ROUND).alias("avg_g"),
+            F.round(F.avg("b_mean"), _RESIZE_ROUND).alias("avg_b"),
+        )
+        .orderBy("width", "height")
+    )
+
+
+multimodal_resize_bilinear_stats.__doc__ = (
+    multimodal_resize_bilinear_stats.__doc__.format(w=_RESIZE_W, h=_RESIZE_H)
+)
+
+
+def _resize_sql() -> str:
+    def chan(expr_x: str, expr_y: str, ch: str) -> str:
+        f = {
+            "r": f"(doc_id + 3 * {expr_x} + 7 * {expr_y}) % 256",
+            "g": f"(3 * doc_id + 5 * {expr_x} + 2 * {expr_y}) % 256",
+            "b": f"(doc_id + {expr_x} * {expr_y}) % 256",
+        }
+        return f[ch]
+
+    blends = ",\n         ".join(
+        f"({chan('xa', 'ya', c)} * (1 - fx)) * (1 - fy)"
+        f" + ({chan('xb', 'ya', c)} * fx) * (1 - fy)"
+        f" + ({chan('xa', 'yb', c)} * (1 - fx)) * fy"
+        f" + ({chan('xb', 'yb', c)} * fx) * fy AS v_{c}"
+        for c in "rgb"
+    )
+    means = ",\n         ".join(
+        f"ROUND(SUM(v_{c}) / {float(_RESIZE_W * _RESIZE_H)!r},"
+        f" {_RESIZE_ROUND}) AS {c}_mean"
+        for c in "rgb"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         {_BMP_W_BASE} + doc_id % {_BMP_W_MOD} AS w,
+         {_BMP_H_BASE} + doc_id % {_BMP_H_MOD} AS h
+  FROM documents WHERE doc_id % {_BMP_SAMPLE_MOD} = 0
+),
+grid AS (
+  SELECT gx.x2, gy.y2
+  FROM (SELECT unnest(generate_series(0, {_RESIZE_W - 1})) AS x2) gx,
+       (SELECT unnest(generate_series(0, {_RESIZE_H - 1})) AS y2) gy
+),
+coords AS (
+  SELECT doc_id, w, h, x2, y2,
+         (x2 + 0.5) * w / {float(_RESIZE_W)!r} - 0.5 AS sx,
+         (y2 + 0.5) * h / {float(_RESIZE_H)!r} - 0.5 AS sy
+  FROM docs, grid
+),
+fracs AS (
+  SELECT doc_id, w, h, x2, y2,
+         sx - FLOOR(sx) AS fx, sy - FLOOR(sy) AS fy,
+         LEAST(GREATEST(CAST(FLOOR(sx) AS INTEGER), 0), w - 1) AS xa,
+         LEAST(GREATEST(CAST(FLOOR(sx) AS INTEGER) + 1, 0), w - 1) AS xb,
+         LEAST(GREATEST(CAST(FLOOR(sy) AS INTEGER), 0), h - 1) AS ya,
+         LEAST(GREATEST(CAST(FLOOR(sy) AS INTEGER) + 1, 0), h - 1) AS yb
+  FROM coords
+),
+vals AS (
+  SELECT doc_id, w, h,
+         {blends}
+  FROM fracs
+),
+per_img AS (
+  SELECT doc_id, w, h,
+         {means}
+  FROM vals GROUP BY doc_id, w, h
+)
+SELECT CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       COUNT(*) AS n_images,
+       ROUND(AVG(r_mean), {_RESIZE_ROUND}) AS avg_r,
+       ROUND(AVG(g_mean), {_RESIZE_ROUND}) AS avg_g,
+       ROUND(AVG(b_mean), {_RESIZE_ROUND}) AS avg_b
+FROM per_img
+GROUP BY w, h
+ORDER BY width, height
+"""
+
+
+# --------------------------------------------------------------------------
 # TAR / WebDataset shard round-trip (the training-corpus container format)
 # --------------------------------------------------------------------------
 
@@ -3703,6 +3908,7 @@ QUERIES = {
     "multimodal_wav_decode_stats": multimodal_wav_decode_stats,
     "multimodal_wav_spectrum_stats": multimodal_wav_spectrum_stats,
     "audio_mel_filterbank_stats": audio_mel_filterbank_stats,
+    "multimodal_resize_bilinear_stats": multimodal_resize_bilinear_stats,
     "multimodal_y4m_scene_cuts": multimodal_y4m_scene_cuts,
     "multimodal_y4m_decode_stats": multimodal_y4m_decode_stats,
     "multimodal_phash_near_dup": multimodal_phash_near_dup,
@@ -3723,6 +3929,7 @@ ORACLES = {
     "multimodal_wav_decode_stats": _WAV_DECODE_SQL,
     "multimodal_wav_spectrum_stats": _WAV_SPECTRUM_SQL,
     "audio_mel_filterbank_stats": _mel_sql(),
+    "multimodal_resize_bilinear_stats": _resize_sql(),
     "multimodal_y4m_scene_cuts": _Y4M_CUTS_SQL,
     "multimodal_y4m_decode_stats": _Y4M_DECODE_SQL,
     "multimodal_phash_near_dup": _PHASH_SQL,

@@ -3467,3 +3467,61 @@ def test_mel_filterbank_weights_and_census(spark):
         for m in range(_MEL_FILTERS)
     ]
     assert all(v > 0 for v in mels)
+
+
+def test_bilinear_resize_bounds_and_constant_image(spark):
+    """Resampler invariants: a constant image resizes to exactly that
+    constant (bilinear is an interpolation — convex weights), every per-image
+    resized mean lies inside the source image's per-channel [min, max], and
+    the per-shape report conserves the planted image census."""
+    from datafusion_impl_spark.operators.multimodal import (
+        _BMP_SAMPLE_MOD,
+        _bmp_encode,
+        decode_bmp,
+        multimodal_resize_bilinear_stats,
+        resize_bilinear_means,
+    )
+
+    # constant-image fixture: a real BMP whose pixels are all (40, 90, 200)
+    import struct
+
+    w, h = 5, 4
+    row_stride = (w * 3 + 3) // 4 * 4
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + row_stride * h, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_stride * h, 2835, 2835, 0, 0
+    )
+    rows = bytearray()
+    for _y in range(h):
+        rows += bytes((200, 90, 40)) * w + b"\x00" * (row_stride - w * 3)
+    const_bmp = header + bytes(rows)
+    out = resize_bilinear_means(
+        spark.createDataFrame(
+            [(1, bytearray(const_bmp))], "doc_id long, media binary"
+        )
+    ).collect()[0]
+    assert (out.r_mean, out.g_mean, out.b_mean) == (40.0, 90.0, 200.0)
+
+    # planted-image means stay inside the source channel range
+    doc_id = 4
+    blob = _bmp_encode(doc_id)
+    src_w, src_h, px = decode_bmp(blob)
+    res = resize_bilinear_means(
+        spark.createDataFrame(
+            [(doc_id, bytearray(blob))], "doc_id long, media binary"
+        )
+    ).collect()[0]
+    assert res.width == src_w and res.height == src_h
+    for c, name in enumerate(["r_mean", "g_mean", "b_mean"]):
+        lo, hi = int(px[:, c].min()), int(px[:, c].max())
+        assert lo <= res[name] <= hi, (name, lo, res[name], hi)
+
+    # census conservation vs the planting rule
+    rows2 = multimodal_resize_bilinear_stats(spark, SF_DIR).collect()
+    n_planted = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") % _BMP_SAMPLE_MOD == 0)
+        .count()
+    )
+    assert sum(r.n_images for r in rows2) == n_planted
