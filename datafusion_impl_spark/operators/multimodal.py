@@ -2704,12 +2704,14 @@ def resize_bilinear_means(images: DataFrame) -> DataFrame:
                 px = flat.reshape(h, w, 3)
                 sums = [0.0, 0.0, 0.0]
                 for y2 in range(_RESIZE_H):
+                    # div-safe: _RESIZE_H is a positive constant
                     sy = (y2 + 0.5) * h / float(_RESIZE_H) - 0.5
                     y0 = math.floor(sy)
                     fy = sy - y0
                     ya = min(max(int(y0), 0), h - 1)
                     yb = min(max(int(y0) + 1, 0), h - 1)
                     for x2 in range(_RESIZE_W):
+                        # div-safe: _RESIZE_W is a positive constant
                         sx = (x2 + 0.5) * w / float(_RESIZE_W) - 0.5
                         x0 = math.floor(sx)
                         fx = sx - x0
@@ -2731,6 +2733,7 @@ def resize_bilinear_means(images: DataFrame) -> DataFrame:
                 for c in range(3):
                     means[c].append(
                         _round_half_up_f(
+                            # div-safe: fixed positive target-pixel count
                             sums[c] / float(_RESIZE_W * _RESIZE_H),
                             _RESIZE_ROUND,
                         )
