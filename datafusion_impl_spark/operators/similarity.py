@@ -4004,9 +4004,232 @@ ORDER BY ratio_bucket
 """
 
 
+# --------------------------------------------------------------------------
+# Maximal marginal relevance (diversity-aware retrieval)
+# --------------------------------------------------------------------------
+
+#: candidate pool per query (MMR reranks a cheap first-stage top-N).
+_MMR_POOL = 12
+#: results selected per query.
+_MMR_K = 4
+#: relevance/diversity trade-off: score = λ·rel − (1−λ)·max_sim_to_selected.
+_MMR_LAMBDA = 0.7
+
+
+def mmr_diversified_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance reranking (Carbonell & Goldstein 1998) —
+    the standard diversity pass a RAG retriever runs so the context window
+    isn't filled with {k} near-copies of the same passage: from each query's
+    top-{pool} cosine candidates, greedily select {k} items maximizing
+    ``λ·rel(q,d) − (1−λ)·max_{{s∈selected}} sim(d,s)``.
+
+    Cross-engine determinism: relevance and candidate-pair similarities are
+    ROUND()ed to 6 dp (the repo cosine ruleset), the MMR score is the same
+    literal ``{lam}·rel − {one_minus}·red`` expression in both engines and
+    is rounded before the per-round argmax, with ``neighbor_id`` as the
+    unique tiebreak; the greedy recursion is replayed round by round.
+
+    Scale shape: the pool is one broadcast-queries corpus pass + windowed
+    top-{pool} (the ann_cosine_topk plan); pairwise similarities touch only
+    pool rows ({pool}² per query); each greedy round is a hash join + MAX
+    aggregate + windowed argmax on the q_id key — {k} bounded rounds, no
+    step ever revisits the corpus."""
+    e = _vectors(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    # div-safe: unit-norm embeddings / nonzero norms (data contract)
+    rel_c = _dot(F.col("qv"), F.col("v")) / (F.col("q_nrm") * F.col("nrm"))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(rel_c, 6).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("cand_id"))
+    pool = materialize(
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .drop("rn")
+    )
+    # pairwise similarities among pool members (vectors re-joined by key)
+    ev = e.select("vec_id", "v", "nrm")
+    pa = pool.select("q_id", F.col("cand_id").alias("a")).join(
+        ev.select(
+            F.col("vec_id").alias("a"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        ),
+        "a",
+    )
+    pb = pool.select("q_id", F.col("cand_id").alias("b")).join(
+        ev.select(
+            F.col("vec_id").alias("b"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        ),
+        "b",
+    )
+    # div-safe: unit-norm embeddings / nonzero norms (data contract)
+    sim_c = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = materialize(
+        pa.join(pb, "q_id")
+        .filter(F.col("a") != F.col("b"))
+        .select("q_id", "a", "b", F.round(sim_c, 6).alias("sim"))
+    )
+    lam, om = float(_MMR_LAMBDA), float(1.0 - _MMR_LAMBDA)
+    sel_w = Window.partitionBy("q_id").orderBy(F.desc("mmr"), F.asc("cand_id"))
+    first = (
+        pool.select(
+            "q_id",
+            "cand_id",
+            "rel",
+            F.lit(0.0).alias("red"),
+            # 7 dp, not 6: λ·rel − (1−λ)·red is a near-multiple of 1e-7
+            # (rel/red are 6-dp multiples), so 6-dp rounding would sit ON
+            # half-boundaries where engine ROUNDs disagree; at 7 dp the
+            # value is ~1e-17 from a representable multiple — safe.
+            F.round(F.lit(lam) * F.col("rel"), 7).alias("mmr"),
+        )
+        .withColumn("rn", F.row_number().over(sel_w))
+        .filter(F.col("rn") == 1)
+        .select("q_id", "cand_id", "rel", "red", "mmr", F.lit(1).alias("rank"))
+    )
+    selected = first
+    for r in range(2, _MMR_K + 1):
+        red = (
+            pairs.join(
+                selected.select("q_id", F.col("cand_id").alias("b")),
+                ["q_id", "b"],
+            )
+            .groupBy("q_id", "a")
+            .agg(F.max("sim").alias("red"))
+        )
+        cand = (
+            pool.join(
+                selected.select("q_id", "cand_id"), ["q_id", "cand_id"],
+                "left_anti",
+            )
+            .join(red.withColumnRenamed("a", "cand_id"), ["q_id", "cand_id"])
+            .select(
+                "q_id",
+                "cand_id",
+                "rel",
+                "red",
+                F.round(
+                    F.lit(lam) * F.col("rel") - F.lit(om) * F.col("red"), 7
+                ).alias("mmr"),
+            )
+        )
+        pick = (
+            cand.withColumn("rn", F.row_number().over(sel_w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "q_id", "cand_id", "rel", "red", "mmr", F.lit(r).alias("rank")
+            )
+        )
+        selected = materialize(selected.unionByName(pick))
+    return selected.select(
+        "q_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("cand_id").alias("neighbor_id"),
+        "rel",
+        "red",
+        "mmr",
+    ).orderBy("q_id", "rank")
+
+
+mmr_diversified_retrieval.__doc__ = mmr_diversified_retrieval.__doc__.format(
+    pool=_MMR_POOL, k=_MMR_K, lam=_MMR_LAMBDA,
+    one_minus=round(1.0 - _MMR_LAMBDA, 3),
+)
+
+
+def _mmr_sql() -> str:
+    lam, om = float(_MMR_LAMBDA), float(1.0 - _MMR_LAMBDA)
+    sels = []
+    prev_union = "SELECT q_id, cand_id FROM sel1"
+    sels.append(f"""
+sel1 AS (
+  SELECT q_id, cand_id, rel, 0.0 AS red,
+         ROUND({lam!r} * rel, 7) AS mmr, 1 AS rank
+  FROM (
+    SELECT q_id, cand_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY ROUND({lam!r} * rel, 7) DESC,
+                                       cand_id) AS rn
+    FROM pool)
+  WHERE rn = 1
+)""")
+    for r in range(2, _MMR_K + 1):
+        sels.append(f"""
+sel{r} AS (
+  SELECT q_id, cand_id, rel, red, mmr, {r} AS rank
+  FROM (
+    SELECT p.q_id, p.cand_id, p.rel, rd.red,
+           ROUND({lam!r} * p.rel - {om!r} * rd.red, 7) AS mmr,
+           ROW_NUMBER() OVER (PARTITION BY p.q_id
+                              ORDER BY ROUND({lam!r} * p.rel
+                                             - {om!r} * rd.red, 7) DESC,
+                                       p.cand_id) AS rn
+    FROM pool p
+    JOIN (SELECT pr.q_id, pr.a AS cand_id, MAX(pr.sim) AS red
+          FROM pairs pr
+          JOIN ({prev_union}) s ON pr.q_id = s.q_id AND pr.b = s.cand_id
+          GROUP BY pr.q_id, pr.a) rd
+      ON rd.q_id = p.q_id AND rd.cand_id = p.cand_id
+    LEFT JOIN ({prev_union}) sj
+      ON sj.q_id = p.q_id AND sj.cand_id = p.cand_id
+    WHERE sj.cand_id IS NULL)
+  WHERE rn = 1
+)""")
+        prev_union = " UNION ALL ".join(
+            f"SELECT q_id, cand_id FROM sel{i}" for i in range(1, r + 1)
+        )
+    all_union = " UNION ALL ".join(
+        f"SELECT * FROM sel{i}" for i in range(1, _MMR_K + 1)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % {_QUERY_MOD} = 0),
+scored AS (
+  SELECT q_id, e.vec_id AS cand_id,
+         ROUND(list_cosine_similarity(qv, v), 6) AS rel
+  FROM q, e
+  WHERE e.vec_id <> q_id
+),
+pool AS (
+  SELECT q_id, cand_id, rel FROM (
+    SELECT q_id, cand_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY rel DESC, cand_id) AS rn
+    FROM scored)
+  WHERE rn <= {_MMR_POOL}
+),
+pairs AS (
+  SELECT pa.q_id, pa.cand_id AS a, pb.cand_id AS b,
+         ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+  FROM pool pa
+  JOIN pool pb ON pb.q_id = pa.q_id AND pb.cand_id <> pa.cand_id
+  JOIN e ea ON ea.vec_id = pa.cand_id
+  JOIN e eb ON eb.vec_id = pb.cand_id
+),{",".join(sels)}
+SELECT q_id, CAST(rank AS INTEGER) AS rank, cand_id AS neighbor_id,
+       rel, red, mmr
+FROM ({all_union})
+ORDER BY q_id, rank
+"""
+
+
 QUERIES = {
     "embedding_jl_projection_audit": embedding_jl_projection_audit,
     "ann_opq_subspace_balance": ann_opq_subspace_balance,
+    "mmr_diversified_retrieval": mmr_diversified_retrieval,
     "embedding_cluster_silhouette": embedding_cluster_silhouette,
     "embedding_snapshot_drift": embedding_snapshot_drift,
     "ann_knn_graph_ivf": ann_knn_graph_ivf,
@@ -4044,6 +4267,7 @@ ORACLES = {
     "ann_residual_pq_recall": _RESIDUAL_PQ_SQL,
     "ann_sq8_recall": _SQ8_SQL,
     "ann_rrf_fusion": _RRF_SQL,
+    "mmr_diversified_retrieval": _mmr_sql(),
     "embedding_pca_power_iteration": _PCA_SQL,
     "embedding_pca_top2_deflation": _PCA2_SQL,
     "ann_pq_adc_recall": _PQ_SQL,

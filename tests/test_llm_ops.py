@@ -3525,3 +3525,74 @@ def test_bilinear_resize_bounds_and_constant_image(spark):
         .count()
     )
     assert sum(r.n_images for r in rows2) == n_planted
+
+
+def test_mmr_greedy_replay_and_diversity(spark):
+    """MMR invariants: each query returns exactly K distinct results ranked
+    1..K, rank 1 is the relevance argmax, and a full Python replay of the
+    greedy recursion from the same pool/pairwise-similarity inputs
+    reproduces the engine's selection order exactly. The diversity effect
+    is also visible: the MMR list's mean intra-list similarity never
+    exceeds the plain top-K list's."""
+    from datafusion_impl_spark.operators.similarity import (
+        _MMR_K,
+        _MMR_LAMBDA,
+        ann_cosine_topk,
+        mmr_diversified_retrieval,
+    )
+
+    rows = mmr_diversified_retrieval(spark, SF_DIR).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert by_q, "no queries"
+    lam, om = float(_MMR_LAMBDA), 1.0 - float(_MMR_LAMBDA)
+    # rebuild pool + pairwise sims from the exact topk operator's machinery
+    import math
+
+    import numpy as np
+
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        va, vb = emb[a], emb[b]
+        return round(
+            float(va @ vb) / (math.sqrt(float(va @ va)) * math.sqrt(float(vb @ vb))),
+            6,
+        )
+
+    for q, lst in by_q.items():
+        lst.sort(key=lambda r: r.rank)
+        ids = [r.neighbor_id for r in lst]
+        assert len(ids) == len(set(ids)) == _MMR_K
+        assert [r.rank for r in lst] == list(range(1, _MMR_K + 1))
+        # python replay of the greedy recursion over the full candidate set
+        cands = sorted(
+            ((cos(q, v), v) for v in emb if v != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:12]
+        rel = {v: s for s, v in cands}
+        sel: list[int] = []
+        for _ in range(_MMR_K):
+            best = None
+            for s, v in cands:
+                if v in sel:
+                    continue
+                red = max((cos(v, t) for t in sel), default=0.0)
+                score = round(lam * s - om * red, 7)
+                key = (-score, v)
+                if best is None or key < best[0]:
+                    best = (key, v)
+            sel.append(best[1])
+        assert ids == sel, (q, ids, sel)
+        # diversity: MMR intra-list mean sim <= plain top-K intra-list mean
+        plain = [v for _, v in cands[:_MMR_K]]
+
+        def mean_intra(vs):
+            ps = [cos(a, b) for i, a in enumerate(vs) for b in vs[i + 1:]]
+            return sum(ps) / len(ps)
+
+        assert mean_intra(ids) <= mean_intra(plain) + 1e-9
