@@ -1018,8 +1018,120 @@ FROM wedge, edges, tri
 """
 
 
+# --------------------------------------------------------------------------
+# Multi-source BFS: shortest-path distance profile from seed documents
+# --------------------------------------------------------------------------
+
+#: BFS horizon — distances beyond this are reported as unreached. Level-
+#: synchronous rounds, so the loop is exactly this many bounded joins.
+_BFS_ROUNDS = 4
+#: seed selection: pair-graph nodes with doc_id % mod == 0.
+_BFS_SEED_MOD = 10
+
+
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source breadth-first search over the near-dup graph: from every
+    seed node (doc_id % {mod} = 0), the exact shortest-path distance to each
+    reachable node within {r} hops — the "contamination radius" question a
+    curation team asks when a bad document is found ("everything within 2
+    near-dup hops gets re-reviewed"). Output: per distance level, the number
+    of (seed, node) pairs at that shortest distance and the number of nodes
+    whose NEAREST seed sits at that distance.
+
+    Scale shape: level-synchronous BFS — {r} rounds of (frontier ⋈ edges)
+    equi-joins on the BOUNDED pair graph, each followed by an anti-join
+    against the visited set (so the frontier can only shrink toward the
+    fringe) and a (seed, node) dedup aggregate; every intermediate is
+    localCheckpoint'ed to keep lineage flat. The oracle replays the same
+    horizon with a depth-bounded recursive CTE and takes MIN(d).
+
+    No division anywhere; counts are exact integers."""
+    pairs = (
+        dedup_documents_minhash(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    seeds = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .filter(F.col("node") % _BFS_SEED_MOD == 0)
+    )
+    dist = seeds.select(
+        F.col("node").alias("seed"), F.col("node").alias("node"),
+        F.lit(0).alias("dd"),
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for r in range(1, _BFS_ROUNDS + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["s"])
+            .select("seed", F.col("d").alias("node"), F.lit(r).alias("dd"))
+            .join(dist.select("seed", "node"), ["seed", "node"], "left_anti")
+            .groupBy("seed", "node")
+            .agg(F.min("dd").alias("dd"))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    node_min = dist.groupBy("node").agg(F.min("dd").alias("dmin"))
+    per_pair = dist.groupBy("dd").agg(F.count(F.lit(1)).alias("n_pairs"))
+    per_node = node_min.groupBy("dmin").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    return (
+        per_pair.join(per_node, per_pair["dd"] == per_node["dmin"], "left")
+        .select(
+            F.col("dd").cast("int").alias("distance"),
+            "n_pairs",
+            F.coalesce("n_nodes", F.lit(0)).alias("n_nodes"),
+        )
+        .orderBy("distance")
+    )
+
+
+graph_bfs_distances.__doc__ = graph_bfs_distances.__doc__.format(
+    mod=_BFS_SEED_MOD, r=_BFS_ROUNDS
+)
+
+_BFS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_SQL}) minhash_pairs
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+seeds AS (
+  SELECT DISTINCT s AS node FROM edges WHERE s % {_BFS_SEED_MOD} = 0
+),
+reach(seed, node, dd) AS (
+  SELECT node, node, 0 FROM seeds
+  UNION
+  SELECT r.seed, e.d, r.dd + 1
+  FROM reach r JOIN edges e ON e.s = r.node
+  WHERE r.dd < {_BFS_ROUNDS}
+),
+sp AS (
+  SELECT seed, node, MIN(dd) AS dd FROM reach GROUP BY seed, node
+),
+nm AS (SELECT node, MIN(dd) AS dmin FROM sp GROUP BY node),
+pa AS (SELECT dd, COUNT(*) AS n_pairs FROM sp GROUP BY dd),
+na AS (SELECT dmin AS dd, COUNT(*) AS n_nodes FROM nm GROUP BY dmin)
+SELECT CAST(pa.dd AS INTEGER) AS distance, pa.n_pairs,
+       COALESCE(na.n_nodes, 0) AS n_nodes
+FROM pa LEFT JOIN na USING (dd)
+ORDER BY distance
+"""
+
+
 QUERIES = {
     "dedup_graph_kcore": dedup_graph_kcore,
+    "graph_bfs_distances": graph_bfs_distances,
     "dedup_token_savings": dedup_token_savings,
     "split_group_aware": split_group_aware,
     "dedup_label_communities": dedup_label_communities,
@@ -1032,6 +1144,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_graph_kcore": _KCORE_SQL,
+    "graph_bfs_distances": _BFS_SQL,
     "dedup_token_savings": _TOKEN_SAVINGS_SQL,
     "split_group_aware": _GROUP_SPLIT_SQL,
     "dedup_label_communities": _LPA_SQL,

@@ -3596,3 +3596,47 @@ def test_mmr_greedy_replay_and_diversity(spark):
             return sum(ps) / len(ps)
 
         assert mean_intra(ids) <= mean_intra(plain) + 1e-9
+
+
+def test_bfs_distances_triangle_inequality_and_census(spark):
+    """BFS invariants: distance 0 counts exactly the seeds (pairs == nodes
+    there), per-pair counts at d=1 equal the seeds' symmetric degree sum,
+    every reported distance is within the horizon, and node counts never
+    exceed pair counts at any level (a node's nearest seed is one of its
+    seeds)."""
+    from datafusion_impl_spark.operators.dedup import dedup_documents_minhash
+    from datafusion_impl_spark.operators.graph import (
+        _BFS_ROUNDS,
+        _BFS_SEED_MOD,
+        graph_bfs_distances,
+    )
+
+    rows = graph_bfs_distances(spark, SF_DIR).collect()
+    assert rows, "empty BFS profile"
+    by_d = {r.distance: r for r in rows}
+    assert 0 in by_d, "seeds missing from the profile"
+    assert by_d[0].n_pairs == by_d[0].n_nodes
+    for r in rows:
+        assert 0 <= r.distance <= _BFS_ROUNDS
+        assert 0 <= r.n_nodes <= r.n_pairs
+
+    # replay the d=0/d=1 levels from the raw pair list
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup_documents_minhash(spark, SF_DIR)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    adj: dict[int, set] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seeds = sorted(v for v in adj if v % _BFS_SEED_MOD == 0)
+    assert by_d[0].n_pairs == len(seeds)
+    if 1 in by_d:
+        d1 = sum(len(adj[s]) for s in seeds) - sum(
+            1 for s in seeds for t in adj[s] if t in seeds and t == s
+        )
+        # (seed, node) pairs at distance exactly 1: neighbors that are not
+        # the seed itself; seed-to-seed edges count for both endpoints
+        assert by_d[1].n_pairs == d1
