@@ -1285,6 +1285,152 @@ ORDER BY diversity
 """
 
 
+#: t-closeness policy thresholds audited.
+_T_CLOSE_LEVELS = (0.1, 0.2, 0.3, 0.4, 0.5)
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness census — the distribution-disclosure audit l-diversity
+    misses (Li, Li & Venkatasubramanian 2007): a class can be l-diverse and
+    still leak if its sensitive-value DISTRIBUTION diverges from the
+    population's (e.g. 95% of one segment where the population holds 20%).
+    Over the l-diversity QI classes (nation × $100 balance band) with
+    ``c_mktsegment`` sensitive, compute each class's variational distance
+    (the EMD under the uniform ground metric for categorical attributes)
+    to the global segment distribution, and report per policy threshold t:
+    classes above t, customers in them, and the exposed fraction.
+
+    Cross-engine determinism: the distance is assembled from EXACT integer
+    products — ``Σ_v |n_cv·N − n_v·n_c|`` over the class × segment grid —
+    and divided once by ``2·n_c·N``, so both engines divide identical
+    integers (one IEEE op) before the 6-dp round. (At extreme row counts
+    the integer products approach int64 range; a 100 TB deployment would
+    lift them to DECIMAL(38), a type change, not a plan change.)
+
+    Scale shape: one groupBy over (QI, segment), one over QI, a 5-row
+    broadcast global distribution crossed against the class table (grid =
+    |classes| × 5), and threshold arithmetic over the metadata-sized class
+    summary."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        (F.floor(F.col("c_acctbal") / 100) * 100).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    cells = cust.groupBy("c_nationkey", "bal_band", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cv")
+    )
+    classes = cust.groupBy("c_nationkey", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c")
+    )
+    glob = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_v")
+    )
+    total = cust.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    grid = (
+        classes.crossJoin(F.broadcast(glob))
+        .join(cells, ["c_nationkey", "bal_band", "c_mktsegment"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "c_nationkey",
+            "bal_band",
+            "n_c",
+            "n_total",
+            F.abs(
+                F.coalesce("n_cv", F.lit(0)) * F.col("n_total")
+                - F.col("n_v") * F.col("n_c")
+            ).alias("term"),
+        )
+    )
+    dist = grid.groupBy("c_nationkey", "bal_band", "n_c", "n_total").agg(
+        F.round(
+            # div-safe: n_c >= 1 (GROUP BY class size) and n_total >= 1
+            F.sum("term") / (2.0 * F.col("n_c") * F.col("n_total")), 6
+        ).alias("t_dist")
+    )
+    dist = dist.localCheckpoint(eager=True)
+    base = dist.agg(
+        F.sum("n_c").cast("long").alias("n_customers_total"),
+        F.count(F.lit(1)).cast("long").alias("n_classes_total"),
+    )
+    rows = []
+    for t in _T_CLOSE_LEVELS:
+        above = dist.filter(F.col("t_dist") > t).agg(
+            F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("long").alias(
+                "n_exposed_classes"
+            ),
+            F.coalesce(F.sum("n_c"), F.lit(0)).cast("long").alias(
+                "n_exposed_customers"
+            ),
+        )
+        rows.append(
+            above.crossJoin(F.broadcast(base)).select(
+                F.lit(t).alias("t"),
+                "n_exposed_classes",
+                "n_exposed_customers",
+                # div-safe: n_customers_total = COUNT(*) of customers, >= 1
+                F.round(
+                    F.col("n_exposed_customers") / F.col("n_customers_total"),
+                    6,
+                ).alias("exposed_frac"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("t")
+
+
+_T_CLOSE_SQL = f"""
+WITH qi AS (
+  SELECT c_nationkey,
+         CAST(FLOOR(c_acctbal / 100) * 100 AS BIGINT) AS bal_band,
+         c_mktsegment
+  FROM customer
+),
+cells AS (
+  SELECT c_nationkey, bal_band, c_mktsegment, COUNT(*) AS n_cv
+  FROM qi GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT c_nationkey, bal_band, COUNT(*) AS n_c FROM qi GROUP BY 1, 2
+),
+gseg AS (SELECT c_mktsegment, COUNT(*) AS n_v FROM qi GROUP BY 1),
+total AS (SELECT COUNT(*) AS n_total FROM qi),
+grid AS (
+  SELECT c.c_nationkey, c.bal_band, c.n_c, t.n_total,
+         ABS(COALESCE(ce.n_cv, 0) * t.n_total - g.n_v * c.n_c) AS term
+  FROM classes c
+  CROSS JOIN gseg g
+  CROSS JOIN total t
+  LEFT JOIN cells ce
+    ON ce.c_nationkey = c.c_nationkey AND ce.bal_band = c.bal_band
+   AND ce.c_mktsegment = g.c_mktsegment
+),
+dist AS (
+  SELECT c_nationkey, bal_band, n_c,
+         -- div-safe: n_c >= 1 (GROUP BY class size) and n_total >= 1
+         ROUND(SUM(term) / (2.0 * n_c * n_total), 6) AS t_dist
+  FROM grid GROUP BY c_nationkey, bal_band, n_c, n_total
+),
+base AS (
+  SELECT CAST(SUM(n_c) AS BIGINT) AS n_customers_total FROM dist
+),
+ts(t) AS (VALUES {", ".join(f"({t})" for t in _T_CLOSE_LEVELS)})
+SELECT t,
+       CAST(COALESCE(SUM(CASE WHEN t_dist > t THEN 1 END), 0) AS BIGINT)
+         AS n_exposed_classes,
+       CAST(COALESCE(SUM(CASE WHEN t_dist > t THEN n_c END), 0) AS BIGINT)
+         AS n_exposed_customers,
+       -- div-safe: n_customers_total = COUNT(*) of customers, >= 1
+       ROUND(COALESCE(SUM(CASE WHEN t_dist > t THEN n_c END), 0)
+             / CAST((SELECT n_customers_total FROM base) AS DOUBLE), 6)
+         AS exposed_frac
+FROM dist, ts
+GROUP BY t
+ORDER BY t
+"""
+
+
 def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit audit over order totals — the classic
     fabricated-data / ETL-corruption screen a warehouse runs on monetary
@@ -1456,6 +1602,7 @@ ORDER BY r.event_type
 
 QUERIES = {
     "l_diversity_audit": l_diversity_audit,
+    "t_closeness_audit": t_closeness_audit,
     "user_contribution_capping": user_contribution_capping,
     "daily_revenue_cusum": daily_revenue_cusum,
     "benford_price_audit": benford_price_audit,
@@ -1474,6 +1621,7 @@ QUERIES = {
 
 ORACLES = {
     "l_diversity_audit": _L_DIVERSITY_SQL,
+    "t_closeness_audit": _T_CLOSE_SQL,
     "user_contribution_capping": _CONTRIB_CAP_SQL,
     "daily_revenue_cusum": _CUSUM_SQL,
     "benford_price_audit": _BENFORD_SQL,

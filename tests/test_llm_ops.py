@@ -3640,3 +3640,56 @@ def test_bfs_distances_triangle_inequality_and_census(spark):
         # (seed, node) pairs at distance exactly 1: neighbors that are not
         # the seed itself; seed-to-seed edges count for both endpoints
         assert by_d[1].n_pairs == d1
+
+
+def test_t_closeness_monotone_and_hand_distance(spark):
+    """t-closeness invariants: exposure is monotone non-increasing in t,
+    every fraction is a valid probability, and a hand recomputation of one
+    class's variational distance from raw counts matches the thresholding
+    the report implies (the class is counted above exactly the thresholds
+    below its distance)."""
+    from datafusion_impl_spark.plans.quality import (
+        _T_CLOSE_LEVELS,
+        t_closeness_audit,
+    )
+
+    rows = t_closeness_audit(spark, SF_DIR).collect()
+    assert [r.t for r in rows] == list(_T_CLOSE_LEVELS)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_exposed_classes >= b.n_exposed_classes
+        assert a.n_exposed_customers >= b.n_exposed_customers
+    for r in rows:
+        assert 0.0 <= r.exposed_frac <= 1.0
+
+    # hand-compute every class distance and replay the census
+    cust = (
+        load_table(spark, SF_DIR, "customer")
+        .select(
+            "c_nationkey",
+            (F.floor(F.col("c_acctbal") / 100) * 100)
+            .cast("long")
+            .alias("bal_band"),
+            "c_mktsegment",
+        )
+        .collect()
+    )
+    from collections import Counter
+
+    cells = Counter((r.c_nationkey, r.bal_band, r.c_mktsegment) for r in cust)
+    classes = Counter((r.c_nationkey, r.bal_band) for r in cust)
+    glob = Counter(r.c_mktsegment for r in cust)
+    n = len(cust)
+    dists = {}
+    for cls, n_c in classes.items():
+        num = sum(
+            abs(cells.get((*cls, seg), 0) * n - n_v * n_c)
+            for seg, n_v in glob.items()
+        )
+        dists[cls] = round(num / (2.0 * n_c * n), 6)
+    for r in rows:
+        expect_classes = sum(1 for d in dists.values() if d > r.t)
+        expect_customers = sum(
+            n_c for cls, n_c in classes.items() if dists[cls] > r.t
+        )
+        assert r.n_exposed_classes == expect_classes, r.t
+        assert r.n_exposed_customers == expect_customers, r.t
