@@ -4511,6 +4511,172 @@ ORDER BY feature
 
 
 # --------------------------------------------------------------------------
+# Confident-learning label-noise estimation (Northcutt et al. 2021)
+# --------------------------------------------------------------------------
+
+#: planted noise: 1-in-5 labels are flipped (selection keyed off the
+#: portable md5 ring so the oracle replays the exact flip set).
+_CL_FLIP_MOD = 5
+
+
+def label_noise_confident_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection via confident learning (Northcutt, Jiang &
+    Chuang 2021) — the audit a curation team runs before trusting a cheap
+    labeler: deliberately corrupt 1-in-{mod} quality labels (md5-selected,
+    so the ground truth is known and replayable), train the in-engine
+    logistic classifier ON THE CORRUPTED labels, then estimate the joint
+    (noisy label, true label) distribution with class-threshold confident
+    counts: example i is confidently class j when ``p_j(i) ≥ t_j``, where
+    ``t_j`` is the mean self-confidence of class j's own examples. The
+    report is the confident joint matrix with, per cell, how many of its
+    members were ACTUALLY flipped — off-diagonal cells should be flip-
+    enriched, which pytest asserts and the planted column makes visible.
+
+    Determinism: the trainer is the 10-dp-synced GD kernel; probabilities
+    round to 6 dp before the threshold averages AND the comparisons, so
+    both engines threshold identical doubles.
+
+    Scale shape: one feature pass + {steps} bounded-gradient aggregates
+    (the classifier lineage's shape), one 2-double threshold aggregate
+    broadcast back, one map-side confident assignment, and a ≤ 6-row
+    matrix aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "text"
+    )
+    feats = quality_feature_frame(docs, ["doc_id"])
+    flip = (
+        md5_long(F.concat(F.lit("clnoise:"), F.col("doc_id").cast("string")))
+        % _CL_FLIP_MOD
+        == 0
+    )
+    noisy = materialize(
+        feats.select(
+            "doc_id",
+            "x1",
+            "x2",
+            "x3",
+            flip.cast("int").alias("flipped"),
+            F.when(flip, F.lit(1.0) - F.col("y")).otherwise(F.col("y")).alias(
+                "y"
+            ),
+        )
+    )
+    w = _logreg_fit(noisy.select("x1", "x2", "x3", "y"))
+    # div-safe: 1 + exp(-z) >= 1
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z(w))), 6)
+    scored = noisy.select("flipped", "y", p.alias("p"))
+    th = scored.agg(
+        F.round(F.avg(F.when(F.col("y") == 1.0, F.col("p"))), 6).alias("t1"),
+        F.round(
+            F.avg(F.when(F.col("y") == 0.0, F.lit(1.0) - F.col("p"))), 6
+        ).alias("t0"),
+    )
+    conf = (
+        F.when(
+            (F.col("p") >= F.col("t1"))
+            & ((F.lit(1.0) - F.col("p")) >= F.col("t0")),
+            F.when(F.col("p") >= 0.5, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .when(F.col("p") >= F.col("t1"), F.lit(1))
+        .when((F.lit(1.0) - F.col("p")) >= F.col("t0"), F.lit(0))
+        .otherwise(F.lit(-1))
+    )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .select(
+            F.col("y").cast("int").alias("noisy_label"),
+            conf.alias("confident_label"),
+            "flipped",
+        )
+        .groupBy("noisy_label", "confident_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("flipped").cast("long").alias("n_flipped"),
+            # div-safe: COUNT(*) of a GROUP BY group is >= 1
+            F.round(F.sum("flipped") / F.count(F.lit(1)), 6).alias(
+                "flip_rate"
+            ),
+        )
+        .orderBy("noisy_label", "confident_label")
+    )
+
+
+label_noise_confident_learning.__doc__ = (
+    label_noise_confident_learning.__doc__.format(
+        mod=_CL_FLIP_MOD, steps=_QCLF_STEPS
+    )
+)
+
+_CL_NOISE_SQL = f"""
+WITH RECURSIVE feat0 AS ({_QCLF_FEAT_SQL}),
+feat AS (
+  SELECT doc_id, x1, x2, x3,
+         CASE WHEN {duck_md5_long("'clnoise:' || CAST(doc_id AS VARCHAR)")}
+                   % {_CL_FLIP_MOD} = 0 THEN 1 ELSE 0 END AS flipped,
+         CASE WHEN {duck_md5_long("'clnoise:' || CAST(doc_id AS VARCHAR)")}
+                   % {_CL_FLIP_MOD} = 0 THEN 1.0 - y ELSE y END AS y
+  FROM feat0
+),
+it(iter, w0, w1, w2, w3) AS (
+  SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+         CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+  UNION ALL
+  SELECT iter + 1,
+         ROUND(w0 - {_QCLF_LR} * g0, {_QCLF_SYNC_ROUND}),
+         ROUND(w1 - {_QCLF_LR} * g1, {_QCLF_SYNC_ROUND}),
+         ROUND(w2 - {_QCLF_LR} * g2, {_QCLF_SYNC_ROUND}),
+         ROUND(w3 - {_QCLF_LR} * g3, {_QCLF_SYNC_ROUND})
+  FROM (
+    SELECT iter, w0, w1, w2, w3,
+           ROUND(AVG(p - y), {_QCLF_SYNC_ROUND}) AS g0,
+           ROUND(AVG((p - y) * x1), {_QCLF_SYNC_ROUND}) AS g1,
+           ROUND(AVG((p - y) * x2), {_QCLF_SYNC_ROUND}) AS g2,
+           ROUND(AVG((p - y) * x3), {_QCLF_SYNC_ROUND}) AS g3
+    FROM (
+      -- div-safe: 1 + EXP(-z) >= 1
+      SELECT r.iter, r.w0, r.w1, r.w2, r.w3, f.x1, f.x2, f.x3, f.y,
+             1.0 / (1.0 + EXP(-(r.w0 + r.w1 * f.x1 + r.w2 * f.x2
+                                + r.w3 * f.x3))) AS p
+      FROM it r, feat f
+      WHERE r.iter < {_QCLF_STEPS}
+    )
+    GROUP BY iter, w0, w1, w2, w3
+  )
+),
+final AS (SELECT w0, w1, w2, w3 FROM it WHERE iter = {_QCLF_STEPS}),
+scored AS (
+  -- div-safe: 1 + EXP(-z) >= 1
+  SELECT f.flipped, f.y,
+         ROUND(1.0 / (1.0 + EXP(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2
+                                  + w.w3 * f.x3))), 6) AS p
+  FROM feat f, final w
+),
+th AS (
+  SELECT ROUND(AVG(CASE WHEN y = 1.0 THEN p END), 6) AS t1,
+         ROUND(AVG(CASE WHEN y = 0.0 THEN 1.0 - p END), 6) AS t0
+  FROM scored
+),
+conf AS (
+  SELECT CAST(y AS INTEGER) AS noisy_label, flipped,
+         CASE WHEN p >= t1 AND (1.0 - p) >= t0
+              THEN (CASE WHEN p >= 0.5 THEN 1 ELSE 0 END)
+              WHEN p >= t1 THEN 1
+              WHEN (1.0 - p) >= t0 THEN 0
+              ELSE -1 END AS confident_label
+  FROM scored, th
+)
+SELECT noisy_label, confident_label,
+       COUNT(*) AS n_docs,
+       CAST(SUM(flipped) AS BIGINT) AS n_flipped,
+       -- div-safe: COUNT(*) of a GROUP BY group is >= 1
+       ROUND(SUM(flipped) / CAST(COUNT(*) AS DOUBLE), 6) AS flip_rate
+FROM conf
+GROUP BY noisy_label, confident_label
+ORDER BY noisy_label, confident_label
+"""
+
+
+# --------------------------------------------------------------------------
 # Unigram-LM (SentencePiece-style) tokenizer trainer — the EM counterpart
 # to the BPE merge statistics
 # --------------------------------------------------------------------------
@@ -5137,6 +5303,7 @@ QUERIES = {
     "classifier_incremental_refresh": classifier_incremental_refresh,
     "classifier_feature_auc": classifier_feature_auc,
     "classifier_platt_recalibration": classifier_platt_recalibration,
+    "label_noise_confident_learning": label_noise_confident_learning,
     "text_charset_audit": text_charset_audit,
     "text_nfc_normalization_audit": text_nfc_normalization_audit,
     "heavy_hitters_cms": heavy_hitters_cms,
@@ -5181,6 +5348,7 @@ ORACLES = {
     "classifier_incremental_refresh": _qclf_refresh_sql(),
     "classifier_feature_auc": _FEATURE_AUC_SQL,
     "classifier_platt_recalibration": _platt_sql(),
+    "label_noise_confident_learning": _CL_NOISE_SQL,
     "text_html_extract": _HTML_EXTRACT_SQL,
     "text_charset_audit": _CHARSET_SQL,
     "text_nfc_normalization_audit": _nfc_sql(),

@@ -3693,3 +3693,30 @@ def test_t_closeness_monotone_and_hand_distance(spark):
         )
         assert r.n_exposed_classes == expect_classes, r.t
         assert r.n_exposed_customers == expect_customers, r.t
+
+
+def test_confident_learning_flags_planted_flips(spark):
+    """The point of confident learning: off-diagonal confident cells (noisy
+    label != confident label) must be ENRICHED in planted flips relative to
+    the base flip rate, diagonal cells DEPLETED; the matrix census must
+    cover every scored document once; and the base rate must approximate
+    the planted 1-in-5."""
+    from datafusion_impl_spark.operators.text import (
+        _CL_FLIP_MOD,
+        label_noise_confident_learning,
+    )
+
+    rows = label_noise_confident_learning(spark, SF_DIR).collect()
+    assert rows, "empty noise matrix"
+    n_total = sum(r.n_docs for r in rows)
+    n_flipped = sum(r.n_flipped for r in rows)
+    n_docs_corpus = load_table(spark, SF_DIR, "documents").count()
+    assert n_total == n_docs_corpus
+    base = n_flipped / n_total
+    assert abs(base - 1.0 / _CL_FLIP_MOD) < 0.05
+    off = [r for r in rows if r.confident_label not in (-1, r.noisy_label)]
+    diag = [r for r in rows if r.confident_label == r.noisy_label]
+    assert off, "no off-diagonal mass — the detector found nothing"
+    off_rate = sum(r.n_flipped for r in off) / sum(r.n_docs for r in off)
+    diag_rate = sum(r.n_flipped for r in diag) / sum(r.n_docs for r in diag)
+    assert off_rate > base > diag_rate, (off_rate, base, diag_rate)
