@@ -2670,6 +2670,169 @@ ORDER BY sample_rate
 
 
 # --------------------------------------------------------------------------
+# Audio resampling (rate normalization before feature extraction)
+# --------------------------------------------------------------------------
+
+#: every clip is resampled to this rate (speech pipelines normalize to one
+#: rate — usually 16 kHz — before featurization; the planted corpus mixes
+#: 8/16/24 kHz, so the operator exercises up-, identity- and down-sampling).
+_RESAMPLE_RATE = 16000
+#: per-clip resampled-signal stats rounding (values <= 2000; the only
+#: cross-engine noise is ~100-term sum ordering, ~1e-11 absolute).
+_RESAMPLE_ROUND = 4
+
+
+def audio_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio RATE NORMALIZATION end to end — the step between decode and
+    featurization that makes a mixed-rate corpus usable: decode each
+    planted WAV, linear-interpolation resample it to {rate} Hz inside the
+    map-only kernel (output length ``(n−1)·R // r + 1``; sample ``j`` reads
+    position ``j·r/R`` as ``s[i] + (s[i+1] − s[i])·frac``), and report per
+    source rate: clip count, total output samples, and the mean resampled
+    amplitude and energy. The DuckDB oracle re-derives every output sample
+    from the planted sample FORMULA with the same interpolation arithmetic,
+    so the decoder AND the resampler's index/fraction math are
+    value-checked.
+
+    Determinism: positions and fractions are single IEEE divisions of
+    exact integers (bit-identical cross-engine); the output length uses
+    INTEGER division in both engines; per-clip means round at {r} dp (the
+    sum-order margin is ~1e-11 on these magnitudes).
+
+    Scale shape: decode + resample run inside the scan-stage kernel (blobs
+    and samples never shuffle); the aggregate is 3 rate groups."""
+    import pyarrow as pa
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": pdf["doc_id"].map(lambda d: _wav_encode(int(d))),
+                }
+            )
+
+    def resample(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import math
+
+        for b in batches:
+            doc_ids = b.column(b.schema.get_field_index("doc_id"))
+            blobs = b.column(b.schema.get_field_index("media"))
+            rates, ms, amps, eners = [], [], [], []
+            for v in blobs:
+                rate, s = decode_wav(v.as_py())
+                n = len(s)
+                m = (n - 1) * _RESAMPLE_RATE // rate + 1
+                amp = ener = 0.0
+                for j in range(m):
+                    # div-safe: _RESAMPLE_RATE is a positive constant
+                    pos = j * rate / float(_RESAMPLE_RATE)
+                    i = int(math.floor(pos))
+                    frac = pos - math.floor(pos)
+                    i2 = min(i + 1, n - 1)
+                    val = float(s[i]) + (float(s[i2]) - float(s[i])) * frac
+                    amp += val
+                    ener += val * val
+                rates.append(rate)
+                ms.append(m)
+                # div-safe: m = (n-1)*R//r + 1 >= 1
+                amps.append(_round_half_up_f(amp / m, _RESAMPLE_ROUND))
+                eners.append(_round_half_up_f(ener / m, _RESAMPLE_ROUND))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    pa.array(rates, type=pa.int32()),
+                    pa.array(ms, type=pa.int32()),
+                    pa.array(amps, type=pa.float64()),
+                    pa.array(eners, type=pa.float64()),
+                ],
+                names=["doc_id", "sample_rate", "n_out", "mean_amp",
+                       "mean_energy"],
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % _WAV_SAMPLE_MOD == _WAV_SAMPLE_RES)
+    )
+    clips = docs.mapInPandas(build, "doc_id bigint, media binary")
+    out = clips.mapInArrow(
+        resample,
+        "doc_id bigint, sample_rate int, n_out int, mean_amp double, "
+        "mean_energy double",
+    )
+    return (
+        out.groupBy("sample_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_out").cast("long").alias("total_out_samples"),
+            F.round(F.avg("mean_amp"), _RESAMPLE_ROUND).alias("avg_amp"),
+            F.round(F.avg("mean_energy"), _RESAMPLE_ROUND).alias(
+                "avg_energy"
+            ),
+        )
+        .orderBy("sample_rate")
+    )
+
+
+audio_resample_linear.__doc__ = audio_resample_linear.__doc__.format(
+    rate=_RESAMPLE_RATE, r=_RESAMPLE_ROUND
+)
+
+#: max planted clip length and max resampled length (for the oracle grid).
+_RS_MAX_N = _WAV_N_BASE + _WAV_N_MOD - 1
+_RS_MAX_M = (_RS_MAX_N - 1) * _RESAMPLE_RATE // _WAV_RATE_BASE + 1
+
+_RESAMPLE_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         {_WAV_RATE_BASE} * (1 + doc_id % {_WAV_RATE_MOD}) AS rate,
+         {_WAV_N_BASE} + doc_id % {_WAV_N_MOD} AS n
+  FROM documents
+  WHERE doc_id % {_WAV_SAMPLE_MOD} = {_WAV_SAMPLE_RES}
+),
+lens AS (
+  SELECT doc_id, rate, n,
+         (n - 1) * {_RESAMPLE_RATE} // rate + 1 AS m
+  FROM docs
+),
+outpos AS (
+  SELECT d.doc_id, d.rate, d.n, d.m, gj.j,
+         -- div-safe: the resample target rate is a positive constant
+         gj.j * d.rate / CAST({_RESAMPLE_RATE} AS DOUBLE) AS pos
+  FROM lens d
+  JOIN (SELECT unnest(generate_series(0, {_RS_MAX_M - 1})) AS j) gj
+    ON gj.j < d.m
+),
+vals AS (
+  SELECT doc_id, rate, m,
+         (doc_id * 31 + CAST(FLOOR(pos) AS BIGINT) * 17) % 4001 - 2000
+           + (((doc_id * 31
+                + LEAST(CAST(FLOOR(pos) AS BIGINT) + 1, n - 1) * 17) % 4001
+               - 2000)
+              - ((doc_id * 31 + CAST(FLOOR(pos) AS BIGINT) * 17) % 4001
+                 - 2000)) * (pos - FLOOR(pos)) AS val
+  FROM outpos
+),
+per_clip AS (
+  SELECT doc_id, rate, m,
+         -- div-safe: m = (n-1)*R//r + 1 >= 1
+         ROUND(SUM(val) / m, {_RESAMPLE_ROUND}) AS mean_amp,
+         ROUND(SUM(val * val) / m, {_RESAMPLE_ROUND}) AS mean_energy
+  FROM vals GROUP BY doc_id, rate, m
+)
+SELECT CAST(rate AS INTEGER) AS sample_rate,
+       COUNT(*) AS n_clips,
+       CAST(SUM(m) AS BIGINT) AS total_out_samples,
+       ROUND(AVG(mean_amp), {_RESAMPLE_ROUND}) AS avg_amp,
+       ROUND(AVG(mean_energy), {_RESAMPLE_ROUND}) AS avg_energy
+FROM per_clip
+GROUP BY rate
+ORDER BY sample_rate
+"""
+
+
+# --------------------------------------------------------------------------
 # Bilinear resize (the thumbnail/normalization step of an image pipeline)
 # --------------------------------------------------------------------------
 
@@ -3912,6 +4075,7 @@ QUERIES = {
     "multimodal_wav_spectrum_stats": multimodal_wav_spectrum_stats,
     "audio_mel_filterbank_stats": audio_mel_filterbank_stats,
     "multimodal_resize_bilinear_stats": multimodal_resize_bilinear_stats,
+    "audio_resample_linear": audio_resample_linear,
     "multimodal_y4m_scene_cuts": multimodal_y4m_scene_cuts,
     "multimodal_y4m_decode_stats": multimodal_y4m_decode_stats,
     "multimodal_phash_near_dup": multimodal_phash_near_dup,
@@ -3933,6 +4097,7 @@ ORACLES = {
     "multimodal_wav_spectrum_stats": _WAV_SPECTRUM_SQL,
     "audio_mel_filterbank_stats": _mel_sql(),
     "multimodal_resize_bilinear_stats": _resize_sql(),
+    "audio_resample_linear": _RESAMPLE_SQL,
     "multimodal_y4m_scene_cuts": _Y4M_CUTS_SQL,
     "multimodal_y4m_decode_stats": _Y4M_DECODE_SQL,
     "multimodal_phash_near_dup": _PHASH_SQL,

