@@ -1512,6 +1512,8 @@ noise AS (
 ),
 lap AS (
   SELECT event_type, true_count, capped_count,
+         -- div-safe: cap/eps is a Python-side constant (this is an
+         -- injected literal, not an engine division)
          ROUND((-{float(_DP_CAP) / float(_DP_EPS)!r}
                 * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END))
                * LN(1.0 - 2.0 * ABS(u - 0.5)), 6) AS noise
