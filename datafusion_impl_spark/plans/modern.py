@@ -570,8 +570,99 @@ WHERE l_quantity >= 25
 """
 
 
+# --------------------------------------------------------------------------
+# SQL scripting (BEGIN…END control flow — Spark 4.x procedural surface)
+# --------------------------------------------------------------------------
+
+#: the exposure cap the threshold search enforces.
+_SCRIPT_FRAC = 0.05
+#: histogram band width (dollars) — thresholds are band boundaries so the
+#: band census answers ``price >= t`` exactly.
+_SCRIPT_BAND = 1000
+
+
+def sql_scripting_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Procedural SQL SCRIPTING (Spark 4.x ``BEGIN…END`` with ``DECLARE`` /
+    ``SET`` / ``WHILE``) doing real work: a doubling search for the
+    smallest power-of-two price threshold with at most {frac:.0%} of orders
+    at or above it — the control-flow shape (iterate → re-check a data
+    predicate) that previously required a driver-side loop, now expressed
+    entirely inside the SQL surface.
+
+    Scale discipline: the script never loops over the fact table — the
+    query pre-aggregates orders into a ${band} band histogram ONCE (two-
+    phase groupBy, bounded by the price domain), and every WHILE iteration
+    re-checks a scalar subquery against that metadata-sized view. Doubling
+    means O(log(max_price)) iterations. Thresholds are band boundaries, so
+    the band census answers ``price >= t`` exactly; the DuckDB oracle
+    solves the same search in closed form (MIN over the doubling ladder),
+    which is equivalent because the exposed fraction is monotone in t."""
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    hist = orders.groupBy(
+        F.floor(F.col("o_totalprice") / _SCRIPT_BAND).cast("long").alias("band")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    hist.createOrReplaceTempView("order_band_hist_script")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(f"""
+BEGIN
+  DECLARE n BIGINT;
+  DECLARE t DOUBLE DEFAULT {float(_SCRIPT_BAND)!r};
+  DECLARE frac DOUBLE DEFAULT 1.0;
+  DECLARE n_above BIGINT DEFAULT 0;
+  SET n = (SELECT SUM(cnt) FROM order_band_hist_script);
+  WHILE frac > {_SCRIPT_FRAC!r} DO
+    SET t = t * 2.0;
+    SET n_above = (SELECT COALESCE(SUM(cnt), 0) FROM order_band_hist_script
+                   WHERE band >= CAST(t AS BIGINT) / {_SCRIPT_BAND});
+    -- div-safe: n = COUNT(*) of orders, >= 1
+    SET frac = n_above / CAST(n AS DOUBLE);
+  END WHILE;
+  SELECT n AS n_orders, t AS threshold, n_above,
+         ROUND(frac, 6) AS frac_at_or_above;
+END
+""")
+
+
+sql_scripting_threshold_search.__doc__ = (
+    sql_scripting_threshold_search.__doc__.format(
+        frac=_SCRIPT_FRAC, band=_SCRIPT_BAND
+    )
+)
+
+_SCRIPTING_SQL = f"""
+WITH hist AS (
+  SELECT CAST(FLOOR(o_totalprice / {_SCRIPT_BAND}) AS BIGINT) AS band,
+         COUNT(*) AS cnt
+  FROM orders GROUP BY 1
+),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
+ladder AS (
+  SELECT {float(_SCRIPT_BAND)!r} * POWER(2.0, k) AS t
+  FROM (SELECT unnest(generate_series(1, 40)) AS k)
+),
+evals AS (
+  SELECT t,
+         (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) FROM hist
+          WHERE band >= CAST(t AS BIGINT) / {_SCRIPT_BAND}) AS n_above
+  FROM ladder
+),
+hit AS (
+  -- the doubling loop stops at the FIRST t whose fraction clears the cap;
+  -- the fraction is monotone non-increasing in t, so that is MIN(t)
+  SELECT MIN(t) AS t FROM evals, n
+  -- div-safe: n = COUNT(*) of orders, >= 1
+  WHERE n_above / CAST(n AS DOUBLE) <= {_SCRIPT_FRAC!r}
+)
+SELECT n.n AS n_orders, hit.t AS threshold, e.n_above,
+       -- div-safe: n = COUNT(*) of orders, >= 1
+       ROUND(e.n_above / CAST(n.n AS DOUBLE), 6) AS frac_at_or_above
+FROM hit JOIN evals e ON e.t = hit.t, n
+"""
+
+
 QUERIES = {
     "observed_scan_metrics": observed_scan_metrics,
+    "sql_scripting_threshold_search": sql_scripting_threshold_search,
     "null_safe_segment_join": null_safe_segment_join,
     "pipe_syntax_segment_revenue": pipe_syntax_segment_revenue,
     "sql_udf_revenue_bins": sql_udf_revenue_bins,
@@ -586,6 +677,7 @@ QUERIES = {
 
 ORACLES = {
     "observed_scan_metrics": _OBSERVE_SQL,
+    "sql_scripting_threshold_search": _SCRIPTING_SQL,
     "null_safe_segment_join": _NULL_SAFE_SQL,
     "pipe_syntax_segment_revenue": _PIPE_SQL,
     "sql_udf_revenue_bins": _SQL_UDF_SQL,

@@ -81,3 +81,30 @@ def test_variant_extraction_matches_struct_path(spark):
         for r in events_props_struct(spark, SF_DIR).collect()
     }
     assert var == struct
+
+
+def test_sql_scripting_threshold_is_minimal_and_exact(spark):
+    """The script's doubling search must return the SMALLEST power-of-two
+    band boundary whose at-or-above fraction clears the cap: one halving
+    step back above the threshold must violate the cap, and the reported
+    counts must match a direct recount of orders."""
+    from datafusion_impl_spark.plans.modern import (
+        _SCRIPT_BAND,
+        _SCRIPT_FRAC,
+        sql_scripting_threshold_search,
+    )
+    from datafusion_impl_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    row = sql_scripting_threshold_search(spark, SF_DIR).collect()[0]
+    orders = load_table(spark, SF_DIR, "orders").select("o_totalprice")
+    n = orders.count()
+    assert row.n_orders == n
+    t = row.threshold
+    assert t > _SCRIPT_BAND and (t / _SCRIPT_BAND) == int(t / _SCRIPT_BAND)
+    n_above = orders.filter(F.col("o_totalprice") >= t).count()
+    assert row.n_above == n_above
+    assert n_above / n <= _SCRIPT_FRAC
+    # minimality: half the threshold must violate the cap
+    n_above_half = orders.filter(F.col("o_totalprice") >= t / 2).count()
+    assert n_above_half / n > _SCRIPT_FRAC
