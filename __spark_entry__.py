@@ -118,11 +118,12 @@ _MODULES = [
 #       oracled query has a driver row; evidence floor r5 except
 #       zorder_orders_layout (green r4).
 #   r13 (this list): zorder_orders_layout first (the sole r4-evidence
-#       query), then the 9 r13-NEW operators (never driver-checked; every
-#       one oracle-verified PASS vs DuckDB at sf0.01 in the r13 session),
-#       then the 40 alphabetically-first of the 50 r5-evidence pads. The
-#       10 remaining r5 pads queue in _NEXT_ROTATION; after a green r13
-#       the evidence floor moves to r6 except those ten.
+#       query), then the 19 r13-NEW operators (never driver-checked; every
+#       one oracle-verified PASS vs DuckDB at sf0.01 in the r13 sessions —
+#       9 from the first session, 10 from the second), then the 30
+#       alphabetically-first of the 50 r5-evidence pads. The 20 remaining
+#       r5 pads queue in _NEXT_ROTATION; after a green r13 the evidence
+#       floor moves to r6 except those twenty.
 _PRIORITY = [
     "zorder_orders_layout",          # sole r4-evidence query
     # --- the 9 r13-new operators (never driver-checked) ---
@@ -135,6 +136,17 @@ _PRIORITY = [
     "unigram_viterbi_encode",        # tokenizer apply (Viterbi)
     "dsir_importance_resample",      # hashed-ngram DSIR selection
     "passage_bm25_maxpool",          # RAG passage retrieval (MaxP)
+    # --- the 10 r13-new operators from the second session ---
+    "collocation_pmi_bigrams",       # PMI phrase mining
+    "audio_mel_filterbank_stats",    # mel filterbank (MFCC front half)
+    "multimodal_resize_bilinear_stats",  # bilinear thumbnail resize
+    "audio_resample_linear",         # rate normalization to 16 kHz
+    "mmr_diversified_retrieval",     # MMR diversity reranking
+    "graph_bfs_distances",           # multi-source BFS radius profile
+    "t_closeness_audit",             # EMD privacy census
+    "label_noise_confident_learning",  # planted-flip noise matrix
+    "dp_laplace_event_histogram",    # capped + Laplace DP release
+    "sql_scripting_threshold_search",  # BEGIN/WHILE procedural SQL
     # --- 40 oldest r5-evidence pads (alphabetical head of the 50) ---
     "agg_selector_functions",
     "ann_ivf_pq_topk",
@@ -166,6 +178,13 @@ _PRIORITY = [
     "multimodal_arrow_features",
     "order_price_histogram",
     "pipe_syntax_segment_revenue",
+]
+
+# Beyond the 50-query window: the 20 r5-evidence pads that didn't fit the
+# r13 window (alphabetical tail) — the r14 pad pool, re-derived from
+# CORRECTNESS_r*.json at r14 start; r14-new operators append here as they
+# land.
+_NEXT_ROTATION: list[str] = [
     "pivot_multi_measures",
     "python_datasource_scan",
     "rolling_distinct_customers",
@@ -176,13 +195,6 @@ _PRIORITY = [
     "source_token_gini",
     "sql_udf_revenue_bins",
     "sql_variables_threshold_report",
-]
-
-# Beyond the 50-query window: the 10 r5-evidence pads that didn't fit the
-# r13 window (alphabetical tail) — the r14 pad pool, re-derived from
-# CORRECTNESS_r*.json at r14 start; r14-new operators append here as they
-# land.
-_NEXT_ROTATION: list[str] = [
     "table_checksum_buckets",
     "text_bm25_search",
     "topk_tokens_per_source",
