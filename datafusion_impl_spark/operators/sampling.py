@@ -893,8 +893,135 @@ ORDER BY rep
 _BOOTSTRAP_SQL = _bootstrap_oracle()
 
 
+# --------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) sharding — consistent placement
+# --------------------------------------------------------------------------
+
+#: baseline shard count, and the expanded count after adding one shard.
+_HRW_SHARDS = 8
+
+
+def hrw_consistent_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) hashing — the consistent-placement scheme a 100 TB
+    corpus store uses so GROWING the shard fleet reshuffles only the
+    mathematically minimal fraction of data: each document goes to the
+    shard with the highest md5 weight ``h(shard, doc)``; when a shard is
+    ADDED ({n} → {n1}), a document moves only if the NEW shard now wins its
+    rendezvous — so every move lands on the new shard and the expected
+    moved fraction is exactly 1/{n1} (versus ~100% for ``doc_id % n``
+    modulo sharding). The report gives, per baseline shard: document
+    count, how many moved under expansion, where they landed (all on the
+    new shard — the minimal-disruption invariant, asserted by pytest), and
+    the moved fraction.
+
+    Scale shape: the double argmax is a map-side projection (2·{n1} hash
+    evaluations per row, no shuffle, no state); the census is one
+    {n}-group aggregate. Placement is a pure function of (shard set,
+    doc_id) — any executor, any round, any engine computes the same
+    placement, which is what makes it an oracle-checkable infrastructure
+    primitive."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def shard_of(n: int) -> Column:
+        return F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        md5_long(
+                            F.concat(
+                                F.lit(f"hrw:{s}:"),
+                                F.col("doc_id").cast("string"),
+                            )
+                        ).alias("h"),
+                        F.lit(-s).alias("ns"),
+                    )
+                    for s in range(n)
+                ]
+            )
+        )["ns"] * -1
+
+    placed = docs.select(
+        shard_of(_HRW_SHARDS).alias("shard_old"),
+        shard_of(_HRW_SHARDS + 1).alias("shard_new"),
+    )
+    return (
+        placed.groupBy("shard_old")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("shard_new") != F.col("shard_old")).cast("long")
+            ).alias("n_moved"),
+            F.sum(
+                (
+                    (F.col("shard_new") != F.col("shard_old"))
+                    & (F.col("shard_new") == _HRW_SHARDS)
+                ).cast("long")
+            ).alias("n_moved_to_new"),
+            # div-safe: COUNT(*) of a GROUP BY group is >= 1
+            F.round(
+                F.sum(
+                    (F.col("shard_new") != F.col("shard_old")).cast("long")
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("moved_frac"),
+        )
+        .select(
+            F.col("shard_old").cast("int").alias("shard"),
+            "n_docs",
+            "n_moved",
+            "n_moved_to_new",
+            "moved_frac",
+        )
+        .orderBy("shard")
+    )
+
+
+hrw_consistent_sharding.__doc__ = hrw_consistent_sharding.__doc__.format(
+    n=_HRW_SHARDS, n1=_HRW_SHARDS + 1
+)
+
+_HRW_SQL = f"""
+WITH grid AS (
+  SELECT d.doc_id, gs.s,
+         {duck_md5_long("'hrw:' || CAST(gs.s AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")}
+           AS h
+  FROM documents d
+  JOIN (SELECT unnest(generate_series(0, {_HRW_SHARDS})) AS s) gs ON TRUE
+),
+oldp AS (
+  SELECT doc_id, s AS shard_old FROM (
+    SELECT doc_id, s,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, s) AS rn
+    FROM grid WHERE s < {_HRW_SHARDS})
+  WHERE rn = 1
+),
+newp AS (
+  SELECT doc_id, s AS shard_new FROM (
+    SELECT doc_id, s,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, s) AS rn
+    FROM grid)
+  WHERE rn = 1
+)
+SELECT CAST(shard_old AS INTEGER) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN shard_new <> shard_old THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved,
+       CAST(SUM(CASE WHEN shard_new <> shard_old
+                      AND shard_new = {_HRW_SHARDS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved_to_new,
+       -- div-safe: COUNT(*) of a GROUP BY group is >= 1
+       ROUND(SUM(CASE WHEN shard_new <> shard_old THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS moved_frac
+FROM oldp JOIN newp USING (doc_id)
+GROUP BY shard_old
+ORDER BY shard
+"""
+
+
 QUERIES = {
     "corpus_bootstrap_ci": corpus_bootstrap_ci,
+    "hrw_consistent_sharding": hrw_consistent_sharding,
     "sample_documents_stratified": sample_documents_stratified,
     "corpus_split_assignment": corpus_split_assignment,
     "pack_documents_by_token_budget": pack_documents_by_token_budget,
@@ -920,4 +1047,5 @@ ORACLES = {
     "sample_k_per_source": _SAMPLE_K_SQL,
     "weighted_sample_docs": _WSAMPLE_SQL,
     "sample_horvitz_thompson_estimate": _ht_oracle(),
+    "hrw_consistent_sharding": _HRW_SQL,
 }

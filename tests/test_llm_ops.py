@@ -3798,3 +3798,45 @@ def test_dp_histogram_capping_and_noise_distribution(spark):
     assert any_capped, "cap never bound — test data should exceed it"
     mean_abs = sum(abs(r.noise) for r in rows) / len(rows)
     assert b / 10 < mean_abs < b * 10, mean_abs
+
+
+def test_hrw_minimal_disruption_invariant(spark):
+    """The rendezvous property: every document that moves under fleet
+    expansion moves TO the new shard (n_moved == n_moved_to_new in every
+    row), the overall moved fraction is near 1/(N+1), placement is balanced
+    (no shard holds more than 2x the fair share), and a python replay of
+    the double argmax for a sample of docs matches."""
+    from datafusion_impl_spark.operators import md5_long  # noqa: F401
+    from datafusion_impl_spark.operators.sampling import (
+        _HRW_SHARDS,
+        hrw_consistent_sharding,
+    )
+
+    rows = hrw_consistent_sharding(spark, SF_DIR).collect()
+    assert len(rows) == _HRW_SHARDS
+    n_total = sum(r.n_docs for r in rows)
+    n_moved = sum(r.n_moved for r in rows)
+    for r in rows:
+        assert r.n_moved == r.n_moved_to_new, r
+        assert r.n_docs <= 2 * n_total / _HRW_SHARDS
+    frac = n_moved / n_total
+    expected = 1.0 / (_HRW_SHARDS + 1)
+    assert abs(frac - expected) < expected * 0.5, (frac, expected)
+
+    # python replay on a handful of docs
+    import hashlib
+
+    def h(s_, d):
+        return int(hashlib.md5(f"hrw:{s_}:{d}".encode()).hexdigest()[:15], 16)
+
+    doc_ids = [
+        r.doc_id
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id")
+        .limit(20)
+        .collect()
+    ]
+    for d in doc_ids:
+        old = max(range(_HRW_SHARDS), key=lambda s_: (h(s_, d), -s_))
+        new = max(range(_HRW_SHARDS + 1), key=lambda s_: (h(s_, d), -s_))
+        assert new == old or new == _HRW_SHARDS
