@@ -2436,6 +2436,13 @@ _MEL_FILTERS = 3
 #: log-mel rounding (values are ~log10(1e10) ≈ 10; 4 dp leaves ~9 orders of
 #: margin over last-bit libm drift).
 _MEL_ROUND = 4
+#: Cross-row aggregation of the rounded per-clip log-mels is done as an
+#: EXACT DECIMAL sum (cast each 4-dp multiple to DECIMAL(16,4), SUM, cast
+#: the identical decimal to DOUBLE — no re-ROUND step). Re-rounding an
+#: average of k-dp multiples is the boundary landmine this repo hit twice
+#: in r13: the true mean can sit EXACTLY on a half-boundary (observed:
+#: rate-24000 filter-2 mean landed 1.5e-11 from x.xxxx5, flipping with
+#: partial-agg sum order), where engine ROUNDs disagree.
 
 
 def _mel_weights() -> list[list[float]]:
@@ -2529,7 +2536,7 @@ def audio_mel_filterbank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw spectrum: per planted clip, {f} triangular mel filters pool the
     first {b} DFT bin powers into log-energies
     ``log10(Σ_k w_mk·p_k + 1)``, and per sample rate the report gives the
-    clip count, mean log-mel energies, and how many clips each filter
+    clip count, exact decimal-summed log-mel energies, and how many clips each filter
     dominates. The DuckDB oracle recomputes the DFT from the planted sample
     FORMULA and applies the SAME 6-dp literal weights, so decode, transform,
     and filterbank are all value-checked.
@@ -2578,7 +2585,9 @@ def audio_mel_filterbank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_clips"),
             *[
-                F.round(F.avg(f"m{m}"), _MEL_ROUND).alias(f"avg_m{m}")
+                F.sum(F.col(f"m{m}").cast("decimal(16,4)"))
+                .cast("double")
+                .alias(f"sum_m{m}")
                 for m in range(1, _MEL_FILTERS + 1)
             ],
             *[
@@ -2654,9 +2663,9 @@ dom AS (
 )
 SELECT CAST(rate AS INTEGER) AS sample_rate,
        COUNT(*) AS n_clips,
-       ROUND(AVG(m1), {_MEL_ROUND}) AS avg_m1,
-       ROUND(AVG(m2), {_MEL_ROUND}) AS avg_m2,
-       ROUND(AVG(m3), {_MEL_ROUND}) AS avg_m3,
+       CAST(SUM(CAST(m1 AS DECIMAL(16,4))) AS DOUBLE) AS sum_m1,
+       CAST(SUM(CAST(m2 AS DECIMAL(16,4))) AS DOUBLE) AS sum_m2,
+       CAST(SUM(CAST(m3 AS DECIMAL(16,4))) AS DOUBLE) AS sum_m3,
        CAST(SUM(CASE WHEN dominant_filter = 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_dom1,
        CAST(SUM(CASE WHEN dominant_filter = 2 THEN 1 ELSE 0 END) AS BIGINT)
@@ -2688,8 +2697,8 @@ def audio_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted WAV, linear-interpolation resample it to {rate} Hz inside the
     map-only kernel (output length ``(n−1)·R // r + 1``; sample ``j`` reads
     position ``j·r/R`` as ``s[i] + (s[i+1] − s[i])·frac``), and report per
-    source rate: clip count, total output samples, and the mean resampled
-    amplitude and energy. The DuckDB oracle re-derives every output sample
+    source rate: clip count, total output samples, and the exact decimal
+    sums of per-clip mean amplitude and energy. The DuckDB oracle re-derives every output sample
     from the planted sample FORMULA with the same interpolation arithmetic,
     so the decoder AND the resampler's index/fraction math are
     value-checked.
@@ -2766,10 +2775,15 @@ def audio_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_clips"),
             F.sum("n_out").cast("long").alias("total_out_samples"),
-            F.round(F.avg("mean_amp"), _RESAMPLE_ROUND).alias("avg_amp"),
-            F.round(F.avg("mean_energy"), _RESAMPLE_ROUND).alias(
-                "avg_energy"
-            ),
+            # exact DECIMAL sums of the 4-dp per-clip means (see the mel
+            # filterbank note: re-rounded averages of k-dp multiples can
+            # sit exactly on half-boundaries)
+            F.sum(F.col("mean_amp").cast("decimal(16,4)"))
+            .cast("double")
+            .alias("sum_amp"),
+            F.sum(F.col("mean_energy").cast("decimal(20,4)"))
+            .cast("double")
+            .alias("sum_energy"),
         )
         .orderBy("sample_rate")
     )
@@ -2824,8 +2838,8 @@ per_clip AS (
 SELECT CAST(rate AS INTEGER) AS sample_rate,
        COUNT(*) AS n_clips,
        CAST(SUM(m) AS BIGINT) AS total_out_samples,
-       ROUND(AVG(mean_amp), {_RESAMPLE_ROUND}) AS avg_amp,
-       ROUND(AVG(mean_energy), {_RESAMPLE_ROUND}) AS avg_energy
+       CAST(SUM(CAST(mean_amp AS DECIMAL(16,4))) AS DOUBLE) AS sum_amp,
+       CAST(SUM(CAST(mean_energy AS DECIMAL(20,4))) AS DOUBLE) AS sum_energy
 FROM per_clip
 GROUP BY rate
 ORDER BY sample_rate
@@ -2929,8 +2943,8 @@ def multimodal_resize_bilinear_stats(spark: SparkSession, sf_dir: str) -> DataFr
     pipeline runs between decode and feature extraction: plant real 24-bit
     BMPs for 1-in-4 documents, decode them from bytes alone, bilinear-
     resample each to a fixed {w}x{h} thumbnail inside the map-only kernel,
-    and report per source (width, height) shape: image count and the mean
-    resized channel values. The DuckDB oracle re-derives every output pixel
+    and report per source (width, height) shape: image count and the exact
+    decimal-summed resized channel means. The DuckDB oracle re-derives every output pixel
     from the planted pixel FORMULA with the same sampling arithmetic — so
     decode AND the resampler's coordinate math (half-pixel centers, edge
     clamps, fractional blend) are value-checked.
@@ -2958,9 +2972,18 @@ def multimodal_resize_bilinear_stats(spark: SparkSession, sf_dir: str) -> DataFr
         resized.groupBy("width", "height")
         .agg(
             F.count(F.lit(1)).alias("n_images"),
-            F.round(F.avg("r_mean"), _RESIZE_ROUND).alias("avg_r"),
-            F.round(F.avg("g_mean"), _RESIZE_ROUND).alias("avg_g"),
-            F.round(F.avg("b_mean"), _RESIZE_ROUND).alias("avg_b"),
+            # exact DECIMAL sums of the 6-dp per-image means — re-rounding
+            # an AVG of 6-dp multiples sat EXACTLY on 6-dp half-boundaries
+            # here (132.5555555), a cross-engine coin flip
+            F.sum(F.col("r_mean").cast("decimal(16,6)"))
+            .cast("double")
+            .alias("sum_r"),
+            F.sum(F.col("g_mean").cast("decimal(16,6)"))
+            .cast("double")
+            .alias("sum_g"),
+            F.sum(F.col("b_mean").cast("decimal(16,6)"))
+            .cast("double")
+            .alias("sum_b"),
         )
         .orderBy("width", "height")
     )
@@ -3031,9 +3054,9 @@ per_img AS (
 )
 SELECT CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
        COUNT(*) AS n_images,
-       ROUND(AVG(r_mean), {_RESIZE_ROUND}) AS avg_r,
-       ROUND(AVG(g_mean), {_RESIZE_ROUND}) AS avg_g,
-       ROUND(AVG(b_mean), {_RESIZE_ROUND}) AS avg_b
+       CAST(SUM(CAST(r_mean AS DECIMAL(16,6))) AS DOUBLE) AS sum_r,
+       CAST(SUM(CAST(g_mean AS DECIMAL(16,6))) AS DOUBLE) AS sum_g,
+       CAST(SUM(CAST(b_mean AS DECIMAL(16,6))) AS DOUBLE) AS sum_b
 FROM per_img
 GROUP BY w, h
 ORDER BY width, height

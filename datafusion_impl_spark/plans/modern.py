@@ -571,6 +571,178 @@ WHERE l_quantity >= 25
 
 
 # --------------------------------------------------------------------------
+# Holt-Winters additive forecasting (level + trend + seasonality)
+# --------------------------------------------------------------------------
+
+_HW_ALPHA, _HW_BETA, _HW_GAMMA = 0.3, 0.1, 0.2
+#: seasonal period (months) and the block size of the blocked recursion.
+_HW_SEASON = 12
+_HW_BLOCK = 12
+
+#: step expressions, inlined identically in BOTH engines (sub-expressions
+#: are repeated rather than bound — same value, and SQL has no let):
+#:   sp   = seasonal state for this month's slot (12 steps ago, or 0)
+#:   fc   = one-step-ahead forecast made BEFORE seeing y
+#:   lvl' = α(y − sp) + (1−α)(lvl + trd)
+#:   trd' = β(lvl' − lvl) + (1−β)trd
+#:   s'   = γ(y − lvl') + (1−γ)sp
+_HW_SLOT = "(({i} - 1) % 12) + 1"
+
+
+def _hw_exprs(y: str, i: str, lvl: str, trd: str, sp: str) -> dict[str, str]:
+    a, b, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    lvl1 = f"({a} * ({y} - {sp}) + {1.0 - a} * ({lvl} + {trd}))"
+    return {
+        "fc": f"({lvl} + {trd} + {sp})",
+        "lvl1": lvl1,
+        "trd1": f"({b} * ({lvl1} - {lvl}) + {1.0 - b} * {trd})",
+        "sn": f"({g} * ({y} - {lvl1}) + {1.0 - g} * {sp})",
+    }
+
+
+def holt_winters_monthly_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE exponential smoothing over monthly order
+    revenue — the classic level+trend+seasonality forecaster, reported as
+    the one-step-ahead forecast and its residual per month (the backtest a
+    demand-planning team reads). Zero-initialized seasonal state (level =
+    first month, trend = 0), which the recursion washes out over the
+    ~7-year series; a production deployment would use the classical
+    first-season initialization — a seed change, not a plan change.
+
+    Determinism: monthly revenue sums as DECIMAL(18,2) (exact, order-free)
+    and is cast to double once; every smoothing step is the SAME inlined
+    expression sequence in both engines (sub-expressions repeated, not
+    bound), so the state walk is bit-identical and only the 2-dp output
+    round matters.
+
+    Scale shape: the only corpus-scale work is one monthly groupBy; the
+    recursion follows the repo's blocked-linear-recurrence discipline
+    (``recursive_cte_revenue_ema``): fold ``_HW_BLOCK`` months per
+    recursive step with a higher-order ``aggregate`` carrying
+    (level, trend, seasonal[12]) in a struct, so the ~84-month series
+    costs 7 driver-coordinated steps, not 84."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    months = monthly.select(
+        "month",
+        "revenue",
+        F.row_number().over(Window.orderBy("month")).alias("i"),
+    )
+    blocks = (
+        months.withColumn(
+            # div-safe: _HW_BLOCK is a nonzero module constant
+            "b", ((F.col("i") - 1) / _HW_BLOCK).cast("int") + 1
+        )
+        .groupBy("b")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("i", "month", "revenue"))
+            ).alias("ms")
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    blocks.createOrReplaceTempView("blocks_hw")
+
+    e = _hw_exprs(
+        y="x.revenue",
+        i="x.i",
+        lvl="acc.lvl",
+        trd="acc.trd",
+        sp=f"element_at(acc.seas, {_HW_SLOT.format(i='x.i')})",
+    )
+    out_t = (
+        "ARRAY<STRUCT<i: INT, month: DATE, revenue: DOUBLE, forecast: DOUBLE>>"
+    )
+    step = f"""named_struct(
+        'lvl', CASE WHEN acc.lvl IS NULL THEN CAST(x.revenue AS DOUBLE)
+                    ELSE CAST({e['lvl1']} AS DOUBLE) END,
+        'trd', CASE WHEN acc.lvl IS NULL THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST({e['trd1']} AS DOUBLE) END,
+        'seas', CASE WHEN acc.lvl IS NULL THEN acc.seas
+                     ELSE transform(acc.seas, (v, j) ->
+                         IF(j + 1 = {_HW_SLOT.format(i='x.i')},
+                            CAST({e['sn']} AS DOUBLE), v)) END,
+        'out', array_append(acc.out, named_struct(
+            'i', x.i, 'month', x.month, 'revenue', x.revenue,
+            'forecast', CASE WHEN acc.lvl IS NULL
+                             THEN CAST(x.revenue AS DOUBLE)
+                             ELSE CAST({e['fc']} AS DOUBLE) END)))"""
+
+    def fold(init: str) -> str:
+        return f"aggregate(ms, {init}, (acc, x) -> {step}, acc -> acc)"
+
+    seed = (
+        "named_struct('lvl', CAST(NULL AS DOUBLE), 'trd', CAST(0.0 AS DOUBLE),"
+        " 'seas', array_repeat(CAST(0.0 AS DOUBLE), 12),"
+        f" 'out', CAST(array() AS {out_t}))"
+    )
+    carry = (
+        "named_struct('lvl', e.st.lvl, 'trd', e.st.trd, 'seas', e.st.seas,"
+        f" 'out', CAST(array() AS {out_t}))"
+    )
+    return spark.sql(f"""
+WITH RECURSIVE hw_blocks AS (
+  SELECT b, {fold(seed)} AS st FROM blocks_hw WHERE b = 1
+  UNION ALL
+  SELECT m.b, {fold(carry)} AS st
+  FROM hw_blocks e JOIN blocks_hw m ON m.b = e.b + 1
+)
+SELECT x.month AS month, ROUND(x.revenue, 2) AS revenue,
+       ROUND(x.forecast, 2) AS forecast,
+       ROUND(ABS(x.revenue - x.forecast), 2) AS abs_err
+FROM hw_blocks LATERAL VIEW explode(st.out) t AS x
+ORDER BY month
+""")
+
+
+def _hw_sql() -> str:
+    e = _hw_exprs(
+        y="m.y",
+        i="m.i",
+        lvl="h.lvl",
+        trd="h.trd",
+        sp=f"h.seas[{_HW_SLOT.format(i='m.i')}]",
+    )
+    zero_list = "[" + ", ".join("CAST(0.0 AS DOUBLE)" for _ in range(12)) + "]"
+    return f"""
+WITH RECURSIVE months AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y,
+         ROW_NUMBER() OVER (ORDER BY CAST(date_trunc('month', o_orderdate)
+                                          AS DATE)) AS i
+  FROM orders
+  GROUP BY 1
+),
+hw(i, month, y, lvl, trd, seas, fc) AS (
+  SELECT i, month, y, y, CAST(0.0 AS DOUBLE), {zero_list}, y
+  FROM months WHERE i = 1
+  UNION ALL
+  SELECT m.i, m.month, m.y,
+         CAST({e['lvl1']} AS DOUBLE),
+         CAST({e['trd1']} AS DOUBLE),
+         list_transform(generate_series(1, 12), j ->
+             CASE WHEN j = {_HW_SLOT.format(i='m.i')}
+                  THEN CAST({e['sn']} AS DOUBLE) ELSE h.seas[j] END),
+         CAST({e['fc']} AS DOUBLE)
+  FROM hw h JOIN months m ON m.i = h.i + 1
+)
+SELECT month, ROUND(y, 2) AS revenue, ROUND(fc, 2) AS forecast,
+       ROUND(ABS(y - fc), 2) AS abs_err
+FROM hw
+ORDER BY month
+"""
+
+
+# --------------------------------------------------------------------------
 # SQL scripting (BEGIN…END control flow — Spark 4.x procedural surface)
 # --------------------------------------------------------------------------
 
@@ -663,6 +835,7 @@ FROM hit JOIN evals e ON e.t = hit.t, n
 QUERIES = {
     "observed_scan_metrics": observed_scan_metrics,
     "sql_scripting_threshold_search": sql_scripting_threshold_search,
+    "holt_winters_monthly_forecast": holt_winters_monthly_forecast,
     "null_safe_segment_join": null_safe_segment_join,
     "pipe_syntax_segment_revenue": pipe_syntax_segment_revenue,
     "sql_udf_revenue_bins": sql_udf_revenue_bins,
@@ -678,6 +851,7 @@ QUERIES = {
 ORACLES = {
     "observed_scan_metrics": _OBSERVE_SQL,
     "sql_scripting_threshold_search": _SCRIPTING_SQL,
+    "holt_winters_monthly_forecast": _hw_sql(),
     "null_safe_segment_join": _NULL_SAFE_SQL,
     "pipe_syntax_segment_revenue": _PIPE_SQL,
     "sql_udf_revenue_bins": _SQL_UDF_SQL,
