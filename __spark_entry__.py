@@ -118,15 +118,15 @@ _MODULES = [
 #       oracled query has a driver row; evidence floor r5 except
 #       zorder_orders_layout (green r4).
 #   r13 (this list): zorder_orders_layout first (the sole r4-evidence
-#       query), then the 19 r13-NEW operators (never driver-checked; every
+#       query), then the 21 r13-NEW operators (never driver-checked; every
 #       one oracle-verified PASS vs DuckDB at sf0.01 in the r13 sessions —
-#       9 from the first session, 10 from the second), then the 30
-#       alphabetically-first of the 50 r5-evidence pads. The 20 remaining
+#       9 from the first session, 12 from the second), then the 28
+#       alphabetically-first of the 50 r5-evidence pads. The 22 remaining
 #       r5 pads queue in _NEXT_ROTATION; after a green r13 the evidence
-#       floor moves to r6 except those twenty.
+#       floor moves to r6 except those twenty-two.
 _PRIORITY = [
     "zorder_orders_layout",          # sole r4-evidence query
-    # --- the 9 r13-new operators (never driver-checked) ---
+    # --- the 9 r13-new operators from the first session ---
     "multimodal_jpeg_decode_stats",  # baseline JPEG (DCT+Huffman)
     "multimodal_jpeg_color_stats",   # YCbCr 4:2:0 color JPEG
     "avro_lineitem_roundtrip",       # Avro OCF round-trip (spec-level)
@@ -136,7 +136,7 @@ _PRIORITY = [
     "unigram_viterbi_encode",        # tokenizer apply (Viterbi)
     "dsir_importance_resample",      # hashed-ngram DSIR selection
     "passage_bm25_maxpool",          # RAG passage retrieval (MaxP)
-    # --- the 10 r13-new operators from the second session ---
+    # --- the 12 r13-new operators from the second session ---
     "collocation_pmi_bigrams",       # PMI phrase mining
     "audio_mel_filterbank_stats",    # mel filterbank (MFCC front half)
     "multimodal_resize_bilinear_stats",  # bilinear thumbnail resize
@@ -147,7 +147,9 @@ _PRIORITY = [
     "label_noise_confident_learning",  # planted-flip noise matrix
     "dp_laplace_event_histogram",    # capped + Laplace DP release
     "sql_scripting_threshold_search",  # BEGIN/WHILE procedural SQL
-    # --- 40 oldest r5-evidence pads (alphabetical head of the 50) ---
+    "hrw_consistent_sharding",       # rendezvous minimal-reshuffle proof
+    "holt_winters_monthly_forecast",  # level+trend+seasonal smoothing
+    # --- 28 oldest r5-evidence pads (alphabetical head of the 50) ---
     "agg_selector_functions",
     "ann_ivf_pq_topk",
     "ann_pq_adc_recall",
@@ -176,8 +178,6 @@ _PRIORITY = [
     "map_higher_order_ops",
     "minhash_estimation_error",
     "multimodal_arrow_features",
-    "order_price_histogram",
-    "pipe_syntax_segment_revenue",
 ]
 
 # Beyond the 50-query window: the 20 r5-evidence pads that didn't fit the
@@ -185,6 +185,8 @@ _PRIORITY = [
 # CORRECTNESS_r*.json at r14 start; r14-new operators append here as they
 # land.
 _NEXT_ROTATION: list[str] = [
+    "order_price_histogram",
+    "pipe_syntax_segment_revenue",
     "pivot_multi_measures",
     "python_datasource_scan",
     "rolling_distinct_customers",

@@ -108,3 +108,58 @@ def test_sql_scripting_threshold_is_minimal_and_exact(spark):
     # minimality: half the threshold must violate the cap
     n_above_half = orders.filter(F.col("o_totalprice") >= t / 2).count()
     assert n_above_half / n > _SCRIPT_FRAC
+
+
+def test_holt_winters_python_replay_and_fit(spark):
+    """Holt-Winters invariants: a pure-python replay of the additive
+    recursion from the same DECIMAL-exact monthly series reproduces every
+    one-step-ahead forecast to rounding, the first month forecasts itself
+    (zero residual), and the smoother beats the naive last-value forecast
+    on mean absolute error over the post-warm-up months."""
+    from datafusion_impl_spark.plans.modern import (
+        _HW_ALPHA,
+        _HW_BETA,
+        _HW_GAMMA,
+        holt_winters_monthly_forecast,
+    )
+    from datafusion_impl_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    rows = holt_winters_monthly_forecast(spark, SF_DIR).collect()
+    assert len(rows) >= 24
+    assert rows[0].abs_err == 0.0
+
+    monthly = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y")
+        )
+        .orderBy("month")
+        .collect()
+    )
+    ys = [r.y for r in monthly]
+    a, b, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    lvl, trd, seas = ys[0], 0.0, [0.0] * 12
+    fcs = [ys[0]]
+    for i in range(2, len(ys) + 1):
+        y = ys[i - 1]
+        m = ((i - 1) % 12) + 1
+        sp = seas[m - 1]
+        fcs.append(lvl + trd + sp)
+        lvl1 = a * (y - sp) + (1.0 - a) * (lvl + trd)
+        trd = b * (lvl1 - lvl) + (1.0 - b) * trd
+        seas[m - 1] = g * (y - lvl1) + (1.0 - g) * sp
+        lvl = lvl1
+    assert len(fcs) == len(rows)
+    for r, fc in zip(rows, fcs):
+        assert abs(r.forecast - fc) < 0.02, (r.month, r.forecast, fc)
+    # beats naive last-value forecasting after warm-up (2 seasons)
+    warm = 24
+    hw_err = sum(r.abs_err for r in rows[warm:]) / (len(rows) - warm)
+    naive_err = sum(
+        abs(ys[i] - ys[i - 1]) for i in range(warm, len(ys))
+    ) / (len(ys) - warm)
+    assert hw_err < naive_err, (hw_err, naive_err)
