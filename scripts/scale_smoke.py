@@ -91,6 +91,19 @@ _QUERIES = [
     "multimodal_tar_webdataset_scan",
     "dedup_bbit_minhash",
     "sketch_quantile_histogram",
+    # r13 flagships: the JPEG/mel/resize kernels are map-only
+    # decode+transform passes (expect ~K×), PMI is explode + two-phase
+    # counts + token-key joins (~K×), and BFS runs on the pair graph whose
+    # cross-copy duplicate edges grow the frontier (output-bounded). MMR is
+    # deliberately NOT smoked: its exact first stage is the brute-force
+    # |queries|×|corpus| pool (the ann_cosine_topk shape, O(K²) by
+    # construction); the scale path for retrieval is the IVF family already
+    # covered above.
+    "multimodal_jpeg_decode_stats",
+    "audio_mel_filterbank_stats",
+    "multimodal_resize_bilinear_stats",
+    "collocation_pmi_bigrams",
+    "graph_bfs_distances",
 ]
 
 
