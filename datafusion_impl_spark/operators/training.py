@@ -1167,8 +1167,289 @@ ORDER BY t.source
 """
 
 
+# --------------------------------------------------------------------------
+# Skip-gram training-pair generation (word2vec-style, with negatives)
+# --------------------------------------------------------------------------
+
+#: context window: pairs (center, t[j]) for |j − i| ≤ win, j ≠ i.
+_SG_WIN = 2
+#: Mikolov frequency-subsampling threshold t in p_keep = √(t/f) + t/f.
+_SG_T = 0.001
+#: negatives drawn per kept pair from the unigram^0.75 table.
+_SG_NEG = 2
+#: negative table = top-V corpus tokens by frequency.
+_SG_VOCAB = 512
+#: integer weight scale and the bucket count of the inverse-CDF index.
+_SG_W_SCALE = 1_000_000
+_SG_BUCKETS = 256
+
+
+def skipgram_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2vec-style TRAINING-PAIR ASSEMBLY — the step that turns a corpus
+    into (center, context, negatives) examples for embedding training:
+    (1) skip-gram pairs within a ±{win} window built array-side (one pass,
+    no positional self-join); (2) Mikolov frequency subsampling — each
+    center position is kept with ``p = √(t/f) + t/f`` against an md5-ring
+    uniform, down-weighting stopword-dominated pairs; (3) {neg} negatives
+    per kept pair drawn from the unigram^0.75 distribution of the top-{v}
+    vocab by BUCKETIZED INVERSE-CDF: integer weights (``round(c^0.75·1e6)``,
+    exact cumsums), a {b}-bucket index exploded from the cumulative table,
+    and each draw equi-joins its bucket then range-filters — the
+    distributed alias-free sampling layout (never a per-row scan of the
+    CDF). Per source: raw/kept pair censuses, the kept rate, negative
+    count, exact negative-rank sum (frequency-bias audit), and an md5
+    checksum over drawn negatives.
+
+    Determinism: keep-probabilities use only correctly-rounded IEEE ops
+    (√, /) on identical inputs; weights/cumsums/buckets are exact integers;
+    every draw is a pure function of (doc, position, draw index) on the
+    md5 ring — the oracle replays the exact pair and negative sets.
+
+    Scale shape: pairs explode from the token array (linear in tokens ×
+    2·win); the frequency gate is a hash join on the token key; the
+    negative table is TakeOrdered-bounded and broadcast with its bucket
+    index; the report is one groupBy(source)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens("text").alias("t")
+    )
+    pairs = docs.filter(F.size("t") >= 2).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"""flatten(transform(t, (w, i) -> transform(
+                      filter(sequence(greatest(0, i - {_SG_WIN}),
+                                      least(size(t) - 1, i + {_SG_WIN})),
+                             j -> j != i),
+                      j -> struct(w AS center, t[j] AS context,
+                                  i AS pos, j AS cpos))))"""
+            )
+        ).alias("p"),
+    ).select("doc_id", "source", "p.center", "p.context", "p.pos", "p.cpos")
+    toks = docs.select(F.explode("t").alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    total = toks.agg(F.count(F.lit(1)).cast("long").alias("t_tok"))
+    # keep-probability of a center position: sqrt(t/f) + t/f, f = c_w/T
+    u = (
+        (
+            md5_long(
+                F.concat(
+                    F.lit("sg:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("pos").cast("string"),
+                )
+            )
+            % 1000000
+        ).cast("double")
+        + 0.5
+        # div-safe: literal 1e6 denominator
+    ) / 1000000.0
+    # div-safe: c_w >= 1 (GROUP BY count)
+    tf = (F.lit(_SG_T) * F.col("t_tok")) / F.col("c_w")
+    keep = u < F.least(F.sqrt(tf) + tf, F.lit(1.0))
+    gated = (
+        pairs.join(uni.withColumnRenamed("w", "center"), "center")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "source", "center", "context", "pos", "cpos",
+                keep.alias("keep"))
+    )
+    gated = materialize(gated)
+    # negative table: top-V vocab, integer unigram^0.75 weights, exact cums
+    vocab = (
+        uni.orderBy(F.desc("c_w"), "w")
+        .limit(_SG_VOCAB)
+        .withColumn(
+            "wgt",
+            F.round(F.pow(F.col("c_w").cast("double"), 0.75) * _SG_W_SCALE, 0)
+            .cast("long"),
+        )
+    )
+    wv = Window.orderBy(F.desc("c_w"), "w")
+    vocab = vocab.select(
+        F.col("w").alias("neg_token"),
+        F.row_number().over(wv).alias("rank"),
+        "wgt",
+        (F.sum("wgt").over(wv) - F.col("wgt")).alias("lo"),
+        F.sum("wgt").over(wv).alias("hi"),
+    )
+    vocab = materialize(vocab)
+    tw = vocab.agg(F.max("hi").alias("total_w"))
+    index = (
+        vocab.crossJoin(F.broadcast(tw))
+        .select(
+            "neg_token",
+            "rank",
+            "lo",
+            "hi",
+            F.explode(
+                F.sequence(
+                    F.expr(f"(lo * {_SG_BUCKETS}) div total_w"),
+                    F.expr(f"((hi - 1) * {_SG_BUCKETS}) div total_w"),
+                )
+            ).alias("bucket"),
+        )
+    )
+    draws = (
+        gated.filter("keep")
+        .select(
+            "doc_id", "source", "pos", "cpos",
+            F.explode(F.sequence(F.lit(1), F.lit(_SG_NEG))).alias("j"),
+        )
+        .crossJoin(F.broadcast(tw))
+        .select(
+            "source",
+            (
+                md5_long(
+                    F.concat(
+                        F.lit("sgneg:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("pos").cast("string"),
+                        F.lit(":"),
+                        F.col("cpos").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                )
+                % F.col("total_w")
+            ).alias("u2"),
+            "total_w",
+        )
+        .select(
+            "source",
+            "u2",
+            F.expr(f"(u2 * {_SG_BUCKETS}) div total_w").alias("bucket"),
+        )
+    )
+    negs = draws.join(F.broadcast(index), "bucket").filter(
+        (F.col("lo") <= F.col("u2")) & (F.col("u2") < F.col("hi"))
+    )
+    neg_stats = negs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_negatives"),
+        F.sum("rank").cast("long").alias("neg_rank_sum"),
+        F.sum(
+            md5_long(F.concat(F.lit("c:"), F.col("neg_token"))) % 1000003
+        ).cast("long").alias("neg_checksum"),
+    )
+    pair_stats = gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pairs_raw"),
+        F.sum(F.col("keep").cast("long")).alias("n_pairs_kept"),
+        F.round(
+            # div-safe: every source group holds >= 1 pair (COUNT >= 1)
+            F.sum(F.col("keep").cast("long")) / F.count(F.lit(1)),
+            6,
+        ).alias("kept_rate"),
+    )
+    return (
+        pair_stats.join(neg_stats, "source", "left")
+        .select(
+            "source",
+            "n_pairs_raw",
+            "n_pairs_kept",
+            "kept_rate",
+            F.coalesce("n_negatives", F.lit(0)).alias("n_negatives"),
+            F.coalesce("neg_rank_sum", F.lit(0)).alias("neg_rank_sum"),
+            F.coalesce("neg_checksum", F.lit(0)).alias("neg_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+skipgram_negative_pairs.__doc__ = skipgram_negative_pairs.__doc__.format(
+    win=_SG_WIN, neg=_SG_NEG, v=_SG_VOCAB, b=_SG_BUCKETS
+)
+
+_SKIPGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_DUCK_TOKENS.format(col='text')} AS tk
+  FROM documents),
+posn AS (
+  SELECT t.doc_id, t.source, gi.i - 1 AS pos, tk[gi.i] AS w, len(tk) AS n
+  FROM toks t, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) gi
+  WHERE len(tk) >= 2),
+pairs AS (
+  SELECT c.doc_id, c.source, c.w AS center, x.w AS context,
+         c.pos AS pos, x.pos AS cpos
+  FROM posn c JOIN posn x
+    ON x.doc_id = c.doc_id
+   AND x.pos BETWEEN c.pos - {_SG_WIN} AND c.pos + {_SG_WIN}
+   AND x.pos <> c.pos),
+uni AS (
+  SELECT w, COUNT(*) AS c_w
+  FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_tok
+          FROM (SELECT unnest(tk) FROM toks)),
+gated AS (
+  SELECT p.doc_id, p.source, p.center, p.context, p.pos, p.cpos,
+         (CAST({duck_md5_long("'sg:' || CAST(p.doc_id AS VARCHAR) || ':' || CAST(p.pos AS VARCHAR)")}
+               % 1000000 AS DOUBLE) + 0.5) / 1000000.0
+           -- div-safe (above): literal 1e6; (below): c_w >= 1 twice
+           -- div-safe: c_w is a GROUP BY count, >= 1
+           < LEAST(SQRT(({_SG_T!r} * t_tok) / c_w)
+                   -- div-safe: c_w is a GROUP BY count, >= 1
+                   + ({_SG_T!r} * t_tok) / c_w, 1.0) AS keep
+  FROM pairs p JOIN uni ON uni.w = p.center CROSS JOIN total),
+vocab0 AS (
+  SELECT w AS neg_token, c_w,
+         ROW_NUMBER() OVER (ORDER BY c_w DESC, w) AS rank,
+         CAST(ROUND(POWER(CAST(c_w AS DOUBLE), 0.75) * {_SG_W_SCALE}, 0)
+              AS BIGINT) AS wgt
+  FROM uni
+  ORDER BY c_w DESC, w
+  LIMIT {_SG_VOCAB}),
+vocab AS (
+  SELECT neg_token, rank, wgt,
+         SUM(wgt) OVER (ORDER BY rank) - wgt AS lo,
+         SUM(wgt) OVER (ORDER BY rank) AS hi
+  FROM vocab0),
+tw AS (SELECT MAX(hi) AS total_w FROM vocab),
+idx AS (
+  SELECT neg_token, rank, lo, hi, gb.bucket
+  FROM vocab, tw,
+       LATERAL (SELECT unnest(generate_series(
+                  CAST((lo * {_SG_BUCKETS}) // total_w AS BIGINT),
+                  CAST(((hi - 1) * {_SG_BUCKETS}) // total_w AS BIGINT)))
+                AS bucket) gb),
+draws AS (
+  SELECT g.source,
+         {duck_md5_long("'sgneg:' || CAST(g.doc_id AS VARCHAR) || ':' || CAST(g.pos AS VARCHAR) || ':' || CAST(g.cpos AS VARCHAR) || ':' || CAST(gj.j AS VARCHAR)")}
+           % total_w AS u2
+  FROM gated g,
+       (SELECT unnest(generate_series(1, {_SG_NEG})) AS j) gj,
+       tw
+  WHERE g.keep),
+negs AS (
+  SELECT d.source, i.neg_token, i.rank
+  FROM draws d, tw
+  JOIN idx i ON i.bucket = (d.u2 * {_SG_BUCKETS}) // tw.total_w
+  WHERE i.lo <= d.u2 AND d.u2 < i.hi),
+neg_stats AS (
+  SELECT source, COUNT(*) AS n_negatives,
+         CAST(SUM(rank) AS BIGINT) AS neg_rank_sum,
+         CAST(SUM({duck_md5_long("'c:' || neg_token")} % 1000003) AS BIGINT)
+           AS neg_checksum
+  FROM negs GROUP BY source),
+pair_stats AS (
+  SELECT source, COUNT(*) AS n_pairs_raw,
+         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pairs_kept,
+         -- div-safe: COUNT(*) of a GROUP BY group is >= 1
+         ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS kept_rate
+  FROM gated GROUP BY source)
+SELECT p.source, p.n_pairs_raw, p.n_pairs_kept, p.kept_rate,
+       COALESCE(n.n_negatives, 0) AS n_negatives,
+       COALESCE(n.neg_rank_sum, 0) AS neg_rank_sum,
+       COALESCE(n.neg_checksum, 0) AS neg_checksum
+FROM pair_stats p LEFT JOIN neg_stats n USING (source)
+ORDER BY p.source
+"""
+
+
 QUERIES = {
     "span_corruption_mask_stats": span_corruption_mask_stats,
+    "skipgram_negative_pairs": skipgram_negative_pairs,
     "context_length_sweep": context_length_sweep,
     "doc_length_quantile_normalization": doc_length_quantile_normalization,
     "chunk_documents_sliding": chunk_documents_sliding,
@@ -1185,6 +1466,7 @@ QUERIES = {
 
 ORACLES = {
     "span_corruption_mask_stats": _SPAN_MASK_SQL,
+    "skipgram_negative_pairs": _SKIPGRAM_SQL,
     "context_length_sweep": _CTX_SWEEP_SQL,
     "doc_length_quantile_normalization": _QNORM_SQL,
     "chunk_documents_sliding": _CHUNK_SQL,

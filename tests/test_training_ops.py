@@ -197,3 +197,29 @@ def test_kmeans_assignment_plan_broadcasts_centroids(spark):
     plan = _plan(tr.embedding_kmeans_clusters(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") >= 1
+
+
+def test_skipgram_negative_sampling_is_exact_and_biased(spark):
+    """Skip-gram assembly invariants: every kept pair draws exactly
+    _SG_NEG negatives (each u2 lands in exactly one CDF interval — the
+    bucketized inverse-CDF is a partition), frequency subsampling keeps
+    rare centers MORE often than frequent ones, and the negatives are
+    frequency-biased: the mean drawn rank is far below the uniform-vocab
+    expectation."""
+    from datafusion_impl_spark.operators.training import (
+        _SG_NEG,
+        _SG_VOCAB,
+        skipgram_negative_pairs,
+    )
+
+    rows = skipgram_negative_pairs(spark, SF_DIR).collect()
+    assert rows, "no sources"
+    tot_kept = sum(r.n_pairs_kept for r in rows)
+    tot_neg = sum(r.n_negatives for r in rows)
+    assert tot_kept > 0
+    assert tot_neg == _SG_NEG * tot_kept, (tot_neg, tot_kept)
+    for r in rows:
+        assert 0.0 < r.kept_rate <= 1.0
+        assert r.n_pairs_kept <= r.n_pairs_raw
+    mean_rank = sum(r.neg_rank_sum for r in rows) / tot_neg
+    assert mean_rank < _SG_VOCAB / 4, mean_rank  # uniform would be ~V/2
