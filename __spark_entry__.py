@@ -118,12 +118,12 @@ _MODULES = [
 #       oracled query has a driver row; evidence floor r5 except
 #       zorder_orders_layout (green r4).
 #   r13 (this list): zorder_orders_layout first (the sole r4-evidence
-#       query), then the 22 r13-NEW operators (never driver-checked; every
+#       query), then the 23 r13-NEW operators (never driver-checked; every
 #       one oracle-verified PASS vs DuckDB at sf0.01 in the r13 sessions —
-#       9 from the first session, 13 from the second), then the 27
-#       alphabetically-first of the 50 r5-evidence pads. The 23 remaining
+#       9 from the first session, 14 from the second), then the 26
+#       alphabetically-first of the 50 r5-evidence pads. The 24 remaining
 #       r5 pads queue in _NEXT_ROTATION; after a green r13 the evidence
-#       floor moves to r6 except those twenty-three.
+#       floor moves to r6 except those twenty-four.
 _PRIORITY = [
     "zorder_orders_layout",          # sole r4-evidence query
     # --- the 9 r13-new operators from the first session ---
@@ -150,7 +150,8 @@ _PRIORITY = [
     "hrw_consistent_sharding",       # rendezvous minimal-reshuffle proof
     "holt_winters_monthly_forecast",  # level+trend+seasonal smoothing
     "skipgram_negative_pairs",       # word2vec pair assembly + inverse-CDF
-    # --- 27 oldest r5-evidence pads (alphabetical head of the 50) ---
+    "multimodal_hist_equalization_stats",  # integer-exact contrast remap
+    # --- 26 oldest r5-evidence pads (alphabetical head of the 50) ---
     "agg_selector_functions",
     "ann_ivf_pq_topk",
     "ann_pq_adc_recall",
@@ -177,7 +178,6 @@ _PRIORITY = [
     "grouped_winsorized_stats",
     "length_distribution_psi",
     "map_higher_order_ops",
-    "minhash_estimation_error",
 ]
 
 # Beyond the 50-query window: the 20 r5-evidence pads that didn't fit the
@@ -185,6 +185,7 @@ _PRIORITY = [
 # CORRECTNESS_r*.json at r14 start; r14-new operators append here as they
 # land.
 _NEXT_ROTATION: list[str] = [
+    "minhash_estimation_error",
     "multimodal_arrow_features",
     "order_price_histogram",
     "pipe_syntax_segment_revenue",

@@ -3064,6 +3064,160 @@ ORDER BY width, height
 
 
 # --------------------------------------------------------------------------
+# Histogram equalization (contrast normalization before feature extraction)
+# --------------------------------------------------------------------------
+
+
+def multimodal_hist_equalization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image HISTOGRAM EQUALIZATION of the red channel — the classic
+    contrast normalization a vision pipeline applies between decode and
+    featurization: remap each level v to
+    ``round((cdf(v) − cdf_min) · 255 / (N − cdf_min))`` where ``cdf`` is
+    the image's own cumulative histogram and ``cdf_min`` its darkest
+    occupied level's count. Per (width, height) shape: image count, exact
+    pre/post channel sums, and the summed distinct-level counts before and
+    after (the spread the remap is supposed to widen toward the full
+    0-255 range).
+
+    Cross-engine exactness: the remap is computed ENTIRELY in integer
+    arithmetic — half-up rounding as ``(num·510 + den) // (2·den)`` over
+    exact counts — so there is no floating point anywhere in the operator
+    and the DuckDB replay (pixel formula → per-image histogram → window
+    cdf → the same integer remap) matches bit-for-bit by construction.
+
+    Scale shape: decode + per-image equalization run inside the map-only
+    kernel (a 256-entry table per image, numpy-side); the aggregate is 15
+    shape groups. The oracle's window cdf partitions by doc_id — bounded
+    per-image groups."""
+    import numpy as np
+    import pyarrow as pa
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": pdf["doc_id"].map(lambda d: _bmp_encode(int(d))),
+                }
+            )
+
+    def equalize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            doc_ids = b.column(b.schema.get_field_index("doc_id"))
+            blobs = b.column(b.schema.get_field_index("media"))
+            ws, hs, pre, post, dpre, dpost = [], [], [], [], [], []
+            for v in blobs:
+                w, h, px = decode_bmp(v.as_py())
+                r = px[:, 0].astype(np.int64)
+                n = int(r.size)
+                counts = np.bincount(r, minlength=256)
+                cdf = np.cumsum(counts)
+                occupied = counts > 0
+                cdf_min = int(cdf[occupied.argmax()])  # darkest level count
+                den = max(n - cdf_min, 1)
+                num = (cdf - cdf_min) * 255
+                # integer half-up rounding: (num*2 + den) // (2*den)
+                levels = (num * 2 + den) // (2 * den)
+                out = levels[r]
+                ws.append(w)
+                hs.append(h)
+                pre.append(int(r.sum()))
+                post.append(int(out.sum()))
+                dpre.append(int(occupied.sum()))
+                dpost.append(int(np.unique(levels[occupied]).size))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    pa.array(ws, type=pa.int32()),
+                    pa.array(hs, type=pa.int32()),
+                    pa.array(pre, type=pa.int64()),
+                    pa.array(post, type=pa.int64()),
+                    pa.array(dpre, type=pa.int64()),
+                    pa.array(dpost, type=pa.int64()),
+                ],
+                names=["doc_id", "width", "height", "sum_pre", "sum_post",
+                       "levels_pre", "levels_post"],
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % _BMP_SAMPLE_MOD == 0)
+    )
+    images = docs.mapInPandas(build, "doc_id bigint, media binary")
+    eq = images.mapInArrow(
+        equalize,
+        "doc_id bigint, width int, height int, sum_pre bigint, "
+        "sum_post bigint, levels_pre bigint, levels_post bigint",
+    )
+    return (
+        eq.groupBy("width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("sum_pre").cast("long").alias("sum_pre"),
+            F.sum("sum_post").cast("long").alias("sum_post"),
+            F.sum("levels_pre").cast("long").alias("levels_pre"),
+            F.sum("levels_post").cast("long").alias("levels_post"),
+        )
+        .orderBy("width", "height")
+    )
+
+
+_HISTEQ_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         {_BMP_W_BASE} + doc_id % {_BMP_W_MOD} AS w,
+         {_BMP_H_BASE} + doc_id % {_BMP_H_MOD} AS h
+  FROM documents WHERE doc_id % {_BMP_SAMPLE_MOD} = 0
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (d.doc_id + 3 * gx.x + 7 * gy.y) % 256 AS v
+  FROM docs d
+  JOIN (SELECT unnest(generate_series(0, {_BMP_W_BASE + _BMP_W_MOD - 2})) AS x) gx
+    ON gx.x < d.w
+  JOIN (SELECT unnest(generate_series(0, {_BMP_H_BASE + _BMP_H_MOD - 2})) AS y) gy
+    ON gy.y < d.h
+),
+hist AS (
+  SELECT doc_id, w, h, v, COUNT(*) AS cnt FROM px GROUP BY 1, 2, 3, 4
+),
+cdf AS (
+  SELECT doc_id, w, h, v, cnt,
+         SUM(cnt) OVER (PARTITION BY doc_id ORDER BY v) AS cdf,
+         FIRST_VALUE(cnt) OVER (PARTITION BY doc_id ORDER BY v) AS cdf_min
+  FROM hist
+),
+remap AS (
+  SELECT doc_id, w, h, v, cnt,
+         -- integer half-up: (num*2 + den) // (2*den); den >= 1 via GREATEST
+         CAST(((cdf - cdf_min) * 255 * 2
+               + GREATEST(w * h - cdf_min, 1))
+              -- div-safe: GREATEST(..., 1) >= 1
+              // (2 * GREATEST(w * h - cdf_min, 1)) AS BIGINT) AS post_v
+  FROM cdf
+),
+per_img AS (
+  SELECT doc_id, w, h,
+         CAST(SUM(v * cnt) AS BIGINT) AS sum_pre,
+         CAST(SUM(post_v * cnt) AS BIGINT) AS sum_post,
+         COUNT(*) AS levels_pre,
+         COUNT(DISTINCT post_v) AS levels_post
+  FROM remap GROUP BY 1, 2, 3
+)
+SELECT CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       COUNT(*) AS n_images,
+       CAST(SUM(sum_pre) AS BIGINT) AS sum_pre,
+       CAST(SUM(sum_post) AS BIGINT) AS sum_post,
+       CAST(SUM(levels_pre) AS BIGINT) AS levels_pre,
+       CAST(SUM(levels_post) AS BIGINT) AS levels_post
+FROM per_img
+GROUP BY w, h
+ORDER BY width, height
+"""
+
+
+# --------------------------------------------------------------------------
 # TAR / WebDataset shard round-trip (the training-corpus container format)
 # --------------------------------------------------------------------------
 
@@ -4099,6 +4253,7 @@ QUERIES = {
     "audio_mel_filterbank_stats": audio_mel_filterbank_stats,
     "multimodal_resize_bilinear_stats": multimodal_resize_bilinear_stats,
     "audio_resample_linear": audio_resample_linear,
+    "multimodal_hist_equalization_stats": multimodal_hist_equalization_stats,
     "multimodal_y4m_scene_cuts": multimodal_y4m_scene_cuts,
     "multimodal_y4m_decode_stats": multimodal_y4m_decode_stats,
     "multimodal_phash_near_dup": multimodal_phash_near_dup,
@@ -4121,6 +4276,7 @@ ORACLES = {
     "audio_mel_filterbank_stats": _mel_sql(),
     "multimodal_resize_bilinear_stats": _resize_sql(),
     "audio_resample_linear": _RESAMPLE_SQL,
+    "multimodal_hist_equalization_stats": _HISTEQ_SQL,
     "multimodal_y4m_scene_cuts": _Y4M_CUTS_SQL,
     "multimodal_y4m_decode_stats": _Y4M_DECODE_SQL,
     "multimodal_phash_near_dup": _PHASH_SQL,

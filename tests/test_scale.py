@@ -134,6 +134,7 @@ def test_no_python_in_any_relational_plan(spark):
         "audio_mel_filterbank_stats",   # same contract, mel features (r13)
         "multimodal_resize_bilinear_stats",  # same contract, resampling (r13)
         "audio_resample_linear",        # same contract, rate conversion (r13)
+        "multimodal_hist_equalization_stats",  # same contract, contrast (r13)
         "multimodal_tar_webdataset_scan",  # tar (dis)assembly IS the operator
         "source_gzip_jsonl_scan",       # gunzip kernel IS the operator (the
         # JSON parse itself is JVM-side from_json)
