@@ -118,12 +118,12 @@ _MODULES = [
 #       oracled query has a driver row; evidence floor r5 except
 #       zorder_orders_layout (green r4).
 #   r13 (this list): zorder_orders_layout first (the sole r4-evidence
-#       query), then the 23 r13-NEW operators (never driver-checked; every
+#       query), then the 24 r13-NEW operators (never driver-checked; every
 #       one oracle-verified PASS vs DuckDB at sf0.01 in the r13 sessions —
-#       9 from the first session, 14 from the second), then the 26
-#       alphabetically-first of the 50 r5-evidence pads. The 24 remaining
+#       9 from the first session, 15 from the second), then the 25
+#       alphabetically-first of the 50 r5-evidence pads. The 25 remaining
 #       r5 pads queue in _NEXT_ROTATION; after a green r13 the evidence
-#       floor moves to r6 except those twenty-four.
+#       floor moves to r6 except those twenty-five.
 _PRIORITY = [
     "zorder_orders_layout",          # sole r4-evidence query
     # --- the 9 r13-new operators from the first session ---
@@ -151,7 +151,8 @@ _PRIORITY = [
     "holt_winters_monthly_forecast",  # level+trend+seasonal smoothing
     "skipgram_negative_pairs",       # word2vec pair assembly + inverse-CDF
     "multimodal_hist_equalization_stats",  # integer-exact contrast remap
-    # --- 26 oldest r5-evidence pads (alphabetical head of the 50) ---
+    "rake_keyphrases",               # stopword-run keyphrase scoring
+    # --- 25 oldest r5-evidence pads (alphabetical head of the 50) ---
     "agg_selector_functions",
     "ann_ivf_pq_topk",
     "ann_pq_adc_recall",
@@ -177,7 +178,6 @@ _PRIORITY = [
     "group_by_all_order_stats",
     "grouped_winsorized_stats",
     "length_distribution_psi",
-    "map_higher_order_ops",
 ]
 
 # Beyond the 50-query window: the 20 r5-evidence pads that didn't fit the
@@ -185,6 +185,7 @@ _PRIORITY = [
 # CORRECTNESS_r*.json at r14 start; r14-new operators append here as they
 # land.
 _NEXT_ROTATION: list[str] = [
+    "map_higher_order_ops",
     "minhash_estimation_error",
     "multimodal_arrow_features",
     "order_price_histogram",

@@ -4511,6 +4511,143 @@ ORDER BY feature
 
 
 # --------------------------------------------------------------------------
+# RAKE keyphrase extraction (degree/frequency co-occurrence scoring)
+# --------------------------------------------------------------------------
+
+#: the stopword set shared with the quality features (delimiters between
+#: candidate phrases).
+_RAKE_STOPS = ("the", "a", "of", "and", "is")
+#: candidate phrases longer than this are discarded (RAKE convention).
+_RAKE_MAX_LEN = 4
+#: report size.
+_RAKE_TOP = 15
+
+
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — the stopword-delimited
+    co-occurrence scorer that complements TF-IDF/BM25 term ranking with
+    MULTI-WORD candidates: candidate phrases are maximal stopword-free token
+    runs (gaps-and-islands over positions), each word scores
+    ``deg(w)/freq(w)`` (degree = summed length of the phrases it appears
+    in), and a phrase scores the sum of its words' scores.
+
+    Cross-engine exactness: word scores are computed as INTEGERS in 1e-6
+    units with the half-up division trick ``(deg·2e6 + freq) // (2·freq)``,
+    so phrase scores are exact integer sums — no floating point exists in
+    the operator and no rounding boundary can flip the ranking.
+
+    Scale shape: one posexplode, a per-doc gaps-and-islands window
+    (partitioned by doc_id — bounded by document length), two-phase hash
+    counts for freq/deg, a hash join on the word key, and TakeOrdered
+    top-{top}."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("t")
+    )
+    pos = docs.select(
+        "doc_id", F.posexplode("t").alias("pos", "w")
+    ).filter(~F.col("w").isin(*_RAKE_STOPS))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    runs = pos.withColumn(
+        "grp", F.col("pos") - F.row_number().over(wdoc)
+    )
+    phrases = (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .filter(F.col("n_words") <= _RAKE_MAX_LEN)
+    )
+    phrases = materialize(phrases)
+    pw = phrases.select(
+        "phrase", "n_words", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    wstats = pw.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("n_words").cast("long").alias("deg"),
+    )
+    # integer half-up word score in 1e-6 units: (deg*2e6 + freq) // (2*freq)
+    ws6 = F.expr("(deg * 2000000 + freq) div (2 * freq)")
+    scored_words = wstats.select("w", ws6.alias("ws6"))
+    phrase_scores = (
+        pw.join(scored_words, "w")
+        .groupBy("phrase")
+        .agg(F.sum("ws6").cast("long").alias("score_sum_all"))
+    )
+    occ = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("n_words").cast("int").alias("n_words"),
+    )
+    return (
+        phrase_scores.join(occ, "phrase")
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            # score of ONE occurrence: every occurrence of a phrase
+            # contributes the same word-score sum, so this integer division
+            # is exact
+            # div-safe: n_occurrences = COUNT(*) of a GROUP BY group, >= 1
+            F.expr("score_sum_all div n_occurrences").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), "phrase")
+        .limit(_RAKE_TOP)
+    )
+
+
+rake_keyphrases.__doc__ = rake_keyphrases.__doc__.format(top=_RAKE_TOP)
+
+_RAKE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS tk FROM documents),
+pos AS (
+  SELECT t.doc_id, gi.i - 1 AS pos, tk[gi.i] AS w
+  FROM toks t, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) gi
+  WHERE tk[gi.i] NOT IN {str(tuple(_RAKE_STOPS))}),
+runs AS (
+  SELECT doc_id, pos, w,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM pos),
+phrases AS (
+  SELECT doc_id, grp,
+         string_agg(w, ' ' ORDER BY pos) AS phrase,
+         COUNT(*) AS n_words
+  FROM runs GROUP BY doc_id, grp
+  HAVING COUNT(*) <= {_RAKE_MAX_LEN}),
+pw AS (
+  SELECT phrase, n_words, unnest(string_split(phrase, ' ')) AS w
+  FROM phrases),
+wstats AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(n_words) AS BIGINT) AS deg
+  FROM pw GROUP BY w),
+scored_words AS (
+  SELECT w, (deg * 2000000 + freq) // (2 * freq) AS ws6
+  FROM wstats),
+phrase_scores AS (
+  SELECT phrase, CAST(SUM(ws6) AS BIGINT) AS score_sum_all
+  FROM pw JOIN scored_words USING (w)
+  GROUP BY phrase),
+occ AS (
+  SELECT phrase, COUNT(*) AS n_occurrences,
+         CAST(MAX(n_words) AS INTEGER) AS n_words
+  FROM phrases GROUP BY phrase)
+SELECT p.phrase, o.n_words, o.n_occurrences,
+       -- div-safe: n_occurrences = COUNT(*) of a GROUP BY group, >= 1
+       CAST(p.score_sum_all // o.n_occurrences AS BIGINT) AS score_micro
+FROM phrase_scores p JOIN occ o USING (phrase)
+ORDER BY score_micro DESC, p.phrase
+LIMIT {_RAKE_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
 # Confident-learning label-noise estimation (Northcutt et al. 2021)
 # --------------------------------------------------------------------------
 
@@ -5324,6 +5461,7 @@ QUERIES = {
     "source_token_gini": source_token_gini,
     "text_bm25_search": text_bm25_search,
     "collocation_pmi_bigrams": collocation_pmi_bigrams,
+    "rake_keyphrases": rake_keyphrases,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "corpus_curation_funnel": corpus_curation_funnel,
     "benchmark_decontamination": benchmark_decontamination,
@@ -5370,6 +5508,7 @@ ORACLES = {
     "source_token_gini": _GINI_SQL,
     "text_bm25_search": _BM25_SQL,
     "collocation_pmi_bigrams": _PMI_SQL,
+    "rake_keyphrases": _RAKE_SQL,
     "text_tfidf_top_terms": _TFIDF_SQL,
     "corpus_curation_funnel": _FUNNEL_SQL,
     "benchmark_decontamination": _DECONTAM_SQL,

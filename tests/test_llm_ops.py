@@ -3884,3 +3884,63 @@ def test_hist_equalization_spreads_levels_and_is_integer_exact(spark):
     occ_idx = np.flatnonzero(occ)
     assert levels[occ_idx[0]] == 0
     assert levels[occ_idx[-1]] == 255
+
+
+def test_rake_integer_scores_and_python_replay(spark):
+    """RAKE invariants: every reported phrase is stopword-free and within
+    the length cap, scores are exact positive integers in 1e-6 units, and
+    a pure-python replay of the full pipeline (runs -> freq/deg -> integer
+    word scores -> phrase scores) reproduces the engine's top list."""
+    from datafusion_impl_spark.operators.text import (
+        _RAKE_MAX_LEN,
+        _RAKE_STOPS,
+        _RAKE_TOP,
+        rake_keyphrases,
+        tokens,
+    )
+
+    rows = rake_keyphrases(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= _RAKE_TOP
+    for r in rows:
+        words = r.phrase.split(" ")
+        assert 1 <= len(words) == r.n_words <= _RAKE_MAX_LEN
+        assert not set(words) & set(_RAKE_STOPS)
+        assert r.score_micro > 0
+
+    # python replay
+    from collections import Counter, defaultdict
+
+    toks = [
+        r.t
+        for r in load_table(spark, SF_DIR, "documents")
+        .select(tokens("text").alias("t"))
+        .collect()
+    ]
+    phrases = []
+    for t in toks:
+        cur = []
+        for w in list(t) + [None]:
+            if w is None or w in _RAKE_STOPS:
+                if cur and len(cur) <= _RAKE_MAX_LEN:
+                    phrases.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(w)
+    freq, deg = Counter(), Counter()
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    ws6 = {w: (deg[w] * 2_000_000 + freq[w]) // (2 * freq[w]) for w in freq}
+    pscore = defaultdict(int)
+    pocc = Counter(phrases)
+    for p in set(phrases):
+        pscore[p] = sum(ws6[w] for w in p)
+    top = sorted(
+        ((s, " ".join(p)) for p, s in pscore.items()),
+        key=lambda t2: (-t2[0], t2[1]),
+    )[:_RAKE_TOP]
+    got = [(r.score_micro, r.phrase) for r in rows]
+    assert got == top, (got[:3], top[:3])
+    for r in rows:
+        assert r.n_occurrences == pocc[tuple(r.phrase.split(" "))]
