@@ -136,7 +136,7 @@ _PRIORITY = [
     "unigram_viterbi_encode",        # tokenizer apply (Viterbi)
     "dsir_importance_resample",      # hashed-ngram DSIR selection
     "passage_bm25_maxpool",          # RAG passage retrieval (MaxP)
-    # --- the 12 r13-new operators from the second session ---
+    # --- the 15 r13-new operators from the second session ---
     "collocation_pmi_bigrams",       # PMI phrase mining
     "audio_mel_filterbank_stats",    # mel filterbank (MFCC front half)
     "multimodal_resize_bilinear_stats",  # bilinear thumbnail resize

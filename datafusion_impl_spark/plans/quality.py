@@ -1416,7 +1416,7 @@ dist AS (
 base AS (
   SELECT CAST(SUM(n_c) AS BIGINT) AS n_customers_total FROM dist
 ),
-ts(t) AS (VALUES {", ".join(f"({t})" for t in _T_CLOSE_LEVELS)})
+ts(t) AS (VALUES {", ".join(f"(CAST({t} AS DOUBLE))" for t in _T_CLOSE_LEVELS)})
 SELECT t,
        CAST(COALESCE(SUM(CASE WHEN t_dist > t THEN 1 END), 0) AS BIGINT)
          AS n_exposed_classes,
@@ -1483,7 +1483,12 @@ def dp_laplace_event_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_count",
         "capped_count",
         lap.alias("noise"),
-        F.round(F.col("capped_count") + lap, 4).alias("noisy_count"),
+        # no second ROUND: noise is already a 6-dp multiple, so the sum
+        # capped_count + noise is exactly representable and identical in
+        # both engines; re-rounding a rounded value risks the half-boundary
+        # class where HALF_UP (Spark BigDecimal) and double-multiply ROUND
+        # (DuckDB) disagree (r13 advice).
+        (F.col("capped_count") + lap).alias("noisy_count"),
         F.lit(float(_DP_EPS)).alias("epsilon"),
     ).orderBy("event_type")
 
@@ -1520,7 +1525,7 @@ lap AS (
   FROM noise
 )
 SELECT event_type, true_count, capped_count, noise,
-       ROUND(capped_count + noise, 4) AS noisy_count,
+       capped_count + noise AS noisy_count,
        {float(_DP_EPS)!r} AS epsilon
 FROM lap
 ORDER BY event_type
