@@ -124,67 +124,27 @@ _MODULES = [
 #       alphabetically-first of the 50 r5-evidence pads. The 25 remaining
 #       r5 pads queue in _NEXT_ROTATION; after a green r13 the evidence
 #       floor moves to r6 except those twenty-five.
+#   r14 (this list): MATERIALLY-CHANGED queries first — the five
+#       stream_tws_* queries (consolidated onto the shared composite
+#       stream, r13 verdict #1) and the two r13-ADVICE-touched queries
+#       (dp_laplace_event_histogram: double-round dropped;
+#       t_closeness_audit: oracle VALUES cast) — then r14-NEW operators as
+#       they land, then the 25 r5-evidence pads staged in r13's
+#       _NEXT_ROTATION. Every changed/new entry oracle-verified PASS vs
+#       DuckDB at sf0.01 in the r14 session before staging.
 _PRIORITY = [
-    "zorder_orders_layout",          # sole r4-evidence query
-    # --- the 9 r13-new operators from the first session ---
-    "multimodal_jpeg_decode_stats",  # baseline JPEG (DCT+Huffman)
-    "multimodal_jpeg_color_stats",   # YCbCr 4:2:0 color JPEG
-    "avro_lineitem_roundtrip",       # Avro OCF round-trip (spec-level)
-    "source_protobuf_scan",          # protobuf wire-format scan
-    "hybrid_bm25_dense_rrf",         # lexical+dense RRF ensemble eval
-    "unigram_lm_tokenizer_em",       # SentencePiece-style EM trainer
-    "unigram_viterbi_encode",        # tokenizer apply (Viterbi)
-    "dsir_importance_resample",      # hashed-ngram DSIR selection
-    "passage_bm25_maxpool",          # RAG passage retrieval (MaxP)
-    # --- the 15 r13-new operators from the second session ---
-    "collocation_pmi_bigrams",       # PMI phrase mining
-    "audio_mel_filterbank_stats",    # mel filterbank (MFCC front half)
-    "multimodal_resize_bilinear_stats",  # bilinear thumbnail resize
-    "audio_resample_linear",         # rate normalization to 16 kHz
-    "mmr_diversified_retrieval",     # MMR diversity reranking
-    "graph_bfs_distances",           # multi-source BFS radius profile
-    "t_closeness_audit",             # EMD privacy census
-    "label_noise_confident_learning",  # planted-flip noise matrix
-    "dp_laplace_event_histogram",    # capped + Laplace DP release
-    "sql_scripting_threshold_search",  # BEGIN/WHILE procedural SQL
-    "hrw_consistent_sharding",       # rendezvous minimal-reshuffle proof
-    "holt_winters_monthly_forecast",  # level+trend+seasonal smoothing
-    "skipgram_negative_pairs",       # word2vec pair assembly + inverse-CDF
-    "multimodal_hist_equalization_stats",  # integer-exact contrast remap
-    "rake_keyphrases",               # stopword-run keyphrase scoring
-    # --- 25 oldest r5-evidence pads (alphabetical head of the 50) ---
-    "agg_selector_functions",
-    "ann_ivf_pq_topk",
-    "ann_pq_adc_recall",
-    "bitmap_user_distinct_rollup",
-    "bpe_merge_candidates",
-    "cogrouped_order_gap_stats",
-    "collated_segment_counts",
-    "compact_small_files_plan",
-    "corpus_novelty_curve",
-    "daily_revenue_anomalies",
-    "daily_trend_regression",
-    "data_quality_constraint_report",
-    "dedup_detector_prf",
-    "dedup_documents_winnowing",
-    "dedup_semantic_ivf",
-    "doc_length_quantile_bins",
-    "doc_length_quantile_normalization",
-    "entity_resolution_customers",
-    "event_type_transitions",
-    "events_linear_interpolation",
-    "explode_outer_semantics",
-    "graph_triangle_stats",
-    "group_by_all_order_stats",
-    "grouped_winsorized_stats",
-    "length_distribution_psi",
-]
-
-# Beyond the 50-query window: the 20 r5-evidence pads that didn't fit the
-# r13 window (alphabetical tail) — the r14 pad pool, re-derived from
-# CORRECTNESS_r*.json at r14 start; r14-new operators append here as they
-# land.
-_NEXT_ROTATION: list[str] = [
+    # --- changed in r14: TWS consolidation (must be re-certified) ---
+    "stream_tws_user_totals",
+    "stream_tws_recent_events",
+    "stream_tws_session_timeout",
+    "stream_tws_event_type_profile",
+    "stream_tws_warm_start",
+    # --- changed in r14: r13 ADVICE fixes ---
+    "dp_laplace_event_histogram",    # no second ROUND on noisy_count
+    "t_closeness_audit",             # oracle VALUES cast to DOUBLE
+    # --- r14-new operators (appended as they land) ---
+    "source_zstd_seekable_scan",     # seekable-zstd JSONL shard ingest
+    # --- the 25 r5-evidence pads staged in r13's _NEXT_ROTATION ---
     "map_higher_order_ops",
     "minhash_estimation_error",
     "multimodal_arrow_features",
@@ -211,6 +171,11 @@ _NEXT_ROTATION: list[str] = [
     "weekly_seasonality_decomposition",
     "weighted_sample_docs",
 ]
+
+# Beyond the 50-query window: oldest-evidence (r6) pads queue here to fill
+# whatever the 50-query window has left after _PRIORITY; re-derived from
+# CORRECTNESS_r*.json at r15 start.
+_NEXT_ROTATION: list[str] = []
 
 
 def _ordered(merged: dict) -> dict:

@@ -152,6 +152,11 @@ def main() -> None:
     # judged canary-normalized against an 18 s target at sf0.1 — a silent
     # drift past the target now shows up as tws_within_target=false in
     # every bench artifact instead of needing a by-hand recomputation.
+    # r14: the four full-corpus TWS queries share ONE consolidated stream
+    # run per session (streaming._tws_composite_view) so the subtotal pays
+    # the ~3 s machinery floor twice (composite + warm-start initial-state
+    # stream), not five times — the consolidation the r13 sweep proved was
+    # the only remaining lever.
     _TWS_TARGET_SEC = 18.0
     tws_total = round(
         sum(v for n, v in timings.items() if n.startswith("stream_tws_")), 4

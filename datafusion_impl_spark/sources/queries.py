@@ -847,6 +847,240 @@ ORDER BY shard_id
 
 
 # --------------------------------------------------------------------------
+# Seekable-zstd JSONL shards (zstd seekable format, record-aligned frames)
+# --------------------------------------------------------------------------
+
+#: documents hash-shard into this many .jsonl.zst seekable shards.
+_ZST_SHARDS = 8
+#: records per independent zstd frame (record-aligned chunking keeps the
+#: frame count exactly SQL-replayable: ceil(n_docs_in_shard / this)).
+_ZST_FRAME_DOCS = 25
+#: bounded modulus for the per-shard content-hash sum.
+_ZST_HASH_MOD = 1000003
+#: zstd magic numbers from the PUBLIC RFC 8878 / seekable-format spec.
+_ZST_FRAME_MAGIC = 0xFD2FB528
+_ZST_SKIPPABLE_MAGIC = 0x184D2A5E   # seekable format pins the 0xE variant
+_ZST_SEEKABLE_MAGIC = 0x8F92EAB1    # seek-table footer integrity magic
+
+
+def _zst_build_shard(payload_chunks) -> bytes:
+    """Assemble one SEEKABLE zstd shard from record-aligned payload chunks
+    (each chunk compressed as an INDEPENDENT zstd frame, so any frame can
+    be range-read and decoded without touching its neighbors), followed by
+    the seek table carried in a SKIPPABLE frame per the public zstd
+    seekable-format spec: per-frame (compressed_size u32 LE,
+    decompressed_size u32 LE) entries, then a 9-byte footer
+    (frame_count u32 LE, descriptor byte = 0: no per-frame checksums,
+    seekable magic 0x8F92EAB1)."""
+    import struct
+
+    import pyarrow as pa
+
+    codec = pa.Codec("zstd")
+    frames = []
+    entries = b""
+    for chunk in payload_chunks:
+        comp = bytes(codec.compress(chunk))
+        frames.append(comp)
+        entries += struct.pack("<II", len(comp), len(chunk))
+    table = entries + struct.pack("<IB", len(frames), 0) + struct.pack(
+        "<I", _ZST_SEEKABLE_MAGIC
+    )
+    skippable = struct.pack("<II", _ZST_SKIPPABLE_MAGIC, len(table)) + table
+    return b"".join(frames) + skippable
+
+
+def _zst_read_shard(blob: bytes):
+    """Decode one seekable zstd shard STRICTLY through its seek table —
+    the 100 TB access pattern (range-read a frame, never stream-scan the
+    shard): parse the trailing skippable frame, validate the footer magic
+    and that the frame sizes tile the shard exactly, then decode each data
+    frame independently (magic-checked) with the seek table's
+    decompressed size. Raises loudly on any malformed byte — truncated
+    seek table, wrong magic, or a frame that decodes to the wrong length."""
+    import struct
+
+    import pyarrow as pa
+
+    if len(blob) < 17:
+        raise ValueError("zstd shard truncated: no room for a seek table")
+    (magic,) = struct.unpack_from("<I", blob, len(blob) - 4)
+    if magic != _ZST_SEEKABLE_MAGIC:
+        raise ValueError(f"bad seekable footer magic: {magic:#x}")
+    n_frames, desc = struct.unpack_from("<IB", blob, len(blob) - 9)
+    if desc != 0:
+        raise ValueError(f"unsupported seek-table descriptor: {desc}")
+    table_len = 8 * n_frames + 9
+    skip_start = len(blob) - table_len - 8
+    if skip_start < 0:
+        raise ValueError("zstd shard truncated: seek table overruns shard")
+    skip_magic, skip_len = struct.unpack_from("<II", blob, skip_start)
+    if skip_magic != _ZST_SKIPPABLE_MAGIC:
+        raise ValueError(f"bad skippable-frame magic: {skip_magic:#x}")
+    if skip_len != table_len:
+        raise ValueError("skippable frame length != seek-table length")
+    codec = pa.Codec("zstd")
+    off = 0
+    chunks = []
+    for i in range(n_frames):
+        csize, dsize = struct.unpack_from(
+            "<II", blob, skip_start + 8 + 8 * i
+        )
+        (fmagic,) = struct.unpack_from("<I", blob, off)
+        if fmagic != _ZST_FRAME_MAGIC:
+            raise ValueError(f"bad zstd frame magic at {off}: {fmagic:#x}")
+        try:
+            raw = bytes(codec.decompress(blob[off:off + csize], dsize))
+        except Exception as exc:   # normalize codec errors (OSError etc.)
+            raise ValueError(f"zstd frame {i} failed to decode: {exc}")
+        if len(raw) != dsize:
+            raise ValueError("frame decoded to the wrong length")
+        chunks.append(raw)
+        off += csize
+    if off != skip_start:
+        raise ValueError("frames do not tile the shard up to the seek table")
+    return chunks
+
+
+def source_zstd_seekable_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEEKABLE-ZSTD JSONL ingestion round-trip — the shard layout modern
+    LLM corpora actually ship (zstd-framed ``.jsonl.zst``, e.g.
+    RedPajama/Dolma-style shards): hash-shard the documents, ENCODE each
+    shard as record-aligned INDEPENDENT zstd frames ({frame_docs} docs per
+    frame) plus a trailing seek table in a SKIPPABLE frame per the public
+    zstd seekable-format spec (magics 0xFD2FB528 / 0x184D2A5E /
+    0x8F92EAB1), then ingest the shards back: the Arrow kernel decodes
+    STRICTLY through the seek table — validating that the per-frame
+    compressed/decompressed sizes tile the shard byte-exactly — while the
+    JSON parse stays JVM-side (``from_json`` with an explicit schema, the
+    codegen'd scale path; Python only touches bytes). The entropy decode
+    itself is pyarrow's bundled C zstd (every Spark executor already
+    carries it) — a pure-Python FSE/Huffman decoder would be the wrong
+    engineering at any scale; the spec-level work here is the FRAME and
+    SEEK-TABLE layer, which is what makes 100 TB shards range-readable.
+
+    Per shard the census reports the frame count (record-aligned, so the
+    oracle replays it exactly as ``ceil(n_docs / {frame_docs})``), doc
+    count, char sum, distinct sources, and a bounded content-hash sum over
+    the round-tripped TEXT — any loss anywhere in compress/frame/seek-
+    table/decode/line-split/JSON diverges the hash vs the parquet oracle.
+
+    Scale shape: one shuffle to assemble shards (``applyInPandas`` over
+    the shard key — the distributed shard-writer), map-only seek-table
+    decode, {shards}-row aggregate. At 100 TB, independent frames mean a
+    reader can fetch doc ranges with HTTP range requests and decode only
+    the frames it needs — the reason the seekable format exists."""
+    import json
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text",
+        (F.col("doc_id") % _ZST_SHARDS).cast("int").alias("shard_id"),
+    )
+
+    def build(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        lines = [
+            json.dumps(
+                {
+                    "doc_id": int(r.doc_id),
+                    "source": r.source,
+                    "n_chars": int(r.n_chars),
+                    "text": r.text,
+                },
+                ensure_ascii=False,
+                sort_keys=True,
+            ).encode()
+            + b"\n"
+            for r in pdf.itertuples()
+        ]
+        chunks = [
+            b"".join(lines[i:i + _ZST_FRAME_DOCS])
+            for i in range(0, len(lines), _ZST_FRAME_DOCS)
+        ]
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "zst": [_zst_build_shard(chunks)],
+            }
+        )
+
+    shards = docs.groupBy("shard_id").applyInPandas(
+        build, "shard_id int, zst binary"
+    )
+
+    def unzstd_lines(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            sids, fidx, lines = [], [], []
+            for r in pdf.itertuples():
+                for i, chunk in enumerate(_zst_read_shard(bytes(r.zst))):
+                    # split strictly on \n (same rationale as the gzip
+                    # twin: splitlines() shears records on raw U+2028)
+                    for line in chunk.decode().split("\n"):
+                        if line:
+                            sids.append(int(r.shard_id))
+                            fidx.append(i)
+                            lines.append(line)
+            yield pd.DataFrame(
+                {"shard_id": sids, "frame_idx": fidx, "line": lines}
+            )
+
+    lines = shards.mapInPandas(
+        unzstd_lines, "shard_id int, frame_idx int, line string"
+    )
+    j = F.from_json(
+        "line", "doc_id BIGINT, source STRING, n_chars BIGINT, text STRING"
+    )
+    parsed = lines.select("shard_id", "frame_idx", j.alias("j")).select(
+        "shard_id",
+        "frame_idx",
+        F.col("j.n_chars").alias("n_chars"),
+        F.col("j.source").alias("source"),
+        F.col("j.text").alias("text"),
+    )
+    from datafusion_impl_spark.operators import md5_long
+
+    return (
+        parsed.groupBy("shard_id")
+        .agg(
+            F.countDistinct("frame_idx").cast("long").alias("n_frames"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum(md5_long(F.col("text")) % _ZST_HASH_MOD).alias(
+                "text_hash_sum"
+            ),
+        )
+        .orderBy("shard_id")
+    )
+
+
+source_zstd_seekable_scan.__doc__ = source_zstd_seekable_scan.__doc__.format(
+    shards=_ZST_SHARDS, frame_docs=_ZST_FRAME_DOCS
+)
+
+
+def _zstd_seekable_oracle() -> str:
+    from datafusion_impl_spark.operators import duck_md5_long
+
+    return f"""
+SELECT CAST(doc_id % {_ZST_SHARDS} AS INTEGER) AS shard_id,
+       CAST(CEIL(COUNT(*) / {_ZST_FRAME_DOCS}.0) AS BIGINT) AS n_frames,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM({duck_md5_long("text")} % {_ZST_HASH_MOD}) AS BIGINT)
+         AS text_hash_sum
+FROM documents
+GROUP BY 1
+ORDER BY shard_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Avro Object Container File round-trip (the one mainstream ingest format
 # still absent from CSV/JSON/JSONL/XML/ORC/parquet/tar/gzip)
 # --------------------------------------------------------------------------
@@ -1388,6 +1622,7 @@ QUERIES = {
     "file_lineage_orders": file_lineage_orders,
     "csv_documents_roundtrip": csv_documents_roundtrip,
     "source_gzip_jsonl_scan": source_gzip_jsonl_scan,
+    "source_zstd_seekable_scan": source_zstd_seekable_scan,
     "avro_lineitem_roundtrip": avro_lineitem_roundtrip,
     "source_protobuf_scan": source_protobuf_scan,
 }
@@ -1405,6 +1640,7 @@ ORACLES = {
     "file_lineage_orders": _FILE_LINEAGE_SQL,
     "csv_documents_roundtrip": _CSV_ROUNDTRIP_SQL,
     "source_gzip_jsonl_scan": _gzip_jsonl_oracle(),
+    "source_zstd_seekable_scan": _zstd_seekable_oracle(),
     "avro_lineitem_roundtrip": _AVRO_ROUNDTRIP_SQL,
     "source_protobuf_scan": _protobuf_oracle(),
 }

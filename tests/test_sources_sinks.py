@@ -301,3 +301,60 @@ def test_protobuf_wire_codec_roundtrip_unknown_fields_malformed(spark):
     ):
         with pytest.raises(ValueError):
             list(_pb_decode_stream(bytes(bad)))
+
+
+def test_zstd_seekable_shard_roundtrip_and_malformed_frames():
+    """The seekable-zstd shard layer (r14): build → read must round-trip
+    record-aligned chunks exactly, the seek table must drive the decode
+    (independent frames), and every malformed-byte class must fail LOUDLY
+    — truncated shard, bad footer magic, bad skippable magic, bad frame
+    magic, lying seek-table sizes."""
+    import struct
+
+    import pytest
+
+    from datafusion_impl_spark.sources.queries import (
+        _ZST_FRAME_MAGIC,
+        _ZST_SEEKABLE_MAGIC,
+        _zst_build_shard,
+        _zst_read_shard,
+    )
+
+    chunks = [b"alpha\n" * 10, b"beta\n" * 7, b"\xe2\x80\xa8raw-ls\n"]
+    blob = _zst_build_shard(chunks)
+    assert _zst_read_shard(blob) == chunks
+    # each frame is independently decodable: re-reading a shard built from
+    # only the SECOND chunk yields it alone (no cross-frame history)
+    assert _zst_read_shard(_zst_build_shard(chunks[1:2])) == chunks[1:2]
+    # the shard's first four bytes are a real zstd frame magic
+    assert struct.unpack_from("<I", blob, 0)[0] == _ZST_FRAME_MAGIC
+    assert struct.unpack_from("<I", blob, len(blob) - 4)[0] == (
+        _ZST_SEEKABLE_MAGIC
+    )
+
+    with pytest.raises(ValueError):
+        _zst_read_shard(blob[:10])                      # truncated
+    with pytest.raises(ValueError):
+        _zst_read_shard(blob[:-4] + b"\x00\x00\x00\x00")  # footer magic
+    with pytest.raises(ValueError):
+        # corrupt the skippable-frame magic (first byte of the skippable
+        # header): locate it from the footer's frame count
+        n_frames = struct.unpack_from("<I", blob, len(blob) - 9)[0]
+        skip_start = len(blob) - (8 * n_frames + 9) - 8
+        _zst_read_shard(
+            blob[:skip_start] + b"\x00" + blob[skip_start + 1:]
+        )
+    with pytest.raises(ValueError):
+        _zst_read_shard(b"\x00" + blob[1:])             # frame magic
+    with pytest.raises(ValueError):
+        # lie about the first frame's compressed size: frames no longer
+        # tile the shard (or the slice fails to decode)
+        n_frames = struct.unpack_from("<I", blob, len(blob) - 9)[0]
+        skip_start = len(blob) - (8 * n_frames + 9) - 8
+        entry0 = skip_start + 8
+        csize0, dsize0 = struct.unpack_from("<II", blob, entry0)
+        _zst_read_shard(
+            blob[:entry0]
+            + struct.pack("<II", csize0 - 1, dsize0)
+            + blob[entry0 + 8:]
+        )

@@ -688,6 +688,83 @@ def test_tws_session_timeout_stream_equals_batch(spark):
     not _has_protobuf(),
     reason="transformWithStateInPandas needs google.protobuf",
 )
+def test_tws_composite_list_and_map_surfaces_match_batch(spark):
+    """Per-surface assertions for the CONSOLIDATED TWS stream (r13 verdict
+    #1): the ListState slice (per-user 3 most recent event ids, merged
+    across the even/odd micro-batch boundary) and the MapState slice
+    (per-user distinct event types + exact-micros totals) must each equal
+    their closed-form batch equivalents. The ValueState and timer slices
+    are pinned by test_tws_session_timeout_stream_equals_batch and the
+    user_running_totals_tws tests; TTL and initial-state have their own
+    standalone tests."""
+    from datafusion_impl_spark.streaming import (
+        stream_tws_event_type_profile,
+        stream_tws_recent_events,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+
+    got_recent = {
+        r.user_bucket: (r.n_users, r.n_recent, r.recent_sum)
+        for r in stream_tws_recent_events(spark, SF_DIR).collect()
+    }
+    from pyspark.sql import Window
+
+    top3 = (
+        ev.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_recent"),
+            F.sum("event_id").alias("recent_sum"),
+        )
+    )
+    exp_recent = {
+        r.user_bucket: (r.n_users, r.n_recent, r.recent_sum)
+        for r in top3.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_recent").cast("long").alias("n_recent"),
+            F.sum("recent_sum").cast("long").alias("recent_sum"),
+        )
+        .collect()
+    }
+    assert got_recent == exp_recent
+
+    got_types = {
+        r.user_bucket: (r.n_users, r.n_types, r.n_events, r.value_micros)
+        for r in stream_tws_event_type_profile(spark, SF_DIR).collect()
+    }
+    prof = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+        ).alias("micros"),
+    )
+    exp_types = {
+        r.user_bucket: (r.n_users, r.n_types, r.n_events, r.value_micros)
+        for r in prof.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_types").alias("n_types"),
+            F.sum("n").alias("n_events"),
+            F.sum("micros").alias("value_micros"),
+        )
+        .collect()
+    }
+    assert got_types == exp_types
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf",
+)
 def test_tws_state_ttl_expires_between_batches(spark, dup_events_dir):
     """State TTL (r7): a ValueState declared with ttlDurationMs=1 must be
     GONE by the next micro-batch (wall-clock between availableNow triggers
