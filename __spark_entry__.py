@@ -144,6 +144,7 @@ _PRIORITY = [
     "t_closeness_audit",             # oracle VALUES cast to DOUBLE
     # --- r14-new operators (appended as they land) ---
     "source_zstd_seekable_scan",     # seekable-zstd JSONL shard ingest
+    "audio_vad_segments",            # energy VAD + segment census
     # --- the 25 r5-evidence pads staged in r13's _NEXT_ROTATION ---
     "map_higher_order_ops",
     "minhash_estimation_error",

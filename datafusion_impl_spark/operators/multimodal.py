@@ -2847,6 +2847,254 @@ ORDER BY sample_rate
 
 
 # --------------------------------------------------------------------------
+# Energy-based voice-activity detection + speech-segment census (r13
+# verdict #4: the audio-curation gate every speech pipeline runs before
+# transcription — Sohn-style energy VAD simplified to the frame-energy
+# threshold core, then gaps-and-islands segment merging)
+# --------------------------------------------------------------------------
+
+#: samples per VAD analysis frame (10 ms at 8 kHz).
+_VAD_FRAME = 80
+#: frames per planted clip: 6 + doc_id % 7 (so clips span 6..12 frames and
+#: the island structure varies per clip).
+_VAD_FRAMES_BASE, _VAD_FRAMES_MOD = 6, 7
+#: per-frame speech gate: frame f of doc d is SPEECH iff
+#: (d*7 + f*13) % 5 < 3 (13 ≡ 3 is invertible mod 5, so every 5
+#: consecutive frames hit all residues — every clip has both classes).
+_VAD_SPEECH_LT = 3
+#: voiced decision: integer frame energy (sum of squared samples) above
+#: this. Planted margins are wide — speech frames measure >= ~12.3e6
+#: (arithmetic progression of step 17 spanning ±2000), silence frames
+#: (amplitudes ±20) at most 80*400 = 32_000.
+_VAD_THRESH_SUMSQ = 800_000
+
+
+def _vad_samples(doc_id: int):
+    """Deterministic int16 samples for the planted VAD clip — the formula
+    the DuckDB oracle replays in SQL: frame f speech-gated as above;
+    speech samples ride the ±2000 ramp ``(d*31 + i*17) % 4001 - 2000``,
+    silence samples the ±20 ramp ``(d*31 + i*17) % 41 - 20``."""
+    import numpy as np
+
+    n = (_VAD_FRAMES_BASE + doc_id % _VAD_FRAMES_MOD) * _VAD_FRAME
+    i = np.arange(n, dtype=np.int64)
+    f = i // _VAD_FRAME
+    speech = (doc_id * 7 + f * 13) % 5 < _VAD_SPEECH_LT
+    ramp = doc_id * 31 + i * 17
+    s = np.where(speech, ramp % 4001 - 2000, ramp % 41 - 20)
+    return s.astype("<i2")
+
+
+def _vad_encode(doc_id: int) -> bytes:
+    """Planted VAD clip as a real 16-bit PCM mono WAV (same RIFF layout as
+    :func:`_wav_encode`; rate reuses the 8/16/24 kHz mix)."""
+    import struct
+
+    rate = _WAV_RATE_BASE * (1 + doc_id % _WAV_RATE_MOD)
+    data = _vad_samples(doc_id).tobytes()
+    hdr = struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16)
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def wav_frame_energies(clips: DataFrame) -> DataFrame:
+    """``mapInArrow`` kernel: (doc_id, media BINARY) → one row per
+    ANALYSIS FRAME with its exact integer energy (sum of squared int16
+    samples over the {frame}-sample frame). The decode is per-blob Python
+    by nature; the framing/energy math is vectorized numpy (reshape +
+    row-sum). Emitting frame rows (not segments) keeps the stateful part
+    of VAD — the island merge — in JVM window functions downstream."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            doc_ids = b.column(b.schema.get_field_index("doc_id"))
+            blobs = b.column(b.schema.get_field_index("media"))
+            dids, rates, fidx, sq = [], [], [], []
+            for d, v in zip(doc_ids, blobs):
+                rate, s = decode_wav(v.as_py())
+                if len(s) % _VAD_FRAME:
+                    raise ValueError(
+                        "clip length not frame-aligned: "
+                        f"{len(s)} % {_VAD_FRAME} != 0"
+                    )
+                e = (
+                    s.astype("int64").reshape(-1, _VAD_FRAME) ** 2
+                ).sum(axis=1)
+                dids.extend([d.as_py()] * len(e))
+                rates.extend([rate] * len(e))
+                fidx.extend(range(len(e)))
+                sq.extend(int(x) for x in e)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(dids, type=pa.int64()),
+                    pa.array(rates, type=pa.int32()),
+                    pa.array(fidx, type=pa.int32()),
+                    pa.array(sq, type=pa.int64()),
+                ],
+                names=["doc_id", "sample_rate", "frame_idx", "sum_sq"],
+            )
+
+    return clips.mapInArrow(
+        fn,
+        "doc_id bigint, sample_rate int, frame_idx int, sum_sq bigint",
+    )
+
+
+wav_frame_energies.__doc__ = wav_frame_energies.__doc__.format(
+    frame=_VAD_FRAME
+)
+
+
+def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based VOICE-ACTIVITY DETECTION + speech-segment census — the
+    audio-curation gate a speech pipeline runs before transcription
+    (silence-heavy clips are dropped; segment boundaries become the ASR
+    work units): plant WAV clips with deterministic SPEECH and SILENCE
+    frames, decode them, take each frame's exact integer energy in the
+    Arrow kernel, threshold it ({thresh} on the 80-sample sum of squares —
+    planted speech frames sit >= ~12.3e6, silence <= 32e3, so the decision
+    is never borderline), then merge consecutive voiced frames into
+    segments with the gaps-and-islands idiom — ``frame_idx −
+    row_number()`` over the per-clip voiced stream is constant exactly
+    within a run — all in JVM window functions. Reported per sample rate:
+    clip count, frame totals, voiced counts, segment count, the longest
+    segment, and the corpus speech ratio. The DuckDB oracle replays the
+    planted sample FORMULA through the identical framing, threshold, and
+    island logic, so decode, energy, and merge are all value-checked.
+
+    Scale shape: decode + framing are map-only in the scan stage (blobs
+    never shuffle; frame rows are ~n/80 of sample count); the island
+    window partitions by doc_id (clip-local state, no global sort); the
+    final aggregate is 3 rate groups. At 100 TB this is the standard
+    two-phase segment census: per-clip windows, then a tiny rollup."""
+    from pyspark.sql import Window
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": pdf["doc_id"].map(lambda d: _vad_encode(int(d))),
+                }
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % _WAV_SAMPLE_MOD == _WAV_SAMPLE_RES)
+    )
+    clips = docs.mapInPandas(build, "doc_id bigint, media binary")
+    frames = wav_frame_energies(clips).withColumn(
+        "voiced", F.col("sum_sq") > _VAD_THRESH_SUMSQ
+    )
+
+    per_clip = frames.groupBy("doc_id", "sample_rate").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames")
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    segments = (
+        frames.filter(F.col("voiced"))
+        .withColumn("island", F.col("frame_idx") - F.row_number().over(w))
+        .groupBy("doc_id", "island")
+        .agg(F.count(F.lit(1)).cast("long").alias("seg_len"))
+    )
+    clip_vad = segments.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("seg_len").alias("voiced_frames"),
+        F.max("seg_len").alias("longest_segment"),
+    )
+    census = per_clip.join(clip_vad, "doc_id", "left").select(
+        "sample_rate",
+        "n_frames",
+        F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+        F.coalesce("voiced_frames", F.lit(0)).alias("voiced_frames"),
+        F.coalesce("longest_segment", F.lit(0)).alias("longest_segment"),
+    )
+    return (
+        census.groupBy("sample_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_frames").alias("total_frames"),
+            F.sum("voiced_frames").alias("voiced_frames"),
+            F.sum("n_segments").alias("n_segments"),
+            F.max("longest_segment").alias("max_segment_frames"),
+            F.round(
+                # div-safe: every planted clip carries >= 6 frames
+                F.sum("voiced_frames") / F.sum("n_frames").cast("double"),
+                6,
+            ).alias("speech_ratio"),
+        )
+        .orderBy("sample_rate")
+    )
+
+
+audio_vad_segments.__doc__ = audio_vad_segments.__doc__.format(
+    thresh=_VAD_THRESH_SUMSQ
+)
+
+_VAD_MAX_SAMPLES = (_VAD_FRAMES_BASE + _VAD_FRAMES_MOD - 1) * _VAD_FRAME
+
+_VAD_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         {_WAV_RATE_BASE} * (1 + doc_id % {_WAV_RATE_MOD}) AS rate,
+         ({_VAD_FRAMES_BASE} + doc_id % {_VAD_FRAMES_MOD}) * {_VAD_FRAME}
+           AS n
+  FROM documents
+  WHERE doc_id % {_WAV_SAMPLE_MOD} = {_WAV_SAMPLE_RES}
+),
+samp AS (
+  SELECT d.doc_id, d.rate, d.n, gi.i, gi.i // {_VAD_FRAME} AS f,
+         CASE WHEN (d.doc_id * 7 + (gi.i // {_VAD_FRAME}) * 13) % 5
+                   < {_VAD_SPEECH_LT}
+              THEN (d.doc_id * 31 + gi.i * 17) % 4001 - 2000
+              ELSE (d.doc_id * 31 + gi.i * 17) % 41 - 20
+         END AS s
+  FROM docs d
+  JOIN (SELECT unnest(generate_series(0, {_VAD_MAX_SAMPLES - 1})) AS i) gi
+    ON gi.i < d.n
+),
+frame AS (
+  SELECT doc_id, rate, f, SUM(s * s) AS sum_sq,
+         SUM(s * s) > {_VAD_THRESH_SUMSQ} AS voiced
+  FROM samp GROUP BY doc_id, rate, f
+),
+per_clip AS (
+  SELECT doc_id, rate, COUNT(*) AS n_frames FROM frame GROUP BY 1, 2
+),
+islands AS (
+  SELECT doc_id, f,
+         f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS island
+  FROM frame WHERE voiced
+),
+segments AS (
+  SELECT doc_id, island, COUNT(*) AS seg_len
+  FROM islands GROUP BY doc_id, island
+),
+clip_vad AS (
+  SELECT doc_id, COUNT(*) AS n_segments, SUM(seg_len) AS voiced_frames,
+         MAX(seg_len) AS longest_segment
+  FROM segments GROUP BY doc_id
+)
+SELECT CAST(p.rate AS INTEGER) AS sample_rate,
+       COUNT(*) AS n_clips,
+       CAST(SUM(p.n_frames) AS BIGINT) AS total_frames,
+       CAST(SUM(COALESCE(c.voiced_frames, 0)) AS BIGINT) AS voiced_frames,
+       CAST(SUM(COALESCE(c.n_segments, 0)) AS BIGINT) AS n_segments,
+       CAST(MAX(COALESCE(c.longest_segment, 0)) AS BIGINT)
+         AS max_segment_frames,
+       -- div-safe: every planted clip carries >= {_VAD_FRAMES_BASE} frames
+       ROUND(SUM(COALESCE(c.voiced_frames, 0))
+             / CAST(SUM(p.n_frames) AS DOUBLE), 6) AS speech_ratio
+FROM per_clip p LEFT JOIN clip_vad c ON p.doc_id = c.doc_id
+GROUP BY p.rate
+ORDER BY sample_rate
+"""
+
+
+# --------------------------------------------------------------------------
 # Bilinear resize (the thumbnail/normalization step of an image pipeline)
 # --------------------------------------------------------------------------
 
@@ -4253,6 +4501,7 @@ QUERIES = {
     "audio_mel_filterbank_stats": audio_mel_filterbank_stats,
     "multimodal_resize_bilinear_stats": multimodal_resize_bilinear_stats,
     "audio_resample_linear": audio_resample_linear,
+    "audio_vad_segments": audio_vad_segments,
     "multimodal_hist_equalization_stats": multimodal_hist_equalization_stats,
     "multimodal_y4m_scene_cuts": multimodal_y4m_scene_cuts,
     "multimodal_y4m_decode_stats": multimodal_y4m_decode_stats,
@@ -4276,6 +4525,7 @@ ORACLES = {
     "audio_mel_filterbank_stats": _mel_sql(),
     "multimodal_resize_bilinear_stats": _resize_sql(),
     "audio_resample_linear": _RESAMPLE_SQL,
+    "audio_vad_segments": _VAD_SQL,
     "multimodal_hist_equalization_stats": _HISTEQ_SQL,
     "multimodal_y4m_scene_cuts": _Y4M_CUTS_SQL,
     "multimodal_y4m_decode_stats": _Y4M_DECODE_SQL,

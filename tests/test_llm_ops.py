@@ -3944,3 +3944,48 @@ def test_rake_integer_scores_and_python_replay(spark):
     assert got == top, (got[:3], top[:3])
     for r in rows:
         assert r.n_occurrences == pocc[tuple(r.phrase.split(" "))]
+
+
+def test_vad_planted_clips_have_both_classes_and_exact_segments():
+    """The VAD plant (r14): every clip must contain BOTH speech and
+    silence frames with never-borderline energies, and the per-clip
+    segment census (count, voiced frames, longest run) must equal a
+    straight numpy re-derivation of the gaps-and-islands merge."""
+    import numpy as np
+
+    from datafusion_impl_spark.operators.multimodal import (
+        _VAD_FRAME,
+        _VAD_SPEECH_LT,
+        _VAD_THRESH_SUMSQ,
+        _vad_encode,
+        _vad_samples,
+        decode_wav,
+    )
+
+    for doc_id in range(2, 2 + 4 * 7, 4):   # cover every frame-count residue
+        data = _vad_encode(doc_id)
+        rate, s = decode_wav(data)
+        assert rate == 8000 * (1 + doc_id % 3)
+        ref = _vad_samples(doc_id)
+        assert s.tolist() == ref.tolist()
+        assert len(s) % _VAD_FRAME == 0
+
+        e = (s.astype("int64").reshape(-1, _VAD_FRAME) ** 2).sum(axis=1)
+        f = np.arange(len(e))
+        speech = (doc_id * 7 + f * 13) % 5 < _VAD_SPEECH_LT
+        # both classes present, and the threshold is never borderline:
+        # speech frames far above, silence frames far below
+        assert speech.any() and (~speech).any()
+        assert (e[speech] > 10 * _VAD_THRESH_SUMSQ).all()
+        assert (e[~speech] < _VAD_THRESH_SUMSQ // 10).all()
+
+        voiced = e > _VAD_THRESH_SUMSQ
+        assert voiced.tolist() == speech.tolist()
+        # numpy islands: split voiced frame indices on gaps
+        idx = f[voiced]
+        runs = np.split(idx, np.nonzero(np.diff(idx) > 1)[0] + 1)
+        runs = [r for r in runs if len(r)]
+        island_keys = idx - np.arange(1, len(idx) + 1)
+        assert len(set(island_keys.tolist())) == len(runs)
+        assert sum(len(r) for r in runs) == int(voiced.sum())
+        assert max(len(r) for r in runs) >= 1
