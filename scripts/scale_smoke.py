@@ -142,16 +142,29 @@ def build(spark, k: int) -> str:
     return out
 
 
-#: Pair-emitting dedup queries whose OUTPUT grows ~quadratically in K by
-#: construction (replicated docs are exact cross-copy duplicates, so every
-#: K-copy group emits K*(K-1)/2 pairs — the honest-direction caveat in the
-#: module docstring). Their row counts are recorded alongside the timings so
-#: a super-linear TIME ratio can be judged against the output ratio: e.g. at
+#: Queries whose OUTPUT (or whose underlying pair graph) grows faster than
+#: K by construction — replicated docs are exact cross-copy duplicates, so
+#: every K-copy group emits K*(K-1)/2 pairs, and every graph op downstream
+#: of the LSH pair table inherits that growth. Row counts are recorded
+#: alongside the timings for EVERY graph/dedup smoke query (r13 verdict
+#: #5: previously only 3 queries carried the attribution, so super-linear
+#: ratios like kcore 6.2x / BFS 4.45x relied on prose), so a super-linear
+#: TIME ratio is mechanically judged against the output ratio: e.g. at
 #: K=10 minhash's 16x time on 45x the output pairs is sub-linear per pair.
+#: dedup_documents_minhash's count doubles as the PAIR-TABLE cardinality
+#: for the graph family (kcore/BFS/split all consume exactly that table).
 _COUNT_ROWS = {
+    "dedup_documents_exact",
     "dedup_documents_minhash",
     "multimodal_phash_near_dup",
     "dedup_minhash_param_sweep",
+    "dedup_substring_spans",
+    "interval_overlap_sessions",
+    "dedup_graph_kcore",
+    "split_group_aware",
+    "dedup_bbit_minhash",
+    "graph_bfs_distances",
+    "ann_knn_graph_ivf",
 }
 
 

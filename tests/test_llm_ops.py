@@ -3989,3 +3989,58 @@ def test_vad_planted_clips_have_both_classes_and_exact_segments():
         assert len(set(island_keys.tolist())) == len(runs)
         assert sum(len(r) for r in runs) == int(voiced.sum())
         assert max(len(r) for r in runs) >= 1
+
+
+def test_png_own_deflate_writer_interop_and_malformed():
+    """The r14 PNG write path: OUR RFC-1951 writer (stored + fixed-Huffman
+    blocks) must produce streams stdlib zlib inflates byte-exactly, for
+    every block-phase and for the 9-bit literal range; corrupted framing
+    must fail loudly through decode_png."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from datafusion_impl_spark.operators.multimodal import (
+        _PNGW_BLOCK_BYTES,
+        _pngw_encode,
+        _zlib_compress_own,
+        decode_png,
+    )
+
+    # both block phases, multi-block, empty, and all-high-literals (the
+    # 9-bit fixed-code range 144-255)
+    for doc_id in (0, 1):
+        for raw in (
+            b"",
+            b"a" * (_PNGW_BLOCK_BYTES * 3 + 7),
+            bytes(range(256)) * 2,
+            bytes(200 + (i % 56) for i in range(500)),
+        ):
+            assert zlib.decompress(_zlib_compress_own(raw, doc_id)) == raw
+    # zlib header check bits valid
+    hdr = struct.unpack(">H", _zlib_compress_own(b"x", 0)[:2])[0]
+    assert hdr % 31 == 0
+
+    # full PNG: formula recovered for every shape residue
+    for doc_id in range(1, 1 + 4 * 6, 4):   # the planted residue class
+        w, h, px = decode_png(_pngw_encode(doc_id))
+        assert w == 12 + doc_id % 5 and h == 9 + doc_id % 6
+        grid = px.reshape(h, w, 3)
+        for (x, y) in ((0, 0), (w // 2, h // 2), (w - 1, h - 1)):
+            assert int(grid[y, x, 0]) == (3 * doc_id + 7 * x + 5 * y) % 256
+            assert int(grid[y, x, 1]) == (5 * doc_id + 2 * x + 9 * y) % 256
+            assert int(grid[y, x, 2]) == (doc_id + 6 * x + 13 * y) % 256
+
+    # malformed framing fails loudly end to end: flip a bit inside the
+    # first IDAT payload (re-CRC the chunk so the failure is INFLATE's,
+    # not the CRC check's)
+    blob = bytearray(_pngw_encode(1))
+    idat_off = blob.index(b"IDAT")
+    ln = struct.unpack_from(">I", blob, idat_off - 4)[0]
+    payload_off = idat_off + 4
+    blob[payload_off + 10] ^= 0xFF
+    crc = zlib.crc32(bytes(blob[idat_off:payload_off + ln])) & 0xFFFFFFFF
+    struct.pack_into(">I", blob, payload_off + ln, crc)
+    with _pytest.raises(ValueError):
+        decode_png(bytes(blob))
