@@ -146,6 +146,7 @@ _PRIORITY = [
     "source_zstd_seekable_scan",     # seekable-zstd JSONL shard ingest
     "audio_vad_segments",            # energy VAD + segment census
     "multimodal_png_encode_roundtrip",  # own-DEFLATE PNG write path
+    "blocklist_aho_corasick",        # broadcast blocklist automaton
     # --- the 25 r5-evidence pads staged in r13's _NEXT_ROTATION ---
     "map_higher_order_ops",
     "minhash_estimation_error",

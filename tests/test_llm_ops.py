@@ -4044,3 +4044,59 @@ def test_png_own_deflate_writer_interop_and_malformed():
     struct.pack_into(">I", blob, payload_off + ln, crc)
     with _pytest.raises(ValueError):
         decode_png(bytes(blob))
+
+
+def test_aho_corasick_equals_regex_union_paths(spark):
+    """The r14 blocklist automaton must agree with the regex baseline two
+    ways on the real sf0.001 corpus: (1) per-term occurrence counts vs
+    per-term regexp_extract_all (non-overlapping per term — equal because
+    every term is border-free), and (2) the any-term document flag vs an
+    rlike over the union pattern."""
+    import re
+
+    from datafusion_impl_spark.operators.text import (
+        _AC_TERMS,
+        _ac_build,
+        _ac_scan_counts,
+        blocklist_aho_corasick,
+    )
+    from datafusion_impl_spark.sources.registry import load_table
+
+    got = {
+        r.term: (r.n_hits, r.n_docs)
+        for r in blocklist_aho_corasick(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(_AC_TERMS)
+
+    docs = load_table(spark, SF_DIR, "documents").select("text")
+    exprs = []
+    for i, t in enumerate(_AC_TERMS):
+        c = F.size(F.regexp_extract_all("text", F.lit(re.escape(t)), 0))
+        exprs.append(F.sum(c).alias(f"h{i}"))
+        exprs.append(F.sum((c > 0).cast("long")).alias(f"d{i}"))
+    row = docs.agg(*exprs).first()
+    expected = {
+        t: (row[f"h{i}"], row[f"d{i}"]) for i, t in enumerate(_AC_TERMS)
+    }
+    assert got == expected
+    # non-trivial: some terms hit many docs, and the nested/fragment terms
+    # out-count their containers (e.g. 'tab' >= 'table')
+    assert sum(h for h, _ in got.values()) > 0
+    assert got["tab"][0] >= got["table"][0] > 0
+
+    # (2) union-flag equivalence + (3) the pure-python automaton agrees
+    # with the per-doc regex scan doc by doc
+    union = "|".join(re.escape(t) for t in _AC_TERMS)
+    n_flagged_regex = docs.filter(F.col("text").rlike(union)).count()
+    goto, fail, out = _ac_build(_AC_TERMS)
+    texts = [r.text for r in docs.collect()]
+    n_flagged_ac = 0
+    for text in texts:
+        counts = [0] * len(_AC_TERMS)
+        hit = [False] * len(_AC_TERMS)
+        _ac_scan_counts(text, goto, fail, out, counts, hit)
+        if any(hit):
+            n_flagged_ac += 1
+        for i, t in enumerate(_AC_TERMS):
+            assert counts[i] == len(re.findall(re.escape(t), text))
+    assert n_flagged_ac == n_flagged_regex > 0
