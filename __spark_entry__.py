@@ -147,6 +147,7 @@ _PRIORITY = [
     "audio_vad_segments",            # energy VAD + segment census
     "multimodal_png_encode_roundtrip",  # own-DEFLATE PNG write path
     "blocklist_aho_corasick",        # broadcast blocklist automaton
+    "source_warc_scan",              # ISO 28500 WARC double-framing scan
     # --- the 25 r5-evidence pads staged in r13's _NEXT_ROTATION ---
     "map_higher_order_ops",
     "minhash_estimation_error",

@@ -1081,6 +1081,253 @@ ORDER BY shard_id
 
 
 # --------------------------------------------------------------------------
+# WARC record scan (ISO 28500 — the container Common Crawl actually ships)
+# --------------------------------------------------------------------------
+
+#: documents hash-shard into this many .warc shards.
+_WARC_SHARDS = 8
+#: bounded modulus for the per-shard content-hash sum.
+_WARC_HASH_MOD = 1000003
+#: deterministic capture timestamp for every planted record (WARC-Date is
+#: mandatory; a wall-clock value would break byte-determinism).
+_WARC_DATE = "2024-01-01T00:00:00Z"
+
+
+def _warc_record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
+    """One WARC/1.0 record: version line, named headers + Content-Length,
+    blank line, exactly Content-Length payload bytes, and the mandatory
+    two trailing CRLFs — all per the public ISO 28500 grammar."""
+    head = "WARC/1.0\r\n" + "".join(
+        f"{k}: {v}\r\n" for k, v in headers
+    ) + f"Content-Length: {len(payload)}\r\n\r\n"
+    return head.encode() + payload + b"\r\n\r\n"
+
+
+def _warc_build_shard(shard_id: int, rows) -> bytes:
+    """One .warc shard: a ``warcinfo`` record, then one ``response``
+    record per document whose payload is a full HTTP/1.1 message (status
+    line + headers + body) — the exact nesting Common Crawl response
+    records carry, so the reader must do BOTH layers of framing."""
+    info = _warc_record(
+        [
+            ("WARC-Type", "warcinfo"),
+            ("WARC-Record-ID", f"<urn:uuid:shard-{shard_id}>"),
+            ("WARC-Date", _WARC_DATE),
+            ("Content-Type", "application/warc-fields"),
+        ],
+        f"software: datafusion_impl_spark\r\nshard: {shard_id}\r\n".encode(),
+    )
+    out = [info]
+    for r in rows:
+        body = r.text.encode()
+        http = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/plain; charset=utf-8\r\n"
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body
+        )
+        out.append(
+            _warc_record(
+                [
+                    ("WARC-Type", "response"),
+                    ("WARC-Record-ID", f"<urn:uuid:doc-{int(r.doc_id)}>"),
+                    ("WARC-Date", _WARC_DATE),
+                    (
+                        "WARC-Target-URI",
+                        f"http://corpus.example/doc/{int(r.doc_id)}",
+                    ),
+                    ("Content-Type", "application/http; msgtype=response"),
+                ],
+                http,
+            )
+        )
+    return b"".join(out)
+
+
+def _warc_scan(data: bytes):
+    """Walk a .warc shard record by record: version line, header block to
+    the blank line, exactly Content-Length payload bytes, mandatory
+    CRLF CRLF trailer. For ``response`` records the HTTP layer is framed
+    the same way (status line, headers, blank line, body). Content-Length
+    does ALL the framing — payloads may legally contain ``\\r\\n\\r\\n``,
+    so any sniffing-based reader is wrong, which the planted texts with
+    embedded blank lines would expose. Yields
+    ``(warc_type, uri, body_bytes)``; raises ``ValueError`` loudly on any
+    malformed framing."""
+    pos = 0
+    while pos < len(data):
+        eol = data.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("truncated WARC version line")
+        version = data[pos:eol]
+        if version != b"WARC/1.0":
+            raise ValueError(f"bad WARC version line: {version!r}")
+        pos = eol + 2
+        headers: dict[str, str] = {}
+        while True:
+            eol = data.find(b"\r\n", pos)
+            if eol < 0:
+                raise ValueError("truncated WARC header block")
+            line = data[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            k, sep, v = line.decode().partition(":")
+            if not sep:
+                raise ValueError(f"malformed WARC header line: {line!r}")
+            headers[k.strip().lower()] = v.strip()
+        if "content-length" not in headers:
+            raise ValueError("WARC record missing Content-Length")
+        ln = int(headers["content-length"])
+        if pos + ln + 4 > len(data):
+            raise ValueError("WARC payload overruns shard")
+        payload = data[pos:pos + ln]
+        pos += ln
+        if data[pos:pos + 4] != b"\r\n\r\n":
+            raise ValueError("WARC record missing CRLF CRLF trailer")
+        pos += 4
+        wtype = headers.get("warc-type", "")
+        uri = headers.get("warc-target-uri", "")
+        if wtype == "response":
+            # inner HTTP framing: status line, headers, blank line, body
+            sep_at = payload.find(b"\r\n\r\n")
+            if sep_at < 0:
+                raise ValueError("response record missing HTTP separator")
+            head = payload[:sep_at].decode()
+            body = payload[sep_at + 4:]
+            first = head.split("\r\n", 1)[0]
+            if not first.startswith("HTTP/1.1 "):
+                raise ValueError(f"bad HTTP status line: {first!r}")
+            http_len = None
+            for line in head.split("\r\n")[1:]:
+                k, _sep, v = line.partition(":")
+                if k.strip().lower() == "content-length":
+                    http_len = int(v.strip())
+            if http_len is None or http_len != len(body):
+                raise ValueError("HTTP Content-Length mismatch")
+            yield wtype, uri, body
+        else:
+            yield wtype, uri, payload
+
+
+def source_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC INGESTION round-trip — the container web-scale corpora
+    actually arrive in (Common Crawl ships WARC per ISO 28500): hash-shard
+    the documents, ENCODE each shard as real WARC/1.0 records (a
+    ``warcinfo`` header record plus one ``response`` record per document
+    whose payload is a full nested HTTP/1.1 message — status line,
+    headers, Content-Length, body), then ingest the shards back with a
+    strict double-framing reader: Content-Length does ALL the framing at
+    BOTH layers (payloads may legally contain CRLF CRLF — a sniffing
+    reader is wrong; the embedded-blank-line case is pinned by the
+    pytest), the version line / blank-line / trailing-CRLFs grammar is
+    enforced loudly, and the doc id is recovered from WARC-Target-URI. Census per shard: record counts by type, char
+    sum, URI-derived id sum, and the bounded content-hash sum over the
+    round-tripped TEXT — any framing slip diverges the hash vs the
+    parquet oracle.
+
+    Scale shape: one shuffle to assemble shards (``applyInPandas`` over
+    the shard key), map-only record walk, {shards}-row aggregate. At
+    100 TB: WARC shards are processed record-stream-wise exactly like
+    this — the reader never loads more than one record's payload."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars",
+        (F.col("doc_id") % _WARC_SHARDS).cast("int").alias("shard_id"),
+    )
+
+    def build(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "warc": [
+                    _warc_build_shard(
+                        int(pdf["shard_id"].iloc[0]), pdf.itertuples()
+                    )
+                ],
+            }
+        )
+
+    shards = docs.groupBy("shard_id").applyInPandas(
+        build, "shard_id int, warc binary"
+    )
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            sids, types, ids, texts = [], [], [], []
+            for r in pdf.itertuples():
+                for wtype, uri, body in _warc_scan(bytes(r.warc)):
+                    sids.append(int(r.shard_id))
+                    types.append(wtype)
+                    ids.append(
+                        int(uri.rsplit("/", 1)[1])
+                        if wtype == "response" else -1
+                    )
+                    texts.append(
+                        body.decode() if wtype == "response" else ""
+                    )
+            yield pd.DataFrame(
+                {
+                    "shard_id": sids,
+                    "warc_type": types,
+                    "doc_id": ids,
+                    "text": texts,
+                }
+            )
+
+    records = shards.mapInPandas(
+        scan, "shard_id int, warc_type string, doc_id bigint, text string"
+    )
+    from datafusion_impl_spark.operators import md5_long
+
+    resp = F.col("warc_type") == "response"
+    return (
+        records.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(resp.cast("long")).alias("n_responses"),
+            F.sum(F.when(resp, F.col("doc_id")).otherwise(0)).alias(
+                "doc_id_sum"
+            ),
+            F.sum(F.when(resp, F.length("text")).otherwise(0))
+            .cast("long")
+            .alias("sum_chars"),
+            F.sum(
+                F.when(resp, md5_long(F.col("text")) % _WARC_HASH_MOD)
+                .otherwise(0)
+            ).alias("text_hash_sum"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+source_warc_scan.__doc__ = source_warc_scan.__doc__.format(
+    shards=_WARC_SHARDS
+)
+
+
+def _warc_oracle() -> str:
+    from datafusion_impl_spark.operators import duck_md5_long
+
+    return f"""
+SELECT CAST(doc_id % {_WARC_SHARDS} AS INTEGER) AS shard_id,
+       COUNT(*) + 1 AS n_records,
+       COUNT(*) AS n_responses,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       CAST(SUM({duck_md5_long("text")} % {_WARC_HASH_MOD}) AS BIGINT)
+         AS text_hash_sum
+FROM documents
+GROUP BY 1
+ORDER BY shard_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Avro Object Container File round-trip (the one mainstream ingest format
 # still absent from CSV/JSON/JSONL/XML/ORC/parquet/tar/gzip)
 # --------------------------------------------------------------------------
@@ -1623,6 +1870,7 @@ QUERIES = {
     "csv_documents_roundtrip": csv_documents_roundtrip,
     "source_gzip_jsonl_scan": source_gzip_jsonl_scan,
     "source_zstd_seekable_scan": source_zstd_seekable_scan,
+    "source_warc_scan": source_warc_scan,
     "avro_lineitem_roundtrip": avro_lineitem_roundtrip,
     "source_protobuf_scan": source_protobuf_scan,
 }
@@ -1641,6 +1889,7 @@ ORACLES = {
     "csv_documents_roundtrip": _CSV_ROUNDTRIP_SQL,
     "source_gzip_jsonl_scan": _gzip_jsonl_oracle(),
     "source_zstd_seekable_scan": _zstd_seekable_oracle(),
+    "source_warc_scan": _warc_oracle(),
     "avro_lineitem_roundtrip": _AVRO_ROUNDTRIP_SQL,
     "source_protobuf_scan": _protobuf_oracle(),
 }

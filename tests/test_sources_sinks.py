@@ -358,3 +358,56 @@ def test_zstd_seekable_shard_roundtrip_and_malformed_frames():
             + struct.pack("<II", csize0 - 1, dsize0)
             + blob[entry0 + 8:]
         )
+
+
+def test_warc_record_roundtrip_embedded_crlf_and_malformed():
+    """The r14 WARC layer: record build → scan must round-trip through
+    BOTH framing layers, including payloads that embed CRLF CRLF (the
+    case that kills sniffing readers); every malformed-grammar class must
+    raise loudly."""
+    from types import SimpleNamespace
+
+    import pytest
+
+    from datafusion_impl_spark.sources.queries import (
+        _warc_build_shard,
+        _warc_record,
+        _warc_scan,
+    )
+
+    rows = [
+        SimpleNamespace(doc_id=7, text="plain words here"),
+        # embedded blank line + CRLFs inside the body: Content-Length must
+        # carry the framing straight through it
+        SimpleNamespace(doc_id=11, text="top\r\n\r\nbottom\r\nmore"),
+        SimpleNamespace(doc_id=15, text=""),
+    ]
+    blob = _warc_build_shard(3, rows)
+    got = list(_warc_scan(blob))
+    assert got[0][0] == "warcinfo"
+    resp = [(uri, body.decode()) for t, uri, body in got if t == "response"]
+    assert resp == [
+        (f"http://corpus.example/doc/{r.doc_id}", r.text) for r in rows
+    ]
+
+    with pytest.raises(ValueError):
+        list(_warc_scan(b"WARC/0.9\r\n\r\n"))            # bad version
+    with pytest.raises(ValueError):
+        list(_warc_scan(blob[:-2]))                       # lost trailer CRLF
+    with pytest.raises(ValueError):
+        list(_warc_scan(blob[: len(blob) // 2]))          # truncated payload
+    no_len = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\n\r\nxx\r\n\r\n"
+    )
+    with pytest.raises(ValueError):
+        list(_warc_scan(no_len))                          # no Content-Length
+    # response record whose inner HTTP Content-Length lies
+    bad_http = _warc_record(
+        [
+            ("WARC-Type", "response"),
+            ("WARC-Target-URI", "http://corpus.example/doc/1"),
+        ],
+        b"HTTP/1.1 200 OK\r\nContent-Length: 99\r\n\r\nshort",
+    )
+    with pytest.raises(ValueError):
+        list(_warc_scan(bad_http))
