@@ -148,6 +148,8 @@ _PRIORITY = [
     "multimodal_png_encode_roundtrip",  # own-DEFLATE PNG write path
     "blocklist_aho_corasick",        # broadcast blocklist automaton
     "source_warc_scan",              # ISO 28500 WARC double-framing scan
+    "preference_pair_assembly",      # RLHF chosen/rejected pair prep
+    "bradley_terry_source_ranking",  # BT strengths via Hunter-MM
     # --- the 25 r5-evidence pads staged in r13's _NEXT_ROTATION ---
     "map_higher_order_ops",
     "minhash_estimation_error",

@@ -1447,7 +1447,462 @@ ORDER BY p.source
 """
 
 
+# --------------------------------------------------------------------------
+# RLHF preference-pair assembly (r14): reward-model data prep — group
+# candidate documents, pair higher-rated vs lower-rated, drop ties
+# --------------------------------------------------------------------------
+
+def preference_pair_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFERENCE-PAIR ASSEMBLY — the reward-model data-prep step of an
+    RLHF pipeline: within each prompt group (here: ``source`` — each
+    source's documents act as candidate responses), rank candidates by the
+    shared [0,1] quality score (:func:`...text.quality_score`, the reward
+    signal), then MEDIAN-SPLIT PAIR them — rank ``i`` of the top half is
+    the ``chosen`` against rank ``i + ceil(n/2)`` as ``rejected`` — and
+    drop tied pairs (zero-margin pairs teach a reward model nothing; real
+    pipelines filter them the same way). Reported per source: candidate
+    count, raw/kept/tie-dropped pair counts, exact integer margin stats
+    (scores are 4-dp values, carried as ``floor(score·1e4 + 0.5)`` units
+    so margin sums are bit-exact cross-engine), and chosen/rejected
+    doc-id checksums that pin WHICH documents were paired, not just how
+    many.
+
+    Scale shape: one scan + projection for the score, a per-source window
+    rank (prompt-group-local, no global sort), a broadcast join of the
+    20-row group-size table, and ONE self-equi-join on (source, rank
+    offset) — pair count is n/2 per group by construction, never a
+    within-group cartesian. At 100 TB with millions of prompt groups the
+    same plan holds: every stage keys on the group id."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars", "text"
+    )
+    # The reward signal is quality_score()'s formula with the 4-dp ROUND
+    # replaced by integer 1e-4 units taken from the UNROUNDED double
+    # (floor(raw·1e4 + 0.5), identical IEEE ops in both engines) — never
+    # re-quantize an engine-rounded value (the half-boundary class where
+    # Spark's BigDecimal HALF_UP and DuckDB's double ROUND disagree; it
+    # flipped one src18 margin by 1 unit in the first cut of this query).
+    n_tokens = F.regexp_count("text", F.lit(r"\S+"))
+    stop_hits = F.regexp_count("text", F.lit(r"\b(the|a|of|and|is)\b"))
+    punct = F.regexp_count("text", F.lit(r"[^\w\s]"))
+    raw = (
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.5
+        + F.least(
+            F.lit(1.0),
+            # div-safe: GREATEST(n_tokens, 1) >= 1
+            stop_hits / F.greatest(n_tokens.cast("double"), F.lit(1.0))
+            * 5.0,
+        ) * 0.3
+        + (
+            F.lit(1.0)
+            - F.least(
+                F.lit(1.0),
+                # div-safe: GREATEST(n_chars, 1) >= 1
+                punct
+                / F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+                * 10.0,
+            )
+        ) * 0.2
+    )
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        F.floor(raw * 10000 + F.lit(0.5)).cast("long").alias("s_i4"),
+    ).select(
+        "source",
+        "doc_id",
+        "s_i4",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.col("s_i4").desc(), F.col("doc_id").asc()
+            )
+        )
+        .alias("r"),
+    )
+    sizes = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    # h = ceil(n/2): rank i (i <= n - h = n//2) pairs with rank i + h
+    half = (F.col("n_docs") - F.floor(F.col("n_docs") / 2)).alias("h")
+    chosen = ranked.join(
+        F.broadcast(sizes.select("source", "n_docs", half)), "source"
+    )
+    pairs = (
+        chosen.filter(F.col("r") <= F.col("n_docs") - F.col("h"))
+        .alias("c")
+        .join(
+            ranked.alias("j"),
+            (F.col("c.source") == F.col("j.source"))
+            & (F.col("j.r") == F.col("c.r") + F.col("c.h")),
+        )
+        .select(
+            F.col("c.source").alias("source"),
+            F.col("c.doc_id").alias("chosen_id"),
+            F.col("j.doc_id").alias("rejected_id"),
+            (F.col("c.s_i4") - F.col("j.s_i4")).alias("margin_i4"),
+        )
+    )
+    kept = F.col("margin_i4") > 0
+    return (
+        pairs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs_raw"),
+            F.sum(kept.cast("long")).alias("n_pairs_kept"),
+            F.sum((~kept).cast("long")).alias("n_ties_dropped"),
+            F.sum(F.when(kept, F.col("margin_i4")).otherwise(0)).alias(
+                "margin_sum_i4"
+            ),
+            F.max(F.when(kept, F.col("margin_i4")).otherwise(0)).alias(
+                "margin_max_i4"
+            ),
+            F.sum(F.when(kept, F.col("chosen_id")).otherwise(0)).alias(
+                "chosen_id_sum"
+            ),
+            F.sum(F.when(kept, F.col("rejected_id")).otherwise(0)).alias(
+                "rejected_id_sum"
+            ),
+        )
+        .join(F.broadcast(sizes), "source")
+        .select(
+            "source", "n_docs", "n_pairs_raw", "n_pairs_kept",
+            "n_ties_dropped", "margin_sum_i4", "margin_max_i4",
+            "chosen_id_sum", "rejected_id_sum",
+        )
+        .orderBy("source")
+    )
+
+
+_PREF_PAIRS_SQL = r"""
+WITH scored AS (
+  SELECT source, doc_id,
+         -- quality_score()'s raw formula, same IEEE op order as the Spark
+         -- side, quantized once to integer 1e-4 units (no engine ROUND)
+         CAST(floor((
+           LEAST(1.0, len(regexp_extract_all(text, '\S+')) / 100.0) * 0.5
+           + LEAST(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|is)\b'))
+                   -- div-safe: GREATEST(n_tokens, 1) >= 1
+                   / CAST(GREATEST(len(regexp_extract_all(text, '\S+')), 1)
+                          AS DOUBLE) * 5.0) * 0.3
+           + (1.0 - LEAST(1.0, len(regexp_extract_all(text, '[^\w\s]'))
+                    -- div-safe: GREATEST(n_chars, 1) >= 1
+                    / CAST(GREATEST(n_chars, 1) AS DOUBLE) * 10.0)) * 0.2
+         ) * 10000 + 0.5) AS BIGINT) AS s_i4
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, s_i4,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY s_i4 DESC, doc_id ASC
+         ) AS r
+  FROM scored
+),
+sizes AS (
+  SELECT source, COUNT(*) AS n_docs,
+         COUNT(*) - COUNT(*) // 2 AS h
+  FROM ranked GROUP BY source
+),
+pairs AS (
+  SELECT c.source, c.doc_id AS chosen_id, j.doc_id AS rejected_id,
+         c.s_i4 - j.s_i4 AS margin_i4
+  FROM ranked c
+  JOIN sizes z ON z.source = c.source
+  JOIN ranked j ON j.source = c.source AND j.r = c.r + z.h
+  WHERE c.r <= z.n_docs // 2
+)
+SELECT p.source,
+       CAST(z.n_docs AS BIGINT) AS n_docs,
+       COUNT(*) AS n_pairs_raw,
+       CAST(count_if(margin_i4 > 0) AS BIGINT) AS n_pairs_kept,
+       CAST(count_if(margin_i4 <= 0) AS BIGINT) AS n_ties_dropped,
+       CAST(COALESCE(SUM(CASE WHEN margin_i4 > 0 THEN margin_i4 END), 0)
+            AS BIGINT) AS margin_sum_i4,
+       CAST(COALESCE(MAX(CASE WHEN margin_i4 > 0 THEN margin_i4 END), 0)
+            AS BIGINT) AS margin_max_i4,
+       CAST(COALESCE(SUM(CASE WHEN margin_i4 > 0 THEN chosen_id END), 0)
+            AS BIGINT) AS chosen_id_sum,
+       CAST(COALESCE(SUM(CASE WHEN margin_i4 > 0 THEN rejected_id END), 0)
+            AS BIGINT) AS rejected_id_sum
+FROM pairs p JOIN sizes z ON z.source = p.source
+GROUP BY p.source, z.n_docs
+ORDER BY p.source
+"""
+
+
+# --------------------------------------------------------------------------
+# Bradley-Terry strength fitting over pairwise preferences (r14): the
+# ranking model RLHF reward pipelines and arena-style evals fit over
+# "A beat B" match tables (Bradley & Terry 1952; MM algorithm per Hunter
+# 2004, "MM algorithms for generalized Bradley-Terry models")
+# --------------------------------------------------------------------------
+
+#: MM fixed-point iterations (strengths stabilize to ~1e-5 on 20 items).
+_BT_ITERS = 5
+#: per-term/denominator rounding: cross-row sums are taken over 6-dp
+#: DECIMAL addends so both engines add EXACTLY the same quantities in any
+#: order (the repo's standard escape from double sum-order drift).
+_BT_ROUND = 6
+
+
+def bradley_terry_source_ranking(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """BRADLEY-TERRY strength fitting — the model behind reward-model
+    eval boards and chatbot-arena rankings, fit here over deterministic
+    pairwise matches between SOURCES: document ``i`` (by within-source
+    rank order) of source A meets document ``i`` of source B for every
+    source pair, the higher integer quality score (same 1e-4-unit signal
+    as :func:`preference_pair_assembly`) wins, ties are discarded. The
+    20-item strengths then run {iters} Hunter-MM fixed-point iterations
+    ``p_i ← w_i / Σ_j n_ij/(p_i+p_j)`` (normalized to sum 1 each step)
+    entirely as 190-row broadcast-joined aggregates.
+
+    Cross-engine determinism: every cross-row sum (the MM denominator and
+    the normalizer) is taken over addends rounded to {r} dp and cast to
+    DECIMAL, so the sums are exact in both engines regardless of add
+    order; the two divisions per step happen on those pinned values and
+    are single IEEE ops. The DuckDB oracle unrolls the same {iters}
+    iterations as a CTE chain.
+
+    Scale shape: the match table comes from ONE equi-join on the
+    within-source rank (linear in docs; never a within-pair cartesian),
+    collapses immediately to a |sources|²-bounded pair table, and every
+    MM step is a broadcast join + tiny aggregate over it — the bounded
+    model-fit shape (same class as the PCA/Holt-Winters trainers)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars", "text"
+    )
+    n_tokens = F.regexp_count("text", F.lit(r"\S+"))
+    stop_hits = F.regexp_count("text", F.lit(r"\b(the|a|of|and|is)\b"))
+    punct = F.regexp_count("text", F.lit(r"[^\w\s]"))
+    raw = (
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.5
+        + F.least(
+            F.lit(1.0),
+            # div-safe: GREATEST(n_tokens, 1) >= 1
+            stop_hits / F.greatest(n_tokens.cast("double"), F.lit(1.0))
+            * 5.0,
+        ) * 0.3
+        + (
+            F.lit(1.0)
+            - F.least(
+                F.lit(1.0),
+                # div-safe: GREATEST(n_chars, 1) >= 1
+                punct
+                / F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+                * 10.0,
+            )
+        ) * 0.2
+    )
+    scored = docs.select(
+        "source",
+        F.floor(raw * 10000 + F.lit(0.5)).cast("long").alias("s_i4"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("doc_id"))
+        .alias("idx"),
+    )
+    m = (
+        scored.alias("a")
+        .join(
+            scored.alias("b"),
+            (F.col("a.idx") == F.col("b.idx"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .filter(F.col("a.s_i4") != F.col("b.s_i4"))
+        .select(
+            F.col("a.source").alias("sa"),
+            F.col("b.source").alias("sb"),
+            (F.col("a.s_i4") > F.col("b.s_i4")).cast("long").alias("a_won"),
+        )
+    )
+    pair_tbl = m.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ij"),
+        F.sum("a_won").alias("w_a"),
+    ).localCheckpoint(eager=True)  # 190-row model table; cut the lineage
+    # per-item totals (wins and matches) from both orientations
+    items = (
+        pair_tbl.select(
+            F.col("sa").alias("source"), "n_ij", F.col("w_a").alias("w")
+        )
+        .unionByName(
+            pair_tbl.select(
+                F.col("sb").alias("source"),
+                "n_ij",
+                (F.col("n_ij") - F.col("w_a")).alias("w"),
+            )
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("n_ij").alias("n_matches"),
+            F.sum("w").alias("n_wins"),
+        )
+    )
+    # undirected opponent view: one row per (i, j) orientation
+    opp = pair_tbl.select(
+        F.col("sa").alias("i"), F.col("sb").alias("j"), "n_ij"
+    ).unionByName(
+        pair_tbl.select(
+            F.col("sb").alias("i"), F.col("sa").alias("j"), "n_ij"
+        )
+    ).localCheckpoint(eager=True)
+
+    dec = f"decimal(28,{_BT_ROUND})"
+    cur = items.select("source", F.lit(1.0).alias("p"))
+    for _ in range(_BT_ITERS):
+        pj = cur.select(F.col("source").alias("j"), F.col("p").alias("p_j"))
+        pi = cur.select(F.col("source").alias("i"), F.col("p").alias("p_i"))
+        denom = (
+            opp.join(F.broadcast(pi), "i")
+            .join(F.broadcast(pj), "j")
+            .select(
+                "i",
+                F.round(
+                    F.col("n_ij")
+                    # div-safe: GREATEST(p_i + p_j, 1e-9) > 0
+                    / F.greatest(
+                        F.col("p_i") + F.col("p_j"), F.lit(1e-9)
+                    ),
+                    _BT_ROUND,
+                ).cast(dec).alias("term"),
+            )
+            .groupBy("i")
+            .agg(F.sum("term").alias("denom"))
+        )
+        p_raw = (
+            items.select(F.col("source").alias("i"), "n_wins")
+            .join(F.broadcast(denom), "i")
+            .select(
+                "i",
+                F.round(
+                    F.col("n_wins").cast("double")
+                    # div-safe: GREATEST(denom, 1e-9) > 0
+                    / F.greatest(
+                        F.col("denom").cast("double"), F.lit(1e-9)
+                    ),
+                    _BT_ROUND,
+                ).cast(dec).alias("p_raw"),
+            )
+        )
+        total = p_raw.agg(F.sum("p_raw").alias("t"))
+        cur = p_raw.crossJoin(F.broadcast(total)).select(
+            F.col("i").alias("source"),
+            F.round(
+                F.col("p_raw").cast("double")
+                # div-safe: GREATEST(t, 1e-9) > 0 (strengths are >= 0 and
+                # at least one item has wins)
+                / F.greatest(F.col("t").cast("double"), F.lit(1e-9)),
+                _BT_ROUND,
+            ).alias("p"),
+        )
+    final = items.join(cur, "source")
+    return final.select(
+        "source",
+        "n_matches",
+        "n_wins",
+        F.col("p").alias("bt_strength"),
+        F.row_number()
+        .over(Window.orderBy(F.col("p").desc(), F.col("source").asc()))
+        .alias("bt_rank"),
+    ).orderBy("source")
+
+
+bradley_terry_source_ranking.__doc__ = (
+    bradley_terry_source_ranking.__doc__.format(
+        iters=_BT_ITERS, r=_BT_ROUND
+    )
+)
+
+
+def _bt_oracle() -> str:
+    score_sql = r"""
+         CAST(floor((
+           LEAST(1.0, len(regexp_extract_all(text, '\S+')) / 100.0) * 0.5
+           + LEAST(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|is)\b'))
+                   -- div-safe: GREATEST(n_tokens, 1) >= 1
+                   / CAST(GREATEST(len(regexp_extract_all(text, '\S+')), 1)
+                          AS DOUBLE) * 5.0) * 0.3
+           + (1.0 - LEAST(1.0, len(regexp_extract_all(text, '[^\w\s]'))
+                    -- div-safe: GREATEST(n_chars, 1) >= 1
+                    / CAST(GREATEST(n_chars, 1) AS DOUBLE) * 10.0)) * 0.2
+         ) * 10000 + 0.5) AS BIGINT)"""
+    dec = f"DECIMAL(28,{_BT_ROUND})"
+    it = """
+it{k} AS MATERIALIZED (
+  SELECT i, ROUND(p_raw
+                  -- div-safe: GREATEST(total, 1e-9) > 0
+                  / GREATEST((SELECT SUM(p_raw) FROM raw{k}), 1e-9),
+               {r}) AS p
+  FROM raw{k}
+),"""
+    raw_step = """
+raw{k} AS MATERIALIZED (
+  SELECT w.source AS i,
+         ROUND(CAST(w.n_wins AS DOUBLE)
+               -- div-safe: GREATEST(denom, 1e-9) > 0
+               / GREATEST(CAST(d.denom AS DOUBLE), 1e-9), {r}) AS p_raw
+  FROM item_tot w
+  JOIN (
+    SELECT o.i,
+           SUM(CAST(ROUND(o.n_ij
+                          -- div-safe: GREATEST(p_i + p_j, 1e-9) > 0
+                          / GREATEST(pi.p + pj.p, 1e-9), {r})
+                    AS {dec})) AS denom
+    FROM opp o
+    JOIN it{prev} pi ON pi.i = o.i
+    JOIN it{prev} pj ON pj.i = o.j
+    GROUP BY o.i
+  ) d ON d.i = w.source
+),"""
+    chain = (
+        "it0 AS MATERIALIZED (SELECT source AS i, 1.0 AS p FROM item_tot),"
+    )
+    for k in range(1, _BT_ITERS + 1):
+        chain += raw_step.format(k=k, prev=k - 1, r=_BT_ROUND, dec=dec)
+        chain += it.format(k=k, r=_BT_ROUND)
+    chain = chain.rstrip(",")
+    return f"""
+WITH scored AS (
+  SELECT source, doc_id, {score_sql} AS s_i4,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS idx
+  FROM documents
+),
+m AS (
+  SELECT a.source AS sa, b.source AS sb,
+         CASE WHEN a.s_i4 > b.s_i4 THEN 1 ELSE 0 END AS a_won
+  FROM scored a JOIN scored b
+    ON a.idx = b.idx AND a.source < b.source
+  WHERE a.s_i4 <> b.s_i4
+),
+pair_tbl AS MATERIALIZED (
+  SELECT sa, sb, COUNT(*) AS n_ij, SUM(a_won) AS w_a
+  FROM m GROUP BY sa, sb
+),
+item_tot AS MATERIALIZED (
+  SELECT source, CAST(SUM(n_ij) AS BIGINT) AS n_matches,
+         CAST(SUM(w) AS BIGINT) AS n_wins
+  FROM (
+    SELECT sa AS source, n_ij, w_a AS w FROM pair_tbl
+    UNION ALL
+    SELECT sb AS source, n_ij, n_ij - w_a AS w FROM pair_tbl
+  ) GROUP BY source
+),
+opp AS MATERIALIZED (
+  SELECT sa AS i, sb AS j, n_ij FROM pair_tbl
+  UNION ALL
+  SELECT sb AS i, sa AS j, n_ij FROM pair_tbl
+),
+{chain}
+SELECT t.source, t.n_matches, t.n_wins,
+       f.p AS bt_strength,
+       CAST(ROW_NUMBER() OVER (ORDER BY f.p DESC, t.source ASC) AS INTEGER)
+         AS bt_rank
+FROM item_tot t JOIN it{_BT_ITERS} f ON f.i = t.source
+ORDER BY t.source
+"""
+
+
 QUERIES = {
+    "preference_pair_assembly": preference_pair_assembly,
+    "bradley_terry_source_ranking": bradley_terry_source_ranking,
     "span_corruption_mask_stats": span_corruption_mask_stats,
     "skipgram_negative_pairs": skipgram_negative_pairs,
     "context_length_sweep": context_length_sweep,
@@ -1465,6 +1920,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "preference_pair_assembly": _PREF_PAIRS_SQL,
+    "bradley_terry_source_ranking": _bt_oracle(),
     "span_corruption_mask_stats": _SPAN_MASK_SQL,
     "skipgram_negative_pairs": _SKIPGRAM_SQL,
     "context_length_sweep": _CTX_SWEEP_SQL,
