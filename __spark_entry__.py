@@ -150,6 +150,7 @@ _PRIORITY = [
     "source_warc_scan",              # ISO 28500 WARC double-framing scan
     "preference_pair_assembly",      # RLHF chosen/rejected pair prep
     "bradley_terry_source_ranking",  # BT strengths via Hunter-MM
+    "multimodal_jpeg_quality_estimate",  # IJG QF inverse from DQT bytes
     # --- the 25 r5-evidence pads staged in r13's _NEXT_ROTATION ---
     "map_higher_order_ops",
     "minhash_estimation_error",

@@ -4025,12 +4025,14 @@ class _JpegBitWriter:
         return bytes(self.out)
 
 
-def _jpeg_encode(doc_id: int) -> bytes:
+def _jpeg_encode(doc_id: int, qtable: list[int] | None = None) -> bytes:
     """Build a real baseline grayscale JFIF: SOI, APP0, DQT (zigzag), SOF0,
     two DHTs (DC+AC), SOS, the entropy-coded segment (Huffman + magnitude
     bits + byte stuffing + DC prediction across blocks), EOI. Edge blocks
     are coded in full and cropped by the decoder (w, h are deliberately not
-    multiples of 8)."""
+    multiples of 8). ``qtable`` (zigzag order) overrides the planted table
+    — the quantized COEFFICIENTS are table-independent, so the same scan
+    bytes pair with any valid DQT (the QF-estimation plant uses this)."""
     import struct
 
     w = _JPEG_W_BASE + doc_id % _JPEG_W_MOD
@@ -4040,7 +4042,10 @@ def _jpeg_encode(doc_id: int) -> bytes:
         b"\xff\xe0" + struct.pack(">H", 16)
         + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     )
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(_jpeg_qtable())
+    out += (
+        b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+        + bytes(qtable if qtable is not None else _jpeg_qtable())
+    )
     out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
     out += _jpeg_dht(0x00, _JPEG_DC_SYMBOLS, _JPEG_DC_LENGTHS)
     out += _jpeg_dht(0x10, _JPEG_AC_SYMBOLS, _JPEG_AC_LENGTHS)
@@ -4459,6 +4464,223 @@ ORDER BY width, height
 
 
 # --------------------------------------------------------------------------
+# JPEG quality-factor estimation (r14): the compression-quality census an
+# image-curation pipeline runs before training (low-QF recompressed images
+# are dropped or down-weighted) — invert the public IJG quality scaling
+# (libjpeg jcparam.c) from the DQT bytes alone
+# --------------------------------------------------------------------------
+
+#: the spec's Annex-K luminance quantization table, NATURAL (row-major)
+#: order — the base every IJG-style encoder scales by the quality factor.
+_IJG_BASE_LUMA = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+#: planted quality factor: 35 + doc_id % 56 → 35..90. In this range no
+#: entry clamps (max scaled value 171 < 255, min 2 > 1) and every QF's
+#: table is DISTINCT (pytest-pinned), so the estimator can identify the
+#: exact factor.
+_QF_BASE, _QF_MOD = 35, 56
+
+
+def _ijg_scale(qf: int) -> int:
+    """IJG scale factor S per jcparam.c: 5000/QF below 50 (integer
+    division), 200 − 2·QF at and above."""
+    return 5000 // qf if qf < 50 else 200 - 2 * qf
+
+
+def _ijg_qtable_natural(qf: int) -> list[int]:
+    """The IJG-scaled luminance table in NATURAL order:
+    ``clamp((base·S + 50) // 100, 1, 255)`` per entry."""
+    s = _ijg_scale(qf)
+    return [
+        max(1, min(255, (b * s + 50) // 100)) for b in _IJG_BASE_LUMA
+    ]
+
+
+def _jpegq_encode(doc_id: int) -> bytes:
+    """The QF-estimation plant: the standard grayscale baseline encode
+    (:func:`_jpeg_encode` — same scan bytes; quantized coefficients are
+    table-independent) carrying the IJG-scaled table for this doc's
+    planted quality factor, stored in zigzag order as DQT requires."""
+    qf = _QF_BASE + doc_id % _QF_MOD
+    nat = _ijg_qtable_natural(qf)
+    zz = [nat[u * 8 + v] for (u, v) in _JPEG_ZIGZAG]
+    return _jpeg_encode(doc_id, qtable=zz)
+
+
+def _jpeg_read_dqt0(data: bytes) -> list[int]:
+    """Marker-walk a JFIF stream up to SOS and return 8-bit DQT table 0 in
+    ZIGZAG order (same walk discipline as :func:`decode_jpeg`, scoped to
+    the one segment the estimator needs). Raises ``ValueError`` loudly on
+    malformed streams."""
+    import struct
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG stream (no DQT before SOS)")
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected a marker at offset {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD9, 0xDA):
+            raise ValueError("no 8-bit DQT table 0 before scan data")
+        (seg_len,) = struct.unpack_from(">H", data, pos)
+        if pos + seg_len > len(data):
+            raise ValueError("truncated segment")
+        if marker == 0xDB:
+            body = data[pos + 2:pos + seg_len]
+            off = 0
+            while off < len(body):
+                pq_tq = body[off]
+                if pq_tq >> 4:
+                    raise ValueError("16-bit quantization tables unsupported")
+                if off + 65 > len(body):
+                    raise ValueError("truncated DQT")
+                if (pq_tq & 0x0F) == 0:
+                    return list(body[off + 1:off + 65])
+                off += 65
+        pos += seg_len
+
+
+def multimodal_jpeg_quality_estimate(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """JPEG QUALITY-FACTOR ESTIMATION from bytes alone — the curation
+    signal image pipelines use to drop or down-weight heavily-recompressed
+    images (the tactic behind identify-style "estimated quality"): plant
+    real baseline JPEGs whose DQT is the IJG-scaled Annex-K luminance
+    table at QF = {base} + doc_id % {mod}, then in the Arrow kernel parse
+    the DQT back with a marker walk, regenerate all 100 candidate IJG
+    tables, and identify the planted factor by exact table match (in the
+    planted range no entry clamps and every candidate is distinct, so the
+    inverse is unique — pytest-pinned). Census per estimated QF: image
+    count, the parsed table's checksum (the DuckDB oracle REBUILDS the
+    IJG scaling arithmetic in SQL and must land on the same sum — the
+    cross-engine proof the estimator read real bytes), and the planted
+    dimension sums.
+
+    Scale shape: map-only encode + parse in the scan stage; the aggregate
+    is one row per distinct QF (≤ {mod})."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": pdf["doc_id"].map(
+                        lambda d: _jpegq_encode(int(d))
+                    ),
+                }
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % _JPEG_SAMPLE_MOD == _JPEG_SAMPLE_RES)
+    )
+    images = docs.mapInPandas(build, "doc_id bigint, media binary")
+
+    def estimate(batches):
+        import pyarrow as pa
+
+        candidates = {
+            qf: tuple(
+                _ijg_qtable_natural(qf)[u * 8 + v]
+                for (u, v) in _JPEG_ZIGZAG
+            )
+            for qf in range(1, 101)
+        }
+        for b in batches:
+            doc_ids = b.column(b.schema.get_field_index("doc_id"))
+            blobs = b.column(b.schema.get_field_index("media"))
+            dids, qfs, qsums, ws, hs = [], [], [], [], []
+            for d, v in zip(doc_ids, blobs):
+                zz = tuple(_jpeg_read_dqt0(v.as_py()))
+                est = -1
+                for qf, cand in candidates.items():
+                    if cand == zz:
+                        est = qf
+                        break
+                wdec, hdec, _px = decode_jpeg(v.as_py())
+                dids.append(d.as_py())
+                qfs.append(est)
+                qsums.append(int(sum(zz)))
+                ws.append(wdec)
+                hs.append(hdec)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(dids, type=pa.int64()),
+                    pa.array(qfs, type=pa.int32()),
+                    pa.array(qsums, type=pa.int64()),
+                    pa.array(ws, type=pa.int32()),
+                    pa.array(hs, type=pa.int32()),
+                ],
+                names=["doc_id", "qf_est", "qtable_sum", "width", "height"],
+            )
+
+    stats = images.mapInArrow(
+        estimate,
+        "doc_id bigint, qf_est int, qtable_sum bigint, "
+        "width int, height int",
+    )
+    return (
+        stats.groupBy("qf_est")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.max("qtable_sum").alias("qtable_sum"),
+            F.sum(F.col("width").cast("long")).alias("sum_width"),
+            F.sum(F.col("height").cast("long")).alias("sum_height"),
+        )
+        .orderBy("qf_est")
+    )
+
+
+multimodal_jpeg_quality_estimate.__doc__ = (
+    multimodal_jpeg_quality_estimate.__doc__.format(
+        base=_QF_BASE, mod=_QF_MOD
+    )
+)
+
+_JPEGQF_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         {_QF_BASE} + doc_id % {_QF_MOD} AS qf,
+         {_JPEG_W_BASE} + doc_id % {_JPEG_W_MOD} AS w,
+         {_JPEG_H_BASE} + doc_id % {_JPEG_H_MOD} AS h
+  FROM documents
+  WHERE doc_id % {_JPEG_SAMPLE_MOD} = {_JPEG_SAMPLE_RES}
+),
+base(b) AS (VALUES {", ".join(f"({b})" for b in _IJG_BASE_LUMA)}),
+qsum AS (
+  SELECT d.qf,
+         SUM(GREATEST(1, LEAST(255,
+             (b.b * (CASE WHEN d.qf < 50 THEN 5000 // d.qf
+                          ELSE 200 - 2 * d.qf END) + 50) // 100
+         ))) AS qtable_sum
+  FROM (SELECT DISTINCT qf FROM docs) d CROSS JOIN base b
+  GROUP BY d.qf
+)
+SELECT CAST(d.qf AS INTEGER) AS qf_est,
+       COUNT(*) AS n_images,
+       CAST(q.qtable_sum AS BIGINT) AS qtable_sum,
+       CAST(SUM(d.w) AS BIGINT) AS sum_width,
+       CAST(SUM(d.h) AS BIGINT) AS sum_height
+FROM docs d JOIN qsum q ON q.qf = d.qf
+GROUP BY d.qf, q.qtable_sum
+ORDER BY qf_est
+"""
+
+
+# --------------------------------------------------------------------------
 # Color JPEG decode (YCbCr 4:2:0, interleaved MCUs) — the dominant web
 # image shape, on top of the grayscale baseline machinery
 # --------------------------------------------------------------------------
@@ -4768,6 +4990,7 @@ QUERIES = {
     "multimodal_gif_decode_stats": multimodal_gif_decode_stats,
     "multimodal_jpeg_decode_stats": multimodal_jpeg_decode_stats,
     "multimodal_jpeg_color_stats": multimodal_jpeg_color_stats,
+    "multimodal_jpeg_quality_estimate": multimodal_jpeg_quality_estimate,
     "multimodal_tar_webdataset_scan": multimodal_tar_webdataset_scan,
     "multimodal_wav_decode_stats": multimodal_wav_decode_stats,
     "multimodal_wav_spectrum_stats": multimodal_wav_spectrum_stats,
@@ -4793,6 +5016,7 @@ ORACLES = {
     "multimodal_gif_decode_stats": _GIF_DECODE_SQL,
     "multimodal_jpeg_decode_stats": _JPEG_DECODE_SQL,
     "multimodal_jpeg_color_stats": _JPEGC_DECODE_SQL,
+    "multimodal_jpeg_quality_estimate": _JPEGQF_SQL,
     "multimodal_tar_webdataset_scan": _TAR_SCAN_SQL,
     "multimodal_wav_decode_stats": _WAV_DECODE_SQL,
     "multimodal_wav_spectrum_stats": _WAV_SPECTRUM_SQL,

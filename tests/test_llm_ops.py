@@ -4100,3 +4100,50 @@ def test_aho_corasick_equals_regex_union_paths(spark):
         for i, t in enumerate(_AC_TERMS):
             assert counts[i] == len(re.findall(re.escape(t), text))
     assert n_flagged_ac == n_flagged_regex > 0
+
+
+def test_jpeg_qf_estimation_unique_tables_and_malformed():
+    """The r14 QF estimator: IJG candidate tables must be pairwise
+    DISTINCT over the planted range (the uniqueness the exact-match
+    inverse rests on), the DQT walk must recover the zigzag table
+    byte-for-byte, and malformed streams must raise."""
+    import pytest as _pytest
+
+    from datafusion_impl_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _QF_BASE,
+        _QF_MOD,
+        _ijg_qtable_natural,
+        _jpeg_read_dqt0,
+        _jpegq_encode,
+    )
+
+    tabs = {
+        qf: tuple(_ijg_qtable_natural(qf))
+        for qf in range(_QF_BASE, _QF_BASE + _QF_MOD)
+    }
+    assert len(set(tabs.values())) == len(tabs)
+    # no clamping in the planted range (the uniqueness argument)
+    for t in tabs.values():
+        assert min(t) >= 2 and max(t) <= 255 and 255 not in t
+
+    for doc_id in (1, 6, 11, 16, 56, 111):
+        qf = _QF_BASE + doc_id % _QF_MOD
+        nat = _ijg_qtable_natural(qf)
+        zz = _jpeg_read_dqt0(_jpegq_encode(doc_id))
+        assert zz == [nat[u * 8 + v] for (u, v) in _JPEG_ZIGZAG]
+
+    blob = _jpegq_encode(1)
+    with _pytest.raises(ValueError):
+        _jpeg_read_dqt0(b"\x00\x00" + blob[2:])       # no SOI
+    with _pytest.raises(ValueError):
+        _jpeg_read_dqt0(blob[:30])                     # truncated segment
+    # a stream whose only DQT is 16-bit must be refused
+    import struct
+
+    pq16 = (
+        b"\xff\xd8\xff\xdb" + struct.pack(">H", 131) + b"\x10"
+        + bytes(128) + b"\xff\xd9"
+    )
+    with _pytest.raises(ValueError):
+        _jpeg_read_dqt0(pq16)
