@@ -151,6 +151,7 @@ _PRIORITY = [
     "preference_pair_assembly",      # RLHF chosen/rejected pair prep
     "bradley_terry_source_ranking",  # BT strengths via Hunter-MM
     "multimodal_jpeg_quality_estimate",  # IJG QF inverse from DQT bytes
+    "dp_exponential_quantiles",      # exponential-mechanism DP quantiles
     # --- the 25 r5-evidence pads staged in r13's _NEXT_ROTATION ---
     "map_higher_order_ops",
     "minhash_estimation_error",

@@ -1701,7 +1701,195 @@ ORDER BY r.event_type
 """
 
 
+# --------------------------------------------------------------------------
+# DP quantile release via the EXPONENTIAL MECHANISM (r14) — the second half
+# of the DP toolkit next to the Laplace histogram: selecting from a
+# candidate set with utility-proportional noise (McSherry-Talwar 2007;
+# quantile utility per Smith 2011)
+# --------------------------------------------------------------------------
+
+#: privacy budget per released quantile.
+_DPQ_EPS = 1.0
+#: candidate grid: {bins} fixed intervals of {width} cents over the
+#: clamped domain [0, bins*width) — clamping bounds the rank sensitivity
+#: exactly like the Laplace histogram's contribution cap.
+_DPQ_BINS = 60
+_DPQ_WIDTH = 1_000_000          # $10k in cents
+#: released quantiles as twentieths (integers keep the rank utility exact:
+#: u = −|20·cum_below − k·n| is computed in scaled integer units).
+_DPQ_QK = (5, 10, 15, 18)       # q = 0.25, 0.50, 0.75, 0.90
+#: scaled-unit sensitivity: one record moves cum_below by ≤1 → scaled
+#: utility by ≤20, so the mechanism scores eps·u/(2·20).
+_DPQ_SENS = 20
+
+
+def dp_exponential_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private QUANTILE release via the exponential
+    mechanism, audited — the selection half of the DP toolkit (the Laplace
+    histogram covers counting): clamp order totals (exact integer cents)
+    into a fixed {bins}-interval grid, give every interval the quantile
+    rank utility ``u_i = −|20·cum_below_i − k·n|`` (integer-exact in
+    twentieths, sensitivity {sens}), and release
+    ``argmax_i [ eps·u_i/(2·{sens}) + Gumbel_i ]`` — the Gumbel-max trick
+    IS sampling from the exponential-mechanism distribution, and here the
+    Gumbel comes from the portable md5 ring keyed by (quantile, interval)
+    so the DuckDB oracle replays the exact release. Per quantile the audit
+    reports the released interval, its true rank error (the mechanism's
+    actual miss, in scaled units), and the best achievable error — the
+    utility-loss accounting a privacy team reviews before publishing. A
+    production release would draw fresh Gumbels and publish ONLY the
+    released bounds; the deterministic ring is the testing harness.
+
+    Scale shape: one scan → {bins}-row histogram (two-phase, map-side
+    combine), a bounded-window cumulative over the {bins} rows, a
+    {bins}×{nq} scored grid, and per-quantile struct-max argmaxes — model
+    arithmetic on a bounded table, never a per-row pass per candidate."""
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    binned = orders.select(
+        F.least(
+            F.lit(_DPQ_BINS - 1),
+            F.greatest(F.lit(0), F.floor(cents / F.lit(_DPQ_WIDTH))),
+        ).cast("long").alias("b")
+    )
+    hist = binned.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    grid = spark.range(_DPQ_BINS).select(F.col("id").alias("b"))
+    full = grid.join(hist, "b", "left").select(
+        "b", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    # bounded window: cum_below_i = #records in intervals < i (60 rows)
+    from pyspark.sql import Window
+
+    cum = full.select(
+        "b",
+        F.coalesce(
+            F.sum("c").over(
+                Window.orderBy("b").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("below"),
+    )
+    n_tot = binned.agg(F.count(F.lit(1)).alias("n"))
+    qk = spark.range(len(_DPQ_QK)).select(
+        F.element_at(
+            F.array(*[F.lit(k) for k in _DPQ_QK]), (F.col("id") + 1).cast("int")
+        ).alias("k")
+    )
+    scored = (
+        cum.crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(qk))
+        .select(
+            "k",
+            "b",
+            (-F.abs(F.lit(20) * F.col("below") - F.col("k") * F.col("n")))
+            .alias("u"),
+            "n",
+        )
+    )
+    u01 = (
+        (
+            md5_long(
+                F.concat(
+                    F.lit("dpq:"), F.col("k"), F.lit(":"), F.col("b")
+                )
+            ) % 1000000
+        ).cast("double") + 0.5
+        # div-safe: literal 1e6 denominator
+    ) / 1000000.0
+    gumbel = -F.log(-F.log(u01))
+    score = F.round(
+        F.lit(float(_DPQ_EPS)) * F.col("u")
+        / F.lit(2.0 * _DPQ_SENS)
+        + gumbel,
+        6,
+    )
+    released = scored.select(
+        "k", "n",
+        F.struct(
+            score.alias("s"), (-F.col("b")).alias("nb"), F.col("b"),
+            (-F.col("u")).alias("err"),
+        ).alias("cand"),
+        (-F.col("u")).alias("abs_err"),
+    ).groupBy("k", "n").agg(
+        F.max("cand").alias("win"),
+        F.min("abs_err").alias("best_err"),
+    )
+    return released.select(
+        # div-safe: literal 20 denominator
+        F.round(F.col("k") / 20.0, 2).alias("q"),
+        F.col("n").alias("n_orders"),
+        (F.col("win.b") * _DPQ_WIDTH).alias("released_lo_cents"),
+        ((F.col("win.b") + 1) * _DPQ_WIDTH).alias("released_hi_cents"),
+        F.col("win.err").alias("released_rank_err20"),
+        F.col("best_err").alias("best_rank_err20"),
+        F.lit(float(_DPQ_EPS)).alias("epsilon"),
+    ).orderBy("q")
+
+
+dp_exponential_quantiles.__doc__ = dp_exponential_quantiles.__doc__.format(
+    bins=_DPQ_BINS, sens=_DPQ_SENS, nq=len(_DPQ_QK)
+)
+
+_DPQ_SQL = f"""
+WITH cents AS (
+  SELECT LEAST({_DPQ_BINS - 1},
+               GREATEST(0, CAST(floor(
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                 -- div-safe: literal width denominator
+                 / {_DPQ_WIDTH}) AS BIGINT))) AS b
+  FROM orders
+),
+hist AS (SELECT b, COUNT(*) AS c FROM cents GROUP BY b),
+grid AS (SELECT unnest(generate_series(0, {_DPQ_BINS - 1})) AS b),
+cum AS (
+  SELECT g.b,
+         COALESCE(SUM(h.c) OVER (
+           ORDER BY g.b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS below
+  FROM grid g LEFT JOIN hist h ON h.b = g.b
+),
+n_tot AS (SELECT COUNT(*) AS n FROM cents),
+qs(k) AS (VALUES {", ".join(f"({k})" for k in _DPQ_QK)}),
+scored AS (
+  SELECT q.k, c.b, t.n,
+         -ABS(20 * c.below - q.k * t.n) AS u,
+         ROUND({float(_DPQ_EPS)!r} * (-ABS(20 * c.below - q.k * t.n))
+               -- div-safe: literal 2*sens denominator
+               / {2.0 * _DPQ_SENS!r}
+               + (-LN(-LN(
+                   (CAST({duck_md5_long(
+                       "'dpq:' || q.k || ':' || c.b"
+                   )} % 1000000 AS DOUBLE) + 0.5)
+                   -- div-safe: literal 1e6 denominator
+                   / 1000000.0
+               ))), 6) AS score
+  FROM cum c CROSS JOIN qs q CROSS JOIN n_tot t
+),
+win AS (
+  SELECT k, n,
+         MAX(struct_pack(s := score, nb := -b, b := b,
+                         err := -u)) AS win,
+         MIN(-u) AS best_err
+  FROM scored
+  GROUP BY k, n
+)
+-- div-safe: literal 20 denominator
+SELECT ROUND(k / 20.0, 2) AS q,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(win.b * {_DPQ_WIDTH} AS BIGINT) AS released_lo_cents,
+       CAST((win.b + 1) * {_DPQ_WIDTH} AS BIGINT) AS released_hi_cents,
+       CAST(win.err AS BIGINT) AS released_rank_err20,
+       CAST(best_err AS BIGINT) AS best_rank_err20,
+       {float(_DPQ_EPS)!r} AS epsilon
+FROM win
+ORDER BY q
+"""
+
+
 QUERIES = {
+    "dp_exponential_quantiles": dp_exponential_quantiles,
     "l_diversity_audit": l_diversity_audit,
     "t_closeness_audit": t_closeness_audit,
     "dp_laplace_event_histogram": dp_laplace_event_histogram,
@@ -1722,6 +1910,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dp_exponential_quantiles": _DPQ_SQL,
     "l_diversity_audit": _L_DIVERSITY_SQL,
     "t_closeness_audit": _T_CLOSE_SQL,
     "dp_laplace_event_histogram": _DP_HIST_SQL,
