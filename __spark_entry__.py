@@ -152,6 +152,17 @@ _PRIORITY = [
     "bradley_terry_source_ranking",  # BT strengths via Hunter-MM
     "multimodal_jpeg_quality_estimate",  # IJG QF inverse from DQT bytes
     "dp_exponential_quantiles",      # exponential-mechanism DP quantiles
+    "speculative_ngram_acceptance",  # prompt-lookup drafter eval
+    # --- r6-evidence pads filling the window to exactly 50 (oldest
+    # alphabetical; swapped out as r14-new operators land) ---
+    "ab_experiment_analysis",
+    "ann_knn_graph_ivf",
+    "anti_join_customers_without_orders",
+    "asof_join_prior_click",
+    "asof_join_with_tolerance",
+    "binaryfile_media_scan",
+    "brand_affinity_lift",
+    "context_length_sweep",
     # --- the 25 r5-evidence pads staged in r13's _NEXT_ROTATION ---
     "map_higher_order_ops",
     "minhash_estimation_error",

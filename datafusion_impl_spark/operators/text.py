@@ -5433,6 +5433,150 @@ LIMIT {_PMI_TOP}
 
 
 # --------------------------------------------------------------------------
+# Speculative n-gram drafter acceptance eval (r14): prompt-lookup /
+# n-gram speculative decoding (Leviathan et al. 2023's acceptance framing;
+# the draft model is the corpus bigram argmax table, the trick behind
+# "prompt lookup decoding") — how often would the cheap draft be accepted?
+# --------------------------------------------------------------------------
+
+def speculative_ngram_acceptance(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """SPECULATIVE-DECODING drafter eval over the corpus: train a bigram
+    ARGMAX draft table on the even-doc_id half (per token, the most
+    frequent next token; ties break to the lexicographically smallest —
+    exact in both engines), then measure on the HELD-OUT odd half how
+    often the draft equals the actual next token. Acceptance rate is the
+    single number that decides whether n-gram drafting (prompt-lookup
+    decoding) pays for a serving stack: expected tokens per target-model
+    step with draft length 1 is ``1 + acceptance``. Reported per source:
+    eval positions, draft-table coverage, acceptances, the acceptance
+    rate, and that speedup proxy.
+
+    Scale shape: explode → ``arrays_zip`` adjacent pairs (array-side, no
+    positional self-join), two-phase bigram counts, ONE per-token window
+    (partitioned by the token key) for the argmax, then a hash join of
+    eval pairs against the |vocab|-bounded draft table. At 100 TB the
+    draft table stays vocabulary-sized and broadcastable."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens("text").alias("t")
+    ).filter(F.size("t") >= 2)
+    pairs = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("p").getField("0").alias("w"),
+        F.col("p").getField("1").alias("nxt"),
+    )
+    train = pairs.filter(F.col("doc_id") % 2 == 0)
+    ev = pairs.filter(F.col("doc_id") % 2 == 1)
+    counts = train.groupBy("w", "nxt").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    draft = (
+        counts.select(
+            "w",
+            "nxt",
+            F.row_number()
+            .over(
+                Window.partitionBy("w").orderBy(
+                    F.col("c").desc(), F.col("nxt").asc()
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("w", F.col("nxt").alias("draft_nxt"))
+    )
+    joined = ev.join(draft, "w", "left")
+    covered = F.col("draft_nxt").isNotNull()
+    accepted = covered & (F.col("draft_nxt") == F.col("nxt"))
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_positions"),
+            F.sum(covered.cast("long")).alias("n_covered"),
+            F.sum(accepted.cast("long")).alias("n_accepted"),
+            F.round(
+                F.sum(accepted.cast("long"))
+                # div-safe: GREATEST(n_positions, 1) >= 1
+                / F.greatest(
+                    F.count(F.lit(1)).cast("double"), F.lit(1.0)
+                ),
+                6,
+            ).alias("acceptance_rate"),
+            F.round(
+                F.lit(1.0)
+                + F.sum(accepted.cast("long"))
+                # div-safe: GREATEST(n_positions, 1) >= 1
+                / F.greatest(
+                    F.count(F.lit(1)).cast("double"), F.lit(1.0)
+                ),
+                6,
+            ).alias("tokens_per_step"),
+        )
+        .orderBy("source")
+    )
+
+
+_SPEC_NGRAM_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, {_DUCK_TOKENS.format(col='text')} AS t
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, source, t[i] AS w, t[i + 1] AS nxt
+  FROM toks
+  JOIN (SELECT unnest(generate_series(1, 4096)) AS i) g
+    ON g.i <= len(t) - 1
+  WHERE len(t) >= 2
+),
+counts AS (
+  SELECT w, nxt, COUNT(*) AS c
+  FROM pairs WHERE doc_id % 2 = 0
+  GROUP BY w, nxt
+),
+draft AS (
+  SELECT w, nxt AS draft_nxt
+  FROM (
+    SELECT w, nxt,
+           ROW_NUMBER() OVER (
+             PARTITION BY w ORDER BY c DESC, nxt ASC
+           ) AS rn
+    FROM counts
+  ) WHERE rn = 1
+),
+ev AS (
+  SELECT p.source, p.nxt, d.draft_nxt
+  FROM pairs p LEFT JOIN draft d ON d.w = p.w
+  WHERE p.doc_id % 2 = 1
+)
+SELECT source,
+       COUNT(*) AS n_positions,
+       CAST(count_if(draft_nxt IS NOT NULL) AS BIGINT) AS n_covered,
+       CAST(count_if(draft_nxt = nxt) AS BIGINT) AS n_accepted,
+       -- div-safe: GREATEST(COUNT(*), 1) >= 1
+       ROUND(count_if(draft_nxt = nxt)
+             / CAST(GREATEST(COUNT(*), 1) AS DOUBLE), 6)
+         AS acceptance_rate,
+       ROUND(1.0 + count_if(draft_nxt = nxt)
+             -- div-safe: GREATEST(COUNT(*), 1) >= 1
+             / CAST(GREATEST(COUNT(*), 1) AS DOUBLE), 6)
+         AS tokens_per_step
+FROM ev
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # Aho-Corasick broadcast blocklist matching (r13 verdict #7: PII/policy
 # filtering at production blocklist sizes — one automaton pass per document
 # instead of |terms| regex scans)
@@ -5630,6 +5774,7 @@ QUERIES = {
     "text_bm25_search": text_bm25_search,
     "collocation_pmi_bigrams": collocation_pmi_bigrams,
     "blocklist_aho_corasick": blocklist_aho_corasick,
+    "speculative_ngram_acceptance": speculative_ngram_acceptance,
     "rake_keyphrases": rake_keyphrases,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "corpus_curation_funnel": corpus_curation_funnel,
@@ -5678,6 +5823,7 @@ ORACLES = {
     "text_bm25_search": _BM25_SQL,
     "collocation_pmi_bigrams": _PMI_SQL,
     "blocklist_aho_corasick": _AC_BLOCKLIST_SQL,
+    "speculative_ngram_acceptance": _SPEC_NGRAM_SQL,
     "rake_keyphrases": _RAKE_SQL,
     "text_tfidf_top_terms": _TFIDF_SQL,
     "corpus_curation_funnel": _FUNNEL_SQL,
