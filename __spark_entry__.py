@@ -153,6 +153,9 @@ _PRIORITY = [
     "multimodal_jpeg_quality_estimate",  # IJG QF inverse from DQT bytes
     "dp_exponential_quantiles",      # exponential-mechanism DP quantiles
     "speculative_ngram_acceptance",  # prompt-lookup drafter eval
+    "rho_excess_loss_selection",     # RHO excess-loss data selection
+    "embedding_int4_block_quant",    # blockwise absmax int4 census
+    "unimax_budget_allocation",      # UniMax epoch-cap waterfilling
     # --- r6-evidence pads filling the window to exactly 50 (oldest
     # alphabetical; swapped out as r14-new operators land) ---
     "ab_experiment_analysis",
@@ -160,9 +163,6 @@ _PRIORITY = [
     "anti_join_customers_without_orders",
     "asof_join_prior_click",
     "asof_join_with_tolerance",
-    "binaryfile_media_scan",
-    "brand_affinity_lift",
-    "context_length_sweep",
     # --- the 25 r5-evidence pads staged in r13's _NEXT_ROTATION ---
     "map_higher_order_ops",
     "minhash_estimation_error",

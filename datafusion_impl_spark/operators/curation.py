@@ -478,6 +478,307 @@ ORDER BY label
 
 
 # --------------------------------------------------------------------------
+# UniMax mixture budget allocation (r14): uniform-with-epoch-cap
+# waterfilling over per-source token budgets (Chung et al. 2023,
+# "UniMax: Fairer and More Effective Language Sampling") — the third
+# mixing policy next to temperature sampling and DoReMi
+# --------------------------------------------------------------------------
+
+#: total training budget as a fraction of available corpus tokens
+#: (numerator/denominator kept integer so the budget itself is exact).
+_UNIMAX_BUDGET_NUM, _UNIMAX_BUDGET_DEN = 1, 2     # 50 % of the corpus
+#: per-source epoch cap: no source repeats more than this many times.
+#: With a sub-corpus budget the cap binds only on SMALL sources — exactly
+#: the skew UniMax exists to correct.
+_UNIMAX_EPOCH_CAP = 1
+
+
+def unimax_budget_allocation(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """UNIMAX mixture allocation — uniform sampling with an epoch cap,
+    solved by exact WATERFILLING: every source should get the same token
+    budget, but no source may exceed ``{cap} × available`` tokens; capped
+    sources return their surplus, raising everyone else's level. Sorted by
+    cap ascending, the level is ``s_i = (B − Σ_{{j<i}} cap_j)/(n−i+1)``
+    at the FIRST i whose cap reaches it (all prefix sums are exact
+    integers; the one division per candidate level is a single IEEE op,
+    identical cross-engine), and ``alloc_i = min(cap_i, level)``. Reported
+    per source: available tokens, cap, the allocation, implied epochs, and
+    whether the cap bound — the mixing table a data team signs off next
+    to the temperature and DoReMi variants already in this module.
+
+    Scale shape: ONE corpus scan for per-source token counts (two-phase),
+    then pure window arithmetic on the 20-row source table (bounded input
+    — the same model-table pattern as the other mixers)."""
+    from datafusion_impl_spark.operators.text import tokens
+
+    avail = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", tokens("text").alias("t"))
+        .groupBy("source")
+        .agg(F.sum(F.size("t")).cast("long").alias("avail"))
+    )
+    caps = avail.select(
+        "source",
+        "avail",
+        (F.col("avail") * _UNIMAX_EPOCH_CAP).alias("cap"),
+    )
+    n_b = caps.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.floor(
+                F.sum("avail") * _UNIMAX_BUDGET_NUM / _UNIMAX_BUDGET_DEN
+            )
+        ).cast("long").alias("budget"),
+    )
+    w = Window.orderBy(F.col("cap").asc(), F.col("source").asc())
+    ordered = caps.crossJoin(F.broadcast(n_b)).select(
+        "source",
+        "avail",
+        "cap",
+        "n",
+        "budget",
+        F.row_number().over(w).alias("i"),
+        F.coalesce(
+            F.sum("cap").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("prefix_cap"),
+    )
+    # candidate level at i: budget minus fully-capped smaller sources,
+    # split over the rest. div-safe: n - i + 1 >= 1 by construction
+    s_i = (F.col("budget") - F.col("prefix_cap")) / (
+        F.col("n") - F.col("i") + 1
+    ).cast("double")
+    with_level = ordered.select(
+        "*",
+        s_i.alias("s_i"),
+        (F.col("cap").cast("double") >= s_i).cast("int").alias("uncapped"),
+    )
+    # the waterfilling level = s_i of the FIRST uncapped index (caps are
+    # ascending, so every later source is uncapped too). The 1-row level
+    # table always exists: with budget <= total caps the last source is
+    # uncapped (s_n = B - Σ_{j<n} cap_j <= cap_n).
+    i_star = with_level.agg(
+        F.min(F.when(F.col("uncapped") == 1, F.col("i"))).alias("i_star")
+    )
+    lvl = (
+        with_level.join(
+            F.broadcast(i_star), F.col("i") == F.col("i_star")
+        ).select(F.col("s_i").alias("level"))
+    )
+    level = with_level.crossJoin(F.broadcast(lvl))
+    alloc = F.when(
+        F.col("cap").cast("double") < F.col("level"),
+        F.col("cap").cast("double"),
+    ).otherwise(F.col("level"))
+    return level.select(
+        "source",
+        F.col("avail").alias("avail_tokens"),
+        F.col("cap").alias("cap_tokens"),
+        F.round(alloc, 4).alias("alloc_tokens"),
+        F.round(
+            # div-safe: avail >= 1 (every source has documents with tokens)
+            alloc / F.col("avail").cast("double"),
+            4,
+        ).alias("epochs"),
+        (F.col("cap").cast("double") < F.col("level")).cast("int").alias(
+            "capped"
+        ),
+    ).orderBy("source")
+
+
+unimax_budget_allocation.__doc__ = unimax_budget_allocation.__doc__.format(
+    cap=_UNIMAX_EPOCH_CAP
+)
+
+_UNIMAX_SQL = rf"""
+WITH avail AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+                                  t -> t <> ''))) AS BIGINT) AS avail
+  FROM documents GROUP BY source
+),
+caps AS (
+  SELECT source, avail, avail * {_UNIMAX_EPOCH_CAP} AS cap FROM avail
+),
+n_b AS (
+  SELECT COUNT(*) AS n,
+         CAST(floor(SUM(avail) * {_UNIMAX_BUDGET_NUM}
+                    -- div-safe: literal denominator
+                    / {_UNIMAX_BUDGET_DEN}) AS BIGINT) AS budget
+  FROM caps
+),
+ordered AS (
+  SELECT c.source, c.avail, c.cap, b.n, b.budget,
+         ROW_NUMBER() OVER (ORDER BY c.cap ASC, c.source ASC) AS i,
+         COALESCE(SUM(c.cap) OVER (
+           ORDER BY c.cap ASC, c.source ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prefix_cap
+  FROM caps c CROSS JOIN n_b b
+),
+with_level AS (
+  SELECT *,
+         -- div-safe: n - i + 1 >= 1 by construction
+         (budget - prefix_cap) / CAST(n - i + 1 AS DOUBLE) AS s_i,
+         CASE WHEN CAST(cap AS DOUBLE)
+                   >= (budget - prefix_cap) / CAST(n - i + 1 AS DOUBLE)
+              THEN 1 ELSE 0 END AS uncapped
+  FROM ordered
+),
+lvl AS (
+  SELECT MIN(CASE WHEN uncapped = 1 THEN i END) AS i_star FROM with_level
+),
+level AS (
+  SELECT w.*, s.s_i AS level
+  FROM with_level w
+  LEFT JOIN lvl ON TRUE
+  LEFT JOIN with_level s ON s.i = lvl.i_star
+)
+SELECT source,
+       avail AS avail_tokens,
+       cap AS cap_tokens,
+       ROUND(CASE WHEN level IS NULL OR CAST(cap AS DOUBLE) < level
+                  THEN CAST(cap AS DOUBLE) ELSE level END, 4)
+         AS alloc_tokens,
+       -- div-safe: avail >= 1 (every source has tokenful documents)
+       ROUND(CASE WHEN level IS NULL OR CAST(cap AS DOUBLE) < level
+                  THEN CAST(cap AS DOUBLE) ELSE level END
+             / CAST(avail AS DOUBLE), 4) AS epochs,
+       CAST(CASE WHEN CAST(cap AS DOUBLE) < level THEN 1 ELSE 0 END
+            AS INTEGER) AS capped
+FROM level
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# int4 BLOCKWISE absmax quantization census (r14): the 4-bit storage form
+# modern embedding/weight stores actually use (bitsandbytes-style blockwise
+# absmax, Dettmers et al.) — per-vector 8-dim blocks, symmetric levels
+# −7..7, one scale per block
+# --------------------------------------------------------------------------
+
+#: dims per quantization block (64-dim vectors → 8 blocks per vector).
+_INT4_BLOCK = 8
+#: symmetric int4 code range: q ∈ [−7, 7] (the −8 code is unused, as in
+#: symmetric absmax schemes).
+_INT4_LEVELS = 7
+
+
+def embedding_int4_block_quant(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """BLOCKWISE int4 absmax quantization census — the 4-bit layout
+    embedding caches and quantized checkpoints actually store (one absmax
+    scale per {blk}-dim block inside each vector, symmetric codes −{lv}..
+    {lv}): quantize every element as ``q = floor(v/absmax·{lv} + 0.5)``
+    (floor-plus-half, the repo's engine-neutral rounding — never an engine
+    ROUND on a half-boundary), dequantize, and report per label the exact
+    integer code-magnitude sum and saturation count (|q| = {lv}) plus the
+    reconstruction error profile. Versus the per-dimension int8 report
+    (:func:`embedding_quantization_report`): 2× smaller codes, scales that
+    adapt per vector-block instead of per corpus-dimension — the tradeoff
+    this census quantifies.
+
+    Scale shape: posexplode → per (vec, block) absmax (two-phase, keys are
+    (vec_id, block) — no broadcast table needed since the scale is LOCAL
+    to the vector), self-join back on the block key, per-label rollup. At
+    100 TB the block-absmax join is co-partitioned with the element table
+    by vec_id — no skew, no global state."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    elems = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    ).withColumn("blk", (F.col("dim") / _INT4_BLOCK).cast("int"))
+    scales = elems.groupBy("vec_id", "blk").agg(
+        F.max(F.abs(F.col("v"))).alias("absmax")
+    )
+    j = elems.join(scales, ["vec_id", "blk"])
+    q = F.when(F.col("absmax") == 0.0, F.lit(0.0)).otherwise(
+        F.floor(
+            # div-safe: absmax > 0 on this CASE branch
+            F.col("v") / F.col("absmax") * _INT4_LEVELS + F.lit(0.5)
+        )
+    )
+    deq = F.when(F.col("absmax") == 0.0, F.lit(0.0)).otherwise(
+        # div-safe: literal levels denominator
+        q * F.col("absmax") / F.lit(float(_INT4_LEVELS))
+    )
+    err = F.col("v") - deq
+    return (
+        j.select(
+            "label",
+            q.cast("long").alias("q"),
+            err.alias("err"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vals"),
+            F.sum(F.abs(F.col("q"))).alias("code_abs_sum"),
+            F.sum(
+                (F.abs(F.col("q")) == _INT4_LEVELS).cast("long")
+            ).alias("n_saturated"),
+            F.round(F.max(F.abs(F.col("err"))), 6).alias("max_abs_err"),
+            F.round(F.avg(F.col("err") * F.col("err")) * 1e6, 2).alias(
+                "mse_x1e6"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+embedding_int4_block_quant.__doc__ = embedding_int4_block_quant.__doc__.format(
+    blk=_INT4_BLOCK, lv=_INT4_LEVELS
+)
+
+_INT4_SQL = f"""
+WITH elems AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings
+),
+blocks AS (
+  SELECT vec_id, label, dim // {_INT4_BLOCK} AS blk, v FROM elems
+),
+scales AS (
+  SELECT vec_id, blk, MAX(ABS(v)) AS absmax
+  FROM blocks GROUP BY vec_id, blk
+),
+codes AS (
+  SELECT b.label,
+         CASE WHEN s.absmax = 0 THEN 0
+              -- div-safe: absmax > 0 on this CASE branch
+              ELSE CAST(floor(b.v / s.absmax * {_INT4_LEVELS} + 0.5)
+                        AS BIGINT)
+         END AS q,
+         b.v - CASE WHEN s.absmax = 0 THEN 0.0
+                    -- div-safe: absmax > 0; literal levels denominator
+                    ELSE floor(b.v / s.absmax * {_INT4_LEVELS} + 0.5)
+                         * s.absmax / {float(_INT4_LEVELS)!r}
+               END AS err
+  FROM blocks b JOIN scales s ON s.vec_id = b.vec_id AND s.blk = b.blk
+)
+SELECT label,
+       COUNT(*) AS n_vals,
+       CAST(SUM(ABS(q)) AS BIGINT) AS code_abs_sum,
+       CAST(count_if(ABS(q) = {_INT4_LEVELS}) AS BIGINT) AS n_saturated,
+       ROUND(MAX(ABS(err)), 6) AS max_abs_err,
+       ROUND(AVG(err * err) * 1e6, 2) AS mse_x1e6
+FROM codes
+GROUP BY label
+ORDER BY label
+"""
+
+
+# --------------------------------------------------------------------------
 # 5. Repeated-n-gram coverage (exact-substring dedup signal)
 # --------------------------------------------------------------------------
 
@@ -1271,6 +1572,8 @@ QUERIES = {
     "dedup_documents_url": dedup_documents_url,
     "source_mixture_weights": source_mixture_weights,
     "embedding_quantization_report": embedding_quantization_report,
+    "embedding_int4_block_quant": embedding_int4_block_quant,
+    "unimax_budget_allocation": unimax_budget_allocation,
     "repeated_ngram_coverage": repeated_ngram_coverage,
     "source_overlap_matrix": source_overlap_matrix,
     "corpus_embedding_coverage": corpus_embedding_coverage,
@@ -1294,6 +1597,8 @@ ORACLES = {
     "dedup_documents_url": _URL_SQL,
     "source_mixture_weights": _MIX_SQL,
     "embedding_quantization_report": _QUANT_SQL,
+    "embedding_int4_block_quant": _INT4_SQL,
+    "unimax_budget_allocation": _UNIMAX_SQL,
     "repeated_ngram_coverage": _rep_coverage_oracle(),
     "source_overlap_matrix": _OVERLAP_SQL,
     "corpus_embedding_coverage": _COVERAGE_SQL,

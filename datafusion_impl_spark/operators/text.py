@@ -5433,6 +5433,195 @@ LIMIT {_PMI_TOP}
 
 
 # --------------------------------------------------------------------------
+# RHO-style excess-loss data selection (r14): pick the documents a
+# context-aware model finds LEARNABLE — per-token excess loss between a
+# weak reference (unigram) and a stronger model (bigram), the
+# selection-signal shape of RHO-1 (Lin et al. 2024, "Not All Tokens Are
+# What You Need") applied at document granularity
+# --------------------------------------------------------------------------
+
+#: documents selected by excess loss (top-K across the corpus).
+_RHO_TOP = 40
+#: per-doc excess loss is rounded here before ranking (PMI discipline:
+#: pin the ranking key, tiebreak on doc_id).
+_RHO_ROUND = 6
+
+
+def rho_excess_loss_selection(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """EXCESS-LOSS data selection — the RHO-1 signal at document
+    granularity: score every token position under a weak reference model
+    (add-k unigram) AND a stronger context model (add-k bigram, the
+    :func:`source_bigram_perplexity` LM — same bounded top-{v}+OOV
+    vocabulary), and rank documents by the summed EXCESS
+    ``nll_uni − nll_bi``: text where context helps a lot is structured,
+    learnable signal; text where even context doesn't help is noise. The
+    top-{k} documents are selected (excess rounded to {r} dp before
+    ranking, doc_id tiebreak — the PMI ranking discipline) and the census
+    reports, per source, how many were selected and their excess/position
+    mass — the per-domain selection mix a data team inspects before
+    committing the filter.
+
+    Scale shape: everything the bigram LM query proved — bounded
+    vocabulary inlined as an InSet, arrays_zip adjacent pairs, broadcast
+    (V+1)² LM tables — plus one TakeOrdered top-{k} (never a global
+    sort). The unigram table is V+1 rows and shares the mapped-token
+    projection."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    toks = docs.select(
+        "doc_id", "source", tokens("text").alias("t")
+    ).filter(F.size("t") >= 2)
+    vocab_rows = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(_BIGRAM_VOCAB)
+        .collect()
+    )
+    vocab = [r["token"] for r in vocab_rows]
+    mapped = F.transform(
+        "t",
+        lambda x: F.when(x.isin(*vocab), x).otherwise(F.lit(_BIGRAM_OOV)),
+    )
+    tm = toks.select("doc_id", "source", mapped.alias("m"))
+    big = tm.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.arrays_zip(
+                F.slice("m", 1, F.size("m") - 1).alias("a"),
+                F.slice("m", 2, F.size("m") - 1).alias("b"),
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id", "source",
+        F.col("bg.a").alias("a"), F.col("bg.b").alias("b"),
+    )
+    c_ab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    c_a = c_ab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    # unigram counts over the TARGET position (b), total from the same
+    # table so both models see identical mass
+    c_b = c_ab.groupBy("b").agg(F.sum("c_ab").alias("c_b"))
+    t_tot = c_ab.agg(F.sum("c_ab").alias("t_tot"))
+    # div-safe: smoothed denominators are >= k*(V+1) > 0
+    nll_bi = -F.log(
+        (F.col("c_ab") + F.lit(_BIGRAM_K))
+        / (F.col("c_a") + F.lit(_BIGRAM_K * (_BIGRAM_VOCAB + 1)))
+    )
+    lm_bi = c_ab.join(F.broadcast(c_a), "a").select(
+        "a", "b", nll_bi.alias("nll_bi")
+    )
+    # div-safe: smoothed denominator >= k*(V+1) > 0
+    nll_uni = -F.log(
+        (F.col("c_b") + F.lit(_BIGRAM_K))
+        / (F.col("t_tot") + F.lit(_BIGRAM_K * (_BIGRAM_VOCAB + 1)))
+    )
+    lm_uni = c_b.crossJoin(F.broadcast(t_tot)).select(
+        "b", nll_uni.alias("nll_uni")
+    )
+    per_doc = (
+        big.join(F.broadcast(lm_bi), ["a", "b"])
+        .join(F.broadcast(lm_uni), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                F.sum(F.col("nll_uni") - F.col("nll_bi")), _RHO_ROUND
+            ).alias("excess"),
+            F.count(F.lit(1)).alias("n_pos"),
+        )
+    )
+    selected = per_doc.orderBy(
+        F.col("excess").desc(), F.col("doc_id").asc()
+    ).limit(_RHO_TOP)
+    return (
+        selected.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n_pos").cast("long").alias("n_positions"),
+            F.round(F.sum("excess"), 4).alias("excess_sum"),
+            F.round(F.max("excess"), 6).alias("excess_max"),
+        )
+        .orderBy("source")
+    )
+
+
+rho_excess_loss_selection.__doc__ = rho_excess_loss_selection.__doc__.format(
+    v=_BIGRAM_VOCAB, k=_RHO_TOP, r=_RHO_ROUND
+)
+
+_RHO_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, {_DUCK_TOKENS.format(col='text')} AS t
+  FROM documents
+),
+eligible AS (SELECT * FROM toks WHERE len(t) >= 2),
+vocab AS (
+  SELECT token FROM (
+    SELECT unnest(t) AS token FROM toks) u
+  GROUP BY token
+  ORDER BY COUNT(*) DESC, token
+  LIMIT {_BIGRAM_VOCAB}
+),
+big0 AS (
+  SELECT doc_id, source, t[i] AS ra, t[i + 1] AS rb
+  FROM eligible,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) idx
+),
+big AS (
+  SELECT doc_id, source,
+         CASE WHEN va.token IS NULL THEN '{_BIGRAM_OOV}' ELSE big0.ra END AS a,
+         CASE WHEN vb.token IS NULL THEN '{_BIGRAM_OOV}' ELSE big0.rb END AS b
+  FROM big0
+  LEFT JOIN vocab va ON va.token = big0.ra
+  LEFT JOIN vocab vb ON vb.token = big0.rb
+),
+c_ab AS (SELECT a, b, COUNT(*) AS c_ab FROM big GROUP BY a, b),
+c_a AS (SELECT a, SUM(c_ab) AS c_a FROM c_ab GROUP BY a),
+c_b AS (SELECT b, SUM(c_ab) AS c_b FROM c_ab GROUP BY b),
+t_tot AS (SELECT SUM(c_ab) AS t_tot FROM c_ab),
+lm_bi AS (
+  SELECT c_ab.a, c_ab.b,
+         -- div-safe: smoothed denominator >= k*(V+1) > 0
+         -LN((c_ab.c_ab + {_BIGRAM_K})
+             / (c_a.c_a + {_BIGRAM_K * (_BIGRAM_VOCAB + 1)})) AS nll_bi
+  FROM c_ab JOIN c_a ON c_a.a = c_ab.a
+),
+lm_uni AS (
+  SELECT b,
+         -- div-safe: smoothed denominator >= k*(V+1) > 0
+         -LN((c_b + {_BIGRAM_K})
+             / (t.t_tot + {_BIGRAM_K * (_BIGRAM_VOCAB + 1)})) AS nll_uni
+  FROM c_b CROSS JOIN t_tot t
+),
+per_doc AS (
+  SELECT g.doc_id, g.source,
+         ROUND(SUM(u.nll_uni - lb.nll_bi), {_RHO_ROUND}) AS excess,
+         COUNT(*) AS n_pos
+  FROM big g
+  JOIN lm_bi lb ON lb.a = g.a AND lb.b = g.b
+  JOIN lm_uni u ON u.b = g.b
+  GROUP BY g.doc_id, g.source
+),
+selected AS (
+  SELECT * FROM per_doc
+  ORDER BY excess DESC, doc_id ASC
+  LIMIT {_RHO_TOP}
+)
+SELECT source,
+       COUNT(*) AS n_selected,
+       CAST(SUM(n_pos) AS BIGINT) AS n_positions,
+       ROUND(SUM(excess), 4) AS excess_sum,
+       ROUND(MAX(excess), 6) AS excess_max
+FROM selected
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # Speculative n-gram drafter acceptance eval (r14): prompt-lookup /
 # n-gram speculative decoding (Leviathan et al. 2023's acceptance framing;
 # the draft model is the corpus bigram argmax table, the trick behind
@@ -5775,6 +5964,7 @@ QUERIES = {
     "collocation_pmi_bigrams": collocation_pmi_bigrams,
     "blocklist_aho_corasick": blocklist_aho_corasick,
     "speculative_ngram_acceptance": speculative_ngram_acceptance,
+    "rho_excess_loss_selection": rho_excess_loss_selection,
     "rake_keyphrases": rake_keyphrases,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "corpus_curation_funnel": corpus_curation_funnel,
@@ -5824,6 +6014,7 @@ ORACLES = {
     "collocation_pmi_bigrams": _PMI_SQL,
     "blocklist_aho_corasick": _AC_BLOCKLIST_SQL,
     "speculative_ngram_acceptance": _SPEC_NGRAM_SQL,
+    "rho_excess_loss_selection": _RHO_SQL,
     "rake_keyphrases": _RAKE_SQL,
     "text_tfidf_top_terms": _TFIDF_SQL,
     "corpus_curation_funnel": _FUNNEL_SQL,

@@ -138,6 +138,14 @@ def test_no_python_in_any_relational_plan(spark):
         "multimodal_tar_webdataset_scan",  # tar (dis)assembly IS the operator
         "source_gzip_jsonl_scan",       # gunzip kernel IS the operator (the
         # JSON parse itself is JVM-side from_json)
+        "source_zstd_seekable_scan",    # seek-table zstd codec IS the operator (r14)
+        "source_warc_scan",             # WARC double-framing codec IS the operator (r14)
+        "audio_vad_segments",           # decode+frame-energy kernel (r14); the
+        # island merge itself is JVM window functions
+        "multimodal_png_encode_roundtrip",  # own-DEFLATE writer IS the operator (r14)
+        "multimodal_jpeg_quality_estimate",  # DQT parse + QF inverse kernel (r14)
+        "blocklist_aho_corasick",       # the automaton pass IS the operator (r14);
+        # census aggregation stays JVM-side over per-batch partials
         "avro_lineitem_roundtrip",      # OCF (de)serialization IS the operator
         "source_protobuf_scan",         # wire-format codec IS the operator
         "text_nfc_normalization_audit",  # unicodedata kernel IS the operator
