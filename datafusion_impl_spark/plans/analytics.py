@@ -3342,7 +3342,115 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Join-skew advisor (r14): the pre-flight diagnosis that DECIDES whether
+# the salted join/agg machinery in scale.py is needed — per join key, the
+# heavy-hitter profile and the salt count the skew implies
+# --------------------------------------------------------------------------
+
+#: the key columns a 100 TB deployment of this schema would join/aggregate
+#: on — each gets a skew profile row.
+_SKEW_KEYS = (
+    ("events", "user_id"),
+    ("events", "event_type"),
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_custkey"),
+    ("documents", "source"),
+)
+
+
+def join_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SKEW ADVISOR — the diagnosis that precedes every salting
+    decision (AQE's skew-join handles sort-merge spills, but aggregation
+    and broadcast-side skew still need the scale.py salting machinery;
+    this report says WHERE): for each production join/aggregate key, one
+    scan builds the per-key cardinality profile — row/key counts, the
+    heaviest key's share, the p50/p99 group sizes (exact interpolated
+    percentiles, the cross-engine-safe pattern), a skew ratio (max/mean),
+    and the implied salt count ``ceil(max_key_rows / mean)`` — exactly the
+    factor that splits the heaviest key into average-sized shards. The
+    uniform TPC-H keys correctly advise 1-2 salts while event_type (5
+    values over 100k rows) reports the fan-in a type-keyed shuffle would
+    see.
+
+    Scale shape: per audited key, scan → two-phase per-key count →
+    bounded stats aggregate over the count table (the count table is
+    |keys| rows — itself the thing being measured; its percentile runs
+    per key column, never a global sort of the fact table)."""
+    outs = []
+    for table, key in _SKEW_KEYS:
+        per_key = (
+            load_table(spark, sf_dir, table)
+            .select(F.col(key))
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        outs.append(
+            per_key.agg(
+                F.lit(f"{table}.{key}").alias("join_key"),
+                F.sum("c").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.max("c").cast("long").alias("max_key_rows"),
+                F.expr("percentile(c, 0.5)").alias("p50_key_rows"),
+                F.expr("percentile(c, 0.99)").alias("p99_key_rows"),
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    # div-safe: n_keys >= 1 and n_rows >= 1 (audited tables are non-empty)
+    mean = F.col("n_rows") / F.col("n_keys").cast("double")
+    return u.select(
+        "join_key",
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.round("p50_key_rows", 4).alias("p50_key_rows"),
+        F.round("p99_key_rows", 4).alias("p99_key_rows"),
+        F.round(
+            # div-safe: n_rows >= 1
+            F.col("max_key_rows") / F.col("n_rows").cast("double"), 6
+        ).alias("max_key_share"),
+        F.round(F.col("max_key_rows") / mean, 4).alias("skew_ratio"),
+        F.ceil(F.col("max_key_rows") / mean).cast("long").alias(
+            "recommended_salts"
+        ),
+    ).orderBy("join_key")
+
+
+def _skew_advisor_oracle() -> str:
+    parts = []
+    for table, key in _SKEW_KEYS:
+        parts.append(f"""
+  SELECT '{table}.{key}' AS join_key,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         COUNT(*) AS n_keys,
+         CAST(MAX(c) AS BIGINT) AS max_key_rows,
+         quantile_cont(c, 0.5) AS p50_key_rows,
+         quantile_cont(c, 0.99) AS p99_key_rows
+  FROM (SELECT {key}, COUNT(*) AS c FROM {table} GROUP BY {key})""")
+    union = "\n  UNION ALL\n".join(parts)
+    return f"""
+WITH profiles AS (
+{union}
+)
+SELECT join_key, n_rows, n_keys, max_key_rows,
+       ROUND(p50_key_rows, 4) AS p50_key_rows,
+       ROUND(p99_key_rows, 4) AS p99_key_rows,
+       -- div-safe: n_rows >= 1 (audited tables are non-empty)
+       ROUND(max_key_rows / CAST(n_rows AS DOUBLE), 6) AS max_key_share,
+       -- div-safe: n_keys >= 1
+       ROUND(max_key_rows / (n_rows / CAST(n_keys AS DOUBLE)), 4)
+         AS skew_ratio,
+       CAST(CEIL(max_key_rows / (n_rows / CAST(n_keys AS DOUBLE)))
+            AS BIGINT) AS recommended_salts
+FROM profiles
+ORDER BY join_key
+"""
+
+
 QUERIES = {
+    "join_skew_advisor": join_skew_advisor,
     "sketch_hll_distinct_users": sketch_hll_distinct_users,
     "sketch_hll_overlap_matrix": sketch_hll_overlap_matrix,
     "events_user_hll_rollup": events_user_hll_rollup,
@@ -3409,6 +3517,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_skew_advisor": _skew_advisor_oracle(),
     "sketch_hll_distinct_users": _HLL_SQL,
     "sketch_hll_overlap_matrix": _HLL_OVERLAP_SQL,
     "bitmap_user_distinct_rollup": _BITMAP_ROLLUP_SQL,

@@ -220,6 +220,26 @@ def main() -> None:
             }
             for q in base_rows
         },
+        # the LSH pair graph every downstream graph op consumes:
+        # dedup_documents_minhash's OUTPUT rows are that table's
+        # cardinality, so census-shaped graph queries (kcore/BFS/split —
+        # constant output rows by design) have their super-linear TIME
+        # ratios attributed to THIS growth, not a plan defect.
+        "pair_table_rows": {
+            "base": base_rows.get("dedup_documents_minhash"),
+            "scaled": big_rows.get("dedup_documents_minhash"),
+            "ratio": (
+                round(
+                    big_rows["dedup_documents_minhash"]
+                    / base_rows["dedup_documents_minhash"], 2
+                )
+                if base_rows.get("dedup_documents_minhash") else None
+            ),
+            "consumers": [
+                "dedup_graph_kcore", "graph_bfs_distances",
+                "split_group_aware", "dedup_bbit_minhash",
+            ],
+        },
     }
     # Persist the measurement as a repo artifact (r7 verdict #4: smoke
     # ratios previously lived only in README prose and commit messages, so
