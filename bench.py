@@ -61,23 +61,49 @@ _CANARY = (
 )
 
 
-def _time_query(spark, fn, sf_dir: str) -> float:
+def _time_query(spark, fn, sf_dir: str, pre=None) -> float:
     """Warm-up + best-of-2 (+1 extra sample over 2 s) under a leveled GC —
-    the shared methodology for suite queries and the canary."""
+    the shared methodology for suite queries and the canary. ``pre`` runs
+    before EVERY execution (warm-up and timed): queries that memoize work
+    across invocations use it to un-memoize, so the timer sees the full
+    cost each run instead of a cache hit."""
     gc.collect()
     spark.catalog.clearCache()
     spark._jvm.System.gc()
+    if pre is not None:
+        pre()
     run_once(fn(spark, sf_dir))  # warm-up: codegen + caches, un-timed
     best = float("inf")
     for _ in range(2):
+        if pre is not None:
+            pre()
         t0 = time.perf_counter()
         run_once(fn(spark, sf_dir))
         best = min(best, time.perf_counter() - t0)
     if best > 2.0:
+        if pre is not None:
+            pre()
         t0 = time.perf_counter()
         run_once(fn(spark, sf_dir))
         best = min(best, time.perf_counter() - t0)
     return round(best, 4)
+
+
+def _tws_unmemoize() -> None:
+    """Drop the consolidated TWS stream's per-session memo so the timed
+    runs of ``stream_tws_user_totals`` each pay a FULL composite stream
+    run (r14 honesty accounting: the other three composite-backed TWS
+    queries deliberately measure the memo-hit projection cost — in a real
+    deployment the stream runs once and queries read slices — but ONE
+    query in the subtotal must carry the stream itself, or the 18 s pin
+    would be measuring a cache)."""
+    from datafusion_impl_spark import streaming as _stx
+
+    _stx._TWS_COMPOSITE_VIEWS.clear()
+
+
+#: per-query pre-run hooks for _time_query (see _tws_unmemoize).
+_PRE_RUN = {"stream_tws_user_totals": _tws_unmemoize}
 
 
 def _sf_value(sf_dir: str):
@@ -117,7 +143,9 @@ def main() -> None:
         # because sub-second queries see ±0.5 s of GC/scheduler noise, with
         # a third sample for the heavy (>2 s) dedup pipelines whose
         # checkpoint-GC timing swings up to ±50% run-to-run.
-        timings[name] = _time_query(spark, queries[name], sf_dir)
+        timings[name] = _time_query(
+            spark, queries[name], sf_dir, pre=_PRE_RUN.get(name)
+        )
         # Insurance checkpoint: with 200+ queries the full run takes ~25 min;
         # if an external time cap kills the process mid-run, a bounded stdout
         # tail would otherwise hold no parseable JSON at all. Every 25
@@ -158,6 +186,14 @@ def main() -> None:
     # stream), not five times — the consolidation the r13 sweep proved was
     # the only remaining lever.
     _TWS_TARGET_SEC = 18.0
+    # Honesty accounting for the consolidation: stream_tws_user_totals is
+    # timed with the composite memo CLEARED before every run (_PRE_RUN),
+    # so its timing IS a full fresh composite stream run; the other three
+    # composite-backed queries measure the memo-hit projection cost (in a
+    # real deployment the stream runs once and queries read slices), and
+    # warm-start pays its own stream per invocation. The plain sum is
+    # therefore "the cost to answer all five TWS queries in a session
+    # that runs the composite stream once" — the quantity the pin is for.
     tws_total = round(
         sum(v for n, v in timings.items() if n.startswith("stream_tws_")), 4
     )
