@@ -1746,6 +1746,7 @@ def bradley_terry_source_ranking(spark: SparkSession,
     ).localCheckpoint(eager=True)
 
     dec = f"decimal(28,{_BT_ROUND})"
+    items = items.localCheckpoint(eager=True)  # 20-row model table
     cur = items.select("source", F.lit(1.0).alias("p"))
     for _ in range(_BT_ITERS):
         pj = cur.select(F.col("source").alias("j"), F.col("p").alias("p_j"))
@@ -1792,7 +1793,11 @@ def bradley_terry_source_ranking(spark: SparkSession,
                 / F.greatest(F.col("t").cast("double"), F.lit(1e-9)),
                 _BT_ROUND,
             ).alias("p"),
-        )
+        # materialize the 20-row strengths per iteration: without the cut,
+        # five stacked join+agg+crossJoin generations compound into a plan
+        # Catalyst re-optimizes end-to-end (140 s at sf0.1 in the first
+        # r14 recording); with it each MM step plans against a leaf
+        ).localCheckpoint(eager=True)
     final = items.join(cur, "source")
     return final.select(
         "source",
