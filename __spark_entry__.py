@@ -157,12 +157,12 @@ _PRIORITY = [
     "embedding_int4_block_quant",    # blockwise absmax int4 census
     "unimax_budget_allocation",      # UniMax epoch-cap waterfilling
     "join_skew_advisor",             # pre-salting skew diagnosis
+    "parquet_footer_census",         # row-group stats pruning audit
     # --- r6-evidence pads filling the window to exactly 50 (oldest
     # alphabetical; swapped out as r14-new operators land) ---
     "ab_experiment_analysis",
     "ann_knn_graph_ivf",
     "anti_join_customers_without_orders",
-    "asof_join_prior_click",
     # --- the 25 r5-evidence pads staged in r13's _NEXT_ROTATION ---
     "map_higher_order_ops",
     "minhash_estimation_error",

@@ -1081,6 +1081,189 @@ ORDER BY shard_id
 
 
 # --------------------------------------------------------------------------
+# Parquet footer / row-group stats census (r14): the layout-debugging
+# operator behind every stats-pruning claim — read the footers and report
+# what a min/max-pruned scan could actually skip
+# --------------------------------------------------------------------------
+
+_FOOTER_ROOT = "/tmp/datafusion_impl_spark_footer"
+_FOOTER_FILES = 8
+_FOOTER_RGS_PER_FILE = 3
+
+
+def _footer_stage(sf_dir: str) -> str:
+    """Stage ``orders`` once per sf as a SORTED {files}-file layout with
+    {rgs} row groups per file (pyarrow writer, fixed row_group_size — no
+    Spark jobs, so the footers are byte-deterministic). Sorted by
+    ``o_orderkey``, every file and every row group carries a DISJOINT key
+    range — the layout where min/max stats actually prune."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as papq
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(_FOOTER_ROOT, tag)
+    done = os.path.join(out, "_STAGED")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    t = papq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    t = t.take(pc.sort_indices(t, sort_keys=[("o_orderkey", "ascending")]))
+    n = t.num_rows
+    per_file = (n + _FOOTER_FILES - 1) // _FOOTER_FILES
+    rg = max(1, per_file // _FOOTER_RGS_PER_FILE)
+    for i in range(_FOOTER_FILES):
+        part = t.slice(i * per_file, per_file)
+        papq.write_table(
+            part,
+            os.path.join(out, f"part-{i:02d}.parquet"),
+            row_group_size=rg,
+        )
+    open(done, "w").close()
+    return out
+
+
+_footer_stage.__doc__ = _footer_stage.__doc__.format(
+    files=_FOOTER_FILES, rgs=_FOOTER_RGS_PER_FILE
+)
+
+
+def parquet_footer_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARQUET FOOTER CENSUS — the metadata pass behind every stats-pruning
+    decision (Delta/Iceberg OPTIMIZE audits, scan planners, the repo's own
+    Z-order claims): stage ``orders`` as a sorted {files}-file layout with
+    multiple row groups per file, then read ONLY the FOOTERS (pyarrow
+    ``ParquetFile.metadata`` in the Arrow kernel — no data pages touched)
+    and report, per file: row-group count, rows, the ``o_orderkey``
+    stats range, whether the row groups are internally disjoint and
+    sorted, and how many row groups a ``o_orderkey <= max/2`` scan could
+    PRUNE from stats alone. The DuckDB oracle reads the very same footers
+    with its own independent reader (``parquet_metadata``) — two parquet
+    implementations agreeing on bytes ONE of them wrote.
+
+    Scale shape: footer reads parallelize over files (a 100 TB table's
+    planning pass is exactly this: thousands of footers, zero data pages);
+    staging is one pyarrow write, memoized per sf."""
+    import os
+
+    stage = _footer_stage(sf_dir)
+    paths = [
+        os.path.join(stage, f"part-{i:02d}.parquet")
+        for i in range(_FOOTER_FILES)
+    ]
+    pdf_paths = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(paths)], "file_idx int, path string"
+    )
+
+    def footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as papq
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                md = papq.ParquetFile(r.path).metadata
+                col_idx = {
+                    md.schema.column(j).name: j
+                    for j in range(md.num_columns)
+                }["o_orderkey"]
+                for g in range(md.num_row_groups):
+                    rgm = md.row_group(g)
+                    st = rgm.column(col_idx).statistics
+                    rows.append(
+                        (
+                            int(r.file_idx),
+                            g,
+                            rgm.num_rows,
+                            int(st.min),
+                            int(st.max),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["file_idx", "rg_id", "n_rows", "kmin", "kmax"],
+            )
+
+    rgs = pdf_paths.mapInPandas(
+        footers,
+        "file_idx int, rg_id int, n_rows long, kmin long, kmax long",
+    )
+    # prune predicate: o_orderkey <= half the global max (derived from the
+    # same stats in both engines — no data pages read anywhere)
+    gmax = rgs.agg(F.max("kmax").alias("g"))
+    half = (F.col("g") / 2).cast("long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("file_idx").orderBy("rg_id")
+    flagged = (
+        rgs.crossJoin(F.broadcast(gmax.select(half.alias("p"))))
+        .withColumn("prev_max", F.lag("kmax").over(w))
+        .withColumn(
+            "sorted_after_prev",
+            F.when(F.col("prev_max").isNull(), F.lit(1))
+            .otherwise((F.col("kmin") > F.col("prev_max")).cast("int")),
+        )
+        .withColumn("prunable", (F.col("kmin") > F.col("p")).cast("long"))
+    )
+    return (
+        flagged.groupBy("file_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_row_groups"),
+            F.sum("n_rows").alias("n_rows"),
+            F.min("kmin").alias("key_min"),
+            F.max("kmax").alias("key_max"),
+            (F.min("sorted_after_prev") == 1).cast("int").alias(
+                "rgs_disjoint_sorted"
+            ),
+            F.sum("prunable").alias("n_prunable_rgs"),
+        )
+        .orderBy("file_idx")
+    )
+
+
+parquet_footer_census.__doc__ = parquet_footer_census.__doc__.format(
+    files=_FOOTER_FILES
+)
+
+
+def _footer_census_oracle(sf_tag: str = "sf0.01") -> str:
+    return f"""
+WITH rgs AS (
+  SELECT CAST(regexp_extract(file_name, 'part-(\\d+)', 1) AS INTEGER)
+           AS file_idx,
+         row_group_id AS rg_id,
+         row_group_num_rows AS n_rows,
+         CAST(stats_min_value AS BIGINT) AS kmin,
+         CAST(stats_max_value AS BIGINT) AS kmax
+  FROM parquet_metadata('{_FOOTER_ROOT}/{sf_tag}/part-*.parquet')
+  WHERE path_in_schema = 'o_orderkey'
+),
+g AS (SELECT CAST(MAX(kmax) // 2 AS BIGINT) AS p FROM rgs),
+flagged AS (
+  SELECT file_idx, rg_id, n_rows, kmin, kmax,
+         LAG(kmax) OVER (PARTITION BY file_idx ORDER BY rg_id) AS prev_max,
+         CASE WHEN kmin > (SELECT p FROM g) THEN 1 ELSE 0 END AS prunable
+  FROM rgs
+)
+SELECT file_idx,
+       COUNT(*) AS n_row_groups,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       MIN(kmin) AS key_min,
+       MAX(kmax) AS key_max,
+       CAST(MIN(CASE WHEN prev_max IS NULL OR kmin > prev_max
+                     THEN 1 ELSE 0 END) AS INTEGER) AS rgs_disjoint_sorted,
+       CAST(SUM(prunable) AS BIGINT) AS n_prunable_rgs
+FROM flagged
+GROUP BY file_idx
+ORDER BY file_idx
+"""
+
+
+# --------------------------------------------------------------------------
 # WARC record scan (ISO 28500 — the container Common Crawl actually ships)
 # --------------------------------------------------------------------------
 
@@ -1871,6 +2054,7 @@ QUERIES = {
     "source_gzip_jsonl_scan": source_gzip_jsonl_scan,
     "source_zstd_seekable_scan": source_zstd_seekable_scan,
     "source_warc_scan": source_warc_scan,
+    "parquet_footer_census": parquet_footer_census,
     "avro_lineitem_roundtrip": avro_lineitem_roundtrip,
     "source_protobuf_scan": source_protobuf_scan,
 }
@@ -1890,6 +2074,7 @@ ORACLES = {
     "source_gzip_jsonl_scan": _gzip_jsonl_oracle(),
     "source_zstd_seekable_scan": _zstd_seekable_oracle(),
     "source_warc_scan": _warc_oracle(),
+    "parquet_footer_census": _footer_census_oracle(),
     "avro_lineitem_roundtrip": _AVRO_ROUNDTRIP_SQL,
     "source_protobuf_scan": _protobuf_oracle(),
 }
