@@ -1746,7 +1746,6 @@ def bradley_terry_source_ranking(spark: SparkSession,
     ).localCheckpoint(eager=True)
 
     dec = f"decimal(28,{_BT_ROUND})"
-    items = items.localCheckpoint(eager=True)  # 20-row model table
     cur = items.select("source", F.lit(1.0).alias("p"))
     for _ in range(_BT_ITERS):
         pj = cur.select(F.col("source").alias("j"), F.col("p").alias("p_j"))
@@ -1798,7 +1797,10 @@ def bradley_terry_source_ranking(spark: SparkSession,
         # Catalyst re-optimizes end-to-end (140 s at sf0.1 in the first
         # r14 recording); with it each MM step plans against a leaf
         ).localCheckpoint(eager=True)
-    final = items.join(cur, "source")
+    # the strengths table is |sources|-bounded by construction; the limit
+    # restates that bound on the checkpoint leaf (the lineage cut above
+    # erases the Aggregate node the plan audit would otherwise see)
+    final = items.join(cur.limit(4096), "source")
     return final.select(
         "source",
         "n_matches",

