@@ -527,6 +527,7 @@ def unimax_budget_allocation(spark: SparkSession,
         F.count(F.lit(1)).cast("long").alias("n"),
         (
             F.floor(
+                # div-safe: _UNIMAX_BUDGET_DEN is the literal constant 2
                 F.sum("avail") * _UNIMAX_BUDGET_NUM / _UNIMAX_BUDGET_DEN
             )
         ).cast("long").alias("budget"),

@@ -3793,7 +3793,10 @@ def test_dp_histogram_capping_and_noise_distribution(spark):
     for r in rows:
         assert r.capped_count <= r.true_count
         any_capped |= r.capped_count < r.true_count
-        assert abs(r.noisy_count - round(r.capped_count + r.noise, 4)) < 1e-9
+        # post-ADVICE(r13) exact semantics: noisy_count is emitted UNROUNDED
+        # (capped + lap) — never re-round a derived value (see memory:
+        # rounded-average-boundary-class).
+        assert r.noisy_count == r.capped_count + r.noise
         assert r.epsilon == _DP_EPS
     assert any_capped, "cap never bound — test data should exceed it"
     mean_abs = sum(abs(r.noise) for r in rows) / len(rows)
