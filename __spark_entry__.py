@@ -228,7 +228,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # A callable ORACLES value is resolved here, at fetch time: oracles
+    # whose SQL reads files outside the pre-registered views (e.g. the
+    # footer census) stage those files inside the callable, so the oracle
+    # works no matter which side the harness runs first.
     out: dict[str, str] = {}
     for m in _MODULES:
         out.update(m.ORACLES)
-    return _ordered(out)
+    return _ordered(
+        {k: (v() if callable(v) else v) for k, v in out.items()}
+    )

@@ -447,7 +447,17 @@ def embedding_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(
             F.count(F.lit(1)).alias("n_vals"),
             F.round(F.max(F.abs(F.col("err"))), 6).alias("max_abs_err"),
-            F.round(F.avg(F.col("err") * F.col("err")) * 1e6, 2).alias("mse_x1e6"),
+            # err² quantized to fixed dp, summed as exact DECIMAL, divided
+            # once — see embedding_int4_block_quant for the rationale.
+            F.round(
+                F.sum(
+                    F.round(F.col("err") * F.col("err") * 1e6, 6)
+                    .cast("decimal(38,6)")
+                ).cast("double")
+                # div-safe: COUNT of a GROUP BY group is >= 1
+                / F.count(F.lit(1)),
+                2,
+            ).alias("mse_x1e6"),
         )
         .orderBy("label")
     )
@@ -470,7 +480,10 @@ errs AS (
   FROM elems JOIN ranges USING (dim))
 SELECT label, COUNT(*) AS n_vals,
        ROUND(MAX(ABS(err)), 6) AS max_abs_err,
-       ROUND(AVG(err * err) * 1e6, 2) AS mse_x1e6
+       -- err² quantized to fixed dp, summed as exact DECIMAL, divided once
+       -- div-safe: COUNT(*) of a GROUP BY group is >= 1
+       ROUND(CAST(SUM(CAST(ROUND(err * err * 1e6, 6) AS DECIMAL(38,6)))
+                  AS DOUBLE) / COUNT(*), 2) AS mse_x1e6
 FROM errs
 GROUP BY label
 ORDER BY label
@@ -727,9 +740,18 @@ def embedding_int4_block_quant(spark: SparkSession,
                 (F.abs(F.col("q")) == _INT4_LEVELS).cast("long")
             ).alias("n_saturated"),
             F.round(F.max(F.abs(F.col("err"))), 6).alias("max_abs_err"),
-            F.round(F.avg(F.col("err") * F.col("err")) * 1e6, 2).alias(
-                "mse_x1e6"
-            ),
+            # err² quantized to fixed dp and summed as DECIMAL (exact,
+            # add-order-independent), THEN divided once: AVG over raw
+            # doubles is add-order-dependent between engines.
+            F.round(
+                F.sum(
+                    F.round(F.col("err") * F.col("err") * 1e6, 6)
+                    .cast("decimal(38,6)")
+                ).cast("double")
+                # div-safe: COUNT of a GROUP BY group is >= 1
+                / F.count(F.lit(1)),
+                2,
+            ).alias("mse_x1e6"),
         )
         .orderBy("label")
     )
@@ -772,7 +794,10 @@ SELECT label,
        CAST(SUM(ABS(q)) AS BIGINT) AS code_abs_sum,
        CAST(count_if(ABS(q) = {_INT4_LEVELS}) AS BIGINT) AS n_saturated,
        ROUND(MAX(ABS(err)), 6) AS max_abs_err,
-       ROUND(AVG(err * err) * 1e6, 2) AS mse_x1e6
+       -- err² quantized to fixed dp, summed as exact DECIMAL, divided once
+       -- div-safe: COUNT(*) of a GROUP BY group is >= 1
+       ROUND(CAST(SUM(CAST(ROUND(err * err * 1e6, 6) AS DECIMAL(38,6)))
+                  AS DOUBLE) / COUNT(*), 2) AS mse_x1e6
 FROM codes
 GROUP BY label
 ORDER BY label

@@ -4681,6 +4681,306 @@ ORDER BY qf_est
 
 
 # --------------------------------------------------------------------------
+# EXIF / APP1 metadata census (r15): the metadata layer of the
+# image-curation story — marker-walk to APP1, parse the TIFF container
+# BOTH-endian, and census orientation / dimensions / timestamps. Parity
+# target: the metadata pass crawl pipelines run before any decode
+# (reference capability class: binary-source scan + typed extraction,
+# /root/reference/spark-groupby-analysis.md). Public layout per the Exif
+# 2.3 / TIFF 6.0 specs.
+# --------------------------------------------------------------------------
+
+_EXIF_SAMPLE_RES = 3          # doc_id % 5 == 3 (gray=1, color=2, GIF=0)
+#: IFD0 value area starts after header(8) + count(2) + 5 entries(60) +
+#: next-IFD pointer(4) = 74 bytes into the TIFF blob.
+_EXIF_VALUE_AREA = 74
+
+
+def _exif_dt_string(doc_id: int) -> str:
+    """The planted ``YYYY:MM:DD HH:MM:SS`` timestamp (19 chars), all six
+    fields doc-derived so min/max/distinct censuses have real spread."""
+    return (
+        f"{2020 + doc_id % 6:04d}:{1 + doc_id % 12:02d}:"
+        f"{1 + doc_id % 28:02d} {doc_id % 24:02d}:"
+        f"{doc_id % 60:02d}:{doc_id % 60:02d}"
+    )
+
+
+def _exif_app1(doc_id: int) -> bytes:
+    """Build the APP1 Exif segment: ``Exif\0\0`` + a TIFF blob whose
+    byte order ALTERNATES by doc parity (``II`` little-endian for even
+    ids, ``MM`` big-endian for odd — both-endian parsing is exercised on
+    every run), carrying IFD0 with five spec-layout entries sorted by
+    tag: ImageWidth (0x0100 SHORT), ImageLength (0x0101 SHORT), Make
+    (0x010F ASCII, value-area offset), Orientation (0x0112 SHORT),
+    DateTime (0x0132 ASCII[20], value-area offset). The Make string's
+    length varies with ``doc_id % 4`` and the value area is even-padded
+    per TIFF 6.0, so the DateTime entry's stored OFFSET is doc-varying
+    byte arithmetic the DuckDB oracle replays exactly."""
+    import struct
+
+    bo = "<" if doc_id % 2 == 0 else ">"
+    w = _JPEG_W_BASE + doc_id % _JPEG_W_MOD
+    h = _JPEG_H_BASE + doc_id % _JPEG_H_MOD
+    orient = 1 + doc_id % 8
+    make = ("CAM" + "X" * (doc_id % 4)).encode() + b"\x00"
+    make_padded = make + b"\x00" * (len(make) % 2)
+    dt = _exif_dt_string(doc_id).encode() + b"\x00"
+    assert len(dt) == 20
+    dt_off = _EXIF_VALUE_AREA + len(make_padded)
+
+    def short_entry(tag: int, val: int) -> bytes:
+        # TIFF 6.0: values <= 4 bytes live LEFT-justified in the field
+        return struct.pack(bo + "HHIH", tag, 3, 1, val) + b"\x00\x00"
+
+    def ascii_entry(tag: int, count: int, off: int) -> bytes:
+        return struct.pack(bo + "HHII", tag, 2, count, off)
+
+    ifd = (
+        struct.pack(bo + "H", 5)
+        + short_entry(0x0100, w)
+        + short_entry(0x0101, h)
+        + ascii_entry(0x010F, len(make), _EXIF_VALUE_AREA)
+        + short_entry(0x0112, orient)
+        + ascii_entry(0x0132, 20, dt_off)
+        + struct.pack(bo + "I", 0)
+    )
+    tiff = (
+        (b"II" if bo == "<" else b"MM")
+        + struct.pack(bo + "H", 42)
+        + struct.pack(bo + "I", 8)
+        + ifd
+        + make_padded
+        + dt
+    )
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def _exif_encode(doc_id: int) -> bytes:
+    """A real baseline JPEG (the standard grayscale plant) with the APP1
+    Exif segment spliced immediately after SOI, where the Exif spec puts
+    it."""
+    base = _jpeg_encode(doc_id)
+    return base[:2] + _exif_app1(doc_id) + base[2:]
+
+
+def _exif_parse(data: bytes) -> dict:
+    """Marker-walk to the APP1 Exif segment and parse the TIFF container:
+    endianness from the ``II``/``MM`` header, magic 42, IFD0 entry walk
+    with left-justified inline SHORTs and value-area offsets for ASCII
+    values. Returns the logical fields plus the RAW byte facts the oracle
+    replays (the DateTime entry's stored offset, the APP1 segment length
+    field). Raises ``ValueError`` loudly on malformed streams — truncated
+    segments, bad byte-order marker, bad magic, out-of-bounds offsets,
+    unterminated ASCII values."""
+    import struct
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos, tiff, app1_len = 2, None, -1
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG stream (no Exif APP1)")
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected a marker at offset {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD9, 0xDA):
+            raise ValueError("no Exif APP1 segment before scan data")
+        (seg_len,) = struct.unpack_from(">H", data, pos)
+        if pos + seg_len > len(data):
+            raise ValueError("truncated segment")
+        if marker == 0xE1 and data[pos + 2:pos + 8] == b"Exif\x00\x00":
+            tiff = data[pos + 8:pos + seg_len]
+            app1_len = seg_len
+            break
+        pos += seg_len
+    if len(tiff) < 8:
+        raise ValueError("truncated TIFF header")
+    if tiff[:2] == b"II":
+        bo = "<"
+    elif tiff[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError(f"bad TIFF byte-order marker: {tiff[:2]!r}")
+    if struct.unpack_from(bo + "H", tiff, 2)[0] != 42:
+        raise ValueError("bad TIFF magic (expected 42)")
+    (ifd_off,) = struct.unpack_from(bo + "I", tiff, 4)
+    if ifd_off + 2 > len(tiff):
+        raise ValueError("IFD0 offset out of bounds")
+    (n_entries,) = struct.unpack_from(bo + "H", tiff, ifd_off)
+    if ifd_off + 2 + 12 * n_entries + 4 > len(tiff):
+        raise ValueError("truncated IFD0 entry table")
+    out = {"byte_order": tiff[:2].decode(), "app1_len": app1_len}
+
+    def ascii_at(off: int, count: int) -> str:
+        if off + count > len(tiff):
+            raise ValueError("ASCII value offset out of bounds")
+        raw = tiff[off:off + count]
+        if not raw.endswith(b"\x00"):
+            raise ValueError("unterminated ASCII value")
+        return raw[:-1].decode()
+
+    for i in range(n_entries):
+        at = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(bo + "HHI", tiff, at)
+        if tag == 0x0100 and typ == 3:
+            out["width"] = struct.unpack_from(bo + "H", tiff, at + 8)[0]
+        elif tag == 0x0101 and typ == 3:
+            out["height"] = struct.unpack_from(bo + "H", tiff, at + 8)[0]
+        elif tag == 0x0112 and typ == 3:
+            out["orientation"] = struct.unpack_from(
+                bo + "H", tiff, at + 8
+            )[0]
+        elif tag == 0x010F and typ == 2:
+            (off,) = struct.unpack_from(bo + "I", tiff, at + 8)
+            out["make"] = ascii_at(off, count)
+        elif tag == 0x0132 and typ == 2:
+            (off,) = struct.unpack_from(bo + "I", tiff, at + 8)
+            out["dt"] = ascii_at(off, count)
+            out["dt_offset"] = off
+    missing = {"width", "height", "orientation", "make", "dt"} - set(out)
+    if missing:
+        raise ValueError(f"IFD0 missing expected tags: {sorted(missing)}")
+    return out
+
+
+def multimodal_exif_metadata_census(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """EXIF/APP1 METADATA CENSUS — the metadata pass an image-curation
+    pipeline runs before any pixel work (orientation fixing, dimension
+    sanity, capture-time dedup windows): plant real baseline JPEGs
+    carrying an APP1 Exif segment (TIFF container, byte order alternating
+    ``II``/``MM`` by doc parity), then in the Arrow kernel marker-walk to
+    APP1 and parse IFD0 — orientation, Exif dimensions, Make, DateTime —
+    plus the RAW byte facts (the DateTime entry's stored value-area
+    offset, the APP1 segment length). Census per orientation: image and
+    little-endian counts, dimension sums, the offset/length sums (the
+    DuckDB oracle REPLAYS the TIFF value-area offset arithmetic
+    byte-exactly — proof the kernel read real bytes, the
+    jpeg-quality-estimate pattern), capture-time min/max and distinct
+    years.
+
+    Scale shape: map-only encode + parse in the scan stage; the aggregate
+    is one row per orientation (<= 8)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": pdf["doc_id"].map(
+                        lambda d: _exif_encode(int(d))
+                    ),
+                }
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % _JPEG_SAMPLE_MOD == _EXIF_SAMPLE_RES)
+    )
+    images = docs.mapInPandas(build, "doc_id bigint, media binary")
+
+    def parse(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            blobs = b.column(b.schema.get_field_index("media"))
+            cols = {k: [] for k in (
+                "byte_order", "orientation", "width", "height",
+                "year", "dt", "dt_offset", "app1_len",
+            )}
+            for v in blobs:
+                m = _exif_parse(v.as_py())
+                cols["byte_order"].append(m["byte_order"])
+                cols["orientation"].append(m["orientation"])
+                cols["width"].append(m["width"])
+                cols["height"].append(m["height"])
+                cols["year"].append(int(m["dt"][:4]))
+                cols["dt"].append(m["dt"])
+                cols["dt_offset"].append(m["dt_offset"])
+                cols["app1_len"].append(m["app1_len"])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols["byte_order"], type=pa.string()),
+                    pa.array(cols["orientation"], type=pa.int32()),
+                    pa.array(cols["width"], type=pa.int32()),
+                    pa.array(cols["height"], type=pa.int32()),
+                    pa.array(cols["year"], type=pa.int32()),
+                    pa.array(cols["dt"], type=pa.string()),
+                    pa.array(cols["dt_offset"], type=pa.int64()),
+                    pa.array(cols["app1_len"], type=pa.int64()),
+                ],
+                names=[
+                    "byte_order", "orientation", "width", "height",
+                    "year", "dt", "dt_offset", "app1_len",
+                ],
+            )
+
+    meta = images.mapInArrow(
+        parse,
+        "byte_order string, orientation int, width int, height int, "
+        "year int, dt string, dt_offset bigint, app1_len bigint",
+    )
+    return (
+        meta.groupBy("orientation")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum((F.col("byte_order") == "II").cast("long")).alias(
+                "n_little_endian"
+            ),
+            F.sum(F.col("width").cast("long")).alias("sum_width"),
+            F.sum(F.col("height").cast("long")).alias("sum_height"),
+            F.sum("dt_offset").alias("dt_offset_sum"),
+            F.sum("app1_len").alias("app1_len_sum"),
+            F.countDistinct("year").alias("n_years"),
+            F.min("dt").alias("min_dt"),
+            F.max("dt").alias("max_dt"),
+        )
+        .orderBy("orientation")
+    )
+
+
+_EXIF_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         1 + doc_id % 8 AS orientation,
+         {_JPEG_W_BASE} + doc_id % {_JPEG_W_MOD} AS w,
+         {_JPEG_H_BASE} + doc_id % {_JPEG_H_MOD} AS h,
+         -- TIFF value-area arithmetic, byte-exact: Make is
+         -- 'CAM' + (doc_id mod 4) X's + NUL, even-padded, so DateTime's
+         -- stored offset is {_EXIF_VALUE_AREA} + padded length
+         {_EXIF_VALUE_AREA} + 2 * ((5 + doc_id % 4) // 2) AS dt_offset,
+         -- APP1 length field = 2 (itself) + 6 (Exif id) + TIFF bytes
+         -- (value area + padded Make + 20-byte DateTime)
+         2 + 6 + {_EXIF_VALUE_AREA} + 2 * ((5 + doc_id % 4) // 2) + 20
+           AS app1_len,
+         2020 + doc_id % 6 AS year,
+         printf('%04d:%02d:%02d %02d:%02d:%02d',
+                2020 + doc_id % 6, 1 + doc_id % 12, 1 + doc_id % 28,
+                doc_id % 24, doc_id % 60, doc_id % 60) AS dt
+  FROM documents
+  WHERE doc_id % {_JPEG_SAMPLE_MOD} = {_EXIF_SAMPLE_RES}
+)
+SELECT CAST(orientation AS INTEGER) AS orientation,
+       COUNT(*) AS n_images,
+       CAST(count_if(doc_id % 2 = 0) AS BIGINT) AS n_little_endian,
+       CAST(SUM(w) AS BIGINT) AS sum_width,
+       CAST(SUM(h) AS BIGINT) AS sum_height,
+       CAST(SUM(dt_offset) AS BIGINT) AS dt_offset_sum,
+       CAST(SUM(app1_len) AS BIGINT) AS app1_len_sum,
+       CAST(COUNT(DISTINCT year) AS BIGINT) AS n_years,
+       MIN(dt) AS min_dt,
+       MAX(dt) AS max_dt
+FROM docs
+GROUP BY orientation
+ORDER BY orientation
+"""
+
+
+# --------------------------------------------------------------------------
 # Color JPEG decode (YCbCr 4:2:0, interleaved MCUs) — the dominant web
 # image shape, on top of the grayscale baseline machinery
 # --------------------------------------------------------------------------
@@ -4991,6 +5291,7 @@ QUERIES = {
     "multimodal_jpeg_decode_stats": multimodal_jpeg_decode_stats,
     "multimodal_jpeg_color_stats": multimodal_jpeg_color_stats,
     "multimodal_jpeg_quality_estimate": multimodal_jpeg_quality_estimate,
+    "multimodal_exif_metadata_census": multimodal_exif_metadata_census,
     "multimodal_tar_webdataset_scan": multimodal_tar_webdataset_scan,
     "multimodal_wav_decode_stats": multimodal_wav_decode_stats,
     "multimodal_wav_spectrum_stats": multimodal_wav_spectrum_stats,
@@ -5017,6 +5318,7 @@ ORACLES = {
     "multimodal_jpeg_decode_stats": _JPEG_DECODE_SQL,
     "multimodal_jpeg_color_stats": _JPEGC_DECODE_SQL,
     "multimodal_jpeg_quality_estimate": _JPEGQF_SQL,
+    "multimodal_exif_metadata_census": _EXIF_SQL,
     "multimodal_tar_webdataset_scan": _TAR_SCAN_SQL,
     "multimodal_wav_decode_stats": _WAV_DECODE_SQL,
     "multimodal_wav_spectrum_stats": _WAV_SPECTRUM_SQL,

@@ -5522,13 +5522,20 @@ def rho_excess_loss_selection(spark: SparkSession,
     lm_uni = c_b.crossJoin(F.broadcast(t_tot)).select(
         "b", nll_uni.alias("nll_uni")
     )
+    # Each per-position excess is rounded to _RHO_ROUND dp and summed as
+    # DECIMAL (the _BT_ROUND discipline, training.py bradley_terry): a
+    # cross-row DOUBLE sum is add-order-dependent between engines, so a
+    # rounded-double ranking key could flip near a 0.5e-6 boundary.
+    dec = f"decimal(28,{_RHO_ROUND})"
     per_doc = (
         big.join(F.broadcast(lm_bi), ["a", "b"])
         .join(F.broadcast(lm_uni), "b")
         .groupBy("doc_id", "source")
         .agg(
-            F.round(
-                F.sum(F.col("nll_uni") - F.col("nll_bi")), _RHO_ROUND
+            F.sum(
+                F.round(
+                    F.col("nll_uni") - F.col("nll_bi"), _RHO_ROUND
+                ).cast(dec)
             ).alias("excess"),
             F.count(F.lit(1)).alias("n_pos"),
         )
@@ -5541,8 +5548,8 @@ def rho_excess_loss_selection(spark: SparkSession,
         .agg(
             F.count(F.lit(1)).alias("n_selected"),
             F.sum("n_pos").cast("long").alias("n_positions"),
-            F.round(F.sum("excess"), 4).alias("excess_sum"),
-            F.round(F.max("excess"), 6).alias("excess_max"),
+            F.round(F.sum("excess"), 4).cast("double").alias("excess_sum"),
+            F.round(F.max("excess"), 6).cast("double").alias("excess_max"),
         )
         .orderBy("source")
     )
@@ -5597,8 +5604,11 @@ lm_uni AS (
   FROM c_b CROSS JOIN t_tot t
 ),
 per_doc AS (
+  -- per-position excess rounded to fixed dp, summed as DECIMAL: the
+  -- ranking key must be add-order-independent across engines
   SELECT g.doc_id, g.source,
-         ROUND(SUM(u.nll_uni - lb.nll_bi), {_RHO_ROUND}) AS excess,
+         SUM(CAST(ROUND(u.nll_uni - lb.nll_bi, {_RHO_ROUND})
+                  AS DECIMAL(28,{_RHO_ROUND}))) AS excess,
          COUNT(*) AS n_pos
   FROM big g
   JOIN lm_bi lb ON lb.a = g.a AND lb.b = g.b
@@ -5613,8 +5623,8 @@ selected AS (
 SELECT source,
        COUNT(*) AS n_selected,
        CAST(SUM(n_pos) AS BIGINT) AS n_positions,
-       ROUND(SUM(excess), 4) AS excess_sum,
-       ROUND(MAX(excess), 6) AS excess_max
+       CAST(ROUND(SUM(excess), 4) AS DOUBLE) AS excess_sum,
+       CAST(ROUND(MAX(excess), 6) AS DOUBLE) AS excess_max
 FROM selected
 GROUP BY source
 ORDER BY source
@@ -5722,9 +5732,8 @@ WITH toks AS (
 ),
 pairs AS (
   SELECT doc_id, source, t[i] AS w, t[i + 1] AS nxt
-  FROM toks
-  JOIN (SELECT unnest(generate_series(1, 4096)) AS i) g
-    ON g.i <= len(t) - 1
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) idx
   WHERE len(t) >= 2
 ),
 counts AS (

@@ -1230,6 +1230,18 @@ parquet_footer_census.__doc__ = parquet_footer_census.__doc__.format(
 )
 
 
+def _footer_census_oracle_staged() -> str:
+    """Resolved lazily at ``oracle_sql()`` fetch time (r14 advice): the
+    DuckDB SQL reads footers from ``_FOOTER_ROOT``, so stage the
+    driver-contract sf (correctness always runs at sf0.01) before handing
+    the SQL out — oracle-first execution order or a fresh /tmp can no
+    longer leave ``parquet_metadata()`` with missing files. Staging is
+    pure pyarrow and byte-deterministic, so both engines read the
+    identical layout regardless of who staged it."""
+    _footer_stage("/root/testdata/sf0.01")
+    return _footer_census_oracle()
+
+
 def _footer_census_oracle(sf_tag: str = "sf0.01") -> str:
     return f"""
 WITH rgs AS (
@@ -2068,13 +2080,18 @@ ORACLES = {
     "bucketed_orders_pruned_join": _BUCKETED_JOIN_SQL,
     "parquet_schema_evolution_merge": _SCHEMA_EVO_SQL,
     "zorder_orders_layout": _ZORDER_SQL,
+    # ORDERING CONTRACT: this oracle reads the 12-file layout the Spark
+    # query itself writes (mode=overwrite), so the Spark side MUST run
+    # first at the same sf (the driver and scripts/check_oracles.py both
+    # do) — it cannot be oracle-side staged because the file split is
+    # Spark's hash partitioning.
     "compact_small_files_plan": _compact_plan_oracle("sf0.01"),
     "file_lineage_orders": _FILE_LINEAGE_SQL,
     "csv_documents_roundtrip": _CSV_ROUNDTRIP_SQL,
     "source_gzip_jsonl_scan": _gzip_jsonl_oracle(),
     "source_zstd_seekable_scan": _zstd_seekable_oracle(),
     "source_warc_scan": _warc_oracle(),
-    "parquet_footer_census": _footer_census_oracle(),
+    "parquet_footer_census": _footer_census_oracle_staged,  # lazy: stages
     "avro_lineitem_roundtrip": _AVRO_ROUNDTRIP_SQL,
     "source_protobuf_scan": _protobuf_oracle(),
 }

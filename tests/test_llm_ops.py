@@ -4286,3 +4286,68 @@ def test_footer_census_sorted_layout_prunes(spark):
     ordered = sorted(rows, key=lambda r: r.file_idx)
     for a, b in zip(ordered, ordered[1:]):
         assert a.key_max < b.key_min
+
+
+def test_exif_both_endian_parse_and_malformed():
+    """The r15 EXIF census kernel: the same logical metadata must parse
+    from BOTH byte orders (II for even ids, MM for odd), the raw byte
+    facts (DateTime value-area offset, APP1 segment length) must match
+    the closed-form TIFF arithmetic the oracle replays, and malformed
+    APP1/TIFF streams must raise loudly."""
+    import struct
+
+    import pytest as _pytest
+
+    from datafusion_impl_spark.operators.multimodal import (
+        _EXIF_VALUE_AREA,
+        _exif_app1,
+        _exif_dt_string,
+        _exif_encode,
+        _exif_parse,
+    )
+
+    # both-endian logical equivalence: ids 4 apart share every IFD0 field
+    # derivation except parity-driven byte order... not true in general,
+    # so assert directly: parse(II plant) and parse(MM plant) each match
+    # the planted arithmetic (the encode alternates by parity).
+    for d in (8, 13, 40, 77, 1003, 1008):
+        m = _exif_parse(_exif_encode(d))
+        assert m["byte_order"] == ("II" if d % 2 == 0 else "MM")
+        assert m["orientation"] == 1 + d % 8
+        assert m["make"] == "CAM" + "X" * (d % 4)
+        assert m["dt"] == _exif_dt_string(d)
+        assert m["dt_offset"] == _EXIF_VALUE_AREA + 2 * ((5 + d % 4) // 2)
+        assert m["app1_len"] == m["dt_offset"] + 28
+
+    blob = _exif_encode(8)
+    with _pytest.raises(ValueError):
+        _exif_parse(b"\x00\x00" + blob[2:])            # no SOI
+    with _pytest.raises(ValueError):
+        _exif_parse(blob[:20])                          # truncated APP1
+    # a JPEG with no Exif APP1 at all must be refused
+    from datafusion_impl_spark.operators.multimodal import _jpeg_encode
+
+    with _pytest.raises(ValueError):
+        _exif_parse(_jpeg_encode(8))
+
+    def corrupt(at: int, val: bytes) -> bytes:
+        app1 = bytearray(_exif_app1(8))
+        app1[at:at + len(val)] = val
+        base = _jpeg_encode(8)
+        return base[:2] + bytes(app1) + base[2:]
+
+    # TIFF byte-order marker bytes live at APP1 offset 10 (marker 2 +
+    # length 2 + 'Exif\0\0' 6)
+    with _pytest.raises(ValueError):
+        _exif_parse(corrupt(10, b"XX"))                 # bad byte order
+    with _pytest.raises(ValueError):
+        _exif_parse(corrupt(12, b"\x00\x00"))           # bad magic (II)
+    # IFD0 offset pointing past the blob
+    with _pytest.raises(ValueError):
+        _exif_parse(corrupt(14, struct.pack("<I", 1 << 20)))
+    # DateTime ASCII value must be NUL-terminated: the final byte of the
+    # APP1 payload is the DateTime terminator
+    app1 = _exif_app1(8)
+    base = _jpeg_encode(8)
+    with _pytest.raises(ValueError):
+        _exif_parse(base[:2] + app1[:-1] + b"Z" + base[2:])

@@ -1088,3 +1088,90 @@ def test_stream_cms_heavy_hitters_equals_batch_sketch(spark):
            stream_cms_heavy_hitters(spark, SF_DIR).collect()]
     expected = [tuple(r) for r in heavy_hitters_cms(spark, SF_DIR).collect()]
     assert got == expected
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf",
+)
+def test_tws_same_batch_input_beats_expirable_timer(spark, tmp_path):
+    """Pin the micro-batch ordering assumption the consolidated TWS stream
+    depends on (r14 advice): within a micro-batch, INPUT rows must be
+    processed before expired timers, and an input-phase deleteTimer must
+    win over a timer that was already expirable at batch start. If Spark
+    ever fired the timer first, handleExpiredTimer would clear ``sess``,
+    the same-batch input would restart ``n_events`` at 1, and the
+    ``max(struct(n_events, ...))`` final-row selection would silently
+    return a stale mid-stream row.
+
+    Construction (GAP = 2 h, watermark delay = 1 h, even/odd split by
+    event_id, even file = batch 1 by mtime):
+
+    - user 1 (the race): batch-1 events at t0 and t0+10 min (timer
+      t0+2h10m), batch-2 event at t0+3h30m — ABOVE batch 2's watermark
+      (t0+3h) while the old timer is BELOW it (expirable);
+    - user 2: single batch-1 event at t0+4h — pushes batch 2's watermark
+      to t0+3h so user 1's timer is genuinely expirable;
+    - user 3 (control): batch-1 events only, timer t0+2h5m — proves
+      timers DO fire in batch 2, so user 1's absence is meaningful.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from datafusion_impl_spark.streaming import (
+        _TWS_GAP_MS,
+        _TWS_WM_DELAY_MS,
+        _tws_composite_view,
+        _tws_running_final,
+    )
+
+    t0 = 1_704_067_200_000  # 2024-01-01T00:00:00Z in millis
+    m = 60_000
+    # (event_id, user_id, ts_ms, value): even ids -> batch 1, odd -> batch 2
+    rows = [
+        (2, 1, t0, 1.25),
+        (4, 1, t0 + 10 * m, 2.5),
+        (5, 1, t0 + 210 * m, 4.75),       # batch 2, above the watermark
+        (6, 2, t0 + 240 * m, 8.0),        # watermark pusher
+        (8, 3, t0, 16.5),
+        (10, 3, t0 + 5 * m, 32.25),
+    ]
+    # the race is real by construction: user 1's batch-1 timer is below
+    # batch 2's watermark, its batch-2 event above it
+    wm_batch2 = (t0 + 240 * m) - _TWS_WM_DELAY_MS
+    assert (t0 + 10 * m) + _TWS_GAP_MS < wm_batch2 < (t0 + 210 * m)
+
+    sf_dir = str(tmp_path / "race_sf")
+    (tmp_path / "race_sf").mkdir()
+    papq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "ts": pa.array(
+                    [r[2] * 1000 for r in rows], pa.timestamp("us")
+                ),
+            }
+        ),
+        f"{sf_dir}/events.parquet",
+    )
+
+    out = spark.table(_tws_composite_view(spark, sf_dir))
+    fired = {
+        r.user_id: (r.n_events, r.value_micros)
+        for r in out.filter(F.col("fired") == 1).collect()
+    }
+    # control fires with its full batch-1 totals; the raced user must NOT
+    # fire — its same-batch input deleted the expirable timer first
+    assert fired == {3: (2, 16_500_000 + 32_250_000)}
+    view = _tws_composite_view(spark, sf_dir)
+    fin = {
+        r.user_id: (r.fin.n_events, r.fin.value_micros)
+        for r in _tws_running_final(spark, view).collect()
+    }
+    # the raced user's final running row is CUMULATIVE across both
+    # batches — the input phase saw live (not timer-cleared) state
+    assert fin[1] == (3, 1_250_000 + 2_500_000 + 4_750_000)
+    assert fin[2] == (1, 8_000_000)
