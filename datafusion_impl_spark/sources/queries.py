@@ -1393,16 +1393,19 @@ def _warc_scan(data: bytes):
             first = head.split("\r\n", 1)[0]
             if not first.startswith("HTTP/1.1 "):
                 raise ValueError(f"bad HTTP status line: {first!r}")
-            http_len = None
+            hdrs = {}
             for line in head.split("\r\n")[1:]:
-                k, _sep, v = line.partition(":")
-                if k.strip().lower() == "content-length":
-                    http_len = int(v.strip())
-            if http_len is None or http_len != len(body):
+                k, sep2, v = line.partition(":")
+                if sep2:
+                    hdrs[k.strip().lower()] = v.strip()
+            if (
+                "content-length" not in hdrs
+                or int(hdrs["content-length"]) != len(body)
+            ):
                 raise ValueError("HTTP Content-Length mismatch")
-            yield wtype, uri, body
+            yield wtype, uri, body, hdrs
         else:
-            yield wtype, uri, payload
+            yield wtype, uri, payload, {}
 
 
 def source_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1455,7 +1458,7 @@ def source_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             sids, types, ids, texts = [], [], [], []
             for r in pdf.itertuples():
-                for wtype, uri, body in _warc_scan(bytes(r.warc)):
+                for wtype, uri, body, _h in _warc_scan(bytes(r.warc)):
                     sids.append(int(r.shard_id))
                     types.append(wtype)
                     ids.append(
@@ -1520,6 +1523,401 @@ FROM documents
 GROUP BY 1
 ORDER BY shard_id
 """
+
+
+# --------------------------------------------------------------------------
+# Robots/noindex compliance gate over the WARC corpus (r15): the legal
+# filter every crawl pipeline runs before anything else — RFC 9309
+# robots.txt group selection + longest-match allow/disallow, plus the
+# X-Robots-Tag header and meta-noindex page signals.
+# --------------------------------------------------------------------------
+
+#: synthetic crawl hosts: doc_id % this. Hosts 0-4 publish a robots.txt;
+#: host 5 publishes NONE (missing robots => everything allowed).
+_ROBOTS_HOSTS = 6
+#: the crawler user-agent the gate evaluates for.
+_ROBOTS_AGENT = "trainbot"
+#: site section per doc: path = /{section}/doc/{doc_id}.
+_ROBOTS_SECTIONS = ("public", "private", "data", "tmp")
+#: docs with doc_id % 7 == 0 carry "X-Robots-Tag: noindex" (HTTP layer);
+#: doc_id % 7 == 1 carry a meta-robots noindex tag (HTML layer).
+_NOINDEX_HDR_MOD, _NOINDEX_HDR_RES = 7, 0
+_NOINDEX_META_RES = 1
+_NOINDEX_META_TAG = '<meta name="robots" content="noindex">'
+
+#: planted robots.txt per host — each RFC 9309 precedence rule is
+#: exercised: host 0 longest-match (Allow:/private/doc/ beats
+#: Disallow:/private/), host 1 group selection (the trainbot group wins
+#: over the catch-all Disallow:/), host 2 equal-length tie (Allow beats
+#: Disallow), host 3 empty Disallow (= allow all, the rule is a no-op),
+#: host 4 Disallow:/ with an Allow carve-out.
+_ROBOTS_TXT = {
+    0: "User-agent: *\nDisallow: /private/\nAllow: /private/doc/\n"
+       "Disallow: /tmp/\n",
+    1: "User-agent: trainbot\nDisallow: /data/\n\n"
+       "User-agent: *\nDisallow: /\n",
+    2: "# tie: equal-length allow and disallow\n"
+       "User-agent: *\nAllow: /tmp\nDisallow: /tmp\nDisallow: /private/\n",
+    3: "User-agent: *\nDisallow:\n",
+    4: "User-agent: *\nDisallow: /\nAllow: /public/\n",
+}
+
+
+def _robots_parse(text: str) -> list[tuple[str, int, str]]:
+    """Parse a robots.txt body into ``(agent, is_allow, path_prefix)``
+    rules per RFC 9309: consecutive ``User-agent`` lines open ONE group
+    whose rules attach to every listed agent; ``#`` comments and unknown
+    directives are ignored; empty-value rules (``Disallow:`` = allow all)
+    are no-ops and are dropped at parse time."""
+    rules: list[tuple[str, int, str]] = []
+    agents: list[str] = []
+    in_group_header = False
+    for raw in text.split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if not in_group_header:
+                agents = []
+                in_group_header = True
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_group_header = False
+            if val:
+                for a in agents:
+                    rules.append((a, 1 if key == "allow" else 0, val))
+        else:
+            in_group_header = False
+    return rules
+
+
+def _robots_allowed(
+    rules: list[tuple[str, int, str]], agent: str, path: str
+) -> bool:
+    """Reference decision (used by the pytest to cross-check the
+    relational plan): select the most specific user-agent group (exact
+    agent if any of its rules exist, else ``*``), keep prefix-matching
+    rules, and apply longest-match with allow-beats-disallow on ties —
+    encoded as ``max(2*len(prefix) + is_allow)``, exactly the expression
+    the Spark query and the DuckDB oracle both aggregate."""
+    grp = agent.lower() if any(a == agent.lower() for a, _i, _p in rules) \
+        else "*"
+    best = -1
+    for a, is_allow, prefix in rules:
+        if a == grp and path.startswith(prefix):
+            best = max(best, 2 * len(prefix) + is_allow)
+    return best < 0 or best % 2 == 1
+
+
+def _warc_build_compliance_shard(shard_id: int, rows) -> bytes:
+    """One compliance-crawl .warc shard: a warcinfo record, the robots.txt
+    response records for the hosts that hash into this shard (host %
+    {shards}), then one page response per document. Pages carry the
+    corpus source as an ``X-Corpus-Source`` header, the noindex plant as
+    a real ``X-Robots-Tag: noindex`` header (doc_id % {h_mod} == {h_res})
+    or a meta-robots tag wrapped into an HTML body (== {m_res}) — the
+    gate must read all of it back from BYTES, never from arithmetic."""
+    out = [
+        _warc_record(
+            [
+                ("WARC-Type", "warcinfo"),
+                ("WARC-Record-ID", f"<urn:uuid:gate-shard-{shard_id}>"),
+                ("WARC-Date", _WARC_DATE),
+                ("Content-Type", "application/warc-fields"),
+            ],
+            f"software: datafusion_impl_spark\nshard: {shard_id}\n".encode(),
+        )
+    ]
+
+    def http_response(headers: list[tuple[str, str]], body: bytes) -> bytes:
+        return (
+            b"HTTP/1.1 200 OK\r\n"
+            + "".join(f"{k}: {v}\r\n" for k, v in headers).encode()
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body
+        )
+
+    for host, txt in sorted(_ROBOTS_TXT.items()):
+        if host % _WARC_SHARDS != shard_id:
+            continue
+        body = txt.encode()
+        out.append(
+            _warc_record(
+                [
+                    ("WARC-Type", "response"),
+                    ("WARC-Record-ID", f"<urn:uuid:robots-{host}>"),
+                    ("WARC-Date", _WARC_DATE),
+                    (
+                        "WARC-Target-URI",
+                        f"http://host{host}.example/robots.txt",
+                    ),
+                    ("Content-Type", "application/http; msgtype=response"),
+                ],
+                http_response(
+                    [("Content-Type", "text/plain")], body
+                ),
+            )
+        )
+    for r in rows:
+        doc_id = int(r.doc_id)
+        host = doc_id % _ROBOTS_HOSTS
+        section = _ROBOTS_SECTIONS[doc_id % len(_ROBOTS_SECTIONS)]
+        headers = [
+            ("Content-Type", "text/html; charset=utf-8"),
+            ("X-Corpus-Source", str(r.source)),
+        ]
+        if doc_id % _NOINDEX_HDR_MOD == _NOINDEX_HDR_RES:
+            headers.append(("X-Robots-Tag", "noindex"))
+        if doc_id % _NOINDEX_HDR_MOD == _NOINDEX_META_RES:
+            body = (
+                f"<html><head>{_NOINDEX_META_TAG}</head>"
+                f"<body>{r.text}</body></html>"
+            ).encode()
+        else:
+            body = str(r.text).encode()
+        out.append(
+            _warc_record(
+                [
+                    ("WARC-Type", "response"),
+                    ("WARC-Record-ID", f"<urn:uuid:page-{doc_id}>"),
+                    ("WARC-Date", _WARC_DATE),
+                    (
+                        "WARC-Target-URI",
+                        f"http://host{host}.example/{section}/doc/{doc_id}",
+                    ),
+                    ("Content-Type", "application/http; msgtype=response"),
+                ],
+                http_response(headers, body),
+            )
+        )
+    return b"".join(out)
+
+
+_warc_build_compliance_shard.__doc__ = (
+    _warc_build_compliance_shard.__doc__.format(
+        shards=_WARC_SHARDS, h_mod=_NOINDEX_HDR_MOD,
+        h_res=_NOINDEX_HDR_RES, m_res=_NOINDEX_META_RES,
+    )
+)
+
+
+def warc_robots_compliance_gate(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """ROBOTS/NOINDEX COMPLIANCE GATE over a WARC crawl — the legal
+    filter a training-data pipeline runs before any content work: plant
+    robots.txt response records and X-Robots-Tag / meta-noindex pages
+    into real WARC shards, read EVERYTHING back from bytes (robots rules
+    parsed per RFC 9309, page host/path from WARC-Target-URI, the source
+    label and noindex header from the inner HTTP headers, the meta tag
+    from the HTML body), then evaluate per page with the full precedence
+    stack: most-specific user-agent group, longest-match allow/disallow,
+    allow-beats-disallow on ties, missing robots.txt = allowed. Census
+    per corpus source: page count, robots-blocked count, both noindex
+    counts, the usable remainder and its doc-id checksum.
+
+    The decision is RELATIONAL, not per-row Python: the parsed rules are
+    a tiny broadcast table, pages join it on host with a prefix match,
+    and the verdict is ``max(2*len(prefix) + is_allow)`` per page — at
+    100 TB the rules side stays a few-KB broadcast (real robots corpora
+    are per-host and small) while pages never shuffle; the records frame
+    is metadata-only (no body text carried past the scan kernel)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source",
+        (F.col("doc_id") % _WARC_SHARDS).cast("int").alias("shard_id"),
+    )
+
+    def build(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        sid = int(pdf["shard_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "shard_id": [sid],
+                "warc": [_warc_build_compliance_shard(sid, pdf.itertuples())],
+            }
+        )
+
+    shards = docs.groupBy("shard_id").applyInPandas(
+        build, "shard_id int, warc binary"
+    )
+
+    def scan(batches):
+        import pandas as pd
+
+        cols = ("kind", "host", "agent", "is_allow", "prefix",
+                "doc_id", "source", "path", "noindex_hdr", "noindex_meta")
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                for wtype, uri, body, hdrs in _warc_scan(bytes(r.warc)):
+                    if wtype != "response":
+                        continue
+                    hostpart, _sep, path = uri.removeprefix(
+                        "http://"
+                    ).partition("/")
+                    host = int(hostpart.removeprefix("host").split(".")[0])
+                    if path == "robots.txt":
+                        for agent, is_allow, prefix in _robots_parse(
+                            body.decode()
+                        ):
+                            rows.append((
+                                "rule", host, agent, is_allow, prefix,
+                                -1, "", "", 0, 0,
+                            ))
+                    else:
+                        text = body.decode()
+                        rows.append((
+                            "page", host, "", 0, "",
+                            int(path.rsplit("/", 1)[1]),
+                            hdrs.get("x-corpus-source", ""),
+                            "/" + path,
+                            int(hdrs.get("x-robots-tag", "") == "noindex"),
+                            int(_NOINDEX_META_TAG in text),
+                        ))
+            yield pd.DataFrame(rows, columns=list(cols))
+
+    records = shards.mapInPandas(
+        scan,
+        "kind string, host int, agent string, is_allow int, prefix string, "
+        "doc_id bigint, source string, path string, "
+        "noindex_hdr int, noindex_meta int",
+    ).localCheckpoint()  # metadata-only rows; scanned once, consumed twice
+
+    rules = records.filter(F.col("kind") == "rule").select(
+        "host", "agent", "is_allow", "prefix"
+    )
+    pages = records.filter(F.col("kind") == "page").select(
+        "doc_id", "source", "host", "path", "noindex_hdr", "noindex_meta"
+    )
+    # RFC 9309 group selection: the specific agent's group wins wholesale
+    # over * wherever it exists
+    spec = rules.filter(F.col("agent") == _ROBOTS_AGENT) \
+        .select("host").distinct().withColumn("has_spec", F.lit(1))
+    sel_rules = (
+        rules.join(F.broadcast(spec), "host", "left")
+        .filter(
+            (F.col("has_spec").isNotNull() & (F.col("agent") == _ROBOTS_AGENT))
+            | (F.col("has_spec").isNull() & (F.col("agent") == "*"))
+        )
+        .select("host", "is_allow", "prefix")
+    )
+    # longest-match + allow-beats-disallow-on-tie in one ordered key
+    # (aliased: pages and rules share the records lineage, so the join is
+    # technically a self-join)
+    matched = (
+        pages.alias("p")
+        .join(
+            F.broadcast(sel_rules.alias("r")),
+            (F.col("p.host") == F.col("r.host"))
+            & F.col("p.path").startswith(F.col("r.prefix")),
+            "left",
+        )
+        .groupBy(F.col("p.doc_id").alias("doc_id"))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("r.prefix").isNotNull(),
+                    F.length(F.col("r.prefix")) * 2 + F.col("r.is_allow"),
+                )
+            ).alias("best"),
+        )
+        .select(
+            "doc_id",
+            (F.col("best").isNull() | (F.col("best") % 2 == 1))
+            .alias("allowed"),
+        )
+    )
+    gated = pages.join(matched, "doc_id")
+    usable = (
+        F.col("allowed")
+        & (F.col("noindex_hdr") == 0)
+        & (F.col("noindex_meta") == 0)
+    )
+    return (
+        gated.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum((~F.col("allowed")).cast("long")).alias(
+                "n_robots_blocked"
+            ),
+            F.sum(F.col("noindex_hdr").cast("long")).alias(
+                "n_noindex_header"
+            ),
+            F.sum(F.col("noindex_meta").cast("long")).alias(
+                "n_noindex_meta"
+            ),
+            F.sum(usable.cast("long")).alias("n_usable"),
+            F.sum(F.when(usable, F.col("doc_id")).otherwise(0)).alias(
+                "usable_doc_id_sum"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _robots_gate_oracle() -> str:
+    vals = ",\n         ".join(
+        f"({host}, '{agent}', {is_allow}, '{prefix}')"
+        for host, txt in sorted(_ROBOTS_TXT.items())
+        for agent, is_allow, prefix in _robots_parse(txt)
+    )
+    return f"""
+WITH rules(host, agent, is_allow, prefix) AS (
+  VALUES {vals}
+),
+spec AS (SELECT DISTINCT host FROM rules WHERE agent = '{_ROBOTS_AGENT}'),
+sel_rules AS (
+  SELECT r.host, r.is_allow, r.prefix
+  FROM rules r LEFT JOIN spec s ON s.host = r.host
+  WHERE (s.host IS NOT NULL AND r.agent = '{_ROBOTS_AGENT}')
+     OR (s.host IS NULL AND r.agent = '*')
+),
+pages AS (
+  SELECT doc_id, source,
+         CAST(doc_id % {_ROBOTS_HOSTS} AS INTEGER) AS host,
+         '/' || (['public','private','data','tmp'])
+               [1 + CAST(doc_id % 4 AS INTEGER)]
+             || '/doc/' || doc_id AS path,
+         CASE WHEN doc_id % {_NOINDEX_HDR_MOD} = {_NOINDEX_HDR_RES}
+              THEN 1 ELSE 0 END AS noindex_hdr,
+         CASE WHEN doc_id % {_NOINDEX_HDR_MOD} = {_NOINDEX_META_RES}
+              THEN 1 ELSE 0 END AS noindex_meta
+  FROM documents
+),
+verdicts AS (
+  SELECT p.doc_id,
+         MAX(CASE WHEN r.prefix IS NOT NULL
+                  THEN 2 * length(r.prefix) + r.is_allow END) AS best
+  FROM pages p
+  LEFT JOIN sel_rules r
+    ON r.host = p.host AND starts_with(p.path, r.prefix)
+  GROUP BY p.doc_id
+),
+gated AS (
+  SELECT p.*,
+         (v.best IS NULL OR v.best % 2 = 1) AS allowed
+  FROM pages p JOIN verdicts v ON v.doc_id = p.doc_id
+)
+SELECT source,
+       COUNT(*) AS n_pages,
+       CAST(count_if(NOT allowed) AS BIGINT) AS n_robots_blocked,
+       CAST(SUM(noindex_hdr) AS BIGINT) AS n_noindex_header,
+       CAST(SUM(noindex_meta) AS BIGINT) AS n_noindex_meta,
+       CAST(count_if(allowed AND noindex_hdr = 0 AND noindex_meta = 0)
+            AS BIGINT) AS n_usable,
+       CAST(SUM(CASE WHEN allowed AND noindex_hdr = 0 AND noindex_meta = 0
+                     THEN doc_id ELSE 0 END) AS BIGINT)
+         AS usable_doc_id_sum
+FROM gated
+GROUP BY source
+ORDER BY source
+"""
+
 
 
 # --------------------------------------------------------------------------
@@ -2066,6 +2464,7 @@ QUERIES = {
     "source_gzip_jsonl_scan": source_gzip_jsonl_scan,
     "source_zstd_seekable_scan": source_zstd_seekable_scan,
     "source_warc_scan": source_warc_scan,
+    "warc_robots_compliance_gate": warc_robots_compliance_gate,
     "parquet_footer_census": parquet_footer_census,
     "avro_lineitem_roundtrip": avro_lineitem_roundtrip,
     "source_protobuf_scan": source_protobuf_scan,
@@ -2091,6 +2490,7 @@ ORACLES = {
     "source_gzip_jsonl_scan": _gzip_jsonl_oracle(),
     "source_zstd_seekable_scan": _zstd_seekable_oracle(),
     "source_warc_scan": _warc_oracle(),
+    "warc_robots_compliance_gate": _robots_gate_oracle(),
     "parquet_footer_census": _footer_census_oracle_staged,  # lazy: stages
     "avro_lineitem_roundtrip": _AVRO_ROUNDTRIP_SQL,
     "source_protobuf_scan": _protobuf_oracle(),

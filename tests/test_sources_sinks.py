@@ -385,7 +385,8 @@ def test_warc_record_roundtrip_embedded_crlf_and_malformed():
     blob = _warc_build_shard(3, rows)
     got = list(_warc_scan(blob))
     assert got[0][0] == "warcinfo"
-    resp = [(uri, body.decode()) for t, uri, body in got if t == "response"]
+    resp = [(uri, body.decode())
+            for t, uri, body, _h in got if t == "response"]
     assert resp == [
         (f"http://corpus.example/doc/{r.doc_id}", r.text) for r in rows
     ]
@@ -411,3 +412,77 @@ def test_warc_record_roundtrip_embedded_crlf_and_malformed():
     )
     with pytest.raises(ValueError):
         list(_warc_scan(bad_http))
+
+
+def test_robots_precedence_and_gate_shard_roundtrip():
+    """r15 compliance gate: RFC 9309 precedence pinned at the kernel level
+    — longest-match wins, allow beats disallow on EQUAL length, the
+    specific user-agent group preempts * wholesale, empty Disallow is a
+    no-op, and a host with no robots.txt allows everything. Plus the
+    compliance shard round-trip: robots records, the X-Robots-Tag header,
+    and the meta-noindex body must all come back from bytes."""
+    from types import SimpleNamespace
+
+    from datafusion_impl_spark.sources.queries import (
+        _NOINDEX_META_TAG,
+        _robots_allowed,
+        _robots_parse,
+        _warc_build_compliance_shard,
+        _warc_scan,
+    )
+
+    rules = _robots_parse(
+        "# comment line\n"
+        "User-agent: a\n"
+        "User-agent: b\n"        # multi-agent group header
+        "Disallow: /x/\n"
+        "Allow: /x/y/\n"
+        "Crawl-delay: 10\n"      # unknown directive ignored
+        "\n"
+        "User-agent: *\n"
+        "Disallow:\n"            # empty value: no-op, dropped
+        "Disallow: /z\n"
+        "Allow: /z\n"            # tie with the line above
+    )
+    assert ("a", 0, "/x/") in rules and ("b", 1, "/x/y/") in rules
+    assert all(p for _a, _i, p in rules)  # empty-value rule dropped
+    # longest-match: /x/y/1 matches Disallow:/x/ (4) and Allow:/x/y/ (5)
+    assert _robots_allowed(rules, "a", "/x/y/1") is True
+    assert _robots_allowed(rules, "a", "/x/other") is False
+    # tie: Allow:/z and Disallow:/z both length 2 -> allow wins
+    assert _robots_allowed(rules, "c", "/z/1") is True
+    # group selection: agent 'a' has a group, so *'s /z rules don't apply
+    assert _robots_allowed(rules, "a", "/z/1") is True
+    # no rules at all -> allowed
+    assert _robots_allowed([], "a", "/anything") is True
+
+    rows = [
+        SimpleNamespace(doc_id=0, source="web", text="hdr noindex doc"),
+        SimpleNamespace(doc_id=8, source="web", text="meta noindex doc"),
+        SimpleNamespace(doc_id=16, source="news", text="clean doc"),
+    ]
+    blob = _warc_build_compliance_shard(0, rows)
+    got = list(_warc_scan(blob))
+    robots = [(u, b) for t, u, b, _h in got if u.endswith("/robots.txt")]
+    assert robots == [
+        ("http://host0.example/robots.txt",
+         b"User-agent: *\nDisallow: /private/\nAllow: /private/doc/\n"
+         b"Disallow: /tmp/\n")
+    ]
+    pages = {
+        int(u.rsplit("/", 1)[1]): (u, b.decode(), h)
+        for t, u, b, h in got
+        if t == "response" and not u.endswith("/robots.txt")
+    }
+    # doc 0: %7==0 -> X-Robots-Tag header, plain body
+    u, b, h = pages[0]
+    assert h.get("x-robots-tag") == "noindex" and _NOINDEX_META_TAG not in b
+    assert h.get("x-corpus-source") == "web"
+    # doc 8: %7==1 -> meta tag in an HTML body, no header
+    u, b, h = pages[8]
+    assert "x-robots-tag" not in h and _NOINDEX_META_TAG in b
+    assert "meta noindex doc" in b
+    # doc 16: clean; host = 16 % 6 = 4, section = 16 % 4 = 0 -> public
+    u, b, h = pages[16]
+    assert u == "http://host4.example/public/doc/16"
+    assert "x-robots-tag" not in h and _NOINDEX_META_TAG not in b
