@@ -1921,6 +1921,174 @@ ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# Manifest-based snapshots + time travel (r15, "Iceberg-lite"): the
+# lakehouse layer the maintenance lineage (compaction planning, footer
+# census, Z-order, CDC merge) points at — snapshot isolation from JSON
+# manifests listing immutable parquet files, and "table AS OF v" reads as
+# manifest-pruned scans. Public pattern per the Apache Iceberg spec
+# (manifest lists + data-file stats), radically simplified.
+# --------------------------------------------------------------------------
+
+_ICEBERG_ROOT = "/tmp/datafusion_impl_spark_iceberg"
+#: v1 carries orders with o_orderkey % 3 != 0; snapshot v2 APPENDS the
+#: rest — append-only, so v1's files are byte-identical under both reads.
+_ICEBERG_APPEND_MOD = 3
+_ICEBERG_V1_FILES = 6
+_ICEBERG_V2_NEW_FILES = 3
+
+
+def _iceberg_stage(sf_dir: str) -> str:
+    """Stage the two-snapshot table once per sf (pyarrow writes, no Spark
+    jobs): sorted immutable data files under ``data/``, and per-snapshot
+    JSON manifests under ``metadata/`` listing each file with its row
+    count and key range — the stats a manifest-pruned planner needs."""
+    import json
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as papq
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_ICEBERG_ROOT, tag)
+    done = os.path.join(root, "_STAGED")
+    if os.path.exists(done):
+        return root
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+    t = papq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    t = t.take(pc.sort_indices(t, sort_keys=[("o_orderkey", "ascending")]))
+    keys = t["o_orderkey"]
+    rem = pc.subtract(
+        keys, pc.multiply(
+            pc.divide(keys, _ICEBERG_APPEND_MOD), _ICEBERG_APPEND_MOD
+        )
+    )  # integer modulo (pyarrow has no mod kernel; keys are non-negative)
+    base = t.filter(pc.not_equal(rem, 0))
+    appended = t.filter(pc.equal(rem, 0))
+
+    def write_files(part, n_files: int, prefix: str) -> list[dict]:
+        per = (part.num_rows + n_files - 1) // n_files
+        out = []
+        for i in range(n_files):
+            chunk = part.slice(i * per, per)
+            name = f"{prefix}-{i:02d}.parquet"
+            papq.write_table(
+                chunk, os.path.join(root, "data", name)
+            )
+            k = chunk["o_orderkey"]
+            out.append(
+                {
+                    "path": f"data/{name}",
+                    "rows": chunk.num_rows,
+                    "min_key": pc.min(k).as_py(),
+                    "max_key": pc.max(k).as_py(),
+                }
+            )
+        return out
+
+    v1_files = write_files(base, _ICEBERG_V1_FILES, "base")
+    v2_new = write_files(appended, _ICEBERG_V2_NEW_FILES, "append")
+    for version, files in ((1, v1_files), (2, v1_files + v2_new)):
+        with open(
+            os.path.join(root, "metadata", f"v{version}.manifest.json"), "w"
+        ) as f:
+            json.dump(
+                {"snapshot_id": version, "files": files}, f, sort_keys=True
+            )
+    open(done, "w").close()
+    return root
+
+
+def _iceberg_read(spark: SparkSession, sf_dir: str, version: int):
+    """``orders AS OF v{version}``: load the snapshot's manifest (bounded
+    metadata — this is exactly what an Iceberg reader does driver-side)
+    and scan ONLY its listed files. Time travel is therefore free of any
+    tombstone/merge logic: files are immutable, the manifest IS the
+    table state."""
+    import json
+    import os
+
+    root = _iceberg_stage(sf_dir)
+    with open(
+        os.path.join(root, "metadata", f"v{version}.manifest.json")
+    ) as f:
+        manifest = json.load(f)
+    paths = [os.path.join(root, e["path"]) for e in manifest["files"]]
+    return spark.read.parquet(*paths), manifest
+
+
+def iceberg_time_travel_diff(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """SNAPSHOT TIME TRAVEL + DIFF — the audit every lakehouse migration
+    runs ("what did the append change?"): read ``orders AS OF v1`` and
+    ``AS OF v2`` as manifest-pruned scans of immutable files, aggregate
+    each per order priority, and report the per-priority row/revenue
+    delta. The v1 read touches ONLY v1's files (pinned by the plan-audit
+    pytest via ``input_file_name()``), so time travel costs the OLD
+    snapshot's scan, not the table's.
+
+    At 100 TB: manifests are bounded metadata (one row per file — even a
+    million-file table is a few hundred MB read driver-side or as its own
+    tiny DataFrame); data files are immutable and never rewritten by an
+    append, so v1/v2 scans share the base files' IO and the diff
+    parallelizes like any two scans."""
+    v1, _m1 = _iceberg_read(spark, sf_dir, 1)
+    v2, _m2 = _iceberg_read(spark, sf_dir, 2)
+
+    def census(df: DataFrame, suffix: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias(f"n_{suffix}"),
+            F.sum(
+                F.col("o_totalprice").cast("decimal(18,2)")
+            ).alias(f"rev_{suffix}"),
+        )
+
+    return (
+        census(v1, "v1")
+        .join(census(v2, "v2"), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_v1",
+            "n_v2",
+            (F.col("n_v2") - F.col("n_v1")).alias("n_added"),
+            F.round(F.col("rev_v1").cast("double"), 2).alias("rev_v1"),
+            F.round(
+                (F.col("rev_v2") - F.col("rev_v1")).cast("double"), 2
+            ).alias("rev_added"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ICEBERG_SQL = f"""
+WITH v1 AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n_v1,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_v1
+  FROM orders WHERE o_orderkey % {_ICEBERG_APPEND_MOD} != 0
+  GROUP BY o_orderpriority
+),
+v2 AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n_v2,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_v2
+  FROM orders
+  GROUP BY o_orderpriority
+)
+SELECT v1.o_orderpriority,
+       n_v1,
+       n_v2,
+       n_v2 - n_v1 AS n_added,
+       ROUND(CAST(rev_v1 AS DOUBLE), 2) AS rev_v1,
+       ROUND(CAST(rev_v2 - rev_v1 AS DOUBLE), 2) AS rev_added
+FROM v1 JOIN v2 USING (o_orderpriority)
+ORDER BY o_orderpriority
+"""
+
+# --------------------------------------------------------------------------
 # Avro Object Container File round-trip (the one mainstream ingest format
 # still absent from CSV/JSON/JSONL/XML/ORC/parquet/tar/gzip)
 # --------------------------------------------------------------------------
@@ -2465,6 +2633,7 @@ QUERIES = {
     "source_zstd_seekable_scan": source_zstd_seekable_scan,
     "source_warc_scan": source_warc_scan,
     "warc_robots_compliance_gate": warc_robots_compliance_gate,
+    "iceberg_time_travel_diff": iceberg_time_travel_diff,
     "parquet_footer_census": parquet_footer_census,
     "avro_lineitem_roundtrip": avro_lineitem_roundtrip,
     "source_protobuf_scan": source_protobuf_scan,
@@ -2491,6 +2660,7 @@ ORACLES = {
     "source_zstd_seekable_scan": _zstd_seekable_oracle(),
     "source_warc_scan": _warc_oracle(),
     "warc_robots_compliance_gate": _robots_gate_oracle(),
+    "iceberg_time_travel_diff": _ICEBERG_SQL,
     "parquet_footer_census": _footer_census_oracle_staged,  # lazy: stages
     "avro_lineitem_roundtrip": _AVRO_ROUNDTRIP_SQL,
     "source_protobuf_scan": _protobuf_oracle(),

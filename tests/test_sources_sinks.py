@@ -486,3 +486,62 @@ def test_robots_precedence_and_gate_shard_roundtrip():
     u, b, h = pages[16]
     assert u == "http://host4.example/public/doc/16"
     assert "x-robots-tag" not in h and _NOINDEX_META_TAG not in b
+
+
+def test_iceberg_v1_read_scans_only_v1_files(spark):
+    """r15 time travel: the ``AS OF v1`` read must touch ONLY the files
+    v1's manifest lists (manifest-pruned scan — the whole point of
+    snapshot isolation), the v2 read exactly the union with the appended
+    files, and every manifest stat (rows, key range) must match what the
+    scan actually returns."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_impl_spark.sources.queries import (
+        _iceberg_read,
+        _iceberg_stage,
+    )
+    from tests.conftest import SF_DIR
+
+    root = _iceberg_stage(SF_DIR)
+    v1, m1 = _iceberg_read(spark, SF_DIR, 1)
+    v2, m2 = _iceberg_read(spark, SF_DIR, 2)
+
+    def scanned(df) -> set[str]:
+        return {
+            os.path.basename(r.f)
+            for r in df.select(
+                F.input_file_name().alias("f")
+            ).distinct().collect()
+        }
+
+    m1_files = {os.path.basename(e["path"]) for e in m1["files"]}
+    m2_files = {os.path.basename(e["path"]) for e in m2["files"]}
+    assert scanned(v1) == m1_files
+    assert scanned(v2) == m2_files
+    appended = m2_files - m1_files
+    assert appended and all(f.startswith("append-") for f in appended)
+
+    # manifest stats are live metadata, not decoration: per-file row
+    # counts and key ranges must match the actual scan
+    per_file = {
+        os.path.basename(r.f): (r.n, r.kmin, r.kmax)
+        for r in v2.select(
+            F.input_file_name().alias("f"), "o_orderkey"
+        )
+        .groupBy("f")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("kmin"),
+            F.max("o_orderkey").alias("kmax"),
+        )
+        .collect()
+    }
+    for e in m2["files"]:
+        name = os.path.basename(e["path"])
+        assert per_file[name] == (e["rows"], e["min_key"], e["max_key"])
+
+    # append-only isolation: v1's rows are exactly v2 minus the appended
+    # keys (o_orderkey % 3 == 0)
+    assert v1.count() == v2.filter(F.col("o_orderkey") % 3 != 0).count()
