@@ -132,63 +132,78 @@ _MODULES = [
 #       they land, then the 25 r5-evidence pads staged in r13's
 #       _NEXT_ROTATION. Every changed/new entry oracle-verified PASS vs
 #       DuckDB at sf0.01 in the r14 session before staging.
+#   r15 (this list): the 2 never-staged rows-only queries first (r14
+#       verdict #3 — after this round EVERY registry entry has a driver
+#       row), then r15-new operators, then the 4 r14-ADVICE-materially-
+#       changed queries (RHO/int-quant DECIMAL sums, spec-ngram oracle),
+#       then the 47 r6-evidence pads (window overflows 50 by design; the
+#       driver takes the head, leftovers stay next in line). Evidence
+#       floor moves to r7.
 _PRIORITY = [
-    # --- changed in r14: TWS consolidation (must be re-certified) ---
-    "stream_tws_user_totals",
-    "stream_tws_recent_events",
-    "stream_tws_session_timeout",
-    "stream_tws_event_type_profile",
-    "stream_tws_warm_start",
-    # --- changed in r14: r13 ADVICE fixes ---
-    "dp_laplace_event_histogram",    # no second ROUND on noisy_count
-    "t_closeness_audit",             # oracle VALUES cast to DOUBLE
-    # --- r14-new operators (appended as they land) ---
-    "source_zstd_seekable_scan",     # seekable-zstd JSONL shard ingest
-    "audio_vad_segments",            # energy VAD + segment census
-    "multimodal_png_encode_roundtrip",  # own-DEFLATE PNG write path
-    "blocklist_aho_corasick",        # broadcast blocklist automaton
-    "source_warc_scan",              # ISO 28500 WARC double-framing scan
-    "preference_pair_assembly",      # RLHF chosen/rejected pair prep
-    "bradley_terry_source_ranking",  # BT strengths via Hunter-MM
-    "multimodal_jpeg_quality_estimate",  # IJG QF inverse from DQT bytes
-    "dp_exponential_quantiles",      # exponential-mechanism DP quantiles
-    "speculative_ngram_acceptance",  # prompt-lookup drafter eval
-    "rho_excess_loss_selection",     # RHO excess-loss data selection
-    "embedding_int4_block_quant",    # blockwise absmax int4 census
-    "unimax_budget_allocation",      # UniMax epoch-cap waterfilling
-    "join_skew_advisor",             # pre-salting skew diagnosis
-    "parquet_footer_census",         # row-group stats pruning audit
-    # --- r6-evidence pads filling the window to exactly 50 (oldest
-    # alphabetical; swapped out as r14-new operators land) ---
-    "ab_experiment_analysis",
-    "ann_knn_graph_ivf",
-    "anti_join_customers_without_orders",
-    # --- the 25 r5-evidence pads staged in r13's _NEXT_ROTATION ---
-    "map_higher_order_ops",
-    "minhash_estimation_error",
-    "multimodal_arrow_features",
-    "order_price_histogram",
-    "pipe_syntax_segment_revenue",
-    "pivot_multi_measures",
-    "python_datasource_scan",
-    "rolling_distinct_customers",
-    "rolling_revenue_event_correlation",
-    "sample_k_per_source",
-    "scalar_array_struct_functions",
-    "scd2_pointintime_join",
-    "source_token_gini",
-    "sql_udf_revenue_bins",
-    "sql_variables_threshold_report",
-    "table_checksum_buckets",
-    "text_bm25_search",
-    "topk_tokens_per_source",
-    "trending_event_windows",
-    "udtf_polymorphic_tokens",
-    "user_cohort_retention",
-    "user_funnel_steps",
-    "vocab_growth_curve",
-    "weekly_seasonality_decomposition",
-    "weighted_sample_docs",
+    # --- r15: the ONLY two registry entries never exposed to the driver
+    # (rows-only-by-design sketch/RNG internals; their rows will read
+    # no_oracle — the honest record the r14 verdict asked for, #3) ---
+    "events_user_hll_rollup",
+    "tablesample_repeatable_stats",
+    # --- r15-new operators (appended as they land; every one
+    # oracle-verified PASS vs DuckDB at sf0.01 before staging) ---
+    "multimodal_exif_metadata_census",   # APP1/TIFF both-endian census
+    "warc_robots_compliance_gate",       # RFC 9309 + noindex legal gate
+    "iceberg_time_travel_diff",          # manifest snapshots + time travel
+    # --- changed in r15 (r14 ADVICE): cross-engine drift hardening ---
+    "rho_excess_loss_selection",         # DECIMAL per-position excess sums
+    "embedding_int4_block_quant",        # exact-sum mse_x1e6
+    "embedding_quantization_report",     # exact-sum mse_x1e6
+    "speculative_ngram_acceptance",      # oracle: dynamic pair positions
+    # --- r6-evidence pads (the 47 oldest; fills the window to 50 and
+    # moves the registry evidence floor to r7) ---
+    "asof_join_prior_click",
+    "asof_join_with_tolerance",
+    "binaryfile_media_scan",
+    "brand_affinity_lift",
+    "context_length_sweep",
+    "corpus_bootstrap_ci",
+    "csv_documents_roundtrip",
+    "dedup_community_bridges",
+    "dedup_label_communities",
+    "dedup_minhash_param_sweep",
+    "doc_readability_scores",
+    "embedding_cluster_silhouette",
+    "embedding_snapshot_drift",
+    "event_trigram_paths",
+    "file_lineage_orders",
+    "incremental_join_maintenance",
+    "k_anonymity_audit",
+    "license_policy_gate",
+    "linear_attribution_stats",
+    "lineitem_correlation_matrix",
+    "merge_cdc_with_deletes",
+    "multimodal_chunk_manifest",
+    "multimodal_phash_near_dup",
+    "null_safe_segment_join",
+    "observed_scan_metrics",
+    "pseudonymize_join_preservation",
+    "python_datasource_stream_agg",
+    "python_datasource_write_roundtrip",
+    "q18_large_volume_customers",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "range_join_event_bursts",
+    "rfm_customer_segments",
+    "rollup_order_stats",
+    "scalar_date_functions",
+    "scalar_math_case_cast",
+    "scalar_string_functions",
+    "scd2_status_dwell_stats",
+    "sessionize_events",
+    "set_union_order_sources",
+    "source_unigram_kl",
+    "stream_cdc_merge_stats",
+    "tokenizer_inflation_audit",
+    "watermark_lateness_audit",
+    "window_running_revenue",
+    "window_top_orders_per_customer",
 ]
 
 # Beyond the 50-query window: oldest-evidence (r6) pads queue here to fill
