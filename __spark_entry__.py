@@ -212,17 +212,22 @@ _PRIORITY = [
 _NEXT_ROTATION: list[str] = []
 
 
-def _ordered(merged: dict) -> dict:
+def _ordered(merged: dict, *, complete: bool = True) -> dict:
     """Priority names first (in _PRIORITY order), then _NEXT_ROTATION, then
     everything else in module order — so the driver's 50-query window is
     exactly the head of _PRIORITY while the full registry stays complete.
 
-    A rotation name that doesn't resolve in the merged registry fails LOUDLY
-    (r12 advice): a typo would otherwise silently shrink the 50-query window
-    and promote an unintended query into the correctness gate."""
-    missing = [n for n in (*_PRIORITY, *_NEXT_ROTATION) if n not in merged]
-    assert not missing, f"rotation names not in registry: {missing}"
-    out = {name: merged[name] for name in (*_PRIORITY, *_NEXT_ROTATION)}
+    A rotation name that doesn't resolve in the merged QUERIES registry
+    fails LOUDLY (r12 advice): a typo would otherwise silently shrink the
+    50-query window and promote an unintended query into the correctness
+    gate. The ORACLES registry is legitimately sparser (rows-only-by-design
+    queries carry no oracle — r15 stages two of them), so its ordering
+    passes ``complete=False`` and just skips absent names."""
+    rotation = [n for n in (*_PRIORITY, *_NEXT_ROTATION)]
+    if complete:
+        missing = [n for n in rotation if n not in merged]
+        assert not missing, f"rotation names not in registry: {missing}"
+    out = {name: merged[name] for name in rotation if name in merged}
     out.update((k, v) for k, v in merged.items() if k not in out)
     return out
 
@@ -251,5 +256,6 @@ def oracle_sql() -> dict[str, str]:
     for m in _MODULES:
         out.update(m.ORACLES)
     return _ordered(
-        {k: (v() if callable(v) else v) for k, v in out.items()}
+        {k: (v() if callable(v) else v) for k, v in out.items()},
+        complete=False,
     )
