@@ -2089,6 +2089,296 @@ ORDER BY o_orderpriority
 """
 
 # --------------------------------------------------------------------------
+# PDF text-extraction scan (r15): the document format every training
+# pipeline ingests — minimal PDF 1.4 built from the public spec (xref
+# table + trailer, catalog→pages→page→contents walk, literal-string
+# content streams), with HALF the corpus FlateDecode-compressed through
+# the repo's OWN RFC-1951 DEFLATE writer (the PNG-encoder interop
+# pattern: stdlib inflate is the independent counter-implementation).
+# --------------------------------------------------------------------------
+
+#: odd doc_ids get a /Filter /FlateDecode content stream (own writer);
+#: even stay uncompressed — both reader paths exercised every run.
+_PDF_FLATE_MOD = 2
+#: text is embedded as consecutive literal-string segments of this many
+#: BYTES per Tj (UTF-8 may split mid-char — legal, the parser re-joins
+#: bytes before decoding).
+_PDF_SEG_BYTES = 48
+#: bounded modulus for the per-source recovered-text hash sum.
+_PDF_HASH_MOD = 1000003
+
+_PDF_ESCAPES = {
+    0x5C: b"\\\\", 0x28: b"\\(", 0x29: b"\\)",
+    0x0A: b"\\n", 0x0D: b"\\r", 0x09: b"\\t",
+}
+_PDF_UNESCAPES = {
+    b"\\"[0:1]: b"\\", b"("[0:1]: b"(", b")"[0:1]: b")",
+    b"n": b"\n", b"r": b"\r", b"t": b"\t",
+}
+
+
+def _pdf_escape(raw: bytes) -> bytes:
+    return b"".join(_PDF_ESCAPES.get(b, bytes([b])) for b in raw)
+
+
+def _pdf_build(doc_id: int, text: str) -> bytes:
+    """One minimal-but-real PDF 1.4: header, five indirect objects
+    (catalog, pages, page, content stream, font), a byte-exact xref
+    table, and a trailer — the parser locates objects THROUGH the xref
+    offsets, so any assembly slip is a loud failure. The content stream
+    paints the document text as consecutive 48-byte literal-string
+    segments (``Tj``); odd doc_ids wrap it in /Filter /FlateDecode
+    produced by the repo's own DEFLATE writer."""
+    raw = text.encode()
+    segs = [
+        raw[i:i + _PDF_SEG_BYTES]
+        for i in range(0, len(raw), _PDF_SEG_BYTES)
+    ] or [b""]
+    content = b"BT /F1 12 Tf 72 720 Td\n" + b"".join(
+        b"(" + _pdf_escape(s) + b") Tj 0 -14 Td\n" for s in segs
+    ) + b"ET\n"
+    if doc_id % _PDF_FLATE_MOD == 1:
+        from datafusion_impl_spark.operators.multimodal import (
+            _zlib_compress_own,
+        )
+
+        body = _zlib_compress_own(content, doc_id)
+        filt = b" /Filter /FlateDecode"
+    else:
+        body, filt = content, b""
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for n in (1, 2, 3, 4, 5):
+        offsets[n] = len(out)
+        if n == 4:
+            out += (
+                b"4 0 obj\n<< /Length " + str(len(body)).encode() + filt
+                + b" >>\nstream\n" + body + b"\nendstream\nendobj\n"
+            )
+        else:
+            out += (
+                str(n).encode() + b" 0 obj\n" + objs[n] + b"\nendobj\n"
+            )
+    xref_at = len(out)
+    out += b"xref\n0 6\n" + b"0000000000 65535 f\r\n" + b"".join(
+        f"{offsets[n]:010d} 00000 n\r\n".encode() for n in (1, 2, 3, 4, 5)
+    )
+    out += (
+        b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n"
+        + str(xref_at).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+def _pdf_extract(data: bytes) -> dict:
+    """Strict text extraction: startxref → xref table → object offsets →
+    trailer /Root → catalog → pages → page → content stream (exactly
+    /Length bytes, inflated when /Filter /FlateDecode) → literal-string
+    walk with escape handling. Every structural assumption raises
+    ``ValueError`` loudly — a parser that sniffs for ``(...)`` instead of
+    walking the document tree would pass planted files and fail real
+    ones."""
+    import re
+    import zlib
+
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("missing %PDF header")
+    tail = data[-256:]
+    m = re.search(rb"startxref\s+(\d+)\s+%%EOF", tail)
+    if not m:
+        raise ValueError("missing startxref/%%EOF trailer")
+    xref_at = int(m.group(1))
+    if not data[xref_at:xref_at + 4] == b"xref":
+        raise ValueError("startxref does not point at an xref table")
+    hdr = re.match(rb"xref\n(\d+) (\d+)\n", data[xref_at:])
+    if not hdr or int(hdr.group(1)) != 0:
+        raise ValueError("unsupported xref subsection header")
+    n_objs = int(hdr.group(2))
+    entries_at = xref_at + hdr.end()
+    offsets = {}
+    for i in range(n_objs):
+        e = data[entries_at + 20 * i:entries_at + 20 * (i + 1)]
+        if len(e) != 20 or e[17:18] not in (b"n", b"f"):
+            raise ValueError(f"malformed xref entry {i}")
+        if e[17:18] == b"n":
+            offsets[i] = int(e[:10])
+    trailer_at = data.index(b"trailer", entries_at)
+    troot = re.search(rb"/Root (\d+) 0 R", data[trailer_at:trailer_at + 128])
+    if not troot:
+        raise ValueError("trailer missing /Root")
+
+    def obj(num: int) -> bytes:
+        at = offsets.get(num)
+        if at is None:
+            raise ValueError(f"object {num} not in xref")
+        head = f"{num} 0 obj".encode()
+        if data[at:at + len(head)] != head:
+            raise ValueError(f"xref offset for object {num} is wrong")
+        return data[at:data.index(b"endobj", at)]
+
+    cat = obj(int(troot.group(1)))
+    pages_ref = re.search(rb"/Pages (\d+) 0 R", cat)
+    if not pages_ref:
+        raise ValueError("catalog missing /Pages")
+    pages = obj(int(pages_ref.group(1)))
+    kid = re.search(rb"/Kids \[(\d+) 0 R\]", pages)
+    if not kid:
+        raise ValueError("pages missing /Kids")
+    page = obj(int(kid.group(1)))
+    cref = re.search(rb"/Contents (\d+) 0 R", page)
+    if not cref:
+        raise ValueError("page missing /Contents")
+    cobj = obj(int(cref.group(1)))
+    ln = re.search(rb"/Length (\d+)", cobj)
+    if not ln:
+        raise ValueError("content stream missing /Length")
+    is_flate = b"/FlateDecode" in cobj
+    s_at = cobj.index(b"stream\n") + len(b"stream\n")
+    body = cobj[s_at:s_at + int(ln.group(1))]
+    if len(body) != int(ln.group(1)) or not cobj[
+        s_at + len(body):
+    ].lstrip(b"\r\n").startswith(b"endstream"):
+        raise ValueError("/Length does not frame the stream")
+    if is_flate:
+        body = zlib.decompress(body)
+    # literal-string walk: (…) Tj segments concatenated in order
+    out, i = bytearray(), 0
+    while True:
+        at = body.find(b"(", i)
+        if at < 0:
+            break
+        j = at + 1
+        while True:
+            if j >= len(body):
+                raise ValueError("unterminated literal string")
+            c = body[j:j + 1]
+            if c == b"\\":
+                esc = body[j + 1:j + 2]
+                if esc not in _PDF_UNESCAPES:
+                    raise ValueError(f"unsupported escape {esc!r}")
+                out += _PDF_UNESCAPES[esc]
+                j += 2
+            elif c == b")":
+                j += 1
+                break
+            else:
+                out += c
+                j += 1
+        if body[j:j + 3] != b" Tj":
+            raise ValueError("literal string not painted with Tj")
+        i = j
+    return {
+        "text": out.decode(),
+        "is_flate": int(is_flate),
+        "n_objects": len(offsets),
+    }
+
+
+def source_pdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF TEXT-EXTRACTION SCAN — the document-ingest layer next to
+    WARC/Avro/protobuf/zstd: every document is written as a minimal-but-
+    real PDF 1.4 (xref table, catalog→pages→page→contents object walk,
+    literal-string content streams; odd ids FlateDecode-compressed by the
+    repo's OWN RFC-1951 DEFLATE writer, inflated back by stdlib zlib —
+    both-directions interop for the compression layer), then the text is
+    recovered purely from bytes and censused per source. The recovered-
+    text hash sum must match the parquet oracle, so a one-byte slip in
+    xref offsets, /Length framing, escaping, or the DEFLATE layer
+    diverges the value hash.
+
+    Scale shape: map-only build + parse (one PDF per document, the real
+    corpus shape); the aggregate is one row per source."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "pdf": [
+                        _pdf_build(int(r.doc_id), str(r.text))
+                        for r in pdf.itertuples()
+                    ],
+                }
+            )
+
+    blobs = docs.mapInPandas(
+        build, "doc_id bigint, source string, pdf binary"
+    )
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                m = _pdf_extract(bytes(r.pdf))
+                rows.append(
+                    (
+                        str(r.source),
+                        m["is_flate"],
+                        m["n_objects"],
+                        len(m["text"]),
+                        m["text"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["source", "is_flate", "n_objects",
+                         "n_chars", "text"],
+            )
+
+    from datafusion_impl_spark.operators import md5_long
+
+    recs = blobs.mapInPandas(
+        scan,
+        "source string, is_flate int, n_objects int, "
+        "n_chars long, text string",
+    )
+    return (
+        recs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pdfs"),
+            F.sum(F.col("is_flate").cast("long")).alias("n_flate"),
+            F.sum(F.col("n_objects").cast("long")).alias("n_objects"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(md5_long(F.col("text")) % _PDF_HASH_MOD).alias(
+                "text_hash_sum"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _pdf_oracle() -> str:
+    from datafusion_impl_spark.operators import duck_md5_long
+
+    return f"""
+SELECT source,
+       COUNT(*) AS n_pdfs,
+       CAST(count_if(doc_id % {_PDF_FLATE_MOD} = 1) AS BIGINT) AS n_flate,
+       CAST(5 * COUNT(*) AS BIGINT) AS n_objects,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       CAST(SUM({duck_md5_long("text")} % {_PDF_HASH_MOD}) AS BIGINT)
+         AS text_hash_sum
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+# --------------------------------------------------------------------------
 # Avro Object Container File round-trip (the one mainstream ingest format
 # still absent from CSV/JSON/JSONL/XML/ORC/parquet/tar/gzip)
 # --------------------------------------------------------------------------
@@ -2634,6 +2924,7 @@ QUERIES = {
     "source_warc_scan": source_warc_scan,
     "warc_robots_compliance_gate": warc_robots_compliance_gate,
     "iceberg_time_travel_diff": iceberg_time_travel_diff,
+    "source_pdf_scan": source_pdf_scan,
     "parquet_footer_census": parquet_footer_census,
     "avro_lineitem_roundtrip": avro_lineitem_roundtrip,
     "source_protobuf_scan": source_protobuf_scan,
@@ -2661,6 +2952,7 @@ ORACLES = {
     "source_warc_scan": _warc_oracle(),
     "warc_robots_compliance_gate": _robots_gate_oracle(),
     "iceberg_time_travel_diff": _ICEBERG_SQL,
+    "source_pdf_scan": _pdf_oracle(),
     "parquet_footer_census": _footer_census_oracle_staged,  # lazy: stages
     "avro_lineitem_roundtrip": _AVRO_ROUNDTRIP_SQL,
     "source_protobuf_scan": _protobuf_oracle(),

@@ -545,3 +545,77 @@ def test_iceberg_v1_read_scans_only_v1_files(spark):
     # append-only isolation: v1's rows are exactly v2 minus the appended
     # keys (o_orderkey % 3 == 0)
     assert v1.count() == v2.filter(F.col("o_orderkey") % 3 != 0).count()
+
+
+def test_pdf_build_extract_strictness_and_interop():
+    """r15 PDF scan: the parser must walk the real document tree (xref →
+    catalog → pages → page → contents), recover text byte-exactly through
+    escaping and the own-writer FlateDecode layer, and refuse malformed
+    structures loudly — wrong xref offsets, lying /Length, truncated
+    trailers, corrupt deflate, unknown escapes."""
+    import re
+
+    import pytest
+
+    from datafusion_impl_spark.sources.queries import (
+        _pdf_build,
+        _pdf_extract,
+    )
+
+    text = "with (parens) and \\ slash\nand a newline"
+    blob = _pdf_build(1, text)          # odd id -> FlateDecode path
+    assert b"/FlateDecode" in blob
+    assert _pdf_extract(blob)["text"] == text
+    plain = _pdf_build(2, text)         # even id -> uncompressed path
+    assert b"/FlateDecode" not in plain
+    assert _pdf_extract(plain)["text"] == text
+
+    with pytest.raises(ValueError):
+        _pdf_extract(b"NOTAPDF" + blob[7:])          # bad header
+    with pytest.raises(ValueError):
+        _pdf_extract(blob[:-12])                      # lost %%EOF trailer
+    # startxref pointing into the middle of an object
+    bad = re.sub(rb"startxref\n\d+", b"startxref\n10", blob)
+    with pytest.raises(ValueError):
+        _pdf_extract(bad)
+    # xref offset for object 3 shifted by one: the object-header check
+    # at the offset must catch it
+    m = re.search(rb"\n(\d{10}) 00000 n\r\n", blob)
+    entries_at = blob.index(b"0000000000 65535 f")
+    e3 = entries_at + 20 * 3
+    off3 = int(blob[e3:e3 + 10])
+    bad2 = blob[:e3] + f"{off3 + 1:010d}".encode() + blob[e3 + 10:]
+    with pytest.raises(ValueError):
+        _pdf_extract(bad2)
+    # lying /Length (stream frame check)
+    bad3 = re.sub(rb"/Length (\d+)",
+                  lambda mm: b"/Length " + str(int(mm.group(1)) + 3).encode(),
+                  blob, count=1)
+    with pytest.raises(ValueError):
+        _pdf_extract(bad3)
+    # corrupt deflate byte inside the compressed stream
+    s_at = blob.index(b"stream\n") + 7
+    bad4 = blob[:s_at + 4] + bytes([blob[s_at + 4] ^ 0xFF]) + blob[s_at + 5:]
+    with pytest.raises(Exception):   # zlib.error or ValueError
+        _pdf_extract(bad4)
+    # unknown escape sequence in a literal string (uncompressed path) —
+    # /Length is patched to keep the stream frame valid, so the failure
+    # is genuinely the escape walk, not the framing check
+    at = plain.index(b"(")
+    bad5 = plain[:at + 1] + b"\\q" + plain[at + 1:]
+    bad5 = re.sub(
+        rb"/Length (\d+)",
+        lambda mm: b"/Length " + str(int(mm.group(1)) + 2).encode(),
+        bad5, count=1,
+    )
+    # the 2 injected bytes shift the xref table and startxref; objects
+    # 1-4 precede the insertion so their offsets stay valid, object 5 is
+    # never fetched by the walk — patch startxref and the failure is
+    # genuinely the escape walk
+    bad5 = re.sub(
+        rb"startxref\n(\d+)",
+        lambda mm: b"startxref\n" + str(int(mm.group(1)) + 2).encode(),
+        bad5,
+    )
+    with pytest.raises(ValueError, match="escape"):
+        _pdf_extract(bad5)
