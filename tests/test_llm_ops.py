@@ -4351,3 +4351,55 @@ def test_exif_both_endian_parse_and_malformed():
     base = _jpeg_encode(8)
     with _pytest.raises(ValueError):
         _exif_parse(base[:2] + app1[:-1] + b"Z" + base[2:])
+
+
+def test_cdc_chunking_shift_invariance_and_conservation(spark):
+    """r15 gear CDC: (a) the defining CDC property — prepending bytes
+    re-chunks only an O(window) prefix, every boundary beyond ~64+shift
+    bytes realigns exactly (a fixed-size chunker would shift EVERY
+    boundary); (b) per-source byte conservation and a sane mean chunk
+    size near the 1/32 cut-rate design point; (c) the closed windowed-sum
+    form equals the recurrence (the identity the oracle rests on)."""
+    from datafusion_impl_spark.operators.dedup import (
+        _CDC_MOD,
+        _CDC_SHIFT,
+        _GEAR,
+        _cdc_cuts,
+        dedup_cdc_chunking,
+    )
+
+    data = ("the quick brown fox jumps over the lazy dog " * 40).encode()
+    base = _cdc_cuts(data)
+    shifted = _cdc_cuts(b"INSERTED-PREFIX" + data)
+    # boundaries past the 64-byte mixing window + insertion realign
+    horizon = 64 + 15
+    tail_base = {c for c in base if c > horizon}
+    tail_shift = {c - 15 for c in shifted if c - 15 > horizon}
+    assert tail_base == tail_shift
+    assert tail_base, "need boundaries beyond the horizon for the claim"
+
+    # windowed-sum closed form == recurrence at a few positions
+    h = 0
+    for i, b in enumerate(data[:200], start=1):
+        h = ((h << 1) + _GEAR[b]) % _CDC_MOD
+        if i in (1, 5, 63, 64, 65, 130, 200):
+            closed = sum(
+                _GEAR[data[i - 1 - k]] << k for k in range(min(64, i))
+            ) % _CDC_MOD
+            assert closed == h, i
+
+    rows = dedup_cdc_chunking(spark, SF_DIR).collect()
+    assert rows
+    import duckdb
+
+    per_source = dict(
+        duckdb.connect().execute(
+            "SELECT source, SUM(octet_length(encode(text))) FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet') GROUP BY source"
+        ).fetchall()
+    )
+    for r in rows:
+        assert r.n_bytes == per_source[r.source]          # conservation
+        assert r.n_distinct_chunks <= r.n_chunks
+        mean = r.n_bytes / r.n_chunks
+        assert 10 < mean < 80, mean   # 1/32 design point, doc-end effects
