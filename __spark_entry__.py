@@ -152,6 +152,7 @@ _PRIORITY = [
     "iceberg_time_travel_diff",          # manifest snapshots + time travel
     "source_pdf_scan",                   # PDF 1.4 text-extraction scan
     "dedup_cdc_chunking",                # gear-hash CDC boundary census
+    "postings_varint_roundtrip",         # LEB128 postings compression
     # --- changed in r15 (r14 ADVICE): cross-engine drift hardening ---
     "rho_excess_loss_selection",         # DECIMAL per-position excess sums
     "embedding_int4_block_quant",        # exact-sum mse_x1e6

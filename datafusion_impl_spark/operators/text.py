@@ -5942,7 +5942,153 @@ ORDER BY term
 """
 
 
+# --------------------------------------------------------------------------
+# Varint-compressed inverted-index postings (r15): the physical storage
+# layer under every BM25/passage query in this module — delta-gap +
+# LEB128 varint postings (the Lucene/Indri on-disk shape), round-tripped
+# encode→decode in the kernel and length-audited by the oracle.
+# --------------------------------------------------------------------------
+
+#: bounded modulus for the decoded-postings checksum.
+_POSTINGS_HASH_MOD = 1000003
+
+
+def _varint_encode(nums: list[int]) -> bytes:
+    out = bytearray()
+    for n in nums:
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    return bytes(out)
+
+
+def _varint_decode(data: bytes) -> list[int]:
+    out, cur, shift = [], 0, 0
+    for b in data:
+        cur |= (b & 0x7F) << shift
+        if b & 0x80:
+            shift += 7
+            if shift > 63:
+                raise ValueError("varint overruns 64 bits")
+        else:
+            out.append(cur)
+            cur, shift = 0, 0
+    if shift or cur:
+        raise ValueError("truncated varint stream")
+    return out
+
+
+def postings_varint_roundtrip(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """INVERTED-INDEX POSTINGS COMPRESSION — the bytes under the BM25
+    lineage: per term, the sorted doc-id postings list is delta-gap +
+    LEB128-varint encoded into a binary blob (the Lucene posting shape),
+    then DECODED back in the same kernel; the decoded checksum flows to
+    the output, so the census proves the codec round-trips on every term.
+    Census per df-bucket (floor(log2(df)) via ``length(bin(df))-1`` —
+    integer in both engines): term/posting counts, encoded vs raw bytes
+    (the compression the gap transform buys on clustered ids), and the
+    decoded-postings checksum the oracle recomputes from the ORIGINAL
+    postings — a decode slip anywhere diverges it.
+
+    At 100 TB: postings build is one shuffle (term groupBy, map-side
+    combined); encode/decode is map-only per term row; the census is one
+    bounded aggregate over df-buckets."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    postings = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+    )
+
+    def codec(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                ids = [int(x) for x in r.ids]
+                gaps = [ids[0]] + [
+                    b - a for a, b in zip(ids, ids[1:])
+                ] if ids else []
+                blob = _varint_encode(gaps)
+                dec = _varint_decode(blob)
+                out, acc = [], 0
+                for g in dec:
+                    acc += g
+                    out.append(acc)
+                if out != ids:
+                    raise ValueError(f"codec round-trip failed: {r.term}")
+                rows.append(
+                    (str(r.term), len(ids), len(blob),
+                     sum(out) % _POSTINGS_HASH_MOD)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["term", "df", "encoded_bytes", "decoded_sum"],
+            )
+
+    enc = postings.mapInPandas(
+        codec, "term string, df long, encoded_bytes long, decoded_sum long"
+    )
+    bucket = (F.length(F.bin(F.col("df"))) - 1).cast("int")
+    return (
+        enc.groupBy(bucket.alias("df_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("df").alias("n_postings"),
+            F.sum("encoded_bytes").alias("encoded_bytes"),
+            (F.sum("df") * 8).alias("raw_bytes"),
+            F.sum("decoded_sum").alias("decoded_hash_sum"),
+        )
+        .orderBy("df_bucket")
+    )
+
+
+_POSTINGS_SQL = rf"""
+WITH postings AS (
+  SELECT t.term, list_sort(list(DISTINCT d.doc_id)) AS ids
+  FROM (SELECT doc_id, unnest({_DUCK_TOKENS.format(col='text')}) AS term
+        FROM documents) t
+  JOIN documents d ON d.doc_id = t.doc_id
+  GROUP BY t.term
+),
+gaps AS (
+  SELECT term, len(ids) AS df, ids,
+         [CASE WHEN i = 1 THEN ids[1] ELSE ids[i] - ids[i-1] END
+          FOR i IN generate_series(1, len(ids))] AS gs
+  FROM postings
+),
+-- LEB128 length of each gap: 1 byte per started 7-bit group
+enc AS (
+  SELECT term, df,
+         CAST(list_sum(list_transform(gs, g ->
+           CASE WHEN g < 128 THEN 1
+                WHEN g < 16384 THEN 2
+                WHEN g < 2097152 THEN 3
+                WHEN g < 268435456 THEN 4
+                ELSE 5 END)) AS BIGINT) AS encoded_bytes,
+         list_sum(ids) % {_POSTINGS_HASH_MOD} AS decoded_sum
+  FROM gaps
+)
+SELECT CAST(length(bin(df)) - 1 AS INTEGER) AS df_bucket,
+       COUNT(*) AS n_terms,
+       CAST(SUM(df) AS BIGINT) AS n_postings,
+       CAST(SUM(encoded_bytes) AS BIGINT) AS encoded_bytes,
+       CAST(SUM(df) * 8 AS BIGINT) AS raw_bytes,
+       CAST(SUM(decoded_sum) AS BIGINT) AS decoded_hash_sum
+FROM enc
+GROUP BY 1
+ORDER BY df_bucket
+"""
+
 QUERIES = {
+    "postings_varint_roundtrip": postings_varint_roundtrip,
     "text_html_extract": text_html_extract,
     "quality_classifier_trained": quality_classifier_trained,
     "classifier_calibration_audit": classifier_calibration_audit,
@@ -5993,6 +6139,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "postings_varint_roundtrip": _POSTINGS_SQL,
     "quality_classifier_trained": _QCLF_SQL,
     "classifier_calibration_audit": _QCLF_CALIBRATION_SQL,
     "tier_classifier_trained": _tier_sql(),
