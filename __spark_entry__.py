@@ -153,6 +153,7 @@ _PRIORITY = [
     "source_pdf_scan",                   # PDF 1.4 text-extraction scan
     "dedup_cdc_chunking",                # gear-hash CDC boundary census
     "postings_varint_roundtrip",         # LEB128 postings compression
+    "lm_nucleus_sampling_census",        # top-p decoding census
     # --- changed in r15 (r14 ADVICE): cross-engine drift hardening ---
     "rho_excess_loss_selection",         # DECIMAL per-position excess sums
     "embedding_int4_block_quant",        # exact-sum mse_x1e6

@@ -6087,7 +6087,130 @@ GROUP BY 1
 ORDER BY df_bucket
 """
 
+# --------------------------------------------------------------------------
+# Nucleus (top-p) sampling census (r15): the serving-side decoding
+# statistic — per context, how many ranked next-token candidates the
+# p=0.9 nucleus keeps (Holtzman et al. 2020). Integer-exact: the
+# cumulative-mass rule is evaluated as 10·cum >= 9·total, no division.
+# --------------------------------------------------------------------------
+
+#: nucleus mass as an integer ratio (numerator/denominator of p = 0.9).
+_NUCLEUS_NUM, _NUCLEUS_DEN = 9, 10
+#: contexts must be observed at least this often to have a stable
+#: distribution worth reporting.
+_NUCLEUS_MIN_CTX = 5
+
+
+def lm_nucleus_sampling_census(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TOP-P (NUCLEUS) DECODING CENSUS over the corpus bigram LM: for
+    every context token observed >= {m} times, rank its next-token counts
+    (count desc, token asc — deterministic), and find the nucleus size —
+    the smallest k whose cumulative count satisfies
+    ``{den}·cum >= {num}·total`` (exactly p >= 0.9 in integers, so both
+    engines agree bit-for-bit with zero divisions). The census buckets
+    contexts by nucleus size: how peaked the corpus' next-token
+    distributions are is exactly what decides whether top-p serving
+    truncates aggressively or degenerates to full sampling. Reported per
+    bucket: context count, kept vs total candidate counts, and the
+    heaviest context's total mass.
+
+    Scale shape: one groupBy to the bigram table, one bounded window per
+    context (fan-out = distinct next tokens), one aggregate over nucleus
+    sizes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    nxt = docs.select(
+        F.posexplode(tokens("text")).alias("i", "w"), "doc_id"
+    ).alias("a").join(
+        docs.select(
+            F.posexplode(tokens("text")).alias("i", "w"), "doc_id"
+        ).alias("b"),
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("b.i") == F.col("a.i") + 1),
+    ).select(F.col("a.w").alias("ctx"), F.col("b.w").alias("nxt"))
+    big = nxt.groupBy("ctx", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    w_tot = Window.partitionBy("ctx")
+    w_rank = Window.partitionBy("ctx").orderBy(
+        F.col("c").desc(), F.col("nxt").asc()
+    )
+    ranked = (
+        big.withColumn("total", F.sum("c").over(w_tot))
+        .filter(F.col("total") >= _NUCLEUS_MIN_CTX)
+        .withColumn("cum", F.sum("c").over(
+            w_rank.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+        .withColumn("rk", F.row_number().over(w_rank))
+    )
+    nucleus = (
+        ranked.filter(
+            F.col("cum") * _NUCLEUS_DEN >= F.col("total") * _NUCLEUS_NUM
+        )
+        .groupBy("ctx")
+        .agg(
+            F.min("rk").alias("nucleus_size"),
+            F.min("total").alias("total"),
+        )
+    )
+    n_cands = big.groupBy("ctx").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    return (
+        nucleus.join(n_cands, "ctx")
+        .groupBy("nucleus_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_contexts"),
+            F.sum("n_candidates").alias("n_candidates"),
+            F.sum("total").alias("total_mass"),
+            F.max("total").alias("max_context_mass"),
+        )
+        .orderBy("nucleus_size")
+    )
+
+
+lm_nucleus_sampling_census.__doc__ = lm_nucleus_sampling_census.__doc__.format(
+    m=_NUCLEUS_MIN_CTX, num=_NUCLEUS_NUM, den=_NUCLEUS_DEN
+)
+
+_NUCLEUS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS t FROM documents
+),
+pairs AS (
+  SELECT t[i] AS ctx, t[i + 1] AS nxt
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) idx
+  WHERE len(t) >= 2
+),
+big AS (SELECT ctx, nxt, COUNT(*) AS c FROM pairs GROUP BY ctx, nxt),
+ranked AS (
+  SELECT ctx, nxt, c,
+         SUM(c) OVER (PARTITION BY ctx) AS total,
+         SUM(c) OVER (PARTITION BY ctx ORDER BY c DESC, nxt ASC
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         ROW_NUMBER() OVER (PARTITION BY ctx ORDER BY c DESC, nxt ASC)
+           AS rk
+  FROM big
+),
+nucleus AS (
+  SELECT ctx, MIN(rk) AS nucleus_size, MIN(total) AS total
+  FROM ranked
+  WHERE total >= {_NUCLEUS_MIN_CTX}
+    AND cum * {_NUCLEUS_DEN} >= total * {_NUCLEUS_NUM}
+  GROUP BY ctx
+),
+cands AS (SELECT ctx, COUNT(*) AS n_candidates FROM big GROUP BY ctx)
+SELECT CAST(nucleus_size AS BIGINT) AS nucleus_size,
+       COUNT(*) AS n_contexts,
+       CAST(SUM(n_candidates) AS BIGINT) AS n_candidates,
+       CAST(SUM(total) AS BIGINT) AS total_mass,
+       CAST(MAX(total) AS BIGINT) AS max_context_mass
+FROM nucleus JOIN cands USING (ctx)
+GROUP BY nucleus_size
+ORDER BY nucleus_size
+"""
+
 QUERIES = {
+    "lm_nucleus_sampling_census": lm_nucleus_sampling_census,
     "postings_varint_roundtrip": postings_varint_roundtrip,
     "text_html_extract": text_html_extract,
     "quality_classifier_trained": quality_classifier_trained,
@@ -6139,6 +6262,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lm_nucleus_sampling_census": _NUCLEUS_SQL,
     "postings_varint_roundtrip": _POSTINGS_SQL,
     "quality_classifier_trained": _QCLF_SQL,
     "classifier_calibration_audit": _QCLF_CALIBRATION_SQL,
