@@ -154,6 +154,7 @@ _PRIORITY = [
     "dedup_cdc_chunking",                # gear-hash CDC boundary census
     "postings_varint_roundtrip",         # LEB128 postings compression
     "lm_nucleus_sampling_census",        # top-p decoding census
+    "batch_padding_waste_planner",       # length-grouped batching waste
     # --- changed in r15 (r14 ADVICE): cross-engine drift hardening ---
     "rho_excess_loss_selection",         # DECIMAL per-position excess sums
     "embedding_int4_block_quant",        # exact-sum mse_x1e6

@@ -1907,7 +1907,111 @@ ORDER BY t.source
 """
 
 
+# --------------------------------------------------------------------------
+# Length-grouped batching padding-waste planner (r15): the training-
+# efficiency decision every fine-tuning job makes — pad-to-max batches in
+# arrival order vs length-sorted order, waste quantified exactly.
+# --------------------------------------------------------------------------
+
+#: documents per training batch for the padding-waste comparison.
+_BATCH_DOCS = 16
+
+
+def batch_padding_waste_planner(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """PADDING-WASTE PLANNER — quantify what length-grouped batching buys
+    (the HF ``group_by_length`` / dynamic-batching decision): form
+    {b}-doc pad-to-max batches under TWO orderings — arrival (doc_id) and
+    length-sorted ((len, doc_id)) — and report, per strategy, the exact
+    padded-token bill: batches, real tokens, padded slots
+    (batch_max·batch_size summed), wasted slots, and waste in basis
+    points (integer: ``10000·waste // padded``). All integer arithmetic;
+    the window fan-out is one rank per doc and one max per batch.
+
+    At 100 TB the same plan runs per shard: ranks are a sort-within-
+    partition, batch maxima a bounded aggregate; the output is 2 rows."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).alias("len")
+    )
+
+    def census(order_cols, strategy: str) -> DataFrame:
+        w = Window.orderBy(*order_cols)
+        b = (
+            docs.withColumn(
+                "batch",
+                ((F.row_number().over(w) - 1) / _BATCH_DOCS).cast("long"),
+            )
+            .groupBy("batch")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("len").alias("tokens"),
+                (F.max("len") * F.count(F.lit(1))).alias("padded"),
+            )
+        )
+        return b.agg(
+            F.lit(strategy).alias("strategy"),
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("tokens").alias("real_tokens"),
+            F.sum("padded").alias("padded_slots"),
+            (F.sum("padded") - F.sum("tokens")).alias("wasted_slots"),
+            # div-safe: padded_slots >= real_tokens >= n_docs >= 1
+            (
+                (F.sum("padded") - F.sum("tokens")) * 10000
+                / F.sum("padded")
+            ).cast("long").alias("waste_bps"),
+        )
+
+    arrival = census([F.col("doc_id").asc()], "arrival")
+    sorted_ = census(
+        [F.col("len").asc(), F.col("doc_id").asc()], "length_sorted"
+    )
+    return arrival.unionByName(sorted_).orderBy("strategy")
+
+
+batch_padding_waste_planner.__doc__ = (
+    batch_padding_waste_planner.__doc__.format(b=_BATCH_DOCS)
+)
+
+_PAD_WASTE_SQL = rf"""
+WITH lens AS (
+  SELECT doc_id, len({_DUCK_TOKENS.format(col='text')}) AS len
+  FROM documents
+),
+arrival AS (
+  SELECT len,
+         (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // {_BATCH_DOCS}
+           AS batch
+  FROM lens
+),
+sorted_ AS (
+  SELECT len,
+         (ROW_NUMBER() OVER (ORDER BY len, doc_id) - 1) // {_BATCH_DOCS}
+           AS batch
+  FROM lens
+),
+per AS (
+  SELECT 'arrival' AS strategy, batch, COUNT(*) AS n, SUM(len) AS tokens,
+         MAX(len) * COUNT(*) AS padded
+  FROM arrival GROUP BY batch
+  UNION ALL
+  SELECT 'length_sorted', batch, COUNT(*), SUM(len), MAX(len) * COUNT(*)
+  FROM sorted_ GROUP BY batch
+)
+SELECT strategy,
+       COUNT(*) AS n_batches,
+       CAST(SUM(tokens) AS BIGINT) AS real_tokens,
+       CAST(SUM(padded) AS BIGINT) AS padded_slots,
+       CAST(SUM(padded) - SUM(tokens) AS BIGINT) AS wasted_slots,
+       -- div-safe: padded_slots >= real_tokens >= 1
+       CAST((SUM(padded) - SUM(tokens)) * 10000 // SUM(padded) AS BIGINT)
+         AS waste_bps
+FROM per
+GROUP BY strategy
+ORDER BY strategy
+"""
+
 QUERIES = {
+    "batch_padding_waste_planner": batch_padding_waste_planner,
     "preference_pair_assembly": preference_pair_assembly,
     "bradley_terry_source_ranking": bradley_terry_source_ranking,
     "span_corruption_mask_stats": span_corruption_mask_stats,
@@ -1927,6 +2031,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "batch_padding_waste_planner": _PAD_WASTE_SQL,
     "preference_pair_assembly": _PREF_PAIRS_SQL,
     "bradley_terry_source_ranking": _bt_oracle(),
     "span_corruption_mask_stats": _SPAN_MASK_SQL,

@@ -223,3 +223,27 @@ def test_skipgram_negative_sampling_is_exact_and_biased(spark):
         assert r.n_pairs_kept <= r.n_pairs_raw
     mean_rank = sum(r.neg_rank_sum for r in rows) / tot_neg
     assert mean_rank < _SG_VOCAB / 4, mean_rank  # uniform would be ~V/2
+
+
+def test_padding_waste_sorted_never_worse(spark):
+    """r15 batching planner: both strategies conserve real tokens and doc
+    count; length-sorted batching can never waste MORE than arrival order
+    in total padded slots (each sorted batch's max is the smallest
+    possible over any partition into equal-rank blocks), and on this
+    corpus the improvement is strict."""
+    from datafusion_impl_spark.operators.training import (
+        batch_padding_waste_planner,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = {r.strategy: r for r in
+            batch_padding_waste_planner(spark, SF_DIR).collect()}
+    a, s = rows["arrival"], rows["length_sorted"]
+    assert a.real_tokens == s.real_tokens
+    assert a.n_batches == s.n_batches
+    assert s.padded_slots <= a.padded_slots
+    assert s.wasted_slots < a.wasted_slots   # strict on this corpus
+    for r in (a, s):
+        assert r.padded_slots >= r.real_tokens
+        assert r.wasted_slots == r.padded_slots - r.real_tokens
+        assert 0 <= r.waste_bps <= 10000
