@@ -4981,6 +4981,208 @@ ORDER BY orientation
 
 
 # --------------------------------------------------------------------------
+# EXIF orientation normalization (r15): the pixel half of the EXIF story
+# — decode the stored image, read the orientation tag, and upright the
+# pixels with the standard 8-case coordinate map (identity, mirrors,
+# 180/90/270 rotations, transpose/transverse). The census carries an
+# arrangement-SENSITIVE positional checksum so a wrong (or skipped)
+# transform diverges even though the pixel SUM is invariant.
+# --------------------------------------------------------------------------
+
+#: (x', y') -> (x, y) source-coordinate map per EXIF orientation o, on a
+#: stored w×h image; orientations 5-8 swap output dims to (h, w). Shared
+#: definitionally by the kernel (fancy indexing) and the oracle (CASE
+#: expressions) — the map IS the spec of "upright".
+_EXIF_ORIENT_MAP = {
+    1: lambda w, h, xo, yo: (xo, yo),
+    2: lambda w, h, xo, yo: (w - 1 - xo, yo),
+    3: lambda w, h, xo, yo: (w - 1 - xo, h - 1 - yo),
+    4: lambda w, h, xo, yo: (xo, h - 1 - yo),
+    5: lambda w, h, xo, yo: (yo, xo),
+    6: lambda w, h, xo, yo: (yo, h - 1 - xo),
+    7: lambda w, h, xo, yo: (w - 1 - yo, h - 1 - xo),
+    8: lambda w, h, xo, yo: (w - 1 - yo, xo),
+}
+
+
+def _exif_upright(px, orientation: int):
+    """Upright an (h, w) pixel array per the orientation tag using the
+    shared coordinate map (vectorized fancy indexing, no np.rot90 — the
+    map is the single source of truth)."""
+    import numpy as np
+
+    h, w = px.shape
+    if orientation not in _EXIF_ORIENT_MAP:
+        raise ValueError(f"invalid EXIF orientation {orientation}")
+    ow, oh = (w, h) if orientation <= 4 else (h, w)
+    xo, yo = np.meshgrid(np.arange(ow), np.arange(oh))
+    x, y = _EXIF_ORIENT_MAP[orientation](w, h, xo, yo)
+    return px[y, x]
+
+
+def multimodal_exif_orientation_normalize(spark: SparkSession,
+                                          sf_dir: str) -> DataFrame:
+    """EXIF ORIENTATION NORMALIZATION — what an image pipeline does with
+    the orientation tag: decode the planted EXIF-bearing JPEGs (every one
+    of the 8 orientations occurs by construction), apply the standard
+    upright coordinate map, and census per orientation: output dims
+    (swapped for 5-8), the transform-invariant pixel sum, the
+    arrangement-SENSITIVE positional checksum ``Σ p(x',y')·(y'·out_w +
+    x' + 1)``, and both extreme corners of the uprighted image. The
+    DuckDB oracle replays the planted pixel formula AT THE MAPPED SOURCE
+    COORDINATES — a wrong case branch, a flipped axis, or a skipped
+    transform all diverge the checksum.
+
+    Scale shape: map-only decode + remap; one row per orientation."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": pdf["doc_id"].map(
+                        lambda d: _exif_encode(int(d))
+                    ),
+                }
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % _JPEG_SAMPLE_MOD == _EXIF_SAMPLE_RES)
+    )
+    images = docs.mapInPandas(build, "doc_id bigint, media binary")
+
+    def normalize(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            blobs = b.column(b.schema.get_field_index("media"))
+            orients, ows, ohs, sums, poss, c00, cll = (
+                [], [], [], [], [], [], []
+            )
+            for v in blobs:
+                raw = v.as_py()
+                o = _exif_parse(raw)["orientation"]
+                _w, _h, px = decode_jpeg(raw)
+                up = _exif_upright(px.astype(np.int64), o)
+                oh, ow = up.shape
+                pos = np.arange(1, oh * ow + 1).reshape(oh, ow)
+                orients.append(o)
+                ows.append(ow)
+                ohs.append(oh)
+                sums.append(int(up.sum()))
+                poss.append(int((up * pos).sum()))
+                c00.append(int(up[0, 0]))
+                cll.append(int(up[-1, -1]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(orients, type=pa.int32()),
+                    pa.array(ows, type=pa.int32()),
+                    pa.array(ohs, type=pa.int32()),
+                    pa.array(sums, type=pa.int64()),
+                    pa.array(poss, type=pa.int64()),
+                    pa.array(c00, type=pa.int64()),
+                    pa.array(cll, type=pa.int64()),
+                ],
+                names=["orientation", "out_w", "out_h", "px_sum",
+                       "pos_checksum", "corner00", "corner_last"],
+            )
+
+    stats = images.mapInArrow(
+        normalize,
+        "orientation int, out_w int, out_h int, px_sum bigint, "
+        "pos_checksum bigint, corner00 bigint, corner_last bigint",
+    )
+    return (
+        stats.groupBy("orientation")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum(F.col("out_w").cast("long")).alias("sum_out_w"),
+            F.sum(F.col("out_h").cast("long")).alias("sum_out_h"),
+            F.sum("px_sum").alias("px_sum"),
+            F.sum("pos_checksum").alias("pos_checksum"),
+            F.sum("corner00").alias("corner00_sum"),
+            F.sum("corner_last").alias("corner_last_sum"),
+        )
+        .orderBy("orientation")
+    )
+
+
+def _exif_orient_sql() -> str:
+    # the planted-pixel closed form f(doc_id, x, y) — identical to the
+    # decode oracle's vals expression
+    f = """128
+         + 2 * ((doc_id + 5 * (sx // 8) + 3 * (sy // 8)) % 32 - 16)
+         + ((doc_id + (sx // 8)) % 7 - 3)
+             * (CASE WHEN (sx % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+         + ((doc_id + (sy // 8)) % 5 - 2)
+             * (CASE WHEN (sy % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+         + ((doc_id + (sx // 8) + (sy // 8)) % 9 - 4)
+             * (CASE WHEN (sx % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             * (CASE WHEN (sy % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)"""
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         1 + doc_id % 8 AS o,
+         {_JPEG_W_BASE} + doc_id % {_JPEG_W_MOD} AS w,
+         {_JPEG_H_BASE} + doc_id % {_JPEG_H_MOD} AS h
+  FROM documents
+  WHERE doc_id % {_JPEG_SAMPLE_MOD} = {_EXIF_SAMPLE_RES}
+),
+dims AS (
+  SELECT doc_id, o, w, h,
+         CASE WHEN o <= 4 THEN w ELSE h END AS ow,
+         CASE WHEN o <= 4 THEN h ELSE w END AS oh
+  FROM docs
+),
+px AS (
+  SELECT d.*, gx.xo, gy.yo
+  FROM dims d
+  JOIN (SELECT unnest(generate_series(0,
+          {max(_JPEG_W_BASE + _JPEG_W_MOD, _JPEG_H_BASE + _JPEG_H_MOD) - 2}
+        )) AS xo) gx ON gx.xo < d.ow
+  JOIN (SELECT unnest(generate_series(0,
+          {max(_JPEG_W_BASE + _JPEG_W_MOD, _JPEG_H_BASE + _JPEG_H_MOD) - 2}
+        )) AS yo) gy ON gy.yo < d.oh
+),
+mapped AS (
+  SELECT doc_id, o, ow, oh, xo, yo,
+         CASE o WHEN 1 THEN xo          WHEN 2 THEN w - 1 - xo
+                WHEN 3 THEN w - 1 - xo  WHEN 4 THEN xo
+                WHEN 5 THEN yo          WHEN 6 THEN yo
+                WHEN 7 THEN w - 1 - yo  WHEN 8 THEN w - 1 - yo END AS sx,
+         CASE o WHEN 1 THEN yo          WHEN 2 THEN yo
+                WHEN 3 THEN h - 1 - yo  WHEN 4 THEN h - 1 - yo
+                WHEN 5 THEN xo          WHEN 6 THEN h - 1 - xo
+                WHEN 7 THEN h - 1 - xo  WHEN 8 THEN xo END AS sy
+  FROM px
+),
+vals AS (
+  SELECT doc_id, o, ow, oh, xo, yo,
+         {f} AS p
+  FROM mapped
+)
+SELECT CAST(o AS INTEGER) AS orientation,
+       COUNT(DISTINCT doc_id) AS n_images,
+       CAST(SUM(CASE WHEN xo = 0 AND yo = 0 THEN ow ELSE 0 END) AS BIGINT)
+         AS sum_out_w,
+       CAST(SUM(CASE WHEN xo = 0 AND yo = 0 THEN oh ELSE 0 END) AS BIGINT)
+         AS sum_out_h,
+       CAST(SUM(p) AS BIGINT) AS px_sum,
+       CAST(SUM(p * (yo * ow + xo + 1)) AS BIGINT) AS pos_checksum,
+       CAST(SUM(CASE WHEN xo = 0 AND yo = 0 THEN p ELSE 0 END) AS BIGINT)
+         AS corner00_sum,
+       CAST(SUM(CASE WHEN xo = ow - 1 AND yo = oh - 1 THEN p ELSE 0 END)
+            AS BIGINT) AS corner_last_sum
+FROM vals
+GROUP BY o
+ORDER BY orientation
+"""
+
+
+# --------------------------------------------------------------------------
 # Color JPEG decode (YCbCr 4:2:0, interleaved MCUs) — the dominant web
 # image shape, on top of the grayscale baseline machinery
 # --------------------------------------------------------------------------
@@ -5292,6 +5494,7 @@ QUERIES = {
     "multimodal_jpeg_color_stats": multimodal_jpeg_color_stats,
     "multimodal_jpeg_quality_estimate": multimodal_jpeg_quality_estimate,
     "multimodal_exif_metadata_census": multimodal_exif_metadata_census,
+    "multimodal_exif_orientation_normalize": multimodal_exif_orientation_normalize,
     "multimodal_tar_webdataset_scan": multimodal_tar_webdataset_scan,
     "multimodal_wav_decode_stats": multimodal_wav_decode_stats,
     "multimodal_wav_spectrum_stats": multimodal_wav_spectrum_stats,
@@ -5319,6 +5522,7 @@ ORACLES = {
     "multimodal_jpeg_color_stats": _JPEGC_DECODE_SQL,
     "multimodal_jpeg_quality_estimate": _JPEGQF_SQL,
     "multimodal_exif_metadata_census": _EXIF_SQL,
+    "multimodal_exif_orientation_normalize": _exif_orient_sql(),
     "multimodal_tar_webdataset_scan": _TAR_SCAN_SQL,
     "multimodal_wav_decode_stats": _WAV_DECODE_SQL,
     "multimodal_wav_spectrum_stats": _WAV_SPECTRUM_SQL,

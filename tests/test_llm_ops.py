@@ -4437,3 +4437,33 @@ def test_varint_codec_and_postings_compression(spark):
     for r in rows:
         assert r.n_postings >= r.n_terms        # df >= 1 per term
         assert r.encoded_bytes >= r.n_postings  # >= 1 byte per posting
+
+
+def test_exif_upright_matches_numpy_reference():
+    """r15 orientation map: the shared coordinate map must agree with the
+    canonical numpy formulations of the 8 EXIF cases on an asymmetric
+    array (mirror/rot/transpose each distinguishable), and reject bad
+    orientation values."""
+    import numpy as np
+    import pytest as _pytest
+
+    from datafusion_impl_spark.operators.multimodal import _exif_upright
+
+    a = np.arange(12).reshape(3, 4)  # h=3, w=4, all entries distinct
+    ref = {
+        1: a,
+        2: a[:, ::-1],
+        3: a[::-1, ::-1],
+        4: a[::-1, :],
+        5: a.T,
+        6: np.rot90(a, k=-1),            # stored rotated 90 CW uprights
+        7: a.T[::-1, ::-1],              # transverse = anti-transpose
+        8: np.rot90(a, k=1),             # 90 CCW
+    }
+    for o, want in ref.items():
+        got = _exif_upright(a, o)
+        assert np.array_equal(got, want), o
+    with _pytest.raises(ValueError):
+        _exif_upright(a, 0)
+    with _pytest.raises(ValueError):
+        _exif_upright(a, 9)
