@@ -5183,6 +5183,267 @@ ORDER BY orientation
 
 
 # --------------------------------------------------------------------------
+# DC-only 1/8-scale thumbnail decode (r15): libjpeg's DCT-scaling fast
+# path — entropy-decode every block (the bitstream must be walked
+# anyway) but reconstruct ONLY the DC coefficient: one pixel per 8×8
+# block, no dequant table application beyond DC, no IDCT. The thumbnail
+# serving path every image pipeline runs before deciding to full-decode.
+# --------------------------------------------------------------------------
+
+
+def decode_jpeg_dc(data: bytes):
+    """Decode a baseline GRAYSCALE JFIF at scale 1/8: full marker walk +
+    Huffman entropy decode (ACs are consumed to keep bit position, then
+    discarded), DC prediction, and the DC-only IDCT identity
+    ``pixel = clamp(dc_quant·qstep/8 + 128)`` — one pixel per block.
+    Returns ``(tw, th, thumb)`` with ``thumb`` a (th, tw) int64 ndarray
+    of ceil(w/8)×ceil(h/8) pixels. Raises ``ValueError`` loudly on
+    malformed or non-grayscale-baseline streams (the color path has its
+    own full decoder; the thumbnail op only plants gray)."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qdc: dict[int, int] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    dc_id = ac_id = q_id = None
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG stream (no SOS)")
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected a marker at offset {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("EOI before any scan data")
+        seg_len = struct.unpack_from(">H", data, pos)[0]
+        seg = data[pos + 2:pos + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError("truncated segment body")
+        if marker == 0xDB:
+            o = 0
+            while o < len(seg):
+                if seg[o] >> 4 != 0:
+                    raise ValueError("16-bit DQT unsupported")
+                if o + 65 > len(seg):
+                    raise ValueError("truncated DQT")
+                qdc[seg[o] & 15] = seg[o + 1]  # zigzag[0] IS the DC step
+                o += 65
+        elif marker == 0xC0:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8 or ncomp != 1:
+                raise ValueError("DC thumbnail path is grayscale-only")
+            if w == 0 or h == 0:
+                raise ValueError("empty image")
+            q_id = seg[8]
+        elif marker == 0xC4:
+            o = 0
+            while o < len(seg):
+                tc, th_ = seg[o] >> 4, seg[o] & 15
+                counts = seg[o + 1:o + 17]
+                syms = seg[o + 17:o + 17 + sum(counts)]
+                if len(counts) != 16 or len(syms) != sum(counts):
+                    raise ValueError("truncated DHT")
+                table: dict[tuple[int, int], int] = {}
+                code, i = 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[i]
+                        i += 1
+                        code += 1
+                    code <<= 1
+                huff[(tc, th_)] = table
+                o += 17 + len(syms)
+        elif marker == 0xDA:
+            if seg[0] != 1 or w is None:
+                raise ValueError("single-component scan expected")
+            dc_id, ac_id = seg[2] >> 4, seg[2] & 15
+            pos += seg_len
+            break
+        elif 0xE0 <= marker <= 0xEF or marker == 0xFE:
+            pass
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        else:
+            raise ValueError(f"unsupported marker 0xff{marker:02x}")
+        pos += seg_len
+    if q_id not in qdc or (0, dc_id) not in huff or (1, ac_id) not in huff:
+        raise ValueError("missing DQT/DHT tables for the scan")
+    body = bytearray()
+    i = pos
+    end_marker = None
+    while i < len(data):
+        if data[i] == 0xFF:
+            if data[i + 1:i + 2] == b"\x00":
+                body.append(0xFF)
+                i += 2
+                continue
+            end_marker = data[i + 1] if i + 1 < len(data) else None
+            break
+        body.append(data[i])
+        i += 1
+    if end_marker != 0xD9:
+        raise ValueError("scan not terminated by EOI")
+    nbits, bitpos = len(body) * 8, 0
+
+    def read_bits(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            raise ValueError("truncated entropy-coded segment")
+        v = 0
+        for _ in range(width):
+            v = (v << 1) | ((body[bitpos >> 3] >> (7 - (bitpos & 7))) & 1)
+            bitpos += 1
+        return v
+
+    def read_huff(table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | read_bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+    def extend(v: int, t: int) -> int:
+        return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+    tw, th = (w + 7) // 8, (h + 7) // 8
+    thumb = np.zeros((th, tw), np.int64)
+    pred = 0
+    qstep = qdc[q_id]
+    for by in range(th):
+        for bx in range(tw):
+            t = read_huff(huff[(0, dc_id)])
+            pred += extend(read_bits(t), t)
+            # consume (and discard) the ACs to keep the bit position
+            k = 1
+            while k < 64:
+                sym = read_huff(huff[(1, ac_id)])
+                if sym == 0x00:     # EOB
+                    break
+                run, size = sym >> 4, sym & 15
+                if size == 0 and run != 15:
+                    raise ValueError("invalid AC symbol")
+                k += run + 1
+                if size:
+                    read_bits(size)
+                k += 0 if size else 0
+            # DC-only IDCT: every pixel of the block is dc·qstep/8 + 128;
+            # planted DC steps are multiples of 8 so this is exact here,
+            # and we round half-AWAY-from-zero (sign-symmetric integer
+            # form) like the full decoder's clamp path
+            val = pred * qstep
+            mag = (abs(val) + 4) // 8
+            pix = (mag if val >= 0 else -mag) + 128
+            thumb[by, bx] = min(255, max(0, pix))
+    return tw, th, thumb
+
+
+def multimodal_jpeg_dc_thumbnail(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """1/8-SCALE THUMBNAIL CENSUS via DC-only decode — the first pass of
+    every image-triage pipeline (libjpeg ``scale_denom=8``): the entropy
+    stream is fully walked (DC prediction needs every block) but no
+    dequant/IDCT runs; one pixel per 8×8 block. Census per thumbnail
+    shape: image count, exact thumb pixel sum, an arrangement-sensitive
+    positional checksum, and the corner pixel sums — the oracle replays
+    the planted DC lattice ``128 + 2·((doc_id + 5bx + 3by) mod 32 − 16)``
+    per block, so a DC-prediction slip in ANY block diverges it."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": pdf["doc_id"].map(
+                        lambda d: _jpeg_encode(int(d))
+                    ),
+                }
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % _JPEG_SAMPLE_MOD == _JPEG_SAMPLE_RES)
+    )
+    images = docs.mapInPandas(build, "doc_id bigint, media binary")
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            blobs = b.column(b.schema.get_field_index("media"))
+            tws, ths, sums, poss, c00 = [], [], [], [], []
+            for v in blobs:
+                tw, th, thumb = decode_jpeg_dc(v.as_py())
+                pos = np.arange(1, th * tw + 1).reshape(th, tw)
+                tws.append(tw)
+                ths.append(th)
+                sums.append(int(thumb.sum()))
+                poss.append(int((thumb * pos).sum()))
+                c00.append(int(thumb[0, 0]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(tws, type=pa.int32()),
+                    pa.array(ths, type=pa.int32()),
+                    pa.array(sums, type=pa.int64()),
+                    pa.array(poss, type=pa.int64()),
+                    pa.array(c00, type=pa.int64()),
+                ],
+                names=["tw", "th", "px_sum", "pos_checksum", "corner00"],
+            )
+
+    stats = images.mapInArrow(
+        kernel,
+        "tw int, th int, px_sum bigint, pos_checksum bigint, "
+        "corner00 bigint",
+    )
+    return (
+        stats.groupBy("tw", "th")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("px_sum").alias("px_sum"),
+            F.sum("pos_checksum").alias("pos_checksum"),
+            F.sum("corner00").alias("corner00_sum"),
+        )
+        .orderBy("tw", "th")
+    )
+
+
+_JPEG_DC_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         ({_JPEG_W_BASE} + doc_id % {_JPEG_W_MOD} + 7) // 8 AS tw,
+         ({_JPEG_H_BASE} + doc_id % {_JPEG_H_MOD} + 7) // 8 AS th
+  FROM documents WHERE doc_id % {_JPEG_SAMPLE_MOD} = {_JPEG_SAMPLE_RES}
+),
+blocks AS (
+  SELECT d.doc_id, d.tw, d.th, gx.bx, gy.by,
+         128 + 2 * ((d.doc_id + 5 * gx.bx + 3 * gy.by) % 32 - 16) AS p
+  FROM docs d
+  JOIN (SELECT unnest(generate_series(0, 3)) AS bx) gx ON gx.bx < d.tw
+  JOIN (SELECT unnest(generate_series(0, 2)) AS by) gy ON gy.by < d.th
+)
+SELECT CAST(tw AS INTEGER) AS tw,
+       CAST(th AS INTEGER) AS th,
+       COUNT(DISTINCT doc_id) AS n_images,
+       CAST(SUM(p) AS BIGINT) AS px_sum,
+       CAST(SUM(p * (by * tw + bx + 1)) AS BIGINT) AS pos_checksum,
+       CAST(SUM(CASE WHEN bx = 0 AND by = 0 THEN p ELSE 0 END) AS BIGINT)
+         AS corner00_sum
+FROM blocks
+GROUP BY tw, th
+ORDER BY tw, th
+"""
+
+
+# --------------------------------------------------------------------------
 # Color JPEG decode (YCbCr 4:2:0, interleaved MCUs) — the dominant web
 # image shape, on top of the grayscale baseline machinery
 # --------------------------------------------------------------------------
@@ -5493,6 +5754,7 @@ QUERIES = {
     "multimodal_jpeg_decode_stats": multimodal_jpeg_decode_stats,
     "multimodal_jpeg_color_stats": multimodal_jpeg_color_stats,
     "multimodal_jpeg_quality_estimate": multimodal_jpeg_quality_estimate,
+    "multimodal_jpeg_dc_thumbnail": multimodal_jpeg_dc_thumbnail,
     "multimodal_exif_metadata_census": multimodal_exif_metadata_census,
     "multimodal_exif_orientation_normalize": multimodal_exif_orientation_normalize,
     "multimodal_tar_webdataset_scan": multimodal_tar_webdataset_scan,
@@ -5521,6 +5783,7 @@ ORACLES = {
     "multimodal_jpeg_decode_stats": _JPEG_DECODE_SQL,
     "multimodal_jpeg_color_stats": _JPEGC_DECODE_SQL,
     "multimodal_jpeg_quality_estimate": _JPEGQF_SQL,
+    "multimodal_jpeg_dc_thumbnail": _JPEG_DC_SQL,
     "multimodal_exif_metadata_census": _EXIF_SQL,
     "multimodal_exif_orientation_normalize": _exif_orient_sql(),
     "multimodal_tar_webdataset_scan": _TAR_SCAN_SQL,

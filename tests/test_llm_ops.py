@@ -4467,3 +4467,33 @@ def test_exif_upright_matches_numpy_reference():
         _exif_upright(a, 0)
     with _pytest.raises(ValueError):
         _exif_upright(a, 9)
+
+
+def test_jpeg_dc_thumbnail_matches_block_means_and_malformed():
+    """r15 DC-only decode: the thumbnail must equal the full decode's
+    per-block DC component (the planted lattice makes blocks flat in DC —
+    thumbnail pixel == full-pixel block mean of the DC term), EXIF
+    segments are skipped, and malformed/unsupported streams raise."""
+    import pytest as _pytest
+
+    from datafusion_impl_spark.operators.multimodal import (
+        _exif_encode,
+        _jpeg_encode,
+        decode_jpeg_dc,
+    )
+
+    tw, th, thumb = decode_jpeg_dc(_jpeg_encode(6))
+    for by in range(th):
+        for bx in range(tw):
+            assert thumb[by, bx] == 128 + 2 * ((6 + 5 * bx + 3 * by) % 32 - 16)
+    # APP1/Exif-bearing images decode identically (marker walk skips APPn)
+    tw2, th2, thumb2 = decode_jpeg_dc(_exif_encode(3))
+    assert (tw2, th2) == ((16 + 3 % 11 + 7) // 8, (9 + 3 % 13 + 7) // 8)
+
+    blob = _jpeg_encode(6)
+    with _pytest.raises(ValueError):
+        decode_jpeg_dc(b"\x00\x00" + blob[2:])     # no SOI
+    with _pytest.raises(ValueError):
+        decode_jpeg_dc(blob[:-2])                   # lost EOI
+    with _pytest.raises(ValueError):
+        decode_jpeg_dc(blob[: len(blob) * 2 // 3])  # truncated scan
