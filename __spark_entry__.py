@@ -157,6 +157,7 @@ _PRIORITY = [
     "batch_padding_waste_planner",       # length-grouped batching waste
     "multimodal_exif_orientation_normalize",  # upright via 8-case map
     "multimodal_jpeg_dc_thumbnail",      # 1/8-scale DC-only decode
+    "stream_robots_compliance_gate",     # in-flight legal gating twin
     # --- changed in r15 (r14 ADVICE): cross-engine drift hardening ---
     "rho_excess_loss_selection",         # DECIMAL per-position excess sums
     "embedding_int4_block_quant",        # exact-sum mse_x1e6

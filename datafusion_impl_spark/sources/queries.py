@@ -1705,26 +1705,11 @@ _warc_build_compliance_shard.__doc__ = (
 )
 
 
-def warc_robots_compliance_gate(spark: SparkSession,
-                                sf_dir: str) -> DataFrame:
-    """ROBOTS/NOINDEX COMPLIANCE GATE over a WARC crawl — the legal
-    filter a training-data pipeline runs before any content work: plant
-    robots.txt response records and X-Robots-Tag / meta-noindex pages
-    into real WARC shards, read EVERYTHING back from bytes (robots rules
-    parsed per RFC 9309, page host/path from WARC-Target-URI, the source
-    label and noindex header from the inner HTTP headers, the meta tag
-    from the HTML body), then evaluate per page with the full precedence
-    stack: most-specific user-agent group, longest-match allow/disallow,
-    allow-beats-disallow on ties, missing robots.txt = allowed. Census
-    per corpus source: page count, robots-blocked count, both noindex
-    counts, the usable remainder and its doc-id checksum.
-
-    The decision is RELATIONAL, not per-row Python: the parsed rules are
-    a tiny broadcast table, pages join it on host with a prefix match,
-    and the verdict is ``max(2*len(prefix) + is_allow)`` per page — at
-    100 TB the rules side stays a few-KB broadcast (real robots corpora
-    are per-host and small) while pages never shuffle; the records frame
-    is metadata-only (no body text carried past the scan kernel)."""
+def _robots_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared byte-honest record extraction for the compliance gate and
+    its streaming twin: build the compliance WARC shards, scan them, and
+    return the mixed rule/page record frame (localCheckpointed —
+    metadata-only rows, scanned once, consumed by several plans)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source",
         (F.col("doc_id") % _WARC_SHARDS).cast("int").alias("shard_id"),
@@ -1781,24 +1766,23 @@ def warc_robots_compliance_gate(spark: SparkSession,
                         ))
             yield pd.DataFrame(rows, columns=list(cols))
 
-    records = shards.mapInPandas(
+    return shards.mapInPandas(
         scan,
         "kind string, host int, agent string, is_allow int, prefix string, "
         "doc_id bigint, source string, path string, "
         "noindex_hdr int, noindex_meta int",
     ).localCheckpoint()  # metadata-only rows; scanned once, consumed twice
 
+
+def _robots_selected_rules(records: DataFrame) -> DataFrame:
+    """RFC 9309 group selection over the parsed rule rows: the specific
+    agent's group wins wholesale over * wherever it exists."""
     rules = records.filter(F.col("kind") == "rule").select(
         "host", "agent", "is_allow", "prefix"
     )
-    pages = records.filter(F.col("kind") == "page").select(
-        "doc_id", "source", "host", "path", "noindex_hdr", "noindex_meta"
-    )
-    # RFC 9309 group selection: the specific agent's group wins wholesale
-    # over * wherever it exists
     spec = rules.filter(F.col("agent") == _ROBOTS_AGENT) \
         .select("host").distinct().withColumn("has_spec", F.lit(1))
-    sel_rules = (
+    return (
         rules.join(F.broadcast(spec), "host", "left")
         .filter(
             (F.col("has_spec").isNotNull() & (F.col("agent") == _ROBOTS_AGENT))
@@ -1806,6 +1790,33 @@ def warc_robots_compliance_gate(spark: SparkSession,
         )
         .select("host", "is_allow", "prefix")
     )
+
+
+def warc_robots_compliance_gate(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """ROBOTS/NOINDEX COMPLIANCE GATE over a WARC crawl — the legal
+    filter a training-data pipeline runs before any content work: plant
+    robots.txt response records and X-Robots-Tag / meta-noindex pages
+    into real WARC shards, read EVERYTHING back from bytes (robots rules
+    parsed per RFC 9309, page host/path from WARC-Target-URI, the source
+    label and noindex header from the inner HTTP headers, the meta tag
+    from the HTML body), then evaluate per page with the full precedence
+    stack: most-specific user-agent group, longest-match allow/disallow,
+    allow-beats-disallow on ties, missing robots.txt = allowed. Census
+    per corpus source: page count, robots-blocked count, both noindex
+    counts, the usable remainder and its doc-id checksum.
+
+    The decision is RELATIONAL, not per-row Python: the parsed rules are
+    a tiny broadcast table, pages join it on host with a prefix match,
+    and the verdict is ``max(2*len(prefix) + is_allow)`` per page — at
+    100 TB the rules side stays a few-KB broadcast (real robots corpora
+    are per-host and small) while pages never shuffle; the records frame
+    is metadata-only (no body text carried past the scan kernel)."""
+    records = _robots_records(spark, sf_dir)
+    pages = records.filter(F.col("kind") == "page").select(
+        "doc_id", "source", "host", "path", "noindex_hdr", "noindex_meta"
+    )
+    sel_rules = _robots_selected_rules(records)
     # longest-match + allow-beats-disallow-on-tie in one ordered key
     # (aliased: pages and rules share the records lineage, so the join is
     # technically a self-join)

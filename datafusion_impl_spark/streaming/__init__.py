@@ -2238,6 +2238,140 @@ def stream_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_robots_compliance_gate(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """STREAMING COMPLIANCE GATING — the in-flight form of the robots/
+    noindex legal filter (a crawl IS a stream; pages must be gated before
+    they ever land in the corpus): the byte-parsed page records from the
+    WARC scan arrive as TWO parquet files with ``maxFilesPerTrigger=1``,
+    and each micro-batch is gated by a fully STATELESS plan — broadcast
+    join against per-host rule ARRAYS (parsed from the planted robots.txt
+    bytes), longest-match verdict folded per page with one higher-order
+    ``aggregate`` over the matched prefixes. Append-mode sink, zero
+    streaming state; the batch tail reproduces the batch gate's census
+    exactly, so the DuckDB oracle is shared verbatim.
+
+    At 100 TB: rules are a few-KB broadcast refreshed out-of-band;
+    gating adds one broadcast join + one bounded per-page aggregate to
+    ingestion — no state store, no watermark."""
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+
+    from datafusion_impl_spark.sources.queries import (
+        _robots_records,
+        _robots_selected_rules,
+    )
+
+    records = _robots_records(spark, sf_dir)
+    sel_rules = _robots_selected_rules(records).localCheckpoint()
+    pages = records.filter(F.col("kind") == "page").select(
+        "doc_id", "source", "host", "path", "noindex_hdr", "noindex_meta"
+    )
+
+    # stage the parsed page records as the 2-file stream feed (bounded
+    # metadata-only rows — no document text)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    feed = os.path.join(
+        "/tmp/datafusion_impl_spark_robots_feed", f"{tag}_{uuid.uuid4().hex}"
+    )
+    os.makedirs(feed)
+    pt = pa.Table.from_pandas(
+        pages.orderBy("doc_id").toPandas(), preserve_index=False
+    )
+    import pyarrow.parquet as papq
+
+    even = pt.filter(pa.compute.equal(
+        pa.compute.bit_wise_and(pt["doc_id"], 1), 0
+    ))
+    odd = pt.filter(pa.compute.equal(
+        pa.compute.bit_wise_and(pt["doc_id"], 1), 1
+    ))
+    papq.write_table(even, os.path.join(feed, "p0.parquet"))
+    papq.write_table(odd, os.path.join(feed, "p1.parquet"))
+
+    # fold the rule set per host into ONE broadcast array row, so the
+    # verdict is a stateless higher-order expression per page — no
+    # per-page shuffle, no streaming state at all (append mode)
+    rules_by_host = sel_rules.groupBy("host").agg(
+        F.collect_list(F.struct("prefix", "is_allow")).alias("rules")
+    )
+    view = "stream_robots_gate_drv"
+    try:
+        src = (
+            spark.readStream.schema(
+                "doc_id bigint, source string, host int, path string, "
+                "noindex_hdr int, noindex_meta int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        best = F.aggregate(
+            F.filter(
+                F.coalesce(
+                    F.col("rules"),
+                    F.array().cast(
+                        "array<struct<prefix:string,is_allow:int>>"
+                    ),
+                ),
+                lambda r: F.col("path").startswith(r["prefix"]),
+            ),
+            F.lit(-1),
+            lambda acc, r: F.greatest(
+                acc, F.length(r["prefix"]) * 2 + r["is_allow"]
+            ),
+        )
+        gated_stream = (
+            src.join(F.broadcast(rules_by_host), "host", "left")
+            .select(
+                "doc_id", "source", "noindex_hdr", "noindex_meta",
+                best.alias("best"),
+            )
+        )
+        q = (
+            gated_stream.writeStream.format("memory")
+            .queryName(view)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+    gated = spark.table(view).select(
+        "source", "noindex_hdr", "noindex_meta",
+        ((F.col("best") < 0) | (F.col("best") % 2 == 1)).alias("allowed"),
+        "doc_id",
+    )
+    usable = (
+        F.col("allowed")
+        & (F.col("noindex_hdr") == 0)
+        & (F.col("noindex_meta") == 0)
+    )
+    return (
+        gated.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum((~F.col("allowed")).cast("long")).alias(
+                "n_robots_blocked"
+            ),
+            F.sum(F.col("noindex_hdr").cast("long")).alias(
+                "n_noindex_header"
+            ),
+            F.sum(F.col("noindex_meta").cast("long")).alias(
+                "n_noindex_meta"
+            ),
+            F.sum(usable.cast("long")).alias("n_usable"),
+            F.sum(F.when(usable, F.col("doc_id")).otherwise(0)).alias(
+                "usable_doc_id_sum"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SKETCH MAINTENANCE AS A CONTINUOUS QUERY: the per-event-type HLL
     registers from ``plans.analytics.sketch_hll_distinct_users`` kept
@@ -2564,6 +2698,7 @@ def _stream_qclf_sql() -> str:
 
 QUERIES = {
     "stream_quality_scoring": stream_quality_scoring,
+    "stream_robots_compliance_gate": stream_robots_compliance_gate,
     "stream_hll_distinct_users": stream_hll_distinct_users,
     "stream_quantile_histogram": stream_quantile_histogram,
     "stream_bloom_ingest_filter": stream_bloom_ingest_filter,
@@ -2583,8 +2718,15 @@ QUERIES = {
     "stream_corpus_dedup_stats": stream_corpus_dedup_stats,
 }
 
+def _stream_robots_sql() -> str:
+    from datafusion_impl_spark.sources.queries import _robots_gate_oracle
+
+    return _robots_gate_oracle()
+
+
 ORACLES = {
     "stream_quality_scoring": _stream_qclf_sql(),
+    "stream_robots_compliance_gate": _stream_robots_sql(),
     "stream_hll_distinct_users": _stream_hll_sql(),
     "stream_quantile_histogram": _stream_qhist_sql(),
     "stream_bloom_ingest_filter": _stream_bloom_sql(),
