@@ -163,8 +163,9 @@ _PRIORITY = [
     "embedding_int4_block_quant",        # exact-sum mse_x1e6
     "embedding_quantization_report",     # exact-sum mse_x1e6
     "speculative_ngram_acceptance",      # oracle: dynamic pair positions
-    # --- r6-evidence pads (the 47 oldest; fills the window to 50 and
-    # moves the registry evidence floor to r7) ---
+    # --- r6-evidence pads (oldest-evidence; fills the window to exactly
+    # 50 — the 14 that no longer fit after the r15-new operators landed
+    # moved to _NEXT_ROTATION) ---
     "asof_join_prior_click",
     "asof_join_with_tolerance",
     "binaryfile_media_scan",
@@ -198,6 +199,12 @@ _PRIORITY = [
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "range_join_event_bursts",
+]
+
+# Beyond the 50-query window: the r6-evidence pads displaced by r15-new
+# operators queue here for r16 (still ahead of everything else in
+# queries() order).
+_NEXT_ROTATION: list[str] = [
     "rfm_customer_segments",
     "rollup_order_stats",
     "scalar_date_functions",
@@ -213,11 +220,6 @@ _PRIORITY = [
     "window_running_revenue",
     "window_top_orders_per_customer",
 ]
-
-# Beyond the 50-query window: oldest-evidence (r6) pads queue here to fill
-# whatever the 50-query window has left after _PRIORITY; re-derived from
-# CORRECTNESS_r*.json at r15 start.
-_NEXT_ROTATION: list[str] = []
 
 
 def _ordered(merged: dict, *, complete: bool = True) -> dict:

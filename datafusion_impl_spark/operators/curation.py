@@ -449,12 +449,12 @@ def embedding_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.max(F.abs(F.col("err"))), 6).alias("max_abs_err"),
             # err² quantized to fixed dp, summed as exact DECIMAL, divided
             # once — see embedding_int4_block_quant for the rationale.
+            # div-safe: COUNT of a GROUP BY group is >= 1
             F.round(
                 F.sum(
                     F.round(F.col("err") * F.col("err") * 1e6, 6)
                     .cast("decimal(38,6)")
                 ).cast("double")
-                # div-safe: COUNT of a GROUP BY group is >= 1
                 / F.count(F.lit(1)),
                 2,
             ).alias("mse_x1e6"),
@@ -743,12 +743,12 @@ def embedding_int4_block_quant(spark: SparkSession,
             # err² quantized to fixed dp and summed as DECIMAL (exact,
             # add-order-independent), THEN divided once: AVG over raw
             # doubles is add-order-dependent between engines.
+            # div-safe: COUNT of a GROUP BY group is >= 1
             F.round(
                 F.sum(
                     F.round(F.col("err") * F.col("err") * 1e6, 6)
                     .cast("decimal(38,6)")
                 ).cast("double")
-                # div-safe: COUNT of a GROUP BY group is >= 1
                 / F.count(F.lit(1)),
                 2,
             ).alias("mse_x1e6"),

@@ -148,6 +148,17 @@ def test_no_python_in_any_relational_plan(spark):
         # census aggregation stays JVM-side over per-batch partials
         "parquet_footer_census",        # footers-only pyarrow metadata read IS
         # the operator (r14); no data pages touched anywhere
+        "multimodal_exif_metadata_census",   # APP1/TIFF parse kernel (r15)
+        "multimodal_exif_orientation_normalize",  # decode+remap kernel (r15)
+        "multimodal_jpeg_dc_thumbnail",  # DC-only entropy walk (r15)
+        "warc_robots_compliance_gate",  # WARC scan + robots parse kernel
+        # (r15); the verdict itself is a relational broadcast join
+        "stream_robots_compliance_gate",  # same scan feeds the stream twin
+        "source_pdf_scan",              # PDF xref/stream codec IS the operator
+        "dedup_cdc_chunking",           # gear-hash boundary kernel (r15); the
+        # slicing + hashing + census stay JVM-side
+        "postings_varint_roundtrip",    # LEB128 codec IS the operator (r15);
+        # postings build + census stay JVM-side
         "avro_lineitem_roundtrip",      # OCF (de)serialization IS the operator
         "source_protobuf_scan",         # wire-format codec IS the operator
         "text_nfc_normalization_audit",  # unicodedata kernel IS the operator
