@@ -6209,7 +6209,108 @@ GROUP BY nucleus_size
 ORDER BY nucleus_size
 """
 
+# --------------------------------------------------------------------------
+# Homoglyph (confusable) normalization vs dedup evasion (r15): spam and
+# scraped-content farms dodge exact dedup by swapping Latin letters for
+# Cyrillic/Greek lookalikes — normalize through a confusable map and show
+# the evaded twins collapse back onto their originals.
+# --------------------------------------------------------------------------
+
+#: Latin -> Cyrillic lookalikes planted into the evasion twins (each pair
+#: is a genuine Unicode confusable: U+0430/U+0435/U+043E/U+0440/U+0441).
+_HOMOGLYPHS = {"a": "\u0430", "e": "\u0435", "o": "\u043e",
+               "p": "\u0440", "c": "\u0441"}
+#: docs with doc_id % this == _EVADE_RES get an evaded twin column.
+_EVADE_MOD, _EVADE_RES = 7, 2
+#: bounded modulus for the per-source hash census.
+_EVADE_HASH_MOD = 1000003
+
+
+def text_homoglyph_dedup_recovery(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """HOMOGLYPH-EVASION RECOVERY — the dedup-adversary case: for 1-in-{m}
+    docs, plant an "evaded" twin whose Latin a/e/o/p/c are swapped for
+    their Cyrillic confusables (bytes differ, rendering doesn't), then
+    normalize BOTH forms through the confusable map and census per
+    source: evaded-twin count, how many twins the RAW hash already
+    matched (only docs containing none of the five letters), how many
+    the NORMALIZED hash recovers (must be all of them), and the
+    normalized-hash checksum. Exact-dedup recall against this adversary
+    is literally ``n_raw_match/n_evaded`` before vs 100 % after — the
+    reason normalization runs before every content-hash pass.
+
+    Scale shape: translate() is codegen'd JVM string work; the census is
+    one groupBy. No kernel anywhere."""
+    from datafusion_impl_spark.operators import md5_long
+
+    lat = "".join(_HOMOGLYPHS)
+    cyr = "".join(_HOMOGLYPHS.values())
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .filter(F.col("doc_id") % _EVADE_MOD == _EVADE_RES)
+    )
+    evaded = F.translate(F.col("text"), lat, cyr)
+    norm = lambda c: F.translate(c, cyr, lat)  # noqa: E731
+    flags = docs.select(
+        "source",
+        (md5_long(evaded) == md5_long(F.col("text")))
+        .cast("long").alias("raw_match"),
+        (md5_long(norm(evaded)) == md5_long(norm(F.col("text"))))
+        .cast("long").alias("norm_match"),
+        (md5_long(norm(evaded)) % _EVADE_HASH_MOD).alias("nhash"),
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_evaded"),
+            F.sum("raw_match").alias("n_raw_match"),
+            F.sum("norm_match").alias("n_norm_match"),
+            F.sum("nhash").alias("norm_hash_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+text_homoglyph_dedup_recovery.__doc__ = (
+    text_homoglyph_dedup_recovery.__doc__.format(m=_EVADE_MOD)
+)
+
+
+def _homoglyph_oracle() -> str:
+    from datafusion_impl_spark.operators import duck_md5_long
+
+    lat = "".join(_HOMOGLYPHS)
+    cyr = "".join(_HOMOGLYPHS.values())
+    return f"""
+WITH docs AS (
+  SELECT source, text,
+         translate(text, '{lat}', '{cyr}') AS evaded
+  FROM documents WHERE doc_id % {_EVADE_MOD} = {_EVADE_RES}
+),
+flags AS (
+  SELECT source,
+         CASE WHEN {duck_md5_long("evaded")} = {duck_md5_long("text")}
+              THEN 1 ELSE 0 END AS raw_match,
+         CASE WHEN {duck_md5_long(f"translate(evaded, '{cyr}', '{lat}')")}
+                 = {duck_md5_long(f"translate(text, '{cyr}', '{lat}')")}
+              THEN 1 ELSE 0 END AS norm_match,
+         {duck_md5_long(f"translate(evaded, '{cyr}', '{lat}')")}
+           % {_EVADE_HASH_MOD} AS nhash
+  FROM docs
+)
+SELECT source,
+       COUNT(*) AS n_evaded,
+       CAST(SUM(raw_match) AS BIGINT) AS n_raw_match,
+       CAST(SUM(norm_match) AS BIGINT) AS n_norm_match,
+       CAST(SUM(nhash) AS BIGINT) AS norm_hash_sum
+FROM flags
+GROUP BY source
+ORDER BY source
+"""
+
 QUERIES = {
+    "text_homoglyph_dedup_recovery": text_homoglyph_dedup_recovery,
     "lm_nucleus_sampling_census": lm_nucleus_sampling_census,
     "postings_varint_roundtrip": postings_varint_roundtrip,
     "text_html_extract": text_html_extract,
@@ -6262,6 +6363,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_homoglyph_dedup_recovery": _homoglyph_oracle(),
     "lm_nucleus_sampling_census": _NUCLEUS_SQL,
     "postings_varint_roundtrip": _POSTINGS_SQL,
     "quality_classifier_trained": _QCLF_SQL,

@@ -4497,3 +4497,35 @@ def test_jpeg_dc_thumbnail_matches_block_means_and_malformed():
         decode_jpeg_dc(blob[:-2])                   # lost EOI
     with _pytest.raises(ValueError):
         decode_jpeg_dc(blob[: len(blob) * 2 // 3])  # truncated scan
+
+
+def test_homoglyph_recovery_full_and_raw_matches_letterless(spark):
+    """r15 homoglyph recovery: normalization must recover EVERY evaded
+    twin (n_norm_match == n_evaded per source), and raw-hash matches are
+    exactly the docs containing none of the five confusable letters —
+    the census numbers mean what they claim."""
+    import duckdb
+
+    from datafusion_impl_spark.operators.text import (
+        _EVADE_MOD,
+        _EVADE_RES,
+        text_homoglyph_dedup_recovery,
+    )
+
+    rows = {r.source: r for r in
+            text_homoglyph_dedup_recovery(spark, SF_DIR).collect()}
+    assert rows
+    letterless = dict(
+        duckdb.connect().execute(
+            f"""SELECT source, count_if(NOT regexp_matches(text, '[aeopc]'))
+                FROM read_parquet('{SF_DIR}/documents.parquet')
+                WHERE doc_id % {_EVADE_MOD} = {_EVADE_RES}
+                GROUP BY source"""
+        ).fetchall()
+    )
+    evaded_total = 0
+    for src_name, r in rows.items():
+        assert r.n_norm_match == r.n_evaded, src_name
+        assert r.n_raw_match == letterless[src_name], src_name
+        evaded_total += r.n_evaded
+    assert evaded_total > 0
