@@ -1888,7 +1888,182 @@ ORDER BY q
 """
 
 
+# --------------------------------------------------------------------------
+# Luhn-validated PII masking (r15): the checksum gate that separates real
+# card numbers from 16-digit noise — a PII scrubber that masks every
+# 16-digit run destroys data for no privacy gain; Luhn validation (ISO/IEC
+# 7812) is what production scrubbers actually run before masking.
+# --------------------------------------------------------------------------
+
+#: candidates with doc_id % 3 == 0 are planted with the CORRECT Luhn
+#: check digit; the rest get an offset wrong digit (never equal mod 10).
+_LUHN_VALID_MOD = 3
+#: bounded modulus for the masked-string hash census.
+_LUHN_HASH_MOD = 1000003
+
+
+def _luhn_candidate_cols():
+    """Planted 16-digit candidate as Spark columns: 15 payload digits
+    ``(doc_id·(i+3) + i²) mod 10`` plus a check digit that is Luhn-correct
+    exactly for doc_id % {m} == 0. Returns (cand, planted_valid)."""
+    i = None  # documentation only; lambdas below bind their own vars
+    d15 = F.transform(
+        F.sequence(F.lit(0), F.lit(14)),
+        lambda ix: (F.col("doc_id") * (ix + 3) + ix * ix) % 10,
+    )
+    # full number has 16 digits; from the right r = 16 - ix, doubled when
+    # r is even <=> ix is even (payload positions 0..14)
+    contrib = lambda d, ix: F.when(  # noqa: E731
+        ix % 2 == F.lit(0),
+        F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2),
+    ).otherwise(d)
+    sum15 = F.aggregate(
+        F.zip_with(
+            d15,
+            F.sequence(F.lit(0), F.lit(14)),
+            lambda d, ix: contrib(d, ix),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    correct = (10 - sum15 % 10) % 10
+    planted_valid = F.col("doc_id") % _LUHN_VALID_MOD == 0
+    check = F.when(planted_valid, correct).otherwise(
+        (correct + 1 + F.col("doc_id") % 9) % 10
+    )
+    cand = F.concat(
+        F.array_join(F.transform(d15, lambda d: d.cast("string")), ""),
+        check.cast("string"),
+    )
+    return cand, planted_valid
+
+
+def pii_luhn_mask_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LUHN PII MASK CENSUS: plant one 16-digit candidate per document
+    (1-in-{m} carries a correct check digit), then VALIDATE FROM THE
+    STRING — split to digits, right-to-left double-every-second with the
+    9-fold-back, sum mod 10 — and mask only validated numbers to
+    ``XXXX-XXXX-XXXX-last4``. Census per source: candidate/valid/invalid
+    counts, the retained last-4 integer sum, and the masked-string hash
+    checksum. The oracle replays digit construction AND string-side
+    validation; a pytest pins the validator against real known-valid
+    numbers (the 4111… test card) and single-digit perturbations.
+
+    Scale shape: pure codegen string/array expressions — no kernel, no
+    shuffle beyond the final census groupBy."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    cand, _planted = _luhn_candidate_cols()
+    withc = docs.withColumn("cand", cand)
+    # validation from the STRING (independent of the plant arithmetic)
+    ds = F.transform(
+        F.split(F.col("cand"), ""),
+        lambda ch: ch.cast("int"),
+    )
+    # index ix 0..15 from the left; r = 16 - ix; doubled when ix even
+    luhn_sum = F.aggregate(
+        F.zip_with(
+            ds,
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda d, ix: F.when(
+                ix % 2 == F.lit(0),
+                F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2),
+            ).otherwise(d),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    valid = (luhn_sum % 10) == 0
+    masked = F.when(
+        valid,
+        F.concat(F.lit("XXXX-XXXX-XXXX-"), F.substring("cand", 13, 4)),
+    ).otherwise(F.col("cand"))
+    flags = withc.select(
+        "source",
+        valid.cast("long").alias("valid"),
+        F.when(valid, F.substring("cand", 13, 4).cast("long"))
+        .otherwise(0).alias("last4"),
+        (md5_long(masked) % _LUHN_HASH_MOD).alias("mhash"),
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum("valid").alias("n_valid"),
+            (F.count(F.lit(1)) - F.sum("valid")).alias("n_invalid"),
+            F.sum("last4").alias("last4_sum"),
+            F.sum("mhash").alias("masked_hash_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+pii_luhn_mask_census.__doc__ = pii_luhn_mask_census.__doc__.format(
+    m=_LUHN_VALID_MOD
+)
+_luhn_candidate_cols.__doc__ = _luhn_candidate_cols.__doc__.format(
+    m=_LUHN_VALID_MOD
+)
+
+_LUHN_SQL = f"""
+WITH cands AS (
+  SELECT source,
+         list_aggregate(
+           [CAST((doc_id * (i + 3) + i * i) % 10 AS VARCHAR)
+            FOR i IN generate_series(0, 14)], 'string_agg', '')
+         || CAST(
+           CASE WHEN doc_id % {_LUHN_VALID_MOD} = 0
+                THEN (10 - list_sum(
+                        [CASE WHEN i % 2 = 0
+                              THEN CASE WHEN ((doc_id*(i+3)+i*i)%10)*2 > 9
+                                        THEN ((doc_id*(i+3)+i*i)%10)*2 - 9
+                                        ELSE ((doc_id*(i+3)+i*i)%10)*2 END
+                              ELSE (doc_id*(i+3)+i*i)%10 END
+                         FOR i IN generate_series(0, 14)]) % 10) % 10
+                ELSE ((10 - list_sum(
+                        [CASE WHEN i % 2 = 0
+                              THEN CASE WHEN ((doc_id*(i+3)+i*i)%10)*2 > 9
+                                        THEN ((doc_id*(i+3)+i*i)%10)*2 - 9
+                                        ELSE ((doc_id*(i+3)+i*i)%10)*2 END
+                              ELSE (doc_id*(i+3)+i*i)%10 END
+                         FOR i IN generate_series(0, 14)]) % 10) % 10
+                      + 1 + doc_id % 9) % 10
+           END AS VARCHAR) AS cand
+  FROM documents
+),
+checked AS (
+  SELECT source, cand,
+         list_sum(
+           [CASE WHEN (i - 1) % 2 = 0
+                 THEN CASE WHEN CAST(cand[i] AS INTEGER) * 2 > 9
+                           THEN CAST(cand[i] AS INTEGER) * 2 - 9
+                           ELSE CAST(cand[i] AS INTEGER) * 2 END
+                 ELSE CAST(cand[i] AS INTEGER) END
+            FOR i IN generate_series(1, 16)]) % 10 = 0 AS valid
+  FROM cands
+),
+flags AS (
+  SELECT source, valid,
+         CASE WHEN valid THEN CAST(substr(cand, 13, 4) AS BIGINT)
+              ELSE 0 END AS last4,
+         {duck_md5_long(
+             "CASE WHEN valid THEN 'XXXX-XXXX-XXXX-' || substr(cand, 13, 4) "
+             "ELSE cand END"
+         )} % {_LUHN_HASH_MOD} AS mhash
+  FROM checked
+)
+SELECT source,
+       COUNT(*) AS n_candidates,
+       CAST(count_if(valid) AS BIGINT) AS n_valid,
+       CAST(count_if(NOT valid) AS BIGINT) AS n_invalid,
+       CAST(SUM(last4) AS BIGINT) AS last4_sum,
+       CAST(SUM(mhash) AS BIGINT) AS masked_hash_sum
+FROM flags
+GROUP BY source
+ORDER BY source
+"""
+
 QUERIES = {
+    "pii_luhn_mask_census": pii_luhn_mask_census,
     "dp_exponential_quantiles": dp_exponential_quantiles,
     "l_diversity_audit": l_diversity_audit,
     "t_closeness_audit": t_closeness_audit,
@@ -1910,6 +2085,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pii_luhn_mask_census": _LUHN_SQL,
     "dp_exponential_quantiles": _DPQ_SQL,
     "l_diversity_audit": _L_DIVERSITY_SQL,
     "t_closeness_audit": _T_CLOSE_SQL,

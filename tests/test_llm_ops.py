@@ -4529,3 +4529,52 @@ def test_homoglyph_recovery_full_and_raw_matches_letterless(spark):
         assert r.n_raw_match == letterless[src_name], src_name
         evaded_total += r.n_evaded
     assert evaded_total > 0
+
+
+def test_luhn_validator_on_known_numbers(spark):
+    """r15 Luhn gate: the string-side validator must accept the canonical
+    test cards (4111111111111111, 5500005555555559) and reject every
+    single-digit perturbation of the check digit; the census must mask
+    exactly the planted-valid third."""
+    from pyspark.sql import functions as F
+
+    from datafusion_impl_spark.plans.quality import (
+        _LUHN_VALID_MOD,
+        pii_luhn_mask_census,
+    )
+
+    def spark_luhn(num: str) -> bool:
+        df = spark.createDataFrame([(num,)], "cand string")
+        ds = F.transform(F.split(F.col("cand"), ""),
+                         lambda ch: ch.cast("int"))
+        s = F.aggregate(
+            F.zip_with(
+                ds, F.sequence(F.lit(0), F.lit(15)),
+                lambda d, ix: F.when(
+                    ix % 2 == F.lit(0),
+                    F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2),
+                ).otherwise(d),
+            ),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        )
+        return df.select(((s % 10) == 0).alias("v")).first().v
+
+    assert spark_luhn("4111111111111111")
+    assert spark_luhn("5500005555555559")
+    # 4111…111's correct check digit is 1 — every other final digit
+    # must be rejected
+    for d in "023456789":
+        assert not spark_luhn("411111111111111" + d)
+
+    rows = pii_luhn_mask_census(spark, SF_DIR).collect()
+    assert rows
+    import duckdb
+
+    expected_valid = dict(duckdb.connect().execute(
+        f"""SELECT source, count_if(doc_id % {_LUHN_VALID_MOD} = 0)
+            FROM read_parquet('{SF_DIR}/documents.parquet')
+            GROUP BY source"""
+    ).fetchall())
+    for r in rows:
+        assert r.n_valid == expected_valid[r.source], r.source
+        assert r.n_valid + r.n_invalid == r.n_candidates
