@@ -1553,14 +1553,16 @@ _NOINDEX_META_TAG = '<meta name="robots" content="noindex">'
 #: host 4 Disallow:/ with an Allow carve-out.
 _ROBOTS_TXT = {
     0: "User-agent: *\nDisallow: /private/\nAllow: /private/doc/\n"
-       "Disallow: /tmp/\n",
-    1: "User-agent: trainbot\nDisallow: /data/\n\n"
-       "User-agent: *\nDisallow: /\n",
+       "Disallow: /tmp/\nCrawl-delay: 2\n",
+    1: "User-agent: trainbot\nDisallow: /data/\nCrawl-delay: 5\n\n"
+       "User-agent: *\nDisallow: /\nCrawl-delay: 9\n",
     2: "# tie: equal-length allow and disallow\n"
        "User-agent: *\nAllow: /tmp\nDisallow: /tmp\nDisallow: /private/\n",
-    3: "User-agent: *\nDisallow:\n",
+    3: "User-agent: *\nDisallow:\nCrawl-delay: 3\n",
     4: "User-agent: *\nDisallow: /\nAllow: /public/\n",
 }
+#: fetch spacing when a host publishes no Crawl-delay (hosts 2, 4, 5).
+_CRAWL_DELAY_DEFAULT = 1
 
 
 def _robots_parse(text: str) -> list[tuple[str, int, str]]:
@@ -1593,6 +1595,34 @@ def _robots_parse(text: str) -> list[tuple[str, int, str]]:
         else:
             in_group_header = False
     return rules
+
+
+def _robots_parse_delays(text: str) -> list[tuple[str, int]]:
+    """Parse ``Crawl-delay`` directives per RFC 9309 group semantics
+    (same group grammar as :func:`_robots_parse`); returns
+    ``(agent, delay_seconds)`` rows."""
+    out: list[tuple[str, int]] = []
+    agents: list[str] = []
+    in_group_header = False
+    for raw in text.split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if not in_group_header:
+                agents = []
+                in_group_header = True
+            agents.append(val.lower())
+        else:
+            in_group_header = False
+            if key == "crawl-delay" and val.isdigit():
+                for a in agents:
+                    out.append((a, int(val)))
+    return out
 
 
 def _robots_allowed(
@@ -1752,6 +1782,15 @@ def _robots_records(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ):
                             rows.append((
                                 "rule", host, agent, is_allow, prefix,
+                                -1, "", "", 0, 0,
+                            ))
+                        # Crawl-delay rows: the is_allow slot carries the
+                        # delay seconds (kind discriminates)
+                        for agent, delay in _robots_parse_delays(
+                            body.decode()
+                        ):
+                            rows.append((
+                                "delay", host, agent, delay, "",
                                 -1, "", "", 0, 0,
                             ))
                     else:
@@ -2029,6 +2068,114 @@ def _iceberg_read(spark: SparkSession, sf_dir: str, version: int):
         manifest = json.load(f)
     paths = [os.path.join(root, e["path"]) for e in manifest["files"]]
     return spark.read.parquet(*paths), manifest
+
+
+def crawl_politeness_schedule(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """CRAWL POLITENESS SCHEDULER — the frontier-planning pass between the
+    robots gate and the fetcher: per host, fetches are spaced by the
+    host's ``Crawl-delay`` directive (parsed from the planted robots.txt
+    BYTES, RFC 9309 group selection — the trainbot group's value wins
+    where one exists; hosts without a directive get the {d}s default),
+    and the i-th fetch is scheduled at ``(i-1)·delay``. Census per host:
+    page count, the effective delay, the host MAKESPAN ``(n-1)·delay``
+    (what decides whether a crawl is host-bound), the scheduled-time
+    checksum, and whether this host is the crawl's critical path
+    (makespan equals the global max — with per-host parallel fetchers the
+    wall clock IS the max makespan).
+
+    Scale shape: one rank per host partition + one bounded aggregate —
+    the scheduler never materializes a timeline, just closed-form slot
+    arithmetic."""
+    from pyspark.sql import Window
+
+    records = _robots_records(spark, sf_dir)
+    pages = records.filter(F.col("kind") == "page").select("doc_id", "host")
+    delays = records.filter(F.col("kind") == "delay").select(
+        "host", "agent", F.col("is_allow").alias("delay_s")
+    )
+    spec = delays.filter(F.col("agent") == _ROBOTS_AGENT) \
+        .select("host").distinct().withColumn("has_spec", F.lit(1))
+    sel = (
+        delays.join(F.broadcast(spec), "host", "left")
+        .filter(
+            (F.col("has_spec").isNotNull() & (F.col("agent") == _ROBOTS_AGENT))
+            | (F.col("has_spec").isNull() & (F.col("agent") == "*"))
+        )
+        .select("host", "delay_s")
+    )
+    w = Window.partitionBy("host").orderBy("doc_id")
+    sched = (
+        pages.join(F.broadcast(sel), "host", "left")
+        .withColumn(
+            "delay_s",
+            F.coalesce(F.col("delay_s"), F.lit(_CRAWL_DELAY_DEFAULT)),
+        )
+        .withColumn(
+            "t", (F.row_number().over(w) - 1) * F.col("delay_s")
+        )
+    )
+    per_host = sched.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.min("delay_s").cast("long").alias("crawl_delay_s"),
+        F.max("t").cast("long").alias("makespan_s"),
+        F.sum("t").alias("sched_time_sum"),
+    )
+    gmax = per_host.agg(F.max("makespan_s").alias("g"))
+    return (
+        per_host.crossJoin(F.broadcast(gmax))
+        .select(
+            "host", "n_pages", "crawl_delay_s", "makespan_s",
+            "sched_time_sum",
+            (F.col("makespan_s") == F.col("g")).cast("int")
+            .alias("is_critical_path"),
+        )
+        .orderBy("host")
+    )
+
+
+crawl_politeness_schedule.__doc__ = crawl_politeness_schedule.__doc__.format(
+    d=_CRAWL_DELAY_DEFAULT
+)
+
+
+def _politeness_oracle() -> str:
+    delay_rows = []
+    for host, txt in sorted(_ROBOTS_TXT.items()):
+        delays = _robots_parse_delays(txt)
+        spec = [d for a, d in delays if a == _ROBOTS_AGENT]
+        star = [d for a, d in delays if a == "*"]
+        chosen = (spec or star or [None])[0]
+        if chosen is not None:
+            delay_rows.append((host, chosen))
+    vals = ",".join(f"({h},{d})" for h, d in delay_rows)
+    return f"""
+WITH delays(host, delay_s) AS (VALUES {vals}),
+pages AS (
+  SELECT doc_id, CAST(doc_id % {_ROBOTS_HOSTS} AS INTEGER) AS host
+  FROM documents
+),
+sched AS (
+  SELECT p.host,
+         COALESCE(d.delay_s, {_CRAWL_DELAY_DEFAULT}) AS delay_s,
+         (ROW_NUMBER() OVER (PARTITION BY p.host ORDER BY p.doc_id) - 1)
+           * COALESCE(d.delay_s, {_CRAWL_DELAY_DEFAULT}) AS t
+  FROM pages p LEFT JOIN delays d ON d.host = p.host
+),
+per_host AS (
+  SELECT host, COUNT(*) AS n_pages,
+         CAST(MIN(delay_s) AS BIGINT) AS crawl_delay_s,
+         CAST(MAX(t) AS BIGINT) AS makespan_s,
+         CAST(SUM(t) AS BIGINT) AS sched_time_sum
+  FROM sched GROUP BY host
+)
+SELECT host, n_pages, crawl_delay_s, makespan_s, sched_time_sum,
+       CAST(CASE WHEN makespan_s = (SELECT MAX(makespan_s) FROM per_host)
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_critical_path
+FROM per_host
+ORDER BY host
+"""
+
 
 
 def iceberg_time_travel_diff(spark: SparkSession,
@@ -2934,6 +3081,7 @@ QUERIES = {
     "source_zstd_seekable_scan": source_zstd_seekable_scan,
     "source_warc_scan": source_warc_scan,
     "warc_robots_compliance_gate": warc_robots_compliance_gate,
+    "crawl_politeness_schedule": crawl_politeness_schedule,
     "iceberg_time_travel_diff": iceberg_time_travel_diff,
     "source_pdf_scan": source_pdf_scan,
     "parquet_footer_census": parquet_footer_census,
@@ -2962,6 +3110,7 @@ ORACLES = {
     "source_zstd_seekable_scan": _zstd_seekable_oracle(),
     "source_warc_scan": _warc_oracle(),
     "warc_robots_compliance_gate": _robots_gate_oracle(),
+    "crawl_politeness_schedule": _politeness_oracle(),
     "iceberg_time_travel_diff": _ICEBERG_SQL,
     "source_pdf_scan": _pdf_oracle(),
     "parquet_footer_census": _footer_census_oracle_staged,  # lazy: stages

@@ -467,7 +467,7 @@ def test_robots_precedence_and_gate_shard_roundtrip():
     assert robots == [
         ("http://host0.example/robots.txt",
          b"User-agent: *\nDisallow: /private/\nAllow: /private/doc/\n"
-         b"Disallow: /tmp/\n")
+         b"Disallow: /tmp/\nCrawl-delay: 2\n")
     ]
     pages = {
         int(u.rsplit("/", 1)[1]): (u, b.decode(), h)
@@ -619,3 +619,35 @@ def test_pdf_build_extract_strictness_and_interop():
     )
     with pytest.raises(ValueError, match="escape"):
         _pdf_extract(bad5)
+
+
+def test_crawl_delay_parse_and_schedule_invariants(spark):
+    """r15 politeness scheduler: Crawl-delay group selection mirrors the
+    rule parser (trainbot group wins on host 1: delay 5 not 9), hosts
+    without a directive fall back to the default, and per-host makespan
+    is exactly (n_pages - 1) * delay with the critical path flagged on
+    the global max."""
+    from datafusion_impl_spark.sources.queries import (
+        _CRAWL_DELAY_DEFAULT,
+        _ROBOTS_TXT,
+        _robots_parse_delays,
+        crawl_politeness_schedule,
+    )
+    from tests.conftest import SF_DIR
+
+    d1 = _robots_parse_delays(_ROBOTS_TXT[1])
+    assert ("trainbot", 5) in d1 and ("*", 9) in d1
+    assert _robots_parse_delays(_ROBOTS_TXT[2]) == []
+
+    rows = {r.host: r for r in
+            crawl_politeness_schedule(spark, SF_DIR).collect()}
+    assert rows[1].crawl_delay_s == 5          # group selection
+    assert rows[0].crawl_delay_s == 2
+    assert rows[3].crawl_delay_s == 3
+    for h in (2, 4, 5):
+        assert rows[h].crawl_delay_s == _CRAWL_DELAY_DEFAULT
+    gmax = max(r.makespan_s for r in rows.values())
+    for r in rows.values():
+        assert r.makespan_s == (r.n_pages - 1) * r.crawl_delay_s
+        assert r.is_critical_path == int(r.makespan_s == gmax)
+    assert sum(r.is_critical_path for r in rows.values()) >= 1
