@@ -161,6 +161,7 @@ _PRIORITY = [
     "text_homoglyph_dedup_recovery",     # confusable-evasion recovery
     "pii_luhn_mask_census",              # checksum-gated PII masking
     "crawl_politeness_schedule",         # Crawl-delay frontier planning
+    "source_wet_conversion_scan",        # WET text sidecar round-trip
     # --- changed in r15 (r14 ADVICE): cross-engine drift hardening ---
     "rho_excess_loss_selection",         # DECIMAL per-position excess sums
     "embedding_int4_block_quant",        # exact-sum mse_x1e6
@@ -198,13 +199,13 @@ _PRIORITY = [
     "python_datasource_stream_agg",
     "python_datasource_write_roundtrip",
     "q18_large_volume_customers",
-    "q1_pricing_summary",
 ]
 
 # Beyond the 50-query window: the r6-evidence pads displaced by r15-new
 # operators queue here for r16 (still ahead of everything else in
 # queries() order).
 _NEXT_ROTATION: list[str] = [
+    "q1_pricing_summary",
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "range_join_event_bursts",

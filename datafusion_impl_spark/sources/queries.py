@@ -2178,6 +2178,144 @@ ORDER BY host
 
 
 
+def source_wet_conversion_scan(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """WET CONVERSION SIDECAR — Common Crawl's text layer (``.wet``
+    files are WARC containers of ``conversion`` records): scan the
+    compliance crawl's HTML shards, EXTRACT plain text from each page
+    body (the meta-noindex pages are genuinely HTML-wrapped and must be
+    unwrapped; header-noindex and plain pages pass through), write a real
+    WET shard — one ``conversion`` record per page, linked to its source
+    record via ``WARC-Refers-To`` — then SCAN THE WET BACK with the same
+    strict double-CRLF-framed reader and census per corpus source:
+    conversion count, unwrapped count, extracted chars, and the
+    recovered-text hash sum, which must equal the parquet oracle — the
+    extraction and both WARC framings round-trip the exact original
+    text.
+
+    Scale shape: one shuffle to assemble shards, then a single map-only
+    kernel per shard does scan → extract → WET build → WET re-scan; the
+    aggregate is one row per source."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source",
+        (F.col("doc_id") % _WARC_SHARDS).cast("int").alias("shard_id"),
+    )
+
+    def build(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        sid = int(pdf["shard_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "shard_id": [sid],
+                "warc": [_warc_build_compliance_shard(sid, pdf.itertuples())],
+            }
+        )
+
+    shards = docs.groupBy("shard_id").applyInPandas(
+        build, "shard_id int, warc binary"
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        wrap_pre = "<html><head>" + _NOINDEX_META_TAG + "</head><body>"
+        wrap_post = "</body></html>"
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                wet_records = []
+                meta = []  # (doc_id, source, unwrapped)
+                for wtype, uri, body, hdrs in _warc_scan(bytes(r.warc)):
+                    if wtype != "response" or uri.endswith("/robots.txt"):
+                        continue
+                    doc_id = int(uri.rsplit("/", 1)[1])
+                    html = body.decode()
+                    if html.startswith(wrap_pre) and html.endswith(wrap_post):
+                        text = html[len(wrap_pre):-len(wrap_post)]
+                        unwrapped = 1
+                    elif "<html>" in html:
+                        raise ValueError(
+                            f"unrecognized HTML shape for doc {doc_id}"
+                        )
+                    else:
+                        text, unwrapped = html, 0
+                    wet_records.append(
+                        _warc_record(
+                            [
+                                ("WARC-Type", "conversion"),
+                                ("WARC-Record-ID",
+                                 f"<urn:uuid:conv-{doc_id}>"),
+                                ("WARC-Refers-To",
+                                 f"<urn:uuid:page-{doc_id}>"),
+                                ("WARC-Date", _WARC_DATE),
+                                ("WARC-Target-URI", uri),
+                                ("Content-Type", "text/plain"),
+                            ],
+                            text.encode(),
+                        )
+                    )
+                    meta.append(
+                        (doc_id, hdrs.get("x-corpus-source", ""), unwrapped)
+                    )
+                # the WET shard is real bytes; re-scan it with the same
+                # strict reader before emitting anything
+                wet = b"".join(wet_records)
+                back = {}
+                for wtype, uri, payload, _h in _warc_scan(wet):
+                    if wtype != "conversion":
+                        raise ValueError("non-conversion record in WET")
+                    back[int(uri.rsplit("/", 1)[1])] = payload.decode()
+                if len(back) != len(meta):
+                    raise ValueError("WET round-trip lost records")
+                for doc_id, source, unwrapped in meta:
+                    rows.append(
+                        (doc_id, source, unwrapped, back[doc_id])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "source", "unwrapped", "text"],
+            )
+
+    from datafusion_impl_spark.operators import md5_long
+
+    recs = shards.mapInPandas(
+        kernel,
+        "doc_id bigint, source string, unwrapped int, text string",
+    )
+    return (
+        recs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum(F.col("unwrapped").cast("long")).alias("n_unwrapped"),
+            F.sum(F.length("text")).cast("long").alias("sum_chars"),
+            F.sum(md5_long(F.col("text")) % _WARC_HASH_MOD).alias(
+                "text_hash_sum"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _wet_oracle() -> str:
+    from datafusion_impl_spark.operators import duck_md5_long
+
+    return f"""
+SELECT source,
+       COUNT(*) AS n_conversions,
+       CAST(count_if(doc_id % {_NOINDEX_HDR_MOD} = {_NOINDEX_META_RES})
+            AS BIGINT) AS n_unwrapped,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       CAST(SUM({duck_md5_long("text")} % {_WARC_HASH_MOD}) AS BIGINT)
+         AS text_hash_sum
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+
 def iceberg_time_travel_diff(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """SNAPSHOT TIME TRAVEL + DIFF — the audit every lakehouse migration
@@ -3082,6 +3220,7 @@ QUERIES = {
     "source_warc_scan": source_warc_scan,
     "warc_robots_compliance_gate": warc_robots_compliance_gate,
     "crawl_politeness_schedule": crawl_politeness_schedule,
+    "source_wet_conversion_scan": source_wet_conversion_scan,
     "iceberg_time_travel_diff": iceberg_time_travel_diff,
     "source_pdf_scan": source_pdf_scan,
     "parquet_footer_census": parquet_footer_census,
@@ -3111,6 +3250,7 @@ ORACLES = {
     "source_warc_scan": _warc_oracle(),
     "warc_robots_compliance_gate": _robots_gate_oracle(),
     "crawl_politeness_schedule": _politeness_oracle(),
+    "source_wet_conversion_scan": _wet_oracle(),
     "iceberg_time_travel_diff": _ICEBERG_SQL,
     "source_pdf_scan": _pdf_oracle(),
     "parquet_footer_census": _footer_census_oracle_staged,  # lazy: stages
