@@ -1915,13 +1915,19 @@ ORDER BY t.source
 
 #: documents per training batch for the padding-waste comparison.
 _BATCH_DOCS = 16
+#: ranking shards: batches form within doc_id % this (a global sorted
+#: batching order is a single-partition sort — the registry plan audit
+#: rightly rejects it; real loaders shard first and sort within workers).
+_BATCH_SHARDS = 8
 
 
 def batch_padding_waste_planner(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """PADDING-WASTE PLANNER — quantify what length-grouped batching buys
     (the HF ``group_by_length`` / dynamic-batching decision): form
-    {b}-doc pad-to-max batches under TWO orderings — arrival (doc_id) and
+    {b}-doc pad-to-max batches WITHIN {s} ranking shards (a global sorted
+    order would be a single-partition sort; real loaders shard first and
+    sort within workers) under TWO orderings — arrival (doc_id) and
     length-sorted ((len, doc_id)) — and report, per strategy, the exact
     padded-token bill: batches, real tokens, padded slots
     (batch_max·batch_size summed), wasted slots, and waste in basis
@@ -1931,17 +1937,19 @@ def batch_padding_waste_planner(spark: SparkSession,
     At 100 TB the same plan runs per shard: ranks are a sort-within-
     partition, batch maxima a bounded aggregate; the output is 2 rows."""
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.size(tokens("text")).alias("len")
+        "doc_id",
+        F.size(tokens("text")).alias("len"),
+        (F.col("doc_id") % _BATCH_SHARDS).alias("shard"),
     )
 
     def census(order_cols, strategy: str) -> DataFrame:
-        w = Window.orderBy(*order_cols)
+        w = Window.partitionBy("shard").orderBy(*order_cols)
         b = (
             docs.withColumn(
                 "batch",
                 ((F.row_number().over(w) - 1) / _BATCH_DOCS).cast("long"),
             )
-            .groupBy("batch")
+            .groupBy("shard", "batch")
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum("len").alias("tokens"),
@@ -1969,33 +1977,38 @@ def batch_padding_waste_planner(spark: SparkSession,
 
 
 batch_padding_waste_planner.__doc__ = (
-    batch_padding_waste_planner.__doc__.format(b=_BATCH_DOCS)
+    batch_padding_waste_planner.__doc__.format(
+        b=_BATCH_DOCS, s=_BATCH_SHARDS
+    )
 )
 
 _PAD_WASTE_SQL = rf"""
 WITH lens AS (
-  SELECT doc_id, len({_DUCK_TOKENS.format(col='text')}) AS len
+  SELECT doc_id, len({_DUCK_TOKENS.format(col='text')}) AS len,
+         doc_id % {_BATCH_SHARDS} AS shard
   FROM documents
 ),
 arrival AS (
-  SELECT len,
-         (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // {_BATCH_DOCS}
-           AS batch
+  SELECT len, shard,
+         (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) - 1)
+           // {_BATCH_DOCS} AS batch
   FROM lens
 ),
 sorted_ AS (
-  SELECT len,
-         (ROW_NUMBER() OVER (ORDER BY len, doc_id) - 1) // {_BATCH_DOCS}
-           AS batch
+  SELECT len, shard,
+         (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY len, doc_id) - 1)
+           // {_BATCH_DOCS} AS batch
   FROM lens
 ),
 per AS (
-  SELECT 'arrival' AS strategy, batch, COUNT(*) AS n, SUM(len) AS tokens,
+  SELECT 'arrival' AS strategy, shard, batch,
+         COUNT(*) AS n, SUM(len) AS tokens,
          MAX(len) * COUNT(*) AS padded
-  FROM arrival GROUP BY batch
+  FROM arrival GROUP BY shard, batch
   UNION ALL
-  SELECT 'length_sorted', batch, COUNT(*), SUM(len), MAX(len) * COUNT(*)
-  FROM sorted_ GROUP BY batch
+  SELECT 'length_sorted', shard, batch, COUNT(*), SUM(len),
+         MAX(len) * COUNT(*)
+  FROM sorted_ GROUP BY shard, batch
 )
 SELECT strategy,
        COUNT(*) AS n_batches,
