@@ -155,6 +155,9 @@ def test_no_python_in_any_relational_plan(spark):
         # (r15); the verdict itself is a relational broadcast join
         "stream_robots_compliance_gate",  # same scan feeds the stream twin
         "source_pdf_scan",              # PDF xref/stream codec IS the operator
+        "source_wet_conversion_scan",   # WET write+rescan codec (r15);
+        # the politeness scheduler needs no exemption — its records leaf
+        # is a localCheckpoint, so the returned plan is pure relational
         "dedup_cdc_chunking",           # gear-hash boundary kernel (r15); the
         # slicing + hashing + census stay JVM-side
         "postings_varint_roundtrip",    # LEB128 codec IS the operator (r15);
