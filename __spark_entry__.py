@@ -162,6 +162,7 @@ _PRIORITY = [
     "pii_luhn_mask_census",              # checksum-gated PII masking
     "crawl_politeness_schedule",         # Crawl-delay frontier planning
     "source_wet_conversion_scan",        # WET text sidecar round-trip
+    "audio_peak_normalize_stats",        # integer-exact gain staging
     # --- changed in r15 (r14 ADVICE): cross-engine drift hardening ---
     "rho_excess_loss_selection",         # DECIMAL per-position excess sums
     "embedding_int4_block_quant",        # exact-sum mse_x1e6
@@ -198,13 +199,13 @@ _PRIORITY = [
     "pseudonymize_join_preservation",
     "python_datasource_stream_agg",
     "python_datasource_write_roundtrip",
-    "q18_large_volume_customers",
 ]
 
 # Beyond the 50-query window: the r6-evidence pads displaced by r15-new
 # operators queue here for r16 (still ahead of everything else in
 # queries() order).
 _NEXT_ROTATION: list[str] = [
+    "q18_large_volume_customers",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q6_forecast_revenue",

@@ -922,6 +922,144 @@ WAV_STATS_SCHEMA = (
 )
 
 
+# --------------------------------------------------------------------------
+# Integer-exact peak loudness normalization (r15): the gain-staging pass
+# audio curation runs before feature extraction — mixed-loudness clips
+# normalized to a common peak, entirely in integer arithmetic so both
+# engines land on identical samples.
+# --------------------------------------------------------------------------
+
+#: normalization target: every clip's peak |sample| is scaled to this.
+_PEAK_TARGET = 16000
+
+
+def audio_peak_normalize_stats(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """PEAK NORMALIZATION CENSUS — decode each planted PCM clip from
+    bytes, find its peak magnitude, and rescale every sample with the
+    integer half-away rule ``sign(s)·((|s|·{t} + peak//2) // peak)`` so
+    the clip's new peak is EXACTLY {t} (the integer identity
+    ``(peak·T + peak//2) // peak = T`` — assertable, no clamping, no
+    floating point anywhere). Census per sample rate: clip count, the
+    pre-normalization peak sum (the loudness spread being corrected),
+    the post-normalization peak sum (must be exactly n_clips·{t}), and
+    the exact post-normalization energy sum — the value the DuckDB
+    oracle replays from the planted sample formula through the same
+    integer scaling.
+
+    Scale shape: map-only decode + rescale; one row per rate."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": pdf["doc_id"].map(
+                        lambda d: _wav_encode(int(d))
+                    ),
+                }
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % _WAV_SAMPLE_MOD == _WAV_SAMPLE_RES)
+    )
+    clips = docs.mapInPandas(build, "doc_id bigint, media binary")
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            blobs = b.column(b.schema.get_field_index("media"))
+            rates, pre, post, energy = [], [], [], []
+            for v in blobs:
+                rate, s = decode_wav(v.as_py())
+                s = s.astype(np.int64)
+                peak = int(np.abs(s).max())
+                if peak == 0:
+                    raise ValueError("silent clip cannot be normalized")
+                mag = (np.abs(s) * _PEAK_TARGET + peak // 2) // peak
+                scaled = np.where(s >= 0, mag, -mag)
+                rates.append(rate)
+                pre.append(peak)
+                post.append(int(np.abs(scaled).max()))
+                energy.append(int((scaled * scaled).sum()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(rates, type=pa.int32()),
+                    pa.array(pre, type=pa.int64()),
+                    pa.array(post, type=pa.int64()),
+                    pa.array(energy, type=pa.int64()),
+                ],
+                names=["rate", "pre_peak", "post_peak", "energy"],
+            )
+
+    stats = clips.mapInArrow(
+        kernel, "rate int, pre_peak bigint, post_peak bigint, energy bigint"
+    )
+    return (
+        stats.groupBy("rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("pre_peak").alias("pre_peak_sum"),
+            F.sum("post_peak").alias("post_peak_sum"),
+            F.sum("energy").alias("post_energy_sum"),
+        )
+        .orderBy("rate")
+    )
+
+
+audio_peak_normalize_stats.__doc__ = audio_peak_normalize_stats.__doc__.format(
+    t=_PEAK_TARGET
+)
+
+_PEAK_NORM_SQL = f"""
+WITH clips AS (
+  SELECT doc_id,
+         {_WAV_RATE_BASE} * (1 + doc_id % {_WAV_RATE_MOD}) AS rate,
+         {_WAV_N_BASE} + doc_id % {_WAV_N_MOD} AS n
+  FROM documents
+  WHERE doc_id % {_WAV_SAMPLE_MOD} = {_WAV_SAMPLE_RES}
+),
+samples AS (
+  SELECT c.doc_id, c.rate,
+         (c.doc_id * 31 + idx.i * 17) % 4001 - 2000 AS s
+  FROM clips c,
+       LATERAL (SELECT unnest(generate_series(0, c.n - 1)) AS i) idx
+),
+peaks AS (
+  SELECT doc_id, rate, MAX(ABS(s)) AS peak FROM samples
+  GROUP BY doc_id, rate
+),
+scaled AS (
+  SELECT s.doc_id, s.rate, p.peak,
+         -- div-safe: peak >= 1 (planted clips are never silent; the
+         -- kernel raises on a zero peak)
+         CASE WHEN s.s >= 0
+              THEN (ABS(s.s) * {_PEAK_TARGET} + p.peak // 2) // p.peak
+              ELSE -((ABS(s.s) * {_PEAK_TARGET} + p.peak // 2) // p.peak)
+         END AS v
+  FROM samples s JOIN peaks p ON p.doc_id = s.doc_id
+),
+per_clip AS (
+  SELECT doc_id, rate, MIN(peak) AS pre_peak,
+         MAX(ABS(v)) AS post_peak, SUM(v * v) AS energy
+  FROM scaled GROUP BY doc_id, rate
+)
+SELECT CAST(rate AS INTEGER) AS rate,
+       COUNT(*) AS n_clips,
+       CAST(SUM(pre_peak) AS BIGINT) AS pre_peak_sum,
+       CAST(SUM(post_peak) AS BIGINT) AS post_peak_sum,
+       CAST(SUM(energy) AS BIGINT) AS post_energy_sum
+FROM per_clip
+GROUP BY rate
+ORDER BY rate
+"""
+
+
+
 def decode_wav_stats(clips: DataFrame) -> DataFrame:
     """``mapInArrow`` decode kernel: (doc_id, media BINARY) → per-clip
     decoded rate, length, exact energy (sum of squared samples), peak
@@ -5759,6 +5897,7 @@ QUERIES = {
     "multimodal_exif_orientation_normalize": multimodal_exif_orientation_normalize,
     "multimodal_tar_webdataset_scan": multimodal_tar_webdataset_scan,
     "multimodal_wav_decode_stats": multimodal_wav_decode_stats,
+    "audio_peak_normalize_stats": audio_peak_normalize_stats,
     "multimodal_wav_spectrum_stats": multimodal_wav_spectrum_stats,
     "audio_mel_filterbank_stats": audio_mel_filterbank_stats,
     "multimodal_resize_bilinear_stats": multimodal_resize_bilinear_stats,
@@ -5788,6 +5927,7 @@ ORACLES = {
     "multimodal_exif_orientation_normalize": _exif_orient_sql(),
     "multimodal_tar_webdataset_scan": _TAR_SCAN_SQL,
     "multimodal_wav_decode_stats": _WAV_DECODE_SQL,
+    "audio_peak_normalize_stats": _PEAK_NORM_SQL,
     "multimodal_wav_spectrum_stats": _WAV_SPECTRUM_SQL,
     "audio_mel_filterbank_stats": _mel_sql(),
     "multimodal_resize_bilinear_stats": _resize_sql(),

