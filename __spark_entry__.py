@@ -163,6 +163,7 @@ _PRIORITY = [
     "crawl_politeness_schedule",         # Crawl-delay frontier planning
     "source_wet_conversion_scan",        # WET text sidecar round-trip
     "audio_peak_normalize_stats",        # integer-exact gain staging
+    "crawl_sitemap_coverage_audit",      # from_xml sitemap reconcile
     # --- changed in r15 (r14 ADVICE): cross-engine drift hardening ---
     "rho_excess_loss_selection",         # DECIMAL per-position excess sums
     "embedding_int4_block_quant",        # exact-sum mse_x1e6
@@ -198,13 +199,13 @@ _PRIORITY = [
     "observed_scan_metrics",
     "pseudonymize_join_preservation",
     "python_datasource_stream_agg",
-    "python_datasource_write_roundtrip",
 ]
 
 # Beyond the 50-query window: the r6-evidence pads displaced by r15-new
 # operators queue here for r16 (still ahead of everything else in
 # queries() order).
 _NEXT_ROTATION: list[str] = [
+    "python_datasource_write_roundtrip",
     "q18_large_volume_customers",
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -2316,6 +2316,162 @@ ORDER BY source
 
 
 
+#: phantom URLs per host listed in the sitemap but never crawled.
+_SITEMAP_PHANTOMS = 3
+
+
+def crawl_sitemap_coverage_audit(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """SITEMAP COVERAGE AUDIT — the crawl-completeness check every
+    operator of a 100 TB crawl runs: per host, a real ``urlset`` sitemap
+    XML is ASSEMBLED relationally (the even-doc pages each host actually
+    publishes plus {ph} phantom URLs that were never fetched, lastmod
+    from the doc id), then parsed BACK with the engine's XML reader
+    (``from_xml`` with an ARRAY<STRUCT> schema — repeated ``<url>``
+    elements) and reconciled against the crawled page set with a full
+    outer join. Census per host: listed/crawled counts, the intersection,
+    sitemap promises never fetched (phantoms — fetch-queue candidates),
+    crawled-but-unlisted pages (link-discovery finds), coverage in basis
+    points, and the max lastmod recovered from the parsed XML.
+
+    Scale shape: XML build is one per-host aggregate (bounded by pages
+    per host), parse + explode is JVM-side, the reconcile is one
+    equi-join on (host, url)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % _ROBOTS_HOSTS).cast("int").alias("host"),
+    )
+    url = F.concat(
+        F.lit("http://host"), F.col("host"), F.lit(".example/"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in _ROBOTS_SECTIONS]),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ),
+        F.lit("/doc/"), F.col("doc_id"),
+    )
+    crawled = docs.select("host", "doc_id", url.alias("url"))
+    lastmod = F.format_string(
+        "2024-01-%02d", (F.col("doc_id") % 28 + 1).cast("int")
+    )
+    entry = F.concat(
+        F.lit("<url><loc>"), F.col("url"), F.lit("</loc><lastmod>"),
+        lastmod, F.lit("</lastmod></url>"),
+    )
+    phantom_entries = "".join(
+        f"<url><loc>http://hostH.example/phantom/doc/{90000000 + k}</loc>"
+        f"<lastmod>2023-12-31</lastmod></url>"
+        for k in range(_SITEMAP_PHANTOMS)
+    )
+    # listing rule must be independent of host parity: doc_id mod 2 is
+    # DETERMINED by host under mod-6 hosts (odd hosts only see odd ids),
+    # so list docs whose (doc_id // hosts) is even instead
+    sitemaps = (
+        crawled.filter((F.col("doc_id") / _ROBOTS_HOSTS).cast("long") % 2
+                       == 0)
+        .withColumn("e", F.struct("doc_id", entry.alias("entry")))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.sort_array(F.collect_list("e")),
+                        lambda s: s["entry"],
+                    ),
+                ),
+                F.regexp_replace(
+                    F.lit(phantom_entries), "hostH",
+                    F.concat(F.lit("host"), F.col("host"))
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    listed = (
+        sitemaps.select(
+            "host",
+            F.from_xml(
+                "xml", "url ARRAY<STRUCT<loc: STRING, lastmod: STRING>>"
+            ).alias("p"),
+        )
+        .select("host", F.explode("p.url").alias("u"))
+        .select("host", F.col("u.loc").alias("url"),
+                F.col("u.lastmod").alias("lastmod"))
+    )
+    rec = listed.withColumn("listed", F.lit(1)).join(
+        crawled.withColumn("is_crawled", F.lit(1)),
+        ["host", "url"],
+        "full_outer",
+    )
+    return (
+        rec.groupBy("host")
+        .agg(
+            F.sum(F.coalesce(F.col("listed"), F.lit(0))).alias("n_listed"),
+            F.sum(F.coalesce(F.col("is_crawled"), F.lit(0))).alias(
+                "n_crawled"
+            ),
+            F.sum(
+                (F.col("listed").isNotNull()
+                 & F.col("is_crawled").isNotNull()).cast("long")
+            ).alias("n_both"),
+            F.sum(
+                (F.col("listed").isNotNull()
+                 & F.col("is_crawled").isNull()).cast("long")
+            ).alias("n_phantom"),
+            F.sum(
+                (F.col("listed").isNull()
+                 & F.col("is_crawled").isNotNull()).cast("long")
+            ).alias("n_unlisted"),
+            # div-safe: n_listed >= _SITEMAP_PHANTOMS >= 1 per host
+            (
+                F.sum(
+                    (F.col("listed").isNotNull()
+                     & F.col("is_crawled").isNotNull()).cast("long")
+                ) * 10000
+                / F.sum(F.coalesce(F.col("listed"), F.lit(0)))
+            ).cast("long").alias("coverage_bps"),
+            F.max("lastmod").alias("max_lastmod"),
+        )
+        .orderBy("host")
+    )
+
+
+crawl_sitemap_coverage_audit.__doc__ = (
+    crawl_sitemap_coverage_audit.__doc__.format(ph=_SITEMAP_PHANTOMS)
+)
+
+_SITEMAP_SQL = f"""
+WITH pages AS (
+  SELECT doc_id, CAST(doc_id % {_ROBOTS_HOSTS} AS INTEGER) AS host
+  FROM documents
+),
+per_host AS (
+  SELECT host,
+         COUNT(*) AS n_crawled,
+         count_if((doc_id // 6) % 2 = 0) AS n_both,
+         count_if((doc_id // 6) % 2 = 1) AS n_unlisted,
+         MAX(CASE WHEN (doc_id // 6) % 2 = 0
+                  THEN printf('2024-01-%02d', doc_id % 28 + 1) END)
+           AS max_lastmod
+  FROM pages GROUP BY host
+)
+SELECT host,
+       CAST(n_both + {_SITEMAP_PHANTOMS} AS BIGINT) AS n_listed,
+       CAST(n_crawled AS BIGINT) AS n_crawled,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST({_SITEMAP_PHANTOMS} AS BIGINT) AS n_phantom,
+       CAST(n_unlisted AS BIGINT) AS n_unlisted,
+       -- div-safe: n_listed >= phantom count >= 1
+       CAST(n_both * 10000 // (n_both + {_SITEMAP_PHANTOMS}) AS BIGINT)
+         AS coverage_bps,
+       max_lastmod
+FROM per_host
+ORDER BY host
+"""
+
+
+
 def iceberg_time_travel_diff(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """SNAPSHOT TIME TRAVEL + DIFF — the audit every lakehouse migration
@@ -3221,6 +3377,7 @@ QUERIES = {
     "warc_robots_compliance_gate": warc_robots_compliance_gate,
     "crawl_politeness_schedule": crawl_politeness_schedule,
     "source_wet_conversion_scan": source_wet_conversion_scan,
+    "crawl_sitemap_coverage_audit": crawl_sitemap_coverage_audit,
     "iceberg_time_travel_diff": iceberg_time_travel_diff,
     "source_pdf_scan": source_pdf_scan,
     "parquet_footer_census": parquet_footer_census,
@@ -3251,6 +3408,7 @@ ORACLES = {
     "warc_robots_compliance_gate": _robots_gate_oracle(),
     "crawl_politeness_schedule": _politeness_oracle(),
     "source_wet_conversion_scan": _wet_oracle(),
+    "crawl_sitemap_coverage_audit": _SITEMAP_SQL,
     "iceberg_time_travel_diff": _ICEBERG_SQL,
     "source_pdf_scan": _pdf_oracle(),
     "parquet_footer_census": _footer_census_oracle_staged,  # lazy: stages

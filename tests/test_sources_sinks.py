@@ -651,3 +651,23 @@ def test_crawl_delay_parse_and_schedule_invariants(spark):
         assert r.makespan_s == (r.n_pages - 1) * r.crawl_delay_s
         assert r.is_critical_path == int(r.makespan_s == gmax)
     assert sum(r.is_critical_path for r in rows.values()) >= 1
+
+
+def test_sitemap_coverage_reconciliation(spark):
+    """r15 sitemap audit: phantoms are exactly the planted count per
+    host, every even-(doc_id//hosts) page is listed AND crawled, odd ones
+    are crawled-but-unlisted, and the reconciliation conserves totals."""
+    from datafusion_impl_spark.sources.queries import (
+        _SITEMAP_PHANTOMS,
+        crawl_sitemap_coverage_audit,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = crawl_sitemap_coverage_audit(spark, SF_DIR).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r.n_phantom == _SITEMAP_PHANTOMS
+        assert r.n_listed == r.n_both + r.n_phantom
+        assert r.n_crawled == r.n_both + r.n_unlisted
+        assert 0 < r.coverage_bps < 10000
+        assert r.max_lastmod.startswith("2024-01-")
