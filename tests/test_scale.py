@@ -140,6 +140,7 @@ def test_no_python_in_any_relational_plan(spark):
         # JSON parse itself is JVM-side from_json)
         "source_zstd_seekable_scan",    # seek-table zstd codec IS the operator (r14)
         "source_warc_scan",             # WARC double-framing codec IS the operator (r14)
+        "audio_peak_normalize_stats",   # decode+integer-rescale kernel (r15)
         "audio_vad_segments",           # decode+frame-energy kernel (r14); the
         # island merge itself is JVM window functions
         "multimodal_png_encode_roundtrip",  # own-DEFLATE writer IS the operator (r14)
