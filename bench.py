@@ -115,6 +115,48 @@ def _sf_value(sf_dir: str):
 #: (r14: 2x same-code swings between full-suite runs, no isolated record).
 _ISOLATED_ALWAYS = ("stream_ann_adc_topk",)
 
+#: persisted auto-watch list (r15 verdict #8): any query whose in-suite /
+#: isolated timings diverge by more than _WATCH_RATIO in a full run is
+#: added here MECHANICALLY at the end of that run, so the next artifact
+#: carries its noise-free column without waiting for a judge to flag it.
+_WATCH_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "bench_runs",
+    "isolated_watch.json",
+)
+_WATCH_RATIO = 2.0
+
+
+def _watch_load() -> list[str]:
+    try:
+        with open(_WATCH_PATH) as f:
+            names = json.load(f)
+        return [n for n in names if isinstance(n, str)]
+    except (OSError, ValueError):
+        return []
+
+
+def _watch_update(timings: dict, isolated: dict) -> list[str]:
+    """Apply the 2x-divergence rule: union the persisted watch list with
+    every query whose in-suite and isolated timings disagree by more than
+    _WATCH_RATIO in either direction (only judged above 0.5 s in-suite —
+    sub-second numbers swing +-0.5 s on GC noise alone)."""
+    watch = set(_watch_load())
+    for name, iso in isolated.items():
+        t = timings.get(name)
+        if t is None or iso <= 0 or t < 0.5:
+            continue
+        if max(t / iso, iso / t) > _WATCH_RATIO:
+            watch.add(name)
+    out = sorted(watch)
+    try:
+        os.makedirs(os.path.dirname(_WATCH_PATH), exist_ok=True)
+        with open(_WATCH_PATH, "w") as f:
+            json.dump(out, f)
+    except OSError:
+        pass  # read-only checkout: the rule still applied for this run
+    return out
+
 
 def _isolated_rerun(names: list[str], sf_dir: str) -> dict[str, float]:
     """Re-time queries in FRESH single-query JVMs (r14 verdict #4): at
@@ -221,10 +263,14 @@ def main() -> None:
     isolated: dict[str, float] = {}
     if not only and os.environ.get("SPARK_GRAFT_ISOLATED", "1") != "0":
         top = sorted(timings, key=timings.get, reverse=True)[:10]
-        for w in _ISOLATED_ALWAYS:
+        for w in list(_ISOLATED_ALWAYS) + _watch_load():
             if w in timings and w not in top:
                 top.append(w)
         isolated = _isolated_rerun(top, sf_dir)
+        # mechanical 2x-divergence rule (r15 verdict #8): queries whose
+        # in-suite/isolated readings disagree join the persisted watch
+        # list now, not after a verdict flags them.
+        _watch_update(timings, isolated)
 
     total = round(sum(timings.values()), 4)
     sf_val = _sf_value(sf_dir)

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_impl_spark.operators import duck_md5_long, materialize, md5_long
-from datafusion_impl_spark.operators.text import tokens
+from datafusion_impl_spark.operators.text import _DUCK_TOKENS, tokens
 from datafusion_impl_spark.sources.registry import load_table
 
 __all__ = ["QUERIES", "ORACLES", "near_dup_corpus"]
@@ -2405,7 +2405,354 @@ GROUP BY source
 ORDER BY source
 """
 
+# --------------------------------------------------------------------------
+# True suffix-array ExactSubstr dedup (r16): distributed prefix doubling.
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") mark every token position covered by a >= 50-token substring
+# that occurs more than once in the corpus. Unlike the fixed-n-gram
+# approximation in dedup_substring_spans above, this builds the TRUE
+# suffix ranking by prefix doubling, so span boundaries are exact for
+# arbitrarily long duplicates, not quantized to gram width.
+# --------------------------------------------------------------------------
+
+#: bounded planted corpus: the first _SA_DOCS docs at ANY sf (fixed-size
+#: input — the operator certifies the algorithm; production would feed the
+#: full corpus through the identical plan).
+_SA_DOCS = 120
+#: per-doc token cap — bounds every in-doc LCP below _SA_MAX_K.
+_SA_TOK_CAP = 96
+#: planted twins: every doc with doc_id % MOD == RES contributes a copy of
+#: tokens[OFF+1 .. OFF+LEN] (1-based), re-keyed +_DUP_OFFSET — a known
+#: duplicated span with exact, assertable boundaries.
+_SA_TWIN_MOD, _SA_TWIN_RES = 4, 1
+_SA_TWIN_OFF, _SA_TWIN_LEN = 3, 60
+#: ExactSubstr threshold (Lee et al. use 50 BPE tokens).
+_SA_MIN_SPAN = 50
+#: doubling horizon: one past the longest possible LCP (96), so the final
+#: ranking is total and the LCP lifting is exact, never saturated.
+_SA_MAX_K = 128
+#: range-partition fan for the sharded dense rank.
+_SA_RANK_PARTS = 8
+
+
+def _sa_dense_rank(df: DataFrame, cols: list[str], out: str) -> DataFrame:
+    """Distributed dense rank over a DISTINCT-key frame with no global
+    sort and no unpartitioned window: range-partition by the keys (ranges
+    are contiguous and ordered across partition ids), row_number within
+    each partition, then add per-partition offsets — a bounded frame of
+    one row per partition. This is the 'sort-by-(rank, next-rank)' step
+    of prefix doubling in its cluster shape; ties never occur because the
+    input is distinct."""
+    part = df.repartitionByRange(
+        _SA_RANK_PARTS, *[F.col(c) for c in cols]
+    )
+    pid = materialize(part.withColumn("_pid", F.spark_partition_id()))
+    counts = pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")
+    )
+    wloc = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        pid.withColumn("_rn", F.row_number().over(wloc))
+        .join(F.broadcast(offs), "_pid")
+        .select(*cols, (F.col("_rn") + F.col("_off")).alias(out))
+    )
+
+
+def _sa_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tk): capped base docs ∪ planted twin slices, each token
+    list terminated by a per-doc-unique separator token so no suffix
+    comparison ever crosses a document boundary (and all suffixes are
+    pairwise distinct)."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _SA_DOCS)
+        .select(
+            "doc_id", F.slice(tokens("text"), 1, _SA_TOK_CAP).alias("tk")
+        )
+    )
+    twins = base.filter(
+        F.col("doc_id") % _SA_TWIN_MOD == _SA_TWIN_RES
+    ).select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
+        F.slice("tk", _SA_TWIN_OFF + 1, _SA_TWIN_LEN).alias("tk"),
+    )
+    return base.unionByName(twins).select(
+        "doc_id",
+        F.concat(
+            "tk",
+            F.array(
+                F.concat(F.lit("\x01"), F.col("doc_id").cast("string"))
+            ),
+        ).alias("tk"),
+    )
+
+
+def dedup_exact_substr_suffix_array(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SUFFIX-ARRAY ExactSubstr dedup (Lee et al. 2022 fidelity): build
+    the true suffix ranking of a bounded planted corpus by DISTRIBUTED
+    PREFIX DOUBLING — log2({maxk}) rounds, each a rank-pair dedup + the
+    sharded dense rank of :func:`_sa_dense_rank` (never a global sort or
+    unpartitioned window) — then recover every MAXIMAL duplicated span of
+    >= {minspan} tokens: LCPs between suffix-array neighbors via binary
+    lifting over the retained rank tables, dup_len(p) = max LCP with
+    either neighbor (the longest prefix of suffix p occurring anywhere
+    else), and positions with dup_len >= {minspan} merged gaps-and-islands
+    into exact-boundary spans per doc. Planted twins (tokens
+    [{off1}..{off2}] of every doc_id % {mod} == {res} doc) must surface as
+    exactly one full-width span on both the twin and its source.
+
+    Scale shape: every round is explode-free and all-pairs-free — a
+    self-equi-join on gpos, a distinct, and the range-partitioned rank
+    whose only driver-side data is one row per partition; state per round
+    is one (gpos, rank) row per corpus token, the same blocked-recursion
+    discipline as PageRank/k-core. LCP lifting is log2({maxk}) batched
+    equi-joins, not per-pair loops.
+    """
+    docs = _sa_corpus(spark, sf_dir)
+    sizes = docs.groupBy("doc_id").agg(F.max(F.size("tk")).alias("n"))
+    wdoc = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = sizes.select(
+        "doc_id", F.coalesce(F.sum("n").over(wdoc), F.lit(0)).alias("off")
+    )
+    toks = materialize(
+        docs.join(F.broadcast(offs), "doc_id")
+        .select("doc_id", "off", F.posexplode("tk").alias("p", "token"))
+        .select(
+            "doc_id",
+            (F.col("p") + 1).alias("dpos"),
+            (F.col("off") + F.col("p") + 1).alias("gpos"),
+            "token",
+        )
+    )
+    tok_rank = _sa_dense_rank(
+        toks.select("token").distinct(), ["token"], "r"
+    )
+    cur = materialize(
+        toks.join(tok_rank, "token").select(
+            "gpos", F.col("r").alias("rank")
+        )
+    )
+    tables = {1: cur}
+    k = 1
+    while k < _SA_MAX_K:
+        nxt = cur.select(
+            (F.col("gpos") - k).alias("gpos"),
+            F.col("rank").alias("nrank"),
+        )
+        paired = cur.join(nxt, "gpos", "left").select(
+            "gpos",
+            "rank",
+            F.coalesce("nrank", F.lit(-1)).alias("nrank"),
+        )
+        keys = _sa_dense_rank(
+            paired.select("rank", "nrank").distinct(),
+            ["rank", "nrank"],
+            "nr",
+        )
+        cur = materialize(
+            paired.join(keys, ["rank", "nrank"]).select(
+                "gpos", F.col("nr").alias("rank")
+            )
+        )
+        k *= 2
+        tables[k] = cur
+    # cur = rank_{_SA_MAX_K}: total order (every LCP < _SA_MAX_K), so the
+    # dense rank IS the suffix-array index; neighbors are rank i / i+1.
+    right = cur.select(
+        (F.col("rank") - 1).alias("rank"), F.col("gpos").alias("b")
+    )
+    pairs = (
+        cur.select("rank", F.col("gpos").alias("a"))
+        .join(right, "rank")
+        .select("a", "b", F.lit(0).alias("lcp"))
+    )
+    kk = _SA_MAX_K // 2
+    while kk >= 1:
+        t = tables[kk]
+        ta = t.select(
+            F.col("gpos").alias("_ga"), F.col("rank").alias("_ra")
+        )
+        tb = t.select(
+            F.col("gpos").alias("_gb"), F.col("rank").alias("_rb")
+        )
+        pairs = (
+            pairs.join(
+                ta, F.col("a") + F.col("lcp") == F.col("_ga"), "left"
+            )
+            .join(tb, F.col("b") + F.col("lcp") == F.col("_gb"), "left")
+            .select(
+                "a",
+                "b",
+                (
+                    F.col("lcp")
+                    + F.when(
+                        F.col("_ra").isNotNull()
+                        & (F.col("_ra") == F.col("_rb")),
+                        F.lit(kk),
+                    ).otherwise(F.lit(0))
+                ).alias("lcp"),
+            )
+        )
+        if kk in (16, 1):  # periodic lineage cut through the lifting
+            pairs = materialize(pairs)
+        kk //= 2
+    sides = pairs.select(F.col("a").alias("gpos"), "lcp").unionByName(
+        pairs.select(F.col("b").alias("gpos"), "lcp")
+    )
+    dup = sides.groupBy("gpos").agg(F.max("lcp").alias("dup_len"))
+    flagged = (
+        dup.filter(F.col("dup_len") >= _SA_MIN_SPAN)
+        .join(toks, "gpos")
+        .select(
+            "doc_id",
+            F.col("dpos").alias("pos"),
+            (F.col("dpos") + F.col("dup_len")).alias("end"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = flagged.withColumn(
+        "new_island",
+        F.when(
+            F.col("pos") > F.coalesce(F.max("end").over(w_prev), F.lit(-1)),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), F.max("end").alias("e")
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_tokens"),
+            F.max(F.col("e") - F.col("s")).cast("long").alias("max_span"),
+            F.sum(F.col("s") * 131071 + F.col("e"))
+            .cast("long")
+            .alias("span_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+dedup_exact_substr_suffix_array.__doc__ = (
+    dedup_exact_substr_suffix_array.__doc__.format(
+        maxk=_SA_MAX_K,
+        minspan=_SA_MIN_SPAN,
+        off1=_SA_TWIN_OFF + 1,
+        off2=_SA_TWIN_OFF + _SA_TWIN_LEN,
+        mod=_SA_TWIN_MOD,
+        res=_SA_TWIN_RES,
+    )
+)
+
+# Oracle: DuckDB rebuilds the identical corpus, sorts the CAPPED suffix
+# lists directly (cap {_SA_MAX_K} > every possible LCP, so capped order =
+# true order and capped neighbor-LCPs = true LCPs), and replays the same
+# dup_len / threshold / gaps-and-islands arithmetic.
+_SA_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         list_slice({_DUCK_TOKENS.format(col='text')}, 1, {_SA_TOK_CAP})
+           AS tk
+  FROM documents WHERE doc_id < {_SA_DOCS}
+),
+twins AS (
+  SELECT doc_id + {_DUP_OFFSET} AS doc_id,
+         list_slice(tk, {_SA_TWIN_OFF + 1},
+                    {_SA_TWIN_OFF + _SA_TWIN_LEN}) AS tk
+  FROM base WHERE doc_id % {_SA_TWIN_MOD} = {_SA_TWIN_RES}
+),
+docs AS (
+  SELECT doc_id, list_append(tk, chr(1) || CAST(doc_id AS VARCHAR)) AS tk
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM twins)
+),
+offs AS (
+  SELECT doc_id, tk,
+         COALESCE(SUM(len(tk)) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM docs
+),
+toks AS (
+  SELECT doc_id, i AS dpos, off + i AS gpos, tk[i] AS token
+  FROM offs, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) ix
+),
+corpus AS (SELECT list(token ORDER BY gpos) AS arr FROM toks),
+sfx AS (
+  SELECT gpos, list_slice(arr, gpos, gpos + {_SA_MAX_K - 1}) AS s
+  FROM toks, corpus
+),
+sa AS (SELECT gpos, s, ROW_NUMBER() OVER (ORDER BY s) AS idx FROM sfx),
+pairs AS (
+  SELECT x.gpos AS a, y.gpos AS b, x.s AS sx, y.s AS sy
+  FROM sa x JOIN sa y ON y.idx = x.idx + 1
+),
+lcps AS (
+  SELECT a, b,
+         COALESCE(list_position(list_transform(
+             generate_series(1, least(len(sx), len(sy))),
+             i -> sx[i] = sy[i]), false),
+           least(len(sx), len(sy)) + 1) - 1 AS lcp
+  FROM pairs
+),
+dl AS (
+  SELECT gpos, MAX(lcp) AS dup_len FROM (
+    SELECT a AS gpos, lcp FROM lcps
+    UNION ALL SELECT b AS gpos, lcp FROM lcps
+  ) GROUP BY gpos
+),
+flagged AS (
+  SELECT t.doc_id, t.dpos AS pos, t.dpos + d.dup_len AS e
+  FROM dl d JOIN toks t ON t.gpos = d.gpos
+  WHERE d.dup_len >= {_SA_MIN_SPAN}
+),
+isl AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+                ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ni
+  FROM flagged
+),
+isl2 AS (
+  SELECT doc_id, pos, e,
+         SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e
+  FROM isl2 GROUP BY doc_id, island
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(e - s) AS BIGINT) AS dup_tokens,
+       CAST(MAX(e - s) AS BIGINT) AS max_span,
+       CAST(SUM(s * 131071 + e) AS BIGINT) AS span_hash
+FROM spans GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "dedup_exact_substr_suffix_array": dedup_exact_substr_suffix_array,
     "dedup_cdc_chunking": dedup_cdc_chunking,
     "sketch_bloom_ingest_filter": sketch_bloom_ingest_filter,
     "sketch_bottomk_distinct": sketch_bottomk_distinct,
@@ -2429,6 +2776,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_exact_substr_suffix_array": _SA_SQL,
     "dedup_cdc_chunking": _cdc_oracle(),
     "sketch_bloom_ingest_filter": _BLOOM_SQL,
     "sketch_bottomk_distinct": _BOTTOMK_SQL,

@@ -6064,15 +6064,14 @@ gaps AS (
           FOR i IN generate_series(1, len(ids))] AS gs
   FROM postings
 ),
--- LEB128 length of each gap: 1 byte per started 7-bit group
+-- LEB128 length of each gap: 1 byte per started 7-bit group,
+-- derived generically from the bit length (floor 1 for g = 0) so the
+-- oracle matches _varint_encode at ANY gap magnitude, not just < 2^35.
 enc AS (
   SELECT term, df,
          CAST(list_sum(list_transform(gs, g ->
-           CASE WHEN g < 128 THEN 1
-                WHEN g < 16384 THEN 2
-                WHEN g < 2097152 THEN 3
-                WHEN g < 268435456 THEN 4
-                ELSE 5 END)) AS BIGINT) AS encoded_bytes,
+           greatest(1, (length(bin(g)) + 6) // 7))) AS BIGINT)
+           AS encoded_bytes,
          list_sum(ids) % {_POSTINGS_HASH_MOD} AS decoded_sum
   FROM gaps
 )

@@ -1962,11 +1962,17 @@ def batch_padding_waste_planner(spark: SparkSession,
             F.sum("tokens").alias("real_tokens"),
             F.sum("padded").alias("padded_slots"),
             (F.sum("padded") - F.sum("tokens")).alias("wasted_slots"),
-            # div-safe: padded_slots >= real_tokens >= n_docs >= 1
-            (
-                (F.sum("padded") - F.sum("tokens")) * 10000
-                / F.sum("padded")
-            ).cast("long").alias("waste_bps"),
+        ).select(
+            "strategy",
+            "n_batches",
+            "real_tokens",
+            "padded_slots",
+            "wasted_slots",
+            # div-safe: padded_slots >= real_tokens >= n_docs >= 1.
+            # Integral `div` matches the oracle's `//` exactly at any
+            # magnitude (double division loses bits past ~1e15 slots).
+            F.expr("wasted_slots * 10000 div padded_slots")
+            .alias("waste_bps"),
         )
 
     arrival = census([F.col("doc_id").asc()], "arrival")

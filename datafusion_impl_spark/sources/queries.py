@@ -1237,9 +1237,25 @@ def _footer_census_oracle_staged() -> str:
     the SQL out — oracle-first execution order or a fresh /tmp can no
     longer leave ``parquet_metadata()`` with missing files. Staging is
     pure pyarrow and byte-deterministic, so both engines read the
-    identical layout regardless of who staged it."""
-    _footer_stage("/root/testdata/sf0.01")
-    return _footer_census_oracle()
+    identical layout regardless of who staged it.
+
+    The sf dir honors ``SPARK_GRAFT_ORACLE_SF_DIR`` (driver-contract
+    correctness default: sf0.01), and staging failure is contained —
+    a missing/unreadable dataset degrades ONLY this oracle (DuckDB's
+    ``parquet_metadata()`` errors on the absent files) instead of
+    taking down the whole ``oracle_sql()`` registry (r15 advice)."""
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    try:
+        _footer_stage(sf_dir)
+    except Exception:
+        pass  # contained: only the footer-census oracle will error
+    return _footer_census_oracle(
+        os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
+    )
 
 
 def _footer_census_oracle(sf_tag: str = "sf0.01") -> str:
@@ -1795,13 +1811,22 @@ def _robots_records(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ))
                     else:
                         text = body.decode()
+                        did = int(path.rsplit("/", 1)[1])
+                        # meta detection is SCOPED to the plant
+                        # arithmetic so corpus text containing the
+                        # literal tag can never flip the flag; the
+                        # substring check stays so a broken plant is
+                        # still caught (flag would drop to 0 and the
+                        # oracle would diverge).
                         rows.append((
                             "page", host, "", 0, "",
-                            int(path.rsplit("/", 1)[1]),
+                            did,
                             hdrs.get("x-corpus-source", ""),
                             "/" + path,
                             int(hdrs.get("x-robots-tag", "") == "noindex"),
-                            int(_NOINDEX_META_TAG in text),
+                            int(did % _NOINDEX_HDR_MOD
+                                == _NOINDEX_META_RES
+                                and _NOINDEX_META_TAG in text),
                         ))
             yield pd.DataFrame(rows, columns=list(cols))
 
@@ -2094,8 +2119,19 @@ def crawl_politeness_schedule(spark: SparkSession,
     delays = records.filter(F.col("kind") == "delay").select(
         "host", "agent", F.col("is_allow").alias("delay_s")
     )
-    spec = delays.filter(F.col("agent") == _ROBOTS_AGENT) \
+    # RFC 9309: a matched specific group is selected WHOLESALE, so the
+    # has-trainbot predicate keys off whether a trainbot GROUP exists
+    # (any rule OR directive row — same predicate as
+    # _robots_selected_rules), not whether a trainbot Crawl-delay row
+    # exists; a trainbot group lacking Crawl-delay gets the default,
+    # never the * group's value (r15 advice).
+    spec = (
+        records.filter(
+            F.col("kind").isin("rule", "delay")
+            & (F.col("agent") == _ROBOTS_AGENT)
+        )
         .select("host").distinct().withColumn("has_spec", F.lit(1))
+    )
     sel = (
         delays.join(F.broadcast(spec), "host", "left")
         .filter(
@@ -2143,9 +2179,19 @@ def _politeness_oracle() -> str:
     delay_rows = []
     for host, txt in sorted(_ROBOTS_TXT.items()):
         delays = _robots_parse_delays(txt)
-        spec = [d for a, d in delays if a == _ROBOTS_AGENT]
-        star = [d for a, d in delays if a == "*"]
-        chosen = (spec or star or [None])[0]
+        # RFC 9309 group selection mirrors the Spark side: the trainbot
+        # group is selected wholesale when it EXISTS (any rule or
+        # directive), and if the selected group has no Crawl-delay the
+        # host falls through to the default — never to the * value.
+        has_group = any(
+            a == _ROBOTS_AGENT for a, _ in delays
+        ) or any(a == _ROBOTS_AGENT for a, _, _ in _robots_parse(txt))
+        if has_group:
+            chosen = next(
+                (d for a, d in delays if a == _ROBOTS_AGENT), None
+            )
+        else:
+            chosen = next((d for a, d in delays if a == "*"), None)
         if chosen is not None:
             delay_rows.append((host, chosen))
     vals = ",".join(f"({h},{d})" for h, d in delay_rows)
@@ -2232,13 +2278,18 @@ def source_wet_conversion_scan(spark: SparkSession,
                         continue
                     doc_id = int(uri.rsplit("/", 1)[1])
                     html = body.decode()
-                    if html.startswith(wrap_pre) and html.endswith(wrap_post):
+                    # unwrap is SCOPED to the plant arithmetic: only
+                    # docs the shard builder machine-wrapped are
+                    # unwrapped (for those the frame always matches —
+                    # it brackets the text), and corpus text containing
+                    # '<html>' passes through untouched instead of
+                    # raising, so operator behavior is never a function
+                    # of corpus content.
+                    if (doc_id % _NOINDEX_HDR_MOD == _NOINDEX_META_RES
+                            and html.startswith(wrap_pre)
+                            and html.endswith(wrap_post)):
                         text = html[len(wrap_pre):-len(wrap_post)]
                         unwrapped = 1
-                    elif "<html>" in html:
-                        raise ValueError(
-                            f"unrecognized HTML shape for doc {doc_id}"
-                        )
                     else:
                         text, unwrapped = html, 0
                     wet_records.append(
@@ -2423,15 +2474,20 @@ def crawl_sitemap_coverage_audit(spark: SparkSession,
                 (F.col("listed").isNull()
                  & F.col("is_crawled").isNotNull()).cast("long")
             ).alias("n_unlisted"),
-            # div-safe: n_listed >= _SITEMAP_PHANTOMS >= 1 per host
-            (
-                F.sum(
-                    (F.col("listed").isNotNull()
-                     & F.col("is_crawled").isNotNull()).cast("long")
-                ) * 10000
-                / F.sum(F.coalesce(F.col("listed"), F.lit(0)))
-            ).cast("long").alias("coverage_bps"),
             F.max("lastmod").alias("max_lastmod"),
+        )
+        .select(
+            "host",
+            "n_listed",
+            "n_crawled",
+            "n_both",
+            "n_phantom",
+            "n_unlisted",
+            # div-safe: n_listed >= _SITEMAP_PHANTOMS >= 1 per host.
+            # Integral `div` matches the oracle's `//` exactly at any
+            # magnitude (double division loses bits past ~1e15 urls).
+            F.expr("n_both * 10000 div n_listed").alias("coverage_bps"),
+            "max_lastmod",
         )
         .orderBy("host")
     )

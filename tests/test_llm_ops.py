@@ -1531,6 +1531,35 @@ def test_substring_spans_planted_tiers(spark):
     assert rows["exact_copy"].avg_coverage >= rows["base"].avg_coverage
 
 
+def test_suffix_array_planted_span_boundaries_exact(spark):
+    """The prefix-doubling ExactSubstr operator must recover the planted
+    twin span with EXACT boundaries: a twin is tokens [4..63] of its base
+    doc (60 tokens), so the twin doc is one maximal span covering exactly
+    [1, 61) — span_hash pins the boundaries, not just the width — and the
+    base doc carries the duplicated region [4, 64)."""
+    from datafusion_impl_spark.operators.dedup import (
+        _DUP_OFFSET,
+        dedup_exact_substr_suffix_array,
+    )
+
+    rows = {
+        r.doc_id: r
+        for r in dedup_exact_substr_suffix_array(spark, SF_DIR).collect()
+    }
+    # docs 1 and 21 have >= 63 tokens at sf0.001 (verified), so their
+    # twins carry the full 60-token planted span
+    for base_id in (1, 21):
+        twin = rows[base_id + _DUP_OFFSET]
+        assert twin.n_spans == 1
+        assert twin.dup_tokens == 60
+        assert twin.max_span == 60
+        # boundaries exact: one span with s=1, e=61
+        assert twin.span_hash == 1 * 131071 + 61
+        base = rows[base_id]
+        # the source doc's copied region [4, 64) is recovered in full
+        assert base.max_span >= 60 and base.dup_tokens >= 60
+
+
 def test_sq8_recall_is_high(spark):
     """1-byte scalar quantization on this corpus must stay near-exact:
     every query keeps >=3 of its true top-5, and the mean is >=4
