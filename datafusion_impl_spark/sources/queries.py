@@ -2095,6 +2095,114 @@ def _iceberg_read(spark: SparkSession, sf_dir: str, version: int):
     return spark.read.parquet(*paths), manifest
 
 
+#: v3 deletes every row with o_orderkey % MOD == RES — WITHOUT rewriting
+#: any data file: the snapshot adds one bounded position-delete file
+#: (Iceberg v2-spec shape: (file, position) rows) and a manifest.
+_ICEBERG_DELETE_MOD, _ICEBERG_DELETE_RES = 11, 5
+
+
+def _iceberg_stage_v3(sf_dir: str) -> str:
+    """Extend the staged table with snapshot v3 (merge-on-read deletes):
+    scan the IMMUTABLE v2 data files, record the in-file row position of
+    every row matching the delete predicate into
+    ``deletes/v3-delete-00.parquet``, and write a v3 manifest listing the
+    unchanged v1∪v2 data files plus that delete file. Upgrades an
+    already-staged v1/v2 layout in place — data bytes are never touched,
+    which IS the merge-on-read contract."""
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as papq
+
+    root = _iceberg_stage(sf_dir)
+    man3 = os.path.join(root, "metadata", "v3.manifest.json")
+    if os.path.exists(man3):
+        return root
+    with open(os.path.join(root, "metadata", "v2.manifest.json")) as f:
+        m2 = json.load(f)
+    names: list[str] = []
+    poss: list[int] = []
+    for e in m2["files"]:
+        t = papq.read_table(
+            os.path.join(root, e["path"]), columns=["o_orderkey"]
+        )
+        k = t["o_orderkey"]
+        rem = pc.subtract(
+            k,
+            pc.multiply(
+                pc.divide(k, _ICEBERG_DELETE_MOD), _ICEBERG_DELETE_MOD
+            ),
+        )  # integer modulo (keys are non-negative)
+        hit = np.nonzero(
+            pc.equal(rem, _ICEBERG_DELETE_RES).to_numpy(
+                zero_copy_only=False
+            )
+        )[0]
+        fn = os.path.basename(e["path"])
+        names.extend([fn] * len(hit))
+        poss.extend(int(p) for p in hit)
+    os.makedirs(os.path.join(root, "deletes"), exist_ok=True)
+    dpath = "deletes/v3-delete-00.parquet"
+    papq.write_table(
+        pa.table(
+            {
+                "file_name": pa.array(names, pa.string()),
+                "pos": pa.array(poss, pa.int64()),
+            }
+        ),
+        os.path.join(root, dpath),
+    )
+    with open(man3, "w") as f:
+        json.dump(
+            {
+                "snapshot_id": 3,
+                "files": m2["files"],
+                "delete_files": [{"path": dpath, "rows": len(poss)}],
+            },
+            f,
+            sort_keys=True,
+        )
+    return root
+
+
+def _iceberg_read_v3(spark: SparkSession, sf_dir: str,
+                     keep_meta: bool = False):
+    """``orders AS OF v3`` merge-on-read: scan the v3 manifest's data
+    files (identical bytes to v1∪v2 — no rewrite happened), attach each
+    row's physical identity from Spark's file-source metadata column
+    (``_metadata.file_path`` + ``_metadata.row_index``), and subtract the
+    position-delete file via a BROADCAST anti-join — the delete side is
+    bounded metadata (one row per deleted row position, no payload), so
+    at 100 TB the read costs the data scan plus a broadcast, never a
+    shuffle of the fact table."""
+    import json
+    import os
+
+    root = _iceberg_stage_v3(sf_dir)
+    with open(os.path.join(root, "metadata", "v3.manifest.json")) as f:
+        manifest = json.load(f)
+    paths = [os.path.join(root, e["path"]) for e in manifest["files"]]
+    data = spark.read.parquet(*paths).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("_fn"),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    dels = spark.read.parquet(
+        os.path.join(root, manifest["delete_files"][0]["path"])
+    ).select(F.col("file_name").alias("_fn"), F.col("pos").alias("_pos"))
+    live = data.join(F.broadcast(dels), ["_fn", "_pos"], "left_anti")
+    if not keep_meta:
+        live = live.drop("_fn", "_pos")
+    return live, manifest
+
+
 def crawl_politeness_schedule(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """CRAWL POLITENESS SCHEDULER — the frontier-planning pass between the
@@ -2593,6 +2701,93 @@ SELECT v1.o_orderpriority,
        ROUND(CAST(rev_v1 AS DOUBLE), 2) AS rev_v1,
        ROUND(CAST(rev_v2 - rev_v1 AS DOUBLE), 2) AS rev_added
 FROM v1 JOIN v2 USING (o_orderpriority)
+ORDER BY o_orderpriority
+"""
+
+
+def iceberg_position_delete_scan(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """ROW-LEVEL DELETES, MERGE-ON-READ (r16): snapshot v3 deletes every
+    ``o_orderkey % {mod} == {res}`` row by publishing ONE bounded
+    position-delete file — no data file is rewritten. The ``AS OF v3``
+    read reconstructs the table by anti-joining the physical
+    (file, row-position) identity of each scanned row against the delete
+    file (:func:`_iceberg_read_v3`), and this query certifies it against
+    the COPY-ON-WRITE equivalent (the rewrite job's predicate applied to
+    the v2 read): per priority, v2/v3 row counts, the deleted row count
+    and revenue, and a flag that merge-on-read and copy-on-write agree
+    exactly — the invariant that makes MOR safe to serve.
+
+    At 100 TB: a delete touching 1/{mod} of a petabyte table costs ONE
+    metadata-sized parquet write instead of rewriting every affected data
+    file; the read applies it as a broadcast anti-join on (file, pos), so
+    the fact scan never shuffles. Closes the CDC lineage
+    (plans/cdc.py MERGE/tombstones) into the snapshot layer."""
+    v2, _m2 = _iceberg_read(spark, sf_dir, 2)
+    mor, _m3 = _iceberg_read_v3(spark, sf_dir)
+    # the copy-on-write twin: what a rewrite job (which knows the delete
+    # predicate) would have produced by rewriting the data files
+    cow = v2.filter(
+        F.col("o_orderkey") % _ICEBERG_DELETE_MOD != _ICEBERG_DELETE_RES
+    )
+
+    def census(df: DataFrame, suffix: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias(f"n_{suffix}"),
+            F.sum(
+                F.col("o_totalprice").cast("decimal(18,2)")
+            ).alias(f"rev_{suffix}"),
+        )
+
+    return (
+        census(v2, "v2")
+        .join(census(mor, "v3"), "o_orderpriority")
+        .join(census(cow, "cow"), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_v2",
+            "n_v3",
+            (F.col("n_v2") - F.col("n_v3")).alias("n_deleted"),
+            F.round(
+                (F.col("rev_v2") - F.col("rev_v3")).cast("double"), 2
+            ).alias("rev_deleted"),
+            (
+                (F.col("n_v3") == F.col("n_cow"))
+                & (F.col("rev_v3") == F.col("rev_cow"))
+            ).cast("int").alias("mor_matches_cow"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+iceberg_position_delete_scan.__doc__ = (
+    iceberg_position_delete_scan.__doc__.format(
+        mod=_ICEBERG_DELETE_MOD, res=_ICEBERG_DELETE_RES
+    )
+)
+
+_ICEBERG_DELETE_SQL = f"""
+WITH v2 AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n_v2,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_v2
+  FROM orders GROUP BY o_orderpriority
+),
+v3 AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n_v3,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_v3
+  FROM orders
+  WHERE o_orderkey % {_ICEBERG_DELETE_MOD} != {_ICEBERG_DELETE_RES}
+  GROUP BY o_orderpriority
+)
+SELECT v2.o_orderpriority,
+       n_v2,
+       n_v3,
+       n_v2 - n_v3 AS n_deleted,
+       ROUND(CAST(rev_v2 - rev_v3 AS DOUBLE), 2) AS rev_deleted,
+       CAST(1 AS INTEGER) AS mor_matches_cow
+FROM v2 JOIN v3 USING (o_orderpriority)
 ORDER BY o_orderpriority
 """
 
@@ -3435,6 +3630,7 @@ QUERIES = {
     "source_wet_conversion_scan": source_wet_conversion_scan,
     "crawl_sitemap_coverage_audit": crawl_sitemap_coverage_audit,
     "iceberg_time_travel_diff": iceberg_time_travel_diff,
+    "iceberg_position_delete_scan": iceberg_position_delete_scan,
     "source_pdf_scan": source_pdf_scan,
     "parquet_footer_census": parquet_footer_census,
     "avro_lineitem_roundtrip": avro_lineitem_roundtrip,
@@ -3466,6 +3662,7 @@ ORACLES = {
     "source_wet_conversion_scan": _wet_oracle(),
     "crawl_sitemap_coverage_audit": _SITEMAP_SQL,
     "iceberg_time_travel_diff": _ICEBERG_SQL,
+    "iceberg_position_delete_scan": _ICEBERG_DELETE_SQL,
     "source_pdf_scan": _pdf_oracle(),
     "parquet_footer_census": _footer_census_oracle_staged,  # lazy: stages
     "avro_lineitem_roundtrip": _AVRO_ROUNDTRIP_SQL,

@@ -547,6 +547,54 @@ def test_iceberg_v1_read_scans_only_v1_files(spark):
     assert v1.count() == v2.filter(F.col("o_orderkey") % 3 != 0).count()
 
 
+def test_iceberg_v3_merge_on_read_scans_no_rewritten_files(spark):
+    """r16 position deletes: the ``AS OF v3`` read must scan EXACTLY the
+    v1∪v2 data files (a delete snapshot rewrites nothing), the delete
+    side must be the bounded position file (one row per deleted row, no
+    payload), and merge-on-read must equal the copy-on-write rewrite
+    row-for-row."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_impl_spark.sources.queries import (
+        _ICEBERG_DELETE_MOD,
+        _ICEBERG_DELETE_RES,
+        _iceberg_read,
+        _iceberg_read_v3,
+    )
+    from tests.conftest import SF_DIR
+
+    v2, m2 = _iceberg_read(spark, SF_DIR, 2)
+    mor, m3 = _iceberg_read_v3(spark, SF_DIR, keep_meta=True)
+
+    # no rewrite: v3's data-file list is byte-identical to v2's, and the
+    # rows the MOR read actually produces come only from those files
+    assert m3["files"] == m2["files"]
+    scanned = {r._fn for r in mor.select("_fn").distinct().collect()}
+    assert scanned == {os.path.basename(e["path"]) for e in m2["files"]}
+
+    # the delete file is bounded metadata: exactly one row per deleted
+    # data row, and the manifest's row count is live
+    n_v2 = v2.count()
+    n_deleted = v2.filter(
+        F.col("o_orderkey") % _ICEBERG_DELETE_MOD == _ICEBERG_DELETE_RES
+    ).count()
+    assert m3["delete_files"][0]["rows"] == n_deleted
+    assert mor.count() == n_v2 - n_deleted
+
+    # merge-on-read == copy-on-write, key for key
+    cow_keys = {
+        r.o_orderkey
+        for r in v2.filter(
+            F.col("o_orderkey") % _ICEBERG_DELETE_MOD
+            != _ICEBERG_DELETE_RES
+        ).select("o_orderkey").collect()
+    }
+    mor_keys = {r.o_orderkey for r in mor.select("o_orderkey").collect()}
+    assert mor_keys == cow_keys
+
+
 def test_pdf_build_extract_strictness_and_interop():
     """r15 PDF scan: the parser must walk the real document tree (xref →
     catalog → pages → page → contents), recover text byte-exactly through
