@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datafusion_impl_spark.operators import duck_md5_long
 from datafusion_impl_spark.sources.registry import load_table
 
 __all__ = [
@@ -2831,6 +2832,400 @@ SELECT CAST(rate AS INTEGER) AS sample_rate,
 FROM dom
 GROUP BY rate
 ORDER BY sample_rate
+"""
+
+
+# --------------------------------------------------------------------------
+# Audio near-dup fingerprinting via constellation/landmark hashing (r16):
+# the Shazam scheme (Wang 2003, "An Industrial-Strength Audio Search
+# Algorithm") — per-frame spectral peaks form a constellation; peak PAIRS
+# within a small target zone become landmark hashes (f1, f2, dt); matching
+# is an equi-join on the hash followed by time-offset voting. Completes
+# the modality matrix: text has MinHash, images pHash — audio now has a
+# transform-invariant near-dup detector (amplitude scaling and time
+# shifting both preserve the landmarks).
+# --------------------------------------------------------------------------
+
+#: bounded planted corpus: audio clips for docs with doc_id < _CONST_DOCS
+#: and doc_id % MOD == RES (40 base clips at any sf).
+_CONST_DOCS, _CONST_MOD, _CONST_RES = 200, 5, 3
+#: STFT framing: _CONST_BASE_FRAMES frames of _CONST_FLEN samples each.
+_CONST_FLEN = 32
+_CONST_BASE_FRAMES = 14
+#: planted twin: drop the first _CONST_TWIN_DROP frames (time shift) and
+#: scale every sample by _CONST_SCALE (loudness change) — the two
+#: transforms a re-encoded copy of a clip typically carries. Twins are
+#: re-keyed +_CONST_TWIN_OFF.
+_CONST_TWIN_DROP = 2
+_CONST_SCALE = 2
+_CONST_TWIN_OFF = 1000000
+#: DFT bins searched for the per-frame peak (1..15 of a 32-sample frame).
+_CONST_BINS = 15
+#: target zone: a peak pairs with the peaks of the next 1.._CONST_DT frames.
+_CONST_DT = 3
+#: rounding of frame-bin powers before the argmax (libm last-bit margin —
+#: same analysis as _SPEC_ROUND above).
+_CONST_ROUND = 2
+#: verified match: at least this many landmarks aligned at ONE time offset.
+_CONST_MIN_VOTES = 10
+
+
+#: per-frame tone selection: an integer mix through a LARGE prime modulus
+#: before the bin reduction, so no two docs under the corpus bound share a
+#: tone sequence (a plain small-modulus mix would collide docs with equal
+#: residues and collapse the corpus into one constellation — the r16
+#: first-draft defect: every clip peaked at bin 1 and all twins "matched"
+#: the lowest base id). Arithmetic mixes failed twice more (a linear-in-t
+#: mix gives docs spaced Δ a TIME-SHIFTED identical sequence, and even a
+#: quadratic mix collided two docs through the final small-modulus
+#: reduction), so the tone comes from the repo's portable 60-bit md5 hash
+#: — the same cross-engine-exact primitive every sketch here uses.
+#: base amplitude; twins carry _CONST_SCALE × this (inside int16).
+_CONST_AMP = 1000
+
+
+def _const_frame_bin(src: int, t: int) -> int:
+    """Tone bin (1..{bins}) of frame ``t`` of clip ``src`` — the 60-bit
+    md5 arithmetic of ``operators.md5_long``, replayed verbatim by the
+    DuckDB oracle via ``duck_md5_long``."""
+    return 1 + (
+        int(hashlib.md5(f"{src}|{t}".encode()).hexdigest()[:15], 16)
+        % _CONST_BINS
+    )
+
+
+def _const_clip_samples(src: int, twin: bool):
+    """int16 samples of a planted clip: each {flen}-sample frame is an
+    integer SQUARE WAVE at the frame's tone bin (``+A`` where
+    ``(j·f) % {flen} < {half}``, ``-A`` otherwise — zero-DC, fundamental
+    at bin f, strongest harmonic 1/3 of it, so the per-frame DFT peak IS
+    the tone). The twin drops the first {d} frames and doubles the
+    amplitude — landmark-preserving transforms with exactly-integer
+    samples (no trig anywhere near the encoder, so both engines rebuild
+    identical sample values)."""
+    import numpy as np
+
+    drop = _CONST_TWIN_DROP if twin else 0
+    amp = _CONST_AMP * (_CONST_SCALE if twin else 1)
+    nf = _CONST_BASE_FRAMES - drop
+    j = np.arange(_CONST_FLEN, dtype=np.int64)
+    frames = []
+    for t in range(drop, drop + nf):
+        f = _const_frame_bin(src, t)
+        frames.append(
+            np.where((j * f) % _CONST_FLEN < _CONST_FLEN // 2, amp, -amp)
+        )
+    return np.concatenate(frames).astype("<i2")
+
+
+_const_frame_bin.__doc__ = _const_frame_bin.__doc__.format(
+    bins=_CONST_BINS
+)
+_const_clip_samples.__doc__ = _const_clip_samples.__doc__.format(
+    d=_CONST_TWIN_DROP,
+    flen=_CONST_FLEN,
+    half=_CONST_FLEN // 2,
+)
+
+
+def _const_wav_bytes(samples) -> bytes:
+    """Real 16-bit PCM mono WAV bytes at 8 kHz (same RIFF layout as
+    :func:`_wav_encode`)."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16
+    )
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def _const_peaks(clips: DataFrame) -> DataFrame:
+    """``mapInArrow`` STFT-peak kernel: decode each WAV, split into
+    {flen}-sample frames, compute the exact DFT power at bins
+    k = 1..{bins} per frame with the same scalar ``math.cos/sin`` loop as
+    :func:`wav_spectrum` (libm parity with the SQL replay), and emit the
+    per-frame PEAK bin — argmax on the {rnd}-dp-rounded powers, smaller k
+    on ties. One (clip, frame, peak) row per frame; samples never leave
+    the kernel."""
+    import math
+
+    import pyarrow as pa
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column(b.schema.get_field_index("clip_id"))
+            blobs = b.column(b.schema.get_field_index("media"))
+            out_id, out_t, out_f = [], [], []
+            for cid, v in zip(ids, blobs):
+                _rate, s = decode_wav(v.as_py())
+                nf = len(s) // _CONST_FLEN
+                for t in range(nf):
+                    base = t * _CONST_FLEN
+                    best_k, best_p = 0, None
+                    for k in range(1, _CONST_BINS + 1):
+                        re = im = 0.0
+                        for j in range(_CONST_FLEN):
+                            # div-safe: _CONST_FLEN is a positive constant
+                            th = 2 * math.pi * k * j / _CONST_FLEN
+                            x = float(s[base + j])
+                            re += x * math.cos(th)
+                            im += x * math.sin(th)
+                        p = _round_half_up_f(re * re + im * im,
+                                             _CONST_ROUND)
+                        if best_p is None or p > best_p:
+                            best_k, best_p = k, p
+                    out_id.append(cid.as_py())
+                    out_t.append(t)
+                    out_f.append(best_k)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, type=pa.int64()),
+                    pa.array(out_t, type=pa.int32()),
+                    pa.array(out_f, type=pa.int32()),
+                ],
+                names=["clip_id", "t", "f"],
+            )
+
+    return clips.mapInArrow(fn, "clip_id bigint, t int, f int")
+
+
+_const_peaks.__doc__ = _const_peaks.__doc__.format(
+    flen=_CONST_FLEN, bins=_CONST_BINS, rnd=_CONST_ROUND
+)
+
+
+def audio_constellation_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AUDIO NEAR-DUP via constellation/landmark hashing (Wang 2003): for
+    every planted clip, per-frame spectral peaks (the constellation) are
+    paired with the peaks of the next 1..{dt} frames into landmark hashes
+    ``(f1, f2, dt)``; twin clips (time-shifted by {drop} frames AND
+    amplitude-scaled ×{scale} — both landmark-preserving transforms) are
+    matched against the base corpus by an EQUI-JOIN on the hash, and each
+    candidate pair is verified by time-offset voting: a real near-dup
+    aligns many landmarks at ONE offset, chance collisions scatter. Per
+    twin: the best-voted base clip, its vote count, the twin's landmark
+    count, and whether the match is verified-correct (>= {mv} aligned
+    votes AND the true source).
+
+    Scale shape — the MinHash discipline on a new modality: candidates
+    come ONLY from the landmark-hash equi-join (never clip×clip), votes
+    are a groupBy on (twin, base, offset), and the verify is an aggregate
+    over candidates. At 100 TB the landmark table is ~3 rows per frame of
+    audio and the hash key widens with frame size (production: 10-bit
+    f1/f2 + 12-bit dt), keeping bucket fan-out flat."""
+    from pyspark.sql import Window
+
+    from datafusion_impl_spark.operators import materialize
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(
+            (F.col("doc_id") < _CONST_DOCS)
+            & (F.col("doc_id") % _CONST_MOD == _CONST_RES)
+        )
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                src = int(d)
+                rows.append(
+                    (src, _const_wav_bytes(_const_clip_samples(src, False)))
+                )
+                rows.append(
+                    (
+                        src + _CONST_TWIN_OFF,
+                        _const_wav_bytes(_const_clip_samples(src, True)),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["clip_id", "media"])
+
+    clips = docs.mapInPandas(build, "clip_id bigint, media binary")
+    peaks = materialize(_const_peaks(clips))
+    dts = spark.range(1, _CONST_DT + 1).select(
+        F.col("id").cast("int").alias("dt")
+    )
+    a = peaks.select("clip_id", "t", F.col("f").alias("f1"))
+    b = peaks.select(
+        "clip_id", F.col("t").alias("t2"), F.col("f").alias("f2")
+    )
+    lms = (
+        a.crossJoin(F.broadcast(dts))
+        .join(b, ["clip_id"])
+        .filter(F.col("t2") == F.col("t") + F.col("dt"))
+        .select(
+            "clip_id",
+            "t",
+            (
+                (F.col("f1") * (_CONST_BINS + 1) + F.col("f2"))
+                * (_CONST_DT + 1)
+                + F.col("dt")
+            ).alias("h"),
+        )
+    )
+    lms = materialize(lms)
+    tw = lms.filter(F.col("clip_id") >= _CONST_TWIN_OFF).select(
+        F.col("clip_id").alias("twin_doc"),
+        F.col("t").alias("tt"),
+        "h",
+    )
+    ba = lms.filter(F.col("clip_id") < _CONST_TWIN_OFF).select(
+        F.col("clip_id").alias("base_id"),
+        F.col("t").alias("tb"),
+        "h",
+    )
+    votes = (
+        tw.join(ba, "h")
+        .select(
+            "twin_doc", "base_id", (F.col("tb") - F.col("tt")).alias("off")
+        )
+        .groupBy("twin_doc", "base_id", "off")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    pair = votes.groupBy("twin_doc", "base_id").agg(
+        F.max("v").alias("votes")
+    )
+    wbest = Window.partitionBy("twin_doc").orderBy(
+        F.desc("votes"), F.asc("base_id")
+    )
+    best = (
+        pair.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    nlm = lms.groupBy("clip_id").agg(F.count(F.lit(1)).alias("n_landmarks"))
+    return (
+        best.join(
+            nlm.withColumnRenamed("clip_id", "twin_doc"), "twin_doc"
+        )
+        .select(
+            "twin_doc",
+            F.col("base_id").alias("matched_doc"),
+            F.col("votes").cast("long").alias("votes"),
+            F.col("n_landmarks").cast("long").alias("n_landmarks"),
+            (
+                (F.col("votes") >= _CONST_MIN_VOTES)
+                & (F.col("base_id") == F.col("twin_doc") - _CONST_TWIN_OFF)
+            ).cast("int").alias("verified_correct"),
+        )
+        .orderBy("twin_doc")
+    )
+
+
+audio_constellation_near_dup.__doc__ = (
+    audio_constellation_near_dup.__doc__.format(
+        dt=_CONST_DT,
+        drop=_CONST_TWIN_DROP,
+        scale=_CONST_SCALE,
+        mv=_CONST_MIN_VOTES,
+    )
+)
+
+# Oracle: replay the plant arithmetic — samples from the shared formula,
+# per-frame DFT with SQL COS/SIN (libm parity at 2 dp), rounded-argmax
+# peaks, landmark pairing, hash join, offset voting — the full pipeline
+# value-checked end to end.
+_CONSTELLATION_SQL = f"""
+WITH docs AS (
+  SELECT doc_id AS src FROM documents
+  WHERE doc_id < {_CONST_DOCS} AND doc_id % {_CONST_MOD} = {_CONST_RES}
+),
+clips AS (
+  SELECT src AS clip_id, src,
+         {_CONST_BASE_FRAMES * _CONST_FLEN} AS n, 0 AS tdrop,
+         {_CONST_AMP} AS amp
+  FROM docs
+  UNION ALL
+  SELECT src + {_CONST_TWIN_OFF}, src,
+         {(_CONST_BASE_FRAMES - _CONST_TWIN_DROP) * _CONST_FLEN},
+         {_CONST_TWIN_DROP}, {_CONST_AMP * _CONST_SCALE}
+  FROM docs
+),
+fbins AS (
+  SELECT c.clip_id, c.amp, c.n, tf.tt,
+         1 + {duck_md5_long(
+             "CAST(c.src AS VARCHAR) || '|' || CAST(tf.tt AS VARCHAR)"
+         )} % {_CONST_BINS} AS f
+  FROM clips c
+  JOIN (SELECT unnest(generate_series(0,
+         {_CONST_BASE_FRAMES - 1})) AS tt) tf
+    ON tf.tt >= c.tdrop AND tf.tt < c.tdrop + c.n // {_CONST_FLEN}
+),
+samples AS (
+  SELECT fb.clip_id,
+         (fb.tt - c.tdrop) * {_CONST_FLEN} + gj.j AS i,
+         CASE WHEN (gj.j * fb.f) % {_CONST_FLEN} < {_CONST_FLEN // 2}
+              THEN fb.amp ELSE -fb.amp END AS s
+  FROM fbins fb
+  JOIN clips c ON c.clip_id = fb.clip_id
+  JOIN (SELECT unnest(generate_series(0, {_CONST_FLEN - 1})) AS j) gj
+    ON true
+),
+sums AS (
+  SELECT clip_id, i // {_CONST_FLEN} AS t, k,
+         SUM(s * COS(2 * PI() * k * (i % {_CONST_FLEN}) / {_CONST_FLEN}))
+           AS re,
+         SUM(s * SIN(2 * PI() * k * (i % {_CONST_FLEN}) / {_CONST_FLEN}))
+           AS im
+  FROM samples,
+       (SELECT unnest(generate_series(1, {_CONST_BINS})) AS k) ks
+  GROUP BY clip_id, i // {_CONST_FLEN}, k
+),
+pw AS (
+  SELECT clip_id, t, k, ROUND(re * re + im * im, {_CONST_ROUND}) AS p
+  FROM sums
+),
+peaks AS (
+  SELECT clip_id, t, k AS f FROM (
+    SELECT clip_id, t, k,
+           ROW_NUMBER() OVER (PARTITION BY clip_id, t
+                              ORDER BY p DESC, k) AS rn
+    FROM pw
+  ) WHERE rn = 1
+),
+lms AS (
+  SELECT a.clip_id, a.t,
+         (a.f * {_CONST_BINS + 1} + b.f) * {_CONST_DT + 1} + d.dt AS h
+  FROM peaks a
+  JOIN (SELECT unnest(generate_series(1, {_CONST_DT})) AS dt) d ON true
+  JOIN peaks b ON b.clip_id = a.clip_id AND b.t = a.t + d.dt
+),
+votes AS (
+  SELECT tw.clip_id AS twin_doc, ba.clip_id AS base_id,
+         ba.t - tw.t AS off, COUNT(*) AS v
+  FROM lms tw JOIN lms ba ON ba.h = tw.h
+  WHERE tw.clip_id >= {_CONST_TWIN_OFF}
+    AND ba.clip_id < {_CONST_TWIN_OFF}
+  GROUP BY tw.clip_id, ba.clip_id, ba.t - tw.t
+),
+pair AS (
+  SELECT twin_doc, base_id, MAX(v) AS votes
+  FROM votes GROUP BY twin_doc, base_id
+),
+best AS (
+  SELECT twin_doc, base_id, votes FROM (
+    SELECT twin_doc, base_id, votes,
+           ROW_NUMBER() OVER (PARTITION BY twin_doc
+                              ORDER BY votes DESC, base_id) AS rn
+    FROM pair
+  ) WHERE rn = 1
+),
+nlm AS (SELECT clip_id, COUNT(*) AS n FROM lms GROUP BY clip_id)
+SELECT b.twin_doc,
+       b.base_id AS matched_doc,
+       CAST(b.votes AS BIGINT) AS votes,
+       CAST(nlm.n AS BIGINT) AS n_landmarks,
+       CAST(CASE WHEN b.votes >= {_CONST_MIN_VOTES}
+                  AND b.base_id = b.twin_doc - {_CONST_TWIN_OFF}
+                 THEN 1 ELSE 0 END AS INTEGER) AS verified_correct
+FROM best b JOIN nlm ON nlm.clip_id = b.twin_doc
+ORDER BY twin_doc
 """
 
 
@@ -5899,6 +6294,7 @@ QUERIES = {
     "multimodal_wav_decode_stats": multimodal_wav_decode_stats,
     "audio_peak_normalize_stats": audio_peak_normalize_stats,
     "multimodal_wav_spectrum_stats": multimodal_wav_spectrum_stats,
+    "audio_constellation_near_dup": audio_constellation_near_dup,
     "audio_mel_filterbank_stats": audio_mel_filterbank_stats,
     "multimodal_resize_bilinear_stats": multimodal_resize_bilinear_stats,
     "audio_resample_linear": audio_resample_linear,
@@ -5929,6 +6325,7 @@ ORACLES = {
     "multimodal_wav_decode_stats": _WAV_DECODE_SQL,
     "audio_peak_normalize_stats": _PEAK_NORM_SQL,
     "multimodal_wav_spectrum_stats": _WAV_SPECTRUM_SQL,
+    "audio_constellation_near_dup": _CONSTELLATION_SQL,
     "audio_mel_filterbank_stats": _mel_sql(),
     "multimodal_resize_bilinear_stats": _resize_sql(),
     "audio_resample_linear": _RESAMPLE_SQL,

@@ -1560,6 +1560,26 @@ def test_suffix_array_planted_span_boundaries_exact(spark):
         assert base.max_span >= 60 and base.dup_tokens >= 60
 
 
+def test_constellation_planted_twin_recall(spark):
+    """Audio landmark fingerprinting must recover EVERY planted twin
+    (time-shifted + amplitude-scaled — both transforms the landmarks are
+    invariant to) with full offset-aligned votes, and produce zero false
+    matches: each twin's best-voted base is its true source."""
+    from datafusion_impl_spark.operators.multimodal import (
+        _CONST_TWIN_OFF,
+        audio_constellation_near_dup,
+    )
+
+    rows = audio_constellation_near_dup(spark, SF_DIR).collect()
+    assert rows, "no planted twins"
+    for r in rows:
+        assert r.verified_correct == 1
+        assert r.matched_doc == r.twin_doc - _CONST_TWIN_OFF
+        # all 30 twin landmarks align at the true offset (12 frames ->
+        # 30 landmark pairs, every one preserved by the transforms)
+        assert r.votes == r.n_landmarks == 30
+
+
 def test_sq8_recall_is_high(spark):
     """1-byte scalar quantization on this corpus must stay near-exact:
     every query keeps >=3 of its true top-5, and the mean is >=4

@@ -141,6 +141,8 @@ def test_no_python_in_any_relational_plan(spark):
         "source_zstd_seekable_scan",    # seek-table zstd codec IS the operator (r14)
         "source_warc_scan",             # WARC double-framing codec IS the operator (r14)
         "audio_peak_normalize_stats",   # decode+integer-rescale kernel (r15)
+        "audio_constellation_near_dup",  # decode+STFT-peak kernel (r16); the
+        # landmark pairing, hash join, and offset voting are all JVM-side
         "audio_vad_segments",           # decode+frame-energy kernel (r14); the
         # island merge itself is JVM window functions
         "multimodal_png_encode_roundtrip",  # own-DEFLATE writer IS the operator (r14)
