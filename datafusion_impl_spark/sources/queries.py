@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from datafusion_impl_spark.operators import duck_md5_long, md5_long
 from datafusion_impl_spark.sources.registry import load_table, read_csv
 
 __all__ = ["QUERIES", "ORACLES"]
@@ -2705,6 +2706,287 @@ ORDER BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# Parquet bloom-filter row-group skipping (r16): the point-lookup index
+# layer modern engines add where min/max stats can't prune — a HASH-ordered
+# layout gives every row group the full key range, so ONLY a per-row-group
+# membership sketch can skip. pyarrow 16 cannot write spec (SBBF) blooms,
+# so the layout carries a SIDECAR bloom per row group built with the repo's
+# portable md5-Bloom register arithmetic (operators/dedup.py) — which is
+# exactly what lets DuckDB replay membership bit-for-bit.
+# --------------------------------------------------------------------------
+
+_BLOOMRG_ROOT = "/tmp/datafusion_impl_spark_bloomrg"
+_BRG_RGS = 8            # row groups in the staged layout
+_BRG_BITS = 16384       # m = 2^14 bits per row-group bloom (2 KB)
+_BRG_K = 5              # hash functions
+_BRG_BLOCK = 32         # bits per BIGINT register block (sign-safe)
+_BRG_PROBE_MOD, _BRG_PROBE_RES, _BRG_PROBES = 7, 1, 40
+
+
+def _bloomrg_hash(key: int, j: int | None = None) -> int:
+    """Python twin of ``operators.md5_long`` over the key (optionally
+    salted with ``#j``) — the staging side of the cross-engine contract."""
+    import hashlib
+
+    s = str(key) if j is None else f"{key}#{j}"
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _bloomrg_stage(sf_dir: str) -> str:
+    """Stage once per sf: ``orders`` keys re-ordered by their md5 hash
+    (min/max pruning provably useless — every row group spans ~the whole
+    key range) into ONE parquet file of {rgs} row groups, plus a sidecar
+    ``blooms.parquet`` holding each row group's {m}-bit filter as 32-bit
+    register blocks, and a JSON manifest with the layout arithmetic."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_BLOOMRG_ROOT, tag)
+    done = os.path.join(root, "_STAGED")
+    if os.path.exists(done):
+        return root
+    os.makedirs(root, exist_ok=True)
+    t = papq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey"]
+    )
+    keys = sorted(
+        t["o_orderkey"].to_pylist(), key=lambda k: (_bloomrg_hash(k), k)
+    )
+    n = len(keys)
+    per = (n + _BRG_RGS - 1) // _BRG_RGS
+    papq.write_table(
+        pa.table({"o_orderkey": pa.array(keys, pa.int64())}),
+        os.path.join(root, "data.parquet"),
+        row_group_size=per,
+    )
+    regs: dict[tuple[int, int], int] = {}
+    for idx, k in enumerate(keys):
+        rg = idx // per
+        for j in range(_BRG_K):
+            pos = _bloomrg_hash(k, j) % _BRG_BITS
+            blk = (rg, pos // _BRG_BLOCK)
+            regs[blk] = regs.get(blk, 0) | (1 << (pos % _BRG_BLOCK))
+    items = sorted(regs.items())
+    papq.write_table(
+        pa.table(
+            {
+                "rg": pa.array([r for (r, _b), _v in items], pa.int32()),
+                "block": pa.array([b for (_r, b), _v in items], pa.int64()),
+                "reg": pa.array([v for _k, v in items], pa.int64()),
+            }
+        ),
+        os.path.join(root, "blooms.parquet"),
+    )
+    with open(os.path.join(root, "manifest.json"), "w") as f:
+        json.dump({"rows": n, "per": per, "rgs": _BRG_RGS}, f)
+    open(done, "w").close()
+    return root
+
+
+_bloomrg_stage.__doc__ = _bloomrg_stage.__doc__.format(
+    rgs=_BRG_RGS, m=_BRG_BITS
+)
+
+
+def parquet_bloom_rowgroup_skipping(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER ROW-GROUP SKIPPING census: over the hash-ordered
+    layout (where min/max stats cannot prune anything), probe every
+    planted point-lookup key — {np} keys PRESENT in the table
+    (o_orderkey % {pm} == {pr}, smallest first) and their {np} shifted
+    ABSENT twins (key + max_key + 1) — against each row group's sidecar
+    bloom, and report the per-row-group skip verdicts next to ground
+    truth from the data file itself: probes, bloom-maybes, skips, truly
+    present, false positives (the bloom contract's price) and false
+    negatives (must be ZERO — a bloom only over-admits; the pytest pins
+    it).
+
+    Scale shape: the probe plan never scans data pages for skipped
+    groups — verdicts come from the broadcast sidecar (2 KB per row
+    group at any table size); ground truth is one equi-join of the
+    bounded probe set against the data file. At 100 TB the sidecar is
+    the only thing a point lookup touches for the groups it skips —
+    exactly the parquet SBBF read path, with the repo's portable md5
+    registers standing in for the spec's xxhash SBBF (pyarrow 16 cannot
+    write those)."""
+    import json
+    import os
+
+    root = _bloomrg_stage(sf_dir)
+    with open(os.path.join(root, "manifest.json")) as f:
+        man = json.load(f)
+    per, rgs = man["per"], man["rgs"]
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    present = (
+        orders.filter(
+            F.col("o_orderkey") % _BRG_PROBE_MOD == _BRG_PROBE_RES
+        )
+        .orderBy("o_orderkey")
+        .limit(_BRG_PROBES)
+        .select(F.col("o_orderkey").alias("key"))
+    )
+    mx = orders.agg(F.max("o_orderkey").alias("mx"))
+    probes = present.select(
+        "key", F.lit(1).alias("expected_present")
+    ).unionByName(
+        present.crossJoin(F.broadcast(mx)).select(
+            (F.col("key") + F.col("mx") + 1).alias("key"),
+            F.lit(0).alias("expected_present"),
+        )
+    )
+    rg_ids = spark.range(rgs).select(F.col("id").cast("int").alias("rg"))
+    js = F.explode(F.array(*[F.lit(j) for j in range(_BRG_K)]))
+    pos = md5_long(
+        F.concat(F.col("key").cast("string"), F.lit("#"),
+                 F.col("j").cast("string"))
+    ) % _BRG_BITS
+    ppos = (
+        probes.crossJoin(F.broadcast(rg_ids))
+        .select("key", "expected_present", "rg", js.alias("j"))
+        .select(
+            "key", "expected_present", "rg",
+            (pos / _BRG_BLOCK).cast("long").alias("block"),
+            (pos % _BRG_BLOCK).alias("bit"),
+        )
+    )
+    blooms = spark.read.parquet(os.path.join(root, "blooms.parquet"))
+    maybe = (
+        ppos.join(F.broadcast(blooms), ["rg", "block"], "left")
+        .select(
+            "key", "expected_present", "rg",
+            (
+                F.coalesce(F.col("reg"), F.lit(0))
+                .bitwiseAND(F.pow(F.lit(2.0), F.col("bit")).cast("long"))
+                != 0
+            ).cast("int").alias("bit_set"),
+        )
+        .groupBy("key", "expected_present", "rg")
+        .agg((F.min("bit_set") == 1).alias("bloom_maybe"))
+    )
+    truth = (
+        spark.read.parquet(os.path.join(root, "data.parquet"))
+        .select(
+            F.col("o_orderkey").alias("key"),
+            (F.col("_metadata.row_index") / per).cast("int").alias("rg"),
+        )
+        .join(probes.select("key"), "key")
+        .select("key", "rg", F.lit(1).alias("actually_present"))
+    )
+    verdicts = maybe.join(truth, ["key", "rg"], "left").select(
+        "rg",
+        "bloom_maybe",
+        F.coalesce("actually_present", F.lit(0)).alias("present"),
+    )
+    return (
+        verdicts.groupBy("rg")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(F.col("bloom_maybe").cast("long")).alias("n_maybe"),
+            F.sum((~F.col("bloom_maybe")).cast("long")).alias("n_skipped"),
+            F.sum("present").cast("long").alias("n_present"),
+            F.sum(
+                (F.col("bloom_maybe") & (F.col("present") == 0))
+                .cast("long")
+            ).alias("n_false_pos"),
+            F.sum(
+                (~F.col("bloom_maybe") & (F.col("present") == 1))
+                .cast("long")
+            ).alias("n_false_neg"),
+        )
+        .orderBy("rg")
+    )
+
+
+parquet_bloom_rowgroup_skipping.__doc__ = (
+    parquet_bloom_rowgroup_skipping.__doc__.format(
+        np=_BRG_PROBES, pm=_BRG_PROBE_MOD, pr=_BRG_PROBE_RES
+    )
+)
+
+_BLOOMRG_SQL = f"""
+WITH nrows AS (SELECT COUNT(*) AS n FROM orders),
+laid2 AS (
+  SELECT o_orderkey AS key,
+         CAST((ROW_NUMBER() OVER (
+             ORDER BY {duck_md5_long('CAST(o_orderkey AS VARCHAR)')},
+                      o_orderkey) - 1)
+           // (((SELECT n FROM nrows) + {_BRG_RGS - 1}) // {_BRG_RGS})
+           AS INTEGER) AS rg
+  FROM orders
+),
+mpos AS (
+  SELECT rg,
+         {duck_md5_long(
+             "CAST(key AS VARCHAR) || '#' || CAST(j AS VARCHAR)"
+         )} % {_BRG_BITS} AS pos
+  FROM laid2,
+       (SELECT unnest(generate_series(0, {_BRG_K - 1})) AS j) js
+),
+blooms AS (
+  SELECT rg, pos // {_BRG_BLOCK} AS block,
+         bit_or(CAST(POW(2, pos % {_BRG_BLOCK}) AS BIGINT)) AS reg
+  FROM mpos GROUP BY rg, pos // {_BRG_BLOCK}
+),
+present AS (
+  SELECT o_orderkey AS key FROM orders
+  WHERE o_orderkey % {_BRG_PROBE_MOD} = {_BRG_PROBE_RES}
+  ORDER BY o_orderkey LIMIT {_BRG_PROBES}
+),
+probes AS (
+  SELECT key, 1 AS expected_present FROM present
+  UNION ALL
+  SELECT key + (SELECT MAX(o_orderkey) FROM orders) + 1, 0 FROM present
+),
+ppos AS (
+  SELECT p.key, p.expected_present, r.rg,
+         {duck_md5_long(
+             "CAST(p.key AS VARCHAR) || '#' || CAST(j AS VARCHAR)"
+         )} % {_BRG_BITS} AS pos
+  FROM probes p,
+       (SELECT unnest(generate_series(0, {_BRG_RGS - 1})) AS rg) r,
+       (SELECT unnest(generate_series(0, {_BRG_K - 1})) AS j) js
+),
+maybe AS (
+  SELECT key, expected_present, ppos.rg AS rg,
+         MIN(CASE WHEN (COALESCE(b.reg, 0)
+                        & CAST(POW(2, pos % {_BRG_BLOCK}) AS BIGINT)) <> 0
+                  THEN 1 ELSE 0 END) = 1 AS bloom_maybe
+  FROM ppos LEFT JOIN blooms b
+    ON b.rg = ppos.rg AND b.block = pos // {_BRG_BLOCK}
+  GROUP BY key, expected_present, ppos.rg
+),
+truth AS (
+  SELECT l.key, l.rg, 1 AS actually_present
+  FROM laid2 l JOIN probes p ON p.key = l.key
+),
+verdicts AS (
+  SELECT m.rg, m.bloom_maybe,
+         COALESCE(t.actually_present, 0) AS present
+  FROM maybe m LEFT JOIN truth t ON t.key = m.key AND t.rg = m.rg
+)
+SELECT rg,
+       COUNT(*) AS n_probes,
+       CAST(SUM(CASE WHEN bloom_maybe THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_maybe,
+       CAST(SUM(CASE WHEN bloom_maybe THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_skipped,
+       CAST(SUM(present) AS BIGINT) AS n_present,
+       CAST(SUM(CASE WHEN bloom_maybe AND present = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN NOT bloom_maybe AND present = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_neg
+FROM verdicts
+GROUP BY rg
+ORDER BY rg
+"""
+
+
 def iceberg_position_delete_scan(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """ROW-LEVEL DELETES, MERGE-ON-READ (r16): snapshot v3 deletes every
@@ -3631,6 +3913,7 @@ QUERIES = {
     "crawl_sitemap_coverage_audit": crawl_sitemap_coverage_audit,
     "iceberg_time_travel_diff": iceberg_time_travel_diff,
     "iceberg_position_delete_scan": iceberg_position_delete_scan,
+    "parquet_bloom_rowgroup_skipping": parquet_bloom_rowgroup_skipping,
     "source_pdf_scan": source_pdf_scan,
     "parquet_footer_census": parquet_footer_census,
     "avro_lineitem_roundtrip": avro_lineitem_roundtrip,
@@ -3663,6 +3946,7 @@ ORACLES = {
     "crawl_sitemap_coverage_audit": _SITEMAP_SQL,
     "iceberg_time_travel_diff": _ICEBERG_SQL,
     "iceberg_position_delete_scan": _ICEBERG_DELETE_SQL,
+    "parquet_bloom_rowgroup_skipping": _BLOOMRG_SQL,
     "source_pdf_scan": _pdf_oracle(),
     "parquet_footer_census": _footer_census_oracle_staged,  # lazy: stages
     "avro_lineitem_roundtrip": _AVRO_ROUNDTRIP_SQL,

@@ -595,6 +595,31 @@ def test_iceberg_v3_merge_on_read_scans_no_rewritten_files(spark):
     assert mor_keys == cow_keys
 
 
+def test_bloom_rowgroup_skipping_never_false_negative(spark):
+    """r16 bloom sidecar: the membership contract — a bloom may
+    over-admit (false positives are the price) but NEVER under-admit: a
+    present key must read bloom_maybe in its own row group. Also pins
+    that the hash layout actually skips (every row group skips most
+    probes) and that all planted present keys land somewhere."""
+    from datafusion_impl_spark.sources.queries import (
+        _BRG_PROBES,
+        _BRG_RGS,
+        parquet_bloom_rowgroup_skipping,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = parquet_bloom_rowgroup_skipping(spark, SF_DIR).collect()
+    assert len(rows) == _BRG_RGS
+    assert all(r.n_false_neg == 0 for r in rows)
+    # present keys are distributed across groups and all accounted for
+    assert sum(r.n_present for r in rows) == _BRG_PROBES
+    # the layout defeats min/max pruning, the bloom still skips most
+    # probes in every group
+    for r in rows:
+        assert r.n_skipped > r.n_probes // 2
+        assert r.n_maybe == r.n_present + r.n_false_pos
+
+
 def test_pdf_build_extract_strictness_and_interop():
     """r15 PDF scan: the parser must walk the real document tree (xref →
     catalog → pages → page → contents), recover text byte-exactly through
