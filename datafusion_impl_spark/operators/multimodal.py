@@ -3230,6 +3230,292 @@ ORDER BY twin_doc
 
 
 # --------------------------------------------------------------------------
+# Video near-dup via frame-gradient fingerprints + temporal voting (r16):
+# completes the near-dup modality matrix (text MinHash, image pHash, audio
+# constellation — now video). Per frame: a brightness-INVARIANT spatial
+# fingerprint (the sign pattern of adjacent block-mean differences — a
+# uniform luma shift cancels in every difference); per clip pair: an
+# equi-join on the fingerprint plus time-offset voting, so a re-encoded
+# copy (frames dropped, brightness shifted) aligns its whole tail at one
+# offset while chance fingerprint collisions scatter. Unlike the audio
+# constellation, frames need no landmark PAIRING: a 47-bit spatial
+# fingerprint is already selective, the temporal vote supplies the rest.
+# --------------------------------------------------------------------------
+
+#: bounded planted corpus: video for docs with doc_id < _VID_DOCS and
+#: doc_id % MOD == RES (40 base clips at any sf).
+_VID_DOCS, _VID_MOD, _VID_RES = 200, 5, 4
+#: geometry: W×H luma, BLK×BLK constant-valued blocks, FRAMES per clip.
+_VID_W, _VID_H, _VID_BLK = 16, 12, 2
+_VID_FRAMES = 16
+#: twin transform: drop the first _VID_DROP frames + add _VID_SHIFT to
+#: every luma sample (block values stay < 256 — no wrap).
+_VID_DROP = 3
+_VID_SHIFT = 25
+_VID_TWIN_OFF = 1000000
+#: block values (md5-derived, 0..199) leave headroom for the shift.
+_VID_BV_MOD = 200
+#: verified match: aligned frame votes at one offset.
+_VID_MIN_VOTES = 8
+
+
+def _vid_block_value(src: int, f: int, bx: int, by: int) -> int:
+    """Luma of the (bx, by) block of frame ``f`` of clip ``src`` — the
+    portable 60-bit md5 arithmetic, replayed verbatim by the oracle."""
+    return (
+        int(
+            hashlib.md5(f"{src}|{f}|{bx}|{by}".encode()).hexdigest()[:15],
+            16,
+        )
+        % _VID_BV_MOD
+    )
+
+
+def _vid_y4m_bytes(src: int, twin: bool) -> bytes:
+    """Real YUV4MPEG2 bytes: {w}x{h} C420 clips whose luma is constant
+    within each {b}x{b} block (the md5 block value; twins add
+    +{s} everywhere and start {d} frames in), chroma flat 128."""
+    import numpy as np
+
+    drop = _VID_DROP if twin else 0
+    shift = _VID_SHIFT if twin else 0
+    nbx, nby = _VID_W // _VID_BLK, _VID_H // _VID_BLK
+    out = [
+        f"YUV4MPEG2 W{_VID_W} H{_VID_H} F25:1 Ip A1:1 C420\n".encode()
+    ]
+    cpx = (_VID_W // 2) * (_VID_H // 2)
+    for f in range(drop, _VID_FRAMES):
+        y = np.empty((_VID_H, _VID_W), dtype=np.uint8)
+        for by in range(nby):
+            for bx in range(nbx):
+                y[
+                    by * _VID_BLK:(by + 1) * _VID_BLK,
+                    bx * _VID_BLK:(bx + 1) * _VID_BLK,
+                ] = _vid_block_value(src, f, bx, by) + shift
+        out.append(b"FRAME\n")
+        out.append(y.tobytes())
+        out.append(bytes([128]) * cpx * 2)
+    return b"".join(out)
+
+
+_vid_y4m_bytes.__doc__ = _vid_y4m_bytes.__doc__.format(
+    w=_VID_W, h=_VID_H, b=_VID_BLK, s=_VID_SHIFT, d=_VID_DROP
+)
+
+
+def _vid_fingerprints(clips: DataFrame) -> DataFrame:
+    """``mapInArrow`` kernel: decode each Y4M with the shared parser and
+    emit one fingerprint row per frame — bit i set iff block-mean i+1 >
+    block-mean i in raster order (brightness-shift invariant; exact
+    integer block means, so both engines agree bit-for-bit)."""
+    import numpy as np
+    import pyarrow as pa
+
+    nbx, nby = _VID_W // _VID_BLK, _VID_H // _VID_BLK
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column(b.schema.get_field_index("clip_id"))
+            blobs = b.column(b.schema.get_field_index("media"))
+            out_id, out_t, out_fp = [], [], []
+            for cid, v in zip(ids, blobs):
+                w, h, frames = decode_y4m(v.as_py())
+                if (w, h) != (_VID_W, _VID_H):
+                    raise ValueError("unexpected planted geometry")
+                for t, fr in enumerate(frames):
+                    y = np.asarray(fr[0], dtype=np.int64).reshape(h, w)
+                    means = (
+                        y.reshape(nby, _VID_BLK, nbx, _VID_BLK)
+                        .sum(axis=(1, 3)) // (_VID_BLK * _VID_BLK)
+                    ).reshape(-1)
+                    fp = 0
+                    for i in range(len(means) - 1):
+                        if means[i + 1] > means[i]:
+                            fp |= 1 << i
+                    out_id.append(cid.as_py())
+                    out_t.append(t)
+                    out_fp.append(fp)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, type=pa.int64()),
+                    pa.array(out_t, type=pa.int32()),
+                    pa.array(out_fp, type=pa.int64()),
+                ],
+                names=["clip_id", "t", "fp"],
+            )
+
+    return clips.mapInArrow(fn, "clip_id bigint, t int, fp bigint")
+
+
+def video_fingerprint_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VIDEO NEAR-DUP via per-frame gradient fingerprints + temporal
+    offset voting: decode every planted clip, fingerprint each frame
+    with the sign pattern of adjacent block-mean differences (invariant
+    to the uniform brightness shift a re-encode applies), equi-join twin
+    frames against base frames on the fingerprint, and vote on the time
+    offset — a true copy (first {d} frames dropped, +{s} luma) aligns
+    all {m} surviving frames at one offset. Per twin: best-voted base,
+    votes, frame count, verified-correct flag ({mv}+ aligned votes AND
+    the true source).
+
+    Scale shape: same discipline as MinHash/pHash/constellation —
+    candidates ONLY from the fingerprint equi-join (never clip×clip),
+    votes one groupBy, verdicts one aggregate; frames never shuffle (the
+    fingerprint leaves the decode kernel at 1 row per frame)."""
+    from pyspark.sql import Window
+
+    from datafusion_impl_spark.operators import materialize
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(
+            (F.col("doc_id") < _VID_DOCS)
+            & (F.col("doc_id") % _VID_MOD == _VID_RES)
+        )
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                src = int(d)
+                rows.append((src, _vid_y4m_bytes(src, False)))
+                rows.append(
+                    (src + _VID_TWIN_OFF, _vid_y4m_bytes(src, True))
+                )
+            yield pd.DataFrame(rows, columns=["clip_id", "media"])
+
+    clips = docs.mapInPandas(build, "clip_id bigint, media binary")
+    fps = materialize(_vid_fingerprints(clips))
+    tw = fps.filter(F.col("clip_id") >= _VID_TWIN_OFF).select(
+        F.col("clip_id").alias("twin_doc"),
+        F.col("t").alias("tt"),
+        "fp",
+    )
+    ba = fps.filter(F.col("clip_id") < _VID_TWIN_OFF).select(
+        F.col("clip_id").alias("base_id"),
+        F.col("t").alias("tb"),
+        "fp",
+    )
+    votes = (
+        tw.join(ba, "fp")
+        .select(
+            "twin_doc", "base_id", (F.col("tb") - F.col("tt")).alias("off")
+        )
+        .groupBy("twin_doc", "base_id", "off")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    pair = votes.groupBy("twin_doc", "base_id").agg(
+        F.max("v").alias("votes")
+    )
+    wbest = Window.partitionBy("twin_doc").orderBy(
+        F.desc("votes"), F.asc("base_id")
+    )
+    best = (
+        pair.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    nfr = fps.groupBy("clip_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    return (
+        best.join(
+            nfr.withColumnRenamed("clip_id", "twin_doc"), "twin_doc"
+        )
+        .select(
+            "twin_doc",
+            F.col("base_id").alias("matched_doc"),
+            F.col("votes").cast("long").alias("votes"),
+            F.col("n_frames").cast("long").alias("n_frames"),
+            (
+                (F.col("votes") >= _VID_MIN_VOTES)
+                & (F.col("base_id") == F.col("twin_doc") - _VID_TWIN_OFF)
+            ).cast("int").alias("verified_correct"),
+        )
+        .orderBy("twin_doc")
+    )
+
+
+video_fingerprint_near_dup.__doc__ = video_fingerprint_near_dup.__doc__.format(
+    d=_VID_DROP,
+    s=_VID_SHIFT,
+    m=_VID_FRAMES - _VID_DROP,
+    mv=_VID_MIN_VOTES,
+)
+
+_VID_NBLK = (_VID_W // _VID_BLK) * (_VID_H // _VID_BLK)
+
+# Oracle: block values from the shared md5 arithmetic, fingerprints as
+# SUM(2^i) over the same sign pattern, then the identical voting SQL.
+_VIDEO_NEAR_DUP_SQL = f"""
+WITH docs AS (
+  SELECT doc_id AS src FROM documents
+  WHERE doc_id < {_VID_DOCS} AND doc_id % {_VID_MOD} = {_VID_RES}
+),
+clips AS (
+  SELECT src AS clip_id, src, 0 AS fdrop FROM docs
+  UNION ALL
+  SELECT src + {_VID_TWIN_OFF}, src, {_VID_DROP} FROM docs
+),
+blocks AS (
+  SELECT c.clip_id, gf.f - c.fdrop AS t, gb.b,
+         {duck_md5_long(
+             "CAST(c.src AS VARCHAR) || '|' || CAST(gf.f AS VARCHAR)"
+             " || '|' || CAST(gb.b % " + str(_VID_W // _VID_BLK)
+             + " AS VARCHAR) || '|' || CAST(gb.b // "
+             + str(_VID_W // _VID_BLK) + " AS VARCHAR)"
+         )} % {_VID_BV_MOD} AS bv
+  FROM clips c
+  JOIN (SELECT unnest(generate_series(0, {_VID_FRAMES - 1})) AS f) gf
+    ON gf.f >= c.fdrop
+  JOIN (SELECT unnest(generate_series(0, {_VID_NBLK - 1})) AS b) gb
+    ON true
+),
+fps AS (
+  SELECT a.clip_id, a.t,
+         CAST(SUM(CASE WHEN b.bv > a.bv
+                       THEN CAST(POW(2, a.b) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS fp
+  FROM blocks a
+  JOIN blocks b ON b.clip_id = a.clip_id AND b.t = a.t
+               AND b.b = a.b + 1
+  GROUP BY a.clip_id, a.t
+),
+votes AS (
+  SELECT tw.clip_id AS twin_doc, ba.clip_id AS base_id,
+         ba.t - tw.t AS off, COUNT(*) AS v
+  FROM fps tw JOIN fps ba ON ba.fp = tw.fp
+  WHERE tw.clip_id >= {_VID_TWIN_OFF} AND ba.clip_id < {_VID_TWIN_OFF}
+  GROUP BY tw.clip_id, ba.clip_id, ba.t - tw.t
+),
+pair AS (
+  SELECT twin_doc, base_id, MAX(v) AS votes
+  FROM votes GROUP BY twin_doc, base_id
+),
+best AS (
+  SELECT twin_doc, base_id, votes FROM (
+    SELECT twin_doc, base_id, votes,
+           ROW_NUMBER() OVER (PARTITION BY twin_doc
+                              ORDER BY votes DESC, base_id) AS rn
+    FROM pair
+  ) WHERE rn = 1
+),
+nfr AS (SELECT clip_id, COUNT(DISTINCT t) AS n FROM blocks GROUP BY clip_id)
+SELECT b.twin_doc,
+       b.base_id AS matched_doc,
+       CAST(b.votes AS BIGINT) AS votes,
+       CAST(nfr.n AS BIGINT) AS n_frames,
+       CAST(CASE WHEN b.votes >= {_VID_MIN_VOTES}
+                  AND b.base_id = b.twin_doc - {_VID_TWIN_OFF}
+                 THEN 1 ELSE 0 END AS INTEGER) AS verified_correct
+FROM best b JOIN nfr ON nfr.clip_id = b.twin_doc
+ORDER BY twin_doc
+"""
+
+
+# --------------------------------------------------------------------------
 # Mel filterbank energies (the audio-feature step after the raw spectrum)
 # --------------------------------------------------------------------------
 
@@ -6295,6 +6581,7 @@ QUERIES = {
     "audio_peak_normalize_stats": audio_peak_normalize_stats,
     "multimodal_wav_spectrum_stats": multimodal_wav_spectrum_stats,
     "audio_constellation_near_dup": audio_constellation_near_dup,
+    "video_fingerprint_near_dup": video_fingerprint_near_dup,
     "audio_mel_filterbank_stats": audio_mel_filterbank_stats,
     "multimodal_resize_bilinear_stats": multimodal_resize_bilinear_stats,
     "audio_resample_linear": audio_resample_linear,
@@ -6326,6 +6613,7 @@ ORACLES = {
     "audio_peak_normalize_stats": _PEAK_NORM_SQL,
     "multimodal_wav_spectrum_stats": _WAV_SPECTRUM_SQL,
     "audio_constellation_near_dup": _CONSTELLATION_SQL,
+    "video_fingerprint_near_dup": _VIDEO_NEAR_DUP_SQL,
     "audio_mel_filterbank_stats": _mel_sql(),
     "multimodal_resize_bilinear_stats": _resize_sql(),
     "audio_resample_linear": _RESAMPLE_SQL,

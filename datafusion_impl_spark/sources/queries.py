@@ -2706,6 +2706,169 @@ ORDER BY o_orderpriority
 """
 
 
+#: v4 compacts the table copy-on-write: every v2 data file rewritten with
+#: its position deletes APPLIED, into this many sorted files.
+_ICEBERG_V4_FILES = 4
+
+
+def _iceberg_stage_v4(sf_dir: str) -> str:
+    """Snapshot v4 = the COMPACTION rewrite that follows a merge-on-read
+    delete once read-amplification matters: apply the v3 position-delete
+    file to the immutable v2 data files (by FILE + ROW POSITION, not by
+    predicate — the compactor only knows the delete file) and write the
+    survivors as {n} fresh sorted data files plus a v4 manifest with no
+    delete files. v1–v3 remain readable until expired."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    root = _iceberg_stage_v3(sf_dir)
+    man4 = os.path.join(root, "metadata", "v4.manifest.json")
+    if os.path.exists(man4):
+        return root
+    with open(os.path.join(root, "metadata", "v3.manifest.json")) as f:
+        m3 = json.load(f)
+    dels = papq.read_table(
+        os.path.join(root, m3["delete_files"][0]["path"])
+    )
+    dead: dict[str, set[int]] = {}
+    for fn, pos in zip(
+        dels["file_name"].to_pylist(), dels["pos"].to_pylist()
+    ):
+        dead.setdefault(fn, set()).add(pos)
+    parts = []
+    for e in m3["files"]:
+        t = papq.read_table(os.path.join(root, e["path"]))
+        gone = dead.get(os.path.basename(e["path"]), set())
+        keep = [i for i in range(t.num_rows) if i not in gone]
+        parts.append(t.take(keep))
+    merged = pa.concat_tables(parts).sort_by("o_orderkey")
+    per = (merged.num_rows + _ICEBERG_V4_FILES - 1) // _ICEBERG_V4_FILES
+    files = []
+    for i in range(_ICEBERG_V4_FILES):
+        chunk = merged.slice(i * per, per)
+        name = f"compact-{i:02d}.parquet"
+        papq.write_table(chunk, os.path.join(root, "data", name))
+        k = chunk["o_orderkey"]
+        files.append(
+            {
+                "path": f"data/{name}",
+                "rows": chunk.num_rows,
+                "min_key": k[0].as_py(),
+                "max_key": k[-1].as_py(),
+            }
+        )
+    with open(man4, "w") as f:
+        json.dump(
+            {"snapshot_id": 4, "files": files, "delete_files": []},
+            f,
+            sort_keys=True,
+        )
+    return root
+
+
+_iceberg_stage_v4.__doc__ = _iceberg_stage_v4.__doc__.format(
+    n=_ICEBERG_V4_FILES
+)
+
+
+def iceberg_snapshot_expiry_gc(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """SNAPSHOT EXPIRY + ORPHAN-FILE GC — the maintenance pass that keeps
+    a lakehouse from growing forever (Iceberg's ``expire_snapshots`` +
+    ``remove_orphan_files``): with snapshots v1 (base) / v2 (append) /
+    v3 (position delete) / v4 (compaction rewrite) on disk, apply the
+    retention policy "retain only the newest snapshot": live files are
+    those the v4 manifest references; every file referenced ONLY by the
+    expired manifests is an orphan safe to delete. Census per file kind
+    (base / append / compact / position-delete): file count, live count,
+    orphan count, manifest row totals and the rows the GC would reclaim —
+    the append-only base/append generations and the delete file all
+    become reclaimable once the compaction snapshot is the only retained
+    one, while every compacted row stays live.
+
+    At 100 TB: the ENTIRE decision runs on manifests — bounded metadata,
+    one row per file — never on data bytes; the scan-free plan is the
+    whole point of manifest-based table formats (a petabyte GC is a
+    metadata join). The engine assembles the (file, kind, rows, live)
+    table driver-side from the JSON manifests exactly as an Iceberg
+    catalog would, then aggregates relationally."""
+    import json
+    import os
+
+    root = _iceberg_stage_v4(sf_dir)
+    manifests = {}
+    for v in (1, 2, 3, 4):
+        with open(
+            os.path.join(root, "metadata", f"v{v}.manifest.json")
+        ) as f:
+            manifests[v] = json.load(f)
+    retained = {4}
+    live: set[str] = set()
+    for v in retained:
+        m = manifests[v]
+        live |= {e["path"] for e in m["files"]}
+        live |= {e["path"] for e in m.get("delete_files", [])}
+    seen: dict[str, tuple[str, int]] = {}
+    for v, m in manifests.items():
+        for e in m["files"]:
+            kind = os.path.basename(e["path"]).split("-")[0]
+            seen[e["path"]] = (kind, e["rows"])
+        for e in m.get("delete_files", []):
+            seen[e["path"]] = ("delete", e["rows"])
+    rows = [
+        (path, kind, int(nrows), int(path in live))
+        for path, (kind, nrows) in sorted(seen.items())
+    ]
+    files = spark.createDataFrame(
+        rows, "path string, kind string, n_rows long, is_live int"
+    )
+    return (
+        files.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("is_live").cast("long").alias("n_live"),
+            F.sum(1 - F.col("is_live")).cast("long").alias("n_orphans"),
+            F.sum("n_rows").alias("rows_total"),
+            F.sum(F.col("n_rows") * (1 - F.col("is_live")))
+            .alias("rows_reclaimed"),
+        )
+        .orderBy("kind")
+    )
+
+
+_ICEBERG_GC_SQL = f"""
+WITH kinds AS (
+  SELECT 'base' AS kind, {_ICEBERG_V1_FILES} AS n_files, 0 AS n_live,
+         (SELECT COUNT(*) FROM orders
+          WHERE o_orderkey % {_ICEBERG_APPEND_MOD} != 0) AS rows_total
+  UNION ALL
+  SELECT 'append', {_ICEBERG_V2_NEW_FILES}, 0,
+         (SELECT COUNT(*) FROM orders
+          WHERE o_orderkey % {_ICEBERG_APPEND_MOD} = 0)
+  UNION ALL
+  SELECT 'compact', {_ICEBERG_V4_FILES}, {_ICEBERG_V4_FILES},
+         (SELECT COUNT(*) FROM orders
+          WHERE o_orderkey % {_ICEBERG_DELETE_MOD} != {_ICEBERG_DELETE_RES})
+  UNION ALL
+  SELECT 'delete', 1, 0,
+         (SELECT COUNT(*) FROM orders
+          WHERE o_orderkey % {_ICEBERG_DELETE_MOD} = {_ICEBERG_DELETE_RES})
+)
+SELECT kind,
+       CAST(n_files AS BIGINT) AS n_files,
+       CAST(n_live AS BIGINT) AS n_live,
+       CAST(n_files - n_live AS BIGINT) AS n_orphans,
+       CAST(rows_total AS BIGINT) AS rows_total,
+       CAST(CASE WHEN n_live = 0 THEN rows_total ELSE 0 END AS BIGINT)
+         AS rows_reclaimed
+FROM kinds
+ORDER BY kind
+"""
+
+
 # --------------------------------------------------------------------------
 # Parquet bloom-filter row-group skipping (r16): the point-lookup index
 # layer modern engines add where min/max stats can't prune — a HASH-ordered
@@ -3913,6 +4076,7 @@ QUERIES = {
     "crawl_sitemap_coverage_audit": crawl_sitemap_coverage_audit,
     "iceberg_time_travel_diff": iceberg_time_travel_diff,
     "iceberg_position_delete_scan": iceberg_position_delete_scan,
+    "iceberg_snapshot_expiry_gc": iceberg_snapshot_expiry_gc,
     "parquet_bloom_rowgroup_skipping": parquet_bloom_rowgroup_skipping,
     "source_pdf_scan": source_pdf_scan,
     "parquet_footer_census": parquet_footer_census,
@@ -3946,6 +4110,7 @@ ORACLES = {
     "crawl_sitemap_coverage_audit": _SITEMAP_SQL,
     "iceberg_time_travel_diff": _ICEBERG_SQL,
     "iceberg_position_delete_scan": _ICEBERG_DELETE_SQL,
+    "iceberg_snapshot_expiry_gc": _ICEBERG_GC_SQL,
     "parquet_bloom_rowgroup_skipping": _BLOOMRG_SQL,
     "source_pdf_scan": _pdf_oracle(),
     "parquet_footer_census": _footer_census_oracle_staged,  # lazy: stages

@@ -1580,6 +1580,26 @@ def test_constellation_planted_twin_recall(spark):
         assert r.votes == r.n_landmarks == 30
 
 
+def test_video_fingerprint_planted_twin_recall(spark):
+    """Video near-dup: every planted twin (first 3 frames dropped, +25
+    uniform brightness — the gradient fingerprint is invariant to both)
+    must match its true source with every surviving frame aligned at one
+    offset, and no twin may match a wrong base."""
+    from datafusion_impl_spark.operators.multimodal import (
+        _VID_DROP,
+        _VID_FRAMES,
+        _VID_TWIN_OFF,
+        video_fingerprint_near_dup,
+    )
+
+    rows = video_fingerprint_near_dup(spark, SF_DIR).collect()
+    assert rows, "no planted twins"
+    for r in rows:
+        assert r.verified_correct == 1
+        assert r.matched_doc == r.twin_doc - _VID_TWIN_OFF
+        assert r.votes == r.n_frames == _VID_FRAMES - _VID_DROP
+
+
 def test_sq8_recall_is_high(spark):
     """1-byte scalar quantization on this corpus must stay near-exact:
     every query keeps >=3 of its true top-5, and the mean is >=4

@@ -143,6 +143,8 @@ def test_no_python_in_any_relational_plan(spark):
         "audio_peak_normalize_stats",   # decode+integer-rescale kernel (r15)
         "audio_constellation_near_dup",  # decode+STFT-peak kernel (r16); the
         # landmark pairing, hash join, and offset voting are all JVM-side
+        "video_fingerprint_near_dup",   # decode+block-gradient kernel (r16);
+        # fingerprint join and temporal voting are JVM-side
         "audio_vad_segments",           # decode+frame-energy kernel (r14); the
         # island merge itself is JVM window functions
         "multimodal_png_encode_roundtrip",  # own-DEFLATE writer IS the operator (r14)

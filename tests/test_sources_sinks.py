@@ -620,6 +620,44 @@ def test_bloom_rowgroup_skipping_never_false_negative(spark):
         assert r.n_maybe == r.n_present + r.n_false_pos
 
 
+def test_iceberg_v4_compaction_equals_mor_and_gc_reclaims_expired(spark):
+    """r16 compaction + expiry: the v4 rewrite (which applies deletes by
+    FILE+POSITION from the delete file, never by predicate) must hold
+    exactly the v3 merge-on-read row set; after expiring v1–v3, the only
+    live files are v4's and the GC reclaims every pre-compaction file."""
+    import json
+    import os
+
+    from datafusion_impl_spark.sources.queries import (
+        _ICEBERG_V4_FILES,
+        _iceberg_read_v3,
+        _iceberg_stage_v4,
+        iceberg_snapshot_expiry_gc,
+    )
+    from tests.conftest import SF_DIR
+
+    root = _iceberg_stage_v4(SF_DIR)
+    with open(os.path.join(root, "metadata", "v4.manifest.json")) as f:
+        m4 = json.load(f)
+    v4 = spark.read.parquet(
+        *[os.path.join(root, e["path"]) for e in m4["files"]]
+    )
+    mor, _ = _iceberg_read_v3(spark, SF_DIR)
+    v4_keys = {r.o_orderkey for r in v4.select("o_orderkey").collect()}
+    mor_keys = {r.o_orderkey for r in mor.select("o_orderkey").collect()}
+    assert v4_keys == mor_keys
+    assert sum(e["rows"] for e in m4["files"]) == len(v4_keys)
+
+    gc = {r.kind: r for r in iceberg_snapshot_expiry_gc(spark, SF_DIR).collect()}
+    assert set(gc) == {"base", "append", "compact", "delete"}
+    assert gc["compact"].n_live == _ICEBERG_V4_FILES
+    assert gc["compact"].n_orphans == 0
+    for kind in ("base", "append", "delete"):
+        assert gc[kind].n_live == 0
+        assert gc[kind].n_orphans == gc[kind].n_files
+        assert gc[kind].rows_reclaimed == gc[kind].rows_total
+
+
 def test_pdf_build_extract_strictness_and_interop():
     """r15 PDF scan: the parser must walk the real document tree (xref →
     catalog → pages → page → contents), recover text byte-exactly through
