@@ -140,71 +140,13 @@ _MODULES = [
 #       driver takes the head, leftovers stay next in line). Evidence
 #       floor moves to r7.
 _PRIORITY = [
-    # --- r15: the ONLY two registry entries never exposed to the driver
-    # (rows-only-by-design sketch/RNG internals; their rows will read
-    # no_oracle — the honest record the r14 verdict asked for, #3) ---
-    "events_user_hll_rollup",
-    "tablesample_repeatable_stats",
-    # --- r15-new operators (appended as they land; every one
-    # oracle-verified PASS vs DuckDB at sf0.01 before staging) ---
-    "multimodal_exif_metadata_census",   # APP1/TIFF both-endian census
-    "warc_robots_compliance_gate",       # RFC 9309 + noindex legal gate
-    "iceberg_time_travel_diff",          # manifest snapshots + time travel
-    "source_pdf_scan",                   # PDF 1.4 text-extraction scan
-    "dedup_cdc_chunking",                # gear-hash CDC boundary census
-    "postings_varint_roundtrip",         # LEB128 postings compression
-    "lm_nucleus_sampling_census",        # top-p decoding census
-    "batch_padding_waste_planner",       # length-grouped batching waste
-    "multimodal_exif_orientation_normalize",  # upright via 8-case map
-    "multimodal_jpeg_dc_thumbnail",      # 1/8-scale DC-only decode
-    "stream_robots_compliance_gate",     # in-flight legal gating twin
-    "text_homoglyph_dedup_recovery",     # confusable-evasion recovery
-    "pii_luhn_mask_census",              # checksum-gated PII masking
-    "crawl_politeness_schedule",         # Crawl-delay frontier planning
-    "source_wet_conversion_scan",        # WET text sidecar round-trip
-    "audio_peak_normalize_stats",        # integer-exact gain staging
-    "crawl_sitemap_coverage_audit",      # from_xml sitemap reconcile
-    # --- changed in r15 (r14 ADVICE): cross-engine drift hardening ---
-    "rho_excess_loss_selection",         # DECIMAL per-position excess sums
-    "embedding_int4_block_quant",        # exact-sum mse_x1e6
-    "embedding_quantization_report",     # exact-sum mse_x1e6
-    "speculative_ngram_acceptance",      # oracle: dynamic pair positions
-    # --- r6-evidence pads (oldest-evidence; fills the window to exactly
-    # 50 — the 14 that no longer fit after the r15-new operators landed
-    # moved to _NEXT_ROTATION) ---
-    "asof_join_prior_click",
-    "asof_join_with_tolerance",
-    "binaryfile_media_scan",
-    "brand_affinity_lift",
-    "context_length_sweep",
-    "corpus_bootstrap_ci",
-    "csv_documents_roundtrip",
-    "dedup_community_bridges",
-    "dedup_label_communities",
-    "dedup_minhash_param_sweep",
-    "doc_readability_scores",
-    "embedding_cluster_silhouette",
-    "embedding_snapshot_drift",
-    "event_trigram_paths",
-    "file_lineage_orders",
-    "incremental_join_maintenance",
-    "k_anonymity_audit",
-    "license_policy_gate",
-    "linear_attribution_stats",
-    "lineitem_correlation_matrix",
-    "merge_cdc_with_deletes",
-    "multimodal_chunk_manifest",
-    "multimodal_phash_near_dup",
-    "null_safe_segment_join",
-    "observed_scan_metrics",
-    "pseudonymize_join_preservation",
-    "python_datasource_stream_agg",
-]
-
-# Beyond the 50-query window: the r6-evidence pads displaced by r15-new
-# operators queue here for r16 (still ahead of everything else in
-# queries() order).
-_NEXT_ROTATION: list[str] = [
+    # --- r16: the 20 r6-evidence pads displaced into r15's
+    # _NEXT_ROTATION first (verdict #5 ordering), then the 6 r16-new
+    # operators (each oracle-verified PASS vs DuckDB at sf0.01 before
+    # staging), then the alphabetical head of the 48 r7-evidence pads.
+    # The 2 rows-only sketch/RNG queries got their honest no_oracle rows
+    # in r15 and are NOT re-staged. After r16 the evidence floor sits at
+    # r7 with 24 queries left (queued below); r17 finishes them.
     "python_datasource_write_roundtrip",
     "q18_large_volume_customers",
     "q1_pricing_summary",
@@ -225,6 +167,67 @@ _NEXT_ROTATION: list[str] = [
     "watermark_lateness_audit",
     "window_running_revenue",
     "window_top_orders_per_customer",
+    # --- r16-new operators ---
+    "dedup_exact_substr_suffix_array",   # prefix-doubling ExactSubstr
+    "iceberg_position_delete_scan",      # merge-on-read row deletes
+    "iceberg_snapshot_expiry_gc",        # compaction + orphan-file GC
+    "parquet_bloom_rowgroup_skipping",   # bloom sidecar point lookups
+    "audio_constellation_near_dup",      # landmark-hash audio near-dup
+    "video_fingerprint_near_dup",        # frame-gradient video near-dup
+    # --- oldest-evidence pads (r7; alphabetical head of 48) ---
+    "ann_cosine_topk",
+    "ann_residual_pq_recall",
+    "ann_sq8_recall",
+    "cube_lineitem_flags",
+    "dedup_documents_exact",
+    "dedup_documents_minhash",
+    "dedup_substring_spans",
+    "distinct_segments",
+    "events_daily_gapfill",
+    "events_locf_imputation",
+    "full_outer_nation_accounts",
+    "grouped_zscore_doclen",
+    "grouping_sets_events",
+    "heavy_hitters_cms",
+    "higher_order_array_ops",
+    "interval_overlap_sessions",
+    "map_functions_order_flags",
+    "min_price_part_per_brand",
+    "multimodal_bmp_decode_stats",
+    "pivot_segment_by_status",
+    "q10_returned_items",
+    "q12_priority_lateness",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+]
+
+# Beyond the 50-query window: the 24 remaining r7-evidence pads queue
+# here for r17 (still ahead of everything else in queries() order).
+_NEXT_ROTATION: list[str] = [
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q8_market_share",
+    "regexp_docs_first_word",
+    "regexp_events_props",
+    "regexp_extract_all_props",
+    "set_except_all_priorities",
+    "set_except_nations",
+    "set_intersect_all_priorities",
+    "set_intersect_nations",
+    "token_zipf_fit",
+    "topk_expensive_orders",
+    "udaf_geometric_mean_events",
+    "unpivot_part_measures",
+    "window_event_gaps",
+    "window_rank_family",
+    "zorder_layout_effectiveness",
 ]
 
 
