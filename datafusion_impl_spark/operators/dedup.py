@@ -2498,7 +2498,9 @@ def dedup_exact_substr_suffix_array(
     the true suffix ranking of a bounded planted corpus by DISTRIBUTED
     PREFIX DOUBLING — log2({maxk}) rounds, each a rank-pair dedup + the
     sharded dense rank of :func:`_sa_dense_rank` (never a global sort or
-    unpartitioned window) — then recover every MAXIMAL duplicated span of
+    unpartitioned window; rounds early-exit as soon as ranks are total —
+    every LCP is then provably below the reached k) — then recover every
+    MAXIMAL duplicated span of
     >= {minspan} tokens: LCPs between suffix-array neighbors via binary
     lifting over the retained rank tables, dup_len(p) = max LCP with
     either neighbor (the longest prefix of suffix p occurring anywhere
@@ -2540,6 +2542,7 @@ def dedup_exact_substr_suffix_array(
             "gpos", F.col("r").alias("rank")
         )
     )
+    n_sfx = toks.count()  # bounded planted corpus (cheap on a checkpoint)
     tables = {1: cur}
     k = 1
     while k < _SA_MAX_K:
@@ -2564,8 +2567,14 @@ def dedup_exact_substr_suffix_array(
         )
         k *= 2
         tables[k] = cur
-    # cur = rank_{_SA_MAX_K}: total order (every LCP < _SA_MAX_K), so the
-    # dense rank IS the suffix-array index; neighbors are rank i / i+1.
+        # early exit (sound, not just fast): ranks total at k means every
+        # k-token prefix is unique, so every LCP < k and the remaining
+        # doubling rounds AND the lifting levels >= k are no-ops. The max
+        # dense rank IS the distinct count — one tiny agg per round.
+        if cur.agg(F.max("rank")).first()[0] == n_sfx:
+            break
+    # cur = rank_k: total order (every LCP < k), so the dense rank IS the
+    # suffix-array index; neighbors are rank i / i+1.
     right = cur.select(
         (F.col("rank") - 1).alias("rank"), F.col("gpos").alias("b")
     )
@@ -2574,7 +2583,7 @@ def dedup_exact_substr_suffix_array(
         .join(right, "rank")
         .select("a", "b", F.lit(0).alias("lcp"))
     )
-    kk = _SA_MAX_K // 2
+    kk = k // 2  # every LCP < k, so higher lifting levels are no-ops
     while kk >= 1:
         t = tables[kk]
         ta = t.select(
