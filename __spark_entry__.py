@@ -169,6 +169,7 @@ _PRIORITY = [
     "window_top_orders_per_customer",
     # --- r16-new operators ---
     "dedup_exact_substr_suffix_array",   # prefix-doubling ExactSubstr
+    "dedup_exact_substr_removal_ledger", # keep-one removal apply step
     "iceberg_position_delete_scan",      # merge-on-read row deletes
     "iceberg_snapshot_expiry_gc",        # compaction + orphan-file GC
     "parquet_bloom_rowgroup_skipping",   # bloom sidecar point lookups
@@ -198,12 +199,12 @@ _PRIORITY = [
     "q10_returned_items",
     "q12_priority_lateness",
     "q13_customer_distribution",
-    "q14_promo_effect",
 ]
 
 # Beyond the 50-query window: the 24 remaining r7-evidence pads queue
 # here for r17 (still ahead of everything else in queries() order).
 _NEXT_ROTATION: list[str] = [
+    "q14_promo_effect",
     "q15_top_supplier",
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",

@@ -2516,6 +2516,27 @@ def dedup_exact_substr_suffix_array(
     discipline as PageRank/k-core. LCP lifting is log2({maxk}) batched
     equi-joins, not per-pair loops.
     """
+    _toks, spans = _sa_span_table(spark, sf_dir)
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_tokens"),
+            F.max(F.col("e") - F.col("s")).cast("long").alias("max_span"),
+            F.sum(F.col("s") * 131071 + F.col("e"))
+            .cast("long")
+            .alias("span_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sa_span_table(spark: SparkSession, sf_dir: str):
+    """The shared ExactSubstr machinery: returns ``(toks, spans)`` —
+    the positioned token table and the maximal duplicated spans
+    ``(doc_id, s, e)`` recovered by prefix doubling + LCP lifting (see
+    :func:`dedup_exact_substr_suffix_array` for the algorithm and scale
+    notes)."""
     docs = _sa_corpus(spark, sf_dir)
     sizes = docs.groupBy("doc_id").agg(F.max(F.size("tk")).alias("n"))
     wdoc = Window.orderBy("doc_id").rowsBetween(
@@ -2648,18 +2669,7 @@ def dedup_exact_substr_suffix_array(
     spans = islands.groupBy("doc_id", "island").agg(
         F.min("pos").alias("s"), F.max("end").alias("e")
     )
-    return (
-        spans.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_spans"),
-            F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_tokens"),
-            F.max(F.col("e") - F.col("s")).cast("long").alias("max_span"),
-            F.sum(F.col("s") * 131071 + F.col("e"))
-            .cast("long")
-            .alias("span_hash"),
-        )
-        .orderBy("doc_id")
-    )
+    return toks, spans
 
 
 dedup_exact_substr_suffix_array.__doc__ = (
@@ -2677,7 +2687,7 @@ dedup_exact_substr_suffix_array.__doc__ = (
 # lists directly (cap {_SA_MAX_K} > every possible LCP, so capped order =
 # true order and capped neighbor-LCPs = true LCPs), and replays the same
 # dup_len / threshold / gaps-and-islands arithmetic.
-_SA_SQL = rf"""
+_SA_CORE_SQL = rf"""
 WITH base AS (
   SELECT doc_id,
          list_slice({_DUCK_TOKENS.format(col='text')}, 1, {_SA_TOK_CAP})
@@ -2750,7 +2760,9 @@ isl2 AS (
 spans AS (
   SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e
   FROM isl2 GROUP BY doc_id, island
-)
+)"""
+
+_SA_SQL = _SA_CORE_SQL + """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_spans,
        CAST(SUM(e - s) AS BIGINT) AS dup_tokens,
@@ -2759,9 +2771,98 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM spans GROUP BY doc_id ORDER BY doc_id
 """
 
+#: bounded modulus for the removal ledger's exposed content key.
+_SA_HASH_MOD = 1000003
+
+
+def dedup_exact_substr_removal_ledger(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ExactSubstr REMOVAL ledger — the APPLY step of Lee et al. 2022
+    (the census above finds duplicated spans; real pipelines then remove
+    ALL BUT ONE occurrence): group the maximal spans by their exact token
+    CONTENT (same md5 the sketches use — two spans are occurrences of
+    the same duplicate iff their token sequences match), keep the
+    canonical occurrence (smallest ``(doc_id, start)``), and bill the
+    rest for deletion. One row per duplicate cluster: the keeper's
+    coordinates, span width, occurrence count, and the exact token count
+    removal reclaims — the keep-one guarantee made auditable (every
+    cluster retains exactly one occurrence by construction).
+
+    Scale shape: content hashing joins the BOUNDED span table back to the
+    positioned tokens (spans per doc are few; the join is doc-equi +
+    range filter), and clustering is one groupBy on the content hash —
+    never a span×span comparison."""
+    toks, spans = _sa_span_table(spark, sf_dir)
+    span_tok = spans.join(
+        toks.select("doc_id", "dpos", "token"), "doc_id"
+    ).filter(
+        (F.col("dpos") >= F.col("s")) & (F.col("dpos") < F.col("e"))
+    )
+    content = span_tok.groupBy("doc_id", "s", "e").agg(
+        md5_long(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("dpos", "token"))
+                    ),
+                    lambda st: st["token"],
+                ),
+                " ",
+            )
+        ).alias("h")
+    )
+    return (
+        content.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("doc_id", "s")).alias("k"),
+            F.max(F.col("e") - F.col("s")).alias("w"),
+        )
+        .select(
+            F.col("k.doc_id").cast("long").alias("keeper_doc"),
+            F.col("k.s").cast("long").alias("keeper_pos"),
+            F.col("w").cast("long").alias("span_tokens"),
+            F.col("n_occ").cast("long").alias("n_occurrences"),
+            ((F.col("n_occ") - 1) * F.col("w"))
+            .cast("long")
+            .alias("removed_tokens"),
+            (F.col("h") % _SA_HASH_MOD).cast("long").alias("content_key"),
+        )
+        .orderBy("keeper_doc", "keeper_pos")
+    )
+
+
+_SA_REMOVAL_SQL = _SA_CORE_SQL + f""",
+content AS (
+  SELECT sp.doc_id, sp.s, sp.e,
+         {duck_md5_long(
+             "array_to_string(list_slice(arr, o.off + sp.s,"
+             " o.off + sp.e - 1), ' ')"
+         )} AS h
+  FROM spans sp
+  JOIN offs o ON o.doc_id = sp.doc_id, corpus
+),
+ranked AS (
+  SELECT doc_id, s, e, h,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn,
+         COUNT(*) OVER (PARTITION BY h) AS n_occ
+  FROM content
+)
+SELECT CAST(doc_id AS BIGINT) AS keeper_doc,
+       CAST(s AS BIGINT) AS keeper_pos,
+       CAST(e - s AS BIGINT) AS span_tokens,
+       CAST(n_occ AS BIGINT) AS n_occurrences,
+       CAST((n_occ - 1) * (e - s) AS BIGINT) AS removed_tokens,
+       CAST(h % {_SA_HASH_MOD} AS BIGINT) AS content_key
+FROM ranked WHERE rn = 1
+ORDER BY keeper_doc, keeper_pos
+"""
+
 
 QUERIES = {
     "dedup_exact_substr_suffix_array": dedup_exact_substr_suffix_array,
+    "dedup_exact_substr_removal_ledger": dedup_exact_substr_removal_ledger,
     "dedup_cdc_chunking": dedup_cdc_chunking,
     "sketch_bloom_ingest_filter": sketch_bloom_ingest_filter,
     "sketch_bottomk_distinct": sketch_bottomk_distinct,
@@ -2786,6 +2887,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact_substr_suffix_array": _SA_SQL,
+    "dedup_exact_substr_removal_ledger": _SA_REMOVAL_SQL,
     "dedup_cdc_chunking": _cdc_oracle(),
     "sketch_bloom_ingest_filter": _BLOOM_SQL,
     "sketch_bottomk_distinct": _BOTTOMK_SQL,

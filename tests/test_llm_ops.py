@@ -1560,6 +1560,32 @@ def test_suffix_array_planted_span_boundaries_exact(spark):
         assert base.max_span >= 60 and base.dup_tokens >= 60
 
 
+def test_exact_substr_removal_keeps_one_occurrence(spark):
+    """The removal ledger's keep-one contract: the planted base/twin pair
+    for doc 1 is ONE cluster keeping the base occurrence (smallest
+    (doc, start) = (1, 4)) and billing exactly the twin's 60 tokens; and
+    globally the billed removals equal the census's duplicated tokens
+    minus one kept copy per cluster."""
+    from datafusion_impl_spark.operators.dedup import (
+        dedup_exact_substr_removal_ledger,
+        dedup_exact_substr_suffix_array,
+    )
+
+    ledger = dedup_exact_substr_removal_ledger(spark, SF_DIR).collect()
+    assert ledger, "no duplicate clusters"
+    by_keeper = {(r.keeper_doc, r.keeper_pos): r for r in ledger}
+    planted = by_keeper[(1, 4)]
+    assert planted.n_occurrences == 2
+    assert planted.span_tokens == 60
+    assert planted.removed_tokens == 60
+
+    census = dedup_exact_substr_suffix_array(spark, SF_DIR).collect()
+    total_span_tokens = sum(r.dup_tokens for r in census)
+    kept = sum(r.span_tokens for r in ledger)
+    removed = sum(r.removed_tokens for r in ledger)
+    assert removed + kept == total_span_tokens
+
+
 def test_constellation_planted_twin_recall(spark):
     """Audio landmark fingerprinting must recover EVERY planted twin
     (time-shifted + amplitude-scaled — both transforms the landmarks are
