@@ -31,7 +31,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datafusion_impl_spark.operators import duck_md5_long, materialize, md5_long
+from datafusion_impl_spark.operators import (
+    bounded_iteration,
+    duck_md5_long,
+    materialize,
+    md5_long,
+)
 from datafusion_impl_spark.operators.text import _DUCK_TOKENS, tokens
 from datafusion_impl_spark.sources.registry import load_table
 
@@ -2435,19 +2440,23 @@ _SA_MAX_K = 128
 _SA_RANK_PARTS = 8
 
 
-def _sa_dense_rank(df: DataFrame, cols: list[str], out: str) -> DataFrame:
-    """Distributed dense rank over a DISTINCT-key frame with no global
-    sort and no unpartitioned window: range-partition by the keys (ranges
-    are contiguous and ordered across partition ids), row_number within
-    each partition, then add per-partition offsets — a bounded frame of
-    one row per partition. This is the 'sort-by-(rank, next-rank)' step
-    of prefix doubling in its cluster shape; ties never occur because the
-    input is distinct."""
-    part = df.repartitionByRange(
-        _SA_RANK_PARTS, *[F.col(c) for c in cols]
+def _sa_dense_rank(df: DataFrame, cols: list[str], pid_col, out: str) -> DataFrame:
+    """Distributed dense rank over the FULL (possibly tied) frame with no
+    global sort and no unpartitioned data window: shard by ``pid_col`` — a
+    DETERMINISTIC range-id expression aligned with the ordering of ``cols``
+    (equal keys share a shard id, shard ids ascend with the keys) —
+    dense_rank within each shard, then add per-shard DISTINCT-count
+    offsets, a bounded frame of one row per shard. This is the
+    'sort-by-(rank, next-rank)' step of prefix doubling in its cluster
+    shape. The arithmetic shard id replaces ``repartitionByRange``, whose
+    RangePartitioner pays a whole extra SAMPLING pass over the input per
+    invocation; here the shard boundaries are pure row-local arithmetic,
+    so ranking is a single exchange-window-join plan (one action when the
+    caller materializes it)."""
+    pid = df.withColumn("_pid", pid_col)
+    counts = pid.groupBy("_pid").agg(
+        F.count_distinct(*[F.col(c) for c in cols]).alias("_n")
     )
-    pid = materialize(part.withColumn("_pid", F.spark_partition_id()))
-    counts = pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     woff = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -2456,9 +2465,10 @@ def _sa_dense_rank(df: DataFrame, cols: list[str], out: str) -> DataFrame:
     )
     wloc = Window.partitionBy("_pid").orderBy(*cols)
     return (
-        pid.withColumn("_rn", F.row_number().over(wloc))
+        pid.withColumn("_dr", F.dense_rank().over(wloc))
         .join(F.broadcast(offs), "_pid")
-        .select(*cols, (F.col("_rn") + F.col("_off")).alias(out))
+        .withColumn(out, F.col("_dr") + F.col("_off"))
+        .drop("_pid", "_dr", "_off")
     )
 
 
@@ -2496,25 +2506,28 @@ def dedup_exact_substr_suffix_array(
 ) -> DataFrame:
     """SUFFIX-ARRAY ExactSubstr dedup (Lee et al. 2022 fidelity): build
     the true suffix ranking of a bounded planted corpus by DISTRIBUTED
-    PREFIX DOUBLING — log2({maxk}) rounds, each a rank-pair dedup + the
-    sharded dense rank of :func:`_sa_dense_rank` (never a global sort or
-    unpartitioned window; rounds early-exit as soon as ranks are total —
-    every LCP is then provably below the reached k) — then recover every
-    MAXIMAL duplicated span of
+    PREFIX DOUBLING — seeded at k=32 with bounded O(1) per-row window
+    keys (the DC3 seed trade, sized so rounds-to-{maxk} is 1-2 global
+    barriers), each round a union-fold rank-pair attach + the sharded
+    dense rank of :func:`_sa_dense_rank` (never a global sort,
+    unpartitioned data window, or sampling pass; rounds early-exit as
+    soon as ranks are total — every LCP is then provably below the
+    reached k) — then recover every MAXIMAL duplicated span of
     >= {minspan} tokens: LCPs between suffix-array neighbors via binary
-    lifting over the retained rank tables, dup_len(p) = max LCP with
-    either neighbor (the longest prefix of suffix p occurring anywhere
-    else), and positions with dup_len >= {minspan} merged gaps-and-islands
-    into exact-boundary spans per doc. Planted twins (tokens
-    [{off1}..{off2}] of every doc_id % {mod} == {res} doc) must surface as
-    exactly one full-width span on both the twin and its source.
+    lifting over the retained rank tables and seed windows, dup_len(p) =
+    max LCP with either neighbor (the longest prefix of suffix p
+    occurring anywhere else), and positions with dup_len >= {minspan}
+    merged gaps-and-islands into exact-boundary spans per doc. Planted
+    twins (tokens [{off1}..{off2}] of every doc_id % {mod} == {res} doc)
+    must surface as exactly one full-width span on both the twin and its
+    source.
 
     Scale shape: every round is explode-free and all-pairs-free — a
-    self-equi-join on gpos, a distinct, and the range-partitioned rank
-    whose only driver-side data is one row per partition; state per round
-    is one (gpos, rank) row per corpus token, the same blocked-recursion
-    discipline as PageRank/k-core. LCP lifting is log2({maxk}) batched
-    equi-joins, not per-pair loops.
+    union-fold on gpos plus the arithmetically-sharded rank whose only
+    driver-side data is one row per shard; state per round is one
+    (gpos, rank) row per corpus token, the same blocked-recursion
+    discipline as PageRank/k-core. LCP lifting is a constant number of
+    batched equi-joins, not per-pair loops.
     """
     _toks, spans = _sa_span_table(spark, sf_dir)
     return (
@@ -2545,95 +2558,174 @@ def _sa_span_table(spark: SparkSession, sf_dir: str):
     offs = sizes.select(
         "doc_id", F.coalesce(F.sum("n").over(wdoc), F.lit(0)).alias("off")
     )
+    # Per-suffix SEED KEYS ride along with each positioned token: the
+    # ≤ {16,32}-token within-doc windows starting at the position — a
+    # bounded O(1) payload per row, the same trade DC3 makes with triples,
+    # scaled up because at cluster scale every doubling ROUND is a global
+    # barrier. The per-doc-unique terminator token makes these provably
+    # equivalent to the cross-doc windows classic doubling compares — two
+    # windows from different positions can only be equal when neither
+    # contains a terminator (a terminator occurs ONCE in the corpus, so
+    # equal arrays containing one force equal positions) — which lets the
+    # doubling START at k=32 (1-2 rounds to totality instead of 6) and the
+    # lifting test window equality directly at levels 32/16, finishing the
+    # <16 residual with one element-wise window compare.
     toks = materialize(
         docs.join(F.broadcast(offs), "doc_id")
-        .select("doc_id", "off", F.posexplode("tk").alias("p", "token"))
+        .select("doc_id", "tk", "off", F.posexplode("tk").alias("p", "token"))
         .select(
             "doc_id",
             (F.col("p") + 1).alias("dpos"),
             (F.col("off") + F.col("p") + 1).alias("gpos"),
             "token",
-        )
-    )
-    tok_rank = _sa_dense_rank(
-        toks.select("token").distinct(), ["token"], "r"
-    )
-    cur = materialize(
-        toks.join(tok_rank, "token").select(
-            "gpos", F.col("r").alias("rank")
+            F.slice("tk", F.col("p") + 1, 16).alias("pref16"),
+            F.slice("tk", F.col("p") + 1, 32).alias("pref32"),
         )
     )
     n_sfx = toks.count()  # bounded planted corpus (cheap on a checkpoint)
-    tables = {1: cur}
-    k = 1
-    while k < _SA_MAX_K:
-        nxt = cur.select(
-            (F.col("gpos") - k).alias("gpos"),
-            F.col("rank").alias("nrank"),
-        )
-        paired = cur.join(nxt, "gpos", "left").select(
-            "gpos",
-            "rank",
-            F.coalesce("nrank", F.lit(-1)).alias("nrank"),
-        )
-        keys = _sa_dense_rank(
-            paired.select("rank", "nrank").distinct(),
-            ["rank", "nrank"],
-            "nr",
-        )
+    # Every frame the doubling/lifting loops touch is one row per corpus
+    # token, so the whole fixed-point section runs under the shared
+    # bounded-iteration pin (operators.bounded_iteration — the graph-loop
+    # discipline): shuffle partitions derived from the measured token
+    # count, restored after. The corpus-scale tokenize above is
+    # checkpointed at full parallelism BEFORE the pin.
+    with bounded_iteration(toks.sparkSession, n_sfx):
+        # seed ranking at k=32: dense rank of the 32-token windows, sharded
+        # by the window's leading character (shard ids ascend with the
+        # array order because the first token is the major key).
         cur = materialize(
-            paired.join(keys, ["rank", "nrank"]).select(
-                "gpos", F.col("nr").alias("rank")
+            _sa_dense_rank(
+                toks.select("gpos", "token", "pref32"),
+                ["pref32"],
+                F.ascii("token"),
+                "r",
+            ).select("gpos", F.col("r").alias("rank"))
+        )
+        tables = {32: cur}
+        k = 32
+        while k < _SA_MAX_K:
+            # rank_2k(g) keys on (rank_k(g), rank_k(g+k)). The shifted rank
+            # is attached WITHOUT a join: every checkpoint row is emitted
+            # once as itself and once as a donor to position g-k, and one
+            # group-by per position folds the pair back together (rows
+            # lacking a donor are corpus-tail positions → sentinel -1;
+            # donor rows below position 1 have no home row and drop out).
+            home = cur.select(
+                "gpos",
+                F.col("rank").alias("r1"),
+                F.lit(None).cast("long").alias("r2"),
             )
-        )
-        k *= 2
-        tables[k] = cur
-        # early exit (sound, not just fast): ranks total at k means every
-        # k-token prefix is unique, so every LCP < k and the remaining
-        # doubling rounds AND the lifting levels >= k are no-ops. The max
-        # dense rank IS the distinct count — one tiny agg per round.
-        if cur.agg(F.max("rank")).first()[0] == n_sfx:
-            break
-    # cur = rank_k: total order (every LCP < k), so the dense rank IS the
-    # suffix-array index; neighbors are rank i / i+1.
-    right = cur.select(
-        (F.col("rank") - 1).alias("rank"), F.col("gpos").alias("b")
-    )
-    pairs = (
-        cur.select("rank", F.col("gpos").alias("a"))
-        .join(right, "rank")
-        .select("a", "b", F.lit(0).alias("lcp"))
-    )
-    kk = k // 2  # every LCP < k, so higher lifting levels are no-ops
-    while kk >= 1:
-        t = tables[kk]
-        ta = t.select(
-            F.col("gpos").alias("_ga"), F.col("rank").alias("_ra")
-        )
-        tb = t.select(
-            F.col("gpos").alias("_gb"), F.col("rank").alias("_rb")
+            donor = cur.select(
+                (F.col("gpos") - k).alias("gpos"),
+                F.lit(None).cast("long").alias("r1"),
+                F.col("rank").alias("r2"),
+            )
+            paired = (
+                home.unionByName(donor)
+                .groupBy("gpos")
+                .agg(
+                    F.max("r1").alias("rank"),
+                    F.coalesce(F.max("r2"), F.lit(-1)).alias("nrank"),
+                )
+                .filter(F.col("rank").isNotNull())
+            )
+            # ties-aware dense rank directly over the full paired frame
+            # (identical rank values to a distinct → rank → join-back
+            # shape, minus the distinct exchange and the join), sharded by
+            # arithmetic on the dense major key — no sampling pass.
+            cur = materialize(
+                _sa_dense_rank(
+                    paired,
+                    ["rank", "nrank"],
+                    # div-safe: n_sfx >= 1 (non-empty corpus), a Python literal
+                    F.expr(f"((rank - 1) * {_SA_RANK_PARTS}) div {n_sfx}"),
+                    "nr",
+                ).select("gpos", F.col("nr").alias("rank"))
+            )
+            k *= 2
+            tables[k] = cur
+            # early exit (sound, not just fast): ranks total at k means
+            # every k-token prefix is unique, so every LCP < k and the
+            # remaining doubling rounds AND the lifting levels >= k are
+            # no-ops. One tiny agg over the fresh checkpoint per round.
+            if cur.agg(F.max("rank")).first()[0] == n_sfx:
+                break
+        # cur = rank_k: total order (every LCP < k), so the dense rank IS
+        # the suffix-array index; neighbors are rank i / i+1.
+        right = cur.select(
+            (F.col("rank") - 1).alias("rank"), F.col("gpos").alias("b")
         )
         pairs = (
-            pairs.join(
-                ta, F.col("a") + F.col("lcp") == F.col("_ga"), "left"
+            cur.select("rank", F.col("gpos").alias("a"))
+            .join(right, "rank")
+            .select("a", "b", F.lit(0).alias("lcp"))
+        )
+        kk = k // 2  # every LCP < k, so higher lifting levels are no-ops
+        while kk >= 16:
+            if kk in tables:
+                t = tables[kk].select("gpos", F.col("rank").alias("_r"))
+            else:
+                # kk = 16: window equality tested directly on the seed
+                # arrays (exact — see the seed-key note above)
+                t = toks.select("gpos", F.col("pref16").alias("_r"))
+            ta = t.select(
+                F.col("gpos").alias("_ga"), F.col("_r").alias("_ra")
             )
-            .join(tb, F.col("b") + F.col("lcp") == F.col("_gb"), "left")
+            tb = t.select(
+                F.col("gpos").alias("_gb"), F.col("_r").alias("_rb")
+            )
+            pairs = (
+                pairs.join(
+                    ta, F.col("a") + F.col("lcp") == F.col("_ga"), "left"
+                )
+                .join(tb, F.col("b") + F.col("lcp") == F.col("_gb"), "left")
+                .select(
+                    "a",
+                    "b",
+                    (
+                        F.col("lcp")
+                        + F.when(
+                            F.col("_ra").isNotNull()
+                            & (F.col("_ra") == F.col("_rb")),
+                            F.lit(kk),
+                        ).otherwise(F.lit(0))
+                    ).alias("lcp"),
+                )
+            )
+            kk //= 2
+        # Final level: after lifting through 16 the residual LCP is < 16,
+        # so it is the common-prefix length of the two 16-token seed
+        # windows at (a+lcp, b+lcp) — one element-wise compare replaces
+        # the four remaining join levels (8, 4, 2, 1). A mismatch always
+        # exists inside the windows for a ≠ b (terminator-uniqueness, see
+        # the seed-key note); the fallbacks below are belt-and-braces,
+        # not reachable.
+        fa = toks.select(
+            F.col("gpos").alias("_ga"), F.col("pref16").alias("_pa")
+        )
+        fb = toks.select(
+            F.col("gpos").alias("_gb"), F.col("pref16").alias("_pb")
+        )
+        mism = F.array_position(
+            F.zip_with(
+                "_pa", "_pb", lambda x, y: F.coalesce(x == y, F.lit(False))
+            ),
+            F.lit(False),
+        )
+        resid = F.when(mism > 0, mism - 1).otherwise(
+            F.least(F.size("_pa"), F.size("_pb"))
+        )
+        pairs = materialize(
+            pairs.join(
+                fa, F.col("a") + F.col("lcp") == F.col("_ga"), "left"
+            )
+            .join(fb, F.col("b") + F.col("lcp") == F.col("_gb"), "left")
             .select(
                 "a",
                 "b",
-                (
-                    F.col("lcp")
-                    + F.when(
-                        F.col("_ra").isNotNull()
-                        & (F.col("_ra") == F.col("_rb")),
-                        F.lit(kk),
-                    ).otherwise(F.lit(0))
-                ).alias("lcp"),
+                (F.col("lcp") + F.coalesce(resid, F.lit(0))).alias("lcp"),
             )
         )
-        if kk in (16, 1):  # periodic lineage cut through the lifting
-            pairs = materialize(pairs)
-        kk //= 2
     sides = pairs.select(F.col("a").alias("gpos"), "lcp").unionByName(
         pairs.select(F.col("b").alias("gpos"), "lcp")
     )

@@ -24,11 +24,13 @@ connected-components recipe.
 
 from __future__ import annotations
 
-from contextlib import contextmanager
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from datafusion_impl_spark.operators import (
+    _iteration_partitions,
+    bounded_iteration as _bounded_iteration,
+)
 from datafusion_impl_spark.operators.dedup import (
     _CORPUS_SQL,
     _MINHASH_SQL,
@@ -38,48 +40,6 @@ from datafusion_impl_spark.operators.dedup import (
 __all__ = ["QUERIES", "ORACLES", "connected_components", "label_propagation"]
 
 _MAX_ROUNDS = 16
-
-
-#: one iteration-stage shuffle partition per this many graph rows — sized so
-#: a partition's join state stays comfortably in executor memory.
-_ROWS_PER_ITER_PARTITION = 2_000_000
-
-
-def _iteration_partitions(n_rows: int) -> int:
-    """Shuffle-partition count for a fixed-point loop, sized from the
-    checkpointed graph's measured row count (NOT a hard-coded 1): tiny
-    graphs get 1 partition (scheduling overhead dominates), a 100×-scale
-    pair graph of tens of millions of edges gets real parallelism."""
-    return max(1, -(-n_rows // _ROWS_PER_ITER_PARTITION))
-
-
-@contextmanager
-def _bounded_iteration(spark: SparkSession, n_rows: int):
-    """Pin shuffle partitions to `_iteration_partitions(n_rows)` for a
-    fixed-point loop, restoring after.
-
-    The graph loops iterate over the BOUNDED pair graph (thousands of rows
-    at sf0.1), but with the session's 32 shuffle partitions every round
-    schedules 32-task stages whose fixed scheduling cost dwarfs the actual
-    work — the same per-iteration-overhead failure mode as the naive
-    recursive CTE (see plans/modern.py). Heavy upstream plans (the MinHash
-    pipeline) are localCheckpoint-ed at full parallelism BEFORE entering
-    this context, so only the tiny iterative stages are pinned, and the
-    count that sizes the pin is one cheap job over that checkpoint.
-    Measured at sf0.1: components 5.7 s → ~2 s, PageRank 6.4 s → ~2 s.
-
-    NOTE: this mutates the session-global shuffle-partition conf for the
-    duration of the loop (restored in ``finally``) and therefore assumes no
-    CONCURRENT queries plan on the same SparkSession while the loop runs —
-    true for the sequential bench/driver harness. A threaded harness would
-    need the override scoped per-frame (``df.repartition(n)`` on the
-    iteration frames) instead."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(_iteration_partitions(n_rows)))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def connected_components(pairs: DataFrame, max_rounds: int = _MAX_ROUNDS) -> DataFrame:
