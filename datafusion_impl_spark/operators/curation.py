@@ -1201,10 +1201,15 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "block",
         (F.regexp_replace("d_name", r"\D", "").cast("long") / 100).cast("long"),
     )
+    # thresholded levenshtein (Spark 3.5+): the banded DP early-exits once
+    # the distance provably exceeds 2 and returns -1, so each of the
+    # block_size² candidate pairs costs O(k·n) instead of O(n·m) cells.
+    # Kept pairs get the exact distance (0/1/2), so `dist >= 0` admits
+    # exactly the rows the unthresholded `dist <= 2` filter admitted.
     pairs = (
         dirty.join(master, "block")
-        .withColumn("dist", F.levenshtein("d_name", "m_name"))
-        .filter(F.col("dist") <= 2)
+        .withColumn("dist", F.levenshtein("d_name", "m_name", 2))
+        .filter(F.col("dist") >= 0)
     )
     w = Window.partitionBy("d_key").orderBy("dist", "m_key")
     best = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)

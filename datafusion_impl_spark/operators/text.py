@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datafusion_impl_spark.operators import duck_md5_long, materialize, md5_long
+from datafusion_impl_spark.operators import (
+    bounded_iteration,
+    duck_md5_long,
+    materialize,
+    md5_long,
+)
 from datafusion_impl_spark.sources.registry import load_table
 
 __all__ = ["QUERIES", "ORACLES"]
@@ -4850,6 +4855,18 @@ def _ulm_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded). Shared by the trainer query and the Viterbi encoder."""
     words = materialize(_ulm_words(spark, sf_dir))
 
+    # The EM below iterates over the BOUNDED word table (≤ _ULM_WORDS
+    # rows; occ ≤ words × maxlen × plen) — the corpus-scale tokenize is
+    # checkpointed in `words` above, so the whole fit runs under the
+    # shared bounded-iteration pin (partition count from the measured
+    # model size, AQE's per-exchange sub-jobs off — see
+    # operators.bounded_iteration). The returned model frame is lazy and
+    # executes at the caller's session conf.
+    with bounded_iteration(spark, _ULM_WORDS * _ULM_MAXLEN * _ULM_PLEN):
+        return _ulm_fit_inner(words)
+
+
+def _ulm_fit_inner(words: DataFrame) -> DataFrame:
     occ = materialize(
         words.select(
             "word", "cnt", "len",
@@ -4892,38 +4909,33 @@ def _ulm_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # of re-inlining the whole literal into every expression
         dfw = materialize(words.withColumn("mp", mp))
 
-        def p_at(start, k):  # prob of the piece at 1-based start, length k
-            return F.coalesce(
-                F.col("mp")[F.substring("word", start, k)], F.lit(0.0)
+        # unrolled forward/backward DP as ONE selectExpr with lateral
+        # column aliases (each a_i/b_m references the previously aliased
+        # columns in the same SELECT): identical expressions and fold
+        # order to the previous withColumn chain, but built as strings —
+        # the 17-step chained-withColumn construction paid ~1.2 s per
+        # round in py4j plan-wrapping alone before the first job ran.
+        exprs = [
+            "word",
+            "len",
+            "mp",
+            "1.0D AS a0",
+            "1.0D AS b0",
+        ]
+        for i in range(1, _ULM_MAXLEN + 1):
+            a_terms = " + ".join(
+                f"coalesce(mp[substring(word, {i - k + 1}, {k})], 0.0D)"
+                f" * a{i - k}"
+                for k in range(1, min(_ULM_PLEN, i) + 1)
             )
-
-        def p_end(m, k):  # piece starting at len-m+1 (column start)
-            return F.coalesce(
-                F.col("mp")[
-                    F.col("word").substr(F.col("len") - F.lit(m - 1), F.lit(k))
-                ],
-                F.lit(0.0),
+            b_terms = " + ".join(
+                f"coalesce(mp[substring(word, len - {i - 1}, {k})], 0.0D)"
+                f" * b{i - k}"
+                for k in range(1, min(_ULM_PLEN, i) + 1)
             )
-
-        # unrolled forward/backward DP as a withColumn chain: each a_i/b_m
-        # references the previously defined columns
-        dp = dfw.select("word", "len", "mp")
-        for i in range(0, _ULM_MAXLEN + 1):
-            a_terms = None
-            b_terms = None
-            if i == 0:
-                dp = dp.withColumn("a0", F.lit(1.0)).withColumn(
-                    "b0", F.lit(1.0)
-                )
-                continue
-            for k in range(1, min(_ULM_PLEN, i) + 1):
-                ta = p_at(i - k + 1, k) * F.col(f"a{i - k}")
-                tb = p_end(i, k) * F.col(f"b{i - k}")
-                a_terms = ta if a_terms is None else a_terms + ta
-                b_terms = tb if b_terms is None else b_terms + tb
-            dp = dp.withColumn(
-                f"a{i}", F.when(F.col("len") >= i, a_terms)
-            ).withColumn(f"b{i}", F.when(F.col("len") >= i, b_terms))
+            exprs.append(f"CASE WHEN len >= {i} THEN {a_terms} END AS a{i}")
+            exprs.append(f"CASE WHEN len >= {i} THEN {b_terms} END AS b{i}")
+        dp = dfw.selectExpr(*exprs)
         arr_a = F.array(*[F.col(f"a{i}") for i in range(_ULM_MAXLEN + 1)])
         arr_b = F.array(*[F.col(f"b{i}") for i in range(_ULM_MAXLEN + 1)])
         lattice = dp.select(
@@ -5194,19 +5206,18 @@ def unigram_viterbi_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lps")
         )
     )
-    dp = lps.withColumn("v0", F.lit(0.0))
+    # unrolled max-DP as ONE selectExpr with lateral column aliases (same
+    # expressions and operand order as the previous withColumn chain, built
+    # as strings — chained withColumn paid ~1 s of py4j plan-wrapping).
+    vexprs = ["word", "len", "lps", "0.0D AS v0"]
     for i in range(1, _ULM_MAXLEN + 1):
         terms = [
-            F.element_at("lps", (i - k) * _ULM_PLEN + k) + F.col(f"v{i - k}")
+            f"element_at(lps, {(i - k) * _ULM_PLEN + k}) + v{i - k}"
             for k in range(1, min(_ULM_PLEN, i) + 1)
         ]
-        dp = dp.withColumn(
-            f"v{i}",
-            F.when(
-                F.col("len") >= i,
-                F.greatest(*terms) if len(terms) > 1 else terms[0],
-            ),
-        )
+        body = f"greatest({', '.join(terms)})" if len(terms) > 1 else terms[0]
+        vexprs.append(f"CASE WHEN len >= {i} THEN {body} END AS v{i}")
+    dp = lps.selectExpr(*vexprs)
     best = dp.select(
         "word",
         F.element_at(
