@@ -27,12 +27,17 @@ divergence cannot flip an order.
 
 from __future__ import annotations
 
+import functools
 import math
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datafusion_impl_spark.operators import materialize, md5_long
+from datafusion_impl_spark.operators import (
+    bounded_iteration,
+    materialize,
+    md5_long,
+)
 from datafusion_impl_spark.sources.registry import load_table
 
 __all__ = ["QUERIES", "ORACLES"]
@@ -4226,6 +4231,25 @@ ORDER BY q_id, rank
 """
 
 
+def _bounded_embeddings(fn):
+    """Run an embeddings-only query's EAGER work (Lloyd codebook training
+    collects, candidate/code-table materializes) under the shared
+    bounded-iteration pin, sized from the measured embedding-corpus row
+    count: every intermediate here is the corpus times a bounded constant
+    (8 subspaces, nprobe ≤ 2, top-k ≤ 5), so partitions derived from the
+    corpus size are right for every stage, and AQE's per-exchange sub-jobs
+    are pure overhead on them (see operators.bounded_iteration). The
+    RETURNED plan is lazy and executes at the caller's session conf."""
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        n = load_table(spark, sf_dir, "embeddings").count()
+        with bounded_iteration(spark, n):
+            return fn(spark, sf_dir)
+
+    return wrapper
+
+
 QUERIES = {
     "embedding_jl_projection_audit": embedding_jl_projection_audit,
     "ann_opq_subspace_balance": ann_opq_subspace_balance,
@@ -4253,6 +4277,16 @@ QUERIES = {
     "ann_truncated_recall": ann_truncated_recall,
     "ann_ivf_recall_sweep": ann_ivf_recall_sweep,
     "ann_ivf_incremental_assign": ann_ivf_incremental_assign,
+}
+
+#: queries that also scan a corpus-scale table (documents) — their heavy
+#: first aggregates must keep full scan/shuffle parallelism, so they stay
+#: outside the embeddings-sized pin.
+_FULL_PARALLEL = {"hybrid_bm25_dense_rrf"}
+
+QUERIES = {
+    name: (fn if name in _FULL_PARALLEL else _bounded_embeddings(fn))
+    for name, fn in QUERIES.items()
 }
 
 ORACLES = {

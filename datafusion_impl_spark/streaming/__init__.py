@@ -757,7 +757,8 @@ def stream_cdc_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey bigint, o_orderstatus string, o_totalprice double, "
         "version int, op string"
     )
-    q = (
+    _run_pinned(
+        spark,
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(feed_dir)
@@ -765,10 +766,8 @@ def stream_cdc_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .option(
             "checkpointLocation", os.path.join(root, "ckpt")
-        )
-        .start()
+        ),
     )
-    q.awaitTermination()
     state = spark.read.parquet(last["dir"])
     survivors = state.filter(F.col("op") != "D")
     n_deleted = state.filter(F.col("op") == "D").agg(
@@ -927,6 +926,38 @@ ORDER BY event_type
 #: overhead bites; 16 is the measured optimum. On a real cluster this
 #: would be sized to key cardinality; queries restore the session value.
 _TWS_SHUFFLE = "16"
+
+#: Shuffle/state-partition pin for the plain streaming aggregations (the
+#: non-TWS file-feed streams: sketch maintenance, quality gate, CDC apply).
+#: Their state is tiny (a counter grid, a histogram, per-key registers)
+#: but every micro-batch pays one state-store commit PER PARTITION plus a
+#: stage of mostly-empty tasks, so the session's core-count partitioning
+#: multiplies fixed costs by ~8x for zero parallelism gain. r16 A/B on the
+#: CMS stream (alternating, 2 rounds, sf0.1): 32 -> 5.6 s, 16 -> 3.9 s,
+#: 8 -> 5.3 s, 4 -> 3.3 s, 2 -> 3.2 s, 1 -> erratic (serialized commits).
+#: On a real deployment this is sized to state volume / key cardinality —
+#: override via SPARK_GRAFT_STREAM_SHUFFLE; queries restore the session
+#: value after the stream completes.
+_STREAM_AGG_SHUFFLE = __import__("os").environ.get(
+    "SPARK_GRAFT_STREAM_SHUFFLE", "4"
+)
+
+
+def _run_pinned(spark: SparkSession, writer) -> None:
+    """Start ``writer`` (a fully-configured DataStreamWriter) under the
+    stream shuffle pin and block until the availableNow run completes,
+    restoring the session's shuffle-partition conf after."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, _STREAM_AGG_SHUFFLE)
+    try:
+        writer.start().awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
 
 #: Session timeout for the event-time TWS operator: a user idle for this
 #: long (in event time) has their session finalized by a TIMER.
@@ -2421,15 +2452,14 @@ def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(feed)
         )
-        q = (
+        _run_pinned(
+            spark,
             _hll_regs(src.select("event_type", "user_id"))
             .writeStream.format("memory")
             .queryName(view)
             .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        q.awaitTermination()
     finally:
         shutil.rmtree(feed, ignore_errors=True)
     # update mode re-emits a register row per batch that touched it; the
@@ -2504,17 +2534,16 @@ def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit(1).alias("k"),
         )
-        q = (
+        _run_pinned(
+            spark,
             _qhist_binned(cents.join(mmk, "k"))
             .groupBy("bin")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .writeStream.format("memory")
             .queryName(view)
             .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        q.awaitTermination()
     finally:
         shutil.rmtree(feed, ignore_errors=True)
     # update mode re-emits a bin row per touching batch; counts are
@@ -2583,7 +2612,8 @@ def stream_bloom_ingest_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         member = src.filter(F.col("doc_id") % 2 == 0).select(
             F.md5(F.col("text")).alias("key")
         )
-        q = (
+        _run_pinned(
+            spark,
             _bloom_positions(member, [])
             .select(
                 "block",
@@ -2594,10 +2624,8 @@ def stream_bloom_ingest_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .writeStream.format("memory")
             .queryName(view)
             .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        q.awaitTermination()
     finally:
         shutil.rmtree(feed, ignore_errors=True)
     # update mode re-emits a block row per touching batch; OR-accumulated
@@ -2663,17 +2691,16 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok1 = src.select(
             F.explode(tokens("text")).alias("tok"), F.lit(1).alias("c")
         )
-        q = (
+        _run_pinned(
+            spark,
             _cms_hashed(spark, tok1)
             .groupBy("d", "b")
             .agg(F.sum("c").alias("cnt"))
             .writeStream.format("memory")
             .queryName(view)
             .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        q.awaitTermination()
     finally:
         shutil.rmtree(feed, ignore_errors=True)
     # update mode re-emits a counter row per touching batch; sums are
