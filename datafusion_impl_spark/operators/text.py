@@ -3554,20 +3554,25 @@ def _logreg_fit(
     schedule is bit-identical. ``init`` warm-starts from existing weights
     (model refresh) instead of zeros."""
     w = list(init) if init is not None else [0.0, 0.0, 0.0, 0.0]
-    for _ in range(steps):
-        # div-safe: 1 + exp(-z) >= 1
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z(w)))
-        r = p - F.col("y")
-        g = feats.agg(
-            F.round(F.avg(r), _QCLF_SYNC_ROUND).alias("g0"),
-            F.round(F.avg(r * F.col("x1")), _QCLF_SYNC_ROUND).alias("g1"),
-            F.round(F.avg(r * F.col("x2")), _QCLF_SYNC_ROUND).alias("g2"),
-            F.round(F.avg(r * F.col("x3")), _QCLF_SYNC_ROUND).alias("g3"),
-        ).collect()[0]  # bounded collect: one 4-double gradient per step
-        w = [
-            _round_half_up(w[j] - lr * g[j], _QCLF_SYNC_ROUND)
-            for j in range(4)
-        ]
+    # Every step is one single-row aggregate over the caller's checkpointed
+    # feature frame — a fixed-point loop over bounded state, so it runs
+    # under the shared bounded-iteration pin (see operators.bounded_iteration;
+    # callers materialize feats at full parallelism first).
+    with bounded_iteration(feats.sparkSession, feats.count()):
+        for _ in range(steps):
+            # div-safe: 1 + exp(-z) >= 1
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z(w)))
+            r = p - F.col("y")
+            g = feats.agg(
+                F.round(F.avg(r), _QCLF_SYNC_ROUND).alias("g0"),
+                F.round(F.avg(r * F.col("x1")), _QCLF_SYNC_ROUND).alias("g1"),
+                F.round(F.avg(r * F.col("x2")), _QCLF_SYNC_ROUND).alias("g2"),
+                F.round(F.avg(r * F.col("x3")), _QCLF_SYNC_ROUND).alias("g3"),
+            ).collect()[0]  # bounded collect: one 4-double gradient per step
+            w = [
+                _round_half_up(w[j] - lr * g[j], _QCLF_SYNC_ROUND)
+                for j in range(4)
+            ]
     return w
 
 
@@ -3751,6 +3756,17 @@ def _logreg_fit_multi(
     10-dp re-sync discipline as :func:`_logreg_fit`."""
     ws = [[0.0] * 4 for _ in range(n_classes)]
     xs = ("x1", "x2", "x3")
+    return _logreg_fit_multi_inner(feats, n_classes, steps, lr, ws, xs)
+
+
+def _logreg_fit_multi_inner(feats, n_classes, steps, lr, ws, xs):
+    # same bounded-iteration discipline as _logreg_fit: K single-row
+    # aggregates over the caller's checkpointed feature frame.
+    with bounded_iteration(feats.sparkSession, feats.count()):
+        return _logreg_steps_multi(feats, n_classes, steps, lr, ws, xs)
+
+
+def _logreg_steps_multi(feats, n_classes, steps, lr, ws, xs):
     for _ in range(steps):
         aggs = []
         for c in range(n_classes):

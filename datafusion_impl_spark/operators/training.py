@@ -1248,11 +1248,14 @@ def skipgram_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # div-safe: c_w >= 1 (GROUP BY count)
     tf = (F.lit(_SG_T) * F.col("t_tok")) / F.col("c_w")
     keep = u < F.least(F.sqrt(tf) + tf, F.lit(1.0))
+    # project BEFORE the checkpoint: downstream consumers (the negative
+    # draws and the per-source pair census) key on (doc_id, source, pos,
+    # cpos, keep) only — carrying center/context tokens through the
+    # million-row materialize would store and re-read dead columns.
     gated = (
         pairs.join(uni.withColumnRenamed("w", "center"), "center")
         .crossJoin(F.broadcast(total))
-        .select("doc_id", "source", "center", "context", "pos", "cpos",
-                keep.alias("keep"))
+        .select("doc_id", "source", "pos", "cpos", keep.alias("keep"))
     )
     gated = materialize(gated)
     # negative table: top-V vocab, integer unigram^0.75 weights, exact cums
