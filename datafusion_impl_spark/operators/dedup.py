@@ -323,42 +323,84 @@ def dedup_documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_jaccard_verify(cand, sh)
 
 
-def _band_candidates(bands: DataFrame) -> DataFrame:
-    """Distinct (da, db) candidate pairs from a band table: equi-join on
-    (band, bkey) — the only pairing step, never an all-pairs product."""
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+def _grouped_pairs(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str = "doc_id",
+    cap: int | None = None,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distinct ordered (da < db) id pairs per key group — the blocked
+    pairing step of every inverted-index/LSH candidate generator here.
+
+    Shape (r17): ONE aggregation collects each group's distinct ids into a
+    sorted array and the pairs are expanded IN-ROW (positional i < j over
+    the sorted array ⇒ da < db), replacing a self-join of the table with
+    itself on the group key. The self-join shape paid two shuffles of the
+    full table plus the join; this pays one groupBy of the table and goes
+    straight to the pair distinct — measured 2.3× on the containment
+    generator at sf0.1 with byte-identical output. The pair VOLUME is
+    unchanged (C(group, 2) either way), so the skew story is the same as
+    the self-join's; ``cap`` (the DF cap) is the structural bound, applied
+    here as an array-size filter identical to the old per-key COUNT filter
+    because inputs are distinct per (key, id).
+
+    ``carry`` names key columns to keep in the output (e.g. the sweep's
+    config tag); the distinct is then over (carry..., da, db)."""
+    ds = F.array_sort(F.collect_set(id_col))
+    g = df.groupBy(*keys).agg(ds.alias("_ds"))
+    cond = F.size("_ds") >= 2
+    if cap is not None:
+        cond = cond & (F.size("_ds") <= cap)
+    pairs = F.flatten(
+        F.transform(
+            "_ds",
+            lambda x, i: F.transform(
+                F.slice("_ds", i + 2, F.size("_ds")),
+                lambda y: F.struct(x.alias("da"), y.alias("db")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+    )
+    return (
+        g.filter(cond)
+        .select(*carry, F.explode(pairs).alias("_p"))
+        .select(*carry, F.col("_p.da").alias("da"), F.col("_p.db").alias("db"))
         .distinct()
     )
+
+
+def _band_candidates(bands: DataFrame) -> DataFrame:
+    """Distinct (da, db) candidate pairs from a band table: grouped pair
+    expansion per (band, bkey) — the only pairing step, never an all-pairs
+    product."""
+    return _grouped_pairs(bands, ["band", "bkey"])
 
 
 def _exact_jaccard_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:
     """Exact Jaccard over (da, db) candidate pairs given the per-doc distinct
     shingle sets; emits pairs at or above the threshold. Cost is proportional
-    to candidate volume only — the candidate generator bounds the work."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("da"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("db"), "shingle")
-    inter = (
-        cand.join(sa, "da").join(sb, ["db", "shingle"]).groupBy("da", "db").agg(
-            F.count(F.lit(1)).alias("i")
-        )
-    )
-    za = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    to candidate volume only — the candidate generator bounds the work.
+
+    Shape (r17): each doc's distinct shingles are packed into ONE array row
+    (one aggregation of ``sh``), candidates attach both arrays with two
+    doc-id equi-joins, and the intersection count is a per-row codegen'd
+    ``size(array_intersect(...))``. The previous formulation exploded every
+    candidate's full shingle set back into rows — candidate_volume ×
+    shingles_per_doc rows through two exchanges plus a re-aggregation, then
+    two more joins for the set sizes. Value-identical: ``sh`` is distinct
+    per (doc_id, shingle), so the array IS the set — the intersection count
+    and sizes are the same integers, and pairs with no overlap (which the
+    old inner explode-join dropped early) fall to jaccard 0 < threshold."""
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("ss"))
+    a = sets.select(F.col("doc_id").alias("da"), F.col("ss").alias("ssa"))
+    b = sets.select(F.col("doc_id").alias("db"), F.col("ss").alias("ssb"))
+    i = F.size(F.array_intersect("ssa", "ssb"))
     # div-safe: i <= min(na, nb), so the union size na+nb-i >= max(na, nb)
-    # >= 1 (sizes only lists docs with non-empty shingle sets)
-    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    # >= 1 (sets only lists docs with non-empty shingle sets)
+    jac = i / (F.size("ssa") + F.size("ssb") - i)
     return (
-        inter.join(za, "da")
-        .join(zb, "db")
+        cand.join(a, "da")
+        .join(b, "db")
         .filter(jac >= _JACCARD_T)
         .select(
             F.col("da").alias("doc_a"),
@@ -433,21 +475,11 @@ def dedup_documents_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     that keeps the blocked join linear at 100 TB."""
     corpus = near_dup_corpus(spark, sf_dir)
     sh = materialize(_shingles(corpus))
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= 4)
-        .select("shingle")
-    )
-    rsh = sh.join(rare, "shingle")
-    a = rsh.select(F.col("doc_id").alias("da"), "shingle")
-    b = rsh.select(F.col("doc_id").alias("db"), "shingle")
-    cand = (
-        a.join(b, ["shingle"])
-        .filter(F.col("da") < F.col("db"))
-        .select("da", "db")
-        .distinct()
-    )
+    # DF-capped inverted index as grouped pair expansion (see _grouped_pairs):
+    # one groupBy(shingle) replaces the rare-filter + self-join — groups of
+    # size 1 pair nothing and groups over the cap are dropped, exactly the
+    # old df <= 4 discipline.
+    cand = _grouped_pairs(sh, ["shingle"], cap=4)
     return _exact_jaccard_verify(cand, sh)
 
 
@@ -549,21 +581,8 @@ def dedup_minhash_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bs.band").alias("band"),
         F.col("bs.bkey").alias("bkey"),
     )
-    a, bb = bands.alias("a"), bands.alias("b")
     cand_all = materialize(
-        a.join(
-            bb,
-            (F.col("a.cfg") == F.col("b.cfg"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.cfg").alias("cfg"),
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
-        )
-        .distinct()
+        _grouped_pairs(bands, ["cfg", "band", "bkey"], carry=("cfg",))
     )
     verified_pairs = _exact_jaccard_verify(
         cand_all.select("da", "db").distinct(), sh
@@ -697,30 +716,24 @@ def minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb_sig, "db")
         .select("da", "db", (n_agree / _NUM_HASHES).alias("est_j"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("da"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("db"), "shingle")
-    inter = (
-        cand.join(sa, "da").join(sb, ["db", "shingle"]).groupBy("da", "db").agg(
-            F.count(F.lit(1)).alias("i")
-        )
-    )
-    za = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    # Array-packed exact side (r17, same shape as _exact_jaccard_verify):
+    # size(array_intersect(...)) per candidate row replaces the exploded
+    # shingle join + re-aggregation. A banded collision CAN pair docs with
+    # zero shared shingles (est_j > 0, exact 0) — precisely the rows this
+    # audit exists to expose; the array intersection yields i = 0 for them
+    # directly (the old explode-join needed a left join + coalesce).
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("ss"))
+    seta = sets.select(F.col("doc_id").alias("da"), F.col("ss").alias("ssa"))
+    setb = sets.select(F.col("doc_id").alias("db"), F.col("ss").alias("ssb"))
+    i = F.size(F.array_intersect("ssa", "ssb"))
     exact = (
-        # left join: a banded collision CAN pair docs with zero shared
-        # shingles (est_j > 0, exact 0) — precisely the rows this audit exists
-        # to expose, so they must not drop out of the intersection join.
-        cand.join(inter, ["da", "db"], "left")
-        .join(za, "da")
-        .join(zb, "db")
+        cand.join(seta, "da")
+        .join(setb, "db")
         .select(
             "da",
             "db",
             # div-safe: union size >= max(na, nb) >= 1 (i <= min(na, nb))
-            (F.coalesce(F.col("i"), F.lit(0))
-             / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0)))
-             ).alias("exact_j"),
+            (i / (F.size("ssa") + F.size("ssb") - i)).alias("exact_j"),
         )
     )
     return (
@@ -851,24 +864,19 @@ def dedup_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.lit(1.0 - _BBIT_C)
     ests = paired.select("da", "db", est_full.alias("ef"), est_bbit.alias("eb"))
 
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    shx = sh.select(F.col("doc_id").alias("da"), "shingle")
-    shy = sh.select(F.col("doc_id").alias("db"), "shingle")
-    inter = (
-        cand.join(shx, "da").join(shy, ["db", "shingle"])
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    za = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    # Array-packed exact side (r17, same shape as _exact_jaccard_verify):
+    # size(array_intersect(...)) per candidate row replaces the exploded
+    # shingle join + re-aggregation; zero-overlap collisions yield i = 0
+    # directly instead of needing the left join + coalesce.
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("ss"))
+    seta = sets.select(F.col("doc_id").alias("da"), F.col("ss").alias("ssa"))
+    setb = sets.select(F.col("doc_id").alias("db"), F.col("ss").alias("ssb"))
+    i = F.size(F.array_intersect("ssa", "ssb"))
     # div-safe: union size >= max(na, nb) >= 1
-    exact_j = F.coalesce(F.col("i"), F.lit(0)) / (
-        F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))
-    ).cast("double")
+    exact_j = i / (F.size("ssa") + F.size("ssb") - i).cast("double")
     exact = (
-        cand.join(inter, ["da", "db"], "left")
-        .join(za, "da")
-        .join(zb, "db")
+        cand.join(seta, "da")
+        .join(setb, "db")
         .select("da", "db", exact_j.alias("xj"))
     )
     return (
@@ -976,28 +984,23 @@ def contrastive_pairs_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = materialize(_shingles(corpus))
     sig = materialize(_sig_wide(sh))
     cand = _band_candidates(_bands_from_sig(sig))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("da"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("db"), "shingle")
-    inter = (
-        cand.join(sa, "da").join(sb, ["db", "shingle"]).groupBy("da", "db").agg(
-            F.count(F.lit(1)).alias("i")
-        )
-    )
-    za = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    # Array-packed exact scoring (r17, same shape as _exact_jaccard_verify):
+    # size(array_intersect(...)) per candidate row replaces the exploded
+    # shingle join + re-aggregation; zero-overlap collisions — the hardest
+    # negatives — yield i = 0 directly (the old path needed a left join +
+    # coalesce to keep them).
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("ss"))
+    seta = sets.select(F.col("doc_id").alias("da"), F.col("ss").alias("ssa"))
+    setb = sets.select(F.col("doc_id").alias("db"), F.col("ss").alias("ssb"))
+    i = F.size(F.array_intersect("ssa", "ssb"))
     scored = (
-        # left join keeps zero-overlap collisions — the hardest negatives
-        cand.join(inter, ["da", "db"], "left")
-        .join(za, "da")
-        .join(zb, "db")
+        cand.join(seta, "da")
+        .join(setb, "db")
         .select(
             "da",
             "db",
             # div-safe: union size >= max(na, nb) >= 1 (i <= min(na, nb))
-            (F.coalesce(F.col("i"), F.lit(0))
-             / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0)))
-             ).alias("exact_j"),
+            (i / (F.size("ssa") + F.size("ssb") - i)).alias("exact_j"),
         )
     )
     langs = corpus.select("doc_id", "lang")
@@ -1141,46 +1144,31 @@ def dedup_documents_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = near_dup_corpus(spark, sf_dir)
     # fingerprint sets feed the index, both join sides, and the size table
     fp = materialize(winnow_fingerprints(corpus))
-    rare = (
-        fp.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _WINNOW_DF_CAP)
-        .select("fp")
-    )
-    # DF-capped index generates CANDIDATES only; the shared count is then
-    # verified over the FULL fingerprint sets (same generation/verification
-    # split as the n-gram operator), so exact copies score overlap = 1.0
-    # even when some of their fingerprints are corpus-common.
-    rfp = fp.join(rare, "fp")
-    ra = rfp.select(F.col("doc_id").alias("da"), "fp")
-    rb = rfp.select(F.col("doc_id").alias("db"), "fp")
-    cand = (
-        ra.join(rb, "fp")
-        .filter(F.col("da") < F.col("db"))
-        .select("da", "db")
-        .distinct()
-    )
-    fa = fp.select(F.col("doc_id").alias("da"), "fp")
-    fb = fp.select(F.col("doc_id").alias("db"), "fp")
-    shared = (
-        cand.join(fa, "da")
-        .join(fb, ["db", "fp"])
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= _WINNOW_SHARED_T)
-    )
-    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    za = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
-    # div-safe: sizes only lists docs with >= 1 paragraph, LEAST >= 1
-    overlap = F.col("n_shared") / F.least("na", "nb")
+    # DF-capped index generates CANDIDATES only (grouped pair expansion per
+    # fingerprint, see _grouped_pairs); the shared count is then verified
+    # over the FULL fingerprint sets (same generation/verification split as
+    # the n-gram operator), so exact copies score overlap = 1.0 even when
+    # some of their fingerprints are corpus-common.
+    cand = _grouped_pairs(fp, ["fp"], cap=_WINNOW_DF_CAP)
+    # Array-packed verify (r17, same shape as _exact_jaccard_verify): each
+    # doc's distinct fingerprint set rides as ONE array row and the shared
+    # count is a codegen'd size(array_intersect(...)) per candidate — the
+    # exploded fingerprint join shuffled candidate_volume × fps_per_doc
+    # rows through two exchanges plus a re-aggregation for the same counts.
+    sets = fp.groupBy("doc_id").agg(F.collect_list("fp").alias("fps"))
+    seta = sets.select(F.col("doc_id").alias("da"), F.col("fps").alias("fpa"))
+    setb = sets.select(F.col("doc_id").alias("db"), F.col("fps").alias("fpb"))
+    n_shared = F.size(F.array_intersect("fpa", "fpb"))
+    # div-safe: sets only lists docs with >= 1 fingerprint, LEAST >= 1
+    overlap = n_shared / F.least(F.size("fpa"), F.size("fpb"))
     return (
-        shared.join(za, "da")
-        .join(zb, "db")
+        cand.join(seta, "da")
+        .join(setb, "db")
+        .filter(n_shared >= _WINNOW_SHARED_T)
         .select(
             F.col("da").alias("doc_a"),
             F.col("db").alias("doc_b"),
-            F.col("n_shared").cast("long").alias("n_shared"),
+            n_shared.cast("long").alias("n_shared"),
             F.round(overlap, 4).alias("overlap"),
         )
         .orderBy("doc_a", "doc_b")

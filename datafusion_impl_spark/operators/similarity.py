@@ -33,6 +33,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from datafusion_impl_spark.operators.dedup import _grouped_pairs
 from datafusion_impl_spark.operators import (
     bounded_iteration,
     materialize,
@@ -1008,21 +1009,10 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "t")
         .agg(F.sum("bit").alias("bucket"))
     )
-    a = buckets.select(
-        F.col("vec_id").alias("vec_a"), F.col("t").alias("ta"), F.col("bucket").alias("ba")
-    )
-    b = buckets.select(
-        F.col("vec_id").alias("vec_b"), F.col("t").alias("tb"), F.col("bucket").alias("bb")
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("ta") == F.col("tb"))
-            & (F.col("ba") == F.col("bb"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
-        .select("vec_a", "vec_b")
-        .distinct()
+    # grouped pair expansion per (table, bucket) — one aggregation replaces
+    # the bucket self-join with identical distinct pairs (dedup._grouped_pairs)
+    cand = _grouped_pairs(buckets, ["t", "bucket"], id_col="vec_id").select(
+        F.col("da").alias("vec_a"), F.col("db").alias("vec_b")
     )
     ea = e.select(
         F.col("vec_id").alias("vec_a"),

@@ -22,6 +22,7 @@ from datafusion_impl_spark.operators import duck_md5_long, materialize, md5_long
 from datafusion_impl_spark.operators.dedup import (
     _CORPUS_SQL,
     _DUCK_SHINGLES,
+    _grouped_pairs,
     _shingles,
     near_dup_corpus,
 )
@@ -220,43 +221,31 @@ def dedup_documents_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     is then computed exactly on candidates only."""
     corpus = near_dup_corpus(spark, sf_dir)
     sh = materialize(_shingles(corpus))
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _CONTAIN_DF_CAP)
-        .select("shingle")
-    )
-    rsh = sh.join(rare, "shingle")
-    a = rsh.select(F.col("doc_id").alias("da"), "shingle")
-    b = rsh.select(F.col("doc_id").alias("db"), "shingle")
-    cand = (
-        a.join(b, ["shingle"])
-        .filter(F.col("da") < F.col("db"))
-        .select("da", "db")
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("da"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("db"), "shingle")
-    inter = (
-        cand.join(sa, "da").join(sb, ["db", "shingle"]).groupBy("da", "db").agg(
-            F.count(F.lit(1)).alias("i")
-        )
-    )
-    za = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
-    # div-safe: sizes only lists docs with a non-empty shingle set, so
+    # DF-capped inverted index as grouped pair expansion (one groupBy
+    # replaces the rare-filter + self-join; see dedup._grouped_pairs).
+    cand = _grouped_pairs(sh, ["shingle"], cap=_CONTAIN_DF_CAP)
+    # Array-packed exact verify (r17, same shape as dedup._exact_jaccard_
+    # verify): one aggregation packs each doc's distinct shingles into an
+    # array row, candidates attach both arrays by doc-id equi-join, and the
+    # intersection count is a codegen'd size(array_intersect(...)) — the
+    # explode-join shuffled candidate_volume × shingles_per_doc rows through
+    # two exchanges plus a re-aggregation for the same integers.
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("ss"))
+    seta = sets.select(F.col("doc_id").alias("da"), F.col("ss").alias("ssa"))
+    setb = sets.select(F.col("doc_id").alias("db"), F.col("ss").alias("ssb"))
+    i = F.size(F.array_intersect("ssa", "ssb"))
+    # div-safe: sets only lists docs with a non-empty shingle set, so
     # LEAST(na, nb) >= 1
-    contain = F.col("i") / F.least("na", "nb")
+    contain = i / F.least(F.size("ssa"), F.size("ssb"))
     return (
-        inter.join(za, "da")
-        .join(zb, "db")
+        cand.join(seta, "da")
+        .join(setb, "db")
         .filter(contain >= _CONTAIN_T)
         .select(
             F.col("da").alias("doc_a"),
             F.col("db").alias("doc_b"),
-            F.col("na").alias("shingles_a"),
-            F.col("nb").alias("shingles_b"),
+            F.size("ssa").cast("long").alias("shingles_a"),
+            F.size("ssb").cast("long").alias("shingles_b"),
             F.round(contain, 4).alias("containment"),
         )
         .orderBy("doc_a", "doc_b")

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Dump .explain('formatted') for named queries to plans/r16/<q>_<tag>.txt.
+"""Dump .explain('formatted') for named queries to plans/<round>/<q>_<tag>.txt.
 
 Usage:
     PYTHONPATH=/root/repo python scripts/explain_dump.py <tag> <query> [query...]
@@ -21,7 +21,9 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(repo, "plans", "r16")
+    out_dir = os.path.join(
+        repo, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r17")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     sys.path.insert(0, repo)
