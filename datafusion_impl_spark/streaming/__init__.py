@@ -1113,13 +1113,19 @@ def _tws_composite_view(spark: SparkSession, sf_dir: str) -> str:
         )
 
     class CompositeTws(StatefulProcessor):
-        # Every state access is a synchronous RPC to the per-partition
-        # state server, and handleInputRows runs once per (key, batch) —
-        # so the processor keeps the per-call RPC count minimal:
-        # n_types and the live timer's timestamp ride in the sess
-        # ValueState (no MapState.iterator()/listTimers() scans), and
-        # MapState reads use getValue's None-on-missing contract instead
-        # of a containsKey pre-check (one RPC per type, not two).
+        # Every state access is a synchronous proto RPC to the per-partition
+        # state server, and handleInputRows runs once per (key, batch) — at
+        # 1,500 users × 2 batches the RPC count IS the stream's wall time,
+        # so the processor keeps it minimal (r17: ~18 → ~11 RPCs per
+        # user-batch): get()'s None-on-missing contract replaces every
+        # exists() pre-check (ListState/MapState iterators likewise end
+        # empty on missing state), the whole per-type map is read back with
+        # ONE paged iterator() instead of one getValue per type, map writes
+        # coalesce to one updateValue per touched type per batch, and the
+        # session timer is only moved when the session's last-event time
+        # actually advanced (delete+register of the same timestamp is a
+        # no-op pair). n_types and the live timer's timestamp still ride in
+        # the sess ValueState, so there is no listTimers scan.
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._h = handle
             self._sess = handle.getValueState(
@@ -1133,15 +1139,13 @@ def _tws_composite_view(spark: SparkSession, sf_dir: str) -> str:
             )
 
         def handleInputRows(self, key, rows, timerValues):
-            if self._sess.exists():
-                n, s, last, n_types, timer_ms = self._sess.get()
-            else:
-                n, s, last, n_types, timer_ms = 0, 0, 0, 0, 0
-            kept = (
-                [r[0] for r in self._recent.get()]
-                if self._recent.exists()
-                else []
+            got = self._sess.get()
+            n, s, last, n_types, timer_ms = (
+                got if got is not None else (0, 0, 0, 0, 0)
             )
+            kept = [r[0] for r in self._recent.get()]
+            cur = {k[0]: v for k, v in self._m.iterator()}
+            touched = set()
             for pdf in rows:
                 micros = np.floor(
                     pdf["value"].to_numpy() * 1e6 + 0.5
@@ -1150,28 +1154,33 @@ def _tws_composite_view(spark: SparkSession, sf_dir: str) -> str:
                 s += int(micros.sum())
                 last = max(last, int(pdf["ts_ms"].max()))
                 kept.extend(int(x) for x in pdf["event_id"])
-                g = pd.DataFrame(
-                    {"t": pdf["event_type"].to_numpy(), "n": 1, "s": micros}
-                ).groupby("t", sort=False).sum()
-                for t, row in g.iterrows():
-                    prev = self._m.getValue((t,))
+                types, inv = np.unique(
+                    pdf["event_type"].to_numpy(), return_inverse=True
+                )
+                tn = np.bincount(inv)
+                ts = np.zeros(len(types), dtype="int64")
+                np.add.at(ts, inv, micros)
+                for j, t in enumerate(types):
+                    prev = cur.get(t)
                     if prev is None:
                         n0, s0 = 0, 0
                         n_types += 1
                     else:
                         n0, s0 = prev
-                    self._m.updateValue(
-                        (t,), (n0 + int(row["n"]), s0 + int(row["s"]))
-                    )
+                    cur[t] = (n0 + int(tn[j]), s0 + int(ts[j]))
+                    touched.add(t)
+            for t in touched:
+                self._m.updateValue((t,), cur[t])
             kept = sorted(kept, reverse=True)[:3]
             self._recent.put([(e,) for e in kept])
             # session-timeout pattern: one live timer per user, moved
-            # forward on every batch that touches the user (the previous
-            # timer's timestamp is carried in sess, so no listTimers scan)
-            if timer_ms:
-                self._h.deleteTimer(timer_ms)
+            # forward on every batch that advances the user's last-event
+            # time (the previous timer's timestamp is carried in sess)
             new_timer = last + _TWS_GAP_MS
-            self._h.registerTimer(new_timer)
+            if new_timer != timer_ms:
+                if timer_ms:
+                    self._h.deleteTimer(timer_ms)
+                self._h.registerTimer(new_timer)
             self._sess.update((n, s, last, n_types, new_timer))
             yield pd.DataFrame(
                 {
@@ -1186,8 +1195,9 @@ def _tws_composite_view(spark: SparkSession, sf_dir: str) -> str:
             )
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-            if self._sess.exists():
-                n, s, last, n_types, timer_ms = self._sess.get()
+            got = self._sess.get()
+            if got is not None:
+                n, s, last, n_types, timer_ms = got
                 self._sess.clear()
                 yield pd.DataFrame(
                     {
@@ -1506,10 +1516,8 @@ def stream_tws_warm_start(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def handleInputRows(self, key, rows, timerValues):
-            if self._st.exists():
-                n, s = self._st.get()
-            else:
-                n, s = 0, 0
+            got = self._st.get()  # None-on-missing: no exists() RPC
+            n, s = got if got is not None else (0, 0)
             for pdf in rows:
                 n += len(pdf)
                 s += int(
@@ -1881,7 +1889,12 @@ def stream_ann_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shuffle_key = "spark.sql.shuffle.partitions"
     prev_shuffle = spark.conf.get(shuffle_key, None)
-    spark.conf.set(shuffle_key, _TWS_SHUFFLE)
+    # This is a PLAIN streaming aggregation (one collect_list per query id,
+    # ~256 tiny keys), not a transformWithState stream — its state-store
+    # commit cost profile matches the sketch-maintenance streams, so it
+    # takes the measured stream-agg pin (r16 A/B: 4) rather than the TWS
+    # pin of 16 that it inherited (r17).
+    spark.conf.set(shuffle_key, _STREAM_AGG_SHUFFLE)
     view = "stream_ann_adc_topk_sink"
     try:
         stream = (
@@ -2042,7 +2055,8 @@ def stream_contribution_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
             self._used = handle.getValueState("used", "n BIGINT")
 
         def handleInputRows(self, key, rows, timerValues):
-            used = self._used.get()[0] if self._used.exists() else 0
+            got = self._used.get()  # None-on-missing: no exists() RPC
+            used = got[0] if got is not None else 0
             pdf = pd.concat(list(rows), ignore_index=True)
             pdf = pdf.sort_values(["ts_ms", "event_id"], kind="mergesort")
             room = max(0, _STREAM_CAP - used)
