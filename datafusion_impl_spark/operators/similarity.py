@@ -1494,16 +1494,20 @@ def _pq_subvectors(vecs: DataFrame, vcol: str = "v") -> DataFrame:
 
 def _pq_assign(sub_df: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest centroid per (vec_id, m) by squared L2 (rounded rank key,
-    cid tiebreak — the repo's tie-proof argmin convention)."""
+    cid tiebreak — the repo's tie-proof argmin convention).
+
+    The argmin is a struct-min AGGREGATION, not a rank-1 window: min of
+    struct(rounded_sq, cid) picks the lexicographic minimum — exactly the
+    window's (rounded key asc, cid asc) first row — but aggregates
+    map-side, so the exchange carries one partial row per (vec_id, m)
+    instead of every (vec_id, m, centroid) scored row, and no sort runs
+    (guide §2.3: aggregate before you shuffle; r17)."""
     sq = F.col("s_n2") + F.col("c_n2") - 2 * _dot(F.col("sv"), F.col("cv"))
-    w = Window.partitionBy("vec_id", "m").orderBy(
-        F.round(sq, 4).asc(), F.col("cid").asc()
-    )
     return (
         sub_df.join(F.broadcast(cent), "m")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", F.col("cid").alias("code"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.round(sq, 4).alias("k"), F.col("cid"))).alias("mn"))
+        .select("vec_id", "m", F.col("mn.cid").alias("code"))
     )
 
 
@@ -1954,12 +1958,13 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell_sq = F.round(
         F.col("n2") + F.col("cc_n2") - 2 * _dot(F.col("v"), F.col("ccv")), 4
     )
-    w_cell = Window.partitionBy("vec_id").orderBy(cell_sq.asc(), F.col("ccid").asc())
+    # struct-min argmin (same rounded-key + ccid-tiebreak winner as the
+    # rank-1 window it replaces; aggregates map-side instead of sorting)
     cells = materialize(
         full.crossJoin(F.broadcast(coarse))
-        .withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("ccid").alias("cell"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(cell_sq.alias("k"), F.col("ccid"))).alias("mn"))
+        .select("vec_id", F.col("mn.ccid").alias("cell"))
     )
     qfull = full.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
@@ -2130,15 +2135,17 @@ def _residual_frames(spark: SparkSession, sf_dir: str):
     )
 
     def cell_assign(cent: DataFrame) -> DataFrame:
+        # struct-min argmin (same rounded-key + ccid-tiebreak winner as the
+        # rank-1 window it replaces): partial-aggregates map-side, so the
+        # exchange carries one row per vector, not one per (vector, cell)
         sq = F.round(
             F.col("n2") + F.col("cc_n2") - 2 * _dot(F.col("v"), F.col("ccv")), 4
         )
-        w = Window.partitionBy("vec_id").orderBy(sq.asc(), F.col("ccid").asc())
         return (
             full.crossJoin(F.broadcast(cent))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("ccid").alias("cell"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct(sq.alias("k"), F.col("ccid"))).alias("mn"))
+            .select("vec_id", F.col("mn.ccid").alias("cell"))
         )
 
     # one Lloyd round on the COARSE quantizer: per (cell, dim) mean, rounded 6
@@ -3682,14 +3689,22 @@ def ann_opq_subspace_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         sq = (
             F.col("s_n2") + F.col("c_n2") - 2 * _dot(F.col("sv"), F.col("cv"))
         )
-        w = Window.partitionBy("vec_id", "m").orderBy(
-            F.round(sq, 4).asc(), F.col("cid").asc()
-        )
+        # struct-min argmin (same rounded-key + cid-tiebreak winner as the
+        # rank-1 window it replaces): the trailing err field rides along
+        # and never orders — (k, cid) is already unique per group
         err = (
             sub.join(F.broadcast(cent), "m")
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.round(sq, 6).alias("err"))
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.round(sq, 4).alias("k"),
+                        F.col("cid"),
+                        F.round(sq, 6).alias("err"),
+                    )
+                ).alias("mn")
+            )
+            .select(F.col("mn.err").alias("err"))
         )
         return err.agg(
             # div-safe: COUNT over the err frame >= 1 (one row per
@@ -4233,7 +4248,18 @@ def _bounded_embeddings(fn):
 
     @functools.wraps(fn)
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
-        n = load_table(spark, sf_dir, "embeddings").count()
+        # the corpus row count comes from the parquet footer (pure file
+        # metadata, ~1 ms) — the previous load_table(...).count() spent a
+        # full Spark job + its ~100 ms action floor per query invocation
+        # re-counting an immutable file (r17; the ADVICE's count-cache,
+        # done one better: no state to invalidate)
+        import os
+
+        import pyarrow.parquet as papq
+
+        n = papq.read_metadata(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).num_rows
         with bounded_iteration(spark, n):
             return fn(spark, sf_dir)
 
@@ -4273,6 +4299,9 @@ QUERIES = {
 #: first aggregates must keep full scan/shuffle parallelism, so they stay
 #: outside the embeddings-sized pin.
 _FULL_PARALLEL = {"hybrid_bm25_dense_rrf"}
+# a typo here would silently pin a corpus-scale query to embeddings-sized
+# partitions (r16 advice): fail at import instead
+assert _FULL_PARALLEL <= QUERIES.keys(), _FULL_PARALLEL - QUERIES.keys()
 
 QUERIES = {
     name: (fn if name in _FULL_PARALLEL else _bounded_embeddings(fn))
