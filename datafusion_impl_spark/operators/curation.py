@@ -1211,12 +1211,17 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.levenshtein("d_name", "m_name", 2))
         .filter(F.col("dist") >= 0)
     )
-    w = Window.partitionBy("d_key").orderBy("dist", "m_key")
-    best = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # struct-min argmin (same (dist, m_key) winner as the rank-1 window it
+    # replaces; aggregates map-side instead of exchanging + sorting pairs)
+    best = pairs.groupBy("d_key").agg(
+        F.min(F.struct("dist", "m_key")).alias("mn")
+    )
     n_dirty = dirty.count()
-    matched = best.groupBy("dist").agg(
+    matched = best.groupBy(F.col("mn.dist").alias("dist")).agg(
         F.count(F.lit(1)).alias("n_records"),
-        F.count_if(F.col("d_key") == F.col("m_key")).alias("n_correct_identity"),
+        F.count_if(F.col("d_key") == F.col("mn.m_key")).alias(
+            "n_correct_identity"
+        ),
     )
     return (
         matched.withColumn(

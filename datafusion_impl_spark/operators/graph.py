@@ -735,11 +735,22 @@ def label_propagation(edges_sym: DataFrame, iters: int = _LPA_ITERS) -> DataFram
                 .groupBy("src", "label")
                 .agg(F.count(F.lit(1)).alias("cnt"))
             )
-            w = Window.partitionBy("src").orderBy(F.desc("cnt"), F.asc("label"))
+            # struct-max argmax (same (cnt desc, label asc) winner as the
+            # rank-1 window it replaces): max cnt wins, ties resolve to the
+            # max NEGATED label = the minimum label; aggregates map-side
+            # instead of exchanging + sorting the vote table every round
             labels = (
-                votes.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select(F.col("src").alias("doc_id"), "label")
+                votes.groupBy("src")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("cnt"),
+                            (-F.col("label")).alias("nl"),
+                            F.col("label"),
+                        )
+                    ).alias("mx")
+                )
+                .select(F.col("src").alias("doc_id"), F.col("mx.label").alias("label"))
                 .localCheckpoint(eager=True)
             )
     return labels.select("doc_id", F.col("label").alias("community"))

@@ -5706,20 +5706,13 @@ def speculative_ngram_acceptance(spark: SparkSession,
     counts = train.groupBy("w", "nxt").agg(
         F.count(F.lit(1)).alias("c")
     )
+    # struct-min argmax (same (c desc, nxt asc) winner as the rank-1 window
+    # it replaces — the count is negated so min-of-struct picks max count,
+    # string tiebreak ascending; aggregates map-side instead of sorting)
     draft = (
-        counts.select(
-            "w",
-            "nxt",
-            F.row_number()
-            .over(
-                Window.partitionBy("w").orderBy(
-                    F.col("c").desc(), F.col("nxt").asc()
-                )
-            )
-            .alias("rn"),
-        )
-        .filter(F.col("rn") == 1)
-        .select("w", F.col("nxt").alias("draft_nxt"))
+        counts.groupBy("w")
+        .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("nxt"))).alias("mn"))
+        .select("w", F.col("mn.nxt").alias("draft_nxt"))
     )
     joined = ev.join(draft, "w", "left")
     covered = F.col("draft_nxt").isNotNull()

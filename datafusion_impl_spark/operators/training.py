@@ -427,20 +427,33 @@ def _assign(e: DataFrame, cent: DataFrame) -> DataFrame:
     # div-safe: embeddings (and hence centroid means' norms over
     # unit-norm members) are nonzero by the unit-norm data contract
     cos = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("c_nrm"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("rank_sim"), F.asc("cid"))
+    # struct-max argmax (same (rank_sim desc, cid asc) winner as the rank-1
+    # window it replaced): max rank_sim wins, ties resolve to the max
+    # NEGATED cid = the minimum cid; (rank_sim, nc) is unique per vector,
+    # so the payload fields after it never participate in the comparison.
+    # Aggregates map-side instead of exchanging + sorting every scored row.
     return (
         e.crossJoin(F.broadcast(cent))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.round(cos, 4).alias("rank_sim"),
+                    (-F.col("cid")).alias("nc"),
+                    F.col("cid"),
+                    F.round(cos, 6).alias("sim"),
+                    F.col("v"),
+                    F.col("nrm"),
+                )
+            ).alias("mx")
+        )
         .select(
             "vec_id",
-            "v",
-            "nrm",
-            "cid",
-            F.round(cos, 4).alias("rank_sim"),
-            F.round(cos, 6).alias("sim"),
+            F.col("mx.v").alias("v"),
+            F.col("mx.nrm").alias("nrm"),
+            F.col("mx.cid").alias("cluster"),
+            F.col("mx.sim").alias("sim"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "nrm", F.col("cid").alias("cluster"), "sim")
     )
 
 

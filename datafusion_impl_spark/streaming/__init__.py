@@ -1810,14 +1810,13 @@ def _ann_serve_index(spark: SparkSession, sf_dir: str):
     cell_sq = F.round(
         F.col("n2") + F.col("cc_n2") - 2 * _dot(F.col("v"), F.col("ccv")), 4
     )
-    w_cell = Window.partitionBy("vec_id").orderBy(
-        cell_sq.asc(), F.col("ccid").asc()
-    )
+    # struct-min argmin (same rounded-key + ccid-tiebreak winner as the
+    # rank-1 window it replaces; aggregates map-side instead of sorting)
     cells = (
         full.crossJoin(F.broadcast(coarse))
-        .withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("ccid").alias("cell"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(cell_sq.alias("k"), F.col("ccid"))).alias("mn"))
+        .select("vec_id", F.col("mn.ccid").alias("cell"))
     )
     code_arrays = codes.groupBy("vec_id").agg(
         F.transform(
