@@ -1214,20 +1214,25 @@ def skipgram_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", tokens("text").alias("t")
     )
-    pairs = docs.filter(F.size("t") >= 2).select(
+    # One row per CENTER POSITION, not per skip-gram pair (r17): the
+    # subsampling gate depends only on (doc_id, pos, center token), and the
+    # number of context partners is pure window arithmetic — so the explode,
+    # the unigram join, and the md5 keep-draw all run over the ~n_tokens
+    # position table instead of the ~2·win× larger pair table, and every
+    # pair-level quantity downstream is recovered exactly (pair counts as
+    # keep-weighted n_ctx sums; the negative draws re-expand context
+    # positions for kept centers only — the identical (doc, pos, cpos, j)
+    # md5 arguments as the per-pair formulation).
+    positions = docs.filter(F.size("t") >= 2).select(
         "doc_id",
         "source",
-        F.explode(
-            F.expr(
-                f"""flatten(transform(t, (w, i) -> transform(
-                      filter(sequence(greatest(0, i - {_SG_WIN}),
-                                      least(size(t) - 1, i + {_SG_WIN})),
-                             j -> j != i),
-                      j -> struct(w AS center, t[j] AS context,
-                                  i AS pos, j AS cpos))))"""
-            )
-        ).alias("p"),
-    ).select("doc_id", "source", "p.center", "p.context", "p.pos", "p.cpos")
+        F.size("t").alias("n"),
+        F.posexplode("t").alias("pos", "center"),
+    )
+    n_ctx = (
+        F.least(F.col("n") - 1, F.col("pos") + _SG_WIN)
+        - F.greatest(F.lit(0), F.col("pos") - _SG_WIN)
+    ).cast("long")
     toks = docs.select(F.explode("t").alias("w"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
     total = toks.agg(F.count(F.lit(1)).cast("long").alias("t_tok"))
@@ -1251,13 +1256,15 @@ def skipgram_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (F.lit(_SG_T) * F.col("t_tok")) / F.col("c_w")
     keep = u < F.least(F.sqrt(tf) + tf, F.lit(1.0))
     # project BEFORE the checkpoint: downstream consumers (the negative
-    # draws and the per-source pair census) key on (doc_id, source, pos,
-    # cpos, keep) only — carrying center/context tokens through the
-    # million-row materialize would store and re-read dead columns.
+    # draws and the per-source pair census) need only (doc_id, source,
+    # pos, n, n_ctx, keep) — one row per center position.
     gated = (
-        pairs.join(uni.withColumnRenamed("w", "center"), "center")
+        positions.join(uni.withColumnRenamed("w", "center"), "center")
         .crossJoin(F.broadcast(total))
-        .select("doc_id", "source", "pos", "cpos", keep.alias("keep"))
+        .select(
+            "doc_id", "source", "pos", "n", n_ctx.alias("n_ctx"),
+            keep.alias("keep"),
+        )
     )
     gated = materialize(gated)
     # negative table: top-V vocab, integer unigram^0.75 weights, exact cums
@@ -1298,6 +1305,16 @@ def skipgram_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     draws = (
         gated.filter("keep")
         .select(
+            "doc_id", "source", "pos",
+            F.explode(
+                F.expr(
+                    f"""filter(sequence(greatest(0, pos - {_SG_WIN}),
+                                        least(n - 1, pos + {_SG_WIN})),
+                               j -> j != pos)"""
+                )
+            ).alias("cpos"),
+        )
+        .select(
             "doc_id", "source", "pos", "cpos",
             F.explode(F.sequence(F.lit(1), F.lit(_SG_NEG))).alias("j"),
         )
@@ -1337,12 +1354,18 @@ def skipgram_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             md5_long(F.concat(F.lit("c:"), F.col("neg_token"))) % 1000003
         ).cast("long").alias("neg_checksum"),
     )
+    # pair counts are keep-weighted context-count sums over positions —
+    # exactly the per-pair COUNT/SUM(keep) of the old pair-row census
     pair_stats = gated.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_pairs_raw"),
-        F.sum(F.col("keep").cast("long")).alias("n_pairs_kept"),
+        F.sum("n_ctx").alias("n_pairs_raw"),
+        F.sum(F.when(F.col("keep"), F.col("n_ctx")).otherwise(0)).alias(
+            "n_pairs_kept"
+        ),
         F.round(
-            # div-safe: every source group holds >= 1 pair (COUNT >= 1)
-            F.sum(F.col("keep").cast("long")) / F.count(F.lit(1)),
+            # div-safe: every source group holds >= 1 pair (n_ctx >= 1 on
+            # every position of a >= 2-token doc)
+            F.sum(F.when(F.col("keep"), F.col("n_ctx")).otherwise(0))
+            / F.sum("n_ctx"),
             6,
         ).alias("kept_rate"),
     )
