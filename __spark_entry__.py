@@ -132,6 +132,11 @@ _MODULES = [
 #       they land, then the 25 r5-evidence pads staged in r13's
 #       _NEXT_ROTATION. Every changed/new entry oracle-verified PASS vs
 #       DuckDB at sf0.01 in the r14 session before staging.
+#   r16: the 20 r6-evidence pads displaced into r15's _NEXT_ROTATION,
+#       then the 6 r16-new operators, then the alphabetical head of the
+#       48 r7-evidence pads. Went 50/50 green (CORRECTNESS_r16) — the
+#       r16-build rework (suffix-array pair, CDC stats, 3 pinned ANN
+#       queries) all hash-matched. 24 r7-evidence pads remained.
 #   r15 (this list): the 2 never-staged rows-only queries first (r14
 #       verdict #3 — after this round EVERY registry entry has a driver
 #       row), then r15-new operators, then the 4 r14-ADVICE-materially-
@@ -140,70 +145,58 @@ _MODULES = [
 #       driver takes the head, leftovers stay next in line). Evidence
 #       floor moves to r7.
 _PRIORITY = [
-    # --- r16: the 20 r6-evidence pads displaced into r15's
-    # _NEXT_ROTATION first (verdict #5 ordering), then the 6 r16-new
-    # operators (each oracle-verified PASS vs DuckDB at sf0.01 before
-    # staging), then the alphabetical head of the 48 r7-evidence pads.
-    # The 2 rows-only sketch/RNG queries got their honest no_oracle rows
-    # in r15 and are NOT re-staged. After r16 the evidence floor sits at
-    # r7 with 24 queries left (queued below); r17 finishes them.
-    "python_datasource_write_roundtrip",
-    "q18_large_volume_customers",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "range_join_event_bursts",
-    "rfm_customer_segments",
-    "rollup_order_stats",
-    "scalar_date_functions",
-    "scalar_math_case_cast",
-    "scalar_string_functions",
-    "scd2_status_dwell_stats",
-    "sessionize_events",
-    "set_union_order_sources",
-    "source_unigram_kl",
-    "stream_cdc_merge_stats",
-    "tokenizer_inflation_audit",
-    "watermark_lateness_audit",
-    "window_running_revenue",
-    "window_top_orders_per_customer",
-    # --- r16-new operators ---
-    "dedup_exact_substr_suffix_array",   # prefix-doubling ExactSubstr
-    "dedup_exact_substr_removal_ledger", # keep-one removal apply step
-    "iceberg_position_delete_scan",      # merge-on-read row deletes
-    "iceberg_snapshot_expiry_gc",        # compaction + orphan-file GC
-    "parquet_bloom_rowgroup_skipping",   # bloom sidecar point lookups
-    "audio_constellation_near_dup",      # landmark-hash audio near-dup
-    "video_fingerprint_near_dup",        # frame-gradient video near-dup
-    # --- oldest-evidence pads (r7; alphabetical head of 48) ---
-    "ann_cosine_topk",
-    "ann_residual_pq_recall",
-    "ann_sq8_recall",
-    "cube_lineitem_flags",
-    "dedup_documents_exact",
+    # --- r17 (optimization round 2): MATERIALLY-CHANGED queries first —
+    # every query whose plan this round rewrote (array-packed exact
+    # verifies + grouped pair expansion, struct-min argmin assignments,
+    # the position-level skip-gram gate, the trimmed TWS processors) must
+    # get a driver hash row on the new code; each was oracle-verified
+    # PASS vs DuckDB at sf0.01 in the r17 session before staging. Then
+    # the r16-optimized queries the r16 window never covered (verdict #3).
+    # The 25 queued r7-evidence pads take the remaining slots; leftovers
+    # stay first in _NEXT_ROTATION.
     "dedup_documents_minhash",
-    "dedup_substring_spans",
-    "distinct_segments",
-    "events_daily_gapfill",
-    "events_locf_imputation",
-    "full_outer_nation_accounts",
-    "grouped_zscore_doclen",
-    "grouping_sets_events",
-    "heavy_hitters_cms",
-    "higher_order_array_ops",
-    "interval_overlap_sessions",
-    "map_functions_order_flags",
-    "min_price_part_per_brand",
-    "multimodal_bmp_decode_stats",
-    "pivot_segment_by_status",
-    "q10_returned_items",
-    "q12_priority_lateness",
-    "q13_customer_distribution",
-]
-
-# Beyond the 50-query window: the 24 remaining r7-evidence pads queue
-# here for r17 (still ahead of everything else in queries() order).
-_NEXT_ROTATION: list[str] = [
+    "dedup_documents_ngram",
+    "dedup_documents_containment",
+    "dedup_documents_winnowing",
+    "minhash_estimation_error",
+    "dedup_bbit_minhash",
+    "contrastive_pairs_mining",
+    "embedding_near_dup_pairs",
+    "dedup_minhash_param_sweep",
+    "entity_resolution_customers",
+    "skipgram_negative_pairs",
+    "ann_ivf_pq_topk",
+    "ann_residual_pq_recall",
+    "ann_pq_adc_recall",
+    "ann_pq_refine_recall",
+    "ann_opq_subspace_balance",
+    "ann_knn_graph_ivf",
+    "ann_ivf_recall_sweep",
+    "dedup_semantic_ivf",
+    "ann_sq8_recall",
+    "ann_rrf_fusion",
+    "embedding_kmeans_clusters",
+    "dedup_label_communities",
+    "dedup_community_bridges",
+    "speculative_ngram_acceptance",
+    "stream_ann_adc_topk",
+    "stream_tws_user_totals",
+    "stream_tws_warm_start",
+    "stream_contribution_capping",
+    "dedup_cluster_components",
+    "dedup_near_survivors",
+    "dedup_token_savings",
+    "split_group_aware",
+    "stream_near_dup_flags",
+    "dedup_detector_prf",
+    # --- r16-optimized, never driver-verified on the optimized code ---
+    "unigram_lm_tokenizer_em",
+    "unigram_viterbi_encode",
+    "stream_hll_distinct_users",
+    "stream_bloom_ingest_filter",
+    "stream_quantile_histogram",
+    "stream_cms_heavy_hitters",
+    # --- oldest-evidence pads (r7; head of the 25 queued in r16) ---
     "q14_promo_effect",
     "q15_top_supplier",
     "q16_supplier_part_counts",
@@ -212,6 +205,11 @@ _NEXT_ROTATION: list[str] = [
     "q21_waiting_suppliers",
     "q22_idle_rich_customers",
     "q4_order_priority",
+]
+
+# Beyond the 50-query window: the 17 remaining r7-evidence pads queue
+# here for r18 (still ahead of everything else in queries() order).
+_NEXT_ROTATION: list[str] = [
     "q5_local_supplier_volume",
     "q7_nation_volume",
     "q8_market_share",
