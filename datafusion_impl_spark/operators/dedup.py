@@ -556,9 +556,12 @@ def dedup_minhash_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # usually collides at r=2 too), and every per-config count lands in a
     # single groupBy(cfg) collect. Replaces four per-config materializes +
     # eight count actions (47 jobs → ~17 at sf0.1) with identical output.
+    # cfg is keyed by the (b, r) COMPOSITE (b*100+r), not b alone, so two
+    # future configs sharing a band count can never silently merge their
+    # candidate sets (r16 advice — structural invariant, not incidental)
     band_structs = [
         F.struct(
-            F.lit(b).alias("cfg"),
+            F.lit(b * 100 + r).alias("cfg"),
             F.lit(band).alias("band"),
             F.md5(
                 F.concat_ws(
@@ -601,7 +604,7 @@ def dedup_minhash_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     rows = []
     for b, r in _SWEEP_CONFIGS:
-        n_cand, n_ver = stats.get(b, (0, 0))
+        n_cand, n_ver = stats.get(b * 100 + r, (0, 0))
         detect_prob = 1.0 - (1.0 - _JACCARD_T ** r) ** b
         rows.append((b, r, n_cand, n_ver, detect_prob))
     out = spark.createDataFrame(
