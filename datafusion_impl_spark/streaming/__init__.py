@@ -2056,12 +2056,27 @@ def stream_contribution_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
         def handleInputRows(self, key, rows, timerValues):
             got = self._used.get()  # None-on-missing: no exists() RPC
             used = got[0] if got is not None else 0
-            pdf = pd.concat(list(rows), ignore_index=True)
-            pdf = pdf.sort_values(["ts_ms", "event_id"], kind="mergesort")
+            batches = list(rows)
+            pdf = (
+                pd.concat(batches, ignore_index=True)
+                if len(batches) > 1
+                else batches[0]
+            )
+            # (ts_ms, event_id) is a unique key, so an unstable numpy
+            # lexsort picks the identical first-K rows the stable pandas
+            # mergesort did, without the per-key DataFrame sort machinery
+            import numpy as np
+
+            order = np.lexsort(
+                (pdf["event_id"].to_numpy(), pdf["ts_ms"].to_numpy())
+            )
             room = max(0, _STREAM_CAP - used)
-            kept = pdf.iloc[:room]
-            self._used.update((used + len(kept),))
+            kept = pdf.iloc[order[:room]]
             if len(kept):
+                # a zero-admission batch leaves the counter untouched —
+                # skipping the no-op update saves the RPC for every user
+                # already at cap
+                self._used.update((used + len(kept),))
                 yield kept[["user_id", "event_id", "event_type"]]
 
         def close(self) -> None:
