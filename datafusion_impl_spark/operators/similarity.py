@@ -4255,11 +4255,17 @@ def _bounded_embeddings(fn):
         # done one better: no state to invalidate)
         import os
 
+        import pyarrow as pa
         import pyarrow.parquet as papq
 
-        n = papq.read_metadata(
-            os.path.join(sf_dir, "embeddings.parquet")
-        ).num_rows
+        try:
+            n = papq.read_metadata(
+                os.path.join(sf_dir, "embeddings.parquet")
+            ).num_rows
+        except (OSError, pa.ArrowInvalid):
+            # defensive: a future testdata generation shipping the table
+            # as a parquet DIRECTORY falls back to the counted job
+            n = load_table(spark, sf_dir, "embeddings").count()
         with bounded_iteration(spark, n):
             return fn(spark, sf_dir)
 
